@@ -1,13 +1,125 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.kv.{Mutations, Scans}
+import graft.agg.Aggregates
+import graft.filters.{CompareOp, Comparators, Filters}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship: the AggregationClient+GroupingTableMapper composition
+    * (SURVEY §2D `agg_grouped`) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("agg_grouped")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // §2A scans & point reads
+  // ------------------------------------------------------------------
+  private val scanQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_range" -> ((s, d) =>
+      Scans.range(T(s, d, "orders"), "o_orderkey", 1000L, 2000L,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+    "scan_reversed" -> ((s, d) =>
+      Scans.reversed(T(s, d, "orders"), "o_orderkey", 100,
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))),
+    "scan_limit" -> ((s, d) =>
+      Filters.pageFilter(T(s, d, "lineitem"), Seq("l_orderkey", "l_linenumber"), 500)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+    "get_point" -> ((s, d) =>
+      Scans.get(T(s, d, "orders"), "o_orderkey", 42L,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+    "multi_get" -> ((s, d) =>
+      Scans.multiGet(T(s, d, "orders"), "o_orderkey",
+        Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))),
+    "scan_time_range" -> ((s, d) =>
+      Scans.timeRange(Tables.eventCells(s, d), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+        .select("rowkey", "qualifier", "ts", "value", "event_id")
+        .orderBy("event_id")),
+    "scan_max_versions" -> ((s, d) =>
+      Scans.maxVersions(Tables.eventCells(s, d), 2)
+        .select("rowkey", "qualifier", "ts", "value", "event_id")
+        .orderBy("rowkey", "qualifier", "event_id")),
+  )
+
+  private val scanOracles: Map[String, String] = Map(
+    "scan_range" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+    "scan_reversed" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey DESC LIMIT 100""".stripMargin,
+    "scan_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "get_point" ->
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey = 42",
+    "multi_get" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey IN (1,2,3,5,8,13,21,34,55,89) ORDER BY o_orderkey""".stripMargin,
+    "scan_time_range" ->
+      """SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "scan_max_versions" ->
+      """SELECT rowkey, qualifier, ts, value, event_id FROM (
+        |  SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id,
+        |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 2 ORDER BY rowkey, qualifier, event_id""".stripMargin,
+  )
+
+  // ------------------------------------------------------------------
+  // §2D aggregation coprocessor
+  // ------------------------------------------------------------------
+  private val aggQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_rowcount" -> ((s, d) =>
+      T(s, d, "lineitem").where(col("l_quantity") >= 25)
+        .agg(count(lit(1)).as("n_rows"))),
+    "agg_minmax" -> ((s, d) => Aggregates.minMax(T(s, d, "lineitem"), "l_extendedprice")),
+    "agg_sum_avg" -> ((s, d) => Aggregates.sumAvg(T(s, d, "lineitem"), "l_quantity")),
+    "agg_std" -> ((s, d) => Aggregates.std(T(s, d, "lineitem"), "l_quantity")),
+    "agg_median" -> ((s, d) => Aggregates.median(T(s, d, "lineitem"), "l_extendedprice")),
+    "agg_weighted_median" -> ((s, d) =>
+      Aggregates.weightedMedian(T(s, d, "lineitem"), "l_extendedprice", "l_quantity")),
+    "agg_grouped" -> ((s, d) =>
+      Aggregates.grouped(T(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+  )
+
+  private val aggOracles: Map[String, String] = Map(
+    "agg_rowcount" -> "SELECT count(*) AS n_rows FROM lineitem WHERE l_quantity >= 25",
+    "agg_minmax" ->
+      "SELECT min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v FROM lineitem",
+    "agg_sum_avg" ->
+      "SELECT round(sum(l_quantity),4) AS sum_v, round(avg(l_quantity),4) AS avg_v FROM lineitem",
+    "agg_std" -> "SELECT round(stddev_pop(l_quantity),4) AS std_v FROM lineitem",
+    "agg_median" -> "SELECT round(quantile_cont(l_extendedprice, 0.5),4) AS median_v FROM lineitem",
+    "agg_weighted_median" ->
+      """SELECT min(l_extendedprice) AS wmedian_v FROM (
+        |  SELECT l_extendedprice,
+        |         sum(l_quantity) OVER (ORDER BY l_extendedprice ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM lineitem) t
+        |WHERE cum >= (SELECT sum(l_quantity)/2 FROM lineitem)""".stripMargin,
+    "agg_grouped" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+        |       round(sum(l_quantity),4) AS sum_v, round(avg(l_quantity),4) AS avg_v,
+        |       round(stddev_pop(l_quantity),4) AS std_v,
+        |       round(quantile_cont(l_quantity,0.5),4) AS median_v
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    scanQueries ++ aggQueries
+
+  /** DuckDB-runnable oracle per query (same column names, same order). */
+  def oracleSql: Map[String, String] =
+    scanOracles ++ aggOracles
 }

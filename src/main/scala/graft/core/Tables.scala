@@ -1,0 +1,82 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated TPC-H-ish parquet tables, plus the
+  * KV "cell view" that re-expresses HBase's data model
+  * (rowkey → family → qualifier → timestamp → value) relationally.
+  *
+  * Reference data model: hbase-common/src/main/java/org/apache/hadoop/
+  * hbase/KeyValue.java (cell = row, family, qualifier, ts, value).
+  */
+object Tables {
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects. Read nanos as long, convert to µs timestamps
+      // (integer div — exact; the generator emits µs precision, and the
+      // DuckDB oracle also truncates ns→µs internally).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Unpivot a wide relational table into HBase-style cells
+    * `(rowkey, family, qualifier, value)`. Values are cast to string
+    * (HBase cells are untyped bytes). Uses `stack`, which stays inside
+    * whole-stage codegen — no shuffle, no UDF.
+    *
+    * @param families map family name -> qualifiers (columns of `df`).
+    *                 Only string/int columns should be included so the
+    *                 string cast is engine-portable.
+    */
+  def toCells(df: DataFrame, rowkeyCol: String,
+              families: Seq[(String, Seq[String])]): DataFrame = {
+    val n = families.map(_._2.size).sum
+    val args = families.flatMap { case (fam, quals) =>
+      quals.map(q => s"'$fam', '$q', cast(`$q` as string)")
+    }.mkString(", ")
+    df.select(
+      col(rowkeyCol).cast("string").as("rowkey"),
+      expr(s"stack($n, $args) as (family, qualifier, value)"))
+  }
+
+  /** The standard cell view of `customer` used across filter queries:
+    * rowkey = c_custkey, family `id` holds keys, family `info` holds
+    * attributes. Mirrors an HBase table with two column families. */
+  def customerCells(spark: SparkSession, sfDir: String): DataFrame =
+    toCells(load(spark, sfDir, "customer"), "c_custkey",
+      Seq("id" -> Seq("c_nationkey"),
+          "info" -> Seq("c_name", "c_mktsegment")))
+
+  /** DuckDB-equivalent SQL for [[customerCells]] (UNION ALL unpivot),
+    * used as a CTE prefix inside oracle SQL. */
+  val customerCellsSql: String =
+    """cells AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS rowkey, 'id' AS family, 'c_nationkey' AS qualifier, CAST(c_nationkey AS VARCHAR) AS value FROM customer
+      |  UNION ALL
+      |  SELECT CAST(c_custkey AS VARCHAR), 'info', 'c_name', c_name FROM customer
+      |  UNION ALL
+      |  SELECT CAST(c_custkey AS VARCHAR), 'info', 'c_mktsegment', c_mktsegment FROM customer
+      |)""".stripMargin
+
+  /** Versioned-cell view of `events`: an HBase table where
+    * rowkey = user_id, one column family `ev`, qualifier = event_type,
+    * version timestamp = ts, value = value. Multi-version semantics
+    * (maxVersions / timeRange / TimestampsFilter) run against this. */
+  def eventCells(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events").select(
+      col("user_id").as("rowkey"),
+      lit("ev").as("family"),
+      col("event_type").as("qualifier"),
+      col("ts"),
+      col("value"),
+      col("event_id"))
+
+  val eventCellsSql: String =
+    """vcells AS (
+      |  SELECT user_id AS rowkey, 'ev' AS family, event_type AS qualifier, ts, value, event_id FROM events
+      |)""".stripMargin
+}

@@ -1,0 +1,195 @@
+package graft.filters
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HBase's filter algebra (hbase-client/.../filter/) re-expressed
+  * as Catalyst `Column` predicates and DataFrame transforms.
+  *
+  * Design: every per-cell / per-row filter returns a `Column`, so
+  * Catalyst sees a declarative predicate — predicate pushdown to the
+  * parquet scan, column pruning and codegen all apply. Filters that in
+  * HBase carry scanner *state* (PageFilter, SkipFilter, WhileMatchFilter,
+  * ColumnPaginationFilter) become whole-DataFrame transforms built from
+  * limits, windows and two-phase aggregations — never driver loops.
+  */
+object CompareOp extends Enumeration {
+  val LESS, LESS_OR_EQUAL, EQUAL, NOT_EQUAL, GREATER_OR_EQUAL, GREATER = Value
+}
+
+/** Comparators (hbase-client/.../filter/{Binary,BinaryPrefix,Bit,Long,
+  * Null,RegexString,Substring}Comparator.java). Each yields a predicate
+  * for (column op comparator). */
+object Comparators {
+  import CompareOp._
+
+  private def ordered(c: Column, op: CompareOp.Value, v: Column): Column = op match {
+    case LESS             => c < v
+    case LESS_OR_EQUAL    => c <= v
+    case EQUAL            => c === v
+    case NOT_EQUAL        => c =!= v
+    case GREATER_OR_EQUAL => c >= v
+    case GREATER          => c > v
+  }
+
+  /** BinaryComparator: lexicographic compare of the (string-encoded) value. */
+  def binary(v: String)(c: Column, op: CompareOp.Value): Column = ordered(c, op, lit(v))
+
+  /** LongComparator: numeric compare. */
+  def long(v: Long)(c: Column, op: CompareOp.Value): Column = ordered(c, op, lit(v))
+
+  /** BinaryPrefixComparator: compares only up to the prefix length. */
+  def binaryPrefix(prefix: String)(c: Column, op: CompareOp.Value): Column =
+    ordered(substring(c, 1, prefix.length), op, lit(prefix))
+
+  /** SubstringComparator: EQUAL means "contains" (case-insensitive in HBase). */
+  def substr(s: String)(c: Column, op: CompareOp.Value): Column = op match {
+    case EQUAL     => lower(c).contains(s.toLowerCase)
+    case NOT_EQUAL => !lower(c).contains(s.toLowerCase)
+    case _ => throw new IllegalArgumentException(s"SubstringComparator: $op")
+  }
+
+  /** RegexStringComparator: EQUAL means "matches". */
+  def regex(re: String)(c: Column, op: CompareOp.Value): Column = op match {
+    case EQUAL     => c.rlike(re)
+    case NOT_EQUAL => !c.rlike(re)
+    case _ => throw new IllegalArgumentException(s"RegexStringComparator: $op")
+  }
+
+  /** BitComparator over integral columns: EQUAL matches when
+    * (value bitop mask) is non-zero (BitComparator.java semantics). */
+  def bitAnd(mask: Long)(c: Column, op: CompareOp.Value): Column = op match {
+    case EQUAL     => (c.bitwiseAND(lit(mask))) =!= 0
+    case NOT_EQUAL => (c.bitwiseAND(lit(mask))) === 0
+    case _ => throw new IllegalArgumentException(s"BitComparator: $op")
+  }
+
+  /** NullComparator: EQUAL matches null cells. */
+  def nul(c: Column, op: CompareOp.Value): Column = op match {
+    case EQUAL     => c.isNull
+    case NOT_EQUAL => c.isNotNull
+    case _ => throw new IllegalArgumentException(s"NullComparator: $op")
+  }
+}
+
+object Filters {
+  type Cmp = (Column, CompareOp.Value) => Column
+
+  // ---- rowkey-level filters (apply to the rowkey column of a scan) ----
+
+  /** RowFilter.java — compare the rowkey. */
+  def rowFilter(keyCol: Column, op: CompareOp.Value, cmp: Cmp): Column = cmp(keyCol, op)
+
+  /** PrefixFilter.java — rowkey starts with prefix. */
+  def prefixFilter(keyCol: Column, prefix: String): Column = keyCol.startsWith(prefix)
+
+  /** FuzzyRowFilter.java:58 — fixed-position wildcard match ('?' = any
+    * char). Implemented as a codegen'd Catalyst Expression. */
+  def fuzzyRowFilter(keyCol: Column, pattern: String): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(FuzzyMatch(ColumnBridge.expression(keyCol), pattern))
+  }
+
+  /** MultiRowRangeFilter.java — OR of [start, stop) rowkey ranges. */
+  def multiRowRange(keyCol: Column, ranges: Seq[(Long, Long)]): Column =
+    ranges.map { case (a, b) => keyCol >= a && keyCol < b }.reduce(_ || _)
+
+  /** InclusiveStopFilter.java — scan up to and including the stop row. */
+  def inclusiveStop(keyCol: Column, stop: Long): Column = keyCol <= stop
+
+  /** RandomRowFilter.java — row sample. HBase uses Random.nextFloat();
+    * we need cluster-determinism, so use a multiplicative (Knuth) hash
+    * of the rowkey — same result on every executor, every run, and
+    * expressible in plain SQL for the oracle. */
+  def randomRowFilter(keyCol: Column, chance: Double): Column =
+    pmod(keyCol * lit(2654435761L), lit(4294967296L)) < lit((chance * 4294967296L).toLong)
+
+  // ---- cell-level filters (apply to a cells view:
+  //      rowkey / family / qualifier / value [/ ts]) ----
+
+  /** ValueFilter.java — compare the cell value. */
+  def valueFilter(op: CompareOp.Value, cmp: Cmp): Column = cmp(col("value"), op)
+
+  /** QualifierFilter.java — compare the qualifier. */
+  def qualifierFilter(op: CompareOp.Value, cmp: Cmp): Column = cmp(col("qualifier"), op)
+
+  /** FamilyFilter.java — compare the family. */
+  def familyFilter(op: CompareOp.Value, cmp: Cmp): Column = cmp(col("family"), op)
+
+  /** ColumnPrefixFilter.java / MultipleColumnPrefixFilter.java. */
+  def columnPrefix(prefixes: String*): Column =
+    prefixes.map(col("qualifier").startsWith(_)).reduce(_ || _)
+
+  /** ColumnRangeFilter.java — [minQual, maxQual) on qualifier. */
+  def columnRange(min: String, minInclusive: Boolean,
+                  max: String, maxInclusive: Boolean): Column = {
+    val lo = if (minInclusive) col("qualifier") >= min else col("qualifier") > min
+    val hi = if (maxInclusive) col("qualifier") <= max else col("qualifier") < max
+    lo && hi
+  }
+
+  /** TimestampsFilter.java — cell version timestamp ∈ explicit list. */
+  def timestampsFilter(tsCol: Column, versions: Seq[Column]): Column =
+    tsCol.isInCollection(versions)
+
+  // ---- stateful scanner filters as DataFrame transforms ----
+
+  /** PageFilter.java — at most `n` rows, in rowkey order (a scan is
+    * key-ordered, so "first n" is well-defined). */
+  def pageFilter(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame =
+    df.orderBy(keyCols.map(col): _*).limit(n)
+
+  /** ColumnPaginationFilter.java — per row, `limit` cells starting at
+    * `offset`, in qualifier order. Window over (rowkey), no shuffle
+    * beyond the hash partition on rowkey. */
+  def columnPagination(cells: DataFrame, limit: Int, offset: Int): DataFrame = {
+    val w = Window.partitionBy("rowkey").orderBy("family", "qualifier")
+    cells.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > offset && col("_rn") <= offset + limit)
+      .drop("_rn")
+  }
+
+  /** FirstKeyOnlyFilter.java — only the first cell of each row (used by
+    * RowCounter to avoid materializing values). Relationally: min
+    * (family, qualifier) per rowkey via an aggregate, which Spark
+    * executes with map-side partial aggregation. */
+  def firstKeyOnly(cells: DataFrame): DataFrame =
+    cells.groupBy("rowkey")
+      .agg(min(struct(col("family"), col("qualifier"))).as("fk"))
+      .select(col("rowkey"), col("fk.family").as("family"),
+        col("fk.qualifier").as("qualifier"))
+
+  /** KeyOnlyFilter.java — strip values, keep coordinates. */
+  def keyOnly(cells: DataFrame): DataFrame =
+    cells.select("rowkey", "family", "qualifier")
+
+  /** SkipFilter.java — if ANY cell of a row fails the wrapped predicate,
+    * drop the WHOLE row. Window max over the violation flag — one hash
+    * shuffle on rowkey, no self-join. */
+  def skipFilter(cells: DataFrame, cellPred: Column): DataFrame = {
+    val w = Window.partitionBy("rowkey")
+    cells.withColumn("_bad", max(when(!cellPred, 1).otherwise(0)).over(w))
+      .where(col("_bad") === 0).drop("_bad")
+  }
+
+  /** WhileMatchFilter.java — scan (key-ordered) until the first row that
+    * fails the predicate, then stop. Two-phase: aggregate the min failing
+    * key (map-side combinable), then filter below it. No sort needed. */
+  def whileMatch(df: DataFrame, keyCol: String, pred: Column): DataFrame = {
+    val firstFail = df.where(!pred)
+      .agg(min(col(keyCol)).as("_wm_first_fail"))
+    df.join(broadcast(firstFail),
+        df(keyCol) < coalesce(firstFail("_wm_first_fail"), lit(Long.MaxValue)), "inner")
+      .drop("_wm_first_fail")
+  }
+
+  /** DependentColumnFilter.java — keep cells whose version timestamp
+    * equals the timestamp of the reference (family, qualifier) cell in
+    * the same row. A self-semi-join on (rowkey, ts). */
+  def dependentColumn(vcells: DataFrame, refFamily: String, refQualifier: String): DataFrame = {
+    val ref = vcells.where(col("family") === refFamily && col("qualifier") === refQualifier)
+      .select(col("rowkey").as("r_rowkey"), col("ts").as("r_ts")).distinct()
+    vcells.join(ref, vcells("rowkey") === ref("r_rowkey") && vcells("ts") === ref("r_ts"), "leftsemi")
+  }
+}

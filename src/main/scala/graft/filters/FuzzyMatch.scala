@@ -1,0 +1,47 @@
+package graft.filters
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst re-expression of HBase's FuzzyRowFilter
+  * (hbase-client/.../filter/FuzzyRowFilter.java:58): fixed-position
+  * wildcard match over the rowkey, where '?' matches any single
+  * character and every other position must match exactly.
+  *
+  * Implemented with `doGenCode` so it participates in whole-stage
+  * codegen (no UDF boundary in the scan's hot path).
+  */
+case class FuzzyMatch(child: Expression, pattern: String)
+    extends UnaryExpression with Predicate {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "fuzzy_match"
+
+  override def nullSafeEval(input: Any): Any =
+    FuzzyMatch.matches(input.asInstanceOf[UTF8String].toString, pattern)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pat = ctx.addReferenceObj("fuzzyPattern", pattern, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.filters.FuzzyMatch.matches($c.toString(), $pat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FuzzyMatch =
+    copy(child = newChild)
+}
+
+object FuzzyMatch {
+  /** '?' = any char; otherwise exact; lengths must match. */
+  def matches(s: String, pattern: String): Boolean = {
+    if (s.length != pattern.length) return false
+    var i = 0
+    while (i < pattern.length) {
+      val p = pattern.charAt(i)
+      if (p != '?' && p != s.charAt(i)) return false
+      i += 1
+    }
+    true
+  }
+}

@@ -1,0 +1,70 @@
+package graft.kv
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-native batch re-expression of HBase's mutation surface
+  * (hbase-client/.../client/{Put,Delete,Increment,Append}.java,
+  * HTable.checkAndPut, BufferedMutator.java).
+  *
+  * HBase mutates in place (memstore + WAL); an analytics engine on
+  * immutable parquet instead produces a NEW snapshot version per batch
+  * (copy-on-write). Every op below is a pure DataFrame → DataFrame
+  * transform built from joins/windows — distributed, no driver loops —
+  * and writing the result sorted by rowkey yields the next snapshot.
+  */
+object Mutations {
+
+  /** Batch Put = upsert: rows in `puts` replace same-key rows in `base`,
+    * new keys are inserted. Latest-wins like HBase's (row, ts) ordering.
+    * Anti-join keeps the untouched base rows; union adds the puts.
+    * At scale both sides are hash-partitioned on the key — one shuffle,
+    * broadcastable when the put batch is small (the common case). */
+  def put(base: DataFrame, puts: DataFrame, keyCol: String): DataFrame =
+    base.join(puts.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(puts)
+
+  /** Delete (row-level): anti-join on the delete key set. */
+  def deleteRows(base: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
+    base.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+
+  /** Delete (qualifier-level): null out a column for matching rows —
+    * HBase's "delete one cell, keep the row". */
+  def deleteQualifier(base: DataFrame, keyPred: Column, qualifier: String): DataFrame =
+    base.withColumn(qualifier, when(keyPred, lit(null)).otherwise(col(qualifier)))
+
+  /** Increment — HBase atomic counters. At analytics scale a batch of
+    * increments is a groupBy-sum merged into the counter table:
+    * map-side partial sums ≈ per-regionserver combining. */
+  def incrementCounters(events: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    events.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("incr_count"), round(sum(col(valueCol)), 4).as("incr_sum"))
+
+  /** Append — concatenate onto a cell value. Batch form: per key, fold
+    * all appended values in a deterministic order. sort_array on a
+    * (ts, id, value) struct keeps it reproducible across partitionings. */
+  def appendCells(vcells: DataFrame): DataFrame =
+    vcells.groupBy("rowkey", "qualifier")
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("ts"), col("event_id"), col("value").cast("string")))),
+          s => s.getField("value")),
+        ",").as("appended"))
+
+  /** checkAndPut — CAS: apply the mutation only where the check column
+    * satisfies the predicate; pure conditional projection. */
+  def checkAndPut(base: DataFrame, check: Column, apply: DataFrame => DataFrame): DataFrame = {
+    // apply() must only change values via when(check, ...) — helper for the common case:
+    apply(base.withColumn("_cas", check)).drop("_cas")
+  }
+
+  /** TTL expiry (HColumnDescriptor#setTimeToLive; cells older than
+    * now − ttl vanish at compaction). Deterministic form: expire
+    * relative to the table's max timestamp. Two-phase aggregate +
+    * broadcast — no driver round-trip. */
+  def ttlExpire(vcells: DataFrame, ttl: String): DataFrame = {
+    val cutoff = vcells.agg((max(col("ts")) - expr(s"INTERVAL $ttl")).as("_cut"))
+    vcells.crossJoin(broadcast(cutoff)).where(col("ts") >= col("_cut")).drop("_cut")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.kv
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-native Get/Scan (hbase-client/.../client/{Get,Scan}.java,
+  * HTable.java). An HBase scan is a key-range read with projection,
+  * time-range and version limits; on Spark that is a filtered,
+  * pruned parquet scan — Catalyst pushes the rowkey range and the
+  * column projection into the file reader (PushedFilters/ReadSchema),
+  * which is the moral equivalent of region pruning + family selection.
+  */
+object Scans {
+
+  /** Scan.setStartRow/setStopRow + addColumn projection.
+    * [start, stop) exclusive-stop, key-ordered like an HBase scanner. */
+  def range(df: DataFrame, keyCol: String, start: Long, stop: Long,
+            projection: Seq[String]): DataFrame =
+    df.where(col(keyCol) >= start && col(keyCol) < stop)
+      .select(projection.map(col): _*)
+      .orderBy(col(keyCol))
+
+  /** Scan.setReversed(true) + limit — top-N by key descending. */
+  def reversed(df: DataFrame, keyCol: String, limit: Int,
+               projection: Seq[String]): DataFrame =
+    df.select(projection.map(col): _*).orderBy(col(keyCol).desc).limit(limit)
+
+  /** Get — single-row point read. With rowkey-sorted parquet this is a
+    * min/max-pruned scan touching one row group. */
+  def get(df: DataFrame, keyCol: String, key: Long,
+          projection: Seq[String]): DataFrame =
+    df.where(col(keyCol) === key).select(projection.map(col): _*)
+
+  /** HTable.get(List[Get]) — batched point reads. An IN-list stays a
+    * pushed-down predicate; for large batches use a broadcast semi-join. */
+  def multiGet(df: DataFrame, keyCol: String, keys: Seq[Long],
+               projection: Seq[String]): DataFrame =
+    df.where(col(keyCol).isInCollection(keys))
+      .select(projection.map(col): _*)
+      .orderBy(col(keyCol))
+
+  /** Scan.setTimeRange(min, max) over versioned cells — [min, max). */
+  def timeRange(vcells: DataFrame, minTs: String, maxTs: String): DataFrame =
+    vcells.where(col("ts") >= lit(minTs).cast("timestamp") &&
+      col("ts") < lit(maxTs).cast("timestamp"))
+
+  /** Scan.setMaxVersions(k) — latest k versions per (rowkey, qualifier).
+    * Window row_number on the natural HBase sort (coordinates asc, ts
+    * desc); one hash shuffle on the group key, map-side nothing to
+    * pre-aggregate but the window is codegen'd. Ties broken by a unique
+    * id so results are deterministic. */
+  def maxVersions(vcells: DataFrame, k: Int, tieBreaker: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy("rowkey", "family", "qualifier")
+      .orderBy(col("ts").desc, col(tieBreaker).desc)
+    vcells.withColumn("_v", row_number().over(w)).where(col("_v") <= k).drop("_v")
+  }
+}

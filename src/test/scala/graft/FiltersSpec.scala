@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.filters.{CompareOp, Comparators, Filters, FuzzyMatch}
+import graft.core.Tables
+
+class FiltersSpec extends SparkSpec {
+
+  test("FuzzyMatch semantics (eval)") {
+    assert(FuzzyMatch.matches("abc_99_x", "???_99_?"))
+    assert(!FuzzyMatch.matches("abc_98_x", "???_99_?"))
+    assert(!FuzzyMatch.matches("abc_99", "???_99_?")) // length mismatch
+  }
+
+  test("fuzzyRowFilter via codegen on real data") {
+    import spark.implicits._
+    val df = Seq("Customer#000000001", "Customer#000000011", "Customer#000000111").toDF("k")
+    val got = df.where(Filters.fuzzyRowFilter(col("k"), "Customer#0000000?1"))
+      .as[String].collect().sorted
+    assert(got.sameElements(Array("Customer#000000001", "Customer#000000011")))
+  }
+
+  test("comparators") {
+    import spark.implicits._
+    val df = Seq(("alpha", 5L), ("beta", 6L), ("alphabet", 12L)).toDF("s", "n")
+    assert(df.where(Comparators.substr("PHA")(col("s"), CompareOp.EQUAL)).count() == 2)
+    assert(df.where(Comparators.regex("^al.*t$")(col("s"), CompareOp.EQUAL)).count() == 1)
+    assert(df.where(Comparators.bitAnd(4L)(col("n"), CompareOp.EQUAL)).count() == 3)
+    assert(df.where(Comparators.binaryPrefix("alp")(col("s"), CompareOp.EQUAL)).count() == 2)
+  }
+
+  test("skipFilter drops whole row when any cell fails") {
+    import spark.implicits._
+    val cells = Seq(
+      ("r1", "f", "q1", "ok"), ("r1", "f", "q2", "bad"),
+      ("r2", "f", "q1", "ok"), ("r2", "f", "q2", "ok")
+    ).toDF("rowkey", "family", "qualifier", "value")
+    val kept = Filters.skipFilter(cells, col("value") =!= "bad")
+    assert(kept.select("rowkey").distinct().as[String].collect().sameElements(Array("r2")))
+    assert(kept.count() == 2)
+  }
+
+  test("whileMatch stops at first failing key") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a")).toDF("k", "v")
+    val got = Filters.whileMatch(df, "k", col("v") === "a")
+    assert(got.select("k").as[Long].collect().sorted.sameElements(Array(1L, 2L)))
+  }
+
+  test("columnPagination offsets per row") {
+    val cells = Tables.customerCells(spark, sfDir)
+    val page = Filters.columnPagination(cells, limit = 2, offset = 1)
+    // each rowkey keeps exactly 2 cells (3 qualifiers exist, offset 1)
+    val counts = page.groupBy("rowkey").count().select("count").distinct().collect()
+    assert(counts.length == 1 && counts(0).getLong(0) == 2)
+  }
+
+  test("firstKeyOnly yields one cell per row") {
+    val cells = Tables.customerCells(spark, sfDir)
+    val fk = Filters.firstKeyOnly(cells)
+    assert(fk.count() == Tables.load(spark, sfDir, "customer").count())
+  }
+}
