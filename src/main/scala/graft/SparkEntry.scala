@@ -117,9 +117,9 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    scanQueries ++ aggQueries
+    scanQueries ++ aggQueries ++ graft.filters.FilterQueries.queries
 
   /** DuckDB-runnable oracle per query (same column names, same order). */
   def oracleSql: Map[String, String] =
-    scanOracles ++ aggOracles
+    scanOracles ++ aggOracles ++ graft.filters.FilterQueries.oracles
 }

@@ -96,14 +96,18 @@ object Filters {
     ranges.map { case (a, b) => keyCol >= a && keyCol < b }.reduce(_ || _)
 
   /** InclusiveStopFilter.java — scan up to and including the stop row. */
-  def inclusiveStop(keyCol: Column, stop: Long): Column = keyCol <= stop
+  def inclusiveStop(keyCol: Column, stop: Any): Column = keyCol <= lit(stop)
 
   /** RandomRowFilter.java — row sample. HBase uses Random.nextFloat();
     * we need cluster-determinism, so use a multiplicative (Knuth) hash
     * of the rowkey — same result on every executor, every run, and
-    * expressible in plain SQL for the oracle. */
+    * expressible in plain SQL for the oracle. The key is folded into
+    * [0, 2^20) BEFORE the multiply so the product stays well under
+    * Long.MaxValue for any rowkey (no ANSI ARITHMETIC_OVERFLOW at
+    * 100 TB key ranges). */
   def randomRowFilter(keyCol: Column, chance: Double): Column =
-    pmod(keyCol * lit(2654435761L), lit(4294967296L)) < lit((chance * 4294967296L).toLong)
+    pmod(pmod(keyCol, lit(1048576L)) * lit(2654435761L), lit(4294967296L)) <
+      lit((chance * 4294967296L).toLong)
 
   // ---- cell-level filters (apply to a cells view:
   //      rowkey / family / qualifier / value [/ ts]) ----
@@ -166,11 +170,44 @@ object Filters {
 
   /** SkipFilter.java — if ANY cell of a row fails the wrapped predicate,
     * drop the WHOLE row. Window max over the violation flag — one hash
-    * shuffle on rowkey, no self-join. */
+    * shuffle on rowkey, no self-join. A null predicate result (e.g. a
+    * null cell under a value comparator) counts as a FAILURE, matching
+    * SkipFilter's drop-row-on-any-non-match semantics. */
   def skipFilter(cells: DataFrame, cellPred: Column): DataFrame = {
     val w = Window.partitionBy("rowkey")
-    cells.withColumn("_bad", max(when(!cellPred, 1).otherwise(0)).over(w))
+    cells.withColumn("_bad",
+        max(when(coalesce(cellPred, lit(false)) === false, 1).otherwise(0)).over(w))
       .where(col("_bad") === 0).drop("_bad")
+  }
+
+  /** SingleColumnValueFilter.java:73 — the row-level predicate: emit ALL
+    * cells of rows whose (family, qualifier) cell value satisfies the
+    * comparator. `filterIfMissing=true` (rows lacking the column are
+    * dropped); the reference default (false = keep missing rows) is the
+    * `filterIfMissing = false` path. One window shuffle on rowkey. */
+  def singleColumnValue(cells: DataFrame, family: String, qualifier: String,
+                        op: CompareOp.Value, cmp: Cmp,
+                        filterIfMissing: Boolean = true): DataFrame = {
+    val isTarget = col("family") === family && col("qualifier") === qualifier
+    val hit  = when(isTarget && coalesce(cmp(col("value"), op), lit(false)), 1).otherwise(0)
+    val seen = when(isTarget, 1).otherwise(0)
+    val w = Window.partitionBy("rowkey")
+    val keep =
+      if (filterIfMissing) max(hit).over(w) === 1
+      else max(hit).over(w) === 1 || max(seen).over(w) === 0
+    cells.withColumn("_keep", keep).where(col("_keep")).drop("_keep")
+  }
+
+  /** FilterList.java:56 — MUST_PASS_ALL / MUST_PASS_ONE composition of
+    * Column-shaped filters, arbitrarily nested (a FilterList is itself
+    * a filter, so members can be other FilterLists). */
+  sealed trait FList { def toColumn: Column }
+  final case class Leaf(c: Column) extends FList { def toColumn: Column = c }
+  final case class MustPassAll(members: FList*) extends FList {
+    def toColumn: Column = members.map(_.toColumn).reduce(_ && _)
+  }
+  final case class MustPassOne(members: FList*) extends FList {
+    def toColumn: Column = members.map(_.toColumn).reduce(_ || _)
   }
 
   /** WhileMatchFilter.java — scan (key-ordered) until the first row that

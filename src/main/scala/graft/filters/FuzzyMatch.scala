@@ -33,11 +33,16 @@ case class FuzzyMatch(child: Expression, pattern: String)
 }
 
 object FuzzyMatch {
-  /** '?' = any char; otherwise exact; lengths must match. */
+  /** '?' = any char; otherwise exact. Like the reference's
+    * FuzzyRowFilter.satisfiesNoUnsafe (loops over
+    * min(fuzzyKeyMeta.length, rowLength)), only the overlapping prefix
+    * is compared — a row longer than the pattern matches if its first
+    * pattern.length chars satisfy the mask; a shorter row matches if
+    * every char it does have satisfies it. */
   def matches(s: String, pattern: String): Boolean = {
-    if (s.length != pattern.length) return false
+    val n = math.min(s.length, pattern.length)
     var i = 0
-    while (i < pattern.length) {
+    while (i < n) {
       val p = pattern.charAt(i)
       if (p != '?' && p != s.charAt(i)) return false
       i += 1

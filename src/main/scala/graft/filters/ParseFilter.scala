@@ -1,0 +1,141 @@
+package graft.filters
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The HBase filter-string DSL (hbase-client/.../filter/ParseFilter.java:52)
+  * — the grammar every shell/REST/Thrift user goes through — re-expressed
+  * as a recursive-descent parser producing a Catalyst `Column` predicate
+  * over the standard cell view (rowkey / family / qualifier / value).
+  *
+  * Supported grammar (the Column-expressible subset of the reference):
+  *
+  *   expr    := term ( 'OR' term )*
+  *   term    := factor ( 'AND' factor )*
+  *   factor  := '(' expr ')' | filter
+  *   filter  := Name '(' args ')'
+  *
+  * Filters: RowFilter(op, cmp) · ValueFilter(op, cmp) ·
+  * QualifierFilter(op, cmp) · FamilyFilter(op, cmp) ·
+  * PrefixFilter('p') · ColumnPrefixFilter('p') ·
+  * InclusiveStopFilter('k') · SingleColumnValueFilter('f','q',op,cmp).
+  * Ops: `<  <=  =  !=  >=  >`. Comparators: `binary:` `binaryprefix:`
+  * `substring:` `regexstring:` (ParseFilter.java comparator prefixes).
+  * SKIP/WHILE and page-stateful filters carry scanner state and are
+  * deliberately not part of the Column grammar (see Filters.skipFilter /
+  * whileMatch for the DataFrame-transform forms).
+  */
+object ParseFilter {
+  import CompareOp._
+
+  def parse(s: String): Column = {
+    val p = new P(s)
+    val c = p.expr()
+    p.ws()
+    require(p.eof, s"trailing input at ${p.pos}: '${s.drop(p.pos)}'")
+    c
+  }
+
+  private final class P(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def ws(): Unit = while (!eof && s.charAt(pos).isWhitespace) pos += 1
+    def peekWord: String = {
+      ws()
+      val e = s.indexWhere(c => !c.isLetterOrDigit, pos)
+      s.substring(pos, if (e < 0) s.length else e)
+    }
+    def eat(tok: String): Unit = {
+      ws()
+      require(s.startsWith(tok, pos), s"expected '$tok' at $pos in '$s'")
+      pos += tok.length
+    }
+
+    def expr(): Column = {
+      var c = term()
+      while (peekWord == "OR") { eat("OR"); c = c || term() }
+      c
+    }
+    def term(): Column = {
+      var c = factor()
+      while (peekWord == "AND") { eat("AND"); c = c && factor() }
+      c
+    }
+    def factor(): Column = {
+      ws()
+      if (!eof && s.charAt(pos) == '(') { eat("("); val c = expr(); eat(")"); c }
+      else filter()
+    }
+
+    def filter(): Column = {
+      val name = peekWord; pos += name.length
+      eat("(")
+      val c = name match {
+        case "PrefixFilter"        => val p = quoted(); col("rowkey").startsWith(p)
+        case "ColumnPrefixFilter"  => val p = quoted(); col("qualifier").startsWith(p)
+        case "InclusiveStopFilter" => val k = quoted(); col("rowkey") <= lit(k)
+        case "RowFilter"           => cmpFilter(col("rowkey"))
+        case "ValueFilter"         => cmpFilter(col("value"))
+        case "QualifierFilter"     => cmpFilter(col("qualifier"))
+        case "FamilyFilter"        => cmpFilter(col("family"))
+        case "SingleColumnValueFilter" =>
+          // cell-level form: (family=f AND qualifier=q AND value op cmp);
+          // wrap with Filters.singleColumnValue for the row-level semantics.
+          val f = quoted(); eat(","); val q = quoted(); eat(",")
+          col("family") === f && col("qualifier") === q && cmpFilter(col("value"))
+        case other => throw new IllegalArgumentException(
+          s"ParseFilter: unsupported filter '$other'")
+      }
+      eat(")")
+      c
+    }
+
+    /** `op, 'comparator:value'` argument pair. */
+    private def cmpFilter(target: Column): Column = {
+      ws()
+      val op = opToken()
+      eat(",")
+      val arg = quoted()
+      val (kind, v) = arg.indexOf(':') match {
+        case -1 => ("binary", arg)
+        case i  => (arg.substring(0, i), arg.substring(i + 1))
+      }
+      kind match {
+        case "binary"       => Comparators.binary(v)(target, op)
+        case "binaryprefix" => Comparators.binaryPrefix(v)(target, op)
+        case "substring"    => Comparators.substr(v)(target, op)
+        case "regexstring"  => Comparators.regex(v)(target, op)
+        case other => throw new IllegalArgumentException(
+          s"ParseFilter: unsupported comparator '$other:'")
+      }
+    }
+
+    private def opToken(): CompareOp.Value = {
+      ws()
+      val two = if (pos + 1 < s.length) s.substring(pos, pos + 2) else ""
+      val (tok, op) = two match {
+        case "<=" => ("<=", LESS_OR_EQUAL)
+        case ">=" => (">=", GREATER_OR_EQUAL)
+        case "!=" => ("!=", NOT_EQUAL)
+        case _ => s.charAt(pos) match {
+          case '<' => ("<", LESS)
+          case '>' => (">", GREATER)
+          case '=' => ("=", EQUAL)
+          case c => throw new IllegalArgumentException(s"ParseFilter: bad op '$c' at $pos")
+        }
+      }
+      pos += tok.length
+      op
+    }
+
+    private def quoted(): String = {
+      ws()
+      require(!eof && s.charAt(pos) == '\'', s"expected quote at $pos in '$s'")
+      pos += 1
+      val sb = new StringBuilder
+      while (!eof && s.charAt(pos) != '\'') { sb += s.charAt(pos); pos += 1 }
+      eat("'")
+      sb.toString
+    }
+  }
+}

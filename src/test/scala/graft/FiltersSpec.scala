@@ -9,7 +9,53 @@ class FiltersSpec extends SparkSpec {
   test("FuzzyMatch semantics (eval)") {
     assert(FuzzyMatch.matches("abc_99_x", "???_99_?"))
     assert(!FuzzyMatch.matches("abc_98_x", "???_99_?"))
-    assert(!FuzzyMatch.matches("abc_99", "???_99_?")) // length mismatch
+    // reference loops min(pattern, row) length: overlap-only compare
+    assert(FuzzyMatch.matches("abc_99", "???_99_?"))     // shorter row, prefix ok
+    assert(!FuzzyMatch.matches("abc_98", "???_99_?"))    // shorter row, prefix bad
+    assert(FuzzyMatch.matches("abc_99_x_longer", "???_99_?")) // longer row, prefix ok
+  }
+
+  test("ParseFilter DSL parses nested AND/OR with comparators") {
+    import spark.implicits._
+    val cells = Seq(
+      ("10", "info", "name", "build-a"), ("10", "info", "seg", "XYZ"),
+      ("20", "info", "name", "other"), ("31", "id", "nk", "7")
+    ).toDF("rowkey", "family", "qualifier", "value")
+    val c = graft.filters.ParseFilter.parse(
+      "(PrefixFilter('1') AND ValueFilter(=, 'substring:build')) OR QualifierFilter(=, 'binary:nk')")
+    val got = cells.where(c).select("rowkey", "qualifier").as[(String, String)].collect().sorted
+    assert(got.sameElements(Array(("10", "name"), ("31", "nk"))))
+    intercept[IllegalArgumentException] {
+      graft.filters.ParseFilter.parse("NoSuchFilter('x')")
+    }
+  }
+
+  test("FilterList nests MUST_PASS_ALL / MUST_PASS_ONE") {
+    import spark.implicits._
+    import graft.filters.Filters._
+    val df = Seq(("1a", "v1"), ("1b", "v2"), ("2a", "v1"), ("3a", "v9")).toDF("rowkey", "value")
+    val fl = MustPassOne(
+      MustPassAll(Leaf(col("rowkey").startsWith("1")), Leaf(col("value") === "v1")),
+      Leaf(col("rowkey").startsWith("3")))
+    val got = df.where(fl.toColumn).select("rowkey").as[String].collect().sorted
+    assert(got.sameElements(Array("1a", "3a")))
+  }
+
+  test("singleColumnValue keeps all cells of matching rows; filterIfMissing honored") {
+    import spark.implicits._
+    val cells = Seq(
+      ("r1", "f", "seg", "HIT"), ("r1", "f", "other", "x"),
+      ("r2", "f", "seg", "MISS"), ("r2", "f", "other", "y"),
+      ("r3", "f", "other", "z") // lacks the checked column entirely
+    ).toDF("rowkey", "family", "qualifier", "value")
+    val strict = Filters.singleColumnValue(cells, "f", "seg",
+      CompareOp.EQUAL, Comparators.binary("HIT"))
+    assert(strict.select("rowkey").distinct().as[String].collect().sorted.sameElements(Array("r1")))
+    assert(strict.count() == 2)
+    val lenient = Filters.singleColumnValue(cells, "f", "seg",
+      CompareOp.EQUAL, Comparators.binary("HIT"), filterIfMissing = false)
+    assert(lenient.select("rowkey").distinct().as[String].collect().sorted
+      .sameElements(Array("r1", "r3")))
   }
 
   test("fuzzyRowFilter via codegen on real data") {
