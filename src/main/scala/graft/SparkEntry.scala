@@ -117,9 +117,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    scanQueries ++ aggQueries ++ graft.filters.FilterQueries.queries
+    scanQueries ++ aggQueries ++ graft.filters.FilterQueries.queries ++
+      graft.kv.MutationQueries.queries
 
   /** DuckDB-runnable oracle per query (same column names, same order). */
   def oracleSql: Map[String, String] =
-    scanOracles ++ aggOracles ++ graft.filters.FilterQueries.oracles
+    scanOracles ++ aggOracles ++ graft.filters.FilterQueries.oracles ++
+      graft.kv.MutationQueries.oracles
 }

@@ -1,0 +1,85 @@
+package graft.kv
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** SURVEY §2C — mutations (Put/Delete/Increment/Append/CAS/TTL) as
+  * oracle-verified queries. Each mutation is a copy-on-write transform;
+  * the query materializes the post-mutation snapshot (or counter table)
+  * so DuckDB can recompute it relationally.
+  */
+object MutationQueries {
+
+  private def ordersKV(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  /** events as append-able cells: value = props (a string — append is
+    * concat of stored bytes in HBase, so a string column is the faithful
+    * carrier; doubles would drag engine-specific float formatting in). */
+  private def propsCells(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events").select(
+      col("user_id").as("rowkey"), col("event_type").as("qualifier"),
+      col("ts"), col("event_id"), col("props").as("value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "put_upsert" -> ((s, d) => {
+      val base = ordersKV(s, d)
+      val puts = base.where(col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 2, 2))
+      Mutations.put(base, puts, "o_orderkey").orderBy("o_orderkey")
+    }),
+    "delete_rows" -> ((s, d) => {
+      val base = ordersKV(s, d)
+      val dels = base.where(col("o_orderkey") % 7 === 0).select("o_orderkey")
+      Mutations.deleteRows(base, dels, "o_orderkey").orderBy("o_orderkey")
+    }),
+    "increment_counters" -> ((s, d) =>
+      Mutations.incrementCounters(Tables.load(s, d, "events"),
+        Seq("user_id", "event_type"), "value").orderBy("user_id", "event_type")),
+    "append_cells" -> ((s, d) =>
+      Mutations.appendCells(propsCells(s, d)).orderBy("rowkey", "qualifier")),
+    "check_and_put" -> ((s, d) => {
+      val base = Tables.load(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val puts = base.where(col("c_custkey") % 10 === 0)
+        .withColumn("c_mktsegment", lit("CASPUT"))
+      Mutations.checkAndPut(base, puts, "c_custkey", col("c_acctbal") > 0)
+        .orderBy("c_custkey")
+    }),
+    "ttl_expiry" -> ((s, d) =>
+      Mutations.ttlExpire(Tables.eventCells(s, d), "10 DAYS")
+        .select("rowkey", "qualifier", "ts", "value", "event_id").orderBy("event_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "put_upsert" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'U' AS o_orderstatus, round(o_totalprice * 2, 2) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+    "delete_rows" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 7 <> 0 ORDER BY o_orderkey""".stripMargin,
+    "increment_counters" ->
+      """SELECT user_id, event_type, count(*) AS incr_count, round(sum(value), 4) AS incr_sum
+        |FROM events GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "append_cells" ->
+      """SELECT user_id AS rowkey, event_type AS qualifier,
+        |       string_agg(props, ',' ORDER BY ts, event_id) AS appended
+        |FROM events GROUP BY user_id, event_type ORDER BY rowkey, qualifier""".stripMargin,
+    "check_and_put" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 10 = 0 AND c_acctbal > 0 THEN 'CASPUT'
+        |            ELSE c_mktsegment END AS c_mktsegment,
+        |       c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "ttl_expiry" ->
+      ("WITH " + Tables.eventCellsSql + "\n" +
+       """SELECT rowkey, qualifier, ts, value, event_id FROM vcells
+         |WHERE ts >= (SELECT max(ts) - INTERVAL 10 DAY FROM events)
+         |ORDER BY event_id""".stripMargin),
+  )
+}

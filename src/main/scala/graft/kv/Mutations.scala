@@ -17,13 +17,25 @@ import org.apache.spark.sql.functions._
 object Mutations {
 
   /** Batch Put = upsert: rows in `puts` replace same-key rows in `base`,
-    * new keys are inserted. Latest-wins like HBase's (row, ts) ordering.
-    * Anti-join keeps the untouched base rows; union adds the puts.
-    * At scale both sides are hash-partitioned on the key — one shuffle,
-    * broadcastable when the put batch is small (the common case). */
-  def put(base: DataFrame, puts: DataFrame, keyCol: String): DataFrame =
-    base.join(puts.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-      .unionByName(puts)
+    * new keys are inserted. Anti-join keeps the untouched base rows;
+    * union adds the puts. At scale both sides are hash-partitioned on
+    * the key — one shuffle, broadcastable when the put batch is small
+    * (the common case).
+    *
+    * `versionCol`, when given, resolves duplicate keys WITHIN the puts
+    * batch latest-wins, mirroring HBase's (row, ts) resolution in the
+    * memstore: only the row with the max version per key survives. */
+  def put(base: DataFrame, puts: DataFrame, keyCol: String,
+          versionCol: Option[String] = None): DataFrame = {
+    val resolved = versionCol match {
+      case Some(v) =>
+        val w = Window.partitionBy(keyCol).orderBy(col(v).desc)
+        puts.withColumn("_pv", row_number().over(w)).where(col("_pv") === 1).drop("_pv")
+      case None => puts
+    }
+    base.join(resolved.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .unionByName(resolved)
+  }
 
   /** Delete (row-level): anti-join on the delete key set. */
   def deleteRows(base: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
@@ -48,15 +60,22 @@ object Mutations {
     vcells.groupBy("rowkey", "qualifier")
       .agg(array_join(
         transform(
-          sort_array(collect_list(struct(col("ts"), col("event_id"), col("value").cast("string")))),
+          sort_array(collect_list(struct(col("ts"), col("event_id"),
+            col("value").cast("string").as("value")))),
           s => s.getField("value")),
         ",").as("appended"))
 
-  /** checkAndPut — CAS: apply the mutation only where the check column
-    * satisfies the predicate; pure conditional projection. */
-  def checkAndPut(base: DataFrame, check: Column, apply: DataFrame => DataFrame): DataFrame = {
-    // apply() must only change values via when(check, ...) — helper for the common case:
-    apply(base.withColumn("_cas", check)).drop("_cas")
+  /** checkAndPut — CAS (HTable.checkAndPut): each put is applied ONLY
+    * where the CURRENT base row satisfies `check` (the compare half of
+    * compare-and-swap is evaluated against stored state, not against
+    * the incoming put). Puts whose key has no base row, or whose base
+    * row fails the check, are dropped — nothing is mutated for them.
+    * Semi-join on the passing key set, then a normal upsert. */
+  def checkAndPut(base: DataFrame, puts: DataFrame, keyCol: String,
+                  check: Column): DataFrame = {
+    val passKeys = base.where(check).select(col(keyCol))
+    val applicable = puts.join(passKeys, Seq(keyCol), "leftsemi")
+    put(base, applicable, keyCol)
   }
 
   /** TTL expiry (HColumnDescriptor#setTimeToLive; cells older than

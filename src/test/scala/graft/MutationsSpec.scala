@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.kv.Mutations
+
+class MutationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("put upserts: puts replace same-key base rows, new keys insert") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val puts = Seq((2L, "b2"), (3L, "c")).toDF("k", "v")
+    val got = Mutations.put(base, puts, "k").orderBy("k").as[(Long, String)].collect()
+    assert(got.sameElements(Array((1L, "a"), (2L, "b2"), (3L, "c"))))
+  }
+
+  test("put with versionCol keeps only the max-version row per key") {
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "ver")
+    val puts = Seq((2L, "b2", 10L), (2L, "b9", 20L), (3L, "c", 5L)).toDF("k", "v", "ver")
+    val got = Mutations.put(base, puts, "k", versionCol = Some("ver"))
+      .orderBy("k").as[(Long, String, Long)].collect()
+    assert(got.sameElements(Array((1L, "a", 0L), (2L, "b9", 20L), (3L, "c", 5L))))
+  }
+
+  test("checkAndPut applies only where the BASE row passes the check") {
+    val base = Seq((1L, "old", 5.0), (2L, "old", -1.0), (3L, "old", 9.0)).toDF("k", "v", "bal")
+    val puts = Seq((1L, "new", 5.0), (2L, "new", -1.0), (4L, "new", 0.0)).toDF("k", "v", "bal")
+    val got = Mutations.checkAndPut(base, puts, "k", col("bal") > 0)
+      .orderBy("k").as[(Long, String, Double)].collect()
+    // k=1: base passes -> put applied; k=2: base fails -> untouched;
+    // k=3: no put -> untouched; k=4: no base row -> CAS cannot pass, dropped.
+    assert(got.sameElements(Array((1L, "new", 5.0), (2L, "old", -1.0), (3L, "old", 9.0))))
+  }
+
+  test("deleteQualifier nulls the cell, keeps the row") {
+    val base = Seq((1L, "x", "y"), (2L, "p", "q")).toDF("k", "a", "b")
+    val got = Mutations.deleteQualifier(base, col("k") === 1, "b")
+      .orderBy("k").as[(Long, String, Option[String])].collect()
+    assert(got.sameElements(Array((1L, "x", None), (2L, "p", Some("q")))))
+  }
+
+  test("deleteRows removes exactly the keyed rows") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val dels = Seq(Tuple1(2L)).toDF("k")
+    val got = Mutations.deleteRows(base, dels, "k").orderBy("k").as[(Long, String)].collect()
+    assert(got.sameElements(Array((1L, "a"), (3L, "c"))))
+  }
+}
