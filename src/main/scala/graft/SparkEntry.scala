@@ -118,10 +118,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     scanQueries ++ aggQueries ++ graft.filters.FilterQueries.queries ++
-      graft.kv.MutationQueries.queries
+      graft.kv.MutationQueries.queries ++ graft.analytics.AnalyticsQueries.queries
 
   /** DuckDB-runnable oracle per query (same column names, same order). */
   def oracleSql: Map[String, String] =
     scanOracles ++ aggOracles ++ graft.filters.FilterQueries.oracles ++
-      graft.kv.MutationQueries.oracles
+      graft.kv.MutationQueries.oracles ++ graft.analytics.AnalyticsQueries.oracles
 }

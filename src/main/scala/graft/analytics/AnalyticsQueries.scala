@@ -1,0 +1,107 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** SURVEY §2E — MapReduce analytics tool analogues as verified queries.
+  * hash_sync_table uses an engine-portable integer row hash so the
+  * DuckDB oracle reproduces the digests bit-for-bit.
+  */
+object AnalyticsQueries {
+
+  private def tmp(name: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name
+
+  /** Portable row hash for orders: Knuth-multiplicative key hash plus
+    * price cents. floor() (not cast) so DuckDB's rounding CAST and
+    * Spark's truncating cast can't disagree. */
+  private val orderRowHash =
+    pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L)) +
+      floor(col("o_totalprice") * 100).cast("bigint")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rowcounter" -> ((s, d) =>
+      Tools.rowCounter(Tables.customerCells(s, d), Some(col("value") === "BUILDING"))),
+    "cellcounter" -> ((s, d) =>
+      Tools.cellCounter(Tables.eventCells(s, d)).orderBy("family", "qualifier")),
+    "copy_table" -> ((s, d) =>
+      Tools.copyTable(Tables.load(s, d, "events"),
+          col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+          col("ts") <  lit("2024-01-15 00:00:00").cast("timestamp"),
+          Seq("user_id" -> "row_id", "event_type" -> "qual"))
+        .select("row_id", "qual", "ts", "value", "event_id").orderBy("event_id")),
+    "export_import" -> ((s, d) =>
+      Tools.exportImport(
+          Tables.load(s, d, "orders"), col("o_totalprice") > 400000,
+          tmp("graft_export_import"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")),
+    "import_tsv" -> ((s, d) => {
+      val path = tmp("graft_import_tsv")
+      Tables.load(s, d, "nation").orderBy("n_nationkey")
+        .coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      Tools.importTsv(s, path, schema).orderBy("n_nationkey")
+    }),
+    "hash_sync_table" -> ((s, d) => {
+      val base = Tables.load(s, d, "orders")
+      val mutated = base.withColumn("o_totalprice",
+        when(col("o_orderkey") % 500 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      Tools.syncTable(
+          Tools.hashTable(base, "o_orderkey", orderRowHash, 1000L),
+          Tools.hashTable(mutated, "o_orderkey", orderRowHash, 1000L))
+        .orderBy("bucket")
+    }),
+    "bulk_load_partitioner" -> ((s, d) =>
+      Tools.totalOrderBuckets(Tables.load(s, d, "orders"), "o_orderkey", 8)
+        .orderBy("bucket")),
+  )
+
+  private val C = "WITH " + Tables.customerCellsSql + "\n"
+  private val V = "WITH " + Tables.eventCellsSql + "\n"
+
+  val oracles: Map[String, String] = Map(
+    "rowcounter" ->
+      (C + "SELECT count(DISTINCT rowkey) AS n_rows FROM cells WHERE value = 'BUILDING'"),
+    "cellcounter" ->
+      (V + """SELECT family, qualifier, count(*) AS n_cells,
+             |       count(DISTINCT rowkey) AS n_rows, count(DISTINCT ts) AS n_versions
+             |FROM vcells GROUP BY family, qualifier ORDER BY family, qualifier""".stripMargin),
+    "copy_table" ->
+      """SELECT user_id AS row_id, event_type AS qual, ts, value, event_id FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "export_import" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_totalprice > 400000 ORDER BY o_orderkey""".stripMargin,
+    "import_tsv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "hash_sync_table" ->
+      """WITH h1 AS (
+        |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket,
+        |         sum((o_orderkey * 2654435761) % 4294967296
+        |             + CAST(floor(o_totalprice * 100) AS BIGINT)) AS digest_a,
+        |         count(*) AS rows_a
+        |  FROM orders GROUP BY 1),
+        |h2 AS (
+        |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket,
+        |         sum((o_orderkey * 2654435761) % 4294967296
+        |             + CAST(floor((CASE WHEN o_orderkey % 500 = 0 THEN o_totalprice + 1
+        |                           ELSE o_totalprice END) * 100) AS BIGINT)) AS digest_b,
+        |         count(*) AS rows_b
+        |  FROM orders GROUP BY 1)
+        |SELECT bucket, digest_a, rows_a, digest_b, rows_b,
+        |       coalesce(digest_a = digest_b, false) AS is_match
+        |FROM h1 FULL OUTER JOIN h2 USING (bucket) ORDER BY bucket""".stripMargin,
+    "bulk_load_partitioner" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
+        |SELECT CAST(floor((o_orderkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |       count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+  )
+}

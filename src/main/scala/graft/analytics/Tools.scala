@@ -1,0 +1,90 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Spark-native analogues of HBase's MapReduce analytics tools
+  * (hbase-server/.../mapreduce/): RowCounter, CellCounter, CopyTable,
+  * Export/Import, ImportTsv, HashTable/SyncTable,
+  * SimpleTotalOrderPartitioner. These were the reference's *analytics*
+  * surface — each one maps onto a declarative Spark plan with map-side
+  * partial aggregation where the MR job had a combiner.
+  */
+object Tools {
+
+  /** RowCounter.java:44 — count rows (distinct rowkeys) matching an
+    * optional cell filter. The MR job used FirstKeyOnlyFilter purely to
+    * avoid materializing values; count(DISTINCT rowkey) with the filter
+    * pushed to the scan is the declarative equivalent (partial distinct
+    * per partition ≈ per-region counting). */
+  def rowCounter(cells: DataFrame, pred: Option[Column] = None): DataFrame =
+    pred.fold(cells)(cells.where(_))
+      .agg(count_distinct(col("rowkey")).as("n_rows"))
+
+  /** CellCounter.java:72 — per-(family, qualifier) cell statistics:
+    * total cells, rows containing the qualifier, distinct versions.
+    * One hash aggregate, combiner-style partials. */
+  def cellCounter(vcells: DataFrame): DataFrame =
+    vcells.groupBy("family", "qualifier")
+      .agg(count(lit(1)).as("n_cells"),
+           count_distinct(col("rowkey")).as("n_rows"),
+           count_distinct(col("ts")).as("n_versions"))
+
+  /** CopyTable.java:55 — scan with time range + filter, optionally
+    * re-mapping column names (the MR tool's family rename), producing
+    * the new table. Pure declarative read→transform; the write is the
+    * caller's sink choice. */
+  def copyTable(df: DataFrame, pred: Column, renames: Seq[(String, String)]): DataFrame =
+    renames.foldLeft(df.where(pred)) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** Export.java:52 / Import.java — physical round trip: write the
+    * filtered scan as a parquet snapshot (the SequenceFile analogue),
+    * then read it back. Validates the full serialize/deserialize path,
+    * not just the plan. */
+  def exportImport(df: DataFrame, pred: Column, path: String): DataFrame = {
+    df.where(pred).write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** ImportTsv.java:79 — TSV → typed table with an explicit column
+    * mapping (the tool's `-Dimporttsv.columns=HBASE_ROW_KEY,f:q,...`).
+    * Schema-first read: no inference, types enforced at parse. */
+  def importTsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("sep", "\t").option("header", "false").schema(schema).csv(path)
+
+  /** HashTable.java:64 — divide the keyspace into fixed-width buckets
+    * and produce an order-independent integer digest per bucket. The
+    * hash must be engine-portable (plain ±*% integer arithmetic), so a
+    * DuckDB oracle — or a remote cluster, which is the tool's point —
+    * computes the identical digest. */
+  def hashTable(df: DataFrame, keyCol: String, rowHash: Column, bucketWidth: Long): DataFrame =
+    df.groupBy(floor(col(keyCol) / bucketWidth).cast("bigint").as("bucket"))
+      .agg(sum(rowHash).as("digest"), count(lit(1)).as("n_rows"))
+
+  /** SyncTable.java:56 — compare two tables' per-bucket digests; emit
+    * every bucket with both digests and a match flag (the MR job then
+    * re-scans only mismatched ranges — here the mismatch list IS the
+    * output). Full outer join on bucket: missing side = null digest. */
+  def syncTable(a: DataFrame, b: DataFrame): DataFrame = {
+    val left  = a.select(col("bucket"), col("digest").as("digest_a"), col("n_rows").as("rows_a"))
+    val right = b.select(col("bucket"), col("digest").as("digest_b"), col("n_rows").as("rows_b"))
+    left.join(right, Seq("bucket"), "full_outer")
+      .withColumn("is_match",
+        coalesce(col("digest_a") === col("digest_b"), lit(false)))
+  }
+
+  /** SimpleTotalOrderPartitioner.java:49 — split [minKey, maxKey] into
+    * `n` equal key ranges (the HFile bulk-load total order) and report
+    * per-bucket stats. min/max are a tiny broadcast — no global sort,
+    * no sampling, fully deterministic. */
+  def totalOrderBuckets(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    val bounds = df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        floor((col(keyCol) - col("_lo")) * n / (col("_hi") - col("_lo") + 1)).cast("bigint"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+           min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
+  }
+}
