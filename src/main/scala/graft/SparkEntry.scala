@@ -120,6 +120,19 @@ object SparkEntry {
     scanQueries ++ aggQueries ++ graft.filters.FilterQueries.queries ++
       graft.kv.MutationQueries.queries ++ graft.analytics.AnalyticsQueries.queries
 
+  /** Bench-time query set: identical to `queries` except the median
+    * family runs the bounded-memory percentile_approx path (the exact
+    * `percentile` stays the oracle form — it buffers every value per
+    * group, which is correct for DuckDB comparison but not a plan you
+    * would run at 100 TB). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "agg_median" -> ((s, d) => Aggregates.medianApprox(T(s, d, "lineitem"), "l_extendedprice")),
+      "agg_grouped" -> ((s, d) =>
+        Aggregates.groupedApprox(T(s, d, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+    )
+
   /** DuckDB-runnable oracle per query (same column names, same order). */
   def oracleSql: Map[String, String] =
     scanOracles ++ aggOracles ++ graft.filters.FilterQueries.oracles ++

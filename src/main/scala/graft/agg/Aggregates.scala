@@ -39,18 +39,66 @@ object Aggregates {
 
   /** Weighted median (AggregateImplementation.java:418 with a weight
     * column): smallest value v such that the cumulative weight of all
-    * rows ≤ v reaches half the total weight. Two-phase: window
-    * cumulative sum + global total, both shuffle-on-sort once. */
-  def weightedMedian(df: DataFrame, valueCol: String, weightCol: String): DataFrame = {
-    val w = Window.orderBy(col(valueCol))
+    * rows ≤ v reaches half the total weight.
+    *
+    * Distributed two-pass form — the reference's own shape (a sum scan,
+    * then a re-scan to the weighted midpoint), never a global window:
+    *  1. bucket rows by value range (broadcast min/max — no sampling);
+    *  2. per-bucket weight sums (B tiny rows) + triangular prefix sum
+    *     → the single bucket that straddles half the total weight;
+    *  3. exact rows-ordered cumulative ONLY inside that bucket
+    *     (a window over one ~N/B-row partition, partition key defined).
+    * Every shuffle is hash/bucket-wide; no stage moves N rows to one
+    * partition, so the op survives a 100× scale-up. */
+  def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
+                     buckets: Int = 256): DataFrame = {
+    val vw = df.select(col(valueCol).as("_v"), col(weightCol).as("_w"))
+    val bounds = vw.agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
+      (sum(col("_w")) / 2).as("_half"))
+    val bucketed = vw.crossJoin(broadcast(bounds))
+      .withColumn("_b", least(
+        floor((col("_v") - col("_lo")) / (col("_hi") - col("_lo") + lit(1e-9)) * buckets)
+          .cast("int"),
+        lit(buckets - 1)))
+      .drop("_lo", "_hi", "_half")
+    // no cache: the duplicate aggregate subtrees dedupe via ReusedExchange
+    // within the one plan, and a cache() here would accumulate entries
+    // across repeated query invocations
+    val perBucket = bucketed.groupBy("_b").agg(sum(col("_w")).as("_bw"))
+    // prefix weight strictly before each bucket: triangular join over B rows
+    val prior = perBucket.select(col("_b").as("_b2"), col("_bw").as("_bw2"))
+    val withPrior = perBucket.join(prior, col("_b2") < col("_b"), "left")
+      .groupBy("_b", "_bw").agg(coalesce(sum(col("_bw2")), lit(0.0)).as("_before"))
+    val target = withPrior.crossJoin(broadcast(bounds.select(col("_half"))))
+      .where(col("_before") + col("_bw") >= col("_half"))
+      .orderBy(col("_b")).limit(1)
+      .select(col("_b").as("_tb"), col("_before"), col("_half"))
+    val win = Window.partitionBy(col("_b")).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = df.select(col(valueCol), col(weightCol))
-      .withColumn("_cum", sum(col(weightCol)).over(w))
-    val half = df.agg((sum(col(weightCol)) / 2).as("_half"))
-    withCum.crossJoin(broadcast(half))
+    bucketed.join(broadcast(target), col("_b") === col("_tb"))
+      .withColumn("_cum", col("_before") + sum(col("_w")).over(win))
       .where(col("_cum") >= col("_half"))
-      .agg(min(col(valueCol)).as("wmedian_v"))
+      .agg(min(col("_v")).as("wmedian_v"))
   }
+
+  /** Bounded-memory scale path for median: percentile_approx keeps a
+    * fixed-size sketch per group (the 100 TB-safe form; exact
+    * `percentile` buffers every value — oracle-only). */
+  def medianApprox(df: DataFrame, c: String): DataFrame =
+    df.agg(round(expr(s"percentile_approx($c, 0.5, 10000)"), 4).as("median_v"))
+
+  /** groupBy flagship with the bounded-memory median term. */
+  def groupedApprox(df: DataFrame, keys: Seq[String], c: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col(c)).as("min_v"),
+        max(col(c)).as("max_v"),
+        round(sum(col(c)), 4).as("sum_v"),
+        round(avg(col(c)), 4).as("avg_v"),
+        round(stddev_pop(col(c)), 4).as("std_v"),
+        round(expr(s"percentile_approx($c, 0.5, 10000)"), 4).as("median_v"))
+      .orderBy(keys.map(col): _*)
 
   /** All coprocessor aggregates, grouped by dimensions — the
     * GroupingTableMapper (hbase-server/.../mapreduce/GroupingTableMapper
