@@ -118,7 +118,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     scanQueries ++ aggQueries ++ graft.filters.FilterQueries.queries ++
-      graft.kv.MutationQueries.queries ++ graft.analytics.AnalyticsQueries.queries
+      graft.kv.MutationQueries.queries ++ graft.analytics.AnalyticsQueries.queries ++
+      graft.pipeline.PipelineQueries.queries
 
   /** Bench-time query set: identical to `queries` except the median
     * family runs the bounded-memory percentile_approx path (the exact
@@ -136,5 +137,6 @@ object SparkEntry {
   /** DuckDB-runnable oracle per query (same column names, same order). */
   def oracleSql: Map[String, String] =
     scanOracles ++ aggOracles ++ graft.filters.FilterQueries.oracles ++
-      graft.kv.MutationQueries.oracles ++ graft.analytics.AnalyticsQueries.oracles
+      graft.kv.MutationQueries.oracles ++ graft.analytics.AnalyticsQueries.oracles ++
+      graft.pipeline.PipelineQueries.oracles
 }

@@ -1,0 +1,124 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM training-data pipeline.
+  *
+  * Scale posture (the whole point at 100 TB): NOTHING here compares all
+  * pairs. Exact dedup shuffles a 128-bit digest, not the text. The
+  * near-dup family is inverted-index / bucket-join shaped: candidates
+  * come from an equi-join on a shingle, an LSH band signature, or a
+  * SimHash band — Catalyst plans a plain shuffled hash join — and only
+  * candidates are verified exactly. No CartesianProduct anywhere
+  * (SimSpec asserts this on the plans).
+  */
+object Dedup {
+
+  /** Exact dedup: group by content digest (md5 — engine-portable),
+    * keep the min doc_id as the canonical copy. The shuffle key is the
+    * 32-char digest, never the document body. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("_fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("keeper", "n_copies")
+
+  /** (doc_id, shs: array<string>) — distinct word-trigram shingles. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        array_distinct(expr(
+          s"transform(sequence(1, size(ts) - ${n - 1}), i -> array_join(slice(ts, i, $n), ' '))"))
+          .as("shs"))
+
+  /** Exact n-gram Jaccard pairs via the inverted-index join: explode
+    * shingles, equi-join on the shingle (docs sharing none never meet),
+    * count shared distinct shingles, compute |A∩B| / |A∪B|. */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingles(docs)
+    val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
+    val sizes = sh.select(col("doc_id"), size(col("shs")).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("ni") + col("nj") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
+  /** MinHash signature: fold each shingle to a 31-bit base hash ONCE
+    * (hoisted out of the permutation loop — inside it, the string hash
+    * would run shingles×perms times and dominate the whole job), then
+    * `perms` affine permutations h_p(x) = (x*(2p+1) + p*K) mod M — all
+    * codegen'd array arithmetic per row, no extra shuffle. */
+  private def minhashSigs(sh: DataFrame, perms: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hs = expr("transform(shs, s -> pmod(xxhash64(s), 2147483647))")
+    sh.select(col("doc_id"),
+      ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), perms)).as("sig"))
+  }
+
+  /** MinHash + LSH banding: signature → `bands` band keys → equi-join
+    * on (band, key) for candidates → exact Jaccard verify on the
+    * candidates only. bands×rows = perms; P(pair at j collides) =
+    * 1 - (1 - j^rows)^bands. */
+  def minhashLsh(docs: DataFrame, threshold: Double,
+                 perms: Int = 128, bands: Int = 32): DataFrame = {
+    val rows = perms / bands
+    val sh = shingles(docs)
+    val sigs = minhashSigs(sh, perms)
+    val banded = sigs.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> array_join(slice(sig, b*$rows + 1, $rows), '_'))")))
+      .toDF("doc_id", "band", "key")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    // exact verify on candidates only: array intersect over the shingle sets
+    cand
+      .join(sh.select(col("doc_id").as("i"), col("shs").as("shs_i")), "i")
+      .join(sh.select(col("doc_id").as("j"), col("shs").as("shs_j")), "j")
+      .withColumn("inter", size(array_intersect(col("shs_i"), col("shs_j"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("shs_i")) + size(col("shs_j")) - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("i", "j", "jaccard")
+  }
+
+  /** 64-bit SimHash over token frequencies: per bit, sign of the
+    * weighted sum of token-hash bits; near-dups = pairs within
+    * `maxHamming`, found via 4×16-bit band buckets (a pair within
+    * hamming 6 of 64 bits shares at least one exact 16-bit quarter —
+    * pigeonhole — so banding has no false negatives up to hamming 3
+    * per... conservative: most near-dup pairs collide on ≥1 band). */
+  def simhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(xxhash64(col("tok")).as("h"), col("cnt"))).as("tf"))
+    // shiftleft|or, not *2+: assembling bit 63 of an unsigned simhash
+    // overflows a signed-long multiply under ANSI mode
+    val sig = toks.select(col("doc_id"),
+      expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
+                shiftleft(acc, 1) | (CASE WHEN aggregate(tf, 0L, (s, t) ->
+                  s + t.cnt * (CASE WHEN (shiftright(t.h, b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
+                THEN 1L ELSE 0L END))""").as("sim"))
+    val banded = sig.select(col("doc_id"), col("sim"),
+        posexplode(expr("transform(sequence(0, 3), q -> pmod(shiftright(sim, q*16), 65536))")))
+      .toDF("doc_id", "sim", "band", "key")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * All vector math is a codegen'd sequential fold
+  * (`aggregate(zip_with(...))` in double) — deterministic, engine-
+  * portable (DuckDB's list_dot_product evaluates the identical fold,
+  * so oracles compare bit-for-bit), and no UDF boundary.
+  */
+object VectorOps {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Sequential double-precision dot product — the native codegen'd
+    * VecDot Expression (see its scaladoc for why not
+    * aggregate(zip_with(...))). */
+  def dot(a: String, b: String): Column =
+    ColumnBridge.column(VecDot(
+      ColumnBridge.expression(col(a)), ColumnBridge.expression(col(b))))
+
+  def norm(a: String): Column = sqrt(dot(a, a))
+}
+
+object Ann {
+  import VectorOps._
+
+  /** Scale-safe distributed top-k: per-partition top-k first (parallel
+    * windows over (query, partition)), then the global k from the
+    * surviving k×P rows — candidates never all shuffle into one
+    * partition per query. */
+  def topK(scored: DataFrame, queryCol: String, orderBy: Seq[Column], k: Int): DataFrame = {
+    val local = Window.partitionBy(col(queryCol), col("_pid")).orderBy(orderBy: _*)
+    val global = Window.partitionBy(col(queryCol)).orderBy(orderBy: _*)
+    scored.withColumn("_pid", spark_partition_id())
+      .withColumn("_lr", row_number().over(local)).where(col("_lr") <= k).drop("_lr", "_pid")
+      .withColumn("rank", row_number().over(global)).where(col("rank") <= k)
+  }
+
+  /** Exact brute-force cosine top-k: broadcast the (small) query side
+    * against the full corpus — the correctness baseline every ANN
+    * variant is measured against. */
+  def bruteForce(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // norms precomputed per row, not per pair
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("_qn", norm("q_emb"))
+    val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"))
+      .withColumn("_vn", norm("embedding"))
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("nn_id") =!= col("q_id"))
+      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
+    topK(scored, "q_id", Seq(col("_score").desc, col("nn_id")), k)
+      .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
+  }
+
+  /** IVF-style ANN: deterministic coarse quantizer (centroid c = mean of
+    * vectors with vec_id ≡ c mod k — a fixed-seed k-means step), assign
+    * every vector to its nearest centroid, then probe only the
+    * `nprobe` cells nearest each query. The probed-cell equi-join is
+    * the scale path: the corpus is range-partitioned by cell, a query
+    * touches nprobe/k of the data. */
+  def ivf(vectors: DataFrame, queries: DataFrame, k: Int,
+          nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = vectors.sparkSession
+    // centroids: elementwise mean per cell — (cell, pos) partial avgs
+    val cent = vectors
+      .select((col("vec_id") % nCells).cast("int").as("cell"),
+        posexplode(col("embedding")))
+      .groupBy("cell", "pos").agg(avg(col("col")).as("v"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("cell"), expr("transform(pv, x -> x.v)").as("c_emb"))
+    val scoredCells = vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .withColumn("_cs", dot("embedding", "c_emb") / (norm("embedding") * norm("c_emb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("_cs").desc, col("cell"))
+    val ranked = scoredCells.withColumn("_cr", row_number().over(w))
+    val assigned = ranked.where(col("_cr") === 1)
+      .select(col("vec_id").as("nn_id"), col("embedding"), col("cell"))
+    val qIds = queries.select(col("vec_id").as("q_id"))
+    val probes = ranked.join(qIds, ranked("vec_id") === qIds("q_id"), "leftsemi")
+      .where(col("_cr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .where(col("nn_id") =!= col("q_id"))
+      .withColumn("_score", dot("q_emb", "embedding") / (norm("q_emb") * norm("embedding")))
+    topK(scored, "q_id", Seq(col("_score").desc, col("nn_id")), k)
+      .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
+  }
+
+  /** Embedding near-dup: every vector's exact nearest neighbor with a
+    * duplicate flag at `threshold` cosine. Brute-force is the baseline
+    * (full oracle); `ivf` above is the scale path for the same report. */
+  def nearestNeighborReport(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id"), col("embedding"))
+      .withColumn("_an", norm("embedding"))
+    val b = vectors.select(col("vec_id").as("nn_id"), col("embedding").as("b_emb"))
+      .withColumn("_bn", norm("b_emb"))
+    val scored = a.join(broadcast(b), col("vec_id") =!= col("nn_id"))
+      .withColumn("_score", dot("embedding", "b_emb") / (col("_an") * col("_bn")))
+    topK(scored, "vec_id", Seq(col("_score").desc, col("nn_id")), 1)
+      .select(col("vec_id"), col("nn_id"), round(col("_score"), 4).as("cos"),
+        (round(col("_score"), 4) >= threshold).as("is_dup"))
+  }
+}

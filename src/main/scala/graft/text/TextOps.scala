@@ -1,0 +1,75 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table. Everything is built from codegen'd SQL functions
+  * (split / transform / aggregate / regexp) — no UDFs in the hot path —
+  * and every metric is defined with engine-portable arithmetic so the
+  * DuckDB oracle recomputes it exactly.
+  */
+object TextOps {
+
+  /** English-marker stopword list used by langid + quality scoring.
+    * Fixed and tiny by design: language ID at pipeline scale is a
+    * per-row map-side classification, no shuffle. */
+  val EnMarkers: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  private def markerList = EnMarkers.map(w => s"'$w'").mkString(", ")
+
+  /** n-gram-heuristic language ID: fraction of whitespace tokens that
+    * are English marker words; >= 5% → 'en'. A profile-based classifier
+    * would swap in here — the pipeline shape (pure projection) is the
+    * point at 100 TB. */
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        round(
+          size(expr(s"filter(split(text, ' '), x -> x IN ($markerList))")).cast("double") /
+            size(split(col("text"), " ")), 4).as("en_ratio"))
+      .withColumn("pred_lang", when(col("en_ratio") >= 0.05, "en").otherwise("other"))
+
+  /** Quality scoring: token counts, lexical diversity, repetition.
+    * Repetition needs per-token frequencies → one hash shuffle on
+    * (doc_id, token) with map-side partial counts; everything else is
+    * projection. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freqs = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    freqs.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_tokens"),
+           count(lit(1)).as("n_distinct"),
+           max(col("cnt")).as("max_freq"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
+        round(col("max_freq").cast("double") / col("n_tokens"), 4).as("repetition"),
+        round(least(col("n_tokens").cast("double") / 100, lit(1.0)) *
+          (col("n_distinct").cast("double") / col("n_tokens")), 4).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other-symbols). */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_tokens"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("ws_tokens"), 4))
+
+  /** Rabin–Karp-style rolling fingerprint: left fold of
+    * h = (h * 31 + ascii(c)) mod 1e9+7 over the characters — a
+    * sequential mod-fold both Spark (`aggregate`) and DuckDB
+    * (`list_reduce`) evaluate identically. `prefix_fp` fingerprints the
+    * first 64 chars (the cheap near-head dedup key). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    def fold(e: String): Column =
+      expr(s"aggregate(transform(split($e, ''), c -> ascii(c)), 0L, (h, c) -> (h * 31 + c) % 1000000007)")
+    docs.select(col("doc_id"),
+      fold("text").as("fp"),
+      fold("substring(text, 1, 64)").as("prefix_fp"))
+  }
+}
