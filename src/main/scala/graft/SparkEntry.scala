@@ -119,7 +119,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     scanQueries ++ aggQueries ++ graft.filters.FilterQueries.queries ++
       graft.kv.MutationQueries.queries ++ graft.analytics.AnalyticsQueries.queries ++
-      graft.pipeline.PipelineQueries.queries
+      graft.pipeline.PipelineQueries.queries ++ graft.core.SnapshotQueries.queries ++
+      graft.streaming.StreamQueries.queries
 
   /** Bench-time query set: identical to `queries` except the median
     * family runs the bounded-memory percentile_approx path (the exact
@@ -138,5 +139,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     scanOracles ++ aggOracles ++ graft.filters.FilterQueries.oracles ++
       graft.kv.MutationQueries.oracles ++ graft.analytics.AnalyticsQueries.oracles ++
-      graft.pipeline.PipelineQueries.oracles
+      graft.pipeline.PipelineQueries.oracles ++ graft.core.SnapshotQueries.oracles ++
+      graft.streaming.StreamQueries.oracles
 }

@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical layout: the HBase region model (rowkey-sorted HFiles per
+  * region) re-expressed as rowkey-range-partitioned, within-partition-
+  * sorted parquet. Each output file covers a disjoint key range with
+  * monotone pages, so a rowkey range predicate prunes at three levels —
+  * partition file min/max, row-group stats, page index — which is the
+  * moral equivalent of region pruning + HFile block index seeks.
+  */
+object Layout {
+
+  /** Write `df` as a sorted snapshot: range-partition on the rowkey
+    * (`buckets` ≈ region count), sort within partitions, one parquet
+    * dir. Scans with rowkey predicates then touch only the matching
+    * files/row groups. */
+  def writeSorted(df: DataFrame, keyCol: String, path: String, buckets: Int = 8): Unit =
+    df.repartitionByRange(buckets, col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}
+
+/** Snapshots (HBase admin snapshots / MultiTableSnapshotInputFormat):
+  * a snapshot is an immutable versioned directory; point-in-time read =
+  * read that version's directory. Mutations write the NEXT version
+  * (copy-on-write), never touching previous ones — so old snapshots
+  * stay readable byte-for-byte, which is the property snapshot_read
+  * verifies.
+  */
+object Snapshots {
+  def path(base: String, version: Int): String = s"$base/v=$version"
+
+  def write(df: DataFrame, keyCol: String, base: String, version: Int): Unit =
+    Layout.writeSorted(df, keyCol, path(base, version))
+
+  def read(spark: SparkSession, base: String, version: Int): DataFrame =
+    Layout.read(spark, path(base, version))
+}

@@ -1,0 +1,54 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kv.Mutations
+
+/** SURVEY §2F — snapshots and region metadata as verified queries. */
+object SnapshotQueries {
+
+  private def tmp(name: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name
+
+  /** Per-region stats: regions = n equal key ranges (the split table),
+    * per region row count, key bounds, and a payload aggregate. */
+  def regionStats(df: DataFrame, keyCol: String, n: Int, valueCol: String): DataFrame = {
+    val bounds = df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("region",
+        floor((col(keyCol) - col("_lo")) * n / (col("_hi") - col("_lo") + 1)).cast("bigint"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_rows"),
+           min(col(keyCol)).as("start_key"), max(col(keyCol)).as("end_key"),
+           round(sum(col(valueCol)), 4).as("sum_v"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "snapshot_read" -> ((s, d) => {
+      val base = tmp("graft_snapshots")
+      val ev = Tables.load(s, d, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      // v1 = snapshot; v2 = post-mutation state written copy-on-write.
+      Snapshots.write(ev, "user_id", base, 1)
+      val v2 = Mutations.deleteRows(ev,
+        ev.where(col("user_id") % 2 === 0).select("user_id"), "user_id")
+      Snapshots.write(v2, "user_id", base, 2)
+      // the point-in-time read: v1 must be byte-identical to the original
+      Snapshots.read(s, base, 1).orderBy("event_id")
+    }),
+    "region_split_stats" -> ((s, d) =>
+      regionStats(Tables.load(s, d, "lineitem"), "l_orderkey", 16, "l_quantity")
+        .orderBy("region")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "snapshot_read" ->
+      "SELECT event_id, user_id, event_type, ts, value FROM events ORDER BY event_id",
+    "region_split_stats" ->
+      """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
+        |SELECT CAST(floor((l_orderkey - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS region,
+        |       count(*) AS n_rows, min(l_orderkey) AS start_key, max(l_orderkey) AS end_key,
+        |       round(sum(l_quantity), 4) AS sum_v
+        |FROM lineitem, b GROUP BY 1 ORDER BY region""".stripMargin,
+  )
+}

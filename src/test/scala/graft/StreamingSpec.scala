@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.streaming.StreamOps
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming windowed counters converge to the batch answer") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_stream_src").toString
+    // stage the stream as parquet files; the file source replays them
+    // incrementally (maxFilesPerTrigger=1 → several micro-batches)
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    val counters = StreamOps.streamingCounters(streamed)
+    // bounded state: the event-time watermark must be in the plan
+    // (on a batch plan the node is eliminated, so assert it here)
+    assert(counters.queryExecution.analyzed.toString().contains("EventTimeWatermark"))
+    val q = counters
+      .writeStream.format("memory").queryName("counters")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("counters")
+      .orderBy("window_start", "event_type")
+      .select("window_start", "event_type", "n_events", "sum_v")
+      .collect()
+    val want = StreamOps.windowedCounters(events)
+      .orderBy("window_start", "event_type").collect()
+    assert(got.length == want.length && got.sameElements(want),
+      s"streaming (${got.length} rows) != batch (${want.length} rows)")
+  }
+
+}
