@@ -24,7 +24,8 @@ object SparkEntry {
   private val scanQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_range" -> ((s, d) =>
       Scans.range(T(s, d, "orders"), "o_orderkey", 1000L, 2000L,
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")),
     "scan_reversed" -> ((s, d) =>
       Scans.reversed(T(s, d, "orders"), "o_orderkey", 100,
         Seq("o_orderkey", "o_custkey", "o_totalprice"))),
@@ -37,7 +38,8 @@ object SparkEntry {
     "multi_get" -> ((s, d) =>
       Scans.multiGet(T(s, d, "orders"), "o_orderkey",
         Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+        .orderBy("o_orderkey")),
     "scan_time_range" -> ((s, d) =>
       Scans.timeRange(Tables.eventCells(s, d), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
         .select("rowkey", "qualifier", "ts", "value", "event_id")

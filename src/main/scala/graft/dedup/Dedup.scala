@@ -39,7 +39,15 @@ object Dedup {
     val sh = shingles(docs)
     val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("shs")).as("n"))
-    val inter = ex.as("a").join(ex.as("b"),
+    // semantic-preserving pruning: a shingle seen in exactly one doc can
+    // never produce a pair — drop it from the JOIN input (sizes keep the
+    // full sets, so Jaccard is unchanged). At corpus scale most shingles
+    // are unique, so this shrinks the self-join by far more than the
+    // extra count pass costs.
+    val shared = ex.groupBy("s").agg(count(lit(1)).as("_df")).where(col("_df") > 1)
+      .select("s")
+    val exShared = ex.join(shared, Seq("s"), "leftsemi")
+    val inter = exShared.as("a").join(exShared.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * Filters: RowFilter(op, cmp) · ValueFilter(op, cmp) ·
   * QualifierFilter(op, cmp) · FamilyFilter(op, cmp) ·
   * PrefixFilter('p') · ColumnPrefixFilter('p') ·
-  * InclusiveStopFilter('k') · SingleColumnValueFilter('f','q',op,cmp).
+  * MultipleColumnPrefixFilter('p1', 'p2', ...) ·
+  * ColumnRangeFilter('min', minInc, 'max', maxInc) ·
+  * FuzzyRowFilter('pat') · InclusiveStopFilter('k') ·
+  * SingleColumnValueFilter('f','q',op,cmp).
   * Ops: `<  <=  =  !=  >=  >`. Comparators: `binary:` `binaryprefix:`
-  * `substring:` `regexstring:` (ParseFilter.java comparator prefixes).
+  * `substring:` `regexstring:` `long:` (ParseFilter.java prefixes).
   * SKIP/WHILE and page-stateful filters carry scanner state and are
   * deliberately not part of the Column grammar (see Filters.skipFilter /
   * whileMatch for the DataFrame-transform forms).
@@ -73,6 +76,16 @@ object ParseFilter {
       val c = name match {
         case "PrefixFilter"        => val p = quoted(); col("rowkey").startsWith(p)
         case "ColumnPrefixFilter"  => val p = quoted(); col("qualifier").startsWith(p)
+        case "MultipleColumnPrefixFilter" =>
+          val ps = scala.collection.mutable.ListBuffer(quoted())
+          while ({ ws(); !eof && s.charAt(pos) == ',' }) { eat(","); ps += quoted() }
+          ps.map(col("qualifier").startsWith(_)).reduce(_ || _)
+        case "ColumnRangeFilter" =>
+          val lo = quoted(); eat(","); val loInc = word() == "true"
+          eat(","); val hi = quoted(); eat(","); val hiInc = word() == "true"
+          Filters.columnRange(lo, loInc, hi, hiInc)
+        case "FuzzyRowFilter" =>
+          val p = quoted(); Filters.fuzzyRowFilter(col("rowkey"), p)
         case "InclusiveStopFilter" => val k = quoted(); col("rowkey") <= lit(k)
         case "RowFilter"           => cmpFilter(col("rowkey"))
         case "ValueFilter"         => cmpFilter(col("value"))
@@ -105,9 +118,17 @@ object ParseFilter {
         case "binaryprefix" => Comparators.binaryPrefix(v)(target, op)
         case "substring"    => Comparators.substr(v)(target, op)
         case "regexstring"  => Comparators.regex(v)(target, op)
+        case "long"         => Comparators.long(v.toLong)(target.cast("bigint"), op)
         case other => throw new IllegalArgumentException(
           s"ParseFilter: unsupported comparator '$other:'")
       }
+    }
+
+    /** bare word token (e.g. the booleans in ColumnRangeFilter args). */
+    private def word(): String = {
+      val w = peekWord
+      pos += w.length
+      w
     }
 
     private def opToken(): CompareOp.Value = {

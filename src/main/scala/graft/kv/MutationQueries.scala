@@ -51,6 +51,13 @@ object MutationQueries {
     "ttl_expiry" -> ((s, d) =>
       Mutations.ttlExpire(Tables.eventCells(s, d), "10 DAYS")
         .select("rowkey", "qualifier", "ts", "value", "event_id").orderBy("event_id")),
+    "check_and_delete" -> ((s, d) => {
+      val base = Tables.load(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val dels = base.where(col("c_custkey") % 10 === 0).select("c_custkey")
+      Mutations.checkAndDelete(base, dels, "c_custkey", col("c_acctbal") < 0)
+        .orderBy("c_custkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -81,5 +88,9 @@ object MutationQueries {
        """SELECT rowkey, qualifier, ts, value, event_id FROM vcells
          |WHERE ts >= (SELECT max(ts) - INTERVAL 10 DAY FROM events)
          |ORDER BY event_id""".stripMargin),
+    "check_and_delete" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE NOT (c_custkey % 10 = 0 AND c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -78,6 +78,28 @@ object Mutations {
     put(base, applicable, keyCol)
   }
 
+  /** checkAndDelete (HTable.checkAndDelete) — delete each keyed row only
+    * where its CURRENT state satisfies `check`; rows failing the check
+    * (or not keyed for deletion) survive. */
+  def checkAndDelete(base: DataFrame, delKeys: DataFrame, keyCol: String,
+                     check: Column): DataFrame = {
+    val passKeys = base.where(check).select(col(keyCol))
+      .join(delKeys.select(col(keyCol)).distinct(), Seq(keyCol), "leftsemi")
+    base.join(passKeys, Seq(keyCol), "left_anti")
+  }
+
+  /** mutateRow (HTable.mutateRow) — atomic per-row batch of puts and
+    * deletes: deletes win over puts for the same key (HBase applies the
+    * row mutations as one unit; a delete of the row removes it whatever
+    * else the batch holds). One pass: delete first, then upsert the
+    * puts not targeted by a delete. */
+  def mutateRow(base: DataFrame, puts: DataFrame, delKeys: DataFrame,
+                keyCol: String): DataFrame = {
+    val survivingPuts = puts.join(delKeys.select(col(keyCol)).distinct(),
+      Seq(keyCol), "left_anti")
+    put(deleteRows(base, delKeys, keyCol), survivingPuts, keyCol)
+  }
+
   /** TTL expiry (HColumnDescriptor#setTimeToLive; cells older than
     * now − ttl vanish at compaction). Deterministic form: expire
     * relative to the table's max timestamp. Two-phase aggregate +

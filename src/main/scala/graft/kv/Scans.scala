@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
 object Scans {
 
   /** Scan.setStartRow/setStopRow + addColumn projection.
-    * [start, stop) exclusive-stop, key-ordered like an HBase scanner. */
+    * [start, stop) exclusive-stop. Sort-free: an HBase scanner returns
+    * key order because the storage is sorted — with Layout.writeSorted
+    * parquet the same holds per file; a global presentation sort
+    * belongs to the consumer (the verify harness adds one), not here. */
   def range(df: DataFrame, keyCol: String, start: Long, stop: Long,
             projection: Seq[String]): DataFrame =
     df.where(col(keyCol) >= start && col(keyCol) < stop)
       .select(projection.map(col): _*)
-      .orderBy(col(keyCol))
 
   /** Scan.setReversed(true) + limit — top-N by key descending. */
   def reversed(df: DataFrame, keyCol: String, limit: Int,
@@ -38,7 +40,6 @@ object Scans {
                projection: Seq[String]): DataFrame =
     df.where(col(keyCol).isInCollection(keys))
       .select(projection.map(col): _*)
-      .orderBy(col(keyCol))
 
   /** Scan.setTimeRange(min, max) over versioned cells — [min, max). */
   def timeRange(vcells: DataFrame, minTs: String, maxTs: String): DataFrame =

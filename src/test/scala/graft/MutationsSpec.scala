@@ -38,6 +38,25 @@ class MutationsSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, "x", None), (2L, "p", Some("q")))))
   }
 
+  test("checkAndDelete deletes only keyed rows whose current state passes the check") {
+    val base = Seq((1L, 5.0), (2L, -1.0), (3L, -2.0)).toDF("k", "bal")
+    val dels = Seq(Tuple1(1L), Tuple1(2L)).toDF("k")
+    val got = Mutations.checkAndDelete(base, dels, "k", col("bal") < 0)
+      .orderBy("k").as[(Long, Double)].collect()
+    // k=1 keyed but check fails -> survives; k=2 keyed+passes -> deleted;
+    // k=3 passes but not keyed -> survives
+    assert(got.sameElements(Array((1L, 5.0), (3L, -2.0))))
+  }
+
+  test("mutateRow applies deletes and puts atomically, deletes win") {
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val puts = Seq((2L, "b2"), (3L, "c")).toDF("k", "v")
+    val dels = Seq(Tuple1(2L)).toDF("k")
+    val got = Mutations.mutateRow(base, puts, dels, "k")
+      .orderBy("k").as[(Long, String)].collect()
+    assert(got.sameElements(Array((1L, "a"), (3L, "c"))))
+  }
+
   test("deleteRows removes exactly the keyed rows") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val dels = Seq(Tuple1(2L)).toDF("k")
