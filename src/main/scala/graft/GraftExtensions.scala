@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.dedup.{MinHashSig, SimHash64}
+import graft.filters.FuzzyMatch
+import graft.sim.VecDot
+
+/** Registers graft's native Expressions as SQL functions, so
+  * `spark.sql("... vec_dot(a, b) ...")` works exactly like the
+  * DataFrame API. Two entry points, same registrations:
+  *
+  *  - config-driven: `spark.sql.extensions=graft.GraftExtensions`
+  *    (the standard SparkSessionExtensions mechanism);
+  *  - imperative: `GraftFunctions.register(spark)` on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def litString(e: Expression, fn: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a string literal, got $other")
+  }
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(i: Int, _) => i
+    case other => throw new IllegalArgumentException(
+      s"$fn expects an integer literal, got $other")
+  }
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot",
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    ("fuzzy_match",
+      new ExpressionInfo(classOf[FuzzyMatch].getName, "fuzzy_match"),
+      (args: Seq[Expression]) => FuzzyMatch(args(0), litString(args(1), "fuzzy_match"))),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig"))),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))),
+  )
+
+  /** Register on an existing session (tests, shells). */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    all.foreach { case (name, info, builder) =>
+      SessionBridge.registerFunction(spark, FunctionIdentifier(name), info, builder)
+    }
+  }
+}

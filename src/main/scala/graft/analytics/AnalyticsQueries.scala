@@ -60,6 +60,14 @@ object AnalyticsQueries {
     "bulk_load_partitioner" -> ((s, d) =>
       Tools.totalOrderBuckets(Tables.load(s, d, "orders"), "o_orderkey", 8)
         .orderBy("bucket")),
+    // semi-structured source path: events.props is a JSON string column
+    // (HBase users stuff JSON into cell values constantly); extraction
+    // stays codegen'd, no UDF
+    "json_props" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")),
   )
 
   private val C = "WITH " + Tables.customerCellsSql + "\n"
@@ -103,5 +111,8 @@ object AnalyticsQueries {
         |SELECT CAST(floor((o_orderkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS bucket,
         |       count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
   )
 }

@@ -35,19 +35,24 @@ object Dedup {
   /** Exact n-gram Jaccard pairs via the inverted-index join: explode
     * shingles, equi-join on the shingle (docs sharing none never meet),
     * count shared distinct shingles, compute |A∩B| / |A∪B|. */
-  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+  /** @param pruneUnique drop df=1 shingles from the join input (they
+    *   can never produce a pair; `sizes` keeps the full sets so Jaccard
+    *   is unchanged). On natural web corpora most shingles are unique
+    *   and this collapses the self-join; on a shared-vocabulary corpus
+    *   (like the synthetic testdata: 0.08% unique) it is pure overhead
+    *   — hence a switch, not a hardcode. */
+  def ngramJaccard(docs: DataFrame, threshold: Double,
+                   pruneUnique: Boolean = true): DataFrame = {
     val sh = shingles(docs)
     val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
     val sizes = sh.select(col("doc_id"), size(col("shs")).as("n"))
-    // semantic-preserving pruning: a shingle seen in exactly one doc can
-    // never produce a pair — drop it from the JOIN input (sizes keep the
-    // full sets, so Jaccard is unchanged). At corpus scale most shingles
-    // are unique, so this shrinks the self-join by far more than the
-    // extra count pass costs.
-    val shared = ex.groupBy("s").agg(count(lit(1)).as("_df")).where(col("_df") > 1)
-      .select("s")
-    val exShared = ex.join(shared, Seq("s"), "leftsemi")
-    val inter = exShared.as("a").join(exShared.as("b"),
+    val joinIn =
+      if (pruneUnique) {
+        val shared = ex.groupBy("s").agg(count(lit(1)).as("_df"))
+          .where(col("_df") > 1).select("s")
+        ex.join(shared, Seq("s"), "leftsemi")
+      } else ex
+    val inter = joinIn.as("a").join(joinIn.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
@@ -111,13 +116,11 @@ object Dedup {
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(collect_list(struct(xxhash64(col("tok")).as("h"), col("cnt"))).as("tf"))
-    // shiftleft|or, not *2+: assembling bit 63 of an unsigned simhash
-    // overflows a signed-long multiply under ANSI mode
-    val sig = toks.select(col("doc_id"),
-      expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
-                shiftleft(acc, 1) | (CASE WHEN aggregate(tf, 0L, (s, t) ->
-                  s + t.cnt * (CASE WHEN (shiftright(t.h, b) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
-                THEN 1L ELSE 0L END))""").as("sim"))
+    val sig = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      toks.select(col("doc_id"),
+        ColumnBridge.column(SimHash64(ColumnBridge.expression(col("tf")))).as("sim"))
+    }
     val banded = sig.select(col("doc_id"), col("sim"),
         posexplode(expr("transform(sequence(0, 3), q -> pmod(shiftright(sim, q*16), 65536))")))
       .toDF("doc_id", "sim", "band", "key")

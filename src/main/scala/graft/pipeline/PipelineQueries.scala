@@ -27,8 +27,11 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2G dedup ----
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("keeper")),
+    // pruneUnique=false: this corpus shares a ~30-word vocabulary, so
+    // df=1 shingles are 0.08% — the pruning passes cost more than the
+    // join they would shrink (flip on for natural corpora)
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(docs(s, d), 0.5).orderBy("i", "j")),
+      Dedup.ngramJaccard(docs(s, d), 0.5, pruneUnique = false).orderBy("i", "j")),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), 0.5).orderBy("i", "j")),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("i", "j")),

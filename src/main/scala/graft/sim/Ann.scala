@@ -100,8 +100,13 @@ object Ann {
       .withColumn("_bn", norm("b_emb"))
     val scored = a.join(broadcast(b), col("vec_id") =!= col("nn_id"))
       .withColumn("_score", dot("embedding", "b_emb") / (col("_an") * col("_bn")))
-    topK(scored, "vec_id", Seq(col("_score").desc, col("nn_id")), 1)
-      .select(col("vec_id"), col("nn_id"), round(col("_score"), 4).as("cos"),
-        (round(col("_score"), 4) >= threshold).as("is_dup"))
+    // top-1 as an argmax aggregate, not a window: lexicographic max of
+    // (score, -nn_id) == best score with smallest-id tiebreak, computed
+    // with map-side partial max — no pair row ever shuffles
+    scored.groupBy("vec_id")
+      .agg(max(struct(col("_score").as("s"), (-col("nn_id")).as("negid"))).as("m"))
+      .select(col("vec_id"), (-col("m.negid")).as("nn_id"),
+        round(col("m.s"), 4).as("cos"),
+        (round(col("m.s"), 4) >= threshold).as("is_dup"))
   }
 }

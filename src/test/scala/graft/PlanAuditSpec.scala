@@ -66,6 +66,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("custom Expressions registered as SQL functions") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       fuzzy_match('abc99', 'a?c') AS f,
+        |       simhash64(array(named_struct('h', 5L, 'cnt', 2L))) AS s,
+        |       minhash_sig(array(7L, 11L), 4) AS m""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getBoolean(1))
+    assert(r.getLong(2) != 0L)
+    assert(r.getSeq[Long](3).length == 4)
+  }
+
   test("ParseFilter extended grammar: ranges, multi-prefix, fuzzy, long comparator") {
     import spark.implicits._
     val cells = Seq(
