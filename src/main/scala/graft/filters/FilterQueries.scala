@@ -37,6 +37,11 @@ object FilterQueries {
     "filter_single_col_value" -> ((s, d) =>
       cellsOut(Filters.singleColumnValue(cc(s, d), "info", "c_mktsegment",
         EQUAL, Comparators.binary("BUILDING")))),
+    "filter_single_col_value_exclude" -> ((s, d) =>
+      cellsOut(Filters.singleColumnValue(cc(s, d), "info", "c_mktsegment",
+        EQUAL, Comparators.binary("BUILDING"), excludeChecked = true))),
+    "filter_col_count" -> ((s, d) =>
+      cellsOut(Filters.columnCount(cc(s, d), 2))),
     "filter_qualifier" -> ((s, d) =>
       cellsOut(cc(s, d).where(
         Filters.qualifierFilter(GREATER_OR_EQUAL, Comparators.binary("c_n"))))),
@@ -114,6 +119,17 @@ object FilterQueries {
               |WHERE rowkey IN (SELECT rowkey FROM cells
               |                 WHERE family='info' AND qualifier='c_mktsegment' AND value='BUILDING')
               |$cellsOrder""".stripMargin),
+    "filter_single_col_value_exclude" ->
+      (C + s"""SELECT rowkey, family, qualifier, value FROM cells
+              |WHERE rowkey IN (SELECT rowkey FROM cells
+              |                 WHERE family='info' AND qualifier='c_mktsegment' AND value='BUILDING')
+              |  AND NOT (family='info' AND qualifier='c_mktsegment')
+              |$cellsOrder""".stripMargin),
+    "filter_col_count" ->
+      (C + s"""SELECT rowkey, family, qualifier, value FROM (
+              |  SELECT rowkey, family, qualifier, value,
+              |         row_number() OVER (PARTITION BY rowkey ORDER BY family, qualifier) AS rn
+              |  FROM cells) WHERE rn <= 2 $cellsOrder""".stripMargin),
     "filter_qualifier" ->
       (C + s"SELECT rowkey, family, qualifier, value FROM cells WHERE qualifier >= 'c_n' $cellsOrder"),
     "filter_family" ->

@@ -184,10 +184,13 @@ object Filters {
     * cells of rows whose (family, qualifier) cell value satisfies the
     * comparator. `filterIfMissing=true` (rows lacking the column are
     * dropped); the reference default (false = keep missing rows) is the
-    * `filterIfMissing = false` path. One window shuffle on rowkey. */
+    * `filterIfMissing = false` path. One window shuffle on rowkey.
+    * `excludeChecked=true` is SingleColumnValueExcludeFilter.java: the
+    * tested cell itself is removed from the emitted rows. */
   def singleColumnValue(cells: DataFrame, family: String, qualifier: String,
                         op: CompareOp.Value, cmp: Cmp,
-                        filterIfMissing: Boolean = true): DataFrame = {
+                        filterIfMissing: Boolean = true,
+                        excludeChecked: Boolean = false): DataFrame = {
     val isTarget = col("family") === family && col("qualifier") === qualifier
     val hit  = when(isTarget && coalesce(cmp(col("value"), op), lit(false)), 1).otherwise(0)
     val seen = when(isTarget, 1).otherwise(0)
@@ -195,8 +198,15 @@ object Filters {
     val keep =
       if (filterIfMissing) max(hit).over(w) === 1
       else max(hit).over(w) === 1 || max(seen).over(w) === 0
-    cells.withColumn("_keep", keep).where(col("_keep")).drop("_keep")
+    val kept = cells.withColumn("_keep", keep).where(col("_keep")).drop("_keep")
+    if (excludeChecked) kept.where(!(col("family") === family && col("qualifier") === qualifier))
+    else kept
   }
+
+  /** ColumnCountGetFilter.java — at most `n` cells per row, in
+    * (family, qualifier) order (pagination with offset 0). */
+  def columnCount(cells: DataFrame, n: Int): DataFrame =
+    columnPagination(cells, limit = n, offset = 0)
 
   /** FilterList.java:56 — MUST_PASS_ALL / MUST_PASS_ONE composition of
     * Column-shaped filters, arbitrarily nested (a FilterList is itself
