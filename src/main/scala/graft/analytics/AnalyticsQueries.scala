@@ -68,6 +68,17 @@ object AnalyticsQueries {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
+    // MultiTableInputFormat / MultiTableSnapshotInputFormat analogue:
+    // one scan spanning several tables, rows tagged by source table.
+    // Same filter applies to each; a union of pruned scans, no shuffle.
+    "multi_table_scan" -> ((s, d) => {
+      val cust = Tables.customerCells(s, d).withColumn("table_name", lit("customer"))
+      val supp = Tables.supplierCells(s, d).withColumn("table_name", lit("supplier"))
+      cust.unionByName(supp)
+        .where(col("qualifier").endsWith("nationkey") && col("value").cast("int") < 5)
+        .select("table_name", "rowkey", "family", "qualifier", "value")
+        .orderBy("table_name", "rowkey")
+    }),
   )
 
   private val C = "WITH " + Tables.customerCellsSql + "\n"
@@ -114,5 +125,13 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "multi_table_scan" ->
+      ("WITH " + Tables.customerCellsSql + ",\n" + Tables.supplierCellsSql + "\n" +
+       """SELECT table_name, rowkey, family, qualifier, value FROM (
+         |  SELECT 'customer' AS table_name, * FROM cells
+         |  UNION ALL
+         |  SELECT 'supplier' AS table_name, * FROM scells)
+         |WHERE qualifier LIKE '%nationkey' AND CAST(value AS INT) < 5
+         |ORDER BY table_name, rowkey""".stripMargin),
   )
 }

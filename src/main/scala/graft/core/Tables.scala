@@ -62,6 +62,20 @@ object Tables {
       |  SELECT CAST(c_custkey AS VARCHAR), 'info', 'c_mktsegment', c_mktsegment FROM customer
       |)""".stripMargin
 
+  /** Cell view of `supplier` (rowkey = s_suppkey, families like
+    * [[customerCells]]) — the second table for multi-table scans. */
+  def supplierCells(spark: SparkSession, sfDir: String): DataFrame =
+    toCells(load(spark, sfDir, "supplier"), "s_suppkey",
+      Seq("id" -> Seq("s_nationkey"),
+          "info" -> Seq("s_name")))
+
+  val supplierCellsSql: String =
+    """scells AS (
+      |  SELECT CAST(s_suppkey AS VARCHAR) AS rowkey, 'id' AS family, 's_nationkey' AS qualifier, CAST(s_nationkey AS VARCHAR) AS value FROM supplier
+      |  UNION ALL
+      |  SELECT CAST(s_suppkey AS VARCHAR), 'info', 's_name', s_name FROM supplier
+      |)""".stripMargin
+
   /** Versioned-cell view of `events`: an HBase table where
     * rowkey = user_id, one column family `ev`, qualifier = event_type,
     * version timestamp = ts, value = value. Multi-version semantics
