@@ -44,21 +44,20 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, threshold: Double,
                    pruneUnique: Boolean = true): DataFrame = {
     val sh = shingles(docs)
-    val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
-    val sizes = sh.select(col("doc_id"), size(col("shs")).as("n"))
+    // carry each doc's set size through the explode: the pair aggregate
+    // then has |A| and |B| in-row, saving two post-aggregation joins
+    val ex = sh.select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("s"))
     val joinIn =
       if (pruneUnique) {
         val shared = ex.groupBy("s").agg(count(lit(1)).as("_df"))
           .where(col("_df") > 1).select("s")
         ex.join(shared, Seq("s"), "leftsemi")
       } else ex
-    val inter = joinIn.as("a").join(joinIn.as("b"),
+    joinIn.as("a").join(joinIn.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .agg(count(lit(1)).as("inter"),
+           first(col("a.n")).as("ni"), first(col("b.n")).as("nj"))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("ni") + col("nj") - col("inter")), 4))
       .where(col("jaccard") >= threshold)
