@@ -51,6 +51,14 @@ object MutationQueries {
     "ttl_expiry" -> ((s, d) =>
       Mutations.ttlExpire(Tables.eventCells(s, d), "10 DAYS")
         .select("rowkey", "qualifier", "ts", "value", "event_id").orderBy("event_id")),
+    "ttl_min_versions" -> ((s, d) =>
+      Mutations.ttlExpireMinVersions(Tables.eventCells(s, d), "20 DAYS", minVersions = 1)
+        .select("rowkey", "qualifier", "ts", "value", "event_id").orderBy("event_id")),
+    "delete_qualifier" -> ((s, d) =>
+      Mutations.deleteQualifier(
+          Tables.load(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment"),
+          col("c_custkey") % 5 === 0, "c_mktsegment")
+        .orderBy("c_custkey")),
     "check_and_delete" -> ((s, d) => {
       val base = Tables.load(s, d, "customer")
         .select("c_custkey", "c_mktsegment", "c_acctbal")
@@ -88,6 +96,19 @@ object MutationQueries {
        """SELECT rowkey, qualifier, ts, value, event_id FROM vcells
          |WHERE ts >= (SELECT max(ts) - INTERVAL 10 DAY FROM events)
          |ORDER BY event_id""".stripMargin),
+    "ttl_min_versions" ->
+      ("WITH " + Tables.eventCellsSql + "\n" +
+       """SELECT rowkey, qualifier, ts, value, event_id FROM (
+         |  SELECT rowkey, qualifier, ts, value, event_id,
+         |         row_number() OVER (PARTITION BY rowkey, family, qualifier
+         |                            ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM vcells)
+         |WHERE ts >= (SELECT max(ts) - INTERVAL 20 DAY FROM events) OR rn <= 1
+         |ORDER BY event_id""".stripMargin),
+    "delete_qualifier" ->
+      """SELECT c_custkey, c_name,
+        |       CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "check_and_delete" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE NOT (c_custkey % 10 = 0 AND c_acctbal < 0)

@@ -108,4 +108,19 @@ object Mutations {
     val cutoff = vcells.agg((max(col("ts")) - expr(s"INTERVAL $ttl")).as("_cut"))
     vcells.crossJoin(broadcast(cutoff)).where(col("ts") >= col("_cut")).drop("_cut")
   }
+
+  /** TTL with HColumnDescriptor#setMinVersions semantics: expired cells
+    * are dropped EXCEPT the latest `minVersions` per
+    * (rowkey, family, qualifier), which survive any TTL — HBase
+    * guarantees a readable value for every column that ever had one. */
+  def ttlExpireMinVersions(vcells: DataFrame, ttl: String, minVersions: Int = 1,
+                           tieBreaker: String = "event_id"): DataFrame = {
+    val cutoff = vcells.agg((max(col("ts")) - expr(s"INTERVAL $ttl")).as("_cut"))
+    val w = Window.partitionBy("rowkey", "family", "qualifier")
+      .orderBy(col("ts").desc, col(tieBreaker).desc)
+    vcells.crossJoin(broadcast(cutoff))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("ts") >= col("_cut") || col("_rn") <= minVersions)
+      .drop("_cut", "_rn")
+  }
 }
