@@ -22,6 +22,16 @@ object Layout {
       .write.mode("overwrite").parquet(path)
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Write as a bucketed+sorted catalog table: both sides of a future
+    * equi-join bucketed by the same key into the same bucket count
+    * join WITHOUT a shuffle (Spark plans SortMergeJoin over the
+    * existing bucketing — the co-located join HBase gets from
+    * co-partitioned regions). */
+  def writeBucketed(df: DataFrame, keyCol: String, buckets: Int, table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(table)
 }
 
 /** Snapshots (HBase admin snapshots / MultiTableSnapshotInputFormat):

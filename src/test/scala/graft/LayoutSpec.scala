@@ -29,6 +29,40 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions.sum
+    import scala.reflect.io.Directory
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      new Directory(new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") + s"/$t"))
+        .deleteRecursively()
+    }
+    Layout.writeBucketed(Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice"), "o_orderkey", 4, "b_orders")
+    Layout.writeBucketed(Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity"), "l_orderkey", 4, "b_lineitem")
+    // force the non-broadcast path so the bucketing (not a tiny-table
+    // broadcast) is what eliminates the shuffle — at real scale neither
+    // side fits in a broadcast anyway
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey").agg(sum("l_quantity"))
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      // the join inputs must come straight from the bucketed scans — the
+      // only allowed exchange is the one AFTER the join for the groupBy
+      val joinSection = p.split("SortMergeJoin", 2)(1)
+      assert(!joinSection.contains("Exchange"),
+        s"shuffle under the bucketed join:\n$p")
+      assert(joined.collect().nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("snapshot versions are immutable point-in-time reads") {
     val dir = Files.createTempDirectory("graft_snap").toString
     val v1 = Tables.load(spark, sfDir, "orders").select("o_orderkey", "o_totalprice")
