@@ -108,15 +108,21 @@ object PipelineQueries {
          |            THEN 'en' ELSE 'other' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-        |freqs AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
-        |st AS (SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct, max(cnt) AS max_freq
-        |       FROM freqs GROUP BY doc_id)
-        |SELECT doc_id, n_tokens,
-        |       round(n_distinct * 1.0 / n_tokens, 4) AS distinct_ratio,
-        |       round(max_freq * 1.0 / n_tokens, 4) AS repetition,
-        |       round(least(n_tokens / 100.0, 1.0) * (n_distinct * 1.0 / n_tokens), 4) AS quality
-        |FROM st ORDER BY doc_id""".stripMargin,
+      (s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |freqs AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         |st AS (SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct, max(cnt) AS max_freq,
+         |              sum(CASE WHEN t IN ($markerIn) THEN cnt ELSE 0 END) AS n_stop
+         |       FROM freqs GROUP BY doc_id),
+         |pd AS (SELECT doc_id,
+         |              len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text) AS punct_ratio
+         |       FROM documents)
+         |SELECT st.doc_id, n_tokens,
+         |       round(n_distinct * 1.0 / n_tokens, 4) AS distinct_ratio,
+         |       round(max_freq * 1.0 / n_tokens, 4) AS repetition,
+         |       round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+         |       round(punct_ratio, 4) AS punct_ratio,
+         |       round(least(n_tokens / 100.0, 1.0) * (n_distinct * 1.0 / n_tokens), 4) AS quality
+         |FROM st JOIN pd ON st.doc_id = pd.doc_id ORDER BY st.doc_id""".stripMargin),
     "text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS ws_tokens,

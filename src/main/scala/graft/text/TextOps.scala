@@ -37,14 +37,22 @@ object TextOps {
   def quality(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val freqs = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    freqs.groupBy("doc_id")
+    val stats = freqs.groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_tokens"),
            count(lit(1)).as("n_distinct"),
-           max(col("cnt")).as("max_freq"))
+           max(col("cnt")).as("max_freq"),
+           sum(when(col("tok").isInCollection(EnMarkers), col("cnt")).otherwise(0L))
+             .as("n_stop"))
+    val perDoc = docs.select(col("doc_id"),
+      size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double")
+        ./(length(col("text"))).as("punct_ratio"))
+    stats.join(perDoc, "doc_id")
       .select(
         col("doc_id"), col("n_tokens"),
         round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
         round(col("max_freq").cast("double") / col("n_tokens"), 4).as("repetition"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stopword_ratio"),
+        round(col("punct_ratio"), 4).as("punct_ratio"),
         round(least(col("n_tokens").cast("double") / 100, lit(1.0)) *
           (col("n_distinct").cast("double") / col("n_tokens")), 4).as("quality"))
   }
