@@ -89,21 +89,15 @@ object Aggregates {
 
   /** groupBy flagship with the bounded-memory median term. */
   def groupedApprox(df: DataFrame, keys: Seq[String], c: String): DataFrame =
-    df.groupBy(keys.map(col): _*)
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min(col(c)).as("min_v"),
-        max(col(c)).as("max_v"),
-        round(sum(col(c)), 4).as("sum_v"),
-        round(avg(col(c)), 4).as("avg_v"),
-        round(stddev_pop(col(c)), 4).as("std_v"),
-        round(expr(s"percentile_approx($c, 0.5, 10000)"), 4).as("median_v"))
-      .orderBy(keys.map(col): _*)
+    groupedWith(df, keys, c, expr(s"percentile_approx($c, 0.5, 10000)"))
 
   /** All coprocessor aggregates, grouped by dimensions — the
     * GroupingTableMapper (hbase-server/.../mapreduce/GroupingTableMapper
-    * .java) + AggregationClient composition, i.e. the flagship query. */
-  def grouped(df: DataFrame, keys: Seq[String], c: String): DataFrame =
+    * .java) + AggregationClient composition, i.e. the flagship query.
+    * The median term is pluggable so the oracle path (exact) and the
+    * bench path (sketch) share every other aggregate. */
+  private def groupedWith(df: DataFrame, keys: Seq[String], c: String,
+                          medianTerm: Column): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n_rows"),
@@ -112,6 +106,9 @@ object Aggregates {
         round(sum(col(c)), 4).as("sum_v"),
         round(avg(col(c)), 4).as("avg_v"),
         round(stddev_pop(col(c)), 4).as("std_v"),
-        round(expr(s"percentile($c, 0.5)"), 4).as("median_v"))
+        round(medianTerm, 4).as("median_v"))
       .orderBy(keys.map(col): _*)
+
+  def grouped(df: DataFrame, keys: Seq[String], c: String): DataFrame =
+    groupedWith(df, keys, c, expr(s"percentile($c, 0.5)"))
 }

@@ -76,15 +76,19 @@ object Tools {
 
   /** SimpleTotalOrderPartitioner.java:49 — split [minKey, maxKey] into
     * `n` equal key ranges (the HFile bulk-load total order) and report
-    * per-bucket stats. min/max are a tiny broadcast — no global sort,
-    * no sampling, fully deterministic. */
-  def totalOrderBuckets(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    * per-bucket stats (+ optional extra aggregates, e.g. region payload
+    * sums). min/max are a tiny broadcast — no global sort, no sampling,
+    * fully deterministic. */
+  def totalOrderBuckets(df: DataFrame, keyCol: String, n: Int,
+                        extraAggs: Seq[Column] = Nil,
+                        bucketName: String = "bucket"): DataFrame = {
     val bounds = df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
+    val baseAggs = Seq(count(lit(1)).as("n_rows"),
+      min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key")) ++ extraAggs
     df.crossJoin(broadcast(bounds))
-      .withColumn("bucket",
+      .withColumn(bucketName,
         floor((col(keyCol) - col("_lo")) * n / (col("_hi") - col("_lo") + 1)).cast("bigint"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("n_rows"),
-           min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key"))
+      .groupBy(bucketName)
+      .agg(baseAggs.head, baseAggs.tail: _*)
   }
 }

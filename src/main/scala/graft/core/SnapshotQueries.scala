@@ -10,18 +10,15 @@ object SnapshotQueries {
   private def tmp(name: String): String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name
 
-  /** Per-region stats: regions = n equal key ranges (the split table),
-    * per region row count, key bounds, and a payload aggregate. */
-  def regionStats(df: DataFrame, keyCol: String, n: Int, valueCol: String): DataFrame = {
-    val bounds = df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
-    df.crossJoin(broadcast(bounds))
-      .withColumn("region",
-        floor((col(keyCol) - col("_lo")) * n / (col("_hi") - col("_lo") + 1)).cast("bigint"))
-      .groupBy("region")
-      .agg(count(lit(1)).as("n_rows"),
-           min(col(keyCol)).as("start_key"), max(col(keyCol)).as("end_key"),
-           round(sum(col(valueCol)), 4).as("sum_v"))
-  }
+  /** Per-region stats: regions = n equal key ranges (the split table)
+    * — the total-order bucketing from analytics.Tools with a payload
+    * aggregate, renamed to region vocabulary. */
+  def regionStats(df: DataFrame, keyCol: String, n: Int, valueCol: String): DataFrame =
+    graft.analytics.Tools.totalOrderBuckets(df, keyCol, n,
+        extraAggs = Seq(round(sum(col(valueCol)), 4).as("sum_v")),
+        bucketName = "region")
+      .withColumnRenamed("min_key", "start_key")
+      .withColumnRenamed("max_key", "end_key")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_read" -> ((s, d) => {

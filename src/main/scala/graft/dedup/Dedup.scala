@@ -106,11 +106,16 @@ object Dedup {
 
   /** 64-bit SimHash over token frequencies: per bit, sign of the
     * weighted sum of token-hash bits; near-dups = pairs within
-    * `maxHamming`, found via 4×16-bit band buckets (a pair within
-    * hamming 6 of 64 bits shares at least one exact 16-bit quarter —
-    * pigeonhole — so banding has no false negatives up to hamming 3
-    * per... conservative: most near-dup pairs collide on ≥1 band). */
-  def simhash(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    * `maxHamming`, found via 4×16-bit band buckets.
+    *
+    * Recall contract: with 4 bands, a pair differing in ≤3 bits MUST
+    * share at least one clean band (pigeonhole), so the default
+    * maxHamming=3 is exact — no false negatives. A larger maxHamming
+    * (up to ~6) still finds most pairs but a pair whose differing bits
+    * straddle all four quarters is missed; callers wanting guaranteed
+    * recall at higher distances should lower the per-band width
+    * (more bands) and accept the larger candidate volume. */
+  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")

@@ -36,10 +36,11 @@ object FilterQueries {
       cellsOut(cc(s, d).where(Filters.valueFilter(EQUAL, Comparators.substr("building"))))),
     "filter_single_col_value" -> ((s, d) =>
       cellsOut(Filters.singleColumnValue(cc(s, d), "info", "c_mktsegment",
-        EQUAL, Comparators.binary("BUILDING")))),
+        EQUAL, Comparators.binary("BUILDING"), filterIfMissing = true))),
     "filter_single_col_value_exclude" -> ((s, d) =>
       cellsOut(Filters.singleColumnValue(cc(s, d), "info", "c_mktsegment",
-        EQUAL, Comparators.binary("BUILDING"), excludeChecked = true))),
+        EQUAL, Comparators.binary("BUILDING"), filterIfMissing = true,
+        excludeChecked = true))),
     "filter_col_count" -> ((s, d) =>
       cellsOut(Filters.columnCount(cc(s, d), 2))),
     "filter_qualifier" -> ((s, d) =>
@@ -169,7 +170,7 @@ object FilterQueries {
              |  FROM cells) WHERE rn = 1 ORDER BY rowkey""".stripMargin),
     "filter_random" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |WHERE ((o_orderkey % 1048576) * 2654435761) % 4294967296 < 1073741824
+        |WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 < 1073741824
         |ORDER BY o_orderkey""".stripMargin,
     "filter_skip" ->
       (C + s"""SELECT rowkey, family, qualifier, value FROM cells

@@ -102,11 +102,13 @@ object Filters {
     * we need cluster-determinism, so use a multiplicative (Knuth) hash
     * of the rowkey — same result on every executor, every run, and
     * expressible in plain SQL for the oracle. The key is folded into
-    * [0, 2^20) BEFORE the multiply so the product stays well under
-    * Long.MaxValue for any rowkey (no ANSI ARITHMETIC_OVERFLOW at
-    * 100 TB key ranges). */
+    * [0, 2^31) BEFORE the multiply so the product stays under
+    * Long.MaxValue (2^31 · 2654435761 ≈ 5.7e18) for any rowkey — no
+    * ANSI ARITHMETIC_OVERFLOW at 100 TB key ranges, and the fold
+    * period (2^31) is far beyond any structured-key stride, so the
+    * sample stays uncorrelated. */
   def randomRowFilter(keyCol: Column, chance: Double): Column =
-    pmod(pmod(keyCol, lit(1048576L)) * lit(2654435761L), lit(4294967296L)) <
+    pmod(pmod(keyCol, lit(2147483648L)) * lit(2654435761L), lit(4294967296L)) <
       lit((chance * 4294967296L).toLong)
 
   // ---- cell-level filters (apply to a cells view:
@@ -182,14 +184,14 @@ object Filters {
 
   /** SingleColumnValueFilter.java:73 — the row-level predicate: emit ALL
     * cells of rows whose (family, qualifier) cell value satisfies the
-    * comparator. `filterIfMissing=true` (rows lacking the column are
-    * dropped); the reference default (false = keep missing rows) is the
-    * `filterIfMissing = false` path. One window shuffle on rowkey.
-    * `excludeChecked=true` is SingleColumnValueExcludeFilter.java: the
-    * tested cell itself is removed from the emitted rows. */
+    * comparator. The default `filterIfMissing=false` matches the
+    * reference's: rows LACKING the column pass through. One window
+    * shuffle on rowkey. `excludeChecked=true` is
+    * SingleColumnValueExcludeFilter.java: the tested cell itself is
+    * removed from the emitted rows. */
   def singleColumnValue(cells: DataFrame, family: String, qualifier: String,
                         op: CompareOp.Value, cmp: Cmp,
-                        filterIfMissing: Boolean = true,
+                        filterIfMissing: Boolean = false,
                         excludeChecked: Boolean = false): DataFrame = {
     val isTarget = col("family") === family && col("qualifier") === qualifier
     val hit  = when(isTarget && coalesce(cmp(col("value"), op), lit(false)), 1).otherwise(0)

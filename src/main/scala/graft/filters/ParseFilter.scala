@@ -39,6 +39,14 @@ object ParseFilter {
     c
   }
 
+  /** Apply a filter string to a cell view. Unlike `df.where(parse(s))`,
+    * this works for grammars containing row-level filters
+    * (SingleColumnValueFilter compiles to a window expression, which
+    * Spark forbids directly inside WHERE): the predicate is
+    * materialized as a column first, then filtered on. */
+  def filter(df: org.apache.spark.sql.DataFrame, s: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("_pf", parse(s)).where(org.apache.spark.sql.functions.col("_pf")).drop("_pf")
+
   private final class P(s: String) {
     var pos = 0
     def eof: Boolean = pos >= s.length
@@ -92,10 +100,18 @@ object ParseFilter {
         case "QualifierFilter"     => cmpFilter(col("qualifier"))
         case "FamilyFilter"        => cmpFilter(col("family"))
         case "SingleColumnValueFilter" =>
-          // cell-level form: (family=f AND qualifier=q AND value op cmp);
-          // wrap with Filters.singleColumnValue for the row-level semantics.
+          // ROW-level semantics like the reference: the row passes when
+          // its (family, qualifier) cell satisfies the comparator, and
+          // ALL the row's cells are emitted. Expressed as a window-max
+          // flag over the rowkey — composable under AND/OR with the
+          // other filters. A Column carrying a window expression cannot
+          // go straight into where(); use ParseFilter.filter(df, s),
+          // which materializes the predicate first.
           val f = quoted(); eat(","); val q = quoted(); eat(",")
-          col("family") === f && col("qualifier") === q && cmpFilter(col("value"))
+          val cellHit = col("family") === f && col("qualifier") === q &&
+            coalesce(cmpFilter(col("value")), lit(false))
+          max(when(cellHit, 1).otherwise(0))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy("rowkey")) === 1
         case other => throw new IllegalArgumentException(
           s"ParseFilter: unsupported filter '$other'")
       }

@@ -63,7 +63,6 @@ object Ann {
     * touches nprobe/k of the data. */
   def ivf(vectors: DataFrame, queries: DataFrame, k: Int,
           nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val spark = vectors.sparkSession
     // centroids: elementwise mean per cell — (cell, pos) partial avgs
     val cent = vectors
       .select((col("vec_id") % nCells).cast("int").as("cell"),
@@ -72,15 +71,18 @@ object Ann {
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
       .select(col("cell"), expr("transform(pv, x -> x.v)").as("c_emb"))
-    val scoredCells = vectors.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
-      .withColumn("_cs", dot("embedding", "c_emb") / (norm("embedding") * norm("c_emb")))
-    val w = Window.partitionBy("vec_id").orderBy(col("_cs").desc, col("cell"))
-    val ranked = scoredCells.withColumn("_cr", row_number().over(w))
-    val assigned = ranked.where(col("_cr") === 1)
+    def cellRank(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy("vec_id").orderBy(col("_cs").desc, col("cell"))
+      df.crossJoin(broadcast(cent))
+        .withColumn("_cs", dot("embedding", "c_emb") / (norm("embedding") * norm("c_emb")))
+        .withColumn("_cr", row_number().over(w))
+    }
+    val assigned = cellRank(vectors.select(col("vec_id"), col("embedding")))
+      .where(col("_cr") === 1)
       .select(col("vec_id").as("nn_id"), col("embedding"), col("cell"))
-    val qIds = queries.select(col("vec_id").as("q_id"))
-    val probes = ranked.join(qIds, ranked("vec_id") === qIds("q_id"), "leftsemi")
+    // probes scored from the query vectors themselves, so queries need
+    // not exist in the corpus (external query sets work like bruteForce)
+    val probes = cellRank(queries.select(col("vec_id"), col("embedding")))
       .where(col("_cr") <= nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
     val scored = probes.join(assigned, Seq("cell"))

@@ -30,6 +30,19 @@ class FiltersSpec extends SparkSpec {
     }
   }
 
+  test("ParseFilter SingleColumnValueFilter has row-level semantics (all cells of matching rows)") {
+    import spark.implicits._
+    val cells = Seq(
+      ("r1", "info", "seg", "HIT"), ("r1", "info", "name", "alice"),
+      ("r2", "info", "seg", "MISS"), ("r2", "info", "name", "bob")
+    ).toDF("rowkey", "family", "qualifier", "value")
+    val got = graft.filters.ParseFilter.filter(cells,
+        "SingleColumnValueFilter('info', 'seg', =, 'binary:HIT')")
+      .select("rowkey", "qualifier").as[(String, String)].collect().sorted
+    // the whole r1 row passes, including the cell that was not tested
+    assert(got.sameElements(Array(("r1", "name"), ("r1", "seg"))))
+  }
+
   test("FilterList nests MUST_PASS_ALL / MUST_PASS_ONE") {
     import spark.implicits._
     import graft.filters.Filters._
@@ -49,11 +62,12 @@ class FiltersSpec extends SparkSpec {
       ("r3", "f", "other", "z") // lacks the checked column entirely
     ).toDF("rowkey", "family", "qualifier", "value")
     val strict = Filters.singleColumnValue(cells, "f", "seg",
-      CompareOp.EQUAL, Comparators.binary("HIT"))
+      CompareOp.EQUAL, Comparators.binary("HIT"), filterIfMissing = true)
     assert(strict.select("rowkey").distinct().as[String].collect().sorted.sameElements(Array("r1")))
     assert(strict.count() == 2)
+    // reference default: rows lacking the checked column pass through
     val lenient = Filters.singleColumnValue(cells, "f", "seg",
-      CompareOp.EQUAL, Comparators.binary("HIT"), filterIfMissing = false)
+      CompareOp.EQUAL, Comparators.binary("HIT"))
     assert(lenient.select("rowkey").distinct().as[String].collect().sorted
       .sameElements(Array("r1", "r3")))
   }

@@ -25,15 +25,20 @@ class PropertySpec extends SparkSpec {
       w <- Gen.chooseNum(0.1, 50.0)
     } yield (v, w))
     samples(rows, 10).foreach { data =>
-      val naive = {
-        val sorted = data.sortBy(_._1)
-        val half = sorted.map(_._2).sum / 2
-        var cum = 0.0
-        sorted.find { case (_, w) => cum += w; cum >= half }.get._1
-      }
+      val sorted = data.sortBy(_._1)
+      val totalW = sorted.map(_._2).sum
+      val half = totalW / 2
+      var cum = 0.0
+      val naive = sorted.find { case (_, w) => cum += w; cum >= half }.get._1
       val got = Aggregates.weightedMedian(data.toDF("v", "w"), "v", "w", buckets = 16)
         .collect()(0).getDouble(0)
-      assert(got == naive, s"got $got want $naive for $data")
+      // exact match expected; the escape hatch covers the case where the
+      // crossing row sits within FP-summation-order noise of half the
+      // total weight (distributed partial sums accumulate in a different
+      // order than the sequential fold above)
+      def cumThrough(v: Double): Double = sorted.takeWhile(_._1 <= v).map(_._2).sum
+      assert(got == naive || math.abs(cumThrough(got) - half) <= 1e-9 * totalW,
+        s"got $got want $naive for $data")
     }
   }
 
