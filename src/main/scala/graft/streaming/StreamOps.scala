@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-key running counter state (HBase Increment's stored value). */
+case class CounterState(n: Long, sum: Double)
+
+/** One update emitted per key per micro-batch: the post-increment
+  * counter value, i.e. what a Get would return after the batch. */
+case class CounterUpdate(event_type: String, n: Long, sum: Double)
 
 /** Streaming counters — HBase `Increment` at pipeline scale, re-expressed
   * as Structured Streaming windowed aggregation.
@@ -30,4 +38,27 @@ object StreamOps {
     * stream length. */
   def streamingCounters(events: DataFrame): DataFrame =
     windowedCounters(events.withWatermark("ts", "1 day"))
+
+  /** HBase `Increment` held as explicit streaming state: per event_type,
+    * a running (count, sum) maintained with flatMapGroupsWithState —
+    * the custom-state escape hatch for semantics windowed aggregation
+    * can't express (here: emit the exact post-increment value per
+    * micro-batch, like the return of HTable.increment). State is one
+    * small struct per key, partitioned by key — bounded and
+    * shuffle-local at any stream length. */
+  def runningCounters(events: DataFrame): Dataset[CounterUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_type", "value").as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[CounterState]) =>
+          var dn = 0L; var dsum = 0.0
+          rows.foreach { case (_, v) => dn += 1; dsum += v }
+          val prev = state.getOption.getOrElse(CounterState(0L, 0.0))
+          val next = CounterState(prev.n + dn, prev.sum + dsum)
+          state.update(next)
+          Iterator(CounterUpdate(key, next.n, next.sum))
+      }
+  }
 }

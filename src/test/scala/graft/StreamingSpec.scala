@@ -39,4 +39,35 @@ class StreamingSpec extends SparkSpec {
       s"streaming (${got.length} rows) != batch (${want.length} rows)")
   }
 
+  test("flatMapGroupsWithState running counters converge to batch totals") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_state_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.runningCounters(streamed)
+      .writeStream.format("memory").queryName("running_counters")
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the LAST update per key must equal the batch aggregate — proving
+    // the state carried increments across micro-batches
+    val finalRows = spark.table("running_counters")
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), col("sum"))).as("m"))
+      .select(col("event_type"), col("m.n").as("n"), col("m.sum").as("sum"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = events.groupBy("event_type")
+      .agg(count("*").as("n"), sum("value").as("sum"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(finalRows.keySet == want.keySet)
+    want.foreach { case (k, (n, s)) =>
+      val (gn, gs) = finalRows(k)
+      assert(gn == n, s"$k count $gn != $n")
+      assert(math.abs(gs - s) < 1e-6 * math.abs(s).max(1.0), s"$k sum $gs != $s")
+    }
+  }
 }
