@@ -26,6 +26,17 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ann_ivf candidate join is equi-join shaped: no cartesian product") {
+    val q = emb.where(col("vec_id") < 10)
+    val plan = physicalPlan(Ann.ivf(emb, q, 5))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    // the only nested-loop joins allowed are the intended tiny-broadcast
+    // centroid scorings; the corpus-side candidate join must be an
+    // equi-join on the probed cell
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), s"no equi-join on cell in:\n$plan")
+  }
+
   test("minhash LSH finds the exact-jaccard pairs on planted near-dups") {
     val exact = Dedup.ngramJaccard(docs, 0.5).select("i", "j")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
