@@ -34,8 +34,11 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    // Locale.ROOT: the f-interpolator uses the default locale, which can
+    // emit decimal COMMAS (de_DE etc.) and break the JSON line
+    val qJson = results.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failed":$failedJson,"sf":"$sfDir"}""")

@@ -11,14 +11,20 @@ import graft.core.Tables
   */
 object AnalyticsQueries {
 
-  private def tmp(name: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name
+  /** Per-sfDir temp path: concurrent Verify/Bench runs over different
+    * scale factors must not clobber each other's round-trip files. */
+  private def tmp(name: String, sfDir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name + "_" +
+      Integer.toHexString(sfDir.hashCode)
 
   /** Portable row hash for orders: Knuth-multiplicative key hash plus
-    * price cents. floor() (not cast) so DuckDB's rounding CAST and
-    * Spark's truncating cast can't disagree. */
+    * price cents. The key folds into [0, 2^31) before the multiply
+    * (same overflow guard as randomRowFilter — the raw multiply blows
+    * Long past keys ~3.5e9, exactly the range a 100 TB diff tool sees);
+    * floor() (not cast) so DuckDB's rounding CAST and Spark's
+    * truncating cast can't disagree. */
   private val orderRowHash =
-    pmod(col("o_orderkey") * lit(2654435761L), lit(4294967296L)) +
+    pmod(pmod(col("o_orderkey"), lit(2147483648L)) * lit(2654435761L), lit(4294967296L)) +
       floor(col("o_totalprice") * 100).cast("bigint")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -35,10 +41,10 @@ object AnalyticsQueries {
     "export_import" -> ((s, d) =>
       Tools.exportImport(
           Tables.load(s, d, "orders"), col("o_totalprice") > 400000,
-          tmp("graft_export_import"))
+          tmp("graft_export_import", d))
         .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")),
     "import_tsv" -> ((s, d) => {
-      val path = tmp("graft_import_tsv")
+      val path = tmp("graft_import_tsv", d)
       Tables.load(s, d, "nation").orderBy("n_nationkey")
         .coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
       val schema = StructType(Seq(
@@ -103,13 +109,13 @@ object AnalyticsQueries {
     "hash_sync_table" ->
       """WITH h1 AS (
         |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket,
-        |         sum((o_orderkey * 2654435761) % 4294967296
+        |         sum(((o_orderkey % 2147483648) * 2654435761) % 4294967296
         |             + CAST(floor(o_totalprice * 100) AS BIGINT)) AS digest_a,
         |         count(*) AS rows_a
         |  FROM orders GROUP BY 1),
         |h2 AS (
         |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket,
-        |         sum((o_orderkey * 2654435761) % 4294967296
+        |         sum(((o_orderkey % 2147483648) * 2654435761) % 4294967296
         |             + CAST(floor((CASE WHEN o_orderkey % 500 = 0 THEN o_totalprice + 1
         |                           ELSE o_totalprice END) * 100) AS BIGINT)) AS digest_b,
         |         count(*) AS rows_b

@@ -7,8 +7,10 @@ import graft.kv.Mutations
 /** SURVEY §2F — snapshots and region metadata as verified queries. */
 object SnapshotQueries {
 
-  private def tmp(name: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name
+  /** Per-sfDir temp path (concurrent runs over different SFs isolate). */
+  private def tmp(name: String, sfDir: String): String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name + "_" +
+      Integer.toHexString(sfDir.hashCode)
 
   /** Per-region stats: regions = n equal key ranges (the split table)
     * — the total-order bucketing from analytics.Tools with a payload
@@ -22,7 +24,7 @@ object SnapshotQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_read" -> ((s, d) => {
-      val base = tmp("graft_snapshots")
+      val base = tmp("graft_snapshots", d)
       val ev = Tables.load(s, d, "events")
         .select("event_id", "user_id", "event_type", "ts", "value")
       // v1 = snapshot; v2 = post-mutation state written copy-on-write.

@@ -82,6 +82,10 @@ object Dedup {
     * 1 - (1 - j^rows)^bands. */
   def minhashLsh(docs: DataFrame, threshold: Double,
                  perms: Int = 128, bands: Int = 32): DataFrame = {
+    require(perms % bands == 0,
+      s"perms ($perms) must be divisible by bands ($bands) — otherwise " +
+        "perms % bands signature values are silently unused and the " +
+        "collision probability differs from the documented formula")
     val rows = perms / bands
     val sh = shingles(docs)
     val sigs = minhashSigs(sh, perms)

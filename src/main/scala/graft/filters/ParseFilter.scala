@@ -108,10 +108,13 @@ object ParseFilter {
           // go straight into where(); use ParseFilter.filter(df, s),
           // which materializes the predicate first.
           val f = quoted(); eat(","); val q = quoted(); eat(",")
-          val cellHit = col("family") === f && col("qualifier") === q &&
-            coalesce(cmpFilter(col("value")), lit(false))
-          max(when(cellHit, 1).otherwise(0))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy("rowkey")) === 1
+          val isTarget = col("family") === f && col("qualifier") === q
+          val cellHit = isTarget && coalesce(cmpFilter(col("value")), lit(false))
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("rowkey")
+          // reference default filterIfMissing=false: rows LACKING the
+          // column pass through, rows having it pass iff the value hits
+          max(when(cellHit, 1).otherwise(0)).over(w) === 1 ||
+            max(when(isTarget, 1).otherwise(0)).over(w) === 0
         case other => throw new IllegalArgumentException(
           s"ParseFilter: unsupported filter '$other'")
       }
@@ -165,13 +168,22 @@ object ParseFilter {
       op
     }
 
+    /** Single-quoted string; a doubled '' unescapes to a literal quote
+      * (the reference grammar's escape). */
     private def quoted(): String = {
       ws()
       require(!eof && s.charAt(pos) == '\'', s"expected quote at $pos in '$s'")
       pos += 1
       val sb = new StringBuilder
-      while (!eof && s.charAt(pos) != '\'') { sb += s.charAt(pos); pos += 1 }
-      eat("'")
+      var done = false
+      while (!done) {
+        require(!eof, s"unterminated quote in '$s'")
+        val c = s.charAt(pos)
+        if (c == '\'') {
+          if (pos + 1 < s.length && s.charAt(pos + 1) == '\'') { sb += '\''; pos += 2 }
+          else { pos += 1; done = true }
+        } else { sb += c; pos += 1 }
+      }
       sb.toString
     }
   }

@@ -24,12 +24,18 @@ object Mutations {
     *
     * `versionCol`, when given, resolves duplicate keys WITHIN the puts
     * batch latest-wins, mirroring HBase's (row, ts) resolution in the
-    * memstore: only the row with the max version per key survives. */
+    * memstore: only the row with the max version per key survives.
+    * HBase breaks equal-timestamp ties by memstore sequence number; a
+    * DataFrame has no arrival order, so supply `tieBreakers` (ordered
+    * descending after the version) when versions can collide — without
+    * them the winner among equal versions is partition-order dependent. */
   def put(base: DataFrame, puts: DataFrame, keyCol: String,
-          versionCol: Option[String] = None): DataFrame = {
+          versionCol: Option[String] = None,
+          tieBreakers: Seq[String] = Nil): DataFrame = {
     val resolved = versionCol match {
       case Some(v) =>
-        val w = Window.partitionBy(keyCol).orderBy(col(v).desc)
+        val ord = (v +: tieBreakers).map(col(_).desc)
+        val w = Window.partitionBy(keyCol).orderBy(ord: _*)
         puts.withColumn("_pv", row_number().over(w)).where(col("_pv") === 1).drop("_pv")
       case None => puts
     }
