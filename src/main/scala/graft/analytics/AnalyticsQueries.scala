@@ -109,15 +109,15 @@ object AnalyticsQueries {
     "hash_sync_table" ->
       """WITH h1 AS (
         |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket,
-        |         sum(((o_orderkey % 2147483648) * 2654435761) % 4294967296
-        |             + CAST(floor(o_totalprice * 100) AS BIGINT)) AS digest_a,
+        |         CAST(sum(((o_orderkey % 2147483648) * 2654435761) % 4294967296
+        |             + CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS digest_a,
         |         count(*) AS rows_a
         |  FROM orders GROUP BY 1),
         |h2 AS (
         |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket,
-        |         sum(((o_orderkey % 2147483648) * 2654435761) % 4294967296
+        |         CAST(sum(((o_orderkey % 2147483648) * 2654435761) % 4294967296
         |             + CAST(floor((CASE WHEN o_orderkey % 500 = 0 THEN o_totalprice + 1
-        |                           ELSE o_totalprice END) * 100) AS BIGINT)) AS digest_b,
+        |                           ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS digest_b,
         |         count(*) AS rows_b
         |  FROM orders GROUP BY 1)
         |SELECT bucket, digest_a, rows_a, digest_b, rows_b,

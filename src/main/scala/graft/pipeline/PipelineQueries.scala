@@ -110,8 +110,8 @@ object PipelineQueries {
     "text_quality" ->
       (s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
          |freqs AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
-         |st AS (SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_distinct, max(cnt) AS max_freq,
-         |              sum(CASE WHEN t IN ($markerIn) THEN cnt ELSE 0 END) AS n_stop
+         |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct, max(cnt) AS max_freq,
+         |              CAST(sum(CASE WHEN t IN ($markerIn) THEN cnt ELSE 0 END) AS BIGINT) AS n_stop
          |       FROM freqs GROUP BY doc_id),
          |pd AS (SELECT doc_id,
          |              len(regexp_extract_all(text, '[^a-z0-9 ]')) * 1.0 / length(text) AS punct_ratio

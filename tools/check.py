@@ -39,6 +39,14 @@ for name, sql in sorted(oracle.items()):
     for c in got.columns:
         g, w = gs[c], ws[c]
         if g.dtype.kind == 'f' or w.dtype.kind == 'f':
+            # Driver hashes rendered values, so int-vs-float dtype drift
+            # ("94" vs "94.0") fails its gate even when numerically equal.
+            # DuckDB integer sum() -> HUGEINT -> float is the usual culprit;
+            # cast the oracle, don't widen the Spark side.
+            if g.dtype.kind != w.dtype.kind:
+                ok = False
+                detail = f"col {c}: dtype-kind mismatch got={g.dtype} want={w.dtype} (driver hash would fail)"
+                break
             g2, w2 = g.astype(float), w.astype(float)
             both_nan = g2.isna() & w2.isna()
             close = np.isclose(g2, w2, rtol=1e-9, atol=1e-9) | both_nan
@@ -48,7 +56,10 @@ for name, sql in sorted(oracle.items()):
                 detail = f"col {c} row {i}: got={g2.iloc[i]} want={w2.iloc[i]}"
                 break
             if not exact:
-                detail += f" [col {c}: float-close-not-exact]"
+                ok = False
+                i = int(np.argmax((~((g2 == w2) | both_nan)).values))
+                detail = f"col {c} row {i}: float-close-not-exact got={g2.iloc[i]!r} want={w2.iloc[i]!r}"
+                break
         else:
             if not (g.astype(str).values == w.astype(str).values).all():
                 ok = False
