@@ -7,7 +7,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.dedup.{MinHashSig, SimHash64}
 import graft.filters.FuzzyMatch
-import graft.sim.VecDot
+import graft.sim.{TopKStruct, VecDot}
 
 /** Registers graft's native Expressions as SQL functions, so
   * `spark.sql("... vec_dot(a, b) ...")` works exactly like the
@@ -50,6 +50,9 @@ object GraftFunctions {
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))),
+    ("topk_struct",
+      new ExpressionInfo(classOf[TopKStruct].getName, "topk_struct"),
+      (args: Seq[Expression]) => TopKStruct(args(0), litInt(args(1), "topk_struct"))),
   )
 
   /** Register on an existing session (tests, shells). */

@@ -40,6 +40,15 @@ object SparkEntry {
         Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L),
         Seq("o_orderkey", "o_custkey", "o_orderstatus"))
         .orderBy("o_orderkey")),
+    // the large-batch Get path: 2000 keys is past any sane IN-list, so
+    // the key set rides a broadcast hash semi-join — one scan pass over
+    // the table, no shuffle of the big side (plan-asserted in spec)
+    "multi_get_bulk" -> ((s, d) => {
+      import s.implicits._
+      val keys = (0 until 2000).map(i => 3L * i + 1).toDF("o_orderkey")
+      Scans.multiGetBulk(T(s, d, "orders"), "o_orderkey", keys,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus")).orderBy("o_orderkey")
+    }),
     "scan_time_range" -> ((s, d) =>
       Scans.timeRange(Tables.eventCells(s, d), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
         .select("rowkey", "qualifier", "ts", "value", "event_id")
@@ -65,6 +74,12 @@ object SparkEntry {
     "multi_get" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey IN (1,2,3,5,8,13,21,34,55,89) ORDER BY o_orderkey""".stripMargin,
+    // the Spark side semi-joins the literal key set {3i+1 : i<2000};
+    // arithmetic form of the same set
+    "multi_get_bulk" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 3 = 1 AND o_orderkey BETWEEN 1 AND 5998
+        |ORDER BY o_orderkey""".stripMargin,
     "scan_time_range" ->
       """SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'

@@ -38,6 +38,24 @@ object SnapshotQueries {
     "region_split_stats" -> ((s, d) =>
       regionStats(Tables.load(s, d, "lineitem"), "l_orderkey", 16, "l_quantity")
         .orderBy("region")),
+    // the 100 TB fact-fact join story: both sides written bucketed on
+    // the join key into the same bucket count, so the SortMergeJoin (and
+    // the groupBy on the same key) run with ZERO Exchange — the
+    // co-located join HBase gets from co-partitioned regions.
+    // Plan-asserted (no shuffle) in LayoutSpec; verified vs oracle here.
+    "bucket_join" -> ((s, d) => {
+      val sfx = Integer.toHexString(d.hashCode)
+      val (ot, lt) = (s"orders_bkt_$sfx", s"lineitem_bkt_$sfx")
+      Layout.writeBucketed(Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_totalprice"), "o_orderkey", 8, ot)
+      Layout.writeBucketed(Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity"), "l_orderkey", 8, lt)
+      val (o, l) = (s.table(ot), s.table(lt))
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -49,5 +67,10 @@ object SnapshotQueries {
         |       count(*) AS n_rows, min(l_orderkey) AS start_key, max(l_orderkey) AS end_key,
         |       round(sum(l_quantity), 4) AS sum_v
         |FROM lineitem, b GROUP BY 1 ORDER BY region""".stripMargin,
+    "bucket_join" ->
+      """SELECT o_orderkey, o_totalprice, count(*) AS n_items,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -101,6 +101,17 @@ object FilterQueries {
     "filter_parse" -> ((s, d) =>
       cellsOut(cc(s, d).where(ParseFilter.parse(
         "PrefixFilter('1') AND (ValueFilter(=, 'substring:build') OR QualifierFilter(>=, 'binary:c_nat'))")))),
+    // stateful DSL half 1: SKIP (row-window) + ColumnPaginationFilter
+    // (cell pagination window) — both row-local, so plain AND
+    // composition matches the reference FilterList in either order
+    "filter_parse_stateful" -> ((s, d) =>
+      cellsOut(ParseFilter.filter(cc(s, d),
+        "SKIP ValueFilter(!=, 'binary:AUTOMOBILE') AND ColumnPaginationFilter(2, 0)"))),
+    // stateful DSL half 2: WHILE (scan prefix via broadcast min-fail)
+    // + PageFilter (first-n rows via broadcast semi-join)
+    "filter_parse_while" -> ((s, d) =>
+      cellsOut(ParseFilter.filter(cc(s, d),
+        "WHILE RowFilter(!=, 'binary:500') AND PageFilter(100)"))),
     "filter_comparators" -> ((s, d) =>
       cellsOut(cc(s, d).where(
         Comparators.regex("^1.*9$")(col("rowkey"), EQUAL) ||
@@ -194,6 +205,21 @@ object FilterQueries {
       (C + s"""SELECT rowkey, family, qualifier, value FROM cells
               |WHERE rowkey LIKE '1%' AND (lower(value) LIKE '%build%' OR qualifier >= 'c_nat')
               |$cellsOrder""".stripMargin),
+    "filter_parse_stateful" ->
+      (C + s"""SELECT rowkey, family, qualifier, value FROM (
+              |  SELECT rowkey, family, qualifier, value,
+              |         row_number() OVER (PARTITION BY rowkey ORDER BY family, qualifier) AS rn
+              |  FROM cells
+              |  WHERE rowkey NOT IN (SELECT rowkey FROM cells WHERE value = 'AUTOMOBILE'))
+              |WHERE rn <= 2 $cellsOrder""".stripMargin),
+    "filter_parse_while" ->
+      ("WITH " + Tables.customerCellsSql + s""",
+              |pass AS (
+              |  SELECT * FROM cells
+              |  WHERE (SELECT count(*) FROM cells WHERE rowkey = '500') = 0 OR rowkey < '500'),
+              |topkeys AS (SELECT DISTINCT rowkey FROM pass ORDER BY rowkey LIMIT 100)
+              |SELECT rowkey, family, qualifier, value FROM pass
+              |WHERE rowkey IN (SELECT rowkey FROM topkeys) $cellsOrder""".stripMargin),
     "filter_comparators" ->
       (C + s"""SELECT rowkey, family, qualifier, value FROM cells
               |WHERE regexp_matches(rowkey, '^1.*9$$')

@@ -1,51 +1,141 @@
 package graft.filters
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The HBase filter-string DSL (hbase-client/.../filter/ParseFilter.java:52)
   * — the grammar every shell/REST/Thrift user goes through — re-expressed
-  * as a recursive-descent parser producing a Catalyst `Column` predicate
-  * over the standard cell view (rowkey / family / qualifier / value).
+  * as a recursive-descent parser over the standard cell view
+  * (rowkey / family / qualifier / value [/ ts]).
   *
-  * Supported grammar (the Column-expressible subset of the reference):
+  * Supported grammar (now the FULL reference grammar, stateful filters
+  * included):
   *
   *   expr    := term ( 'OR' term )*
   *   term    := factor ( 'AND' factor )*
-  *   factor  := '(' expr ')' | filter
+  *   factor  := '(' expr ')' | 'SKIP' factor | 'WHILE' factor | filter
   *   filter  := Name '(' args ')'
   *
-  * Filters: RowFilter(op, cmp) · ValueFilter(op, cmp) ·
-  * QualifierFilter(op, cmp) · FamilyFilter(op, cmp) ·
-  * PrefixFilter('p') · ColumnPrefixFilter('p') ·
-  * MultipleColumnPrefixFilter('p1', 'p2', ...) ·
-  * ColumnRangeFilter('min', minInc, 'max', maxInc) ·
-  * FuzzyRowFilter('pat') · InclusiveStopFilter('k') ·
-  * SingleColumnValueFilter('f','q',op,cmp).
+  * Cell-shaped filters (compile to a Column, composable anywhere):
+  * RowFilter(op, cmp) · ValueFilter(op, cmp) · QualifierFilter(op, cmp) ·
+  * FamilyFilter(op, cmp) · PrefixFilter('p') · ColumnPrefixFilter('p') ·
+  * MultipleColumnPrefixFilter('p1', ...) ·
+  * ColumnRangeFilter('min', minInc, 'max', maxInc) · FuzzyRowFilter('pat') ·
+  * InclusiveStopFilter('k') · SingleColumnValueFilter('f','q',op,cmp) ·
+  * ColumnPaginationFilter(limit, offset) · TimestampsFilter('ts', ...) ·
+  * SKIP f (drop the whole row if any cell fails f — a rowkey-partitioned
+  * window, like SingleColumnValueFilter).
   * Ops: `<  <=  =  !=  >=  >`. Comparators: `binary:` `binaryprefix:`
   * `substring:` `regexstring:` `long:` (ParseFilter.java prefixes).
-  * SKIP/WHILE and page-stateful filters carry scanner state and are
-  * deliberately not part of the Column grammar (see Filters.skipFilter /
-  * whileMatch for the DataFrame-transform forms).
+  *
+  * Scan-stateful filters (carry scanner position, so they compile to
+  * DataFrame TRANSFORMS inside [[filter]], not to a Column):
+  * `WHILE f` (WhileMatchFilter: emit rows until the first row failing f,
+  * lowered to the broadcast min-failing-rowkey join — no unpartitioned
+  * window) and `PageFilter(n)` (first n rows of the passing stream,
+  * lowered to a broadcast semi-join against the first n distinct
+  * rowkeys). Evaluation semantics, documented because a FilterList
+  * evaluates members in order while a DataFrame has no list position:
+  * WHILE's predicate is judged against the FULL scan (its usual role is
+  * the outermost wrapper), and PageFilter counts rows that passed every
+  * OTHER filter (its usual role is the final limiter). Both may appear
+  * only as top-level AND-terms — inside an OR their stream semantics
+  * are evaluation-order-defined even in the reference, so we reject
+  * rather than guess.
   */
 object ParseFilter {
   import CompareOp._
 
-  def parse(s: String): Column = {
+  // ---- AST: pure Column predicates vs scan-stateful transforms ----
+  private sealed trait Node
+  private final case class Pred(c: Column) extends Node
+  private final case class While(inner: Column) extends Node
+  private final case class Page(n: Long) extends Node
+  private final case class AndN(l: Node, r: Node) extends Node
+  private final case class OrN(l: Node, r: Node) extends Node
+
+  /** Parse a pure (Column-shaped) filter string. Stateful WHILE /
+    * PageFilter grammars cannot become a single Column — use
+    * [[filter]], which lowers them to DataFrame transforms. */
+  def parse(s: String): Column = toColumn(parseNode(s))
+
+  /** Apply a filter string to a cell view — the full grammar. Pure
+    * predicates (including window-shaped ones like
+    * SingleColumnValueFilter and SKIP) are materialized as a column
+    * first (Spark forbids window expressions directly inside WHERE);
+    * WHILE and PageFilter become broadcast-join transforms. */
+  def filter(df: DataFrame, s: String): DataFrame = lower(df, parseNode(s))
+
+  private def parseNode(s: String): Node = {
     val p = new P(s)
-    val c = p.expr()
+    val n = p.expr()
     p.ws()
     require(p.eof, s"trailing input at ${p.pos}: '${s.drop(p.pos)}'")
-    c
+    n
   }
 
-  /** Apply a filter string to a cell view. Unlike `df.where(parse(s))`,
-    * this works for grammars containing row-level filters
-    * (SingleColumnValueFilter compiles to a window expression, which
-    * Spark forbids directly inside WHERE): the predicate is
-    * materialized as a column first, then filtered on. */
-  def filter(df: org.apache.spark.sql.DataFrame, s: String): org.apache.spark.sql.DataFrame =
-    df.withColumn("_pf", parse(s)).where(org.apache.spark.sql.functions.col("_pf")).drop("_pf")
+  private def toColumn(n: Node): Column = n match {
+    case Pred(c)    => c
+    case AndN(l, r) => toColumn(l) && toColumn(r)
+    case OrN(l, r)  => toColumn(l) || toColumn(r)
+    case While(_) | Page(_) => throw new IllegalArgumentException(
+      "ParseFilter: WHILE / PageFilter carry scanner state and cannot " +
+        "compile to a Column — apply them with ParseFilter.filter(df, s)")
+  }
+
+  private def pure(n: Node): Boolean = n match {
+    case Pred(_)    => true
+    case AndN(l, r) => pure(l) && pure(r)
+    case OrN(l, r)  => pure(l) && pure(r)
+    case _          => false
+  }
+
+  /** Lower the AST onto a DataFrame. Stateful nodes must sit in the
+    * top-level AND chain; everything else folds into one predicate. */
+  private def lower(df: DataFrame, root: Node): DataFrame = {
+    // flatten the top-level AND chain
+    def terms(n: Node): Seq[Node] = n match {
+      case AndN(l, r) => terms(l) ++ terms(r)
+      case other      => Seq(other)
+    }
+    val ts = terms(root)
+    ts.foreach {
+      case o: OrN => require(pure(o),
+        "ParseFilter: WHILE / PageFilter inside OR have evaluation-order-" +
+          "defined semantics even in the reference FilterList — not supported")
+      case _ =>
+    }
+    val preds  = ts.collect { case p: Pred => p.c } ++
+                 ts.collect { case o: OrN => toColumn(o) }
+    val whiles = ts.collect { case w: While => w.inner }
+    val pages  = ts.collect { case pg: Page => pg.n }
+
+    // WHILE first (judged on the full scan): rows strictly before the
+    // first failing rowkey — min-fail aggregated then broadcast, the
+    // same scale-safe shape as Filters.whileMatch, but typed for any
+    // orderable rowkey (no Long.MaxValue sentinel).
+    val afterWhile = whiles.foldLeft(df) { (cur, inner) =>
+      val firstFail = df.agg(
+        min(when(coalesce(inner, lit(false)) === false, col("rowkey"))).as("_ff"))
+      cur.crossJoin(broadcast(firstFail))
+        .where(col("_ff").isNull || col("rowkey") < col("_ff"))
+        .drop("_ff")
+    }
+    // pure predicates (window-shaped ones need materialization)
+    val afterPred =
+      if (preds.isEmpty) afterWhile
+      else afterWhile.withColumn("_pf", preds.reduce(_ && _))
+        .where(col("_pf")).drop("_pf")
+    // PageFilter last: first n distinct rowkeys of the passing stream
+    pages.reduceOption(_ min _) match {
+      case None => afterPred
+      case Some(n) =>
+        val topKeys = afterPred.select("rowkey").distinct()
+          .orderBy("rowkey").limit(n.toInt)
+        afterPred.join(broadcast(topKeys), Seq("rowkey"), "leftsemi")
+    }
+  }
 
   private final class P(s: String) {
     var pos = 0
@@ -62,44 +152,85 @@ object ParseFilter {
       pos += tok.length
     }
 
-    def expr(): Column = {
-      var c = term()
-      while (peekWord == "OR") { eat("OR"); c = c || term() }
-      c
+    def expr(): Node = {
+      var n = term()
+      while (peekWord == "OR") { eat("OR"); n = OrN(n, term()) }
+      n
     }
-    def term(): Column = {
-      var c = factor()
-      while (peekWord == "AND") { eat("AND"); c = c && factor() }
-      c
+    def term(): Node = {
+      var n = factor()
+      while (peekWord == "AND") { eat("AND"); n = AndN(n, factor()) }
+      n
     }
-    def factor(): Column = {
+    def factor(): Node = {
       ws()
-      if (!eof && s.charAt(pos) == '(') { eat("("); val c = expr(); eat(")"); c }
-      else filter()
+      if (!eof && s.charAt(pos) == '(') { eat("("); val n = expr(); eat(")"); n }
+      else peekWord match {
+        case "SKIP" =>
+          eat("SKIP")
+          val inner = factor()
+          require(pure(inner), "ParseFilter: SKIP wraps a cell predicate, " +
+            "not a scan-stateful filter")
+          // SkipFilter.java: if ANY cell of the row fails, drop the whole
+          // row; a null comparator result counts as failure (same
+          // coalesce as Filters.skipFilter).
+          val w = Window.partitionBy("rowkey")
+          Pred(max(when(coalesce(toColumn(inner), lit(false)) === false, 1)
+            .otherwise(0)).over(w) === 0)
+        case "WHILE" =>
+          eat("WHILE")
+          val inner = factor()
+          require(pure(inner), "ParseFilter: WHILE wraps a cell predicate, " +
+            "not another scan-stateful filter")
+          While(toColumn(inner))
+        case _ => filter()
+      }
     }
 
-    def filter(): Column = {
+    def filter(): Node = {
       val name = peekWord; pos += name.length
       eat("(")
-      val c = name match {
-        case "PrefixFilter"        => val p = quoted(); col("rowkey").startsWith(p)
-        case "ColumnPrefixFilter"  => val p = quoted(); col("qualifier").startsWith(p)
-        case "MultipleColumnPrefixFilter" =>
+      val n: Node = name match {
+        case "PrefixFilter"        => Pred { val p = quoted(); col("rowkey").startsWith(p) }
+        case "ColumnPrefixFilter"  => Pred { val p = quoted(); col("qualifier").startsWith(p) }
+        case "MultipleColumnPrefixFilter" => Pred {
           val ps = scala.collection.mutable.ListBuffer(quoted())
           while ({ ws(); !eof && s.charAt(pos) == ',' }) { eat(","); ps += quoted() }
           ps.map(col("qualifier").startsWith(_)).reduce(_ || _)
-        case "ColumnRangeFilter" =>
+        }
+        case "ColumnRangeFilter" => Pred {
           val lo = quoted(); eat(","); val loInc = word() == "true"
           eat(","); val hi = quoted(); eat(","); val hiInc = word() == "true"
           Filters.columnRange(lo, loInc, hi, hiInc)
+        }
         case "FuzzyRowFilter" =>
-          val p = quoted(); Filters.fuzzyRowFilter(col("rowkey"), p)
-        case "InclusiveStopFilter" => val k = quoted(); col("rowkey") <= lit(k)
-        case "RowFilter"           => cmpFilter(col("rowkey"))
-        case "ValueFilter"         => cmpFilter(col("value"))
-        case "QualifierFilter"     => cmpFilter(col("qualifier"))
-        case "FamilyFilter"        => cmpFilter(col("family"))
-        case "SingleColumnValueFilter" =>
+          Pred { val p = quoted(); Filters.fuzzyRowFilter(col("rowkey"), p) }
+        case "InclusiveStopFilter" => Pred { val k = quoted(); col("rowkey") <= lit(k) }
+        case "RowFilter"           => Pred(cmpFilter(col("rowkey")))
+        case "ValueFilter"         => Pred(cmpFilter(col("value")))
+        case "QualifierFilter"     => Pred(cmpFilter(col("qualifier")))
+        case "FamilyFilter"        => Pred(cmpFilter(col("family")))
+        case "PageFilter" =>
+          // PageFilter.java: at most n rows. Scanner state — lowered in
+          // ParseFilter.filter to a broadcast semi-join on the first n
+          // passing rowkeys.
+          Page(number())
+        case "ColumnPaginationFilter" =>
+          // ColumnPaginationFilter.java(limit, offset): per row, `limit`
+          // cells starting at 0-based `offset`, in (family, qualifier)
+          // order — row-local, so a rowkey-partitioned window Column
+          // (mirrors Filters.columnPagination).
+          val limit = number(); eat(","); val offset = number()
+          val w = Window.partitionBy("rowkey").orderBy("family", "qualifier")
+          val rn = row_number().over(w)
+          Pred(rn > offset.toInt && rn <= (offset + limit).toInt)
+        case "TimestampsFilter" => Pred {
+          // TimestampsFilter.java: cell version ts ∈ explicit list.
+          val ts = scala.collection.mutable.ListBuffer(quoted())
+          while ({ ws(); !eof && s.charAt(pos) == ',' }) { eat(","); ts += quoted() }
+          col("ts").isInCollection(ts.map(lit(_).cast("timestamp")))
+        }
+        case "SingleColumnValueFilter" => Pred {
           // ROW-level semantics like the reference: the row passes when
           // its (family, qualifier) cell satisfies the comparator, and
           // ALL the row's cells are emitted. Expressed as a window-max
@@ -110,16 +241,17 @@ object ParseFilter {
           val f = quoted(); eat(","); val q = quoted(); eat(",")
           val isTarget = col("family") === f && col("qualifier") === q
           val cellHit = isTarget && coalesce(cmpFilter(col("value")), lit(false))
-          val w = org.apache.spark.sql.expressions.Window.partitionBy("rowkey")
+          val w = Window.partitionBy("rowkey")
           // reference default filterIfMissing=false: rows LACKING the
           // column pass through, rows having it pass iff the value hits
           max(when(cellHit, 1).otherwise(0)).over(w) === 1 ||
             max(when(isTarget, 1).otherwise(0)).over(w) === 0
+        }
         case other => throw new IllegalArgumentException(
           s"ParseFilter: unsupported filter '$other'")
       }
       eat(")")
-      c
+      n
     }
 
     /** `op, 'comparator:value'` argument pair. */
@@ -148,6 +280,13 @@ object ParseFilter {
       val w = peekWord
       pos += w.length
       w
+    }
+
+    /** bare integer literal (PageFilter / ColumnPaginationFilter args). */
+    private def number(): Long = {
+      val w = word()
+      require(w.nonEmpty && w.forall(_.isDigit), s"expected number, got '$w'")
+      w.toLong
     }
 
     private def opToken(): CompareOp.Value = {

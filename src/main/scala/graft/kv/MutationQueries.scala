@@ -66,6 +66,20 @@ object MutationQueries {
       Mutations.checkAndDelete(base, dels, "c_custkey", col("c_acctbal") < 0)
         .orderBy("c_custkey")
     }),
+    // version-exact deletes on the versioned cell view: drop the LATEST
+    // version of every column of every 7th user (deleteColumn with ts =
+    // that version's timestamp), then a family-scoped up-to-ts delete
+    // for every 13th user (deleteFamily(ts))
+    "delete_version" -> ((s, d) => {
+      val v = Tables.eventCells(s, d)
+      val dels = v.where(pmod(col("rowkey"), lit(7)) === 0)
+        .groupBy("rowkey", "family", "qualifier").agg(max(col("ts")).as("ts"))
+      Mutations.deleteFamilyBefore(
+          Mutations.deleteVersion(v, dels),
+          pmod(col("rowkey"), lit(13)) === 0, "ev",
+          lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select("rowkey", "qualifier", "ts", "value", "event_id").orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,5 +127,16 @@ object MutationQueries {
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE NOT (c_custkey % 10 = 0 AND c_acctbal < 0)
         |ORDER BY c_custkey""".stripMargin,
+    "delete_version" ->
+      ("WITH " + Tables.eventCellsSql + s""",
+         |dels AS (SELECT rowkey, family, qualifier, max(ts) AS ts FROM vcells
+         |         WHERE rowkey % 7 = 0 GROUP BY 1, 2, 3)
+         |SELECT rowkey, qualifier, ts, value, event_id FROM vcells v
+         |WHERE NOT EXISTS (SELECT 1 FROM dels d
+         |                  WHERE d.rowkey = v.rowkey AND d.family = v.family
+         |                    AND d.qualifier = v.qualifier AND d.ts = v.ts)
+         |  AND NOT (v.rowkey % 13 = 0 AND v.family = 'ev'
+         |           AND v.ts <= TIMESTAMP '2024-01-03 00:00:00')
+         |ORDER BY event_id""".stripMargin),
   )
 }

@@ -52,6 +52,25 @@ object Mutations {
   def deleteQualifier(base: DataFrame, keyPred: Column, qualifier: String): DataFrame =
     base.withColumn(qualifier, when(keyPred, lit(null)).otherwise(col(qualifier)))
 
+  /** Version-exact delete (Delete.deleteColumn(family, qualifier, ts)):
+    * remove exactly the cell versions named by coordinate+timestamp.
+    * A delete marker at ts covers EVERY cell of that column carrying
+    * that exact ts (two same-ts versions both die — HBase resolves the
+    * marker against the timestamp, not a version ordinal), which is
+    * precisely an anti-join on the 4-tuple. */
+  def deleteVersion(vcells: DataFrame, deletes: DataFrame): DataFrame =
+    vcells.join(
+      deletes.select("rowkey", "family", "qualifier", "ts").distinct(),
+      Seq("rowkey", "family", "qualifier", "ts"), "left_anti")
+
+  /** Family-scoped timestamp-bounded delete (Delete.deleteFamily(ts):
+    * everything in the family at or before ts, for the keyed rows).
+    * Pure predicate — no join, survives any scale. */
+  def deleteFamilyBefore(vcells: DataFrame, keyPred: Column, family: String,
+                         maxTs: Column): DataFrame =
+    vcells.where(!(keyPred && col("family") === family && col("ts") <= maxTs) ||
+      col("ts").isNull)
+
   /** Increment — HBase atomic counters. At analytics scale a batch of
     * increments is a groupBy-sum merged into the counter table:
     * map-side partial sums ≈ per-regionserver combining. */

@@ -35,10 +35,29 @@ object Scans {
     df.where(col(keyCol) === key).select(projection.map(col): _*)
 
   /** HTable.get(List[Get]) — batched point reads. An IN-list stays a
-    * pushed-down predicate; for large batches use a broadcast semi-join. */
+    * pushed-down predicate up to `inListThreshold` keys; past that the
+    * predicate stops being scan-prunable (and the task binary bloats
+    * with literals), so the batch switches to [[multiGetBulk]]. */
   def multiGet(df: DataFrame, keyCol: String, keys: Seq[Long],
-               projection: Seq[String]): DataFrame =
-    df.where(col(keyCol).isInCollection(keys))
+               projection: Seq[String], inListThreshold: Int = 1000): DataFrame =
+    if (keys.size <= inListThreshold)
+      df.where(col(keyCol).isInCollection(keys))
+        .select(projection.map(col): _*)
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      multiGetBulk(df, keyCol, keys.toDF(keyCol), projection)
+    }
+
+  /** Large-batch Gets (a 100k-key Get list is a routine HBase access
+    * pattern): broadcast hash SEMI-join of the key set against the
+    * table. The key batch — tiny next to the table — is the broadcast
+    * side; the table streams through one scan pass with NO shuffle of
+    * the big side (plan-asserted in the spec). At cluster scale this is
+    * exactly the multi-get fan-out a region client does, minus the RPC. */
+  def multiGetBulk(df: DataFrame, keyCol: String, keys: DataFrame,
+                   projection: Seq[String]): DataFrame =
+    df.join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "leftsemi")
       .select(projection.map(col): _*)
 
   /** Scan.setTimeRange(min, max) over versioned cells — [min, max). */

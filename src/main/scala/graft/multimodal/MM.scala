@@ -1,37 +1,139 @@
 package graft.multimodal
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: media payloads as opaque `binary`
-  * columns with typed metadata beside them. The Spark-side plumbing is
-  * real — a true BinaryType column flows through the plan, metadata is
-  * computed from it, the schema is what a decode stage downstream would
-  * consume. The decode itself (image/audio codecs are not in this
-  * container) is a clearly-marked deterministic STUB: format/dims are
-  * derived from doc_id, decode_ok from the payload — swap
-  * `stubDecode` for a real mapInPandas/mapPartitions decoder without
-  * touching the rest of the pipeline.
+  * columns with typed metadata extracted FROM THE BYTES.
+  *
+  * The container has no image/audio codecs and the testdata carries no
+  * media files, so [[synthesizePayload]] stands in for the ingest side:
+  * it wraps each document's bytes in a GENUINE container header — PNG
+  * signature + IHDR chunk, JPEG SOI + APP0/COM/SOF0 segment chain (COM
+  * length varies per doc so a fixed-offset "parser" would fail), or a
+  * RIFF/WAVE fmt chunk — with width/height/sample-rate encoded
+  * big-/little-endian exactly as the formats specify.
+  *
+  * [[decode]] is the real operator: it never looks at doc_id — format
+  * comes from the magic bytes, PNG dims from the IHDR fields (bytes
+  * 17..24, big-endian), JPEG dims from walking the segment chain to
+  * SOF0 (marker FFC0, length-prefixed hops from offset 3), WAV sample
+  * rate from the fmt chunk (bytes 25..28, little-endian). All byte
+  * arithmetic runs on the hex image of the payload via substr/conv —
+  * plain codegen'd expressions, no UDF — and the DuckDB oracle performs
+  * the same walk, so mm_meta is a full-oracle row.
+  *
+  * A real pixel/sample decode would slot in downstream as a
+  * mapInPandas/mapPartitions stage over the same payload column; header
+  * parsing staying native keeps the 100 TB triage scan (format/dims
+  * routing, corrupt-file filtering) inside whole-stage codegen.
   */
 object MM {
 
-  /** documents.text → a binary payload column (the stand-in for real
-    * image/audio bytes; byte-accurate for ASCII so the oracle agrees). */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+  // ---- byte-level construction helpers (Column → binary) ----
 
-  /** STUB decode — deterministic fake metadata in place of a codec. */
-  def stubDecode(withBytes: DataFrame): DataFrame =
-    withBytes.select(
+  /** n as `nbytes` big-endian bytes. */
+  private def be(n: Column, nbytes: Int): Column =
+    unhex(lpad(hex(n), nbytes * 2, "0"))
+
+  /** byte k (little-endian order) of n. */
+  private def byteAt(n: Column, k: Int): Column =
+    pmod(floor(n.cast("double") / math.pow(256, k)).cast("bigint"), lit(256))
+
+  /** n as `nbytes` little-endian bytes. */
+  private def le(n: Column, nbytes: Int): Column =
+    concat((0 until nbytes).map(k => unhex(lpad(hex(byteAt(n, k)), 2, "0"))): _*)
+
+  private def bytes(hexStr: String): Column = unhex(lit(hexStr))
+  private def ascii(s: String): Column = lit(s).cast("binary")
+
+  /** documents.text → a binary payload column wearing a real media
+    * container header (the ingest-side stand-in; see scaladoc). */
+  def synthesizePayload(docs: DataFrame): DataFrame = {
+    val body = col("text").cast("binary")
+    val fmt = col("doc_id") % 3
+    val w = lit(64) + col("doc_id") % 512
+    val h = lit(64) + (col("doc_id") * 7) % 512
+    val sr = lit(8000) + (expr("doc_id div 3") % 3) * 8000
+    val pad = lit(3) + col("doc_id") % 5
+    val bodyLen = length(body).cast("bigint")
+
+    val png = concat(
+      bytes("89504E470D0A1A0A"),                   // signature
+      be(lit(13), 4), ascii("IHDR"),               // IHDR chunk header
+      be(w, 4), be(h, 4),                          // width, height (BE)
+      bytes("0806000000"),                         // depth/color/comp/filter/interlace
+      body)
+    val jpeg = concat(
+      bytes("FFD8"),                               // SOI
+      bytes("FFE0"), be(lit(16), 2),               // APP0, len 16
+      ascii("JFIF"), bytes("00"), bytes("0101"), bytes("00"),
+      be(lit(1), 2), be(lit(1), 2), bytes("0000"),
+      bytes("FFFE"), be(pad + 2, 2),               // COM, doc-varying length
+      expr("repeat('X', cast(3 + doc_id % 5 as int))").cast("binary"),
+      bytes("FFC0"), be(lit(17), 2), bytes("08"),  // SOF0, len 17, precision 8
+      be(h, 2), be(w, 2),                          // height, width (BE)
+      bytes("03011100021101031101"),               // 3 components
+      body)
+    val wav = concat(
+      ascii("RIFF"), le(bodyLen + 36, 4), ascii("WAVE"),
+      ascii("fmt "), le(lit(16), 4),               // fmt chunk, len 16
+      le(lit(1), 2), le(lit(1), 2),                // PCM, mono
+      le(sr, 4), le(sr * 2, 4),                    // sample rate, byte rate (LE)
+      le(lit(2), 2), le(lit(16), 2),               // block align, bits/sample
+      ascii("data"), le(bodyLen, 4),
+      body)
+
+    docs.select(col("doc_id"),
+      when(fmt === 1, png).when(fmt === 0, jpeg).otherwise(wav).as("payload"))
+  }
+
+  // ---- byte-level parsing helpers (over the hex image `_h`) ----
+
+  /** hex chars of `len` bytes at 1-based byte offset `i`. */
+  private def hx(i: Column, len: Int): Column =
+    col("_h").substr(((i - 1) * 2 + 1).cast("int"), lit(2 * len))
+
+  /** big-endian unsigned int of `len` bytes at byte offset `i`. */
+  private def bei(i: Column, len: Int): Column =
+    conv(hx(i, len), 16, 10).cast("bigint")
+
+  /** little-endian unsigned int of `len` bytes at byte offset `i`. */
+  private def lei(i: Column, len: Int): Column =
+    (0 until len).map(k => bei(i + k, 1) * lit(math.pow(256, k).toLong)).reduce(_ + _)
+
+  /** Extract typed metadata from the payload BYTES (never doc_id). */
+  def decode(withBytes: DataFrame): DataFrame = {
+    val hexed = withBytes.withColumn("_h", hex(col("payload")))
+    val isPng  = hx(lit(1), 8) === "89504E470D0A1A0A"
+    val isJpeg = hx(lit(1), 2) === "FFD8"
+    val isWav  = hx(lit(1), 4) === "52494646" // "RIFF"
+    // JPEG: walk the length-prefixed segment chain from offset 3 until
+    // the SOF0 marker (FFC0). Bounded to 3 hops — enough for the
+    // SOI/APP0/COM/SOF0 layouts synthesized here; a deeper chain just
+    // parses as unknown dims rather than mis-parsing.
+    val n1 = lit(5) + bei(lit(5), 2)              // after segment 1
+    val n2 = n1 + 2 + bei(n1 + 2, 2)              // after segment 2
+    val sof = when(hx(lit(3), 2) === "FFC0", lit(3L))
+      .when(hx(n1, 2) === "FFC0", n1)
+      .when(hx(n2, 2) === "FFC0", n2)
+    val format = when(isPng, "png").when(isJpeg, "jpeg")
+      .when(isWav, "wav").otherwise("unknown")
+    val width = when(isPng, bei(lit(17), 4)).when(isJpeg, bei(sof + 7, 2))
+    val height = when(isPng, bei(lit(21), 4)).when(isJpeg, bei(sof + 5, 2))
+    val sampleRate = when(isWav, lei(lit(25), 4))
+    hexed.select(
       col("doc_id"),
       length(col("payload")).as("n_bytes"),
-      when(col("doc_id") % 3 === 0, "jpeg")
-        .when(col("doc_id") % 3 === 1, "png")
-        .otherwise("wav").as("format"),
-      (lit(64) + col("doc_id") % 512).as("width"),
-      (lit(64) + (col("doc_id") * 7) % 512).as("height"),
-      when(col("doc_id") % 3 === 2, 16000).otherwise(lit(null).cast("int")).as("sample_rate"),
-      (length(col("payload")) > 0).as("decode_ok"))
+      format.as("format"),
+      width.as("width"),
+      height.as("height"),
+      sampleRate.as("sample_rate"),
+      coalesce(
+        when(isPng || isJpeg, width > 0 && height > 0)
+          .when(isWav, sampleRate > 0).otherwise(lit(false)),
+        lit(false)).as("decode_ok"))
+  }
 
-  def meta(docs: DataFrame): DataFrame = stubDecode(withPayload(docs))
+  def meta(docs: DataFrame): DataFrame = decode(synthesizePayload(docs))
 }

@@ -27,16 +27,25 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2G dedup ----
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("keeper")),
-    // pruneUnique=false: this corpus shares a ~30-word vocabulary, so
-    // df=1 shingles are 0.08% — the pruning passes cost more than the
-    // join they would shrink (flip on for natural corpora)
+    // df-ceiling on: shingles in more than 8 docs stay out of the
+    // self-join (the O(df²) blow-up mode at web scale), candidates need
+    // ≥2 shared rare shingles, and every reported pair is verified
+    // against the FULL shingle sets — the oracle mirrors the same
+    // capped-candidates + exact-verify semantics, so this is a full
+    // oracle row, not rows-only.
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(docs(s, d), 0.5, pruneUnique = false).orderBy("i", "j")),
+      Dedup.ngramJaccard(docs(s, d), 0.5, pruneUnique = false,
+        maxDf = Some(8), minShared = 2).orderBy("i", "j")),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), 0.5).orderBy("i", "j")),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("i", "j")),
     "dedup_embedding" -> ((s, d) =>
       Ann.nearestNeighborReport(emb(s, d), 0.45).orderBy("vec_id")),
+    // the 100 TB path for the same report: IVF cell join, no full-corpus
+    // broadcast. rows-only (float-mean centroids have no portable SQL
+    // form); recall vs the exact report + plan shape are spec-asserted.
+    "dedup_embedding_ivf" -> ((s, d) =>
+      Ann.nearestNeighborReportIvf(emb(s, d), 0.45).orderBy("vec_id")),
     // ---- §2H similarity ----
     "ann_bruteforce" -> ((s, d) =>
       Ann.bruteForce(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
@@ -62,10 +71,35 @@ object PipelineQueries {
 
   private val markerIn = TextOps.EnMarkers.map(w => s"'$w'").mkString(", ")
 
+  // ---- DuckDB byte-arithmetic helpers for the mm_meta oracle (mirror
+  //      MM.scala's synthesis/parse exactly; all offsets 1-based) ----
+  /** n as `nbytes` big-endian bytes (BLOB). */
+  private def ddBe(n: String, nbytes: Int): String =
+    s"unhex(lpad(upper(to_hex($n)), ${nbytes * 2}, '0'))"
+  /** n as `nbytes` little-endian bytes (BLOB). */
+  private def ddLe(n: String, nbytes: Int): String =
+    (0 until nbytes).map(k =>
+      s"unhex(lpad(upper(to_hex((($n) // ${math.pow(256, k).toLong}) % 256)), 2, '0'))")
+      .mkString("(", " || ", ")")
+  /** hex string → unsigned int (DuckDB has no conv(); fold the chars). */
+  private def ddHex2Int(h: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($h, ''), " +
+      s"c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)), (a, x) -> a * 16 + x)"
+  /** hex chars of `len` bytes at byte offset `i` of the hex image `h`. */
+  private def ddHx(i: String, len: Int): String =
+    s"substr(h, 2 * ($i) - 1, ${2 * len})"
+  private def ddBei(i: String, len: Int): String = ddHex2Int(ddHx(i, len))
+  private def ddLei(i: String, len: Int): String =
+    (0 until len).map(k =>
+      s"${math.pow(256, k).toLong} * (${ddBei(s"($i) + $k", 1)})").mkString("(", " + ", ")")
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents
         |GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+    // mirrors the capped Spark path exactly: df ∈ [2, 8] shingles feed
+    // the candidate join, candidates need ≥2 shared, verify = full-set
+    // list_intersect
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |sh AS (SELECT doc_id,
@@ -73,12 +107,17 @@ object PipelineQueries {
         |                        for i in range(1, len(ts) - 1)]) AS shs
         |       FROM tok WHERE len(ts) >= 3),
         |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-        |pairs AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |sizes AS (SELECT doc_id, len(shs) AS n FROM sh)
+        |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s)
+        |         WHERE df BETWEEN 2 AND 8),
+        |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+        |cand AS (SELECT a.doc_id AS i, b.doc_id AS j
+        |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2 HAVING count(*) >= 2),
+        |v AS (SELECT i, j, len(list_intersect(sa.shs, sb.shs)) AS inter,
+        |             len(sa.shs) AS ni, len(sb.shs) AS nj
+        |      FROM cand c JOIN sh sa ON c.i = sa.doc_id JOIN sh sb ON c.j = sb.doc_id)
         |SELECT i, j, jaccard FROM (
-        |  SELECT i, j, round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
-        |  FROM pairs p JOIN sizes sa ON p.i = sa.doc_id JOIN sizes sb ON p.j = sb.doc_id)
+        |  SELECT i, j, round(inter * 1.0 / (ni + nj - inter), 4) AS jaccard FROM v)
         |WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin,
     "dedup_embedding" ->
       (s"""WITH scored AS (
@@ -136,17 +175,70 @@ object PipelineQueries {
         |       list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
         |                   (h, c) -> (h * 31 + c) % 1000000007) AS prefix_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "mm_meta" ->
-      """SELECT doc_id,
-        |       octet_length(CAST(text AS BLOB)) AS n_bytes,
-        |       CASE WHEN doc_id % 3 = 0 THEN 'jpeg' WHEN doc_id % 3 = 1 THEN 'png'
-        |            ELSE 'wav' END AS format,
-        |       64 + doc_id % 512 AS width,
-        |       64 + (doc_id * 7) % 512 AS height,
-        |       CASE WHEN doc_id % 3 = 2 THEN 16000 ELSE NULL END AS sample_rate,
-        |       octet_length(CAST(text AS BLOB)) > 0 AS decode_ok
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // dedup_minhash_lsh, dedup_simhash, ann_ivf: rows-only (xxhash64 /
-    // float-mean centroids have no portable SQL form) — no entries here.
+    // synthesizes the same header-wearing payloads as MM.synthesizePayload,
+    // then parses width/height/sample_rate back FROM THE BYTES (hex-image
+    // arithmetic + the same bounded JPEG segment walk as MM.decode)
+    "mm_meta" -> {
+      val n1 = s"5 + ${ddBei("5", 2)}"
+      val n2 = s"$n1 + 2 + ${ddBei(s"$n1 + 2", 2)}"
+      s"""WITH params AS (
+         |  SELECT doc_id, CAST(text AS BLOB) AS body,
+         |         doc_id % 3 AS fmt,
+         |         64 + doc_id % 512 AS w, 64 + (doc_id * 7) % 512 AS ht,
+         |         8000 + ((doc_id // 3) % 3) * 8000 AS sr,
+         |         3 + doc_id % 5 AS pad
+         |  FROM documents),
+         |payloads AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN fmt = 1 THEN
+         |        unhex('89504E470D0A1A0A') || ${ddBe("13", 4)} || encode('IHDR') ||
+         |        ${ddBe("w", 4)} || ${ddBe("ht", 4)} || unhex('0806000000') || body
+         |      WHEN fmt = 0 THEN
+         |        unhex('FFD8') ||
+         |        unhex('FFE0') || ${ddBe("16", 2)} || encode('JFIF') || unhex('00') ||
+         |          unhex('0101') || unhex('00') || ${ddBe("1", 2)} || ${ddBe("1", 2)} ||
+         |          unhex('0000') ||
+         |        unhex('FFFE') || ${ddBe("2 + pad", 2)} ||
+         |          encode(repeat('X', CAST(pad AS INT))) ||
+         |        unhex('FFC0') || ${ddBe("17", 2)} || unhex('08') ||
+         |          ${ddBe("ht", 2)} || ${ddBe("w", 2)} ||
+         |          unhex('03011100021101031101') || body
+         |      ELSE
+         |        encode('RIFF') || ${ddLe("36 + octet_length(body)", 4)} || encode('WAVE') ||
+         |        encode('fmt ') || ${ddLe("16", 4)} || ${ddLe("1", 2)} || ${ddLe("1", 2)} ||
+         |        ${ddLe("sr", 4)} || ${ddLe("sr * 2", 4)} || ${ddLe("2", 2)} || ${ddLe("16", 2)} ||
+         |        encode('data') || ${ddLe("octet_length(body)", 4)} || body
+         |    END AS payload
+         |  FROM params),
+         |hexed AS (SELECT doc_id, payload, upper(hex(payload)) AS h FROM payloads),
+         |walk AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${ddHx("3", 2)} = 'FFC0' THEN 3
+         |         WHEN ${ddHx(n1, 2)} = 'FFC0' THEN $n1
+         |         WHEN ${ddHx(n2, 2)} = 'FFC0' THEN $n2
+         |         END AS sof
+         |  FROM hexed WHERE ${ddHx("1", 2)} = 'FFD8'),
+         |parsed AS (
+         |  SELECT x.doc_id,
+         |    octet_length(payload) AS n_bytes,
+         |    CASE WHEN ${ddHx("1", 8)} = '89504E470D0A1A0A' THEN 'png'
+         |         WHEN ${ddHx("1", 2)} = 'FFD8' THEN 'jpeg'
+         |         WHEN ${ddHx("1", 4)} = '52494646' THEN 'wav' ELSE 'unknown' END AS format,
+         |    CASE WHEN ${ddHx("1", 8)} = '89504E470D0A1A0A' THEN ${ddBei("17", 4)}
+         |         WHEN ${ddHx("1", 2)} = 'FFD8' THEN ${ddBei("wk.sof + 7", 2)} END AS width,
+         |    CASE WHEN ${ddHx("1", 8)} = '89504E470D0A1A0A' THEN ${ddBei("21", 4)}
+         |         WHEN ${ddHx("1", 2)} = 'FFD8' THEN ${ddBei("wk.sof + 5", 2)} END AS height,
+         |    CASE WHEN ${ddHx("1", 4)} = '52494646' THEN ${ddLei("25", 4)} END AS sample_rate
+         |  FROM hexed x LEFT JOIN walk wk ON x.doc_id = wk.doc_id)
+         |SELECT doc_id, n_bytes, format, width, height, sample_rate,
+         |       coalesce(CASE WHEN format IN ('png','jpeg') THEN width > 0 AND height > 0
+         |                     WHEN format = 'wav' THEN sample_rate > 0 ELSE false END,
+         |                false) AS decode_ok
+         |FROM parsed ORDER BY doc_id""".stripMargin
+    },
+    // dedup_minhash_lsh, dedup_simhash, ann_ivf, dedup_embedding_ivf:
+    // rows-only (xxhash64 / float-mean centroids have no portable SQL
+    // form) — no entries here.
   )
 }

@@ -27,16 +27,24 @@ object VectorOps {
 object Ann {
   import VectorOps._
 
-  /** Scale-safe distributed top-k: per-partition top-k first (parallel
-    * windows over (query, partition)), then the global k from the
-    * surviving k×P rows — candidates never all shuffle into one
-    * partition per query. */
-  def topK(scored: DataFrame, queryCol: String, orderBy: Seq[Column], k: Int): DataFrame = {
-    val local = Window.partitionBy(col(queryCol), col("_pid")).orderBy(orderBy: _*)
-    val global = Window.partitionBy(col(queryCol)).orderBy(orderBy: _*)
-    scored.withColumn("_pid", spark_partition_id())
-      .withColumn("_lr", row_number().over(local)).where(col("_lr") <= k).drop("_lr", "_pid")
-      .withColumn("rank", row_number().over(global)).where(col("rank") <= k)
+  /** Scale-safe distributed top-k per query, ordered (score desc,
+    * nn_id asc): the bounded-state [[TopKStruct]] aggregate. Map-side
+    * partial aggregation reduces every partition to ≤ k rows of heap
+    * state BEFORE the shuffle, so no candidate row ever shuffles — one
+    * hash shuffle of k-row buffers replaces the former two-window form
+    * (local + global row_number), which sorted and shuffled the whole
+    * candidate stream twice. The (score, -nn_id) struct makes the
+    * ordering total, so output is deterministic. */
+  def topK(scored: DataFrame, queryCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val payload = struct(col("_score").as("s"), (-col("nn_id")).cast("bigint").as("negid"))
+    val agg = ColumnBridge.column(
+      TopKStruct(ColumnBridge.expression(payload), k).toAggregateExpression())
+    scored.groupBy(queryCol)
+      .agg(agg.as("_top"))
+      .select(col(queryCol), posexplode(col("_top")))
+      .select(col(queryCol), (-col("col.negid")).as("nn_id"),
+        col("col.s").as("_score"), (col("pos") + 1).as("rank"))
   }
 
   /** Exact brute-force cosine top-k: broadcast the (small) query side
@@ -51,7 +59,7 @@ object Ann {
     val scored = v.crossJoin(broadcast(q))
       .where(col("nn_id") =!= col("q_id"))
       .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
-    topK(scored, "q_id", Seq(col("_score").desc, col("nn_id")), k)
+    topK(scored, "q_id", k)
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
   }
 
@@ -88,13 +96,27 @@ object Ann {
     val scored = probes.join(assigned, Seq("cell"))
       .where(col("nn_id") =!= col("q_id"))
       .withColumn("_score", dot("q_emb", "embedding") / (norm("q_emb") * norm("embedding")))
-    topK(scored, "q_id", Seq(col("_score").desc, col("nn_id")), k)
+    topK(scored, "q_id", k)
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
   }
 
+  /** Embedding near-dup at scale: the same per-vector nearest-neighbor
+    * report as [[nearestNeighborReport]], but routed through the IVF
+    * cell join — every vector probes only its `nprobe` nearest cells
+    * instead of broadcasting the whole corpus. Approximate (the true NN
+    * can live in an unprobed cell; recall vs the exact report is
+    * spec-asserted), and the only shape that survives 100 TB: the
+    * broadcast is k centroids, the join is an equi-join on cell id. */
+  def nearestNeighborReportIvf(vectors: DataFrame, threshold: Double,
+                               nCells: Int = 16, nprobe: Int = 4): DataFrame =
+    ivf(vectors, vectors, 1, nCells, nprobe)
+      .select(col("q_id").as("vec_id"), col("nn_id"),
+        col("score").as("cos"), (col("score") >= threshold).as("is_dup"))
+
   /** Embedding near-dup: every vector's exact nearest neighbor with a
     * duplicate flag at `threshold` cosine. Brute-force is the baseline
-    * (full oracle); `ivf` above is the scale path for the same report. */
+    * (full oracle); [[nearestNeighborReportIvf]] is the scale path for
+    * the same report. */
   def nearestNeighborReport(vectors: DataFrame, threshold: Double): DataFrame = {
     val a = vectors.select(col("vec_id"), col("embedding"))
       .withColumn("_an", norm("embedding"))

@@ -37,6 +37,87 @@ class PipelineSpec extends SparkSpec {
       || plan.contains("ShuffledHashJoin"), s"no equi-join on cell in:\n$plan")
   }
 
+  test("ngram df-ceiling: capped pairs are a subset carrying exact full-set jaccard") {
+    import spark.implicits._
+    val exact = Dedup.ngramJaccard(docs, 0.3)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val capped = Dedup.ngramJaccard(docs, 0.3, maxDf = Some(8), minShared = 2)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(capped.keySet.subsetOf(exact.keySet),
+      "df-capped candidates produced a pair the exact path does not have")
+    capped.foreach { case (k, j) =>
+      assert(exact(k) == j, s"pair $k: capped jaccard $j != exact ${exact(k)}")
+    }
+  }
+
+  test("ngram df-ceiling: high-df shingles stay out of the join, rare-shingle dups found") {
+    import spark.implicits._
+    // docs 1/2 are near-dups sharing RARE shingles (df=2); docs 10..13
+    // share only an ultra-common shingle (df=4 > cap) — the blow-up mode
+    // the ceiling exists for. With maxDf=3 the spam quartet must
+    // produce no candidates while the true pair survives with its exact
+    // full-set jaccard.
+    val planted = Seq(
+      (1L, "rare one two three four five six"),
+      (2L, "rare one two three four five seven"),
+      (10L, "the quick fox aa bb cc"),
+      (11L, "the quick fox dd ee ff"),
+      (12L, "the quick fox gg hh ii"),
+      (13L, "the quick fox jj kk ll")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccard(planted, 0.5, maxDf = Some(3), minShared = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.6667)), s"got $got")
+  }
+
+  test("dedup_embedding_ivf: cell-join shape, no all-pairs, agrees with exact report") {
+    import spark.implicits._
+    val ivfDf = Ann.nearestNeighborReportIvf(emb, 0.45)
+    val plan = physicalPlan(ivfDf)
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    // candidates must flow through the probed-cell equi-join (the exact
+    // report's all-pairs broadcast shape must NOT appear here)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), s"no equi-join on cell in:\n$plan")
+    val exact = Ann.nearestNeighborReport(emb, 0.45).select("vec_id", "nn_id")
+      .as[(Long, Long)].collect().toMap
+    val got = ivfDf.select("vec_id", "nn_id").as[(Long, Long)].collect().toMap
+    assert(got.size * 10 >= exact.size * 9,
+      s"IVF report covers ${got.size}/${exact.size} vectors")
+    val agree = exact.count { case (k, v) => got.get(k).contains(v) }
+    assert(agree * 2 >= exact.size, s"IVF NN agreement $agree/${exact.size}")
+  }
+
+  test("mm decode: metadata comes from the payload bytes and matches the synthesis") {
+    val rows = graft.multimodal.MM.meta(docs.where(col("doc_id") < 9))
+      .orderBy("doc_id").collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val fmt = r.getString(2)
+      (id % 3) match {
+        case 0 =>
+          assert(fmt == "jpeg", s"doc $id: $fmt")
+          assert(r.getLong(3) == 64 + id % 512 && r.getLong(4) == 64 + (id * 7) % 512)
+        case 1 =>
+          assert(fmt == "png", s"doc $id: $fmt")
+          assert(r.getLong(3) == 64 + id % 512 && r.getLong(4) == 64 + (id * 7) % 512)
+        case _ =>
+          assert(fmt == "wav", s"doc $id: $fmt")
+          assert(r.getLong(5) == 8000 + ((id / 3) % 3) * 8000)
+      }
+      assert(r.getBoolean(6), s"doc $id: decode_ok false")
+    }
+  }
+
+  test("mm decode: headerless payloads parse as unknown, not garbage") {
+    import spark.implicits._
+    val raw = Seq((7L, "just plain text".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = graft.multimodal.MM.decode(raw).collect()(0)
+    assert(out.getString(2) == "unknown")
+    assert(out.isNullAt(3) && out.isNullAt(4) && out.isNullAt(5))
+    assert(!out.getBoolean(6))
+  }
+
   test("minhash LSH finds the exact-jaccard pairs on planted near-dups") {
     val exact = Dedup.ngramJaccard(docs, 0.5).select("i", "j")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -23,6 +23,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("multi_get_bulk: key set broadcast, big side scanned once with no shuffle") {
+    import spark.implicits._
+    val keys = (0 until 2000).map(i => 3L * i + 1).toDF("o_orderkey")
+    val df = graft.kv.Scans.multiGetBulk(Tables.load(spark, sfDir, "orders"),
+      "o_orderkey", keys, Seq("o_orderkey", "o_custkey"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    // the streamed (table) side prints before the BroadcastExchange
+    // subtree; it must reach the join straight from the scan — the only
+    // shuffle allowed anywhere is the key-side distinct UNDER the
+    // broadcast (2000 rows)
+    val streamedSide = p.split("BroadcastExchange", 2)(0)
+    assert(!streamedSide.contains("Exchange"), s"big side shuffled:\n$p")
+  }
+
   test("scan_reversed compiles to TakeOrderedAndProject (top-N, not global sort)") {
     val p = plan("scan_reversed")
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -77,6 +92,74 @@ class PlanAuditSpec extends SparkSpec {
     assert(r.getBoolean(1))
     assert(r.getLong(2) != 0L)
     assert(r.getSeq[Long](3).length == 4)
+  }
+
+  test("topk_struct: bounded-state aggregate returns the k best, descending") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT topk_struct(named_struct('s', s, 'id', id), 2) AS t
+        |FROM VALUES (1.0D, 1L), (3.0D, 2L), (2.0D, 3L), (3.0D, 0L) AS v(s, id)""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    // ties broken by the second struct field (id desc in natural order)
+    assert(rows.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (3.0, 0L)))
+  }
+
+  test("ann topK via aggregate matches a window-computed reference") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.95), (1L, 13L, 0.8),
+      (2L, 10L, 0.1), (2L, 11L, 0.2)
+    ).toDF("q_id", "nn_id", "_score")
+    val got = graft.sim.Ann.topK(scored, "q_id", 2)
+      .select("q_id", "nn_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // q1: 0.95→12, then the 0.8 tie broken by smaller nn_id (11)... but
+    // 0.9→10 outranks both 0.8s; q2: 0.2→11, 0.1→10
+    assert(got == Set((1L, 12L, 1), (1L, 10L, 2), (2L, 11L, 1), (2L, 10L, 2)))
+  }
+
+  test("ParseFilter stateful grammar: SKIP, WHILE, PageFilter, ColumnPaginationFilter") {
+    import spark.implicits._
+    import graft.filters.ParseFilter
+    val cells = Seq(
+      ("1", "f", "a", "x"), ("1", "f", "b", "y"), ("1", "f", "c", "z"),
+      ("2", "f", "a", "BAD"), ("2", "f", "b", "y"),
+      ("3", "f", "a", "x"), ("4", "f", "a", "x")
+    ).toDF("rowkey", "family", "qualifier", "value")
+    def rks(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("rowkey").distinct().as[String].collect().toSet
+    // SKIP: any failing cell drops the WHOLE row (row 2 has a BAD cell)
+    assert(rks(ParseFilter.filter(cells, "SKIP ValueFilter(!=, 'binary:BAD')"))
+      == Set("1", "3", "4"))
+    // WHILE: scan stops at the first failing row; prior rows pass whole
+    assert(rks(ParseFilter.filter(cells, "WHILE RowFilter(!=, 'binary:3')"))
+      == Set("1", "2"))
+    // PageFilter: first n rows of the scan
+    assert(rks(ParseFilter.filter(cells, "PageFilter(2)")) == Set("1", "2"))
+    // ColumnPaginationFilter(limit=1, offset=1): the second cell per row
+    assert(ParseFilter.filter(cells, "ColumnPaginationFilter(1, 1)")
+      .select("rowkey", "qualifier").as[(String, String)].collect().toSet
+      == Set(("1", "b"), ("2", "b")))
+    // stateful filters compose as top-level AND-terms
+    assert(rks(ParseFilter.filter(cells,
+      "WHILE RowFilter(!=, 'binary:4') AND PageFilter(2)")) == Set("1", "2"))
+    // a Column cannot carry scanner state: parse() must refuse
+    intercept[IllegalArgumentException](ParseFilter.parse("PageFilter(2)"))
+    intercept[IllegalArgumentException](
+      ParseFilter.filter(cells, "PageFilter(2) OR PrefixFilter('1')"))
+  }
+
+  test("ParseFilter TimestampsFilter selects exact cell versions") {
+    import spark.implicits._
+    import graft.filters.ParseFilter
+    val vc = Seq(
+      (1L, "ev", "click", "2024-01-01 00:00:00", "v1"),
+      (1L, "ev", "click", "2024-01-02 00:00:00", "v2"),
+      (2L, "ev", "view", "2024-01-01 00:00:00", "v3")
+    ).toDF("rowkey", "family", "qualifier", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = ParseFilter.filter(vc, "TimestampsFilter('2024-01-01 00:00:00')")
+      .select("value").as[String].collect().toSet
+    assert(got == Set("v1", "v3"))
   }
 
   test("ParseFilter extended grammar: ranges, multi-prefix, fuzzy, long comparator") {
