@@ -53,6 +53,21 @@ object GraftFunctions {
     ("topk_struct",
       new ExpressionInfo(classOf[TopKStruct].getName, "topk_struct"),
       (args: Seq[Expression]) => TopKStruct(args(0), litInt(args(1), "topk_struct"))),
+    // The shell/REST access-path analogue: the HBase filter-string
+    // grammar callable from plain SQL over any cell view —
+    //   SELECT * FROM cells WHERE hbase_filter('PrefixFilter(''1'')')
+    // The DSL compiles to an unresolved predicate over rowkey/family/
+    // qualifier/value[/ts] columns, resolved against the enclosing
+    // query. Pure grammar only: scan-stateful WHILE/PageFilter need the
+    // DataFrame entry point (ParseFilter.filter) and reject here with
+    // the same message.
+    ("hbase_filter",
+      new ExpressionInfo(classOf[graft.filters.ParseFilter.type].getName, "hbase_filter"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.resolvableExpression(
+          graft.filters.ParseFilter.parse(litString(args(0), "hbase_filter")))
+      }),
   )
 
   /** Register on an existing session (tests, shells). */

@@ -28,10 +28,20 @@ object Layout {
     * join WITHOUT a shuffle (Spark plans SortMergeJoin over the
     * existing bucketing — the co-located join HBase gets from
     * co-partitioned regions). */
-  def writeBucketed(df: DataFrame, keyCol: String, buckets: Int, table: String): Unit =
+  def writeBucketed(df: DataFrame, keyCol: String, buckets: Int, table: String): Unit = {
+    val spark = df.sparkSession
+    // true overwrite across JVMs: the in-memory catalog is per-session,
+    // so a previous run may have left the managed location on disk with
+    // no catalog entry — CREATE then refuses with LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .format("parquet").saveAsTable(table)
+  }
 }
 
 /** Snapshots (HBase admin snapshots / MultiTableSnapshotInputFormat):

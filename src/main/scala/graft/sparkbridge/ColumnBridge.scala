@@ -12,6 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager Column → catalyst conversion. [[expression]] wraps the
+    * column's node lazily (ColumnNodeExpression), which only resolves
+    * through the Dataset API; a FunctionRegistry builder must hand the
+    * analyzer a REAL expression tree (UnresolvedAttribute leaves and
+    * all), so the SQL-facade path converts eagerly here. */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
 
 /** Session-level access for function registration on a live session

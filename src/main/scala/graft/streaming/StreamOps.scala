@@ -39,6 +39,23 @@ object StreamOps {
   def streamingCounters(events: DataFrame): DataFrame =
     windowedCounters(events.withWatermark("ts", "1 day"))
 
+  /** Streaming exact dedup — the ingest-side gate of the dedup family:
+    * the first record carrying a given content digest passes, later
+    * copies arriving within the watermark horizon are dropped, and
+    * digest state older than the watermark is EVICTED. That eviction is
+    * the 100 TB/day point: a plain dropDuplicates on an unbounded
+    * stream pins every digest ever seen in the state store forever;
+    * dropDuplicatesWithinWatermark keeps state proportional to the
+    * ingest rate × horizon. (Dedup against all history belongs to the
+    * batch operators — Dedup.exact over the accumulated table.)
+    * The shuffle key is the 128-bit digest, never the payload. */
+  def streamingDedup(docs: DataFrame, textCol: String, tsCol: String,
+                     watermark: String = "1 day"): DataFrame =
+    docs.withColumn("_fp", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   /** HBase `Increment` held as explicit streaming state: per event_type,
     * a running (count, sum) maintained with flatMapGroupsWithState —
     * the custom-state escape hatch for semantics windowed aggregation

@@ -117,6 +117,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(got == Set((1L, 12L, 1), (1L, 10L, 2), (2L, 11L, 1), (2L, 10L, 2)))
   }
 
+  test("hbase_filter: the DSL grammar callable from plain SQL (shell/REST facade)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq(("101", "f", "aa", "5"), ("202", "f", "bb", "6"), ("111", "f", "aa", "7"))
+      .toDF("rowkey", "family", "qualifier", "value").createOrReplaceTempView("tcells")
+    val got = spark.sql(
+      "SELECT rowkey FROM tcells WHERE hbase_filter('PrefixFilter(''1'') AND QualifierFilter(=, ''binary:aa'')')")
+      .as[String].collect().toSet
+    assert(got == Set("101", "111"))
+    // stateful strings must refuse with the ParseFilter.filter pointer
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM tcells WHERE hbase_filter('PageFilter(2)')").collect())
+    assert(e.getMessage.contains("ParseFilter.filter") ||
+      e.getCause != null && e.getCause.getMessage.contains("ParseFilter.filter"))
+  }
+
   test("ParseFilter stateful grammar: SKIP, WHILE, PageFilter, ColumnPaginationFilter") {
     import spark.implicits._
     import graft.filters.ParseFilter

@@ -39,6 +39,29 @@ class StreamingSpec extends SparkSpec {
       s"streaming (${got.length} rows) != batch (${want.length} rows)")
   }
 
+  test("streaming dedup drops duplicate payloads across micro-batches, bounded state") {
+    val events = Tables.load(spark, sfDir, "events").select("event_id", "ts", "props")
+    val dir = Files.createTempDirectory("graft_dedup_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // 90-day horizon exceeds the testdata's ts span, so no first-seen
+    // record can arrive behind the watermark — every duplicate is in
+    // horizon and must be dropped exactly
+    val dd = StreamOps.streamingDedup(streamed, "props", "ts", "90 days")
+    assert(dd.queryExecution.analyzed.toString().contains("EventTimeWatermark"),
+      "watermark (state eviction) missing from the plan")
+    val q = dd.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("stream_dedup")
+    val wantDistinct = events.select(count_distinct(col("props"))).head().getLong(0)
+    assert(got.count() == wantDistinct,
+      s"streamed dedup kept ${got.count()} rows, batch-distinct is $wantDistinct")
+    assert(got.groupBy("props").count().where(col("count") > 1).isEmpty,
+      "a payload digest passed the dedup twice")
+  }
+
   test("flatMapGroupsWithState running counters converge to batch totals") {
     val events = Tables.load(spark, sfDir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
