@@ -84,16 +84,22 @@ object Dedup {
           .select("i", "j", "jaccard")
       case Some(cap) =>
         require(cap >= 2, s"maxDf ($cap) below 2 keeps no pair-producing shingle")
-        // capped path: df computed once; df=1 shingles never pair so the
-        // cap path always drops them too. Candidates from the capped
-        // join, exact Jaccard from the FULL sets on candidates only.
+        // capped path: one shuffle builds the postings list per shingle;
+        // the cap bounds every list to ≤ cap docs, so candidate pairs
+        // are emitted straight off the list (≤ cap·(cap−1)/2 per
+        // shingle, a codegen'd nested transform) — no self-join, no
+        // second pass over the exploded shingles, and df-filtering is
+        // free (it IS the list-size predicate). df=1 shingles never
+        // pair, so the size ≥ 2 floor loses nothing.
         val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
-        val kept = ex.groupBy("s").agg(count(lit(1)).as("_df"))
-          .where(col("_df") >= 2 && col("_df") <= cap).select("s")
-        val joinIn = ex.join(kept, Seq("s"), "leftsemi")
-        val cand = joinIn.as("a").join(joinIn.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        val pairs = ex.groupBy("s").agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+          .where(size(col("ds")) >= 2 && size(col("ds")) <= cap)
+          .select(explode(expr(
+            """flatten(transform(ds, (x, k) ->
+              |  transform(slice(ds, k + 2, size(ds) - k - 1),
+              |            y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"))
+        val cand = pairs.groupBy("i", "j")
           .agg(count(lit(1)).as("_shared"))
           .where(col("_shared") >= minShared)
           .select("i", "j")
