@@ -58,9 +58,14 @@ object GraftFunctions {
     //   SELECT * FROM cells WHERE hbase_filter('PrefixFilter(''1'')')
     // The DSL compiles to an unresolved predicate over rowkey/family/
     // qualifier/value[/ts] columns, resolved against the enclosing
-    // query. Pure grammar only: scan-stateful WHILE/PageFilter need the
-    // DataFrame entry point (ParseFilter.filter) and reject here with
-    // the same message.
+    // query. Caveats, same as the Column API: window-shaped members
+    // (SingleColumnValueFilter / SKIP / ColumnPaginationFilter) are
+    // legal SQL but Spark forbids window expressions directly in WHERE
+    // — materialize first:
+    //   SELECT * FROM (SELECT *, hbase_filter('SKIP ...') f FROM cells)
+    //   WHERE f
+    // Scan-stateful WHILE/PageFilter cannot be a predicate at all and
+    // reject here with a pointer to ParseFilter.filter.
     ("hbase_filter",
       new ExpressionInfo(classOf[graft.filters.ParseFilter.type].getName, "hbase_filter"),
       (args: Seq[Expression]) => {

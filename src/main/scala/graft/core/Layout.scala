@@ -35,7 +35,7 @@ object Layout {
     // no catalog entry — CREATE then refuses with LOCATION_ALREADY_EXISTS
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      org.apache.spark.sql.graftbridge.SessionBridge.defaultTablePath(spark, table))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")

@@ -146,15 +146,22 @@ object Filters {
   def pageFilter(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame =
     df.orderBy(keyCols.map(col): _*).limit(n)
 
+  /** ColumnPaginationFilter's cell predicate as a composable Column —
+    * the single source of the pagination semantics, shared by
+    * [[columnPagination]] and the ParseFilter DSL (two hand-synced
+    * copies would drift). Window-shaped: materialize before WHERE. */
+  def columnPaginationPredicate(limit: Int, offset: Int): Column = {
+    val w = Window.partitionBy("rowkey").orderBy("family", "qualifier")
+    val rn = row_number().over(w)
+    rn > offset && rn <= offset + limit
+  }
+
   /** ColumnPaginationFilter.java — per row, `limit` cells starting at
     * `offset`, in qualifier order. Window over (rowkey), no shuffle
     * beyond the hash partition on rowkey. */
-  def columnPagination(cells: DataFrame, limit: Int, offset: Int): DataFrame = {
-    val w = Window.partitionBy("rowkey").orderBy("family", "qualifier")
-    cells.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") > offset && col("_rn") <= offset + limit)
-      .drop("_rn")
-  }
+  def columnPagination(cells: DataFrame, limit: Int, offset: Int): DataFrame =
+    cells.withColumn("_keep", columnPaginationPredicate(limit, offset))
+      .where(col("_keep")).drop("_keep")
 
   /** FirstKeyOnlyFilter.java — only the first cell of each row (used by
     * RowCounter to avoid materializing values). Relationally: min
@@ -170,17 +177,22 @@ object Filters {
   def keyOnly(cells: DataFrame): DataFrame =
     cells.select("rowkey", "family", "qualifier")
 
+  /** SkipFilter's row predicate as a composable Column — the single
+    * source of the SKIP semantics, shared by [[skipFilter]] and the
+    * ParseFilter DSL. A null predicate result (e.g. a null cell under a
+    * value comparator) counts as a FAILURE, matching SkipFilter's
+    * drop-row-on-any-non-match. Window-shaped: materialize before WHERE. */
+  def skipPredicate(cellPred: Column): Column = {
+    val w = Window.partitionBy("rowkey")
+    max(when(coalesce(cellPred, lit(false)) === false, 1).otherwise(0)).over(w) === 0
+  }
+
   /** SkipFilter.java — if ANY cell of a row fails the wrapped predicate,
     * drop the WHOLE row. Window max over the violation flag — one hash
-    * shuffle on rowkey, no self-join. A null predicate result (e.g. a
-    * null cell under a value comparator) counts as a FAILURE, matching
-    * SkipFilter's drop-row-on-any-non-match semantics. */
-  def skipFilter(cells: DataFrame, cellPred: Column): DataFrame = {
-    val w = Window.partitionBy("rowkey")
-    cells.withColumn("_bad",
-        max(when(coalesce(cellPred, lit(false)) === false, 1).otherwise(0)).over(w))
-      .where(col("_bad") === 0).drop("_bad")
-  }
+    * shuffle on rowkey, no self-join. */
+  def skipFilter(cells: DataFrame, cellPred: Column): DataFrame =
+    cells.withColumn("_keep", skipPredicate(cellPred))
+      .where(col("_keep")).drop("_keep")
 
   /** SingleColumnValueFilter.java:73 — the row-level predicate: emit ALL
     * cells of rows whose (family, qualifier) cell value satisfies the
@@ -224,9 +236,13 @@ object Filters {
 
   /** WhileMatchFilter.java — scan (key-ordered) until the first row that
     * fails the predicate, then stop. Two-phase: aggregate the min failing
-    * key (map-side combinable), then filter below it. No sort needed. */
+    * key (map-side combinable), then filter below it. No sort needed.
+    * A null predicate result counts as a FAILURE (stops the scan) —
+    * the same convention as skipFilter and the ParseFilter WHILE
+    * lowering, so the two WhileMatch entry points cannot diverge on
+    * null-producing comparators. */
   def whileMatch(df: DataFrame, keyCol: String, pred: Column): DataFrame = {
-    val firstFail = df.where(!pred)
+    val firstFail = df.where(coalesce(pred, lit(false)) === false)
       .agg(min(col(keyCol)).as("_wm_first_fail"))
     df.join(broadcast(firstFail),
         df(keyCol) < coalesce(firstFail("_wm_first_fail"), lit(Long.MaxValue)), "inner")

@@ -171,12 +171,9 @@ object ParseFilter {
           val inner = factor()
           require(pure(inner), "ParseFilter: SKIP wraps a cell predicate, " +
             "not a scan-stateful filter")
-          // SkipFilter.java: if ANY cell of the row fails, drop the whole
-          // row; a null comparator result counts as failure (same
-          // coalesce as Filters.skipFilter).
-          val w = Window.partitionBy("rowkey")
-          Pred(max(when(coalesce(toColumn(inner), lit(false)) === false, 1)
-            .otherwise(0)).over(w) === 0)
+          // SkipFilter.java semantics live in Filters.skipPredicate —
+          // one source for the DSL and the DataFrame API
+          Pred(Filters.skipPredicate(toColumn(inner)))
         case "WHILE" =>
           eat("WHILE")
           val inner = factor()
@@ -218,12 +215,9 @@ object ParseFilter {
         case "ColumnPaginationFilter" =>
           // ColumnPaginationFilter.java(limit, offset): per row, `limit`
           // cells starting at 0-based `offset`, in (family, qualifier)
-          // order — row-local, so a rowkey-partitioned window Column
-          // (mirrors Filters.columnPagination).
+          // order — semantics live in Filters.columnPaginationPredicate
           val limit = number(); eat(","); val offset = number()
-          val w = Window.partitionBy("rowkey").orderBy("family", "qualifier")
-          val rn = row_number().over(w)
-          Pred(rn > offset.toInt && rn <= (offset + limit).toInt)
+          Pred(Filters.columnPaginationPredicate(limit.toInt, offset.toInt))
         case "TimestampsFilter" => Pred {
           // TimestampsFilter.java: cell version ts ∈ explicit list.
           val ts = scala.collection.mutable.ListBuffer(quoted())
@@ -282,11 +276,16 @@ object ParseFilter {
       w
     }
 
-    /** bare integer literal (PageFilter / ColumnPaginationFilter args). */
+    /** bare integer literal (PageFilter / ColumnPaginationFilter args).
+      * Bounded to Int range: the values feed limit()/row_number bounds,
+      * and a silent .toInt wrap would turn PageFilter(2^32) into
+      * limit(0) — an empty scan instead of an error. */
     private def number(): Long = {
       val w = word()
       require(w.nonEmpty && w.forall(_.isDigit), s"expected number, got '$w'")
-      w.toLong
+      val n = BigInt(w)
+      require(n.isValidInt, s"filter argument $w exceeds Int range")
+      n.toLong
     }
 
     private def opToken(): CompareOp.Value = {

@@ -135,8 +135,8 @@ object MutationQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM dels d
          |                  WHERE d.rowkey = v.rowkey AND d.family = v.family
          |                    AND d.qualifier = v.qualifier AND d.ts = v.ts)
-         |  AND NOT (v.rowkey % 13 = 0 AND v.family = 'ev'
-         |           AND v.ts <= TIMESTAMP '2024-01-03 00:00:00')
+         |  AND NOT coalesce(v.rowkey % 13 = 0 AND v.family = 'ev'
+         |                   AND v.ts <= TIMESTAMP '2024-01-03 00:00:00', false)
          |ORDER BY event_id""".stripMargin),
   )
 }

@@ -73,9 +73,12 @@ case class TopKStruct(
   }
 
   override def eval(buf: java.util.PriorityQueue[UnsafeRow]): Any = {
-    val arr = new Array[Any](buf.size)
-    var i = buf.size - 1
-    while (i >= 0) { arr(i) = buf.poll(); i -= 1 } // drain ascending → fill backwards
+    // MUST NOT mutate the buffer: running-frame window aggregation calls
+    // eval repeatedly on the same buffer as rows accumulate — draining
+    // the heap here would silently empty every later frame's result.
+    val arr: Array[AnyRef] = buf.toArray(new Array[UnsafeRow](buf.size))
+      .sortWith((a, b) => ordering.compare(a, b) > 0) // descending
+      .asInstanceOf[Array[AnyRef]]
     new GenericArrayData(arr)
   }
 

@@ -35,4 +35,12 @@ object SessionBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** The managed location the catalog would assign `table` — respects
+    * the session's CURRENT database (a hardcoded <warehouse>/<table>
+    * guess is wrong outside `default`, e.g. <warehouse>/x.db/<table>). */
+  def defaultTablePath(spark: SparkSession, table: String): java.net.URI =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.catalog
+      .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
 }

@@ -104,6 +104,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(rows.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (3.0, 0L)))
   }
 
+  test("topk_struct as a running window aggregate (eval must not drain state)") {
+    GraftFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT topk_struct(named_struct('s', s, 'id', id), 2)
+        |         OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t
+        |FROM VALUES (1.0D, 1L), (3.0D, 2L), (2.0D, 3L) AS v(s, id)
+        |ORDER BY id""".stripMargin).collect()
+    def tk(i: Int): Seq[(Double, Long)] =
+      rows(i).getSeq[org.apache.spark.sql.Row](0).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(tk(0) == Seq((1.0, 1L)))
+    assert(tk(1) == Seq((3.0, 2L), (1.0, 1L)))
+    assert(tk(2) == Seq((3.0, 2L), (2.0, 3L)))
+  }
+
   test("ann topK via aggregate matches a window-computed reference") {
     import spark.implicits._
     val scored = Seq(
@@ -126,6 +140,12 @@ class PlanAuditSpec extends SparkSpec {
       "SELECT rowkey FROM tcells WHERE hbase_filter('PrefixFilter(''1'') AND QualifierFilter(=, ''binary:aa'')')")
       .as[String].collect().toSet
     assert(got == Set("101", "111"))
+    // window-shaped members use the materialize-then-filter SQL pattern
+    val skipGot = spark.sql(
+      """SELECT rowkey FROM (
+        |  SELECT *, hbase_filter('SKIP ValueFilter(!=, ''binary:5'')') AS f FROM tcells)
+        |WHERE f""".stripMargin).as[String].collect().toSet
+    assert(skipGot == Set("202", "111"))
     // stateful strings must refuse with the ParseFilter.filter pointer
     val e = intercept[Exception](
       spark.sql("SELECT * FROM tcells WHERE hbase_filter('PageFilter(2)')").collect())
