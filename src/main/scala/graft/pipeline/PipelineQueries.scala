@@ -60,6 +60,14 @@ object PipelineQueries {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
     // ---- §2J multimodal ----
     "mm_meta" -> ((s, d) => MM.meta(docs(s, d)).orderBy("doc_id")),
+    // resize-to-fit as header surgery on the payload BYTES (new BE dims
+    // spliced into IHDR / SOF0), self-verified by re-decoding the
+    // patched payload
+    "mm_resize" -> ((s, d) =>
+      MM.resizeToFit(MM.synthesizePayload(docs(s, d)), 128).orderBy("doc_id")),
+    // audio triage facts computed from the fmt/data chunks
+    "mm_audio_info" -> ((s, d) =>
+      MM.audioInfo(MM.synthesizePayload(docs(s, d))).orderBy("doc_id")),
   )
 
   /** Shared DuckDB vector helpers (double-precision sequential folds —
@@ -92,6 +100,55 @@ object PipelineQueries {
   private def ddLei(i: String, len: Int): String =
     (0 until len).map(k =>
       s"${math.pow(256, k).toLong} * (${ddBei(s"($i) + $k", 1)})").mkString("(", " + ", ")")
+
+  /** Shared payload-synthesis CTEs (params → payloads → hexed): the
+    * DuckDB mirror of MM.synthesizePayload — all three mm oracles build
+    * on these. */
+  private val ddPayloadCtes: String =
+    s"""WITH params AS (
+       |  SELECT doc_id, CAST(text AS BLOB) AS body,
+       |         doc_id % 3 AS fmt,
+       |         64 + doc_id % 512 AS w, 64 + (doc_id * 7) % 512 AS ht,
+       |         8000 + ((doc_id // 3) % 3) * 8000 AS sr,
+       |         3 + doc_id % 5 AS pad
+       |  FROM documents),
+       |payloads AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN fmt = 1 THEN
+       |        unhex('89504E470D0A1A0A') || ${ddBe("13", 4)} || encode('IHDR') ||
+       |        ${ddBe("w", 4)} || ${ddBe("ht", 4)} || unhex('0806000000') || body
+       |      WHEN fmt = 0 THEN
+       |        unhex('FFD8') ||
+       |        unhex('FFE0') || ${ddBe("16", 2)} || encode('JFIF') || unhex('00') ||
+       |          unhex('0101') || unhex('00') || ${ddBe("1", 2)} || ${ddBe("1", 2)} ||
+       |          unhex('0000') ||
+       |        unhex('FFFE') || ${ddBe("2 + pad", 2)} ||
+       |          encode(repeat('X', CAST(pad AS INT))) ||
+       |        unhex('FFC0') || ${ddBe("17", 2)} || unhex('08') ||
+       |          ${ddBe("ht", 2)} || ${ddBe("w", 2)} ||
+       |          unhex('03011100021101031101') || body
+       |      ELSE
+       |        encode('RIFF') || ${ddLe("36 + octet_length(body)", 4)} || encode('WAVE') ||
+       |        encode('fmt ') || ${ddLe("16", 4)} || ${ddLe("1", 2)} || ${ddLe("1", 2)} ||
+       |        ${ddLe("sr", 4)} || ${ddLe("sr * 2", 4)} || ${ddLe("2", 2)} || ${ddLe("16", 2)} ||
+       |        encode('data') || ${ddLe("octet_length(body)", 4)} || body
+       |    END AS payload
+       |  FROM params),
+       |hexed AS (SELECT doc_id, payload, upper(hex(payload)) AS h FROM payloads)""".stripMargin
+
+  private val ddN1 = s"5 + ${ddBei("5", 2)}"
+  private val ddN2 = s"$ddN1 + 2 + ${ddBei(s"$ddN1 + 2", 2)}"
+
+  /** Bounded JPEG segment walk to the SOF0 marker, as a CTE. */
+  private val ddWalkCte: String =
+    s"""walk AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${ddHx("3", 2)} = 'FFC0' THEN 3
+       |         WHEN ${ddHx(ddN1, 2)} = 'FFC0' THEN $ddN1
+       |         WHEN ${ddHx(ddN2, 2)} = 'FFC0' THEN $ddN2
+       |         END AS sof
+       |  FROM hexed WHERE ${ddHx("1", 2)} = 'FFD8')""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -178,47 +235,9 @@ object PipelineQueries {
     // synthesizes the same header-wearing payloads as MM.synthesizePayload,
     // then parses width/height/sample_rate back FROM THE BYTES (hex-image
     // arithmetic + the same bounded JPEG segment walk as MM.decode)
-    "mm_meta" -> {
-      val n1 = s"5 + ${ddBei("5", 2)}"
-      val n2 = s"$n1 + 2 + ${ddBei(s"$n1 + 2", 2)}"
-      s"""WITH params AS (
-         |  SELECT doc_id, CAST(text AS BLOB) AS body,
-         |         doc_id % 3 AS fmt,
-         |         64 + doc_id % 512 AS w, 64 + (doc_id * 7) % 512 AS ht,
-         |         8000 + ((doc_id // 3) % 3) * 8000 AS sr,
-         |         3 + doc_id % 5 AS pad
-         |  FROM documents),
-         |payloads AS (
-         |  SELECT doc_id,
-         |    CASE
-         |      WHEN fmt = 1 THEN
-         |        unhex('89504E470D0A1A0A') || ${ddBe("13", 4)} || encode('IHDR') ||
-         |        ${ddBe("w", 4)} || ${ddBe("ht", 4)} || unhex('0806000000') || body
-         |      WHEN fmt = 0 THEN
-         |        unhex('FFD8') ||
-         |        unhex('FFE0') || ${ddBe("16", 2)} || encode('JFIF') || unhex('00') ||
-         |          unhex('0101') || unhex('00') || ${ddBe("1", 2)} || ${ddBe("1", 2)} ||
-         |          unhex('0000') ||
-         |        unhex('FFFE') || ${ddBe("2 + pad", 2)} ||
-         |          encode(repeat('X', CAST(pad AS INT))) ||
-         |        unhex('FFC0') || ${ddBe("17", 2)} || unhex('08') ||
-         |          ${ddBe("ht", 2)} || ${ddBe("w", 2)} ||
-         |          unhex('03011100021101031101') || body
-         |      ELSE
-         |        encode('RIFF') || ${ddLe("36 + octet_length(body)", 4)} || encode('WAVE') ||
-         |        encode('fmt ') || ${ddLe("16", 4)} || ${ddLe("1", 2)} || ${ddLe("1", 2)} ||
-         |        ${ddLe("sr", 4)} || ${ddLe("sr * 2", 4)} || ${ddLe("2", 2)} || ${ddLe("16", 2)} ||
-         |        encode('data') || ${ddLe("octet_length(body)", 4)} || body
-         |    END AS payload
-         |  FROM params),
-         |hexed AS (SELECT doc_id, payload, upper(hex(payload)) AS h FROM payloads),
-         |walk AS (
-         |  SELECT doc_id,
-         |    CASE WHEN ${ddHx("3", 2)} = 'FFC0' THEN 3
-         |         WHEN ${ddHx(n1, 2)} = 'FFC0' THEN $n1
-         |         WHEN ${ddHx(n2, 2)} = 'FFC0' THEN $n2
-         |         END AS sof
-         |  FROM hexed WHERE ${ddHx("1", 2)} = 'FFD8'),
+    "mm_meta" ->
+      (s"""$ddPayloadCtes,
+         |$ddWalkCte,
          |parsed AS (
          |  SELECT x.doc_id,
          |    octet_length(payload) AS n_bytes,
@@ -235,8 +254,62 @@ object PipelineQueries {
          |       coalesce(CASE WHEN format IN ('png','jpeg') THEN width > 0 AND height > 0
          |                     WHEN format = 'wav' THEN sample_rate > 0 ELSE false END,
          |                false) AS decode_ok
-         |FROM parsed ORDER BY doc_id""".stripMargin
-    },
+         |FROM parsed ORDER BY doc_id""".stripMargin),
+    // same synthesis; splice new BE dims into the header hex, then
+    // re-parse the PATCHED image to prove the surgery (mirrors
+    // MM.resizeToFit byte for byte)
+    "mm_resize" ->
+      (s"""$ddPayloadCtes,
+         |$ddWalkCte,
+         |dims AS (
+         |  SELECT x.doc_id, x.h, wk.sof,
+         |    (${ddHx("1", 8)} = '89504E470D0A1A0A') AS is_png,
+         |    (${ddHx("1", 2)} = 'FFD8') AS is_jpeg,
+         |    CASE WHEN ${ddHx("1", 8)} = '89504E470D0A1A0A' THEN ${ddBei("17", 4)}
+         |         WHEN ${ddHx("1", 2)} = 'FFD8' THEN ${ddBei("wk.sof + 7", 2)} END AS w,
+         |    CASE WHEN ${ddHx("1", 8)} = '89504E470D0A1A0A' THEN ${ddBei("21", 4)}
+         |         WHEN ${ddHx("1", 2)} = 'FFD8' THEN ${ddBei("wk.sof + 5", 2)} END AS ht
+         |  FROM hexed x LEFT JOIN walk wk ON x.doc_id = wk.doc_id),
+         |sized AS (
+         |  SELECT *,
+         |    CASE WHEN greatest(w, ht) IS NULL THEN NULL
+         |         WHEN greatest(w, ht) <= 128 THEN w
+         |         ELSE greatest(1, CAST(floor(w * 128 / CAST(greatest(w, ht) AS DOUBLE)) AS BIGINT)) END AS new_w,
+         |    CASE WHEN greatest(w, ht) IS NULL THEN NULL
+         |         WHEN greatest(w, ht) <= 128 THEN ht
+         |         ELSE greatest(1, CAST(floor(ht * 128 / CAST(greatest(w, ht) AS DOUBLE)) AS BIGINT)) END AS new_h
+         |  FROM dims),
+         |patched AS (
+         |  SELECT doc_id, w, ht, new_w, new_h, sof,
+         |    CASE WHEN is_png THEN
+         |           substr(h, 1, 32) || lpad(upper(to_hex(new_w)), 8, '0') ||
+         |           lpad(upper(to_hex(new_h)), 8, '0') || substr(h, 49, length(h))
+         |         WHEN is_jpeg AND sof IS NOT NULL THEN
+         |           substr(h, 1, 2 * (sof + 4)) || lpad(upper(to_hex(new_h)), 4, '0') ||
+         |           lpad(upper(to_hex(new_w)), 4, '0') || substr(h, 2 * (sof + 4) + 9, length(h))
+         |         ELSE h END AS h
+         |  FROM sized),
+         |reread AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ${ddHx("1", 8)} = '89504E470D0A1A0A' THEN ${ddBei("17", 4)}
+         |         WHEN ${ddHx("1", 2)} = 'FFD8' THEN ${ddBei("sof + 7", 2)} END AS rw,
+         |    CASE WHEN ${ddHx("1", 8)} = '89504E470D0A1A0A' THEN ${ddBei("21", 4)}
+         |         WHEN ${ddHx("1", 2)} = 'FFD8' THEN ${ddBei("sof + 5", 2)} END AS rh
+         |  FROM patched)
+         |SELECT s.doc_id, s.w AS width, s.ht AS height,
+         |       s.new_w AS new_width, s.new_h AS new_height,
+         |       (r.rw IS NOT DISTINCT FROM s.new_w AND
+         |        r.rh IS NOT DISTINCT FROM s.new_h) AS patch_ok
+         |FROM sized s JOIN reread r ON s.doc_id = r.doc_id
+         |ORDER BY s.doc_id""".stripMargin),
+    "mm_audio_info" ->
+      (s"""$ddPayloadCtes
+         |SELECT doc_id,
+         |       ${ddLei("25", 4)} AS sample_rate,
+         |       CAST(floor(${ddLei("41", 4)} / 2.0) AS BIGINT) AS n_samples,
+         |       CAST(floor(CAST(floor(${ddLei("41", 4)} / 2.0) AS BIGINT) * 1000
+         |                  / CAST(${ddLei("25", 4)} AS DOUBLE)) AS BIGINT) AS duration_ms
+         |FROM hexed WHERE ${ddHx("1", 4)} = '52494646' ORDER BY doc_id""".stripMargin),
     // dedup_minhash_lsh, dedup_simhash, ann_ivf, dedup_embedding_ivf:
     // rows-only (xxhash64 / float-mean centroids have no portable SQL
     // form) — no entries here.

@@ -109,6 +109,36 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mm resize: header surgery produces payloads that re-decode to the new dims") {
+    import graft.multimodal.MM
+    val rows = MM.resizeToFit(MM.synthesizePayload(docs.where(col("doc_id") < 30)), 128)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(5), s"doc ${r.getLong(0)}: patched payload did not re-parse to the new dims")
+      if (!r.isNullAt(3)) {
+        val (nw, nh) = (r.getLong(3), r.getLong(4))
+        assert(nw <= 128 && nh <= 128 && nw >= 1 && nh >= 1,
+          s"doc ${r.getLong(0)}: resized dims ($nw, $nh) out of bounds")
+        // aspect preserved under integer floor: the larger side hits 128
+        val (w, h) = (r.getLong(1), r.getLong(2))
+        if (math.max(w, h) > 128) assert(math.max(nw, nh) == 128)
+      }
+    }
+  }
+
+  test("mm audio info: duration math from the parsed chunks") {
+    import graft.multimodal.MM
+    val rows = MM.audioInfo(MM.synthesizePayload(docs.where(col("doc_id") < 30)))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sr, n, ms) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(Set(8000L, 16000L, 24000L)(sr))
+      assert(ms == math.floor(n * 1000.0 / sr).toLong)
+    }
+  }
+
   test("mm decode: headerless payloads parse as unknown, not garbage") {
     import spark.implicits._
     val raw = Seq((7L, "just plain text".getBytes("UTF-8"))).toDF("doc_id", "payload")
