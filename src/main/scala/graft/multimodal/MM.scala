@@ -47,15 +47,17 @@ object MM {
   private def bytes(hexStr: String): Column = unhex(lit(hexStr))
   private def ascii(s: String): Column = lit(s).cast("binary")
 
-  /** Optimizer barrier: a nondeterministic column stops ScanOperation /
-    * CollapseProject from inlining the big payload CASE expression into
-    * every downstream byte access — without it the fused projection for
-    * synthesize→patch→re-decode grows past janino's method limit and
-    * the whole stage falls back to interpreted evaluation. With the
-    * barrier each stage stays its own codegen'd projection, computing
-    * the payload exactly once per row. Dropped by the callers' selects. */
-  private def stageBarrier(df: DataFrame): DataFrame =
-    df.withColumn("_stage", monotonically_increasing_id())
+  /** Pin an expensive column to its own projection. The wrapped branch
+    * is always taken (rand() ∈ [0,1) is never negative) so the VALUE is
+    * exactly `c` — but the expression is nondeterministic to Catalyst,
+    * so neither CollapseProject nor the scan planner's unconditional
+    * project-collapse may substitute it into downstream expressions.
+    * Without this the fused synthesize→hex→patch→re-decode projection
+    * re-inlines the payload CASE into every one of the ~30 byte
+    * accesses, the generated method grows past janino's limit, and the
+    * whole stage silently falls back to interpreted evaluation. Pinned,
+    * each payload/hex image is computed once per row, codegen'd. */
+  private def pinned(c: Column): Column = when(rand() >= 0, c)
 
   /** documents.text → a binary payload column wearing a real media
     * container header (the ingest-side stand-in; see scaladoc). */
@@ -94,8 +96,8 @@ object MM {
       ascii("data"), le(bodyLen, 4),
       body)
 
-    stageBarrier(docs.select(col("doc_id"),
-      when(fmt === 1, png).when(fmt === 0, jpeg).otherwise(wav).as("payload")))
+    docs.select(col("doc_id"),
+      pinned(when(fmt === 1, png).when(fmt === 0, jpeg).otherwise(wav)).as("payload"))
   }
 
   // ---- byte-level parsing helpers (over the hex image `_h`) ----
@@ -114,8 +116,7 @@ object MM {
 
   /** Extract typed metadata from the payload BYTES (never doc_id). */
   def decode(withBytes: DataFrame): DataFrame = {
-    val hexed = stageBarrier(withBytes.select(col("doc_id"), col("payload")))
-      .withColumn("_h", hex(col("payload")))
+    val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
     val isPng  = hx(lit(1), 8) === "89504E470D0A1A0A"
     val isJpeg = hx(lit(1), 2) === "FFD8"
     val isWav  = hx(lit(1), 4) === "52494646" // "RIFF"
@@ -159,17 +160,26 @@ object MM {
     * payload with [[decode]] and reports the re-read dims. Non-image
     * payloads pass through unchanged. */
   def resizeToFit(withBytes: DataFrame, maxDim: Int): DataFrame = {
-    val hexed = stageBarrier(withBytes.select(col("doc_id"), col("payload")))
-      .withColumn("_h", hex(col("payload")))
+    // staged as separate pinned columns so every projection's generated
+    // method stays small: _h (hex image) → _sof (segment walk) →
+    // _w/_ht (parsed dims) → new dims → splice. Downstream expressions
+    // see plain attributes, not re-inlined copies of the whole tree.
+    val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
     val isPng  = hx(lit(1), 8) === "89504E470D0A1A0A"
     val isJpeg = hx(lit(1), 2) === "FFD8"
     val n1 = lit(5) + bei(lit(5), 2)
     val n2 = n1 + 2 + bei(n1 + 2, 2)
-    val sof = when(hx(lit(3), 2) === "FFC0", lit(3L))
+    val sofExpr = when(hx(lit(3), 2) === "FFC0", lit(3L))
       .when(hx(n1, 2) === "FFC0", n1)
       .when(hx(n2, 2) === "FFC0", n2)
-    val w = when(isPng, bei(lit(17), 4)).when(isJpeg, bei(sof + 7, 2))
-    val h = when(isPng, bei(lit(21), 4)).when(isJpeg, bei(sof + 5, 2))
+    val staged = hexed
+      .withColumn("_sof", pinned(sofExpr))
+      .withColumn("_w", pinned(
+        when(isPng, bei(lit(17), 4)).when(isJpeg, bei(col("_sof") + 7, 2))))
+      .withColumn("_ht", pinned(
+        when(isPng, bei(lit(21), 4)).when(isJpeg, bei(col("_sof") + 5, 2))))
+    val w = col("_w")
+    val h = col("_ht")
     // fit inside maxDim×maxDim preserving aspect; integer floor, min 1.
     // Non-image rows (null dims) must stay null — greatest() skips
     // nulls in both engines, so an unguarded min-1 clamp would invent
@@ -179,23 +189,26 @@ object MM {
       .otherwise(greatest(lit(1), floor(w * maxDim / m.cast("double")).cast("bigint")))
     val newH = when(m.isNull, lit(null).cast("bigint")).when(m <= maxDim, h)
       .otherwise(greatest(lit(1), floor(h * maxDim / m.cast("double")).cast("bigint")))
+    val sized = staged
+      .withColumn("_nw", pinned(newW))
+      .withColumn("_nh", pinned(newH))
     def hexPad(n: Column, bytes: Int): Column = lpad(hex(n), bytes * 2, "0")
     // splice on the hex image: [..prefix..][W][H][..rest..]
     val pngPatched = concat(
       col("_h").substr(lit(1), lit(32)),            // bytes 1..16
-      hexPad(newW, 4), hexPad(newH, 4),             // bytes 17..24
+      hexPad(col("_nw"), 4), hexPad(col("_nh"), 4), // bytes 17..24
       col("_h").substr(lit(49), length(col("_h")))) // bytes 25..
-    val jpegHStart = ((sof + 5 - 1) * 2 + 1).cast("int") // hex offset of height
+    val jpegHStart = ((col("_sof") + 5 - 1) * 2 + 1).cast("int") // hex offset of height
     val jpegPatched = concat(
       col("_h").substr(lit(1), jpegHStart - 1),
-      hexPad(newH, 2), hexPad(newW, 2),
+      hexPad(col("_nh"), 2), hexPad(col("_nw"), 2),
       col("_h").substr(jpegHStart + 8, length(col("_h"))))
     val patched = when(isPng, unhex(pngPatched))
-      .when(isJpeg && sof.isNotNull, unhex(jpegPatched))
+      .when(isJpeg && col("_sof").isNotNull, unhex(jpegPatched))
       .otherwise(col("payload"))
-    val out = stageBarrier(hexed.select(col("doc_id"), col("payload"),
-      patched.as("resized"), w.as("width"), h.as("height"),
-      newW.as("new_width"), newH.as("new_height")))
+    val out = sized.select(col("doc_id"), col("payload"),
+      pinned(patched).as("resized"), col("_w").as("width"), col("_ht").as("height"),
+      col("_nw").as("new_width"), col("_nh").as("new_height"))
     // verify by construction: re-decode the PATCHED bytes
     val reread = decode(out.select(col("doc_id"), col("resized").as("payload")))
       .select(col("doc_id"), col("width").as("rw"), col("height").as("rh"))
@@ -211,8 +224,7 @@ object MM {
     * mono PCM), duration from the two — the triage columns an audio
     * corpus is bucketed/filtered on before any sample-level decode. */
   def audioInfo(withBytes: DataFrame): DataFrame = {
-    val hexed = stageBarrier(withBytes.select(col("doc_id"), col("payload")))
-      .withColumn("_h", hex(col("payload")))
+    val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
     val isWav = hx(lit(1), 4) === "52494646"
     val sr = lei(lit(25), 4)
     val dataLen = lei(lit(41), 4)
