@@ -106,6 +106,15 @@ object SparkEntry {
       Aggregates.weightedMedian(T(s, d, "lineitem"), "l_extendedprice", "l_quantity")),
     "agg_grouped" -> ((s, d) =>
       Aggregates.grouped(T(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+    // the hot-key escape hatch as a verified query: two-phase salted
+    // aggregation (spread one hot group over 8 reducers, then merge)
+    // must equal the direct aggregate — AQE rebalances skewed joins but
+    // not skewed aggregations, so this is the 100 TB answer for them
+    "agg_salted" -> ((s, d) =>
+      graft.core.Salt.saltedAggregate(T(s, d, "lineitem"), Seq("l_returnflag"), 8,
+          partials = Seq(sum(col("l_quantity")).as("s"), count(lit(1)).as("c")),
+          merges = Seq(round(sum(col("s")), 4).as("sum_v"), sum(col("c")).as("n")))
+        .orderBy("l_returnflag")),
   )
 
   private val aggOracles: Map[String, String] = Map(
@@ -130,6 +139,10 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity,0.5),4) AS median_v
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_salted" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_v,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -43,6 +43,23 @@ object SnapshotQueries {
     // the groupBy on the same key) run with ZERO Exchange — the
     // co-located join HBase gets from co-partitioned regions.
     // Plan-asserted (no shuffle) in LayoutSpec; verified vs oracle here.
+    // HBase major compaction: rewrite the store dropping deleted cells,
+    // TTL-expired versions (minVersions guarantee intact) and versions
+    // beyond maxVersions, emitting a fresh rowkey-sorted snapshot — the
+    // full storage-lifecycle composition (delete markers → TTL →
+    // version GC → sorted rewrite) as one verified query.
+    "major_compaction" -> ((s, d) => {
+      val v = Tables.eventCells(s, d)
+      // delete markers: drop qualifier 'click' for every 11th user
+      val afterDelete = v.where(
+        !(pmod(col("rowkey"), lit(11)) === 0 && col("qualifier") === "click"))
+      val afterTtl = Mutations.ttlExpireMinVersions(afterDelete, "15 DAYS", minVersions = 1)
+      val kept = graft.kv.Scans.maxVersions(afterTtl, 3)
+      val base = tmp("graft_compact", d)
+      Layout.writeSorted(
+        kept.select("rowkey", "qualifier", "ts", "value", "event_id"), "rowkey", base)
+      Layout.read(s, base).orderBy("event_id")
+    }),
     "bucket_join" -> ((s, d) => {
       val sfx = Integer.toHexString(d.hashCode)
       val (ot, lt) = (s"orders_bkt_$sfx", s"lineitem_bkt_$sfx")
@@ -72,5 +89,19 @@ object SnapshotQueries {
         |       round(sum(l_quantity), 4) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin,
+    "major_compaction" ->
+      ("WITH " + Tables.eventCellsSql + s""",
+         |af AS (SELECT * FROM vcells WHERE NOT (rowkey % 11 = 0 AND qualifier = 'click')),
+         |ttl AS (SELECT *, row_number() OVER (PARTITION BY rowkey, family, qualifier
+         |                                     ORDER BY ts DESC, event_id DESC) AS rn
+         |        FROM af),
+         |keep1 AS (SELECT * FROM ttl
+         |          WHERE ts >= (SELECT max(ts) - INTERVAL 15 DAY FROM af) OR rn <= 1),
+         |ranked AS (SELECT rowkey, qualifier, ts, value, event_id,
+         |                  row_number() OVER (PARTITION BY rowkey, family, qualifier
+         |                                     ORDER BY ts DESC, event_id DESC) AS rn2
+         |           FROM keep1)
+         |SELECT rowkey, qualifier, ts, value, event_id FROM ranked
+         |WHERE rn2 <= 3 ORDER BY event_id""".stripMargin),
   )
 }

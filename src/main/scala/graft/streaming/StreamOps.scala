@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** Per-key running counter state (HBase Increment's stored value). */
 case class CounterState(n: Long, sum: Double)
@@ -38,6 +38,21 @@ object StreamOps {
     * stream length. */
   def streamingCounters(events: DataFrame): DataFrame =
     windowedCounters(events.withWatermark("ts", "1 day"))
+
+  /** Maintain a queryable per-key counter TABLE from the stream — the
+    * serving loop an HBase counter table gets from its write path
+    * (Increment → memstore → flushed store): each micro-batch
+    * overwrites the snapshot with the complete running aggregate
+    * (copy-on-write via Layout.writeSorted), so readers always see a
+    * consistent key-sorted table while the stream keeps feeding it.
+    * Spec proves the maintained table converges to the batch answer. */
+  def maintainCounterTable(events: DataFrame, path: String): DataStreamWriter[Row] =
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.core.Layout.writeSorted(batch, "event_type", path, buckets = 1)
+      }
 
   /** Streaming exact dedup — the ingest-side gate of the dedup family:
     * the first record carrying a given content digest passes, later

@@ -39,6 +39,25 @@ class StreamingSpec extends SparkSpec {
       s"streaming (${got.length} rows) != batch (${want.length} rows)")
   }
 
+  test("foreachBatch maintains a copy-on-write counter table equal to the batch answer") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val srcDir = Files.createTempDirectory("graft_table_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val counterDir = Files.createTempDirectory("graft_counter_tbl").toString + "/t"
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = StreamOps.maintainCounterTable(streamed, counterDir).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(counterDir)
+      .orderBy("event_type").collect()
+    val want = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
+      .orderBy("event_type").collect()
+    assert(got.length == want.length && got.sameElements(want),
+      s"maintained table (${got.mkString(",")}) != batch (${want.mkString(",")})")
+  }
+
   test("streaming dedup drops duplicate payloads across micro-batches, bounded state") {
     val events = Tables.load(spark, sfDir, "events").select("event_id", "ts", "props")
     val dir = Files.createTempDirectory("graft_dedup_src").toString
