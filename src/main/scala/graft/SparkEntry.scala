@@ -106,6 +106,19 @@ object SparkEntry {
       Aggregates.weightedMedian(T(s, d, "lineitem"), "l_extendedprice", "l_quantity")),
     "agg_grouped" -> ((s, d) =>
       Aggregates.grouped(T(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+    // "top N per group" via the bounded-state TopKStruct aggregate:
+    // map-side partial top-k means no row ever shuffles except the
+    // k-row partial buffers — the window form (row_number over a
+    // partition) sorts and shuffles every row. Top-3 orders by price
+    // per order priority.
+    "agg_topk" -> ((s, d) => {
+      val scored = T(s, d, "orders").select(col("o_orderpriority"),
+        col("o_orderkey").as("nn_id"), col("o_totalprice").as("_score"))
+      graft.sim.Ann.topK(scored, "o_orderpriority", 3)
+        .select(col("o_orderpriority"), col("nn_id").as("o_orderkey"),
+          col("_score").as("o_totalprice"), col("rank"))
+        .orderBy("o_orderpriority", "rank")
+    }),
     // the hot-key escape hatch as a verified query: two-phase salted
     // aggregation (spread one hot group over 8 reducers, then merge)
     // must equal the direct aggregate — AQE rebalances skewed joins but
@@ -139,6 +152,12 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity,0.5),4) AS median_v
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders) WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "agg_salted" ->
       """SELECT l_returnflag, round(sum(l_quantity), 4) AS sum_v,
         |       CAST(count(*) AS BIGINT) AS n

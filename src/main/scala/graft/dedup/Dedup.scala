@@ -148,12 +148,84 @@ object Dedup {
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> array_join(slice(sig, b*$rows + 1, $rows), '_'))")))
       .toDF("doc_id", "band", "key")
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j")).distinct()
+    // candidates straight off the per-bucket postings list (same trick
+    // as the capped ngram path): one groupBy shuffle builds each
+    // (band, key) bucket, pairs are emitted by a codegen'd nested
+    // transform — vs a self-join that shuffles `banded` twice. Bucket
+    // sizes are the LSH collision sets, naturally small at any corpus
+    // size for near-dup thresholds; a boilerplate-heavy corpus with
+    // giant identical-doc buckets blows up either formulation the same
+    // way (O(n²) true pairs exist), and the clustering consumer can
+    // switch to star-to-min emission if it only needs connectivity.
+    val cand = bucketPairs(banded.groupBy("band", "key"))
     // exact verify on candidates only: array intersect over the shingle sets
     verifyPairs(cand, sh, threshold)
+  }
+
+  /** Distinct (i, j) pairs (i < j) emitted from each group's collected
+    * doc_id postings list — shared by the LSH and SimHash band buckets. */
+  private def bucketPairs(buckets: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    buckets.agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, k) ->
+          |  transform(slice(ds, k + 2, size(ds) - k - 1),
+          |            y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j")).distinct()
+
+  /** Duplicate-cluster resolution: connected components over a pair
+    * list `(i, j)` — the step that turns a pairwise near-dup report
+    * (ngram/LSH/SimHash/embedding) into per-document cluster ids and a
+    * canonical keeper, i.e. the actual "which copies do we drop"
+    * decision of a training-data pipeline. Transitivity is the point:
+    * A~B and B~C pair lists leave A and C in the same cluster even when
+    * the A–C pair itself was never emitted.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — each round
+    * first takes the min label over the 1-hop neighborhood, then
+    * replaces every label by its label's label (halving chains), so a
+    * diameter-d component converges in O(log d) rounds rather than
+    * O(d). Each round is two shuffle joins on the vertex id; labels are
+    * `localCheckpoint`ed per round so the plan does not grow with the
+    * iteration count (at cluster scale this would be a reliable
+    * checkpoint; the shape is identical). The only driver-side values
+    * are the per-round convergence probe (`isEmpty` on the changed-label
+    * set — a scalar, not data) — no `.collect()` of vertex data ever.
+    * Dedup clusters are near-cliques (tiny diameter), so in practice
+    * this is 2–3 rounds regardless of corpus size.
+    *
+    * Returns (id, cluster) for every doc appearing in `pairs`, where
+    * `cluster` = min doc_id of the component (deterministic keeper). */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // undirected: each pair feeds both directions; pin the (possibly
+    // expensive) upstream pair query so rounds do not recompute it
+    val edges = pairs
+      .select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
+      .union(pairs.select(col("j").cast("long").as("a"), col("i").cast("long").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      // 1-hop min: smallest label among me and my neighbors
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // pointer jump: my new label = my label's label (chain halving)
+      val next = prop
+        .join(prop.select(col("id").as("lbl"), col("lbl").as("l2")), Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("l2"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      done = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
   }
 
   /** 64-bit SimHash over token frequencies: per bit, sign of the
@@ -180,12 +252,19 @@ object Dedup {
     val banded = sig.select(col("doc_id"), col("sim"),
         posexplode(expr("transform(sequence(0, 3), q -> pmod(shiftright(sim, q*16), 65536))")))
       .toDF("doc_id", "sim", "band", "key")
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct()
+    // postings-list pair emission (see minhashLsh): the signature rides
+    // along in the bucket struct so hamming is computed at emission —
+    // no join back to the sig table, one groupBy shuffle total
+    banded.groupBy("band", "key")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sim")))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, k) ->
+          |  transform(slice(ds, k + 2, size(ds) - k - 1),
+          |    y -> struct(x.doc_id AS i, y.doc_id AS j,
+          |                bit_count(x.sim ^ y.sim) AS hamming))))""".stripMargin)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

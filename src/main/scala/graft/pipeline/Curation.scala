@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+/** End-to-end training-set curation — the composition a 100 TB corpus
+  * actually runs, as ONE declarative plan: language gate → quality
+  * gate → exact-dedup survivorship → near-dup cluster survivorship.
+  * Emits a per-document audit row (not just the survivors) so the
+  * decision for every document is inspectable — the form a curation
+  * report takes when you need to answer "why was this page dropped".
+  *
+  * Scale shape: langid/quality are projections + one (doc_id, token)
+  * shuffle; exact keepers shuffle a 128-bit digest; the near-dup arm
+  * rides the capped inverted index + pointer-jumping components — every
+  * stage is the already-verified operator, joined back on doc_id. No
+  * stage funnels rows to the driver.
+  */
+object Curation {
+
+  /** @param minQuality  keep threshold on the composite quality score
+    * @param minTokens   floor on whitespace-token count
+    * @param dupThreshold ngram-Jaccard near-dup threshold */
+  def curate(docs: DataFrame, minQuality: Double = 0.3, minTokens: Long = 10,
+             dupThreshold: Double = 0.5): DataFrame = {
+    val lang = TextOps.langId(docs).select("doc_id", "pred_lang")
+    val qual = TextOps.quality(docs).select("doc_id", "n_tokens", "quality")
+    // exact-dedup survivors: min doc_id per content digest
+    val exactKeep = docs
+      .groupBy(md5(col("text").cast("binary")).as("_fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("_ek"))
+    // near-dup clusters (transitive) over the capped ngram pair list
+    val clusters = Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs, dupThreshold, pruneUnique = false,
+          maxDf = Some(8), minShared = 2))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    docs.select("doc_id")
+      .join(lang, "doc_id")
+      .join(qual, "doc_id")
+      .join(exactKeep, Seq("doc_id"), "left")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality"),
+        coalesce(col("_ek"), lit(false)).as("exact_keeper"),
+        col("cluster"),
+        (col("pred_lang") === "en" &&
+          col("quality") >= minQuality && col("n_tokens") >= minTokens &&
+          coalesce(col("_ek"), lit(false)) &&
+          (col("cluster").isNull || col("cluster") === col("doc_id"))).as("kept"))
+  }
+}

@@ -36,6 +36,19 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(docs(s, d), 0.5, pruneUnique = false,
         maxDf = Some(8), minShared = 2).orderBy("i", "j")),
+    // cluster resolution: the pair report made actionable — connected
+    // components (min-label propagation + pointer jumping) over the
+    // capped-ngram pairs, keeper = min doc_id of the component.
+    // Transitive closure is the point: the oracle reproduces it with a
+    // recursive CTE over the same pair list.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = Dedup.ngramJaccard(docs(s, d), 0.5, pruneUnique = false,
+        maxDf = Some(8), minShared = 2)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"),
+          (col("id") === col("lbl")).as("keep"))
+        .orderBy("doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), 0.5).orderBy("i", "j")),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("i", "j")),
@@ -46,6 +59,10 @@ object PipelineQueries {
     // form); recall vs the exact report + plan shape are spec-asserted.
     "dedup_embedding_ivf" -> ((s, d) =>
       Ann.nearestNeighborReportIvf(emb(s, d), 0.45).orderBy("vec_id")),
+    // the whole pipeline family composed as one plan: language gate →
+    // quality gate → exact-dedup survivorship → near-dup cluster
+    // survivorship, one audit row per document
+    "pipeline_curation" -> ((s, d) => Curation.curate(docs(s, d)).orderBy("doc_id")),
     // ---- §2H similarity ----
     "ann_bruteforce" -> ((s, d) =>
       Ann.bruteForce(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
@@ -150,32 +167,90 @@ object PipelineQueries {
        |         END AS sof
        |  FROM hexed WHERE ${ddHx("1", 2)} = 'FFD8')""".stripMargin
 
+  /** The capped-ngram pair list (mirrors the Spark path exactly: df ∈
+    * [2, 8] shingles feed the candidate join, candidates need ≥2
+    * shared, verify = full-set list_intersect) — shared by the
+    * `dedup_ngram_jaccard` oracle and, as the edge list, by the
+    * `dedup_clusters` recursive-CTE oracle. */
+  private val ddNgramPairs: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                        for i in range(1, len(ts) - 1)]) AS shs
+      |       FROM tok WHERE len(ts) >= 3),
+      |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+      |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s)
+      |         WHERE df BETWEEN 2 AND 8),
+      |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+      |cand AS (SELECT a.doc_id AS i, b.doc_id AS j
+      |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2 HAVING count(*) >= 2),
+      |v AS (SELECT i, j, len(list_intersect(sa.shs, sb.shs)) AS inter,
+      |             len(sa.shs) AS ni, len(sb.shs) AS nj
+      |      FROM cand c JOIN sh sa ON c.i = sa.doc_id JOIN sh sb ON c.j = sb.doc_id)
+      |SELECT i, j, jaccard FROM (
+      |  SELECT i, j, round(inter * 1.0 / (ni + nj - inter), 4) AS jaccard FROM v)
+      |WHERE jaccard >= 0.5""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents
         |GROUP BY md5(text) ORDER BY keeper""".stripMargin,
-    // mirrors the capped Spark path exactly: df ∈ [2, 8] shingles feed
-    // the candidate join, candidates need ≥2 shared, verify = full-set
-    // list_intersect
-    "dedup_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-        |                        for i in range(1, len(ts) - 1)]) AS shs
-        |       FROM tok WHERE len(ts) >= 3),
-        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-        |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s)
-        |         WHERE df BETWEEN 2 AND 8),
-        |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
-        |cand AS (SELECT a.doc_id AS i, b.doc_id AS j
-        |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
-        |         GROUP BY 1, 2 HAVING count(*) >= 2),
-        |v AS (SELECT i, j, len(list_intersect(sa.shs, sb.shs)) AS inter,
-        |             len(sa.shs) AS ni, len(sb.shs) AS nj
-        |      FROM cand c JOIN sh sa ON c.i = sa.doc_id JOIN sh sb ON c.j = sb.doc_id)
-        |SELECT i, j, jaccard FROM (
-        |  SELECT i, j, round(inter * 1.0 / (ni + nj - inter), 4) AS jaccard FROM v)
-        |WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin,
+    "dedup_ngram_jaccard" -> (ddNgramPairs + " ORDER BY i, j"),
+    // transitive closure of the same pair list: min reachable doc_id =
+    // the cluster id the pointer-jumping Spark path converges to
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$ddNgramPairs
+         |),
+         |edges AS (SELECT i AS a, j AS b FROM pairs
+         |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+         |SELECT id AS doc_id, least(id, min(r)) AS cluster,
+         |       (least(id, min(r)) = id) AS keep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // every arm mirrors its standalone oracle (langid ratio, quality
+    // fold with the BIGINT cast, md5 keepers, recursive-CTE clusters),
+    // joined back per document like the Spark plan
+    "pipeline_curation" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$ddNgramPairs
+         |),
+         |edges AS (SELECT i AS a, j AS b FROM pairs
+         |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
+         |lang AS (SELECT doc_id,
+         |           CASE WHEN round(len(list_filter(string_split(text, ' '), x -> x IN ($markerIn)))
+         |                      * 1.0 / len(string_split(text, ' ')), 4) >= 0.05
+         |                THEN 'en' ELSE 'other' END AS pred_lang
+         |         FROM documents),
+         |tokq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |freqs AS (SELECT doc_id, t, count(*) AS cnt FROM tokq GROUP BY 1, 2),
+         |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct
+         |       FROM freqs GROUP BY doc_id),
+         |q AS (SELECT doc_id, n_tokens,
+         |             round(least(n_tokens / 100.0, 1.0) * (n_distinct * 1.0 / n_tokens), 4) AS quality
+         |      FROM st),
+         |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT d.doc_id, l.pred_lang, q.n_tokens, q.quality,
+         |       (ek.doc_id IS NOT NULL) AS exact_keeper,
+         |       cl.cluster,
+         |       (l.pred_lang = 'en' AND q.quality >= 0.3 AND q.n_tokens >= 10
+         |        AND ek.doc_id IS NOT NULL
+         |        AND (cl.cluster IS NULL OR cl.cluster = d.doc_id)) AS kept
+         |FROM documents d
+         |JOIN lang l ON d.doc_id = l.doc_id
+         |JOIN q ON d.doc_id = q.doc_id
+         |LEFT JOIN ek ON d.doc_id = ek.doc_id
+         |LEFT JOIN cl ON d.doc_id = cl.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_embedding" ->
       (s"""WITH scored AS (
           |  SELECT a.vec_id, b.vec_id AS nn_id, ${ddCos("a.embedding", "b.embedding")} AS sc

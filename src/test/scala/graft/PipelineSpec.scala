@@ -148,6 +148,63 @@ class PipelineSpec extends SparkSpec {
     assert(!out.getBoolean(6))
   }
 
+  test("connected components: transitive closure over the pair list, min-id keeper") {
+    import spark.implicits._
+    // A~B, B~C but never A~C (the transitivity case), plus a disjoint
+    // pair and an untouched id space
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L), s"got $got")
+  }
+
+  test("connected components: a diameter-32 chain converges (pointer jumping)") {
+    import spark.implicits._
+    // worst-case shape for plain propagation; pointer jumping must close
+    // it well inside the iteration cap
+    val chain = (0L until 32L).map(k => (k, k + 1)).toDF("i", "j")
+    val got = Dedup.connectedComponents(chain, maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 33 && got.values.forall(_ == 0L),
+      s"chain did not collapse to label 0: $got")
+  }
+
+  test("connected components on an empty pair list is empty") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
+  test("curation: each gate drops exactly what its standalone operator says") {
+    import graft.pipeline.Curation
+    val audit = Curation.curate(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(audit.size == docs.count())
+    // exact_keeper agrees with Dedup.exact's keeper set
+    val keepers = Dedup.exact(docs).select("keeper")
+      .collect().map(_.getLong(0)).toSet
+    audit.foreach { case (id, r) =>
+      assert(r.getBoolean(4) == keepers(id), s"doc $id exact_keeper mismatch")
+    }
+    // cluster column agrees with connectedComponents over the same pairs
+    val cl = Dedup.connectedComponents(
+        Dedup.ngramJaccard(docs, 0.5, pruneUnique = false, maxDf = Some(8), minShared = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    audit.foreach { case (id, r) =>
+      val got = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      assert(got == cl.get(id), s"doc $id cluster mismatch: $got vs ${cl.get(id)}")
+    }
+    // kept == conjunction of the row's own audit columns
+    audit.values.foreach { r =>
+      val expect = r.getString(1) == "en" && r.getDouble(3) >= 0.3 &&
+        r.getLong(2) >= 10 && r.getBoolean(4) &&
+        (r.isNullAt(5) || r.getLong(5) == r.getLong(0))
+      assert(r.getBoolean(6) == expect, s"doc ${r.getLong(0)} kept flag inconsistent")
+    }
+    // and the pipeline must actually curate: some docs kept, some dropped
+    assert(audit.values.exists(_.getBoolean(6)) && audit.values.exists(!_.getBoolean(6)))
+  }
+
   test("minhash LSH finds the exact-jaccard pairs on planted near-dups") {
     val exact = Dedup.ngramJaccard(docs, 0.5).select("i", "j")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
