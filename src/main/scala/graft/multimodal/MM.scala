@@ -219,6 +219,46 @@ object MM {
           .as("patch_ok"))
   }
 
+  /** Ingest-side stand-in for a video column: a minimal fixed-frame
+    * container — magic "GVID", u16 BE frame count, u16 BE frame size,
+    * then n_frames×frame_size payload bytes (the document text padded/
+    * truncated to fit). Like [[synthesizePayload]], the container is
+    * genuinely parsed back from the bytes — no doc_id shortcuts
+    * downstream. */
+  def synthesizeVideo(docs: DataFrame): DataFrame = {
+    val nf = lit(4) + col("doc_id") % 13
+    val fs = lit(16) + col("doc_id") % 32
+    val payload = concat(
+      ascii("GVID"), be(nf, 2), be(fs, 2),
+      expr("rpad(text, cast((4 + doc_id % 13) * (16 + doc_id % 32) as int), '.')")
+        .cast("binary"))
+    docs.select(col("doc_id"), pinned(payload).as("payload"))
+  }
+
+  /** Frame sampling — the video analogue of the image/audio triage:
+    * parse the frame geometry from the container header, emit every
+    * `every`-th frame as its own row with its byte offset and a
+    * 4-byte fingerprint read from the frame's head. This is the fan-out
+    * stage a video corpus runs before any codec touches the frames
+    * (sampled offsets feed the downstream decode); geometry + offsets
+    * are pure header arithmetic, so the whole explode stays inside
+    * whole-stage codegen. Non-video payloads are filtered out by magic,
+    * not by metadata. */
+  def frameSample(withBytes: DataFrame, every: Int = 3): DataFrame = {
+    require(every >= 1, s"frame sample stride must be >= 1, got $every")
+    val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
+    val isVid = hx(lit(1), 4) === "47564944" // "GVID"
+    hexed.where(isVid)
+      .withColumn("_nf", pinned(bei(lit(5), 2)))
+      .withColumn("_fs", pinned(bei(lit(7), 2)))
+      .select(col("doc_id"), col("_nf").as("n_frames"), col("_fs"),
+        explode(sequence(lit(0L), col("_nf") - 1, lit(every.toLong))).as("frame_idx"),
+        col("_h"))
+      .withColumn("offset", lit(9L) + col("frame_idx") * col("_fs"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"), col("offset"),
+        bei(col("offset"), 4).as("fp"))
+  }
+
   /** Audio stream facts straight from the container bytes: sample rate
     * from the fmt chunk, sample count from the data-chunk length (16-bit
     * mono PCM), duration from the two — the triage columns an audio

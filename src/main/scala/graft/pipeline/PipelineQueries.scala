@@ -85,6 +85,10 @@ object PipelineQueries {
     // audio triage facts computed from the fmt/data chunks
     "mm_audio_info" -> ((s, d) =>
       MM.audioInfo(MM.synthesizePayload(docs(s, d))).orderBy("doc_id")),
+    // video frame sampling: geometry parsed from the GVID header, every
+    // 3rd frame emitted with its byte offset + head fingerprint
+    "mm_frame_sample" -> ((s, d) =>
+      MM.frameSample(MM.synthesizeVideo(docs(s, d))).orderBy("doc_id", "frame_idx")),
   )
 
   /** Shared DuckDB vector helpers (double-precision sequential folds —
@@ -377,6 +381,27 @@ object PipelineQueries {
          |        r.rh IS NOT DISTINCT FROM s.new_h) AS patch_ok
          |FROM sized s JOIN reread r ON s.doc_id = r.doc_id
          |ORDER BY s.doc_id""".stripMargin),
+    // same container synthesis + header walk as MM.frameSample: frame
+    // geometry from the GVID header, every 3rd frame's offset and
+    // 4-byte head fingerprint
+    "mm_frame_sample" ->
+      (s"""WITH params AS (
+          |  SELECT doc_id, text,
+          |         4 + doc_id % 13 AS nf, 16 + doc_id % 32 AS fs
+          |  FROM documents),
+          |payloads AS (
+          |  SELECT doc_id,
+          |    encode('GVID') || ${ddBe("nf", 2)} || ${ddBe("fs", 2)} ||
+          |      CAST(rpad(text, CAST(nf * fs AS INT), '.') AS BLOB) AS payload
+          |  FROM params),
+          |hexed AS (SELECT doc_id, upper(hex(payload)) AS h FROM payloads),
+          |geo AS (SELECT doc_id, h, ${ddBei("5", 2)} AS n_frames, ${ddBei("7", 2)} AS fs
+          |        FROM hexed WHERE ${ddHx("1", 4)} = '47564944'),
+          |idx AS (SELECT doc_id, h, n_frames, fs, unnest(range(0, n_frames, 3)) AS frame_idx
+          |        FROM geo)
+          |SELECT doc_id, n_frames, frame_idx, 9 + frame_idx * fs AS offset,
+          |       ${ddBei("9 + frame_idx * fs", 4)} AS fp
+          |FROM idx ORDER BY doc_id, frame_idx""".stripMargin),
     "mm_audio_info" ->
       (s"""$ddPayloadCtes
          |SELECT doc_id,

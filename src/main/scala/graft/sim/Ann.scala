@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -17,9 +16,13 @@ object VectorOps {
   /** Sequential double-precision dot product — the native codegen'd
     * VecDot Expression (see its scaladoc for why not
     * aggregate(zip_with(...))). */
-  def dot(a: String, b: String): Column =
+  def dot(a: String, b: String): Column = dot(col(a), col(b))
+
+  /** Column form — usable inside higher-order-function lambdas
+    * (the per-row centroid argmax in [[Ann.ivf]]). */
+  def dot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(
-      ColumnBridge.expression(col(a)), ColumnBridge.expression(col(b))))
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def norm(a: String): Column = sqrt(dot(a, a))
 }
@@ -68,10 +71,20 @@ object Ann {
     * every vector to its nearest centroid, then probe only the
     * `nprobe` cells nearest each query. The probed-cell equi-join is
     * the scale path: the corpus is range-partitioned by cell, a query
-    * touches nprobe/k of the data. */
+    * touches nprobe/k of the data.
+    *
+    * Cell assignment/probing is a PER-ROW PROJECTION over a broadcast
+    * centroid array (argmax / sort-and-slice over nCells in-row
+    * structs) — zero shuffle on the corpus side. The former window form
+    * (row_number over vec_id after a corpus×nCells cross join) shuffled
+    * the corpus nCells-fold twice; at 100 TB that shuffle, not the
+    * scoring, is the cost. The only shuffles left in the whole plan are
+    * the cell equi-join and the bounded-state top-k. */
   def ivf(vectors: DataFrame, queries: DataFrame, k: Int,
           nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    // centroids: elementwise mean per cell — (cell, pos) partial avgs
+    // centroids: elementwise mean per cell — (cell, pos) partial avgs;
+    // norms precomputed once, then the whole table collapses to a
+    // single broadcast row holding the (cell, c_emb, c_norm) array
     val cent = vectors
       .select((col("vec_id") % nCells).cast("int").as("cell"),
         posexplode(col("embedding")))
@@ -79,23 +92,34 @@ object Ann {
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
       .select(col("cell"), expr("transform(pv, x -> x.v)").as("c_emb"))
-    def cellRank(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy("vec_id").orderBy(col("_cs").desc, col("cell"))
-      df.crossJoin(broadcast(cent))
-        .withColumn("_cs", dot("embedding", "c_emb") / (norm("embedding") * norm("c_emb")))
-        .withColumn("_cr", row_number().over(w))
-    }
-    val assigned = cellRank(vectors.select(col("vec_id"), col("embedding")))
-      .where(col("_cr") === 1)
-      .select(col("vec_id").as("nn_id"), col("embedding"), col("cell"))
+      .withColumn("c_norm", sqrt(dot(col("c_emb"), col("c_emb"))))
+    val centArr = broadcast(
+      cent.agg(sort_array(collect_list(struct(col("cell"), col("c_emb"), col("c_norm"))))
+        .as("cents")))
+    // per-row (cos, -cell) score structs against every centroid: struct
+    // order makes max = best score with smallest-cell tiebreak — the
+    // same total order the window form used
+    def withCellScores(df: DataFrame): DataFrame =
+      df.withColumn("_n", sqrt(dot(col("embedding"), col("embedding"))))
+        .crossJoin(centArr)
+        .withColumn("_cs", transform(col("cents"), c =>
+          struct(
+            (dot(col("embedding"), c.getField("c_emb")) /
+              (col("_n") * c.getField("c_norm"))).as("s"),
+            (-c.getField("cell")).cast("long").as("negc"))))
+    val assigned = withCellScores(vectors.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("nn_id"), col("embedding"), col("_n").as("_vn"),
+        (-array_max(col("_cs")).getField("negc")).cast("int").as("cell"))
     // probes scored from the query vectors themselves, so queries need
     // not exist in the corpus (external query sets work like bruteForce)
-    val probes = cellRank(queries.select(col("vec_id"), col("embedding")))
-      .where(col("_cr") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cell"))
+    val probes = withCellScores(queries.select(col("vec_id"), col("embedding")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("_n").as("_qn"),
+        explode(expr(
+          s"transform(slice(reverse(array_sort(_cs)), 1, $nprobe), x -> CAST(-x.negc AS INT))"))
+          .as("cell"))
     val scored = probes.join(assigned, Seq("cell"))
       .where(col("nn_id") =!= col("q_id"))
-      .withColumn("_score", dot("q_emb", "embedding") / (norm("q_emb") * norm("embedding")))
+      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
     topK(scored, "q_id", k)
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
   }

@@ -139,6 +139,26 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mm frame sample: geometry from the header, stride honored, fp from the frame bytes") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    val rows = MM.frameSample(MM.synthesizeVideo(docs.where(col("doc_id") < 20)))
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, fs) =>
+      val nf = 4 + id % 13
+      assert(fs.forall(_.getLong(1) == nf), s"doc $id: n_frames mismatch")
+      val idxs = fs.map(_.getLong(2)).toSeq
+      assert(idxs == (0L until nf by 3L), s"doc $id: sampled $idxs")
+      val frameSize = 16 + id % 32
+      fs.foreach(r => assert(r.getLong(3) == 9 + r.getLong(2) * frameSize))
+    }
+    // non-video payloads are rejected by magic, not parsed
+    val junk = Seq((1L, "GVIX junk not a container".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    assert(MM.frameSample(junk).isEmpty)
+  }
+
   test("mm decode: headerless payloads parse as unknown, not garbage") {
     import spark.implicits._
     val raw = Seq((7L, "just plain text".getBytes("UTF-8"))).toDF("doc_id", "payload")
