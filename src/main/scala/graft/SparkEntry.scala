@@ -57,6 +57,24 @@ object SparkEntry {
       Scans.maxVersions(Tables.eventCells(s, d), 2)
         .select("rowkey", "qualifier", "ts", "value", "event_id")
         .orderBy("rowkey", "qualifier", "event_id")),
+    // Get.setTimeRange(0, ts) + maxVersions(1) as a stream-wide temporal
+    // join: for each click, the same user's latest purchase at or
+    // before it — one shuffle on the key, running struct-max, never a
+    // per-key range join
+    "asof_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id", "value")
+      graft.core.AsofJoin.asof(clicks, purchases, "user_id", "ts",
+          Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("_last.ts").as("last_purchase_ts"),
+          col("_last.event_id").as("last_purchase_id"),
+          col("_last.value").as("last_purchase_value"))
+        .orderBy("event_id")
+    }),
   )
 
   private val scanOracles: Map[String, String] = Map(
@@ -89,6 +107,17 @@ object SparkEntry {
         |  SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id,
         |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn <= 2 ORDER BY rowkey, qualifier, event_id""".stripMargin,
+    "asof_join" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |       p.ts AS last_purchase_ts, p.event_id AS last_purchase_id,
+        |       p.value AS last_purchase_value
+        |FROM clicks c LEFT JOIN LATERAL (
+        |  SELECT ts, event_id, value FROM purch p
+        |  WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        |  ORDER BY ts DESC, event_id DESC LIMIT 1) p ON true
+        |ORDER BY c.event_id""".stripMargin,
   )
 
   // ------------------------------------------------------------------

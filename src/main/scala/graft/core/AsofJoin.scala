@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: for each probe row, the single latest quote
+  * row with the same key at or before the probe's timestamp — HBase's
+  * `Get.setTimeRange(0, ts) + setMaxVersions(1)` ("newest cell no newer
+  * than ts", reference Get.java / TimeRange.java) generalized from one
+  * point lookup to a whole-stream join.
+  *
+  * Scale shape: the naive formulation is a range join
+  * (`p.key = q.key AND q.ts <= p.ts` then argmax) — O(|P|·|Q|) per key,
+  * the classic 100 TB blow-up. This implementation never builds that
+  * pair set: probes and quotes are UNIONED, shuffled ONCE on the key,
+  * and a running `max(struct(ts, tiebreak…))` window carries the
+  * latest-quote-so-far forward — each input row is touched exactly
+  * once after the single shuffle. Quotes sort before probes at equal
+  * ts (tag 0 < 1), so "at or before" includes same-instant quotes.
+  * Determinism: the quote payload struct leads with (ts, then the
+  * caller's columns — put a unique id right after ts), so the running
+  * max has a total order.
+  */
+object AsofJoin {
+
+  /** @param probes    rows asking "what was current as of my ts"
+    * @param quotes    rows carrying the versioned state
+    * @param key       join key column name (present in both)
+    * @param ts        event-time column name (present in both)
+    * @param quoteCols quote payload columns returned as `_last` struct
+    *                  fields (ts is prepended automatically; make the
+    *                  first entry a unique id for a total order).
+    * @return the probe rows + `_last` struct (null when no quote at or
+    *         before the probe). */
+  def asof(probes: DataFrame, quotes: DataFrame, key: String, ts: String,
+           quoteCols: Seq[String]): DataFrame = {
+    val pcols = probes.columns.toSeq
+    val qStruct = struct((col(ts) +: quoteCols.map(col)): _*)
+    val qSide = quotes.select(
+      Seq(col(key).as("_k"), col(ts).as("_t"), lit(0).as("_tag"), qStruct.as("_q")) ++
+        pcols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
+    val pSide = probes.select(
+      Seq(col(key).as("_k"), col(ts).as("_t"), lit(1).as("_tag"),
+        lit(null).cast(qSide.schema("_q").dataType).as("_q")) ++ pcols.map(col): _*)
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pSide.unionByName(qSide)
+      .withColumn("_last", max(col("_q")).over(w))
+      .where(col("_tag") === 1)
+      .select((pcols.map(col) :+ col("_last")): _*)
+  }
+}

@@ -42,6 +42,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asof join equals the naive latest-at-or-before lookup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // small key space + small time space force same-instant collisions,
+    // empty-quote keys, and multi-quote races
+    val gen = for {
+      nP <- Gen.chooseNum(1, 30)
+      nQ <- Gen.chooseNum(0, 30)
+      ps <- Gen.listOfN(nP, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 20L)))
+      qs <- Gen.listOfN(nQ, Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(0L, 20L)))
+    } yield (ps, qs)
+    samples(gen, 15).foreach { case (ps, qs) =>
+      val probes = ps.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val quotes = qs.zipWithIndex.map { case ((k, t), i) => (i.toLong + 1000, k, t) }
+      val got = graft.core.AsofJoin.asof(
+          probes.toDF("pid", "k", "t"), quotes.toDF("qid", "k", "t"),
+          "k", "t", Seq("qid"))
+        .select(col("pid"), col("_last.qid"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      probes.foreach { case (pid, k, t) =>
+        val want = quotes.filter(q => q._2 == k && q._3 <= t)
+          .sortBy(q => (q._3, q._1)).lastOption.map(_._1)
+        assert(got(pid) == want, s"probe $pid (k=$k t=$t): got ${got(pid)} want $want")
+      }
+    }
+  }
+
   test("FuzzyMatch equals the mask semantics it encodes (overlap-prefix)") {
     val gen = for {
       pat <- Gen.listOfN(6, Gen.oneOf('a', 'b', '?')).map(_.mkString)
