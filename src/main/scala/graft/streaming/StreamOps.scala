@@ -54,6 +54,21 @@ object StreamOps {
         graft.core.Layout.writeSorted(batch, "event_type", path, buckets = 1)
       }
 
+  /** Sessionization — gaps-and-islands over per-user event streams:
+    * events closer than `gap` belong to one session. Uses Spark's
+    * native `session_window` aggregate, which merges windows in the
+    * aggregation itself — ONE shuffle on the key, no self-join, no
+    * lag-window two-pass — and is the identical construct the
+    * streaming path would run with a watermark (bounded state: open
+    * sessions only). Session end = last event + gap (the window's
+    * close), per Spark's session-window semantics. */
+  def sessionize(events: DataFrame, gap: String = "1 hour"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_v"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_v"))
+
   /** Streaming exact dedup — the ingest-side gate of the dedup family:
     * the first record carrying a given content digest passes, later
     * copies arriving within the watermark horizon are dropped, and

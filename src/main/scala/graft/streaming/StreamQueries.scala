@@ -12,6 +12,12 @@ object StreamQueries {
     "stream_counters" -> ((s, d) =>
       StreamOps.windowedCounters(Tables.load(s, d, "events"))
         .orderBy("window_start", "event_type")),
+    // gaps-and-islands via the native session_window aggregate — one
+    // shuffle on the key; the same construct runs streaming with a
+    // watermark (open sessions only in state)
+    "sessionize" -> ((s, d) =>
+      StreamOps.sessionize(Tables.load(s, d, "events"))
+        .orderBy("user_id", "session_start")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -19,5 +25,23 @@ object StreamQueries {
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |       count(*) AS n_events, round(sum(value), 4) AS sum_v
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // lag/cumsum islands form of the same sessions: a session breaks
+    // where the per-user gap exceeds 1h; start = min ts per island
+    "sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL '1 hour' THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM lagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |       count(*) AS n_events, round(sum(value), 4) AS sum_v
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

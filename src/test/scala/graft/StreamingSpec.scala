@@ -7,6 +7,23 @@ import graft.streaming.StreamOps
 
 class StreamingSpec extends SparkSpec {
 
+  test("sessionize: events within the gap merge, a gap past 1h breaks the session") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ev = Seq(
+      (1L, "2024-01-01 00:00:00", 1.0),
+      (1L, "2024-01-01 00:30:00", 2.0), // 30 m gap — same session
+      (1L, "2024-01-01 02:00:00", 3.0), // 90 m gap — new session
+      (2L, "2024-01-01 00:00:00", 4.0)
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val got = graft.streaming.StreamOps.sessionize(ev)
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events", "sum_v")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)), s"got $got")
+  }
+
   test("streaming windowed counters converge to the batch answer") {
     val events = Tables.load(spark, sfDir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
