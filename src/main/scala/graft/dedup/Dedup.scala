@@ -94,10 +94,7 @@ object Dedup {
         val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
         val pairs = ex.groupBy("s").agg(array_sort(collect_list(col("doc_id"))).as("ds"))
           .where(size(col("ds")) >= 2 && size(col("ds")) <= cap)
-          .select(explode(expr(
-            """flatten(transform(ds, (x, k) ->
-              |  transform(slice(ds, k + 2, size(ds) - k - 1),
-              |            y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+          .select(explode(expr(pairExpansion("y -> struct(x AS i, y AS j)"))).as("p"))
           .select(col("p.i").as("i"), col("p.j").as("j"))
         val cand = pairs.groupBy("i", "j")
           .agg(count(lit(1)).as("_shared"))
@@ -162,15 +159,24 @@ object Dedup {
     verifyPairs(cand, sh, threshold)
   }
 
+  /** The postings-list pair expansion `ds → [(ds[k], ds[m]) : k < m]`
+    * as a SQL lambda over a sorted array column `ds`; `emit` maps each
+    * (x, y) element pair to its output struct. ONE copy of the index
+    * arithmetic, shared by the capped ngram path, the LSH buckets and
+    * SimHash (which carries the signature through the struct) — two
+    * hand-synced copies of `slice(ds, k + 2, …)` is exactly the drift
+    * this file's filter predicates were deduplicated to avoid. */
+  private def pairExpansion(emit: String): String =
+    s"""flatten(transform(ds, (x, k) ->
+       |  transform(slice(ds, k + 2, size(ds) - k - 1),
+       |            $emit)))""".stripMargin
+
   /** Distinct (i, j) pairs (i < j) emitted from each group's collected
     * doc_id postings list — shared by the LSH and SimHash band buckets. */
   private def bucketPairs(buckets: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
     buckets.agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, k) ->
-          |  transform(slice(ds, k + 2, size(ds) - k - 1),
-          |            y -> struct(x AS i, y AS j))))""".stripMargin)).as("p"))
+      .select(explode(expr(pairExpansion("y -> struct(x AS i, y AS j)"))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j")).distinct()
 
   /** Duplicate-cluster resolution: connected components over a pair
@@ -258,11 +264,9 @@ object Dedup {
     banded.groupBy("band", "key")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sim")))).as("ds"))
       .where(size(col("ds")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, k) ->
-          |  transform(slice(ds, k + 2, size(ds) - k - 1),
-          |    y -> struct(x.doc_id AS i, y.doc_id AS j,
-          |                bit_count(x.sim ^ y.sim) AS hamming))))""".stripMargin)).as("p"))
+      .select(explode(expr(pairExpansion(
+        """y -> struct(x.doc_id AS i, y.doc_id AS j,
+          |            bit_count(x.sim ^ y.sim) AS hamming)""".stripMargin))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()

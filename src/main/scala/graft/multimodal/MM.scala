@@ -102,38 +102,50 @@ object MM {
 
   // ---- byte-level parsing helpers (over the hex image `_h`) ----
 
-  /** hex chars of `len` bytes at 1-based byte offset `i`. */
-  private def hx(i: Column, len: Int): Column =
-    col("_h").substr(((i - 1) * 2 + 1).cast("int"), lit(2 * len))
+  /** hex chars of `len` bytes at 1-based byte offset `i` of hex image
+    * column `h` (the forward pass reads `_h`; resizeToFit's verify
+    * re-reads the PATCHED image `_ph` with the same helpers). */
+  private def hx(i: Column, len: Int, h: String = "_h"): Column =
+    col(h).substr(((i - 1) * 2 + 1).cast("int"), lit(2 * len))
 
   /** big-endian unsigned int of `len` bytes at byte offset `i`. */
-  private def bei(i: Column, len: Int): Column =
-    conv(hx(i, len), 16, 10).cast("bigint")
+  private def bei(i: Column, len: Int, h: String = "_h"): Column =
+    conv(hx(i, len, h), 16, 10).cast("bigint")
 
   /** little-endian unsigned int of `len` bytes at byte offset `i`. */
-  private def lei(i: Column, len: Int): Column =
-    (0 until len).map(k => bei(i + k, 1) * lit(math.pow(256, k).toLong)).reduce(_ + _)
+  private def lei(i: Column, len: Int, h: String = "_h"): Column =
+    (0 until len).map(k => bei(i + k, 1, h) * lit(math.pow(256, k).toLong)).reduce(_ + _)
+
+  // ---- shared header probe — decode and resizeToFit MUST walk the
+  //      header identically (resize's patch_ok verification is only
+  //      sound against the same walk), so there is exactly one copy of
+  //      the magic checks and the JPEG segment walk, parameterized by
+  //      which hex image they read ----
+  private def isPng(h: String = "_h"): Column  = hx(lit(1), 8, h) === "89504E470D0A1A0A"
+  private def isJpeg(h: String = "_h"): Column = hx(lit(1), 2, h) === "FFD8"
+  private def isWav(h: String = "_h"): Column  = hx(lit(1), 4, h) === "52494646" // "RIFF"
+
+  /** JPEG: walk the length-prefixed segment chain from offset 3 until
+    * the SOF0 marker (FFC0). Bounded to 3 hops — enough for the
+    * SOI/APP0/COM/SOF0 layouts synthesized here; a deeper chain just
+    * parses as unknown dims rather than mis-parsing. */
+  private def sofWalk(h: String = "_h"): Column = {
+    val n1 = lit(5) + bei(lit(5), 2, h)           // after segment 1
+    val n2 = n1 + 2 + bei(n1 + 2, 2, h)           // after segment 2
+    when(hx(lit(3), 2, h) === "FFC0", lit(3L))
+      .when(hx(n1, 2, h) === "FFC0", n1)
+      .when(hx(n2, 2, h) === "FFC0", n2)
+  }
 
   /** Extract typed metadata from the payload BYTES (never doc_id). */
   def decode(withBytes: DataFrame): DataFrame = {
     val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
-    val isPng  = hx(lit(1), 8) === "89504E470D0A1A0A"
-    val isJpeg = hx(lit(1), 2) === "FFD8"
-    val isWav  = hx(lit(1), 4) === "52494646" // "RIFF"
-    // JPEG: walk the length-prefixed segment chain from offset 3 until
-    // the SOF0 marker (FFC0). Bounded to 3 hops — enough for the
-    // SOI/APP0/COM/SOF0 layouts synthesized here; a deeper chain just
-    // parses as unknown dims rather than mis-parsing.
-    val n1 = lit(5) + bei(lit(5), 2)              // after segment 1
-    val n2 = n1 + 2 + bei(n1 + 2, 2)              // after segment 2
-    val sof = when(hx(lit(3), 2) === "FFC0", lit(3L))
-      .when(hx(n1, 2) === "FFC0", n1)
-      .when(hx(n2, 2) === "FFC0", n2)
-    val format = when(isPng, "png").when(isJpeg, "jpeg")
-      .when(isWav, "wav").otherwise("unknown")
-    val width = when(isPng, bei(lit(17), 4)).when(isJpeg, bei(sof + 7, 2))
-    val height = when(isPng, bei(lit(21), 4)).when(isJpeg, bei(sof + 5, 2))
-    val sampleRate = when(isWav, lei(lit(25), 4))
+    val sof = sofWalk()
+    val format = when(isPng(), "png").when(isJpeg(), "jpeg")
+      .when(isWav(), "wav").otherwise("unknown")
+    val width = when(isPng(), bei(lit(17), 4)).when(isJpeg(), bei(sof + 7, 2))
+    val height = when(isPng(), bei(lit(21), 4)).when(isJpeg(), bei(sof + 5, 2))
+    val sampleRate = when(isWav(), lei(lit(25), 4))
     hexed.select(
       col("doc_id"),
       length(col("payload")).as("n_bytes"),
@@ -142,8 +154,8 @@ object MM {
       height.as("height"),
       sampleRate.as("sample_rate"),
       coalesce(
-        when(isPng || isJpeg, width > 0 && height > 0)
-          .when(isWav, sampleRate > 0).otherwise(lit(false)),
+        when(isPng() || isJpeg(), width > 0 && height > 0)
+          .when(isWav(), sampleRate > 0).otherwise(lit(false)),
         lit(false)).as("decode_ok"))
   }
 
@@ -165,19 +177,12 @@ object MM {
     // _w/_ht (parsed dims) → new dims → splice. Downstream expressions
     // see plain attributes, not re-inlined copies of the whole tree.
     val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
-    val isPng  = hx(lit(1), 8) === "89504E470D0A1A0A"
-    val isJpeg = hx(lit(1), 2) === "FFD8"
-    val n1 = lit(5) + bei(lit(5), 2)
-    val n2 = n1 + 2 + bei(n1 + 2, 2)
-    val sofExpr = when(hx(lit(3), 2) === "FFC0", lit(3L))
-      .when(hx(n1, 2) === "FFC0", n1)
-      .when(hx(n2, 2) === "FFC0", n2)
     val staged = hexed
-      .withColumn("_sof", pinned(sofExpr))
+      .withColumn("_sof", pinned(sofWalk()))
       .withColumn("_w", pinned(
-        when(isPng, bei(lit(17), 4)).when(isJpeg, bei(col("_sof") + 7, 2))))
+        when(isPng(), bei(lit(17), 4)).when(isJpeg(), bei(col("_sof") + 7, 2))))
       .withColumn("_ht", pinned(
-        when(isPng, bei(lit(21), 4)).when(isJpeg, bei(col("_sof") + 5, 2))))
+        when(isPng(), bei(lit(21), 4)).when(isJpeg(), bei(col("_sof") + 5, 2))))
     val w = col("_w")
     val h = col("_ht")
     // fit inside maxDim×maxDim preserving aspect; integer floor, min 1.
@@ -203,20 +208,23 @@ object MM {
       col("_h").substr(lit(1), jpegHStart - 1),
       hexPad(col("_nh"), 2), hexPad(col("_nw"), 2),
       col("_h").substr(jpegHStart + 8, length(col("_h"))))
-    val patched = when(isPng, unhex(pngPatched))
-      .when(isJpeg && col("_sof").isNotNull, unhex(jpegPatched))
-      .otherwise(col("payload"))
-    val out = sized.select(col("doc_id"), col("payload"),
-      pinned(patched).as("resized"), col("_w").as("width"), col("_ht").as("height"),
-      col("_nw").as("new_width"), col("_nh").as("new_height"))
-    // verify by construction: re-decode the PATCHED bytes
-    val reread = decode(out.select(col("doc_id"), col("resized").as("payload")))
-      .select(col("doc_id"), col("width").as("rw"), col("height").as("rh"))
-    out.join(reread, "doc_id")
-      .select(col("doc_id"), col("width"), col("height"),
-        col("new_width"), col("new_height"),
-        (col("rw") <=> col("new_width") && col("rh") <=> col("new_height"))
-          .as("patch_ok"))
+    val patchedHex = when(isPng(), pngPatched)
+      .when(isJpeg() && col("_sof").isNotNull, jpegPatched)
+      .otherwise(col("_h"))
+    // verify by construction: re-parse the PATCHED hex image with the
+    // SAME shared header walk, as one more projection in the same pass
+    // — no second run of the synthesize→hex→walk pipeline, no join
+    // (the former decode-join form recomputed the whole upstream DAG
+    // for the reread branch and shuffled both outputs on doc_id)
+    val reread = sized.withColumn("_ph", pinned(patchedHex))
+      .withColumn("_psof", pinned(sofWalk("_ph")))
+    val rw = when(isPng("_ph"), bei(lit(17), 4, "_ph"))
+      .when(isJpeg("_ph"), bei(col("_psof") + 7, 2, "_ph"))
+    val rh = when(isPng("_ph"), bei(lit(21), 4, "_ph"))
+      .when(isJpeg("_ph"), bei(col("_psof") + 5, 2, "_ph"))
+    reread.select(col("doc_id"), col("_w").as("width"), col("_ht").as("height"),
+      col("_nw").as("new_width"), col("_nh").as("new_height"),
+      (rw <=> col("_nw") && rh <=> col("_nh")).as("patch_ok"))
   }
 
   /** Ingest-side stand-in for a video column: a minimal fixed-frame
@@ -251,6 +259,9 @@ object MM {
     hexed.where(isVid)
       .withColumn("_nf", pinned(bei(lit(5), 2)))
       .withColumn("_fs", pinned(bei(lit(7), 2)))
+      // a legal-but-empty container (frame count 0) must yield zero
+      // rows, not kill the scan: sequence(0, -1, k) throws
+      .where(col("_nf") >= 1)
       .select(col("doc_id"), col("_nf").as("n_frames"), col("_fs"),
         explode(sequence(lit(0L), col("_nf") - 1, lit(every.toLong))).as("frame_idx"),
         col("_h"))
@@ -265,11 +276,13 @@ object MM {
     * corpus is bucketed/filtered on before any sample-level decode. */
   def audioInfo(withBytes: DataFrame): DataFrame = {
     val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
-    val isWav = hx(lit(1), 4) === "52494646"
     val sr = lei(lit(25), 4)
     val dataLen = lei(lit(41), 4)
     val nSamples = floor(dataLen / lit(2.0)).cast("bigint")
-    hexed.where(isWav).select(
+    // sr > 0: a zeroed fmt chunk would make duration Infinity, and
+    // casting Infinity to bigint throws under Spark 4's ANSI default —
+    // one corrupt file must not kill the triage scan
+    hexed.where(isWav() && sr > 0).select(
       col("doc_id"),
       sr.as("sample_rate"),
       nSamples.as("n_samples"),

@@ -409,7 +409,9 @@ object PipelineQueries {
          |       CAST(floor(${ddLei("41", 4)} / 2.0) AS BIGINT) AS n_samples,
          |       CAST(floor(CAST(floor(${ddLei("41", 4)} / 2.0) AS BIGINT) * 1000
          |                  / CAST(${ddLei("25", 4)} AS DOUBLE)) AS BIGINT) AS duration_ms
-         |FROM hexed WHERE ${ddHx("1", 4)} = '52494646' ORDER BY doc_id""".stripMargin),
+         |FROM hexed
+         |WHERE ${ddHx("1", 4)} = '52494646' AND ${ddLei("25", 4)} > 0
+         |ORDER BY doc_id""".stripMargin),
     // dedup_minhash_lsh, dedup_simhash, ann_ivf, dedup_embedding_ivf:
     // rows-only (xxhash64 / float-mean centroids have no portable SQL
     // form) — no entries here.

@@ -41,18 +41,37 @@ object StreamOps {
 
   /** Maintain a queryable per-key counter TABLE from the stream — the
     * serving loop an HBase counter table gets from its write path
-    * (Increment → memstore → flushed store): each micro-batch
-    * overwrites the snapshot with the complete running aggregate
-    * (copy-on-write via Layout.writeSorted), so readers always see a
-    * consistent key-sorted table while the stream keeps feeding it.
-    * Spec proves the maintained table converges to the batch answer. */
+    * (Increment → memstore → flushed store): each micro-batch writes
+    * the complete running aggregate as a NEW immutable `v=<batchId>`
+    * snapshot (the same copy-on-write convention as Snapshots.write —
+    * an in-place overwrite would delete the directory before rewriting
+    * it, so a concurrent reader could catch a missing/partial table).
+    * Readers resolve the latest COMPLETE version via
+    * [[readCounterTable]]; superseded versions can be GC'd once no
+    * reader can still hold them. Spec proves the maintained table
+    * converges to the batch answer. */
   def maintainCounterTable(events: DataFrame, path: String): DataStreamWriter[Row] =
     events.groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
       .writeStream.outputMode("complete")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.core.Layout.writeSorted(batch, "event_type", path, buckets = 1)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.core.Snapshots.write(batch, "event_type", path, batchId.toInt)
       }
+
+  /** The read side of [[maintainCounterTable]]: the highest `v=N`
+    * snapshot whose write completed (parquet `_SUCCESS` marker) — a
+    * version mid-write is simply not visible yet. */
+  def readCounterTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(2).toInt)
+    require(versions.nonEmpty, s"no complete counter-table snapshot under $path")
+    graft.core.Snapshots.read(spark, path, versions.max)
+  }
 
   /** Sessionization — gaps-and-islands over per-user event streams:
     * events closer than `gap` belong to one session. Uses Spark's

@@ -157,6 +157,12 @@ class PipelineSpec extends SparkSpec {
     val junk = Seq((1L, "GVIX junk not a container".getBytes("UTF-8")))
       .toDF("doc_id", "payload")
     assert(MM.frameSample(junk).isEmpty)
+    // a legal container with frame count 0 yields zero rows — it must
+    // not throw (sequence(0, -1) is an error, ANSI or not)
+    val zeroFrames = Seq((2L,
+      "GVID".getBytes("UTF-8") ++ Array[Byte](0, 0, 0, 16) ++ "body".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    assert(MM.frameSample(zeroFrames).isEmpty)
   }
 
   test("mm decode: headerless payloads parse as unknown, not garbage") {

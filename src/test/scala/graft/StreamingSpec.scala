@@ -66,7 +66,9 @@ class StreamingSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val q = StreamOps.maintainCounterTable(streamed, counterDir).start()
     try q.processAllAvailable() finally q.stop()
-    val got = spark.read.parquet(counterDir)
+    // reader-side contract: the latest COMPLETE v=N snapshot (versions
+    // are immutable; a version mid-write is not visible)
+    val got = StreamOps.readCounterTable(spark, counterDir)
       .orderBy("event_type").collect()
     val want = events.groupBy("event_type")
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
