@@ -57,6 +57,23 @@ object SparkEntry {
       Scans.maxVersions(Tables.eventCells(s, d), 2)
         .select("rowkey", "qualifier", "ts", "value", "event_id")
         .orderBy("rowkey", "qualifier", "event_id")),
+    // HBase has no native secondary indexes; applications maintain an
+    // index TABLE (indexed value → rowkeys) and query through it. The
+    // index is written rowkey-sorted on the INDEXED column so lookups
+    // range-prune like any rowkey scan; matched rowkeys then fetch
+    // base rows via a broadcast semi-join — at serving time the base
+    // table is never scanned by the non-key column.
+    "secondary_index" -> ((s, d) => {
+      val orders = T(s, d, "orders")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+      graft.core.Layout.writeSorted(
+        orders.select(col("o_custkey"), col("o_orderkey")), "o_custkey", idxDir, 4)
+      val hits = graft.core.Layout.read(s, idxDir)
+        .where(col("o_custkey").between(100, 120))
+      orders.join(broadcast(hits.select("o_orderkey")), Seq("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
     // Get.setTimeRange(0, ts) + maxVersions(1) as a stream-wide temporal
     // join: for each click, the same user's latest purchase at or
     // before it — one shuffle on the key, running struct-max, never a
@@ -107,6 +124,10 @@ object SparkEntry {
         |  SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id,
         |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn <= 2 ORDER BY rowkey, qualifier, event_id""".stripMargin,
+    // querying through the index must equal filtering the base directly
+    "secondary_index" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 120 ORDER BY o_orderkey""".stripMargin,
     "asof_join" ->
       """WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
         |purch AS (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase')
@@ -135,6 +156,14 @@ object SparkEntry {
       Aggregates.weightedMedian(T(s, d, "lineitem"), "l_extendedprice", "l_quantity")),
     "agg_grouped" -> ((s, d) =>
       Aggregates.grouped(T(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+    // exact grouped distinct-count (the oracle form); the bench path
+    // swaps in the HLL sketch (approx_count_distinct) — same
+    // exact-vs-scale split as the median family
+    "agg_distinct" -> ((s, d) =>
+      T(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("n_parts"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
     // "top N per group" via the bounded-state TopKStruct aggregate:
     // map-side partial top-k means no row ever shuffles except the
     // k-row partial buffers — the window form (row_number over a
@@ -181,6 +210,9 @@ object SparkEntry {
         |       round(quantile_cont(l_quantity,0.5),4) AS median_v
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
@@ -211,6 +243,13 @@ object SparkEntry {
       "agg_grouped" -> ((s, d) =>
         Aggregates.groupedApprox(T(s, d, "lineitem"),
           Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+      // HLL sketch: fixed-size state per group, map-side partials — the
+      // exact form shuffles every distinct (group, value) pair
+      "agg_distinct" -> ((s, d) =>
+        T(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("n_parts"),
+               count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")),
     )
 
   /** DuckDB-runnable oracle per query (same column names, same order). */
