@@ -38,6 +38,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!streamedSide.contains("Exchange"), s"big side shuffled:\n$p")
   }
 
+  test("asof join is single-shuffle: one hash Exchange, no range join") {
+    import spark.implicits._
+    val probes = Seq((1L, 5L, 10L)).toDF("pid", "k", "t")
+    val quotes = Seq((2L, 5L, 8L)).toDF("qid", "k", "t")
+    val p = graft.core.AsofJoin.asof(probes, quotes, "k", "t", Seq("qid"))
+      .queryExecution.executedPlan.toString()
+    // the whole point: the naive per-key range join must not appear,
+    // and the union+window form costs exactly ONE shuffle (on the key)
+    assert(!p.contains("Join"), s"range-join formulation leaked in:\n$p")
+    val nExchanges = "(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(nExchanges == 1, s"expected exactly 1 shuffle, got $nExchanges:\n$p")
+  }
+
+  test("secondary_index: base rows fetched via broadcast semi of the index hits") {
+    val p = plan("secondary_index")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the index side must range-prune on the indexed column
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey), GreaterThanOrEqual(o_custkey,100)"), p)
+  }
+
   test("scan_reversed compiles to TakeOrderedAndProject (top-N, not global sort)") {
     val p = plan("scan_reversed")
     assert(p.contains("TakeOrderedAndProject"), p)
