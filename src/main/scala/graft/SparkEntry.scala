@@ -156,6 +156,13 @@ object SparkEntry {
       Aggregates.weightedMedian(T(s, d, "lineitem"), "l_extendedprice", "l_quantity")),
     "agg_grouped" -> ((s, d) =>
       Aggregates.grouped(T(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"), "l_quantity")),
+    // hierarchical totals in one pass: rollup emits (flag, status),
+    // (flag, ·) and (·, ·) grand-total rows from a single codegen'd
+    // aggregate — subtotals without re-scanning per level
+    "agg_rollup" -> ((s, d) =>
+      T(s, d, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
     // exact grouped distinct-count (the oracle form); the bench path
     // swaps in the HLL sketch (approx_count_distinct) — same
     // exact-vs-scale split as the median family
@@ -213,6 +220,11 @@ object SparkEntry {
     "agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "agg_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
