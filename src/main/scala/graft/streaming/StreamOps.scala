@@ -39,6 +39,15 @@ object StreamOps {
   def streamingCounters(events: DataFrame): DataFrame =
     windowedCounters(events.withWatermark("ts", "1 day"))
 
+  /** Streaming form of [[sessionize]]: with the event-time watermark,
+    * Structured Streaming keeps state only for OPEN sessions — a
+    * session is emitted (append mode) and its state dropped once the
+    * watermark passes its close. Same construct, bounded state at any
+    * stream length; StreamingSpec drives it end-to-end. */
+  def streamingSessionize(events: DataFrame, gap: String = "1 hour",
+                          lateness: String = "1 hour"): DataFrame =
+    sessionize(events.withWatermark("ts", lateness), gap)
+
   /** Maintain a queryable per-key counter TABLE from the stream — the
     * serving loop an HBase counter table gets from its write path
     * (Increment → memstore → flushed store): each micro-batch writes

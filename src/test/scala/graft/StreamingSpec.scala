@@ -24,6 +24,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 3.0), (1L, 1L, 3.0), (2L, 1L, 4.0)), s"got $got")
   }
 
+  test("streaming sessionization: closed sessions match batch sessions exactly") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "value")
+    val dir = Files.createTempDirectory("graft_sess_src").toString
+    // stage the replay files in EVENT-TIME order (range partition on ts,
+    // files listed in path order) so nothing arrives behind the
+    // watermark — append mode DROPS late rows, and a random replay
+    // order would make the comparison nondeterministic
+    // 16 files ⇒ ~2-day watermark granularity: the watermark used at
+    // trigger k derives from trigger k-1's max, so emission coverage
+    // trails by a batch or two of event-time span
+    events.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val sess = StreamOps.streamingSessionize(streamed)
+    assert(sess.queryExecution.analyzed.toString().contains("EventTimeWatermark"))
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def byKey(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.get(1).toString) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val got = byKey(spark.table("sessions")
+      .select("user_id", "session_start", "n_events", "sum_v").collect())
+    val want = byKey(StreamOps.sessionize(events)
+      .select("user_id", "session_start", "n_events", "sum_v").collect())
+    // append emits a session once the watermark passes its close; only
+    // sessions in the final watermark tail (last ~2h of a 30-day
+    // stream) may still be open and unemitted. Counts must be exact;
+    // the sum tolerates FP summation-order noise (incremental
+    // micro-batch merge vs the batch fold).
+    got.foreach { case (k, (n, s)) =>
+      assert(want.contains(k), s"streamed session $k not in batch")
+      val (wn, ws) = want(k)
+      assert(n == wn, s"session $k: n_events $n != $wn")
+      assert(math.abs(s - ws) < 1e-6 * math.max(1.0, math.abs(ws)),
+        s"session $k: sum_v $s != $ws")
+    }
+    assert(got.size >= want.size * 3 / 4,
+      s"closed-session coverage too low: ${got.size}/${want.size}")
+  }
+
   test("streaming windowed counters converge to the batch answer") {
     val events = Tables.load(spark, sfDir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
