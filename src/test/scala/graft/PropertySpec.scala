@@ -42,6 +42,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components equal a union-find oracle on random graphs") {
+    import spark.implicits._
+    // small id space forces cycles, stars and cross-component merges —
+    // shapes the planted-case tests don't produce
+    val gen = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))))
+      .map(_.filter(p => p._1 != p._2))
+    samples(gen, 8).filter(_.nonEmpty).foreach { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      // smaller root absorbs bigger ⇒ each tree's root is the
+      // component's min id
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(n => n -> find(n)).toMap
+      val got = graft.dedup.Dedup.connectedComponents(edges.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"edges $edges:\ngot  $got\nwant $want")
+    }
+  }
+
   test("asof join equals the naive latest-at-or-before lookup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
