@@ -219,16 +219,22 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
         .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
+      // prop feeds BOTH sides of the pointer-jump self-join below — pin
+      // it so the (edges ⋈ labels ⋈ groupBy) subtree runs once per
+      // round, not twice. The pre-round label rides along so convergence
+      // is a filter on the pinned result instead of a join back to
+      // `labels`.
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("prev"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
       // pointer jump: my new label = my label's label (chain halving)
       val next = prop
         .join(prop.select(col("id").as("lbl"), col("lbl").as("l2")), Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("l2"), col("lbl")).as("lbl"))
+        .select(col("id"), col("prev"), coalesce(col("l2"), col("lbl")).as("lbl"))
         .localCheckpoint()
-      done = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.lbl") =!= col("o.lbl")).isEmpty
-      labels = next
+      done = next.where(col("lbl") =!= col("prev")).isEmpty
+      labels = next.select("id", "lbl")
       iter += 1
     }
     labels
