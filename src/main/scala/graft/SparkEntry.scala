@@ -49,6 +49,16 @@ object SparkEntry {
       Scans.multiGetBulk(T(s, d, "orders"), "o_orderkey", keys,
         Seq("o_orderkey", "o_custkey", "o_orderstatus")).orderBy("o_orderkey")
     }),
+    // the bloom-pruned variant: key set past broadcast size → SMJ, with
+    // a BloomFilterAggregate scalar subquery pruning the table scan
+    // before the exchange (the HFile-bloom-filter read path; plan spec
+    // asserts might_contain sits below the join)
+    "multi_get_bloom" -> ((s, d) => {
+      import s.implicits._
+      val keys = (0 until 3000).map(i => 7L * i + 2).toDF("o_orderkey")
+      Scans.multiGetBloomSmj(T(s, d, "orders"), "o_orderkey", keys,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus")).orderBy("o_orderkey")
+    }),
     "scan_time_range" -> ((s, d) =>
       Scans.timeRange(Tables.eventCells(s, d), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
         .select("rowkey", "qualifier", "ts", "value", "event_id")
@@ -114,6 +124,10 @@ object SparkEntry {
     "multi_get_bulk" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 3 = 1 AND o_orderkey BETWEEN 1 AND 5998
+        |ORDER BY o_orderkey""".stripMargin,
+    "multi_get_bloom" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey % 7 = 2 AND o_orderkey BETWEEN 2 AND 20995
         |ORDER BY o_orderkey""".stripMargin,
     "scan_time_range" ->
       """SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id FROM events

@@ -74,6 +74,16 @@ object AnalyticsQueries {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
+    // WALPlayer: the events stream as a WAL — every 7th edit is a
+    // delete tombstone, the rest are puts; replay the two-week window
+    // into the current-state table (latest put newer than the latest
+    // tombstone per cell, one hash aggregate)
+    "wal_replay" -> ((s, d) => {
+      val edits = Tables.eventCells(s, d)
+        .withColumn("op", when(col("event_id") % 7 === 0, "delete").otherwise("put"))
+      Tools.walReplay(edits, "2024-01-05 00:00:00", "2024-01-25 00:00:00")
+        .orderBy("rowkey", "qualifier")
+    }),
     // MultiTableInputFormat / MultiTableSnapshotInputFormat analogue:
     // one scan spanning several tables, rows tagged by source table.
     // Same filter applies to each; a union of pruned scans, no shuffle.
@@ -131,6 +141,24 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "wal_replay" ->
+      """WITH ed AS (
+        |  SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id,
+        |         CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'),
+        |p AS (
+        |  SELECT rowkey, qualifier, ts, event_id, value,
+        |         row_number() OVER (PARTITION BY rowkey, qualifier
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM ed WHERE op = 'put'),
+        |dl AS (
+        |  SELECT rowkey, qualifier, max(ts) AS del_ts
+        |  FROM ed WHERE op = 'delete' GROUP BY 1, 2)
+        |SELECT p.rowkey, p.qualifier, p.ts, p.event_id, p.value
+        |FROM p LEFT JOIN dl USING (rowkey, qualifier)
+        |WHERE rn = 1 AND (del_ts IS NULL OR p.ts > del_ts)
+        |ORDER BY rowkey, qualifier""".stripMargin,
     "multi_table_scan" ->
       ("WITH " + Tables.customerCellsSql + ",\n" + Tables.supplierCellsSql + "\n" +
        """SELECT table_name, rowkey, family, qualifier, value FROM (

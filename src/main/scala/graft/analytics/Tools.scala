@@ -74,6 +74,35 @@ object Tools {
         coalesce(col("digest_a") === col("digest_b"), lit(false)))
   }
 
+  /** WALPlayer.java:71 / WALInputFormat.java — replay a time-ranged
+    * slice of the write-ahead log into a table. An edit is a Put cell
+    * or a Delete tombstone at a data timestamp; HBase tombstone
+    * semantics mask every version at ts ≤ the delete's ts, regardless
+    * of arrival order. The replayed state is therefore, per
+    * (rowkey, qualifier): the latest put strictly newer than the
+    * latest delete — computable in ONE hash aggregate (map-side
+    * partial max of two structs), no window, no second pass:
+    * if max-put.ts ≤ max-delete.ts then every put is masked (puts
+    * older than the latest put are older still), else the max put is
+    * the surviving current version.
+    *
+    * @param edits (rowkey, qualifier, ts, value, event_id, op) with
+    *              op ∈ {put, delete}; event_id breaks ts ties so the
+    *              replayed state is deterministic. */
+  def walReplay(edits: DataFrame, tsLo: String, tsHi: String): DataFrame =
+    edits
+      .where(col("ts") >= lit(tsLo).cast("timestamp") &&
+             col("ts") <  lit(tsHi).cast("timestamp"))
+      .groupBy("rowkey", "qualifier")
+      .agg(
+        max(when(col("op") === "delete", col("ts"))).as("_del_ts"),
+        max(when(col("op") === "put",
+          struct(col("ts"), col("event_id"), col("value")))).as("_put"))
+      .where(col("_put").isNotNull &&
+        (col("_del_ts").isNull || col("_put.ts") > col("_del_ts")))
+      .select(col("rowkey"), col("qualifier"), col("_put.ts").as("ts"),
+        col("_put.event_id").as("event_id"), col("_put.value").as("value"))
+
   /** SimpleTotalOrderPartitioner.java:49 — split [minKey, maxKey] into
     * `n` equal key ranges (the HFile bulk-load total order) and report
     * per-bucket stats (+ optional extra aggregates, e.g. region payload

@@ -60,6 +60,37 @@ object Scans {
     df.join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "leftsemi")
       .select(projection.map(col): _*)
 
+  /** The HFile-bloom-filter read path (reference: StoreFile bloom
+    * filters let a Get skip files that cannot contain the key) for key
+    * batches too large to broadcast as a hash table: a
+    * BloomFilterAggregate over the key set becomes a scalar subquery,
+    * and `might_contain(bloom, xxhash64(key))` prunes the table scan
+    * BEFORE the join's exchange — only bloom-passing rows (matches +
+    * the fpp tail) ever shuffle. The exact semi-join that follows
+    * removes false positives, so the result is exact; the join is
+    * forced to sort-merge because the premise is a key set past
+    * broadcast size. Same mechanism as Spark's InjectRuntimeFilter,
+    * made explicit and unconditional. */
+  def multiGetBloomSmj(df: DataFrame, keyCol: String, keys: DataFrame,
+                       projection: Seq[String],
+                       expectedKeys: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val keySet = keys.select(col(keyCol)).distinct()
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.resolvableExpression(col(keyCol)))),
+        Literal(expectedKeys)).toAggregateExpression())
+    val bloom = keySet.agg(bloomAgg.as("_bloom"))
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.scalarSubquery(bloom),
+      new XxHash64(Seq(ColumnBridge.resolvableExpression(col(keyCol))))))
+    df.where(mightContain)
+      .join(keySet.hint("merge"), Seq(keyCol), "leftsemi")
+      .select(projection.map(col): _*)
+  }
+
   /** Scan.setTimeRange(min, max) over versioned cells — [min, max). */
   def timeRange(vcells: DataFrame, minTs: String, maxTs: String): DataFrame =
     vcells.where(col("ts") >= lit(minTs).cast("timestamp") &&

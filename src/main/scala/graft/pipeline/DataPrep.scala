@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+/** Training-set preparation operators beyond dedup/quality gating:
+  * benchmark decontamination, deterministic dataset mixing, and
+  * context-window sequence packing. Each is a small declarative plan
+  * whose shape survives 100 TB: the benchmark side of decontamination
+  * broadcasts, sampling is a stateless projection, and packing windows
+  * are partitioned by a bounded doc_id bucket (never one global
+  * unpartitioned window).
+  */
+object DataPrep {
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct word n-gram shingles with ANY benchmark
+    * document — the standard eval-leakage scrub before training.
+    *
+    * Scale shape: the benchmark set (eval suites — thousands of docs)
+    * is minute next to the corpus, so its DISTINCT shingle set is
+    * broadcast; the corpus side is shingle explode → broadcast hash
+    * join → one (doc_id) aggregate. The corpus never shuffles its
+    * text, and a doc with no benchmark overlap contributes nothing
+    * past the join. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    minShared: Int = 2, n: Int = 3): DataFrame = {
+    val corpus = Dedup.shingles(docs, n)
+      .select(col("doc_id"), explode(col("shs")).as("s"))
+    val benchSh = Dedup.shingles(benchmark, n)
+      .select(explode(col("shs")).as("s")).distinct()
+    val hits = corpus.join(broadcast(benchSh), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("_shared"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_shared"), lit(0L)).as("shared_ngrams"),
+        (coalesce(col("_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
+  /** Deterministic stratified sampling — dataset MIXING: each stratum
+    * (source, language, quality band) keeps a configured fraction of
+    * its rows, decided by a pure hash of the row key so the sample is
+    * reproducible across runs, engines and partitionings (no RNG, no
+    * seed-per-partition coupling). A row is kept iff
+    * knuth(key) / 2³² < rate(stratum). Stateless projection + filter:
+    * nothing shuffles, pushdown still applies, and the same call on a
+    * 1000-executor cluster picks the identical rows.
+    *
+    * The hash folds the key into [0, 2³¹) before the Knuth multiply —
+    * the raw multiply overflows Long past keys ~3.5e9 (ANSI-mode
+    * runtime error at exactly 100 TB key ranges). */
+  def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    val hash = pmod(pmod(col(keyCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val rate = rates.foldLeft(lit(0.0)) { case (acc, (stratum, r)) =>
+      when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+    }
+    df.where(hash < rate * lit(4294967296L))
+  }
+
+  /** Context-window sequence packing ("concat-and-chunk"): documents
+    * are concatenated in doc_id order and cut every `ctxTokens`
+    * tokens; each document reports the sequence its first token lands
+    * in and its offset inside that sequence. Packing runs per doc_id
+    * RANGE BUCKET of `bucketSize` docs — the window is partitioned by
+    * bucket, so no executor ever sorts more than a bucket (a single
+    * global running sum is exactly the unpartitioned-window shape this
+    * codebase bans). Buckets correspond to independent shards of the
+    * packed dataset; sequence ids are globally unique via
+    * bucket * 2²⁰ + local index. */
+  def packSequences(docs: DataFrame, ctxTokens: Int = 2048,
+                    bucketSize: Int = 100): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      expr(s"doc_id div $bucketSize").as("bucket"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    t.withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        (col("bucket") * lit(1048576L) +
+          expr(s"(_cum - n_tokens) div $ctxTokens")).as("seq_id"),
+        ((col("_cum") - col("n_tokens")) % ctxTokens).as("seq_offset"))
+  }
+}

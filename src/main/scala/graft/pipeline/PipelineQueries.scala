@@ -63,6 +63,31 @@ object PipelineQueries {
     // quality gate → exact-dedup survivorship → near-dup cluster
     // survivorship, one audit row per document
     "pipeline_curation" -> ((s, d) => Curation.curate(docs(s, d)).orderBy("doc_id")),
+    // benchmark decontamination: docs sharing ≥2 distinct trigram
+    // shingles with the benchmark set (doc_id ≡ 0 mod 41) are flagged —
+    // the eval-leakage scrub; benchmark shingle set broadcasts
+    "decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      DataPrep.decontaminate(all, all.where(col("doc_id") % 41 === 0))
+        .orderBy("doc_id")
+    }),
+    // dataset mixing: per-language keep rates decided by a pure key
+    // hash — reproducible across runs/engines/partitionings, zero
+    // shuffle (the 100 TB form of "sample src_web at 10%")
+    "sample_stratified" -> ((s, d) =>
+      DataPrep.sampleStratified(docs(s, d), "doc_id", "lang",
+          Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+    // concat-and-chunk context packing, windows partitioned per
+    // 100-doc bucket (no global running sum)
+    "pack_sequences" -> ((s, d) =>
+      DataPrep.packSequences(docs(s, d), ctxTokens = 256, bucketSize = 100)
+        .orderBy("doc_id")),
+    // int8 scalar quantization audit: scale, quantized checksum/range,
+    // reconstruction MSE per vector — all per-row codegen'd projections
+    "embedding_quantize" -> ((s, d) =>
+      graft.sim.Quantize.int8Report(emb(s, d)).orderBy("vec_id")),
     // ---- §2H similarity ----
     "ann_bruteforce" -> ((s, d) =>
       Ann.bruteForce(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
@@ -255,6 +280,61 @@ object PipelineQueries {
          |LEFT JOIN ek ON d.doc_id = ek.doc_id
          |LEFT JOIN cl ON d.doc_id = cl.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // same shingle construction as ddNgramPairs; benchmark = doc_id ≡ 0
+    // (mod 41), overlap counted over DISTINCT shingles per doc
+    "decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                        for i in range(1, len(ts) - 1)]) AS shs
+        |       FROM tok WHERE len(ts) >= 3),
+        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |bs AS (SELECT DISTINCT s FROM ex WHERE doc_id % 41 = 0),
+        |hits AS (SELECT e.doc_id, count(*) AS shared FROM ex e JOIN bs USING (s) GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(h.shared, 0) AS BIGINT) AS shared_ngrams,
+        |       coalesce(h.shared, 0) >= 2 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
+        |      (CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.25
+        |                 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id // 100 AS bucket,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, bucket, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+        |      FROM t)
+        |SELECT doc_id, bucket, n_tokens,
+        |       CAST(bucket * 1048576 + (cum - n_tokens) // 256 AS BIGINT) AS seq_id,
+        |       CAST((cum - n_tokens) % 256 AS BIGINT) AS seq_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // the identical guarded scale / explicit-floor clamp / dot-product
+    // identity as Quantize.int8Report — double folds are bit-identical
+    // across the engines
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))) / 127, 1e-12) AS scale
+        |      FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x ->
+        |          greatest(least(CAST(floor(x / scale + 0.5) AS BIGINT), 127), -127)) AS qv
+        |      FROM s),
+        |qd AS (SELECT vec_id, v, scale, qv, CAST(qv AS DOUBLE[]) AS qdv FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       CAST(list_min(qv) AS BIGINT) AS q_min,
+        |       CAST(list_max(qv) AS BIGINT) AS q_max,
+        |       round((list_dot_product(v, v)
+        |              - 2 * scale * list_dot_product(qdv, v)
+        |              + scale * scale * list_dot_product(qdv, qdv))
+        |             / len(v) * 1000000, 4) AS mse_ppm
+        |FROM qd ORDER BY vec_id""".stripMargin,
     "dedup_embedding" ->
       (s"""WITH scored AS (
           |  SELECT a.vec_id, b.vec_id AS nn_id, ${ddCos("a.embedding", "b.embedding")} AS sc

@@ -20,6 +20,17 @@ object ColumnBridge {
     * all), so the SQL-facade path converts eagerly here. */
   def resolvableExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** `df` as an uncorrelated scalar subquery expression — the shape
+    * expressions like BloomFilterMightContain demand for their
+    * build-side input (a constant or scalar subquery; a cross-joined
+    * attribute is rejected). This is the same materialize-once-then-
+    * broadcast-into-the-expression mechanism Spark's own
+    * InjectRuntimeFilter rule uses for its runtime bloom filters. */
+  def scalarSubquery(df: org.apache.spark.sql.Dataset[_]): Expression =
+    org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.analyzed)
 }
 
 /** Session-level access for function registration on a live session

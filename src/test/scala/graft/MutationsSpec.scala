@@ -63,4 +63,31 @@ class MutationsSpec extends SparkSpec {
     val got = Mutations.deleteRows(base, dels, "k").orderBy("k").as[(Long, String)].collect()
     assert(got.sameElements(Array((1L, "a"), (3L, "c"))))
   }
+
+  test("walReplay: tombstones mask ts <= delete, newer puts survive, ts ties break on id") {
+    def ed(rk: Long, q: String, t: String, v: Double, id: Long, op: String) =
+      (rk, q, t, v, id, op)
+    val edits = Seq(
+      // r1/a: put@02, delete@03 → masked (put ts < delete ts)
+      ed(1, "a", "2024-01-02 00:00:00", 1.0, 10, "put"),
+      ed(1, "a", "2024-01-03 00:00:00", 0.0, 11, "delete"),
+      // r1/b: delete@02, put@03 → put survives (strictly newer)
+      ed(1, "b", "2024-01-02 00:00:00", 0.0, 12, "delete"),
+      ed(1, "b", "2024-01-03 00:00:00", 2.0, 13, "put"),
+      // r2/a: put at EXACTLY the delete ts → masked (HBase masks ts <= delete)
+      ed(2, "a", "2024-01-04 00:00:00", 3.0, 14, "put"),
+      ed(2, "a", "2024-01-04 00:00:00", 0.0, 15, "delete"),
+      // r2/b: two puts at the same ts → higher event_id wins
+      ed(2, "b", "2024-01-05 00:00:00", 4.0, 16, "put"),
+      ed(2, "b", "2024-01-05 00:00:00", 5.0, 17, "put"),
+      // r3/a: outside the replay window → ignored entirely
+      ed(3, "a", "2024-02-01 00:00:00", 9.0, 18, "put")
+    ).toDF("rowkey", "qualifier", "ts", "value", "event_id", "op")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = graft.analytics.Tools
+      .walReplay(edits, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+      .select("rowkey", "qualifier", "value")
+      .orderBy("rowkey", "qualifier").as[(Long, String, Double)].collect()
+    assert(got.sameElements(Array((1L, "b", 2.0), (2L, "b", 5.0))), got.mkString(","))
+  }
 }

@@ -275,4 +275,72 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0)))
     assert(!pairs.exists(p => p._3 > 0))
   }
+
+  test("int8 quantize: roundtrip error bounded by scale/2 per element, range honored") {
+    import graft.sim.{Quantize, VectorOps}
+    val rep = Quantize.int8Report(emb)
+    // range + positivity invariants straight off the report
+    val bad = rep.where(col("q_min") < -127 || col("q_max") > 127 ||
+      col("scale") <= 0 || col("mse_ppm") < 0).count()
+    assert(bad == 0)
+    // max elementwise |v - scale*q| must be <= scale/2 (round-to-nearest;
+    // the clamp never binds because |x|/scale <= 127 by construction)
+    val err = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("scale",
+        greatest(expr("array_max(transform(v, x -> abs(x)))") / 127, lit(1e-12)))
+      .withColumn("qv", expr(
+        "transform(v, x -> greatest(least(cast(floor(x / scale + 0.5) as bigint), 127), -127))"))
+      .withColumn("worst", expr(
+        "array_max(zip_with(v, qv, (a, q) -> abs(a - q * scale)))"))
+      .where(col("worst") > col("scale") / 2 + lit(1e-12))
+      .count()
+    assert(err == 0)
+  }
+
+  test("pack_sequences: offsets in range, sequences advance with the running sum") {
+    import graft.pipeline.DataPrep
+    val ctx = 256
+    val packed = DataPrep.packSequences(docs, ctxTokens = ctx, bucketSize = 100)
+    assert(packed.where(col("seq_offset") < 0 || col("seq_offset") >= ctx).count() == 0)
+    // first doc of every bucket starts a fresh sequence at offset 0
+    val firsts = packed.groupBy("bucket")
+      .agg(min_by(struct(col("seq_id"), col("seq_offset")), col("doc_id")).as("f"))
+      .where(col("f.seq_offset") =!= 0 || col("f.seq_id") % 1048576 =!= 0)
+    assert(firsts.count() == 0)
+    // seq_id is non-decreasing in doc order within a bucket
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    val regress = packed.withColumn("_prev", lag(col("seq_id"), 1).over(w))
+      .where(col("_prev").isNotNull && col("seq_id") < col("_prev"))
+    assert(regress.count() == 0)
+  }
+
+  test("decontaminate: benchmark members self-flag; disjoint docs stay clean") {
+    import spark.implicits._
+    import graft.pipeline.DataPrep
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // = benchmark doc
+      (2L, "the quick brown fox jumps somewhere else entirely now"), // shares 2 shingles
+      (3L, "completely different words with no overlap at all")
+    ).toDF("doc_id", "text")
+    val benchmark = corpus.where($"doc_id" === 1)
+    val got = DataPrep.decontaminate(corpus, benchmark, minShared = 2)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect()
+    assert(got(0)._3, "benchmark doc must self-flag")
+    assert(got(1)._3, s"overlapping doc must flag: ${got(1)}")
+    assert(!got(2)._3, "disjoint doc must stay clean")
+  }
+
+  test("stratified sampler is deterministic and stratum-faithful") {
+    import graft.pipeline.DataPrep
+    val rates = Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1)
+    val s1 = DataPrep.sampleStratified(docs, "doc_id", "lang", rates)
+    val s2 = DataPrep.sampleStratified(docs, "doc_id", "lang", rates)
+    assert(s1.count() == s2.count() && s1.exceptAll(s2).count() == 0,
+      "hash sampling must be run-to-run identical")
+    // an unlisted stratum samples at 0
+    val none = DataPrep.sampleStratified(docs, "doc_id", "lang", Map("xx" -> 1.0))
+    assert(none.count() == 0)
+  }
 }

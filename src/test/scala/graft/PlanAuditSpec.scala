@@ -204,6 +204,42 @@ class PlanAuditSpec extends SparkSpec {
       ParseFilter.filter(cells, "PageFilter(2) OR PrefixFilter('1')"))
   }
 
+  test("multi_get_bloom: bloom prunes the scan below the sort-merge join") {
+    val p = plan("multi_get_bloom")
+    assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"), p)
+    // the might_contain predicate must sit on the TABLE side, i.e.
+    // before (printed above) the join — pruning rows ahead of the
+    // exchange is the entire point of the bloom
+    val beforeJoin = p.split("SortMergeJoin", 2)(1)
+    assert(beforeJoin.contains("might_contain"), s"bloom filter missing below join:\n$p")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"bloom not built as a scalar subquery:\n$p")
+  }
+
+  test("decontaminate: benchmark shingles broadcast, no cartesian product") {
+    val p = SparkEntry.queries("decontaminate")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sample_stratified and embedding_quantize are shuffle-free projections") {
+    val ps = graft.pipeline.DataPrep.sampleStratified(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "lang", Map("en" -> 0.5))
+      .queryExecution.executedPlan.toString()
+    assert(!ps.contains("Exchange"), s"sampler shuffled:\n$ps")
+    val pq = graft.sim.Quantize.int8Report(Tables.load(spark, sfDir, "embeddings"))
+      .queryExecution.executedPlan.toString()
+    assert(!pq.contains("Exchange"), s"quantizer shuffled:\n$pq")
+  }
+
+  test("pack_sequences: the packing window is partitioned, never global") {
+    val df = graft.pipeline.DataPrep.packSequences(
+      Tables.load(spark, sfDir, "documents"))
+    val opt = df.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("windowspecdefinition(bucket"), s"window not partitioned by bucket:\n$opt")
+  }
+
   test("ParseFilter TimestampsFilter selects exact cell versions") {
     import spark.implicits._
     import graft.filters.ParseFilter
