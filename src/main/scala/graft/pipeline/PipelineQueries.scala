@@ -95,10 +95,28 @@ object PipelineQueries {
     "ann_ivf" -> ((s, d) =>
       Ann.ivf(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank")),
+    // ANN over the int8-quantized corpus (scales cancel in cosine):
+    // rows-only — quantization noise can reorder near-ties, so the
+    // contract is the spec'd top-1 recall vs the float baseline
+    "ann_quantized" -> ((s, d) =>
+      graft.sim.Quantize.annInt8(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rank")),
     // ---- §2I text ----
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy("doc_id")),
     "text_tokens" -> ((s, d) => TextOps.tokens(docs(s, d)).orderBy("doc_id")),
+    // PII scrub over a corpus seeded with synthetic emails/phones
+    // (every 3rd doc) — counts + redacted-text fingerprint per doc
+    "text_pii_scrub" -> ((s, d) => {
+      val seeded = docs(s, d).withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-"),
+            (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+            ((col("doc_id") * 13) % 9000 + 1000).cast("string")))
+          .otherwise(col("text")))
+      TextOps.piiScrub(seeded).orderBy("doc_id")
+    }),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
     // ---- §2J multimodal ----
     "mm_meta" -> ((s, d) => MM.meta(docs(s, d)).orderBy("doc_id")),
@@ -384,6 +402,30 @@ object PipelineQueries {
         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
         |       round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same deterministic PII seeding, same RE2-simple patterns, same
+    // rolling-hash fold over the redacted text
+    "text_pii_scrub" ->
+      """WITH seeded AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      text || ' contact user' || doc_id || '@example.com or call 555-' ||
+        |      (doc_id % 900 + 100) || '-' || ((doc_id * 13) % 9000 + 1000)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |scrubbed AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |  FROM seeded)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(clean, ''),
+        |                c -> CAST(ascii(c) AS BIGINT)),
+        |              (h, c) -> (h * 31 + c) % 1000000007) AS scrubbed_fp,
+        |  (len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) +
+        |   len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) > 0 AS had_pii
+        |FROM scrubbed ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |       list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
@@ -492,8 +534,9 @@ object PipelineQueries {
          |FROM hexed
          |WHERE ${ddHx("1", 4)} = '52494646' AND ${ddLei("25", 4)} > 0
          |ORDER BY doc_id""".stripMargin),
-    // dedup_minhash_lsh, dedup_simhash, ann_ivf, dedup_embedding_ivf:
-    // rows-only (xxhash64 / float-mean centroids have no portable SQL
-    // form) — no entries here.
+    // dedup_minhash_lsh, dedup_simhash, ann_ivf, dedup_embedding_ivf,
+    // ann_quantized: rows-only (xxhash64 / float-mean centroids /
+    // quantization-noise reordering have no portable SQL form) — no
+    // entries here; behavior is spec-asserted (recall + plan shape).
   )
 }

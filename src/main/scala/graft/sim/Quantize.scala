@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** The corpus re-expressed as reconstructed int8 vectors (q as
+    * double; the per-vector scale cancels in cosine, so ANN over these
+    * IS ANN over the quantized corpus). */
+  private def asQuantized(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("scale",
+        greatest(expr("array_max(transform(v, x -> abs(x)))") / 127, lit(1e-12)))
+      .select(col("vec_id"), expr(
+        """transform(v, x -> cast(
+          |  greatest(least(cast(floor(x / scale + 0.5) as bigint), 127), -127)
+          |  as double))""".stripMargin).as("embedding"))
+
+  /** ANN over the int8-quantized corpus: same broadcast-queries +
+    * bounded-state top-k plan as [[Ann.bruteForce]], scoring the
+    * quantized vectors — the memory-bound regime where SQ8 pays off
+    * (4× less corpus to stream per scan). Approximate (quantization
+    * noise can reorder close neighbors); top-1 recall vs the float
+    * baseline is spec-asserted, so this registers rows-only. */
+  def annInt8(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    Ann.bruteForce(asQuantized(vectors), asQuantized(queries), k)
+
   /** Per-vector int8 quantization report. scale = amax/127 guarded
     * against all-zero vectors; q = floor(v/scale + 0.5) clamped to
     * [-127, 127] (explicit floor — engine-portable, where CAST rounds

@@ -68,6 +68,26 @@ object TextOps {
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") / col("ws_tokens"), 4))
 
+  /** PII scrub — the redaction pass a training corpus runs before
+    * anything else sees the text: count and redact email addresses and
+    * phone numbers (regex classes deliberately RE2-simple so Spark's
+    * Java regex and DuckDB's RE2 agree). Pure per-row projection —
+    * regexp_extract_all/regexp_replace are codegen'd, nothing shuffles,
+    * and the scrubbed text is reported as its rolling fingerprint (the
+    * audit needs proof-of-redaction, not a second copy of the corpus). */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[a-z0-9._]+@[a-z0-9.]+"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val scrubbed =
+      s"regexp_replace(regexp_replace(text, '$email', '<EMAIL>'), '$phone', '<PHONE>')"
+    docs.select(col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("bigint").as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$phone', 0)")).cast("bigint").as("n_phones"),
+      expr(s"aggregate(transform(split($scrubbed, ''), c -> ascii(c)), 0L, " +
+        "(h, c) -> (h * 31 + c) % 1000000007)").as("scrubbed_fp"))
+      .withColumn("had_pii", col("n_emails") + col("n_phones") > 0)
+  }
+
   /** Rabin–Karp-style rolling fingerprint: left fold of
     * h = (h * 31 + ascii(c)) mod 1e9+7 over the characters — a
     * sequential mod-fold both Spark (`aggregate`) and DuckDB

@@ -252,6 +252,35 @@ class PipelineSpec extends SparkSpec {
     assert(agree >= 5, s"IVF top-1 recall $agree/10 vs brute force")
   }
 
+  test("int8 ANN keeps high top-1 agreement with the float baseline") {
+    import graft.sim.Quantize
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Ann.bruteForce(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qz = Quantize.annInt8(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = bf.count { case (k, v) => qz.get(k).contains(v) }
+    // SQ8 noise only reorders near-ties — agreement should be near-total
+    assert(agree >= 9, s"int8 top-1 recall $agree/10 vs float brute force")
+  }
+
+  test("pii scrub: counts match the seeding, redacted text carries no pattern") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "write to bob.b@mail.example today"),
+      (2L, "call 555-123-4567 or 555-999-0000 now"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(got.map(r => (r._1, r._2, r._3, r._5)).sameElements(
+      Array((1L, 1L, 0L, true), (2L, 0L, 2L, true), (3L, 0L, 0L, false))))
+    // the fingerprint must be of the REDACTED text: doc 3 unchanged,
+    // docs 1-2 changed vs their raw fingerprint
+    val raw = TextOps.fingerprint(d).orderBy("doc_id").select("fp").as[Long].collect()
+    assert(got(2)._4 == raw(2) && got(0)._4 != raw(0) && got(1)._4 != raw(1))
+  }
+
   test("exact dedup collapses duplicate texts") {
     import spark.implicits._
     val d = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("doc_id", "text")
