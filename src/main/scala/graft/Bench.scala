@@ -18,7 +18,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run (iteration aid; the
+    // driver never sets it, so round benches always cover everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup: full untimed pass (ignore failures here; the timed pass reports them)
     qs.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
@@ -50,9 +54,11 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${results.size},"queries":${entries(results)},"failed":$failedJson,"sf":"$sfDir"}"""
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${results.size},"queries":${entries(top)},"failed":$failedJson,"full":"bench_full.json","sf":"$sfDir"}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      (fullLine + "\n").getBytes("UTF-8"))
+    // a filtered run must not clobber the round's full record
+    if (only.isEmpty)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        (fullLine + "\n").getBytes("UTF-8"))
     println(compactLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -91,7 +91,14 @@ object Dedup {
         // second pass over the exploded shingles, and df-filtering is
         // free (it IS the list-size predicate). df=1 shingles never
         // pair, so the size ≥ 2 floor loses nothing.
-        val ex = sh.select(col("doc_id"), explode(col("shs")).as("s"))
+        //
+        // The shingle table feeds three plan subtrees (the postings
+        // explode + both sides of the exact verify), and Catalyst
+        // re-tokenizes the corpus for each — pin it once. At cluster
+        // scale this is the persisted shingle table a pipeline writes
+        // anyway; localCheckpoint is its single-JVM stand-in.
+        val shp = sh.localCheckpoint()
+        val ex = shp.select(col("doc_id"), explode(col("shs")).as("s"))
         val pairs = ex.groupBy("s").agg(array_sort(collect_list(col("doc_id"))).as("ds"))
           .where(size(col("ds")) >= 2 && size(col("ds")) <= cap)
           .select(explode(expr(pairExpansion("y -> struct(x AS i, y AS j)"))).as("p"))
@@ -100,7 +107,7 @@ object Dedup {
           .agg(count(lit(1)).as("_shared"))
           .where(col("_shared") >= minShared)
           .select("i", "j")
-        verifyPairs(cand, sh, threshold)
+        verifyPairs(cand, shp, threshold)
     }
   }
 
@@ -139,7 +146,9 @@ object Dedup {
         "perms % bands signature values are silently unused and the " +
         "collision probability differs from the documented formula")
     val rows = perms / bands
-    val sh = shingles(docs)
+    // pinned for the same three-consumer reason as the capped ngram
+    // path: the signature projection + both sides of the exact verify
+    val sh = shingles(docs).localCheckpoint()
     val sigs = minhashSigs(sh, perms)
     val banded = sigs.select(col("doc_id"),
         posexplode(expr(
