@@ -74,6 +74,20 @@ object AnalyticsQueries {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
+    // VerifyReplication: the replica drifts three ways (every 777th
+    // row missing, every 500th price bumped, every 999th key shifted
+    // past the source keyspace) — the counters must account for all
+    "verify_replication" -> ((s, d) => {
+      val src = Tables.load(s, d, "orders").select("o_orderkey", "o_totalprice")
+      val peer = src.where(col("o_orderkey") % 777 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 500 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+        .unionByName(src.where(col("o_orderkey") % 999 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      Tools.verifyReplication(src, peer, "o_orderkey", Seq("o_totalprice"))
+    }),
     // WALPlayer: the events stream as a WAL — every 7th edit is a
     // delete tombstone, the rest are puts; replay the two-week window
     // into the current-state table (latest put newer than the latest
@@ -141,6 +155,23 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "verify_replication" ->
+      """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+        |peer AS (
+        |  SELECT k, CASE WHEN k % 500 = 0 THEN v + 1 ELSE v END AS v
+        |  FROM src WHERE k % 777 <> 0
+        |  UNION ALL
+        |  SELECT k + 1000000000, v FROM src WHERE k % 999 = 0),
+        |j AS (SELECT s.k AS sk, p.k AS pk, s.v AS sv, p.v AS pv
+        |      FROM src s FULL OUTER JOIN peer p ON s.k = p.k)
+        |SELECT
+        |  CAST(sum(CASE WHEN sk IS NOT NULL AND pk IS NOT NULL AND sv = pv
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS good_rows,
+        |  CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_in_source,
+        |  CAST(sum(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_in_peer,
+        |  CAST(sum(CASE WHEN sk IS NOT NULL AND pk IS NOT NULL AND sv <> pv
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS content_different
+        |FROM j""".stripMargin,
     "wal_replay" ->
       """WITH ed AS (
         |  SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id,

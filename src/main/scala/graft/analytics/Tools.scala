@@ -74,6 +74,28 @@ object Tools {
         coalesce(col("digest_a") === col("digest_b"), lit(false)))
   }
 
+  /** VerifyReplication (mapreduce/replication/VerifyReplication.java) —
+    * row-by-row compare of a table against its replica, emitting the
+    * tool's counters (GOODROWS / ONLY_IN_SOURCE / ONLY_IN_PEER /
+    * CONTENT_DIFFERENT). One full-outer sort-merge join on the rowkey
+    * (each side shuffles once) into a single-row aggregate with
+    * map-side partials; where HashTable/SyncTable diffs cheap bucket
+    * digests, this is the exhaustive per-row audit you run on the
+    * mismatched ranges. */
+  def verifyReplication(src: DataFrame, peer: DataFrame, keyCol: String,
+                        cmpCols: Seq[String]): DataFrame = {
+    val sv = src.select(col(keyCol), struct(cmpCols.map(col): _*).as("_sv"))
+    val pv = peer.select(col(keyCol), struct(cmpCols.map(col): _*).as("_pv"))
+    def n(c: String) = col(c).isNotNull
+    sv.join(pv, Seq(keyCol), "full_outer").agg(
+      sum(when(n("_sv") && n("_pv") && col("_sv") === col("_pv"), 1L)
+        .otherwise(0L)).as("good_rows"),
+      sum(when(!n("_pv"), 1L).otherwise(0L)).as("only_in_source"),
+      sum(when(!n("_sv"), 1L).otherwise(0L)).as("only_in_peer"),
+      sum(when(n("_sv") && n("_pv") && !(col("_sv") === col("_pv")), 1L)
+        .otherwise(0L)).as("content_different"))
+  }
+
   /** WALPlayer.java:71 / WALInputFormat.java — replay a time-ranged
     * slice of the write-ahead log into a table. An edit is a Put cell
     * or a Delete tombstone at a data timestamp; HBase tombstone
