@@ -97,6 +97,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("walReplay equals a sequential per-cell replay oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // tiny key/ts spaces force put/delete collisions and exact-ts ties
+    val edit = for {
+      rk <- Gen.chooseNum(1L, 4L)
+      q <- Gen.oneOf("a", "b")
+      tsDay <- Gen.chooseNum(1, 9)
+      v <- Gen.chooseNum(0.0, 100.0)
+      del <- Gen.prob(0.3)
+    } yield (rk, q, tsDay, v, if (del) "delete" else "put")
+    val gen = Gen.chooseNum(1, 30).flatMap(Gen.listOfN(_, edit))
+    samples(gen, 20).foreach { raw =>
+      val edits = raw.zipWithIndex.map { case ((rk, q, d, v, op), id) =>
+        (rk, q, f"2024-01-0$d 00:00:00", v, id.toLong, op)
+      }
+      val df = edits.toDF("rowkey", "qualifier", "ts", "value", "event_id", "op")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val got = graft.analytics.Tools
+        .walReplay(df, "2024-01-01 00:00:00", "2024-01-10 00:00:00")
+        .select("rowkey", "qualifier", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      // oracle: per cell, latest delete ts masks every put at ts <= it;
+      // survivor = max (ts, id) put
+      val want = edits.groupBy(e => (e._1, e._2)).flatMap { case (k, es) =>
+        val delTs = es.filter(_._6 == "delete").map(_._3).sorted.lastOption
+        val live = es.filter(e => e._6 == "put" && delTs.forall(e._3 > _))
+        live.sortBy(e => (e._3, e._5)).lastOption.map(e => k -> e._4)
+      }
+      assert(got == want, s"edits=$edits\ngot=$got\nwant=$want")
+    }
+  }
+
   test("FuzzyMatch equals the mask semantics it encodes (overlap-prefix)") {
     val gen = for {
       pat <- Gen.listOfN(6, Gen.oneOf('a', 'b', '?')).map(_.mkString)
