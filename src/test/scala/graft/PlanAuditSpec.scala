@@ -240,6 +240,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(opt.contains("windowspecdefinition(bucket"), s"window not partitioned by bucket:\n$opt")
   }
 
+  test("wal_replay is one hash aggregate: single exchange, no window, no join") {
+    val edits = Tables.eventCells(spark, sfDir)
+      .withColumn("op", when(col("event_id") % 7 === 0, "delete").otherwise("put"))
+    val p = graft.analytics.Tools
+      .walReplay(edits, "2024-01-05 00:00:00", "2024-01-25 00:00:00")
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    val nExchanges = "(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(nExchanges == 1, s"expected exactly 1 shuffle, got $nExchanges:\n$p")
+  }
+
+  test("verify_replication: full-outer SMJ into a map-side-partial scalar aggregate") {
+    val p = SparkEntry.queries("verify_replication")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    // partial then final aggregate — the counters merge map-side
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("ParseFilter TimestampsFilter selects exact cell versions") {
     import spark.implicits._
     import graft.filters.ParseFilter
