@@ -27,6 +27,12 @@ object Bench {
     qs.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // the shared shingle/pair/cluster tables must be re-paid INSIDE the
+    // timed window (by the first timed consumer) — inheriting them from
+    // warmup would time cache probes, not operators. The bucketed/v=N
+    // layout guards above stay warm by design: their timed queries still
+    // do the join/read work the layout exists for.
+    graft.pipeline.PipelineQueries.resetShared()
 
     var failed = List.empty[String]
     val results = qs.map { case (name, fn) =>

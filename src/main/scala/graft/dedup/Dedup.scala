@@ -55,14 +55,19 @@ object Dedup {
     *   least this many capped shingles before the exact verify — prunes
     *   the candidate set by ~2 orders of magnitude for near-dup
     *   thresholds (a jaccard ≥ 0.5 pair shares ~half its shingles, so
-    *   asking for ≥2 rare shared shingles costs little recall). */
+    *   asking for ≥2 rare shared shingles costs little recall).
+    * @param shingleTable precomputed (pinned) [[shingles]] output for
+    *   `docs` — a corpus-scale pipeline materializes the shingle table
+    *   once and feeds every near-dup consumer from it; passing it here
+    *   skips re-tokenizing the corpus per call. */
   def ngramJaccard(docs: DataFrame, threshold: Double,
                    pruneUnique: Boolean = true,
                    maxDf: Option[Int] = None,
-                   minShared: Int = 1): DataFrame = {
-    val sh = shingles(docs)
+                   minShared: Int = 1,
+                   shingleTable: Option[DataFrame] = None): DataFrame = {
     maxDf match {
       case None =>
+        val sh = shingleTable.getOrElse(shingles(docs))
         // exact path: carry each doc's set size through the explode; the
         // pair aggregate then has |A| and |B| in-row, saving two
         // post-aggregation joins
@@ -97,7 +102,7 @@ object Dedup {
         // re-tokenizes the corpus for each — pin it once. At cluster
         // scale this is the persisted shingle table a pipeline writes
         // anyway; localCheckpoint is its single-JVM stand-in.
-        val shp = sh.localCheckpoint()
+        val shp = shingleTable.getOrElse(shingles(docs).localCheckpoint())
         val ex = shp.select(col("doc_id"), explode(col("shs")).as("s"))
         val pairs = ex.groupBy("s").agg(array_sort(collect_list(col("doc_id"))).as("ds"))
           .where(size(col("ds")) >= 2 && size(col("ds")) <= cap)
@@ -140,7 +145,8 @@ object Dedup {
     * candidates only. bands×rows = perms; P(pair at j collides) =
     * 1 - (1 - j^rows)^bands. */
   def minhashLsh(docs: DataFrame, threshold: Double,
-                 perms: Int = 128, bands: Int = 32): DataFrame = {
+                 perms: Int = 128, bands: Int = 32,
+                 shingleTable: Option[DataFrame] = None): DataFrame = {
     require(perms % bands == 0,
       s"perms ($perms) must be divisible by bands ($bands) — otherwise " +
         "perms % bands signature values are silently unused and the " +
@@ -148,7 +154,7 @@ object Dedup {
     val rows = perms / bands
     // pinned for the same three-consumer reason as the capped ngram
     // path: the signature projection + both sides of the exact verify
-    val sh = shingles(docs).localCheckpoint()
+    val sh = shingleTable.getOrElse(shingles(docs).localCheckpoint())
     val sigs = minhashSigs(sh, perms)
     val banded = sigs.select(col("doc_id"),
         posexplode(expr(

@@ -22,9 +22,14 @@ object Curation {
 
   /** @param minQuality  keep threshold on the composite quality score
     * @param minTokens   floor on whitespace-token count
-    * @param dupThreshold ngram-Jaccard near-dup threshold */
+    * @param dupThreshold ngram-Jaccard near-dup threshold
+    * @param precomputedClusters (doc_id, cluster) near-dup components to
+    *   reuse — a pipeline that already resolved duplicate clusters (the
+    *   `dedup_clusters` stage) feeds the same table here instead of
+    *   re-running the pair join + propagation inside the audit */
   def curate(docs: DataFrame, minQuality: Double = 0.3, minTokens: Long = 10,
-             dupThreshold: Double = 0.5): DataFrame = {
+             dupThreshold: Double = 0.5,
+             precomputedClusters: Option[DataFrame] = None): DataFrame = {
     val lang = TextOps.langId(docs).select("doc_id", "pred_lang")
     val qual = TextOps.quality(docs).select("doc_id", "n_tokens", "quality")
     // exact-dedup survivors: min doc_id per content digest
@@ -33,10 +38,11 @@ object Curation {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("_ek"))
     // near-dup clusters (transitive) over the capped ngram pair list
-    val clusters = Dedup.connectedComponents(
-        Dedup.ngramJaccard(docs, dupThreshold, pruneUnique = false,
-          maxDf = Some(8), minShared = 2))
-      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    val clusters = precomputedClusters.getOrElse(
+      Dedup.connectedComponents(
+          Dedup.ngramJaccard(docs, dupThreshold, pruneUnique = false,
+            maxDf = Some(8), minShared = 2))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster")))
     docs.select("doc_id")
       .join(lang, "doc_id")
       .join(qual, "doc_id")

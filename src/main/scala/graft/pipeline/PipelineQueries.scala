@@ -24,6 +24,52 @@ object PipelineQueries {
   private def docs(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "documents")
   private def emb(s: SparkSession, d: String): DataFrame = Tables.load(s, d, "embeddings")
 
+  /** The shingle table, the capped-ngram pair list and its
+    * connected-components labels feed SEVERAL registered queries
+    * (`dedup_ngram_jaccard`, `dedup_clusters`, `pipeline_curation`,
+    * `dedup_minhash_lsh`) in any one session — Verify, Bench, or a user
+    * composing the pipeline. Catalyst shares nothing across separate
+    * queries, so each would re-tokenize the corpus and re-run the pair
+    * join; memoize the pinned result per (session, dir) instead — the
+    * single-JVM stand-in for the shingle/pair tables a corpus-scale
+    * pipeline materializes once per snapshot and feeds to every
+    * consumer. Keyed by session identity so checkpoints never leak
+    * across sessions (a localCheckpoint dies with its context). */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def memoized(s: SparkSession, d: String, what: String)
+                      (build: => DataFrame): DataFrame =
+    memo.computeIfAbsent(s"${System.identityHashCode(s)}|$d|$what",
+      _ => build.localCheckpoint())
+
+  /** Drop every memoized table. Bench hygiene: the timed pass must pay
+    * the first computation of each shared table inside the timed window
+    * (attributed to whichever consumer runs first), not inherit it from
+    * the warmup pass — otherwise the dedup family times a cache probe
+    * instead of the operator. */
+  def resetShared(): Unit = memo.clear()
+
+  private def shingleTab(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "shingles")(Dedup.shingles(docs(s, d)))
+
+  /** Capped-ngram near-dup pairs with the registered parameters
+    * (threshold 0.5, maxDf 8, minShared 2). Dependencies are resolved
+    * BEFORE entering the memo builder — computeIfAbsent must not
+    * re-enter the map. */
+  private def ngramPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleTab(s, d)
+    memoized(s, d, "ngram_pairs")(
+      Dedup.ngramJaccard(docs(s, d), 0.5, pruneUnique = false,
+        maxDf = Some(8), minShared = 2, shingleTable = Some(sh)))
+  }
+
+  /** (doc_id, cluster) component labels over [[ngramPairs]]. */
+  private def ngramClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = ngramPairs(s, d)
+    memoized(s, d, "ngram_clusters")(
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2G dedup ----
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d)).orderBy("keeper")),
@@ -33,24 +79,20 @@ object PipelineQueries {
     // against the FULL shingle sets — the oracle mirrors the same
     // capped-candidates + exact-verify semantics, so this is a full
     // oracle row, not rows-only.
-    "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(docs(s, d), 0.5, pruneUnique = false,
-        maxDf = Some(8), minShared = 2).orderBy("i", "j")),
+    "dedup_ngram_jaccard" -> ((s, d) => ngramPairs(s, d).orderBy("i", "j")),
     // cluster resolution: the pair report made actionable — connected
     // components (min-label propagation + pointer jumping) over the
     // capped-ngram pairs, keeper = min doc_id of the component.
     // Transitive closure is the point: the oracle reproduces it with a
     // recursive CTE over the same pair list.
-    "dedup_clusters" -> ((s, d) => {
-      val pairs = Dedup.ngramJaccard(docs(s, d), 0.5, pruneUnique = false,
-        maxDf = Some(8), minShared = 2)
-      Dedup.connectedComponents(pairs)
-        .select(col("id").as("doc_id"), col("lbl").as("cluster"),
-          (col("id") === col("lbl")).as("keep"))
-        .orderBy("doc_id")
-    }),
+    "dedup_clusters" -> ((s, d) =>
+      ngramClusters(s, d)
+        .select(col("doc_id"), col("cluster"),
+          (col("doc_id") === col("cluster")).as("keep"))
+        .orderBy("doc_id")),
     "dedup_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(docs(s, d), 0.5).orderBy("i", "j")),
+      Dedup.minhashLsh(docs(s, d), 0.5, shingleTable = Some(shingleTab(s, d)))
+        .orderBy("i", "j")),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d)).orderBy("i", "j")),
     "dedup_embedding" -> ((s, d) =>
       Ann.nearestNeighborReport(emb(s, d), 0.45).orderBy("vec_id")),
@@ -62,7 +104,10 @@ object PipelineQueries {
     // the whole pipeline family composed as one plan: language gate →
     // quality gate → exact-dedup survivorship → near-dup cluster
     // survivorship, one audit row per document
-    "pipeline_curation" -> ((s, d) => Curation.curate(docs(s, d)).orderBy("doc_id")),
+    "pipeline_curation" -> ((s, d) =>
+      Curation.curate(docs(s, d),
+          precomputedClusters = Some(ngramClusters(s, d)))
+        .orderBy("doc_id")),
     // benchmark decontamination: docs sharing ≥2 distinct trigram
     // shingles with the benchmark set (doc_id ≡ 0 mod 41) are flagged —
     // the eval-leakage scrub; benchmark shingle set broadcasts
@@ -100,6 +145,12 @@ object PipelineQueries {
     // contract is the spec'd top-1 recall vs the float baseline
     "ann_quantized" -> ((s, d) =>
       graft.sim.Quantize.annInt8(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rank")),
+    // IVF cell pruning over the int8 corpus — the two scale levers
+    // composed (4× less streamed, nprobe/nCells of it probed). rows-only;
+    // top-1 recall vs the float baseline is spec-asserted
+    "ann_quantized_ivf" -> ((s, d) =>
+      graft.sim.Quantize.annInt8Ivf(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank")),
     // ---- §2I text ----
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id")),

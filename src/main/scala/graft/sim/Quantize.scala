@@ -41,6 +41,18 @@ object Quantize {
   def annInt8(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
     Ann.bruteForce(asQuantized(vectors), asQuantized(queries), k)
 
+  /** The production composition of both approximations: IVF cell
+    * pruning OVER the int8-quantized corpus — 4× less corpus streamed
+    * AND only nprobe/nCells of it touched per query. Centroids, cell
+    * assignment and scoring all run on the reconstructed int8 vectors,
+    * exactly as a quantized index would (the float corpus never loads).
+    * Errors compound (cell boundary flips + near-tie reordering), so
+    * the contract is the spec'd top-1 recall vs the float brute-force
+    * baseline; registers rows-only like [[annInt8]] and [[Ann.ivf]]. */
+  def annInt8Ivf(vectors: DataFrame, queries: DataFrame, k: Int,
+                 nCells: Int = 16, nprobe: Int = 4): DataFrame =
+    Ann.ivf(asQuantized(vectors), asQuantized(queries), k, nCells, nprobe)
+
   /** Per-vector int8 quantization report. scale = amax/127 guarded
     * against all-zero vectors; q = floor(v/scale + 0.5) clamped to
     * [-127, 127] (explicit floor — engine-portable, where CAST rounds

@@ -264,6 +264,25 @@ class PipelineSpec extends SparkSpec {
     assert(agree >= 9, s"int8 top-1 recall $agree/10 vs float brute force")
   }
 
+  test("int8 IVF ANN keeps useful top-1 agreement with the float baseline") {
+    import graft.sim.Quantize
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Ann.bruteForce(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qi = Quantize.annInt8Ivf(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // both error sources compound (cell miss + quantization reorder);
+    // the floor is the IVF one — quantization must not degrade pruning
+    val agree = bf.count { case (k, v) => qi.get(k).contains(v) }
+    assert(agree >= 5, s"int8-IVF top-1 recall $agree/10 vs float brute force")
+    // and it must agree with FLOAT IVF on most cells it probes: the
+    // quantized index is a drop-in for the float one
+    val fi = Ann.ivf(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sameAsFloatIvf = fi.count { case (k, v) => qi.get(k).contains(v) }
+    assert(sameAsFloatIvf >= 8, s"int8-IVF vs float-IVF agreement $sameAsFloatIvf/10")
+  }
+
   test("pii scrub: counts match the seeding, redacted text carries no pattern") {
     import spark.implicits._
     val d = Seq(

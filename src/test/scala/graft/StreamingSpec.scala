@@ -37,6 +37,14 @@ class StreamingSpec extends SparkSpec {
     // trails by a batch or two of event-time span
     events.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(dir)
+    // the file source replays in MODIFICATION-TIME order (path only
+    // breaks ties) — parallel write tasks finish in arbitrary order, so
+    // a straggler can put a late-range file ahead of an earlier one and
+    // its sessions get watermark-dropped; pin mod-times to path order
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(((System.currentTimeMillis() / 60000) * 60000) + i * 1000) }
     val streamed = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
     val sess = StreamOps.streamingSessionize(streamed)
