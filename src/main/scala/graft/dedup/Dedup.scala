@@ -218,6 +218,7 @@ object Dedup {
     * Returns (id, cluster) for every doc appearing in `pairs`, where
     * `cluster` = min doc_id of the component (deterministic keeper). */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
     // undirected: each pair feeds both directions; pin the (possibly
     // expensive) upstream pair query so rounds do not recompute it
     val edges = pairs
@@ -249,9 +250,19 @@ object Dedup {
         .select(col("id"), col("prev"), coalesce(col("l2"), col("lbl")).as("lbl"))
         .localCheckpoint()
       done = next.where(col("lbl") =!= col("prev")).isEmpty
+      // `next` is materialized (eager checkpoint) — the round's scratch
+      // pin and the superseded label generation can be freed NOW. In a
+      // long-lived JVM, keeping every round's blocks alive is a storage
+      // leak that squeezes every later query (r4 driver bench: 2×).
+      CheckpointBridge.free(prop)
+      CheckpointBridge.free(labels)
       labels = next.select("id", "lbl")
       iter += 1
     }
+    CheckpointBridge.free(edges)
+    // the final generation stays pinned — it IS the returned result;
+    // the caller owns its release (PipelineQueries frees it on
+    // resetShared; one pinned label table is the intended steady state)
     labels
   }
 

@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
-  /** The corpus re-expressed as reconstructed int8 vectors (q as
-    * double; the per-vector scale cancels in cosine, so ANN over these
-    * IS ANN over the quantized corpus). */
-  private def asQuantized(vectors: DataFrame): DataFrame =
+  /** The corpus re-expressed as reconstructed int8 vectors v̂ = q·scale
+    * (what a stored int8+scale index decodes at scan time). The scale
+    * MUST be multiplied back: pairwise cosine is per-vector
+    * scale-invariant either way, but IVF centroids are MEANS across
+    * vectors — raw q vectors (all max-abs 127) would weight every
+    * vector by 1/scale and warp the cell geometry away from the float
+    * index it must mirror. Public so a pipeline can materialize the
+    * quantized corpus ONCE and feed it to [[annInt8]] / [[annInt8Ivf]]
+    * — each call otherwise re-quantizes per plan subtree. */
+  def quantized(vectors: DataFrame): DataFrame =
     vectors
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
@@ -30,28 +36,59 @@ object Quantize {
       .select(col("vec_id"), expr(
         """transform(v, x -> cast(
           |  greatest(least(cast(floor(x / scale + 0.5) as bigint), 127), -127)
-          |  as double))""".stripMargin).as("embedding"))
+          |  as double) * scale)""".stripMargin).as("embedding"))
 
   /** ANN over the int8-quantized corpus: same broadcast-queries +
     * bounded-state top-k plan as [[Ann.bruteForce]], scoring the
     * quantized vectors — the memory-bound regime where SQ8 pays off
     * (4× less corpus to stream per scan). Approximate (quantization
     * noise can reorder close neighbors); top-1 recall vs the float
-    * baseline is spec-asserted, so this registers rows-only. */
-  def annInt8(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    Ann.bruteForce(asQuantized(vectors), asQuantized(queries), k)
+    * baseline is spec-asserted, so this registers rows-only.
+    * @param quantizedVectors pre-materialized [[quantized]] corpus (the
+    *   stored index); built inline when absent. */
+  def annInt8(vectors: DataFrame, queries: DataFrame, k: Int,
+              quantizedVectors: Option[DataFrame] = None): DataFrame =
+    Ann.bruteForce(quantizedVectors.getOrElse(quantized(vectors)),
+      quantized(queries), k)
 
   /** The production composition of both approximations: IVF cell
-    * pruning OVER the int8-quantized corpus — 4× less corpus streamed
-    * AND only nprobe/nCells of it touched per query. Centroids, cell
-    * assignment and scoring all run on the reconstructed int8 vectors,
-    * exactly as a quantized index would (the float corpus never loads).
-    * Errors compound (cell boundary flips + near-tie reordering), so
-    * the contract is the spec'd top-1 recall vs the float brute-force
-    * baseline; registers rows-only like [[annInt8]] and [[Ann.ivf]]. */
+    * pruning over the int8-quantized corpus for CANDIDATE GENERATION,
+    * then exact re-scoring of the candidate set on the float vectors —
+    * the candidates-then-verify split promised above (faiss's SQ8 +
+    * refine). The quantized index does all the heavy lifting (4× less
+    * corpus streamed, nprobe/nCells of it probed); the float corpus is
+    * touched only by the candidate semi-join (`kCand` rows per query
+    * survive), so compounded int8+IVF error affects WHICH candidates
+    * surface but never their final ordering — without the refine step,
+    * boundary flips + near-tie reordering drove top-1 recall below the
+    * spec floor. Still approximate (the true NN can live in an unprobed
+    * cell, exactly like [[Ann.ivf]]); registers rows-only with the
+    * spec'd top-1 recall contract. */
   def annInt8Ivf(vectors: DataFrame, queries: DataFrame, k: Int,
-                 nCells: Int = 16, nprobe: Int = 4): DataFrame =
-    Ann.ivf(asQuantized(vectors), asQuantized(queries), k, nCells, nprobe)
+                 nCells: Int = 16, nprobe: Int = 4,
+                 quantizedVectors: Option[DataFrame] = None): DataFrame = {
+    import VectorOps.{dot, norm}
+    // candidate pool from the quantized index: wider than k so float
+    // re-scoring has slack to reorder (quantization noise perturbs
+    // ranks, rarely ejects a true neighbor from a 4k-deep pool)
+    val kCand = math.max(4 * k, 20)
+    val cand = Ann.ivf(quantizedVectors.getOrElse(quantized(vectors)),
+        quantized(queries), kCand, nCells, nprobe)
+      .select(col("q_id"), col("nn_id"))
+    // refine: exact float cosine on the candidate set only. The
+    // candidate list (queries × kCand rows) broadcasts; the float
+    // corpus streams once through the semi-join-shaped hash join — no
+    // corpus shuffle, no full scoring pass.
+    val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"))
+      .withColumn("_vn", norm("embedding"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("_qn", norm("q_emb"))
+    val scored = v.join(broadcast(cand), Seq("nn_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
+    Ann.topK(scored, "q_id", k)
+      .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
+  }
 
   /** Per-vector int8 quantization report. scale = amax/127 guarded
     * against all-zero vectors; q = floor(v/scale + 0.5) clamped to

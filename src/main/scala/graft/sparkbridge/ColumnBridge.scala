@@ -33,6 +33,28 @@ object ColumnBridge {
         .queryExecution.analyzed)
 }
 
+/** Lifecycle for `localCheckpoint` pins. A localCheckpoint materializes
+  * the plan into persisted RDD blocks that the ContextCleaner only
+  * frees on GC of the RDD object — in a long-lived JVM running many
+  * queries (Verify / Bench / a composed pipeline), superseded
+  * checkpoints accumulate in the unified memory pool and squeeze every
+  * later query's execution memory. Every pin needs a matching
+  * [[CheckpointBridge.free]] once it is superseded. */
+object CheckpointBridge {
+  import org.apache.spark.sql.Dataset
+  import org.apache.spark.sql.execution.LogicalRDD
+
+  /** Unpersist the checkpointed RDDs under `df`'s plan (non-blocking).
+    * Safe on any DataFrame: plans without a LogicalRDD are a no-op, and
+    * unpersisting twice is idempotent. */
+  def free(df: Dataset[_]): Unit =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed.foreach {
+        case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+}
+
 /** Session-level access for function registration on a live session
   * (the config-driven path is graft.GraftExtensions; this one serves
   * shells and shared test sessions). */
@@ -40,6 +62,11 @@ object SessionBridge {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  /** The session's stable unique id (private[sql] on the API class) —
+    * a safe memo key where identityHashCode can collide after GC. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 
   def registerFunction(spark: SparkSession, id: FunctionIdentifier,
                        info: ExpressionInfo,
