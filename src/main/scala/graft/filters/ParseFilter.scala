@@ -17,15 +17,22 @@ import org.apache.spark.sql.functions._
   *   factor  := '(' expr ')' | 'SKIP' factor | 'WHILE' factor | filter
   *   filter  := Name '(' args ')'
   *
-  * Cell-shaped filters (compile to a Column, composable anywhere):
+  * Cell-shaped filters (compile to a Column, composable anywhere) — the
+  * FULL ParseFilter.java:56-100 registry:
   * RowFilter(op, cmp) · ValueFilter(op, cmp) · QualifierFilter(op, cmp) ·
   * FamilyFilter(op, cmp) · PrefixFilter('p') · ColumnPrefixFilter('p') ·
   * MultipleColumnPrefixFilter('p1', ...) ·
   * ColumnRangeFilter('min', minInc, 'max', maxInc) · FuzzyRowFilter('pat') ·
   * InclusiveStopFilter('k') · SingleColumnValueFilter('f','q',op,cmp) ·
-  * ColumnPaginationFilter(limit, offset) · TimestampsFilter('ts', ...) ·
+  * SingleColumnValueExcludeFilter('f','q',op,cmp) ·
+  * DependentColumnFilter('f','q') · RandomRowFilter(chance) ·
+  * MultiRowRangeFilter('a','b', 'c','d', ...) · ColumnCountGetFilter(n) ·
+  * FirstKeyOnlyFilter() · ColumnPaginationFilter(limit, offset) ·
+  * TimestampsFilter('ts', ...) ·
   * SKIP f (drop the whole row if any cell fails f — a rowkey-partitioned
   * window, like SingleColumnValueFilter).
+  * KeyOnlyFilter() rewrites emitted cells to zero-length values, so it
+  * lowers in [[filter]] only (a Column cannot rewrite a column).
   * Ops: `<  <=  =  !=  >=  >`. Comparators: `binary:` `binaryprefix:`
   * `substring:` `regexstring:` `long:` (ParseFilter.java prefixes).
   *
@@ -52,6 +59,7 @@ object ParseFilter {
   private final case class Pred(c: Column) extends Node
   private final case class While(inner: Column) extends Node
   private final case class Page(n: Long) extends Node
+  private case object KeyOnly extends Node
   private final case class AndN(l: Node, r: Node) extends Node
   private final case class OrN(l: Node, r: Node) extends Node
 
@@ -79,9 +87,10 @@ object ParseFilter {
     case Pred(c)    => c
     case AndN(l, r) => toColumn(l) && toColumn(r)
     case OrN(l, r)  => toColumn(l) || toColumn(r)
-    case While(_) | Page(_) => throw new IllegalArgumentException(
-      "ParseFilter: WHILE / PageFilter carry scanner state and cannot " +
-        "compile to a Column — apply them with ParseFilter.filter(df, s)")
+    case While(_) | Page(_) | KeyOnly => throw new IllegalArgumentException(
+      "ParseFilter: WHILE / PageFilter / KeyOnlyFilter carry scanner " +
+        "state or rewrite cells and cannot compile to a Column — apply " +
+        "them with ParseFilter.filter(df, s)")
   }
 
   private def pure(n: Node): Boolean = n match {
@@ -110,6 +119,7 @@ object ParseFilter {
                  ts.collect { case o: OrN => toColumn(o) }
     val whiles = ts.collect { case w: While => w.inner }
     val pages  = ts.collect { case pg: Page => pg.n }
+    val keyOnly = ts.contains(KeyOnly)
 
     // WHILE first (judged on the full scan): rows strictly before the
     // first failing rowkey — min-fail aggregated then broadcast, the
@@ -128,13 +138,17 @@ object ParseFilter {
       else afterWhile.withColumn("_pf", preds.reduce(_ && _))
         .where(col("_pf")).drop("_pf")
     // PageFilter last: first n distinct rowkeys of the passing stream
-    pages.reduceOption(_ min _) match {
+    val afterPage = pages.reduceOption(_ min _) match {
       case None => afterPred
       case Some(n) =>
         val topKeys = afterPred.select("rowkey").distinct()
           .orderBy("rowkey").limit(n.toInt)
         afterPred.join(broadcast(topKeys), Seq("rowkey"), "leftsemi")
     }
+    // KeyOnlyFilter.java rewrites every emitted cell to a zero-length
+    // value: blank the value, keep the schema (coordinates intact)
+    if (keyOnly) afterPage.withColumn("value", lit(""))
+    else afterPage
   }
 
   private final class P(s: String) {
@@ -227,20 +241,52 @@ object ParseFilter {
         case "SingleColumnValueFilter" => Pred {
           // ROW-level semantics like the reference: the row passes when
           // its (family, qualifier) cell satisfies the comparator, and
-          // ALL the row's cells are emitted. Expressed as a window-max
-          // flag over the rowkey — composable under AND/OR with the
-          // other filters. A Column carrying a window expression cannot
-          // go straight into where(); use ParseFilter.filter(df, s),
-          // which materializes the predicate first.
+          // ALL the row's cells are emitted (window-max flag over the
+          // rowkey — composable under AND/OR; materialized by
+          // ParseFilter.filter since Spark forbids windows in WHERE).
           val f = quoted(); eat(","); val q = quoted(); eat(",")
-          val isTarget = col("family") === f && col("qualifier") === q
-          val cellHit = isTarget && coalesce(cmpFilter(col("value")), lit(false))
-          val w = Window.partitionBy("rowkey")
-          // reference default filterIfMissing=false: rows LACKING the
-          // column pass through, rows having it pass iff the value hits
-          max(when(cellHit, 1).otherwise(0)).over(w) === 1 ||
-            max(when(isTarget, 1).otherwise(0)).over(w) === 0
+          Filters.singleColumnValuePredicate(f, q, cmpFilter(col("value")))
         }
+        case "SingleColumnValueExcludeFilter" => Pred {
+          // SingleColumnValueExcludeFilter.java: SCVF row semantics,
+          // minus the tested cell itself from the emitted rows
+          val f = quoted(); eat(","); val q = quoted(); eat(",")
+          Filters.singleColumnValuePredicate(f, q, cmpFilter(col("value"))) &&
+            !(col("family") === f && col("qualifier") === q)
+        }
+        case "DependentColumnFilter" => Pred {
+          // DependentColumnFilter.java: cells whose version ts matches a
+          // reference cell's ts in the same row (windowed form)
+          val f = quoted(); eat(","); val q = quoted()
+          Filters.dependentColumnPredicate(f, q)
+        }
+        case "RandomRowFilter" => Pred {
+          // RandomRowFilter.java(chance): reference uses Random per row;
+          // cluster determinism needs a key hash — fold the (string)
+          // rowkey through xxhash64 into the Knuth-hash sampler's domain
+          val chance = decimal()
+          Filters.randomRowFilter(
+            pmod(xxhash64(col("rowkey")), lit(2147483648L)), chance)
+        }
+        case "MultiRowRangeFilter" => Pred {
+          // MultiRowRangeFilter.java: OR of [start, stop) rowkey ranges,
+          // args as quoted bound pairs: ('a','c', 'x','z')
+          val rs = scala.collection.mutable.ListBuffer.empty[(String, String)]
+          val a0 = quoted(); eat(","); val b0 = quoted(); rs += ((a0, b0))
+          while ({ ws(); !eof && s.charAt(pos) == ',' }) {
+            eat(","); val a = quoted(); eat(","); val b = quoted(); rs += ((a, b))
+          }
+          Filters.multiRowRangeKeys(col("rowkey"), rs.toSeq)
+        }
+        case "ColumnCountGetFilter" =>
+          // ColumnCountGetFilter.java: at most n cells per row in
+          // (family, qualifier) order = pagination at offset 0
+          Pred(Filters.columnPaginationPredicate(number().toInt, 0))
+        case "FirstKeyOnlyFilter" => Pred(Filters.firstKeyOnlyPredicate)
+        case "KeyOnlyFilter" =>
+          // rewrites cell content (zero-length values) rather than
+          // selecting cells — lowered in ParseFilter.filter
+          KeyOnly
         case other => throw new IllegalArgumentException(
           s"ParseFilter: unsupported filter '$other'")
       }
@@ -274,6 +320,16 @@ object ParseFilter {
       val w = peekWord
       pos += w.length
       w
+    }
+
+    /** decimal literal (RandomRowFilter's chance). */
+    private def decimal(): Double = {
+      ws()
+      val start = pos
+      while (!eof && (s.charAt(pos).isDigit || s.charAt(pos) == '.')) pos += 1
+      val w = s.substring(start, pos)
+      require(w.nonEmpty && w.count(_ == '.') <= 1, s"expected decimal at $start in '$s'")
+      w.toDouble
     }
 
     /** bare integer literal (PageFilter / ColumnPaginationFilter args).
