@@ -1,11 +1,16 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark main. One warmup pass (JVM/codegen/IO caches) so
-  * cross-round numbers compare steady-state, then one timed pass.
-  * Failures are NOT swallowed: each failing query is reported in
-  * "failed" and the process exits nonzero, so a regression can't hide
-  * as a ~0-second success. */
+/** Per-round benchmark main. One warmup pass (JVM/codegen/IO caches),
+  * then TWO timed passes over the full set with per-query GC time —
+  * pass 1 is the headline (`value`, comparable across rounds); pass 2
+  * separates lifecycle leaks from host noise: blocks accumulating
+  * across a pass make pass 2 systematically slower than pass 1, while
+  * noise moves both the same way. `gc_sec` localizes memory-pressure
+  * regressions to the queries that paid them. Failures are NOT
+  * swallowed: each failing query is reported in "failed" and the
+  * process exits nonzero, so a regression can't hide as a ~0-second
+  * success. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -27,44 +32,72 @@ object Bench {
     qs.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // the shared shingle/pair/cluster tables must be re-paid INSIDE the
-    // timed window (by the first timed consumer) — inheriting them from
-    // warmup would time cache probes, not operators. The bucketed/v=N
-    // layout guards above stay warm by design: their timed queries still
-    // do the join/read work the layout exists for.
-    graft.pipeline.PipelineQueries.resetShared()
+
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
 
     var failed = List.empty[String]
-    val results = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // (name, wall sec, gc sec) for one timed pass. The shared
+    // shingle/pair/cluster tables are re-paid INSIDE each timed window
+    // (by the first timed consumer) — inheriting them from warmup (or
+    // the previous pass) would time cache probes, not operators. The
+    // bucketed/v=N layout guards stay warm by design: their timed
+    // queries still do the join/read work the layout exists for.
+    def timedPass(): Seq[(String, Double, Double)] = {
+      graft.pipeline.PipelineQueries.resetShared()
+      qs.map { case (name, fn) =>
+        val g0 = gcMillis
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) failed ::= name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        (name, (System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3)
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+
     // Locale.ROOT: the f-interpolator uses the default locale, which can
     // emit decimal COMMAS (de_DE etc.) and break the JSON line
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def entries(rs: Seq[(String, Double)]): String = rs.map { case (k, v) =>
-      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      "\"" + k + "\":" + num(v)
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = String.format(java.util.Locale.ROOT, "%.3f", Double.box(results.map(_._2).sum))
+    val total = num(pass1.map(_._2).sum)
+    val total2 = num(pass2.map(_._2).sum)
+    val totalGc = num(pass1.map(_._3).sum)
     // The harness keeps only a ~2000-char tail of this process's output;
-    // at 90+ queries the full per-query map no longer fits on one line.
+    // at 100+ queries the full per-query map no longer fits on one line.
     // Inline the slowest 40 (everything interesting), dump the complete
-    // map next to the repo for the record.
-    val top = results.sortBy(-_._2).take(40).sortBy(_._1)
-    val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","qcount":${results.size},"queries":${entries(results)},"failed":$failedJson,"sf":"$sfDir"}"""
+    // record (both passes + per-query gc) next to the repo.
+    val top = pass1.map(t => (t._1, t._2)).sortBy(-_._2).take(40).sortBy(_._1)
+    val fullRecord =
+      s"""{"metric":"total","value":$total,"unit":"sec","qcount":${pass1.size},""" +
+        s""""queries":${entries(pass1.map(t => (t._1, t._2)))},""" +
+        s""""pass2":${entries(pass2.map(t => (t._1, t._2)))},""" +
+        s""""gc":${entries(pass1.map(t => (t._1, t._3)))},""" +
+        s""""pass2_sec":$total2,"gc_sec":$totalGc,"failed":$failedJson,"sf":"$sfDir"}"""
     val compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","qcount":${results.size},"queries":${entries(top)},"failed":$failedJson,"full":"bench_full.json","sf":"$sfDir"}"""
-    // a filtered run must not clobber the round's full record
-    if (only.isEmpty)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
-        (fullLine + "\n").getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","qcount":${pass1.size},""" +
+        s""""queries":${entries(top)},"pass2_sec":$total2,"gc_sec":$totalGc,""" +
+        s""""failed":$failedJson,"full":"bench_full.json","sf":"$sfDir"}"""
+    // a filtered run must not clobber the round's full record; the path
+    // anchors to an explicit env dir or the JVM's working directory and
+    // is logged absolute, so the record can't silently land elsewhere
+    if (only.isEmpty) {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+        .toAbsolutePath
+      java.nio.file.Files.write(out, (fullRecord + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full record written to $out")
+    }
     println(compactLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

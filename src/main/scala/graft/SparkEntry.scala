@@ -67,6 +67,19 @@ object SparkEntry {
       Scans.maxVersions(Tables.eventCells(s, d), 2)
         .select("rowkey", "qualifier", "ts", "value", "event_id")
         .orderBy("rowkey", "qualifier", "event_id")),
+    // Scan.setBatch partial-row chunking: every cell tagged with its
+    // (batch_idx, pos_in_batch) scanner coordinates at batch=2
+    "scan_batch" -> ((s, d) =>
+      Scans.batchCells(Tables.customerCells(s, d), 2)
+        .orderBy("rowkey", "batch_idx", "pos_in_batch")),
+    // per-family version time ranges: family `web` keeps mid-January,
+    // family `act` keeps early January — one disjunctive pushed predicate
+    "scan_family_time_range" -> ((s, d) =>
+      Scans.familyTimeRange(Tables.eventCellsTwoFamilies(s, d), Map(
+          "web" -> ("2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+          "act" -> ("2024-01-02 00:00:00", "2024-01-12 00:00:00")))
+        .select("rowkey", "family", "qualifier", "ts", "value", "event_id")
+        .orderBy("event_id")),
     // HBase has no native secondary indexes; applications maintain an
     // index TABLE (indexed value → rowkeys) at INGEST time and query
     // through it. The index is written rowkey-sorted on the INDEXED
@@ -142,6 +155,22 @@ object SparkEntry {
         |  SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id,
         |         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn <= 2 ORDER BY rowkey, qualifier, event_id""".stripMargin,
+    "scan_batch" ->
+      ("WITH " + graft.core.Tables.customerCellsSql + """,
+        |r AS (SELECT rowkey, family, qualifier, value,
+        |        row_number() OVER (PARTITION BY rowkey ORDER BY family, qualifier) - 1 AS k
+        |      FROM cells)
+        |SELECT rowkey, family, qualifier, value,
+        |       CAST(k // 2 AS BIGINT) AS batch_idx, CAST(k % 2 AS BIGINT) AS pos_in_batch
+        |FROM r ORDER BY rowkey, batch_idx, pos_in_batch""".stripMargin),
+    "scan_family_time_range" ->
+      ("WITH " + graft.core.Tables.eventCellsTwoFamiliesSql + """
+        |SELECT rowkey, family, qualifier, ts, value, event_id FROM vcells2
+        |WHERE (family = 'web' AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |                      AND ts <  TIMESTAMP '2024-01-20 00:00:00')
+        |   OR (family = 'act' AND ts >= TIMESTAMP '2024-01-02 00:00:00'
+        |                      AND ts <  TIMESTAMP '2024-01-12 00:00:00')
+        |ORDER BY event_id""".stripMargin),
     // querying through the index must equal filtering the base directly
     "secondary_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

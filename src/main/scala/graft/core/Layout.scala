@@ -92,4 +92,23 @@ object Snapshots {
 
   def read(spark: SparkSession, base: String, version: Int): DataFrame =
     Layout.read(spark, path(base, version))
+
+  /** ExportSnapshot (hbase-server/.../snapshot/ExportSnapshot.java) —
+    * ship a snapshot to another cluster by copying its files directly
+    * (the tool moves HFiles, bypassing region servers entirely; the
+    * receiving side verifies integrity). Here: a byte-level copy of the
+    * version directory; verification is the caller composing per-bucket
+    * digests over source and export (see the export_snapshot query). */
+  def exportSnapshot(base: String, version: Int, targetBase: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(path(base, version))
+    val dst = Paths.get(path(targetBase, version))
+    Files.createDirectories(dst)
+    val walk = Files.walk(src)
+    try walk.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
 }

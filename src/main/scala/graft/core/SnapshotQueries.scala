@@ -31,20 +31,48 @@ object SnapshotQueries {
       .withColumnRenamed("min_key", "start_key")
       .withColumnRenamed("max_key", "end_key")
 
+  /** Snapshot base for `sfDir`, written once per JVM: v1 = the events
+    * snapshot; v2 = post-mutation state written copy-on-write. Shared
+    * by snapshot_read and export_snapshot (whichever runs first pays
+    * the ingest). */
+  private def ensureSnapshots(s: SparkSession, d: String): String = {
+    val base = tmp("graft_snapshots", d)
+    once(base) {
+      val ev = Tables.load(s, d, "events")
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      Snapshots.write(ev, "user_id", base, 1)
+      val v2 = Mutations.deleteRows(ev,
+        ev.where(col("user_id") % 2 === 0).select("user_id"), "user_id")
+      Snapshots.write(v2, "user_id", base, 2)
+    }
+    base
+  }
+
+  /** Engine-portable per-row digest for the events snapshot: Knuth hash
+    * of the (unique) event_id plus value cents plus epoch seconds —
+    * same overflow guard and floor() discipline as the hash_sync_table
+    * digest, so DuckDB reproduces it bit-for-bit. */
+  private val eventRowHash =
+    pmod(pmod(col("event_id"), lit(2147483648L)) * lit(2654435761L), lit(4294967296L)) +
+      floor(col("value") * 100).cast("bigint") + unix_timestamp(col("ts"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "snapshot_read" -> ((s, d) => {
-      val base = tmp("graft_snapshots", d)
-      once(base) {
-        val ev = Tables.load(s, d, "events")
-          .select("event_id", "user_id", "event_type", "ts", "value")
-        // v1 = snapshot; v2 = post-mutation state written copy-on-write.
-        Snapshots.write(ev, "user_id", base, 1)
-        val v2 = Mutations.deleteRows(ev,
-          ev.where(col("user_id") % 2 === 0).select("user_id"), "user_id")
-        Snapshots.write(v2, "user_id", base, 2)
-      }
+    "snapshot_read" -> ((s, d) =>
       // the point-in-time read: v1 must be byte-identical to the original
-      Snapshots.read(s, base, 1).orderBy("event_id")
+      Snapshots.read(s, ensureSnapshots(s, d), 1).orderBy("event_id")),
+    // ExportSnapshot: file-level copy of the v1 snapshot dir, verified
+    // by per-bucket digests over source vs export (SyncTable over the
+    // two reads) — every bucket must match, proving the shipped files
+    // carry the identical row set
+    "export_snapshot" -> ((s, d) => {
+      val base = ensureSnapshots(s, d)
+      val exp = tmp("graft_snap_export", d)
+      once(exp)(Snapshots.exportSnapshot(base, 1, exp))
+      def digests(df: DataFrame) =
+        graft.analytics.Tools.hashTable(df, "user_id", eventRowHash, 10L)
+      graft.analytics.Tools.syncTable(
+          digests(Snapshots.read(s, base, 1)), digests(Snapshots.read(s, exp, 1)))
+        .orderBy("bucket")
     }),
     "region_split_stats" -> ((s, d) =>
       regionStats(Tables.load(s, d, "lineitem"), "l_orderkey", 16, "l_quantity")
@@ -89,6 +117,18 @@ object SnapshotQueries {
   val oracles: Map[String, String] = Map(
     "snapshot_read" ->
       "SELECT event_id, user_id, event_type, ts, value FROM events ORDER BY event_id",
+    // the export is a byte copy, so both sides carry the source digest
+    // and every bucket matches
+    "export_snapshot" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(user_id / 10.0) AS BIGINT) AS bucket,
+        |         CAST(sum(((event_id % 2147483648) * 2654435761) % 4294967296
+        |             + CAST(floor(value * 100) AS BIGINT)
+        |             + CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS digest,
+        |         count(*) AS n FROM events GROUP BY 1)
+        |SELECT bucket, digest AS digest_a, n AS rows_a,
+        |       digest AS digest_b, n AS rows_b, true AS is_match
+        |FROM h ORDER BY bucket""".stripMargin,
     "region_split_stats" ->
       """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
         |SELECT CAST(floor((l_orderkey - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS region,

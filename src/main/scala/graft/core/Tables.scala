@@ -93,4 +93,25 @@ object Tables {
     """vcells AS (
       |  SELECT user_id AS rowkey, 'ev' AS family, event_type AS qualifier, ts, value, event_id FROM events
       |)""".stripMargin
+
+  /** Two-family variant of [[eventCells]] (family `web` = click/view,
+    * `act` = everything else) — the shape per-family time ranges
+    * (Get.setColumnFamilyTimeRange) need to mean anything. */
+  def eventCellsTwoFamilies(spark: SparkSession, sfDir: String): DataFrame =
+    load(spark, sfDir, "events").select(
+      col("user_id").as("rowkey"),
+      when(col("event_type").isin("click", "view"), "web")
+        .otherwise("act").as("family"),
+      col("event_type").as("qualifier"),
+      col("ts"),
+      col("value"),
+      col("event_id"))
+
+  val eventCellsTwoFamiliesSql: String =
+    """vcells2 AS (
+      |  SELECT user_id AS rowkey,
+      |         CASE WHEN event_type IN ('click', 'view') THEN 'web' ELSE 'act' END AS family,
+      |         event_type AS qualifier, ts, value, event_id
+      |  FROM events
+      |)""".stripMargin
 }

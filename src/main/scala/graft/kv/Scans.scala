@@ -96,6 +96,38 @@ object Scans {
     vcells.where(col("ts") >= lit(minTs).cast("timestamp") &&
       col("ts") < lit(maxTs).cast("timestamp"))
 
+  /** Scan.setBatch(n) (Scan.java:479) — chunk each row's cells into
+    * batches of ≤ n cells, in (family, qualifier) order: the reference
+    * scanner's partial-row protocol for rows too wide for one RPC
+    * response. Relationally the "scanner position" is just a batch
+    * index: cell k of a row lands in batch k div n at offset k mod n —
+    * a windowed row_number (one hash shuffle on rowkey) plus codegen'd
+    * arithmetic; a consumer groups on (rowkey, batch_idx) to iterate
+    * row chunks exactly as an HBase client iterates partial Results. */
+  def batchCells(cells: DataFrame, batch: Int): DataFrame = {
+    require(batch >= 1, s"batch size ($batch) must be at least 1")
+    val w = Window.partitionBy("rowkey").orderBy("family", "qualifier")
+    val k = row_number().over(w) - 1
+    cells.withColumn("batch_idx", floor(k / batch).cast("bigint"))
+      .withColumn("pos_in_batch", pmod(k, lit(batch)).cast("bigint"))
+  }
+
+  /** Get.setColumnFamilyTimeRange (Get.java:217) — per-family [min,max)
+    * version ranges, overriding the scan-wide range family by family:
+    * a listed family keeps only versions inside ITS range; unlisted
+    * families pass untouched. A pure disjunctive predicate — pushes to
+    * the scan like any row filter, no shuffle. */
+  def familyTimeRange(vcells: DataFrame,
+                      ranges: Map[String, (String, String)]): DataFrame = {
+    require(ranges.nonEmpty, "familyTimeRange needs at least one family range")
+    val listed = ranges.map { case (f, (lo, hi)) =>
+      col("family") === f &&
+        col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp")
+    }.reduce(_ || _)
+    vcells.where(listed || !col("family").isInCollection(ranges.keys.toSeq))
+  }
+
   /** Scan.setMaxVersions(k) — latest k versions per (rowkey, qualifier).
     * Window row_number on the natural HBase sort (coordinates asc, ts
     * desc); one hash shuffle on the group key, map-side nothing to

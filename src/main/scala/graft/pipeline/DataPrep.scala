@@ -50,7 +50,10 @@ object DataPrep {
     *
     * The hash folds the key into [0, 2³¹) before the Knuth multiply —
     * the raw multiply overflows Long past keys ~3.5e9 (ANSI-mode
-    * runtime error at exactly 100 TB key ranges). */
+    * runtime error at exactly 100 TB key ranges). pmod keeps the fold
+    * non-negative for NEGATIVE keys too; a SQL mirror must use the
+    * pmod-equivalent ((k % m + m) % m), not bare sign-preserving %,
+    * or the engines pick different rows below key 0. */
   def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
                        rates: Map[String, Double]): DataFrame = {
     val hash = pmod(pmod(col(keyCol), lit(2147483648L)) * lit(2654435761L),
@@ -70,17 +73,26 @@ object DataPrep {
     * global running sum is exactly the unpartitioned-window shape this
     * codebase bans). Buckets correspond to independent shards of the
     * packed dataset; sequence ids are globally unique via
-    * bucket * 2²⁰ + local index. */
+    * bucket * 2²⁰ + local index — valid while a bucket packs fewer
+    * than 2²⁰ sequences (≈ 2²⁰ · ctxTokens tokens per bucket; the
+    * defaults allow ~2 G tokens per 100 docs). An overflowing bucket
+    * would silently collide into the next bucket's id space, so the
+    * projection raises instead (guard is a codegen'd branch, free on
+    * the non-overflow path). */
   def packSequences(docs: DataFrame, ctxTokens: Int = 2048,
                     bucketSize: Int = 100): DataFrame = {
     val t = docs.select(col("doc_id"),
       expr(s"doc_id div $bucketSize").as("bucket"),
       size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
     val w = Window.partitionBy("bucket").orderBy("doc_id")
+    val localIdx = expr(s"(_cum - n_tokens) div $ctxTokens")
+    val guarded = when(localIdx < lit(1048576L), localIdx).otherwise(expr(
+      """raise_error(concat('packSequences: bucket ', bucket,
+        |  ' exceeds 2^20 sequences - raise ctxTokens or shrink bucketSize'))"""
+        .stripMargin))
     t.withColumn("_cum", sum(col("n_tokens")).over(w))
       .select(col("doc_id"), col("bucket"), col("n_tokens"),
-        (col("bucket") * lit(1048576L) +
-          expr(s"(_cum - n_tokens) div $ctxTokens")).as("seq_id"),
+        (col("bucket") * lit(1048576L) + guarded).as("seq_id"),
         ((col("_cum") - col("n_tokens")) % ctxTokens).as("seq_offset"))
   }
 }

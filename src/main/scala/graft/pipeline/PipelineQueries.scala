@@ -395,9 +395,11 @@ object PipelineQueries {
         |       coalesce(h.shared, 0) >= 2 AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // the hash mirrors Spark's pmod exactly — ((k % m + m) % m), not
+    // bare sign-preserving %, so the contract holds for negative keys
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
-        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
+        |WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 <
         |      (CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.25
         |                 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 4294967296
         |ORDER BY doc_id""".stripMargin,

@@ -120,4 +120,30 @@ class FiltersSpec extends SparkSpec {
     val fk = Filters.firstKeyOnly(cells)
     assert(fk.count() == Tables.load(spark, sfDir, "customer").count())
   }
+
+  test("batchCells: every cell chunked, batches full except the last") {
+    import spark.implicits._
+    val cells = Tables.customerCells(spark, sfDir)  // 3 cells per row
+    val b = graft.kv.Scans.batchCells(cells, 2)
+    assert(b.count() == cells.count(), "chunking must not drop or add cells")
+    // 3 cells at batch=2: batch 0 holds positions 0,1; batch 1 holds 0
+    val shape = b.groupBy("batch_idx").agg(
+        org.apache.spark.sql.functions.max("pos_in_batch").as("mx"))
+      .as[(Long, Long)].collect().toMap
+    assert(shape == Map(0L -> 1L, 1L -> 0L), s"unexpected chunk shape $shape")
+  }
+
+  test("familyTimeRange: listed families range-pruned, unlisted pass whole") {
+    import spark.implicits._
+    val v = Tables.eventCellsTwoFamilies(spark, sfDir)
+    val got = graft.kv.Scans.familyTimeRange(v,
+      Map("web" -> ("2024-01-10 00:00:00", "2024-01-20 00:00:00")))
+    // unlisted family ('act') passes untouched
+    assert(got.where(col("family") === "act").count() ==
+      v.where(col("family") === "act").count())
+    // listed family keeps exactly its window
+    val webTs = got.where(col("family") === "web").select(col("ts").cast("string"))
+      .as[String].collect()
+    assert(webTs.nonEmpty && webTs.forall(t => t >= "2024-01-10" && t < "2024-01-20"))
+  }
 }

@@ -364,6 +364,19 @@ class PipelineSpec extends SparkSpec {
     assert(regress.count() == 0)
   }
 
+  test("pack_sequences: a bucket overflowing its 2^20 seq_id slot fails loudly") {
+    import spark.implicits._
+    import graft.pipeline.DataPrep
+    // 1.05M tokens at ctxTokens=1 → local sequence index past 2^20;
+    // a silent wrap would collide into the next bucket's id space
+    val big = Seq((0L, ("x " * 1050000).trim), (1L, "y")).toDF("doc_id", "text")
+    val e = intercept[Throwable](
+      DataPrep.packSequences(big, ctxTokens = 1, bucketSize = 100).collect())
+    val messages = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("|")
+    assert(messages.contains("packSequences"), s"wrong failure: $messages")
+  }
+
   test("decontaminate: benchmark members self-flag; disjoint docs stay clean") {
     import spark.implicits._
     import graft.pipeline.DataPrep
