@@ -117,6 +117,16 @@ object FilterQueries {
         Comparators.regex("^1.*9$")(col("rowkey"), EQUAL) ||
         Comparators.binaryPrefix("BU")(col("value"), EQUAL) ||
         Comparators.substr("mach")(col("value"), EQUAL)))),
+    // the round-5 registry tail composed through one DSL string: row
+    // ranges → SCVF-exclude row gate → per-row cell cap → key-only
+    // value blanking; window predicates evaluate over the full cell
+    // set (reference FilterList order-independence for row-local
+    // members), and KeyOnlyFilter blanks values after selection
+    "filter_parse_registry" -> ((s, d) =>
+      cellsOut(ParseFilter.filter(cc(s, d),
+        "KeyOnlyFilter() AND MultiRowRangeFilter('1', '2', '5', '6') AND " +
+          "SingleColumnValueExcludeFilter('info', 'c_mktsegment', =, 'binary:BUILDING') AND " +
+          "ColumnCountGetFilter(2)"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,5 +235,20 @@ object FilterQueries {
               |WHERE regexp_matches(rowkey, '^1.*9$$')
               |   OR substring(value, 1, 2) = 'BU'
               |   OR lower(value) LIKE '%mach%' $cellsOrder""".stripMargin),
+    "filter_parse_registry" ->
+      (C + s"""SELECT rowkey, family, qualifier, '' AS value FROM (
+              |  SELECT rowkey, family, qualifier, value,
+              |         row_number() OVER (PARTITION BY rowkey ORDER BY family, qualifier) AS rn,
+              |         max(CASE WHEN family = 'info' AND qualifier = 'c_mktsegment'
+              |                       AND value = 'BUILDING' THEN 1 ELSE 0 END)
+              |           OVER (PARTITION BY rowkey) AS hit,
+              |         max(CASE WHEN family = 'info' AND qualifier = 'c_mktsegment'
+              |                  THEN 1 ELSE 0 END)
+              |           OVER (PARTITION BY rowkey) AS seen
+              |  FROM cells)
+              |WHERE ((rowkey >= '1' AND rowkey < '2') OR (rowkey >= '5' AND rowkey < '6'))
+              |  AND (hit = 1 OR seen = 0)
+              |  AND NOT (family = 'info' AND qualifier = 'c_mktsegment')
+              |  AND rn <= 2 ORDER BY rowkey, family, qualifier""".stripMargin),
   )
 }
