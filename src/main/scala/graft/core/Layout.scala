@@ -101,8 +101,18 @@ object Snapshots {
     * digests over source and export (see the export_snapshot query). */
   def exportSnapshot(base: String, version: Int, targetBase: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.util.Comparator
     val src = Paths.get(path(base, version))
     val dst = Paths.get(path(targetBase, version))
+    // a re-export REPLACES the destination version dir: snapshot part
+    // files carry fresh random names per write, so merging into stale
+    // leftovers from an earlier process would silently double the data
+    if (Files.exists(dst)) {
+      val old = Files.walk(dst)
+      try old.sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.delete(p))
+      finally old.close()
+    }
     Files.createDirectories(dst)
     val walk = Files.walk(src)
     try walk.forEach { p =>
