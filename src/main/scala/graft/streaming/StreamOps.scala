@@ -7,6 +7,23 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
 /** Per-key running counter state (HBase Increment's stored value). */
 case class CounterState(n: Long, sum: Double)
 
+/** Replica cell state for streaming WAL replication: the latest delete
+  * tombstone and the lexicographically-latest put — (ts, event_id) in
+  * epoch micros — per (rowkey, qualifier). Arrival-order independent:
+  * the fold is a pair of maxes, so out-of-order shipment (which HBase
+  * replication explicitly permits) converges to the same state. */
+case class ReplCellState(delUs: Long, putUs: Long, putEid: Long, putValue: Double)
+
+/** One replica-table update per touched cell per micro-batch: the
+  * cell's current surviving version (`live`), or a deletion marker
+  * when every put is masked by a tombstone. `del_us`/`put_us` are the
+  * monotone state clock — the latest update per key is the
+  * lexicographic max of (del_us, put_us). */
+case class ReplicaUpdate(rowkey: Long, qualifier: String,
+                         del_us: Long, put_us: Long,
+                         ts: java.sql.Timestamp, event_id: Long,
+                         value: Double, live: Boolean)
+
 /** One update emitted per key per micro-batch: the post-increment
   * counter value, i.e. what a Get would return after the batch. */
 case class CounterUpdate(event_type: String, n: Long, sum: Double)
@@ -113,6 +130,60 @@ object StreamOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** HBase cluster replication (ReplicationSource tails the WAL, ships
+    * edit batches to the peer; the peer applies them in arrival order,
+    * which is NOT commit order) re-expressed as Structured Streaming:
+    * the edit stream folds into per-cell state with the same tombstone
+    * masking as [[graft.analytics.Tools.walReplay]] — latest put
+    * strictly newer than the latest delete survives — and each
+    * micro-batch emits the touched cells' current versions (the
+    * replica-table write). State is one small struct per LIVE cell,
+    * keyed and shuffle-local: the replica's own size, the floor for
+    * any replication mechanism. Convergence to the batch replay (and
+    * so VerifyReplication-green against the source) is spec-asserted
+    * under multi-batch out-of-order shipment.
+    *
+    * @param edits streaming (rowkey, qualifier, ts, value, event_id,
+    *              op ∈ {put, delete}) — the WAL entry shape. */
+  def replicateWal(edits: DataFrame): Dataset[ReplicaUpdate] = {
+    val spark = edits.sparkSession
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+    edits.selectExpr("rowkey", "qualifier", "ts", "value", "event_id", "op")
+      .as[(Long, String, java.sql.Timestamp, Double, Long, String)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String),
+         rows: Iterator[(Long, String, java.sql.Timestamp, Double, Long, String)],
+         state: GroupState[ReplCellState]) =>
+          var st = state.getOption.getOrElse(
+            ReplCellState(Long.MinValue, Long.MinValue, Long.MinValue, 0.0))
+          rows.foreach { case (_, _, ts, v, eid, op) =>
+            val us = micros(ts)
+            if (op == "delete") {
+              if (us > st.delUs) st = st.copy(delUs = us)
+            } else if (us > st.putUs || (us == st.putUs && eid > st.putEid)) {
+              st = st.copy(putUs = us, putEid = eid, putValue = v)
+            }
+          }
+          state.update(st)
+          val live = st.putUs != Long.MinValue && st.putUs > st.delUs
+          Iterator(
+            if (live)
+              ReplicaUpdate(key._1, key._2, st.delUs, st.putUs,
+                fromMicros(st.putUs), st.putEid, st.putValue, live = true)
+            else
+              ReplicaUpdate(key._1, key._2, st.delUs, st.putUs,
+                null, -1L, 0.0, live = false))
+      }
+  }
 
   /** HBase `Increment` held as explicit streaming state: per event_type,
     * a running (count, sum) maintained with flatMapGroupsWithState —

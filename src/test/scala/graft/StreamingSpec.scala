@@ -150,6 +150,53 @@ class StreamingSpec extends SparkSpec {
       "a payload digest passed the dedup twice")
   }
 
+  test("streaming WAL replication converges to the batch replay under out-of-order shipment") {
+    import spark.implicits._
+    // the same WAL-edit seeding as the wal_replay query: every 7th
+    // edit is a delete tombstone
+    val edits = Tables.eventCells(spark, sfDir)
+      .withColumn("op", when(col("event_id") % 7 === 0, "delete").otherwise("put"))
+      .select("rowkey", "qualifier", "ts", "value", "event_id", "op")
+    val dir = Files.createTempDirectory("graft_repl_src").toString
+    // plain repartition = random file order: edits ship OUT of commit
+    // order across micro-batches, exactly what HBase replication permits
+    edits.repartition(4).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(edits.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.replicateWal(streamed)
+      .writeStream.format("memory").queryName("replica_updates")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // latest update per cell = lexicographic max of the monotone
+    // (del_us, put_us) state clock
+    val replica = spark.table("replica_updates")
+      .groupBy("rowkey", "qualifier")
+      .agg(max(struct(col("del_us"), col("put_us"), col("live"),
+        col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("rowkey"), col("qualifier"), col("m.live").as("live"),
+        col("m.ts").as("ts"), col("m.event_id").as("event_id"),
+        col("m.value").as("value"))
+    val want = graft.analytics.Tools
+      .walReplay(edits, "2000-01-01 00:00:00", "2100-01-01 00:00:00")
+      .select("rowkey", "qualifier", "ts", "event_id", "value")
+      .as[(Long, String, java.sql.Timestamp, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val live = replica.where(col("live"))
+      .select("rowkey", "qualifier", "ts", "event_id", "value")
+      .as[(Long, String, java.sql.Timestamp, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // live replica cells == batch replay, version for version
+    assert(live.keySet == want.keySet,
+      s"replica live set diverges: +${(live.keySet -- want.keySet).take(3)} " +
+        s"-${(want.keySet -- live.keySet).take(3)}")
+    live.foreach { case (k, v) => assert(want(k) == v, s"cell $k: $v != ${want(k)}") }
+    // masked cells surface as deletion markers, never silently vanish
+    val dead = replica.where(!col("live")).count()
+    val touched = edits.select("rowkey", "qualifier").distinct().count()
+    assert(live.size + dead == touched,
+      s"replica covered ${live.size} + $dead of $touched touched cells")
+  }
+
   test("flatMapGroupsWithState running counters converge to batch totals") {
     val events = Tables.load(spark, sfDir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
