@@ -253,6 +253,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(listing == before, "serving query rewrote the index table")
   }
 
+  test("scan_batch: one rowkey window, no join, no extra shuffle") {
+    val df = graft.kv.Scans.batchCells(Tables.customerCells(spark, sfDir), 2)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    val nExchanges = "(?<!Reused)Exchange".r.findAllIn(p).size
+    assert(nExchanges == 1, s"expected exactly 1 shuffle (the window partition), got $nExchanges:\n$p")
+  }
+
+  test("scan_family_time_range: a pure filter — no shuffle, no join, no window") {
+    val df = graft.kv.Scans.familyTimeRange(Tables.eventCellsTwoFamilies(spark, sfDir),
+      Map("web" -> ("2024-01-10 00:00:00", "2024-01-20 00:00:00")))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+      s"per-family time range must stay a scan-side predicate:\n$p")
+  }
+
+  test("export_snapshot verification: digests merge map-side (partial aggregates)") {
+    val p = plan("export_snapshot")
+    // each side's bucket digest is a hash aggregate with partials, and
+    // the comparison is a join on the bucket id — never a row-level
+    // comparison of the two tables
+    assert("partial_sum".r.findAllIn(p).size >= 2, s"digests not map-side partial:\n$p")
+    assert(p.contains("FullOuter") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("decontaminate: benchmark shingles broadcast, no cartesian product") {
     val p = SparkEntry.queries("decontaminate")(spark, sfDir)
       .queryExecution.executedPlan.toString()
