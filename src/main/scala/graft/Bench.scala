@@ -78,6 +78,11 @@ object Bench {
     // Inline the slowest 40 (everything interesting), dump the complete
     // record (both passes + per-query gc) next to the repo.
     val top = pass1.map(t => (t._1, t._2)).sortBy(-_._2).take(40).sortBy(_._1)
+    // the path anchors to an explicit env override or the JVM's working
+    // directory, resolved absolute up front so the compact line's "full"
+    // pointer names the file actually written (not a stale default)
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")).toAbsolutePath
     val fullRecord =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${pass1.size},""" +
         s""""queries":${entries(pass1.map(t => (t._1, t._2)))},""" +
@@ -87,16 +92,11 @@ object Bench {
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${pass1.size},""" +
         s""""queries":${entries(top)},"pass2_sec":$total2,"gc_sec":$totalGc,""" +
-        s""""failed":$failedJson,"full":"bench_full.json","sf":"$sfDir"}"""
-    // a filtered run must not clobber the round's full record; the path
-    // anchors to an explicit env dir or the JVM's working directory and
-    // is logged absolute, so the record can't silently land elsewhere
+        s""""failed":$failedJson,"full":"$outPath","sf":"$sfDir"}"""
+    // a filtered run must not clobber the round's full record
     if (only.isEmpty) {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
-        .toAbsolutePath
-      java.nio.file.Files.write(out, (fullRecord + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full record written to $out")
+      java.nio.file.Files.write(outPath, (fullRecord + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full record written to $outPath")
     }
     println(compactLine)
     spark.stop()

@@ -65,15 +65,26 @@ object Indexes {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Path of the `name` index over source `dir`, building it via
-    * `build(targetDir)` only on first request for this session. */
+    * `build(targetDir)` only on first request for this session. A
+    * failed build deletes its partial output and caches nothing, so
+    * the next request retries cleanly. (The build runs inside the
+    * map's per-bin lock — ensure-ONCE is the point; concurrent callers
+    * of the same index must wait for it, and index builds are rare
+    * ingest-time events, not a serving-path contention source.) */
   def ensure(spark: SparkSession, dir: String, name: String)
             (build: String => Unit): String =
     built.computeIfAbsent(
       s"${org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark)}|$dir|$name",
       _ => {
-        val target = java.nio.file.Files.createTempDirectory(s"graft_idx_$name").toString
-        build(target)
-        target
+        val target = java.nio.file.Files.createTempDirectory(s"graft_idx_$name")
+        try { build(target.toString); target.toString }
+        catch { case e: Throwable =>
+          val walk = java.nio.file.Files.walk(target)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+          throw e
+        }
       })
 }
 

@@ -262,9 +262,16 @@ object Dedup {
     CheckpointBridge.free(edges)
     // the final generation stays pinned — it IS the returned result;
     // the caller owns its release (PipelineQueries frees it on
-    // resetShared; one pinned label table is the intended steady state)
+    // resetShared; one pinned label table is the intended steady state;
+    // ad-hoc callers iterating in one JVM release via [[releaseLabels]])
     labels
   }
+
+  /** Release a [[connectedComponents]] result's pinned blocks once it
+    * is no longer needed — the caller-side half of the ownership
+    * contract above. Safe on any DataFrame (no-op without pins). */
+  def releaseLabels(labels: DataFrame): Unit =
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(labels)
 
   /** 64-bit SimHash over token frequencies: per bit, sign of the
     * weighted sum of token-hash bits; near-dups = pairs within

@@ -91,13 +91,11 @@ object Filters {
     ColumnBridge.column(FuzzyMatch(ColumnBridge.expression(keyCol), pattern))
   }
 
-  /** MultiRowRangeFilter.java — OR of [start, stop) rowkey ranges. */
-  def multiRowRange(keyCol: Column, ranges: Seq[(Long, Long)]): Column =
-    ranges.map { case (a, b) => keyCol >= a && keyCol < b }.reduce(_ || _)
-
-  /** MultiRowRangeFilter over string rowkeys (the DSL's quoted range
-    * bounds; same [start, stop) semantics as the numeric form). */
-  def multiRowRangeKeys(keyCol: Column, ranges: Seq[(String, String)]): Column =
+  /** MultiRowRangeFilter.java — OR of [start, stop) rowkey ranges.
+    * Bounds lift through `lit`, so numeric and string rowkeys share one
+    * implementation (the DSL passes quoted strings, the DataFrame API
+    * passes longs). */
+  def multiRowRange(keyCol: Column, ranges: Seq[(Any, Any)]): Column =
     ranges.map { case (a, b) => keyCol >= a && keyCol < b }.reduce(_ || _)
 
   /** InclusiveStopFilter.java — scan up to and including the stop row. */
@@ -248,13 +246,10 @@ object Filters {
                         op: CompareOp.Value, cmp: Cmp,
                         filterIfMissing: Boolean = false,
                         excludeChecked: Boolean = false): DataFrame = {
-    val isTarget = col("family") === family && col("qualifier") === qualifier
-    val hit  = when(isTarget && coalesce(cmp(col("value"), op), lit(false)), 1).otherwise(0)
-    val seen = when(isTarget, 1).otherwise(0)
-    val w = Window.partitionBy("rowkey")
-    val keep =
-      if (filterIfMissing) max(hit).over(w) === 1
-      else max(hit).over(w) === 1 || max(seen).over(w) === 0
+    // the row predicate lives in singleColumnValuePredicate (shared
+    // with the DSL) — one source, per this file's no-drift rule
+    val keep = singleColumnValuePredicate(family, qualifier,
+      cmp(col("value"), op), filterIfMissing)
     val kept = cells.withColumn("_keep", keep).where(col("_keep")).drop("_keep")
     if (excludeChecked) kept.where(!(col("family") === family && col("qualifier") === qualifier))
     else kept

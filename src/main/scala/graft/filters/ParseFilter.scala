@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   * SKIP f (drop the whole row if any cell fails f — a rowkey-partitioned
   * window, like SingleColumnValueFilter).
   * KeyOnlyFilter() rewrites emitted cells to zero-length values, so it
-  * lowers in [[filter]] only (a Column cannot rewrite a column).
+  * lowers in [[filter]] only (a Column cannot rewrite a column) and,
+  * like the scan-stateful filters, must sit in the top-level AND chain
+  * (inside an OR it would blank values for only one branch).
   * Ops: `<  <=  =  !=  >=  >`. Comparators: `binary:` `binaryprefix:`
   * `substring:` `regexstring:` `long:` (ParseFilter.java prefixes).
   *
@@ -112,7 +114,9 @@ object ParseFilter {
     ts.foreach {
       case o: OrN => require(pure(o),
         "ParseFilter: WHILE / PageFilter inside OR have evaluation-order-" +
-          "defined semantics even in the reference FilterList — not supported")
+          "defined semantics even in the reference FilterList, and " +
+          "KeyOnlyFilter inside OR would blank values for only one branch " +
+          "— place them as top-level AND terms instead")
       case _ =>
     }
     val preds  = ts.collect { case p: Pred => p.c } ++
@@ -276,7 +280,7 @@ object ParseFilter {
           while ({ ws(); !eof && s.charAt(pos) == ',' }) {
             eat(","); val a = quoted(); eat(","); val b = quoted(); rs += ((a, b))
           }
-          Filters.multiRowRangeKeys(col("rowkey"), rs.toSeq)
+          Filters.multiRowRange(col("rowkey"), rs.toSeq)
         }
         case "ColumnCountGetFilter" =>
           // ColumnCountGetFilter.java: at most n cells per row in

@@ -26,7 +26,12 @@ object Curation {
     * @param precomputedClusters (doc_id, cluster) near-dup components to
     *   reuse — a pipeline that already resolved duplicate clusters (the
     *   `dedup_clusters` stage) feeds the same table here instead of
-    *   re-running the pair join + propagation inside the audit */
+    *   re-running the pair join + propagation inside the audit. Without
+    *   it, the returned plan embeds a freshly pinned cluster table
+    *   (connectedComponents' eager checkpoint); a caller invoking
+    *   curate() repeatedly in one JVM should pass precomputedClusters
+    *   (as every registered path does) or release the finished result
+    *   via Dedup.releaseLabels. */
   def curate(docs: DataFrame, minQuality: Double = 0.3, minTokens: Long = 10,
              dupThreshold: Double = 0.5,
              precomputedClusters: Option[DataFrame] = None): DataFrame = {
@@ -38,11 +43,19 @@ object Curation {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), lit(true).as("_ek"))
     // near-dup clusters (transitive) over the capped ngram pair list
-    val clusters = precomputedClusters.getOrElse(
-      Dedup.connectedComponents(
-          Dedup.ngramJaccard(docs, dupThreshold, pruneUnique = false,
-            maxDf = Some(8), minShared = 2))
-        .select(col("id").as("doc_id"), col("lbl").as("cluster")))
+    val clusters = precomputedClusters.getOrElse {
+      val pairs = Dedup.ngramJaccard(docs, dupThreshold, pruneUnique = false,
+        maxDf = Some(8), minShared = 2)
+      val cc = Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      // connectedComponents consumed `pairs` EAGERLY (its edge table is
+      // checkpointed and already released), so the pair plan — and the
+      // shingle pin ngramJaccard built inline because no shared shingle
+      // table was passed — never executes again: free it here rather
+      // than leak one shingle table per curate() call
+      org.apache.spark.sql.graftbridge.CheckpointBridge.free(pairs)
+      cc
+    }
     docs.select("doc_id")
       .join(lang, "doc_id")
       .join(qual, "doc_id")

@@ -149,11 +149,15 @@ object StreamOps {
   def replicateWal(edits: DataFrame): Dataset[ReplicaUpdate] = {
     val spark = edits.sparkSession
     import spark.implicits._
+    // floorDiv/floorMod, not truncation: HBase permits arbitrary
+    // user-set cell timestamps, and truncating division sign-flips the
+    // microsecond clock for pre-epoch values (a 1969 edit would sort
+    // AFTER a 1970 one, inverting tombstone masking)
     def micros(t: java.sql.Timestamp): Long =
-      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
     def fromMicros(us: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(us / 1000)
-      t.setNanos((us % 1000000L).toInt * 1000)
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
       t
     }
     edits.selectExpr("rowkey", "qualifier", "ts", "value", "event_id", "op")
