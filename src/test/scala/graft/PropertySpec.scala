@@ -130,6 +130,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("batchCells equals naive per-row chunking on random cell sets") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      cells <- Gen.listOfN(n, for {
+        rk <- Gen.chooseNum(0, 5).map("r" + _)
+        fam <- Gen.oneOf("f", "g")
+        q <- Gen.chooseNum(0, 9).map("q" + _)
+      } yield (rk, fam, q))
+      batch <- Gen.chooseNum(1, 4)
+    } yield (cells.distinct.map(c => (c._1, c._2, c._3, c._1 + c._3)), batch)
+    samples(gen, 8).foreach { case (cells, batch) =>
+      val want = cells.groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._2, r._3)).zipWithIndex.map { case (r, k) =>
+          (r._1, r._2, r._3, r._4, (k / batch).toLong, (k % batch).toLong)
+        }
+      }.toSet
+      val got = graft.kv.Scans.batchCells(
+          cells.toDF("rowkey", "family", "qualifier", "value"), batch)
+        .as[(String, String, String, String, Long, Long)].collect().toSet
+      assert(got == want, s"batch=$batch cells=$cells:\ngot  $got\nwant $want")
+    }
+  }
+
+  test("familyTimeRange equals the naive per-cell filter on random ranges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def ts(d: Int) = f"2024-01-$d%02d 00:00:00"
+    val gen = for {
+      n <- Gen.chooseNum(1, 50)
+      cells <- Gen.listOfN(n, for {
+        rk <- Gen.chooseNum(0L, 9L)
+        fam <- Gen.oneOf("a", "b", "c")
+        day <- Gen.chooseNum(1, 28)
+      } yield (rk, fam, "q", ts(day)))
+      aLo <- Gen.chooseNum(1, 27); aHi <- Gen.chooseNum(aLo + 1, 28)
+      bLo <- Gen.chooseNum(1, 27); bHi <- Gen.chooseNum(bLo + 1, 28)
+    } yield (cells, Map("a" -> (ts(aLo), ts(aHi)), "b" -> (ts(bLo), ts(bHi))))
+    samples(gen, 8).foreach { case (cells, ranges) =>
+      val want = cells.filter { case (_, fam, _, t) =>
+        ranges.get(fam).forall { case (lo, hi) => t >= lo && t < hi }
+      }.toSet
+      val df = cells.toDF("rowkey", "family", "qualifier", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      val got = graft.kv.Scans.familyTimeRange(df, ranges)
+        .select(col("rowkey"), col("family"), col("qualifier"),
+          org.apache.spark.sql.functions.date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .as[(Long, String, String, String)].collect().toSet
+      assert(got == want.map(c => (c._1, c._2, c._3, c._4)),
+        s"ranges $ranges cells $cells:\ngot $got\nwant $want")
+    }
+  }
+
   test("FuzzyMatch equals the mask semantics it encodes (overlap-prefix)") {
     val gen = for {
       pat <- Gen.listOfN(6, Gen.oneOf('a', 'b', '?')).map(_.mkString)
