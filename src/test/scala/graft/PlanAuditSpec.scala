@@ -171,6 +171,17 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql("SELECT * FROM tcells WHERE hbase_filter('PageFilter(2)')").collect())
     assert(e.getMessage.contains("ParseFilter.filter") ||
       e.getCause != null && e.getCause.getMessage.contains("ParseFilter.filter"))
+    // the round-5 registry tail through the SQL facade: plain predicates
+    // straight in WHERE, window-shaped ones via materialize-then-filter
+    val mrr = spark.sql(
+      "SELECT rowkey FROM tcells WHERE hbase_filter('MultiRowRangeFilter(''1'', ''2'')')")
+      .as[String].collect().toSet
+    assert(mrr == Set("101", "111"))
+    val fko = spark.sql(
+      """SELECT rowkey, qualifier FROM (
+        |  SELECT *, hbase_filter('FirstKeyOnlyFilter()') AS f FROM tcells)
+        |WHERE f""".stripMargin).as[(String, String)].collect().toSet
+    assert(fko == Set(("101", "aa"), ("202", "bb"), ("111", "aa")))
   }
 
   test("ParseFilter stateful grammar: SKIP, WHILE, PageFilter, ColumnPaginationFilter") {
