@@ -144,9 +144,21 @@ object Dedup {
     * on (band, key) for candidates → exact Jaccard verify on the
     * candidates only. bands×rows = perms; P(pair at j collides) =
     * 1 - (1 - j^rows)^bands. */
+  /** @param starAbove bucket-size ceiling for all-pairs emission: a
+    *   (band, key) bucket larger than this emits STAR pairs (min doc to
+    *   each other member, K−1 edges) instead of all K(K−1)/2. The
+    *   boilerplate-corpus escape hatch — a million identical license
+    *   headers put 10⁶ docs in one bucket, and 5·10¹¹ candidate pairs
+    *   is the blow-up mode of any LSH formulation. Star edges preserve
+    *   CONNECTIVITY (the clustering consumer recovers the same
+    *   components when bucket members are mutual near-dups, the case
+    *   that creates giant buckets), but the pair REPORT loses non-star
+    *   pairs of such buckets and a star edge failing the exact verify
+    *   can split a component — hence opt-in, default off. */
   def minhashLsh(docs: DataFrame, threshold: Double,
                  perms: Int = 128, bands: Int = 32,
-                 shingleTable: Option[DataFrame] = None): DataFrame = {
+                 shingleTable: Option[DataFrame] = None,
+                 starAbove: Int = Int.MaxValue): DataFrame = {
     require(perms % bands == 0,
       s"perms ($perms) must be divisible by bands ($bands) — otherwise " +
         "perms % bands signature values are silently unused and the " +
@@ -165,11 +177,9 @@ object Dedup {
     // (band, key) bucket, pairs are emitted by a codegen'd nested
     // transform — vs a self-join that shuffles `banded` twice. Bucket
     // sizes are the LSH collision sets, naturally small at any corpus
-    // size for near-dup thresholds; a boilerplate-heavy corpus with
-    // giant identical-doc buckets blows up either formulation the same
-    // way (O(n²) true pairs exist), and the clustering consumer can
-    // switch to star-to-min emission if it only needs connectivity.
-    val cand = bucketPairs(banded.groupBy("band", "key"))
+    // size for near-dup thresholds; `starAbove` bounds the giant
+    // identical-doc buckets a boilerplate corpus produces.
+    val cand = bucketPairs(banded.groupBy("band", "key"), starAbove)
     // exact verify on candidates only: array intersect over the shingle sets
     verifyPairs(cand, sh, threshold)
   }
@@ -187,11 +197,20 @@ object Dedup {
        |            $emit)))""".stripMargin
 
   /** Distinct (i, j) pairs (i < j) emitted from each group's collected
-    * doc_id postings list — shared by the LSH and SimHash band buckets. */
-  private def bucketPairs(buckets: org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    * doc_id postings list — shared by the LSH and SimHash band buckets.
+    * Buckets larger than `starAbove` emit star pairs (sorted-min member
+    * to each other, K−1 edges) instead of all pairs — see
+    * [[minhashLsh]]'s param doc for the recall contract. */
+  private def bucketPairs(buckets: org.apache.spark.sql.RelationalGroupedDataset,
+                          starAbove: Int = Int.MaxValue): DataFrame =
     buckets.agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) >= 2)
-      .select(explode(expr(pairExpansion("y -> struct(x AS i, y AS j)"))).as("p"))
+      .select(explode(
+        when(size(col("ds")) <= starAbove,
+          expr(pairExpansion("y -> struct(x AS i, y AS j)")))
+        .otherwise(expr(
+          "transform(slice(ds, 2, size(ds) - 1), y -> struct(element_at(ds, 1) AS i, y AS j))")))
+        .as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j")).distinct()
 
   /** Duplicate-cluster resolution: connected components over a pair

@@ -241,6 +241,32 @@ class PipelineSpec extends SparkSpec {
       s"LSH recall too low: ${lsh.size}/${exact.size}")
   }
 
+  test("LSH star emission bounds giant buckets, clustering still recovers components") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // 12 identical docs (one giant bucket in every band) + 2 unrelated
+    val dup = (0L until 12L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val other = Seq(
+      (100L, "completely different words fill this document top to bottom here"),
+      (101L, "yet another unrelated text with its own vocabulary entirely now"))
+    val docs = (dup ++ other).toDF("doc_id", "text")
+    val all = Dedup.minhashLsh(docs, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val star = Dedup.minhashLsh(docs, 0.5, starAbove = 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // all-pairs: 12*11/2 = 66 pairs; star: exactly K-1 = 11 edges to doc 0
+    assert(all.size == 66, s"all-pairs emitted ${all.size}")
+    assert(star == (1L until 12L).map(j => (0L, j)).toSet, s"star emitted $star")
+    // the clustering consumer reaches the same answer either way
+    val ccAll = Dedup.connectedComponents(all.toSeq.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    val ccStar = Dedup.connectedComponents(star.toSeq.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    assert(ccAll == ccStar && ccAll.values.toSet == Set(0L))
+    Dedup.releaseLabels(docs)  // no-op guard: safe on unpinned frames
+  }
+
   test("ann_ivf agrees with brute force on most top-1 neighbors") {
     val q = emb.where(col("vec_id") < 10)
     val bf = Ann.bruteForce(emb, q, 1).select("q_id", "nn_id")
