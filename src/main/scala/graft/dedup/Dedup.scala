@@ -302,8 +302,14 @@ object Dedup {
     * (up to ~6) still finds most pairs but a pair whose differing bits
     * straddle all four quarters is missed; callers wanting guaranteed
     * recall at higher distances should lower the per-band width
-    * (more bands) and accept the larger candidate volume. */
-  def simhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * (more bands) and accept the larger candidate volume.
+    *
+    * @param starAbove same giant-bucket ceiling as [[minhashLsh]]:
+    *   oversized buckets emit star pairs (min member to each other),
+    *   trading the pair report's completeness inside those buckets for
+    *   linear candidate volume; clustering connectivity preserved. */
+  def simhash(docs: DataFrame, maxHamming: Int = 3,
+              starAbove: Int = Int.MaxValue): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
@@ -322,9 +328,15 @@ object Dedup {
     banded.groupBy("band", "key")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sim")))).as("ds"))
       .where(size(col("ds")) >= 2)
-      .select(explode(expr(pairExpansion(
-        """y -> struct(x.doc_id AS i, y.doc_id AS j,
-          |            bit_count(x.sim ^ y.sim) AS hamming)""".stripMargin))).as("p"))
+      .select(explode(
+        when(size(col("ds")) <= starAbove, expr(pairExpansion(
+          """y -> struct(x.doc_id AS i, y.doc_id AS j,
+            |            bit_count(x.sim ^ y.sim) AS hamming)""".stripMargin)))
+        .otherwise(expr(
+          """transform(slice(ds, 2, size(ds) - 1), y ->
+            |  struct(element_at(ds, 1).doc_id AS i, y.doc_id AS j,
+            |         bit_count(element_at(ds, 1).sim ^ y.sim) AS hamming))""".stripMargin)))
+        .as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()

@@ -183,6 +183,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ParseFilter round-trips random filter ASTs (render -> parse -> same rows)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.col
+    import graft.filters.{Comparators, CompareOp, ParseFilter}
+
+    // AST over the pure grammar; each node knows its DSL rendering and
+    // its direct (parser-free) Column semantics — the parser must agree
+    sealed trait F { def render: String; def sem: Column }
+    case class Pref(p: String) extends F {
+      def render = s"PrefixFilter('${p.replace("'", "''")}')"
+      def sem = col("rowkey").startsWith(p)
+    }
+    case class Val(op: CompareOp.Value, v: String) extends F {
+      def render = s"ValueFilter(${opTok(op)}, 'binary:${v.replace("'", "''")}')"
+      def sem = Comparators.binary(v)(col("value"), op)
+    }
+    case class Qual(op: CompareOp.Value, v: String) extends F {
+      def render = s"QualifierFilter(${opTok(op)}, 'binary:${v.replace("'", "''")}')"
+      def sem = Comparators.binary(v)(col("qualifier"), op)
+    }
+    case class Mrr(r: Seq[(String, String)]) extends F {
+      def render = "MultiRowRangeFilter(" +
+        r.map { case (a, b) => s"'$a', '$b'" }.mkString(", ") + ")"
+      def sem = graft.filters.Filters.multiRowRange(col("rowkey"), r)
+    }
+    case class And(l: F, r: F) extends F {
+      def render = s"(${l.render} AND ${r.render})"
+      def sem = l.sem && r.sem
+    }
+    case class Or(l: F, r: F) extends F {
+      def render = s"(${l.render} OR ${r.render})"
+      def sem = l.sem || r.sem
+    }
+    def opTok(op: CompareOp.Value): String = op match {
+      case CompareOp.LESS => "<"; case CompareOp.LESS_OR_EQUAL => "<="
+      case CompareOp.EQUAL => "="; case CompareOp.NOT_EQUAL => "!="
+      case CompareOp.GREATER_OR_EQUAL => ">="; case CompareOp.GREATER => ">"
+    }
+
+    val ops = Gen.oneOf(CompareOp.LESS, CompareOp.LESS_OR_EQUAL, CompareOp.EQUAL,
+      CompareOp.NOT_EQUAL, CompareOp.GREATER_OR_EQUAL, CompareOp.GREATER)
+    // values include the quote char to exercise the '' escape
+    val str = Gen.chooseNum(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "1", "2", "'", "x y")).map(_.mkString))
+    def leaf: Gen[F] = Gen.oneOf(
+      str.map(Pref.apply),
+      Gen.zip(ops, str).map { case (o, v) => Val(o, v) },
+      Gen.zip(ops, str).map { case (o, v) => Qual(o, v) },
+      Gen.chooseNum(1, 2).flatMap(n => Gen.listOfN(n,
+        Gen.zip(Gen.alphaLowerStr.map(_.take(1) + "0"), Gen.alphaLowerStr.map(_.take(1) + "z")))
+        .map(Mrr.apply)))
+    def tree(depth: Int): Gen[F] =
+      if (depth == 0) leaf
+      else Gen.oneOf(leaf,
+        Gen.zip(tree(depth - 1), tree(depth - 1)).map { case (l, r) => And(l, r) },
+        Gen.zip(tree(depth - 1), tree(depth - 1)).map { case (l, r) => Or(l, r) })
+
+    val cells = (for {
+      rk <- Seq("a1", "b2", "'q", "x y", "12")
+      (q, v) <- Seq(("aa", "1"), ("bb", "'"), ("cc", "x y"))
+    } yield (rk, "f", q, v)).toDF("rowkey", "family", "qualifier", "value")
+
+    samples(tree(2), 25).foreach { ast =>
+      val direct = cells.where(ast.sem)
+        .select("rowkey", "qualifier").as[(String, String)].collect().toSet
+      val parsed = cells.where(ParseFilter.parse(ast.render))
+        .select("rowkey", "qualifier").as[(String, String)].collect().toSet
+      assert(parsed == direct, s"AST ${ast.render}:\nparsed $parsed\ndirect $direct")
+    }
+  }
+
   test("FuzzyMatch equals the mask semantics it encodes (overlap-prefix)") {
     val gen = for {
       pat <- Gen.listOfN(6, Gen.oneOf('a', 'b', '?')).map(_.mkString)
