@@ -227,12 +227,16 @@ object Filters {
     * DSL form of [[dependentColumn]]): keep cells whose version ts
     * matches ANY reference-cell ts of the same row — a windowed
     * collect_set instead of the self-semi-join, so it composes under
-    * AND/OR with the other filters. Window-shaped: materialize before
+    * AND/OR with the other filters. With `valuePred` (the reference's
+    * 5-arg form) only reference cells whose value satisfies the
+    * comparator contribute their ts. Window-shaped: materialize before
     * WHERE. */
-  def dependentColumnPredicate(refFamily: String, refQualifier: String): Column = {
+  def dependentColumnPredicate(refFamily: String, refQualifier: String,
+                               valuePred: Option[Column] = None): Column = {
     val w = Window.partitionBy("rowkey")
     val isRef = col("family") === refFamily && col("qualifier") === refQualifier
-    array_contains(collect_set(when(isRef, col("ts"))).over(w), col("ts"))
+    val contributes = valuePred.fold(isRef)(vp => isRef && coalesce(vp, lit(false)))
+    array_contains(collect_set(when(contributes, col("ts"))).over(w), col("ts"))
   }
 
   /** SingleColumnValueFilter.java:73 — the row-level predicate: emit ALL

@@ -260,9 +260,25 @@ object ParseFilter {
         }
         case "DependentColumnFilter" => Pred {
           // DependentColumnFilter.java: cells whose version ts matches a
-          // reference cell's ts in the same row (windowed form)
+          // reference cell's ts in the same row (windowed form). The
+          // reference's richer arities compose the same predicate:
+          // 3-arg adds dropDependentColumn (remove the reference cell
+          // itself), 5-arg adds a value comparator the reference cell
+          // must satisfy to contribute its ts.
           val f = quoted(); eat(","); val q = quoted()
-          Filters.dependentColumnPredicate(f, q)
+          var drop = false
+          var vp: Option[Column] = None
+          ws()
+          if (!eof && s.charAt(pos) == ',') {
+            eat(","); drop = word() == "true"
+            ws()
+            if (!eof && s.charAt(pos) == ',') {
+              eat(","); vp = Some(cmpFilter(col("value")))
+            }
+          }
+          val base = Filters.dependentColumnPredicate(f, q, vp)
+          if (drop) base && !(col("family") === f && col("qualifier") === q)
+          else base
         }
         case "RandomRowFilter" => Pred {
           // RandomRowFilter.java(chance): reference uses Random per row;

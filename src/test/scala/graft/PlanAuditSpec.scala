@@ -373,6 +373,13 @@ class PlanAuditSpec extends SparkSpec {
     // DependentColumnFilter: cells sharing the ts of the f:a reference cell
     assert(run("DependentColumnFilter('f', 'a')").map(t => (t._1, t._2))
       == Set(("1", "a"), ("1", "c"), ("2", "a"), ("2", "b"), ("9", "a")))
+    // 3-arg: dropDependentColumn removes the reference cell itself
+    assert(run("DependentColumnFilter('f', 'a', true)").map(t => (t._1, t._2))
+      == Set(("1", "c"), ("2", "b")))
+    // 5-arg: only reference cells passing the comparator contribute
+    // their ts (row 2's f:a is 'BAD', row 9's passes but is dropped)
+    assert(run("DependentColumnFilter('f', 'a', true, =, 'binary:x')")
+      .map(t => (t._1, t._2)) == Set(("1", "c")))
     // MultiRowRangeFilter: [1,2) ∪ [9,z) — rows 1 and 9
     assert(run("MultiRowRangeFilter('1', '2', '9', 'z')").map(_._1) == Set("1", "9"))
     // ColumnCountGetFilter(1): first cell per row in (family, qualifier) order
