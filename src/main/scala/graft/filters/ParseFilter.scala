@@ -248,8 +248,23 @@ object ParseFilter {
           // ALL the row's cells are emitted (window-max flag over the
           // rowkey — composable under AND/OR; materialized by
           // ParseFilter.filter since Spark forbids windows in WHERE).
+          // The reference's 6-arg form adds (filterIfMissing,
+          // latestVersionOnly); filterIfMissing is honored directly.
+          // latestVersionOnly gates WHICH version is tested — that is a
+          // property of the scan, not the predicate: compose
+          // Scans.maxVersions(1) upstream for latest-only semantics
+          // (the parse accepts the flag for grammar compatibility; on a
+          // single-version view both settings coincide).
           val f = quoted(); eat(","); val q = quoted(); eat(",")
-          Filters.singleColumnValuePredicate(f, q, cmpFilter(col("value")))
+          val vp = cmpFilter(col("value"))
+          var ifMissing = false
+          ws()
+          if (!eof && s.charAt(pos) == ',') {
+            eat(","); ifMissing = word() == "true"
+            ws()
+            if (!eof && s.charAt(pos) == ',') { eat(","); word() }
+          }
+          Filters.singleColumnValuePredicate(f, q, vp, ifMissing)
         }
         case "SingleColumnValueExcludeFilter" => Pred {
           // SingleColumnValueExcludeFilter.java: SCVF row semantics,

@@ -370,6 +370,10 @@ class PlanAuditSpec extends SparkSpec {
     // row 9's only cell IS the tested one, so it vanishes entirely
     assert(run("SingleColumnValueExcludeFilter('f', 'a', =, 'binary:x')")
       .map(t => (t._1, t._2)) == Set(("1", "b"), ("1", "c"), ("3", "b")))
+    // SCVF 6-arg form: filterIfMissing=true drops row 3 (lacks f:a);
+    // latestVersionOnly accepted for grammar compatibility
+    assert(run("SingleColumnValueFilter('f', 'a', =, 'binary:x', true, true)")
+      .map(_._1) == Set("1", "9"))
     // DependentColumnFilter: cells sharing the ts of the f:a reference cell
     assert(run("DependentColumnFilter('f', 'a')").map(t => (t._1, t._2))
       == Set(("1", "a"), ("1", "c"), ("2", "a"), ("2", "b"), ("9", "a")))
