@@ -38,9 +38,18 @@ object PipelineQueries {
     * across sessions (a localCheckpoint dies with its context). */
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def memoized(s: SparkSession, d: String, what: String)
-                      (build: => DataFrame): DataFrame =
+                      (build: => DataFrame): DataFrame = {
+    sweepDead()
     memo.computeIfAbsent(s"${sessionKey(s)}|$d|$what",
       _ => build.localCheckpoint())
+  }
+
+  /** Drop entries whose SparkContext has stopped: their checkpoint
+    * blocks died with the context, but the map entry would otherwise
+    * retain the dead session object for the JVM's life (a slow leak in
+    * a service hosting many short-lived sessions). */
+  private def sweepDead(): Unit =
+    memo.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
 
   private def sessionKey(s: SparkSession): String =
     org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(s)
@@ -50,8 +59,10 @@ object PipelineQueries {
     * generation) — re-checkpointing would copy the blocks and orphan
     * the inner pin. */
   private def memoizedPinned(s: SparkSession, d: String, what: String)
-                            (build: => DataFrame): DataFrame =
+                            (build: => DataFrame): DataFrame = {
+    sweepDead()
     memo.computeIfAbsent(s"${sessionKey(s)}|$d|$what", _ => build)
+  }
 
   /** Drop every memoized table, RELEASING its checkpoint blocks —
     * clearing the map alone strands the blocks in the block manager
