@@ -267,6 +267,22 @@ class PipelineSpec extends SparkSpec {
     Dedup.releaseLabels(docs)  // no-op guard: safe on unpinned frames
   }
 
+  test("connectedComponents frees superseded checkpoints (no storage accumulation)") {
+    import spark.implicits._
+    // a 200-ring has diameter 100 → pointer jumping needs ~7 rounds;
+    // without per-round release this pins ~15 RDD generations
+    val pairs = (0L until 200L).map(i => (i, (i + 1) % 200)).toDF("i", "j")
+    def pinned = spark.sparkContext.getPersistentRDDs.size
+    val before = pinned
+    val labels = graft.dedup.Dedup.connectedComponents(pairs)
+    assert(labels.as[(Long, Long)].collect().forall(_._2 == 0L), "ring must collapse to min id")
+    // only the final label generation may remain pinned — the r4 bench
+    // regressed 2x from exactly this accumulation
+    assert(pinned <= before + 1, s"checkpoint accumulation: $before -> $pinned")
+    graft.dedup.Dedup.releaseLabels(labels)
+    assert(pinned <= before, s"releaseLabels left pins: $before -> $pinned")
+  }
+
   test("ann_ivf agrees with brute force on most top-1 neighbors") {
     val q = emb.where(col("vec_id") < 10)
     val bf = Ann.bruteForce(emb, q, 1).select("q_id", "nn_id")
