@@ -196,6 +196,14 @@ object Dedup {
        |  transform(slice(ds, k + 2, size(ds) - k - 1),
        |            $emit)))""".stripMargin
 
+  /** The star counterpart of [[pairExpansion]]: sorted-min member to
+    * each other element, `emit` sees the min as `x` and the other as
+    * `y` — ONE copy of the slice arithmetic for the same no-drift
+    * reason. */
+  private def starExpansion(emit: String): String =
+    s"""transform(slice(ds, 2, size(ds) - 1),
+       |  y -> ${emit.replaceAll("\\bx\\b", "element_at(ds, 1)")})""".stripMargin
+
   /** Distinct (i, j) pairs (i < j) emitted from each group's collected
     * doc_id postings list — shared by the LSH and SimHash band buckets.
     * Buckets larger than `starAbove` emit star pairs (sorted-min member
@@ -208,8 +216,7 @@ object Dedup {
       .select(explode(
         when(size(col("ds")) <= starAbove,
           expr(pairExpansion("y -> struct(x AS i, y AS j)")))
-        .otherwise(expr(
-          "transform(slice(ds, 2, size(ds) - 1), y -> struct(element_at(ds, 1) AS i, y AS j))")))
+        .otherwise(expr(starExpansion("struct(x AS i, y AS j)"))))
         .as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j")).distinct()
 
@@ -307,7 +314,13 @@ object Dedup {
     * @param starAbove same giant-bucket ceiling as [[minhashLsh]]:
     *   oversized buckets emit star pairs (min member to each other),
     *   trading the pair report's completeness inside those buckets for
-    *   linear candidate volume; clustering connectivity preserved. */
+    *   linear candidate volume. Sharper caveat than the LSH case: star
+    *   edges are hamming-filtered against the bucket MIN, so two
+    *   members within maxHamming of each other but both far from the
+    *   min lose their edge and can land in separate clusters —
+    *   connectivity is only guaranteed when bucket members are mutual
+    *   near-dups of the min (the identical-boilerplate case that
+    *   creates giant buckets). Opt-in, default off. */
   def simhash(docs: DataFrame, maxHamming: Int = 3,
               starAbove: Int = Int.MaxValue): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -332,10 +345,8 @@ object Dedup {
         when(size(col("ds")) <= starAbove, expr(pairExpansion(
           """y -> struct(x.doc_id AS i, y.doc_id AS j,
             |            bit_count(x.sim ^ y.sim) AS hamming)""".stripMargin)))
-        .otherwise(expr(
-          """transform(slice(ds, 2, size(ds) - 1), y ->
-            |  struct(element_at(ds, 1).doc_id AS i, y.doc_id AS j,
-            |         bit_count(element_at(ds, 1).sim ^ y.sim) AS hamming))""".stripMargin)))
+        .otherwise(expr(starExpansion(
+          "struct(x.doc_id AS i, y.doc_id AS j, bit_count(x.sim ^ y.sim) AS hamming)"))))
         .as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)

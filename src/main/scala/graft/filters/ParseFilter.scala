@@ -214,8 +214,8 @@ object ParseFilter {
           ps.map(col("qualifier").startsWith(_)).reduce(_ || _)
         }
         case "ColumnRangeFilter" => Pred {
-          val lo = quoted(); eat(","); val loInc = word() == "true"
-          eat(","); val hi = quoted(); eat(","); val hiInc = word() == "true"
+          val lo = quoted(); eat(","); val loInc = bool()
+          eat(","); val hi = quoted(); eat(","); val hiInc = bool()
           Filters.columnRange(lo, loInc, hi, hiInc)
         }
         case "FuzzyRowFilter" =>
@@ -260,17 +260,26 @@ object ParseFilter {
           var ifMissing = false
           ws()
           if (!eof && s.charAt(pos) == ',') {
-            eat(","); ifMissing = word() == "true"
+            eat(","); ifMissing = bool()
             ws()
-            if (!eof && s.charAt(pos) == ',') { eat(","); word() }
+            if (!eof && s.charAt(pos) == ',') { eat(","); bool() }
           }
           Filters.singleColumnValuePredicate(f, q, vp, ifMissing)
         }
         case "SingleColumnValueExcludeFilter" => Pred {
           // SingleColumnValueExcludeFilter.java: SCVF row semantics,
-          // minus the tested cell itself from the emitted rows
+          // minus the tested cell itself from the emitted rows; accepts
+          // SCVF's 6-arg form too (it inherits createFilterFromArguments)
           val f = quoted(); eat(","); val q = quoted(); eat(",")
-          Filters.singleColumnValuePredicate(f, q, cmpFilter(col("value"))) &&
+          val vp = cmpFilter(col("value"))
+          var ifMissing = false
+          ws()
+          if (!eof && s.charAt(pos) == ',') {
+            eat(","); ifMissing = bool()
+            ws()
+            if (!eof && s.charAt(pos) == ',') { eat(","); bool() }
+          }
+          Filters.singleColumnValuePredicate(f, q, vp, ifMissing) &&
             !(col("family") === f && col("qualifier") === q)
         }
         case "DependentColumnFilter" => Pred {
@@ -285,7 +294,7 @@ object ParseFilter {
           var vp: Option[Column] = None
           ws()
           if (!eof && s.charAt(pos) == ',') {
-            eat(","); drop = word() == "true"
+            eat(","); drop = bool()
             ws()
             if (!eof && s.charAt(pos) == ',') {
               eat(","); vp = Some(cmpFilter(col("value")))
@@ -350,11 +359,20 @@ object ParseFilter {
       }
     }
 
-    /** bare word token (e.g. the booleans in ColumnRangeFilter args). */
+    /** bare word token. */
     private def word(): String = {
       val w = peekWord
       pos += w.length
       w
+    }
+
+    /** strict boolean literal — anything but true/false throws, like
+      * the reference's convertByteArrayToBoolean (a lenient "not-true
+      * means false" would silently flip filterIfMissing on a typo). */
+    private def bool(): Boolean = {
+      val w = word()
+      require(w == "true" || w == "false", s"expected true/false, got '$w' in '$s'")
+      w == "true"
     }
 
     /** decimal literal (RandomRowFilter's chance). */

@@ -374,6 +374,13 @@ class PlanAuditSpec extends SparkSpec {
     // latestVersionOnly accepted for grammar compatibility
     assert(run("SingleColumnValueFilter('f', 'a', =, 'binary:x', true, true)")
       .map(_._1) == Set("1", "9"))
+    // the Exclude sibling inherits the same arity (reference SCVEF
+    // reuses SCVF's createFilterFromArguments)
+    assert(run("SingleColumnValueExcludeFilter('f', 'a', =, 'binary:x', true, true)")
+      .map(t => (t._1, t._2)) == Set(("1", "b"), ("1", "c")))
+    // booleans are strict: a typo throws instead of silently meaning false
+    intercept[IllegalArgumentException](graft.filters.ParseFilter.parse(
+      "SingleColumnValueFilter('f', 'a', =, 'binary:x', ture, true)"))
     // DependentColumnFilter: cells sharing the ts of the f:a reference cell
     assert(run("DependentColumnFilter('f', 'a')").map(t => (t._1, t._2))
       == Set(("1", "a"), ("1", "c"), ("2", "a"), ("2", "b"), ("9", "a")))
