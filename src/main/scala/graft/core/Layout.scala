@@ -104,6 +104,26 @@ object Snapshots {
   def read(spark: SparkSession, base: String, version: Int): DataFrame =
     Layout.read(spark, path(base, version))
 
+  /** Row-level diff of two snapshot versions — the "what changed
+    * between yesterday's and today's snapshot" audit (HBase answers it
+    * with SyncTable's re-scan of mismatched ranges; here the diff IS
+    * the output). One full-outer sort-merge join on the row id; each
+    * emitted row carries its change kind. Payload comparison is a
+    * struct equality over `cmpCols` — map-side projections, the join
+    * is the only shuffle. */
+  def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
+           keyCol: String, cmpCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val av = a.select(col(keyCol), struct(cmpCols.map(col): _*).as("_a"))
+    val bv = b.select(col(keyCol), struct(cmpCols.map(col): _*).as("_b"))
+    av.join(bv, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("_b").isNull, "removed")
+          .when(col("_a").isNull, "added")
+          .when(!(col("_a") === col("_b")), "changed"))
+      .where(col("change").isNotNull)
+      .select(col(keyCol), col("change"))
+  }
+
   /** ExportSnapshot (hbase-server/.../snapshot/ExportSnapshot.java) —
     * ship a snapshot to another cluster by copying its files directly
     * (the tool moves HFiles, bypassing region servers entirely; the

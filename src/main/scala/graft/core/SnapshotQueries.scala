@@ -74,6 +74,16 @@ object SnapshotQueries {
           digests(Snapshots.read(s, base, 1)), digests(Snapshots.read(s, exp, 1)))
         .orderBy("bucket")
     }),
+    // row-level diff of snapshot v1 vs the post-mutation v2: the setup
+    // deleted every even-user row copy-on-write, so the diff is exactly
+    // those rows, flagged removed
+    "snapshot_diff" -> ((s, d) => {
+      val base = ensureSnapshots(s, d)
+      Snapshots.diff(
+          Snapshots.read(s, base, 1), Snapshots.read(s, base, 2),
+          "event_id", Seq("user_id", "event_type", "ts", "value"))
+        .orderBy("event_id")
+    }),
     "region_split_stats" -> ((s, d) =>
       regionStats(Tables.load(s, d, "lineitem"), "l_orderkey", 16, "l_quantity")
         .orderBy("region")),
@@ -129,6 +139,9 @@ object SnapshotQueries {
         |SELECT bucket, digest AS digest_a, n AS rows_a,
         |       digest AS digest_b, n AS rows_b, true AS is_match
         |FROM h ORDER BY bucket""".stripMargin,
+    "snapshot_diff" ->
+      """SELECT event_id, 'removed' AS change FROM events
+        |WHERE user_id % 2 = 0 ORDER BY event_id""".stripMargin,
     "region_split_stats" ->
       """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
         |SELECT CAST(floor((l_orderkey - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS region,
