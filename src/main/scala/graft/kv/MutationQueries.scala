@@ -54,6 +54,13 @@ object MutationQueries {
     "ttl_min_versions" -> ((s, d) =>
       Mutations.ttlExpireMinVersions(Tables.eventCells(s, d), "20 DAYS", minVersions = 1)
         .select("rowkey", "qualifier", "ts", "value", "event_id").orderBy("event_id")),
+    // TTL as the FAMILY property it is in the reference: each family
+    // retains on its own clock (web 10 days, act 20)
+    "ttl_per_family" -> ((s, d) =>
+      Mutations.ttlExpirePerFamily(Tables.eventCellsTwoFamilies(s, d),
+          Map("web" -> "10 DAYS", "act" -> "20 DAYS"))
+        .select("rowkey", "family", "qualifier", "ts", "value", "event_id")
+        .orderBy("event_id")),
     "delete_qualifier" -> ((s, d) =>
       Mutations.deleteQualifier(
           Tables.load(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment"),
@@ -109,6 +116,12 @@ object MutationQueries {
       ("WITH " + Tables.eventCellsSql + "\n" +
        """SELECT rowkey, qualifier, ts, value, event_id FROM vcells
          |WHERE ts >= (SELECT max(ts) - INTERVAL 10 DAY FROM events)
+         |ORDER BY event_id""".stripMargin),
+    "ttl_per_family" ->
+      ("WITH " + Tables.eventCellsTwoFamiliesSql + "\n" +
+       """SELECT rowkey, family, qualifier, ts, value, event_id FROM vcells2
+         |WHERE (family = 'web' AND ts >= (SELECT max(ts) - INTERVAL 10 DAY FROM events))
+         |   OR (family = 'act' AND ts >= (SELECT max(ts) - INTERVAL 20 DAY FROM events))
          |ORDER BY event_id""".stripMargin),
     "ttl_min_versions" ->
       ("WITH " + Tables.eventCellsSql + "\n" +

@@ -134,6 +134,21 @@ object Mutations {
     vcells.crossJoin(broadcast(cutoff)).where(col("ts") >= col("_cut")).drop("_cut")
   }
 
+  /** Per-family TTL — in HBase, TTL is a COLUMN FAMILY property
+    * (HColumnDescriptor#setTimeToLive), one retention clock per family:
+    * families in the map keep cells younger than their own TTL
+    * (relative to the global max ts, the same "now" as [[ttlExpire]]),
+    * families without one keep forever (the reference default). One
+    * broadcast scalar + a disjunctive predicate — no shuffle. */
+  def ttlExpirePerFamily(vcells: DataFrame, ttls: Map[String, String]): DataFrame = {
+    require(ttls.nonEmpty, "ttlExpirePerFamily needs at least one family TTL")
+    val now = vcells.agg(max(col("ts")).as("_now"))
+    val keep = ttls.map { case (f, ttl) =>
+      col("family") === f && col("ts") >= col("_now") - expr(s"INTERVAL $ttl")
+    }.reduce(_ || _) || !col("family").isInCollection(ttls.keys.toSeq)
+    vcells.crossJoin(broadcast(now)).where(keep).drop("_now")
+  }
+
   /** TTL with HColumnDescriptor#setMinVersions semantics: expired cells
     * are dropped EXCEPT the latest `minVersions` per
     * (rowkey, family, qualifier), which survive any TTL — HBase

@@ -90,4 +90,22 @@ class MutationsSpec extends SparkSpec {
       .orderBy("rowkey", "qualifier").as[(Long, String, Double)].collect()
     assert(got.sameElements(Array((1L, "b", 2.0), (2L, "b", 5.0))), got.mkString(","))
   }
+
+  test("per-family TTL: each family on its own clock, unlisted families keep forever") {
+    import spark.implicits._
+    // "now" = global max ts = 2024-01-31 (event 9)
+    val cells = Seq(
+      (1L, "web", "q", "2024-01-01 00:00:00", 1.0, 1L), // 30d old → expired at 10d
+      (1L, "web", "q", "2024-01-28 00:00:00", 2.0, 2L), // 3d old → kept
+      (1L, "act", "q", "2024-01-12 00:00:00", 3.0, 3L), // 19d old → kept at 20d
+      (1L, "act", "q", "2024-01-05 00:00:00", 4.0, 4L), // 26d old → expired
+      (1L, "etc", "q", "2020-01-01 00:00:00", 5.0, 5L), // no TTL → kept forever
+      (9L, "web", "q", "2024-01-31 00:00:00", 0.0, 9L)
+    ).toDF("rowkey", "family", "qualifier", "ts_s", "value", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val kept = graft.kv.Mutations.ttlExpirePerFamily(cells,
+        Map("web" -> "10 DAYS", "act" -> "20 DAYS"))
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 5L, 9L), s"kept $kept")
+  }
 }
