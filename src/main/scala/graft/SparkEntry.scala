@@ -101,6 +101,24 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // Scan.setRaw(true): delete markers visible, no masking — the raw
+    // store content of the same edit slice wal_replay masks
+    "scan_raw" -> ((s, d) => {
+      val edits = Tables.eventCells(s, d)
+        .withColumn("op", when(col("event_id") % 7 === 0, "delete").otherwise("put"))
+      Scans.raw(edits, "2024-01-05 00:00:00", "2024-01-25 00:00:00")
+        .select("rowkey", "qualifier", "ts", "op", "value", "event_id")
+        .orderBy("event_id")
+    }),
+    // KEEP_DELETED_CELLS: as-of read where family `web` (keep=true)
+    // only honors deletes at/below the read point while `act`
+    // (keep=false, post-compaction store) is masked by ALL deletes
+    "scan_keep_deleted" -> ((s, d) => {
+      val edits = Tables.eventCellsTwoFamilies(s, d)
+        .withColumn("op", when(col("event_id") % 7 === 0, "delete").otherwise("put"))
+      Scans.pointInTimeRead(edits, "2024-01-15 00:00:00", Set("web"))
+        .orderBy("rowkey", "family", "qualifier")
+    }),
     // Get.setTimeRange(0, ts) + maxVersions(1) as a stream-wide temporal
     // join: for each click, the same user's latest purchase at or
     // before it — one shuffle on the key, running struct-max, never a
@@ -171,6 +189,29 @@ object SparkEntry {
         |   OR (family = 'act' AND ts >= TIMESTAMP '2024-01-02 00:00:00'
         |                      AND ts <  TIMESTAMP '2024-01-12 00:00:00')
         |ORDER BY event_id""".stripMargin),
+    "scan_raw" ->
+      """SELECT user_id AS rowkey, event_type AS qualifier, ts,
+        |       CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
+        |       value, event_id
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "scan_keep_deleted" ->
+      ("WITH " + graft.core.Tables.eventCellsTwoFamiliesSql + """,
+        |ed AS (SELECT *, CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op
+        |       FROM vcells2),
+        |p AS (SELECT rowkey, family, qualifier, ts, event_id, value,
+        |        row_number() OVER (PARTITION BY rowkey, family, qualifier
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM ed WHERE op = 'put' AND ts <= TIMESTAMP '2024-01-15 00:00:00'),
+        |dl AS (SELECT rowkey, family, qualifier, max(ts) AS del_ts FROM ed
+        |       WHERE op = 'delete'
+        |         AND (ts <= TIMESTAMP '2024-01-15 00:00:00' OR family <> 'web')
+        |       GROUP BY 1, 2, 3)
+        |SELECT p.rowkey, p.family, p.qualifier, p.ts, p.event_id, p.value
+        |FROM p LEFT JOIN dl USING (rowkey, family, qualifier)
+        |WHERE rn = 1 AND (del_ts IS NULL OR p.ts > del_ts)
+        |ORDER BY rowkey, family, qualifier""".stripMargin),
     // querying through the index must equal filtering the base directly
     "secondary_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -128,6 +128,50 @@ object Scans {
     vcells.where(listed || !col("family").isInCollection(ranges.keys.toSeq))
   }
 
+  /** Scan.setRaw(true) (Scan.java:910) — a raw scan returns every cell
+    * INCLUDING delete markers, with no tombstone masking and no version
+    * trimming: the physical store content, which is exactly the edit
+    * log slice. Relationally that means the masking aggregate of
+    * [[graft.analytics.Tools.walReplay]] is simply not applied — the
+    * time-range predicate pushes to the scan and nothing shuffles. */
+  def raw(edits: DataFrame, tsLo: String, tsHi: String): DataFrame =
+    edits.where(col("ts") >= lit(tsLo).cast("timestamp") &&
+      col("ts") < lit(tsHi).cast("timestamp"))
+
+  /** KEEP_DELETED_CELLS point-in-time read
+    * (HColumnDescriptor.setKeepDeletedCells, honored by
+    * ScanQueryMatcher): an as-of-`asOf` read per (rowkey, family,
+    * qualifier). Families WITH the property still hold their deleted
+    * cells, so only deletes at ts ≤ `asOf` mask (a later delete hasn't
+    * happened yet from the read point's perspective). Families WITHOUT
+    * it model the post-major-compaction store: a deleted cell is
+    * physically gone, so ANY delete masks — even one newer than the
+    * read point. Masking follows HBase delete semantics (a delete
+    * covers every version at ts ≤ its ts); like walReplay this is ONE
+    * hash aggregate — two conditional struct/scalar maxes, map-side
+    * partial, no window, no second pass.
+    *
+    * @param edits (rowkey, family, qualifier, ts, value, tieBreaker,
+    *              op) with op ∈ {put, delete}. */
+  def pointInTimeRead(edits: DataFrame, asOf: String,
+                      keepDeletedFamilies: Set[String],
+                      tieBreaker: String = "event_id"): DataFrame = {
+    val asOfTs = lit(asOf).cast("timestamp")
+    val keep = col("family").isInCollection(keepDeletedFamilies.toSeq)
+    edits
+      .groupBy("rowkey", "family", "qualifier")
+      .agg(
+        max(when(col("op") === "put" && col("ts") <= asOfTs,
+          struct(col("ts"), col(tieBreaker), col("value")))).as("_put"),
+        max(when(col("op") === "delete" && (col("ts") <= asOfTs || !keep),
+          col("ts"))).as("_del_ts"))
+      .where(col("_put").isNotNull &&
+        (col("_del_ts").isNull || col("_put.ts") > col("_del_ts")))
+      .select(col("rowkey"), col("family"), col("qualifier"),
+        col("_put.ts").as("ts"), col(s"_put.$tieBreaker").as(tieBreaker),
+        col("_put.value").as("value"))
+  }
+
   /** Scan.setMaxVersions(k) — latest k versions per (rowkey, qualifier).
     * Window row_number on the natural HBase sort (coordinates asc, ts
     * desc); one hash shuffle on the group key, map-side nothing to

@@ -108,4 +108,44 @@ class MutationsSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L, 5L, 9L), s"kept $kept")
   }
+
+  test("pointInTimeRead: keep=true sees through a later delete, keep=false does not") {
+    import spark.implicits._
+    // Both families: put@Jan05 (v1), delete@Jan20, put@Jan25 (v2).
+    // As-of Jan15: the delete hasn't happened yet from the read point.
+    //   keep=true (web): put@Jan05 visible. keep=false (act): the
+    //   compacted store already dropped it → nothing.
+    // Plus a put@Jan10 deleted@Jan12 (before the read point): masked in
+    // BOTH families — keep only preserves cells for point-in-time
+    // reads BEFORE their delete.
+    val edits = Seq(
+      (1L, "web", "q", "2024-01-05 00:00:00", "put",    1.0, 1L),
+      (1L, "web", "q", "2024-01-20 00:00:00", "delete", 0.0, 2L),
+      (1L, "web", "q", "2024-01-25 00:00:00", "put",    2.0, 3L),
+      (2L, "act", "q", "2024-01-05 00:00:00", "put",    3.0, 4L),
+      (2L, "act", "q", "2024-01-20 00:00:00", "delete", 0.0, 5L),
+      (2L, "act", "q", "2024-01-25 00:00:00", "put",    4.0, 6L),
+      (3L, "web", "q", "2024-01-10 00:00:00", "put",    5.0, 7L),
+      (3L, "web", "q", "2024-01-12 00:00:00", "delete", 0.0, 8L),
+      (4L, "act", "q", "2024-01-10 00:00:00", "put",    6.0, 9L),
+      (4L, "act", "q", "2024-01-12 00:00:00", "delete", 0.0, 10L)
+    ).toDF("rowkey", "family", "qualifier", "ts_s", "op", "value", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = graft.kv.Scans.pointInTimeRead(edits, "2024-01-15 00:00:00", Set("web"))
+      .select("rowkey", "value").as[(Long, Double)].collect().toMap
+    assert(got == Map(1L -> 1.0), s"got $got")
+  }
+
+  test("raw scan returns delete markers unmasked") {
+    import spark.implicits._
+    val edits = Seq(
+      (1L, "q", "2024-01-05 00:00:00", "put", 1.0, 1L),
+      (1L, "q", "2024-01-10 00:00:00", "delete", 0.0, 2L),
+      (1L, "q", "2024-02-10 00:00:00", "put", 9.0, 3L)
+    ).toDF("rowkey", "qualifier", "ts_s", "op", "value", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val ops = graft.kv.Scans.raw(edits, "2024-01-01 00:00:00", "2024-02-01 00:00:00")
+      .select("op").as[String].collect().sorted
+    assert(ops.sameElements(Array("delete", "put")), ops.mkString(","))
+  }
 }
