@@ -119,6 +119,22 @@ object SparkEntry {
       Scans.pointInTimeRead(edits, "2024-01-15 00:00:00", Set("web"))
         .orderBy("rowkey", "family", "qualifier")
     }),
+    // VisibilityController: cells carry DNF label expressions, the scan
+    // carries Authorizations(public, internal) — pure codegen'd array
+    // algebra riding the scan, no shuffle, no UDF
+    "cell_visibility" -> ((s, d) => {
+      val cells = Tables.eventCells(s, d).withColumn("vis",
+        when(col("event_id") % 5 === 0,
+          when(col("rowkey") % 2 === 0, lit(null).cast("string"))
+            .otherwise(lit("admin|ops")))
+        .when(col("event_id") % 5 === 1, lit("public"))
+        .when(col("event_id") % 5 === 2, lit("internal&!embargo"))
+        .when(col("event_id") % 5 === 3, lit("internal&embargo"))
+        .otherwise(lit("pii&internal")))
+      graft.kv.Visibility.applyAuths(cells, "vis", Seq("public", "internal"))
+        .select("rowkey", "qualifier", "ts", "vis", "value", "event_id")
+        .orderBy("event_id")
+    }),
     // Get.setTimeRange(0, ts) + maxVersions(1) as a stream-wide temporal
     // join: for each click, the same user's latest purchase at or
     // before it — one shuffle on the key, running struct-max, never a
@@ -212,6 +228,23 @@ object SparkEntry {
         |FROM p LEFT JOIN dl USING (rowkey, family, qualifier)
         |WHERE rn = 1 AND (del_ts IS NULL OR p.ts > del_ts)
         |ORDER BY rowkey, family, qualifier""".stripMargin),
+    "cell_visibility" ->
+      ("WITH " + graft.core.Tables.eventCellsSql + """,
+        |v AS (SELECT *, CASE
+        |    WHEN event_id % 5 = 0 THEN (CASE WHEN rowkey % 2 = 0 THEN NULL ELSE 'admin|ops' END)
+        |    WHEN event_id % 5 = 1 THEN 'public'
+        |    WHEN event_id % 5 = 2 THEN 'internal&!embargo'
+        |    WHEN event_id % 5 = 3 THEN 'internal&embargo'
+        |    ELSE 'pii&internal' END AS vis
+        |  FROM vcells)
+        |SELECT rowkey, qualifier, ts, vis, value, event_id FROM v
+        |WHERE vis IS NULL OR vis = '' OR
+        |  len(list_filter(string_split(vis, '|'), t ->
+        |    len(list_filter(string_split(t, '&'), a ->
+        |      CASE WHEN a LIKE '!%' THEN NOT list_contains(['public','internal'], substr(a, 2))
+        |           ELSE list_contains(['public','internal'], a) END))
+        |      = len(string_split(t, '&')))) > 0
+        |ORDER BY event_id""".stripMargin),
     // querying through the index must equal filtering the base directly
     "secondary_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -146,4 +146,21 @@ class FiltersSpec extends SparkSpec {
       .as[String].collect()
     assert(webTs.nonEmpty && webTs.forall(t => t >= "2024-01-10" && t < "2024-01-20"))
   }
+
+  test("visibility labels: DNF terms, negation, and the unlabelled cell") {
+    import spark.implicits._
+    val cells = Seq(
+      (1L, "admin|ops"),           // neither auth -> hidden
+      (2L, "public"),              // -> visible
+      (3L, "internal&!embargo"),   // negated atom absent -> visible
+      (4L, "internal&embargo"),    // embargo not held -> hidden
+      (5L, "pii&internal|public"), // second term passes -> visible
+      (6L, "!public"),             // held auth negated -> hidden
+      (7L, null.asInstanceOf[String]), // unlabelled -> visible to all
+      (8L, "")                     // empty -> visible to all
+    ).toDF("k", "vis")
+    val got = graft.kv.Visibility.applyAuths(cells, "vis", Seq("public", "internal"))
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 5L, 7L, 8L), s"got $got")
+  }
 }
