@@ -66,6 +66,15 @@ object AnalyticsQueries {
     "bulk_load_partitioner" -> ((s, d) =>
       Tools.totalOrderBuckets(Tables.load(s, d, "orders"), "o_orderkey", 8)
         .orderBy("bucket")),
+    // SimpleRegionNormalizer: regions grown unevenly (squared key ->
+    // dense low range, sparse tail) get split/merge plans from ONE
+    // stats aggregate; the rank window runs over 16 bucket rows
+    "region_normalizer" -> ((s, d) => {
+      val grown = Tables.load(s, d, "orders")
+        .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+      Tools.normalizerPlan(Tools.totalOrderBuckets(grown, "region_key", 16))
+        .orderBy("action", "bucket")
+    }),
     // semi-structured source path: events.props is a JSON string column
     // (HBase users stuff JSON into cell values constantly); extraction
     // stays codegen'd, no UDF
@@ -152,6 +161,23 @@ object AnalyticsQueries {
         |SELECT CAST(floor((o_orderkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS bucket,
         |       count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "region_normalizer" ->
+      """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |st AS (SELECT CAST(floor((k - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |              count(*) AS n_rows FROM g, b GROUP BY 1),
+        |a AS (SELECT avg(n_rows) AS av FROM st),
+        |r AS (SELECT st.*, row_number() OVER (ORDER BY bucket) AS rn FROM st),
+        |pr AS (SELECT CAST(floor((rn - 1) / 2) AS BIGINT) AS pair, min(bucket) AS bucket,
+        |              max(bucket) AS other_bucket, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |              count(*) AS c
+        |       FROM r GROUP BY 1)
+        |SELECT 'split' AS action, bucket, CAST(NULL AS BIGINT) AS other_bucket, n_rows
+        |FROM r, a WHERE n_rows > 2 * av
+        |UNION ALL
+        |SELECT 'merge' AS action, bucket, other_bucket, n_rows
+        |FROM pr, a WHERE c = 2 AND n_rows < av
+        |ORDER BY action, bucket""".stripMargin,
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,

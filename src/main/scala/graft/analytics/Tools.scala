@@ -130,6 +130,37 @@ object Tools {
     * per-bucket stats (+ optional extra aggregates, e.g. region payload
     * sums). min/max are a tiny broadcast — no global sort, no sampling,
     * fully deterministic. */
+  /** SimpleRegionNormalizer (hbase-server/.../master/normalizer/
+    * SimpleRegionNormalizer.java:76-130): plan a SPLIT for every region
+    * more than twice the average region size, and MERGEs for adjacent
+    * undersized pairs whose combined size is below the average. The
+    * reference walks the region list greedily; over bucket stats the
+    * same guarantee (no planned region exceeds bounds, merge partners
+    * adjacent and disjoint) comes order-free from pairing consecutive
+    * ranks (2k, 2k+1) — every pair decidable in parallel, which is the
+    * form that scales past a driver-side walk. Input is a bucket-stats
+    * table (≤ the bucket count, so the rank window over it is a
+    * few-row no-op, not a data-scale sort). */
+  def normalizerPlan(buckets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = buckets.select(col("bucket"), col("n_rows"))
+    val avgSize = stats.agg(avg(col("n_rows")).as("_avg"))
+    val ranked = stats.crossJoin(broadcast(avgSize))
+      .withColumn("_rn", row_number().over(Window.orderBy("bucket")))
+    val splits = ranked.where(col("n_rows") > col("_avg") * 2)
+      .select(lit("split").as("action"), col("bucket"),
+        lit(null).cast("bigint").as("other_bucket"), col("n_rows"))
+    val merges = ranked
+      .groupBy(floor((col("_rn") - 1) / 2).as("_pair"))
+      .agg(min(col("bucket")).as("bucket"), max(col("bucket")).as("other_bucket"),
+        sum(col("n_rows")).as("n_rows"), count(lit(1)).as("_c"),
+        first(col("_avg")).as("_avg"))
+      .where(col("_c") === 2 && col("n_rows") < col("_avg"))
+      .select(lit("merge").as("action"), col("bucket"),
+        col("other_bucket"), col("n_rows"))
+    splits.unionByName(merges)
+  }
+
   def totalOrderBuckets(df: DataFrame, keyCol: String, n: Int,
                         extraAggs: Seq[Column] = Nil,
                         bucketName: String = "bucket"): DataFrame = {

@@ -109,6 +109,18 @@ class MutationsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 5L, 9L), s"kept $kept")
   }
 
+  test("normalizerPlan: oversized buckets split, adjacent small pairs merge, odd leftover skipped") {
+    import spark.implicits._
+    // avg = 185/5 = 37: bucket 0 (100 > 74) splits; rank pairs (0,1) too
+    // big, (2,3) = 35 < 37 merges; bucket 7 is the unpaired leftover.
+    val stats = Seq((0L, 100L), (1L, 10L), (2L, 5L), (3L, 30L), (7L, 40L))
+      .toDF("bucket", "n_rows")
+    val plan = graft.analytics.Tools.normalizerPlan(stats)
+      .select("action", "bucket", "other_bucket")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(plan == Set(("split", 0L, None), ("merge", 2L, Some(3L))), s"plan $plan")
+  }
+
   test("pointInTimeRead: keep=true sees through a later delete, keep=false does not") {
     import spark.implicits._
     // Both families: put@Jan05 (v1), delete@Jan20, put@Jan25 (v2).
