@@ -32,6 +32,33 @@ object Dedup {
           s"transform(sequence(1, size(ts) - ${n - 1}), i -> array_join(slice(ts, i, $n), ' '))"))
           .as("shs"))
 
+  /** Cross-document repeated substrings (the ExactSubstr pass of Lee
+    * et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", word-n-gram form): per doc, how many of its distinct
+    * word n-grams also occur in ANOTHER document — high shared
+    * fractions expose boilerplate and near-copies whose repeated spans
+    * a trained model would memorize. Grams are md5-hashed at the
+    * executor (engine-portable digest), so the shuffle carries
+    * 32-char digests, never text; the df join keys on the digest the
+    * gram counts were just partitioned by — exchange reuse, and the
+    * within-doc distinct means a doc's own repetitions never inflate
+    * its cross-doc score. */
+  def crossDocSubstrings(docs: DataFrame, n: Int = 8): DataFrame = {
+    val ws = docs.withColumn("w", split(col("text"), " "))
+      .where(size(col("w")) >= n)
+    val mk = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    val grams = ws.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), i -> md5(concat_ws(' ', $mk)))")).as("h"))
+      .distinct()
+    val df = grams.groupBy("h").agg(count(lit(1)).as("_df"))
+    grams.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_grams"), 4).as("shared_frac"))
+  }
+
   /** Exact n-gram Jaccard pairs via the inverted-index join: explode
     * shingles, equi-join on the shingle (docs sharing none never meet),
     * count shared distinct shingles, compute |A∩B| / |A∪B|. */

@@ -64,6 +64,36 @@ object DataPrep {
     df.where(hash < rate * lit(4294967296L))
   }
 
+  /** Domain-mixture resampling (the Pile/Dolma-style source weighting):
+    * given target shares in integer percent, find the largest total the
+    * corpus can serve at those shares (capped by its scarcest source:
+    * T = min_s ⌊n_s·100/w_s⌋), then keep each source's share by the
+    * same engine-portable Knuth-hash threshold [[sampleStratified]]
+    * uses — but with the per-source thresholds DERIVED from the data
+    * (one tiny count aggregate, broadcast back), not hand-fed rates.
+    * Sources without a weight are dropped (share 0 of the mixture).
+    * All threshold arithmetic is integer-exact; valid while every
+    * source holds < 2³¹ rows (the k·2³² product's overflow bound) —
+    * past that, pre-scale with a stratified pass. */
+  def sampleMixture(docs: DataFrame, keyCol: String, sourceCol: String,
+                    weightsPct: Map[String, Int]): DataFrame = {
+    require(weightsPct.nonEmpty && weightsPct.values.forall(_ > 0) &&
+      weightsPct.values.sum == 100,
+      s"mixture weights must be positive percents summing to 100: $weightsPct")
+    val wCol = weightsPct.foldLeft(lit(0L)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, lit(w.toLong)).otherwise(acc) }
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("_ns"))
+      .withColumn("_w", wCol)
+    val feasible = counts.where(col("_w") > 0)
+      .agg(min(expr("(_ns * 100) div _w")).as("_T"))
+    val thr = counts.crossJoin(broadcast(feasible))
+      .select(col(sourceCol),
+        expr("(((_w * _T) div 100) * 4294967296) div _ns").as("_thr"))
+    val hash = pmod(pmod(col(keyCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    docs.join(broadcast(thr), Seq(sourceCol)).where(hash < col("_thr")).drop("_thr")
+  }
+
   /** Context-window sequence packing ("concat-and-chunk"): documents
     * are concatenated in doc_id order and cut every `ctxTokens`
     * tokens; each document reports the sequence its first token lands

@@ -164,6 +164,17 @@ object PipelineQueries {
           Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // ExactSubstr cross-doc repeated spans: distinct word-8-grams
+    // md5-digested, df computed on the digest, per-doc shared fraction
+    "dedup_substring" -> ((s, d) =>
+      Dedup.crossDocSubstrings(docs(s, d)).orderBy("doc_id")),
+    // domain-mixture resampling: target shares in percent, thresholds
+    // derived from per-source counts (integer-exact), Knuth-hash pick
+    "sample_mixture" -> ((s, d) =>
+      DataPrep.sampleMixture(docs(s, d), "doc_id", "source",
+          Map("src0" -> 40, "src1" -> 30, "src2" -> 20, "src3" -> 10))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")),
     // concat-and-chunk context packing, windows partitioned per
     // 100-doc bucket (no global running sum)
     "pack_sequences" -> ((s, d) =>
@@ -198,6 +209,12 @@ object PipelineQueries {
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy("doc_id")),
     "text_tokens" -> ((s, d) => TextOps.tokens(docs(s, d)).orderBy("doc_id")),
+    // Gopher-style word-n-gram repetition gate: fraction of repeated
+    // 2-grams, top-2-gram share, 3-gram repeats; pass under thresholds
+    "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d)).orderBy("doc_id")),
+    // CCNet-style LM filter with the corpus unigram model: integer
+    // micro-log contributions -> exact long sums, no float-order risk
+    "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")),
     // PII scrub over a corpus seeded with synthetic emails/phones
     // (every 3rd doc) — counts + redacted-text fingerprint per doc
     "text_pii_scrub" -> ((s, d) => {
@@ -414,6 +431,31 @@ object PipelineQueries {
         |      (CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.25
         |                 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+    "dedup_substring" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT DISTINCT doc_id, h FROM (
+        |        SELECT doc_id, unnest(list_transform(range(1, len(ws) - 6),
+        |          i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
+        |                   ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]))) AS h
+        |        FROM w)),
+        |df AS (SELECT h, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+        |         AS shared_frac
+        |FROM g JOIN df USING (h) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "sample_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('src0', 40), ('src1', 30), ('src2', 20), ('src3', 10))
+        |      t(source, w)),
+        |tt AS (SELECT min((ns * 100) // w) AS t FROM c JOIN w USING (source)),
+        |thr AS (SELECT source, ((((w * t) // 100)) * 4294967296) // ns AS thr
+        |        FROM c JOIN w USING (source), tt)
+        |SELECT d.doc_id, d.source, d.lang, d.n_chars
+        |FROM documents d JOIN thr USING (source)
+        |WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 < thr
+        |ORDER BY d.doc_id""".stripMargin,
     "pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id // 100 AS bucket,
@@ -491,6 +533,36 @@ object PipelineQueries {
          |       round(punct_ratio, 4) AS punct_ratio,
          |       round(least(n_tokens / 100.0, 1.0) * (n_distinct * 1.0 / n_tokens), 4) AS quality
          |FROM st JOIN pd ON st.doc_id = pd.doc_id ORDER BY st.doc_id""".stripMargin),
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+        |                i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
+        |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
+        |s2 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n2, count(*) AS d2, max(cnt) AS m2
+        |       FROM c2 GROUP BY 1),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM w),
+        |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
+        |s3 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n3, count(*) AS d3
+        |       FROM c3 GROUP BY 1)
+        |SELECT doc_id, n2 AS n_2grams,
+        |       round(1 - d2 / CAST(n2 AS DOUBLE), 4) AS dup_2gram_frac,
+        |       round(m2 / CAST(n2 AS DOUBLE), 4) AS top_2gram_frac,
+        |       round(1 - d3 / CAST(n3 AS DOUBLE), 4) AS dup_3gram_frac,
+        |       (round(m2 / CAST(n2 AS DOUBLE), 4) <= 0.05
+        |        AND round(1 - d2 / CAST(n2 AS DOUBLE), 4) <= 0.05) AS rep_pass
+        |FROM s2 JOIN s3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+        |vm AS (SELECT tok, CAST(floor(log10(cnt) * 1000000) AS BIGINT) AS mlog FROM v),
+        |n AS (SELECT count(*) AS nn FROM tok),
+        |s AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(mlog) AS BIGINT) AS sum_mlog
+        |      FROM tok JOIN vm USING (tok) GROUP BY 1)
+        |SELECT doc_id, n_tokens, sum_mlog,
+        |       round(sum_mlog / 1000000.0 / n_tokens - log10(nn), 4) AS avg_log10p
+        |FROM s, n ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS ws_tokens,

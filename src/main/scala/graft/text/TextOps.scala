@@ -88,6 +88,62 @@ object TextOps {
       .withColumn("had_pii", col("n_emails") + col("n_phones") > 0)
   }
 
+  /** Repetition quality gate (the Gopher repetition rules — Rae et al.
+    * 2021 §A1.1 — word-n-gram form): per doc, the fraction of 2-grams
+    * that are repeats (1 − distinct/total), the share of the single
+    * most frequent 2-gram, and the 3-gram repeat fraction; a doc
+    * passes when its 2-gram stats sit under the thresholds. Two
+    * hash-shuffle levels — (doc, gram) partial counts then per-doc
+    * stats — both map-side combinable, so the gram text never leaves
+    * its executor un-aggregated. Pass/fail compares ROUNDED fractions
+    * so Spark and the SQL oracle agree at the threshold boundary. */
+  def repetition(docs: DataFrame, topFracMax: Double = 0.05,
+                 dupFracMax: Double = 0.05): DataFrame = {
+    val ws = docs
+      .withColumn("w", split(col("text"), " "))
+      .where(size(col("w")) >= 3)
+    def gramStats(n: Int, pre: String): DataFrame = {
+      val mk = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+      ws.select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $mk))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as(s"${pre}_n"), count(lit(1)).as(s"${pre}_d"),
+          max("cnt").as(s"${pre}_m"))
+    }
+    gramStats(2, "g2").join(gramStats(3, "g3"), "doc_id")
+      .select(col("doc_id"), col("g2_n").as("n_2grams"),
+        round(lit(1) - col("g2_d").cast("double") / col("g2_n"), 4).as("dup_2gram_frac"),
+        round(col("g2_m").cast("double") / col("g2_n"), 4).as("top_2gram_frac"),
+        round(lit(1) - col("g3_d").cast("double") / col("g3_n"), 4).as("dup_3gram_frac"))
+      .withColumn("rep_pass",
+        col("top_2gram_frac") <= topFracMax && col("dup_2gram_frac") <= dupFracMax)
+  }
+
+  /** Corpus-LM quality proxy (the CCNet pipeline's LM-perplexity
+    * filter, Wenzek et al. 2019, with the corpus's own unigram model
+    * standing in for the external LM): per doc, the mean log10
+    * probability of its tokens under corpus unigram frequencies.
+    * Per-token contributions are pre-floored to integer micro-logs on
+    * the VOCABULARY table (Zipf: tiny next to the corpus, broadcast;
+    * the non-broadcast fallback shuffles on `tok`, the same key the
+    * vocab count already partitioned by) so the per-doc sum is exact
+    * long arithmetic — immune to float summation order, which a
+    * distributed avg(log) is not. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(col("tok"), floor(log10(col("cnt")) * 1e6).cast("bigint").as("mlog"))
+    val total = toks.agg(count(lit(1)).as("_N"))
+    toks.join(broadcast(vocab), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("mlog").as("sum_mlog"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_mlog"),
+        round(col("sum_mlog") / 1e6 / col("n_tokens") - log10(col("_N")), 4)
+          .as("avg_log10p"))
+  }
+
   /** Rabin–Karp-style rolling fingerprint: left fold of
     * h = (h * 31 + ascii(c)) mod 1e9+7 over the characters — a
     * sequential mod-fold both Spark (`aggregate`) and DuckDB

@@ -446,4 +446,64 @@ class PipelineSpec extends SparkSpec {
     val none = DataPrep.sampleStratified(docs, "doc_id", "lang", Map("xx" -> 1.0))
     assert(none.count() == 0)
   }
+
+  test("repetition: a self-repeating doc fails the gate, a diverse one passes") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      // all-distinct bigrams and enough of them that the top share
+      // (1/24) clears the 5% gate short docs trip on
+      (2L, ('a' to 'y').map(_.toString).mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetition(d)
+      .select("doc_id", "rep_pass").as[(Long, Boolean)].collect().toMap
+    assert(r == Map(1L -> false, 2L -> true), s"got $r")
+  }
+
+  test("unigramLogProb: rare-token docs score below common-token docs") {
+    import spark.implicits._
+    // 'a' appears 8x in the corpus, 'z' once: doc of a's must out-score
+    // the doc holding the singleton.
+    val d = Seq(
+      (1L, "a a a a"), (2L, "a a a z"), (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val r = TextOps.unigramLogProb(d)
+      .select("doc_id", "avg_log10p").as[(Long, Double)].collect().toMap
+    assert(r(1L) > r(2L) && r(2L) > r(3L) || r(1L) > r(3L), s"got $r")
+    // exact check: doc 1 = log10(8/12) (micro-floored)
+    assert(math.abs(r(1L) - math.log10(8.0 / 12.0)) < 1e-3, s"doc1 ${r(1L)}")
+  }
+
+  test("crossDocSubstrings: copied spans shared, unique docs score zero") {
+    import spark.implicits._
+    val span = "one two three four five six seven eight"
+    val d = Seq(
+      (1L, s"$span alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$span iota kappa lambda mu nu xi omicron pi"),
+      (3L, "completely different words that never repeat anywhere else at all")
+    ).toDF("doc_id", "text")
+    val r = Dedup.crossDocSubstrings(d)
+      .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+    // docs 1 and 2 share exactly the one copied 8-gram; doc 3 none
+    assert(r(1L) == 1 && r(2L) == 1 && r(3L) == 0, s"got $r")
+  }
+
+  test("sampleMixture: realized shares track targets, unlisted sources drop") {
+    import graft.pipeline.DataPrep
+    import spark.implicits._
+    val weights = Map("src0" -> 40, "src1" -> 30, "src2" -> 20, "src3" -> 10)
+    val got = DataPrep.sampleMixture(docs, "doc_id", "source", weights)
+    val bySrc = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc.keySet.subsetOf(weights.keySet), s"unlisted sources leaked: $bySrc")
+    val total = bySrc.values.sum.toDouble
+    for ((s, w) <- weights) {
+      val share = bySrc.getOrElse(s, 0L) / total
+      assert(math.abs(share - w / 100.0) < 0.15,
+        s"$s share $share vs target ${w / 100.0} ($bySrc)")
+    }
+    // deterministic across invocations
+    assert(got.exceptAll(DataPrep.sampleMixture(docs, "doc_id", "source", weights))
+      .count() == 0)
+  }
 }
