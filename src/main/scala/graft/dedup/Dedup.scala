@@ -218,7 +218,7 @@ object Dedup {
     * SimHash (which carries the signature through the struct) — two
     * hand-synced copies of `slice(ds, k + 2, …)` is exactly the drift
     * this file's filter predicates were deduplicated to avoid. */
-  private def pairExpansion(emit: String): String =
+  private[graft] def pairExpansion(emit: String): String =
     s"""flatten(transform(ds, (x, k) ->
        |  transform(slice(ds, k + 2, size(ds) - k - 1),
        |            $emit)))""".stripMargin

@@ -164,6 +164,20 @@ object PipelineQueries {
           Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // SRP (random-hyperplane) LSH near-dup arm over a corpus seeded
+    // with deterministic jittered copies (cos ≈ 0.9999 vs their
+    // original; the natural pair max is ~0.51, so threshold 0.9
+    // isolates the planted pairs): band-bucket candidates, hamming
+    // pre-filter, exact-cosine verify — the shuffle carries 64-bit
+    // signatures, never embeddings
+    "dedup_embedding_srp" -> ((s, d) => {
+      val base = emb(s, d).select("vec_id", "embedding")
+      val planted = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, j) -> " +
+            "CAST(x * 1.01D + 0.001D * pmod(vec_id + j, 7) AS FLOAT))").as("embedding"))
+      Ann.srpDupPairs(base.unionByName(planted), 0.9).orderBy("i", "j")
+    }),
     // ExactSubstr cross-doc repeated spans: distinct word-8-grams
     // md5-digested, df computed on the digest, per-doc shared fraction
     "dedup_substring" -> ((s, d) =>
@@ -431,6 +445,26 @@ object PipelineQueries {
         |      (CASE lang WHEN 'en' THEN 0.9 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.25
         |                 WHEN 'es' THEN 0.25 WHEN 'zh' THEN 0.1 ELSE 0.0 END) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+    // DuckDB's lambda index is 1-based where Spark's is 0-based, hence
+    // (vec_id + j - 1); recall of the banding at cos 0.9999 is
+    // effectively exact (miss probability ~(1-0.986^8)^8 ≈ 2e-8 per
+    // pair, deterministic given the fixed hyperplanes), so the exact
+    // all-pairs oracle is the contract, not an approximation
+    "dedup_embedding_srp" ->
+      """WITH pl AS (SELECT vec_id + 1000000 AS vec_id,
+        |              list_transform(embedding, (x, j) ->
+        |                CAST(CAST(x AS DOUBLE) * 1.01 + 0.001 * ((vec_id + j - 1) % 7) AS FLOAT))
+        |                AS embedding
+        |            FROM embeddings WHERE vec_id % 10 = 0),
+        |u AS (SELECT vec_id, embedding FROM embeddings UNION ALL SELECT * FROM pl),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))) AS n
+        |      FROM u),
+        |p AS (SELECT a.vec_id AS i, b.vec_id AS j,
+        |             round(list_dot_product(a.v, b.v) / (a.n * b.n), 4) AS cos
+        |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT i, j, cos FROM p WHERE cos >= 0.9 ORDER BY i, j""".stripMargin,
     "dedup_substring" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |           WHERE len(string_split(text, ' ')) >= 8),

@@ -137,6 +137,53 @@ object Ann {
       .select(col("q_id").as("vec_id"), col("nn_id"),
         col("score").as("cos"), (col("score") >= threshold).as("is_dup"))
 
+  /** Embedding near-dup via SRP (random-hyperplane) LSH — the third
+    * candidate-generation arm next to the full report and the IVF cell
+    * join: 64-bit [[SrpSig64]] signatures, split into `bands` band
+    * keys; vectors sharing a band bucket become candidates (postings-
+    * list emission off ONE groupBy shuffle, the [[graft.dedup.Dedup]]
+    * pattern — no self-join), pre-filtered by signature hamming
+    * distance, then verified with the EXACT cosine so every reported
+    * pair is true. P[bit differs] = θ/π makes the clean-band
+    * probability (1−θ/π)^(64/bands) per band: 8-bit bands catch
+    * near-identical vectors (cos ≳ 0.99) with ~100% recall; for a
+    * larger corpus widen to 16-bit bands (fewer, cleaner buckets) and
+    * accept recall only at higher similarity — same dial as SimHash's
+    * band width. The shuffle carries (vec_id, sig) pairs, never
+    * embeddings; embeddings join back for the verify on the candidate
+    * set only. */
+  def srpDupPairs(vectors: DataFrame, threshold: Double = 0.9,
+                  bands: Int = 8, maxHamming: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    val width = 64 / bands
+    val sigs = vectors.select(col("vec_id").as("doc_id"),
+      ColumnBridge.column(SrpSig64(ColumnBridge.expression(col("embedding")))).as("sig"))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"q -> pmod(shiftright(sig, q*$width), ${1L << width}))")))
+      .toDF("doc_id", "sig", "band", "key")
+    val cand = banded.groupBy("band", "key")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(expr(graft.dedup.Dedup.pairExpansion(
+        """y -> struct(x.doc_id AS i, y.doc_id AS j,
+          |            bit_count(x.sig ^ y.sig) AS hamming)""".stripMargin))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+    val e = vectors.select(col("vec_id"), col("embedding"),
+      norm("embedding").as("_n"))
+    cand
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("ei"),
+        col("_n").as("ni")), "i")
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("ej"),
+        col("_n").as("nj")), "j")
+      .withColumn("cos", round(dot(col("ei"), col("ej")) / (col("ni") * col("nj")), 4))
+      .where(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
+  }
+
   /** Embedding near-dup: every vector's exact nearest neighbor with a
     * duplicate flag at `threshold` cosine. Brute-force is the baseline
     * (full oracle); [[nearestNeighborReportIvf]] is the scale path for

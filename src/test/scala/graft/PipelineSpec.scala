@@ -447,6 +447,27 @@ class PipelineSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("srpDupPairs finds every planted near-identical pair, exact-cosine verified") {
+    import spark.implicits._
+    val base = emb.select("vec_id", "embedding")
+    val planted = base.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          "CAST(x * 1.01D + 0.001D * pmod(vec_id + j, 7) AS FLOAT))").as("embedding"))
+    val nPlanted = planted.count()
+    val got = Ann.srpDupPairs(base.unionByName(planted), 0.9)
+      .as[(Long, Long, Double)].collect()
+    // every reported pair is a planted (orig, copy) pair at cos ≥ 0.9...
+    assert(got.forall { case (i, j, c) => j - i == 1000000L && c >= 0.9 },
+      s"non-planted pair reported: ${got.mkString(",")}")
+    // ...and none is missed
+    assert(got.length == nPlanted, s"${got.length} of $nPlanted planted pairs found")
+    // candidate generation is bucket-join shaped
+    val plan = physicalPlan(Ann.srpDupPairs(base, 0.9))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"all-pairs shape:\n$plan")
+  }
+
   test("repetition: a self-repeating doc fails the gate, a diverse one passes") {
     import spark.implicits._
     val d = Seq(
