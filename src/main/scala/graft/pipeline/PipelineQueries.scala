@@ -164,6 +164,12 @@ object PipelineQueries {
           Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1))
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // topic clustering for dataset mixing: deterministic-seed Lloyd
+    // k-means, one shuffle per round, assignment a pure projection
+    // over the broadcast centroid row. rows-only (float-mean
+    // centroids, the IVF reason); determinism/objective/plan spec'd
+    "cluster_kmeans" -> ((s, d) =>
+      Ann.kmeans(emb(s, d), k = 10, iters = 3).orderBy("vec_id")),
     // SRP (random-hyperplane) LSH near-dup arm over a corpus seeded
     // with deterministic jittered copies (cos ≈ 0.9999 vs their
     // original; the natural pair max is ~0.51, so threshold 0.9

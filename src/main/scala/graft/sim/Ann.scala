@@ -80,39 +80,49 @@ object Ann {
     * the corpus nCells-fold twice; at 100 TB that shuffle, not the
     * scoring, is the cost. The only shuffles left in the whole plan are
     * the cell equi-join and the bounded-state top-k. */
-  def ivf(vectors: DataFrame, queries: DataFrame, k: Int,
-          nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    // centroids: elementwise mean per cell — (cell, pos) partial avgs;
-    // norms precomputed once, then the whole table collapses to a
-    // single broadcast row holding the (cell, c_emb, c_norm) array
-    val cent = vectors
-      .select((col("vec_id") % nCells).cast("int").as("cell"),
-        posexplode(col("embedding")))
+  /** Elementwise-mean centroids (cell, c_emb, c_norm) of explicitly
+    * cell-tagged vectors — (cell, pos) partial avgs, norms precomputed
+    * once. Shared by the IVF coarse quantizer and the k-means rounds. */
+  private[sim] def cellMeans(tagged: DataFrame): DataFrame =
+    tagged
+      .select(col("cell"), posexplode(col("embedding")))
       .groupBy("cell", "pos").agg(avg(col("col")).as("v"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
       .select(col("cell"), expr("transform(pv, x -> x.v)").as("c_emb"))
       .withColumn("c_norm", sqrt(dot(col("c_emb"), col("c_emb"))))
-    val centArr = broadcast(
+
+  /** The whole centroid table collapsed to a single broadcast row
+    * holding the (cell, c_emb, c_norm) array. */
+  private[sim] def centroidArray(cent: DataFrame): DataFrame =
+    broadcast(
       cent.agg(sort_array(collect_list(struct(col("cell"), col("c_emb"), col("c_norm"))))
         .as("cents")))
-    // per-row (cos, -cell) score structs against every centroid: struct
-    // order makes max = best score with smallest-cell tiebreak — the
-    // same total order the window form used
-    def withCellScores(df: DataFrame): DataFrame =
-      df.withColumn("_n", sqrt(dot(col("embedding"), col("embedding"))))
-        .crossJoin(centArr)
-        .withColumn("_cs", transform(col("cents"), c =>
-          struct(
-            (dot(col("embedding"), c.getField("c_emb")) /
-              (col("_n") * c.getField("c_norm"))).as("s"),
-            (-c.getField("cell")).cast("long").as("negc"))))
-    val assigned = withCellScores(vectors.select(col("vec_id"), col("embedding")))
+
+  /** Per-row (cos, -cell) score structs against every centroid: struct
+    * order makes max = best score with smallest-cell tiebreak — a PURE
+    * PROJECTION over the broadcast centroid row, zero shuffle. */
+  private[sim] def withCellScores(df: DataFrame, centArr: DataFrame): DataFrame =
+    df.withColumn("_n", sqrt(dot(col("embedding"), col("embedding"))))
+      .crossJoin(centArr)
+      .withColumn("_cs", transform(col("cents"), c =>
+        struct(
+          (dot(col("embedding"), c.getField("c_emb")) /
+            (col("_n") * c.getField("c_norm"))).as("s"),
+          (-c.getField("cell")).cast("long").as("negc"))))
+
+  def ivf(vectors: DataFrame, queries: DataFrame, k: Int,
+          nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cent = cellMeans(vectors
+      .select((col("vec_id") % nCells).cast("int").as("cell"), col("embedding")))
+    val centArr = centroidArray(cent)
+    def withScores(df: DataFrame): DataFrame = withCellScores(df, centArr)
+    val assigned = withScores(vectors.select(col("vec_id"), col("embedding")))
       .select(col("vec_id").as("nn_id"), col("embedding"), col("_n").as("_vn"),
         (-array_max(col("_cs")).getField("negc")).cast("int").as("cell"))
     // probes scored from the query vectors themselves, so queries need
     // not exist in the corpus (external query sets work like bruteForce)
-    val probes = withCellScores(queries.select(col("vec_id"), col("embedding")))
+    val probes = withScores(queries.select(col("vec_id"), col("embedding")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("_n").as("_qn"),
         explode(expr(
           s"transform(slice(reverse(array_sort(_cs)), 1, $nprobe), x -> CAST(-x.negc AS INT))"))
@@ -122,6 +132,39 @@ object Ann {
       .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
     topK(scored, "q_id", k)
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
+  }
+
+  /** Topic clustering for dataset mixing — k-means (Lloyd) with the
+    * same deterministic seeding as the IVF coarse quantizer (centroid
+    * c₀ = mean of vec_id ≡ c mod k: no RNG, identical on any cluster),
+    * cosine assignment. Each round is ONE shuffle (the (cell, pos)
+    * partial-avg aggregate); assignment itself is a pure projection
+    * over the broadcast centroid row. Per-round centroid tables (k
+    * rows) are localCheckpoint-pinned so iteration N+1 doesn't replay
+    * rounds 1..N, superseded pins freed immediately; the FINAL k-row
+    * pin backs the returned plan and stays — the k-row-scale leak the
+    * memoized-table pattern already accepts.
+    *
+    * Rows-only contract ([[ivf]]'s float-mean reason); the spec
+    * asserts determinism, a non-decreasing objective across rounds and
+    * the no-cartesian plan shape. */
+  def kmeans(vectors: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    val base = vectors.select(col("vec_id"), col("embedding"))
+    var cent = cellMeans(base
+      .withColumn("cell", (col("vec_id") % k).cast("int"))).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = withCellScores(base, centroidArray(cent))
+        .select(col("vec_id"), col("embedding"),
+          (-array_max(col("_cs")).getField("negc")).cast("int").as("cell"))
+      val next = cellMeans(assigned).localCheckpoint(true)
+      CheckpointBridge.free(cent)
+      cent = next
+    }
+    withCellScores(base, centroidArray(cent))
+      .select(col("vec_id"),
+        (-array_max(col("_cs")).getField("negc")).cast("int").as("cluster"),
+        round(array_max(col("_cs")).getField("s"), 4).as("cos_to_centroid"))
   }
 
   /** Embedding near-dup at scale: the same per-vector nearest-neighbor

@@ -447,6 +447,28 @@ class PipelineSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("kmeans: deterministic, objective non-decreasing over rounds, no cartesian") {
+    import spark.implicits._
+    def objective(iters: Int): Double =
+      Ann.kmeans(emb, k = 10, iters = iters)
+        .agg(sum("cos_to_centroid")).as[Double].head()
+    // Lloyd monotonicity: more rounds never lower total assignment cosine
+    // (tolerance for the 4dp rounding of the per-row scores)
+    val o0 = objective(0); val o3 = objective(3)
+    assert(o3 >= o0 - 1e-2, s"objective fell: $o0 -> $o3")
+    // two runs produce identical assignments
+    val a = Ann.kmeans(emb, k = 10, iters = 2)
+    val b = Ann.kmeans(emb, k = 10, iters = 2)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // every vector assigned to exactly one of k clusters
+    val cl = a.groupBy("cluster").count()
+    assert(cl.count() <= 10 && a.count() == emb.count())
+    // the only join is the single-row broadcast centroid attach (the
+    // scalar-attach BNLJ every centroid consumer uses) — no cartesian
+    val plan = physicalPlan(a)
+    assert(!plan.contains("CartesianProduct"), s"all-pairs shape:\n$plan")
+  }
+
   test("srpDupPairs finds every planted near-identical pair, exact-cosine verified") {
     import spark.implicits._
     val base = emb.select("vec_id", "embedding")
