@@ -66,6 +66,29 @@ object AnalyticsQueries {
     "bulk_load_partitioner" -> ((s, d) =>
       Tools.totalOrderBuckets(Tables.load(s, d, "orders"), "o_orderkey", 8)
         .orderBy("bucket")),
+    // hbase:quota / RpcThrottle analogue (hbase-server/.../quotas/
+    // QuotaTableUtil, ThrottleType.REQUEST_NUMBER): per-user request
+    // quotas by tier over daily windows; the tier->limit table is the
+    // hbase:quota system table, a broadcast next to the request log.
+    // Over-quota windows report how many requests the throttle would
+    // have rejected (n - limit), the RpcThrottlingException count.
+    "quota_throttle" -> ((s, d) => {
+      import s.implicits._
+      val limits = Seq(("free", 3L), ("pro", 6L), ("ent", 1000000L))
+        .toDF("tier", "max_reqs")
+      val log = Tables.load(s, d, "events")
+        .withColumn("tier",
+          when(col("user_id") % 3 === 0, "free")
+            .when(col("user_id") % 3 === 1, "pro").otherwise("ent"))
+      log.groupBy(col("user_id"), col("tier"),
+          date_trunc("DAY", col("ts")).as("window"))
+        .agg(count(lit(1)).as("n_reqs"))
+        .join(broadcast(limits), "tier")
+        .select(col("user_id"), col("tier"), col("window"), col("n_reqs"),
+          (col("n_reqs") > col("max_reqs")).as("over_quota"),
+          greatest(lit(0L), col("n_reqs") - col("max_reqs")).as("n_throttled"))
+        .orderBy("user_id", "window")
+    }),
     // SimpleRegionNormalizer: regions grown unevenly (squared key ->
     // dense low range, sparse tail) get split/merge plans from ONE
     // stats aggregate; the rank window runs over 16 bucket rows
@@ -161,6 +184,21 @@ object AnalyticsQueries {
         |SELECT CAST(floor((o_orderkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS bucket,
         |       count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "quota_throttle" ->
+      """WITH lim AS (SELECT * FROM (VALUES ('free', 3), ('pro', 6), ('ent', 1000000))
+        |             t(tier, max_reqs)),
+        |log AS (SELECT user_id,
+        |               CASE WHEN user_id % 3 = 0 THEN 'free'
+        |                    WHEN user_id % 3 = 1 THEN 'pro' ELSE 'ent' END AS tier,
+        |               date_trunc('day', ts) AS "window"
+        |        FROM events),
+        |c AS (SELECT user_id, tier, "window", count(*) AS n_reqs
+        |      FROM log GROUP BY 1, 2, 3)
+        |SELECT user_id, tier, "window", n_reqs,
+        |       n_reqs > max_reqs AS over_quota,
+        |       greatest(0, n_reqs - max_reqs) AS n_throttled
+        |FROM c JOIN lim USING (tier)
+        |ORDER BY user_id, "window"""".stripMargin,
     "region_normalizer" ->
       """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
         |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
