@@ -117,6 +117,14 @@ object FilterQueries {
         Comparators.regex("^1.*9$")(col("rowkey"), EQUAL) ||
         Comparators.binaryPrefix("BU")(col("value"), EQUAL) ||
         Comparators.substr("mach")(col("value"), EQUAL)))),
+    // BulkDeleteEndpoint ROW type driven by a DSL filter string:
+    // delete every row any of whose cells matches, return the
+    // post-delete snapshot — "delete by query" without shipping
+    // matched rows to a client
+    "bulk_delete_filtered" -> ((s, d) =>
+      cellsOut(graft.kv.Mutations.bulkDeleteRows(cc(s, d),
+        ParseFilter.parse(
+          "ValueFilter(=, 'substring:build') OR PrefixFilter('19')")))),
     // the round-5 registry tail composed through one DSL string: row
     // ranges → SCVF-exclude row gate → per-row cell cap → key-only
     // value blanking; window predicates evaluate over the full cell
@@ -230,6 +238,12 @@ object FilterQueries {
               |topkeys AS (SELECT DISTINCT rowkey FROM pass ORDER BY rowkey LIMIT 100)
               |SELECT rowkey, family, qualifier, value FROM pass
               |WHERE rowkey IN (SELECT rowkey FROM topkeys) $cellsOrder""".stripMargin),
+    "bulk_delete_filtered" ->
+      (C + s"""SELECT rowkey, family, qualifier, value FROM cells
+              |WHERE rowkey NOT IN (
+              |  SELECT rowkey FROM cells
+              |  WHERE lower(value) LIKE '%build%' OR rowkey LIKE '19%')
+              |$cellsOrder""".stripMargin),
     "filter_comparators" ->
       (C + s"""SELECT rowkey, family, qualifier, value FROM cells
               |WHERE regexp_matches(rowkey, '^1.*9$$')

@@ -47,6 +47,22 @@ object Mutations {
   def deleteRows(base: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
     base.join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
 
+  /** BulkDeleteEndpoint, ROW type (hbase-examples/.../coprocessor/
+    * example/BulkDeleteEndpoint.java): delete every row with ANY cell
+    * matching the scan filter — the "delete by query" coprocessor that
+    * saves shipping matched rows back to a client just to send
+    * Deletes. Matched rowkeys anti-join the cell view; with both sides
+    * the same relation, Catalyst plans one scan + a semi-structured
+    * shuffle on rowkey, no client round-trip to scale past. */
+  def bulkDeleteRows(cells: DataFrame, pred: Column): DataFrame =
+    cells.join(cells.where(pred).select("rowkey").distinct(),
+      Seq("rowkey"), "left_anti")
+
+  /** BulkDeleteEndpoint, COLUMN/VERSION type: drop exactly the
+    * matching cells, keep their rows. */
+  def bulkDeleteCells(cells: DataFrame, pred: Column): DataFrame =
+    cells.where(!pred)
+
   /** Delete (qualifier-level): null out a column for matching rows —
     * HBase's "delete one cell, keep the row". */
   def deleteQualifier(base: DataFrame, keyPred: Column, qualifier: String): DataFrame =

@@ -109,6 +109,20 @@ class MutationsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 5L, 9L), s"kept $kept")
   }
 
+  test("bulkDeleteRows drops whole rows on any matching cell; bulkDeleteCells keeps rows") {
+    import spark.implicits._
+    val cells = Seq(
+      ("1", "f", "a", "hit"), ("1", "f", "b", "x"),
+      ("2", "f", "a", "y"), ("2", "f", "b", "z")
+    ).toDF("rowkey", "family", "qualifier", "value")
+    val rowDel = Mutations.bulkDeleteRows(cells, col("value") === "hit")
+      .select("rowkey").as[String].collect().toSet
+    assert(rowDel == Set("2"), s"rows left $rowDel")
+    val cellDel = Mutations.bulkDeleteCells(cells, col("value") === "hit")
+    assert(cellDel.count() == 3 &&
+      cellDel.where(col("rowkey") === "1").count() == 1)
+  }
+
   test("normalizerPlan: oversized buckets split, adjacent small pairs merge, odd leftover skipped") {
     import spark.implicits._
     // avg = 185/5 = 37: bucket 0 (100 > 74) splits; rank pairs (0,1) too
