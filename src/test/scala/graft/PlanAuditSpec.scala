@@ -429,4 +429,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(run("FuzzyRowFilter('1?3')") == Set("1x3"))
     assert(run("ValueFilter(>=, 'long:7')") == Set("202", "1x3"))
   }
+
+  test("scan_raw and cell_visibility: pure scan-side predicates — no shuffle, no join") {
+    val raw = graft.kv.Scans.raw(
+      Tables.eventCells(spark, sfDir).withColumn("op", lit("put")),
+      "2024-01-05 00:00:00", "2024-01-25 00:00:00")
+    val vis = graft.kv.Visibility.applyAuths(
+      Tables.eventCells(spark, sfDir).withColumn("vis", lit("a&b|c")),
+      "vis", Seq("a", "b"))
+    for (df <- Seq(raw, vis)) {
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+        s"must ride the scan:\n$p")
+    }
+  }
+
+  test("sample_mixture: thresholds broadcast back, corpus side never shuffles") {
+    val df = graft.pipeline.DataPrep.sampleMixture(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "source",
+      Map("src0" -> 50, "src1" -> 50))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), s"threshold join not broadcast:\n$p")
+    // only shuffles allowed: the tiny per-source count aggregate (and
+    // its feasible-total reduction) under the broadcast subtree
+    val streamedSide = p.split("BroadcastExchange", 2)(0)
+    assert(!streamedSide.contains("Exchange"), s"corpus side shuffled:\n$p")
+  }
+
+  test("dedup_substring: digest-keyed joins only, no cartesian, no text shuffle") {
+    val df = graft.dedup.Dedup.crossDocSubstrings(
+      Tables.load(spark, sfDir, "documents"))
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // every exchange partitions on the md5 digest or doc_id — the raw
+    // text column never appears in a shuffle's output schema
+    assert(!"Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p).isDefined,
+      s"text in a shuffle key:\n$p")
+  }
+
+  test("quota_throttle: limits broadcast, one count aggregate with partials") {
+    val p = plan("quota_throttle")
+    assert(p.contains("BroadcastHashJoin"), s"quota table not broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"window counts not map-side partial:\n$p")
+  }
 }
