@@ -28,6 +28,19 @@ case class ReplicaUpdate(rowkey: Long, qualifier: String,
   * counter value, i.e. what a Get would return after the batch. */
 case class CounterUpdate(event_type: String, n: Long, sum: Double)
 
+/** Per-(user, day) request-quota state: requests seen so far in the
+  * window. The running count is all the throttle needs — rejected =
+  * max(0, n − limit) is derivable, so state stays one long per key. */
+case class QuotaState(n: Long)
+
+/** Quota decision emitted per touched (user, day) per micro-batch:
+  * the window's running request count and how many of them the
+  * throttle would have rejected — the live RpcThrottlingException
+  * count [[graft.analytics.AnalyticsQueries]]'s batch
+  * `quota_throttle` reports after the fact. */
+case class QuotaUpdate(user_id: Long, window: java.sql.Timestamp,
+                       n_reqs: Long, over_quota: Boolean, n_throttled: Long)
+
 /** Streaming counters — HBase `Increment` at pipeline scale, re-expressed
   * as Structured Streaming windowed aggregation.
   *
@@ -196,6 +209,35 @@ object StreamOps {
     * micro-batch, like the return of HTable.increment). State is one
     * small struct per key, partitioned by key — bounded and
     * shuffle-local at any stream length. */
+  /** Streaming quota enforcement — the RpcThrottle applied at ingest
+    * instead of audited after the fact: per (user, day-window) running
+    * request counts held in flatMapGroupsWithState, each micro-batch
+    * emitting the window's current count and the requests the throttle
+    * would have rejected. Tier limits arrive as a plain function (the
+    * broadcast hbase:quota row in the batch form); state is ONE long
+    * per live (user, window) key, partitioned by key — bounded by
+    * active users × retention regardless of request volume. Converges
+    * to the batch `quota_throttle` report (spec-asserted under
+    * multi-batch arrival). */
+  def streamingQuota(events: DataFrame,
+                     limitOf: Long => Long): Dataset[QuotaUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("window"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: (Long, java.sql.Timestamp),
+         rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[QuotaState]) =>
+          val n = state.getOption.getOrElse(QuotaState(0L)).n + rows.size
+          state.update(QuotaState(n))
+          val lim = limitOf(key._1)
+          Iterator(QuotaUpdate(key._1, key._2, n, n > lim, math.max(0L, n - lim)))
+      }
+  }
+
   def runningCounters(events: DataFrame): Dataset[CounterUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._

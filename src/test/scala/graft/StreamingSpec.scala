@@ -228,4 +228,36 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(gs - s) < 1e-6 * math.abs(s).max(1.0), s"$k sum $gs != $s")
     }
   }
+
+  test("streaming quota converges to the batch throttle report across micro-batches") {
+    val limit = 3L
+    val events = Tables.load(spark, sfDir, "events").select("user_id", "ts")
+    val dir = Files.createTempDirectory("graft_quota_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.streamingQuota(streamed, _ => limit)
+      .writeStream.format("memory").queryName("stream_quota")
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // LAST update per (user, window) = the batch per-window report
+    val got = spark.table("stream_quota")
+      .groupBy("user_id", "window")
+      .agg(max(col("n_reqs")).as("n_reqs"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    val want = events
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("window"))
+      .agg(count("*").as("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"running counts diverged: ${got.size} vs ${want.size} keys")
+    // the emitted throttle decision matches the count it rode with
+    val bad = spark.table("stream_quota")
+      .where(col("over_quota") =!= (col("n_reqs") > limit) ||
+        col("n_throttled") =!= greatest(lit(0L), col("n_reqs") - limit))
+      .count()
+    assert(bad == 0, s"$bad updates with inconsistent throttle fields")
+  }
 }
