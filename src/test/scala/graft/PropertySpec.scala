@@ -130,6 +130,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pointInTimeRead equals a sequential as-of oracle under keep/discard families") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val asOf = "2024-01-05 00:00:00"
+    val edit = for {
+      rk <- Gen.chooseNum(1L, 4L)
+      fam <- Gen.oneOf("keepf", "dropf")
+      tsDay <- Gen.chooseNum(1, 9)
+      v <- Gen.chooseNum(0.0, 100.0)
+      del <- Gen.prob(0.3)
+    } yield (rk, fam, tsDay, v, if (del) "delete" else "put")
+    val gen = Gen.chooseNum(1, 30).flatMap(Gen.listOfN(_, edit))
+    samples(gen, 20).foreach { raw =>
+      val edits = raw.zipWithIndex.map { case ((rk, fam, d, v, op), id) =>
+        (rk, fam, "q", f"2024-01-0$d 00:00:00", v, id.toLong, op)
+      }
+      val df = edits.toDF("rowkey", "family", "qualifier", "ts", "value", "event_id", "op")
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val got = graft.kv.Scans.pointInTimeRead(df, asOf, Set("keepf"))
+        .select("rowkey", "family", "value")
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2)).toMap
+      // oracle: puts at ts <= asOf; keep families honor deletes <= asOf,
+      // discard families honor ALL deletes; survivor = max (ts, id) put
+      // strictly newer than the effective delete
+      val want = edits.groupBy(e => (e._1, e._2)).flatMap { case (k, es) =>
+        val dels = es.filter(_._7 == "delete")
+          .filter(e => k._2 == "dropf" || e._4 <= asOf)
+        val delTs = dels.map(_._4).sorted.lastOption
+        val live = es.filter(e =>
+          e._7 == "put" && e._4 <= asOf && delTs.forall(e._4 > _))
+        live.sortBy(e => (e._4, e._6)).lastOption.map(e => k -> e._5)
+      }
+      assert(got == want, s"edits=$edits\ngot=$got\nwant=$want")
+    }
+  }
+
+  test("visibility evaluation equals the direct DNF oracle on random expressions") {
+    import spark.implicits._
+    val labels = Seq("a", "b", "c", "d")
+    val atom = for {
+      l <- Gen.oneOf(labels)
+      neg <- Gen.prob(0.3)
+    } yield (if (neg) "!" else "") + l
+    val exprGen = for {
+      terms <- Gen.chooseNum(1, 3)
+      e <- Gen.listOfN(terms,
+        Gen.chooseNum(1, 3).flatMap(Gen.listOfN(_, atom).map(_.mkString("&"))))
+    } yield e.mkString("|")
+    val gen = for {
+      auths <- Gen.someOf(labels)
+      exprs <- Gen.listOfN(25, exprGen)
+    } yield (auths.toSet, exprs)
+    samples(gen, 10).foreach { case (auths, exprs) =>
+      val rows = exprs.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+      val got = graft.kv.Visibility
+        .applyAuths(rows.toDF("k", "vis"), "vis", auths.toSeq)
+        .select("k").as[Long].collect().toSet
+      val want = rows.filter { case (_, e) =>
+        e.split('|').exists(_.split('&').forall(a =>
+          if (a.startsWith("!")) !auths(a.drop(1)) else auths(a)))
+      }.map(_._1).toSet
+      assert(got == want, s"auths=$auths exprs=$exprs\ngot=$got\nwant=$want")
+    }
+  }
+
   test("batchCells equals naive per-row chunking on random cell sets") {
     import spark.implicits._
     val gen = for {
