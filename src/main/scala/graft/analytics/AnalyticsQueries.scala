@@ -98,6 +98,29 @@ object AnalyticsQueries {
       Tools.normalizerPlan(Tools.totalOrderBuckets(grown, "region_key", 16))
         .orderBy("action", "bucket")
     }),
+    // SimpleLoadBalancer round-robin assignment: unevenly grown regions
+    // (normalizer's squared-key buckets) dealt to 5 servers in size
+    // order — per-region placement the oracle recomputes exactly
+    "region_balancer" -> ((s, d) => {
+      val grown = Tables.load(s, d, "orders")
+        .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+      Tools.balancerPlan(Tools.totalOrderBuckets(grown, "region_key", 16), 5)
+        .orderBy("bucket")
+    }),
+    // WALSplitter / distributed log split (wal/WALSplitter.java): one
+    // mixed-region WAL split into per-region recovered-edits summaries
+    // — region ranges from the key bounds, per-region edit count, seq
+    // range and tombstone count, in ONE pass (the same aggregate a
+    // region server replays from)
+    "wal_split" -> ((s, d) => {
+      val edits = Tables.eventCells(s, d)
+        .withColumn("op", when(col("event_id") % 7 === 0, "delete").otherwise("put"))
+      Tools.totalOrderBuckets(edits, "rowkey", 8, Seq(
+          min(col("event_id")).as("first_seq"),
+          max(col("event_id")).as("last_seq"),
+          sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes")))
+        .orderBy("bucket")
+    }),
     // semi-structured source path: events.props is a JSON string column
     // (HBase users stuff JSON into cell values constantly); extraction
     // stays codegen'd, no UDF
@@ -216,6 +239,24 @@ object AnalyticsQueries {
         |SELECT 'merge' AS action, bucket, other_bucket, n_rows
         |FROM pr, a WHERE c = 2 AND n_rows < av
         |ORDER BY action, bucket""".stripMargin,
+    "region_balancer" ->
+      """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |st AS (SELECT CAST(floor((k - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |              count(*) AS n_rows FROM g, b GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n_rows DESC, bucket) AS rn FROM st)
+        |SELECT bucket, n_rows, CAST((rn - 1) % 5 AS INT) AS server
+        |FROM r ORDER BY bucket""".stripMargin,
+    "wal_split" ->
+      """WITH ed AS (SELECT user_id AS rowkey, event_id,
+        |                   CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op
+        |            FROM events),
+        |b AS (SELECT min(rowkey) AS lo, max(rowkey) AS hi FROM ed)
+        |SELECT CAST(floor((rowkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |       count(*) AS n_rows, min(rowkey) AS min_key, max(rowkey) AS max_key,
+        |       min(event_id) AS first_seq, max(event_id) AS last_seq,
+        |       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+        |FROM ed, b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,

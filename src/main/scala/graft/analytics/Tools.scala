@@ -161,6 +161,22 @@ object Tools {
     splits.unionByName(merges)
   }
 
+  /** SimpleLoadBalancer.roundRobinAssignment (hbase-server/.../master/
+    * balancer/BaseLoadBalancer.java:1550): deal regions to servers
+    * round-robin in descending size order — the assignment HBase uses
+    * at bulk startup. Dealing by rank keeps every server within one
+    * region of even count AND interleaves sizes, so loads stay close
+    * without the stochastic balancer's cost model. The rank window
+    * runs over region-count rows (master-side metadata, never data). */
+  def balancerPlan(regionStats: DataFrame, nServers: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nServers >= 1, s"nServers ($nServers) must be at least 1")
+    val w = Window.orderBy(col("n_rows").desc, col("bucket"))
+    regionStats
+      .withColumn("server", pmod(row_number().over(w) - 1, lit(nServers)).cast("int"))
+      .select(col("bucket"), col("n_rows"), col("server"))
+  }
+
   def totalOrderBuckets(df: DataFrame, keyCol: String, n: Int,
                         extraAggs: Seq[Column] = Nil,
                         bucketName: String = "bucket"): DataFrame = {

@@ -135,6 +135,15 @@ class MutationsSpec extends SparkSpec {
     assert(plan == Set(("split", 0L, None), ("merge", 2L, Some(3L))), s"plan $plan")
   }
 
+  test("balancerPlan deals regions round-robin in size order") {
+    import spark.implicits._
+    val stats = Seq((0L, 100L), (1L, 90L), (2L, 10L), (3L, 5L), (4L, 1L))
+      .toDF("bucket", "n_rows")
+    val got = graft.analytics.Tools.balancerPlan(stats, 2)
+      .select("bucket", "server").as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 0, 3L -> 1, 4L -> 0), s"got $got")
+  }
+
   test("pointInTimeRead: keep=true sees through a later delete, keep=false does not") {
     import spark.implicits._
     // Both families: put@Jan05 (v1), delete@Jan20, put@Jan25 (v2).
