@@ -56,13 +56,19 @@ object DataPrep {
     * or the engines pick different rows below key 0. */
   def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
                        rates: Map[String, Double]): DataFrame = {
-    val hash = pmod(pmod(col(keyCol), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
     val rate = rates.foldLeft(lit(0.0)) { case (acc, (stratum, r)) =>
       when(col(strataCol) === stratum, lit(r)).otherwise(acc)
     }
-    df.where(hash < rate * lit(4294967296L))
+    df.where(knuthHash(keyCol) < rate * lit(4294967296L))
   }
+
+  /** The overflow-guarded Knuth hash both samplers share — ONE copy of
+    * the fold-then-multiply (see [[sampleStratified]]'s scaladoc for
+    * the overflow/negative-key rationale; its SQL mirror is the
+    * pmod-equivalent `((k % m + m) % m)` form). */
+  private def knuthHash(keyCol: String) =
+    pmod(pmod(col(keyCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
 
   /** Domain-mixture resampling (the Pile/Dolma-style source weighting):
     * given target shares in integer percent, find the largest total the
@@ -89,9 +95,8 @@ object DataPrep {
     val thr = counts.crossJoin(broadcast(feasible))
       .select(col(sourceCol),
         expr("(((_w * _T) div 100) * 4294967296) div _ns").as("_thr"))
-    val hash = pmod(pmod(col(keyCol), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
-    docs.join(broadcast(thr), Seq(sourceCol)).where(hash < col("_thr")).drop("_thr")
+    docs.join(broadcast(thr), Seq(sourceCol))
+      .where(knuthHash(keyCol) < col("_thr")).drop("_thr")
   }
 
   /** Context-window sequence packing ("concat-and-chunk"): documents

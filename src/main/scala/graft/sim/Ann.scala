@@ -196,10 +196,23 @@ object Ann {
     * embeddings; embeddings join back for the verify on the candidate
     * set only. */
   def srpDupPairs(vectors: DataFrame, threshold: Double = 0.9,
-                  bands: Int = 8, maxHamming: Int = 16): DataFrame = {
+                  bands: Int = 8, maxHamming: Int = -1): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    require(bands >= 2 && 64 % bands == 0,
+      s"bands ($bands) must divide 64 and be at least 2 " +
+        "(bands=1 would need a 2^64 modulus, past Long's shift range)")
     val width = 64 / bands
+    // the hamming pre-filter is the SECOND recall dial after band
+    // width: a true pair at exactly `threshold` has P[bit differs] =
+    // acos(t)/π per bit, so default to mean + 4σ of that binomial —
+    // at t=0.9 that is ~21 bits, passing ≈ all true pairs while still
+    // rejecting the hamming≈32 mass of unrelated bucket collisions
+    val hamCut =
+      if (maxHamming >= 0) maxHamming
+      else {
+        val p = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+        math.min(64, math.ceil(64 * p + 4 * math.sqrt(64 * p * (1 - p)))).toInt
+      }
     val sigs = vectors.select(col("vec_id").as("doc_id"),
       ColumnBridge.column(SrpSig64(ColumnBridge.expression(col("embedding")))).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
@@ -213,7 +226,7 @@ object Ann {
         """y -> struct(x.doc_id AS i, y.doc_id AS j,
           |            bit_count(x.sig ^ y.sig) AS hamming)""".stripMargin))).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+      .where(col("hamming") <= hamCut)
       .distinct()
     val e = vectors.select(col("vec_id"), col("embedding"),
       norm("embedding").as("_n"))

@@ -202,6 +202,51 @@ object StreamOps {
       }
   }
 
+  /** Streaming quota enforcement — the RpcThrottle applied at ingest
+    * instead of audited after the fact: per (user, day-window) running
+    * request counts held in flatMapGroupsWithState, each micro-batch
+    * emitting the window's current count and the requests the throttle
+    * would have rejected. Tier limits arrive as a plain function (the
+    * broadcast hbase:quota row in the batch form). State really is
+    * bounded by active users × retention: the watermark on the window
+    * column drives an EVENT-TIME TIMEOUT set `retention` past each
+    * window's day, and a timed-out window's state is REMOVED — without
+    * it, every (user, day) key ever seen would sit in the state store
+    * forever (the unbounded-state trap [[streamingDedup]]'s watermark
+    * eviction exists to avoid). Converges to the batch
+    * `quota_throttle` report (spec-asserted under multi-batch
+    * arrival). */
+  def streamingQuota(events: DataFrame, limitOf: Long => Long,
+                     retentionDays: Int = 2): Dataset[QuotaUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val retentionMs = retentionDays * 86400000L
+    events
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("window"))
+      .withWatermark("window", s"$retentionDays days")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, java.sql.Timestamp),
+         rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[QuotaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val n = state.getOption.getOrElse(QuotaState(0L)).n + rows.size
+            state.update(QuotaState(n))
+            // a window already retention-deep behind the watermark would
+            // ask for a timeout in the past, which Spark rejects — clamp
+            // to just past the current watermark (it expires next batch)
+            state.setTimeoutTimestamp(math.max(key._2.getTime + retentionMs,
+              state.getCurrentWatermarkMs + 1))
+            val lim = limitOf(key._1)
+            Iterator(QuotaUpdate(key._1, key._2, n, n > lim, math.max(0L, n - lim)))
+          }
+      }
+  }
+
   /** HBase `Increment` held as explicit streaming state: per event_type,
     * a running (count, sum) maintained with flatMapGroupsWithState —
     * the custom-state escape hatch for semantics windowed aggregation
@@ -209,35 +254,6 @@ object StreamOps {
     * micro-batch, like the return of HTable.increment). State is one
     * small struct per key, partitioned by key — bounded and
     * shuffle-local at any stream length. */
-  /** Streaming quota enforcement — the RpcThrottle applied at ingest
-    * instead of audited after the fact: per (user, day-window) running
-    * request counts held in flatMapGroupsWithState, each micro-batch
-    * emitting the window's current count and the requests the throttle
-    * would have rejected. Tier limits arrive as a plain function (the
-    * broadcast hbase:quota row in the batch form); state is ONE long
-    * per live (user, window) key, partitioned by key — bounded by
-    * active users × retention regardless of request volume. Converges
-    * to the batch `quota_throttle` report (spec-asserted under
-    * multi-batch arrival). */
-  def streamingQuota(events: DataFrame,
-                     limitOf: Long => Long): Dataset[QuotaUpdate] = {
-    val spark = events.sparkSession
-    import spark.implicits._
-    events
-      .select(col("user_id"), date_trunc("DAY", col("ts")).as("window"))
-      .as[(Long, java.sql.Timestamp)]
-      .groupByKey(identity)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (key: (Long, java.sql.Timestamp),
-         rows: Iterator[(Long, java.sql.Timestamp)],
-         state: GroupState[QuotaState]) =>
-          val n = state.getOption.getOrElse(QuotaState(0L)).n + rows.size
-          state.update(QuotaState(n))
-          val lim = limitOf(key._1)
-          Iterator(QuotaUpdate(key._1, key._2, n, n > lim, math.max(0L, n - lim)))
-      }
-  }
-
   def runningCounters(events: DataFrame): Dataset[CounterUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -470,7 +470,7 @@ class PlanAuditSpec extends SparkSpec {
   test("quota_throttle: limits broadcast, one count aggregate with partials") {
     val p = plan("quota_throttle")
     assert(p.contains("BroadcastHashJoin"), s"quota table not broadcast:\n$p")
-    assert(p.contains("partial_count") || p.contains("partial_"),
+    assert(p.contains("partial_count"),
       s"window counts not map-side partial:\n$p")
   }
 }

@@ -237,7 +237,10 @@ class StreamingSpec extends SparkSpec {
 
     val streamed = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(dir)
-    val q = StreamOps.streamingQuota(streamed, _ => limit)
+    // retention wider than the data's one-month span: the files stream
+    // in arbitrary order, so a production-tight watermark would drop
+    // "late" old windows and the convergence compare would be vacuous
+    val q = StreamOps.streamingQuota(streamed, _ => limit, retentionDays = 365)
       .writeStream.format("memory").queryName("stream_quota")
       .outputMode("update")
       .start()
