@@ -98,6 +98,20 @@ object AnalyticsQueries {
       Tools.normalizerPlan(Tools.totalOrderBuckets(grown, "region_key", 16))
         .orderBy("action", "bucket")
     }),
+    // ExploringCompactionPolicy: flush files modeled as one store file
+    // per (region, day) — size = cells flushed; per region, select the
+    // best ratio-valid window of 3-5 seq-ordered files (most files,
+    // then fewest bytes), all as per-row array algebra
+    "compaction_select" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
+      val files = ev.crossJoin(broadcast(b))
+        .withColumn("region", floor((col("user_id") - col("_lo")) * 8 /
+          (col("_hi") - col("_lo") + 1)).cast("bigint"))
+        .groupBy(col("region"), dayofmonth(col("ts")).cast("bigint").as("seq"))
+        .agg(count(lit(1)).as("size"))
+      Tools.compactionSelect(files).orderBy("region")
+    }),
     // SimpleLoadBalancer round-robin assignment: unevenly grown regions
     // (normalizer's squared-key buckets) dealt to 5 servers in size
     // order — per-region placement the oracle recomputes exactly
@@ -239,6 +253,27 @@ object AnalyticsQueries {
         |SELECT 'merge' AS action, bucket, other_bucket, n_rows
         |FROM pr, a WHERE c = 2 AND n_rows < av
         |ORDER BY action, bucket""".stripMargin,
+    "compaction_select" ->
+      """WITH b AS (SELECT min(user_id) lo, max(user_id) hi FROM events),
+        |f AS (SELECT CAST(floor((user_id - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,
+        |             CAST(day(ts) AS BIGINT) AS seq, count(*) AS size
+        |      FROM events, b GROUP BY 1, 2),
+        |l AS (SELECT region, list(struct_pack(seq := seq, size := size) ORDER BY seq) AS fs
+        |      FROM f GROUP BY 1),
+        |wlen AS (SELECT region, fs, unnest([3, 4, 5]) AS len FROM l),
+        |ws AS (SELECT region, fs, len, unnest(range(0, len(fs) - len + 1)) AS s FROM wlen),
+        |v AS (SELECT region, len, s, fs[s+1 : s+len] AS win,
+        |             list_sum(list_transform(fs[s+1 : s+len], x -> x.size)) AS tot
+        |      FROM ws),
+        |ok AS (SELECT * FROM v
+        |       WHERE len(list_filter(win, x -> x.size > 1.2 * (tot - x.size))) = 0),
+        |r AS (SELECT region, win[1].seq AS first_seq, CAST(len AS BIGINT) AS n_files,
+        |             CAST(tot AS BIGINT) AS tot_size,
+        |             row_number() OVER (PARTITION BY region
+        |                                ORDER BY len DESC, tot ASC, s ASC) AS rn
+        |      FROM ok)
+        |SELECT region, first_seq, n_files, tot_size FROM r WHERE rn = 1
+        |ORDER BY region""".stripMargin,
     "region_balancer" ->
       """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
         |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),

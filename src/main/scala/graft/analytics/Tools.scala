@@ -161,6 +161,43 @@ object Tools {
     splits.unionByName(merges)
   }
 
+  /** ExploringCompactionPolicy (hbase-server/.../regionserver/
+    * compactions/ExploringCompactionPolicy.java): per region, pick the
+    * best contiguous window of seq-ordered store files to minor-compact
+    * — every file in the window must be within `ratio` of the REST of
+    * the window's bytes (no giant file pays re-write cost for tiny
+    * gains), window length in [minFiles, maxFiles], preferring MOST
+    * files then FEWEST bytes (the reference's exact preference). The
+    * whole search is per-row array algebra over each region's file
+    * list (store files per region are dozens, not data-scale), so
+    * selection runs as one aggregate + a codegen'd projection — the
+    * same work a region server does per compaction check, for every
+    * region at once.
+    *
+    * @param files (region, seq, size) store-file stats. */
+  def compactionSelect(files: DataFrame, minFiles: Int = 3, maxFiles: Int = 5,
+                       ratio: Double = 1.2): DataFrame = {
+    require(2 <= minFiles && minFiles <= maxFiles,
+      s"need 2 <= minFiles ($minFiles) <= maxFiles ($maxFiles)")
+    val lists = files.groupBy("region")
+      .agg(array_sort(collect_list(struct(col("seq"), col("size")))).as("fs"))
+    val wins = lists.select(col("region"), col("fs"), explode(expr(
+        s"""flatten(transform(sequence($minFiles, $maxFiles), len ->
+           |  transform(sequence(0, size(fs)), s -> struct(s AS s, len AS len))))"""
+          .stripMargin)).as("w"))
+      .where(col("w.s") + col("w.len") <= size(col("fs")))
+      .withColumn("_win", expr("slice(fs, w.s + 1, w.len)"))
+      .withColumn("_tot", expr("aggregate(_win, 0L, (acc, x) -> acc + x.size)"))
+      .where(expr(s"forall(_win, x -> x.size <= $ratio * (_tot - x.size))"))
+    wins.groupBy("region")
+      .agg(max(struct(col("w.len").as("n_files"), (-col("_tot")).as("negtot"),
+        (-col("w.s")).as("negs"), col("_win").getItem(0).getField("seq").as("first_seq")))
+        .as("m"))
+      .select(col("region"), col("m.first_seq").as("first_seq"),
+        col("m.n_files").cast("bigint").as("n_files"),
+        (-col("m.negtot")).as("tot_size"))
+  }
+
   /** SimpleLoadBalancer.roundRobinAssignment (hbase-server/.../master/
     * balancer/BaseLoadBalancer.java:1550): deal regions to servers
     * round-robin in descending size order — the assignment HBase uses

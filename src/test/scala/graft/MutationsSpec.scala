@@ -135,6 +135,20 @@ class MutationsSpec extends SparkSpec {
     assert(plan == Set(("split", 0L, None), ("merge", 2L, Some(3L))), s"plan $plan")
   }
 
+  test("compactionSelect: ratio rule excludes the giant file, most-files window wins") {
+    import spark.implicits._
+    val files = Seq(
+      // region A: a 100-cell file next to four 10s — any window holding
+      // the giant fails ratio 1.2; the four 10s are the best selection
+      ("A", 1L, 100L), ("A", 2L, 10L), ("A", 3L, 10L), ("A", 4L, 10L), ("A", 5L, 10L),
+      // region B: two files — below minFiles, no plan
+      ("B", 1L, 10L), ("B", 2L, 12L)
+    ).toDF("region", "seq", "size")
+    val got = graft.analytics.Tools.compactionSelect(files)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("A", 2L, 4L, 40L)), s"got $got")
+  }
+
   test("balancerPlan deals regions round-robin in size order") {
     import spark.implicits._
     val stats = Seq((0L, 100L), (1L, 90L), (2L, 10L), (3L, 5L), (4L, 1L))
