@@ -84,6 +84,27 @@ object SnapshotQueries {
           "event_id", Seq("user_id", "event_type", "ts", "value"))
         .orderBy("event_id")
     }),
+    // CloneSnapshot (snapshot/CloneSnapshotProcedure): a new table
+    // seeded from the v1 snapshot by FILE copy, then mutated
+    // independently — diffing source v1 against the clone's own v2
+    // shows EXACTLY the clone-side mutation, proving the clone is
+    // copy-on-write independent of its origin
+    "snapshot_clone" -> ((s, d) => {
+      val base = ensureSnapshots(s, d)
+      val cloneBase = tmp("graft_snap_clone", d)
+      once(cloneBase) {
+        Snapshots.exportSnapshot(base, 1, cloneBase)
+        val mutated = Snapshots.read(s, cloneBase, 1)
+          .withColumn("value",
+            when(col("user_id") % 5 === 0, round(col("value") + 1, 4))
+              .otherwise(col("value")))
+        Snapshots.write(mutated, "user_id", cloneBase, 2)
+      }
+      Snapshots.diff(
+          Snapshots.read(s, base, 1), Snapshots.read(s, cloneBase, 2),
+          "event_id", Seq("user_id", "event_type", "ts", "value"))
+        .orderBy("event_id")
+    }),
     "region_split_stats" -> ((s, d) =>
       regionStats(Tables.load(s, d, "lineitem"), "l_orderkey", 16, "l_quantity")
         .orderBy("region")),
@@ -142,6 +163,10 @@ object SnapshotQueries {
     "snapshot_diff" ->
       """SELECT event_id, 'removed' AS change FROM events
         |WHERE user_id % 2 = 0 ORDER BY event_id""".stripMargin,
+    // the clone's only divergence from its origin is its own mutation
+    "snapshot_clone" ->
+      """SELECT event_id, 'changed' AS change FROM events
+        |WHERE user_id % 5 = 0 ORDER BY event_id""".stripMargin,
     "region_split_stats" ->
       """WITH b AS (SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM lineitem)
         |SELECT CAST(floor((l_orderkey - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS region,

@@ -235,6 +235,8 @@ object PipelineQueries {
     // CCNet-style LM filter with the corpus unigram model: integer
     // micro-log contributions -> exact long sums, no float-order risk
     "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")),
+    // character-entropy spam signal, integer-exact like the LM score
+    "text_entropy" -> ((s, d) => TextOps.charEntropy(docs(s, d)).orderBy("doc_id")),
     // PII scrub over a corpus seeded with synthetic emails/phones
     // (every 3rd doc) — counts + redacted-text fingerprint per doc
     "text_pii_scrub" -> ((s, d) => {
@@ -603,6 +605,15 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens, sum_mlog,
         |       round(sum_mlog / 1000000.0 / n_tokens - log10(nn), 4) AS avg_log10p
         |FROM s, n ORDER BY doc_id""".stripMargin,
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |             CAST(sum(c * CAST(floor(log2(c) * 1000000) AS BIGINT)) AS BIGINT) AS clogc
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_chars,
+        |       round(log2(n_chars) - clogc / 1000000.0 / n_chars, 4) AS entropy_bits
+        |FROM s ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS ws_tokens,

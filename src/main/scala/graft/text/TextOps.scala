@@ -144,6 +144,24 @@ object TextOps {
           .as("avg_log10p"))
   }
 
+  /** Character-entropy quality signal: H = log2(n) − (Σ c·log2 c)/n
+    * over per-doc character frequencies — near-zero for degenerate
+    * repeated-character spam, ~4+ bits for natural text. The same
+    * integer micro-log trick as [[unigramLogProb]]: c·⌊log2(c)·10⁶⌋
+    * sums are exact long arithmetic, so the only float ops are on
+    * identical inputs in both engines. One (doc, char) count shuffle
+    * with map-side partials; chars never leave their executor
+    * un-counted. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_chars"),
+        sum(col("c") * floor(log2(col("c")) * 1e6).cast("bigint")).as("_clogc"))
+      .select(col("doc_id"), col("n_chars"),
+        round(log2(col("n_chars")) - col("_clogc") / 1e6 / col("n_chars"), 4)
+          .as("entropy_bits"))
+
   /** Rabin–Karp-style rolling fingerprint: left fold of
     * h = (h * 31 + ascii(c)) mod 1e9+7 over the characters — a
     * sequential mod-fold both Spark (`aggregate`) and DuckDB
