@@ -106,8 +106,8 @@ object AnalyticsQueries {
       val ev = Tables.load(s, d, "events")
       val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
       val files = ev.crossJoin(broadcast(b))
-        .withColumn("region", floor((col("user_id") - col("_lo")) * 8 /
-          (col("_hi") - col("_lo") + 1)).cast("bigint"))
+        .withColumn("region",
+          Tools.totalOrderBucket(col("user_id"), col("_lo"), col("_hi"), 8))
         .groupBy(col("region"), dayofmonth(col("ts")).cast("bigint").as("seq"))
         .agg(count(lit(1)).as("size"))
       Tools.compactionSelect(files).orderBy("region")

@@ -214,6 +214,15 @@ object Tools {
       .select(col("bucket"), col("n_rows"), col("server"))
   }
 
+  /** The total-order bucket formula — ONE copy of the expression every
+    * DuckDB oracle mirrors verbatim (the `+ 1` denominator and the
+    * double-division order are parity-load-bearing; see
+    * bulk_load_partitioner's oracle). Shared by [[totalOrderBuckets]]
+    * and any query needing a per-row region tag before its own
+    * grouping (compaction_select's per-(region, day) flush files). */
+  def totalOrderBucket(key: Column, lo: Column, hi: Column, n: Int): Column =
+    floor((key - lo) * n / (hi - lo + 1)).cast("bigint")
+
   def totalOrderBuckets(df: DataFrame, keyCol: String, n: Int,
                         extraAggs: Seq[Column] = Nil,
                         bucketName: String = "bucket"): DataFrame = {
@@ -222,7 +231,7 @@ object Tools {
       min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key")) ++ extraAggs
     df.crossJoin(broadcast(bounds))
       .withColumn(bucketName,
-        floor((col(keyCol) - col("_lo")) * n / (col("_hi") - col("_lo") + 1)).cast("bigint"))
+        totalOrderBucket(col(keyCol), col("_lo"), col("_hi"), n))
       .groupBy(bucketName)
       .agg(baseAggs.head, baseAggs.tail: _*)
   }

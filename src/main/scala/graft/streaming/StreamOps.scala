@@ -208,10 +208,12 @@ object StreamOps {
     * emitting the window's current count and the requests the throttle
     * would have rejected. Tier limits arrive as a plain function (the
     * broadcast hbase:quota row in the batch form). State really is
-    * bounded by active users × retention: the watermark on the window
-    * column drives an EVENT-TIME TIMEOUT set `retention` past each
-    * window's day, and a timed-out window's state is REMOVED — without
-    * it, every (user, day) key ever seen would sit in the state store
+    * bounded by active users × retention: the watermark (delayed
+    * `retentionDays`) both admits late requests within the retention
+    * horizon AND drives an EVENT-TIME TIMEOUT that removes a window's
+    * state on the first batch where the watermark passes it — the
+    * exact moment further updates become impossible. Without eviction,
+    * every (user, day) key ever seen would sit in the state store
     * forever (the unbounded-state trap [[streamingDedup]]'s watermark
     * eviction exists to avoid). Converges to the batch
     * `quota_throttle` report (spec-asserted under multi-batch
@@ -236,11 +238,14 @@ object StreamOps {
           } else {
             val n = state.getOption.getOrElse(QuotaState(0L)).n + rows.size
             state.update(QuotaState(n))
-            // a window already retention-deep behind the watermark would
-            // ask for a timeout in the past, which Spark rejects — clamp
-            // to just past the current watermark (it expires next batch)
-            state.setTimeoutTimestamp(math.max(key._2.getTime + retentionMs,
-              state.getCurrentWatermarkMs + 1))
+            // retention is already fully enforced by the watermark delay
+            // (rows for a window stop arriving once the watermark passes
+            // it), so state can die the moment updates become impossible:
+            // the first batch whose watermark exceeds the window. The
+            // max(...) keeps the timestamp ahead of the current watermark
+            // (Spark rejects timeouts at or behind it).
+            state.setTimeoutTimestamp(
+              math.max(key._2.getTime, state.getCurrentWatermarkMs) + 1)
             val lim = limitOf(key._1)
             Iterator(QuotaUpdate(key._1, key._2, n, n > lim, math.max(0L, n - lim)))
           }

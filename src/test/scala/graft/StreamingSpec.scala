@@ -229,6 +229,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming quota EVICTS expired windows: state stays bounded under ordered replay") {
+    val events = Tables.load(spark, sfDir, "events").select("user_id", "ts")
+    val nWindows = events
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("w"))
+      .distinct().count()
+    val dir = Files.createTempDirectory("graft_quota_evict_src").toString
+    // event-time-ordered replay (the sessionize spec's technique) so the
+    // watermark actually advances past old windows and fires timeouts
+    events.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(((System.currentTimeMillis() / 60000) * 60000) + i * 1000) }
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.streamingQuota(streamed, _ => 3L, retentionDays = 1)
+      .writeStream.format("memory").queryName("quota_evict")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // a month of windows streamed; retention 1 day means only the
+      // watermark tail may hold live state — most windows were evicted.
+      // (No eviction would leave numRowsTotal == nWindows.)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows < nWindows / 2,
+        s"state not evicted: $stateRows rows for $nWindows (user, window) keys")
+      assert(stateRows > 0, "state metric empty — eviction assertion vacuous")
+    } finally q.stop()
+  }
+
   test("streaming quota converges to the batch throttle report across micro-batches") {
     val limit = 3L
     val events = Tables.load(spark, sfDir, "events").select("user_id", "ts")
