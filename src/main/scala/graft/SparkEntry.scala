@@ -101,6 +101,27 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // getRowOrBefore: greatest row at or below a (possibly absent) key
+    // — key 31 is a TPC-H orderkey gap, the closest row before is 7
+    "get_closest_before" -> ((s, d) =>
+      Scans.closestRowBefore(T(s, d, "orders"), "o_orderkey", 31L,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+    // the salted-rowkey pattern: stored key = salt + "-" + padded key
+    // (ingest spread over 8 regions); a range scan on the ORIGINAL key
+    // fans out to 8 pushed per-prefix ranges on the stored sorted key
+    // and must equal the unsalted scan_range row set exactly
+    "salted_scan" -> ((s, d) => {
+      val dir = graft.core.Indexes.ensure(s, d, "orders_salted") { target =>
+        graft.core.Layout.writeSorted(
+          T(s, d, "orders").select(
+            graft.core.Salt.saltedKey(col("o_orderkey"), 8).as("salted_key"),
+            col("o_orderkey"), col("o_totalprice")),
+          "salted_key", target, 8)
+      }
+      graft.core.Salt.saltedRangeScan(
+          graft.core.Layout.read(s, dir), "salted_key", 8, 1000L, 2000L)
+        .orderBy("o_orderkey")
+    }),
     // Scan.setRaw(true): delete markers visible, no masking — the raw
     // store content of the same edit slice wal_replay masks
     "scan_raw" -> ((s, d) => {
@@ -205,6 +226,15 @@ object SparkEntry {
         |   OR (family = 'act' AND ts >= TIMESTAMP '2024-01-02 00:00:00'
         |                      AND ts <  TIMESTAMP '2024-01-12 00:00:00')
         |ORDER BY event_id""".stripMargin),
+    "get_closest_before" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey <= 31 ORDER BY o_orderkey DESC LIMIT 1""".stripMargin,
+    "salted_scan" ->
+      """SELECT CAST(o_orderkey % 8 AS VARCHAR) || '-' ||
+        |         lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS salted_key,
+        |       o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "scan_raw" ->
       """SELECT user_id AS rowkey, event_type AS qualifier, ts,
         |       CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,

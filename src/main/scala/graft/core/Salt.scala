@@ -16,6 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
+  /** The salted-ROWKEY pattern — the write-hotspot fix every HBase
+    * schema guide prescribes for monotonically increasing keys (a
+    * sequential key writes to ONE region; prefixing a small salt
+    * spreads ingest over `salts` regions): stored key =
+    * `salt + "-" + zero-padded key`, salt = key mod salts. Engine-
+    * portable (modulo + lpad) so oracles rebuild it exactly. */
+  def saltedKey(key: Column, salts: Int, width: Int = 12): Column =
+    concat_ws("-", pmod(key, lit(salts)).cast("string"),
+      lpad(key.cast("string"), width, "0"))
+
+  /** The read-side price of rowkey salting: a range scan on the
+    * ORIGINAL key becomes `salts` per-prefix range scans — here ONE
+    * disjunctive predicate on the stored sorted key, which Catalyst
+    * pushes to the scan (each disjunct min/max-prunes its salt's key
+    * range, exactly the per-region scanner fan-out an HBase client
+    * runs), no shuffle, no post-hoc reparse of the key. */
+  def saltedRangeScan(df: DataFrame, saltedKeyCol: String, salts: Int,
+                      start: Long, stop: Long, width: Int = 12): DataFrame = {
+    require(start >= 0 && stop >= start, s"bad range [$start, $stop)")
+    def bound(s: Int, k: Long): String = {
+      val p = k.toString
+      s.toString + "-" + ("0" * (width - p.length)) + p
+    }
+    val pred = (0 until salts).map { s =>
+      col(saltedKeyCol) >= bound(s, start) && col(saltedKeyCol) < bound(s, stop)
+    }.reduce(_ || _)
+    df.where(pred)
+  }
+
   /** Two-phase salted aggregation.
     *
     * @param partials salted-phase aggregates, e.g.

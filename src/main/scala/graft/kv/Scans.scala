@@ -128,6 +128,16 @@ object Scans {
     vcells.where(listed || !col("family").isInCollection(ranges.keys.toSeq))
   }
 
+  /** HTable.getRowOrBefore (HTable.java, the closest-row-before read
+    * the META table's region lookup is built on): the greatest row at
+    * or below `key`. orderBy-desc + limit(1) plans as
+    * TakeOrderedAndProject — per-partition top-1 then a 1-row merge,
+    * never a global sort. */
+  def closestRowBefore(df: DataFrame, keyCol: String, key: Long,
+                       projection: Seq[String]): DataFrame =
+    df.where(col(keyCol) <= key).select(projection.map(col): _*)
+      .orderBy(col(keyCol).desc).limit(1)
+
   /** Scan.setRaw(true) (Scan.java:910) — a raw scan returns every cell
     * INCLUDING delete markers, with no tombstone masking and no version
     * trimming: the physical store content, which is exactly the edit

@@ -467,6 +467,20 @@ class PlanAuditSpec extends SparkSpec {
       s"text in a shuffle key:\n$p")
   }
 
+  test("salted_scan: the per-salt fan-out is a pushed scan predicate, no shuffle") {
+    val p = plan("salted_scan")
+    assert(p.contains("PushedFilters") && p.contains("salted_key"),
+      s"salt fan-out not pushed to the scan:\n$p")
+    // everything before the presentation sort is scan + filter only
+    val beforeSort = p.split("TakeOrdered|Sort", 2)(0)
+    assert(!beforeSort.contains("Join"), s"salted scan must not join:\n$p")
+  }
+
+  test("get_closest_before plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("get_closest_before")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("quota_throttle: limits broadcast, one count aggregate with partials") {
     val p = plan("quota_throttle")
     assert(p.contains("BroadcastHashJoin"), s"quota table not broadcast:\n$p")
