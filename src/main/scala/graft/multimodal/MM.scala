@@ -100,6 +100,40 @@ object MM {
       pinned(when(fmt === 1, png).when(fmt === 0, jpeg).otherwise(wav)).as("payload"))
   }
 
+  /** The batch feature-extraction stage — the mapInPandas/mapPartitions
+    * shape a real multimodal pipeline runs its pixel decoder in, with
+    * the DECODER STUBBED (this container has no image/audio libs): one
+    * decoder context per PARTITION (not per row — amortizing native
+    * init is the whole point of the batch shape), iterator-to-iterator
+    * streaming (no partition materialization), and a fixed `dim`
+    * feature schema downstream training code can rely on. The stub is
+    * a deterministic fake — per-stride unsigned-byte means over the
+    * payload — so output is reproducible and spec-checkable; swapping
+    * `stubDecode` for a real `libjpeg`/`ffmpeg` call changes NOTHING
+    * about the plumbing, which is the part that matters at 100 TB. */
+  def featureExtract(payloads: DataFrame, dim: Int = 8): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition "decoder" init lives HERE (a native handle in a
+        // real deployment); the stub needs no state beyond the closure
+        def stubDecode(bytes: Array[Byte]): Array[Float] = {
+          val sums = new Array[Double](dim)
+          val counts = new Array[Int](dim)
+          var i = 0
+          while (i < bytes.length) {
+            sums(i % dim) += (bytes(i) & 0xff); counts(i % dim) += 1; i += 1
+          }
+          Array.tabulate(dim)(k =>
+            if (counts(k) == 0) 0f else (sums(k) / counts(k)).toFloat)
+        }
+        rows.map { case (id, bytes) => (id, stubDecode(bytes)) }
+      }
+      .toDF("doc_id", "feat")
+      .select(col("doc_id"), col("feat"), lit(dim).as("feat_dim"))
+  }
+
   // ---- byte-level parsing helpers (over the hex image `_h`) ----
 
   /** hex chars of `len` bytes at 1-based byte offset `i` of hex image

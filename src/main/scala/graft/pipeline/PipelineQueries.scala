@@ -252,6 +252,11 @@ object PipelineQueries {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
     // ---- §2J multimodal ----
     "mm_meta" -> ((s, d) => MM.meta(docs(s, d)).orderBy("doc_id")),
+    // the batch decode stage (stubbed decoder, real mapPartitions
+    // plumbing); rows-only — byte-level blob arithmetic has no clean
+    // DuckDB mirror — with the stub's exact output spec-asserted
+    "mm_feature_extract" -> ((s, d) =>
+      MM.featureExtract(MM.synthesizePayload(docs(s, d))).orderBy("doc_id")),
     // resize-to-fit as header surgery on the payload BYTES (new BE dims
     // spliced into IHDR / SOF0), self-verified by re-decoding the
     // patched payload

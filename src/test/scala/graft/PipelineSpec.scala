@@ -165,6 +165,25 @@ class PipelineSpec extends SparkSpec {
     assert(MM.frameSample(zeroFrames).isEmpty)
   }
 
+  test("mm feature extract: fixed shape, exact stub output, partition-preserving") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    // bytes [0,1,2,...,15] at dim 4: stride k sees {k, k+4, k+8, k+12},
+    // mean = k + 6
+    val payload = Array.tabulate[Byte](16)(_.toByte)
+    val tiny = Seq((1L, payload)).toDF("doc_id", "payload")
+    val got = MM.featureExtract(tiny, dim = 4).collect().head
+    assert(got.getLong(0) == 1L && got.getInt(2) == 4)
+    assert(got.getSeq[Float](1) == Seq(6f, 7f, 8f, 9f), s"stub features $got")
+    // real payloads: fixed dim, deterministic, iterator plumbing keeps
+    // the partitioning (no hidden shuffle/coalesce)
+    val pays = MM.synthesizePayload(docs.where(col("doc_id") < 50)).repartition(5)
+    val f1 = MM.featureExtract(pays)
+    assert(f1.rdd.getNumPartitions == 5, "mapPartitions must preserve partitioning")
+    assert(f1.collect().forall(_.getSeq[Float](1).length == 8))
+    assert(f1.exceptAll(MM.featureExtract(pays)).count() == 0, "stub must be deterministic")
+  }
+
   test("mm decode: headerless payloads parse as unknown, not garbage") {
     import spark.implicits._
     val raw = Seq((7L, "just plain text".getBytes("UTF-8"))).toDF("doc_id", "payload")
