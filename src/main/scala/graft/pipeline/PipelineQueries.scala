@@ -253,10 +253,14 @@ object PipelineQueries {
     // ---- §2J multimodal ----
     "mm_meta" -> ((s, d) => MM.meta(docs(s, d)).orderBy("doc_id")),
     // the batch decode stage (stubbed decoder, real mapPartitions
-    // plumbing); rows-only — byte-level blob arithmetic has no clean
-    // DuckDB mirror — with the stub's exact output spec-asserted
+    // plumbing); registered exploded to scalar (doc_id, k, feat) rows
+    // so the oracle — the same stride means computed with the mm byte
+    // helpers — compares without array columns
     "mm_feature_extract" -> ((s, d) =>
-      MM.featureExtract(MM.synthesizePayload(docs(s, d))).orderBy("doc_id")),
+      MM.featureExtract(MM.synthesizePayload(docs(s, d)))
+        .select(col("doc_id"), posexplode(col("feat")))
+        .toDF("doc_id", "k", "feat")
+        .orderBy("doc_id", "k")),
     // resize-to-fit as header surgery on the payload BYTES (new BE dims
     // spliced into IHDR / SOF0), self-verified by re-decoding the
     // patched payload
@@ -656,6 +660,18 @@ object PipelineQueries {
         |       list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(substring(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT)),
         |                   (h, c) -> (h * 31 + c) % 1000000007) AS prefix_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the stub decoder's per-stride byte means recomputed byte-by-byte
+    // with the same hex-image arithmetic the other mm oracles use —
+    // integer byte sums are exact in double, so CAST(avg AS FLOAT)
+    // lands on the identical float32 the Spark stub emits
+    "mm_feature_extract" ->
+      (s"""$ddPayloadCtes,
+         |by AS (SELECT doc_id, h, unnest(range(1, length(h) // 2 + 1)) AS i FROM hexed),
+         |bv AS (SELECT doc_id, CAST((i - 1) % 8 AS INT) AS k,
+         |              ${ddBei("i", 1)} AS v
+         |       FROM by)
+         |SELECT doc_id, k, CAST(avg(v) AS FLOAT) AS feat
+         |FROM bv GROUP BY 1, 2 ORDER BY doc_id, k""".stripMargin),
     // synthesizes the same header-wearing payloads as MM.synthesizePayload,
     // then parses width/height/sample_rate back FROM THE BYTES (hex-image
     // arithmetic + the same bounded JPEG segment walk as MM.decode)
