@@ -195,6 +195,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("saltedRangeScan equals the direct range filter for random ranges and salt counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      keys <- Gen.listOfN(n, Gen.chooseNum(0L, 500L))
+      salts <- Gen.oneOf(2, 4, 8)
+      a <- Gen.chooseNum(0L, 400L)
+      span <- Gen.chooseNum(0L, 200L)
+    } yield (keys.distinct, salts, a, a + span)
+    samples(gen, 12).foreach { case (keys, salts, start, stop) =>
+      val df = keys.toDF("k")
+        .select(graft.core.Salt.saltedKey(col("k"), salts).as("salted_key"), col("k"))
+      val got = graft.core.Salt.saltedRangeScan(df, "salted_key", salts, start, stop)
+        .select("k").as[Long].collect().toSet
+      val want = keys.filter(k => k >= start && k < stop).toSet
+      assert(got == want, s"salts=$salts [$start,$stop) keys=$keys\ngot=$got\nwant=$want")
+    }
+  }
+
+  test("compactionSelect equals the brute-force window search on random file lists") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(0, 9)
+      sizes <- Gen.listOfN(n, Gen.chooseNum(1L, 120L))
+    } yield sizes
+    samples(gen, 15).foreach { sizes =>
+      val files = sizes.zipWithIndex.map { case (sz, i) => ("r", i.toLong, sz) }
+      val got = graft.analytics.Tools
+        .compactionSelect(files.toDF("region", "seq", "size"))
+        .select("first_seq", "n_files", "tot_size")
+        .as[(Long, Long, Long)].collect().toList
+      // brute force: all (start, len) windows, ratio-valid, best by
+      // (most files, fewest bytes, earliest start)
+      val wins = for {
+        len <- 3 to 5
+        s <- 0 to sizes.length - len
+        w = sizes.slice(s, s + len)
+        tot = w.sum
+        if w.forall(x => x <= 1.2 * (tot - x))
+      } yield (s, len, tot)
+      val want = wins.sortBy { case (s, len, tot) => (-len, tot, s) }.headOption
+        .map { case (s, len, tot) => (s.toLong, len.toLong, tot) }.toList
+      assert(got == want, s"sizes=$sizes\ngot=$got\nwant=$want")
+    }
+  }
+
+  test("balancerPlan keeps every server within one region of even count") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      sizes <- Gen.listOfN(n, Gen.chooseNum(1L, 1000L))
+      servers <- Gen.chooseNum(1, 7)
+    } yield (sizes.zipWithIndex.map { case (sz, i) => (i.toLong, sz) }, servers)
+    samples(gen, 12).foreach { case (stats, servers) =>
+      val counts = graft.analytics.Tools
+        .balancerPlan(stats.toDF("bucket", "n_rows"), servers)
+        .groupBy("server").count().as[(Int, Long)].collect().toMap
+      val per = (0 until servers).map(counts.getOrElse(_, 0L))
+      assert(per.max - per.min <= 1,
+        s"uneven deal for ${stats.size} regions / $servers servers: $counts")
+      assert(per.sum == stats.size)
+    }
+  }
+
   test("batchCells equals naive per-row chunking on random cell sets") {
     import spark.implicits._
     val gen = for {
