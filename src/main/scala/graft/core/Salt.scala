@@ -22,9 +22,18 @@ object Salt {
     * spreads ingest over `salts` regions): stored key =
     * `salt + "-" + zero-padded key`, salt = key mod salts. Engine-
     * portable (modulo + lpad) so oracles rebuild it exactly. */
-  def saltedKey(key: Column, salts: Int, width: Int = 12): Column =
+  def saltedKey(key: Column, salts: Int, width: Int = 12): Column = {
+    require(salts >= 1, s"salts ($salts) must be at least 1")
+    // lpad TRUNCATES past `width`, which would silently collide keys
+    // and break the scan-bound format — refuse loudly instead (the
+    // guard is a codegen'd branch, free on the in-width path)
+    val digits = key.cast("string")
+    val guarded = when(length(digits) <= width, digits).otherwise(
+      raise_error(concat(lit("saltedKey: key "), digits,
+        lit(s" wider than $width digits — widen `width`"))))
     concat_ws("-", pmod(key, lit(salts)).cast("string"),
-      lpad(key.cast("string"), width, "0"))
+      lpad(guarded, width, "0"))
+  }
 
   /** The read-side price of rowkey salting: a range scan on the
     * ORIGINAL key becomes `salts` per-prefix range scans — here ONE
@@ -34,7 +43,12 @@ object Salt {
     * runs), no shuffle, no post-hoc reparse of the key. */
   def saltedRangeScan(df: DataFrame, saltedKeyCol: String, salts: Int,
                       start: Long, stop: Long, width: Int = 12): DataFrame = {
+    require(salts >= 1, s"salts ($salts) must be at least 1")
     require(start >= 0 && stop >= start, s"bad range [$start, $stop)")
+    // bounds past the pad width would format wider than stored keys
+    // and silently match nothing — same contract saltedKey enforces
+    require(stop.toString.length <= width,
+      s"range bound $stop wider than $width digits — widen `width`")
     def bound(s: Int, k: Long): String = {
       val p = k.toString
       s.toString + "-" + ("0" * (width - p.length)) + p

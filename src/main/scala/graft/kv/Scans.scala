@@ -135,8 +135,7 @@ object Scans {
     * never a global sort. */
   def closestRowBefore(df: DataFrame, keyCol: String, key: Long,
                        projection: Seq[String]): DataFrame =
-    df.where(col(keyCol) <= key).select(projection.map(col): _*)
-      .orderBy(col(keyCol).desc).limit(1)
+    reversed(df.where(col(keyCol) <= key), keyCol, 1, projection)
 
   /** Scan.setRaw(true) (Scan.java:910) — a raw scan returns every cell
     * INCLUDING delete markers, with no tombstone masking and no version

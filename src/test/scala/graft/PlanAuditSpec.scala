@@ -469,11 +469,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("salted_scan: the per-salt fan-out is a pushed scan predicate, no shuffle") {
     val p = plan("salted_scan")
-    assert(p.contains("PushedFilters") && p.contains("salted_key"),
+    // the disjunctive fan-out must actually reach the data source — a
+    // bare 'PushedFilters' check passes even for 'PushedFilters: []'
+    assert(p.contains("PushedFilters: [Or(") &&
+      p.contains("GreaterThanOrEqual(salted_key"),
       s"salt fan-out not pushed to the scan:\n$p")
-    // everything before the presentation sort is scan + filter only
-    val beforeSort = p.split("TakeOrdered|Sort", 2)(0)
-    assert(!beforeSort.contains("Join"), s"salted scan must not join:\n$p")
+    // the whole plan is scan + filter + presentation sort — a salted
+    // scan that regressed to a salt-table join would print one here
+    assert(!p.contains("Join"), s"salted scan must not join:\n$p")
   }
 
   test("get_closest_before plans as TakeOrderedAndProject, not a global sort") {
