@@ -98,6 +98,16 @@ object AnalyticsQueries {
       Tools.normalizerPlan(Tools.totalOrderBuckets(grown, "region_key", 16))
         .orderBy("action", "bucket")
     }),
+    // RegionSplitter pre-split points over the skew-grown keyspace:
+    // uniform (keyspace-even) and quantile (data-even) splits side by
+    // side — with squared keys the two disagree wildly, which is the
+    // reason the data-aware variant exists
+    "region_splitter" -> ((s, d) =>
+      Tools.regionSplitPoints(
+          Tables.load(s, d, "orders")
+            .withColumn("region_key", col("o_orderkey") * col("o_orderkey")),
+          "region_key", 8)
+        .orderBy("split_idx")),
     // ExploringCompactionPolicy: flush files modeled as one store file
     // per (region, day) — size = cells flushed; per region, select the
     // best ratio-valid window of 3-5 seq-ordered files (most files,
@@ -253,6 +263,16 @@ object AnalyticsQueries {
         |SELECT 'merge' AS action, bucket, other_bucket, n_rows
         |FROM pr, a WHERE c = 2 AND n_rows < av
         |ORDER BY action, bucket""".stripMargin,
+    "region_splitter" ->
+      """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |q AS (SELECT quantile_cont(k, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS qs
+        |      FROM g),
+        |s AS (SELECT unnest(range(1, 8)) AS split_idx)
+        |SELECT split_idx,
+        |       CAST(floor(lo + (hi - lo + 1) * split_idx / 8.0) AS BIGINT) AS uniform_key,
+        |       round(qs[split_idx], 4) AS quantile_key
+        |FROM s, b, q ORDER BY split_idx""".stripMargin,
     "compaction_select" ->
       """WITH b AS (SELECT min(user_id) lo, max(user_id) hi FROM events),
         |f AS (SELECT CAST(floor((user_id - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,

@@ -161,6 +161,26 @@ object Tools {
     splits.unionByName(merges)
   }
 
+  /** RegionSplitter (hbase-server/.../util/RegionSplitter.java) —
+    * pre-split point computation. The reference's UniformSplit/
+    * HexStringSplit slice the KEYSPACE evenly (split k = lo +
+    * span·k/n); the data-aware variant every skewed table actually
+    * wants slices the DATA evenly — split points at the k/n key
+    * quantiles, so each pre-split region receives the same row count.
+    * Both emitted side by side from ONE aggregate over the table
+    * (min/max + one exact percentile pass); n−1 output rows. */
+  def regionSplitPoints(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"need at least 2 regions, got $n")
+    val qs = (1 until n).map(_.toDouble / n)
+    df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"),
+        expr(s"percentile($keyCol, array(${qs.mkString(", ")}))").as("_qs"))
+      .select(col("_lo"), col("_hi"), posexplode(col("_qs")))
+      .select((col("pos") + 1).cast("bigint").as("split_idx"),
+        floor(col("_lo") + (col("_hi") - col("_lo") + 1) * (col("pos") + 1) / n)
+          .cast("bigint").as("uniform_key"),
+        round(col("col"), 4).as("quantile_key"))
+  }
+
   /** ExploringCompactionPolicy (hbase-server/.../regionserver/
     * compactions/ExploringCompactionPolicy.java): per region, pick the
     * best contiguous window of seq-ordered store files to minor-compact

@@ -237,6 +237,17 @@ object PipelineQueries {
     "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")),
     // character-entropy spam signal, integer-exact like the LM score
     "text_entropy" -> ((s, d) => TextOps.charEntropy(docs(s, d)).orderBy("doc_id")),
+    // the dataset card: corpus composition by (lang, source) with
+    // rollup subtotals — ONE codegen'd ROLLUP pass (doc counts, token
+    // totals, mean length), the summary table every released training
+    // corpus ships
+    "corpus_stats" -> ((s, d) =>
+      docs(s, d)
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("bigint")).as("total_tokens"),
+          round(avg(col("n_chars")), 4).as("avg_chars"))
+        .orderBy("lang", "source")),
     // PII scrub over a corpus seeded with synthetic emails/phones
     // (every 3rd doc) — counts + redacted-text fingerprint per doc
     "text_pii_scrub" -> ((s, d) => {
@@ -614,6 +625,12 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens, sum_mlog,
         |       round(sum_mlog / 1000000.0 / n_tokens - log10(nn), 4) AS avg_log10p
         |FROM s, n ORDER BY doc_id""".stripMargin,
+    "corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       round(avg(n_chars), 4) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (lang, source)
+        |ORDER BY lang, source""".stripMargin,
     "text_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
