@@ -168,7 +168,11 @@ object Tools {
     * wants slices the DATA evenly — split points at the k/n key
     * quantiles, so each pre-split region receives the same row count.
     * Both emitted side by side from ONE aggregate over the table
-    * (min/max + one exact percentile pass); n−1 output rows. */
+    * (min/max + one exact percentile pass); n−1 output rows for a
+    * non-empty table (an EMPTY table yields zero rows — the NULL
+    * percentile array explodes to nothing — where a SQL mirror's
+    * cross join would keep NULL-keyed rows; registered oracles assume
+    * the non-empty base tables). */
   def regionSplitPoints(df: DataFrame, keyCol: String, n: Int): DataFrame = {
     require(n >= 2, s"need at least 2 regions, got $n")
     val qs = (1 until n).map(_.toDouble / n)
@@ -177,7 +181,7 @@ object Tools {
       .select(col("_lo"), col("_hi"), posexplode(col("_qs")))
       .select((col("pos") + 1).cast("bigint").as("split_idx"),
         floor(col("_lo") + (col("_hi") - col("_lo") + 1) * (col("pos") + 1) / n)
-          .cast("bigint").as("uniform_key"),
+          .as("uniform_key"),
         round(col("col"), 4).as("quantile_key"))
   }
 
