@@ -24,13 +24,15 @@ object Salt {
     * portable (modulo + lpad) so oracles rebuild it exactly. */
   def saltedKey(key: Column, salts: Int, width: Int = 12): Column = {
     require(salts >= 1, s"salts ($salts) must be at least 1")
-    // lpad TRUNCATES past `width`, which would silently collide keys
-    // and break the scan-bound format — refuse loudly instead (the
-    // guard is a codegen'd branch, free on the in-width path)
+    // lpad TRUNCATES past `width`, which would silently collide keys,
+    // and a NEGATIVE key ("-5" lpads to "000…0-5") sorts out of
+    // numeric order — either silently breaks the scan-bound format
+    // saltedRangeScan relies on (it requires start >= 0), so refuse
+    // loudly (the guard is a codegen'd branch, free on the valid path)
     val digits = key.cast("string")
-    val guarded = when(length(digits) <= width, digits).otherwise(
+    val guarded = when(key >= 0 && length(digits) <= width, digits).otherwise(
       raise_error(concat(lit("saltedKey: key "), digits,
-        lit(s" wider than $width digits — widen `width`"))))
+        lit(s" must be a non-negative integer of at most $width digits"))))
     concat_ws("-", pmod(key, lit(salts)).cast("string"),
       lpad(guarded, width, "0"))
   }

@@ -59,9 +59,12 @@ object Mutations {
       Seq("rowkey"), "left_anti")
 
   /** BulkDeleteEndpoint, COLUMN/VERSION type: drop exactly the
-    * matching cells, keep their rows. */
+    * matching cells, keep their rows. A NULL-evaluating predicate
+    * (e.g. a value comparator over a NULL cell) is non-matching, so
+    * the cell is KEPT — the same three-valued-logic convention
+    * [[bulkDeleteRows]] gets for free from `where(pred)`. */
   def bulkDeleteCells(cells: DataFrame, pred: Column): DataFrame =
-    cells.where(!pred)
+    cells.where(!coalesce(pred, lit(false)))
 
   /** Delete (qualifier-level): null out a column for matching rows —
     * HBase's "delete one cell, keep the row". */

@@ -77,22 +77,30 @@ object DataPrep {
     * same engine-portable Knuth-hash threshold [[sampleStratified]]
     * uses — but with the per-source thresholds DERIVED from the data
     * (one tiny count aggregate, broadcast back), not hand-fed rates.
-    * Sources without a weight are dropped (share 0 of the mixture).
-    * All threshold arithmetic is integer-exact; valid while every
-    * source holds < 2³¹ rows (the k·2³² product's overflow bound) —
-    * past that, pre-scale with a stratified pass. */
+    * Sources without a weight are dropped (share 0 of the mixture);
+    * a WEIGHTED source absent from the corpus counts as n_s = 0, so T
+    * collapses to 0 and the mixture is empty — never silently skewed
+    * (the weights side of the count join is the literal weight table,
+    * not the corpus, exactly so absent sources can't vanish from the
+    * feasibility min). All threshold arithmetic is integer-exact;
+    * valid while every source holds < 2³¹ rows (the k·2³² product's
+    * overflow bound) — past that, pre-scale with a stratified pass. */
   def sampleMixture(docs: DataFrame, keyCol: String, sourceCol: String,
                     weightsPct: Map[String, Int]): DataFrame = {
     require(weightsPct.nonEmpty && weightsPct.values.forall(_ > 0) &&
       weightsPct.values.sum == 100,
       s"mixture weights must be positive percents summing to 100: $weightsPct")
-    val wCol = weightsPct.foldLeft(lit(0L)) { case (acc, (src, w)) =>
-      when(col(sourceCol) === src, lit(w.toLong)).otherwise(acc) }
-    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("_ns"))
-      .withColumn("_w", wCol)
-    val feasible = counts.where(col("_w") > 0)
-      .agg(min(expr("(_ns * 100) div _w")).as("_T"))
-    val thr = counts.crossJoin(broadcast(feasible))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val weights = weightsPct.toSeq.map { case (s, w) => (s, w.toLong) }
+      .toDF(sourceCol, "_w")
+    val counts = weights.join(
+      docs.groupBy(sourceCol).agg(count(lit(1)).as("_ns")),
+      Seq(sourceCol), "left")
+      .withColumn("_ns", coalesce(col("_ns"), lit(0L)))
+    val feasible = counts.agg(min(expr("(_ns * 100) div _w")).as("_T"))
+    val thr = counts.where(col("_ns") > 0)
+      .crossJoin(broadcast(feasible))
       .select(col(sourceCol),
         expr("(((_w * _T) div 100) * 4294967296) div _ns").as("_thr"))
     docs.join(broadcast(thr), Seq(sourceCol))

@@ -146,7 +146,10 @@ object Ann {
     * memoized-table pattern already accepts.
     *
     * Rows-only contract ([[ivf]]'s float-mean reason); the spec
-    * asserts determinism, a non-decreasing objective across rounds and
+    * asserts determinism, an EMPIRICALLY non-decreasing objective
+    * (cosine assignment with arithmetic-mean centroids is not Lloyd-
+    * monotone in theory — the cosine-optimal centroid is the mean of
+    * the NORMALIZED vectors; hence the spec's small tolerance) and
     * the no-cartesian plan shape. */
   def kmeans(vectors: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge

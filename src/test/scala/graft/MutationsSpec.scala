@@ -123,6 +123,23 @@ class MutationsSpec extends SparkSpec {
       cellDel.where(col("rowkey") === "1").count() == 1)
   }
 
+  test("bulkDelete NULL-pred cells: both row and cell forms treat NULL as non-matching") {
+    import spark.implicits._
+    val cells = Seq(
+      ("1", "f", "a", Some("hit")), ("1", "f", "b", None),
+      ("2", "f", "a", None)
+    ).toDF("rowkey", "family", "qualifier", "value")
+    val pred = col("value") === "hit" // NULL value ⇒ NULL predicate
+    val rowsLeft = Mutations.bulkDeleteRows(cells, pred)
+      .select("rowkey").as[String].collect().toSet
+    assert(rowsLeft == Set("2"), s"rows left $rowsLeft")
+    // the NULL-pred cells survive the cell-level delete too — same
+    // convention, not the ¬NULL = NULL drop a bare where(!pred) gives
+    val cellsLeft = Mutations.bulkDeleteCells(cells, pred)
+      .select("rowkey", "qualifier").as[(String, String)].collect().toSet
+    assert(cellsLeft == Set(("1", "b"), ("2", "a")), s"cells left $cellsLeft")
+  }
+
   test("normalizerPlan: oversized buckets split, adjacent small pairs merge, odd leftover skipped") {
     import spark.implicits._
     // avg = 185/5 = 37: bucket 0 (100 > 74) splits; rank pairs (0,1) too

@@ -568,4 +568,12 @@ class PipelineSpec extends SparkSpec {
     assert(got.exceptAll(DataPrep.sampleMixture(docs, "doc_id", "source", weights))
       .count() == 0)
   }
+
+  test("sampleMixture: a weighted source with zero corpus rows collapses the mixture to empty") {
+    import graft.pipeline.DataPrep
+    // "ghost" never appears in docs: the feasibility min must see its
+    // n_s = 0 (T = 0 → empty), not silently renormalize over the rest
+    val weights = Map("src0" -> 50, "ghost" -> 50)
+    assert(DataPrep.sampleMixture(docs, "doc_id", "source", weights).isEmpty)
+  }
 }

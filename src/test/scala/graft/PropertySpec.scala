@@ -215,6 +215,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("saltedKey refuses negative and over-width keys instead of storing a broken format") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    for (bad <- Seq(-5L, 10000000000000L)) { // negative; 14 digits > width 12
+      val e = intercept[Exception] {
+        Seq(bad).toDF("k")
+          .select(graft.core.Salt.saltedKey(col("k"), 8)).collect()
+      }
+      assert(e.getMessage.contains("non-negative integer"),
+        s"key $bad: ${e.getMessage}")
+    }
+  }
+
   test("compactionSelect equals the brute-force window search on random file lists") {
     import spark.implicits._
     val gen = for {
