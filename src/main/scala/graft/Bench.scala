@@ -48,6 +48,17 @@ object Bench {
     // queries still do the join/read work the layout exists for.
     def timedPass(): Seq[(String, Double, Double)] = {
       graft.pipeline.PipelineQueries.resetShared()
+      // Evacuate the PREVIOUS pass's broadcast/shuffle garbage here,
+      // between passes, not mid-pass: ContextCleaner only releases a
+      // broadcast/shuffle after a driver GC collects its weak ref, so
+      // without an explicit collection the whole backlog lands inside
+      // whichever later query happens to trigger the next old-gen GC —
+      // on a memory-tight host that reads as a pass-2 "regression" of
+      // two adjacent queries (the r5 driver-box embedding inversion)
+      // while every other query holds. Two rounds: the first GC queues
+      // the cleaner work, the pause lets it drain, the second collects
+      // what the drain itself unpinned.
+      for (_ <- 1 to 2) { System.gc(); Thread.sleep(500) }
       qs.map { case (name, fn) =>
         val g0 = gcMillis
         val t0 = System.nanoTime()
@@ -83,11 +94,15 @@ object Bench {
     // pointer names the file actually written (not a stale default)
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")).toAbsolutePath
+    // gc2 exists so a pass-2 anomaly is attributable from the record
+    // alone: wall-up + gc2-up = memory pressure / cleaner backlog,
+    // wall-up + gc2-flat = a real plan or lifecycle regression
     val fullRecord =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${pass1.size},""" +
         s""""queries":${entries(pass1.map(t => (t._1, t._2)))},""" +
         s""""pass2":${entries(pass2.map(t => (t._1, t._2)))},""" +
         s""""gc":${entries(pass1.map(t => (t._1, t._3)))},""" +
+        s""""gc2":${entries(pass2.map(t => (t._1, t._3)))},""" +
         s""""pass2_sec":$total2,"gc_sec":$totalGc,"failed":$failedJson,"sf":"$sfDir"}"""
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${pass1.size},""" +
