@@ -413,6 +413,15 @@ object SparkEntry {
           .agg(approx_count_distinct(col("l_partkey")).as("n_parts"),
                count(lit(1)).as("n_rows"))
           .orderBy("l_returnflag")),
+      // split points need only be NEAR the quantiles, so the bench
+      // path runs the fixed-state approx_percentile sketch (the exact
+      // form buffers every key in one aggregation buffer)
+      "region_splitter" -> ((s, d) =>
+        graft.analytics.Tools.regionSplitPoints(
+            T(s, d, "orders")
+              .withColumn("region_key", col("o_orderkey") * col("o_orderkey")),
+            "region_key", 8, approx = true)
+          .orderBy("split_idx")),
     )
 
   /** DuckDB-runnable oracle per query (same column names, same order). */

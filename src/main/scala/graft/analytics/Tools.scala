@@ -168,16 +168,27 @@ object Tools {
     * wants slices the DATA evenly — split points at the k/n key
     * quantiles, so each pre-split region receives the same row count.
     * Both emitted side by side from ONE aggregate over the table
-    * (min/max + one exact percentile pass); n−1 output rows for a
+    * (min/max + one percentile pass); n−1 output rows for a
     * non-empty table (an EMPTY table yields zero rows — the NULL
     * percentile array explodes to nothing — where a SQL mirror's
     * cross join would keep NULL-keyed rows; registered oracles assume
-    * the non-empty base tables). */
-  def regionSplitPoints(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    * the non-empty base tables).
+    *
+    * `approx = false` is the ORACLE form: exact `percentile` buffers
+    * every key into one aggregation buffer — byte-exact against
+    * DuckDB, but a single-executor OOM at 100 TB. `approx = true` is
+    * the plan you would actually run: `approx_percentile` (KLL-style
+    * sketch) keeps fixed-size state with map-side partials, the same
+    * exact-vs-scale split the agg_median family uses. Split points
+    * only need to be NEAR the quantiles (a region boundary a few rows
+    * off is still an even pre-split), so the sketch error is free. */
+  def regionSplitPoints(df: DataFrame, keyCol: String, n: Int,
+                        approx: Boolean = false): DataFrame = {
     require(n >= 2, s"need at least 2 regions, got $n")
     val qs = (1 until n).map(_.toDouble / n)
+    val fn = if (approx) "approx_percentile" else "percentile"
     df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"),
-        expr(s"percentile($keyCol, array(${qs.mkString(", ")}))").as("_qs"))
+        expr(s"$fn($keyCol, array(${qs.mkString(", ")}))").as("_qs"))
       .select(col("_lo"), col("_hi"), posexplode(col("_qs")))
       .select((col("pos") + 1).cast("bigint").as("split_idx"),
         floor(col("_lo") + (col("_hi") - col("_lo") + 1) * (col("pos") + 1) / n)

@@ -490,4 +490,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       s"window counts not map-side partial:\n$p")
   }
+
+  test("region_splitter bench path: sketch percentile, no full-table value buffer") {
+    val p = SparkEntry.benchQueries("region_splitter")(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    // exact percentile buffers EVERY key into one aggregation buffer —
+    // a single-executor OOM at 100 TB. The bench plan must run the
+    // fixed-state sketch instead (oracle path keeps the exact form).
+    assert(p.contains("approx_percentile"), s"sketch missing:\n$p")
+    assert(!"(?<!approx_)percentile\\(".r.findFirstIn(p).isDefined,
+      s"exact percentile leaked into the bench plan:\n$p")
+    // and its partials must merge map-side, like every scalar aggregate
+    assert(p.contains("partial_approx_percentile") ||
+      p.contains("partial_min"), s"no map-side partials:\n$p")
+  }
 }
