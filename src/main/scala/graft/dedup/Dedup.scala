@@ -226,8 +226,9 @@ object Dedup {
   /** The star counterpart of [[pairExpansion]]: sorted-min member to
     * each other element, `emit` sees the min as `x` and the other as
     * `y` — ONE copy of the slice arithmetic for the same no-drift
-    * reason. */
-  private def starExpansion(emit: String): String =
+    * reason (private[graft]: the SRP arm in [[graft.sim.Ann]] shares
+    * it, like [[pairExpansion]]). */
+  private[graft] def starExpansion(emit: String): String =
     s"""transform(slice(ds, 2, size(ds) - 1),
        |  y -> ${emit.replaceAll("\\bx\\b", "element_at(ds, 1)")})""".stripMargin
 

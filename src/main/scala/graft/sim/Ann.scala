@@ -197,9 +197,22 @@ object Ann {
     * accept recall only at higher similarity — same dial as SimHash's
     * band width. The shuffle carries (vec_id, sig) pairs, never
     * embeddings; embeddings join back for the verify on the candidate
-    * set only. */
+    * set only.
+    *
+    * `starAbove` is the degenerate-bucket ceiling ported from
+    * [[graft.dedup.Dedup.minhashLsh]]: a (band, key) bucket larger
+    * than it emits STAR pairs (sorted-min member to each other, K−1
+    * edges) instead of all K(K−1)/2 — the escape hatch for a corpus
+    * with 10⁶ near-identical embeddings (one boilerplate image/text
+    * embedded a million times lands them all in one bucket, and
+    * O(10¹²) candidate pairs is the blow-up mode of any LSH arm).
+    * Same recall contract as MinHash's: connectivity is preserved for
+    * mutual near-dup floods (the case that creates giant buckets), the
+    * pair REPORT loses non-star pairs of such buckets — opt-in,
+    * default off. */
   def srpDupPairs(vectors: DataFrame, threshold: Double = 0.9,
-                  bands: Int = 8, maxHamming: Int = -1): DataFrame = {
+                  bands: Int = 8, maxHamming: Int = -1,
+                  starAbove: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     require(bands >= 2 && 64 % bands == 0,
       s"bands ($bands) must divide 64 and be at least 2 " +
@@ -225,9 +238,14 @@ object Ann {
     val cand = banded.groupBy("band", "key")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .where(size(col("ds")) >= 2)
-      .select(explode(expr(graft.dedup.Dedup.pairExpansion(
-        """y -> struct(x.doc_id AS i, y.doc_id AS j,
-          |            bit_count(x.sig ^ y.sig) AS hamming)""".stripMargin))).as("p"))
+      .select(explode(
+        when(size(col("ds")) <= starAbove,
+          expr(graft.dedup.Dedup.pairExpansion(
+            """y -> struct(x.doc_id AS i, y.doc_id AS j,
+              |            bit_count(x.sig ^ y.sig) AS hamming)""".stripMargin)))
+        .otherwise(expr(graft.dedup.Dedup.starExpansion(
+          "struct(x.doc_id AS i, y.doc_id AS j, bit_count(x.sig ^ y.sig) AS hamming)"))))
+        .as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
       .where(col("hamming") <= hamCut)
       .distinct()

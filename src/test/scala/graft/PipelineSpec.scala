@@ -286,6 +286,52 @@ class PipelineSpec extends SparkSpec {
     Dedup.releaseLabels(docs)  // no-op guard: safe on unpinned frames
   }
 
+  test("SRP star emission: an identical-vector flood emits O(K) edges, components survive") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    import graft.sim.Ann
+    // 30 identical embeddings: every band bucket holds all 30, the
+    // all-pairs mode would emit 30*29/2 = 435 candidates per band
+    val same = (0 until 16).map(j => math.sin(j + 1.0).toFloat)
+    val flood = (0L until 30L).map(i => (i, same))
+    val other = Seq(
+      (100L, (0 until 16).map(j => math.cos(3.0 * j + 1).toFloat)),
+      (101L, (0 until 16).map(j => math.sin(7.0 * j + 2).toFloat)))
+    val vecs = (flood ++ other).toDF("vec_id", "embedding")
+    val all = Ann.srpDupPairs(vecs, 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(all.size == 435, s"all-pairs emitted ${all.size}")
+    val star = Ann.srpDupPairs(vecs, 0.9, starAbove = 5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // exactly K-1 star edges, all anchored at the bucket-min vec_id
+    assert(star == (1L until 30L).map(j => (0L, j)).toSet, s"star emitted $star")
+    val cc = Dedup.connectedComponents(star.toSeq.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc.keySet == (0L until 30L).toSet && cc.values.toSet == Set(0L),
+      s"flood component not recovered: $cc")
+  }
+
+  test("SimHash star emission: an identical-doc flood emits O(K) edges, components survive") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val dup = (0L until 12L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val other = Seq(
+      (100L, "completely different words fill this document top to bottom here"),
+      (101L, "yet another unrelated text with its own vocabulary entirely now"))
+    val docs = (dup ++ other).toDF("doc_id", "text")
+    val all = Dedup.simhash(docs)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(all.size == 66, s"all-pairs emitted ${all.size}")
+    val star = Dedup.simhash(docs, starAbove = 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(star == (1L until 12L).map(j => (0L, j)).toSet, s"star emitted $star")
+    val cc = Dedup.connectedComponents(star.toSeq.toDF("i", "j"))
+      .as[(Long, Long)].collect().toMap
+    assert(cc.keySet == (0L until 12L).toSet && cc.values.toSet == Set(0L),
+      s"flood component not recovered: $cc")
+  }
+
   test("connectedComponents frees superseded checkpoints (no storage accumulation)") {
     import spark.implicits._
     // a 200-ring has diameter 100 → pointer jumping needs ~7 rounds;
