@@ -156,6 +156,26 @@ object SparkEntry {
         .select("rowkey", "qualifier", "ts", "vis", "value", "event_id")
         .orderBy("event_id")
     }),
+    // AccessController read masking, the grant-table half of HBase
+    // security next to cell_visibility's label half: the user's _acl_
+    // grants broadcast beside the scan, a cell survives iff a READ
+    // grant covers it (table / family / qualifier level), deny by
+    // default — alice holds family-level web plus the act:purchase
+    // qualifier, so act:error/signup stay masked; her grant on another
+    // table and bob's grants must not leak in
+    "acl_enforce" -> ((s, d) => {
+      import s.implicits._
+      val grants = Seq[(String, Option[String], Option[String], Option[String], String)](
+        ("alice", Some("events"), Some("web"), None, "R"),
+        ("alice", Some("events"), Some("act"), Some("purchase"), "R"),
+        ("alice", Some("audit"), None, None, "R"),
+        ("bob", None, None, None, "RW")
+      ).toDF("grantee", "tbl", "family", "qualifier", "perm")
+      graft.kv.Acl.enforceRead(Tables.eventCellsTwoFamilies(s, d),
+          grants, "alice", "events")
+        .select("rowkey", "family", "qualifier", "ts", "value", "event_id")
+        .orderBy("event_id")
+    }),
     // Get.setTimeRange(0, ts) + maxVersions(1) as a stream-wide temporal
     // join: for each click, the same user's latest purchase at or
     // before it — one shuffle on the key, running struct-max, never a
@@ -274,6 +294,20 @@ object SparkEntry {
         |      CASE WHEN a LIKE '!%' THEN NOT list_contains(['public','internal'], substr(a, 2))
         |           ELSE list_contains(['public','internal'], a) END))
         |      = len(string_split(t, '&')))) > 0
+        |ORDER BY event_id""".stripMargin),
+    "acl_enforce" ->
+      ("WITH " + graft.core.Tables.eventCellsTwoFamiliesSql + """,
+        |grants(grantee, tbl, family, qualifier, perm) AS (VALUES
+        |  ('alice', 'events', 'web', NULL, 'R'),
+        |  ('alice', 'events', 'act', 'purchase', 'R'),
+        |  ('alice', 'audit', NULL, NULL, 'R'),
+        |  ('bob', NULL, NULL, NULL, 'RW'))
+        |SELECT rowkey, family, qualifier, ts, value, event_id FROM vcells2 c
+        |WHERE EXISTS (SELECT 1 FROM grants g
+        |  WHERE g.grantee = 'alice' AND g.perm LIKE '%R%'
+        |    AND (g.tbl IS NULL OR g.tbl = 'events')
+        |    AND (g.family IS NULL OR g.family = c.family)
+        |    AND (g.qualifier IS NULL OR g.qualifier = c.qualifier))
         |ORDER BY event_id""".stripMargin),
     // querying through the index must equal filtering the base directly
     "secondary_index" ->

@@ -1,0 +1,47 @@
+package graft.kv
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** AccessController read-path enforcement — the grant-table half of
+  * HBase security, next to [[Visibility]]'s label half.
+  *
+  * Reference semantics (hbase-server/.../security/access/
+  * AccessController.java:299 `permissionGranted`, walking
+  * TableAuthManager's cached `_acl_` rows): a read is authorized iff a
+  * READ grant COVERS it at some level of the hierarchy — global (table
+  * NULL), table (family NULL), family (qualifier NULL), or the exact
+  * qualifier — and DENIED by default when no grant covers it. The
+  * reference short-circuits per request; re-expressed relationally the
+  * same walk becomes per-cell masking: keep exactly the cells some
+  * covering grant reaches.
+  */
+object Acl {
+
+  /** Mask `cells` down to what `user` may read from `table`.
+    *
+    * `grants` is the `_acl_` system table: (grantee, tbl, family,
+    * qualifier, perm), NULL = "whole level below" exactly as the
+    * reference stores it (AccessControlLists.java — the `_acl_` row
+    * per table, qualifier per grantee). perm is the action string
+    * ("R", "RW", ...); cover requires 'R'.
+    *
+    * Plan shape: the user's relevant grants (a handful of rows after
+    * the grantee+table filter) BROADCAST beside the scan; the NULL-
+    * wildcard hierarchy makes the cover test inherently non-equi, so
+    * enforcement is a broadcast left-semi nested-loop — the data side
+    * streams straight from the scan with NO shuffle, each cell
+    * evaluated against the in-memory grant list, which is precisely
+    * what a regionserver's AuthManager cache does per cell batch. */
+  def enforceRead(cells: DataFrame, grants: DataFrame,
+                  user: String, table: String): DataFrame = {
+    val g = grants
+      .where(col("grantee") === user && instr(col("perm"), "R") > 0 &&
+        (col("tbl").isNull || col("tbl") === table))
+      .select(col("family").as("_gf"), col("qualifier").as("_gq"))
+    cells.join(broadcast(g),
+      (col("_gf").isNull || col("_gf") === col("family")) &&
+        (col("_gq").isNull || col("_gq") === col("qualifier")),
+      "left_semi")
+  }
+}

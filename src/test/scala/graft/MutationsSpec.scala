@@ -123,6 +123,35 @@ class MutationsSpec extends SparkSpec {
       cellDel.where(col("rowkey") === "1").count() == 1)
   }
 
+  test("Acl.enforceRead: deny by default, hierarchy covers, write grants don't read") {
+    import spark.implicits._
+    val cells = Seq(
+      (1L, "web", "click", "a"), (2L, "web", "view", "b"),
+      (3L, "act", "purchase", "c"), (4L, "act", "error", "d")
+    ).toDF("rowkey", "family", "qualifier", "value")
+    def grants(rows: (String, Option[String], Option[String], Option[String], String)*) =
+      rows.toSeq.toDF("grantee", "tbl", "family", "qualifier", "perm")
+    def visible(g: org.apache.spark.sql.DataFrame, user: String = "u") =
+      graft.kv.Acl.enforceRead(cells, g, user, "t")
+        .select("rowkey").as[Long].collect().toSet
+    // no grants at all → nothing (deny by default)
+    assert(visible(grants(("other", None, None, None, "R"))) == Set.empty[Long])
+    // write-only grant does not authorize reads
+    assert(visible(grants(("u", None, None, None, "W"))) == Set.empty[Long])
+    // a grant on another table must not leak into this one
+    assert(visible(grants(("u", Some("elsewhere"), None, None, "R"))) == Set.empty[Long])
+    // qualifier-level: exactly that column, nothing else of the family
+    assert(visible(grants(("u", Some("t"), Some("act"), Some("purchase"), "R"))) == Set(3L))
+    // family-level: every qualifier of the family
+    assert(visible(grants(("u", Some("t"), Some("web"), None, "R"))) == Set(1L, 2L))
+    // table-level: everything; RW carries the R
+    assert(visible(grants(("u", Some("t"), None, None, "RW"))) == Set(1L, 2L, 3L, 4L))
+    // levels combine (family + foreign-family qualifier)
+    assert(visible(grants(
+      ("u", Some("t"), Some("web"), None, "R"),
+      ("u", Some("t"), Some("act"), Some("purchase"), "R"))) == Set(1L, 2L, 3L))
+  }
+
   test("bulkDelete NULL-pred cells: both row and cell forms treat NULL as non-matching") {
     import spark.implicits._
     val cells = Seq(
