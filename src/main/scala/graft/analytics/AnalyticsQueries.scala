@@ -89,6 +89,22 @@ object AnalyticsQueries {
           greatest(lit(0L), col("n_reqs") - col("max_reqs")).as("n_throttled"))
         .orderBy("user_id", "window")
     }),
+    // NamespaceAuditor: per-namespace table/region accounting vs the
+    // namespace quota properties (the `n.` rows of hbase:quota) —
+    // 5 tables in 2 namespaces, region counts from exact integer
+    // ceil(rows/1000); 'sales' runs over its region quota, 'catalog'
+    // sits exactly AT its table quota (at-quota is not over-quota)
+    "namespace_quota" -> ((s, d) => {
+      import s.implicits._
+      val quotas = Seq(("sales", 5L, 60L), ("catalog", 2L, 50L))
+        .toDF("namespace", "max_tables", "max_regions")
+      val cat = Seq("orders" -> "sales", "lineitem" -> "sales",
+        "customer" -> "sales", "part" -> "catalog", "supplier" -> "catalog")
+      Tools.namespaceQuotaAudit(
+          cat.map { case (t, ns) => (ns, t, Tables.load(s, d, t)) },
+          quotas, regionRows = 1000L)
+        .orderBy("namespace")
+    }),
     // SimpleRegionNormalizer: regions grown unevenly (squared key ->
     // dense low range, sparse tail) get split/merge plans from ONE
     // stats aggregate; the rank window runs over 16 bucket rows
@@ -194,6 +210,26 @@ object AnalyticsQueries {
   private val V = "WITH " + Tables.eventCellsSql + "\n"
 
   val oracles: Map[String, String] = Map(
+    "namespace_quota" ->
+      """WITH catalog AS (
+        |  SELECT 'sales' AS namespace, (count(*) + 999) // 1000 AS n_regions FROM orders
+        |  UNION ALL SELECT 'sales', (count(*) + 999) // 1000 FROM lineitem
+        |  UNION ALL SELECT 'sales', (count(*) + 999) // 1000 FROM customer
+        |  UNION ALL SELECT 'catalog', (count(*) + 999) // 1000 FROM part
+        |  UNION ALL SELECT 'catalog', (count(*) + 999) // 1000 FROM supplier),
+        |q AS (SELECT namespace, CAST(max_tables AS BIGINT) AS max_tables,
+        |             CAST(max_regions AS BIGINT) AS max_regions
+        |      FROM (VALUES ('sales', 5, 60), ('catalog', 2, 50))
+        |           t(namespace, max_tables, max_regions)),
+        |u AS (SELECT namespace, count(*) AS n_tables,
+        |             CAST(sum(n_regions) AS BIGINT) AS n_regions
+        |      FROM catalog GROUP BY 1)
+        |SELECT namespace, n_tables, n_regions, max_tables, max_regions,
+        |       n_tables > max_tables OR n_regions > max_regions AS over_quota,
+        |       max_tables - n_tables AS table_headroom,
+        |       max_regions - n_regions AS region_headroom
+        |FROM u JOIN q USING (namespace)
+        |ORDER BY namespace""".stripMargin,
     "rowcounter" ->
       (C + "SELECT count(DISTINCT rowkey) AS n_rows FROM cells WHERE value = 'BUILDING'"),
     "cellcounter" ->

@@ -270,4 +270,45 @@ object Tools {
       .groupBy(bucketName)
       .agg(baseAggs.head, baseAggs.tail: _*)
   }
+
+  /** NamespaceAuditor (hbase-server/.../namespace/NamespaceAuditor.java:58,
+    * NamespaceStateManager.java:104) — per-namespace table/region
+    * accounting against the namespace quota properties
+    * (hbase.namespace.quota.maxtables / maxregions set at namespace
+    * creation; quota rows keyed `n.<namespace>` in hbase:quota,
+    * QuotaTableUtil.java:70). The master keeps this state as an
+    * in-memory cache updated per DDL; relationally it is ONE row per
+    * namespace: count tables, sum region counts, join the (tiny,
+    * broadcast) quota table, report usage and violation.
+    *
+    * `tables` is the catalog view: (namespace, table name, table
+    * DataFrame). Region counts derive from row counts at `regionRows`
+    * rows per region — exact integer arithmetic ((n + r − 1) div r),
+    * so any SQL engine mirrors it bit-for-bit. Each per-table count is
+    * a map-side-partial scalar aggregate; the union is `|tables|`
+    * 1-row aggregates, so the whole audit costs one pass over each
+    * table's row-group metadata (parquet count pushdown) regardless of
+    * data scale. */
+  def namespaceQuotaAudit(tables: Seq[(String, String, DataFrame)],
+                          quotas: DataFrame, regionRows: Long): DataFrame = {
+    require(tables.nonEmpty && regionRows >= 1,
+      s"need tables and regionRows >= 1 (got $regionRows)")
+    val catalog = tables.map { case (ns, name, df) =>
+      df.agg(count(lit(1)).as("_n"))
+        .select(lit(ns).as("namespace"), lit(name).as("tbl"),
+          // `div`, not `/`: Spark's / is double division, and a float
+          // round-trip on a row count is exactly the parity bug the
+          // integer form exists to avoid
+          expr(s"(_n + ${regionRows - 1}) div $regionRows").as("n_regions"))
+    }.reduce(_ unionByName _)
+    catalog.groupBy("namespace")
+      .agg(count(lit(1)).as("n_tables"), sum("n_regions").as("n_regions"))
+      .join(broadcast(quotas), "namespace")
+      .select(col("namespace"), col("n_tables"), col("n_regions"),
+        col("max_tables"), col("max_regions"),
+        (col("n_tables") > col("max_tables") ||
+          col("n_regions") > col("max_regions")).as("over_quota"),
+        (col("max_tables") - col("n_tables")).as("table_headroom"),
+        (col("max_regions") - col("n_regions")).as("region_headroom"))
+  }
 }

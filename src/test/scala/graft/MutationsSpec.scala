@@ -123,6 +123,32 @@ class MutationsSpec extends SparkSpec {
       cellDel.where(col("rowkey") === "1").count() == 1)
   }
 
+  test("namespaceQuotaAudit: region ceil is exact, at-quota is not over-quota") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    // 1000 rows = exactly 1 region; 1001 = 2 (the ceil edge)
+    val t1 = spark.range(1000).toDF("k")   // ns a
+    val t2 = spark.range(1001).toDF("k")   // ns a
+    val t3 = spark.range(1).toDF("k")      // ns b
+    val quotas = Seq(("a", 2L, 3L), ("b", 5L, 1L)).toDF(
+      "namespace", "max_tables", "max_regions")
+    val got = Tools.namespaceQuotaAudit(
+        Seq(("a", "t1", t1), ("a", "t2", t2), ("b", "t3", t3)), quotas, 1000L)
+      .select("namespace", "n_tables", "n_regions", "over_quota",
+        "table_headroom", "region_headroom")
+      .as[(String, Long, Long, Boolean, Long, Long)].collect().toSet
+    // a: 2 tables (AT max_tables: not over), 1+2=3 regions (AT max: not over)
+    // b: 1 table, 1 region, both at/under
+    assert(got == Set(("a", 2L, 3L, false, 0L, 0L), ("b", 1L, 1L, false, 4L, 0L)),
+      s"got $got")
+    // one more region over the line flips the flag
+    val over = Tools.namespaceQuotaAudit(
+        Seq(("a", "t1", t1), ("a", "t2", t2), ("a", "t4", spark.range(2001).toDF("k"))),
+        quotas, 1000L)
+      .select("namespace", "over_quota").as[(String, Boolean)].collect().toSet
+    assert(over == Set(("a", true)), s"got $over")
+  }
+
   test("Acl.enforceRead: deny by default, hierarchy covers, write grants don't read") {
     import spark.implicits._
     val cells = Seq(
