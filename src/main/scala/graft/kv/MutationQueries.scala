@@ -73,6 +73,18 @@ object MutationQueries {
       Mutations.checkAndDelete(base, dels, "c_custkey", col("c_acctbal") < 0)
         .orderBy("c_custkey")
     }),
+    // RowMutations (hbase-client/.../client/RowMutations.java:42):
+    // one atomic batch of puts AND deletes — keys %10 get a put, keys
+    // %20 ALSO a delete, and deletes win over the batch's own puts
+    // (the row dies whatever else the batch holds for it)
+    "mutate_row" -> ((s, d) => {
+      val base = ordersKV(s, d)
+      val puts = base.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1, 2))
+      val dels = base.where(col("o_orderkey") % 20 === 0).select("o_orderkey")
+      Mutations.mutateRow(base, puts, dels, "o_orderkey").orderBy("o_orderkey")
+    }),
     // version-exact deletes on the versioned cell view: drop the LATEST
     // version of every column of every 7th user (deleteColumn with ts =
     // that version's timestamp), then a family-scoped up-to-ts delete
@@ -112,6 +124,14 @@ object MutationQueries {
         |            ELSE c_mktsegment END AS c_mktsegment,
         |       c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "mutate_row" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 10 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, 'M' AS o_orderstatus,
+        |       round(o_totalprice + 1, 2) AS o_totalprice
+        |FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 20 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     "ttl_expiry" ->
       ("WITH " + Tables.eventCellsSql + "\n" +
        """SELECT rowkey, qualifier, ts, value, event_id FROM vcells
