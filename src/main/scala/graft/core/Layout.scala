@@ -124,6 +124,45 @@ object Snapshots {
       .select(col(keyCol), col("change"))
   }
 
+  /** The snapshot's region manifest: per part-file key-range stats
+    * (start/end key + row count). [[Layout.writeSorted]] range-
+    * partitions on the rowkey, so each part file IS a region — disjoint
+    * key range, sorted within — and this table is the split table
+    * TableSnapshotInputFormat derives from the snapshot manifest
+    * (hbase-server/.../mapreduce/TableSnapshotInputFormat.java:86,
+    * one split per region with its key range). Built from a single-
+    * column pass over the snapshot (only `keyCol` is read — column
+    * pruning keeps it at one thin column even when the snapshot is
+    * wide); at real scale a pipeline persists this at snapshot-write
+    * time exactly like the reference's manifest. */
+  def regionManifest(spark: SparkSession, base: String, version: Int,
+                     keyCol: String): DataFrame =
+    read(spark, base, version)
+      .select(input_file_name().as("file"), col(keyCol))
+      .groupBy("file")
+      .agg(min(col(keyCol)).as("start_key"), max(col(keyCol)).as("end_key"),
+        count(lit(1)).as("n_rows"))
+
+  /** TableSnapshotInputFormat-style DIRECT snapshot scan: read the
+    * snapshot's files with no serving table in the path, touching ONLY
+    * the region files whose key range overlaps `[lo, hi)`. The file
+    * pick is driver-side over the manifest's #regions rows — the same
+    * O(regions) work the reference's getSplits does when it turns the
+    * snapshot manifest into splits; the data itself never routes
+    * through a scan of non-overlapping regions (they are absent from
+    * the read, not filtered after it). The residual in-file predicate
+    * still pushes to parquet for the boundary regions. */
+  def scanDirect(spark: SparkSession, base: String, version: Int,
+                 keyCol: String, lo: Long, hi: Long): DataFrame = {
+    require(hi >= lo, s"bad range [$lo, $hi)")
+    val picked = regionManifest(spark, base, version, keyCol)
+      .where(col("start_key") < hi && col("end_key") >= lo)
+      .select("file").collect().map(_.getString(0))
+    val pred = col(keyCol) >= lo && col(keyCol) < hi
+    if (picked.isEmpty) read(spark, base, version).where(lit(false))
+    else spark.read.parquet(picked.toIndexedSeq: _*).where(pred)
+  }
+
   /** ExportSnapshot (hbase-server/.../snapshot/ExportSnapshot.java) —
     * ship a snapshot to another cluster by copying its files directly
     * (the tool moves HFiles, bypassing region servers entirely; the

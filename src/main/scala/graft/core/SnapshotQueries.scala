@@ -105,6 +105,14 @@ object SnapshotQueries {
           "event_id", Seq("user_id", "event_type", "ts", "value"))
         .orderBy("event_id")
     }),
+    // TableSnapshotInputFormat analogue: scan the v1 snapshot dir
+    // DIRECTLY — split planning over the per-file region manifest picks
+    // only the part files overlapping [3, 8), non-overlapping regions
+    // never enter the read (plan-audited: inputFiles strictly shrink)
+    "snapshot_scan_direct" -> ((s, d) => {
+      val base = ensureSnapshots(s, d)
+      Snapshots.scanDirect(s, base, 1, "user_id", 3L, 8L).orderBy("event_id")
+    }),
     "region_split_stats" -> ((s, d) =>
       regionStats(Tables.load(s, d, "lineitem"), "l_orderkey", 16, "l_quantity")
         .orderBy("region")),
@@ -163,6 +171,11 @@ object SnapshotQueries {
     "snapshot_diff" ->
       """SELECT event_id, 'removed' AS change FROM events
         |WHERE user_id % 2 = 0 ORDER BY event_id""".stripMargin,
+    // v1 is the events snapshot, so the direct region-file scan must
+    // equal the plain range filter over the base table
+    "snapshot_scan_direct" ->
+      """SELECT event_id, user_id, event_type, ts, value FROM events
+        |WHERE user_id >= 3 AND user_id < 8 ORDER BY event_id""".stripMargin,
     // the clone's only divergence from its origin is its own mutation
     "snapshot_clone" ->
       """SELECT event_id, 'changed' AS change FROM events

@@ -491,6 +491,27 @@ class PlanAuditSpec extends SparkSpec {
       s"window counts not map-side partial:\n$p")
   }
 
+  test("scanDirect: split planning excludes non-overlapping region files") {
+    import spark.implicits._
+    import graft.core.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_direct").toString
+    val df = (0L until 800L).map(k => (k, s"v$k")).toDF("rowkey", "v")
+    Snapshots.write(df, "rowkey", base, 1)
+    val full = Snapshots.read(spark, base, 1)
+    val scan = Snapshots.scanDirect(spark, base, 1, "rowkey", 100L, 300L)
+    // the point of the manifest: non-overlapping region files are
+    // ABSENT from the read, not filtered after it
+    assert(scan.inputFiles.length < full.inputFiles.length,
+      s"no file pruning: ${scan.inputFiles.length}/${full.inputFiles.length}")
+    assert(scan.select("rowkey").as[Long].collect().toSet == (100L until 300L).toSet)
+    // boundary regions still push the residual range into parquet
+    val p = scan.queryExecution.executedPlan.toString()
+    assert(p.contains("PushedFilters: [IsNotNull(rowkey), GreaterThanOrEqual(rowkey,100), LessThan(rowkey,300)"), p)
+    // a fully out-of-range scan is empty but keeps the snapshot schema
+    val none = Snapshots.scanDirect(spark, base, 1, "rowkey", 5000L, 6000L)
+    assert(none.isEmpty && none.columns.sameElements(full.columns))
+  }
+
   test("region_splitter bench path: sketch percentile, no full-table value buffer") {
     val p = SparkEntry.benchQueries("region_splitter")(spark, sfDir)
       .queryExecution.executedPlan.toString()
