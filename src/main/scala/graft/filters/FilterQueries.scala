@@ -76,6 +76,15 @@ object FilterQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")),
     "filter_first_key_only" -> ((s, d) =>
       Filters.firstKeyOnly(cc(s, d)).orderBy("rowkey")),
+    // FirstKeyValueMatchingQualifiersFilter over the versioned view:
+    // each user's cells stream in (qualifier, ts desc) scan order until
+    // the first purchase/signup cell, inclusive; users with neither
+    // emit everything (the reference's RowCounter-early-out caveat)
+    "filter_first_key_matching_qualifiers" -> ((s, d) =>
+      vcellsOut(vc(s, d).withColumn("_keep",
+          Filters.firstKeyValueMatchingQualifiers(Seq("purchase", "signup"),
+            Seq(col("family"), col("qualifier"), col("ts").desc, col("event_id").desc)))
+        .where(col("_keep")).drop("_keep"))),
     "filter_random" -> ((s, d) =>
       Tables.load(s, d, "orders")
         .where(Filters.randomRowFilter(col("o_orderkey"), 0.25))
@@ -197,6 +206,15 @@ object FilterQueries {
              |  SELECT rowkey, family, qualifier,
              |         row_number() OVER (PARTITION BY rowkey ORDER BY family, qualifier) AS rn
              |  FROM cells) WHERE rn = 1 ORDER BY rowkey""".stripMargin),
+    "filter_first_key_matching_qualifiers" ->
+      (V + """SELECT rowkey, qualifier, ts, value, event_id FROM (
+             |  SELECT *, coalesce(sum(CASE WHEN qualifier IN ('purchase', 'signup')
+             |                             THEN 1 ELSE 0 END)
+             |    OVER (PARTITION BY rowkey
+             |          ORDER BY family, qualifier, ts DESC, event_id DESC
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+             |  FROM vcells)
+             |WHERE prior = 0 ORDER BY event_id""".stripMargin),
     "filter_random" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE ((o_orderkey % 2147483648) * 2654435761) % 4294967296 < 1073741824

@@ -189,6 +189,28 @@ object Filters {
   def keyOnly(cells: DataFrame): DataFrame =
     cells.select("rowkey", "family", "qualifier")
 
+  /** FirstKeyValueMatchingQualifiersFilter.java:49 — emit a row's
+    * cells in scan order UP TO AND INCLUDING the first cell whose
+    * qualifier is in the set; after that match the rest of the row is
+    * skipped (ReturnCode.NEXT_ROW). A row with NO matching qualifier
+    * emits every cell — the reference's documented caveat ("may emit
+    * KVs which do not have the given columns in them"; it exists for
+    * RowCounter-style early-out, not projection). Relationally: a cell
+    * survives iff no matching cell PRECEDES it, i.e. one running count
+    * over the preceding-rows frame — a single window function, one
+    * shuffle on rowkey. `orderCols` is the cell scan order; versioned
+    * views append ts desc + a unique tiebreak for the HBase
+    * newest-first order. Window-shaped: materialize before WHERE. */
+  def firstKeyValueMatchingQualifiers(
+      qualifiers: Seq[String],
+      orderCols: Seq[Column] = Seq(col("family"), col("qualifier"))): Column = {
+    require(qualifiers.nonEmpty, "need at least one qualifier to match")
+    val w = Window.partitionBy("rowkey").orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    coalesce(sum(when(col("qualifier").isInCollection(qualifiers), 1)
+      .otherwise(0)).over(w), lit(0)) === 0
+  }
+
   /** SkipFilter's row predicate as a composable Column — the single
     * source of the SKIP semantics, shared by [[skipFilter]] and the
     * ParseFilter DSL. A null predicate result (e.g. a null cell under a

@@ -327,6 +327,16 @@ object ParseFilter {
           // (family, qualifier) order = pagination at offset 0
           Pred(Filters.columnPaginationPredicate(number().toInt, 0))
         case "FirstKeyOnlyFilter" => Pred(Filters.firstKeyOnlyPredicate)
+        case "FirstKeyValueMatchingQualifiersFilter" => Pred {
+          // FirstKeyValueMatchingQualifiersFilter.java:49 — qualifier
+          // set as quoted args; cells pass until the first match,
+          // then the rest of the row is skipped
+          val qs = scala.collection.mutable.ListBuffer(quoted())
+          while ({ ws(); !eof && s.charAt(pos) == ',' }) {
+            eat(","); qs += quoted()
+          }
+          Filters.firstKeyValueMatchingQualifiers(qs.toSeq)
+        }
         case "KeyOnlyFilter" =>
           // rewrites cell content (zero-length values) rather than
           // selecting cells — lowered in ParseFilter.filter

@@ -121,6 +121,30 @@ class FiltersSpec extends SparkSpec {
     assert(fk.count() == Tables.load(spark, sfDir, "customer").count())
   }
 
+  test("firstKeyValueMatchingQualifiers stops after first match, no-match rows pass whole") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cells = Seq(
+      // row 1: a, b(match), c — stop AFTER b, c skipped
+      ("1", "f", "a", "v1"), ("1", "f", "b", "v2"), ("1", "f", "c", "v3"),
+      // row 2: no matching qualifier anywhere — everything emits
+      ("2", "f", "a", "v4"), ("2", "f", "c", "v5"),
+      // row 3: the match IS the first cell — only it emits
+      ("3", "f", "b", "v6"), ("3", "f", "c", "v7")
+    ).toDF("rowkey", "family", "qualifier", "value")
+    val got = cells.withColumn("_keep",
+        Filters.firstKeyValueMatchingQualifiers(Seq("b", "x")))
+      .where(col("_keep")).drop("_keep")
+      .select("rowkey", "qualifier").as[(String, String)].collect().toSet
+    assert(got == Set(("1", "a"), ("1", "b"), ("2", "a"), ("2", "c"), ("3", "b")),
+      s"got $got")
+    // DSL production lowers to the same predicate
+    val dsl = graft.filters.ParseFilter.filter(cells,
+        "FirstKeyValueMatchingQualifiersFilter('b', 'x')")
+      .select("rowkey", "qualifier").as[(String, String)].collect().toSet
+    assert(dsl == got, s"dsl $dsl vs $got")
+  }
+
   test("batchCells: every cell chunked, batches full except the last") {
     import spark.implicits._
     val cells = Tables.customerCells(spark, sfDir)  // 3 cells per row
