@@ -283,12 +283,17 @@ object Tools {
     *
     * `tables` is the catalog view: (namespace, table name, table
     * DataFrame). Region counts derive from row counts at `regionRows`
-    * rows per region — exact integer arithmetic ((n + r − 1) div r),
-    * so any SQL engine mirrors it bit-for-bit. Each per-table count is
-    * a map-side-partial scalar aggregate; the union is `|tables|`
-    * 1-row aggregates, so the whole audit costs one pass over each
-    * table's row-group metadata (parquet count pushdown) regardless of
-    * data scale. */
+    * rows per region — exact integer arithmetic ((n + r − 1) div r,
+    * floored at 1: every table holds at least one region, exactly as
+    * NamespaceStateManager counts a fresh empty table) — so any SQL
+    * engine mirrors it bit-for-bit. Each per-table count is a
+    * map-side-partial scalar aggregate; the union is `|tables|` 1-row
+    * aggregates, so the whole audit costs one pass over each table's
+    * row-group metadata (parquet count pushdown) regardless of data
+    * scale. Every QUOTA row yields an audit row — a governed namespace
+    * holding no tables yet reports zero usage and full headroom rather
+    * than vanishing; namespaces without a quota row are out of audit
+    * scope (unlimited, as in the reference). */
   def namespaceQuotaAudit(tables: Seq[(String, String, DataFrame)],
                           quotas: DataFrame, regionRows: Long): DataFrame = {
     require(tables.nonEmpty && regionRows >= 1,
@@ -299,11 +304,14 @@ object Tools {
           // `div`, not `/`: Spark's / is double division, and a float
           // round-trip on a row count is exactly the parity bug the
           // integer form exists to avoid
-          expr(s"(_n + ${regionRows - 1}) div $regionRows").as("n_regions"))
+          greatest(lit(1L),
+            expr(s"(_n + ${regionRows - 1}) div $regionRows")).as("n_regions"))
     }.reduce(_ unionByName _)
-    catalog.groupBy("namespace")
-      .agg(count(lit(1)).as("n_tables"), sum("n_regions").as("n_regions"))
-      .join(broadcast(quotas), "namespace")
+    quotas.join(
+        broadcast(catalog.groupBy("namespace")
+          .agg(count(lit(1)).as("n_tables"), sum("n_regions").as("n_regions"))),
+        Seq("namespace"), "left")
+      .na.fill(0L, Seq("n_tables", "n_regions"))
       .select(col("namespace"), col("n_tables"), col("n_regions"),
         col("max_tables"), col("max_regions"),
         (col("n_tables") > col("max_tables") ||

@@ -62,6 +62,12 @@ object ParseFilter {
   private final case class While(inner: Column) extends Node
   private final case class Page(n: Long) extends Node
   private case object KeyOnly extends Node
+  // FirstKeyValueMatchingQualifiersFilter defers to lowering: its scan
+  // order must include the version columns (ts desc, unique tiebreak)
+  // WHEN the view carries them, and only the DataFrame's schema can
+  // tell — a fixed (family, qualifier) Column would order version ties
+  // arbitrarily (nondeterministic output on versioned views)
+  private final case class FirstMatch(qualifiers: Seq[String]) extends Node
   private final case class AndN(l: Node, r: Node) extends Node
   private final case class OrN(l: Node, r: Node) extends Node
 
@@ -89,10 +95,12 @@ object ParseFilter {
     case Pred(c)    => c
     case AndN(l, r) => toColumn(l) && toColumn(r)
     case OrN(l, r)  => toColumn(l) || toColumn(r)
-    case While(_) | Page(_) | KeyOnly => throw new IllegalArgumentException(
-      "ParseFilter: WHILE / PageFilter / KeyOnlyFilter carry scanner " +
-        "state or rewrite cells and cannot compile to a Column — apply " +
-        "them with ParseFilter.filter(df, s)")
+    case While(_) | Page(_) | KeyOnly | FirstMatch(_) =>
+      throw new IllegalArgumentException(
+        "ParseFilter: WHILE / PageFilter / KeyOnlyFilter / " +
+          "FirstKeyValueMatchingQualifiersFilter carry scanner state, " +
+          "rewrite cells, or need the view's schema and cannot compile " +
+          "to a Column — apply them with ParseFilter.filter(df, s)")
   }
 
   private def pure(n: Node): Boolean = n match {
@@ -119,7 +127,20 @@ object ParseFilter {
           "— place them as top-level AND terms instead")
       case _ =>
     }
+    // FirstKeyValueMatchingQualifiersFilter's scan order, chosen from
+    // the VIEW's schema: versioned views get HBase's newest-first
+    // version order plus the unique tiebreak, single-version views the
+    // plain (family, qualifier) — a ROWS-frame window over a non-unique
+    // order would be nondeterministic
+    lazy val fkOrder: Seq[Column] = {
+      val have = df.columns.toSet
+      Seq(col("family"), col("qualifier")) ++
+        (if (have("ts")) Seq(col("ts").desc) else Nil) ++
+        (if (have("event_id")) Seq(col("event_id").desc) else Nil)
+    }
     val preds  = ts.collect { case p: Pred => p.c } ++
+                 ts.collect { case f: FirstMatch =>
+                   Filters.firstKeyValueMatchingQualifiers(f.qualifiers, fkOrder) } ++
                  ts.collect { case o: OrN => toColumn(o) }
     val whiles = ts.collect { case w: While => w.inner }
     val pages  = ts.collect { case pg: Page => pg.n }
@@ -327,16 +348,16 @@ object ParseFilter {
           // (family, qualifier) order = pagination at offset 0
           Pred(Filters.columnPaginationPredicate(number().toInt, 0))
         case "FirstKeyOnlyFilter" => Pred(Filters.firstKeyOnlyPredicate)
-        case "FirstKeyValueMatchingQualifiersFilter" => Pred {
+        case "FirstKeyValueMatchingQualifiersFilter" =>
           // FirstKeyValueMatchingQualifiersFilter.java:49 — qualifier
-          // set as quoted args; cells pass until the first match,
-          // then the rest of the row is skipped
+          // set as quoted args; cells pass until the first match, then
+          // the rest of the row is skipped. Schema-dependent scan
+          // order, so lowered in ParseFilter.filter like KeyOnly.
           val qs = scala.collection.mutable.ListBuffer(quoted())
           while ({ ws(); !eof && s.charAt(pos) == ',' }) {
             eat(","); qs += quoted()
           }
-          Filters.firstKeyValueMatchingQualifiers(qs.toSeq)
-        }
+          FirstMatch(qs.toSeq)
         case "KeyOnlyFilter" =>
           // rewrites cell content (zero-length values) rather than
           // selecting cells — lowered in ParseFilter.filter

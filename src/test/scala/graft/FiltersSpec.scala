@@ -143,6 +143,18 @@ class FiltersSpec extends SparkSpec {
         "FirstKeyValueMatchingQualifiersFilter('b', 'x')")
       .select("rowkey", "qualifier").as[(String, String)].collect().toSet
     assert(dsl == got, s"dsl $dsl vs $got")
+    // on a VERSIONED view the DSL must pick the newest-first version
+    // order from the schema — same rows as the explicitly-ordered
+    // library form, deterministically (ts ties broken by event_id)
+    val vc = Tables.eventCells(spark, sfDir)
+    val lib = vc.withColumn("_keep",
+        Filters.firstKeyValueMatchingQualifiers(Seq("purchase", "signup"),
+          Seq(col("family"), col("qualifier"), col("ts").desc, col("event_id").desc)))
+      .where(col("_keep")).drop("_keep")
+    val dslV = graft.filters.ParseFilter.filter(vc,
+      "FirstKeyValueMatchingQualifiersFilter('purchase', 'signup')")
+    assert(dslV.exceptAll(lib).isEmpty && lib.exceptAll(dslV).isEmpty,
+      "DSL diverged from the versioned-order library form")
   }
 
   test("batchCells: every cell chunked, batches full except the last") {

@@ -141,12 +141,21 @@ class MutationsSpec extends SparkSpec {
     // b: 1 table, 1 region, both at/under
     assert(got == Set(("a", 2L, 3L, false, 0L, 0L), ("b", 1L, 1L, false, 4L, 0L)),
       s"got $got")
-    // one more region over the line flips the flag
+    // one more region over the line flips the flag; namespace b holds
+    // no tables but HAS a quota row → zero-usage audit row, not absent
     val over = Tools.namespaceQuotaAudit(
         Seq(("a", "t1", t1), ("a", "t2", t2), ("a", "t4", spark.range(2001).toDF("k"))),
         quotas, 1000L)
-      .select("namespace", "over_quota").as[(String, Boolean)].collect().toSet
-    assert(over == Set(("a", true)), s"got $over")
+      .select("namespace", "n_tables", "over_quota")
+      .as[(String, Long, Boolean)].collect().toSet
+    assert(over == Set(("a", 3L, true), ("b", 0L, false)), s"got $over")
+    // an EMPTY table still counts its one region (a fresh table holds
+    // a region before any row lands, and NamespaceAuditor counts it)
+    val empty = Tools.namespaceQuotaAudit(
+        Seq(("b", "t0", t1.where(lit(false)))), quotas, 1000L)
+      .select("namespace", "n_tables", "n_regions", "over_quota")
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(empty.contains(("b", 1L, 1L, false)), s"got $empty")
   }
 
   test("Acl.enforceRead: deny by default, hierarchy covers, write grants don't read") {
