@@ -112,9 +112,28 @@ object Ann {
           (-c.getField("cell")).cast("long").as("negc"))))
 
   def ivf(vectors: DataFrame, queries: DataFrame, k: Int,
-          nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cent = cellMeans(vectors
-      .select((col("vec_id") % nCells).cast("int").as("cell"), col("embedding")))
+          nCells: Int = 0, nprobe: Int = 4,
+          trainIters: Int = 2): DataFrame = {
+    // nCells <= 0 → auto: ~√N cells (the faiss nlist rule, floored at
+    // 16). The cell count MUST grow with the corpus: at a fixed count
+    // the probed-cell join scores Q·nprobe·(N/nCells) pairs — quadratic
+    // in corpus size (the r6 sf1 spike measured the fixed-16 form at
+    // 23× cost for 10× data). At √N cells it is Q·nprobe·√N, and the
+    // one extra count() job that sizes it is a metadata-only parquet
+    // count. Callers with a tuned index pass nCells explicitly.
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(16, math.ceil(math.sqrt(vectors.count().toDouble)).toInt)
+    // the coarse quantizer is TRAINED (a couple of Lloyd rounds), not
+    // just mod-k seeded means: untrained cells are near-random slices
+    // of the corpus, so neighbor recall decays like nprobe/nCells and
+    // growing the cell count for scale destroys it — trained cells
+    // concentrate each vector's neighbors in its nearest cells, which
+    // is what lets nprobe stay FIXED while nCells grows with N (the
+    // faiss train step). Training cost is iters·N·nCells·d map-side
+    // arithmetic + an nCells-row shuffle per round.
+    val cent = lloydCentroids(
+      vectors.select(col("vec_id"), col("embedding")), cells, trainIters)
     val centArr = centroidArray(cent)
     def withScores(df: DataFrame): DataFrame = withCellScores(df, centArr)
     val assigned = withScores(vectors.select(col("vec_id"), col("embedding")))
@@ -152,8 +171,21 @@ object Ann {
     * the NORMALIZED vectors; hence the spec's small tolerance) and
     * the no-cartesian plan shape. */
   def kmeans(vectors: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.graftbridge.CheckpointBridge
     val base = vectors.select(col("vec_id"), col("embedding"))
+    val cent = lloydCentroids(base, k, iters)
+    withCellScores(base, centroidArray(cent))
+      .select(col("vec_id"),
+        (-array_max(col("_cs")).getField("negc")).cast("int").as("cluster"),
+        round(array_max(col("_cs")).getField("s"), 4).as("cos_to_centroid"))
+  }
+
+  /** The Lloyd loop shared by [[kmeans]] and [[ivf]]'s coarse-quantizer
+    * training: deterministic mod-k seeding, `iters` rounds of (assign →
+    * per-cell means), per-round k-row checkpoints pinned and freed when
+    * superseded; the FINAL pin backs the returned centroid table (the
+    * accepted k-row-scale leak, see [[kmeans]]). */
+  private[sim] def lloydCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
     var cent = cellMeans(base
       .withColumn("cell", (col("vec_id") % k).cast("int"))).localCheckpoint(true)
     for (_ <- 1 to iters) {
@@ -164,10 +196,7 @@ object Ann {
       CheckpointBridge.free(cent)
       cent = next
     }
-    withCellScores(base, centroidArray(cent))
-      .select(col("vec_id"),
-        (-array_max(col("_cs")).getField("negc")).cast("int").as("cluster"),
-        round(array_max(col("_cs")).getField("s"), 4).as("cos_to_centroid"))
+    cent
   }
 
   /** Embedding near-dup at scale: the same per-vector nearest-neighbor
@@ -178,7 +207,7 @@ object Ann {
     * spec-asserted), and the only shape that survives 100 TB: the
     * broadcast is k centroids, the join is an equi-join on cell id. */
   def nearestNeighborReportIvf(vectors: DataFrame, threshold: Double,
-                               nCells: Int = 16, nprobe: Int = 4): DataFrame =
+                               nCells: Int = 0, nprobe: Int = 4): DataFrame =
     ivf(vectors, vectors, 1, nCells, nprobe)
       .select(col("q_id").as("vec_id"), col("nn_id"),
         col("score").as("cos"), (col("score") >= threshold).as("is_dup"))

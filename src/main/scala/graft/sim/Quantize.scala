@@ -65,7 +65,7 @@ object Quantize {
     * cell, exactly like [[Ann.ivf]]); registers rows-only with the
     * spec'd top-1 recall contract. */
   def annInt8Ivf(vectors: DataFrame, queries: DataFrame, k: Int,
-                 nCells: Int = 16, nprobe: Int = 4,
+                 nCells: Int = 0, nprobe: Int = 4,
                  quantizedVectors: Option[DataFrame] = None): DataFrame = {
     import VectorOps.{dot, norm}
     // candidate pool from the quantized index: wider than k so float
