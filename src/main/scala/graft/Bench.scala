@@ -46,19 +46,32 @@ object Bench {
     // the previous pass) would time cache probes, not operators. The
     // bucketed/v=N layout guards stay warm by design: their timed
     // queries still do the join/read work the layout exists for.
+    // Evacuate the previous pass's broadcast/shuffle garbage BETWEEN
+    // passes, not mid-pass: ContextCleaner only releases blocks after a
+    // driver GC enqueues their weak refs, so without an explicit
+    // collection the whole backlog lands inside whichever later query
+    // happens to trigger the next old-gen GC — on a memory-tight host
+    // that reads as a pass-2 "regression" of whatever queries were
+    // running (the r5 driver-box embedding inversion). And a fixed
+    // 1-second pause is NOT enough: a full pass's backlog takes the
+    // single cleaner thread many seconds of block-manager RPCs (the
+    // r6 first-cut measured ~20s of contention leaking into the early
+    // pass-2 queries), so drain to QUIESCENCE — GC, wait, and repeat
+    // until the managed block count stops changing.
+    def drainGarbage(): Unit = {
+      import org.apache.spark.sql.graftbridge.CleanerBridge
+      var prev = -1
+      var cur = CleanerBridge.managedBlockCount()
+      var rounds = 0
+      while (cur != prev && rounds < 30) {
+        System.gc(); Thread.sleep(1000)
+        prev = cur; cur = CleanerBridge.managedBlockCount(); rounds += 1
+      }
+      System.err.println(s"[bench] gc drain: $rounds rounds, $cur blocks live")
+    }
     def timedPass(): Seq[(String, Double, Double)] = {
       graft.pipeline.PipelineQueries.resetShared()
-      // Evacuate the PREVIOUS pass's broadcast/shuffle garbage here,
-      // between passes, not mid-pass: ContextCleaner only releases a
-      // broadcast/shuffle after a driver GC collects its weak ref, so
-      // without an explicit collection the whole backlog lands inside
-      // whichever later query happens to trigger the next old-gen GC —
-      // on a memory-tight host that reads as a pass-2 "regression" of
-      // two adjacent queries (the r5 driver-box embedding inversion)
-      // while every other query holds. Two rounds: the first GC queues
-      // the cleaner work, the pause lets it drain, the second collects
-      // what the drain itself unpinned.
-      for (_ <- 1 to 2) { System.gc(); Thread.sleep(500) }
+      drainGarbage()
       qs.map { case (name, fn) =>
         val g0 = gcMillis
         val t0 = System.nanoTime()

@@ -82,3 +82,25 @@ object SessionBridge {
       .sessionState.catalog
       .defaultTablePath(org.apache.spark.sql.catalyst.TableIdentifier(table))
 }
+
+/** Block-manager visibility for benchmark hygiene: ContextCleaner only
+  * releases broadcast/shuffle blocks after a driver GC enqueues their
+  * weak refs, and the single cleaner thread then drains them at RPC
+  * speed — tens of seconds of block-manager contention for a few
+  * hundred queries' worth of backlog. A bench that wants that work
+  * OUTSIDE its timed windows needs to see when the drain has actually
+  * finished; block counts are that signal (private[spark] API, hence
+  * this bridge). */
+object CleanerBridge {
+  import org.apache.spark.SparkEnv
+  import org.apache.spark.storage.{BlockId, BroadcastBlockId, RDDBlockId}
+
+  /** Broadcast + RDD block count across the block managers — the
+    * population the cleaner shrinks; two stable consecutive readings
+    * after a GC mean the backlog has drained. */
+  def managedBlockCount(): Int =
+    SparkEnv.get.blockManager.master.getMatchingBlockIds({
+      case _: BroadcastBlockId | _: RDDBlockId => true
+      case _: BlockId => false
+    }, askStorageEndpoints = false).size
+}
