@@ -491,6 +491,42 @@ class PlanAuditSpec extends SparkSpec {
       s"window counts not map-side partial:\n$p")
   }
 
+  test("acl_enforce: grants broadcast, data side streams from the scan unshuffled") {
+    val p = plan("acl_enforce")
+    // the NULL-wildcard hierarchy is non-equi, so the right plan is a
+    // broadcast left-semi NLJ over the handful of grant rows
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, LeftSemi"), p)
+    // the streamed (cell) side prints before the BroadcastExchange: it
+    // must reach the join straight from the scan — the only Exchange
+    // anywhere above it is the final orderBy's range partitioning
+    val streamed = p.split("BroadcastExchange", 2)(0)
+    assert("(?<!Reused)Exchange (?!rangepartitioning)".r
+      .findFirstIn(streamed).isEmpty, s"data side shuffled:\n$p")
+  }
+
+  test("namespace_quota: metadata-only counts, map-side partials, quota-preserving join") {
+    val p = plan("namespace_quota")
+    // per-table counts must read NO columns (parquet count pushdown —
+    // the audit costs row-group metadata regardless of data scale)
+    assert(p.contains("ReadSchema: struct<>"), s"count reads columns:\n$p")
+    assert(p.contains("partial_count"), s"counts not map-side partial:\n$p")
+    // quota rows are the preserved side: a governed namespace with no
+    // tables must survive into the output
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+  }
+
+  test("filter_first_key_matching_qualifiers: one rowkey-partitioned running-count window") {
+    val p = plan("filter_first_key_matching_qualifiers")
+    // the running count must be a rowkey-partitioned ROWS frame in
+    // version order — an unpartitioned window here would serialize the
+    // whole table through one task
+    assert(p.contains("windowspecdefinition(rowkey"), s"window not rowkey-partitioned:\n$p")
+    assert(p.contains("ts#") && p.contains("DESC"), s"version order missing:\n$p")
+    assert(p.contains("unboundedpreceding$(), -1"), s"preceding-rows frame missing:\n$p")
+    val nExchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(nExchanges == 1, s"expected exactly 1 hash shuffle, got $nExchanges:\n$p")
+  }
+
   test("scanDirect: split planning excludes non-overlapping region files") {
     import spark.implicits._
     import graft.core.Snapshots
