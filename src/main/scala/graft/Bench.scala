@@ -60,14 +60,25 @@ object Bench {
     // until the managed block count stops changing.
     def drainGarbage(): Unit = {
       import org.apache.spark.sql.graftbridge.CleanerBridge
+      // Convergence = the managed block count stable across TWO
+      // consecutive post-GC readings, with a 3-round floor: the count
+      // is blind to shuffle-only cleanups and the first reading lands
+      // before any GC has enqueued refs, so a single unchanged reading
+      // proves nothing — the floor guarantees at least ~3s of cleaner
+      // wall-time even when the broadcast/RDD count sits at 0
+      // throughout, and the stable-twice rule rides out a >1s RPC
+      // stall mid-queue. The 30-round cap is a hang guard; tripping it
+      // only costs attribution (gc2 still localizes the residue).
+      var stable = 0
       var prev = -1
-      var cur = CleanerBridge.managedBlockCount()
       var rounds = 0
-      while (cur != prev && rounds < 30) {
+      while (stable < 2 && rounds < 30) {
         System.gc(); Thread.sleep(1000)
-        prev = cur; cur = CleanerBridge.managedBlockCount(); rounds += 1
+        val cur = CleanerBridge.managedBlockCount()
+        stable = if (cur == prev && rounds >= 2) stable + 1 else 0
+        prev = cur; rounds += 1
       }
-      System.err.println(s"[bench] gc drain: $rounds rounds, $cur blocks live")
+      System.err.println(s"[bench] gc drain: $rounds rounds, $prev blocks live")
     }
     def timedPass(): Seq[(String, Double, Double)] = {
       graft.pipeline.PipelineQueries.resetShared()

@@ -66,20 +66,30 @@ object Ann {
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
   }
 
-  /** IVF-style ANN: deterministic coarse quantizer (centroid c = mean of
-    * vectors with vec_id ≡ c mod k — a fixed-seed k-means step), assign
-    * every vector to its nearest centroid, then probe only the
-    * `nprobe` cells nearest each query. The probed-cell equi-join is
-    * the scale path: the corpus is range-partitioned by cell, a query
-    * touches nprobe/k of the data.
+  /** IVF-style ANN: a TRAINED coarse quantizer (deterministic mod-k
+    * seeding refined by [[lloydCentroids]]'s Lloyd rounds — the faiss
+    * train step), assign every vector to its nearest centroid, then
+    * probe only the `nprobe` cells nearest each query. The probed-cell
+    * equi-join is the scale path: a query touches ~nprobe/nCells of
+    * the corpus.
     *
     * Cell assignment/probing is a PER-ROW PROJECTION over a broadcast
     * centroid array (argmax / sort-and-slice over nCells in-row
     * structs) — zero shuffle on the corpus side. The former window form
     * (row_number over vec_id after a corpus×nCells cross join) shuffled
     * the corpus nCells-fold twice; at 100 TB that shuffle, not the
-    * scoring, is the cost. The only shuffles left in the whole plan are
-    * the cell equi-join and the bounded-state top-k. */
+    * scoring, is the cost. Shuffle inventory: one nCells-row cellMeans
+    * shuffle per training round (corpus side map-only), then the cell
+    * equi-join and the bounded-state top-k — the query plan itself
+    * still shuffles nothing else.
+    *
+    * NOTE on construction semantics: like a faiss index build, calling
+    * [[ivf]] RUNS the training (a count to size the index when
+    * nCells <= 0, plus `trainIters` Lloyd rounds); the returned
+    * DataFrame is the lazily-executable SEARCH. Callers that need plan
+    * construction to stay job-free pass an explicit nCells and
+    * trainIters = 0 (the untrained seeded quantizer — fine for plan
+    * inspection, weak recall at scale). */
   /** Elementwise-mean centroids (cell, c_emb, c_norm) of explicitly
     * cell-tagged vectors — (cell, pos) partial avgs, norms precomputed
     * once. Shared by the IVF coarse quantizer and the k-means rounds. */
@@ -120,10 +130,16 @@ object Ann {
     // in corpus size (the r6 sf1 spike measured the fixed-16 form at
     // 23× cost for 10× data). At √N cells it is Q·nprobe·√N, and the
     // one extra count() job that sizes it is a metadata-only parquet
-    // count. Callers with a tuned index pass nCells explicitly.
+    // count. The auto size is CAPPED at 4096: past that, the flat
+    // quantizer's own assignment (N·nCells·d per pass, and the
+    // nCells·d broadcast) would outgrow the probe join it exists to
+    // shrink — beyond ~16M vectors, real systems switch the ROUTING
+    // structure (IMI/HNSW coarse quantizers), not the cell count.
+    // Callers with a tuned index pass nCells explicitly.
     val cells =
       if (nCells > 0) nCells
-      else math.max(16, math.ceil(math.sqrt(vectors.count().toDouble)).toInt)
+      else math.min(4096,
+        math.max(16, math.ceil(math.sqrt(vectors.count().toDouble)).toInt))
     // the coarse quantizer is TRAINED (a couple of Lloyd rounds), not
     // just mod-k seeded means: untrained cells are near-random slices
     // of the corpus, so neighbor recall decays like nprobe/nCells and
@@ -131,9 +147,15 @@ object Ann {
     // concentrate each vector's neighbors in its nearest cells, which
     // is what lets nprobe stay FIXED while nCells grows with N (the
     // faiss train step). Training cost is iters·N·nCells·d map-side
-    // arithmetic + an nCells-row shuffle per round.
-    val cent = lloydCentroids(
-      vectors.select(col("vec_id"), col("embedding")), cells, trainIters)
+    // arithmetic + an nCells-row shuffle per round. trainIters = 0
+    // keeps the legacy fully-lazy seeded quantizer (no jobs at
+    // construction; pair with an explicit nCells).
+    val base = vectors.select(col("vec_id"), col("embedding"))
+    val cent =
+      if (trainIters <= 0)
+        cellMeans(base.select((col("vec_id") % cells).cast("int").as("cell"),
+          col("embedding")))
+      else lloydCentroids(base, cells, trainIters)
     val centArr = centroidArray(cent)
     def withScores(df: DataFrame): DataFrame = withCellScores(df, centArr)
     val assigned = withScores(vectors.select(col("vec_id"), col("embedding")))
@@ -160,9 +182,10 @@ object Ann {
     * partial-avg aggregate); assignment itself is a pure projection
     * over the broadcast centroid row. Per-round centroid tables (k
     * rows) are localCheckpoint-pinned so iteration N+1 doesn't replay
-    * rounds 1..N, superseded pins freed immediately; the FINAL k-row
-    * pin backs the returned plan and stays — the k-row-scale leak the
-    * memoized-table pattern already accepts.
+    * rounds 1..N, superseded pins freed immediately; the final
+    * generation comes back as a driver-local relation with every pin
+    * freed ([[lloydCentroids]]), so the returned plan holds no
+    * persisted state.
     *
     * Rows-only contract ([[ivf]]'s float-mean reason); the spec
     * asserts determinism, an EMPIRICALLY non-decreasing objective
@@ -182,8 +205,13 @@ object Ann {
   /** The Lloyd loop shared by [[kmeans]] and [[ivf]]'s coarse-quantizer
     * training: deterministic mod-k seeding, `iters` rounds of (assign →
     * per-cell means), per-round k-row checkpoints pinned and freed when
-    * superseded; the FINAL pin backs the returned centroid table (the
-    * accepted k-row-scale leak, see [[kmeans]]). */
+    * superseded. The FINAL generation is collected to a driver-LOCAL
+    * relation (k·d doubles — index metadata, the same driver-side
+    * footprint [[centroidArray]]'s broadcast implies anyway) and its
+    * pin freed too, so training leaves NOTHING in the block manager:
+    * a service constructing many ivf/kmeans plans accumulates no
+    * persisted state, and the returned table broadcasts from a
+    * LocalRelation with no lineage back into the training jobs. */
   private[sim] def lloydCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
     var cent = cellMeans(base
@@ -196,7 +224,11 @@ object Ann {
       CheckpointBridge.free(cent)
       cent = next
     }
-    cent
+    val spark = base.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+    CheckpointBridge.free(cent)
+    local
   }
 
   /** Embedding near-dup at scale: the same per-vector nearest-neighbor
@@ -205,7 +237,8 @@ object Ann {
     * instead of broadcasting the whole corpus. Approximate (the true NN
     * can live in an unprobed cell; recall vs the exact report is
     * spec-asserted), and the only shape that survives 100 TB: the
-    * broadcast is k centroids, the join is an equi-join on cell id. */
+    * broadcast is the capped centroid table (≤4096·d doubles — a few
+    * MB), the join is an equi-join on cell id. */
   def nearestNeighborReportIvf(vectors: DataFrame, threshold: Double,
                                nCells: Int = 0, nprobe: Int = 4): DataFrame =
     ivf(vectors, vectors, 1, nCells, nprobe)

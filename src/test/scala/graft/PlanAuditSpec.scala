@@ -11,6 +11,19 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString()
 
+  /** The streamed-side subtree of a broadcast join: plans print the
+    * streamed child before the BroadcastExchange subtree, so the text
+    * before the first BroadcastExchange is the streamed side. ONE copy
+    * of that formatting assumption (if a Spark upgrade changes plan
+    * toString, fix it here). */
+  private def streamedSide(p: String): String = p.split("BroadcastExchange", 2)(0)
+
+  /** Non-reused shuffle Exchanges matching `kind` ("" = any); never
+    * counts BroadcastExchange. */
+  private def exchanges(p: String, kind: String = ""): Int =
+    ("(?<!Reused)(?<!Broadcast)Exchange" +
+      (if (kind.isEmpty) "" else " " + kind)).r.findAllIn(p).size
+
   test("scan_range: rowkey range + projection reach the parquet scan") {
     val p = plan("scan_range")
     assert(p.contains("PushedFilters: [IsNotNull(o_orderkey), GreaterThanOrEqual(o_orderkey,1000), LessThan(o_orderkey,2000)"), p)
@@ -30,12 +43,10 @@ class PlanAuditSpec extends SparkSpec {
       "o_orderkey", keys, Seq("o_orderkey", "o_custkey"))
     val p = df.queryExecution.executedPlan.toString()
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
-    // the streamed (table) side prints before the BroadcastExchange
-    // subtree; it must reach the join straight from the scan — the only
-    // shuffle allowed anywhere is the key-side distinct UNDER the
-    // broadcast (2000 rows)
-    val streamedSide = p.split("BroadcastExchange", 2)(0)
-    assert(!streamedSide.contains("Exchange"), s"big side shuffled:\n$p")
+    // the streamed (table) side must reach the join straight from the
+    // scan — the only shuffle allowed anywhere is the key-side
+    // distinct UNDER the broadcast (2000 rows)
+    assert(exchanges(streamedSide(p)) == 0, s"big side shuffled:\n$p")
   }
 
   test("asof join is single-shuffle: one hash Exchange, no range join") {
@@ -47,8 +58,7 @@ class PlanAuditSpec extends SparkSpec {
     // the whole point: the naive per-key range join must not appear,
     // and the union+window form costs exactly ONE shuffle (on the key)
     assert(!p.contains("Join"), s"range-join formulation leaked in:\n$p")
-    val nExchanges = "(?<!Reused)Exchange".r.findAllIn(p).size
-    assert(nExchanges == 1, s"expected exactly 1 shuffle, got $nExchanges:\n$p")
+    assert(exchanges(p) == 1, s"expected exactly 1 shuffle:\n$p")
   }
 
   test("secondary_index: base rows fetched via broadcast semi of the index hits") {
@@ -496,12 +506,11 @@ class PlanAuditSpec extends SparkSpec {
     // the NULL-wildcard hierarchy is non-equi, so the right plan is a
     // broadcast left-semi NLJ over the handful of grant rows
     assert(p.contains("BroadcastNestedLoopJoin BuildRight, LeftSemi"), p)
-    // the streamed (cell) side prints before the BroadcastExchange: it
-    // must reach the join straight from the scan — the only Exchange
-    // anywhere above it is the final orderBy's range partitioning
-    val streamed = p.split("BroadcastExchange", 2)(0)
-    assert("(?<!Reused)Exchange (?!rangepartitioning)".r
-      .findFirstIn(streamed).isEmpty, s"data side shuffled:\n$p")
+    // the streamed (cell) side must reach the join straight from the
+    // scan — the only Exchange anywhere above it is the final
+    // orderBy's range partitioning
+    assert(exchanges(streamedSide(p), "hashpartitioning") == 0,
+      s"data side shuffled:\n$p")
   }
 
   test("namespace_quota: metadata-only counts, map-side partials, quota-preserving join") {
@@ -523,8 +532,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(rowkey"), s"window not rowkey-partitioned:\n$p")
     assert(p.contains("ts#") && p.contains("DESC"), s"version order missing:\n$p")
     assert(p.contains("unboundedpreceding$(), -1"), s"preceding-rows frame missing:\n$p")
-    val nExchanges = "(?<!Reused)Exchange hashpartitioning".r.findAllIn(p).size
-    assert(nExchanges == 1, s"expected exactly 1 hash shuffle, got $nExchanges:\n$p")
+    assert(exchanges(p, "hashpartitioning") == 1,
+      s"expected exactly 1 hash shuffle:\n$p")
   }
 
   test("scanDirect: split planning excludes non-overlapping region files") {
