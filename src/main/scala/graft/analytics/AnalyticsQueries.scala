@@ -161,6 +161,40 @@ object AnalyticsQueries {
           sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes")))
         .orderBy("bucket")
     }),
+    // HBaseFsck region-chain audit over a deliberately corrupted META
+    // catalog: 16 uniform regions over the orders keyspace, with region
+    // 5 lost (hole), region 9 degenerate (start == end, which also
+    // un-covers its range), a second region sharing region 12's start
+    // (dupe + overlap), a stray region straddling the 14/15 boundary
+    // (overlaps), and a non-open first start (the reference's
+    // first-region-startkey-not-empty); the last region ends open
+    "hbck_region_chain" -> ((s, d) => {
+      val b = Tables.load(s, d, "orders")
+        .agg(min("o_orderkey").as("_lo"), max("o_orderkey").as("_hi"))
+      // boundary(i) = floor(lo + (hi-lo+1)*i/16) — the same total-order
+      // formula the oracle mirrors in double division
+      def bd(i: org.apache.spark.sql.Column) =
+        floor(col("_lo") + (col("_hi") - col("_lo") + 1) * i / 16).cast("bigint")
+      val base = b.select(explode(sequence(lit(0), lit(15))).as("i"),
+          col("_lo"), col("_hi"))
+        .where(col("i") =!= 5)
+        .select(
+          concat(lit("r"), lpad(col("i").cast("string"), 2, "0")).as("region_id"),
+          bd(col("i")).as("start_key"),
+          when(col("i") === 9, bd(col("i")))
+            .when(col("i") === 15, lit(null).cast("bigint"))
+            .otherwise(bd(col("i") + 1)).as("end_key"))
+      val extras = b.select(explode(array(
+          struct(lit("r12b").as("region_id"), bd(lit(12)).as("start_key"),
+            floor((bd(lit(12)) + bd(lit(13))) / 2).cast("bigint").as("end_key")),
+          struct(lit("r14x").as("region_id"),
+            floor((bd(lit(14)) + bd(lit(15))) / 2).cast("bigint").as("start_key"),
+            floor((bd(lit(15)) + bd(lit(16))) / 2).cast("bigint").as("end_key"))))
+          .as("x"))
+        .select(col("x.*"))
+      Tools.hbckRegionChain(base.unionByName(extras))
+        .orderBy("code", "at_key", "end_key")
+    }),
     // semi-structured source path: events.props is a JSON string column
     // (HBase users stuff JSON into cell values constantly); extraction
     // stays codegen'd, no UDF
@@ -348,6 +382,65 @@ object AnalyticsQueries {
         |       min(event_id) AS first_seq, max(event_id) AS last_seq,
         |       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
         |FROM ed, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "hbck_region_chain" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+        |bd AS (SELECT i, CAST(floor(lo + (hi - lo + 1) * i / 16.0) AS BIGINT) AS k
+        |       FROM range(0, 17) t(i), b),
+        |reg AS (
+        |  SELECT 'r' || lpad(CAST(t.i AS VARCHAR), 2, '0') AS region_id,
+        |         s.k AS start_key,
+        |         CASE WHEN t.i = 9 THEN s.k
+        |              WHEN t.i = 15 THEN NULL
+        |              ELSE e.k END AS end_key
+        |  FROM range(0, 16) t(i)
+        |  JOIN bd s ON s.i = t.i JOIN bd e ON e.i = t.i + 1
+        |  WHERE t.i <> 5
+        |  UNION ALL
+        |  SELECT 'r12b', (SELECT k FROM bd WHERE i = 12),
+        |         CAST(floor(((SELECT k FROM bd WHERE i = 12)
+        |                   + (SELECT k FROM bd WHERE i = 13)) / 2) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'r14x',
+        |         CAST(floor(((SELECT k FROM bd WHERE i = 14)
+        |                   + (SELECT k FROM bd WHERE i = 15)) / 2) AS BIGINT),
+        |         CAST(floor(((SELECT k FROM bd WHERE i = 15)
+        |                   + (SELECT k FROM bd WHERE i = 16)) / 2) AS BIGINT)),
+        |r AS (SELECT region_id,
+        |             coalesce(start_key, -4611686018427387904) AS s,
+        |             coalesce(end_key, 4611686018427387904) AS e FROM reg),
+        |st AS (SELECT s AS k, count(*) AS n_starts FROM r GROUP BY 1),
+        |en AS (SELECT e AS k, count(*) AS n_ends FROM r GROUP BY 1),
+        |sw AS (SELECT k, coalesce(n_starts, 0) AS n_starts,
+        |              coalesce(n_ends, 0) AS n_ends
+        |       FROM st FULL OUTER JOIN en USING (k)),
+        |cv AS (SELECT k, n_starts,
+        |              sum(n_starts - n_ends) OVER (ORDER BY k) AS cov,
+        |              lead(k) OVER (ORDER BY k) AS next_k
+        |       FROM sw),
+        |o(code, at_key, end_key, n) AS (
+        |  SELECT 'HOLE_IN_REGION_CHAIN', k, next_k, 1
+        |  FROM cv WHERE cov = 0 AND next_k IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'OVERLAP_IN_REGION_CHAIN', k, next_k, cov
+        |  FROM cv WHERE cov > 1
+        |  UNION ALL
+        |  SELECT 'DUPE_STARTKEYS', k, NULL, n_starts
+        |  FROM cv WHERE n_starts > 1
+        |  UNION ALL
+        |  SELECT 'DEGENERATE_REGION', s, e, 1 FROM r WHERE s = e
+        |  UNION ALL
+        |  SELECT 'FIRST_REGION_STARTKEY_NOT_EMPTY', min(s), NULL, 1 FROM r
+        |  HAVING min(s) <> -4611686018427387904
+        |  UNION ALL
+        |  SELECT 'LAST_REGION_ENDKEY_NOT_EMPTY', max(e), NULL, 1 FROM r
+        |  HAVING max(e) <> 4611686018427387904)
+        |SELECT code,
+        |       CASE WHEN at_key IN (-4611686018427387904, 4611686018427387904)
+        |            THEN NULL ELSE at_key END AS at_key,
+        |       CASE WHEN end_key IN (-4611686018427387904, 4611686018427387904)
+        |            THEN NULL ELSE end_key END AS end_key,
+        |       CAST(n AS BIGINT) AS n
+        |FROM o ORDER BY code, at_key, end_key""".stripMargin,
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,

@@ -271,6 +271,84 @@ object Tools {
       .agg(baseAggs.head, baseAggs.tail: _*)
   }
 
+  /** HBaseFsck "hbck" region-chain integrity check (hbase-server/.../
+    * util/HBaseFsck.java:2972 checkRegionChain, error codes at :3856):
+    * given the META region catalog of one table — (region_id,
+    * start_key, end_key), NULL = the reference's empty (open) boundary
+    * — report every chain defect the tool knows:
+    *
+    *  - FIRST_REGION_STARTKEY_NOT_EMPTY / LAST_REGION_ENDKEY_NOT_EMPTY
+    *  - DEGENERATE_REGION (start == end, HBaseFsck.java:2694)
+    *  - DUPE_STARTKEYS (two regions share a start, :2702)
+    *  - OVERLAP_IN_REGION_CHAIN (interval covered by > 1 region, :2712)
+    *  - HOLE_IN_REGION_CHAIN (interval covered by none, :2720)
+    *
+    * The reference materializes a coverage multimap over split keys
+    * (RegionSplitCalculator.calcCoverage) and walks it; relationally
+    * the same coverage is a boundary sweep — each region emits +1 at
+    * its start and −1 at its end, and the running sum over the sorted
+    * distinct boundaries is the region count covering [k, next k).
+    * Open boundaries ride as ±2^62 sentinels and surface as NULL.
+    * A key both covered twice and duplicated reports BOTH codes (the
+    * dupe row names the cause, the overlap row the covered interval —
+    * the reference likewise reports dupes and overlaps independently).
+    * An empty catalog is the reference's whole-keyspace hole.
+    *
+    * The sweep window is unpartitioned but runs over region-METADATA
+    * rows (boundaries, two per region) — master-side catalog scale like
+    * region_balancer's rank, never data scale.
+    *
+    * @param regions (region_id, start_key, end_key); keys BIGINT,
+    *                NULL = open boundary. */
+  def hbckRegionChain(regions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val MINK = -4611686018427387904L // 'empty' start sentinel (-2^62)
+    val MAXK =  4611686018427387904L // 'empty' end sentinel  (+2^62)
+    val nullKey = lit(null).cast("bigint")
+    def outKey(c: Column) =
+      when(c === MINK || c === MAXK, nullKey).otherwise(c)
+    val r = regions.select(col("region_id"),
+      coalesce(col("start_key"), lit(MINK)).as("s"),
+      coalesce(col("end_key"), lit(MAXK)).as("e"))
+    val starts = r.groupBy(col("s").as("k")).agg(count(lit(1)).as("n_starts"))
+    val ends   = r.groupBy(col("e").as("k")).agg(count(lit(1)).as("n_ends"))
+    val byKey  = Window.orderBy("k")
+    val sweep = starts.join(ends, Seq("k"), "full_outer")
+      .na.fill(0L, Seq("n_starts", "n_ends"))
+      .withColumn("cov", sum(col("n_starts") - col("n_ends"))
+        .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_k", lead(col("k"), 1).over(byKey))
+    val holes = sweep.where(col("cov") === 0 && col("next_k").isNotNull)
+      .select(lit("HOLE_IN_REGION_CHAIN").as("code"),
+        outKey(col("k")).as("at_key"), outKey(col("next_k")).as("end_key"),
+        lit(1L).as("n"))
+    val overlaps = sweep.where(col("cov") > 1)
+      .select(lit("OVERLAP_IN_REGION_CHAIN").as("code"),
+        outKey(col("k")).as("at_key"), outKey(col("next_k")).as("end_key"),
+        col("cov").as("n"))
+    val dupes = sweep.where(col("n_starts") > 1)
+      .select(lit("DUPE_STARTKEYS").as("code"), outKey(col("k")).as("at_key"),
+        nullKey.as("end_key"), col("n_starts").as("n"))
+    val degen = r.where(col("s") === col("e"))
+      .select(lit("DEGENERATE_REGION").as("code"), outKey(col("s")).as("at_key"),
+        outKey(col("e")).as("end_key"), lit(1L).as("n"))
+    val bounds = r.agg(min(col("s")).as("_min_s"), max(col("e")).as("_max_e"))
+      .select(explode(array(
+        when(col("_min_s").isNotNull && col("_min_s") =!= MINK,
+          struct(lit("FIRST_REGION_STARTKEY_NOT_EMPTY").as("code"),
+            col("_min_s").as("at_key"), nullKey.as("end_key"), lit(1L).as("n"))),
+        when(col("_max_e").isNotNull && col("_max_e") =!= MAXK,
+          struct(lit("LAST_REGION_ENDKEY_NOT_EMPTY").as("code"),
+            col("_max_e").as("at_key"), nullKey.as("end_key"), lit(1L).as("n"))),
+        // empty catalog: the reference's hole over the whole keyspace
+        when(col("_min_s").isNull,
+          struct(lit("HOLE_IN_REGION_CHAIN").as("code"), nullKey.as("at_key"),
+            nullKey.as("end_key"), lit(1L).as("n"))))).as("x"))
+      .where(col("x").isNotNull).select(col("x.*"))
+    holes.unionByName(overlaps).unionByName(dupes).unionByName(degen)
+      .unionByName(bounds)
+  }
+
   /** NamespaceAuditor (hbase-server/.../namespace/NamespaceAuditor.java:58,
     * NamespaceStateManager.java:104) — per-namespace table/region
     * accounting against the namespace quota properties

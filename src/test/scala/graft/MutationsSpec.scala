@@ -158,6 +158,43 @@ class MutationsSpec extends SparkSpec {
     assert(empty.contains(("b", 1L, 1L, false)), s"got $empty")
   }
 
+  test("hbckRegionChain: clean chain is silent, every planted defect reported") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    def regs(rows: (String, Option[Long], Option[Long])*) =
+      rows.toSeq.toDF("region_id", "start_key", "end_key")
+    // a proper chain: open start, contiguous, open end → zero findings
+    val clean = regs(("a", None, Some(10L)), ("b", Some(10L), Some(20L)),
+      ("c", Some(20L), None))
+    assert(Tools.hbckRegionChain(clean).count() == 0)
+    // single whole-keyspace region is also clean
+    assert(Tools.hbckRegionChain(regs(("w", None, None))).count() == 0)
+    // empty catalog = the reference's whole-keyspace hole
+    val none = Tools.hbckRegionChain(clean.where(lit(false)))
+      .select("code").as[String].collect().toSeq
+    assert(none == Seq("HOLE_IN_REGION_CHAIN"), s"got $none")
+    // planted defects: closed first start, hole (10,20), degenerate at
+    // 25, dupe starts at 20, overlap [30,35), closed last end
+    val bad = regs(
+      ("a", Some(0L), Some(10L)),          // first start not open
+      ("b", Some(20L), Some(30L)),         // hole [10, 20)
+      ("b2", Some(20L), Some(25L)),        // dupe start + overlap
+      ("d", Some(25L), Some(25L)),         // degenerate
+      ("e", Some(28L), Some(40L)))         // overlap with b, last end closed
+    val got = Tools.hbckRegionChain(bad)
+      .select("code", "at_key", "end_key", "n")
+      .as[(String, Option[Long], Option[Long], Long)].collect().toSet
+    val want = Set(
+      ("FIRST_REGION_STARTKEY_NOT_EMPTY", Some(0L), None, 1L),
+      ("LAST_REGION_ENDKEY_NOT_EMPTY", Some(40L), None, 1L),
+      ("HOLE_IN_REGION_CHAIN", Some(10L), Some(20L), 1L),
+      ("DUPE_STARTKEYS", Some(20L), None, 2L),
+      ("DEGENERATE_REGION", Some(25L), Some(25L), 1L),
+      ("OVERLAP_IN_REGION_CHAIN", Some(20L), Some(25L), 2L),
+      ("OVERLAP_IN_REGION_CHAIN", Some(28L), Some(30L), 2L))
+    assert(got == want, s"got $got")
+  }
+
   test("Acl.enforceRead: deny by default, hierarchy covers, write grants don't read") {
     import spark.implicits._
     val cells = Seq(
