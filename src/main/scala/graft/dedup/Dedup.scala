@@ -23,6 +23,54 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")
 
+  /** Incremental (shard-vs-corpus) exact dedup — the ingest-time shape
+    * of [[exact]]: a NEW shard of documents arrives next to an
+    * already-kept corpus, and each shard doc is classified
+    * `dup_in_corpus` (its digest is already kept), `dup_in_batch` (not
+    * in the corpus, but a smaller-doc_id shard doc holds the digest) or
+    * `kept` — the per-crawl dedup gate every training-corpus refresh
+    * runs.
+    *
+    * Scale shape: the CORPUS is the 100 TB side, the shard is small.
+    * The shard's digest set folds into a Bloom filter carried as ONE
+    * scalar subquery (the same HFile-bloom read path as
+    * Scans.multiGetBloomSmj), and `might_contain` prunes the corpus
+    * scan to the ~shard-sized sliver of possibly-matching digests
+    * BEFORE the corpus side's exchange — so the full corpus is
+    * streamed once, only pruned 32-char digests ever shuffle, and the
+    * corpus text never leaves its scan. The exact digest join then
+    * removes bloom false positives: the report is exact, the bloom is
+    * purely a pruning device.
+    *
+    * @param expectedDigests sizing hint for the bloom (shard digest
+    *        count). */
+  def incremental(corpus: DataFrame, shard: DataFrame,
+                  expectedDigests: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val dig = (c: Column) => md5(c.cast("binary"))
+    val b = shard.select(col("doc_id"), dig(col("text")).as("digest"))
+    val digests = b.select("digest").distinct()
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.resolvableExpression(col("digest")))),
+        Literal(expectedDigests)).toAggregateExpression())
+    val bloom = digests.agg(bloomAgg.as("_bloom"))
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.scalarSubquery(bloom),
+      new XxHash64(Seq(ColumnBridge.resolvableExpression(col("digest"))))))
+    val corpusHits = corpus.select(dig(col("text")).as("digest"))
+      .where(mightContain).distinct()
+    b.join(corpusHits.withColumn("_in_corpus", lit(true)), Seq("digest"), "left")
+      .withColumn("_min_id", min(col("doc_id")).over(Window.partitionBy("digest")))
+      .select(col("doc_id"), col("digest"),
+        when(col("_in_corpus"), "dup_in_corpus")
+          .when(col("doc_id") > col("_min_id"), "dup_in_batch")
+          .otherwise("kept").as("status"))
+  }
+
   /** (doc_id, shs: array<string>) — distinct word-trigram shingles. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("ts"))

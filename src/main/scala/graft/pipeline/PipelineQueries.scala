@@ -130,6 +130,27 @@ object PipelineQueries {
         .select(col("doc_id"), col("cluster"),
           (col("doc_id") === col("cluster")).as("keep"))
         .orderBy("doc_id")),
+    // the ingest-time gate every corpus refresh runs: a new shard
+    // classified against the kept corpus. The shard is planted from the
+    // corpus deterministically — verbatim copies (dup_in_corpus), twin
+    // pairs sharing a fresh text (dup_in_batch for the larger id),
+    // genuinely new texts (kept). The corpus scan is bloom-pruned by
+    // the shard digest set BEFORE its exchange (plan-asserted).
+    "dedup_incremental" -> ((s, d) => {
+      val corpus = docs(s, d)
+      val a = corpus.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val twin = corpus.where(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), concat(lit("batch:"), col("text")).as("text"))
+      val b1 = twin.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val b2 = twin.select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      val c = corpus.where(col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(lit("uniq:"), col("doc_id").cast("string"), lit(":"), col("text"))
+            .as("text"))
+      Dedup.incremental(corpus, a.unionByName(b1).unionByName(b2).unionByName(c))
+        .orderBy("doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), 0.5, shingleTable = Some(shingleTab(s, d)))
         .orderBy("i", "j")),
@@ -208,6 +229,12 @@ object PipelineQueries {
     "ann_bruteforce" -> ((s, d) =>
       Ann.bruteForce(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank")),
+    // radius search: all corpus vectors within cos >= 0.25 of each
+    // query — data-dependent result sizes, so top-k doesn't apply;
+    // threshold filters at the scan, before anything shuffles
+    "ann_range_search" -> ((s, d) =>
+      Ann.rangeSearch(emb(s, d), emb(s, d).where(col("vec_id") < 10), 0.25)
+        .orderBy("q_id", "nn_id")),
     "ann_ivf" -> ((s, d) =>
       Ann.ivf(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank")),
@@ -229,6 +256,20 @@ object PipelineQueries {
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy("doc_id")),
     "text_tokens" -> ((s, d) => TextOps.tokens(docs(s, d)).orderBy("doc_id")),
+    // tokenizer-training prep: top-64 vocab with corpus coverage; the
+    // selection is the bounded-state TopKStruct heap (map-side k-row
+    // partials), never a window sort over the distinct-token table
+    "vocab_build" -> ((s, d) => TextOps.vocabBuild(docs(s, d), 64).orderBy("rank")),
+    // the C4 badwords gate: any blocklisted token drops the doc; the
+    // list rides the projection as a literal array — scan-speed filter
+    "text_blocklist" -> ((s, d) =>
+      TextOps.blocklist(docs(s, d), Seq("slow", "broken", "spam"))
+        .orderBy("doc_id")),
+    // MOSS winnowing fingerprints (word-4-grams, window 8): per-doc
+    // selected-min hash set reported as count + sorted-set digest; the
+    // window min is partitioned by doc — never a global sort
+    "text_winnowing" -> ((s, d) =>
+      TextOps.winnowing(docs(s, d), 4, 8).orderBy("doc_id")),
     // Gopher-style word-n-gram repetition gate: fraction of repeated
     // 2-grams, top-2-gram share, 3-gram repeats; pass under thresholds
     "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d)).orderBy("doc_id")),
@@ -395,6 +436,25 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents
         |GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+    "dedup_incremental" ->
+      """WITH shard AS (
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'batch:' || text FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 300000, 'batch:' || text FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 400000, 'uniq:' || CAST(doc_id AS VARCHAR) || ':' || text
+        |  FROM documents WHERE doc_id % 5 = 2),
+        |b AS (SELECT doc_id, md5(text) AS digest FROM shard),
+        |c AS (SELECT DISTINCT md5(text) AS digest FROM documents),
+        |m AS (SELECT digest, min(doc_id) AS min_id FROM b GROUP BY 1)
+        |SELECT b.doc_id, b.digest,
+        |       CASE WHEN c.digest IS NOT NULL THEN 'dup_in_corpus'
+        |            WHEN b.doc_id > m.min_id THEN 'dup_in_batch'
+        |            ELSE 'kept' END AS status
+        |FROM b LEFT JOIN c USING (digest) JOIN m USING (digest)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> (ddNgramPairs + " ORDER BY i, j"),
     // transitive closure of the same pair list: min reachable doc_id =
     // the cluster id the pointer-jumping Spark path converges to
@@ -561,6 +621,13 @@ object PipelineQueries {
           |        FROM scored)
           |SELECT vec_id, nn_id, round(sc, 4) AS cos, round(sc, 4) >= 0.45 AS is_dup
           |FROM top WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    "ann_range_search" ->
+      (s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+          |scored AS (
+          |  SELECT q.q_id, e.vec_id AS nn_id, ${ddCos("q.q_emb", "e.embedding")} AS sc
+          |  FROM q, embeddings e WHERE e.vec_id <> q.q_id)
+          |SELECT q_id, nn_id, round(sc, 4) AS score FROM scored
+          |WHERE sc >= 0.25 ORDER BY q_id, nn_id""".stripMargin),
     "ann_bruteforce" ->
       (s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
           |scored AS (
@@ -640,6 +707,49 @@ object PipelineQueries {
         |SELECT doc_id, n_chars,
         |       round(log2(n_chars) - clogc / 1000000.0 / n_chars, 4) AS entropy_bits
         |FROM s ORDER BY doc_id""".stripMargin,
+    "vocab_build" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM t WHERE len(token) > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        |r AS (SELECT token, cnt,
+        |             row_number() OVER (ORDER BY cnt DESC, token DESC) AS rank,
+        |             sum(cnt) OVER (ORDER BY cnt DESC, token DESC) AS cum
+        |      FROM c)
+        |SELECT rank, token, cnt,
+        |       round(cnt / total, 4) AS pct,
+        |       round(cum / total, 4) AS cum_pct
+        |FROM r, tot WHERE rank <= 64 ORDER BY rank""".stripMargin,
+    "text_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(toks,
+        |         x -> list_contains(['slow', 'broken', 'spam'], x))) AS BIGINT) AS n_hits,
+        |       CAST(len(list_intersect(list_distinct(toks),
+        |         ['slow', 'broken', 'spam'])) AS BIGINT) AS n_distinct_hits,
+        |       len(list_filter(toks,
+        |         x -> list_contains(['slow', 'broken', 'spam'], x))) > 0 AS dropped
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_winnowing" ->
+      """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |g AS (SELECT doc_id,
+        |        [md5(wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2] || ' ' || wd[i+3])
+        |         for i in range(1, len(wd) - 2)] AS hs
+        |      FROM w0 WHERE len(wd) >= 11),
+        |p AS (SELECT doc_id, unnest(hs) AS h,
+        |             unnest(range(0, len(hs))) AS pos, len(hs) AS ng
+        |      FROM g),
+        |m AS (SELECT doc_id, pos,
+        |             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS sel,
+        |             ng
+        |      FROM p),
+        |s AS (SELECT DISTINCT doc_id, sel FROM m WHERE pos <= ng - 8)
+        |SELECT doc_id, count(*) AS n_fps,
+        |       md5(array_to_string(list_sort(list(sel)), ',')) AS fp_digest,
+        |       min(sel) AS min_fp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, length(text) AS n_chars,
         |       len(string_split(text, ' ')) AS ws_tokens,

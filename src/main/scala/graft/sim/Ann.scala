@@ -66,6 +66,28 @@ object Ann {
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
   }
 
+  /** Radius (range) search: every corpus vector within cosine ≥
+    * `minCos` of each query — the "all sufficiently-similar" report
+    * (dedup sweeps, recall audits, neighborhood exports) where top-k's
+    * fixed cutoff is the wrong contract. Same scale shape as
+    * [[bruteForce]]: the query side broadcasts with precomputed norms,
+    * the corpus streams once through a codegen'd VecDot projection and
+    * the threshold filters BEFORE anything shuffles — the result is
+    * the only thing that ever leaves the scan, and per-query result
+    * sizes are data-dependent (the reason no bounded-state top-k
+    * applies). */
+  def rangeSearch(vectors: DataFrame, queries: DataFrame, minCos: Double): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("_qn", norm("q_emb"))
+    val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"))
+      .withColumn("_vn", norm("embedding"))
+    v.crossJoin(broadcast(q))
+      .where(col("nn_id") =!= col("q_id"))
+      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
+      .where(col("_score") >= minCos)
+      .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"))
+  }
+
   /** IVF-style ANN: a TRAINED coarse quantizer (deterministic mod-k
     * seeding refined by [[lloydCentroids]]'s Lloyd rounds — the faiss
     * train step), assign every vector to its nearest centroid, then

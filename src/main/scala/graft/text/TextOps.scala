@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM training-data pipeline, over the
@@ -67,6 +68,62 @@ object TextOps {
       size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")).as("bpe_tokens"))
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") / col("ws_tokens"), 4))
+
+  /** Tokenizer-training vocabulary construction (the prep stage of any
+    * BPE/WordPiece train run): corpus-wide token counts → the top-K
+    * vocabulary with per-token and cumulative corpus coverage — the
+    * table that decides vocab size vs OOV rate.
+    *
+    * Scale shape: token counting is one map-side-combinable aggregate
+    * (the gram text reduces per executor before the shuffle). The
+    * top-K selection rides the bounded-state TopKStruct — at web scale
+    * the distinct-token table is billions of rows, and a window
+    * row_number over it would sort and shuffle all of them; the heap
+    * aggregate shuffles ≤ k rows per partition. The grand total is one
+    * broadcast scalar; the coverage window runs over the K selected
+    * rows only. Tie order at equal counts is lexicographically LARGEST
+    * token first (TopKStruct keeps the largest struct values; the
+    * oracle mirrors ORDER BY cnt DESC, token DESC). */
+  def vocabBuild(docs: DataFrame, k: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.sim.TopKStruct
+    val counts = docs.select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val payload = struct(col("cnt").as("c"), col("token").as("t"))
+    val agg = ColumnBridge.column(
+      TopKStruct(ColumnBridge.expression(payload), k).toAggregateExpression())
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    counts.agg(agg.as("_top"))
+      .select(posexplode(col("_top")))
+      .select((col("pos") + 1).cast("bigint").as("rank"),
+        col("col.t").as("token"), col("col.c").as("cnt"))
+      .crossJoin(broadcast(total))
+      .withColumn("_cum", sum(col("cnt")).over(
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("token"), col("cnt"),
+        round(col("cnt") / col("_total"), 4).as("pct"),
+        round(col("_cum") / col("_total"), 4).as("cum_pct"))
+  }
+
+  /** Blocklist gate (the C4 "badwords" filter — Raffel et al. 2020
+    * §2.2 dropped any page containing a word from a fixed list): per
+    * doc, total and distinct blocklist hits over the token stream and
+    * the drop flag (any hit kills the doc, C4's rule). The list is a
+    * literal array riding the projection — pure codegen'd per-row array
+    * algebra, nothing shuffles, nothing broadcast-joins; at 100 TB this
+    * runs at scan speed next to the other projection gates. */
+  def blocklist(docs: DataFrame, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty, "blocklist must not be empty")
+    val bl = array(words.map(lit): _*)
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    docs.select(col("doc_id"),
+      size(filter(toks, t => array_contains(bl, t))).cast("bigint").as("n_hits"),
+      size(array_intersect(array_distinct(toks), bl)).cast("bigint")
+        .as("n_distinct_hits"))
+      .withColumn("dropped", col("n_hits") > 0)
+  }
 
   /** PII scrub — the redaction pass a training corpus runs before
     * anything else sees the text: count and redact email addresses and
@@ -161,6 +218,45 @@ object TextOps {
       .select(col("doc_id"), col("n_chars"),
         round(log2(col("n_chars")) - col("_clogc") / 1e6 / col("n_chars"), 4)
           .as("entropy_bits"))
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS local fingerprinting algorithm), word-k-gram
+    * form: hash every k-gram, slide a w-wide window over the hash
+    * sequence, select each window's MINIMUM hash; the distinct
+    * selected hashes are the document's fingerprint set. Winnowing
+    * guarantees any shared run of ≥ w+k−1 words between two documents
+    * shares at least one selected fingerprint — the local property
+    * that makes it the plagiarism/near-dup detector of record.
+    *
+    * Per doc the report is the fingerprint count, the digest of the
+    * SORTED fingerprint set (set equality across engines without
+    * shipping the set) and the minimum fingerprint. Docs shorter than
+    * k+w−1 words have no full window and are out of contract.
+    *
+    * Scale shape: gram hashing is a per-row projection; the window min
+    * is PARTITIONED by doc_id (never a global sort), and only md5
+    * hex strings shuffle — text stays at its scan. */
+  def winnowing(docs: DataFrame, k: Int = 4, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 2, s"need k >= 1 ($k), w >= 2 ($w)")
+    val ws = docs.withColumn("wd", split(col("text"), " "))
+      .where(size(col("wd")) >= k + w - 1)
+    val mk = (0 until k).map(j => s"wd[i+$j]").mkString(", ")
+    val grams = ws.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(wd) - $k), i -> md5(concat_ws(' ', $mk)))")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val byDoc = Window.partitionBy("doc_id")
+    val win = byDoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("_g", count(lit(1)).over(byDoc))
+      .withColumn("_sel", min(col("h")).over(win))
+      .where(col("pos") <= col("_g") - w)
+      .select(col("doc_id"), col("_sel")).distinct()
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fps"),
+        md5(concat_ws(",", array_sort(collect_list(col("_sel")))).cast("binary"))
+          .as("fp_digest"),
+        min(col("_sel")).as("min_fp"))
+  }
 
   /** Rabin–Karp-style rolling fingerprint: left fold of
     * h = (h * 31 + ascii(c)) mod 1e9+7 over the characters — a

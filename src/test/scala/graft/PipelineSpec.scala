@@ -622,4 +622,96 @@ class PipelineSpec extends SparkSpec {
     val weights = Map("src0" -> 50, "ghost" -> 50)
     assert(DataPrep.sampleMixture(docs, "doc_id", "source", weights).isEmpty)
   }
+
+  test("TextOps.vocabBuild: heap selection equals the window form, coverage telescopes") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a a a b b c"), (2L, "b b a d")).toDF("doc_id", "text")
+    // counts: a=4, b=4, c=1, d=1 → top-3 = b(4), a(4), d(1) under
+    // (cnt DESC, token DESC); total 10
+    val got = TextOps.vocabBuild(corpus, 3)
+      .select("rank", "token", "cnt", "pct", "cum_pct")
+      .as[(Long, String, Long, Double, Double)].collect().toList.sortBy(_._1)
+    assert(got == List((1L, "b", 4L, 0.4, 0.4), (2L, "a", 4L, 0.4, 0.8),
+      (3L, "d", 1L, 0.1, 0.9)), s"got $got")
+  }
+
+  test("TextOps.blocklist: occurrence vs distinct counts, any hit drops") {
+    import spark.implicits._
+    val corpus = Seq((1L, "spam spam good slow"), (2L, "all clean here"),
+      (3L, " ")).toDF("doc_id", "text")
+    val got = TextOps.blocklist(corpus, Seq("spam", "slow"))
+      .select("doc_id", "n_hits", "n_distinct_hits", "dropped")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 3L, 2L, true), (2L, 0L, 0L, false),
+      (3L, 0L, 0L, false)), s"got $got")
+  }
+
+  test("TextOps.winnowing: shared run >= w+k-1 words shares a fingerprint; short docs out of contract") {
+    import spark.implicits._
+    val shared = (1 to 11).map(i => s"tok$i").mkString(" ") // k+w-1 = 11 words
+    val corpus = Seq(
+      (1L, s"one unique prefix here now $shared"),
+      (2L, s"$shared and a different tail entirely"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val fps = TextOps.winnowing(corpus, 4, 8)
+    assert(fps.where(col("doc_id") === 3).isEmpty, "short doc must be out of contract")
+    val one = fps.where(col("doc_id") === 1).select("fp_digest").as[String].head()
+    val two = fps.where(col("doc_id") === 2).select("fp_digest").as[String].head()
+    assert(one != two, "digests of different docs should differ")
+    // the winnowing guarantee: both docs select at least one common
+    // fingerprint from the shared 11-word run — recompute the selected
+    // sets directly and intersect
+    val w = org.apache.spark.sql.expressions.Window
+    val setOf = (id: Long) => {
+      val ws2 = corpus.where(col("doc_id") === id)
+        .withColumn("wd", split(col("text"), " "))
+      val grams = ws2.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, size(wd) - 4), i -> md5(concat_ws(' ', wd[i], wd[i+1], wd[i+2], wd[i+3])))")))
+      val byDoc = w.partitionBy("doc_id")
+      grams.withColumn("_g", count(lit(1)).over(byDoc))
+        .withColumn("_sel", min(col("col")).over(
+          byDoc.orderBy("pos").rowsBetween(w.currentRow, 7)))
+        .where(col("pos") <= col("_g") - 8)
+        .select("_sel").as[String].collect().toSet
+    }
+    val inter = setOf(1L).intersect(setOf(2L))
+    assert(inter.nonEmpty, "shared 11-word run must share a selected fingerprint")
+  }
+
+  test("Ann.rangeSearch: threshold inclusive, self excluded, matches bruteForce scores") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0.9f, 0.1f)),   // cos ≈ 0.994 to q1
+      (3L, Array(0f, 1f)),       // cos 0
+      (4L, Array(-1f, 0f))       // cos −1
+    ).toDF("vec_id", "embedding")
+    val got = Ann.rangeSearch(vecs, vecs.where(col("vec_id") === 1), 0.5)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+    // every reported neighbor is exactly a bruteForce hit at/above the
+    // threshold (same scoring, different cutoff contract)
+    val bf = Ann.bruteForce(vecs, vecs.where(col("vec_id") === 1), 3)
+      .where(col("score") >= 0.5).select("q_id", "nn_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got == bf, s"range $got vs bruteforce $bf")
+  }
+
+  test("Dedup.incremental: corpus dup beats batch dup, min-id twin kept, bloom is exact") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "alpha"),   // verbatim corpus dup
+      (11L, "gamma"), (12L, "gamma"), // twin pair: 11 kept, 12 dup_in_batch
+      (13L, "delta"),   // fresh
+      (14L, "beta"), (15L, "beta")    // corpus dup wins over batch dup for BOTH
+    ).toDF("doc_id", "text")
+    val got = Dedup.incremental(corpus, shard)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "dup_in_corpus", 11L -> "kept", 12L -> "dup_in_batch",
+      13L -> "kept", 14L -> "dup_in_corpus", 15L -> "dup_in_corpus"), s"got $got")
+    // empty shard: no rows, no failure (the bloom aggregate over zero
+    // digests must not poison the corpus filter)
+    assert(Dedup.incremental(corpus, shard.where(lit(false))).isEmpty)
+  }
 }

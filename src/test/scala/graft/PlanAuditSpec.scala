@@ -250,6 +250,33 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom not built as a scalar subquery:\n$p")
   }
 
+  test("ann_range_search: query side broadcast, corpus never hash-shuffles") {
+    val p = plan("ann_range_search")
+    assert(p.contains("BroadcastExchange"), s"query side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus streams once through the threshold filter; the only
+    // allowed exchange is the final presentation sort
+    assert(exchanges(p, "hashpartitioning") == 0,
+      s"corpus hash-shuffles in range search:\n$p")
+  }
+
+  test("dedup_incremental: corpus scan bloom-pruned before its exchange, text never shuffles") {
+    val p = plan("dedup_incremental")
+    // the corpus side must be filtered by might_contain (bloom over the
+    // shard digest set as a scalar subquery) and project only digests —
+    // the document text must not survive past the corpus scan's project
+    assert(p.contains("might_contain"), s"no bloom prune on the corpus scan:\n$p")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"bloom not built as a scalar subquery:\n$p")
+    // every Exchange's first projected column list must not carry text:
+    // only digests and doc_ids shuffle
+    val lines = p.linesIterator.toList
+    lines.zipWithIndex.filter(_._1.contains("Exchange hashpartitioning")).foreach {
+      case (l, _) => assert(!l.contains("text"), s"text column shuffles: $l")
+    }
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("secondary_index: index build is ensure-once, the serving query lookup-only") {
     var builds = 0
     val d1 = graft.core.Indexes.ensure(spark, sfDir, "_spec_probe")(_ => builds += 1)
