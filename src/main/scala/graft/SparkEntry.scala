@@ -101,6 +101,13 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")
     }),
+    // REST/Thrift scanner paging: three successive pageSize-7 fetches,
+    // each an independent `key > cursor` pushed range scan resuming at
+    // the previous page's max key (the scanner-handle protocol,
+    // stateless)
+    "scan_cursor" -> ((s, d) =>
+      Scans.pagedScan(T(s, d, "orders"), "o_orderkey", 7, 3,
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))),
     // getRowOrBefore: greatest row at or below a (possibly absent) key
     // — key 31 is a TPC-H orderkey gap, the closest row before is 7
     "get_closest_before" -> ((s, d) =>
@@ -249,6 +256,12 @@ object SparkEntry {
     "get_closest_before" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey <= 31 ORDER BY o_orderkey DESC LIMIT 1""".stripMargin,
+    "scan_cursor" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       CAST((rn - 1) // 7 AS BIGINT) AS page_idx
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |             row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+        |WHERE rn <= 21 ORDER BY o_orderkey""".stripMargin,
     "salted_scan" ->
       """SELECT CAST(o_orderkey % 8 AS VARCHAR) || '-' ||
         |         lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS salted_key,

@@ -161,6 +161,25 @@ object AnalyticsQueries {
           sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes")))
         .orderBy("bucket")
     }),
+    // Canary availability probe: first cell per (region, family) over
+    // the two-family event cells, 8 regions — plus a planted `meta`
+    // family that exists nowhere, whose 8 probe-failure rows must
+    // surface (ok = false), as in the tool's publishReadFailure
+    "canary_probe" -> ((s, d) =>
+      Tools.canaryProbe(Tables.eventCellsTwoFamilies(s, d), 8,
+          Seq("web", "act", "meta"))
+        .orderBy("region", "family")),
+    // Merge execution: the normalizer's merge plans applied over the
+    // skew-grown 16-bucket region table — pairs collapse into the
+    // lower id, merged stats re-aggregated, untouched regions ride
+    // through with n_merged = 1
+    "region_merge" -> ((s, d) => {
+      val grown = Tables.load(s, d, "orders")
+        .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+      val buckets = Tools.totalOrderBuckets(grown, "region_key", 16)
+      Tools.applyMerges(buckets, Tools.normalizerPlan(buckets))
+        .orderBy("new_region")
+    }),
     // HBaseFsck region-chain audit over a deliberately corrupted META
     // catalog: 16 uniform regions over the orders keyspace, with region
     // 5 lost (hole), region 9 degenerate (start == end, which also
@@ -382,6 +401,42 @@ object AnalyticsQueries {
         |       min(event_id) AS first_seq, max(event_id) AS last_seq,
         |       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
         |FROM ed, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "canary_probe" ->
+      ("WITH " + Tables.eventCellsTwoFamiliesSql + """,
+        |b AS (SELECT min(rowkey) AS lo, max(rowkey) AS hi FROM vcells2),
+        |t AS (SELECT v.*, CAST(floor((rowkey - lo) * 8 / (hi - lo + 1)) AS BIGINT)
+        |             AS region
+        |      FROM vcells2 v, b),
+        |p AS (SELECT region, family, min(rowkey) AS probe_key FROM t GROUP BY 1, 2),
+        |q AS (SELECT t.region, t.family, p.probe_key,
+        |             min(t.qualifier) AS first_qualifier
+        |      FROM t JOIN p ON t.region = p.region AND t.family = p.family
+        |                   AND t.rowkey = p.probe_key
+        |      GROUP BY 1, 2, 3),
+        |f AS (SELECT r.i AS region, fam.family
+        |      FROM range(0, 8) r(i), (VALUES ('web'), ('act'), ('meta')) fam(family))
+        |SELECT f.region, f.family, q.probe_key, q.first_qualifier,
+        |       q.probe_key IS NOT NULL AS ok
+        |FROM f LEFT JOIN q ON f.region = q.region AND f.family = q.family
+        |ORDER BY f.region, f.family""".stripMargin),
+    "region_merge" ->
+      """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |st AS (SELECT CAST(floor((k - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |              count(*) AS n_rows, min(k) AS min_key, max(k) AS max_key
+        |       FROM g, b GROUP BY 1),
+        |a AS (SELECT avg(n_rows) AS av FROM st),
+        |r AS (SELECT st.*, row_number() OVER (ORDER BY bucket) AS rn FROM st),
+        |pr AS (SELECT CAST(floor((rn - 1) / 2) AS BIGINT) AS pair, min(bucket) AS bucket,
+        |              max(bucket) AS other_bucket, sum(n_rows) AS n_rows, count(*) AS c
+        |       FROM r GROUP BY 1),
+        |mg AS (SELECT bucket, other_bucket FROM pr, a WHERE c = 2 AND n_rows < av),
+        |mp AS (SELECT st.*, coalesce(m.bucket, st.bucket) AS new_region
+        |       FROM st LEFT JOIN mg m ON st.bucket = m.other_bucket)
+        |SELECT new_region, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |       min(min_key) AS min_key, max(max_key) AS max_key,
+        |       count(*) AS n_merged
+        |FROM mp GROUP BY 1 ORDER BY new_region""".stripMargin,
     "hbck_region_chain" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
         |bd AS (SELECT i, CAST(floor(lo + (hi - lo + 1) * i / 16.0) AS BIGINT) AS k

@@ -271,6 +271,56 @@ object Tools {
       .agg(baseAggs.head, baseAggs.tail: _*)
   }
 
+  /** Canary (hbase-server/.../tool/Canary.java:244 RegionTask.read) —
+    * the availability probe HBase operators run continuously: for every
+    * (region, column family), read the FIRST cell at/after the
+    * region's start key (a Get/small Scan with FirstKeyOnlyFilter,
+    * Canary.java:256). Relationally: tag rows with their region bucket,
+    * take the min (rowkey, qualifier) struct per (region, family) —
+    * one hash aggregate with map-side partials, the same single-cell
+    * answer every probe RPC returns, for all regions at once. The
+    * (region × family) frame is generated so a family with NO cell in
+    * a region reports a probe FAILURE row (ok = false), exactly the
+    * canary's publishReadFailure — absence must not vanish from an
+    * availability report. */
+  def canaryProbe(cells: DataFrame, nRegions: Int, families: Seq[String]): DataFrame = {
+    require(nRegions >= 1 && families.nonEmpty, "need regions and families")
+    val b = cells.agg(min(col("rowkey")).as("_lo"), max(col("rowkey")).as("_hi"))
+    val probes = cells.crossJoin(broadcast(b))
+      .withColumn("region",
+        totalOrderBucket(col("rowkey"), col("_lo"), col("_hi"), nRegions))
+      .groupBy("region", "family")
+      .agg(min(struct(col("rowkey"), col("qualifier"))).as("_first"))
+    val frame = b
+      .select(explode(sequence(lit(0L), lit(nRegions - 1L))).as("region"))
+      .select(col("region"),
+        explode(array(families.map(lit): _*)).as("family"))
+    frame.join(probes, Seq("region", "family"), "left")
+      .select(col("region"), col("family"),
+        col("_first.rowkey").as("probe_key"),
+        col("_first.qualifier").as("first_qualifier"),
+        col("_first").isNotNull.as("ok"))
+  }
+
+  /** Merge (hbase-server/.../util/Merge.java:57, and the master path
+    * CatalogJanitor feeds) — EXECUTE the merge half of
+    * [[normalizerPlan]]: each planned (bucket, other_bucket) pair
+    * collapses into the lower bucket id, and the merged region table
+    * reports combined row counts, the union key range and how many
+    * regions folded in. The plan is master METADATA (a broadcast);
+    * the data-side cost is one re-aggregation of bucket stats —
+    * merging regions re-labels sorted ranges, it does not rewrite
+    * data (the reference merges HFile references, not cells). */
+  def applyMerges(buckets: DataFrame, plan: DataFrame): DataFrame = {
+    val remap = plan.where(col("action") === "merge")
+      .select(col("other_bucket").as("bucket"), col("bucket").as("_tgt"))
+    buckets.join(broadcast(remap), Seq("bucket"), "left")
+      .withColumn("new_region", coalesce(col("_tgt"), col("bucket")))
+      .groupBy("new_region")
+      .agg(sum(col("n_rows")).as("n_rows"), min(col("min_key")).as("min_key"),
+        max(col("max_key")).as("max_key"), count(lit(1)).as("n_merged"))
+  }
+
   /** HBaseFsck "hbck" region-chain integrity check (hbase-server/.../
     * util/HBaseFsck.java:2972 checkRegionChain, error codes at :3856):
     * given the META region catalog of one table — (region_id,

@@ -28,6 +28,35 @@ object Scans {
                projection: Seq[String]): DataFrame =
     df.select(projection.map(col): _*).orderBy(col(keyCol).desc).limit(limit)
 
+  /** REST/Thrift scanner paging (hbase-rest ScannerResource.java:47,
+    * hbase-thrift ThriftServerRunner.scannerGetList:1411) — a scanner
+    * handle is a CURSOR: each fetch returns the next `pageSize` rows
+    * strictly after it. Stateless re-expression: every page is an
+    * independent range scan `key > cursor ORDER BY key LIMIT n` — the
+    * cursor is a pushed-down predicate, the page plans as
+    * TakeOrderedAndProject (per-partition top-n + n-row merge, never a
+    * global sort), and the next cursor is the page's max key carried
+    * as one broadcast scalar — exactly the resume-row an HBase client
+    * keeps between scanner RPCs, derived in-plan. Pages are tagged
+    * `page_idx` and unioned (each page re-derives its predecessors'
+    * n-row aggregates — n·pageSize rows of repeated work, the price of
+    * statelessness, negligible against any real scan). */
+  def pagedScan(df: DataFrame, keyCol: String, pageSize: Int, nPages: Int,
+                projection: Seq[String]): DataFrame = {
+    require(pageSize >= 1 && nPages >= 1,
+      s"need pageSize ($pageSize) >= 1 and nPages ($nPages) >= 1")
+    var cursor: Option[DataFrame] = None
+    val pages = (0 until nPages).map { i =>
+      val base = cursor.fold(df)(c =>
+        df.crossJoin(broadcast(c)).where(col(keyCol) > col("_cur")))
+      val page = base.orderBy(keyCol).limit(pageSize)
+        .select(projection.map(col) :+ lit(i.toLong).as("page_idx"): _*)
+      cursor = Some(page.agg(max(col(keyCol)).as("_cur")))
+      page
+    }
+    pages.reduce(_ unionByName _)
+  }
+
   /** Get — single-row point read. With rowkey-sorted parquet this is a
     * min/max-pruned scan touching one row group. */
   def get(df: DataFrame, keyCol: String, key: Long,

@@ -229,6 +229,10 @@ object PipelineQueries {
     "ann_bruteforce" -> ((s, d) =>
       Ann.bruteForce(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank")),
+    // embedding-space health audit: per-dimension stats (one map-side-
+    // partial aggregate, 64 rows out), integer micro-unit means
+    "embedding_stats" -> ((s, d) =>
+      graft.sim.Quantize.dimStats(emb(s, d)).orderBy("dim")),
     // radius search: all corpus vectors within cos >= 0.25 of each
     // query — data-dependent result sizes, so top-k doesn't apply;
     // threshold filters at the scan, before anything shuffles
@@ -621,6 +625,18 @@ object PipelineQueries {
           |        FROM scored)
           |SELECT vec_id, nn_id, round(sc, 4) AS cos, round(sc, 4) >= 0.45 AS is_dup
           |FROM top WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+    "embedding_stats" ->
+      """WITH x AS (SELECT unnest(embedding) AS v,
+        |                  unnest(range(0, len(embedding))) AS dim
+        |           FROM embeddings),
+        |g AS (SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+        |             sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sm,
+        |             min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+        |      FROM x GROUP BY 1)
+        |SELECT dim, n, round(sm / n / 1000000.0, 4) AS mean_v,
+        |       round(mn, 4) AS min_v, round(mx, 4) AS max_v,
+        |       (mx - mn) < 0.0001 AS collapsed
+        |FROM g ORDER BY dim""".stripMargin,
     "ann_range_search" ->
       (s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
           |scored AS (

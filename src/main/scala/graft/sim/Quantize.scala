@@ -18,6 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** Embedding-SPACE audit: per-DIMENSION corpus statistics — the
+    * health report run before trusting an embedding column (collapsed
+    * dimensions from a degenerate encoder, range blow-ups that break
+    * quantizer scales, the n-vs-dim sanity row). One map-side-partial
+    * hash aggregate over the exploded (dim, value) stream: 64 output
+    * rows regardless of corpus size, nothing else shuffles.
+    *
+    * Means are integer-exact for engine parity: each value folds to
+    * floor(v·10⁶) micro-units (double arithmetic on an exactly-cast
+    * float — deterministic in both engines) and the per-dim mean is
+    * the long sum divided back down, immune to float summation order.
+    * Long capacity bounds the contract at ~9·10¹² vectors per
+    * aggregation — past that, shard the sum (the same split the
+    * micro-log LM score documents). min/max on the raw values are
+    * order-free and exact. `collapsed` flags dimensions whose whole
+    * corpus range sits inside `eps`. */
+  def dimStats(vectors: DataFrame, eps: Double = 1e-4): DataFrame =
+    vectors.select(posexplode(col("embedding")))
+      .select(col("pos").cast("bigint").as("dim"),
+        col("col").cast("double").as("v"))
+      .withColumn("_mv", floor(col("v") * 1000000d).cast("bigint"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum(col("_mv")).as("_sum_micro"),
+        min(col("v")).as("_min"), max(col("v")).as("_max"))
+      .select(col("dim"), col("n"),
+        round(col("_sum_micro") / col("n") / 1000000d, 4).as("mean_v"),
+        round(col("_min"), 4).as("min_v"),
+        round(col("_max"), 4).as("max_v"),
+        (col("_max") - col("_min") < eps).as("collapsed"))
+
   /** The corpus re-expressed as reconstructed int8 vectors v̂ = q·scale
     * (what a stored int8+scale index decodes at scan time). The scale
     * MUST be multiplied back: pairwise cosine is per-vector

@@ -6,6 +6,24 @@ import graft.core.Tables
 
 class FiltersSpec extends SparkSpec {
 
+  test("Scans.pagedScan: pages disjoint, ordered, cursor resumes exactly; short tail page") {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+    val got = graft.kv.Scans.pagedScan(orders, "o_orderkey", 7, 3,
+        Seq("o_orderkey"))
+      .select("o_orderkey", "page_idx").as[(Long, Long)].collect().toList
+      .sortBy(identity)
+    val want = orders.orderBy("o_orderkey").limit(21)
+      .select("o_orderkey").as[Long].collect().toList.sorted
+      .zipWithIndex.map { case (k, i) => (k, i.toLong / 7) }
+    assert(got == want, s"got $got")
+    // a page size beyond the table: one full page then empty pages, no error
+    val n = orders.count()
+    val all = graft.kv.Scans.pagedScan(orders, "o_orderkey", n.toInt + 10, 2,
+      Seq("o_orderkey"))
+    assert(all.count() == n, "tail pages past the data must be empty, not error")
+  }
+
   test("FuzzyMatch semantics (eval)") {
     assert(FuzzyMatch.matches("abc_99_x", "???_99_?"))
     assert(!FuzzyMatch.matches("abc_98_x", "???_99_?"))

@@ -158,6 +158,39 @@ class MutationsSpec extends SparkSpec {
     assert(empty.contains(("b", 1L, 1L, false)), s"got $empty")
   }
 
+  test("canaryProbe: first cell per (region, family), absent family is a failure row") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    // keys 0..7 over 2 regions (bucket = key*2/8): region 0 = keys 0..3,
+    // region 1 = keys 4..7; family g only exists in region 0
+    val cells = Seq(
+      (0L, "f", "qb", "x"), (0L, "f", "qa", "y"), (1L, "g", "qz", "z"),
+      (5L, "f", "qc", "w"), (7L, "f", "qa", "v")
+    ).toDF("rowkey", "family", "qualifier", "value")
+    val got = Tools.canaryProbe(cells, 2, Seq("f", "g"))
+      .select("region", "family", "probe_key", "first_qualifier", "ok")
+      .as[(Long, String, Option[Long], Option[String], Boolean)].collect().toSet
+    assert(got == Set(
+      (0L, "f", Some(0L), Some("qa"), true),   // first CELL: min (rowkey, qualifier)
+      (0L, "g", Some(1L), Some("qz"), true),
+      (1L, "f", Some(5L), Some("qc"), true),
+      (1L, "g", None, None, false)), s"got $got")
+  }
+
+  test("applyMerges: planned pairs collapse into the lower id, others ride through") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    val buckets = Seq(
+      (0L, 10L, 0L, 9L), (1L, 12L, 10L, 19L),   // small pair -> merge
+      (2L, 100L, 20L, 119L), (3L, 90L, 120L, 209L) // big pair -> no merge
+    ).toDF("bucket", "n_rows", "min_key", "max_key")
+    val got = Tools.applyMerges(buckets, Tools.normalizerPlan(buckets))
+      .select("new_region", "n_rows", "min_key", "max_key", "n_merged")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 22L, 0L, 19L, 2L), (2L, 100L, 20L, 119L, 1L),
+      (3L, 90L, 120L, 209L, 1L)), s"got $got")
+  }
+
   test("hbckRegionChain: clean chain is silent, every planted defect reported") {
     import spark.implicits._
     import graft.analytics.Tools

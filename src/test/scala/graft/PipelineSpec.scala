@@ -678,6 +678,22 @@ class PipelineSpec extends SparkSpec {
     assert(inter.nonEmpty, "shared 11-word run must share a selected fingerprint")
   }
 
+  test("Quantize.dimStats: collapsed dims flagged, micro-unit means exact") {
+    import spark.implicits._
+    import graft.sim.Quantize
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.5f, 0.25f)),
+      (2L, Array(3.0f, 0.5f, -0.25f))
+    ).toDF("vec_id", "embedding")
+    val got = Quantize.dimStats(vecs, eps = 1e-4)
+      .select("dim", "n", "mean_v", "min_v", "max_v", "collapsed")
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect().toSet
+    assert(got == Set(
+      (0L, 2L, 2.0, 1.0, 3.0, false),
+      (1L, 2L, 0.5, 0.5, 0.5, true),    // constant dim -> collapsed
+      (2L, 2L, 0.0, -0.25, 0.25, false)), s"got $got")
+  }
+
   test("Ann.rangeSearch: threshold inclusive, self excluded, matches bruteForce scores") {
     import spark.implicits._
     val vecs = Seq(

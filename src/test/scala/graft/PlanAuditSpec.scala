@@ -250,6 +250,14 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom not built as a scalar subquery:\n$p")
   }
 
+  test("scan_cursor: every page is a TakeOrderedAndProject, no global sort exchange") {
+    val p = plan("scan_cursor")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
+      s"pages must plan as per-partition top-n + n-row merge:\n$p")
+    assert(exchanges(p, "rangepartitioning") == 0,
+      s"a page triggered a global sort exchange:\n$p")
+  }
+
   test("ann_range_search: query side broadcast, corpus never hash-shuffles") {
     val p = plan("ann_range_search")
     assert(p.contains("BroadcastExchange"), s"query side not broadcast:\n$p")
