@@ -161,6 +161,26 @@ object AnalyticsQueries {
           sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes")))
         .orderBy("bucket")
     }),
+    // completebulkload assignment: 12 pre-sorted HFiles (bucket ranges)
+    // land on an 8-region table — misaligned boundaries force straddler
+    // files to split at region edges, exactly groupOrSplit's re-queue
+    // fixed point; the last region ends open
+    "bulk_load_assign" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val b = orders.agg(min("o_orderkey").as("_lo"), max("o_orderkey").as("_hi"))
+      def bd(i: org.apache.spark.sql.Column) =
+        floor(col("_lo") + (col("_hi") - col("_lo") + 1) * i / 8).cast("bigint")
+      val regions = b
+        .select(explode(sequence(lit(0), lit(7))).as("i"), col("_lo"), col("_hi"))
+        .select(col("i").cast("bigint").as("region"), bd(col("i")).as("start_key"),
+          when(col("i") === 7, lit(null).cast("bigint"))
+            .otherwise(bd(col("i") + 1)).as("end_key"))
+      val files = Tools.totalOrderBuckets(orders, "o_orderkey", 12)
+        .select(concat(lit("hfile-"), lpad(col("bucket").cast("string"), 2, "0"))
+            .as("hfile"),
+          col("min_key").as("first_key"), col("max_key").as("last_key"))
+      Tools.bulkLoadAssign(files, regions).orderBy("hfile", "region")
+    }),
     // Canary availability probe: first cell per (region, family) over
     // the two-family event cells, 8 regions — plus a planted `meta`
     // family that exists nowhere, whose 8 probe-failure rows must
@@ -401,6 +421,30 @@ object AnalyticsQueries {
         |       min(event_id) AS first_seq, max(event_id) AS last_seq,
         |       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
         |FROM ed, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "bulk_load_assign" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+        |reg AS (SELECT CAST(i AS BIGINT) AS region,
+        |               CAST(floor(lo + (hi - lo + 1) * i / 8.0) AS BIGINT) AS start_key,
+        |               CASE WHEN i = 7 THEN NULL
+        |                    ELSE CAST(floor(lo + (hi - lo + 1) * (i + 1) / 8.0) AS BIGINT)
+        |               END AS end_key
+        |        FROM range(0, 8) t(i), b),
+        |f AS (SELECT 'hfile-' || lpad(CAST(bucket AS VARCHAR), 2, '0') AS hfile,
+        |             min_key AS first_key, max_key AS last_key
+        |      FROM (SELECT CAST(floor((o_orderkey - lo) * 12 / (hi - lo + 1)) AS BIGINT)
+        |                     AS bucket,
+        |                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |            FROM orders, b GROUP BY 1)),
+        |j AS (SELECT f.hfile, r.region,
+        |             greatest(f.first_key, r.start_key) AS frag_first,
+        |             CASE WHEN r.end_key IS NULL THEN f.last_key
+        |                  ELSE least(f.last_key, r.end_key - 1) END AS frag_last
+        |      FROM f JOIN reg r ON f.last_key >= r.start_key
+        |                        AND (r.end_key IS NULL OR f.first_key < r.end_key)),
+        |c AS (SELECT hfile, count(*) AS n_fragments FROM j GROUP BY 1)
+        |SELECT j.hfile, j.region, j.frag_first, j.frag_last,
+        |       c.n_fragments, c.n_fragments > 1 AS needs_split
+        |FROM j JOIN c USING (hfile) ORDER BY hfile, region""".stripMargin,
     "canary_probe" ->
       ("WITH " + Tables.eventCellsTwoFamiliesSql + """,
         |b AS (SELECT min(rowkey) AS lo, max(rowkey) AS hi FROM vcells2),

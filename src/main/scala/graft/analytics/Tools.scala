@@ -271,6 +271,39 @@ object Tools {
       .agg(baseAggs.head, baseAggs.tail: _*)
   }
 
+  /** LoadIncrementalHFiles.groupOrSplit (hbase-server/.../mapreduce/
+    * LoadIncrementalHFiles.java:729) — the completebulkload assignment
+    * phase: each HFile belongs to the region holding its FIRST key
+    * (:763 binarySearch); a file whose last key reaches past that
+    * region's end is SPLIT at the boundary and the remainder re-queued
+    * (:795-803), looping until every piece fits one region. The fixed
+    * point of that loop is exactly one fragment per (file, overlapped
+    * region), clipped to the region range — computed here in ONE pass
+    * as a broadcast interval join (region boundaries are master
+    * metadata, tiny next to the file list), no iteration. Region
+    * ranges are [start_key, end_key) with NULL end = open; file ranges
+    * [first_key, last_key] inclusive (HFile first/last row keys).
+    * `needs_split` marks files the reference would physically split
+    * (fragments > 1). The reference aborts on a broken region chain
+    * (:776-793, "use hbck") — chain integrity is [[hbckRegionChain]]'s
+    * job and a precondition here. */
+  def bulkLoadAssign(files: DataFrame, regions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = broadcast(regions.select(col("region").as("_r"),
+      col("start_key").as("_rs"), col("end_key").as("_re")))
+    files.join(r,
+        col("last_key") >= col("_rs") &&
+        (col("_re").isNull || col("first_key") < col("_re")))
+      .select(col("hfile"),
+        col("_r").as("region"),
+        greatest(col("first_key"), col("_rs")).as("frag_first"),
+        when(col("_re").isNull, col("last_key"))
+          .otherwise(least(col("last_key"), col("_re") - 1)).as("frag_last"))
+      .withColumn("n_fragments",
+        count(lit(1)).over(Window.partitionBy("hfile")))
+      .withColumn("needs_split", col("n_fragments") > 1)
+  }
+
   /** Canary (hbase-server/.../tool/Canary.java:244 RegionTask.read) —
     * the availability probe HBase operators run continuously: for every
     * (region, column family), read the FIRST cell at/after the

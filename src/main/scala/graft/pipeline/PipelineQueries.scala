@@ -269,6 +269,26 @@ object PipelineQueries {
     "text_blocklist" -> ((s, d) =>
       TextOps.blocklist(docs(s, d), Seq("slow", "broken", "spam"))
         .orderBy("doc_id")),
+    // sliding-window chunking (width 32, stride 24 → overlap 8): every
+    // token covered, short tail chunks, pure projection + explode
+    "text_chunk" -> ((s, d) =>
+      TextOps.chunk(docs(s, d), 32, 24).orderBy("doc_id", "chunk_idx")),
+    // cluster survivorship by QUALITY policy: within each near-dup
+    // cluster keep the highest-quality doc (doc_id breaks ties), not
+    // blindly the min id — the dedup decision real pipelines ship
+    "dedup_keep_best" -> ((s, d) => {
+      val q = TextOps.quality(docs(s, d)).select(col("doc_id"), col("quality"))
+      val labeled = q.join(ngramClusters(s, d), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      val best = labeled.groupBy("cluster")
+        .agg(max(struct(col("quality").as("q"), (-col("doc_id")).as("negid")))
+          .as("_b"))
+      labeled.join(best, "cluster")
+        .select(col("doc_id"), col("cluster"), col("quality"),
+          (col("quality") === col("_b.q") &&
+            col("doc_id") === -col("_b.negid")).as("keep"))
+        .orderBy("doc_id")
+    }),
     // MOSS winnowing fingerprints (word-4-grams, window 8): per-doc
     // selected-min hash set reported as count + sorted-set digest; the
     // window min is partitioned by doc — never a global sort
@@ -747,6 +767,45 @@ object PipelineQueries {
         |       len(list_filter(toks,
         |         x -> list_contains(['slow', 'broken', 'spam'], x))) > 0 AS dropped
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |c AS (SELECT doc_id, ts,
+        |             greatest(0, (len(ts) - 32 + 23) // 24) AS cm FROM t),
+        |x AS (SELECT doc_id, ts, unnest(range(0, cm + 1)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(i * 24 AS BIGINT) AS tok_start,
+        |       CAST(least(32, len(ts) - i * 24) AS BIGINT) AS tok_len,
+        |       array_to_string(ts[i*24 + 1 : i*24 + least(32, len(ts) - i*24)], ' ')
+        |         AS chunk_text
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+    "dedup_keep_best" ->
+      (s"""WITH RECURSIVE pairs AS (
+          |$ddNgramPairs
+          |),
+          |edges AS (SELECT i AS a, j AS b FROM pairs
+          |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+          |reach AS (
+          |  SELECT a AS id, b AS r FROM edges
+          |  UNION
+          |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+          |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster
+          |       FROM reach GROUP BY id),
+          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          |freqs AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
+          |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+          |              count(*) AS n_distinct
+          |       FROM freqs GROUP BY doc_id),
+          |q AS (SELECT doc_id,
+          |             round(least(n_tokens / 100.0, 1.0)
+          |                   * (n_distinct * 1.0 / n_tokens), 4) AS quality
+          |      FROM st),
+          |lab AS (SELECT q.doc_id, coalesce(cl.cluster, q.doc_id) AS cluster,
+          |               q.quality
+          |        FROM q LEFT JOIN cl ON q.doc_id = cl.doc_id),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+          |                ORDER BY quality DESC, doc_id) AS rn FROM lab)
+          |SELECT doc_id, cluster, quality, rn = 1 AS keep
+          |FROM r ORDER BY doc_id""".stripMargin),
     "text_winnowing" ->
       """WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
         |g AS (SELECT doc_id,

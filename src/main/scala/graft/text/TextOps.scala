@@ -219,6 +219,28 @@ object TextOps {
         round(log2(col("n_chars")) - col("_clogc") / 1e6 / col("n_chars"), 4)
           .as("entropy_bits"))
 
+  /** Sliding-window chunking — the windowing stage every pretraining /
+    * RAG pipeline runs between cleaning and tokenization: width `w`
+    * tokens, stride `s` (s < w ⇒ adjacent chunks overlap by w−s so no
+    * span is ever split across a boundary without a copy). Chunk count
+    * per doc is 1 + max(0, ⌈(n−w)/s⌉) — every token is covered, the
+    * tail chunk may run short, a doc shorter than w yields exactly one
+    * chunk. Pure projection + explode: chunk geometry is integer
+    * arithmetic (`div` floor division, engine-portable), and the only
+    * shuffle in a chunking job is the sink's own partitioning. */
+  def chunk(docs: DataFrame, w: Int = 32, s: Int = 24): DataFrame = {
+    require(w >= 1 && s >= 1 && s <= w,
+      s"need 1 <= stride ($s) <= width ($w)")
+    docs.withColumn("ts", split(col("text"), " "))
+      .select(col("doc_id"), col("ts"), posexplode(expr(
+        s"transform(sequence(0, greatest(0L, (size(ts) - $w + ${s - 1}) div $s)), i -> i * $s)")))
+      .select(col("doc_id"), col("pos").cast("bigint").as("chunk_idx"),
+        col("col").cast("bigint").as("tok_start"),
+        least(lit(w), size(col("ts")) - col("col")).cast("bigint").as("tok_len"),
+        expr(s"array_join(slice(ts, col + 1, least($w, size(ts) - col)), ' ')")
+          .as("chunk_text"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
     * 2003 — the MOSS local fingerprinting algorithm), word-k-gram
     * form: hash every k-gram, slide a w-wide window over the hash

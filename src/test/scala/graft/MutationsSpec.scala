@@ -158,6 +158,28 @@ class MutationsSpec extends SparkSpec {
     assert(empty.contains(("b", 1L, 1L, false)), s"got $empty")
   }
 
+  test("bulkLoadAssign: in-range file untouched, straddler clipped per region, boundary last key splits") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    val regions = Seq((0L, 0L, Some(20L)), (1L, 20L, Some(40L)), (2L, 40L, None))
+      .toDF("region", "start_key", "end_key")
+    val files = Seq(
+      ("a", 2L, 9L),    // inside region 0
+      ("b", 15L, 45L),  // straddles all three
+      ("c", 10L, 20L),  // last key == region 0 end: reference splits (lastKeyInRange false)
+      ("d", 50L, 60L)   // open-ended last region
+    ).toDF("hfile", "first_key", "last_key")
+    val got = Tools.bulkLoadAssign(files, regions)
+      .select("hfile", "region", "frag_first", "frag_last", "n_fragments", "needs_split")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(got == Set(
+      ("a", 0L, 2L, 9L, 1L, false),
+      ("b", 0L, 15L, 19L, 3L, true), ("b", 1L, 20L, 39L, 3L, true),
+      ("b", 2L, 40L, 45L, 3L, true),
+      ("c", 0L, 10L, 19L, 2L, true), ("c", 1L, 20L, 20L, 2L, true),
+      ("d", 2L, 50L, 60L, 1L, false)), s"got $got")
+  }
+
   test("canaryProbe: first cell per (region, family), absent family is a failure row") {
     import spark.implicits._
     import graft.analytics.Tools

@@ -678,6 +678,39 @@ class PipelineSpec extends SparkSpec {
     assert(inter.nonEmpty, "shared 11-word run must share a selected fingerprint")
   }
 
+  test("TextOps.chunk: full coverage with overlap, short doc = one chunk, tail runs short") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val d40 = (1 to 40).map(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, d40), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextOps.chunk(corpus, 32, 24)
+      .select("doc_id", "chunk_idx", "tok_start", "tok_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 0L, 32L), (1L, 1L, 24L, 16L), (2L, 0L, 0L, 3L)),
+      s"got $got")
+    // every token of doc 1 is covered by some chunk
+    val covered = got.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 40L).toSet, "chunking left a token uncovered")
+    // chunk text is the exact token slice
+    val t0 = TextOps.chunk(corpus, 32, 24)
+      .where(col("doc_id") === 1 && col("chunk_idx") === 1)
+      .select("chunk_text").as[String].head()
+    assert(t0 == (25 to 40).map(i => s"t$i").mkString(" "), s"got $t0")
+  }
+
+  test("dedup_keep_best: one keeper per cluster, keeper has the cluster's max quality") {
+    val got = SparkEntry.queries("dedup_keep_best")(spark, sfDir)
+    val perCluster = got.groupBy("cluster")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        max(col("quality")).as("maxq"),
+        max(when(col("keep"), col("quality"))).as("keepq"))
+    assert(perCluster.where(col("n_keep") =!= 1).isEmpty,
+      "every cluster needs exactly one keeper")
+    assert(perCluster.where(col("keepq") =!= col("maxq")).isEmpty,
+      "keeper must carry the cluster's max quality")
+  }
+
   test("Quantize.dimStats: collapsed dims flagged, micro-unit means exact") {
     import spark.implicits._
     import graft.sim.Quantize
