@@ -304,6 +304,29 @@ object MM {
         bei(col("offset"), 4).as("fp"))
   }
 
+  /** Scene-change detection over the frame stream — the shot-boundary
+    * pass a video pipeline runs before keyframe selection: every
+    * frame's head fingerprint compared to its predecessor (lag window
+    * PARTITIONED by video — frames of one video are one partition's
+    * work, videos parallelize); a changed fingerprint opens a new
+    * scene and `scene_id` is the running cut count, so downstream
+    * keyframe picks are `is_cut` rows and scene lengths are a group-by
+    * away. A production detector diffs decoded histograms where this
+    * diffs the frame-head bytes — that swap changes the fingerprint
+    * column only; the plumbing (per-video lag + running sum) is the
+    * operator. */
+  def sceneDetect(withBytes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frameSample(withBytes, every = 1)
+      .withColumn("is_cut",
+        coalesce(col("fp") =!= lag(col("fp"), 1).over(w), lit(true)))
+      .withColumn("scene_id", sum(when(col("is_cut"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("doc_id"), col("frame_idx"), col("fp"), col("is_cut"),
+        col("scene_id"))
+  }
+
   /** Audio stream facts straight from the container bytes: sample rate
     * from the fmt chunk, sample count from the data-chunk length (16-bit
     * mono PCM), duration from the two — the triage columns an audio

@@ -349,6 +349,10 @@ object PipelineQueries {
     // 3rd frame emitted with its byte offset + head fingerprint
     "mm_frame_sample" -> ((s, d) =>
       MM.frameSample(MM.synthesizeVideo(docs(s, d))).orderBy("doc_id", "frame_idx")),
+    // shot-boundary pass: per-video frame-fingerprint lag, cuts open
+    // scenes, running scene_id — window partitioned by video
+    "mm_scene_detect" -> ((s, d) =>
+      MM.sceneDetect(MM.synthesizeVideo(docs(s, d))).orderBy("doc_id", "frame_idx")),
   )
 
   /** Shared DuckDB vector helpers (double-precision sequential folds —
@@ -965,6 +969,35 @@ object PipelineQueries {
           |SELECT doc_id, n_frames, frame_idx, 9 + frame_idx * fs AS offset,
           |       ${ddBei("9 + frame_idx * fs", 4)} AS fp
           |FROM idx ORDER BY doc_id, frame_idx""".stripMargin),
+    "mm_scene_detect" ->
+      (s"""WITH params AS (
+          |  SELECT doc_id, text,
+          |         4 + doc_id % 13 AS nf, 16 + doc_id % 32 AS fs
+          |  FROM documents),
+          |payloads AS (
+          |  SELECT doc_id,
+          |    encode('GVID') || ${ddBe("nf", 2)} || ${ddBe("fs", 2)} ||
+          |      CAST(rpad(text, CAST(nf * fs AS INT), '.') AS BLOB) AS payload
+          |  FROM params),
+          |hexed AS (SELECT doc_id, upper(hex(payload)) AS h FROM payloads),
+          |geo AS (SELECT doc_id, h, ${ddBei("5", 2)} AS n_frames, ${ddBei("7", 2)} AS fs
+          |        FROM hexed WHERE ${ddHx("1", 4)} = '47564944'),
+          |idx AS (SELECT doc_id, h, n_frames, fs,
+          |               unnest(range(0, n_frames, 1)) AS frame_idx
+          |        FROM geo),
+          |fp AS (SELECT doc_id, frame_idx,
+          |              ${ddBei("9 + frame_idx * fs", 4)} AS fp
+          |       FROM idx),
+          |cu AS (SELECT doc_id, frame_idx, fp,
+          |              coalesce(fp <> lag(fp) OVER (PARTITION BY doc_id
+          |                                           ORDER BY frame_idx), true) AS is_cut
+          |       FROM fp)
+          |SELECT doc_id, frame_idx, fp, is_cut,
+          |       CAST(sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+          |            OVER (PARTITION BY doc_id ORDER BY frame_idx
+          |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |         AS scene_id
+          |FROM cu ORDER BY doc_id, frame_idx""".stripMargin),
     "mm_audio_info" ->
       (s"""$ddPayloadCtes
          |SELECT doc_id,

@@ -28,6 +28,14 @@ case class ReplicaUpdate(rowkey: Long, qualifier: String,
   * counter value, i.e. what a Get would return after the batch. */
 case class CounterUpdate(event_type: String, n: Long, sum: Double)
 
+/** Per-window trending state: event-type counts inside one tumbling
+  * window — the map a serving top-k is computed from each batch. */
+case class TopKWindowState(counts: Map[String, Long])
+
+/** Live top-k row emitted per in-flight window per micro-batch. */
+case class TopKUpdate(window_start: java.sql.Timestamp, rank: Long,
+                      event_type: String, n_events: Long)
+
 /** Per-(user, day) request-quota state: requests seen so far in the
   * window. The running count is all the throttle needs — rejected =
   * max(0, n − limit) is derivable, so state stays one long per key. */
@@ -248,6 +256,73 @@ object StreamOps {
               math.max(key._2.getTime, state.getCurrentWatermarkMs) + 1)
             val lim = limitOf(key._1)
             Iterator(QuotaUpdate(key._1, key._2, n, n > lim, math.max(0L, n - lim)))
+          }
+      }
+  }
+
+  /** Per-day-window trending top-k — the "what's hot" serving view a
+    * counter table feeds: event types ranked by count inside each
+    * tumbling window. The per-window selection rides the bounded-state
+    * TopKStruct heap (map-side k-row partials) — at real cardinality
+    * (per-URL / per-entity counters, not 5 event types) a window
+    * row_number would sort and shuffle the whole per-window count
+    * table; the heap shuffles ≤ k rows per partition. Tie order at
+    * equal counts: lexicographically larger key first (the heap keeps
+    * the largest structs; oracle mirrors ORDER BY n DESC, key DESC). */
+  def windowedTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.sim.TopKStruct
+    val counts = events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+    val payload = struct(col("n_events").as("c"), col("event_type").as("t"))
+    val agg = ColumnBridge.column(
+      TopKStruct(ColumnBridge.expression(payload), k).toAggregateExpression())
+    counts.groupBy("window_start").agg(agg.as("_top"))
+      .select(col("window_start"), posexplode(col("_top")))
+      .select(col("window_start"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.t").as("event_type"), col("col.c").as("n_events"))
+  }
+
+  /** Streaming form of [[windowedTopK]]: per-window type counts held in
+    * flatMapGroupsWithState (chained stateful aggregations — counts
+    * THEN top-k — don't compose as windowed aggs in one streaming
+    * query), each micro-batch emitting the window's live top-k. State
+    * is one count map per in-flight window, evicted by event-time
+    * timeout once the watermark passes the window (the same
+    * watermark-then-timeout lifecycle as [[streamingQuota]] — bounded
+    * state at unbounded stream length). */
+  def streamingTopK(events: DataFrame, k: Int = 3,
+                    retentionDays: Int = 2): Dataset[TopKUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(date_trunc("DAY", col("ts")).as("window"), col("event_type"))
+      .withWatermark("window", s"$retentionDays days")
+      .as[(java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (w: java.sql.Timestamp,
+         rows: Iterator[(java.sql.Timestamp, String)],
+         state: GroupState[TopKWindowState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val counts = rows.foldLeft(
+                state.getOption.getOrElse(TopKWindowState(Map.empty)).counts) {
+              case (m, (_, t)) => m.updated(t, m.getOrElse(t, 0L) + 1L)
+            }
+            state.update(TopKWindowState(counts))
+            state.setTimeoutTimestamp(
+              math.max(w.getTime, state.getCurrentWatermarkMs) + 1)
+            counts.toSeq
+              .sortBy { case (t, c) => (c, t) }(Ordering[(Long, String)].reverse)
+              .take(k).zipWithIndex
+              .map { case ((t, c), i) => TopKUpdate(w, i + 1L, t, c) }
+              .iterator
           }
       }
   }

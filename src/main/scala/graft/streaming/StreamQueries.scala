@@ -18,6 +18,12 @@ object StreamQueries {
     "sessionize" -> ((s, d) =>
       StreamOps.sessionize(Tables.load(s, d, "events"))
         .orderBy("user_id", "session_start")),
+    // per-window trending top-3 via the bounded-state heap; the same
+    // report runs streaming through streamingTopK (FMGWS state,
+    // watermark-evicted) — StreamingSpec proves convergence
+    "stream_topk" -> ((s, d) =>
+      StreamOps.windowedTopK(Tables.load(s, d, "events"), 3)
+        .orderBy("window_start", "rank")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -43,5 +49,14 @@ object StreamQueries {
         |       count(*) AS n_events, round(sum(value), 4) AS sum_v
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_topk" ->
+      """WITH c AS (SELECT date_trunc('day', ts) AS window_start, event_type,
+        |                  count(*) AS n_events
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+        |                 ORDER BY n_events DESC, event_type DESC) AS rank
+        |      FROM c)
+        |SELECT window_start, rank, event_type, n_events FROM r
+        |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
   )
 }

@@ -678,6 +678,23 @@ class PipelineSpec extends SparkSpec {
     assert(inter.nonEmpty, "shared 11-word run must share a selected fingerprint")
   }
 
+  test("MM.sceneDetect: cuts where the fingerprint changes, scene_id counts scenes") {
+    import spark.implicits._
+    import graft.multimodal.MM
+    // frame size lands at 16+doc_id%32; pick a doc whose frames repeat:
+    // synthesize directly — 6 frames of 4 bytes: AAAA AAAA BBBB BBBB BBBB CCCC
+    val fs = 4
+    val frames = Seq("AAAA", "AAAA", "BBBB", "BBBB", "BBBB", "CCCC")
+    val payload = Array[Byte]('G', 'V', 'I', 'D', 0, 6, 0, fs.toByte) ++
+      frames.flatMap(_.getBytes("UTF-8"))
+    val vids = Seq((1L, payload)).toDF("doc_id", "payload")
+    val got = MM.sceneDetect(vids)
+      .select("frame_idx", "is_cut", "scene_id")
+      .as[(Long, Boolean, Long)].collect().toList.sortBy(_._1)
+    assert(got == List((0L, true, 1L), (1L, false, 1L), (2L, true, 2L),
+      (3L, false, 2L), (4L, false, 2L), (5L, true, 3L)), s"got $got")
+  }
+
   test("TextOps.chunk: full coverage with overlap, short doc = one chunk, tail runs short") {
     import spark.implicits._
     import graft.text.TextOps

@@ -250,6 +250,26 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom not built as a scalar subquery:\n$p")
   }
 
+  test("text_winnowing: the window min is partitioned by doc, never global") {
+    val opt = SparkEntry.queries("text_winnowing")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    val specs = opt.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty, s"expected windows in:\n$opt")
+    specs.foreach(l => assert(l.contains("windowspecdefinition(doc_id"),
+      s"unpartitioned window in winnowing:\n$l"))
+  }
+
+  test("stream_topk / vocab_build: top-k rides the heap aggregate, no window sort") {
+    for (name <- Seq("stream_topk", "vocab_build")) {
+      val p = plan(name)
+      assert(p.contains("topk_struct"), s"$name lost the TopKStruct heap:\n$p")
+    }
+    // stream_topk must carry NO window at all (the ranking IS the heap);
+    // vocab_build's only window is the k-row coverage cumsum
+    assert(!plan("stream_topk").contains("windowspecdefinition"),
+      "stream_topk regressed to a window ranking")
+  }
+
   test("scan_cursor: every page is a TakeOrderedAndProject, no global sort exchange") {
     val p = plan("scan_cursor")
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,

@@ -260,6 +260,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming top-k converges to the batch per-window ranking") {
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type")
+    val dir = Files.createTempDirectory("graft_topk_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // wide retention: files arrive in arbitrary order (see quota test)
+    val q = StreamOps.streamingTopK(streamed, k = 3, retentionDays = 365)
+      .writeStream.format("memory").queryName("stream_topk_t")
+      .outputMode("update")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // the LAST batch of updates per window (the ones carrying the
+    // window's final counts) must equal the batch windowedTopK report
+    val updates = spark.table("stream_topk_t")
+    val lastCounts = updates.groupBy("window_start", "event_type")
+      .agg(max(col("n_events")).as("n_events"))
+    val want = StreamOps.windowedTopK(events, 3)
+      .select("window_start", "rank", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    // reconstruct the final ranking from the converged counts with the
+    // same tie order, then compare to the batch heap's output
+    import org.apache.spark.sql.expressions.Window
+    val got = lastCounts
+      .withColumn("rank", row_number().over(Window.partitionBy("window_start")
+        .orderBy(col("n_events").desc, col("event_type").desc)).cast("bigint"))
+      .where(col("rank") <= 3)
+      .select("window_start", "rank", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == want, s"streaming top-k diverged: ${got.size} vs ${want.size} rows")
+  }
+
   test("streaming quota converges to the batch throttle report across micro-batches") {
     val limit = 3L
     val events = Tables.load(spark, sfDir, "events").select("user_id", "ts")
