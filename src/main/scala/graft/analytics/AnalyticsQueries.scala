@@ -161,6 +161,32 @@ object AnalyticsQueries {
           sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes")))
         .orderBy("bucket")
     }),
+    // The Export-based backup workflow HBase 1.x ops actually ran
+    // (mapreduce/Export.java:89-94 — versions + [startTime, endTime)
+    // time-range args): a FULL backup up to T1, an INCREMENTAL backup
+    // of [T1, T2) — each a physical parquet export — then restore =
+    // union of the two version sets with the latest cell version
+    // winning per (rowkey, qualifier) (one hash aggregate, max struct,
+    // same shape as wal_replay without tombstones — Export famously
+    // does not capture deletes unless raw). Restored state must equal
+    // the state computed directly from the source at T2, which is what
+    // the oracle asserts.
+    "backup_restore" -> ((s, d) => {
+      val cells = Tables.eventCells(s, d)
+      val t1 = lit("2024-01-15 00:00:00").cast("timestamp")
+      val t2 = lit("2024-01-25 00:00:00").cast("timestamp")
+      val fullDir = tmp("graft_backup_full", d)
+      val incDir = tmp("graft_backup_inc", d)
+      cells.where(col("ts") < t1).write.mode("overwrite").parquet(fullDir)
+      cells.where(col("ts") >= t1 && col("ts") < t2)
+        .write.mode("overwrite").parquet(incDir)
+      s.read.parquet(fullDir).unionByName(s.read.parquet(incDir))
+        .groupBy("rowkey", "qualifier")
+        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("_c"))
+        .select(col("rowkey"), col("qualifier"), col("_c.ts").as("ts"),
+          col("_c.event_id").as("event_id"), col("_c.value").as("value"))
+        .orderBy("rowkey", "qualifier")
+    }),
     // completebulkload assignment: 12 pre-sorted HFiles (bucket ranges)
     // land on an 8-region table — misaligned boundaries force straddler
     // files to split at region edges, exactly groupOrSplit's re-queue
@@ -421,6 +447,16 @@ object AnalyticsQueries {
         |       min(event_id) AS first_seq, max(event_id) AS last_seq,
         |       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
         |FROM ed, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the direct form: latest version per cell across the whole
+    // backed-up range — restore must reproduce it exactly
+    "backup_restore" ->
+      """WITH ed AS (
+        |  SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00'),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY rowkey, qualifier
+        |                ORDER BY ts DESC, event_id DESC) AS rn FROM ed)
+        |SELECT rowkey, qualifier, ts, event_id, value FROM r WHERE rn = 1
+        |ORDER BY rowkey, qualifier""".stripMargin,
     "bulk_load_assign" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
         |reg AS (SELECT CAST(i AS BIGINT) AS region,

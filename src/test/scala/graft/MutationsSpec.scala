@@ -158,6 +158,20 @@ class MutationsSpec extends SparkSpec {
     assert(empty.contains(("b", 1L, 1L, false)), s"got $empty")
   }
 
+  test("backup_restore: full + incremental restore equals the direct state at T2") {
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("backup_restore")(spark, sfDir)
+    val cells = graft.core.Tables.eventCells(spark, sfDir)
+      .where(col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
+    val w = Window.partitionBy("rowkey", "qualifier")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = cells.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("rowkey", "qualifier", "ts", "event_id", "value")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "restored state diverged from the direct computation")
+  }
+
   test("bulkLoadAssign: in-range file untouched, straddler clipped per region, boundary last key splits") {
     import spark.implicits._
     import graft.analytics.Tools
