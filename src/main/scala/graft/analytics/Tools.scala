@@ -296,7 +296,13 @@ object Tools {
         (col("_re").isNull || col("first_key") < col("_re")))
       .select(col("hfile"),
         col("_r").as("region"),
-        greatest(col("first_key"), col("_rs")).as("frag_first"),
+        // the reference throws on an inverted HFile range (:758); the
+        // guard lives inside a projected column so pruning can't drop it
+        greatest(
+          when(col("first_key") > col("last_key"),
+            raise_error(concat(lit("invalid hfile range: "), col("hfile"))))
+            .otherwise(col("first_key")),
+          col("_rs")).as("frag_first"),
         when(col("_re").isNull, col("last_key"))
           .otherwise(least(col("last_key"), col("_re") - 1)).as("frag_last"))
       .withColumn("n_fragments",

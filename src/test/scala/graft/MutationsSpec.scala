@@ -186,6 +186,11 @@ class MutationsSpec extends SparkSpec {
     val got = Tools.bulkLoadAssign(files, regions)
       .select("hfile", "region", "frag_first", "frag_last", "n_fragments", "needs_split")
       .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    // an inverted HFile range must raise, as the reference does (:758)
+    intercept[Exception] {
+      Tools.bulkLoadAssign(Seq(("bad", 9L, 2L)).toDF("hfile", "first_key", "last_key"),
+        regions).collect()
+    }
     assert(got == Set(
       ("a", 0L, 2L, 9L, 1L, false),
       ("b", 0L, 15L, 19L, 3L, true), ("b", 1L, 20L, 39L, 3L, true),
