@@ -469,6 +469,20 @@ object SparkEntry {
               .withColumn("region_key", col("o_orderkey") * col("o_orderkey")),
             "region_key", 8, approx = true)
           .orderBy("split_idx")),
+      // same convention for split EXECUTION: daughter boundaries from
+      // the approx_percentile sketch on the bench path
+      "region_split_exec" -> ((s, d) => {
+        val grown = T(s, d, "orders")
+          .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+        val buckets = graft.analytics.Tools.totalOrderBuckets(grown, "region_key", 16)
+        val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
+        val tagged = grown.crossJoin(broadcast(b))
+          .withColumn("bucket", graft.analytics.Tools.totalOrderBucket(
+            col("region_key"), col("_lo"), col("_hi"), 16))
+        graft.analytics.Tools.applySplits(tagged,
+            graft.analytics.Tools.normalizerPlan(buckets), "region_key", approx = true)
+          .orderBy("daughter")
+      }),
     )
 
   /** DuckDB-runnable oracle per query (same column names, same order). */

@@ -226,6 +226,20 @@ object AnalyticsQueries {
       Tools.applyMerges(buckets, Tools.normalizerPlan(buckets))
         .orderBy("new_region")
     }),
+    // Split execution, the dual of region_merge: the normalizer's
+    // split plans applied — flagged buckets divide at their data
+    // median into daughters 2b / 2b+1, others carry through as 2b
+    "region_split_exec" -> ((s, d) => {
+      val grown = Tables.load(s, d, "orders")
+        .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+      val buckets = Tools.totalOrderBuckets(grown, "region_key", 16)
+      val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
+      val tagged = grown.crossJoin(broadcast(b))
+        .withColumn("bucket",
+          Tools.totalOrderBucket(col("region_key"), col("_lo"), col("_hi"), 16))
+      Tools.applySplits(tagged, Tools.normalizerPlan(buckets), "region_key")
+        .orderBy("daughter")
+    }),
     // HBaseFsck region-chain audit over a deliberately corrupted META
     // catalog: 16 uniform regions over the orders keyspace, with region
     // 5 lost (hole), region 9 degenerate (start == end, which also
@@ -517,6 +531,21 @@ object AnalyticsQueries {
         |       min(min_key) AS min_key, max(max_key) AS max_key,
         |       count(*) AS n_merged
         |FROM mp GROUP BY 1 ORDER BY new_region""".stripMargin,
+    "region_split_exec" ->
+      """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |t AS (SELECT k, CAST(floor((k - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket
+        |      FROM g, b),
+        |st AS (SELECT bucket, count(*) AS n_rows FROM t GROUP BY 1),
+        |a AS (SELECT avg(n_rows) AS av FROM st),
+        |sp AS (SELECT bucket FROM st, a WHERE n_rows > 2 * av),
+        |m AS (SELECT bucket, quantile_cont(k, 0.5) AS mid
+        |      FROM t JOIN sp USING (bucket) GROUP BY bucket)
+        |SELECT t.bucket * 2 + CASE WHEN m.mid IS NOT NULL AND t.k > m.mid
+        |                           THEN 1 ELSE 0 END AS daughter,
+        |       count(*) AS n_rows, min(t.k) AS min_key, max(t.k) AS max_key
+        |FROM t LEFT JOIN m USING (bucket)
+        |GROUP BY 1 ORDER BY daughter""".stripMargin,
     "hbck_region_chain" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
         |bd AS (SELECT i, CAST(floor(lo + (hi - lo + 1) * i / 16.0) AS BIGINT) AS k

@@ -360,6 +360,40 @@ object Tools {
         max(col("max_key")).as("max_key"), count(lit(1)).as("n_merged"))
   }
 
+  /** The split half of region-plan execution (SplitTransaction —
+    * hbase-server/.../regionserver/SplitTransactionImpl.java; the
+    * reference splits at the largest store file's midkey,
+    * RegionSplitPolicy.getSplitPoint): each bucket the normalizer
+    * flagged for SPLIT divides at its own data MEDIAN key into two
+    * daughters — low daughter 2b, high daughter 2b+1; unsplit buckets
+    * carry through as 2b, so daughter ids stay sorted. One broadcast
+    * of the (tiny) split plan + per-split-bucket medians, one
+    * re-aggregation of daughter stats.
+    *
+    * `approx = false` is the ORACLE form (exact per-bucket
+    * `percentile`, byte-exact vs DuckDB but buffers a region's keys in
+    * one aggregation buffer); `approx = true` runs the fixed-state
+    * `approx_percentile` sketch — the same exact-vs-scale split as
+    * region_splitter, and a daughter boundary a few keys off the true
+    * median is still an even split.
+    *
+    * @param tagged data rows carrying a `bucket` region tag. */
+  def applySplits(tagged: DataFrame, plan: DataFrame, keyCol: String,
+                  approx: Boolean = false): DataFrame = {
+    val fn = if (approx) "approx_percentile" else "percentile"
+    val mids = tagged
+      .join(broadcast(plan.where(col("action") === "split").select("bucket")),
+        Seq("bucket"))
+      .groupBy("bucket").agg(expr(s"$fn($keyCol, 0.5)").as("_mid"))
+    tagged.join(broadcast(mids), Seq("bucket"), "left")
+      .withColumn("daughter",
+        col("bucket") * 2 + when(col("_mid").isNotNull && col(keyCol) > col("_mid"), 1L)
+          .otherwise(0L))
+      .groupBy("daughter")
+      .agg(count(lit(1)).as("n_rows"), min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key"))
+  }
+
   /** HBaseFsck "hbck" region-chain integrity check (hbase-server/.../
     * util/HBaseFsck.java:2972 checkRegionChain, error codes at :3856):
     * given the META region catalog of one table — (region_id,
@@ -407,17 +441,23 @@ object Tools {
       .withColumn("cov", sum(col("n_starts") - col("n_ends"))
         .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("next_k", lead(col("k"), 1).over(byKey))
-    val holes = sweep.where(col("cov") === 0 && col("next_k").isNotNull)
-      .select(lit("HOLE_IN_REGION_CHAIN").as("code"),
-        outKey(col("k")).as("at_key"), outKey(col("next_k")).as("end_key"),
-        lit(1L).as("n"))
-    val overlaps = sweep.where(col("cov") > 1)
-      .select(lit("OVERLAP_IN_REGION_CHAIN").as("code"),
-        outKey(col("k")).as("at_key"), outKey(col("next_k")).as("end_key"),
-        col("cov").as("n"))
-    val dupes = sweep.where(col("n_starts") > 1)
-      .select(lit("DUPE_STARTKEYS").as("code"), outKey(col("k")).as("at_key"),
-        nullKey.as("end_key"), col("n_starts").as("n"))
+    // all three sweep-derived error classes from ONE pass over the
+    // boundary table (a union of per-class filters would recompute the
+    // whole sweep subtree per branch — Catalyst shares nothing across
+    // union arms)
+    val sweepErrors = sweep.select(explode(array(
+        when(col("cov") === 0 && col("next_k").isNotNull,
+          struct(lit("HOLE_IN_REGION_CHAIN").as("code"),
+            outKey(col("k")).as("at_key"), outKey(col("next_k")).as("end_key"),
+            lit(1L).as("n"))),
+        when(col("cov") > 1,
+          struct(lit("OVERLAP_IN_REGION_CHAIN").as("code"),
+            outKey(col("k")).as("at_key"), outKey(col("next_k")).as("end_key"),
+            col("cov").as("n"))),
+        when(col("n_starts") > 1,
+          struct(lit("DUPE_STARTKEYS").as("code"), outKey(col("k")).as("at_key"),
+            nullKey.as("end_key"), col("n_starts").as("n"))))).as("x"))
+      .where(col("x").isNotNull).select(col("x.*"))
     val degen = r.where(col("s") === col("e"))
       .select(lit("DEGENERATE_REGION").as("code"), outKey(col("s")).as("at_key"),
         outKey(col("e")).as("end_key"), lit(1L).as("n"))
@@ -434,8 +474,7 @@ object Tools {
           struct(lit("HOLE_IN_REGION_CHAIN").as("code"), nullKey.as("at_key"),
             nullKey.as("end_key"), lit(1L).as("n"))))).as("x"))
       .where(col("x").isNotNull).select(col("x.*"))
-    holes.unionByName(overlaps).unionByName(dupes).unionByName(degen)
-      .unionByName(bounds)
+    sweepErrors.unionByName(degen).unionByName(bounds)
   }
 
   /** NamespaceAuditor (hbase-server/.../namespace/NamespaceAuditor.java:58,
