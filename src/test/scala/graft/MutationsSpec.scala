@@ -232,6 +232,31 @@ class MutationsSpec extends SparkSpec {
       (3L, 90L, 120L, 209L, 1L)), s"got $got")
   }
 
+  test("applySplits: oversized bucket divides at its median, others ride through") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    // bucket 0 holds 20 of 29 rows (> 2x the 7.25 avg -> SPLIT);
+    // buckets 1..3 hold 3 each and must pass through as daughter 2b
+    val tagged = ((0L until 20L).map(k => (0L, k)) ++
+      Seq((1L, 100L), (1L, 101L), (1L, 102L),
+          (2L, 200L), (2L, 201L), (2L, 202L),
+          (3L, 300L), (3L, 301L), (3L, 302L))).toDF("bucket", "k")
+    val buckets = tagged.groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("k").as("min_key"), max("k").as("max_key"))
+    for (approx <- Seq(false, true)) {
+      val got = Tools.applySplits(tagged, Tools.normalizerPlan(buckets), "k",
+          approx = approx)
+        .select("daughter", "n_rows", "min_key", "max_key")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // exact median of 0..19 is 9.5 -> daughters 0 (keys 0..9) and 1
+      // (keys 10..19); the sketch is exact at this cardinality too
+      assert(got == Set(
+        (0L, 10L, 0L, 9L), (1L, 10L, 10L, 19L),
+        (2L, 3L, 100L, 102L), (4L, 3L, 200L, 202L), (6L, 3L, 300L, 302L)),
+        s"approx=$approx got $got")
+    }
+  }
+
   test("hbckRegionChain: clean chain is silent, every planted defect reported") {
     import spark.implicits._
     import graft.analytics.Tools
