@@ -483,6 +483,22 @@ object SparkEntry {
             graft.analytics.Tools.normalizerPlan(buckets), "region_key", approx = true)
           .orderBy("daughter")
       }),
+      // and for the split-POLICY midkey
+      "split_policy" -> ((s, d) => {
+        val grown = T(s, d, "orders")
+          .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+        val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
+        val tagged = grown.crossJoin(broadcast(b))
+          .withColumn("bucket", graft.analytics.Tools.totalOrderBucket(
+            col("region_key"), col("_lo"), col("_hi"), 8))
+        val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
+        val params = grown.agg(
+          floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
+          floor(sum(cellBytes) / 5000).cast("bigint").as("flush_size"))
+        graft.analytics.Tools.splitPolicy(tagged, "region_key", cellBytes,
+            params, 1000L, approx = true)
+          .orderBy("region")
+      }),
     )
 
   /** DuckDB-runnable oracle per query (same column names, same order). */

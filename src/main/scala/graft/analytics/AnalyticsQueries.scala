@@ -240,6 +240,58 @@ object AnalyticsQueries {
       Tools.applySplits(tagged, Tools.normalizerPlan(buckets), "region_key")
         .orderBy("daughter")
     }),
+    // Client META location lookup over a catalog carrying both an
+    // offline split parent (daughters online) and a hole (region 5
+    // lost): every orders key resolves through the online chain except
+    // the hole's, which report as the NULL-region unlocatable row
+    "region_locate" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val b = orders.agg(min("o_orderkey").as("_lo"), max("o_orderkey").as("_hi"))
+      def bd(i: org.apache.spark.sql.Column) =
+        floor(col("_lo") + (col("_hi") - col("_lo") + 1) * i / 8).cast("bigint")
+      val mid34 = floor((bd(lit(3)) + bd(lit(4))) / 2).cast("bigint")
+      val uniform = b.select(explode(sequence(lit(0), lit(7))).as("i"),
+          col("_lo"), col("_hi"))
+        .where(col("i") =!= 5)
+        .select(concat(lit("r"), col("i").cast("string")).as("region_id"),
+          when(col("i") === 0, lit(null).cast("bigint"))
+            .otherwise(bd(col("i"))).as("start_key"),
+          when(col("i") === 7, lit(null).cast("bigint"))
+            .otherwise(bd(col("i") + 1)).as("end_key"),
+          // region 3 is a split parent: offline in META, daughters below
+          (col("i") === 3).as("offline"))
+      val daughters = b.select(explode(array(
+          struct(lit("r3a").as("region_id"), bd(lit(3)).as("start_key"),
+            mid34.as("end_key"), lit(false).as("offline")),
+          struct(lit("r3b").as("region_id"), mid34.as("start_key"),
+            bd(lit(4)).as("end_key"), lit(false).as("offline")))).as("x"))
+        .select(col("x.*"))
+      Tools.regionLocate(orders.select(col("o_orderkey")), "o_orderkey",
+          uniform.unionByName(daughters))
+        .orderBy("region_id")
+    }),
+    // RegionSplitPolicy verdicts: ConstantSize vs the 1.x-default
+    // IncreasingToUpperBound, with the KeyPrefix-snapped split point;
+    // thresholds derived from the corpus total so the semantics hold
+    // at every scale factor
+    "split_policy" -> ((s, d) => {
+      // squared keys skew the uniform-keyspace buckets (region 0 holds
+      // ~35% of rows, region 7 ~7%) so the two policies genuinely
+      // disagree: ConstantSize splits only the giants, the default
+      // IncreasingToUpperBound also catches the mid-size regions
+      val grown = Tables.load(s, d, "orders")
+        .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+      val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
+      val tagged = grown.crossJoin(broadcast(b))
+        .withColumn("bucket", Tools.totalOrderBucket(
+          col("region_key"), col("_lo"), col("_hi"), 8))
+      val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
+      val params = grown.agg(
+        floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
+        floor(sum(cellBytes) / 5000).cast("bigint").as("flush_size"))
+      Tools.splitPolicy(tagged, "region_key", cellBytes, params, 1000L)
+        .orderBy("region")
+    }),
     // HBaseFsck region-chain audit over a deliberately corrupted META
     // catalog: 16 uniform regions over the orders keyspace, with region
     // 5 lost (hole), region 9 degenerate (start == end, which also
@@ -546,6 +598,53 @@ object AnalyticsQueries {
         |       count(*) AS n_rows, min(t.k) AS min_key, max(t.k) AS max_key
         |FROM t LEFT JOIN m USING (bucket)
         |GROUP BY 1 ORDER BY daughter""".stripMargin,
+    "region_locate" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+        |bd AS (SELECT i, CAST(floor(lo + (hi - lo + 1) * i / 8.0) AS BIGINT) AS k
+        |       FROM range(0, 9) t(i), b),
+        |m34 AS (SELECT CAST(floor(((SELECT k FROM bd WHERE i = 3)
+        |                         + (SELECT k FROM bd WHERE i = 4)) / 2) AS BIGINT) AS m),
+        |reg AS (
+        |  SELECT 'r' || CAST(t.i AS VARCHAR) AS region_id,
+        |         CASE WHEN t.i = 0 THEN NULL ELSE s.k END AS start_key,
+        |         CASE WHEN t.i = 7 THEN NULL ELSE e.k END AS end_key
+        |  FROM range(0, 8) t(i)
+        |  JOIN bd s ON s.i = t.i JOIN bd e ON e.i = t.i + 1
+        |  WHERE t.i <> 5 AND t.i <> 3
+        |  UNION ALL
+        |  SELECT 'r3a', (SELECT k FROM bd WHERE i = 3), (SELECT m FROM m34)
+        |  UNION ALL
+        |  SELECT 'r3b', (SELECT m FROM m34), (SELECT k FROM bd WHERE i = 4))
+        |SELECT r.region_id, r.start_key, r.end_key,
+        |       count(*) AS n_keys,
+        |       min(o.o_orderkey) AS first_key, max(o.o_orderkey) AS last_key
+        |FROM orders o LEFT JOIN reg r
+        |  ON (r.start_key IS NULL OR o.o_orderkey >= r.start_key)
+        | AND (r.end_key IS NULL OR o.o_orderkey < r.end_key)
+        |GROUP BY 1, 2, 3 ORDER BY region_id""".stripMargin,
+    "split_policy" ->
+      """WITH g AS (SELECT o_orderkey * o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS sz FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |t AS (SELECT k, sz, CAST(floor((k - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS bucket
+        |      FROM g, b),
+        |st AS (SELECT bucket, CAST(sum(sz) AS BIGINT) AS store_size,
+        |              CAST(floor(quantile_cont(k, 0.5)) AS BIGINT) AS mid
+        |       FROM t GROUP BY 1),
+        |p AS (SELECT CAST(floor(sum(sz) / 7) AS BIGINT) AS max_file_size,
+        |             CAST(floor(sum(sz) / 5000) AS BIGINT) AS flush_size FROM g),
+        |r AS (SELECT count(*) AS nr FROM st),
+        |lb AS (SELECT bucket, store_size, mid, max_file_size,
+        |              least(max_file_size, flush_size * nr * nr * nr) AS limit_bytes
+        |       FROM st, p, r)
+        |SELECT bucket AS region, store_size,
+        |       store_size > max_file_size AS split_constant,
+        |       limit_bytes,
+        |       store_size > limit_bytes AS split_increasing,
+        |       CASE WHEN store_size > limit_bytes THEN mid END AS split_point,
+        |       CASE WHEN store_size > limit_bytes THEN mid - mid % 1000 END
+        |         AS split_point_prefix
+        |FROM lb ORDER BY region""".stripMargin,
     "hbck_region_chain" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
         |bd AS (SELECT i, CAST(floor(lo + (hi - lo + 1) * i / 16.0) AS BIGINT) AS k

@@ -394,6 +394,81 @@ object Tools {
         max(col(keyCol)).as("max_key"))
   }
 
+  /** Client region location (hbase-client/.../client/ConnectionManager
+    * .java locateRegionInMeta — the reversed META scan floorEntry every
+    * Get/Put/Scan resolves before its first RPC; MetaTableAccessor
+    * .java getRegionLocation): for each lookup key, the META region
+    * whose [start_key, end_key) interval holds it. OFFLINE rows — split
+    * parents awaiting catalog-janitor cleanup (HRegionInfo.isOffline,
+    * skipped at ConnectionManager.java:1381) — are excluded exactly as
+    * the client excludes them; a key no online region covers (a chain
+    * hole) surfaces as an UNLOCATABLE row (NULL region) — the condition
+    * the client retries on, which a location audit must not drop. META
+    * is master metadata (one broadcast); the lookup side streams
+    * through the non-equi broadcast join unshuffled and rolls up in one
+    * map-side-partial aggregate — billions of lookups cost one scan.
+    * Assumes a non-overlapping online chain ([[hbckRegionChain]]'s
+    * precondition, as with bulkLoadAssign). */
+  def regionLocate(keys: DataFrame, keyCol: String, regions: DataFrame): DataFrame = {
+    val online = broadcast(regions
+      .where(!coalesce(col("offline"), lit(false)))
+      .select(col("region_id").as("_rid"), col("start_key").as("_rs"),
+        col("end_key").as("_re")))
+    keys.join(online,
+        (col("_rs").isNull || col(keyCol) >= col("_rs")) &&
+        (col("_re").isNull || col(keyCol) < col("_re")), "left")
+      .groupBy(col("_rid").as("region_id"), col("_rs").as("start_key"),
+        col("_re").as("end_key"))
+      .agg(count(lit(1)).as("n_keys"), min(col(keyCol)).as("first_key"),
+        max(col(keyCol)).as("last_key"))
+  }
+
+  /** RegionSplitPolicy family (hbase-server/.../regionserver/
+    * ConstantSizeRegionSplitPolicy.java:57 shouldSplit,
+    * IncreasingToUpperBoundRegionSplitPolicy.java:76 getSizeToCheck,
+    * KeyPrefixRegionSplitPolicy.java:68 getSplitPoint): per region,
+    * ConstantSize splits when the store exceeds
+    * hbase.hregion.max.filesize; IncreasingToUpperBound — the 1.x
+    * DEFAULT — caps the check at min(maxFileSize, flushSize·R³) with R
+    * the table's region count on the server, so young tables split
+    * long before maxFileSize; the split POINT is the biggest store's
+    * midkey (median), and KeyPrefixRegionSplitPolicy snaps it down to
+    * a key prefix so rows sharing the prefix stay co-located across
+    * the daughters (numeric analog: floor to a multiple of
+    * `prefixMod`). The point is reported only for regions the default
+    * policy actually splits (getSplitPoint is consulted after
+    * shouldSplit). Store sizes are ONE map-side-partial aggregate over
+    * the region-bucketed data; the policy math is a projection over R
+    * metadata rows joined to the one-row `params` broadcast
+    * (max_file_size, flush_size — derived, not hardcoded, so the
+    * semantics hold at every scale factor). The midkey pass follows
+    * region_splitter's exact-vs-scale convention: `approx = false` is
+    * the byte-exact oracle form, `approx = true` the fixed-state
+    * sketch for the bench/100 TB path. */
+  def splitPolicy(tagged: DataFrame, keyCol: String, sizeCol: Column,
+                  params: DataFrame, prefixMod: Long,
+                  approx: Boolean = false): DataFrame = {
+    require(prefixMod > 0, "prefixMod must be positive")
+    val fn = if (approx) "approx_percentile" else "percentile"
+    val stats = tagged.groupBy("bucket")
+      .agg(sum(sizeCol).as("store_size"),
+        expr(s"$fn($keyCol, 0.5)").as("_mid"))
+    val r = stats.agg(count(lit(1)).as("_r"))
+    val mid = floor(col("_mid")).cast("bigint")
+    stats.crossJoin(broadcast(r)).crossJoin(broadcast(params))
+      .withColumn("limit_bytes",
+        least(col("max_file_size"),
+          col("flush_size") * col("_r") * col("_r") * col("_r")))
+      .select(col("bucket").as("region"), col("store_size"),
+        (col("store_size") > col("max_file_size")).as("split_constant"),
+        col("limit_bytes"),
+        (col("store_size") > col("limit_bytes")).as("split_increasing"),
+        when(col("store_size") > col("limit_bytes"), mid)
+          .as("split_point"),
+        when(col("store_size") > col("limit_bytes"),
+          mid - pmod(mid, lit(prefixMod))).as("split_point_prefix"))
+  }
+
   /** HBaseFsck "hbck" region-chain integrity check (hbase-server/.../
     * util/HBaseFsck.java:2972 checkRegionChain, error codes at :3856):
     * given the META region catalog of one table — (region_id,

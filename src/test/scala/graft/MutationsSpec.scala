@@ -257,6 +257,55 @@ class MutationsSpec extends SparkSpec {
     }
   }
 
+  test("regionLocate: offline parents skipped, holes surface as unlocatable") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    val regions = Seq(
+      ("a", None: Option[Long], Some(10L), false),
+      ("p", Some(10L), Some(20L), true),   // offline split parent
+      ("b", Some(10L), Some(20L), false),  // its online daughter range
+      ("c", Some(30L), None: Option[Long], false)  // hole in [20, 30)
+    ).toDF("region_id", "start_key", "end_key", "offline")
+    val keys = Seq(5L, 15L, 25L, 35L).toDF("k")
+    val got = Tools.regionLocate(keys, "k", regions)
+      .select("region_id", "n_keys", "first_key", "last_key")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (Some("a"), 1L, 5L, 5L),   // open-start region
+      (Some("b"), 1L, 15L, 15L), // daughter, NOT the offline parent (no dup row)
+      (None, 1L, 25L, 25L),      // chain hole -> unlocatable
+      (Some("c"), 1L, 35L, 35L)), s"got $got")
+  }
+
+  test("splitPolicy: constant vs increasing verdicts, gated prefix-snapped points") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    // bucket 0: 100 bytes, bucket 1: 60, bucket 2: 30; R=3 so the
+    // increasing limit is min(80, 2*27)=54 — bucket 1 splits under the
+    // default policy but NOT under ConstantSize (60 < 80)
+    val tagged = Seq(
+      (0L, 11L, 25L), (0L, 13L, 25L), (0L, 17L, 25L), (0L, 19L, 25L),
+      (1L, 21L, 30L), (1L, 25L, 30L),
+      (2L, 31L, 30L)).toDF("bucket", "k", "sz")
+    val params = Seq((80L, 2L)).toDF("max_file_size", "flush_size")
+    val got = Tools.splitPolicy(tagged, "k", col("sz"), params, 10L)
+      .select("region", "store_size", "split_constant", "limit_bytes",
+        "split_increasing", "split_point", "split_point_prefix")
+      .as[(Long, Long, Boolean, Long, Boolean, Option[Long], Option[Long])]
+      .collect().toSet
+    assert(got == Set(
+      (0L, 100L, true, 54L, true, Some(15L), Some(10L)),  // exact median 15.0
+      (1L, 60L, false, 54L, true, Some(23L), Some(20L)),
+      (2L, 30L, false, 54L, false, None, None)), s"got $got")
+    // the sketch path keeps the verdicts; points stay gated the same way
+    val ap = Tools.splitPolicy(tagged, "k", col("sz"), params, 10L, approx = true)
+      .select("region", "split_constant", "split_increasing", "split_point")
+      .as[(Long, Boolean, Boolean, Option[Long])].collect().toSet
+    assert(ap.map(t => (t._1, t._2, t._3, t._4.isDefined)) ==
+      Set((0L, true, true, true), (1L, false, true, true), (2L, false, false, false)),
+      s"got $ap")
+  }
+
   test("hbckRegionChain: clean chain is silent, every planted defect reported") {
     import spark.implicits._
     import graft.analytics.Tools
