@@ -337,6 +337,19 @@ object AnalyticsQueries {
     // VerifyReplication: the replica drifts three ways (every 777th
     // row missing, every 500th price bumped, every 999th key shifted
     // past the source keyspace) — the counters must account for all
+    // Per-peer replication backlog: two lagging peers at fixed
+    // watermarks plus one fully caught-up peer (far-future watermark)
+    // that must still report, with zero pending and zero lag
+    "replication_lag" -> ((s, d) => {
+      import s.implicits._
+      val peers = Seq(("p_dr", "2024-01-10 00:00:00"),
+          ("p_analytics", "2024-01-20 00:00:00"),
+          ("p_backup", "2030-01-01 00:00:00"))
+        .toDF("peer_id", "_wm")
+        .select(col("peer_id"), to_timestamp(col("_wm")).as("replicated_upto"))
+      Tools.replicationLag(Tables.load(s, d, "events"), "ts", peers)
+        .orderBy("peer_id")
+    }),
     "verify_replication" -> ((s, d) => {
       val src = Tables.load(s, d, "orders").select("o_orderkey", "o_totalprice")
       val peer = src.where(col("o_orderkey") % 777 =!= 0)
@@ -707,6 +720,20 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "replication_lag" ->
+      """WITH peers(peer_id, replicated_upto) AS (VALUES
+        |  ('p_dr', TIMESTAMP '2024-01-10 00:00:00'),
+        |  ('p_analytics', TIMESTAMP '2024-01-20 00:00:00'),
+        |  ('p_backup', TIMESTAMP '2030-01-01 00:00:00')),
+        |b AS (SELECT max(ts) AS newest FROM events)
+        |SELECT p.peer_id, p.replicated_upto,
+        |       count(e.ts) AS n_pending,
+        |       min(e.ts) AS oldest_pending, max(e.ts) AS newest_pending,
+        |       greatest(0, CAST(epoch(b.newest) AS BIGINT)
+        |                 - CAST(epoch(p.replicated_upto) AS BIGINT)) AS lag_sec
+        |FROM peers p CROSS JOIN b
+        |LEFT JOIN events e ON e.ts > p.replicated_upto
+        |GROUP BY 1, 2, b.newest ORDER BY peer_id""".stripMargin,
     "verify_replication" ->
       """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
         |peer AS (

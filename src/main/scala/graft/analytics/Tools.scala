@@ -423,6 +423,36 @@ object Tools {
         max(col(keyCol)).as("last_key"))
   }
 
+  /** Replication-source lag report (hbase-server/.../replication/
+    * regionserver/MetricsSource.java — sizeOfLogQueue,
+    * ageOfLastShippedOp; ReplicationSourceManager.java per-peer WAL
+    * queues): each peer holds a replicated-up-to watermark into the
+    * WAL; its backlog is every entry past the watermark, its age the
+    * gap to the newest entry. One scan of the WAL against the
+    * broadcast peer table (non-equi — the WAL side never shuffles
+    * before its partial aggregate), then the tiny peer frame
+    * left-joins the per-peer rollup so a CAUGHT-UP peer reports
+    * n_pending = 0 / lag 0 instead of vanishing — a replication
+    * dashboard that drops healthy peers can't distinguish "healthy"
+    * from "deleted". Age is measured against the newest WAL entry
+    * (not wall clock) so the report is deterministic and
+    * engine-portable. */
+  def replicationLag(wal: DataFrame, tsCol: String, peers: DataFrame): DataFrame = {
+    val newest = wal.agg(max(col(tsCol)).as("_newest"))
+    val pending = wal.join(broadcast(peers), col(tsCol) > col("replicated_upto"))
+      .groupBy("peer_id")
+      .agg(count(lit(1)).as("n_pending"),
+        min(col(tsCol)).as("oldest_pending"),
+        max(col(tsCol)).as("newest_pending"))
+    peers.join(pending, Seq("peer_id"), "left")
+      .crossJoin(broadcast(newest))
+      .select(col("peer_id"), col("replicated_upto"),
+        coalesce(col("n_pending"), lit(0L)).as("n_pending"),
+        col("oldest_pending"), col("newest_pending"),
+        greatest(lit(0L), unix_timestamp(col("_newest")) -
+          unix_timestamp(col("replicated_upto"))).as("lag_sec"))
+  }
+
   /** RegionSplitPolicy family (hbase-server/.../regionserver/
     * ConstantSizeRegionSplitPolicy.java:57 shouldSplit,
     * IncreasingToUpperBoundRegionSplitPolicy.java:76 getSizeToCheck,

@@ -23,6 +23,36 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")
 
+  /** URL canonicalization — the normalization web-crawl pipelines run
+    * before URL-level dedup (Common Crawl keeps one capture per
+    * canonical URL): lowercase, drop the fragment, drop the scheme
+    * (http/https variants of one page are one page), strip a leading
+    * `www.`, strip an explicit default port (:80/:443), drop
+    * `utm_*` tracking parameters, tidy the separators they leave
+    * behind, and strip a trailing slash. A pure codegen'd
+    * regexp_replace chain — scan-speed, nothing shuffles. */
+  def canonicalizeUrl(url: Column): Column = {
+    val steps: Seq[Column => Column] = Seq(
+      lower,
+      regexp_replace(_, "#.*$", ""),               // fragment
+      regexp_replace(_, "^https?://", ""),         // scheme
+      regexp_replace(_, "^www\\.", ""),            // www prefix
+      regexp_replace(_, "^([^/:]+):(80|443)(/|$)", "$1$3"), // default port
+      regexp_replace(_, "utm_[a-z]+=[^&#]*&?", ""),// tracking params
+      regexp_replace(_, "[?&]+$", ""),             // dangling separators
+      regexp_replace(_, "/$", ""))                 // trailing slash
+    steps.foldLeft(url)((c, f) => f(c))
+  }
+
+  /** URL-level dedup over [[canonicalizeUrl]]: one capture kept per
+    * canonical URL (min doc_id), with the copy count — the cheapest
+    * dedup pass a crawl corpus runs, ahead of any content hashing.
+    * Same scale shape as [[exact]]: only canonical URLs shuffle. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select("canonical_url", "keeper", "n_copies")
+
   /** Incremental (shard-vs-corpus) exact dedup — the ingest-time shape
     * of [[exact]]: a NEW shard of documents arrives next to an
     * already-kept corpus, and each shard doc is classified
@@ -178,17 +208,51 @@ object Dedup {
         // scale this is the persisted shingle table a pipeline writes
         // anyway; localCheckpoint is its single-JVM stand-in.
         val shp = shingleTable.getOrElse(shingles(docs).localCheckpoint())
-        val ex = shp.select(col("doc_id"), explode(col("shs")).as("s"))
-        val pairs = ex.groupBy("s").agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-          .where(size(col("ds")) >= 2 && size(col("ds")) <= cap)
-          .select(explode(expr(pairExpansion("y -> struct(x AS i, y AS j)"))).as("p"))
-          .select(col("p.i").as("i"), col("p.j").as("j"))
-        val cand = pairs.groupBy("i", "j")
-          .agg(count(lit(1)).as("_shared"))
-          .where(col("_shared") >= minShared)
-          .select("i", "j")
-        verifyPairs(cand, shp, threshold)
+        verifyPairs(cappedCandidates(shp, cap, minShared), shp, threshold)
     }
+  }
+
+  /** Candidate pairs off capped postings lists: one shuffle builds the
+    * per-shingle list, the df ceiling bounds it to ≤ cap docs, pairs
+    * are emitted straight off the list (≤ cap·(cap−1)/2 per shingle, a
+    * codegen'd nested transform) — no self-join, and df-filtering is
+    * free (it IS the list-size predicate). Shared by the Jaccard and
+    * containment verifies. */
+  private def cappedCandidates(shp: DataFrame, cap: Int, minShared: Int): DataFrame =
+    shp.select(col("doc_id"), explode(col("shs")).as("s"))
+      .groupBy("s").agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) >= 2 && size(col("ds")) <= cap)
+      .select(explode(expr(pairExpansion("y -> struct(x AS i, y AS j)"))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("_shared"))
+      .where(col("_shared") >= minShared)
+      .select("i", "j")
+
+  /** Asymmetric n-gram CONTAINMENT pairs (Broder 1997 "On the
+    * resemblance and containment of documents", small-in-large form):
+    * |A∩B| / min(|A|,|B|) ≥ t — the near-dup class Jaccard
+    * structurally misses: a short doc quoted whole inside a longer one
+    * has tiny |A∩B|/|A∪B| but containment ≈ 1 (quote-expansions,
+    * boilerplate wrappers, page-plus-chrome). Candidates come off the
+    * same capped postings lists as [[ngramJaccard]]'s capped path (one
+    * shuffle, no self-join); the verify is exact against the full
+    * shingle sets, so every reported pair carries its true
+    * containment. The reference engine has no containment operator —
+    * this is LLM-pipeline surface (SURVEY §2G). */
+  def ngramContainment(docs: DataFrame, threshold: Double,
+                       maxDf: Int = 8, minShared: Int = 2,
+                       shingleTable: Option[DataFrame] = None): DataFrame = {
+    require(maxDf >= 2, s"maxDf ($maxDf) below 2 keeps no pair-producing shingle")
+    val shp = shingleTable.getOrElse(shingles(docs).localCheckpoint())
+    cappedCandidates(shp, maxDf, minShared)
+      .join(shp.select(col("doc_id").as("i"), col("shs").as("shs_i")), "i")
+      .join(shp.select(col("doc_id").as("j"), col("shs").as("shs_j")), "j")
+      .withColumn("inter", size(array_intersect(col("shs_i"), col("shs_j"))))
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(size(col("shs_i")), size(col("shs_j"))), 4))
+      .where(col("containment") >= threshold)
+      .select("i", "j", "containment")
   }
 
   /** Exact full-set Jaccard verify on a candidate pair set — shared by

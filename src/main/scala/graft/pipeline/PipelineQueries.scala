@@ -120,6 +120,38 @@ object PipelineQueries {
     // capped-candidates + exact-verify semantics, so this is a full
     // oracle row, not rows-only.
     "dedup_ngram_jaccard" -> ((s, d) => ngramPairs(s, d).orderBy("i", "j")),
+    // URL-level dedup over deterministically synthesized capture URLs
+    // (documents carry no url column): residues 0/1 canonicalize to
+    // the same page (case/scheme/www/port/tracking-param/fragment
+    // noise), 2 and 3 stay distinct (no query string / different path)
+    "dedup_url" -> ((s, d) => {
+      val caps = docs(s, d).select(col("doc_id"), expr(
+        """CASE CAST(doc_id % 4 AS INT)
+          |  WHEN 0 THEN concat('https://WWW.Example.com:443/doc/',
+          |    CAST(doc_id div 4 AS STRING),
+          |    '?utm_source=feed&utm_campaign=x&id=7#frag')
+          |  WHEN 1 THEN concat('https://www.example.com/doc/',
+          |    CAST(doc_id div 4 AS STRING), '?id=7')
+          |  WHEN 2 THEN concat('HTTP://Example.COM/doc/',
+          |    CAST(doc_id div 4 AS STRING), '/')
+          |  ELSE concat('https://example.com/doc/',
+          |    CAST(doc_id div 4 AS STRING), '/alt')
+          |END""".stripMargin).as("url"))
+      Dedup.urlDedup(caps).orderBy("keeper")
+    }),
+    // asymmetric containment over a corpus augmented with planted
+    // QUOTES (the front half of every doc_id%7==3 doc, id+500000):
+    // contained-in-a-longer-doc pairs that Jaccard's union denominator
+    // structurally scores below any useful threshold
+    "dedup_containment" -> ((s, d) => {
+      val corpus = docs(s, d).select("doc_id", "text")
+      val quotes = corpus.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, " +
+            "greatest(3, (size(split(text, ' ')) + 1) div 2)), ' ')").as("text"))
+      Dedup.ngramContainment(corpus.unionByName(quotes), 0.9)
+        .orderBy("i", "j")
+    }),
     // cluster resolution: the pair report made actionable — connected
     // components (min-label propagation + pointer jumping) over the
     // capped-ngram pairs, keeper = min doc_id of the component.
@@ -484,6 +516,57 @@ object PipelineQueries {
         |FROM b LEFT JOIN c USING (digest) JOIN m USING (digest)
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> (ddNgramPairs + " ORDER BY i, j"),
+    "dedup_url" ->
+      """WITH caps AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'https://WWW.Example.com:443/doc/' || (doc_id // 4)
+        |                  || '?utm_source=feed&utm_campaign=x&id=7#frag'
+        |      WHEN 1 THEN 'https://www.example.com/doc/' || (doc_id // 4) || '?id=7'
+        |      WHEN 2 THEN 'HTTP://Example.COM/doc/' || (doc_id // 4) || '/'
+        |      ELSE 'https://example.com/doc/' || (doc_id // 4) || '/alt'
+        |    END AS url
+        |  FROM documents),
+        |canon AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    lower(url),
+        |    '#.*$', ''),
+        |    '^https?://', ''),
+        |    '^www\.', ''),
+        |    '^([^/:]+):(80|443)(/|$)', '\1\3'),
+        |    'utm_[a-z]+=[^&#]*&?', '', 'g'),
+        |    '[?&]+$', ''),
+        |    '/$', '') AS canonical_url
+        |  FROM caps)
+        |SELECT canonical_url, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM canon GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "dedup_containment" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000,
+        |         array_to_string(ts[1:greatest(3, (len(ts) + 1) // 2)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+        |  WHERE doc_id % 7 = 3),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                        for i in range(1, len(ts) - 1)]) AS shs
+        |       FROM tok WHERE len(ts) >= 3),
+        |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+        |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s)
+        |         WHERE df BETWEEN 2 AND 8),
+        |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+        |cand AS (SELECT a.doc_id AS i, b.doc_id AS j
+        |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2 HAVING count(*) >= 2),
+        |v AS (SELECT i, j, len(list_intersect(sa.shs, sb.shs)) AS inter,
+        |             len(sa.shs) AS ni, len(sb.shs) AS nj
+        |      FROM cand c JOIN sh sa ON c.i = sa.doc_id JOIN sh sb ON c.j = sb.doc_id)
+        |SELECT i, j, containment FROM (
+        |  SELECT i, j, round(inter * 1.0 / least(ni, nj), 4) AS containment FROM v)
+        |WHERE containment >= 0.9 ORDER BY i, j""".stripMargin,
     // transitive closure of the same pair list: min reachable doc_id =
     // the cluster id the pointer-jumping Spark path converges to
     "dedup_clusters" ->

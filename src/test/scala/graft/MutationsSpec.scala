@@ -257,6 +257,22 @@ class MutationsSpec extends SparkSpec {
     }
   }
 
+  test("replicationLag: caught-up peer reports zero pending, zero lag — not absence") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    val wal = Seq("2024-01-01 00:00:00", "2024-01-02 00:00:00", "2024-01-03 00:00:00")
+      .toDF("_t").select(to_timestamp(col("_t")).as("ts"))
+    val peers = Seq(("lagging", "2024-01-01 12:00:00"), ("caught_up", "2024-01-03 00:00:00"))
+      .toDF("peer_id", "_wm")
+      .select(col("peer_id"), to_timestamp(col("_wm")).as("replicated_upto"))
+    val got = Tools.replicationLag(wal, "ts", peers)
+      .select("peer_id", "n_pending", "lag_sec")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("lagging", 2L, 129600L),   // 1.5 days behind the newest entry
+      ("caught_up", 0L, 0L)), s"got $got")
+  }
+
   test("regionLocate: offline parents skipped, holes surface as unlocatable") {
     import spark.implicits._
     import graft.analytics.Tools

@@ -50,6 +50,45 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl: noise variants collapse, genuinely different pages do not") {
+    import spark.implicits._
+    val got = Seq(
+      "https://WWW.Example.com:443/a/b?utm_source=x&id=1#sec",
+      "http://example.com/a/b?id=1",
+      "https://example.com/a/b/",          // trailing slash, no query
+      "https://example.com:8443/a/b",      // NON-default port must survive
+      "https://sub.example.com/a/b",       // different host
+      "https://example.com/a/b?id=2&utm_campaign=y&utm_medium=z")
+      .toDF("url")
+      .select(Dedup.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    assert(got(0) == "example.com/a/b?id=1", got(0))
+    assert(got(1) == got(0), s"${got(1)} != ${got(0)}")
+    assert(got(2) == "example.com/a/b", got(2))
+    assert(got(3) == "example.com:8443/a/b", got(3))
+    assert(got(4) == "sub.example.com/a/b", got(4))
+    assert(got(5) == "example.com/a/b?id=2", got(5))
+  }
+
+  test("ngramContainment: finds the quote-in-longer-doc pair Jaccard misses") {
+    import spark.implicits._
+    // doc 2 is doc 1's first 5 words: contained whole (containment 1.0)
+    // but jaccard = 3/18 — no useful jaccard threshold reaches it
+    val quoteDocs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "a b c d e"),
+      (3L, "z y x w v u t9 s9 r9 q9")).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(quoteDocs, 0.9, maxDf = 8, minShared = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont == Set((1L, 2L, 1.0)), s"got $cont")
+    val jac = Dedup.ngramJaccard(quoteDocs, 0.5, maxDf = Some(8), minShared = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty, s"jaccard unexpectedly scored the pair: ${jac.toSeq}")
+    // plan shape: candidates off postings lists, never a self cross
+    val plan = Dedup.ngramContainment(docs, 0.9).queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"bad join shape:\n$plan")
+  }
+
   test("ngram df-ceiling: high-df shingles stay out of the join, rare-shingle dups found") {
     import spark.implicits._
     // docs 1/2 are near-dups sharing RARE shingles (df=2); docs 10..13
