@@ -337,6 +337,15 @@ object AnalyticsQueries {
     // VerifyReplication: the replica drifts three ways (every 777th
     // row missing, every 500th price bumped, every 999th key shifted
     // past the source keyspace) — the counters must account for all
+    // ClusterStatus per-region request counters over the skew-grown
+    // keyspace (squared user ids): reads vs writes in one conditional
+    // aggregate, idle regions as zero rows, hotspot flag on 2x mean
+    "request_metrics" -> ((s, d) =>
+      Tools.requestMetrics(
+          Tables.load(s, d, "events")
+            .withColumn("k", col("user_id") * col("user_id")),
+          "k", col("event_type").isin("signup", "purchase"), 16)
+        .orderBy("region")),
     // Per-peer replication backlog: two lagging peers at fixed
     // watermarks plus one fully caught-up peer (far-future watermark)
     // that must still report, with zero pending and zero lag
@@ -720,6 +729,25 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "request_metrics" ->
+      """WITH l AS (SELECT user_id * user_id AS k,
+        |                  event_type IN ('signup', 'purchase') AS w FROM events),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM l),
+        |t AS (SELECT w, CAST(floor((k - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS region
+        |      FROM l, b),
+        |c AS (SELECT region,
+        |             CAST(sum(CASE WHEN w THEN 0 ELSE 1 END) AS BIGINT) AS rr,
+        |             CAST(sum(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT) AS wr
+        |      FROM t GROUP BY 1),
+        |f AS (SELECT CAST(r.i AS BIGINT) AS region,
+        |             coalesce(c.rr, 0) AS read_requests,
+        |             coalesce(c.wr, 0) AS write_requests,
+        |             coalesce(c.rr, 0) + coalesce(c.wr, 0) AS total_requests
+        |      FROM range(0, 16) r(i) LEFT JOIN c ON c.region = r.i),
+        |a AS (SELECT avg(total_requests) AS av FROM f)
+        |SELECT region, read_requests, write_requests, total_requests,
+        |       total_requests > 2 * av AS hot
+        |FROM f, a ORDER BY region""".stripMargin,
     "replication_lag" ->
       """WITH peers(peer_id, replicated_upto) AS (VALUES
         |  ('p_dr', TIMESTAMP '2024-01-10 00:00:00'),

@@ -423,6 +423,40 @@ object Tools {
         max(col(keyCol)).as("last_key"))
   }
 
+  /** Per-region request metrics (RegionLoad.java getReadRequestsCount /
+    * getWriteRequestsCount — the ClusterStatus numbers every HBase
+    * dashboard and the balancer's cost functions read;
+    * HRegionServer.java metrics): read vs write request counts per
+    * region bucket from one pass over the request log (a single
+    * map-side-partial aggregate with conditional sums — NOT one job
+    * per counter), plus the hotspot flag operators actually act on:
+    * total > 2× the per-region mean, the same threshold family as
+    * normalizerPlan's split rule. The mean rides a one-row broadcast;
+    * the region frame is generated so a region with NO traffic
+    * reports zeros (an idle region is a signal, not a missing row). */
+  def requestMetrics(log: DataFrame, keyCol: String, isWrite: Column,
+                     nRegions: Int): DataFrame = {
+    require(nRegions >= 1, "need at least one region")
+    val b = log.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
+    val counts = log.crossJoin(broadcast(b))
+      .withColumn("region",
+        totalOrderBucket(col(keyCol), col("_lo"), col("_hi"), nRegions))
+      .groupBy("region")
+      .agg(sum(when(isWrite, 0L).otherwise(1L)).as("read_requests"),
+        sum(when(isWrite, 1L).otherwise(0L)).as("write_requests"))
+    val frame = b.select(explode(sequence(lit(0L), lit(nRegions - 1L))).as("region"))
+    val full = frame.join(counts, Seq("region"), "left")
+      .select(col("region"),
+        coalesce(col("read_requests"), lit(0L)).as("read_requests"),
+        coalesce(col("write_requests"), lit(0L)).as("write_requests"))
+      .withColumn("total_requests", col("read_requests") + col("write_requests"))
+    val avgReq = full.agg(avg(col("total_requests")).as("_avg"))
+    full.crossJoin(broadcast(avgReq))
+      .select(col("region"), col("read_requests"), col("write_requests"),
+        col("total_requests"),
+        (col("total_requests") > col("_avg") * 2).as("hot"))
+  }
+
   /** Replication-source lag report (hbase-server/.../replication/
     * regionserver/MetricsSource.java — sizeOfLogQueue,
     * ageOfLastShippedOp; ReplicationSourceManager.java per-peer WAL

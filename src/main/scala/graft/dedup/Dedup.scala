@@ -23,6 +23,43 @@ object Dedup {
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")
 
+  /** Line-level dedup (C4's three-sentence-span rule, Raffel et al.
+    * 2020 §2.2 / CCNet's per-paragraph hash dedup, Wenzek et al. 2020
+    * §3.1), word-span form: cut each doc into fixed-width word spans
+    * ("lines"), count each span's document frequency across the
+    * corpus, REMOVE spans occurring in more than `maxDf` docs, and
+    * reconstruct the cleaned text — the surgical cousin of whole-doc
+    * dedup: boilerplate disappears from every copy while the unique
+    * remainder of each doc survives. Only span digests and positions
+    * shuffle, never full texts (the rebuild groups (pos, span) pairs
+    * back per doc); the reconstruction is order-exact via a sorted
+    * struct aggregate, not collect_list order luck. Returns per doc:
+    * span counts and the md5 of the cleaned text — the digest an
+    * engine-independent oracle can recompute. */
+  def lineDedup(docs: DataFrame, spanWords: Int = 6, maxDf: Int = 1): DataFrame = {
+    require(spanWords >= 1 && maxDf >= 1, "need positive span width and df cap")
+    val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, CAST(greatest(1, ceil(size(ts) / ${spanWords}.0)) AS INT)), " +
+          s"i -> array_join(slice(ts, (i - 1) * $spanWords + 1, $spanWords), ' '))")))
+      .select(col("doc_id"), col("pos"), col("col").as("line"))
+    val df = spans.select(col("doc_id"), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("_df"))
+    val kept = spans.join(df, "line").where(col("_df") <= maxDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(expr("array_join(transform(array_sort(collect_list(struct(pos, line))), " +
+          "x -> x.line), ' ')").cast("binary")).as("clean_digest"))
+    docs.select(col("doc_id"),
+        greatest(lit(1L), ceil(size(split(col("text"), " ")) / spanWords.toDouble)
+          .cast("bigint")).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_digest"), md5(lit("").cast("binary"))).as("clean_digest"))
+  }
+
   /** URL canonicalization — the normalization web-crawl pipelines run
     * before URL-level dedup (Common Crawl keeps one capture per
     * canonical URL): lowercase, drop the fragment, drop the scheme

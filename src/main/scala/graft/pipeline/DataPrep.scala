@@ -107,6 +107,38 @@ object DataPrep {
       .where(knuthHash(keyCol) < col("_thr")).drop("_thr")
   }
 
+  /** Temperature-scaled source mixture (the multilingual sampling rule
+    * of XLM-R, Conneau et al. 2020 §3.1: sample source i with
+    * probability ∝ p_i^α, α < 1, upsampling the tail): at α = ½ the
+    * per-source weight is √n_i, here floor(√(n_i·10⁶)) — an INTEGER
+    * isqrt (exact for n_i·10⁶ < 2⁵², sqrt being correctly-rounded
+    * IEEE), so Z = Σw_i is an order-independent integer sum where a
+    * floating Σ√n would drift with partition order and a pow() chain
+    * could drift a ulp between engines. Target take T = ⌊N·pct/100⌋
+    * splits as t_i = ⌊T·w_i/Z⌋; each source keeps by the same
+    * engine-portable Knuth-hash threshold as [[sampleMixture]]
+    * (⌊t_i·2³²/n_i⌋, one broadcast of S thresholds, join-free row
+    * decision). A tail source whose target exceeds its size caps at
+    * keep-all — without-replacement sampling can't upsample past 1;
+    * the realized mixture shows the cap rather than silently
+    * re-normalizing. Integer-exact while every t_i < 2³¹ (the t_i·2³²
+    * overflow bound, as sampleMixture's). */
+  def sampleTemperature(docs: DataFrame, keyCol: String, sourceCol: String,
+                        targetPct: Int): DataFrame = {
+    require(targetPct > 0 && targetPct <= 100,
+      s"targetPct must be in (0, 100]: $targetPct")
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("_ns"))
+      .withColumn("_w", floor(sqrt(col("_ns") * lit(1000000L))).cast("bigint"))
+    val tot = counts.agg(sum(col("_w")).as("_z"),
+      expr(s"(sum(_ns) * $targetPct) div 100").as("_T"))
+    val thr = counts.crossJoin(broadcast(tot))
+      .select(col(sourceCol),
+        least(lit(4294967296L),
+          expr("(((_T * _w) div _z) * 4294967296) div _ns")).as("_thr"))
+    docs.join(broadcast(thr), Seq(sourceCol))
+      .where(knuthHash(keyCol) < col("_thr")).drop("_thr")
+  }
+
   /** Context-window sequence packing ("concat-and-chunk"): documents
     * are concatenated in doc_id order and cut every `ctxTokens`
     * tokens; each document reports the sequence its first token lands

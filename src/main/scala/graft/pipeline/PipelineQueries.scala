@@ -120,6 +120,12 @@ object PipelineQueries {
     // capped-candidates + exact-verify semantics, so this is a full
     // oracle row, not rows-only.
     "dedup_ngram_jaccard" -> ((s, d) => ngramPairs(s, d).orderBy("i", "j")),
+    // C4/CCNet-style line-level dedup: 6-word spans occurring in more
+    // than one doc removed from every doc, cleaned text digested —
+    // copies lose their shared spans, unique remainders survive
+    "dedup_lines" -> ((s, d) =>
+      Dedup.lineDedup(docs(s, d), spanWords = 6, maxDf = 1)
+        .orderBy("doc_id")),
     // URL-level dedup over deterministically synthesized capture URLs
     // (documents carry no url column): residues 0/1 canonicalize to
     // the same page (case/scheme/www/port/tracking-param/fragment
@@ -247,6 +253,17 @@ object PipelineQueries {
       DataPrep.sampleMixture(docs(s, d), "doc_id", "source",
           Map("src0" -> 40, "src1" -> 30, "src2" -> 20, "src3" -> 10))
         .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")),
+    // temperature-scaled mixture over a skew-tagged corpus (residue
+    // classes 50/30/20): at α = ½ the small source keeps the largest
+    // fraction — the upsample-the-tail behavior the rule exists for
+    "sample_temperature" -> ((s, d) =>
+      DataPrep.sampleTemperature(
+          docs(s, d).withColumn("source_grp",
+            when(col("doc_id") % 10 < 5, "big")
+              .when(col("doc_id") % 10 < 8, "mid").otherwise("small")),
+          "doc_id", "source_grp", targetPct = 40)
+        .select("doc_id", "source_grp", "source", "n_chars")
         .orderBy("doc_id")),
     // concat-and-chunk context packing, windows partitioned per
     // 100-doc bucket (no global running sum)
@@ -516,6 +533,25 @@ object PipelineQueries {
         |FROM b LEFT JOIN c USING (digest) JOIN m USING (digest)
         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> (ddNgramPairs + " ORDER BY i, j"),
+    "dedup_lines" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |n AS (SELECT doc_id, ts,
+        |             greatest(1, CAST(ceil(len(ts) / 6.0) AS BIGINT)) AS n_lines
+        |      FROM tok),
+        |x AS (SELECT doc_id, ts, n_lines, unnest(range(1, n_lines + 1)) AS i FROM n),
+        |spans AS (SELECT doc_id, i - 1 AS pos,
+        |                 array_to_string(ts[(i-1)*6 + 1 : (i-1)*6 + 6], ' ') AS line
+        |          FROM x),
+        |df AS (SELECT line, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, line FROM spans) GROUP BY 1),
+        |kept AS (SELECT s.doc_id, s.pos, s.line
+        |         FROM spans s JOIN df USING (line) WHERE df <= 1),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |             md5(string_agg(line, ' ' ORDER BY pos)) AS clean_digest
+        |      FROM kept GROUP BY 1)
+        |SELECT n.doc_id, n.n_lines, coalesce(k.n_kept, 0) AS n_kept,
+        |       coalesce(k.clean_digest, md5('')) AS clean_digest
+        |FROM n LEFT JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dedup_url" ->
       """WITH caps AS (
         |  SELECT doc_id,
@@ -687,6 +723,24 @@ object PipelineQueries {
         |        FROM c JOIN w USING (source), tt)
         |SELECT d.doc_id, d.source, d.lang, d.n_chars
         |FROM documents d JOIN thr USING (source)
+        |WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 < thr
+        |ORDER BY d.doc_id""".stripMargin,
+    "sample_temperature" ->
+      """WITH tagged AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CASE WHEN doc_id % 10 < 5 THEN 'big'
+        |              WHEN doc_id % 10 < 8 THEN 'mid'
+        |              ELSE 'small' END AS source_grp
+        |  FROM documents),
+        |c AS (SELECT source_grp, count(*) AS ns,
+        |             CAST(floor(sqrt(count(*) * 1000000)) AS BIGINT) AS w
+        |      FROM tagged GROUP BY 1),
+        |z AS (SELECT sum(w) AS z, (sum(ns) * 40) // 100 AS t FROM c),
+        |thr AS (SELECT source_grp,
+        |               least(4294967296, (((t * w) // z) * 4294967296) // ns) AS thr
+        |        FROM c, z)
+        |SELECT d.doc_id, d.source_grp, d.source, d.n_chars
+        |FROM tagged d JOIN thr USING (source_grp)
         |WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 < thr
         |ORDER BY d.doc_id""".stripMargin,
     "pack_sequences" ->

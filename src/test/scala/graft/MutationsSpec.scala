@@ -257,6 +257,23 @@ class MutationsSpec extends SparkSpec {
     }
   }
 
+  test("requestMetrics: conditional read/write split, idle region zero row, hot flag") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    // 4 regions over keys 0..7; traffic only in regions 0 (heavy) and 3
+    val log = Seq((0L, true), (0L, false), (1L, false), (1L, false), (1L, true),
+      (0L, true), (7L, false)).toDF("k", "w")
+    val got = Tools.requestMetrics(log, "k", col("w"), 4)
+      .select("region", "read_requests", "write_requests", "total_requests", "hot")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    // region 0 holds keys 0..1: 6 requests (3 writes) > 2 * avg(1.75)
+    assert(got == Set(
+      (0L, 3L, 3L, 6L, true),
+      (1L, 0L, 0L, 0L, false),
+      (2L, 0L, 0L, 0L, false),
+      (3L, 1L, 0L, 1L, false)), s"got $got")
+  }
+
   test("replicationLag: caught-up peer reports zero pending, zero lag — not absence") {
     import spark.implicits._
     import graft.analytics.Tools

@@ -50,6 +50,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("lineDedup: shared spans vanish from every copy, unique remainder survives in order") {
+    import spark.implicits._
+    // spans of 2 words; docs 1/2 share "a b" and "c d"; doc 1 keeps
+    // its unique tail in original order; doc 3 is all-shared -> empty
+    val d = Seq(
+      (1L, "a b c d x y z w"),
+      (2L, "a b c d"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(d, spanWords = 2, maxDf = 1)
+      .select("doc_id", "n_lines", "n_kept", "clean_digest")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1L, 4L, 2L), (2L, 2L, 0L), (3L, 1L, 0L)), s"got ${got.toSeq}")
+    // doc 1's cleaned text is exactly "x y z w", reconstructed in span order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest("x y z w".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0)._4 == want, s"digest ${got(0)._4} != $want")
+    val empty = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.empty[Byte]).map("%02x".format(_)).mkString
+    assert(got(1)._4 == empty && got(2)._4 == empty)
+  }
+
+  test("sampleTemperature: tail keeps the largest fraction, tiny source caps at keep-all") {
+    import spark.implicits._
+    import graft.pipeline.DataPrep
+    // 400 / 100 / 4 rows; at pct=50: integer targets 157 / 78 / 15 —
+    // the tiny source's target exceeds its size, so it must keep ALL
+    // 4 rows (threshold capped), never resample past 1
+    val src = ((1L to 400L).map((_, "big")) ++ (1001L to 1100L).map((_, "mid")) ++
+      (2001L to 2004L).map((_, "tiny"))).toDF("doc_id", "source")
+    val by = DataPrep.sampleTemperature(src, "doc_id", "source", 50)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(by("tiny") == 4L, s"tiny source must cap at keep-all: $by")
+    val (fBig, fMid) = (by("big") / 400.0, by("mid") / 100.0)
+    assert(fBig < fMid && fMid < 1.0,
+      s"keep fractions must rise as sources shrink: big=$fBig mid=$fMid")
+  }
+
   test("canonicalizeUrl: noise variants collapse, genuinely different pages do not") {
     import spark.implicits._
     val got = Seq(
