@@ -30,9 +30,11 @@ object Dedup {
     * corpus, REMOVE spans occurring in more than `maxDf` docs, and
     * reconstruct the cleaned text — the surgical cousin of whole-doc
     * dedup: boilerplate disappears from every copy while the unique
-    * remainder of each doc survives. Only span digests and positions
-    * shuffle, never full texts (the rebuild groups (pos, span) pairs
-    * back per doc); the reconstruction is order-exact via a sorted
+    * remainder of each doc survives. Exchanges are span-granular —
+    * the df count shuffles distinct (doc, span) pairs, the rebuild
+    * re-groups kept spans per doc (total bytes ≈ corpus size, the
+    * same as any corpus re-group; no row ever carries a whole doc);
+    * the reconstruction is order-exact via a sorted
     * struct aggregate, not collect_list order luck. Returns per doc:
     * span counts and the md5 of the cleaned text — the digest an
     * engine-independent oracle can recompute. */

@@ -625,4 +625,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_approx_percentile") ||
       p.contains("partial_min"), s"no map-side partials:\n$p")
   }
+
+  test("region_locate / replication_lag: tiny catalog broadcast, stream never sort-merges") {
+    for (name <- Seq("region_locate", "replication_lag")) {
+      val p = plan(name)
+      // the interval/watermark join is non-equi BY DESIGN: the build
+      // side is master metadata (a handful of rows), so the right plan
+      // is a broadcast nested loop — and never a sort-merge or a
+      // cartesian over the billion-row stream side
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name:\n$p")
+    }
+    // region_locate's only hash shuffle is the per-region rollup
+    val pl = plan("region_locate")
+    assert(exchanges(pl, "hashpartitioning") == 1, s"extra shuffle:\n$pl")
+  }
+
+  test("dedup_url: canonicalization rides the scan — one shuffle, on canonical urls") {
+    val p = plan("dedup_url")
+    assert(!p.contains("Join"), p)
+    assert(exchanges(p, "hashpartitioning") == 1, s"extra shuffle:\n$p")
+  }
 }
