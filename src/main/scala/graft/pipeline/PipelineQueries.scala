@@ -235,6 +235,19 @@ object PipelineQueries {
     // isolates the planted pairs): band-bucket candidates, hamming
     // pre-filter, exact-cosine verify — the shuffle carries 64-bit
     // signatures, never embeddings
+    // SemDeDup over the corpus seeded with jittered copies: semantic
+    // groups recovered inside kmeans cells, one low-centroid-cosine
+    // exemplar kept per group (rows-only: float kmeans; spec-proved)
+    "dedup_semantic" -> ((s, d) => {
+      val base = emb(s, d).select("vec_id", "embedding")
+      val planted = base.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, j) -> " +
+            "CAST(x * 1.01D + 0.001D * pmod(vec_id + j, 7) AS FLOAT))").as("embedding"))
+      Ann.semanticDedup(base.unionByName(planted), k = 16, iters = 2,
+          threshold = 0.95)
+        .orderBy("vec_id")
+    }),
     "dedup_embedding_srp" -> ((s, d) => {
       val base = emb(s, d).select("vec_id", "embedding")
       val planted = base.where(col("vec_id") % 10 === 0)
@@ -309,6 +322,10 @@ object PipelineQueries {
     "text_langid" -> ((s, d) => TextOps.langId(docs(s, d)).orderBy("doc_id")),
     "text_quality" -> ((s, d) => TextOps.quality(docs(s, d)).orderBy("doc_id")),
     "text_tokens" -> ((s, d) => TextOps.tokens(docs(s, d)).orderBy("doc_id")),
+    // the keep/drop quality gate with integer micro-unit features —
+    // fixed weights stand in for a trained linear model's coefficients
+    "quality_classifier" -> ((s, d) =>
+      TextOps.qualityClassifier(docs(s, d)).orderBy("doc_id")),
     // tokenizer-training prep: top-64 vocab with corpus coverage; the
     // selection is the bounded-state TopKStruct heap (map-side k-row
     // partials), never a window sort over the distinct-token table
@@ -972,6 +989,22 @@ object PipelineQueries {
         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
         |       round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_classifier" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
+        |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
+        |      FROM tok GROUP BY 1),
+        |f AS (SELECT doc_id,
+        |             least(n, 64) * 15625 AS f_len_micro,
+        |             (ns * 1000000) // n AS f_stop_micro,
+        |             (nd * 1000000) // n AS f_dist_micro
+        |      FROM s)
+        |SELECT doc_id, f_len_micro, f_stop_micro, f_dist_micro,
+        |       f_len_micro * 1 + f_stop_micro * 4 + f_dist_micro * 1 AS score_micro,
+        |       f_len_micro * 1 + f_stop_micro * 4 + f_dist_micro * 1 >= 1500000
+        |         AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     // same deterministic PII seeding, same RE2-simple patterns, same
     // rolling-hash fold over the redacted text
     "text_pii_scrub" ->

@@ -224,6 +224,48 @@ object Ann {
         round(array_max(col("_cs")).getField("s"), 4).as("cos_to_centroid"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): k-means the
+    * embedding space, call two items semantic duplicates when their
+    * cosine INSIDE THE SAME CLUSTER clears `threshold`, and per
+    * duplicate group keep exactly one exemplar — the member with the
+    * LOWEST cosine to its cluster centroid (the paper's §3 keeper
+    * choice: low-centroid-similarity exemplars preserve diversity;
+    * ties break on vec_id). Pairing is a cluster equi-join — O(m²)
+    * per cluster of size m, which is the paper's own scaling story: k
+    * grows with N (SemDeDup runs 50k clusters on LAION) so m = N/k
+    * stays bounded, and [[kmeans]]'s TRAINED centroids keep cells
+    * data-even where untrained mod-k cells would not. Embeddings join
+    * pre-normed once and shuffle only on the cluster key; duplicate
+    * groups are transitive-closure components
+    * ([[graft.dedup.Dedup.connectedComponents]], pointer jumping).
+    * Rows-only contract (float kmeans; the spec plants jittered
+    * copies and proves group recovery + the keeper rule). */
+  def semanticDedup(vectors: DataFrame, k: Int = 16, iters: Int = 2,
+                    threshold: Double = 0.95): DataFrame = {
+    val base = vectors.select(col("vec_id"), col("embedding"))
+    val km = kmeans(base, k, iters)
+    val v = base.join(km.select("vec_id", "cluster"), "vec_id")
+      .withColumn("_n", norm("embedding"))
+    val pairs = v.select(col("cluster"), col("vec_id").as("i"),
+        col("embedding").as("_ea"), col("_n").as("_na"))
+      .join(v.select(col("cluster"), col("vec_id").as("j"),
+        col("embedding").as("_eb"), col("_n").as("_nb")), "cluster")
+      .where(col("i") < col("j") &&
+        dot(col("_ea"), col("_eb")) / (col("_na") * col("_nb")) >= threshold)
+      .select("i", "j")
+    val groups = graft.dedup.Dedup.connectedComponents(pairs)
+      .select(col("id").as("vec_id"), col("lbl").as("sem_group"))
+    val labeled = km.join(groups, Seq("vec_id"), "left")
+      .withColumn("sem_group", coalesce(col("sem_group"), col("vec_id")))
+    val keepers = labeled.groupBy("sem_group")
+      .agg(min(struct(col("cos_to_centroid"), col("vec_id"))).as("_k"))
+      .select(col("sem_group"), col("_k.vec_id").as("_keep_id"))
+    labeled.join(keepers, "sem_group")
+      .select(col("vec_id"), col("cluster"), col("sem_group"),
+        col("cos_to_centroid"), (col("vec_id") === col("_keep_id")).as("keep"))
+  }
+
   /** The Lloyd loop shared by [[kmeans]] and [[ivf]]'s coarse-quantizer
     * training: deterministic mod-k seeding, `iters` rounds of (assign →
     * per-cell means), per-round k-row checkpoints pinned and freed when

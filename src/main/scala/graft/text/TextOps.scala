@@ -58,6 +58,36 @@ object TextOps {
           (col("n_distinct").cast("double") / col("n_tokens")), 4).as("quality"))
   }
 
+  /** Linear quality classifier — the keep/drop gate production
+    * pipelines put behind a learned model (CCNet's fasttext LM filter,
+    * Wenzek et al. 2020 §3.3; the quality classifiers of GPT-3 /
+    * Gopher appendix A): score = w·features, keep = score ≥ cutoff.
+    * The WEIGHTS here are fixed stand-ins — a trained linear model
+    * drops its coefficients straight in — while the operator is the
+    * plumbing that survives the swap: feature extraction as ONE
+    * aggregate over exploded tokens plus a codegen'd projection, and
+    * every feature in integer MICRO-UNITS (the CCNet-unigram trick:
+    * ⌊x·10⁶⌋ with integer div), so the score is engine-portable and
+    * order-independent where a double dot product could drift a ulp.
+    * Features: capped length credit (≤64 tokens at 15625 µ each —
+    * caps at exactly 10⁶), stopword-fraction µ, distinct-token-ratio
+    * µ. */
+  def qualityClassifier(docs: DataFrame, cutoffMicro: Long = 1500000L,
+                        wLen: Int = 1, wStop: Int = 4, wDist: Int = 1): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("_n"), countDistinct(col("tok")).as("_nd"),
+        sum(when(col("tok").isInCollection(EnMarkers), 1L).otherwise(0L)).as("_ns"))
+      .select(col("doc_id"),
+        (least(col("_n"), lit(64L)) * 15625L).as("f_len_micro"),
+        expr("(_ns * 1000000) div _n").as("f_stop_micro"),
+        expr("(_nd * 1000000) div _n").as("f_dist_micro"))
+      .withColumn("score_micro",
+        col("f_len_micro") * wLen + col("f_stop_micro") * wStop +
+          col("f_dist_micro") * wDist)
+      .withColumn("keep", col("score_micro") >= cutoffMicro)
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other-symbols). */
   def tokens(docs: DataFrame): DataFrame =

@@ -50,6 +50,47 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("qualityClassifier: integer micro features, capped length credit, gate fires") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the the x y"),                         // stopword-rich, diverse
+      (2L, Seq.fill(128)("z").mkString(" "))).toDF("doc_id", "text")
+    val got = TextOps.qualityClassifier(d)
+      .select("doc_id", "f_len_micro", "f_stop_micro", "f_dist_micro",
+        "score_micro", "keep")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // doc 1: n=4 nd=3 ns=2 -> 62500 / 500000 / 750000; score 62500+2000000+750000
+    assert(got(0) == ((1L, 62500L, 500000L, 750000L, 2812500L, true)), got(0))
+    // doc 2: length credit CAPS at 64 tokens = exactly 10^6; one
+    // distinct token over 128 -> 7812 micro; repetitive wall drops
+    assert(got(1) == ((2L, 1000000L, 0L, 7812L, 1007812L, false)), got(1))
+  }
+
+  test("semanticDedup: planted copies group with their original, one keeper per group") {
+    import spark.implicits._
+    val base = emb.select(col("vec_id"), col("embedding")).where(col("vec_id") < 200)
+    val planted = base.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          "CAST(x * 1.01D + 0.001D * pmod(vec_id + j, 7) AS FLOAT))").as("embedding"))
+    val rows = Ann.semanticDedup(base.unionByName(planted), k = 8, iters = 2,
+        threshold = 0.95)
+      .select("vec_id", "sem_group", "cos_to_centroid", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    val group = rows.map(r => r._1 -> r._2).toMap
+    (0L until 200L by 10).foreach { o =>
+      assert(group(o + 1000000L) == group(o), s"copy of $o not in its group") }
+    rows.groupBy(_._2).foreach { case (g, ms) =>
+      assert(ms.count(_._4) == 1, s"group $g must have exactly one keeper")
+      // the keeper is the paper's exemplar: argmin (cos_to_centroid, id)
+      val keeper = ms.filter(_._4).head
+      assert((keeper._3, keeper._1) == ms.map(m => (m._3, m._1)).min,
+        s"group $g kept ${keeper._1}, not the low-centroid-cos exemplar")
+    }
+    // no planted copy survives: every group holding a copy keeps ONE row
+    assert(rows.count(_._4) == rows.map(_._2).distinct.length)
+  }
+
   test("lineDedup: shared spans vanish from every copy, unique remainder survives in order") {
     import spark.implicits._
     // spans of 2 words; docs 1/2 share "a b" and "c d"; doc 1 keeps
