@@ -647,4 +647,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
     assert(exchanges(p, "hashpartitioning") == 1, s"extra shuffle:\n$p")
   }
+
+  test("dedup_semantic: pairing is a cluster equi-join, never a cartesian") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), s"all-pairs leak:\n$p")
+    // the within-cell pair join keys on the cluster id — an equi hash
+    // or sort-merge join, both fine; what must NOT happen is the
+    // embedding table crossing itself
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi join found:\n$p")
+  }
+
+  test("quality_classifier: aggregate-only plan, distinct stays bounded-state") {
+    val p = plan("quality_classifier")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // exactly two hash exchanges: the (doc, tok) pre-shuffle is
+    // Spark's bounded-state count(DISTINCT) expansion — the right
+    // trade vs a collect_set whose per-row state grows with doc size;
+    // anything beyond these two is a regression
+    assert(exchanges(p, "hashpartitioning") == 2, s"unexpected shuffles:\n$p")
+  }
 }
