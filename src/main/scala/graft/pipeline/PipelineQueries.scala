@@ -244,7 +244,7 @@ object PipelineQueries {
         .select((col("vec_id") + 1000000L).as("vec_id"),
           expr("transform(embedding, (x, j) -> " +
             "CAST(x * 1.01D + 0.001D * pmod(vec_id + j, 7) AS FLOAT))").as("embedding"))
-      Ann.semanticDedup(base.unionByName(planted), k = 16, iters = 2,
+      Ann.semanticDedup(base.unionByName(planted), iters = 2,
           threshold = 0.95)
         .orderBy("vec_id")
     }),

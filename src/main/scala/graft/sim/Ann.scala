@@ -241,10 +241,19 @@ object Ann {
     * ([[graft.dedup.Dedup.connectedComponents]], pointer jumping).
     * Rows-only contract (float kmeans; the spec plants jittered
     * copies and proves group recovery + the keeper rule). */
-  def semanticDedup(vectors: DataFrame, k: Int = 16, iters: Int = 2,
+  def semanticDedup(vectors: DataFrame, k: Int = 0, iters: Int = 2,
                     threshold: Double = 0.95): DataFrame = {
     val base = vectors.select(col("vec_id"), col("embedding"))
-    val km = kmeans(base, k, iters)
+    // k <= 0 → auto ~√N clusters (ivf's sizing, same reasoning: a
+    // FIXED k makes the within-cell pair join score N·(N/k) pairs —
+    // quadratic in corpus size, the exact shape the sf1 spike caught
+    // in fixed-cell IVF; at √N clusters it is N·√N with the paper's
+    // own bounded-cell-size posture). Same 16 floor / 4096 cap.
+    val nClusters =
+      if (k > 0) k
+      else math.min(4096,
+        math.max(16, math.ceil(math.sqrt(base.count().toDouble)).toInt))
+    val km = kmeans(base, nClusters, iters)
     val v = base.join(km.select("vec_id", "cluster"), "vec_id")
       .withColumn("_n", norm("embedding"))
     val pairs = v.select(col("cluster"), col("vec_id").as("i"),
