@@ -334,9 +334,6 @@ object AnalyticsQueries {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
-    // VerifyReplication: the replica drifts three ways (every 777th
-    // row missing, every 500th price bumped, every 999th key shifted
-    // past the source keyspace) — the counters must account for all
     // ClusterStatus per-region request counters over the skew-grown
     // keyspace (squared user ids): reads vs writes in one conditional
     // aggregate, idle regions as zero rows, hotspot flag on 2x mean
@@ -359,6 +356,9 @@ object AnalyticsQueries {
       Tools.replicationLag(Tables.load(s, d, "events"), "ts", peers)
         .orderBy("peer_id")
     }),
+    // VerifyReplication: the replica drifts three ways (every 777th
+    // row missing, every 500th price bumped, every 999th key shifted
+    // past the source keyspace) — the counters must account for all
     "verify_replication" -> ((s, d) => {
       val src = Tables.load(s, d, "orders").select("o_orderkey", "o_totalprice")
       val peer = src.where(col("o_orderkey") % 777 =!= 0)
@@ -636,14 +636,27 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT 'r3a', (SELECT k FROM bd WHERE i = 3), (SELECT m FROM m34)
         |  UNION ALL
-        |  SELECT 'r3b', (SELECT m FROM m34), (SELECT k FROM bd WHERE i = 4))
-        |SELECT r.region_id, r.start_key, r.end_key,
-        |       count(*) AS n_keys,
-        |       min(o.o_orderkey) AS first_key, max(o.o_orderkey) AS last_key
-        |FROM orders o LEFT JOIN reg r
-        |  ON (r.start_key IS NULL OR o.o_orderkey >= r.start_key)
-        | AND (r.end_key IS NULL OR o.o_orderkey < r.end_key)
-        |GROUP BY 1, 2, 3 ORDER BY region_id""".stripMargin,
+        |  SELECT 'r3b', (SELECT m FROM m34), (SELECT k FROM bd WHERE i = 4)),
+        |loc AS (
+        |  SELECT r.region_id, r.start_key, r.end_key,
+        |         count(o.o_orderkey) AS n_keys,
+        |         min(o.o_orderkey) AS first_key, max(o.o_orderkey) AS last_key
+        |  FROM reg r LEFT JOIN orders o
+        |    ON (r.start_key IS NULL OR o.o_orderkey >= r.start_key)
+        |   AND (r.end_key IS NULL OR o.o_orderkey < r.end_key)
+        |  GROUP BY 1, 2, 3),
+        |unl AS (
+        |  SELECT CAST(NULL AS VARCHAR) AS region_id,
+        |         CAST(NULL AS BIGINT) AS start_key,
+        |         CAST(NULL AS BIGINT) AS end_key,
+        |         count(*) AS n_keys,
+        |         min(o.o_orderkey) AS first_key, max(o.o_orderkey) AS last_key
+        |  FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM reg r
+        |        WHERE (r.start_key IS NULL OR o.o_orderkey >= r.start_key)
+        |          AND (r.end_key IS NULL OR o.o_orderkey < r.end_key))
+        |  HAVING count(*) > 0)
+        |SELECT * FROM loc UNION ALL SELECT * FROM unl ORDER BY region_id""".stripMargin,
     "split_policy" ->
       """WITH g AS (SELECT o_orderkey * o_orderkey AS k,
         |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS sz FROM orders),
@@ -757,8 +770,8 @@ object AnalyticsQueries {
         |SELECT p.peer_id, p.replicated_upto,
         |       count(e.ts) AS n_pending,
         |       min(e.ts) AS oldest_pending, max(e.ts) AS newest_pending,
-        |       greatest(0, CAST(epoch(b.newest) AS BIGINT)
-        |                 - CAST(epoch(p.replicated_upto) AS BIGINT)) AS lag_sec
+        |       greatest(0, CAST(floor(epoch(b.newest)) AS BIGINT)
+        |                 - CAST(floor(epoch(p.replicated_upto)) AS BIGINT)) AS lag_sec
         |FROM peers p CROSS JOIN b
         |LEFT JOIN events e ON e.ts > p.replicated_upto
         |GROUP BY 1, 2, b.newest ORDER BY peer_id""".stripMargin,

@@ -410,17 +410,32 @@ object Tools {
     * Assumes a non-overlapping online chain ([[hbckRegionChain]]'s
     * precondition, as with bulkLoadAssign). */
   def regionLocate(keys: DataFrame, keyCol: String, regions: DataFrame): DataFrame = {
-    val online = broadcast(regions
+    val online = regions
       .where(!coalesce(col("offline"), lit(false)))
       .select(col("region_id").as("_rid"), col("start_key").as("_rs"),
-        col("end_key").as("_re")))
-    keys.join(online,
+        col("end_key").as("_re"))
+    // a region no lookup touched must still report (n_keys = 0): the
+    // audit has to distinguish "no traffic" from "missing from META"
+    // (the same zero-row posture as requestMetrics' idle regions).
+    // Rather than re-framing the rollup against the catalog — which
+    // would consume the aggregate twice and scan the lookup side twice
+    // — SEED the single aggregate with one zero-weight row per online
+    // region: sum(weight) counts only real lookups, seed-only groups
+    // come out 0, and the unlocatable NULL-region group appears
+    // exactly when holes were hit. One scan, one shuffle.
+    val keyType = keys.schema(keyCol).dataType
+    val located = keys.join(broadcast(online),
         (col("_rs").isNull || col(keyCol) >= col("_rs")) &&
         (col("_re").isNull || col(keyCol) < col("_re")), "left")
+      .select(col("_rid"), col("_rs"), col("_re"),
+        col(keyCol).as("_k"), lit(1L).as("_w"))
+    val seed = online.select(col("_rid"), col("_rs"), col("_re"),
+      lit(null).cast(keyType).as("_k"), lit(0L).as("_w"))
+    located.unionByName(seed)
       .groupBy(col("_rid").as("region_id"), col("_rs").as("start_key"),
         col("_re").as("end_key"))
-      .agg(count(lit(1)).as("n_keys"), min(col(keyCol)).as("first_key"),
-        max(col(keyCol)).as("last_key"))
+      .agg(sum(col("_w")).as("n_keys"), min(col("_k")).as("first_key"),
+        max(col("_k")).as("last_key"))
   }
 
   /** Per-region request metrics (RegionLoad.java getReadRequestsCount /

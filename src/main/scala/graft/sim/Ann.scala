@@ -253,7 +253,11 @@ object Ann {
       if (k > 0) k
       else math.min(4096,
         math.max(16, math.ceil(math.sqrt(base.count().toDouble)).toInt))
-    val km = kmeans(base, nClusters, iters)
+    // the assignment table feeds FOUR plan subtrees (both sides of the
+    // cluster self-join, the label join, the keeper argmin) and each
+    // would re-run the N·k cosine assignment — pin it once, like
+    // ngramJaccard pins its shingle table
+    val km = kmeans(base, nClusters, iters).localCheckpoint()
     val v = base.join(km.select("vec_id", "cluster"), "vec_id")
       .withColumn("_n", norm("embedding"))
     val pairs = v.select(col("cluster"), col("vec_id").as("i"),

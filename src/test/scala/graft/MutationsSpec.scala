@@ -297,17 +297,24 @@ class MutationsSpec extends SparkSpec {
       ("a", None: Option[Long], Some(10L), false),
       ("p", Some(10L), Some(20L), true),   // offline split parent
       ("b", Some(10L), Some(20L), false),  // its online daughter range
-      ("c", Some(30L), None: Option[Long], false)  // hole in [20, 30)
+      ("c", Some(30L), Some(40L), false),  // hole in [20, 30)
+      ("d", Some(40L), None: Option[Long], false)  // online, zero lookups
     ).toDF("region_id", "start_key", "end_key", "offline")
     val keys = Seq(5L, 15L, 25L, 35L).toDF("k")
     val got = Tools.regionLocate(keys, "k", regions)
       .select("region_id", "n_keys", "first_key", "last_key")
-      .as[(Option[String], Long, Long, Long)].collect().toSet
+      .as[(Option[String], Long, Option[Long], Option[Long])].collect().toSet
     assert(got == Set(
-      (Some("a"), 1L, 5L, 5L),   // open-start region
-      (Some("b"), 1L, 15L, 15L), // daughter, NOT the offline parent (no dup row)
-      (None, 1L, 25L, 25L),      // chain hole -> unlocatable
-      (Some("c"), 1L, 35L, 35L)), s"got $got")
+      (Some("a"), 1L, Some(5L), Some(5L)),   // open-start region
+      (Some("b"), 1L, Some(15L), Some(15L)), // daughter, NOT the offline parent
+      (None, 1L, Some(25L), Some(25L)),      // chain hole -> unlocatable
+      (Some("c"), 1L, Some(35L), Some(35L)),
+      (Some("d"), 0L, None, None)),          // zero lookups != missing from META
+      s"got $got")
+    // with every key locatable, NO unlocatable row appears
+    val clean = Tools.regionLocate(Seq(5L, 15L).toDF("k"), "k", regions)
+      .where(col("region_id").isNull).count()
+    assert(clean == 0L, "phantom unlocatable row")
   }
 
   test("splitPolicy: constant vs increasing verdicts, gated prefix-snapped points") {
