@@ -79,7 +79,7 @@ object Dedup {
       regexp_replace(_, "^([^/:]+):(80|443)(/|$)", "$1$3"), // default port
       regexp_replace(_, "utm_[a-z]+=[^&#]*&?", ""),// tracking params
       regexp_replace(_, "[?&]+$", ""),             // dangling separators
-      regexp_replace(_, "/$", ""))                 // trailing slash
+      regexp_replace(_, "/+$", ""))                // trailing slash(es)
     steps.foldLeft(url)((c, f) => f(c))
   }
 

@@ -590,7 +590,7 @@ object PipelineQueries {
         |    '^([^/:]+):(80|443)(/|$)', '\1\3'),
         |    'utm_[a-z]+=[^&#]*&?', '', 'g'),
         |    '[?&]+$', ''),
-        |    '/$', '') AS canonical_url
+        |    '/+$', '') AS canonical_url
         |  FROM caps)
         |SELECT canonical_url, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM canon GROUP BY 1 ORDER BY keeper""".stripMargin,

@@ -398,6 +398,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl is idempotent on randomized component URLs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      scheme <- Gen.oneOf("http://", "https://", "HTTPS://", "")
+      www <- Gen.oneOf("www.", "WWW.", "")
+      host <- Gen.oneOf("example.com", "Sub.Example.COM", "a.b.co")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.listOfN(2, Gen.alphaLowerStr.map(_.take(4))).map(_.mkString("/", "/", ""))
+      slash <- Gen.oneOf("", "/")
+      q <- Gen.oneOf("", "?id=7", "?utm_source=x", "?utm_a=1&id=2&utm_b=3", "?id=1&utm_x=9")
+      frag <- Gen.oneOf("", "#top", "#a/b?c")
+    } yield scheme + www + host + port + path + slash + q + frag
+    val urls = samples(gen, 200).toDF("url")
+    val once = urls.select(graft.dedup.Dedup.canonicalizeUrl(col("url")).as("url"))
+    val twice = once.select(graft.dedup.Dedup.canonicalizeUrl(col("url")).as("c"))
+    val pairs = once.as[String].collect().zip(twice.as[String].collect())
+    pairs.foreach { case (a, b) =>
+      assert(a == b, s"not idempotent: '$a' -> '$b'")
+      assert(!b.matches("^https?://.*") && !b.startsWith("www."), s"residue in '$b'")
+    }
+  }
+
+  test("lineDedup with an infinite df cap reconstructs every doc verbatim") {
+    import spark.implicits._
+    val gen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "ep")))
+    val docs = samples(gen, 30).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    // maxDf >= corpus size: nothing is ever removed, so the cleaned
+    // digest must equal the md5 of the original text for EVERY doc —
+    // the reconstruction (span cut + sorted-struct rebuild) is exact
+    val got = graft.dedup.Dedup.lineDedup(df, spanWords = 3, maxDf = 1000)
+      .select("doc_id", "clean_digest").as[(Long, String)].collect().toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.foreach { case (id, text) =>
+      val want = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(id) == want, s"doc $id rebuilt differently")
+    }
+  }
+
+  test("applySplits conserves rows and emits only daughters 2b / 2b+1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.analytics.Tools
+    val gen = Gen.listOfN(60, for {
+      b <- Gen.chooseNum(0L, 3L)
+      k <- Gen.chooseNum(0L, 1000L)
+    } yield (b, k))
+    samples(gen, 8).foreach { data =>
+      val tagged = data.toDF("bucket", "k")
+      val buckets = tagged.groupBy("bucket").agg(count(lit(1)).as("n_rows"),
+        min("k").as("min_key"), max("k").as("max_key"))
+      val got = Tools.applySplits(tagged, Tools.normalizerPlan(buckets), "k")
+        .select("daughter", "n_rows").as[(Long, Long)].collect()
+      assert(got.map(_._2).sum == data.size.toLong, "rows not conserved")
+      val parents = data.map(_._1).toSet
+      got.map(_._1).foreach { d =>
+        assert(parents.contains(d / 2), s"daughter $d has no parent bucket") }
+    }
+  }
+
   test("FuzzyMatch equals the mask semantics it encodes (overlap-prefix)") {
     val gen = for {
       pat <- Gen.listOfN(6, Gen.oneOf('a', 'b', '?')).map(_.mkString)
