@@ -334,6 +334,15 @@ object AnalyticsQueries {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
+    // Hot-key diagnosis over a one-hot-tenant keyspace (tenant 0
+    // absorbs the user_id%5<2 traffic, ~40% of rows): the report names
+    // the hot key, its ppm share, and the salt factor that levels it
+    "skew_diagnose" -> ((s, d) =>
+      Tools.skewDiagnose(
+        Tables.load(s, d, "events")
+          .withColumn("tenant",
+            when(col("user_id") % 5 < 2, lit(0L)).otherwise(col("user_id"))),
+        "tenant", topN = 10)),
     // ClusterStatus per-region request counters over the skew-grown
     // keyspace (squared user ids): reads vs writes in one conditional
     // aggregate, idle regions as zero rows, hotspot flag on 2x mean
@@ -742,6 +751,15 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "skew_diagnose" ->
+      """WITH t AS (SELECT CASE WHEN user_id % 5 < 2 THEN 0
+        |                       ELSE user_id END AS key FROM events),
+        |c AS (SELECT key, count(*) AS n_rows FROM t GROUP BY 1),
+        |g AS (SELECT sum(n_rows) AS total, count(*) AS nkeys FROM c)
+        |SELECT key, n_rows,
+        |       CAST(n_rows * 1000000 // total AS BIGINT) AS share_ppm,
+        |       CAST((n_rows * nkeys + total - 1) // total AS BIGINT) AS salt_buckets
+        |FROM c, g ORDER BY n_rows DESC, key LIMIT 10""".stripMargin,
     "request_metrics" ->
       """WITH l AS (SELECT user_id * user_id AS k,
         |                  event_type IN ('signup', 'purchase') AS w FROM events),

@@ -679,4 +679,37 @@ object Tools {
         (col("max_tables") - col("n_tables")).as("table_headroom"),
         (col("max_regions") - col("n_regions")).as("region_headroom"))
   }
+
+  /** Hot-key skew diagnosis — the report an operator reads before
+    * choosing a salting factor (reference: the hotspot-avoidance
+    * rationale behind RegionSplitter.java:78's pre-split planning and
+    * the salted-rowkey pattern [[graft.core.Salt]] implements). For
+    * each of the `topN` heaviest keys: row count, corpus share in ppm,
+    * and the salt-bucket count that levels the key down to the mean
+    * key load (`ceil(n_key / mean)` — 1 for an unskewed key).
+    *
+    * All integer-exact: ppm is `n·10⁶ div total`, the salt
+    * recommendation `(n·n_keys + total − 1) div total` — any SQL
+    * engine mirrors it bit-for-bit. Valid while `rows·keys < 2⁶³/10⁶`
+    * per the bigint product; past that, pre-aggregate per shard.
+    *
+    * Scale shape: one map-side-combinable count per key, a 1-row
+    * global aggregate broadcast back, and a TakeOrderedAndProject for
+    * the top-N — no full sort, no unpartitioned window, nothing
+    * driver-side. The diagnosis itself never suffers the skew it
+    * measures: a 10⁹-row hot key still contributes one combined count
+    * per input partition to the shuffle. */
+  def skewDiagnose(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN ($topN) must be at least 1")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum("n_rows").as("_total"),
+      count(lit(1)).as("_nkeys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key"), col("n_rows"),
+        expr("n_rows * 1000000 div _total").as("share_ppm"),
+        expr("(n_rows * _nkeys + _total - 1) div _total").as("salt_buckets"))
+      .orderBy(desc("n_rows"), asc("key"))
+      .limit(topN)
+  }
 }

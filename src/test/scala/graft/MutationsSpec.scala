@@ -290,6 +290,19 @@ class MutationsSpec extends SparkSpec {
       ("caught_up", 0L, 0L)), s"got $got")
   }
 
+  test("skewDiagnose: hot key named with exact ppm share and leveling salt factor") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    // key 7 holds 8 of 12 rows across 5 distinct keys
+    val df = (Seq.fill(8)(7L) ++ Seq(1L, 2L, 3L, 4L)).toDF("k")
+    val got = Tools.skewDiagnose(df, "k", topN = 3)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // share = floor(8e6/12) = 666666 ppm; salt = ceil(8*5/12) = 4;
+    // unskewed keys level at salt 1 and tie-break by key ascending
+    assert(got == List((7L, 8L, 666666L, 4L),
+      (1L, 1L, 83333L, 1L), (2L, 1L, 83333L, 1L)), s"got $got")
+  }
+
   test("regionLocate: offline parents skipped, holes surface as unlocatable") {
     import spark.implicits._
     import graft.analytics.Tools
