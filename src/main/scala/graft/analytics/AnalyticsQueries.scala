@@ -334,6 +334,27 @@ object AnalyticsQueries {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
+    // Pure interval join (no equi-key): promo windows (every 499th
+    // event anchors ±1h) matched to the events inside them via the
+    // hour-binned equi-join — the plan that replaces the
+    // BroadcastNestedLoopJoin Catalyst would pick for a bare BETWEEN.
+    // Aggregates are integer-exact (counts and event_id extremes)
+    "range_join_binned" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val windows = ev.where(col("event_id") % 499 === 0)
+        .select(col("event_id").as("window_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("lo"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"))
+      graft.core.RangeJoin
+        .rangeJoinBinned(ev.select("event_id", "user_id", "ts"), "ts",
+          windows, "lo", "hi", binSeconds = 3600)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("user_id").as("n_users"),
+          min("event_id").as("first_event"),
+          max("event_id").as("last_event"))
+        .orderBy("window_id")
+    }),
     // Hot-key diagnosis over a one-hot-tenant keyspace (tenant 0
     // absorbs the user_id%5<2 traffic, ~40% of rows): the report names
     // the hot key, its ppm share, and the salt factor that levels it
@@ -751,6 +772,18 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "range_join_binned" ->
+      """WITH w AS (SELECT event_id AS window_id,
+        |                  ts - INTERVAL 1 HOUR AS lo,
+        |                  ts + INTERVAL 1 HOUR AS hi
+        |           FROM events WHERE event_id % 499 = 0)
+        |SELECT w.window_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+        |       min(e.event_id) AS first_event,
+        |       max(e.event_id) AS last_event
+        |FROM w JOIN events e ON e.ts >= w.lo AND e.ts <= w.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "skew_diagnose" ->
       """WITH t AS (SELECT CASE WHEN user_id % 5 < 2 THEN 0
         |                       ELSE user_id END AS key FROM events),

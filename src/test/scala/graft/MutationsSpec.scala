@@ -303,6 +303,35 @@ class MutationsSpec extends SparkSpec {
       (1L, 1L, 83333L, 1L), (2L, 1L, 83333L, 1L)), s"got $got")
   }
 
+  test("rangeJoinBinned: inclusive bounds, bin-spanning windows, one match per pair") {
+    import spark.implicits._
+    import graft.core.RangeJoin
+    def t(s: String) = s"2024-01-01 $s"
+    val facts = Seq((1L, t("00:00:00")), (2L, t("01:00:00")), (3L, t("02:30:00")),
+        (4L, t("03:00:00")), (5L, t("03:00:01")))
+      .toDF("fact_id", "_t").select(col("fact_id"), to_timestamp(col("_t")).as("ts"))
+    // w10 spans 4 hour-bins; both ends inclusive (facts 1 and 4 in, 5 out)
+    val windows = Seq((10L, t("00:00:00"), t("03:00:00")),
+        (20L, t("02:00:00"), t("02:59:59")))
+      .toDF("window_id", "_lo", "_hi")
+      .select(col("window_id"), to_timestamp(col("_lo")).as("lo"),
+        to_timestamp(col("_hi")).as("hi"))
+    val got = RangeJoin.rangeJoinBinned(facts, "ts", windows, "lo", "hi", 3600)
+      .select("window_id", "fact_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (20L, 3L)),
+      s"got $got")
+    // a window wider than the bin budget must fail loudly, not explode
+    val wide = Seq((30L, t("00:00:00"), "2024-03-01 00:00:00"))
+      .toDF("window_id", "_lo", "_hi")
+      .select(col("window_id"), to_timestamp(col("_lo")).as("lo"),
+        to_timestamp(col("_hi")).as("hi"))
+    val e = intercept[Exception] {
+      RangeJoin.rangeJoinBinned(facts, "ts", wide, "lo", "hi", 3600,
+        maxBinsPerWindow = 100).collect()
+    }
+    assert(e.getMessage.contains("rangeJoinBinned"), e.getMessage)
+  }
+
   test("regionLocate: offline parents skipped, holes surface as unlocatable") {
     import spark.implicits._
     import graft.analytics.Tools

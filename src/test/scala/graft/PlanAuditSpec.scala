@@ -270,6 +270,20 @@ class PlanAuditSpec extends SparkSpec {
       "stream_topk regressed to a window ranking")
   }
 
+  test("range_join_binned: interval join rides the bin equi-join, never a nested loop") {
+    val p = plan("range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join regressed to all-pairs:\n$p")
+    assert(p.contains("_bin"), s"bin equi-key missing from the join:\n$p")
+  }
+
+  test("skew_diagnose: top-N is TakeOrderedAndProject, count is map-side partial") {
+    val p = plan("skew_diagnose")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N lost:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"per-key count lost its map-side partial:\n$p")
+  }
+
   test("scan_cursor: every page is a TakeOrderedAndProject, no global sort exchange") {
     val p = plan("scan_cursor")
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
