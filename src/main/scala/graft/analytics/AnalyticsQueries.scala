@@ -334,6 +334,21 @@ object AnalyticsQueries {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
+    // Schema-audit profile of orders (CellCounter widened to
+    // relational stats): nulls exercised via a derived nullable
+    // column, the double price profiled as exact integer cents —
+    // doubles' string rendering is the one non-portable piece, so the
+    // operator contract keeps them out
+    "column_profile" -> ((s, d) => {
+      val t = Tables.load(s, d, "orders")
+        .withColumn("price_cents",
+          floor(col("o_totalprice") * 100).cast("bigint"))
+        .withColumn("status_nz",
+          when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus")))
+      Tools.columnProfile(t, Seq("o_orderkey", "o_orderstatus",
+          "o_orderpriority", "o_orderdate", "price_cents", "status_nz"))
+        .orderBy("col_name")
+    }),
     // Pure interval join (no equi-key): promo windows (every 499th
     // event anchors ±1h) matched to the events inside them via the
     // hour-binned equi-join — the plan that replaces the
@@ -772,6 +787,25 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "column_profile" -> {
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_orderdate", "price_cents", "status_nz")
+      val arms = cols.map(c =>
+        s"""SELECT '$c' AS col_name, n_rows,
+           |       n_rows - count($c) AS null_count,
+           |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_val,
+           |       CAST(max($c) AS VARCHAR) AS max_val,
+           |       CAST(coalesce(sum(length(CAST($c AS VARCHAR))), 0) AS BIGINT)
+           |         AS total_len
+           |FROM t, n GROUP BY n_rows""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT *,
+         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         |  nullif(o_orderstatus, 'O') AS status_nz FROM orders),
+         |n AS (SELECT count(*) AS n_rows FROM t)
+         |$arms
+         |ORDER BY col_name""".stripMargin
+    },
     "range_join_binned" ->
       """WITH w AS (SELECT event_id AS window_id,
         |                  ts - INTERVAL 1 HOUR AS lo,

@@ -712,4 +712,46 @@ object Tools {
       .orderBy(desc("n_rows"), asc("key"))
       .limit(topN)
   }
+
+  /** Per-column data profile — the schema-audit pass a pipeline runs
+    * before trusting a new table (reference analogue: the per-CF/
+    * qualifier occurrence statistics CellCounter.java:71 reports, here
+    * widened to null/ndv/extrema/length stats per relational column).
+    *
+    * One row per profiled column: row count, null count, distinct
+    * count, min/max (rendered to string — the caller keeps doubles out
+    * of `cols`, their cross-engine rendering is not portable; integers,
+    * strings and timestamps are), and total rendered length (integer —
+    * an avg would be a float divide; consumers divide themselves).
+    *
+    * Single pass: every stat folds into ONE aggregate node, then
+    * `stack` unpivots the 1-row result — `|cols|` exact distincts make
+    * Catalyst expand the input |cols|× before the shuffle, the honest
+    * price of exact ndv. At 100 TB set `approxNdv = true`:
+    * HyperLogLog++ sketches replace the expand entirely (one
+    * non-expanded pass, mergeable partials), everything else stays
+    * exact — same split convention as region_splitter's
+    * approx_percentile bench path. */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+                    approxNdv: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
+    val ndv: Column => Column =
+      if (approxNdv) approx_count_distinct(_) else countDistinct(_)
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"_nn_$c"),
+      ndv(col(c)).as(s"_nd_$c"),
+      min(col(c)).cast("string").as(s"_mn_$c"),
+      max(col(c)).cast("string").as(s"_mx_$c"),
+      coalesce(sum(length(col(c).cast("string"))), lit(0L)).as(s"_ln_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `_nn_$c`, `_nd_$c`, `_mn_$c`, `_mx_$c`, `_ln_$c`").mkString(", ")
+    one.select(col("_n").as("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) as " +
+          "(col_name, non_null, n_distinct, min_val, max_val, total_len)"))
+      .select(col("col_name"), col("n_rows"),
+        (col("n_rows") - col("non_null")).as("null_count"),
+        col("n_distinct"), col("min_val"), col("max_val"), col("total_len"))
+  }
 }

@@ -303,6 +303,25 @@ class MutationsSpec extends SparkSpec {
       (1L, 1L, 83333L, 1L), (2L, 1L, 83333L, 1L)), s"got $got")
   }
 
+  test("columnProfile: exact nulls/ndv/extrema, all-null column zero-length, approx path intact") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    val df = Seq((1L, Some("b"), None: Option[String]),
+      (2L, Some("a"), None), (3L, None, None), (3L, Some("a"), None))
+      .toDF("k", "s", "z")
+    val got = Tools.columnProfile(df, Seq("k", "s", "z"))
+      .as[(String, Long, Long, Long, Option[String], Option[String], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("k") == ("k", 4L, 0L, 3L, Some("1"), Some("3"), 4L), got("k"))
+    assert(got("s") == ("s", 4L, 1L, 2L, Some("a"), Some("b"), 3L), got("s"))
+    assert(got("z") == ("z", 4L, 4L, 0L, None, None, 0L), got("z"))
+    // the 100 TB ndv path keeps every exact stat and the schema
+    val ap = Tools.columnProfile(df, Seq("k", "s", "z"), approxNdv = true)
+      .as[(String, Long, Long, Long, Option[String], Option[String], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(ap("z")._4 == 0L && ap("k")._5 == Some("1") && ap("s")._3 == 1L, s"$ap")
+  }
+
   test("rangeJoinBinned: inclusive bounds, bin-spanning windows, one match per pair") {
     import spark.implicits._
     import graft.core.RangeJoin
