@@ -170,4 +170,34 @@ object DataPrep {
         (col("bucket") * lit(1048576L) + guarded).as("seq_id"),
         ((col("_cum") - col("n_tokens")) % ctxTokens).as("seq_offset"))
   }
+
+  /** Deterministic fixed-size per-group sample (the reproducible form
+    * of reservoir sampling): for each group, the `k` rows whose Knuth
+    * key hash sorts lowest — a "random" draw that every engine, run,
+    * and partitioning reproduces bit-for-bit, unlike rand()-seeded
+    * reservoirs whose output depends on partition iteration order.
+    * Draws are ranked (1..k, hash order, doc-id tie-break) so
+    * downstream can take any prefix for a smaller sample without
+    * re-drawing — the nested property real eval-set carving relies on.
+    *
+    * Scale shape: ranking rides the bounded-state [[graft.sim.TopKStruct]]
+    * heap, NOT a per-group window sort — each input partition reduces
+    * to ≤ k rows of state before the one shuffle, so a 10⁹-row group
+    * costs the same shuffle bytes as a 10³-row one. A group with fewer
+    * than k rows yields all of them. */
+  def sampleReservoir(df: DataFrame, keyCol: String, groupCol: String,
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.sim.TopKStruct
+    require(k >= 1, s"sampleReservoir: k ($k) must be at least 1")
+    // TopKStruct keeps the LARGEST structs; negate so the smallest
+    // hash (then smallest key) wins
+    val payload = struct((-knuthHash(keyCol)).as("nh"), (-col(keyCol)).as("nk"))
+    val agg = ColumnBridge.column(
+      TopKStruct(ColumnBridge.expression(payload), k).toAggregateExpression())
+    df.groupBy(col(groupCol)).agg(agg.as("_top"))
+      .select(col(groupCol), posexplode(col("_top")))
+      .select(col(groupCol), (col("pos") + 1).cast("bigint").as("draw"),
+        (-col("col.nk")).as(keyCol))
+  }
 }

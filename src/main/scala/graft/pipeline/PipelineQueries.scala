@@ -215,6 +215,13 @@ object PipelineQueries {
       DataPrep.decontaminate(all, all.where(col("doc_id") % 41 === 0))
         .orderBy("doc_id")
     }),
+    // fixed-size per-language eval-set draw: k = 16 docs per lang by
+    // Knuth-hash order — deterministic across engines/partitionings,
+    // ranked so any prefix is itself a valid smaller draw; rides the
+    // bounded-state heap aggregate, never a per-group window sort
+    "sample_reservoir" -> ((s, d) =>
+      DataPrep.sampleReservoir(docs(s, d), "doc_id", "lang", k = 16)
+        .orderBy("lang", "draw")),
     // dataset mixing: per-language keep rates decided by a pure key
     // hash — reproducible across runs/engines/partitionings, zero
     // shuffle (the 100 TB form of "sample src_web at 10%")
@@ -691,6 +698,16 @@ object PipelineQueries {
         |ORDER BY d.doc_id""".stripMargin,
     // the hash mirrors Spark's pmod exactly — ((k % m + m) % m), not
     // bare sign-preserving %, so the contract holds for negative keys
+    "sample_reservoir" ->
+      """WITH h AS (SELECT lang, doc_id,
+        |  ((((doc_id % 2147483648) + 2147483648) % 2147483648)
+        |    * 2654435761) % 4294967296 AS hk FROM documents),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+        |          AS draw
+        |      FROM h)
+        |SELECT lang, CAST(draw AS BIGINT) AS draw, doc_id FROM r
+        |WHERE draw <= 16 ORDER BY lang, draw""".stripMargin,
     "sample_stratified" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 <

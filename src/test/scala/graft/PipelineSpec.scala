@@ -733,6 +733,26 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("sampleReservoir: nested prefixes, short groups whole, heap not window") {
+    import graft.pipeline.DataPrep
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, if (i < 3) "tiny" else s"g${i % 2}"))
+      .toDF("doc_id", "grp")
+    val k8 = DataPrep.sampleReservoir(df, "doc_id", "grp", 8)
+      .as[(String, Long, Long)].collect()
+    // the k=4 draw must be exactly the first 4 ranks of the k=8 draw
+    val k4 = DataPrep.sampleReservoir(df, "doc_id", "grp", 4)
+      .as[(String, Long, Long)].collect().toSet
+    assert(k4 == k8.filter(_._2 <= 4).toSet, "prefix nesting broken")
+    // a group smaller than k yields every row, ranked
+    assert(k8.filter(_._1 == "tiny").map(_._3).toSet == Set(0L, 1L, 2L))
+    assert(k8.filter(_._1 == "tiny").map(_._2).sorted.toList == List(1L, 2L, 3L))
+    // ranking rides the bounded heap, not a per-group window sort
+    val p = DataPrep.sampleReservoir(df, "doc_id", "grp", 8)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("topk_struct") && !p.contains("windowspecdefinition"), p)
+  }
+
   test("sampleMixture: a weighted source with zero corpus rows collapses the mixture to empty") {
     import graft.pipeline.DataPrep
     // "ghost" never appears in docs: the feasibility min must see its
