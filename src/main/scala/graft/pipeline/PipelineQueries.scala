@@ -215,6 +215,15 @@ object PipelineQueries {
       DataPrep.decontaminate(all, all.where(col("doc_id") % 41 === 0))
         .orderBy("doc_id")
     }),
+    // keyword extraction: top-3 TF-IDF terms per doc, micro-log idf
+    // (integer-exact cross-engine), doc-partitioned ranking window
+    "text_tfidf" -> ((s, d) =>
+      TextOps.tfidf(docs(s, d), topK = 3).orderBy("doc_id", "rnk")),
+    // lexical retrieval: Okapi BM25 top-20 for a fixed query, every
+    // score a sum of exact bigint floor-divisions (rational k1/b
+    // constants cleared against 10·L) — no float forms anywhere
+    "text_bm25" -> ((s, d) =>
+      TextOps.bm25(docs(s, d), Seq("hash", "join", "vector"), topK = 20)),
     // fixed-size per-language eval-set draw: k = 16 docs per lang by
     // Knuth-hash order — deterministic across engines/partitionings,
     // ranked so any prefix is itself a valid smaller draw; rides the
@@ -893,6 +902,40 @@ object PipelineQueries {
         |       (round(m2 / CAST(n2 AS DOUBLE), 4) <= 0.05
         |        AND round(1 - d2 / CAST(n2 AS DOUBLE), 4) <= 0.05) AS rep_pass
         |FROM s2 JOIN s3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_bm25" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |t2 AS (SELECT doc_id, token FROM tk WHERE token <> ''),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t2
+        |       WHERE token IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM t2) AS l,
+        |              (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n),
+        |c AS (SELECT t.doc_id,
+        |        ((CAST(floor(log10(n + 1) * 1e6) AS BIGINT)
+        |          - CAST(floor(log10(df + 1) * 1e6) AS BIGINT))
+        |         * t.tf * 22 * l) // (10 * l * t.tf + 3 * l + 9 * dl.dl * n)
+        |          AS contrib
+        |      FROM tf t JOIN df USING (token) JOIN dl USING (doc_id), st)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |       CAST(sum(contrib) AS BIGINT) AS score_micro
+        |FROM c GROUP BY 1 ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks WHERE token <> '' GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |sc AS (SELECT t.doc_id, t.token, t.tf, d.df,
+        |         t.tf * (CAST(floor(log10(nd + 1) * 1e6) AS BIGINT)
+        |               - CAST(floor(log10(d.df + 1) * 1e6) AS BIGINT)) AS score_micro
+        |       FROM tf t JOIN df d USING (token), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_micro DESC, token) AS rnk FROM sc)
+        |SELECT doc_id, token, tf, df, score_micro, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_unigram_logprob" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),

@@ -322,4 +322,87 @@ object TextOps {
       fold("text").as("fp"),
       fold("substring(text, 1, 64)").as("prefix_fp"))
   }
+
+  /** TF-IDF top-`topK` terms per document — the keyword-extraction /
+    * topic-tagging pass of a curation pipeline. The idf is the
+    * [[unigramLogProb]] integer micro-log: `score = tf ·
+    * (⌊log₁₀(N+1)·10⁶⌋ − ⌊log₁₀(df+1)·10⁶⌋)` — both logs evaluate on
+    * INTEGER inputs, so floor-to-micro renders them engine-portable,
+    * and everything after is exact bigint arithmetic (no float idf to
+    * drift between engines). Rare terms score high, corpus-saturating
+    * terms score ~0; ties break on token order.
+    *
+    * Scale shape: tf is one (doc, token) map-side-combinable count;
+    * df aggregates tf's output WITHOUT re-reading text (counting tf
+    * rows = counting distinct docs per token, tf is already distinct);
+    * N broadcasts as a 1-row scalar; the per-doc ranking window is
+    * partitioned by doc_id — never global. The token join shuffles
+    * (tf, df) pairs, not text. */
+  /** BM25 retrieval (Robertson–Spärck Jones, the Okapi form with
+    * k₁ = 1.2, b = 0.75): rank documents against a fixed query term
+    * set — the retrieval half of a RAG / hard-negative-mining
+    * pipeline, and the lexical side every hybrid (BM25 + vector)
+    * search needs.
+    *
+    * Engine-portable by construction: the idf is the integer micro-log
+    * (as [[tfidf]]); the length normalization clears its rational
+    * constants — with k₁ = 6/5 and b = 3/4,
+    * `tf·(k₁+1) / (tf + k₁(1−b+b·dl/avgdl))` scaled by `10·L`
+    * (L = corpus token count, avgdl = L/N) becomes
+    * `22·tf·L / (10·L·tf + 3·L + 9·dl·N)` — a ratio of exact bigints,
+    * floored per term, summed per doc. No float ever forms. Valid
+    * while `idf_micro·22·tf·L < 2⁶³` (L ≈ 4·10¹¹ at tf 10); past
+    * that, rescale L to kilotokens on both sides.
+    *
+    * Scale shape: per-doc lengths and the corpus scalars are one
+    * map-side-combinable pass; only QUERY-term postings join back
+    * (a |query|-term slice, not the corpus); the global top-k is
+    * TakeOrderedAndProject. Text never shuffles. */
+  def bm25(docs: DataFrame, query: Seq[String], topK: Int = 20): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.where(col("token").isin(query: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = toks.agg(count(lit(1)).as("_L"))
+      .crossJoin(docs.agg(count(lit(1)).as("_N")))
+    def mlog(c: Column) = floor(log10(c) * 1e6).cast("bigint")
+    tf.join(dfreq, "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        // full product before the ONE floor division — dividing the
+        // tf ratio first would floor away the idf precision
+        ((mlog(col("_N") + 1) - mlog(col("df") + 1)) * col("tf") * 22 * col("_L"))
+          .as("_num"),
+        (lit(10) * col("_L") * col("tf") + lit(3) * col("_L")
+          + lit(9) * col("dl") * col("_N")).as("_den"))
+      .select(col("doc_id"), expr("_num div _den").as("contrib_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), sum("contrib_micro").as("score_micro"))
+      .orderBy(desc("score_micro"), asc("doc_id"))
+      .limit(topK)
+  }
+
+  def tfidf(docs: DataFrame, topK: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_nd"))
+    def mlog(c: Column) = floor(log10(c) * 1e6).cast("bigint")
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score_micro"), asc("token"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf") * (mlog(col("_nd") + 1) - mlog(col("df") + 1)))
+          .as("score_micro"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= topK)
+  }
 }

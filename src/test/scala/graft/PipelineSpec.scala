@@ -733,6 +733,44 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("tfidf: rare terms outrank saturating terms, ranking window stays doc-partitioned") {
+    import graft.text.TextOps
+    import spark.implicits._
+    // 'common' is in every doc (idf 0 to micro precision at N=df);
+    // 'rare' only in doc 0 — it must take rank 1 there despite tf 1
+    val corpus = Seq((0L, "common rare common"), (1L, "common common common"),
+      (2L, "common x common")).toDF("doc_id", "text")
+    val got = TextOps.tfidf(corpus, topK = 2)
+      .select("doc_id", "rnk", "token").as[(Long, Long, String)].collect().toSet
+    assert(got.contains((0L, 1L, "rare")), s"rare term not rank 1: $got")
+    // idf(common) = mlog(4) - mlog(4) = 0 -> score 0 for every doc
+    val p = TextOps.tfidf(corpus, 2).queryExecution.optimizedPlan.toString()
+    val specs = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty && specs.forall(_.contains("windowspecdefinition(doc_id")),
+      s"tfidf window not doc-partitioned:\n$p")
+  }
+
+  test("bm25: tf raises, length normalizes, non-matching docs absent, top-k bounded") {
+    import graft.text.TextOps
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "hash hash hash pad pad pad"),   // tf 3, dl 6
+      (1L, "hash pad pad pad pad pad"),     // tf 1, dl 6
+      (2L, "hash pad"),                     // tf 1, dl 2 (short)
+      (3L, "pad pad pad pad pad pad")       // no hit
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25(corpus, Seq("hash"), topK = 10)
+      .select("doc_id", "score_micro").as[(Long, Long)].collect()
+    val score = got.toMap
+    assert(!score.contains(3L), s"non-matching doc leaked: $got")
+    assert(score(0L) > score(1L), s"higher tf must outrank: $got")
+    assert(score(2L) > score(1L), s"shorter doc must outrank at same tf: $got")
+    // ranked output is descending with doc_id tie-break
+    assert(got.map(_._2).toList == got.map(_._2).sortBy(-_).toList, got.toList)
+    val p = TextOps.bm25(corpus, Seq("hash"), 2).queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost:\n$p")
+  }
+
   test("sampleReservoir: nested prefixes, short groups whole, heap not window") {
     import graft.pipeline.DataPrep
     import spark.implicits._
