@@ -345,4 +345,67 @@ object MM {
       nSamples.as("n_samples"),
       floor(nSamples * 1000 / sr.cast("double")).cast("bigint").as("duration_ms"))
   }
+
+  /** aHash perceptual fingerprint of each IMAGE payload (png/jpeg; the
+    * dedup key image corpora are cleaned on): 64 luma samples decimated
+    * from the byte stream (sample k = byte at 1 + ⌊k·n/64⌋ — the stub
+    * stand-in for an 8×8 downscale; a real decoder swaps in without
+    * touching anything downstream), each bit = sample above the grid
+    * mean. The mean compare is the exact integer `px·64 > Σpx` (no
+    * division), and the 64 bits pack into two bigint halves — bit 63
+    * in one bigint would overflow Spark 4's ANSI arithmetic and
+    * DuckDB's checked BIGINT alike, and two halves keep every fold
+    * engine-portable. Pure projection: no shuffle, no UDF. */
+  def phash(withBytes: DataFrame): DataFrame = {
+    val bit = "IF(element_at(_px, cast(k + 1 as int)) * 64 > _s, 1L, 0L)"
+    withBytes.withColumn("_h", pinned(hex(col("payload"))))
+      .withColumn("_n", length(col("payload")).cast("bigint"))
+      .where(isPng() || isJpeg())
+      .withColumn("_px", expr("""transform(sequence(0, 63), k ->
+        |  cast(conv(substring(_h,
+        |    cast(2 * (1 + (k * _n) div 64) - 1 as int), 2), 16, 10) as bigint))"""
+        .stripMargin))
+      .withColumn("_s", expr("aggregate(_px, cast(0 as bigint), (a, x) -> a + x)"))
+      .select(col("doc_id"),
+        expr(s"aggregate(sequence(0, 31), cast(0 as bigint), (a, k) -> a * 2 + $bit)")
+          .as("hash_hi"),
+        expr(s"aggregate(sequence(32, 63), cast(0 as bigint), (a, k) -> a * 2 + $bit)")
+          .as("hash_lo"))
+  }
+
+  /** Near-duplicate image pairs over [[phash]] signatures: 4 bands of
+    * 16 bits each bucket the corpus (the [[graft.sim.Ann.srpDupPairs]]
+    * postings shape — signatures shuffle, payloads never do), pairs
+    * verified by exact hamming distance ≤ `maxHamming`. Pigeonhole
+    * recall contract: a pair within ⌊maxHamming/…⌋ — concretely, any
+    * pair differing in ≤ 3 bits MUST rendezvous (4 bands can't all be
+    * hit), and pairs up to `maxHamming` rendezvous unless their flips
+    * spread across all 4 bands. Degenerate buckets (an icon repeated
+    * 10⁶ times) emit star edges past `starAbove`, the MinHash ceiling
+    * ported here — O(K) edges, connected components still recover the
+    * group. */
+  def phashPairs(sigs: DataFrame, maxHamming: Int = 6,
+                 starAbove: Int = 256): DataFrame = {
+    import graft.dedup.Dedup
+    val ham = "bit_count(x.hash_hi ^ y.hash_hi) + bit_count(x.hash_lo ^ y.hash_lo)"
+    sigs.select(col("doc_id"), col("hash_hi"), col("hash_lo"),
+        posexplode(expr("""array(hash_hi div 65536, hash_hi % 65536,
+          |hash_lo div 65536, hash_lo % 65536)""".stripMargin)))
+      .toDF("doc_id", "hash_hi", "hash_lo", "band", "key")
+      .groupBy("band", "key")
+      .agg(array_sort(collect_list(
+        struct(col("doc_id"), col("hash_hi"), col("hash_lo")))).as("ds"))
+      .where(size(col("ds")) >= 2)
+      .select(explode(
+        when(size(col("ds")) <= starAbove,
+          expr(Dedup.pairExpansion(
+            s"y -> struct(x.doc_id AS i, y.doc_id AS j, $ham AS hamming)")))
+        .otherwise(expr(Dedup.starExpansion(
+          s"struct(x.doc_id AS i, y.doc_id AS j, $ham AS hamming)"))))
+        .as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -410,6 +410,21 @@ object PipelineQueries {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
     // ---- §2J multimodal ----
     "mm_meta" -> ((s, d) => MM.meta(docs(s, d)).orderBy("doc_id")),
+    // image-level near-dup: aHash fingerprints over the stub decode,
+    // banded hamming pairs. Twins planted at +768000 (a multiple of
+    // lcm(512, 5, 3), so every doc_id-derived payload param is
+    // preserved) with the LAST body byte changed — a byte the 64-point
+    // decimation grid never samples for n > 64, so each twin pairs
+    // with its original at hamming 0
+    "mm_phash" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val twins = base.where(col("doc_id") % 9 === 1)
+        .select((col("doc_id") + 768000L).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("~"))
+            .as("text"))
+      MM.phashPairs(MM.phash(MM.synthesizePayload(base.unionByName(twins))))
+        .orderBy("i", "j")
+    }),
     // the batch decode stage (stubbed decoder, real mapPartitions
     // plumbing); registered exploded to scalar (doc_id, k, feat) rows
     // so the oracle — the same stride means computed with the mm byte
@@ -471,14 +486,19 @@ object PipelineQueries {
   /** Shared payload-synthesis CTEs (params → payloads → hexed): the
     * DuckDB mirror of MM.synthesizePayload — all three mm oracles build
     * on these. */
-  private val ddPayloadCtes: String =
+  private val ddPayloadCtes: String = ddPayloadCtesFrom("documents")
+
+  /** [[ddPayloadCtes]] over an arbitrary (doc_id, text) source — the
+    * phash oracle synthesizes from an AUGMENTED corpus (planted twins)
+    * and must reuse the same byte-exact payload mirror. */
+  private def ddPayloadCtesFrom(src: String): String =
     s"""WITH params AS (
        |  SELECT doc_id, CAST(text AS BLOB) AS body,
        |         doc_id % 3 AS fmt,
        |         64 + doc_id % 512 AS w, 64 + (doc_id * 7) % 512 AS ht,
        |         8000 + ((doc_id // 3) % 3) * 8000 AS sr,
        |         3 + doc_id % 5 AS pad
-       |  FROM documents),
+       |  FROM $src),
        |payloads AS (
        |  SELECT doc_id,
        |    CASE
@@ -1111,6 +1131,46 @@ object PipelineQueries {
     // synthesizes the same header-wearing payloads as MM.synthesizePayload,
     // then parses width/height/sample_rate back FROM THE BYTES (hex-image
     // arithmetic + the same bounded JPEG segment walk as MM.decode)
+    // byte-exact payload mirror over the twin-augmented corpus, then
+    // the same decimation grid / integer mean compare / band
+    // rendezvous as the Spark plan (all-pairs would be quadratic at
+    // sf0.1 — the oracle bands too)
+    "mm_phash" -> {
+      val aug = """(SELECT doc_id, text FROM documents
+                  | UNION ALL
+                  | SELECT doc_id + 768000, substr(text, 1, length(text) - 1) || '~'
+                  | FROM documents WHERE doc_id % 9 = 1)""".stripMargin
+      val pxAt = ddHex2Int("substr(h, CAST(2 * (1 + (k * n) // 64) - 1 AS INT), 2)")
+      s"""${ddPayloadCtesFrom(aug)},
+         |img AS (SELECT doc_id, h, octet_length(payload) AS n FROM hexed
+         |        WHERE substr(h, 1, 16) = '89504E470D0A1A0A'
+         |           OR substr(h, 1, 4) = 'FFD8'),
+         |grid AS (SELECT doc_id,
+         |           list_transform(range(0, 64), k -> $pxAt) AS px
+         |         FROM img),
+         |gs AS (SELECT doc_id, px, list_sum(px) AS s FROM grid),
+         |hashes AS (SELECT doc_id,
+         |  list_reduce([CAST(0 AS BIGINT)] || list_transform(range(0, 32),
+         |    k -> CASE WHEN px[k + 1] * 64 > s THEN 1 ELSE 0 END),
+         |    (a, x) -> a * 2 + x) AS hh,
+         |  list_reduce([CAST(0 AS BIGINT)] || list_transform(range(32, 64),
+         |    k -> CASE WHEN px[k + 1] * 64 > s THEN 1 ELSE 0 END),
+         |    (a, x) -> a * 2 + x) AS hl
+         |  FROM gs),
+         |bands AS (SELECT doc_id, hh, hl, k,
+         |    CASE k WHEN 0 THEN hh // 65536 WHEN 1 THEN hh % 65536
+         |           WHEN 2 THEN hl // 65536 ELSE hl % 65536 END AS key
+         |  FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS k) b),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j,
+         |    a.hh AS hhi, a.hl AS hli, b.hh AS hhj, b.hl AS hlj
+         |  FROM bands a JOIN bands b
+         |    ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT i, j, hamming FROM (
+         |  SELECT i, j, CAST(bit_count(xor(hhi, hhj))
+         |                  + bit_count(xor(hli, hlj)) AS BIGINT) AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 6 ORDER BY i, j""".stripMargin
+    },
     "mm_meta" ->
       (s"""$ddPayloadCtes,
          |$ddWalkCte,

@@ -733,6 +733,46 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("phash: twin with an unsampled byte change collides at hamming 0") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    val text = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val pair = Seq((1L, text),
+      (768001L, text.dropRight(1) + "~")).toDF("doc_id", "text")
+    val sigs = MM.phash(MM.synthesizePayload(pair))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(sigs(1L) == sigs(768001L), s"twin hash drifted: $sigs")
+    // determinism across invocations
+    val again = MM.phash(MM.synthesizePayload(pair))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(again == sigs)
+  }
+
+  test("phashPairs: band rendezvous honors the pigeonhole contract, flood emits star edges") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    // A~B differ in 2 bits confined to one band -> must pair (3 bands
+    // untouched); A~D spread flips across ALL 4 bands -> no rendezvous
+    // even though hamming 4 <= maxHamming (the documented recall edge)
+    val sigs = Seq((1L, 0L, 0L), (2L, 3L, 0L),
+      (4L, 65537L, 65537L)).toDF("doc_id", "hash_hi", "hash_lo")
+    val got = MM.phashPairs(sigs, maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L)), s"got $got")
+    // 300 identical signatures with starAbove=256: star edges (K-1 to
+    // the min member), never the K(K-1)/2 quadratic expansion
+    val flood = (0L until 300L).map(i => (i, 42L, 42L))
+      .toDF("doc_id", "hash_hi", "hash_lo")
+    val edges = MM.phashPairs(flood, maxHamming = 6, starAbove = 256)
+      .as[(Long, Long, Long)].collect()
+    assert(edges.length == 299 && edges.forall(e => e._1 == 0L && e._3 == 0L),
+      s"flood produced ${edges.length} edges")
+    // the star still reconstructs the full duplicate group
+    val comp = graft.dedup.Dedup.connectedComponents(
+      MM.phashPairs(flood, 6, 256).select("i", "j"))
+    assert(comp.select("lbl").distinct().count() == 1L)
+  }
+
   test("tfidf: rare terms outrank saturating terms, ranking window stays doc-partitioned") {
     import graft.text.TextOps
     import spark.implicits._
