@@ -77,6 +77,29 @@ object StreamOps {
   def streamingCounters(events: DataFrame): DataFrame =
     windowedCounters(events.withWatermark("ts", "1 day"))
 
+  /** Dimension enrichment — the stream-static join every event
+    * pipeline runs before aggregating (user → segment, device → tier,
+    * region → geo). LEFT join so facts missing a dimension row survive
+    * with `defaultVal` instead of silently vanishing — dropped-fact
+    * enrichment is the classic silent-undercount bug. The dimension
+    * side broadcasts (it is the small side by definition); in a
+    * streaming query Spark re-plans the static side per micro-batch,
+    * so a refreshed dimension table is picked up without restarting
+    * the stream. The same call works batch and streaming — Structured
+    * Streaming supports stream-static equi-joins natively. */
+  def enrich(facts: DataFrame, dims: DataFrame, key: String,
+             dimCol: String, defaultVal: String): DataFrame =
+    facts.join(broadcast(dims), Seq(key), "left")
+      .withColumn(dimCol, coalesce(col(dimCol), lit(defaultVal)))
+
+  /** [[enrich]] + the per-(segment, event_type) counter rollup — the
+    * batch form the oracle checks; streaming runs the identical plan
+    * with [[streamingCounters]]-style watermarking upstream. */
+  def enrichedCounters(facts: DataFrame, dims: DataFrame): DataFrame =
+    enrich(facts, dims, "user_id", "segment", "unknown")
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_v"))
+
   /** Streaming form of [[sessionize]]: with the event-time watermark,
     * Structured Streaming keeps state only for OPEN sessions — a
     * session is emitted (append mode) and its state dropped once the

@@ -24,6 +24,17 @@ object StreamQueries {
     "stream_topk" -> ((s, d) =>
       StreamOps.windowedTopK(Tables.load(s, d, "events"), 3)
         .orderBy("window_start", "rank")),
+    // stream-static dimension enrichment (user -> market segment via
+    // the customer table, broadcast), facts without a dim row kept as
+    // 'unknown' — the left-join discipline that prevents the silent
+    // undercount; the identical plan runs streaming per micro-batch
+    "stream_enrich" -> ((s, d) => {
+      val dims = Tables.load(s, d, "customer")
+        .select(org.apache.spark.sql.functions.col("c_custkey").as("user_id"),
+          org.apache.spark.sql.functions.col("c_mktsegment").as("segment"))
+      StreamOps.enrichedCounters(Tables.load(s, d, "events"), dims)
+        .orderBy("segment", "event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -49,6 +60,12 @@ object StreamQueries {
         |       count(*) AS n_events, round(sum(value), 4) AS sum_v
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_enrich" ->
+      """SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,
+        |       e.event_type,
+        |       count(*) AS n_events, round(sum(e.value), 4) AS sum_v
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY segment, event_type""".stripMargin,
     "stream_topk" ->
       """WITH c AS (SELECT date_trunc('day', ts) AS window_start, event_type,
         |                  count(*) AS n_events

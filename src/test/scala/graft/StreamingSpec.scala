@@ -106,6 +106,33 @@ class StreamingSpec extends SparkSpec {
       s"streaming (${got.length} rows) != batch (${want.length} rows)")
   }
 
+  test("streaming enrichment converges to the batch rollup, unmatched facts kept as unknown") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // drop user 7's dim row: the left join must keep its facts
+    val dims = Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      .where(col("user_id") =!= 7)
+    val dir = Files.createTempDirectory("graft_enrich_src").toString
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.enrichedCounters(streamed, dims)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched")
+      .orderBy("segment", "event_type").collect()
+    val want = StreamOps.enrichedCounters(events, dims)
+      .orderBy("segment", "event_type").collect()
+    assert(got.length == want.length && got.sameElements(want),
+      s"streaming (${got.length} rows) != batch (${want.length} rows)")
+    // user_id 0 has no customer row: the left join must keep it
+    assert(spark.table("enriched").where(col("segment") === "unknown").count() > 0,
+      "unmatched facts vanished - enrichment became an inner join")
+  }
+
   test("foreachBatch maintains a copy-on-write counter table equal to the batch answer") {
     val events = Tables.load(spark, sfDir, "events")
       .select("event_id", "ts", "event_type", "value")
