@@ -483,6 +483,20 @@ object SparkEntry {
             graft.analytics.Tools.normalizerPlan(buckets), "region_key", approx = true)
           .orderBy("daughter")
       }),
+      // and for the profiler's ndv: HLL++ sketches replace the
+      // |cols|x expand of the exact multi-distinct (oracle keeps exact)
+      "column_profile" -> ((s, d) => {
+        val t = T(s, d, "orders")
+          .withColumn("price_cents",
+            floor(col("o_totalprice") * 100).cast("bigint"))
+          .withColumn("status_nz",
+            when(col("o_orderstatus") === "O", lit(null))
+              .otherwise(col("o_orderstatus")))
+        graft.analytics.Tools.columnProfile(t, Seq("o_orderkey",
+            "o_orderstatus", "o_orderpriority", "o_orderdate",
+            "price_cents", "status_nz"), approxNdv = true)
+          .orderBy("col_name")
+      }),
       // and for the split-POLICY midkey
       "split_policy" -> ((s, d) => {
         val grown = T(s, d, "orders")
