@@ -307,6 +307,21 @@ object PipelineQueries {
     "ann_bruteforce" -> ((s, d) =>
       Ann.bruteForce(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank")),
+    // hybrid retrieval: BM25 lexical top-50 fused with vector-cosine
+    // top-50 (query = vec 0) by reciprocal-rank fusion — integer
+    // floor-division contributions, full-outer so neither modality
+    // vetoes. The rank windows run over the ALREADY-bounded top-k
+    // lists (<= 50 rows), not the corpus
+    "ann_hybrid" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextOps.bm25(docs(s, d), Seq("hash", "join", "vector"), topK = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("score_micro"), asc("doc_id"))))
+      val vec = Ann.bruteForce(emb(s, d),
+          emb(s, d).where(col("vec_id") === 0), 50)
+        .select(col("nn_id").as("doc_id"), col("rank"))
+      Ann.rrfFuse(lex, vec).orderBy(desc("rrf_micro"), asc("doc_id"))
+    }),
     // embedding-space health audit: per-dimension stats (one map-side-
     // partial aggregate, 64 rows out), integer micro-unit means
     "embedding_stats" -> ((s, d) =>
@@ -922,6 +937,40 @@ object PipelineQueries {
         |       (round(m2 / CAST(n2 AS DOUBLE), 4) <= 0.05
         |        AND round(1 - d2 / CAST(n2 AS DOUBLE), 4) <= 0.05) AS rep_pass
         |FROM s2 JOIN s3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "ann_hybrid" ->
+      (s"""WITH tk0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          |             FROM documents),
+          |t2 AS (SELECT doc_id, token FROM tk0 WHERE token <> ''),
+          |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM t2 GROUP BY 1),
+          |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM t2
+          |       WHERE token IN ('hash', 'join', 'vector') GROUP BY 1, 2),
+          |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+          |st AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM t2) AS l,
+          |              (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n),
+          |c AS (SELECT t.doc_id,
+          |        ((CAST(floor(log10(n + 1) * 1e6) AS BIGINT)
+          |          - CAST(floor(log10(df + 1) * 1e6) AS BIGINT))
+          |         * t.tf * 22 * l) // (10 * l * t.tf + 3 * l + 9 * dl.dl * n)
+          |          AS contrib
+          |      FROM tf t JOIN df USING (token) JOIN dl USING (doc_id), st),
+          |lexs AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro
+          |         FROM c GROUP BY 1),
+          |lex AS (SELECT doc_id, row_number() OVER
+          |          (ORDER BY score_micro DESC, doc_id) AS rank_lex
+          |        FROM lexs QUALIFY rank_lex <= 50),
+          |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+          |vs AS (SELECT e.vec_id AS doc_id, ${ddCos("q.q_emb", "e.embedding")} AS s
+          |       FROM embeddings e, q WHERE e.vec_id <> 0),
+          |vec AS (SELECT doc_id, row_number() OVER
+          |          (ORDER BY s DESC, doc_id) AS rank_vec
+          |        FROM vs QUALIFY rank_vec <= 50),
+          |f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+          |             l.rank_lex, v.rank_vec
+          |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id)
+          |SELECT doc_id, rank_lex, rank_vec,
+          |       CAST(coalesce(1000000 // (60 + rank_lex), 0)
+          |          + coalesce(1000000 // (60 + rank_vec), 0) AS BIGINT) AS rrf_micro
+          |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin),
     "text_bm25" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |            FROM documents),

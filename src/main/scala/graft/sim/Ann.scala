@@ -400,6 +400,33 @@ object Ann {
       .select(col("i"), col("j"), col("cos"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    * rankings — the standard hybrid-search combiner (BM25 lexical +
+    * vector cosine): each list contributes `⌊10⁶/(kConst+rank)⌋` to
+    * every doc it ranks, integer floor division so the fused score is
+    * exact bigint arithmetic in any engine (the float 1/(k+r) sum
+    * would be summation-order-dependent). FULL OUTER join: a doc
+    * ranked by only one side still fuses (rank absence contributes 0),
+    * which is the point of RRF — neither modality can veto.
+    *
+    * Scale shape: both inputs are already top-k lists (bounded, ≤ a
+    * few hundred rows), so the join and the final TakeOrderedAndProject
+    * are metadata-sized regardless of corpus scale — the heavy lifting
+    * happened inside the per-modality retrievers. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame,
+              kConst: Int = 60, topK: Int = 20): DataFrame = {
+    require(kConst >= 1 && topK >= 1, s"kConst/topK must be positive")
+    lex.select(col("doc_id"), col("rank").cast("bigint").as("rank_lex"))
+      .join(vec.select(col("doc_id"), col("rank").cast("bigint").as("rank_vec")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        (coalesce(expr(s"1000000 div ($kConst + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($kConst + rank_vec)"), lit(0L)))
+          .as("rrf_micro"))
+      .orderBy(desc("rrf_micro"), asc("doc_id"))
+      .limit(topK)
+  }
+
   /** Embedding near-dup: every vector's exact nearest neighbor with a
     * duplicate flag at `threshold` cosine. Brute-force is the baseline
     * (full oracle); [[nearestNeighborReportIvf]] is the scale path for

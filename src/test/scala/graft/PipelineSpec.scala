@@ -733,6 +733,22 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("rrfFuse: both-list docs beat single-list docs, absent ranks contribute zero") {
+    import graft.sim.Ann
+    import spark.implicits._
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val vec = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Ann.rrfFuse(lex, vec, kConst = 60, topK = 10)
+      .as[(Long, Option[Long], Option[Long], Long)].collect()
+    val byDoc = got.map(r => r._1 -> r._4).toMap
+    // doc 20: 1e6/62 + 1e6/61 = 16129 + 16393; lex-only doc 10: 1e6/61
+    assert(byDoc(20L) == 16129L + 16393L && byDoc(10L) == 16393L, s"$byDoc")
+    assert(byDoc(40L) == 16129L && byDoc(30L) == 15873L, s"$byDoc")
+    // fused order: 20 (both lists) first despite 10 holding lex rank 1
+    assert(got.head._1 == 20L, s"got ${got.toList}")
+    assert(got.map(_._1).toSet == Set(10L, 20L, 30L, 40L), "a doc vanished")
+  }
+
   test("phash: twin with an unsampled byte change collides at hamming 0") {
     import graft.multimodal.MM
     import spark.implicits._
