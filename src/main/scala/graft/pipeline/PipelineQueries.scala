@@ -224,6 +224,12 @@ object PipelineQueries {
     // constants cleared against 10·L) — no float forms anywhere
     "text_bm25" -> ((s, d) =>
       TextOps.bm25(docs(s, d), Seq("hash", "join", "vector"), topK = 20)),
+    // DSIR importance scoring: log(p_en-target/p_corpus) under the
+    // fixed 8192-bucket hashed-unigram models (the broadcastable
+    // constant-size model is DSIR's own scale trick); micro-log exact
+    "sample_importance" -> ((s, d) =>
+      TextOps.importanceScore(docs(s, d), col("lang") === "en")
+        .orderBy("doc_id")),
     // fixed-size per-language eval-set draw: k = 16 docs per lang by
     // Knuth-hash order — deterministic across engines/partitionings,
     // ranked so any prefix is itself a valid smaller draw; rides the
@@ -742,6 +748,32 @@ object PipelineQueries {
         |ORDER BY d.doc_id""".stripMargin,
     // the hash mirrors Spark's pmod exactly — ((k % m + m) % m), not
     // bare sign-preserving %, so the contract holds for negative keys
+    "sample_importance" ->
+      """WITH tok AS (SELECT doc_id, lang = 'en' AS t,
+        |                    unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tk AS (SELECT doc_id, t,
+        |         list_reduce([CAST(0 AS BIGINT)] ||
+        |           list_transform(string_split(token, ''),
+        |             c -> CAST(ascii(c) AS BIGINT)),
+        |           (h, c) -> (h * 31 + c) % 1000000007) % 8192 AS bucket
+        |       FROM tok WHERE token <> ''),
+        |model AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+        |                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |          FROM tk GROUP BY 1),
+        |consts AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+        |                  CAST(sum(ct) AS BIGINT) AS nt FROM model),
+        |per AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |          CAST(sum(CAST(floor(log10(ct + 1) * 1e6) AS BIGINT)
+        |                 - CAST(floor(log10(cr + 1) * 1e6) AS BIGINT)) AS BIGINT) AS s
+        |        FROM tk JOIN model USING (bucket) GROUP BY 1),
+        |w AS (SELECT doc_id, n_tokens,
+        |        s + n_tokens * (CAST(floor(log10(nr + 8192) * 1e6) AS BIGINT)
+        |                      - CAST(floor(log10(nt + 8192) * 1e6) AS BIGINT))
+        |          AS logw_micro
+        |      FROM per, consts)
+        |SELECT doc_id, n_tokens, logw_micro, logw_micro > 0 AS target_like
+        |FROM w ORDER BY doc_id""".stripMargin,
     "sample_reservoir" ->
       """WITH h AS (SELECT lang, doc_id,
         |  ((((doc_id % 2147483648) + 2147483648) % 2147483648)

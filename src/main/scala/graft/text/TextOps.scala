@@ -338,6 +338,48 @@ object TextOps {
     * N broadcasts as a 1-row scalar; the per-doc ranking window is
     * partitioned by doc_id — never global. The token join shuffles
     * (tf, df) pairs, not text. */
+  /** DSIR-style importance scoring (Xie et al. 2023 "Data Selection
+    * for Language Models via Importance Resampling"): per-doc
+    * log-importance weight log(p_target/p_raw) under hashed-unigram
+    * bag models — the domain-upweighting signal a pretraining mixture
+    * is resampled on (target here = any caller predicate, e.g. a
+    * trusted-domain flag).
+    *
+    * DSIR's own trick IS the scale story: tokens hash into a FIXED
+    * `buckets`-sized model (default 8192), so the model is a
+    * broadcastable constant-size table at any corpus size — no
+    * corpus-sized vocabulary join. The hash is the engine-portable
+    * Rabin fold ([[fingerprint]]); probabilities are add-one-smoothed
+    * micro-logs on integer counts, so every per-doc sum is exact long
+    * arithmetic: `Σ_tok [mlog(ct+1) − mlog(cr+1)] + n_tokens·
+    * (mlog(Nr+B) − mlog(Nt+B))`. `target_like` = weight > 1; feed the
+    * scores to [[graft.pipeline.DataPrep.sampleStratified]]-style
+    * thresholds for the actual resample. */
+  def importanceScore(docs: DataFrame, isTarget: Column,
+                      buckets: Int = 8192): DataFrame = {
+    require(buckets >= 2, s"buckets ($buckets) must be at least 2")
+    val toks = docs.select(col("doc_id"), isTarget.as("_t"),
+        explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .withColumn("bucket", expr(
+        "aggregate(transform(split(token, ''), c -> ascii(c)), 0L, " +
+          s"(h, c) -> (h * 31 + c) % 1000000007) % $buckets"))
+    val model = toks.groupBy("bucket").agg(count(lit(1)).as("cr"),
+      sum(when(col("_t"), 1L).otherwise(0L)).as("ct"))
+    val consts = model.agg(sum("cr").as("_nr"), sum("ct").as("_nt"))
+    def mlog(c: Column) = floor(log10(c) * 1e6).cast("bigint")
+    toks.join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(mlog(col("ct") + 1) - mlog(col("cr") + 1)).as("_sum"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("_sum") + col("n_tokens") *
+          (mlog(col("_nr") + buckets) - mlog(col("_nt") + buckets)))
+          .as("logw_micro"))
+      .withColumn("target_like", col("logw_micro") > 0)
+  }
+
   /** BM25 retrieval (Robertson–Spärck Jones, the Okapi form with
     * k₁ = 1.2, b = 0.75): rank documents against a fixed query term
     * set — the retrieval half of a RAG / hard-negative-mining

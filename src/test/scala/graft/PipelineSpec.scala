@@ -733,6 +733,29 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("importanceScore: target-vocabulary docs score positive, off-target negative") {
+    import graft.text.TextOps
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // targets speak only 'alpha', non-targets only 'beta'; a doc made
+    // of target vocabulary must be target_like, and vice versa
+    val corpus = Seq((0L, "alpha alpha alpha", true), (1L, "alpha alpha alpha", true),
+      (2L, "beta beta beta", false), (3L, "beta beta beta", false))
+      .toDF("doc_id", "text", "is_t")
+    val got = TextOps.importanceScore(corpus, col("is_t"))
+      .select("doc_id", "logw_micro", "target_like")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L)._3 && got(1L)._3, s"target docs not target_like: $got")
+    assert(!got(2L)._3 && !got(3L)._3, s"off-target docs flagged: $got")
+    assert(got(0L)._2 > 0 && got(2L)._2 < 0, s"sign contract broken: $got")
+    // exact micro-log arithmetic, hand-derived: alpha has ct=cr=6 so
+    // only the global Nr/Nt term remains; beta adds the ct=0 penalty
+    def ml(x: Long) = math.floor(math.log10(x.toDouble) * 1e6).toLong
+    val global = 3 * (ml(12 + 8192) - ml(6 + 8192))
+    assert(got(0L)._2 == global, s"expected $global: $got")
+    assert(got(2L)._2 == 3 * (ml(1) - ml(7)) + global, s"got $got")
+  }
+
   test("rrfFuse: both-list docs beat single-list docs, absent ranks contribute zero") {
     import graft.sim.Ann
     import spark.implicits._
