@@ -531,4 +531,50 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Bounded-iteration PageRank over an undirected pair list — the
+    * centrality signal a near-dup graph yields beyond components:
+    * which document is the HUB of its duplication neighborhood (the
+    * canonical-copy pick quality policies want, vs [[connectedComponents]]'
+    * arbitrary min-id keeper).
+    *
+    * Arithmetic is integer micro-units end to end: p₀ = ⌊10⁶/N⌋, each
+    * round p'(v) = ⌊0.15·10⁶/N⌋ + Σᵤ→ᵥ ⌊p(u)·85·10⁴/(10⁶·deg(u))⌋ —
+    * one floor per edge contribution, so the sums are order-independent
+    * exact longs and any engine reproduces them bit-for-bit (floating
+    * PageRank differs run to run under Spark's unordered reduce). The
+    * floor leakage means Σp drifts a few ppm below 10⁶ per round;
+    * that's defined semantics, not error.
+    *
+    * Scale shape: each round is one shuffle (join p on src) + one
+    * map-side-combinable sum on dst — the CC round shape. `iters` is
+    * small and fixed (ranking stabilizes in a few rounds on near-dup
+    * neighborhoods); the rounds unroll into one plan, and past ~10
+    * rounds a production caller would pin per round exactly as
+    * [[connectedComponents]] does with its checkpoint lifecycle. */
+  def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 10,
+      s"iters ($iters) must be in [1, 10]; past that, add per-round pins")
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val n = nodes.agg(count(lit(1)).as("_n"))
+    var p = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr("1000000 div _n").as("p_micro"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(p.select(col("node").as("src"), col("p_micro")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          expr("(p_micro * 850000) div (1000000 * deg)").as("_c"))
+        .groupBy("node").agg(sum("_c").as("_s"))
+      p = nodes.crossJoin(broadcast(n))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (expr("150000 div _n") + coalesce(col("_s"), lit(0L))).as("p_micro"))
+    }
+    p
+  }
 }

@@ -168,6 +168,13 @@ object PipelineQueries {
         .select(col("doc_id"), col("cluster"),
           (col("doc_id") === col("cluster")).as("keep"))
         .orderBy("doc_id")),
+    // duplication-neighborhood centrality: integer micro-PageRank over
+    // the capped-ngram pair graph — the hub-document signal a keeper
+    // policy can rank on (vs the min-id keeper); exact long arithmetic,
+    // one shuffle per round, 3 rounds
+    "graph_pagerank" -> ((s, d) =>
+      Dedup.pagerank(ngramPairs(s, d).select("i", "j"), iters = 3)
+        .orderBy("node")),
     // the ingest-time gate every corpus refresh runs: a new shard
     // classified against the kept corpus. The shard is planted from the
     // corpus deterministically — verbatim copies (dup_in_corpus), twin
@@ -677,6 +684,33 @@ object PipelineQueries {
         |SELECT i, j, containment FROM (
         |  SELECT i, j, round(inter * 1.0 / least(ni, nj), 4) AS containment FROM v)
         |WHERE containment >= 0.9 ORDER BY i, j""".stripMargin,
+    // the same pair graph, 3 unrolled micro-PageRank rounds — every
+    // floor division mirrored, so the micro units agree exactly
+    "graph_pagerank" -> {
+      val rounds = (1 to 3).map { r =>
+        val prev = if (r == 1) "p0" else s"it${r - 1}"
+        s"""c$r AS (SELECT dst AS node,
+           |  CAST(sum((p * 850000) // (1000000 * deg)) AS BIGINT) AS s
+           |  FROM edges JOIN $prev ON $prev.node = edges.src
+           |  JOIN deg USING (src) GROUP BY 1),
+           |it$r AS (SELECT nodes.node,
+           |  CAST(150000 // n + coalesce(s, 0) AS BIGINT) AS p
+           |  FROM nodes CROSS JOIN nn LEFT JOIN c$r USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |$ddNgramPairs
+         |),
+         |edges AS (SELECT i AS src, j AS dst FROM pairs
+         |          UNION SELECT j AS src, i AS dst FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY 1),
+         |nodes AS (SELECT DISTINCT src AS node FROM edges),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |p0 AS (SELECT node, CAST(1000000 // n AS BIGINT) AS p
+         |       FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT node, p AS p_micro FROM it3 ORDER BY node""".stripMargin
+    },
     // transitive closure of the same pair list: min reachable doc_id =
     // the cluster id the pointer-jumping Spark path converges to
     "dedup_clusters" ->

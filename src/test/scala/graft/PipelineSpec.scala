@@ -733,6 +733,29 @@ class PipelineSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("pagerank: the hub outranks symmetric leaves, micro sums stay conservative") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    // star: 0-1, 0-2, 0-3 — the hub must dominate, leaves tie exactly
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("i", "j")
+    val got = Dedup.pagerank(pairs, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L), s"leaves diverged: $got")
+    assert(got(0L) > got(1L), s"hub does not dominate: $got")
+    // floor leakage only ever loses mass: sum <= 1e6, and stays near it
+    val total = got.values.sum
+    assert(total <= 1000000L && total > 900000L, s"mass off: $total")
+    // exact hand-roll of the same integer recurrence
+    var p = Map(0L -> 250000L, 1L -> 250000L, 2L -> 250000L, 3L -> 250000L)
+    val deg = Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 3L -> 1L)
+    for (_ <- 1 to 3) {
+      def in(v: Long) = if (v == 0L) Seq(1L, 2L, 3L) else Seq(0L)
+      p = p.keys.map(v => v -> (150000L / 4 +
+        in(v).map(u => p(u) * 850000L / (1000000L * deg(u))).sum)).toMap
+    }
+    assert(got == p, s"recurrence drifted: got $got want $p")
+  }
+
   test("importanceScore: target-vocabulary docs score positive, off-target negative") {
     import graft.text.TextOps
     import spark.implicits._
