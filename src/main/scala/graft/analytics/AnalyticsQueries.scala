@@ -334,6 +334,40 @@ object AnalyticsQueries {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
+    // Explicit salted join over the one-hot-tenant keyspace: facts
+    // salted 8 ways by row id, dim replicated x8 — the skew fix for
+    // the paths AQE can't re-balance (streaming state, bucketed
+    // layouts). Result identical to the unsalted join, which is
+    // exactly what the oracle runs
+    "join_salted" -> ((s, d) => {
+      val facts = Tables.load(s, d, "events")
+        .withColumn("tenant",
+          when(col("user_id") % 5 < 2, lit(0L)).otherwise(col("user_id")))
+      val dims = facts.select("tenant").distinct()
+        .withColumn("tier",
+          when(col("tenant") === 0, lit("hot")).otherwise(lit("standard")))
+      graft.core.Salt.saltedJoin(facts, dims, "tenant", 8, col("event_id"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("tenant").as("n_tenants"),
+          min("event_id").as("first_event"),
+          max("event_id").as("last_event"))
+        .orderBy("tier")
+    }),
+    // Per-customer running order total — the windowed-cumsum shape,
+    // partitioned by the natural key (never a global window), integer
+    // cents so the running sums are exact
+    "agg_running_total" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "orders")
+        .withColumn("price_cents", floor(col("o_totalprice") * 100).cast("bigint"))
+        .withColumn("running_cents", sum("price_cents").over(w))
+        .select("o_custkey", "o_orderkey", "price_cents", "running_cents")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     // Schema-audit profile of orders (CellCounter widened to
     // relational stats): nulls exercised via a derived nullable
     // column, the double price profiled as exact integer cents —
@@ -787,6 +821,24 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "join_salted" ->
+      """WITH f AS (SELECT *, CASE WHEN user_id % 5 < 2 THEN 0
+        |                          ELSE user_id END AS tenant FROM events),
+        |d AS (SELECT DISTINCT tenant,
+        |        CASE WHEN tenant = 0 THEN 'hot' ELSE 'standard' END AS tier
+        |      FROM f)
+        |SELECT tier, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT f.tenant) AS BIGINT) AS n_tenants,
+        |       min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM f JOIN d USING (tenant) GROUP BY 1 ORDER BY tier""".stripMargin,
+    "agg_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS running_cents
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "column_profile" -> {
       val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority",
         "o_orderdate", "price_cents", "status_nz")

@@ -75,4 +75,28 @@ object Salt {
       .agg(partials.head, partials.tail: _*)
     phase1.groupBy(keys.map(col): _*).agg(merges.head, merges.tail: _*)
   }
+
+  /** Explicit salted JOIN for a skewed fact key: facts take a
+    * deterministic salt in [0, salts), the (small) dim side replicates
+    * `salts`× so the join key becomes (key, salt) — one hot key's rows
+    * spread over `salts` reducers instead of one. Result set is
+    * IDENTICAL to the unsalted join (each fact row meets exactly the
+    * one dim replica carrying its salt).
+    *
+    * When to reach for it: AQE re-splits skewed SORT-MERGE join
+    * partitions automatically, but salting is the portable fix for the
+    * paths AQE cannot re-balance — streaming stateful joins (state is
+    * hash-partitioned by key for the stream's lifetime), bucketed
+    * tables (layout fixed at write), or a deliberately-pinned
+    * partitioning reused across stages. The salt must be deterministic
+    * per fact ROW (here: a row-id mod — NOT the key, which would just
+    * rename the hot partition). */
+  def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
+                 salts: Int, saltOf: Column): DataFrame = {
+    require(salts >= 1, s"salts ($salts) must be at least 1")
+    val saltedFacts = facts.withColumn("_salt", pmod(saltOf, lit(salts)))
+    val replicated = dims.withColumn("_salt",
+      explode(expr(s"sequence(0L, ${salts - 1}L)")))
+    saltedFacts.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -303,6 +303,27 @@ class MutationsSpec extends SparkSpec {
       (1L, 1L, 83333L, 1L), (2L, 1L, 83333L, 1L)), s"got $got")
   }
 
+  test("saltedJoin: equals the unsalted join row-for-row, spreads the hot key") {
+    import spark.implicits._
+    import graft.core.Salt
+    val facts = (0L until 400L)
+      .map(i => (i, if (i % 5 < 3) 0L else i % 7))
+      .toDF("row_id", "k")
+    val dims = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, "d"), (5L, "e"), (6L, "f")).toDF("k", "tag")
+    val salted = Salt.saltedJoin(facts, dims, "k", 8, col("row_id"))
+    val plain = facts.join(dims, "k")
+    assert(salted.exceptAll(plain).count() == 0 &&
+      plain.exceptAll(salted).count() == 0, "salted join changed the result")
+    // the join really runs on (k, _salt): the hot key's rows split
+    // across all 8 salt values before the drop
+    val spread = facts.withColumn("_salt", pmod(col("row_id"), lit(8)))
+      .where(col("k") === 0).select("_salt").distinct().count()
+    assert(spread == 8L, s"hot key only spread over $spread salts")
+    val p = salted.queryExecution.executedPlan.toString()
+    assert(p.contains("_salt"), s"salt column missing from the plan:\n$p")
+  }
+
   test("columnProfile: exact nulls/ndv/extrema, all-null column zero-length, approx path intact") {
     import spark.implicits._
     import graft.analytics.Tools

@@ -284,6 +284,15 @@ class PlanAuditSpec extends SparkSpec {
       s"per-key count lost its map-side partial:\n$p")
   }
 
+  test("agg_running_total: the cumsum window is customer-partitioned, never global") {
+    val opt = SparkEntry.queries("agg_running_total")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    val specs = opt.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty, s"no window in:\n$opt")
+    specs.foreach(l => assert(l.contains("windowspecdefinition(o_custkey"),
+      s"unpartitioned running total:\n$l"))
+  }
+
   test("scan_cursor: every page is a TakeOrderedAndProject, no global sort exchange") {
     val p = plan("scan_cursor")
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
