@@ -346,6 +346,53 @@ object MM {
       floor(nSamples * 1000 / sr.cast("double")).cast("bigint").as("duration_ms"))
   }
 
+  /** Metadata scrub — the privacy pass an image corpus runs before
+    * training (EXIF GPS/serial tags, editor comments): the JPEG
+    * COM (FFFE) metadata segment is removed by BYTE SURGERY on the
+    * payload (the [[resizeToFit]] splice discipline — hex-image concat,
+    * no decode), and the scrub is verified by construction: the
+    * stripped image is re-walked with the SAME shared header probe and
+    * must still parse to the ORIGINAL dims with no metadata marker left
+    * at any walk position. Non-JPEG payloads (and JPEGs without a COM)
+    * pass through untouched with `removed_bytes` 0 — a scrub that
+    * drops or mangles clean files is worse than none. Pure projection:
+    * runs at scan speed next to the other triage gates. */
+  def exifStrip(withBytes: DataFrame): DataFrame = {
+    val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
+    val staged = hexed
+      .withColumn("_n1", pinned(lit(5) + bei(lit(5), 2)))
+      .withColumn("_sof", pinned(sofWalk()))
+      .withColumn("_w", pinned(when(isJpeg(), bei(col("_sof") + 7, 2))))
+      .withColumn("_ht", pinned(when(isJpeg(), bei(col("_sof") + 5, 2))))
+    // COM candidates are the same walk positions the SOF probe visits
+    val n2 = col("_n1") + 2 + bei(col("_n1") + 2, 2)
+    val comPos = when(!isJpeg(), lit(null).cast("bigint"))
+      .when(hx(lit(3), 2) === "FFFE", lit(3L))
+      .when(hx(col("_n1"), 2) === "FFFE", col("_n1"))
+      .when(hx(n2, 2) === "FFFE", n2)
+    val withCom = staged.withColumn("_com", pinned(comPos))
+      .withColumn("_comlen", pinned(bei(col("_com") + 2, 2)))
+    // splice the segment (marker + length-prefixed body) out of the hex
+    val restStart = ((col("_com") + 2 + col("_comlen") - 1) * 2 + 1).cast("int")
+    val strippedHex = when(col("_com").isNull, col("_h")).otherwise(concat(
+      col("_h").substr(lit(1), ((col("_com") - 1) * 2).cast("int")),
+      col("_h").substr(restStart, length(col("_h")))))
+    val reread = withCom.withColumn("_sh", pinned(strippedHex))
+      .withColumn("_ssof", pinned(sofWalk("_sh")))
+      .withColumn("_sn1", pinned(lit(5) + bei(lit(5), 2, "_sh")))
+    val rw = when(isJpeg("_sh"), bei(col("_ssof") + 7, 2, "_sh"))
+    val rh = when(isJpeg("_sh"), bei(col("_ssof") + 5, 2, "_sh"))
+    val noComLeft = hx(lit(3), 2, "_sh") =!= "FFFE" &&
+      hx(col("_sn1"), 2, "_sh") =!= "FFFE"
+    reread.select(col("doc_id"),
+      (length(col("_h")) / 2).cast("bigint").as("n_before"),
+      coalesce(col("_comlen") + 2, lit(0L)).as("removed_bytes"),
+      (length(col("_sh")) / 2).cast("bigint").as("n_after"),
+      (when(col("_com").isNull, lit(true))
+        .otherwise(rw <=> col("_w") && rh <=> col("_ht") && noComLeft))
+        .as("strip_ok"))
+  }
+
   /** aHash perceptual fingerprint of each IMAGE payload (png/jpeg; the
     * dedup key image corpora are cleaned on): 64 luma samples decimated
     * from the byte stream (sample k = byte at 1 + ⌊k·n/64⌋ — the stub

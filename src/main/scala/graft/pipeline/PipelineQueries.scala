@@ -438,6 +438,12 @@ object PipelineQueries {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
     // ---- §2J multimodal ----
     "mm_meta" -> ((s, d) => MM.meta(docs(s, d)).orderBy("doc_id")),
+    // privacy metadata scrub: the JPEG COM segment spliced out by byte
+    // surgery, verified by re-walking the STRIPPED image (original
+    // dims must survive, no metadata marker left); clean files pass
+    // through untouched
+    "mm_exif_strip" -> ((s, d) =>
+      MM.exifStrip(MM.synthesizePayload(docs(s, d))).orderBy("doc_id")),
     // image-level near-dup: aHash fingerprints over the stub decode,
     // banded hamming pairs. Twins planted at +768000 (a multiple of
     // lcm(512, 5, 3), so every doc_id-derived payload param is
@@ -1246,6 +1252,55 @@ object PipelineQueries {
     // synthesizes the same header-wearing payloads as MM.synthesizePayload,
     // then parses width/height/sample_rate back FROM THE BYTES (hex-image
     // arithmetic + the same bounded JPEG segment walk as MM.decode)
+    // same splice in DuckDB: walk, cut the COM bytes, re-walk the
+    // stripped hex with a second set of substr helpers over `sh`
+    "mm_exif_strip" -> {
+      def sHx(i: String, len: Int) = s"substr(sh, 2 * ($i) - 1, ${2 * len})"
+      def sBei(i: String, len: Int) = ddHex2Int(sHx(i, len))
+      s"""$ddPayloadCtes,
+         |s1 AS (SELECT doc_id, h, CAST(octet_length(payload) AS BIGINT) AS nb,
+         |         5 + ${ddBei("5", 2)} AS n1,
+         |         (substr(h, 1, 4) = 'FFD8') AS jpg
+         |       FROM hexed),
+         |s2 AS (SELECT *, n1 + 2 + ${ddBei("n1 + 2", 2)} AS n2 FROM s1),
+         |s3 AS (SELECT *,
+         |    CASE WHEN NOT jpg THEN NULL
+         |         WHEN ${ddHx("3", 2)} = 'FFC0' THEN 3
+         |         WHEN ${ddHx("n1", 2)} = 'FFC0' THEN n1
+         |         WHEN ${ddHx("n2", 2)} = 'FFC0' THEN n2 END AS sof,
+         |    CASE WHEN NOT jpg THEN NULL
+         |         WHEN ${ddHx("3", 2)} = 'FFFE' THEN 3
+         |         WHEN ${ddHx("n1", 2)} = 'FFFE' THEN n1
+         |         WHEN ${ddHx("n2", 2)} = 'FFFE' THEN n2 END AS com
+         |  FROM s2),
+         |s4 AS (SELECT *,
+         |    CASE WHEN jpg THEN ${ddBei("sof + 7", 2)} END AS w0,
+         |    CASE WHEN jpg THEN ${ddBei("sof + 5", 2)} END AS h0,
+         |    CASE WHEN com IS NOT NULL THEN ${ddBei("com + 2", 2)} END AS comlen
+         |  FROM s3),
+         |s5 AS (SELECT *,
+         |    CASE WHEN com IS NULL THEN h
+         |         ELSE substr(h, 1, CAST((com - 1) * 2 AS INT))
+         |           || substr(h, CAST((com + 2 + comlen - 1) * 2 + 1 AS INT)) END AS sh
+         |  FROM s4),
+         |s6 AS (SELECT *, 5 + ${sBei("5", 2)} AS sn1 FROM s5),
+         |s7 AS (SELECT *, sn1 + 2 + ${sBei("sn1 + 2", 2)} AS sn2 FROM s6),
+         |s8 AS (SELECT *,
+         |    CASE WHEN NOT jpg THEN NULL
+         |         WHEN ${sHx("3", 2)} = 'FFC0' THEN 3
+         |         WHEN ${sHx("sn1", 2)} = 'FFC0' THEN sn1
+         |         WHEN ${sHx("sn2", 2)} = 'FFC0' THEN sn2 END AS ssof
+         |  FROM s7)
+         |SELECT doc_id, nb AS n_before,
+         |       CAST(coalesce(comlen + 2, 0) AS BIGINT) AS removed_bytes,
+         |       CAST(length(sh) // 2 AS BIGINT) AS n_after,
+         |       CASE WHEN com IS NULL THEN true
+         |            ELSE (${sBei("ssof + 7", 2)} = w0
+         |              AND ${sBei("ssof + 5", 2)} = h0
+         |              AND ${sHx("3", 2)} <> 'FFFE'
+         |              AND ${sHx("sn1", 2)} <> 'FFFE') END AS strip_ok
+         |FROM s8 ORDER BY doc_id""".stripMargin
+    },
     // byte-exact payload mirror over the twin-augmented corpus, then
     // the same decimation grid / integer mean compare / band
     // rendezvous as the Spark plan (all-pairs would be quadratic at

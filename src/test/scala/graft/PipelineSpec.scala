@@ -795,6 +795,24 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_._1).toSet == Set(10L, 20L, 30L, 40L), "a doc vanished")
   }
 
+  test("exifStrip: COM removed with exact byte accounting, non-JPEG untouched") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    // doc_id 0 -> jpeg (pad = 3: COM segment = 4 + 3 = 7 bytes),
+    // doc_id 1 -> png, doc_id 2 -> wav
+    val docs = Seq((0L, "alpha beta"), (1L, "gamma delta"), (2L, "ep zeta"))
+      .toDF("doc_id", "text")
+    val got = MM.exifStrip(MM.synthesizePayload(docs))
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L)._3 == 7L, s"jpeg COM size wrong: ${got(0L)}")
+    assert(got(1L)._3 == 0L && got(2L)._3 == 0L, s"clean files touched: $got")
+    got.values.foreach { r =>
+      assert(r._5, s"strip not verified: $r")
+      assert(r._2 - r._4 == r._3, s"byte accounting off: $r")
+    }
+  }
+
   test("phash: twin with an unsampled byte change collides at hamming 0") {
     import graft.multimodal.MM
     import spark.implicits._
