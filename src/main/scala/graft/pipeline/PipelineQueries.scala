@@ -386,6 +386,23 @@ object PipelineQueries {
     // cluster survivorship by QUALITY policy: within each near-dup
     // cluster keep the highest-quality doc (doc_id breaks ties), not
     // blindly the min id — the dedup decision real pipelines ship
+    // SoftDeDup (Hernandez et al.-style repetition reweighting):
+    // instead of dropping near-dup copies, every member of a cluster
+    // trains at weight 1/cluster_size — integer micro-units, unique
+    // docs at full weight. Composes the memoized cluster labels; the
+    // down-weighting preserves corpus coverage while equalizing the
+    // effective epoch count of repeated content
+    "dedup_soft" -> ((s, d) => {
+      val labeled = docs(s, d).select("doc_id")
+        .join(ngramClusters(s, d), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      val sizes = labeled.groupBy("cluster")
+        .agg(count(lit(1)).as("cluster_size"))
+      labeled.join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          expr("1000000 div cluster_size").as("weight_micro"))
+        .orderBy("doc_id")
+    }),
     "dedup_keep_best" -> ((s, d) => {
       val q = TextOps.quality(docs(s, d)).select(col("doc_id"), col("quality"))
       val labeled = q.join(ngramClusters(s, d), Seq("doc_id"), "left")
@@ -719,6 +736,26 @@ object PipelineQueries {
     },
     // transitive closure of the same pair list: min reachable doc_id =
     // the cluster id the pointer-jumping Spark path converges to
+    // the same recursive-CTE clusters, reweighted instead of culled
+    "dedup_soft" ->
+      s"""WITH RECURSIVE pairs AS (
+         |$ddNgramPairs
+         |),
+         |edges AS (SELECT i AS a, j AS b FROM pairs
+         |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+         |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster
+         |       FROM reach GROUP BY id),
+         |lab AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS cluster
+         |        FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY 1)
+         |SELECT doc_id, cluster, cluster_size,
+         |       CAST(1000000 // cluster_size AS BIGINT) AS weight_micro
+         |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |$ddNgramPairs

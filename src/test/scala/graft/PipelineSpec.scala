@@ -1024,6 +1024,23 @@ class PipelineSpec extends SparkSpec {
       "keeper must carry the cluster's max quality")
   }
 
+  test("dedup_soft: weights are exact cluster reciprocals, unique docs at full weight") {
+    val got = SparkEntry.queries("dedup_soft")(spark, sfDir)
+    assert(got.where(col("weight_micro") =!=
+      expr("1000000 div cluster_size")).isEmpty, "weight arithmetic drifted")
+    assert(got.where(col("cluster_size") === 1 && col("weight_micro") =!= 1000000L)
+      .isEmpty, "unique docs must train at full weight")
+    // every cluster's members carry the same declared size, and the
+    // declared size IS the member count
+    val bad = got.groupBy("cluster")
+      .agg(count(lit(1)).as("n"), max("cluster_size").as("s"),
+        min("cluster_size").as("s2"))
+      .where(col("n") =!= col("s") || col("s") =!= col("s2"))
+    assert(bad.isEmpty, "cluster_size disagrees with membership")
+    // no content is ever dropped: one row per document
+    assert(got.count() == docs.count(), "soft dedup dropped documents")
+  }
+
   test("Quantize.dimStats: collapsed dims flagged, micro-unit means exact") {
     import spark.implicits._
     import graft.sim.Quantize
