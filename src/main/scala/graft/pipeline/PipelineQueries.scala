@@ -320,6 +320,12 @@ object PipelineQueries {
     "ann_bruteforce" -> ((s, d) =>
       Ann.bruteForce(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank")),
+    // PQ-ANN: 64x corpus compression (m=8 subspace codes vs float32),
+    // ADC table-lookup scoring, float re-score of the 4k candidate
+    // slice. rows-only (float codebook means); recall spec'd
+    "ann_pq" -> ((s, d) =>
+      graft.sim.Pq.pqSearch(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rank")),
     // hybrid retrieval: BM25 lexical top-50 fused with vector-cosine
     // top-50 (query = vec 0) by reciprocal-rank fusion — integer
     // floor-division contributions, full-outer so neither modality

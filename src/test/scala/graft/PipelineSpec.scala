@@ -477,6 +477,23 @@ class PipelineSpec extends SparkSpec {
     assert(agree >= 5, s"IVF top-1 recall $agree/10 vs brute force")
   }
 
+  test("PQ ANN: float re-score of ADC candidates keeps high top-1 agreement") {
+    import graft.sim.Pq
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Ann.bruteForce(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = Pq.pqSearch(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = bf.count { case (k, v) => pq.get(k).contains(v) }
+    // candidates are 4k-wide and re-scored float: only a true neighbor
+    // OUTSIDE the ADC top-4k can be missed
+    assert(agree >= 8, s"PQ top-1 recall $agree/10 vs float brute force")
+    // deterministic across invocations (seeded Lloyd, no RNG)
+    val again = Pq.pqSearch(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == pq, "PQ search is not deterministic")
+  }
+
   test("int8 ANN keeps high top-1 agreement with the float baseline") {
     import graft.sim.Quantize
     val q = emb.where(col("vec_id") < 10)
