@@ -284,6 +284,33 @@ class PlanAuditSpec extends SparkSpec {
       s"per-key count lost its map-side partial:\n$p")
   }
 
+  test("mm_phash: pairs ride the band equi-join; payloads never shuffle") {
+    val p = plan("mm_phash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phash pairing regressed to all-pairs:\n$p")
+    // the only grouping is (band, key) postings — payload bytes stay
+    // in their scan; the shuffle carries doc ids and 2x64-bit hashes
+    assert(p.contains("band"), s"band bucket key missing:\n$p")
+  }
+
+  test("sample_importance: the 8192-bucket model broadcasts, text never re-joins") {
+    val p = plan("sample_importance")
+    assert(p.contains("BroadcastExchange"), s"model side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann_pq: codebooks broadcast to the ADC scan, no unintended all-pairs") {
+    val p = plan("ann_pq")
+    assert(p.contains("BroadcastExchange"), s"books not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // every nested-loop node must be an INTENDED broadcast cross (the
+    // 1-row codebook / 10-row ADC-table sides); a non-Cross or
+    // non-broadcast-build BNLJ would mean a real join degenerated
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+      assert(l.contains("BuildRight, Cross"),
+        s"unintended nested loop:\n$l"))
+  }
+
   test("agg_running_total: the cumsum window is customer-partitioned, never global") {
     val opt = SparkEntry.queries("agg_running_total")(spark, sfDir)
       .queryExecution.optimizedPlan.toString()
