@@ -92,6 +92,39 @@ object StreamOps {
     facts.join(broadcast(dims), Seq(key), "left")
       .withColumn(dimCol, coalesce(col(dimCol), lit(defaultVal)))
 
+  /** Stream-stream conversion join — the attribution query (which
+    * signups convert to a purchase within the window) in its streaming
+    * form: both sides are streams, so Spark must buffer rows waiting
+    * for their match. The TIME-BOUND join condition
+    * (`purchase.ts ∈ [signup.ts, signup.ts + window]`) plus a
+    * watermark on BOTH sides is what makes the state finite: a
+    * buffered signup can be evicted once the watermark passes
+    * `signup.ts + window` (no future purchase can match it), and a
+    * purchase once it can no longer match any retained signup —
+    * without the bound, both sides buffer forever. LEFT OUTER so
+    * non-converting signups emit (with nulls) once their window
+    * expires — conversion RATE needs the denominator.
+    *
+    * The same call works batch (watermarks no-op there); the batch
+    * form is the oracle-checked query, the streaming form is driven by
+    * StreamingSpec. */
+  def conversionJoin(signups: DataFrame, purchases: DataFrame,
+                     window: String = "1 hour",
+                     lateness: String = "1 hour"): DataFrame = {
+    val s = signups.select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", lateness)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", lateness)
+    s.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .select(col("user_id"), col("signup_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
+
   /** [[enrich]] + the per-(segment, event_type) counter rollup — the
     * batch form the oracle checks; streaming runs the identical plan
     * with [[streamingCounters]]-style watermarking upstream. */

@@ -24,6 +24,26 @@ object StreamQueries {
     "stream_topk" -> ((s, d) =>
       StreamOps.windowedTopK(Tables.load(s, d, "events"), 3)
         .orderBy("window_start", "rank")),
+    // stream-STREAM attribution join: signups matched to purchases in
+    // [ts, ts+1h] per user, LEFT OUTER so non-converters keep the
+    // denominator; the identical call runs streaming where the time
+    // bound + both-side watermarks make the buffered state finite
+    "stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(s, d, "events")
+      StreamOps.conversionJoin(
+          ev.where(col("event_type") === "signup"),
+          ev.where(col("event_type") === "purchase"))
+        .groupBy("user_id")
+        .agg(countDistinct("signup_ts").as("n_signups"),
+          countDistinct(when(col("purchase_ts").isNotNull, col("signup_ts")))
+            .as("n_converted"),
+          min(when(col("purchase_ts").isNotNull,
+            floor(unix_timestamp(col("purchase_ts")))
+              - floor(unix_timestamp(col("signup_ts")))))
+            .as("fastest_convert_sec"))
+        .orderBy("user_id")
+    }),
     // stream-static dimension enrichment (user -> market segment via
     // the customer table, broadcast), facts without a dim row kept as
     // 'unknown' — the left-join discipline that prevents the silent
@@ -60,6 +80,24 @@ object StreamQueries {
         |       count(*) AS n_events, round(sum(value), 4) AS sum_v
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "stream_join" ->
+      """WITH s AS (SELECT user_id, ts AS signup_ts FROM events
+        |           WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, ts AS purchase_ts FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT s.user_id, s.signup_ts, p.purchase_ts
+        |      FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |        AND p.purchase_ts >= s.signup_ts
+        |        AND p.purchase_ts <= s.signup_ts + INTERVAL 1 HOUR)
+        |SELECT user_id,
+        |  CAST(count(DISTINCT signup_ts) AS BIGINT) AS n_signups,
+        |  CAST(count(DISTINCT CASE WHEN purchase_ts IS NOT NULL
+        |                           THEN signup_ts END) AS BIGINT) AS n_converted,
+        |  min(CASE WHEN purchase_ts IS NOT NULL THEN
+        |    CAST(floor(epoch(purchase_ts)) AS BIGINT)
+        |      - CAST(floor(epoch(signup_ts)) AS BIGINT) END)
+        |    AS fastest_convert_sec
+        |FROM j GROUP BY 1 ORDER BY user_id""".stripMargin,
     "stream_enrich" ->
       """SELECT coalesce(c.c_mktsegment, 'unknown') AS segment,
         |       e.event_type,

@@ -106,6 +106,47 @@ class StreamingSpec extends SparkSpec {
       s"streaming (${got.length} rows) != batch (${want.length} rows)")
   }
 
+  test("stream-stream conversion join converges to batch; state is watermark-bounded") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_ssjoin_src").toString
+    // event-time-ordered replay (the sessionize discipline): append
+    // mode drops rows behind the watermark
+    ev.repartitionByRange(16, col("ts")).sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(((System.currentTimeMillis() / 60000) * 60000) + i * 1000) }
+    val streamed = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(dir)
+    val joined = StreamOps.conversionJoin(
+      streamed.where(col("event_type") === "signup"),
+      streamed.where(col("event_type") === "purchase"))
+    assert(joined.queryExecution.analyzed.toString().contains("EventTimeWatermark"),
+      "stream-stream join lost its watermarks - state would grow forever")
+    val q = joined.writeStream.format("memory").queryName("conv")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.get(1).toString, Option(r.get(2)).map(_.toString))
+    val got = spark.table("conv").collect().map(key).toSet
+    val want = StreamOps.conversionJoin(
+        ev.where(col("event_type") === "signup"),
+        ev.where(col("event_type") === "purchase"))
+      .collect().map(key).toSet
+    // every emitted row must be a batch row (no phantom matches); the
+    // watermark tail may hold back the last window's emissions
+    val phantom = got -- want
+    assert(phantom.isEmpty, s"streamed rows not in batch: ${phantom.take(3)}")
+    assert(got.size >= want.size * 3 / 4,
+      s"conversion coverage too low: ${got.size}/${want.size}")
+    // both inner matches AND expired non-converting signups must emit
+    assert(got.exists(_._3.isDefined) && got.exists(_._3.isEmpty),
+      "left-outer semantics lost in streaming")
+  }
+
   test("streaming enrichment converges to the batch rollup, unmatched facts kept as unknown") {
     import org.apache.spark.sql.functions.col
     val events = Tables.load(spark, sfDir, "events")
