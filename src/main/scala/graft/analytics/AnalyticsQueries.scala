@@ -334,6 +334,13 @@ object AnalyticsQueries {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
+    // Ordered funnel (view -> click -> purchase): greedy earliest-
+    // completion chain per user, no windows — each step is one hash
+    // join + conditional min; NULL propagation tracks drop-off
+    "funnel_steps" -> ((s, d) =>
+      Tools.funnel(Tables.load(s, d, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
     // Explicit salted join over the one-hot-tenant keyspace: facts
     // salted 8 ways by row id, dim replicated x8 — the skew fix for
     // the paths AQE can't re-balance (streaming state, bucketed
@@ -821,6 +828,23 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, s1.t1,
+        |         min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+        |       FROM s1 LEFT JOIN events e
+        |         ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+        |         min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+        |       FROM s2 LEFT JOIN events e
+        |         ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t1, t2, t3,
+        |       CAST(1 + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT AS BIGINT)
+        |         AS depth
+        |FROM s3 ORDER BY user_id""".stripMargin,
     "join_salted" ->
       """WITH f AS (SELECT *, CASE WHEN user_id % 5 < 2 THEN 0
         |                          ELSE user_id END AS tenant FROM events),

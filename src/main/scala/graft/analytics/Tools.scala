@@ -713,6 +713,41 @@ object Tools {
       .limit(topN)
   }
 
+  /** Ordered funnel analysis — the product-analytics sequence query
+    * (view → click → purchase): per user, the earliest step-1 event,
+    * then the earliest step-2 event STRICTLY AFTER it, and so on;
+    * `depth` = how far the user got. A user's step-k time is the
+    * greedy earliest-completion chain, the standard funnel semantics.
+    *
+    * Shape: one filtered min-aggregate for step 1, then per further
+    * step one equi-join on the user key + a conditional min — no
+    * window functions at all, so nothing ever sorts a user's whole
+    * history; each step is a map-side-combinable aggregate over the
+    * step's OWN events only. The strictly-after condition rides the
+    * aggregate (`min(CASE WHEN ts > prev THEN ts END)`), which keeps
+    * the join itself a plain hash join. NULL propagation does the
+    * bookkeeping: a user who never reached step k−1 has prev NULL, so
+    * every comparison is NULL and step k stays NULL — no special
+    * casing. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"funnel needs at least 2 steps: $steps")
+    var acc = events.where(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    for ((s, idx) <- steps.tail.zipWithIndex) {
+      val i = idx + 2
+      val keys = col(userCol) +: (1 until i).map(j => col(s"t$j"))
+      val nxt = events.where(col(typeCol) === s)
+        .select(col(userCol), col(tsCol).as("_ts"))
+      acc = acc.join(nxt, Seq(userCol), "left")
+        .groupBy(keys: _*)
+        .agg(min(when(col("_ts") > col(s"t${i - 1}"), col("_ts"))).as(s"t$i"))
+    }
+    val depth = steps.indices.map(i =>
+      when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    acc.withColumn("depth", depth)
+  }
+
   /** Per-column data profile — the schema-audit pass a pipeline runs
     * before trusting a new table (reference analogue: the per-CF/
     * qualifier occurrence statistics CellCounter.java:71 reports, here

@@ -303,6 +303,29 @@ class MutationsSpec extends SparkSpec {
       (1L, 1L, 83333L, 1L), (2L, 1L, 83333L, 1L)), s"got $got")
   }
 
+  test("funnel: strictly-after ordering, pre-step events ignored, NULL tracks drop-off") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    def t(m: Int) = s"2024-01-01 00:0$m:00"
+    val ev = Seq(
+      (1L, t(1), "view"), (1L, t(2), "click"), (1L, t(3), "purchase"),
+      (2L, t(1), "click"), (2L, t(2), "view"), (2L, t(4), "click"), // pre-view click ignored
+      (3L, t(1), "view"),                                           // drops off
+      (4L, t(2), "click")                                           // never views: not in funnel
+    ).toDF("user_id", "_t", "event_type")
+      .select(col("user_id"), to_timestamp(col("_t")).as("ts"), col("event_type"))
+    val got = Tools.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("t2").isNotNull, col("t3").isNotNull, col("depth"))
+      .as[(Long, Boolean, Boolean, Long)].collect().toSet
+    assert(got == Set((1L, true, true, 3L), (2L, true, false, 2L),
+      (3L, false, false, 1L)), s"got $got")
+    // user 2's counted click must be the POST-view one (00:04)
+    val t2 = Tools.funnel(ev, "user_id", "ts", "event_type", Seq("view", "click"))
+      .where(col("user_id") === 2).select("t2").as[java.sql.Timestamp].head()
+    assert(t2.toString.startsWith("2024-01-01 00:04"), s"got $t2")
+  }
+
   test("saltedJoin: equals the unsalted join row-for-row, spreads the hot key") {
     import spark.implicits._
     import graft.core.Salt
