@@ -398,6 +398,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel equals the naive greedy chain on random event streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.analytics.Tools
+    val gen = Gen.listOfN(80, for {
+      u <- Gen.chooseNum(1L, 6L)
+      m <- Gen.chooseNum(0, 59)
+      t <- Gen.oneOf("a", "b", "c", "x")
+    } yield (u, f"2024-01-01 00:$m%02d:17", t))
+    samples(gen, 6).foreach { data =>
+      val ev = data.toDF("user_id", "_t", "event_type")
+        .select(col("user_id"), to_timestamp(col("_t")).as("ts"), col("event_type"))
+      val got = Tools.funnel(ev, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+        .select("user_id", "depth").as[(Long, Long)].collect().toMap
+      // naive greedy per user: earliest a, earliest b after it, ...
+      val naive = data.groupBy(_._1).flatMap { case (u, rows) =>
+        def first(t: String, after: String): Option[String] =
+          rows.filter(r => r._3 == t && r._2 > after).map(_._2).sorted.headOption
+        first("a", "").map { ta =>
+          val tb = first("b", ta)
+          val tc = tb.flatMap(first("c", _))
+          u -> (1L + tb.size + tc.size)
+        }
+      }.toMap
+      assert(got == naive, s"funnel drifted: got $got want $naive")
+    }
+  }
+
+  test("rangeJoinBinned equals the naive BETWEEN filter on random windows") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.core.RangeJoin
+    val facts = Gen.listOfN(60, for {
+      id <- Gen.chooseNum(1L, 10000L)
+      m <- Gen.chooseNum(0, 59); s <- Gen.chooseNum(0, 59)
+    } yield (id, f"2024-01-01 03:$m%02d:$s%02d"))
+    val wins = Gen.listOfN(8, for {
+      id <- Gen.chooseNum(1L, 100L)
+      m1 <- Gen.chooseNum(0, 50); dur <- Gen.chooseNum(1, 30)
+    } yield (id, f"2024-01-01 03:$m1%02d:00", math.min(59, m1 + dur)))
+    samples(Gen.zip(facts, wins), 5).foreach { case (fd, wd) =>
+      val f = fd.toDF("fact_id", "_t")
+        .select(col("fact_id"), to_timestamp(col("_t")).as("ts"))
+      val w = wd.map { case (id, lo, hiM) => (id, lo, f"2024-01-01 03:$hiM%02d:00") }
+        .toDF("window_id", "_lo", "_hi")
+        .select(col("window_id"), to_timestamp(col("_lo")).as("lo"),
+          to_timestamp(col("_hi")).as("hi"))
+      val got = RangeJoin.rangeJoinBinned(f, "ts", w, "lo", "hi", binSeconds = 300)
+        .select("window_id", "fact_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+      val want = f.crossJoin(w)
+        .where(col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .select("window_id", "fact_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+      assert(got == want, s"binned join drifted (${got.size} vs ${want.size})")
+    }
+  }
+
   test("canonicalizeUrl is idempotent on randomized component URLs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
