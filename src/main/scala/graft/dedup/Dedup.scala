@@ -176,6 +176,63 @@ object Dedup {
         round(col("n_shared").cast("double") / col("n_grams"), 4).as("shared_frac"))
   }
 
+  /** Content-defined chunking dedup (the FastCDC/LBFS family, Muthitacharoen
+    * et al. 2001): chunk boundaries fall where a rolling content hash
+    * hits a divisor condition, so boundaries move WITH the content — an
+    * insertion shifts at most the chunk it lands in, and every other
+    * chunk keeps its digest (fixed-size chunking re-digests everything
+    * after the edit; word n-grams emit O(n) overlapping grams where CDC
+    * emits n/target disjoint chunks). The storage-style dedup report:
+    * per doc, how many of its chunks exist elsewhere in the corpus.
+    *
+    * Boundary rule: 1-based position p ≥ 4 is a cut after `p` when the
+    * Rabin fold of the 4-gram ending at p satisfies h ≡ 0 (mod
+    * `targetSize`) — expected chunk length ≈ targetSize, each position
+    * tested independently (no stateful scan; FastCDC's min/max clamps
+    * are an optimization this declarative form does without). The fold
+    * is the engine-portable [[graft.text.TextOps.fingerprint]] hash, so
+    * the DuckDB oracle reproduces every boundary bit-for-bit.
+    *
+    * Scale shape: boundary detection and chunk extraction are pure
+    * per-row projections (O(len·4) work inside codegen); only chunk
+    * DIGESTS shuffle for the df count — text never leaves its scan.
+    * The df table joins back on digest, one aggregate per doc. */
+  def cdcChunks(docs: DataFrame, targetSize: Int = 64): DataFrame = {
+    require(targetSize >= 2, s"targetSize ($targetSize) must be >= 2")
+    val h4 = "aggregate(transform(split(substring(text, p - 3, 4), ''), " +
+      "c -> ascii(c)), 0L, (h, c) -> (h * 31 + c) % 1000000007)"
+    val chunks = docs
+      .withColumn("_n", length(col("text")).cast("long"))
+      // sequence(4, n) DESCENDS for n < 4 — short texts get no cuts
+      .withColumn("_cuts", expr(
+        s"IF(_n >= 4, filter(sequence(4L, _n), p -> $h4 % $targetSize = 0), " +
+          "array())"))
+      .withColumn("_starts", expr("concat(array(1L), transform(_cuts, p -> p + 1))"))
+      .withColumn("_ends", expr("concat(_cuts, array(_n))"))
+      // a cut at the last position leaves an empty tail slot: a start
+      // past _n yields an empty substring — drop those
+      .withColumn("_chunks", expr(
+        """filter(zip_with(_starts, _ends, (s, e) ->
+          |  IF(e >= s, substring(text, cast(s as int), cast(e - s + 1 as int)), '')),
+          |  c -> length(c) > 0)""".stripMargin))
+      .select(col("doc_id"), posexplode(col("_chunks")))
+      .toDF("doc_id", "chunk_idx", "chunk")
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("digest"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+    val dfreq = chunks.groupBy("digest").agg(count(lit(1)).as("_df"))
+    chunks.join(dfreq, "digest")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("chunk_len").as("n_bytes"),
+        sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("_df") >= 2, col("chunk_len")).otherwise(0L))
+          .as("dup_bytes"))
+      .select(col("doc_id"), col("n_chunks"), col("n_bytes"),
+        col("n_dup_chunks"), col("dup_bytes"),
+        round(col("dup_bytes").cast("double") / col("n_bytes"), 4)
+          .as("dup_frac"))
+  }
+
   /** Exact n-gram Jaccard pairs via the inverted-index join: explode
     * shingles, equi-join on the shingle (docs sharing none never meet),
     * count shared distinct shingles, compute |A∩B| / |A∪B|. */

@@ -392,6 +392,11 @@ object PipelineQueries {
     // cluster survivorship by QUALITY policy: within each near-dup
     // cluster keep the highest-quality doc (doc_id breaks ties), not
     // blindly the min id — the dedup decision real pipelines ship
+    // content-defined chunking (FastCDC family): boundaries from a
+    // rolling content hash, so edits shift at most one chunk's digest
+    // — the storage-style dedup report (dup chunks / dup bytes per doc)
+    "dedup_cdc" -> ((s, d) =>
+      Dedup.cdcChunks(docs(s, d)).orderBy("doc_id")),
     // SoftDeDup (Hernandez et al.-style repetition reweighting):
     // instead of dropping near-dup copies, every member of a cluster
     // trains at weight 1/cluster_size — integer micro-units, unique
@@ -742,6 +747,43 @@ object PipelineQueries {
     },
     // transitive closure of the same pair list: min reachable doc_id =
     // the cluster id the pointer-jumping Spark path converges to
+    // same boundary rule via list comprehensions: the Rabin fold of
+    // each 4-gram decides the cuts, chunks substr out, digests count
+    "dedup_cdc" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n,
+        |    CASE WHEN length(text) >= 4 THEN
+        |      [p for p in range(4, length(text) + 1) if
+        |        list_reduce([CAST(0 AS BIGINT)] ||
+        |          list_transform(string_split(substr(text, p - 3, 4), ''),
+        |            c -> CAST(ascii(c) AS BIGINT)),
+        |          (h, c) -> (h * 31 + c) % 1000000007) % 64 = 0]
+        |    ELSE [] END AS cuts
+        |  FROM documents),
+        |sl AS (SELECT doc_id, text,
+        |    [1] || [CAST(p + 1 AS BIGINT) for p in cuts] AS starts,
+        |    cuts || [CAST(n AS BIGINT)] AS ends
+        |  FROM b),
+        |ch AS (SELECT doc_id, unnest([
+        |    substr(text, CAST(starts[i] AS INT),
+        |           CAST(ends[i] - starts[i] + 1 AS INT))
+        |    for i in range(1, len(starts) + 1)
+        |    if ends[i] >= starts[i]]) AS chunk
+        |  FROM sl),
+        |cd AS (SELECT doc_id, md5(chunk) AS digest,
+        |              CAST(length(chunk) AS BIGINT) AS chunk_len
+        |       FROM ch WHERE length(chunk) > 0),
+        |df AS (SELECT digest, count(*) AS dfreq FROM cd GROUP BY 1)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(chunk_len) AS BIGINT) AS n_bytes,
+        |  CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST(sum(CASE WHEN dfreq >= 2 THEN chunk_len ELSE 0 END) AS BIGINT)
+        |    AS dup_bytes,
+        |  round(sum(CASE WHEN dfreq >= 2 THEN chunk_len ELSE 0 END)
+        |        * 1.0 / sum(chunk_len), 4) AS dup_frac
+        |FROM cd JOIN df USING (digest)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // the same recursive-CTE clusters, reweighted instead of culled
     "dedup_soft" ->
       s"""WITH RECURSIVE pairs AS (

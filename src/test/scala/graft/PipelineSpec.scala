@@ -1041,6 +1041,28 @@ class PipelineSpec extends SparkSpec {
       "keeper must carry the cluster's max quality")
   }
 
+  test("cdcChunks: chunks reconstruct the text; a prefix edit shifts only the head chunks") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val base = (1 to 120).map(i => s"w$i").mkString(" ")
+    val pair = Seq((1L, base), (2L, "INSERTED PREFIX " + base))
+      .toDF("doc_id", "text")
+    // reconstruction: chunk bytes account for the whole text
+    val rebuilt = Dedup.cdcChunks(pair)
+      .select("doc_id", "n_bytes").as[(Long, Long)].collect().toMap
+    assert(rebuilt(1L) == base.length.toLong, s"doc 1 bytes ${rebuilt(1L)}")
+    assert(rebuilt(2L) == base.length.toLong + 16, s"doc 2 bytes ${rebuilt(2L)}")
+    // shift robustness: the prefixed twin re-synchronizes after the
+    // first content-defined boundary, so MOST of doc 1's chunks are
+    // duplicated in doc 2 — the property fixed-size chunking lacks
+    val report = Dedup.cdcChunks(pair)
+      .select("doc_id", "n_chunks", "n_dup_chunks")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val (n1, d1) = report(1L)
+    assert(d1 >= n1 / 2,
+      s"CDC lost shift robustness: only $d1 of $n1 chunks survive a prefix edit")
+  }
+
   test("dedup_soft: weights are exact cluster reciprocals, unique docs at full weight") {
     val got = SparkEntry.queries("dedup_soft")(spark, sfDir)
     assert(got.where(col("weight_micro") =!=
