@@ -334,6 +334,28 @@ object AnalyticsQueries {
         .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
         .groupBy("k").agg(count(lit(1)).as("n"))
         .orderBy("k")),
+    // daily resample with forward fill: one row per (user, day) even
+    // on event-free days, last state ffill'd through the as-of join
+    "resample_ffill" -> ((s, d) =>
+      Tools.resampleFfill(Tables.load(s, d, "events"), "user_id", "ts",
+          "event_id", "value")
+        .orderBy("user_id", "day")),
+    // PIVOT: status x priority count matrix. Spark's pivot with an
+    // EXPLICIT value list — omitting it costs a distinct-scan job to
+    // discover columns AND makes the schema data-dependent (a new
+    // priority would silently add a column downstream code never
+    // mapped); the fixed list is the production form
+    "agg_pivot" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+          "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "unspecified",
+          "5-LOW" -> "low"))
+        .orderBy("o_orderstatus")),
     // Ordered funnel (view -> click -> purchase): greedy earliest-
     // completion chain per user, no windows — each step is one hash
     // join + conditional min; NULL propagation tracks drop-off
@@ -828,6 +850,33 @@ object AnalyticsQueries {
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "resample_ffill" ->
+      """WITH b AS (SELECT date_trunc('day', min(ts)) AS lo,
+        |                  date_trunc('day', max(ts)) AS hi FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT u.user_id,
+        |        unnest(generate_series(b.lo, b.hi, INTERVAL '1 day')) AS day
+        |      FROM u CROSS JOIN b),
+        |d AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |        CAST(count(*) AS BIGINT) AS n_events
+        |      FROM events GROUP BY 1, 2)
+        |SELECT g.user_id, g.day,
+        |       coalesce(d.n_events, 0) AS n_events,
+        |       l.event_id AS last_event_id, round(l.value, 4) AS last_value
+        |FROM g LEFT JOIN d ON d.user_id = g.user_id AND d.day = g.day
+        |LEFT JOIN LATERAL (
+        |  SELECT event_id, value FROM events e
+        |  WHERE e.user_id = g.user_id AND e.ts < g.day + INTERVAL '1 day'
+        |  ORDER BY ts DESC, event_id DESC LIMIT 1) l ON true
+        |ORDER BY g.user_id, g.day""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS unspecified,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS low
+        |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "funnel_steps" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |            WHERE event_type = 'view' GROUP BY 1),

@@ -713,6 +713,43 @@ object Tools {
       .limit(topN)
   }
 
+  /** Time-grid resample with forward fill — the gap-filling pass every
+    * time-series feature pipeline runs before modeling: one row per
+    * (entity, day) over the corpus span, carrying that day's own event
+    * count AND the entity's most recent state as of day end (the
+    * forward fill), so days without events still report the prevailing
+    * value instead of a hole.
+    *
+    * The fill is [[graft.core.AsofJoin.asof]] — grid points probe
+    * "newest event at or before my day's end" through the single-
+    * shuffle running-max form (never a per-probe range join); the
+    * day-count join is an ordinary left hash join with a zero fill.
+    * Grid size is |entities|·|days| — that IS the resampled output, not
+    * an intermediate blow-up. */
+  def resampleFfill(events: DataFrame, userCol: String, tsCol: String,
+                    idCol: String, valCol: String): DataFrame = {
+    val b = events.agg(date_trunc("day", min(col(tsCol))).as("_lo"),
+      date_trunc("day", max(col(tsCol))).as("_hi"))
+    val grid = events.select(col(userCol)).distinct()
+      .crossJoin(broadcast(b))
+      .select(col(userCol),
+        explode(expr("sequence(_lo, _hi, interval 1 day)")).as("day"))
+      // probe at day END: newest event strictly inside the day wins
+      .withColumn(tsCol,
+        expr("day + interval 1 day - interval 1 microsecond"))
+    val dayAgg = events.groupBy(col(userCol),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("_n"))
+    graft.core.AsofJoin.asof(grid,
+        events.select(col(userCol), col(tsCol), col(idCol), col(valCol)),
+        userCol, tsCol, Seq(idCol, valCol))
+      .join(dayAgg, Seq(userCol, "day"), "left")
+      .select(col(userCol), col("day"),
+        coalesce(col("_n"), lit(0L)).as("n_events"),
+        col(s"_last.$idCol").as("last_event_id"),
+        round(col(s"_last.$valCol"), 4).as("last_value"))
+  }
+
   /** Ordered funnel analysis — the product-analytics sequence query
     * (view → click → purchase): per user, the earliest step-1 event,
     * then the earliest step-2 event STRICTLY AFTER it, and so on;

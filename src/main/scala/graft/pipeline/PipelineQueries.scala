@@ -466,6 +466,28 @@ object PipelineQueries {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
     // ---- §2J multimodal ----
     "mm_meta" -> ((s, d) => MM.meta(docs(s, d)).orderBy("doc_id")),
+    // video-level near-dup: per-video DISTINCT frame-fingerprint sets,
+    // pairwise Jaccard off the capped postings lists (the ngram
+    // machinery re-targeted at frame fps — padding frames' shared fp
+    // is exactly the df-ceiling case). Twins at +416000 (a multiple of
+    // lcm(13, 32)·1000, preserving frame geometry) with the last text
+    // char changed — at most one frame HEAD shifts, so twin sets stay
+    // near-identical
+    "mm_video_dedup" -> ((s, d) => {
+      val base = docs(s, d).select("doc_id", "text")
+      val twins = base.where(col("doc_id") % 11 === 2)
+        .select((col("doc_id") + 416000L).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("~"))
+            .as("text"))
+      val aug = base.unionByName(twins)
+      val fpSets = MM.frameSample(MM.synthesizeVideo(aug), every = 1)
+        .groupBy("doc_id")
+        .agg(array_sort(array_distinct(collect_list(col("fp").cast("string"))))
+          .as("shs"))
+      Dedup.ngramJaccard(aug, 0.8, pruneUnique = false, maxDf = Some(8),
+          minShared = 2, shingleTable = Some(fpSets))
+        .orderBy("i", "j")
+    }),
     // privacy metadata scrub: the JPEG COM segment spliced out by byte
     // surgery, verified by re-walking the STRIPPED image (original
     // dims must survive, no metadata marker left); clean files pass
@@ -1496,6 +1518,46 @@ object PipelineQueries {
     // same container synthesis + header walk as MM.frameSample: frame
     // geometry from the GVID header, every 3rd frame's offset and
     // 4-byte head fingerprint
+    // same GVID walk over the twin-augmented corpus, then the capped
+    // postings-list Jaccard over the per-video distinct fp sets
+    "mm_video_dedup" ->
+      (s"""WITH aug AS (SELECT doc_id, text FROM documents
+          | UNION ALL
+          | SELECT doc_id + 416000, substr(text, 1, length(text) - 1) || '~'
+          | FROM documents WHERE doc_id % 11 = 2),
+          |params AS (
+          |  SELECT doc_id, text,
+          |         4 + doc_id % 13 AS nf, 16 + doc_id % 32 AS fs
+          |  FROM aug),
+          |payloads AS (
+          |  SELECT doc_id,
+          |    encode('GVID') || ${ddBe("nf", 2)} || ${ddBe("fs", 2)} ||
+          |      CAST(rpad(text, CAST(nf * fs AS INT), '.') AS BLOB) AS payload
+          |  FROM params),
+          |hexed AS (SELECT doc_id, upper(hex(payload)) AS h FROM payloads),
+          |geo AS (SELECT doc_id, h, ${ddBei("5", 2)} AS n_frames, ${ddBei("7", 2)} AS fs
+          |        FROM hexed WHERE ${ddHx("1", 4)} = '47564944'),
+          |idx AS (SELECT doc_id, h, fs, unnest(range(0, n_frames, 1)) AS fi
+          |        FROM geo),
+          |fpt AS (SELECT doc_id, ${ddBei("9 + fi * fs", 4)} AS fp FROM idx),
+          |sets AS (SELECT doc_id,
+          |           list_distinct(list(CAST(fp AS VARCHAR))) AS shs
+          |         FROM fpt GROUP BY 1),
+          |ex AS (SELECT doc_id, unnest(shs) AS s FROM sets),
+          |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s)
+          |         WHERE df BETWEEN 2 AND 8),
+          |exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN kept USING (s)),
+          |cand AS (SELECT a.doc_id AS i, b.doc_id AS j
+          |         FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+          |         GROUP BY 1, 2 HAVING count(*) >= 2),
+          |v AS (SELECT i, j, len(list_intersect(sa.shs, sb.shs)) AS inter,
+          |             len(sa.shs) AS ni, len(sb.shs) AS nj
+          |      FROM cand c JOIN sets sa ON c.i = sa.doc_id
+          |                  JOIN sets sb ON c.j = sb.doc_id)
+          |SELECT i, j, jaccard FROM (
+          |  SELECT i, j, round(inter * 1.0 / (ni + nj - inter), 4) AS jaccard
+          |  FROM v)
+          |WHERE jaccard >= 0.8 ORDER BY i, j""".stripMargin),
     "mm_frame_sample" ->
       (s"""WITH params AS (
           |  SELECT doc_id, text,

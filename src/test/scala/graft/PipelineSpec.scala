@@ -1041,6 +1041,26 @@ class PipelineSpec extends SparkSpec {
       "keeper must carry the cluster's max quality")
   }
 
+  test("video dedup: identical-content twins pair at jaccard 1, unrelated videos don't") {
+    import graft.multimodal.MM
+    import graft.dedup.Dedup
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val textA = (1 to 100).map(i => s"a$i").mkString(" ")
+    val textB = (1 to 100).map(i => s"b$i").mkString(" ")
+    // 0 and 416000 share frame geometry AND content; 1 is unrelated
+    val vids = Seq((0L, textA), (416000L, textA), (1L, textB))
+      .toDF("doc_id", "text")
+    val fpSets = MM.frameSample(MM.synthesizeVideo(vids), every = 1)
+      .groupBy("doc_id")
+      .agg(array_sort(array_distinct(collect_list(col("fp").cast("string"))))
+        .as("shs"))
+    val got = Dedup.ngramJaccard(vids, 0.8, pruneUnique = false,
+        maxDf = Some(8), minShared = 2, shingleTable = Some(fpSets))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((0L, 416000L, 1.0)), s"got $got")
+  }
+
   test("cdcChunks: chunks reconstruct the text; a prefix edit shifts only the head chunks") {
     import graft.dedup.Dedup
     import spark.implicits._
