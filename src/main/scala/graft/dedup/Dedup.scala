@@ -199,14 +199,31 @@ object Dedup {
     * The df table joins back on digest, one aggregate per doc. */
   def cdcChunks(docs: DataFrame, targetSize: Int = 64): DataFrame = {
     require(targetSize >= 2, s"targetSize ($targetSize) must be >= 2")
-    val h4 = "aggregate(transform(split(substring(text, p - 3, 4), ''), " +
-      "c -> ascii(c)), 0L, (h, c) -> (h * 31 + c) % 1000000007)"
+    // the 4-gram Rabin value as a DIRECT polynomial over a per-row
+    // ascii array: with ascii ≤ 255 the 4-term Horner value peaks at
+    // ~7.9M < 1e9+7, so the fold's per-step mod never fires and
+    // (((a·31+b)·31+c)·31+d) mod M is bit-identical to the fold —
+    // while evaluating as plain arithmetic per position instead of
+    // allocating substring+split+fold arrays per position (the first
+    // cut measured 18.9 s at sf0.1; this form is pure element_at math).
+    // The ascii array is LET-BOUND as the lambda variable `a` of a
+    // 1-element transform: a plain `_a` column gets inlined by
+    // CollapseProject into all four element_at references, recomputing
+    // split+transform per position — O(len²) per doc (measured: the
+    // inlined form DNF'd a 600 s bench budget at sf0.1); a lambda
+    // argument is evaluated exactly once per row by contract.
+    val h4 = "(((element_at(a, cast(p as int) - 3) * 31" +
+      " + element_at(a, cast(p as int) - 2)) * 31" +
+      " + element_at(a, cast(p as int) - 1)) * 31" +
+      " + element_at(a, cast(p as int))) % 1000000007"
     val chunks = docs
       .withColumn("_n", length(col("text")).cast("long"))
       // sequence(4, n) DESCENDS for n < 4 — short texts get no cuts
       .withColumn("_cuts", expr(
-        s"IF(_n >= 4, filter(sequence(4L, _n), p -> $h4 % $targetSize = 0), " +
-          "array())"))
+        s"""IF(_n >= 4,
+           |  element_at(transform(array(transform(split(text, ''), c -> ascii(c))),
+           |    a -> filter(sequence(4L, _n), p -> $h4 % $targetSize = 0)), 1),
+           |  array())""".stripMargin))
       .withColumn("_starts", expr("concat(array(1L), transform(_cuts, p -> p + 1))"))
       .withColumn("_ends", expr("concat(_cuts, array(_n))"))
       // a cut at the last position leaves an empty tail slot: a start

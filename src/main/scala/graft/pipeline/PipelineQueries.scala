@@ -772,15 +772,17 @@ object PipelineQueries {
     // same boundary rule via list comprehensions: the Rabin fold of
     // each 4-gram decides the cuts, chunks substr out, digests count
     "dedup_cdc" ->
-      """WITH b AS (SELECT doc_id, text, length(text) AS n,
-        |    CASE WHEN length(text) >= 4 THEN
-        |      [p for p in range(4, length(text) + 1) if
-        |        list_reduce([CAST(0 AS BIGINT)] ||
-        |          list_transform(string_split(substr(text, p - 3, 4), ''),
-        |            c -> CAST(ascii(c) AS BIGINT)),
-        |          (h, c) -> (h * 31 + c) % 1000000007) % 64 = 0]
-        |    ELSE [] END AS cuts
+      """WITH a0 AS (SELECT doc_id, text, length(text) AS n,
+        |    list_transform(string_split(text, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)) AS a
         |  FROM documents),
+        |b AS (SELECT doc_id, text, n,
+        |    CASE WHEN n >= 4 THEN
+        |      [p for p in range(4, n + 1) if
+        |        (((a[p - 3] * 31 + a[p - 2]) * 31 + a[p - 1]) * 31 + a[p])
+        |          % 1000000007 % 64 = 0]
+        |    ELSE [] END AS cuts
+        |  FROM a0),
         |sl AS (SELECT doc_id, text,
         |    [1] || [CAST(p + 1 AS BIGINT) for p in cuts] AS starts,
         |    cuts || [CAST(n AS BIGINT)] AS ends
