@@ -14,13 +14,24 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects. Read nanos as long, convert to µs timestamps
-      // (integer div — exact; the generator emits µs precision, and the
-      // DuckDB oracle also truncates ns→µs internally).
+      // events.parquet has shipped with two ts encodings across data
+      // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
+      // rejects — read nanos as long, integer-div to µs; exact, the
+      // generator emits µs precision and the DuckDB oracle also
+      // truncates ns→µs) and plain TIMESTAMP(MICROS) (usable as-is).
+      // Branch on the decoded type so both generations load.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Either way normalize to TimestampType (LTZ): watermarks reject
+      // TIMESTAMP_NTZ, and the UTC session timezone (set in every
+      // entrypoint builder) makes the NTZ→LTZ cast wall-clock exact.
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Unpivot a wide relational table into HBase-style cells
