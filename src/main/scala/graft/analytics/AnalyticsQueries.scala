@@ -499,6 +499,72 @@ object AnalyticsQueries {
         .select("table_name", "rowkey", "family", "qualifier", "value")
         .orderBy("table_name", "rowkey")
     }),
+    // CUBE over (returnflag, linestatus): all four grouping-set levels
+    // in ONE pass — Spark expands the grouping sets before the hash
+    // aggregate (map-side partials per set), so the rollup hierarchy
+    // costs one shuffle, not four scans. grouping_id bit order (first
+    // column = MSB) matches DuckDB GROUPING(). NULL group cells are
+    // sentineled '(all)' so the compare never sorts engine NULLs.
+    "agg_cube" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .withColumn("qty_cents", floor(col("l_quantity") * 100).cast("bigint"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("qty_cents").as("qty_cents"), count(lit(1)).as("n_rows"),
+          grouping_id().as("gid"))
+        .withColumn("l_returnflag", coalesce(col("l_returnflag"), lit("(all)")))
+        .withColumn("l_linestatus", coalesce(col("l_linestatus"), lit("(all)")))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+    // Retention cohorts: users bucketed by first-seen day, activity
+    // counted per (cohort, day-offset). Two shuffles, both on user_id
+    // (the self-join reuses the aggregate's partitioning), then one
+    // small aggregate on (cohort, offset) — the classic DAU retention
+    // triangle, integer-exact.
+    "retention_cohorts" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      val first = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+      e.join(first, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("bigint"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+    // Fixed-width histogram of event values per type: bin id is a pure
+    // projection (one floor-divide — stays in whole-stage codegen), the
+    // aggregate is map-side partial; cents keep the sums integer-exact.
+    "histogram_fixed" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .withColumn("bin", floor(col("value") / lit(5.0)).cast("bigint"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("bigint")).as("value_cents"))
+        .orderBy("event_type", "bin")),
+    // 3-sigma outlier flags per event_type in pure integer arithmetic:
+    // per-group (n, Σc, Σc²) reduce to floor mean m and floor variance
+    // v, a row is anomalous iff (c-m)² > 9v. The stats relation is one
+    // row per type (broadcast beside the scan — second pass is
+    // shuffle-free), and every comparison is exact-portable: no float
+    // mean/stddev whose rounding order DuckDB could disagree on.
+    // Magnitudes are scale-safe: dev² ≤ (max_cents)² regardless of n.
+    "anomaly_zscore" -> ((s, d) =>
+      Tools.anomalyFlags(
+          Tables.load(s, d, "events")
+            .withColumn("c", floor(col("value") * 100).cast("bigint")),
+          "event_type", "c", sigmas = 3)
+        .select("event_id", "event_type", "c", "dev_cents")
+        .withColumnRenamed("c", "value_cents")
+        .orderBy("event_id")),
+    // Time-weighted average value per user (sensor/metric rollup):
+    // Δt to the next reading weights each value; one window pass on
+    // the (user, time) order then a per-user aggregate on the SAME
+    // key — the window's shuffle partitioning is reused, so the whole
+    // operator is one exchange. Integer µs and cents end-to-end.
+    "time_weighted_avg" -> ((s, d) =>
+      Tools.timeWeightedAvg(
+          Tables.load(s, d, "events")
+            .withColumn("c", floor(col("value") * 100).cast("bigint")),
+          "user_id", "ts", "c")
+        .orderBy("user_id")),
   )
 
   private val C = "WITH " + Tables.customerCellsSql + "\n"
@@ -1028,5 +1094,50 @@ object AnalyticsQueries {
          |  SELECT 'supplier' AS table_name, * FROM scells)
          |WHERE qualifier LIKE '%nationkey' AND CAST(value AS INT) < 5
          |ORDER BY table_name, rowkey""".stripMargin),
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+        |  coalesce(l_linestatus, '(all)') AS l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  count(*) AS n_rows,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, 1, 2""".stripMargin,
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, e.day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "histogram_fixed" ->
+      """SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bin,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "anomaly_zscore" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+        |  FROM e GROUP BY 1),
+        |j AS (SELECT e.event_id, e.event_type, e.c,
+        |    e.c - st.s // st.n AS dev_cents,
+        |    greatest(st.q // st.n - (st.s // st.n) * (st.s // st.n), 0) AS v
+        |  FROM e JOIN st USING (event_type))
+        |SELECT event_id, event_type, c AS value_cents, dev_cents
+        |FROM j WHERE dev_cents * dev_cents > 9 * v ORDER BY event_id""".stripMargin,
+    "time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS c, epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (SELECT user_id, c,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dt
+        |  FROM e),
+        |g AS (SELECT user_id, CAST(sum(c * dt) AS BIGINT) AS num,
+        |    CAST(sum(dt) AS BIGINT) AS span_us
+        |  FROM w WHERE dt IS NOT NULL GROUP BY 1)
+        |SELECT user_id, span_us, num // span_us AS twa
+        |FROM g WHERE span_us > 0 ORDER BY user_id""".stripMargin,
   )
 }

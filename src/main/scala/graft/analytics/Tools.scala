@@ -826,4 +826,54 @@ object Tools {
         (col("n_rows") - col("non_null")).as("null_count"),
         col("n_distinct"), col("min_val"), col("max_val"), col("total_len"))
   }
+
+  /** k-sigma outlier flags per group in pure integer arithmetic.
+    * Per-group moments (n, S=Σc, Q=Σc²) reduce to the floor mean
+    * m = S div n and floor variance v = max(Q div n − m², 0); a row is
+    * anomalous iff (c−m)² > k²·v. The float z-score would need a mean
+    * and stddev whose rounding order two engines can disagree on; the
+    * floor form is bit-portable, and its magnitudes are scale-safe —
+    * (c−m)² is bounded by the value domain, not by n, so the test
+    * never overflows no matter how many rows a group holds (Q needs
+    * n·max_c² < 2⁶³: at cent-scale values that is ~10¹² rows per
+    * group; past that, pre-aggregate Q per partition in decimal).
+    * Stats are one row per group → broadcast back beside the scan:
+    * the flagging pass is shuffle-free.
+    *
+    * @param valCol integer-typed column (e.g. cents) to test. */
+  def anomalyFlags(df: DataFrame, groupCol: String, valCol: String,
+                   sigmas: Int): DataFrame = {
+    val c = col(valCol)
+    val stats = df.groupBy(groupCol).agg(
+      count(lit(1)).as("_n"), sum(c).as("_s"), sum(c * c).as("_q"))
+    val m = expr("_s div _n")
+    val v = greatest(expr("_q div _n") - m * m, lit(0L))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("dev_cents", c - m)
+      .where(col("dev_cents") * col("dev_cents") > lit(sigmas.toLong * sigmas) * v)
+      .drop("_n", "_s", "_q")
+  }
+
+  /** Time-weighted average of `valCol` per key: each reading is
+    * weighted by the µs gap to the key's NEXT reading (the standard
+    * step-function integral; the final reading has no span and drops
+    * out). One window pass on (key, time) order, then a per-key
+    * aggregate on the SAME key — Catalyst reuses the window exchange,
+    * so the whole operator costs one shuffle. Integer µs × integer
+    * value units throughout; `twa` floors to the value unit.
+    * Keys with a single reading have no weighted span and are omitted
+    * (den = 0). */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    df.withColumn("_us", unix_micros(col(tsCol)))
+      .withColumn("_dt", lead(col("_us"), 1).over(w) - col("_us"))
+      .where(col("_dt").isNotNull)
+      .groupBy(keyCol)
+      .agg(sum(col(valCol) * col("_dt")).as("_num"),
+        sum(col("_dt")).as("span_us"))
+      .where(col("span_us") > 0)
+      .select(col(keyCol), col("span_us"), expr("_num div span_us").as("twa"))
+  }
 }

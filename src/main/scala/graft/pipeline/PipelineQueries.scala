@@ -534,6 +534,38 @@ object PipelineQueries {
     // scenes, running scene_id — window partitioned by video
     "mm_scene_detect" -> ((s, d) =>
       MM.sceneDetect(MM.synthesizeVideo(docs(s, d))).orderBy("doc_id", "frame_idx")),
+    // Class-balance audit + inverse-frequency training weights over
+    // the labeled embedding corpus: weight_ppm = total·10⁶ ∕ (k·n) in
+    // floor arithmetic (the per-class weight that levels a skewed
+    // label mix). Per-class counts are one map-side-partial aggregate;
+    // the totals relation is ONE row, broadcast back — nothing big
+    // moves twice.
+    "label_balance" -> ((s, d) => {
+      val per = Tables.load(s, d, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      val tot = per.agg(sum("n_vecs").as("_t"), count(lit(1)).as("_k"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("weight_ppm", expr("_t * 1000000 div (_k * n_vecs)"))
+        .select("label", "n_vecs", "weight_ppm")
+        .orderBy("label")
+    }),
+    // Deterministic training-shard assignment: shard = md5(doc_id)
+    // folded to 60 bits, mod 16 — the content-independent hash split
+    // every epoch-reshuffle pipeline needs (stable across runs and
+    // engines, unlike hash()/xxhash64 whose seeds are Spark-private).
+    // The manifest (counts, char volume, id range per shard) is one
+    // aggregate; at 100 TB the same expression IS the partitionBy
+    // column for the sharded write — assignment never leaves codegen.
+    "shuffle_shard" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .withColumn("shard", expr(
+          // 15 hex chars = 60 bits: always non-negative in a long
+          "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), " +
+            "16, 10) as bigint) % 16"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("shard")),
   )
 
   /** Shared DuckDB vector helpers (double-precision sequential folds —
@@ -1617,6 +1649,16 @@ object PipelineQueries {
          |FROM hexed
          |WHERE ${ddHx("1", 4)} = '52494646' AND ${ddLei("25", 4)} > 0
          |ORDER BY doc_id""".stripMargin),
+    "label_balance" ->
+      """WITH p AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS _t, count(*) AS _k FROM p)
+        |SELECT label, n_vecs, _t * 1000000 // (_k * n_vecs) AS weight_ppm
+        |FROM p, t ORDER BY label""".stripMargin,
+    "shuffle_shard" ->
+      (s"""SELECT ${ddHex2Int("upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))")} % 16 AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin),
     // dedup_minhash_lsh, dedup_simhash, ann_ivf, dedup_embedding_ivf,
     // ann_quantized: rows-only (xxhash64 / float-mean centroids /
     // quantization-noise reordering have no portable SQL form) — no

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Tools
+
+/** Behavior + plan specs for the analytics-insight operators added in
+  * round 6 continuation: cube, retention cohorts, fixed histograms,
+  * integer-exact anomaly flags, time-weighted averages, label-balance
+  * weights and deterministic shard assignment. */
+class InsightsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  // ---- agg_cube -------------------------------------------------------
+
+  test("agg_cube: the four grouping levels are mutually consistent") {
+    val rows = q("agg_cube").collect()
+    def level(g: Long) = rows.filter(_.getAs[Long]("gid") == g)
+    val grand = level(3)
+    assert(grand.length == 1)
+    val total = grand.head.getAs[Long]("qty_cents")
+    val n = grand.head.getAs[Long]("n_rows")
+    // each partial level re-sums to the grand total
+    for (g <- Seq(0L, 1L, 2L)) {
+      assert(level(g).map(_.getAs[Long]("qty_cents")).sum == total, s"gid=$g sum")
+      assert(level(g).map(_.getAs[Long]("n_rows")).sum == n, s"gid=$g count")
+    }
+    // sentinel discipline: subtotal rows carry '(all)' exactly on the
+    // rolled-up column(s) the gid bits say are rolled up
+    assert(level(1).forall(r => r.getAs[String]("l_linestatus") == "(all)"
+      && r.getAs[String]("l_returnflag") != "(all)"))
+    assert(level(2).forall(r => r.getAs[String]("l_returnflag") == "(all)"
+      && r.getAs[String]("l_linestatus") != "(all)"))
+  }
+
+  test("agg_cube: all grouping sets ride ONE aggregate pass (single Expand, one shuffle)") {
+    val p = q("agg_cube").queryExecution.executedPlan.toString()
+    assert("Expand".r.findAllIn(p).size >= 1, p)
+    val shuffles = "(?<!Reused)(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"cube should cost exactly one hash shuffle:\n$p")
+  }
+
+  // ---- anomaly flags --------------------------------------------------
+
+  test("anomalyFlags: a planted outlier is flagged, constant groups never are") {
+    val df = (Seq.fill(50)(("steady", 100L)) ++ Seq(("steady", 99L), ("steady", 101L),
+        ("steady", 90000L)) ++ Seq.fill(20)(("flat", 777L)))
+      .zipWithIndex.map { case ((g, c), i) => (i.toLong, g, c) }
+      .toDF("event_id", "event_type", "c")
+    val out = Tools.anomalyFlags(df, "event_type", "c", sigmas = 3).collect()
+    assert(out.length == 1, out.mkString(", "))
+    assert(out.head.getAs[Long]("c") == 90000L)
+    // the flat group has v = 0 and dev = 0 for every row: never flagged
+    assert(!out.exists(_.getAs[String]("event_type") == "flat"))
+  }
+
+  test("anomaly_zscore: flagging pass is shuffle-free (stats broadcast beside the scan)") {
+    val p = q("anomaly_zscore").queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly one hash exchange: the per-type stats aggregate; the
+    // big-side scan reaches the join unshuffled
+    val shuffles = "(?<!Reused)(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected only the stats aggregate to shuffle:\n$p")
+  }
+
+  // ---- time-weighted average -----------------------------------------
+
+  test("timeWeightedAvg: hand-checked step integral; single-reading keys omitted") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val df = Seq(
+      (1L, at(0), 100L, 10L),   // 10 s at 100
+      (2L, at(10), 200L, 10L),  // 20 s at 200
+      (3L, at(30), 999L, 10L),  // terminal reading: no span
+      (4L, at(0), 5L, 20L)      // single reading: key omitted
+    ).toDF("event_id", "ts", "c", "user_id")
+    val out = Tools.timeWeightedAvg(df, "user_id", "ts", "c").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("user_id") == 10L)
+    assert(r.getAs[Long]("span_us") == 30000000L)
+    // (100*10 + 200*20) / 30 = 166 (floor)
+    assert(r.getAs[Long]("twa") == 166L)
+  }
+
+  test("time_weighted_avg: window and aggregate share one exchange on the key") {
+    val p = q("time_weighted_avg").queryExecution.executedPlan.toString()
+    val shuffles = "(?<!Reused)(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"groupBy(user_id) must reuse the window's partitioning:\n$p")
+  }
+
+  // ---- label balance --------------------------------------------------
+
+  test("label_balance: weights invert counts and cover every label") {
+    val rows = q("label_balance").collect()
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    val k = rows.length.toLong
+    for (r <- rows) {
+      val expect = total * 1000000L / (k * r.getAs[Long]("n_vecs"))
+      assert(r.getAs[Long]("weight_ppm") == expect)
+    }
+    // rarer labels never get a smaller weight
+    val sorted = rows.sortBy(_.getAs[Long]("n_vecs"))
+    val w = sorted.map(_.getAs[Long]("weight_ppm"))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b })
+  }
+
+  // ---- shuffle shard --------------------------------------------------
+
+  test("shuffle_shard: manifest partitions the corpus; assignment is run-stable") {
+    val rows = q("shuffle_shard").collect()
+    val nDocs = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("shard"); s >= 0 && s < 16 })
+    // deterministic: a second evaluation produces the identical manifest
+    val again = q("shuffle_shard").collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  // ---- retention / histogram ------------------------------------------
+
+  test("retention_cohorts: offsets are non-negative and day-0 covers every user") {
+    val rows = q("retention_cohorts").collect()
+    assert(rows.forall(_.getAs[Long]("day_offset") >= 0))
+    val users = graft.core.Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count()
+    val day0 = rows.filter(_.getAs[Long]("day_offset") == 0)
+      .map(_.getAs[Long]("n_users")).sum
+    assert(day0 == users, s"every user is active in their own cohort day: $day0 != $users")
+  }
+
+  test("histogram_fixed: bins tile the corpus exactly") {
+    val rows = q("histogram_fixed").collect()
+    val n = graft.core.Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == n)
+  }
+}
