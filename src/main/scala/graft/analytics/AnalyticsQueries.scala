@@ -565,6 +565,68 @@ object AnalyticsQueries {
             .withColumn("c", floor(col("value") * 100).cast("bigint")),
           "user_id", "ts", "c")
         .orderBy("user_id")),
+    // Exact discrete per-type value quantiles: window rank + a
+    // conditional max on the SAME key — one shuffle, no percentile
+    // buffer, integer rank arithmetic (portable; sketch path at scale
+    // is approx_percentile per the region_splitter convention)
+    "group_quantiles" -> ((s, d) =>
+      Tools.groupQuantiles(
+          Tables.load(s, d, "events")
+            .withColumn("c", floor(col("value") * 100).cast("bigint")),
+          "event_type", "c", "event_id", Seq(25, 50, 75, 95))
+        .orderBy("event_type")),
+    // Inverted-index posting-list audit over event_type: run counts
+    // say how RLE-compressible each value's bitmap is, density says
+    // whether a bitmap or an id list wins — the index-design readout
+    "bitmap_index_stats" -> ((s, d) =>
+      Tools.postingRunStats(Tables.load(s, d, "events"), "event_type", "event_id")
+        .orderBy("event_type")),
+    // Z-order clustering report: both lineitem dims normalized to
+    // 8-bit buckets against broadcast corpus bounds, Morton-interleaved
+    // (shifts+masks, all codegen), bucketed by the top 4+4 bits. Each
+    // z-bucket is provably a ≤16×16 tile in (part, supp) space —
+    // min/max zone maps on a layout SORTED by this key prune
+    // two-column predicates, which a single-column sort can never do
+    "zorder_layout" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      val b = li.agg(min("l_partkey").as("_lop"), max("l_partkey").as("_hip"),
+        min("l_suppkey").as("_los"), max("l_suppkey").as("_his"))
+      li.crossJoin(broadcast(b))
+        .withColumn("pa", graft.core.Layout.dimBucket(
+          col("l_partkey"), col("_lop"), col("_hip"), 8))
+        .withColumn("pb", graft.core.Layout.dimBucket(
+          col("l_suppkey"), col("_los"), col("_his"), 8))
+        .withColumn("zbucket",
+          shiftright(graft.core.Layout.mortonKey(col("pa"), col("pb"), 8), 8))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("pa").as("pa_min"), max("pa").as("pa_max"),
+          min("pb").as("pb_min"), max("pb").as("pb_max"))
+        .orderBy("zbucket")
+    }),
+    // Zone-map pruning audit: the same orders rows chunked two ways —
+    // key-order "files" vs date-partitioned files — each file reduced
+    // to its (min,max) date zone map, then a fixed quarter predicate
+    // replayed against the maps. The by-date layout scans exactly the
+    // quarter's files; the natural layout scans nearly all of them —
+    // the file-skipping argument for sort/partition keys, as data
+    "zone_map_prune" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val lo = lit("1996-07-01").cast("timestamp")
+      val hi = lit("1996-10-01").cast("timestamp")
+      val nat = o.withColumn("layout", lit("natural"))
+        .withColumn("file_id", expr("o_orderkey div 2000"))
+      val byDate = o.withColumn("layout", lit("by_date"))
+        .withColumn("file_id",
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("bigint"))
+      nat.unionByName(byDate)
+        .groupBy("layout", "file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("o_orderdate").as("zmin"), max("o_orderdate").as("zmax"))
+        .withColumn("scanned",
+          (col("zmin") < hi && col("zmax") >= lo).cast("bigint"))
+        .orderBy("layout", "file_id")
+    }),
   )
 
   private val C = "WITH " + Tables.customerCellsSql + "\n"
@@ -1139,5 +1201,59 @@ object AnalyticsQueries {
         |  FROM w WHERE dt IS NOT NULL GROUP BY 1)
         |SELECT user_id, span_us, num // span_us AS twa
         |FROM g WHERE span_us > 0 ORDER BY user_id""".stripMargin,
+    "group_quantiles" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |r AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = (25 * n + 99) // 100 THEN c END) AS p25,
+        |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN c END) AS p50,
+        |  max(CASE WHEN rn = (75 * n + 99) // 100 THEN c END) AS p75,
+        |  max(CASE WHEN rn = (95 * n + 99) // 100 THEN c END) AS p95
+        |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "bitmap_index_stats" ->
+      """WITH g AS (SELECT event_type, event_id,
+        |    event_id - lag(event_id) OVER (PARTITION BY event_type
+        |                                   ORDER BY event_id) AS gap
+        |  FROM events),
+        |a AS (SELECT event_type, count(*) AS n_rows,
+        |    min(event_id) AS min_id, max(event_id) AS max_id,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM g GROUP BY 1)
+        |SELECT event_type, n_rows, min_id, max_id, n_runs,
+        |  n_rows * 1000000 // (max_id - min_id + 1) AS density_ppm
+        |FROM a ORDER BY event_type""".stripMargin,
+    "zorder_layout" -> {
+      val morton = (0 until 8).map(i =>
+        s"((((pa >> $i) & 1) << ${2 * i + 1}) + (((pb >> $i) & 1) << ${2 * i}))")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT min(l_partkey) AS lop, max(l_partkey) AS hip,
+         |    min(l_suppkey) AS los, max(l_suppkey) AS his FROM lineitem),
+         |p AS (SELECT
+         |    CAST(floor((l_partkey - lop) * 256 / (hip - lop + 1)) AS BIGINT) AS pa,
+         |    CAST(floor((l_suppkey - los) * 256 / (his - los + 1)) AS BIGINT) AS pb
+         |  FROM lineitem, b),
+         |z AS (SELECT pa, pb, ($morton) >> 8 AS zbucket FROM p)
+         |SELECT zbucket, count(*) AS n_rows,
+         |  min(pa) AS pa_min, max(pa) AS pa_max,
+         |  min(pb) AS pb_min, max(pb) AS pb_max
+         |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
+    },
+    "zone_map_prune" ->
+      """WITH u AS (
+        |  SELECT 'natural' AS layout, o_orderkey // 2000 AS file_id, o_orderdate FROM orders
+        |  UNION ALL
+        |  SELECT 'by_date', CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT),
+        |         o_orderdate FROM orders),
+        |f AS (SELECT layout, file_id, count(*) AS n_rows,
+        |    min(o_orderdate) AS zmin, max(o_orderdate) AS zmax
+        |  FROM u GROUP BY 1, 2)
+        |SELECT layout, file_id, n_rows, zmin, zmax,
+        |  CAST(CASE WHEN zmin < TIMESTAMP '1996-10-01 00:00:00'
+        |             AND zmax >= TIMESTAMP '1996-07-01 00:00:00'
+        |            THEN 1 ELSE 0 END AS BIGINT) AS scanned
+        |FROM f ORDER BY layout, file_id""".stripMargin,
   )
 }

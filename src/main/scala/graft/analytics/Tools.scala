@@ -876,4 +876,46 @@ object Tools {
       .where(col("span_us") > 0)
       .select(col(keyCol), col("span_us"), expr("_num div span_us").as("twa"))
   }
+
+  /** Exact DISCRETE per-group quantiles without a percentile UDAF: the
+    * lower quantile is the value at 1-based rank ⌈p·n/100⌉ in (value,
+    * tie) order — one window pass, then a conditional-max aggregate on
+    * the SAME partition key, so Catalyst reuses the window's exchange
+    * (one shuffle total). Rank arithmetic is integer ((p·n+99) div
+    * 100), value stays in its own domain: no interpolation, no floats,
+    * bit-portable. The exact form buffers one group per task like any
+    * window — for sketched quantiles at 100 TB use approx_percentile
+    * (the region_splitter bench-path convention); this is the
+    * oracle-grade exact shape. */
+  def groupQuantiles(df: DataFrame, groupCol: String, valCol: String,
+                     tieCol: String, percents: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(percents.nonEmpty && percents.forall(p => p > 0 && p <= 100))
+    val ranked = df
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(col(valCol), col(tieCol))))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(groupCol)))
+    val aggs = percents.map(p =>
+      max(when(col("_rn") === expr(s"($p * _n + 99) div 100"), col(valCol)))
+        .as(s"p$p"))
+    ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Posting-list shape audit for a bitmap/inverted index over a
+    * low-cardinality column: per value, the id range, run count
+    * (maximal consecutive-id runs — the RLE container count a roaring
+    * bitmap would store) and density in ppm. One window lag in
+    * (value, id) order feeding an aggregate on the same key: a single
+    * shuffle sized by the VALUE cardinality, never by row count. */
+  def postingRunStats(df: DataFrame, valueCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(valueCol).orderBy(idCol)
+    df.withColumn("_gap", col(idCol) - lag(col(idCol), 1).over(w))
+      .groupBy(valueCol)
+      .agg(count(lit(1)).as("n_rows"),
+        min(idCol).as("min_id"), max(idCol).as("max_id"),
+        sum(when(col("_gap").isNull || col("_gap") > 1, 1L).otherwise(0L))
+          .as("n_runs"))
+      .withColumn("density_ppm", expr("n_rows * 1000000 div (max_id - min_id + 1)"))
+  }
 }

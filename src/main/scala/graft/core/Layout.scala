@@ -52,6 +52,28 @@ object Layout {
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .format("parquet").saveAsTable(table)
   }
+
+  import org.apache.spark.sql.Column
+
+  /** Normalize a numeric column to an integer bucket in [0, 2^bits)
+    * against broadcast corpus bounds `lo`/`hi`. floor((x·2^bits)/span)
+    * is exact while x·2^bits < 2^53 (double-exact integers — holds for
+    * any real key domain at bits ≤ 16); identical in DuckDB, so
+    * oracles rebuild the bucket bit-for-bit. */
+  def dimBucket(c: Column, lo: Column, hi: Column, bits: Int): Column =
+    floor(((c - lo) * lit(1L << bits)) / (hi - lo + lit(1))).cast("bigint")
+
+  /** Morton (Z-order) interleave of two `bits`-bit buckets: dim A takes
+    * the odd bit positions, dim B the even. Rows sorted by this key
+    * cluster in BOTH dimensions at once, so min/max zone maps prune
+    * two-column predicates — the multi-dimensional clustering
+    * OPTIMIZE ZORDER gives a lakehouse table, built from shifts and
+    * masks that stay inside whole-stage codegen. */
+  def mortonKey(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
 }
 
 /** Ensure-once side artifacts (secondary-index tables). HBase

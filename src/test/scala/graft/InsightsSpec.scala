@@ -136,4 +136,73 @@ class InsightsSpec extends SparkSpec {
     val n = graft.core.Tables.load(spark, sfDir, "events").count()
     assert(rows.map(_.getAs[Long]("n_events")).sum == n)
   }
+
+  // ---- group quantiles ------------------------------------------------
+
+  test("groupQuantiles: hand-checked ranks, monotone across percents, one shuffle") {
+    // n = 4: p25 -> rank 1, p50 -> rank 2, p75 -> rank 3, p95 -> rank 4
+    val df = Seq((1L, "g", 10L), (2L, "g", 20L), (3L, "g", 30L), (4L, "g", 40L))
+      .toDF("event_id", "t", "c")
+    val r = Tools.groupQuantiles(df, "t", "c", "event_id", Seq(25, 50, 75, 95))
+      .collect().head
+    assert((r.getAs[Long]("p25"), r.getAs[Long]("p50"),
+      r.getAs[Long]("p75"), r.getAs[Long]("p95")) == ((10L, 20L, 30L, 40L)))
+    val rows = q("group_quantiles").collect()
+    assert(rows.forall { x =>
+      val (a, b, c2, d2) = (x.getAs[Long]("p25"), x.getAs[Long]("p50"),
+        x.getAs[Long]("p75"), x.getAs[Long]("p95"))
+      a <= b && b <= c2 && c2 <= d2
+    })
+    val p = q("group_quantiles").queryExecution.executedPlan.toString()
+    val shuffles = "(?<!Reused)(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"aggregate must reuse the window exchange:\n$p")
+  }
+
+  // ---- bitmap index stats --------------------------------------------
+
+  test("postingRunStats: runs and density on a hand-built posting list") {
+    // ids 1,2,3 | 7 | 9,10 -> 3 runs, 6 rows over span 10 -> 600000 ppm
+    val df = Seq(1L, 2L, 3L, 7L, 9L, 10L).map(("a", _)).toDF("v", "id")
+    val r = Tools.postingRunStats(df, "v", "id").collect().head
+    assert(r.getAs[Long]("n_runs") == 3L)
+    assert(r.getAs[Long]("n_rows") == 6L)
+    assert(r.getAs[Long]("density_ppm") == 600000L)
+  }
+
+  // ---- z-order --------------------------------------------------------
+
+  test("mortonKey: interleave is exact and order-preserving on tiles") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L))
+      .toDF("a", "b")
+    val out = df.select(graft.core.Layout.mortonKey(col("a"), col("b"), 8).as("m"))
+      .collect().map(_.getLong(0))
+    // (1,0) -> bit 1, (0,1) -> bit 0, (255,255) -> 65535,
+    // (170,85): a=10101010₂ lands on odd bits {3,7,11,15} = 0x8888,
+    // b=01010101₂ on even bits {0,4,8,12} = 0x1111 -> 0x9999 = 39321
+    assert(out.toSeq == Seq(0L, 2L, 1L, 65535L, 39321L))
+  }
+
+  test("zorder_layout: every z-bucket is a bounded tile in both dimensions") {
+    val rows = q("zorder_layout").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("pa_max") - r.getAs[Long]("pa_min") <= 15L, r.toString)
+      assert(r.getAs[Long]("pb_max") - r.getAs[Long]("pb_min") <= 15L, r.toString)
+    }
+  }
+
+  // ---- zone maps ------------------------------------------------------
+
+  test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
+    val rows = q("zone_map_prune").collect()
+    val (byDate, natural) = rows.partition(_.getAs[String]("layout") == "by_date")
+    val scannedDate = byDate.filter(_.getAs[Long]("scanned") == 1L)
+    // exactly the three month-files of 1996 Q3 survive
+    assert(scannedDate.map(_.getAs[Long]("file_id")).sorted.toSeq ==
+      Seq(199607L, 199608L, 199609L))
+    // the key-ordered layout has dates smeared across every chunk:
+    // pruning saves (almost) nothing
+    val frac = natural.count(_.getAs[Long]("scanned") == 1L).toDouble / natural.length
+    assert(frac > 0.9, s"natural layout unexpectedly prunable: $frac")
+  }
 }
