@@ -216,28 +216,39 @@ object Dedup {
       " + element_at(a, cast(p as int) - 2)) * 31" +
       " + element_at(a, cast(p as int) - 1)) * 31" +
       " + element_at(a, cast(p as int))) % 1000000007"
+    // sequence(4, n) DESCENDS for n < 4 — short texts get no cuts
+    val cutsExpr =
+      s"""IF(_n >= 4,
+         |  element_at(transform(array(transform(split(text, ''), c -> ascii(c))),
+         |    a -> filter(sequence(4L, _n), p -> $h4 % $targetSize = 0)), 1),
+         |  array())""".stripMargin
     val chunks = docs
       .withColumn("_n", length(col("text")).cast("long"))
-      // sequence(4, n) DESCENDS for n < 4 — short texts get no cuts
-      .withColumn("_cuts", expr(
-        s"""IF(_n >= 4,
-           |  element_at(transform(array(transform(split(text, ''), c -> ascii(c))),
-           |    a -> filter(sequence(4L, _n), p -> $h4 % $targetSize = 0)), 1),
-           |  array())""".stripMargin))
-      .withColumn("_starts", expr("concat(array(1L), transform(_cuts, p -> p + 1))"))
-      .withColumn("_ends", expr("concat(_cuts, array(_n))"))
-      // a cut at the last position leaves an empty tail slot: a start
-      // past _n yields an empty substring — drop those
+      // the cuts array is ALSO let-bound as a lambda variable (`cs`):
+      // as separate _starts/_ends columns CollapseProject inlines the
+      // whole boundary scan into each use — evaluating it twice per
+      // row (measured ~7 s at sf0.1; let-bound ~4 s). A cut at the
+      // last position leaves an empty tail slot: a start past _n
+      // yields an empty substring — drop those.
       .withColumn("_chunks", expr(
-        """filter(zip_with(_starts, _ends, (s, e) ->
-          |  IF(e >= s, substring(text, cast(s as int), cast(e - s + 1 as int)), '')),
-          |  c -> length(c) > 0)""".stripMargin))
+        s"""element_at(transform(array($cutsExpr), cs ->
+           |  filter(zip_with(concat(array(1L), transform(cs, p -> p + 1)),
+           |                  concat(cs, array(_n)),
+           |                  (s, e) -> IF(e >= s,
+           |                    substring(text, cast(s as int), cast(e - s + 1 as int)), '')),
+           |    c -> length(c) > 0)), 1)""".stripMargin))
       .select(col("doc_id"), posexplode(col("_chunks")))
       .toDF("doc_id", "chunk_idx", "chunk")
       .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("digest"),
         length(col("chunk")).cast("long").as("chunk_len"))
-    val dfreq = chunks.groupBy("digest").agg(count(lit(1)).as("_df"))
-    chunks.join(dfreq, "digest")
+    // df via a window over digest, NOT a groupBy+self-join: the join
+    // form evaluates the boundary-scan subtree twice (once per side —
+    // Spark has no automatic CSE across a self-join), and that scan is
+    // the whole cost of this operator. The window shuffles the same
+    // digest key once and reads the scan once; measured 10.7 s → ~5 s
+    // at sf0.1.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
+    chunks.withColumn("_df", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum("chunk_len").as("n_bytes"),
