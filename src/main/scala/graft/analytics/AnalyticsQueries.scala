@@ -604,6 +604,38 @@ object AnalyticsQueries {
           min("pb").as("pb_min"), max("pb").as("pb_max"))
         .orderBy("zbucket")
     }),
+    // First-order Markov transition matrix over per-user event
+    // sequences: one lead() window on (user, time) order, then a
+    // count per (src, dst) and a per-src share in floor ppm (window
+    // over the TINY transition table, not the events). The
+    // session-flow readout funnels are a special case of.
+    "markov_transitions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.load(s, d, "events")
+        .withColumn("_next", lead(col("event_type"), 1).over(w))
+        .where(col("_next").isNotNull)
+        .groupBy(col("event_type").as("src"), col("_next").as("dst"))
+        .agg(count(lit(1)).as("n_trans"))
+        .withColumn("prob_ppm", expr(
+          "n_trans * 1000000 div sum(n_trans) OVER (PARTITION BY src)"))
+        .orderBy("src", "dst")
+    }),
+    // Market-basket co-occurrence: part pairs within an order via the
+    // order-key self-join — fanout is C(items-per-order, 2), bounded
+    // per order, so the pair table grows LINEARLY with orders (never
+    // quadratically with parts); top pairs by support with a
+    // deterministic tie order.
+    "basket_pairs" -> ((s, d) => {
+      val items = Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      items.as("a").join(items.as("b"), "l_orderkey")
+        .where(col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+        .limit(100)
+    }),
     // Zone-map pruning audit: the same orders rows chunked two ways —
     // key-order "files" vs date-partitioned files — each file reduced
     // to its (min,max) date zone map, then a fixed quarter predicate
@@ -1241,6 +1273,23 @@ object AnalyticsQueries {
          |  min(pb) AS pb_min, max(pb) AS pb_max
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "markov_transitions" ->
+      """WITH s AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, count(*) AS n_trans FROM s
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n_trans,
+        |  CAST(n_trans * 1000000 // sum(n_trans) OVER (PARTITION BY src) AS BIGINT) AS prob_ppm
+        |FROM c ORDER BY src, dst""".stripMargin,
+    "basket_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        |FROM i a JOIN i b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, p1, p2 LIMIT 100""".stripMargin,
     "zone_map_prune" ->
       """WITH u AS (
         |  SELECT 'natural' AS layout, o_orderkey // 2000 AS file_id, o_orderdate FROM orders

@@ -549,6 +549,30 @@ object PipelineQueries {
         .select("label", "n_vecs", "weight_ppm")
         .orderBy("label")
     }),
+    // Bigram LM counts / BPE merge candidates: the top-64 order-2
+    // token windows by count, heap-aggregated (never a global sort of
+    // the distinct-bigram table)
+    "text_bigrams" -> ((s, d) =>
+      graft.text.TextOps.bigramVocab(docs(s, d), 64).orderBy("rank")),
+    // Balanced per-class sample: every label downsampled to the
+    // smallest class's size, rows picked by md5(vec_id) order — a
+    // deterministic engine-portable "random" that two runs (and two
+    // engines) agree on. One window pass per label + a 1-row
+    // broadcast floor; the undersample-to-floor step of classifier
+    // training prep.
+    "sample_balanced" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, d, "embeddings").select("vec_id", "label")
+        .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
+      val floor0 = e.groupBy("label").agg(count(lit(1)).as("_n"))
+        .agg(min("_n").as("_k"))
+      e.withColumn("rn", row_number().over(
+          Window.partitionBy("label").orderBy("h", "vec_id")))
+        .crossJoin(broadcast(floor0))
+        .where(col("rn") <= col("_k"))
+        .select(col("label"), col("rn").cast("bigint").as("rn"), col("vec_id"))
+        .orderBy("label", "rn")
+    }),
     // Deterministic training-shard assignment: shard = md5(doc_id)
     // folded to 60 bits, mod 16 — the content-independent hash split
     // every epoch-reshuffle pipeline needs (stable across runs and
@@ -1649,6 +1673,30 @@ object PipelineQueries {
          |FROM hexed
          |WHERE ${ddHx("1", 4)} = '52494646' AND ${ddLei("25", 4)} > 0
          |ORDER BY doc_id""".stripMargin),
+    "text_bigrams" ->
+      """WITH d AS (SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
+        |  FROM documents),
+        |t AS (SELECT unnest(CASE WHEN len(w) >= 2 THEN
+        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+        |    ELSE [] END) AS bigram FROM d),
+        |c AS (SELECT bigram, count(*) AS cnt FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+        |r AS (SELECT bigram, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, bigram DESC) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, bigram DESC) AS cum FROM c)
+        |SELECT rank, bigram, cnt,
+        |  round(cnt / total, 4) AS pct, round(cum / total, 4) AS cum_pct
+        |FROM r, tot WHERE rank <= 64 ORDER BY rank""".stripMargin,
+    "sample_balanced" ->
+      """WITH e AS (SELECT vec_id, label, md5(CAST(vec_id AS VARCHAR)) AS h
+        |  FROM embeddings),
+        |k AS (SELECT min(cnt) AS _k FROM
+        |    (SELECT count(*) AS cnt FROM e GROUP BY label)),
+        |r AS (SELECT label, vec_id,
+        |    row_number() OVER (PARTITION BY label ORDER BY h, vec_id) AS rn
+        |  FROM e)
+        |SELECT label, CAST(rn AS BIGINT) AS rn, vec_id
+        |FROM r, k WHERE rn <= _k ORDER BY label, rn""".stripMargin,
     "label_balance" ->
       """WITH p AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
         |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS _t, count(*) AS _k FROM p)

@@ -137,6 +137,41 @@ object TextOps {
         round(col("_cum") / col("_total"), 4).as("cum_pct"))
   }
 
+  /** Bigram vocabulary: same heap-aggregate shape as [[vocabBuild]]
+    * (TopKStruct keeps ≤ k rows per partition; the distinct-bigram
+    * table never sorts globally) over order-2 token windows — the
+    * counts a bigram LM / BPE-merge-candidate pass starts from. Bigram
+    * extraction is one in-row transform over the token array: zero
+    * extra passes over text, the explode carries ~n tokens per doc
+    * exactly like the unigram path. */
+  def bigramVocab(docs: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.sim.TopKStruct
+    val counts = docs
+      .withColumn("w", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+      .select(explode(expr(
+        """IF(size(w) >= 2,
+          |  transform(sequence(1, size(w) - 1),
+          |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1))),
+          |  array())""".stripMargin)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val payload = struct(col("cnt").as("c"), col("bigram").as("t"))
+    val agg = ColumnBridge.column(
+      TopKStruct(ColumnBridge.expression(payload), k).toAggregateExpression())
+    val total = counts.agg(sum(col("cnt")).as("_total"))
+    counts.agg(agg.as("_top"))
+      .select(posexplode(col("_top")))
+      .select((col("pos") + 1).cast("bigint").as("rank"),
+        col("col.t").as("bigram"), col("col.c").as("cnt"))
+      .crossJoin(broadcast(total))
+      .withColumn("_cum", sum(col("cnt")).over(
+        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank"), col("bigram"), col("cnt"),
+        round(col("cnt") / col("_total"), 4).as("pct"),
+        round(col("_cum") / col("_total"), 4).as("cum_pct"))
+  }
+
   /** Blocklist gate (the C4 "badwords" filter — Raffel et al. 2020
     * §2.2 dropped any page containing a word from a fixed list): per
     * doc, total and distinct blocklist hits over the token stream and

@@ -191,6 +191,48 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  // ---- bigrams / balanced sample / markov / baskets -------------------
+
+  test("bigramVocab: hand-corpus counts; heap aggregate, no global sort of the counts") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val out = graft.text.TextOps.bigramVocab(docs, 10).collect()
+    // bigrams: a b (x3: twice in doc1, once in doc2), b a (x1), b c (x1)
+    val byToken = out.map(r => r.getAs[String]("bigram") -> r.getAs[Long]("cnt")).toMap
+    assert(byToken == Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    val p = q("text_bigrams").queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"counts table must never globally sort:\n$p")
+  }
+
+  test("sample_balanced: every class lands exactly at the smallest class's size") {
+    val rows = q("sample_balanced").collect()
+    val perLabel = rows.groupBy(_.getAs[Int]("label")).view.mapValues(_.length).toMap
+    val e = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val trueMin = e.groupBy("label").count().agg(min("count")).head().getLong(0)
+    assert(perLabel.values.toSet == Set(trueMin.toInt))
+    assert(perLabel.keySet.size ==
+      e.select("label").distinct().count().toInt, "every label survives")
+  }
+
+  test("markov_transitions: per-src probabilities sum to ~1e6 with floor slack") {
+    val rows = q("markov_transitions").collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[String]("src"))
+    for ((src, rs) <- bySrc) {
+      val total = rs.map(_.getAs[Long]("prob_ppm")).sum
+      assert(total <= 1000000L && total > 1000000L - rs.length,
+        s"$src prob mass $total")
+    }
+  }
+
+  test("basket_pairs: canonical pair order, bounded output, support positive") {
+    val rows = q("basket_pairs").collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    assert(rows.forall(r => r.getAs[Long]("p1") < r.getAs[Long]("p2")))
+    assert(rows.forall(_.getAs[Long]("n_orders") >= 1L))
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
