@@ -604,6 +604,53 @@ object AnalyticsQueries {
           min("pb").as("pb_min"), max("pb").as("pb_max"))
         .orderBy("zbucket")
     }),
+    // Small-file coalescing plan (lakehouse OPTIMIZE / bin-pack): the
+    // file manifest (metadata-scale — one row per file, never data
+    // rows) next-fit-packed into target-size write groups by a window
+    // cumsum; bin = (cum − bytes) div target, so every bin except
+    // possibly the last is ≥ target only via its final file. The
+    // window is a single-partition sort over the MANIFEST, the same
+    // deliberate metadata-scale shape as region_balancer.
+    "file_coalesce_plan" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = Tables.load(s, d, "orders")
+        .withColumn("file_id", expr("o_orderkey div 2000"))
+        .groupBy("file_id")
+        // floor per row THEN integer sum: a float sum's rounding could
+        // differ across engines' reduce orders before the floor
+        .agg(sum(floor(col("o_totalprice") * 100).cast("bigint")).as("bytes"))
+      val target = files.agg((floor(sum("bytes") / 5) + 1).cast("bigint").as("_t"))
+      val w = Window.orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      files.crossJoin(broadcast(target))
+        .withColumn("_cum", sum("bytes").over(w))
+        .withColumn("bin", expr("(_cum - bytes) div _t"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("bin_bytes"),
+          min("file_id").as("first_file"), max("file_id").as("last_file"))
+        .orderBy("bin")
+    }),
+    // Incremental aggregate maintenance: the lambda/streaming merge —
+    // a base aggregate (history) combined with a delta batch's partial
+    // aggregate by PURE partial-state algebra (counts add, sums add,
+    // mins min). The oracle computes the direct full aggregate: the
+    // merged result must be indistinguishable from recomputation,
+    // which is exactly the mergeability contract map-side partials
+    // and streaming state stores rely on.
+    "agg_incremental" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+        .withColumn("c", floor(col("value") * 100).cast("bigint"))
+      val cut = lit("2024-01-25 00:00:00").cast("timestamp")
+      def part(df: DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"))
+      part(e.where(col("ts") < cut))
+        .unionByName(part(e.where(col("ts") >= cut)))
+        .groupBy("user_id")
+        .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"),
+          min("first_ts").as("first_ts"), max("last_ts").as("last_ts"))
+        .orderBy("user_id")
+    }),
     // First-order Markov transition matrix over per-user event
     // sequences: one lead() window on (user, time) order, then a
     // count per (src, dst) and a per-src share in floor ppm (window
@@ -1273,6 +1320,23 @@ object AnalyticsQueries {
          |  min(pb) AS pb_min, max(pb) AS pb_max
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "file_coalesce_plan" ->
+      """WITH f AS (SELECT o_orderkey // 2000 AS file_id,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS bytes
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(floor(sum(bytes) / 5) + 1 AS BIGINT) AS _t FROM f),
+        |c AS (SELECT file_id, bytes,
+        |    CAST(sum(bytes) OVER (ORDER BY file_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM f)
+        |SELECT (cum - bytes) // _t AS bin, count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+        |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM c, t GROUP BY 1 ORDER BY bin""".stripMargin,
+    "agg_incremental" ->
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "markov_transitions" ->
       """WITH s AS (SELECT event_type AS src,
         |    lead(event_type) OVER (PARTITION BY user_id

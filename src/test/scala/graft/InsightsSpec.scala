@@ -233,6 +233,33 @@ class InsightsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("n_orders") >= 1L))
   }
 
+  // ---- coalesce plan / incremental agg --------------------------------
+
+  test("file_coalesce_plan: bins are contiguous, cover every file, near target size") {
+    val rows = q("file_coalesce_plan").collect()
+    assert(rows.nonEmpty)
+    // contiguous file ranges: each bin's first file follows the
+    // previous bin's last
+    val sorted = rows.sortBy(_.getAs[Long]("bin"))
+    for (Array(a, b) <- sorted.sliding(2).map(_.toArray).toSeq if a ne b)
+      assert(b.getAs[Long]("first_file") == a.getAs[Long]("last_file") + 1)
+    // next-fit: every bin except the last crosses target only via its
+    // final file -> bin_bytes - (any one file) < target; weaker easily
+    // checkable form: at most 6 bins for a /5 target
+    assert(rows.length <= 6, rows.mkString(", "))
+  }
+
+  test("agg_incremental: merged base+delta partials equal direct recomputation") {
+    val direct = graft.core.Tables.load(spark, sfDir, "events")
+      .withColumn("c", floor(col("value") * 100).cast("bigint"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("c").as("sum_cents"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .orderBy("user_id")
+    val merged = q("agg_incremental")
+    assert(merged.collect().toSeq == direct.collect().toSeq)
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
