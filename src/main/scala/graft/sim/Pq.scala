@@ -46,21 +46,40 @@ object Pq {
     * (sub, code, c_emb) structs. */
   private[sim] def codebooks(vectors: DataFrame, m: Int, dsub: Int,
                              ksub: Int, iters: Int): DataFrame = {
-    val rows = subRows(vectors, m, dsub)
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    // the kmeans iteration discipline (Ann.scala): WITHOUT pinning,
+    // round N's plan nests round N-1's whole training subtree, so the
+    // final evaluation replays the explode+aggregate chain once per
+    // round per reference — measured 6.0 s at sf0.1 for a 16k-row
+    // training relation. Pin the exploded rows once and each round's
+    // 1-row books; free pins as they're superseded.
+    val rows = subRows(vectors, m, dsub).localCheckpoint(true)
     var assigned = rows.withColumn("code", (col("vec_id") % ksub).cast("int"))
     var books: DataFrame = null
     for (_ <- 0 to iters) {
-      books = broadcast(assigned
+      val next = assigned
         .select(col("sub"), col("code"), posexplode(col("sv")))
         .groupBy("sub", "code", "pos").agg(avg(col("col")).as("v"))
         .groupBy("sub", "code")
         .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
         .select(col("sub"), col("code"), expr("transform(pv, x -> x.v)").as("c_emb"))
         .agg(sort_array(collect_list(struct(col("sub"), col("code"), col("c_emb"))))
-          .as("books")))
-      assigned = assignCodes(rows, books)
+          .as("books"))
+        .localCheckpoint(true)
+      if (books != null) CheckpointBridge.free(books)
+      books = next
+      assigned = assignCodes(rows, broadcast(books))
     }
-    books
+    // the trained codebooks are ONE row of a few KB: collapse to a
+    // driver-local relation (the ivf convention — zero pins left
+    // behind; callers can evaluate encode/ADC plans against it long
+    // after this method's pins are gone)
+    val spark = vectors.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(books.collect(): _*), books.schema)
+    CheckpointBridge.free(books)
+    CheckpointBridge.free(rows)
+    local
   }
 
   /** Nearest-codebook-entry assignment: per row, min (L2², code) over
