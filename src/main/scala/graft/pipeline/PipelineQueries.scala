@@ -549,6 +549,78 @@ object PipelineQueries {
         .select("label", "n_vecs", "weight_ppm")
         .orderBy("label")
     }),
+    // Classifier-eval AUC over the labeled embeddings (score = first
+    // component, positive = label ≥ 5) in the SCALABLE exact form: no
+    // global row ranking — scores quantize to integer ppm, pos/neg
+    // counts aggregate per distinct score, and the Mann-Whitney U sums
+    // over the tiny score-histogram with a window cumsum (ties count
+    // half, doubled to stay integer). auc_ppm is exact floor
+    // arithmetic end-to-end; the histogram, not the corpus, sorts.
+    "eval_auc" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, d, "embeddings")
+        .withColumn("score_ppm",
+          floor(element_at(col("embedding"), 1).cast("double") * 1000000)
+            .cast("bigint"))
+        .withColumn("pos", (col("label") >= 5).cast("bigint"))
+      val hist = e.groupBy("score_ppm")
+        .agg(sum("pos").as("pos_b"), sum(lit(1L) - col("pos")).as("neg_b"))
+      val w = Window.orderBy("score_ppm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("neg_below", sum("neg_b").over(w) - col("neg_b"))
+        .agg(sum("pos_b").as("n_pos"), sum("neg_b").as("n_neg"),
+          sum(expr("pos_b * (2 * neg_below + neg_b)")).as("_u2"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("_u2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
+    }),
+    // Confusion matrices at three decision thresholds in ONE aggregate
+    // pass (thresholds ride a literal explode, counts are conditional
+    // sums, ratios floor ppm) — the eval readout next to eval_auc
+    "eval_confusion" -> ((s, d) =>
+      Tables.load(s, d, "embeddings")
+        .withColumn("score_ppm",
+          floor(element_at(col("embedding"), 1).cast("double") * 1000000)
+            .cast("bigint"))
+        .withColumn("pos", (col("label") >= 5).cast("bigint"))
+        .select(col("score_ppm"), col("pos"),
+          explode(array(lit(-250000L), lit(0L), lit(250000L))).as("thresh"))
+        .groupBy("thresh")
+        .agg(sum(when(col("score_ppm") >= col("thresh"), col("pos"))
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score_ppm") >= col("thresh"), lit(1L) - col("pos"))
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score_ppm") < col("thresh"), col("pos"))
+            .otherwise(0L)).as("fn"),
+          sum(when(col("score_ppm") < col("thresh"), lit(1L) - col("pos"))
+            .otherwise(0L)).as("tn"))
+        .withColumn("precision_ppm",
+          expr("IF(tp + fp = 0, 0L, tp * 1000000 div (tp + fp))"))
+        .withColumn("recall_ppm",
+          expr("IF(tp + fn = 0, 0L, tp * 1000000 div (tp + fn))"))
+        .orderBy("thresh")),
+    // Sharded HLL NDV (Apache DataSketches via Spark's hll_* family):
+    // each shard builds a fixed-size sketch, shards merge by
+    // hll_union_agg — the mergeable-state pattern that replaces the
+    // exact distinct's full shuffle at 100 TB (bytes-per-shard
+    // constant, one tiny union reduce). rows-only: DuckDB's HLL is a
+    // different sketch; the spec asserts the estimate lands within 5%
+    // of exact NDV and that shard-merge ≡ whole-corpus sketch.
+    "sketch_hll_shards" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+        .withColumn("shard", pmod(col("l_orderkey"), lit(8)))
+      val shardSketches = li.groupBy("shard")
+        .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("sk"))
+      val merged = shardSketches
+        .agg(count(lit(1)).as("n_shards"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"))
+      val whole = li.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))").as("est_whole"),
+        countDistinct(col("l_orderkey")).as("exact_ndv"))
+      merged.crossJoin(whole)
+        .select(col("n_shards"), col("est_union"), col("est_whole"),
+          col("exact_ndv"))
+    }),
     // Bigram LM counts / BPE merge candidates: the top-64 order-2
     // token windows by count, heap-aggregated (never a global sort of
     // the distinct-bigram table)
@@ -1673,6 +1745,39 @@ object PipelineQueries {
          |FROM hexed
          |WHERE ${ddHx("1", 4)} = '52494646' AND ${ddLei("25", 4)} > 0
          |ORDER BY doc_id""".stripMargin),
+    "eval_auc" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS score_ppm,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos FROM embeddings),
+        |h AS (SELECT score_ppm, CAST(sum(pos) AS BIGINT) AS pos_b,
+        |    CAST(sum(1 - pos) AS BIGINT) AS neg_b FROM e GROUP BY 1),
+        |c AS (SELECT pos_b, neg_b,
+        |    CAST(sum(neg_b) OVER (ORDER BY score_ppm ROWS UNBOUNDED PRECEDING)
+        |         - neg_b AS BIGINT) AS neg_below FROM h),
+        |a AS (SELECT CAST(sum(pos_b) AS BIGINT) AS n_pos,
+        |    CAST(sum(neg_b) AS BIGINT) AS n_neg,
+        |    CAST(sum(pos_b * (2 * neg_below + neg_b)) AS BIGINT) AS u2 FROM c)
+        |SELECT n_pos, n_neg, u2 * 1000000 // (2 * n_pos * n_neg) AS auc_ppm
+        |FROM a""".stripMargin,
+    "eval_confusion" ->
+      """WITH e AS (SELECT
+        |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS score_ppm,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos FROM embeddings),
+        |t AS (SELECT CAST(unnest([-250000, 0, 250000]) AS BIGINT) AS thresh),
+        |j AS (SELECT thresh, score_ppm, pos FROM e, t),
+        |a AS (SELECT thresh,
+        |    CAST(sum(CASE WHEN score_ppm >= thresh THEN pos ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN score_ppm >= thresh THEN 1 - pos ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN score_ppm < thresh THEN pos ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN score_ppm < thresh THEN 1 - pos ELSE 0 END) AS BIGINT) AS tn
+        |  FROM j GROUP BY 1)
+        |SELECT thresh, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+        |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_ppm
+        |FROM a ORDER BY thresh""".stripMargin,
+    // sketch_hll_shards: rows-only (DuckDB's HLL is a different
+    // sketch implementation) — estimate accuracy + shard-merge
+    // equivalence are spec-asserted.
     "text_bigrams" ->
       """WITH d AS (SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
         |  FROM documents),

@@ -260,6 +260,51 @@ class InsightsSpec extends SparkSpec {
     assert(merged.collect().toSeq == direct.collect().toSeq)
   }
 
+  // ---- eval + sketches ------------------------------------------------
+
+  test("eval_auc: histogram U-statistic equals the naive pairwise AUC") {
+    // hand corpus with ties: pos scores {3,5,5}, neg {1,5,7}
+    val df = Seq((1L, 3L, 1L), (2L, 5L, 1L), (3L, 5L, 1L),
+      (4L, 1L, 0L), (5L, 5L, 0L), (6L, 7L, 0L))
+      .toDF("vec_id", "score_ppm", "pos")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("score_ppm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = df.groupBy("score_ppm")
+      .agg(sum("pos").as("pos_b"), sum(lit(1L) - col("pos")).as("neg_b"))
+      .withColumn("neg_below", sum("neg_b").over(w) - col("neg_b"))
+      .agg(sum(expr("pos_b * (2 * neg_below + neg_b)")).as("u2"))
+      .head().getLong(0)
+    // naive: sum over (pos, neg) pairs of 2*[s_p > s_n] + 1*[s_p = s_n]
+    val pos = Seq(3L, 5L, 5L); val neg = Seq(1L, 5L, 7L)
+    val naive = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(got == naive, s"u2 $got != naive $naive")
+    val r = q("eval_auc").collect().head
+    assert(r.getAs[Long]("auc_ppm") >= 0 && r.getAs[Long]("auc_ppm") <= 1000000)
+  }
+
+  test("eval_confusion: cells tile the corpus at every threshold; monotone recall") {
+    val rows = q("eval_confusion").collect().sortBy(_.getAs[Long]("thresh"))
+    val n = graft.core.Tables.load(spark, sfDir, "embeddings").count()
+    for (r <- rows)
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+        r.getAs[Long]("fn") + r.getAs[Long]("tn") == n)
+    // raising the threshold can only shrink recall
+    val rec = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(rec.zip(rec.tail).forall { case (a, b) => a >= b }, rec.toSeq.toString)
+  }
+
+  test("sketch_hll_shards: estimates land within 5% of exact; sharding is lossless-ish") {
+    val r = q("sketch_hll_shards").collect().head
+    val exact = r.getAs[Long]("exact_ndv").toDouble
+    assert(r.getAs[Long]("n_shards") == 8L)
+    for (c <- Seq("est_union", "est_whole")) {
+      val est = r.getAs[Long](c).toDouble
+      assert(math.abs(est - exact) / exact < 0.05, s"$c=$est exact=$exact")
+    }
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
