@@ -604,6 +604,27 @@ object AnalyticsQueries {
           min("pb").as("pb_min"), max("pb").as("pb_max"))
         .orderBy("zbucket")
     }),
+    // Partition-pruned read over a hive-partitioned layout: orders
+    // written once (ensure-once temp dir) partitioned by year-month,
+    // then the quarter filter resolves at PLANNING time against the
+    // directory tree — PartitionFilters in the scan, unmatched
+    // partitions never open (plan-asserted). The partition-layout
+    // half of the zone_map_prune story, executed rather than
+    // simulated; equals the direct unpartitioned aggregate (oracle).
+    "partition_prune" -> ((s, d) => {
+      val path = graft.core.Indexes.ensure(s, d, "part_orders") { target =>
+        Tables.load(s, d, "orders")
+          .withColumn("ym",
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+          .write.partitionBy("ym").mode("overwrite").parquet(target)
+      }
+      s.read.parquet(path)
+        .where(col("ym") >= 199607 && col("ym") <= 199609)
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+        .orderBy("ym")
+    }),
     // Small-file coalescing plan (lakehouse OPTIMIZE / bin-pack): the
     // file manifest (metadata-scale — one row per file, never data
     // rows) next-fit-packed into target-size write groups by a window
@@ -1320,6 +1341,13 @@ object AnalyticsQueries {
          |  min(pb) AS pb_min, max(pb) AS pb_max
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "partition_prune" ->
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE year(o_orderdate) * 100 + month(o_orderdate) BETWEEN 199607 AND 199609
+        |GROUP BY 1 ORDER BY ym""".stripMargin,
     "file_coalesce_plan" ->
       """WITH f AS (SELECT o_orderkey // 2000 AS file_id,
         |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS bytes

@@ -305,6 +305,18 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("partition_prune: the quarter filter is a PartitionFilter, not a data filter") {
+    val p = q("partition_prune").queryExecution.executedPlan.toString()
+    assert(p.contains("PartitionFilters") && p.matches("(?s).*PartitionFilters: \\[[^\\]]*ym[^\\]]*\\].*"),
+      s"ym must prune at planning time:\n$p")
+    // and the row count equals exactly the three months' worth
+    val n = q("partition_prune").collect().map(_.getAs[Long]("n_orders")).sum
+    val direct = graft.core.Tables.load(spark, sfDir, "orders")
+      .where(expr("year(o_orderdate) * 100 + month(o_orderdate) BETWEEN 199607 AND 199609"))
+      .count()
+    assert(n == direct)
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
