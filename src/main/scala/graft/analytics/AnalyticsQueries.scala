@@ -625,6 +625,30 @@ object AnalyticsQueries {
           sum(floor(col("o_totalprice") * 100).cast("bigint")).as("cents"))
         .orderBy("ym")
     }),
+    // Schema evolution audit: two dataset generations written with
+    // different schemas (v2 adds a column), read back as ONE relation
+    // via mergeSchema — the old generation's missing column null-fills
+    // at read time, no rewrite of history. The audit counts the
+    // back-filled nulls per generation; equals the direct split
+    // aggregate (oracle). The migration-without-backfill contract a
+    // 100 TB table depends on: schema changes must never rewrite data.
+    "schema_evolution" -> ((s, d) => {
+      val path = graft.core.Indexes.ensure(s, d, "schema_evo") { t =>
+        val o = Tables.load(s, d, "orders")
+        o.where(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(t + "/v=1")
+        o.where(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").parquet(t + "/v=2")
+      }
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy("v")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderpriority")).as("with_priority"),
+          sum(floor(col("o_totalprice") * 100).cast("bigint")).as("cents"))
+        .orderBy("v")
+    }),
     // Small-file coalescing plan (lakehouse OPTIMIZE / bin-pack): the
     // file manifest (metadata-scale — one row per file, never data
     // rows) next-fit-packed into target-size write groups by a window
@@ -1341,6 +1365,12 @@ object AnalyticsQueries {
          |  min(pb) AS pb_min, max(pb) AS pb_max
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "schema_evolution" ->
+      """SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS v,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS with_priority,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders GROUP BY 1 ORDER BY v""".stripMargin,
     "partition_prune" ->
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
         |  count(*) AS n_orders,

@@ -317,6 +317,15 @@ class InsightsSpec extends SparkSpec {
     assert(n == direct)
   }
 
+  test("schema_evolution: v1 rows null-fill the evolved column, v2 rows keep it") {
+    val rows = q("schema_evolution").collect().sortBy(_.getAs[Int]("v"))
+    assert(rows.length == 2)
+    val v1 = rows.head; val v2 = rows.last
+    assert(v1.getAs[Long]("with_priority") == 0L, "old generation must read as null")
+    assert(v2.getAs[Long]("with_priority") == v2.getAs[Long]("n_rows"),
+      "new generation keeps every value")
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
