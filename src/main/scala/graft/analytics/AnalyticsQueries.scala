@@ -625,6 +625,39 @@ object AnalyticsQueries {
           sum(floor(col("o_totalprice") * 100).cast("bigint")).as("cents"))
         .orderBy("ym")
     }),
+    // Star-schema rollup (the TPC-H Q5 shape): fact orders joined
+    // through customer → nation → region with EVERY dimension
+    // broadcast — the fact table reaches the final aggregate without
+    // a single join shuffle (plan-asserted: the only hash exchange is
+    // the group-by's). The plan every BI rollup on a 100 TB fact
+    // table must produce; revenue in exact cents.
+    "star_join_rollup" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .join(broadcast(Tables.load(s, d, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100).cast("bigint")).as("revenue_cents"))
+        .orderBy("r_name", "n_name")),
+    // Period-over-period movers: 1996 vs 1997 revenue per customer as
+    // two conditional sums in ONE pass over the fact (never two scans
+    // + a join), top movers by absolute delta with a deterministic
+    // tie order riding TakeOrderedAndProject
+    "period_delta_topn" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .withColumn("y", year(col("o_orderdate")))
+        .where(col("y").isin(1996, 1997))
+        .withColumn("cents", floor(col("o_totalprice") * 100).cast("bigint"))
+        .groupBy("o_custkey")
+        .agg(sum(when(col("y") === 1996, col("cents")).otherwise(0L)).as("rev_1996"),
+          sum(when(col("y") === 1997, col("cents")).otherwise(0L)).as("rev_1997"))
+        .withColumn("delta_cents", col("rev_1997") - col("rev_1996"))
+        .orderBy(abs(col("delta_cents")).desc, col("o_custkey"))
+        .limit(50)),
     // Schema evolution audit: two dataset generations written with
     // different schemas (v2 adds a column), read back as ONE relation
     // via mergeSchema — the old generation's missing column null-fills
@@ -1365,6 +1398,23 @@ object AnalyticsQueries {
          |  min(pb) AS pb_min, max(pb) AS pb_max
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "star_join_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY r_name, n_name""".stripMargin,
+    "period_delta_topn" ->
+      """WITH a AS (SELECT o_custkey,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1996
+        |      THEN CAST(floor(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_1996,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1997
+        |      THEN CAST(floor(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev_1997
+        |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1)
+        |SELECT o_custkey, rev_1996, rev_1997, rev_1997 - rev_1996 AS delta_cents
+        |FROM a ORDER BY abs(rev_1997 - rev_1996) DESC, o_custkey LIMIT 50""".stripMargin,
     "schema_evolution" ->
       """SELECT CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INT) AS v,
         |  count(*) AS n_rows,

@@ -326,6 +326,23 @@ class InsightsSpec extends SparkSpec {
       "new generation keeps every value")
   }
 
+  test("star_join_rollup: fact reaches the aggregate with zero join shuffles") {
+    val p = q("star_join_rollup").queryExecution.executedPlan.toString()
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"all dims broadcast:\n$p")
+    val shuffles = "(?<!Reused)(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"only the group-by may shuffle:\n$p")
+  }
+
+  test("period_delta_topn: one scan, conditional sums, TakeOrderedAndProject") {
+    val p = q("period_delta_topn").queryExecution.executedPlan.toString()
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), s"two-scan self-join formulation leaked:\n$p")
+    val rows = q("period_delta_topn").collect()
+    assert(rows.length == 50)
+    val deltas = rows.map(r => math.abs(r.getAs[Long]("delta_cents")))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b })
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
