@@ -625,6 +625,22 @@ object AnalyticsQueries {
           sum(floor(col("o_totalprice") * 100).cast("bigint")).as("cents"))
         .orderBy("ym")
     }),
+    // Data-quality gate over orders (expectation-suite shape): four
+    // predicate rules ride ONE aggregate pass (adding a rule costs an
+    // expression, not a scan), the uniqueness rule unions beside them
+    // with its distinct; one audit row per rule. NULL-evaluating
+    // predicates count as violations (unknown ≠ pass).
+    "dq_checks" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      Tools.dqAudit(o, Seq(
+          "orderkey_not_null" -> col("o_orderkey").isNotNull,
+          "totalprice_positive" -> (col("o_totalprice") > 0),
+          "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+          "date_in_range" ->
+            col("o_orderdate").between("1992-01-01", "2002-01-01")))
+        .unionByName(Tools.dqUnique(o, "o_orderkey", "orderkey_unique"))
+        .orderBy("rule")
+    }),
     // Star-schema rollup (the TPC-H Q5 shape): fact orders joined
     // through customer → nation → region with EVERY dimension
     // broadcast — the fact table reaches the final aggregate without
@@ -1398,6 +1414,25 @@ object AnalyticsQueries {
          |  min(pb) AS pb_min, max(pb) AS pb_max
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "dq_checks" ->
+      """WITH base AS (SELECT
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+        |    CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_tp,
+        |    CAST(sum(CASE WHEN NOT coalesce(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_st,
+        |    CAST(sum(CASE WHEN NOT coalesce(o_orderdate BETWEEN TIMESTAMP '1992-01-01 00:00:00'
+        |      AND TIMESTAMP '2002-01-01 00:00:00', FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_dt,
+        |    count(*) - count(DISTINCT o_orderkey) AS v_uq
+        |  FROM orders),
+        |rows_ AS (
+        |  SELECT 'orderkey_not_null' AS rule, n AS n_rows, v_nn AS n_violations FROM base
+        |  UNION ALL SELECT 'totalprice_positive', n, v_tp FROM base
+        |  UNION ALL SELECT 'status_in_domain', n, v_st FROM base
+        |  UNION ALL SELECT 'date_in_range', n, v_dt FROM base
+        |  UNION ALL SELECT 'orderkey_unique', n, v_uq FROM base)
+        |SELECT rule, n_rows, n_violations,
+        |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+        |FROM rows_ ORDER BY rule""".stripMargin,
     "star_join_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -901,6 +901,36 @@ object Tools {
     ranked.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Data-quality audit (the dbt-test / expectation-suite shape): every
+    * rule is a Column predicate evaluated as ONE conditional count in a
+    * single aggregate pass over the table — adding a rule costs an
+    * expression, never a scan. A NULL-evaluating predicate counts as a
+    * violation (unknown ≠ pass). Output one row per rule:
+    * (rule, n_rows, n_violations, pass). */
+  def dqAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "dqAudit needs at least one rule")
+    val aggs = rules.map { case (n, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v_$n") }
+    val stackArgs = rules.map { case (n, _) => s"'$n', `_v_$n`" }.mkString(", ")
+    df.agg(count(lit(1)).as("_n"), aggs: _*)
+      .select(col("_n").as("n_rows"), expr(
+        s"stack(${rules.size}, $stackArgs) as (rule, n_violations)"))
+      .withColumn("pass", (col("n_violations") === 0).cast("bigint"))
+      .select("rule", "n_rows", "n_violations", "pass")
+  }
+
+  /** Uniqueness rule as the same audit-row shape: violations = rows
+    * beyond the first per key (n − ndv, where ndv counts DISTINCT
+    * non-null keys — so every NULL-keyed row is a violation, matching
+    * the unknown-≠-pass convention of [[dqAudit]]). Needs its own
+    * aggregate (a distinct), so it unions beside dqAudit's single
+    * pass. */
+  def dqUnique(df: DataFrame, keyCol: String, ruleName: String): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col(keyCol))).as("n_violations"))
+      .select(lit(ruleName).as("rule"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0).cast("bigint").as("pass"))
+
   /** Posting-list shape audit for a bitmap/inverted index over a
     * low-cardinality column: per value, the id range, run count
     * (maximal consecutive-id runs — the RLE container count a roaring

@@ -343,6 +343,25 @@ class InsightsSpec extends SparkSpec {
     assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b })
   }
 
+  test("dqAudit: violations counted, NULL predicates violate, one aggregate pass") {
+    val df = Seq((Some(1L), 10.0), (None, -5.0), (Some(1L), 0.0))
+      .toDF("k", "price")
+    val audit = Tools.dqAudit(df, Seq(
+      "k_not_null" -> col("k").isNotNull,
+      "price_positive" -> (col("price") > 0),
+      // predicate NULL for the None row: must count as a violation
+      "k_positive" -> (col("k") > 0)))
+    val byRule = audit.collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
+    assert(byRule == Map("k_not_null" -> 1L, "price_positive" -> 2L, "k_positive" -> 1L))
+    // duplicates AND null keys violate: 3 rows, 1 distinct non-null key
+    val uq = Tools.dqUnique(df, "k", "k_unique").collect().head
+    assert(uq.getAs[Long]("n_violations") == 2L && uq.getAs[Long]("pass") == 0L)
+    // the predicate-rule pass is one aggregate over one scan: no joins
+    val p = audit.queryExecution.executedPlan.toString()
+    assert(!p.contains("Join"), p)
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
