@@ -621,6 +621,24 @@ object PipelineQueries {
         .select(col("n_shards"), col("est_union"), col("est_whole"),
           col("exact_ndv"))
     }),
+    // Sharded frequent-items sketch (DataSketches ApproxTopK via
+    // Spark's accumulate/combine/estimate family): per-shard sketch
+    // states merge associatively — constant bytes per shard, the
+    // heavy-hitters path that replaces an exact global groupBy at
+    // 100 TB. With cardinality (5 event types) far under the tracked
+    // budget the sketch is EXACT, so this one is full-oracle: the
+    // estimate must equal the plain count aggregate bit-for-bit.
+    "sketch_topk_shards" -> ((s, d) =>
+      Tables.load(s, d, "events")
+        .withColumn("shard", pmod(col("user_id"), lit(8)))
+        .groupBy("shard")
+        .agg(expr("approx_top_k_accumulate(event_type, 16)").as("st"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(st, 16), 5)")
+          .as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("event_type"),
+          col("e.count").cast("bigint").as("n_events"))
+        .orderBy("event_type")),
     // Bigram LM counts / BPE merge candidates: the top-64 order-2
     // token windows by count, heap-aggregated (never a global sort of
     // the distinct-bigram table)
@@ -1778,6 +1796,9 @@ object PipelineQueries {
     // sketch_hll_shards: rows-only (DuckDB's HLL is a different
     // sketch implementation) — estimate accuracy + shard-merge
     // equivalence are spec-asserted.
+    "sketch_topk_shards" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "text_bigrams" ->
       """WITH d AS (SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
         |  FROM documents),

@@ -295,6 +295,15 @@ class InsightsSpec extends SparkSpec {
     assert(rec.zip(rec.tail).forall { case (a, b) => a >= b }, rec.toSeq.toString)
   }
 
+  test("sketch_topk_shards: shard-merged sketch is exact under the tracked budget") {
+    val got = q("sketch_topk_shards").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_events")).toMap
+    val exact = graft.core.Tables.load(spark, sfDir, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    assert(got == exact, s"sketch must be exact at this cardinality: $got vs $exact")
+  }
+
   test("sketch_hll_shards: estimates land within 5% of exact; sharding is lossless-ish") {
     val r = q("sketch_hll_shards").collect().head
     val exact = r.getAs[Long]("exact_ndv").toDouble
