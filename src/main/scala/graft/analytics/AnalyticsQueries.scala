@@ -625,6 +625,39 @@ object AnalyticsQueries {
           sum(floor(col("o_totalprice") * 100).cast("bigint")).as("cents"))
         .orderBy("ym")
     }),
+    // Exact per-group mode: (group, value) counts then a row_number
+    // pick with a deterministic tie order (highest count, then
+    // lexicographically smallest value) — two aggregates on nested
+    // keys, the window only ranks the tiny count table
+    "agg_mode" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy("o_orderstatus")
+            .orderBy(col("cnt").desc, col("o_orderpriority"))))
+        .where(col("_rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("cnt"))
+        .orderBy("o_orderstatus")
+    }),
+    // RANGE-frame rolling window: trailing-7-day revenue per order
+    // day — the frame is VALUE-based (epoch-day range), not row-based,
+    // so gap days shorten the window exactly as a calendar would. The
+    // raw table aggregates to per-day rows first; the range window
+    // runs over that metadata-scale day table only.
+    "rolling_range_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byDay = Tables.load(s, d, "orders")
+        .withColumn("day", datediff(col("o_orderdate"),
+          lit("1992-01-01").cast("timestamp")).cast("bigint"))
+        .groupBy("day")
+        .agg(sum(floor(col("o_totalprice") * 100).cast("bigint")).as("day_cents"))
+      byDay.withColumn("rev_7d_cents",
+          sum("day_cents").over(Window.orderBy("day").rangeBetween(-6, 0)))
+        .orderBy("day")
+    }),
     // Data-quality gate over orders (expectation-suite shape): four
     // predicate rules ride ONE aggregate pass (adding a rule costs an
     // expression, not a scan), the uniqueness rule unions beside them
@@ -1414,6 +1447,22 @@ object AnalyticsQueries {
          |  min(pb) AS pb_min, max(pb) AS pb_max
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY cnt DESC, o_orderpriority) AS rn FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "rolling_range_window" ->
+      """WITH d AS (SELECT
+        |    CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS BIGINT) AS day,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS day_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, day_cents,
+        |  CAST(sum(day_cents) OVER (ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rev_7d_cents
+        |FROM d ORDER BY day""".stripMargin,
     "dq_checks" ->
       """WITH base AS (SELECT
         |    count(*) AS n,

@@ -371,6 +371,29 @@ class InsightsSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("rolling_range_window: value-based frame honors calendar gaps") {
+    // days 1,2,9: the day-9 trailing-7 window must NOT include day 1/2
+    val df = Seq((1L, 10L), (2L, 20L), (9L, 40L)).toDF("day", "day_cents")
+    import org.apache.spark.sql.expressions.Window
+    val out = df.withColumn("rev_7d_cents",
+        sum("day_cents").over(Window.orderBy("day").rangeBetween(-6, 0)))
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("rev_7d_cents")).toMap
+    assert(out == Map(1L -> 10L, 2L -> 30L, 9L -> 40L), out.toString)
+  }
+
+  test("agg_mode: the pick is the max-count value with the smallest-value tie-break") {
+    val rows = q("agg_mode").collect()
+    val counts = graft.core.Tables.load(spark, sfDir, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .groupBy(_.getAs[String]("o_orderstatus"))
+    for (r <- rows) {
+      val g = counts(r.getAs[String]("o_orderstatus"))
+        .map(x => (x.getAs[String]("o_orderpriority"), x.getAs[Long]("count")))
+      val best = g.minBy { case (p, c) => (-c, p) }
+      assert((r.getAs[String]("mode_priority"), r.getAs[Long]("cnt")) == best)
+    }
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
