@@ -151,6 +151,24 @@ object SnapshotQueries {
         .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 4).as("sum_qty"))
         .orderBy("o_orderkey")
     }),
+    // Exchange-free AGGREGATE on the bucketed layout (the other half
+    // of the co-located story bucket_join tells for joins): grouping
+    // by the bucket key, the scan's hash distribution already
+    // satisfies the aggregate — zero hash exchanges in the plan
+    // (asserted in spec; the orderBy's range exchange over the result
+    // is the only shuffle). At 100 TB this is the difference between
+    // re-shuffling the fact table per rollup and reading it in place.
+    "bucket_agg" -> ((s, d) => {
+      val sfx = Integer.toHexString(d.hashCode)
+      val lt = s"lineitem_bkt_$sfx"
+      Layout.ensureBucketed(Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_quantity"), "l_orderkey", 8, lt)(s)
+      s.table(lt)
+        .where(col("l_orderkey") < 5000)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("l_orderkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -191,6 +209,11 @@ object SnapshotQueries {
         |       round(sum(l_quantity), 4) AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin,
+    "bucket_agg" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |       round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem WHERE l_orderkey < 5000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "major_compaction" ->
       ("WITH " + Tables.eventCellsSql + s""",
          |af AS (SELECT * FROM vcells WHERE NOT (rowkey % 11 = 0 AND qualifier = 'click')),

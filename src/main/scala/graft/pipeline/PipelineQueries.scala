@@ -621,6 +621,28 @@ object PipelineQueries {
         .select(col("n_shards"), col("est_union"), col("est_whole"),
           col("exact_ndv"))
     }),
+    // GDPR-style pseudonymization with referential integrity: the
+    // customer key is replaced by a salted-md5 token in BOTH tables
+    // (deterministic — same key, same token, run after run), so
+    // foreign keys still join and aggregates still roll up while the
+    // raw identifier never leaves the scan projection. The segment
+    // revenue computed ONLY through tokens must equal the direct
+    // keyed join (oracle).
+    "pseudonymize_keys" -> ((s, d) => {
+      val tok = (c: org.apache.spark.sql.Column) =>
+        md5(concat(lit("graft-salt-v1:"), c.cast("string")).cast("binary"))
+      val cust = Tables.load(s, d, "customer")
+        .select(tok(col("c_custkey")).as("c_tok"), col("c_mktsegment"))
+      val ords = Tables.load(s, d, "orders")
+        .select(tok(col("o_custkey")).as("o_tok"),
+          floor(col("o_totalprice") * 100).cast("bigint").as("cents"))
+      ords.join(cust, col("o_tok") === col("c_tok"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_tok")).as("n_tokens"),
+          sum("cents").as("revenue_cents"))
+        .orderBy("c_mktsegment")
+    }),
     // Sharded frequent-items sketch (DataSketches ApproxTopK via
     // Spark's accumulate/combine/estimate family): per-shard sketch
     // states merge associatively — constant bytes per shard, the
@@ -1799,6 +1821,16 @@ object PipelineQueries {
     "sketch_topk_shards" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "pseudonymize_keys" ->
+      """WITH c AS (SELECT md5('graft-salt-v1:' || CAST(c_custkey AS VARCHAR)) AS c_tok,
+        |    c_mktsegment FROM customer),
+        |o AS (SELECT md5('graft-salt-v1:' || CAST(o_custkey AS VARCHAR)) AS o_tok,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |  count(DISTINCT o_tok) AS n_tokens,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM o JOIN c ON o_tok = c_tok
+        |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
     "text_bigrams" ->
       """WITH d AS (SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS w
         |  FROM documents),

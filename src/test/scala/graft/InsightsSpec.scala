@@ -394,6 +394,26 @@ class InsightsSpec extends SparkSpec {
     }
   }
 
+  test("bucket_agg: grouping by the bucket key needs zero hash exchanges") {
+    val p = q("bucket_agg").queryExecution.executedPlan.toString()
+    val hashEx = "(?<!Reused)(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 0, s"bucketed scan must satisfy the aggregate's distribution:\n$p")
+  }
+
+  test("pseudonymize_keys: tokens are deterministic and keep referential integrity") {
+    val rows = q("pseudonymize_keys").collect()
+    val direct = graft.core.Tables.load(spark, sfDir, "orders")
+      .join(graft.core.Tables.load(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_tokens"),
+        sum(floor(col("o_totalprice") * 100).cast("bigint")).as("revenue_cents"))
+      .orderBy("c_mktsegment").collect()
+    assert(rows.toSeq.map(_.toString) == direct.toSeq.map(_.toString),
+      "token join must reproduce the raw-key join exactly")
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
