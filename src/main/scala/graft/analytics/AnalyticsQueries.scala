@@ -625,6 +625,32 @@ object AnalyticsQueries {
           sum(floor(col("o_totalprice") * 100).cast("bigint")).as("cents"))
         .orderBy("ym")
     }),
+    // Watermark-lag audit: how out-of-order is the stream? Arrival
+    // time = event time + deterministic ±5 min network jitter (the
+    // Knuth-hash of event_id — the generator's events are perfectly
+    // time-sorted, so the jitter IS the modeled transport disorder);
+    // each event's lag behind the running event-time max within its
+    // 10-minute arrival window, histogrammed in minute bins. THE
+    // statistic that sizes a withWatermark bound: the tail bin is the
+    // lateness to tolerate. Windows partition by arrival bucket —
+    // bounded state, no global sort, the same reason a real watermark
+    // is tracked per source partition.
+    "watermark_lag_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("bucket").orderBy("arr_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events")
+        .withColumn("_us", unix_micros(col("ts")))
+        .withColumn("arr_us", col("_us") + expr(
+          "pmod((event_id % 2147483648) * 2654435761, 600000000) - 300000000"))
+        .withColumn("bucket", expr("arr_us div 600000000"))
+        .withColumn("_runmax", max(col("_us")).over(w))
+        .withColumn("lag_s", expr("greatest(_runmax - _us, 0L) div 1000000"))
+        .withColumn("lag_bin", expr("lag_s div 60"))
+        .groupBy("lag_bin")
+        .agg(count(lit(1)).as("n_events"), max("lag_s").as("max_lag_s"))
+        .orderBy("lag_bin")
+    }),
     // Exact per-group mode: (group, value) counts then a row_number
     // pick with a deterministic tie order (highest count, then
     // lexicographically smallest value) — two aggregates on nested
@@ -1447,6 +1473,20 @@ object AnalyticsQueries {
          |  min(pb) AS pb_min, max(pb) AS pb_max
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "watermark_lag_audit" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) + ((event_id % 2147483648) * 2654435761) % 600000000
+        |      - 300000000 AS arr_us
+        |  FROM events),
+        |b AS (SELECT event_id, us, arr_us,
+        |    arr_us // 600000000 AS bucket FROM e),
+        |r AS (SELECT us,
+        |    max(us) OVER (PARTITION BY bucket ORDER BY arr_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS runmax FROM b),
+        |l AS (SELECT greatest(runmax - us, 0) // 1000000 AS lag_s FROM r)
+        |SELECT lag_s // 60 AS lag_bin, count(*) AS n_events,
+        |  max(lag_s) AS max_lag_s
+        |FROM l GROUP BY 1 ORDER BY lag_bin""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |  FROM orders GROUP BY 1, 2),

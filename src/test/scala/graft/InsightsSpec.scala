@@ -414,6 +414,17 @@ class InsightsSpec extends SparkSpec {
       "token join must reproduce the raw-key join exactly")
   }
 
+  test("watermark_lag_audit: lags tile the corpus and stay under the jitter bound") {
+    val rows = q("watermark_lag_audit").collect()
+    val n = graft.core.Tables.load(spark, sfDir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == n)
+    // ±5 min jitter within 10-min arrival windows can never produce a
+    // lag past 10 minutes
+    assert(rows.forall(_.getAs[Long]("max_lag_s") < 600L))
+    // and the modeled disorder is real: some events lag at least a minute
+    assert(rows.exists(r => r.getAs[Long]("lag_bin") >= 1L))
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
