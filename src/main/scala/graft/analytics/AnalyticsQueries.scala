@@ -625,6 +625,51 @@ object AnalyticsQueries {
           sum(floor(col("o_totalprice") * 100).cast("bigint")).as("cents"))
         .orderBy("ym")
     }),
+    // NEAREST temporal join (sensor alignment): every 97th event
+    // matched to the closest purchase of the same user — backward asof
+    // + a second asof over negated µs (backward on −t IS forward on
+    // t), resolved by a projection; ties go to the earlier quote. Two
+    // single-shuffle passes, never a per-key range join.
+    "asof_nearest" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+      val probes = e.where(col("event_id") % 97 === 0)
+        .select("event_id", "user_id", "us")
+      val quotes = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("qid"), col("user_id"), col("us"))
+      graft.core.AsofJoin
+        .asofNearest(probes, quotes, "user_id", "us", "event_id", "qid")
+        .select(col("event_id"), col("user_id"),
+          col("nn_id").as("nn_event"), col("dt_us"))
+        .orderBy("event_id")
+    }),
+    // Interval-union coverage (gaps-and-islands): each event opens a
+    // ±30 min activity interval; overlapping intervals merge into
+    // islands via the classic start-vs-running-max-end test, then one
+    // aggregate per island and one per user. Every window partitions
+    // by user — bounded state, integer µs end-to-end.
+    "interval_islands" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val half = 1800L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+      val e = Tables.load(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("s", col("us") - half)
+        .withColumn("en", col("us") + half)
+        .withColumn("_prev_max_en", max("en").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("_new", when(col("_prev_max_en").isNull ||
+          col("s") > col("_prev_max_en"), 1L).otherwise(0L))
+        .withColumn("island", sum("_new").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy("user_id", "island")
+        .agg(min("s").as("_is"), max("en").as("_ie"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          expr("sum(_ie - _is) div 1000000").as("covered_s"),
+          expr("max(_ie - _is) div 1000000").as("longest_s"))
+        .orderBy("user_id")
+    }),
     // Watermark-lag audit: how out-of-order is the stream? Arrival
     // time = event time + deterministic ±5 min network jitter (the
     // Knuth-hash of event_id — the generator's events are perfectly
@@ -1473,6 +1518,49 @@ object AnalyticsQueries {
          |  min(pb) AS pb_min, max(pb) AS pb_max
          |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin
     },
+    "asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        |  WHERE event_id % 97 = 0),
+        |q AS (SELECT user_id, event_id AS qid, epoch_us(ts) AS qt FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, p.user_id, p.t,
+        |    bb.qid AS b_id, bb.qt AS b_t, ff.qid AS f_id, ff.qt AS f_t
+        |  FROM p
+        |  LEFT JOIN LATERAL (SELECT qid, qt FROM q
+        |    WHERE q.user_id = p.user_id AND qt <= p.t
+        |    ORDER BY qt DESC, qid DESC LIMIT 1) bb ON TRUE
+        |  LEFT JOIN LATERAL (SELECT qid, qt FROM q
+        |    WHERE q.user_id = p.user_id AND qt >= p.t
+        |    ORDER BY qt ASC, qid DESC LIMIT 1) ff ON TRUE)
+        |SELECT event_id, user_id,
+        |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+        |       WHEN f_id IS NULL THEN b_id
+        |       WHEN b_id IS NULL THEN f_id
+        |       WHEN t - b_t <= f_t - t THEN b_id ELSE f_id END AS nn_event,
+        |  CASE WHEN b_id IS NULL AND f_id IS NULL THEN NULL
+        |       WHEN f_id IS NULL THEN t - b_t
+        |       WHEN b_id IS NULL THEN f_t - t
+        |       ELSE least(t - b_t, f_t - t) END AS dt_us
+        |FROM j ORDER BY event_id""".stripMargin,
+    "interval_islands" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(ts) - 1800000000 AS s,
+        |    epoch_us(ts) + 1800000000 AS en FROM events),
+        |m AS (SELECT user_id, event_id, s, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM e),
+        |n AS (SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max
+        |    THEN 1 ELSE 0 END AS newi FROM m),
+        |i AS (SELECT user_id, s, en,
+        |    CAST(sum(newi) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island FROM n),
+        |g AS (SELECT user_id, island, min(s) AS i_s, max(en) AS i_e
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(i_e - i_s) AS BIGINT) // 1000000 AS covered_s,
+        |  CAST(max(i_e - i_s) AS BIGINT) // 1000000 AS longest_s
+        |FROM g GROUP BY 1 ORDER BY user_id""".stripMargin,
     "watermark_lag_audit" ->
       """WITH e AS (SELECT event_id, epoch_us(ts) AS us,
         |    epoch_us(ts) + ((event_id % 2147483648) * 2654435761) % 600000000

@@ -50,4 +50,39 @@ object AsofJoin {
       .where(col("_tag") === 1)
       .select((pcols.map(col) :+ col("_last")): _*)
   }
+
+  /** NEAREST-neighbor temporal join (sensor alignment): for each probe,
+    * the quote minimizing |Δt| — built as the backward [[asof]] plus a
+    * second asof over NEGATED integer timestamps (backward on -t is
+    * forward on t), joined on the probe id and resolved by a pure
+    * projection. Two single-shuffle passes, never a per-key range join.
+    * Ties (equal |Δt|) resolve backward (the earlier quote); equal-ts
+    * quotes are reachable from both sides.
+    *
+    * @param tsUs   integer (µs) event-time column name in both inputs
+    * @param probeId unique probe id column (join key between passes)
+    * @param quoteId unique quote id column (returned). */
+  def asofNearest(probes: DataFrame, quotes: DataFrame, key: String,
+                  tsUs: String, probeId: String, quoteId: String): DataFrame = {
+    val back = asof(probes, quotes, key, tsUs, Seq(quoteId))
+      .select(col(probeId), col("_last").as("_b"))
+    val fwd = asof(
+        probes.withColumn(tsUs, -col(tsUs)),
+        quotes.withColumn(tsUs, -col(tsUs)), key, tsUs, Seq(quoteId))
+      .select(col(probeId), col("_last").as("_f"))
+    probes.join(back, probeId).join(fwd, probeId)
+      .withColumn("_bdt", col(tsUs) - col(s"_b.$tsUs"))
+      .withColumn("_fdt", -col(s"_f.$tsUs") - col(tsUs))
+      .withColumn("nn_id",
+        when(col("_b").isNull && col("_f").isNull, lit(null))
+          .when(col("_f").isNull, col(s"_b.$quoteId"))
+          .when(col("_b").isNull, col(s"_f.$quoteId"))
+          .when(col("_bdt") <= col("_fdt"), col(s"_b.$quoteId"))
+          .otherwise(col(s"_f.$quoteId")))
+      .withColumn("dt_us",
+        when(col("_f").isNull, col("_bdt"))
+          .when(col("_b").isNull, col("_fdt"))
+          .otherwise(least(col("_bdt"), col("_fdt"))))
+      .drop("_b", "_f", "_bdt", "_fdt")
+  }
 }

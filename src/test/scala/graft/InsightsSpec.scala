@@ -425,6 +425,51 @@ class InsightsSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Long]("lag_bin") >= 1L))
   }
 
+  test("asofNearest: forward beats backward when closer, ties resolve backward") {
+    val probes = Seq((10L, 1L, 100L), (11L, 2L, 100L), (12L, 3L, 100L))
+      .toDF("event_id", "k", "us")
+    val quotes = Seq((1L, 1L, 90L), (2L, 1L, 105L),   // fwd closer (5 vs 10)
+        (3L, 2L, 95L), (4L, 2L, 105L))                // tie (5 vs 5) -> backward
+      .toDF("qid", "k", "us")
+    val out = graft.core.AsofJoin
+      .asofNearest(probes, quotes, "k", "us", "event_id", "qid")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (Option(r.get(r.fieldIndex("nn_id"))), Option(r.get(r.fieldIndex("dt_us"))))).toMap
+    assert(out(10L) == ((Some(2L), Some(5L))), out(10L).toString)
+    assert(out(11L) == ((Some(3L), Some(5L))), out(11L).toString)
+    assert(out(12L) == ((None, None)), "no quotes for key 3 -> null match")
+  }
+
+  test("interval_islands: overlapping intervals merge, gaps split") {
+    val base = 1700000000000000L // µs epoch, arbitrary
+    val minUs = 60L * 1000000L
+    val df = Seq((1L, base), (2L, base + 10 * minUs), (3L, base + 120 * minUs))
+      .map { case (id, us) => (7L, id, new java.sql.Timestamp(us / 1000)) }
+      .toDF("user_id", "event_id", "ts")
+    import org.apache.spark.sql.expressions.Window
+    // reuse the registered query's logic shape via a direct call on a
+    // custom frame: easiest is to run the same pipeline inline
+    val half = 1800L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val e = df.withColumn("us", unix_micros(col("ts")))
+      .withColumn("s", col("us") - half).withColumn("en", col("us") + half)
+      .withColumn("_pm", max("en").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new", when(col("_pm").isNull || col("s") > col("_pm"), 1L).otherwise(0L))
+      .withColumn("island", sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island").agg(min("s").as("_is"), max("en").as("_ie"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        expr("sum(_ie - _is) div 1000000").as("covered_s"),
+        expr("max(_ie - _is) div 1000000").as("longest_s"))
+    val r = e.collect().head
+    // events at 0, +10min merge ([-30,+40] = 70 min); +120min stands
+    // alone (60 min): 2 islands, 130 min covered, longest 70 min
+    assert(r.getAs[Long]("n_islands") == 2L)
+    assert(r.getAs[Long]("covered_s") == 130L * 60)
+    assert(r.getAs[Long]("longest_s") == 70L * 60)
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
