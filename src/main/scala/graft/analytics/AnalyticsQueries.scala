@@ -696,6 +696,29 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_events"), max("lag_s").as("max_lag_s"))
         .orderBy("lag_bin")
     }),
+    // Equi-depth histogram (the ANALYZE / optimizer-statistics shape,
+    // dual of histogram_fixed's equi-width): 8 buckets of ~equal row
+    // count over order price cents. Scalable form: counts per DISTINCT
+    // value, a cumsum window over that (small) value table, bucket =
+    // cum_before·B div n — rows never sort globally, ties stay in one
+    // bucket (buckets wobble exactly where duplicates force them to).
+    "histogram_equi_depth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val B = 8
+      val vals = Tables.load(s, d, "orders")
+        .withColumn("c", floor(col("o_totalprice") * 100).cast("bigint"))
+        .groupBy("c").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      vals
+        .withColumn("_cum_before", sum("cnt").over(w) - col("cnt"))
+        .crossJoin(broadcast(vals.agg(sum("cnt").as("_n"))))
+        .withColumn("bucket", expr(s"_cum_before * $B div _n"))
+        .groupBy("bucket")
+        .agg(min("c").as("lo_cents"), max("c").as("hi_cents"),
+          sum("cnt").as("n_rows"))
+        .orderBy("bucket")
+    }),
     // Exact per-group mode: (group, value) counts then a row_number
     // pick with a deterministic tie order (highest count, then
     // lexicographically smallest value) — two aggregates on nested
@@ -1575,6 +1598,17 @@ object AnalyticsQueries {
         |SELECT lag_s // 60 AS lag_bin, count(*) AS n_events,
         |  max(lag_s) AS max_lag_s
         |FROM l GROUP BY 1 ORDER BY lag_bin""".stripMargin,
+    "histogram_equi_depth" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
+        |    count(*) AS cnt FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS _n FROM v),
+        |u AS (SELECT c, cnt,
+        |    CAST(sum(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+        |         - cnt AS BIGINT) AS cum_before FROM v)
+        |SELECT cum_before * 8 // _n AS bucket,
+        |  min(c) AS lo_cents, max(c) AS hi_cents,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows
+        |FROM u, t GROUP BY 1 ORDER BY bucket""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |  FROM orders GROUP BY 1, 2),

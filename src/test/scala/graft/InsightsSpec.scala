@@ -470,6 +470,18 @@ class InsightsSpec extends SparkSpec {
     assert(r.getAs[Long]("longest_s") == 70L * 60)
   }
 
+  test("histogram_equi_depth: buckets balance and tile the value axis in order") {
+    val rows = q("histogram_equi_depth").collect().sortBy(_.getAs[Long]("bucket"))
+    val n = graft.core.Tables.load(spark, sfDir, "orders").count()
+    val sizes = rows.map(_.getAs[Long]("n_rows"))
+    assert(sizes.sum == n)
+    assert(sizes.max <= sizes.min + sizes.min / 4,
+      s"equi-depth buckets out of balance: ${sizes.toSeq}")
+    for (Array(a, b) <- rows.sliding(2).map(_.toArray) if a ne b)
+      assert(a.getAs[Long]("hi_cents") < b.getAs[Long]("lo_cents"),
+        "bucket ranges must be disjoint and ascending")
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
