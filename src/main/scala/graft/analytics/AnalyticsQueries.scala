@@ -696,6 +696,27 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_events"), max("lag_s").as("max_lag_s"))
         .orderBy("lag_bin")
     }),
+    // Robust location/scale per group: median + MAD (median absolute
+    // deviation), both as exact DISCRETE quantiles on the
+    // groupQuantiles machinery — two window passes on the same key,
+    // medians broadcast back between them. The robust counterpart of
+    // anomaly_zscore's moment statistics: one wild outlier moves a
+    // mean and stddev arbitrarily but shifts median/MAD by at most
+    // one rank. Integer cents end-to-end.
+    "agg_mad" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+        .withColumn("c", floor(col("value") * 100).cast("bigint"))
+        .select("event_type", "event_id", "c")
+      val med = Tools.groupQuantiles(e, "event_type", "c", "event_id", Seq(50))
+        .select(col("event_type"), col("p50").as("median_cents"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("c") - col("median_cents")))
+      Tools.groupQuantiles(dev, "event_type", "dev", "event_id", Seq(50))
+        .select(col("event_type"), col("p50").as("mad_cents"))
+        .join(broadcast(med), "event_type")
+        .select("event_type", "median_cents", "mad_cents")
+        .orderBy("event_type")
+    }),
     // Equi-depth histogram (the ANALYZE / optimizer-statistics shape,
     // dual of histogram_fixed's equi-width): 8 buckets of ~equal row
     // count over order price cents. Scalable form: counts per DISTINCT
@@ -1598,6 +1619,26 @@ object AnalyticsQueries {
         |SELECT lag_s // 60 AS lag_bin, count(*) AS n_events,
         |  max(lag_s) AS max_lag_s
         |FROM l GROUP BY 1 ORDER BY lag_bin""".stripMargin,
+    "agg_mad" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |r1 AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |m AS (SELECT event_type,
+        |    max(CASE WHEN rn = (50 * n + 99) // 100 THEN c END) AS median_cents
+        |  FROM r1 GROUP BY 1),
+        |d AS (SELECT e.event_type, e.event_id,
+        |    abs(e.c - m.median_cents) AS dev
+        |  FROM e JOIN m USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |md AS (SELECT event_type,
+        |    max(CASE WHEN rn = (50 * n + 99) // 100 THEN dev END) AS mad_cents
+        |  FROM r2 GROUP BY 1)
+        |SELECT m.event_type, m.median_cents, md.mad_cents
+        |FROM m JOIN md USING (event_type) ORDER BY event_type""".stripMargin,
     "histogram_equi_depth" ->
       """WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c,
         |    count(*) AS cnt FROM orders GROUP BY 1),

@@ -482,6 +482,20 @@ class InsightsSpec extends SparkSpec {
         "bucket ranges must be disjoint and ascending")
   }
 
+  test("agg_mad: robust to one wild outlier where the moment stats are not") {
+    // 9 values near 100 plus one at 1e9: median/MAD barely move
+    val vals = (1L to 9L).map(i => 95L + i) ++ Seq(1000000000L)
+    val df = vals.zipWithIndex
+      .map { case (c, i) => (i.toLong, "g", c) }.toDF("event_id", "event_type", "c")
+    val med = Tools.groupQuantiles(df, "event_type", "c", "event_id", Seq(50))
+      .collect().head.getAs[Long]("p50")
+    assert(med == 100L, s"median $med")   // rank ceil(5) of 10 sorted values
+    val dev = df.withColumn("dev", abs(col("c") - lit(med)))
+    val mad = Tools.groupQuantiles(dev, "event_type", "dev", "event_id", Seq(50))
+      .collect().head.getAs[Long]("p50")
+    assert(mad <= 3L, s"MAD blew up on the outlier: $mad")
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
