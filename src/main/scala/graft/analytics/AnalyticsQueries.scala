@@ -717,6 +717,27 @@ object AnalyticsQueries {
         .select("event_type", "median_cents", "mad_cents")
         .orderBy("event_type")
     }),
+    // Robust outlier flags: |c − median| > 5·MAD — the detector that
+    // survives contaminated data (anomaly_zscore's moments move with
+    // the outliers they hunt; median/MAD don't). Stats from the two
+    // agg_mad window passes, flags a broadcast-join projection —
+    // integer comparison, no scale constant needed.
+    "anomaly_mad" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+        .withColumn("c", floor(col("value") * 100).cast("bigint"))
+        .select("event_type", "event_id", "c")
+      val med = Tools.groupQuantiles(e, "event_type", "c", "event_id", Seq(50))
+        .select(col("event_type"), col("p50").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("c") - col("med")))
+      val mad = Tools.groupQuantiles(dev, "event_type", "dev", "event_id", Seq(50))
+        .select(col("event_type"), col("p50").as("mad"))
+      e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+        .where(abs(col("c") - col("med")) > lit(5L) * col("mad"))
+        .select(col("event_id"), col("event_type"), col("c").as("value_cents"),
+          (col("c") - col("med")).as("dev_cents"))
+        .orderBy("event_id")
+    }),
     // Equi-depth histogram (the ANALYZE / optimizer-statistics shape,
     // dual of histogram_fixed's equi-width): 8 buckets of ~equal row
     // count over order price cents. Scalable form: counts per DISTINCT
@@ -1619,6 +1640,28 @@ object AnalyticsQueries {
         |SELECT lag_s // 60 AS lag_bin, count(*) AS n_events,
         |  max(lag_s) AS max_lag_s
         |FROM l GROUP BY 1 ORDER BY lag_bin""".stripMargin,
+    "anomaly_mad" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),
+        |r1 AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |m AS (SELECT event_type,
+        |    max(CASE WHEN rn = (50 * n + 99) // 100 THEN c END) AS med
+        |  FROM r1 GROUP BY 1),
+        |d AS (SELECT e.event_type, e.event_id, abs(e.c - m.med) AS dev
+        |  FROM e JOIN m USING (event_type)),
+        |r2 AS (SELECT event_type, dev,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d),
+        |md AS (SELECT event_type,
+        |    max(CASE WHEN rn = (50 * n + 99) // 100 THEN dev END) AS mad
+        |  FROM r2 GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.c AS value_cents,
+        |  e.c - m.med AS dev_cents
+        |FROM e JOIN m USING (event_type) JOIN md USING (event_type)
+        |WHERE abs(e.c - m.med) > 5 * md.mad
+        |ORDER BY event_id""".stripMargin,
     "agg_mad" ->
       """WITH e AS (SELECT event_type, event_id,
         |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),

@@ -496,6 +496,22 @@ class InsightsSpec extends SparkSpec {
     assert(mad <= 3L, s"MAD blew up on the outlier: $mad")
   }
 
+  test("anomaly_mad: flags the tail, and a planted outlier can't hide itself") {
+    val rows = q("anomaly_mad").collect()
+    assert(rows.nonEmpty)
+    // contamination robustness: on a frame where the outlier IS the
+    // only corruption, MAD flags it (the z-score's own stats inflate)
+    val df = ((1L to 40L).map(i => (i, "g", 100L + i % 3)) :+ (99L, "g", 5000000L))
+      .toDF("event_id", "event_type", "c")
+    val med = Tools.groupQuantiles(df, "event_type", "c", "event_id", Seq(50))
+      .collect().head.getAs[Long]("p50")
+    val dev = df.withColumn("dev", abs(col("c") - lit(med)))
+    val mad = Tools.groupQuantiles(dev, "event_type", "dev", "event_id", Seq(50))
+      .collect().head.getAs[Long]("p50")
+    val flagged = df.where(abs(col("c") - lit(med)) > lit(5L) * lit(mad)).collect()
+    assert(flagged.length == 1 && flagged.head.getAs[Long]("c") == 5000000L)
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
