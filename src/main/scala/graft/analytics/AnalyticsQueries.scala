@@ -717,6 +717,30 @@ object AnalyticsQueries {
         .select("event_type", "median_cents", "mad_cents")
         .orderBy("event_type")
     }),
+    // Session-scoped funnel: the 6-hour-gap sessionizer feeds the
+    // greedy ordered funnel KEYED BY SESSION, not by user — a user who
+    // views today and purchases next week no longer counts as a
+    // conversion. Composition of two existing blocks (gap islands +
+    // Tools.funnel) on a synthesized session key; one summary row.
+    "session_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val e = Tables.load(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("_prev", lag("us", 1).over(w))
+        .withColumn("_new", when(col("_prev").isNull ||
+          col("us") - col("_prev") > 21600000000L, 1L).otherwise(0L))
+        .withColumn("skey", concat_ws("#", col("user_id"),
+          sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      val f = Tools.funnel(e, "skey", "us", "event_type",
+        Seq("view", "click", "purchase"))
+      val totals = e.agg(countDistinct("skey").as("n_sessions"))
+      f.agg(count(lit(1)).as("with_view"),
+          sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("reached_click"),
+          sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("reached_purchase"))
+        .crossJoin(broadcast(totals))
+        .select("n_sessions", "with_view", "reached_click", "reached_purchase")
+    }),
     // Robust outlier flags: |c − median| > 5·MAD — the detector that
     // survives contaminated data (anomaly_zscore's moments move with
     // the outliers they hunt; median/MAD don't). Stats from the two
@@ -1640,6 +1664,28 @@ object AnalyticsQueries {
         |SELECT lag_s // 60 AS lag_bin, count(*) AS n_events,
         |  max(lag_s) AS max_lag_s
         |FROM l GROUP BY 1 ORDER BY lag_bin""".stripMargin,
+    "session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS prev FROM e),
+        |se AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 21600000000
+        |    THEN 1 ELSE 0 END AS news FROM l),
+        |k AS (SELECT *, CAST(user_id AS VARCHAR) || '#' ||
+        |    CAST(sum(news) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS skey FROM se),
+        |s1 AS (SELECT skey, min(us) AS t1 FROM k WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.skey, s1.t1,
+        |    min(CASE WHEN kk.us > s1.t1 THEN kk.us END) AS t2
+        |  FROM s1 LEFT JOIN k kk ON kk.skey = s1.skey AND kk.event_type = 'click'
+        |  GROUP BY 1, 2),
+        |s3 AS (SELECT s2.skey, s2.t2,
+        |    min(CASE WHEN kk.us > s2.t2 THEN kk.us END) AS t3
+        |  FROM s2 LEFT JOIN k kk ON kk.skey = s2.skey AND kk.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT (SELECT count(DISTINCT skey) FROM k) AS n_sessions,
+        |  (SELECT count(*) FROM s1) AS with_view,
+        |  (SELECT count(t2) FROM s2) AS reached_click,
+        |  (SELECT count(t3) FROM s3) AS reached_purchase""".stripMargin,
     "anomaly_mad" ->
       """WITH e AS (SELECT event_type, event_id,
         |    CAST(floor(value * 100) AS BIGINT) AS c FROM events),

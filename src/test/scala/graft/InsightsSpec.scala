@@ -512,6 +512,14 @@ class InsightsSpec extends SparkSpec {
     assert(flagged.length == 1 && flagged.head.getAs[Long]("c") == 5000000L)
   }
 
+  test("session_funnel: depths are monotone and bounded by session counts") {
+    val r = q("session_funnel").collect().head
+    val (n, v, c, p) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("with_view"),
+      r.getAs[Long]("reached_click"), r.getAs[Long]("reached_purchase"))
+    assert(n >= v && v >= c && c >= p && p >= 0, (n, v, c, p).toString)
+    assert(v > 0 && c > 0, "funnel must not be degenerate at this gap")
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
