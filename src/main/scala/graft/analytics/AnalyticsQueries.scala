@@ -717,6 +717,33 @@ object AnalyticsQueries {
         .select("event_type", "median_cents", "mad_cents")
         .orderBy("event_type")
     }),
+    // First-touch attribution: each purchase credits the EARLIEST
+    // view/click in its trailing 7-day window. The interval match
+    // rides the binned range join (hash join on day bins + exact
+    // BETWEEN post-filter — never a BroadcastNestedLoopJoin), the
+    // argmin is one struct-min aggregate; lead time in whole seconds
+    // from integer µs.
+    "attribution_first_touch" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+      val touches = e.where(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("touch_id"), col("user_id").as("t_user"),
+          col("ts"), col("event_type").as("ttype"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          (col("ts") - expr("INTERVAL 7 DAYS")).as("lo"), col("ts").as("hi"),
+          // the join drops the range bounds; carry the purchase time
+          // as payload for the strict upper bound + lead time
+          col("ts").as("pts"))
+      graft.core.RangeJoin
+        .rangeJoinBinned(touches, "ts", purchases, "lo", "hi", binSeconds = 86400)
+        .where(col("t_user") === col("user_id") && col("ts") < col("pts"))
+        .groupBy("purchase_id", "pts")
+        .agg(min(struct(col("ts"), col("touch_id"), col("ttype"))).as("_ft"))
+        .select(col("purchase_id"), col("_ft.touch_id").as("first_touch"),
+          col("_ft.ttype").as("touch_type"),
+          expr("(unix_micros(pts) - unix_micros(_ft.ts)) div 1000000").as("lead_s"))
+        .orderBy("purchase_id")
+    }),
     // Session-scoped funnel: the 6-hour-gap sessionizer feeds the
     // greedy ordered funnel KEYED BY SESSION, not by user — a user who
     // views today and purchases next week no longer counts as a
@@ -1664,6 +1691,19 @@ object AnalyticsQueries {
         |SELECT lag_s // 60 AS lag_bin, count(*) AS n_events,
         |  max(lag_s) AS max_lag_s
         |FROM l GROUP BY 1 ORDER BY lag_bin""".stripMargin,
+    "attribution_first_touch" ->
+      """WITH t AS (SELECT event_id AS touch_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT p.purchase_id, p.pts, t.touch_id, t.event_type, t.ts
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.ts >= p.pts - INTERVAL 7 DAY AND t.ts < p.pts),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY ts, touch_id) AS rn FROM j)
+        |SELECT purchase_id, touch_id AS first_touch, event_type AS touch_type,
+        |  (epoch_us(pts) - epoch_us(ts)) // 1000000 AS lead_s
+        |FROM r WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
     "session_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id

@@ -520,6 +520,16 @@ class InsightsSpec extends SparkSpec {
     assert(v > 0 && c > 0, "funnel must not be degenerate at this gap")
   }
 
+  test("attribution_first_touch: leads bounded by the window, no BNLJ in the plan") {
+    val rows = q("attribution_first_touch").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val l = r.getAs[Long]("lead_s"); l >= 0 && l < 7L * 86400 })
+    val p = q("attribution_first_touch").queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval match must ride the binned equi-join:\n$p")
+  }
+
   // ---- zone maps ------------------------------------------------------
 
   test("zone_map_prune: the date layout prunes to the quarter, natural barely prunes") {
