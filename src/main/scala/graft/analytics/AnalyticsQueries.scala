@@ -791,21 +791,41 @@ object AnalyticsQueries {
     }),
     // Equi-depth histogram (the ANALYZE / optimizer-statistics shape,
     // dual of histogram_fixed's equi-width): 8 buckets of ~equal row
-    // count over order price cents. Scalable form: counts per DISTINCT
-    // value, a cumsum window over that (small) value table, bucket =
-    // cum_before·B div n — rows never sort globally, ties stay in one
-    // bucket (buckets wobble exactly where duplicates force them to).
+    // count over order price cents. Scalable form (the two-pass
+    // weightedMedian trick, agg/Aggregates.scala): counts per DISTINCT
+    // value, values pre-bucketed into ≤4096 range cells, the global
+    // cumsum window runs ONLY over the bounded cell table; each value's
+    // exact cum_before = its cell's prefix + an in-cell cumsum window
+    // PARTITIONED by cell. No window ever sees a data-cardinality
+    // child, so the op survives a domain with millions of distinct
+    // prices. bucket = cum_before·B div n — ties stay in one bucket
+    // (buckets wobble exactly where duplicates force them to).
     "histogram_equi_depth" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val B = 8
+      val cells = 4096
       val vals = Tables.load(s, d, "orders")
         .withColumn("c", floor(col("o_totalprice") * 100).cast("bigint"))
         .groupBy("c").agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy("c")
+      val bounds = vals.agg(min("c").as("_lo"), max("c").as("_hi"),
+        sum("cnt").as("_n"))
+      val celled = vals.crossJoin(broadcast(bounds))
+        .withColumn("_cell",
+          ((col("c") - col("_lo")) * cells /
+            (col("_hi") - col("_lo") + 1)).cast("bigint"))
+      // ≤4096 rows by construction — the only orderBy-without-partition
+      // window in the plan runs over this bounded cell table
+      val wCell = Window.orderBy("_cell")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      vals
-        .withColumn("_cum_before", sum("cnt").over(w) - col("cnt"))
-        .crossJoin(broadcast(vals.agg(sum("cnt").as("_n"))))
+      val cellCum = celled.groupBy("_cell").agg(sum("cnt").as("_cellCnt"))
+        .withColumn("_cell_before",
+          sum("_cellCnt").over(wCell) - col("_cellCnt"))
+        .select("_cell", "_cell_before")
+      val wIn = Window.partitionBy("_cell").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      celled.join(broadcast(cellCum), "_cell")
+        .withColumn("_cum_before",
+          col("_cell_before") + sum("cnt").over(wIn) - col("cnt"))
         .withColumn("bucket", expr(s"_cum_before * $B div _n"))
         .groupBy("bucket")
         .agg(min("c").as("lo_cents"), max("c").as("hi_cents"),

@@ -553,11 +553,16 @@ object PipelineQueries {
     // component, positive = label ≥ 5) in the SCALABLE exact form: no
     // global row ranking — scores quantize to integer ppm, pos/neg
     // counts aggregate per distinct score, and the Mann-Whitney U sums
-    // over the tiny score-histogram with a window cumsum (ties count
-    // half, doubled to stay integer). auc_ppm is exact floor
-    // arithmetic end-to-end; the histogram, not the corpus, sorts.
+    // over the score-histogram (ties count half, doubled to stay
+    // integer). The histogram itself is pre-bucketed into ≤4096 range
+    // cells (broadcast min/max) so the only orderBy-without-partition
+    // cumsum runs over the bounded cell table; per-score neg_below =
+    // cell prefix + an in-cell cumsum PARTITIONED by cell — no window
+    // ever sees a data-cardinality child, whatever the score domain.
+    // auc_ppm is exact floor arithmetic end-to-end.
     "eval_auc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
+      val cells = 4096
       val e = Tables.load(s, d, "embeddings")
         .withColumn("score_ppm",
           floor(element_at(col("embedding"), 1).cast("double") * 1000000)
@@ -565,10 +570,23 @@ object PipelineQueries {
         .withColumn("pos", (col("label") >= 5).cast("bigint"))
       val hist = e.groupBy("score_ppm")
         .agg(sum("pos").as("pos_b"), sum(lit(1L) - col("pos")).as("neg_b"))
-      val w = Window.orderBy("score_ppm")
+      val bounds = hist.agg(min("score_ppm").as("_lo"),
+        max("score_ppm").as("_hi"))
+      val celled = hist.crossJoin(broadcast(bounds))
+        .withColumn("_cell",
+          ((col("score_ppm") - col("_lo")) * cells /
+            (col("_hi") - col("_lo") + 1)).cast("bigint"))
+      val wCell = Window.orderBy("_cell")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hist
-        .withColumn("neg_below", sum("neg_b").over(w) - col("neg_b"))
+      val cellCum = celled.groupBy("_cell").agg(sum("neg_b").as("_cellNeg"))
+        .withColumn("_cell_neg_before",
+          sum("_cellNeg").over(wCell) - col("_cellNeg"))
+        .select("_cell", "_cell_neg_before")
+      val wIn = Window.partitionBy("_cell").orderBy("score_ppm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      celled.join(broadcast(cellCum), "_cell")
+        .withColumn("neg_below",
+          col("_cell_neg_before") + sum("neg_b").over(wIn) - col("neg_b"))
         .agg(sum("pos_b").as("n_pos"), sum("neg_b").as("n_neg"),
           sum(expr("pos_b * (2 * neg_below + neg_b)")).as("_u2"))
         .select(col("n_pos"), col("n_neg"),

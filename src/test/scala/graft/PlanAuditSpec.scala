@@ -320,6 +320,28 @@ class PlanAuditSpec extends SparkSpec {
       s"unpartitioned running total:\n$l"))
   }
 
+  test("histogram_equi_depth: no unpartitioned window over a data-cardinality child") {
+    val opt = SparkEntry.queries("histogram_equi_depth")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    val specs = opt.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty, s"no window in:\n$opt")
+    // every window either partitions by the coarse cell (the exact
+    // in-cell cumsum) or orders the ≤4096-row cell table itself — both
+    // print the cell as the windowspec's first column; a window whose
+    // first column is the raw value would be the scale-killer shape
+    specs.foreach(l => assert(l.contains("windowspecdefinition(_cell"),
+      s"window not anchored on the bounded cell: $l"))
+  }
+
+  test("eval_auc: the U-statistic cumsum is cell-anchored, never a global data window") {
+    val opt = SparkEntry.queries("eval_auc")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    val specs = opt.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty, s"no window in:\n$opt")
+    specs.foreach(l => assert(l.contains("windowspecdefinition(_cell"),
+      s"window not anchored on the bounded cell: $l"))
+  }
+
   test("scan_cursor: every page is a TakeOrderedAndProject, no global sort exchange") {
     val p = plan("scan_cursor")
     assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
