@@ -67,6 +67,14 @@ object SparkEntry {
       Scans.maxVersions(Tables.eventCells(s, d), 2)
         .select("rowkey", "qualifier", "ts", "value", "event_id")
         .orderBy("rowkey", "qualifier", "event_id")),
+    // TIMELINE-consistency read (Consistency.java): every 5th rowkey's
+    // primary is down, so it reads the 10-day-lagged replica state and
+    // flags stale=true; healthy keys read the primary's latest version
+    "timeline_read" -> ((s, d) =>
+      Scans.timelineRead(Tables.eventCells(s, d),
+          pmod(col("rowkey"), lit(5)) === 0, "10 DAYS")
+        .select("rowkey", "qualifier", "ts", "value", "event_id", "stale")
+        .orderBy("event_id")),
     // Scan.setBatch partial-row chunking: every cell tagged with its
     // (batch_idx, pos_in_batch) scanner coordinates at batch=2
     "scan_batch" -> ((s, d) =>
@@ -228,6 +236,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 7 = 2 AND o_orderkey BETWEEN 2 AND 20995
         |ORDER BY o_orderkey""".stripMargin,
+    "timeline_read" ->
+      ("WITH " + Tables.eventCellsSql + """,
+        |hz AS (SELECT max(ts) - INTERVAL 10 DAY AS h FROM vcells),
+        |vis AS (SELECT v.*, rowkey % 5 = 0 AS stale FROM vcells v, hz
+        |        WHERE NOT (rowkey % 5 = 0) OR ts <= h),
+        |r AS (SELECT rowkey, qualifier, ts, value, event_id, stale,
+        |        row_number() OVER (PARTITION BY rowkey, family, qualifier
+        |                           ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM vis)
+        |SELECT rowkey, qualifier, ts, value, event_id, stale FROM r
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin),
     "scan_time_range" ->
       """SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'

@@ -185,6 +185,30 @@ object Snapshots {
     else spark.read.parquet(picked.toIndexedSeq: _*).where(pred)
   }
 
+  /** MultiTableSnapshotInputFormat (hbase-server/.../mapreduce/
+    * MultiTableSnapshotInputFormat.java:62, getSplits collecting one
+    * split list PER configured snapshot): ONE job reading SEVERAL
+    * snapshots, each contributing only the region files whose key
+    * range overlaps the scan — the per-snapshot split planning of
+    * [[scanDirect]] repeated per snapshot, unioned under a snapshot
+    * name column so downstream code can tell the sources apart (the
+    * reference encodes the same provenance in each split's snapshot
+    * name).
+    *
+    * Scale shape: split pruning is driver-side over each snapshot's
+    * #regions-row manifest (exactly the reference's getSplits cost);
+    * the union is a no-shuffle concatenation of pruned scans, and the
+    * residual key predicate still pushes into every parquet leaf. */
+  def multiSnapshotScan(spark: SparkSession,
+                        scans: Seq[(String, String, Int)],
+                        keyCol: String, lo: Long, hi: Long): DataFrame = {
+    require(scans.nonEmpty, "multiSnapshotScan needs at least one snapshot")
+    scans.map { case (name, base, version) =>
+      scanDirect(spark, base, version, keyCol, lo, hi)
+        .withColumn("snapshot", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+
   /** ExportSnapshot (hbase-server/.../snapshot/ExportSnapshot.java) —
     * ship a snapshot to another cluster by copying its files directly
     * (the tool moves HFiles, bypassing region servers entirely; the

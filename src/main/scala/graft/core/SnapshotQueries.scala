@@ -113,6 +113,16 @@ object SnapshotQueries {
       val base = ensureSnapshots(s, d)
       Snapshots.scanDirect(s, base, 1, "user_id", 3L, 8L).orderBy("event_id")
     }),
+    // MultiTableSnapshotInputFormat: ONE scan over BOTH snapshot
+    // versions, each contributing only its overlapping region files
+    // (v2 is the post-delete state, so its half of the union is odd
+    // users only) — provenance rides the snapshot name column
+    "multi_snapshot_scan" -> ((s, d) => {
+      val base = ensureSnapshots(s, d)
+      Snapshots.multiSnapshotScan(s,
+          Seq(("v1", base, 1), ("v2", base, 2)), "user_id", 3L, 8L)
+        .orderBy("snapshot", "event_id")
+    }),
     "region_split_stats" -> ((s, d) =>
       regionStats(Tables.load(s, d, "lineitem"), "l_orderkey", 16, "l_quantity")
         .orderBy("region")),
@@ -194,6 +204,16 @@ object SnapshotQueries {
     "snapshot_scan_direct" ->
       """SELECT event_id, user_id, event_type, ts, value FROM events
         |WHERE user_id >= 3 AND user_id < 8 ORDER BY event_id""".stripMargin,
+    // v1 = the events snapshot, v2 = the copy-on-write state after
+    // deleting even users; the multi-snapshot scan is their union
+    // restricted to the key range, tagged by source snapshot
+    "multi_snapshot_scan" ->
+      """SELECT event_id, user_id, event_type, ts, value, 'v1' AS snapshot
+        |FROM events WHERE user_id >= 3 AND user_id < 8
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, ts, value, 'v2' AS snapshot
+        |FROM events WHERE user_id >= 3 AND user_id < 8 AND user_id % 2 <> 0
+        |ORDER BY snapshot, event_id""".stripMargin,
     // the clone's only divergence from its origin is its own mutation
     "snapshot_clone" ->
       """SELECT event_id, 'changed' AS change FROM events

@@ -85,6 +85,39 @@ object MutationQueries {
       val dels = base.where(col("o_orderkey") % 20 === 0).select("o_orderkey")
       Mutations.mutateRow(base, puts, dels, "o_orderkey").orderBy("o_orderkey")
     }),
+    // checkAndMutate(RowMutations) (HTable.java:1343): keys %10 carry
+    // an atomic put+delete batch (%20 also a delete), but the batch
+    // applies ONLY where the stored row's price clears 1000 — guarded
+    // rows keep their put AND their delete; unguarded rows stay
+    // byte-identical even when the batch targeted them
+    "check_and_mutate_row" -> ((s, d) => {
+      val base = ordersKV(s, d)
+      val puts = base.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("C"))
+        .withColumn("o_totalprice", round(col("o_totalprice") + 1, 2))
+      val dels = base.where(col("o_orderkey") % 20 === 0).select("o_orderkey")
+      Mutations.checkAndMutateRow(base, puts, dels, "o_orderkey",
+          col("o_totalprice") > 1000)
+        .orderBy("o_orderkey")
+    }),
+    // MultiRowMutationEndpoint: every 3rd key gets a put and every 9th
+    // ALSO a delete, batched in 24-key blocks over a 256-key-wide
+    // pre-split region layout — blocks that straddle a 256 boundary
+    // (e.g. keys 240..263) are rejected whole, so their rows stay
+    // untouched while aligned blocks mutate atomically
+    "multi_row_mutation" -> ((s, d) => {
+      val base = ordersKV(s, d)
+      val batch = expr("o_orderkey div 24").as("batch")
+      val puts = base.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_orderstatus", lit("B"))
+        .withColumn("o_totalprice", round(col("o_totalprice") + 2, 2))
+        .withColumn("batch", batch)
+      val dels = base.where(col("o_orderkey") % 9 === 0)
+        .select(col("o_orderkey"), batch)
+      Mutations.multiRowMutation(base, puts, dels, "o_orderkey", "batch",
+          regionWidth = 256)
+        .orderBy("o_orderkey")
+    }),
     // version-exact deletes on the versioned cell view: drop the LATEST
     // version of every column of every 7th user (deleteColumn with ts =
     // that version's timestamp), then a family-scoped up-to-ts delete
@@ -160,6 +193,34 @@ object MutationQueries {
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE NOT (c_custkey % 10 = 0 AND c_acctbal < 0)
         |ORDER BY c_custkey""".stripMargin,
+    "check_and_mutate_row" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 10 = 0 AND o_totalprice > 1000
+        |            THEN 'C' ELSE o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN o_orderkey % 10 = 0 AND o_totalprice > 1000
+        |            THEN round(o_totalprice + 1, 2)
+        |            ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 20 = 0 AND o_totalprice > 1000)
+        |ORDER BY o_orderkey""".stripMargin,
+    "multi_row_mutation" ->
+      """WITH ok AS (
+        |  SELECT o_orderkey // 24 AS batch
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  GROUP BY 1
+        |  HAVING min(o_orderkey // 256) = max(o_orderkey // 256))
+        |SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 3 = 0
+        |             AND o_orderkey // 24 IN (SELECT batch FROM ok)
+        |            THEN 'B' ELSE o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN o_orderkey % 3 = 0
+        |             AND o_orderkey // 24 IN (SELECT batch FROM ok)
+        |            THEN round(o_totalprice + 2, 2)
+        |            ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 9 = 0
+        |           AND o_orderkey // 24 IN (SELECT batch FROM ok))
+        |ORDER BY o_orderkey""".stripMargin,
     "delete_version" ->
       ("WITH " + Tables.eventCellsSql + s""",
          |dels AS (SELECT rowkey, family, qualifier, max(ts) AS ts FROM vcells

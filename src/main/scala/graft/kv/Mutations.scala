@@ -144,6 +144,62 @@ object Mutations {
     put(deleteRows(base, delKeys, keyCol), survivingPuts, keyCol)
   }
 
+  /** checkAndMutate with a RowMutations payload (HTable.java:1343):
+    * the CAS guard of [[checkAndPut]] composed with [[mutateRow]]'s
+    * atomic put+delete batch. Where the CURRENT base row fails
+    * `check` — or has no base row at all — the ENTIRE batch for that
+    * key is dropped: neither its puts nor its deletes touch the row.
+    * One passing-key semi-join gates both mutation legs, then the
+    * normal atomic batch applies; the guard is evaluated against
+    * stored state only, never against the incoming mutations. */
+  def checkAndMutateRow(base: DataFrame, puts: DataFrame, delKeys: DataFrame,
+                        keyCol: String, check: Column): DataFrame = {
+    val passKeys = base.where(check).select(col(keyCol))
+    val guardedPuts = puts.join(passKeys, Seq(keyCol), "leftsemi")
+    val guardedDels = delKeys.join(passKeys, Seq(keyCol), "leftsemi")
+    mutateRow(base, guardedPuts, guardedDels, keyCol)
+  }
+
+  /** MultiRowMutationEndpoint (hbase-server/.../coprocessor/
+    * MultiRowMutationEndpoint.java): an atomic batch spanning SEVERAL
+    * rows — legal only while every row lives in the same region,
+    * because that is the unit that can latch one row lock set. Regions
+    * here are fixed-width key ranges (`region = key div regionWidth`,
+    * the pre-split layout); a batch whose mutation keys straddle a
+    * region boundary is REJECTED WHOLE — none of its puts or deletes
+    * apply (the endpoint throws DoNotRetryIOException; a batch engine
+    * drops the batch and reports it).
+    *
+    * Scale shape: the straddle test is one map-side-combinable
+    * min/max-region aggregate over (batch, key) pairs — mutations, not
+    * the base table, shuffle; the surviving batch keys semi-join both
+    * mutation legs and the base mutates once via [[mutateRow]].
+    * `strict = true` restores the endpoint's throwing behavior: any
+    * straddling batch fails the job loudly (an eager driver-side
+    * existence probe on the tiny rejected-batch aggregate). */
+  def multiRowMutation(base: DataFrame, puts: DataFrame, delKeys: DataFrame,
+                       keyCol: String, batchCol: String, regionWidth: Long,
+                       strict: Boolean = false): DataFrame = {
+    require(regionWidth > 0, s"regionWidth ($regionWidth) must be positive")
+    val members = puts.select(col(keyCol), col(batchCol))
+      .unionByName(delKeys.select(col(keyCol), col(batchCol)))
+      .withColumn("_region", expr(s"`$keyCol` div $regionWidth"))
+    val spans = members.groupBy(batchCol)
+      .agg(min("_region").as("_rlo"), max("_region").as("_rhi"))
+    if (strict) {
+      val straddlers = spans.where(col("_rlo") =!= col("_rhi"))
+        .select(col(batchCol)).limit(1).collect()
+      require(straddlers.isEmpty,
+        s"multiRowMutation: batch ${straddlers.head.get(0)} straddles a " +
+          s"region boundary (regionWidth=$regionWidth) — atomic multi-row " +
+          "batches must stay within one region")
+    }
+    val okBatches = spans.where(col("_rlo") === col("_rhi")).select(col(batchCol))
+    val okPuts = puts.join(okBatches, Seq(batchCol), "leftsemi").drop(batchCol)
+    val okDels = delKeys.join(okBatches, Seq(batchCol), "leftsemi").drop(batchCol)
+    mutateRow(base, okPuts, okDels, keyCol)
+  }
+
   /** TTL expiry (HColumnDescriptor#setTimeToLive; cells older than
     * now − ttl vanish at compaction). Deterministic form: expire
     * relative to the table's max timestamp. Two-phase aggregate +

@@ -220,4 +220,31 @@ object Scans {
       .orderBy(col("ts").desc, col(tieBreaker).desc)
     vcells.withColumn("_v", row_number().over(w)).where(col("_v") <= k).drop("_v")
   }
+
+  /** TIMELINE-consistency read (hbase-client/.../client/Consistency
+    * .java, Result.isStale): when a region's primary replica is down,
+    * the client accepts the answer of a secondary that trails the
+    * primary by the replication lag — possibly stale, and flagged so.
+    * `primaryDown` marks the rowkeys whose primary is unavailable
+    * (here a deterministic predicate; in the reference, a timed-out
+    * RPC). Those keys read the REPLICA state — versions no newer than
+    * max(ts) − lag, i.e. what replication had shipped by the staleness
+    * horizon — with `stale = true`; healthy keys read the primary's
+    * latest version with `stale = false`. A replica-served key whose
+    * every version postdates the horizon returns nothing (the replica
+    * genuinely has no row yet — the anomaly TIMELINE consistency
+    * trades for availability).
+    *
+    * Scale shape: the horizon is a 1-row broadcast aggregate; the
+    * visibility filter is a map-side predicate; the only shuffle is
+    * the per-(row, family, qualifier) latest-version window every
+    * versioned read already pays. */
+  def timelineRead(vcells: DataFrame, primaryDown: Column, lag: String): DataFrame = {
+    val horizon = vcells.agg((max(col("ts")) - expr(s"INTERVAL $lag")).as("_hz"))
+    val visible = vcells.crossJoin(broadcast(horizon))
+      .where(!primaryDown || col("ts") <= col("_hz"))
+      .withColumn("stale", primaryDown)
+      .drop("_hz")
+    maxVersions(visible, 1)
+  }
 }

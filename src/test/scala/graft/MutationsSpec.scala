@@ -31,6 +31,61 @@ class MutationsSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, "new", 5.0), (2L, "old", -1.0), (3L, "old", 9.0))))
   }
 
+  test("checkAndMutateRow: a failed guard drops the WHOLE batch — put AND delete") {
+    val base = Seq((1L, "old", 5.0), (2L, "old", -1.0), (3L, "old", 9.0)).toDF("k", "v", "bal")
+    val puts = Seq((1L, "new", 5.0), (2L, "new", -1.0)).toDF("k", "v", "bal")
+    val dels = Seq(1L, 2L).toDF("k")
+    val got = Mutations.checkAndMutateRow(base, puts, dels, "k", col("bal") > 0)
+      .orderBy("k").as[(Long, String, Double)].collect()
+    // k=1: guard passes -> batch applies, delete wins over its own put;
+    // k=2: guard FAILS -> neither the put nor the delete touches the row;
+    // k=3: no batch -> untouched.
+    assert(got.sameElements(Array((2L, "old", -1.0), (3L, "old", 9.0))))
+  }
+
+  test("multiRowMutation: straddling batch leaves every row untouched, aligned batch mutates") {
+    // regions of width 10: batch 100 sits inside region 0; batch 200
+    // spans keys 8 and 12 -> regions 0 and 1 -> rejected whole
+    val base = Seq((1L, "a"), (2L, "b"), (8L, "c"), (12L, "d")).toDF("k", "v")
+    val puts = Seq((1L, "A", 100L), (8L, "C", 200L)).toDF("k", "v", "batch")
+    val dels = Seq((2L, 100L), (12L, 200L)).toDF("k", "batch")
+    val got = Mutations.multiRowMutation(base, puts, dels, "k", "batch",
+        regionWidth = 10)
+      .orderBy("k").as[(Long, String)].collect()
+    // batch 100 applies (put k=1, delete k=2); batch 200 rejected
+    // (k=8 keeps "c", k=12 survives its delete)
+    assert(got.sameElements(Array((1L, "A"), (8L, "c"), (12L, "d"))))
+    // strict mode surfaces the straddler loudly instead of dropping it
+    val e = intercept[IllegalArgumentException] {
+      Mutations.multiRowMutation(base, puts, dels, "k", "batch",
+        regionWidth = 10, strict = true)
+    }
+    assert(e.getMessage.contains("straddles"))
+  }
+
+  test("timelineRead: down-primary keys serve the lagged replica version, flagged stale") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // max ts = Jan 20, lag 5 days -> replica horizon Jan 15
+    val v = Seq(
+      (3L, "ev", "q", t(20), 1.0, 1L),  // healthy key: latest wins
+      (3L, "ev", "q", t(10), 2.0, 2L),
+      (10L, "ev", "q", t(18), 3.0, 3L), // down primary: post-horizon version invisible
+      (10L, "ev", "q", t(12), 4.0, 4L), //   -> this stale version serves
+      (15L, "ev", "q", t(19), 5.0, 5L)  // down primary, nothing at the replica yet
+    ).toDF("rowkey", "family", "qualifier", "ts", "value", "event_id")
+    val got = graft.kv.Scans.timelineRead(v, col("rowkey") % 5 === 0, "5 DAYS")
+      .select("rowkey", "event_id", "stale").orderBy("rowkey")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.sameElements(Array((3L, 1L, false), (10L, 4L, true))),
+      got.mkString(","))
+    // with no primary down, the read is the plain latest-version scan
+    val healthy = graft.kv.Scans.timelineRead(v, lit(false), "5 DAYS")
+      .select("rowkey", "event_id", "stale").orderBy("rowkey")
+      .as[(Long, Long, Boolean)].collect()
+    assert(healthy.sameElements(Array((3L, 1L, false), (10L, 3L, false), (15L, 5L, false))))
+  }
+
   test("deleteQualifier nulls the cell, keeps the row") {
     val base = Seq((1L, "x", "y"), (2L, "p", "q")).toDF("k", "a", "b")
     val got = Mutations.deleteQualifier(base, col("k") === 1, "b")

@@ -684,6 +684,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(none.isEmpty && none.columns.sameElements(full.columns))
   }
 
+  test("multiSnapshotScan: files come from BOTH v-dirs, each pruned to its overlap") {
+    import spark.implicits._
+    import graft.core.Snapshots
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_multi").toString
+    val df = (0L until 800L).map(k => (k, s"v$k")).toDF("rowkey", "v")
+    Snapshots.write(df, "rowkey", base, 1)
+    Snapshots.write(df.where($"rowkey" % 2 === 1), "rowkey", base, 2)
+    val scan = Snapshots.multiSnapshotScan(spark,
+      Seq(("a", base, 1), ("b", base, 2)), "rowkey", 100L, 300L)
+    val files = scan.inputFiles
+    assert(files.exists(_.contains("/v=1/")) && files.exists(_.contains("/v=2/")),
+      s"expected files from both snapshot dirs:\n${files.mkString("\n")}")
+    val total = Snapshots.read(spark, base, 1).inputFiles.length +
+      Snapshots.read(spark, base, 2).inputFiles.length
+    assert(files.length < total, s"no split pruning: ${files.length}/$total")
+    val got = scan.select($"snapshot", $"rowkey").as[(String, Long)].collect().toSet
+    val want = (100L until 300L).map(("a", _)).toSet ++
+      (100L until 300L).filter(_ % 2 == 1).map(("b", _)).toSet
+    assert(got == want)
+  }
+
   test("region_splitter bench path: sketch percentile, no full-table value buffer") {
     val p = SparkEntry.benchQueries("region_splitter")(spark, sfDir)
       .queryExecution.executedPlan.toString()
