@@ -840,7 +840,15 @@ object Tools {
     * Stats are one row per group → broadcast back beside the scan:
     * the flagging pass is shuffle-free.
     *
-    * @param valCol integer-typed column (e.g. cents) to test. */
+    * @param groupCol LOW-CARDINALITY group column (a type/status/segment
+    *   code, not a user id): the stats relation is one row per group
+    *   and is broadcast, which collects it driver-side — millions of
+    *   groups would OOM the driver. For high-cardinality groups remove
+    *   the broadcast hint and let AQE pick the join (the stats side is
+    *   still tiny relative to the data, just no longer driver-bound).
+    * @param valCol integer-typed column (e.g. cents) to test; the Q=Σc²
+    *   moment needs n·max_c² < 2⁶³ per group (~10¹² cent-scale rows) —
+    *   past that, pre-aggregate Q in decimal. */
   def anomalyFlags(df: DataFrame, groupCol: String, valCol: String,
                    sigmas: Int): DataFrame = {
     val c = col(valCol)
@@ -909,6 +917,13 @@ object Tools {
     * (rule, n_rows, n_violations, pass). */
   def dqAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "dqAudit needs at least one rule")
+    // rule names are interpolated into the stack() expression below as
+    // both a string literal and a backticked identifier — restrict to
+    // identifier characters so a quote/backtick can neither break the
+    // generated SQL nor smuggle arbitrary fragments into it
+    rules.find(r => !r._1.matches("[A-Za-z0-9_]+")).foreach(r =>
+      throw new IllegalArgumentException(
+        s"dqAudit rule name '${r._1}' must match [A-Za-z0-9_]+"))
     val aggs = rules.map { case (n, pred) =>
       sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v_$n") }
     val stackArgs = rules.map { case (n, _) => s"'$n', `_v_$n`" }.mkString(", ")

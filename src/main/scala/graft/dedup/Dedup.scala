@@ -246,7 +246,14 @@ object Dedup {
     // Spark has no automatic CSE across a self-join), and that scan is
     // the whole cost of this operator. The window shuffles the same
     // digest key once and reads the scan once; measured 10.7 s → ~5 s
-    // at sf0.1.
+    // at sf0.1. Trade-off: the window has no map-side partial, so a
+    // HOT digest (one boilerplate chunk shared by a large fraction of
+    // the corpus) lands whole in one window partition — a straggler
+    // the aggregate form would pre-combine away. When digest skew is
+    // expected, compute per-digest counts with a groupBy and rejoin,
+    // accepting the double scan; here chunk digests are content
+    // hashes over ~1 KiB CDC chunks, so the hottest digest is bounded
+    // by true duplication, which is exactly what the operator reports.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
     chunks.withColumn("_df", count(lit(1)).over(w))
       .groupBy("doc_id")

@@ -369,6 +369,12 @@ class InsightsSpec extends SparkSpec {
     // the predicate-rule pass is one aggregate over one scan: no joins
     val p = audit.queryExecution.executedPlan.toString()
     assert(!p.contains("Join"), p)
+    // rule names reach generated SQL — non-identifier names must be
+    // rejected up front, not passed through to the expression parser
+    val e = intercept[IllegalArgumentException] {
+      Tools.dqAudit(df, Seq("bad'name` -- " -> col("k").isNotNull))
+    }
+    assert(e.getMessage.contains("[A-Za-z0-9_]+"))
   }
 
   test("rolling_range_window: value-based frame honors calendar gaps") {
