@@ -17,8 +17,16 @@ import org.apache.spark.sql.functions._
   * - embeddings: 10 copies, copy c > 0 element-wise multiplied by a
   *   deterministic ±1 mask per (copy, dim) — decorrelates cross-copy
   *   cosines; vec_id offset per copy.
-  * - every other table is read straight from the source dir (spiking
-  *   those is the existing bench's job).
+  * - relational tables (orders/lineitem/events/customer/part/
+  *   supplier): 10 copies with every ENTITY key offset per copy —
+  *   10× the customers/users/orders with the per-entity history of
+  *   the source, which is how a corpus actually grows 10×. FK edges
+  *   (orders↔lineitem↔part/supplier, orders↔customer, events↔user)
+  *   stay intact within each copy because both sides of every edge
+  *   shift by the same offset. Group-count-scaling queries (per-user
+  *   windows, per-order fanouts) therefore scale by partition COUNT,
+  *   not partition size — the cluster-shaped growth. Dimension tables
+  *   (region/nation) stay fixed like real dimensions.
   *
   * Usage: runMain graft.ScaleSpike <srcSfDir> <spikeDir> <q1,q2,...>
   */
@@ -34,49 +42,79 @@ object ScaleSpike {
     spark.sparkContext.setLogLevel("WARN")
 
     val out = new java.io.File(spikeDir)
-    if (!new java.io.File(out, "documents.parquet").exists()) {
-      out.mkdirs()
-      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-      val copies = (0 until 10).map { c =>
-        if (c == 0) docs
-        else docs.select(
-          (col("doc_id") + c * 10000000L).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            w => concat(w, lit(s"§$c"))), " ").as("text"),
-          col("lang"), col("source"),
-          // n_chars tracks the remapped text (each word grew 2 chars)
-          (col("n_chars") + size(split(col("text"), " ")) * 2).as("n_chars"))
+    out.mkdirs()
+    // per-table guard (not one marker for the whole dir): a spike dir
+    // from an earlier tool version holds only documents/embeddings and
+    // must gain the relational tables without re-paying those two
+    def spikeTable(name: String)(mkCopy: (DataFrame, Int) => DataFrame): Unit = {
+      val tgt = new java.io.File(out, s"$name.parquet")
+      if (!tgt.exists()) {
+        val src =
+          if (name == "events") graft.core.Tables.load(spark, srcDir, name)
+          else spark.read.parquet(s"$srcDir/$name.parquet")
+        (0 until 10).map(c => if (c == 0) src else mkCopy(src, c))
+          .reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite").parquet(tgt.getPath)
+        System.err.println(s"[spike] synthesized 10x $name")
       }
-      copies.reduce(_ unionByName _).repartition(32)
-        .write.mode("overwrite").parquet(s"$spikeDir/documents.parquet")
-      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-      val embCopies = (0 until 10).map { c =>
-        if (c == 0) emb
-        else emb.select(
-          (col("vec_id") + c * 10000000L).as("vec_id"),
-          // sign mask from hash(dim, copy): copies sharing a parity
-          // pattern (a bare (i+c)%2 mask) would be bit-identical
-          // cross-copy — hash-derived signs decorrelate every pair
-          expr(s"transform(embedding, (v, i) -> CAST(v * (1 - 2 * (abs(hash(i, $c)) % 2)) AS FLOAT))")
-            .as("embedding"),
-          col("label"))
+    }
+    // entity-key offsets: big enough that copies never collide, small
+    // enough that key arithmetic (div-batching, Knuth hashes) stays
+    // exact long math
+    def off(c: Int): Long = c * 100000000L
+
+    spikeTable("documents") { (docs, c) =>
+      docs.select(
+        (col("doc_id") + c * 10000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit(s"§$c"))), " ").as("text"),
+        col("lang"), col("source"),
+        // n_chars tracks the remapped text (each word grew 2 chars)
+        (col("n_chars") + size(split(col("text"), " ")) * 2).as("n_chars"))
+    }
+    spikeTable("embeddings") { (emb, c) =>
+      emb.select(
+        (col("vec_id") + c * 10000000L).as("vec_id"),
+        // sign mask from hash(dim, copy): copies sharing a parity
+        // pattern (a bare (i+c)%2 mask) would be bit-identical
+        // cross-copy — hash-derived signs decorrelate every pair
+        expr(s"transform(embedding, (v, i) -> CAST(v * (1 - 2 * (abs(hash(i, $c)) % 2)) AS FLOAT))")
+          .as("embedding"),
+        col("label"))
+    }
+    spikeTable("orders") { (o, c) =>
+      o.withColumn("o_orderkey", col("o_orderkey") + off(c))
+        .withColumn("o_custkey", col("o_custkey") + off(c))
+    }
+    spikeTable("lineitem") { (l, c) =>
+      l.withColumn("l_orderkey", col("l_orderkey") + off(c))
+        .withColumn("l_partkey", col("l_partkey") + off(c))
+        .withColumn("l_suppkey", col("l_suppkey") + off(c))
+    }
+    spikeTable("events") { (e, c) =>
+      e.withColumn("event_id", col("event_id") + off(c))
+        .withColumn("user_id", col("user_id") + off(c))
+    }
+    spikeTable("customer") { (cu, c) =>
+      cu.withColumn("c_custkey", col("c_custkey") + off(c))
+    }
+    spikeTable("part") { (p, c) =>
+      p.withColumn("p_partkey", col("p_partkey") + off(c))
+    }
+    spikeTable("supplier") { (su, c) =>
+      su.withColumn("s_suppkey", col("s_suppkey") + off(c))
+    }
+    // dimension tables: reuse the source files (copy)
+    for (f <- new java.io.File(srcDir).listFiles()
+         if f.getName.endsWith(".parquet")) {
+      val tgt = new java.io.File(out, f.getName)
+      if (!tgt.exists()) {
+        if (f.isDirectory) {
+          tgt.mkdirs()
+          f.listFiles().foreach(p => java.nio.file.Files.copy(
+            p.toPath, new java.io.File(tgt, p.getName).toPath))
+        } else java.nio.file.Files.copy(f.toPath, tgt.toPath)
       }
-      embCopies.reduce(_ unionByName _).repartition(32)
-        .write.mode("overwrite").parquet(s"$spikeDir/embeddings.parquet")
-      // remaining tables: reuse the source files (hard link via copy)
-      for (f <- new java.io.File(srcDir).listFiles()
-           if f.getName.endsWith(".parquet")
-           if f.getName != "documents.parquet" && f.getName != "embeddings.parquet") {
-        val tgt = new java.io.File(out, f.getName)
-        if (!tgt.exists()) {
-          if (f.isDirectory) {
-            tgt.mkdirs()
-            f.listFiles().foreach(p => java.nio.file.Files.copy(
-              p.toPath, new java.io.File(tgt, p.getName).toPath))
-          } else java.nio.file.Files.copy(f.toPath, tgt.toPath)
-        }
-      }
-      System.err.println(s"[spike] synthesized 10x corpus at $spikeDir")
     }
 
     val names = qlist.split(",").map(_.trim).filter(_.nonEmpty)
