@@ -464,6 +464,21 @@ object AnalyticsQueries {
       Tools.replicationLag(Tables.load(s, d, "events"), "ts", peers)
         .orderBy("peer_id")
     }),
+    // Master LogCleaner chore over oldWALs: day-grain WAL segments
+    // audited by the delegate chain — TTL (life > 10 days against the
+    // corpus max ts) AND replication (every peer's watermark past the
+    // segment's newest edit; p_dr's Jan-10 watermark is the binding
+    // min). A segment dies only when BOTH delegates agree.
+    "log_cleaner" -> ((s, d) => {
+      import s.implicits._
+      val peers = Seq(("p_dr", "2024-01-10 00:00:00"),
+          ("p_analytics", "2024-01-20 00:00:00"),
+          ("p_backup", "2030-01-01 00:00:00"))
+        .toDF("peer_id", "_wm")
+        .select(col("peer_id"), to_timestamp(col("_wm")).as("replicated_upto"))
+      Tools.logCleaner(Tables.load(s, d, "events"), "ts", peers, "10 DAYS")
+        .orderBy("segment_day")
+    }),
     // VerifyReplication: the replica drifts three ways (every 777th
     // row missing, every 500th price bumped, every 999th key shifted
     // past the source keyspace) — the counters must account for all
@@ -1526,6 +1541,16 @@ object AnalyticsQueries {
         |FROM peers p CROSS JOIN b
         |LEFT JOIN events e ON e.ts > p.replicated_upto
         |GROUP BY 1, 2, b.newest ORDER BY peer_id""".stripMargin,
+    "log_cleaner" ->
+      """WITH segs AS (SELECT date_trunc('day', ts) AS segment_day,
+        |    count(*) AS n_edits, min(ts) AS oldest_ts, max(ts) AS newest_ts
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT max(ts) - INTERVAL 10 DAY AS cut FROM events),
+        |w AS (SELECT TIMESTAMP '2024-01-10 00:00:00' AS wm)
+        |SELECT segment_day, n_edits, oldest_ts, newest_ts,
+        |       newest_ts < cut AS ttl_ok, newest_ts <= wm AS shipped_ok,
+        |       (newest_ts < cut AND newest_ts <= wm) AS deletable
+        |FROM segs, c, w ORDER BY segment_day""".stripMargin,
     "verify_replication" ->
       """WITH src AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
         |peer AS (

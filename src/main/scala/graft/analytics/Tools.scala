@@ -502,6 +502,38 @@ object Tools {
           unix_timestamp(col("replicated_upto"))).as("lag_sec"))
   }
 
+  /** Master LogCleaner chore over oldWALs (master/cleaner/LogCleaner
+    * .java with its delegate chain; CleanerChore.checkAndDeleteFiles
+    * requires EVERY delegate to agree before a file dies):
+    * TimeToLiveLogCleaner.java:40 keeps a segment while its life is
+    * within the TTL (life > ttl deletes — strict, and 'now' here is
+    * the corpus max edit ts so the audit is deterministic), and
+    * ReplicationLogCleaner (replication/master/ReplicationLogCleaner
+    * .java — a WAL any peer still has queued must survive) keeps a
+    * segment until every peer's replicated-upto watermark has passed
+    * its NEWEST edit. WAL segments = day-grain groups of the edit
+    * stream (a segment closes with its newest edit; the reference
+    * uses file mtime, which is exactly that close time).
+    *
+    * Scale shape: segments are metadata rows (one per day) from one
+    * map-side-combinable aggregate; the TTL cutoff and the min peer
+    * watermark are 1-row broadcasts — the audit never shuffles the
+    * edit stream. */
+  def logCleaner(wal: DataFrame, tsCol: String, peers: DataFrame,
+                 ttl: String): DataFrame = {
+    val segs = wal
+      .groupBy(date_trunc("DAY", col(tsCol)).as("segment_day"))
+      .agg(count(lit(1)).as("n_edits"),
+        min(col(tsCol)).as("oldest_ts"), max(col(tsCol)).as("newest_ts"))
+    val cut = wal.agg((max(col(tsCol)) - expr(s"INTERVAL $ttl")).as("_cut"))
+    val wm = peers.agg(min(col("replicated_upto")).as("_wm"))
+    segs.crossJoin(broadcast(cut)).crossJoin(broadcast(wm))
+      .withColumn("ttl_ok", col("newest_ts") < col("_cut"))
+      .withColumn("shipped_ok", col("newest_ts") <= col("_wm"))
+      .withColumn("deletable", col("ttl_ok") && col("shipped_ok"))
+      .drop("_cut", "_wm")
+  }
+
   /** RegionSplitPolicy family (hbase-server/.../regionserver/
     * ConstantSizeRegionSplitPolicy.java:57 shouldSplit,
     * IncreasingToUpperBoundRegionSplitPolicy.java:76 getSizeToCheck,

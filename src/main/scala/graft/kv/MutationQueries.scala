@@ -118,6 +118,20 @@ object MutationQueries {
           regionWidth = 256)
         .orderBy("o_orderkey")
     }),
+    // Constraint coprocessor write path: keys %10 carry a put tripling
+    // the price; the enabled chain (status domain + 400k price cap)
+    // rejects every put whose new price busts the cap — those rows
+    // stay byte-identical, accepted puts land atomically
+    "constraint_put" -> ((s, d) => {
+      val base = ordersKV(s, d)
+      val puts = base.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderstatus", lit("P"))
+        .withColumn("o_totalprice", round(col("o_totalprice") * 3, 2))
+      Mutations.constraintPut(base, puts, "o_orderkey", Seq(
+          "status_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+          "price_cap" -> (col("o_totalprice") <= 400000)))
+        .orderBy("o_orderkey")
+    }),
     // version-exact deletes on the versioned cell view: drop the LATEST
     // version of every column of every 7th user (deleteColumn with ts =
     // that version's timestamp), then a family-scoped up-to-ts delete
@@ -193,6 +207,14 @@ object MutationQueries {
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE NOT (c_custkey % 10 = 0 AND c_acctbal < 0)
         |ORDER BY c_custkey""".stripMargin,
+    "constraint_put" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderkey % 10 = 0 AND round(o_totalprice * 3, 2) <= 400000
+        |            THEN 'P' ELSE o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN o_orderkey % 10 = 0 AND round(o_totalprice * 3, 2) <= 400000
+        |            THEN round(o_totalprice * 3, 2)
+        |            ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "check_and_mutate_row" ->
       """SELECT o_orderkey,
         |       CASE WHEN o_orderkey % 10 = 0 AND o_totalprice > 1000

@@ -200,6 +200,49 @@ object Mutations {
     mutateRow(base, okPuts, okDels, keyCol)
   }
 
+  /** Constraint coprocessor write path (constraint/ConstraintProcessor
+    * .java prePut, Constraints.java enable/add): every Put runs the
+    * table's enabled Constraint chain BEFORE reaching the memstore; a
+    * violating Put fails with ConstraintException and mutates NOTHING.
+    * This is schema-on-write — the dual of dqAudit's read-time audit.
+    * Batch form: tag each put with its FIRST failing constraint
+    * (`_violation`, NULL = accepted; a NULL-evaluating predicate
+    * violates — unknown ≠ pass, the dqAudit convention). Names are
+    * validated identifiers like dqAudit's. */
+  def constraintCheck(puts: DataFrame,
+                      constraints: Seq[(String, Column)]): DataFrame = {
+    require(constraints.nonEmpty, "constraintCheck needs at least one constraint")
+    constraints.find(c => !c._1.matches("[A-Za-z0-9_]+")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"constraint name '${c._1}' must match [A-Za-z0-9_]+"))
+    val firstFail = coalesce(constraints.map { case (n, pred) =>
+      when(!coalesce(pred, lit(false)), lit(n)) }: _*)
+    puts.withColumn("_violation", firstFail)
+  }
+
+  /** Apply a put batch under a Constraint chain: accepted puts upsert
+    * via [[put]], violating puts are dropped whole — the base rows
+    * they targeted stay byte-identical (the reference throws per
+    * mutation; a batch engine drops and reports). Rejections are a
+    * map-side projection; the only added cost over a plain put is the
+    * predicate columns. */
+  def constraintPut(base: DataFrame, puts: DataFrame, keyCol: String,
+                    constraints: Seq[(String, Column)]): DataFrame =
+    put(base,
+      constraintCheck(puts, constraints)
+        .where(col("_violation").isNull).drop("_violation"),
+      keyCol)
+
+  /** The rejection report beside [[constraintPut]] (the
+    * ConstraintException stream, aggregated): per constraint, how many
+    * puts it rejected first. */
+  def constraintReport(puts: DataFrame,
+                       constraints: Seq[(String, Column)]): DataFrame =
+    constraintCheck(puts, constraints)
+      .where(col("_violation").isNotNull)
+      .groupBy(col("_violation").as("constraint"))
+      .agg(count(lit(1)).as("n_rejected"))
+
   /** TTL expiry (HColumnDescriptor#setTimeToLive; cells older than
     * now − ttl vanish at compaction). Deterministic form: expire
     * relative to the table's max timestamp. Two-phase aggregate +

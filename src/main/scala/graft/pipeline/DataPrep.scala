@@ -185,6 +185,30 @@ object DataPrep {
     * to ≤ k rows of state before the one shuffle, so a 10⁹-row group
     * costs the same shuffle bytes as a 10³-row one. A group with fewer
     * than k rows yields all of them. */
+  /** Group-aware train/valid/test split — the assignment-time guard
+    * against eval contamination: the split is a pure md5 hash of the
+    * GROUP key (source domain, url host, dedup-cluster id …), so every
+    * document of a group lands in ONE split. Near-duplicates and
+    * templated text cluster within groups; a row-level split leaks
+    * them across train/eval and inflates every benchmark it touches
+    * ([[decontaminate]] audits that leak after the fact — this
+    * prevents it where it starts). Engine-portable: the md5 fold is
+    * the shuffle_shard 60-bit conv, reproducible across runs, engines
+    * and partitionings; no RNG, no seed-per-partition coupling.
+    * Stateless projection — nothing shuffles, pushdown still applies,
+    * and a 1000-executor cluster assigns the identical rows. */
+  def splitLeakageSafe(df: DataFrame, groupCol: String,
+                       trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && validPct > 0 && trainPct + validPct < 100,
+      s"bad split ($trainPct/$validPct): need train>0, valid>0, train+valid<100")
+    val h = expr("cast(conv(substring(md5(cast(cast(" +
+      s"`$groupCol` as string) as binary)), 1, 15), 16, 10) as bigint) % 100")
+    df.withColumn("split",
+      when(h < trainPct, "train")
+        .when(h < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+
   def sampleReservoir(df: DataFrame, keyCol: String, groupCol: String,
                       k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

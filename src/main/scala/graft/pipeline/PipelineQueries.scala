@@ -710,6 +710,16 @@ object PipelineQueries {
     // The manifest (counts, char volume, id range per shard) is one
     // aggregate; at 100 TB the same expression IS the partitionBy
     // column for the sharded write — assignment never leaves codegen.
+    // group-aware train/valid/test split: assignment is a pure md5
+    // hash of the SOURCE (all docs of a source share a split — the
+    // leakage guard), rollup per split; group-integrity spec-proved
+    "split_leakage_safe" -> ((s, d) =>
+      DataPrep.splitLeakageSafe(docs(s, d), "source")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_groups"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("split")),
     "shuffle_shard" -> ((s, d) =>
       Tables.load(s, d, "documents")
         .withColumn("shard", expr(
@@ -1878,6 +1888,16 @@ object PipelineQueries {
         |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS _t, count(*) AS _k FROM p)
         |SELECT label, n_vecs, _t * 1000000 // (_k * n_vecs) AS weight_ppm
         |FROM p, t ORDER BY label""".stripMargin,
+    "split_leakage_safe" ->
+      (s"""WITH a AS (SELECT source, n_chars,
+         |    ${ddHex2Int("upper(substr(md5(CAST(source AS VARCHAR)), 1, 15))")} % 100 AS h
+         |  FROM documents),
+         |s AS (SELECT CASE WHEN h < 80 THEN 'train'
+         |                  WHEN h < 90 THEN 'valid'
+         |                  ELSE 'test' END AS split, source, n_chars FROM a)
+         |SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_groups,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM s GROUP BY 1 ORDER BY split""".stripMargin),
     "shuffle_shard" ->
       (s"""SELECT ${ddHex2Int("upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))")} % 16 AS shard,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -86,6 +86,50 @@ class MutationsSpec extends SparkSpec {
     assert(healthy.sameElements(Array((3L, 1L, false), (10L, 3L, false), (15L, 5L, false))))
   }
 
+  test("constraintPut: violating puts dropped whole, first-fail attribution, bad names rejected") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "v", "p")
+    val puts = Seq((1L, "A", 15.0), (2L, "B", -5.0), (3L, null.asInstanceOf[String], -1.0))
+      .toDF("k", "v", "p")
+    val cs = Seq("v_not_null" -> col("v").isNotNull,
+      "p_positive" -> (col("p") > 0))
+    val got = Mutations.constraintPut(base, puts, "k", cs)
+      .orderBy("k").as[(Long, String, Double)].collect()
+    // k=1 accepted; k=2 fails p_positive; k=3 fails v_not_null (first
+    // in chain order even though p also violates) — both stay base
+    assert(got.sameElements(Array((1L, "A", 15.0), (2L, "b", 20.0), (3L, "c", 30.0))))
+    val rep = Mutations.constraintReport(puts, cs).orderBy("constraint")
+      .as[(String, Long)].collect()
+    assert(rep.sameElements(Array(("p_positive", 1L), ("v_not_null", 1L))))
+    val e = intercept[IllegalArgumentException] {
+      Mutations.constraintPut(base, puts, "k", Seq("bad'name" -> col("v").isNotNull))
+    }
+    assert(e.getMessage.contains("[A-Za-z0-9_]+"))
+  }
+
+  test("logCleaner: a segment dies only when BOTH delegates agree") {
+    import java.sql.Timestamp
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // corpus max = Jan 20, ttl 5 days -> cutoff Jan 15; min peer
+    // watermark = Jan 10
+    val wal = Seq(t(2), t(2), t(8), t(12), t(20))
+      .toDF("ts")
+    val peers = Seq(("p1", t(10)), ("p2", t(25))).toDF("peer_id", "replicated_upto")
+    val got = graft.analytics.Tools.logCleaner(wal, "ts", peers, "5 DAYS")
+      .orderBy("segment_day")
+      .select("n_edits", "ttl_ok", "shipped_ok", "deletable")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+    // Jan 2 (2 edits): old AND shipped -> deletable
+    // Jan 8: old but PAST p1's watermark? no — Jan 8 < Jan 10 -> shipped, deletable
+    // Jan 12: within ttl? newest Jan 12 < Jan 15 cutoff -> ttl_ok, but
+    //         not shipped (> Jan 10) -> survives (replication delegate)
+    // Jan 20: young AND unshipped -> survives (both delegates)
+    assert(got.sameElements(Array(
+      (2L, true, true, true),
+      (1L, true, true, true),
+      (1L, true, false, false),
+      (1L, false, false, false))), got.mkString(","))
+  }
+
   test("deleteQualifier nulls the cell, keeps the row") {
     val base = Seq((1L, "x", "y"), (2L, "p", "q")).toDF("k", "a", "b")
     val got = Mutations.deleteQualifier(base, col("k") === 1, "b")

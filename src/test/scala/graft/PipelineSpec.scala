@@ -635,6 +635,31 @@ class PipelineSpec extends SparkSpec {
     assert(!got(2)._3, "disjoint doc must stay clean")
   }
 
+  test("splitLeakageSafe: every group lands in exactly ONE split, assignment deterministic") {
+    import spark.implicits._
+    import graft.pipeline.DataPrep
+    val df = (0 until 1000).map(i => (i.toLong, s"host${i % 200}")).toDF("doc_id", "grp")
+    val split = DataPrep.splitLeakageSafe(df, "grp")
+    // group integrity: no group straddles splits — THE leakage guard
+    val straddlers = split.groupBy("grp")
+      .agg(countDistinct(col("split")).as("n")).where(col("n") > 1).count()
+    assert(straddlers == 0)
+    // all three splits populated at 200 groups and deterministic across runs
+    val a = split.groupBy("split").count().orderBy("split")
+      .as[(String, Long)].collect()
+    val b = DataPrep.splitLeakageSafe(df, "grp").groupBy("split").count()
+      .orderBy("split").as[(String, Long)].collect()
+    assert(a.sameElements(b))
+    assert(a.map(_._1).toSet == Set("train", "valid", "test"), a.mkString(","))
+    // weights land near 80/10/10 at group granularity
+    val m = a.toMap
+    assert(m("train") > m("valid") && m("train") > m("test"),
+      s"train must dominate: ${a.mkString(",")}")
+    val e = intercept[IllegalArgumentException](
+      DataPrep.splitLeakageSafe(df, "grp", trainPct = 95, validPct = 10))
+    assert(e.getMessage.contains("bad split"))
+  }
+
   test("stratified sampler is deterministic and stratum-faithful") {
     import graft.pipeline.DataPrep
     val rates = Map("en" -> 0.9, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.1)
