@@ -464,6 +464,21 @@ object AnalyticsQueries {
       Tools.replicationLag(Tables.load(s, d, "events"), "ts", peers)
         .orderBy("peer_id")
     }),
+    // PREFIX data-block-encoding savings over the event cell store:
+    // flat keys (rowkey/family/qualifier/ts/id, fixed-width padded)
+    // delta-encode against the previous cell within 64-cell blocks of
+    // 64-user regions — the per-region saved-bytes ppm that decides
+    // DataBlockEncoding.PREFIX for a table
+    "encoding_prefix_savings" -> ((s, d) => {
+      val cells = Tables.eventCells(s, d)
+      val fk = concat(
+        lpad(col("rowkey").cast("string"), 10, "0"), lit("/"),
+        col("family"), lit("/"), col("qualifier"), lit("/"),
+        lpad(unix_micros(col("ts")).cast("string"), 16, "0"), lit("/"),
+        lpad(col("event_id").cast("string"), 10, "0"))
+      Tools.prefixEncodingSavings(cells, fk, expr("rowkey div 64"))
+        .orderBy("region")
+    }),
     // Master LogCleaner chore over oldWALs: day-grain WAL segments
     // audited by the delegate chain — TTL (life > 10 days against the
     // corpus max ts) AND replication (every peer's watermark past the
@@ -1541,6 +1556,30 @@ object AnalyticsQueries {
         |FROM peers p CROSS JOIN b
         |LEFT JOIN events e ON e.ts > p.replicated_upto
         |GROUP BY 1, 2, b.newest ORDER BY peer_id""".stripMargin,
+    "encoding_prefix_savings" ->
+      ("WITH " + Tables.eventCellsSql + """,
+        |k AS (SELECT rowkey // 64 AS region,
+        |    lpad(CAST(rowkey AS VARCHAR), 10, '0') || '/' || family || '/' ||
+        |    qualifier || '/' || lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0') ||
+        |    '/' || lpad(CAST(event_id AS VARCHAR), 10, '0') AS fk
+        |  FROM vcells),
+        |r AS (SELECT region, fk,
+        |    row_number() OVER (PARTITION BY region ORDER BY fk) AS rn,
+        |    lag(fk) OVER (PARTITION BY region ORDER BY fk) AS prev FROM k),
+        |f AS (SELECT region, fk, rn, prev,
+        |    list_transform(range(1, greatest(len(fk), len(coalesce(prev, ''))) + 1),
+        |      i -> CASE WHEN substr(fk, i, 1) = substr(coalesce(prev, ''), i, 1)
+        |                THEN 1 ELSE 0 END) AS fl FROM r),
+        |p AS (SELECT region, fk,
+        |    CASE WHEN (rn - 1) % 64 = 0 OR prev IS NULL THEN 0
+        |         ELSE coalesce(list_position(fl, 0) - 1, len(fl)) END AS prefix
+        |  FROM f)
+        |SELECT region, count(*) AS n_cells,
+        |  CAST(sum(len(fk)) AS BIGINT) AS raw_key_bytes,
+        |  CAST(sum(prefix) AS BIGINT) AS saved_bytes,
+        |  CAST(sum(prefix) AS BIGINT) * 1000000
+        |    // CAST(sum(len(fk)) AS BIGINT) AS saved_ppm
+        |FROM p GROUP BY 1 ORDER BY region""".stripMargin),
     "log_cleaner" ->
       """WITH segs AS (SELECT date_trunc('day', ts) AS segment_day,
         |    count(*) AS n_edits, min(ts) AS oldest_ts, max(ts) AS newest_ts

@@ -534,6 +534,49 @@ object Tools {
       .drop("_cut", "_wm")
   }
 
+  /** PREFIX data-block-encoding savings audit (hbase-common/.../io/
+    * encoding/PrefixKeyDeltaEncoder.java:34 — each cell stores only
+    * the bytes of its flat key past the common prefix with the
+    * PREVIOUS cell; the first key of every block stores whole). The
+    * number this reports — per-region key bytes saved — is exactly
+    * what the DataBlockEncoding.PREFIX on/off decision reads off a
+    * representative table (long shared-prefix keys ⇒ enable).
+    *
+    * Semantics per the encoder: cells sort by flat key within their
+    * region; blocks of `blockCells` reset the delta chain (a block is
+    * the seek unit, so its first key must be self-contained —
+    * internalEncode's prevCell == null case). The common-prefix
+    * length is a position-wise character fold written identically in
+    * Spark and the DuckDB oracle (substring past either end yields ''
+    * ≠ any char, so the fold self-caps at the shorter key).
+    *
+    * Scale shape: one window shuffle partitioned by REGION (the
+    * physical sort unit — never a global order), the fold a codegen'd
+    * per-row expression, then a map-side-partial rollup per region.
+    * Regions grow with data; no partition ever exceeds a region. */
+  def prefixEncodingSavings(df: DataFrame, flatKey: Column, region: Column,
+                            blockCells: Int = 64): DataFrame = {
+    require(blockCells >= 2, s"blockCells ($blockCells) must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("region").orderBy("_fk")
+    df.select(region.as("region"), flatKey.as("_fk"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_prev", lag(col("_fk"), 1).over(w))
+      .withColumn("_flags", expr(
+        "transform(sequence(1, greatest(length(_fk), length(_prev))), " +
+          "i -> IF(substring(_fk, i, 1) = substring(_prev, i, 1), 1, 0))"))
+      .withColumn("_prefix", when(
+          expr(s"(_rn - 1) % $blockCells") === 0 || col("_prev").isNull, lit(0L))
+        .otherwise(expr(
+          "cast(IF(array_position(_flags, 0) = 0, size(_flags), " +
+            "array_position(_flags, 0) - 1) as bigint)")))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(length(col("_fk"))).cast("bigint").as("raw_key_bytes"),
+        sum(col("_prefix")).as("saved_bytes"))
+      .withColumn("saved_ppm", expr("saved_bytes * 1000000 div raw_key_bytes"))
+  }
+
   /** RegionSplitPolicy family (hbase-server/.../regionserver/
     * ConstantSizeRegionSplitPolicy.java:57 shouldSplit,
     * IncreasingToUpperBoundRegionSplitPolicy.java:76 getSizeToCheck,

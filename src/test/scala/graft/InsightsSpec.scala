@@ -352,6 +352,22 @@ class InsightsSpec extends SparkSpec {
     assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b })
   }
 
+  test("prefixEncodingSavings: exact fold, block resets the chain, regions independent") {
+    val df = Seq(
+      (0L, "aaaa1"), (0L, "aaaa2"), (0L, "aabb3"), (0L, "abcd4"),
+      (1L, "zzzz9")
+    ).toDF("reg", "fk")
+    val got = Tools.prefixEncodingSavings(df, col("fk"), col("reg"), blockCells = 2)
+      .orderBy("region")
+      .collect().map(r => (r.getAs[Long]("region"), r.getAs[Long]("n_cells"),
+        r.getAs[Long]("raw_key_bytes"), r.getAs[Long]("saved_bytes")))
+    // region 0: aaaa1 block-start 0; aaaa2 shares 'aaaa' = 4; aabb3
+    // BLOCK RESET -> 0 (the seek unit must be self-contained); abcd4
+    // shares 'a' = 1. region 1: single key stores whole.
+    assert(got.sameElements(Array((0L, 4L, 20L, 5L), (1L, 1L, 5L, 0L))),
+      got.mkString(","))
+  }
+
   test("dqAudit: violations counted, NULL predicates violate, one aggregate pass") {
     val df = Seq((Some(1L), 10.0), (None, -5.0), (Some(1L), 0.0))
       .toDF("k", "price")
