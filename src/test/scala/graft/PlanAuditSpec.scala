@@ -333,6 +333,51 @@ class PlanAuditSpec extends SparkSpec {
       s"window not anchored on the bounded cell: $l"))
   }
 
+  test("timeline_read: one latest-version window on rowkey, horizon broadcast, no real join") {
+    val p = plan("timeline_read")
+    assert(p.contains("windowspecdefinition(rowkey"), s"window not rowkey-partitioned:\n$p")
+    assert(exchanges(p, "hashpartitioning") == 1,
+      s"expected exactly the window's hash shuffle:\n$p")
+    // the staleness horizon rides a 1-row broadcast cross, never a shuffle join
+    assert(!p.contains("SortMergeJoin"), p)
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+      assert(l.contains("BuildRight, Cross"), s"unintended nested loop:\n$l"))
+  }
+
+  test("log_cleaner: the edit stream never shuffles raw — one day-grain partial aggregate") {
+    val p = plan("log_cleaner")
+    // segments shuffle as map-side-combined day partials (1 hash
+    // exchange); the TTL cutoff and min watermark are 1-row crosses
+    assert(exchanges(p, "hashpartitioning") == 1,
+      s"expected exactly 1 hash shuffle (day partials):\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min") ||
+      "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("split_leakage_safe: assignment is scan-side, scan pruned to the two needed columns") {
+    val p = plan("split_leakage_safe")
+    assert(!p.contains("Join"), s"the split must be a pure projection:\n$p")
+    // 2 = the countDistinct expansion's (split, source) pre-aggregate
+    // + the (split) rollup — both shuffle AGGREGATED rows with
+    // map-side partials; the doc stream itself never shuffles
+    assert(exchanges(p, "hashpartitioning") == 2,
+      s"expected the two rollup shuffles only:\n$p")
+    assert(p.contains("partial_count"), s"no map-side partials:\n$p")
+    assert(!p.contains("doc_id") && !p.contains("text#") && !p.contains("lang"),
+      s"scan not pruned to (source, n_chars):\n$p")
+  }
+
+  test("encoding_prefix_savings: the delta window is region-partitioned, never global") {
+    val opt = SparkEntry.queries("encoding_prefix_savings")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    val specs = opt.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty, s"no window in:\n$opt")
+    specs.foreach(l => assert(l.contains("windowspecdefinition(region"),
+      s"unpartitioned delta window: $l"))
+  }
+
   test("eval_auc: the U-statistic cumsum is cell-anchored, never a global data window") {
     val opt = SparkEntry.queries("eval_auc")(spark, sfDir)
       .queryExecution.optimizedPlan.toString()
