@@ -138,6 +138,82 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("size"))
       Tools.compactionSelect(files).orderBy("region")
     }),
+    // DateTieredCompactionPolicy: the same per-(region, day) flush
+    // files grouped into age-tiered time windows (4-day base windows,
+    // 4 windows per tier, exponential growth); the incoming window
+    // needs 6 files before compacting, older windows 3 — the
+    // time-series layout that never rewrites cold data
+    "compaction_date_tiered" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
+      val files = ev.crossJoin(broadcast(b))
+        .withColumn("region",
+          Tools.totalOrderBucket(col("user_id"), col("_lo"), col("_hi"), 8))
+        .groupBy(col("region"), date_trunc("DAY", col("ts")).as("file_day"))
+        .agg(count(lit(1)).as("size"))
+      Tools.dateTieredSelect(files).orderBy("region", "tier", "window_id")
+    }),
+    // Rolling-restart drain (region_mover.rb unload): the balancer's
+    // 16-region / 5-server assignment with server 2 draining — its
+    // regions deal round-robin to the four survivors, the rest stay put
+    "region_mover" -> ((s, d) => {
+      val grown = Tables.load(s, d, "orders")
+        .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+      Tools.regionMoverPlan(
+          Tools.balancerPlan(Tools.totalOrderBuckets(grown, "region_key", 16), 5),
+          nServers = 5, drain = 2)
+        .orderBy("bucket")
+    }),
+    // Per-peer table-CFs replication scoping: p_dr subscribes to
+    // events:web only, p_analytics to all of events + customer,
+    // p_backup to customer:info — shipped-edit counts per peer scope
+    "replication_table_cfs" -> ((s, d) => {
+      import s.implicits._
+      val cfg = Seq(
+        ("p_dr", "events", Some("web")),
+        ("p_analytics", "events", None: Option[String]),
+        ("p_analytics", "customer", None: Option[String]),
+        ("p_backup", "customer", Some("info")))
+        .toDF("peer_id", "tbl", "fam")
+      val ev = Tables.eventCellsTwoFamilies(s, d)
+        .select(col("family"), lit("events").as("table_name"))
+      val cust = Tables.customerCells(s, d)
+        .select(col("family"), lit("customer").as("table_name"))
+      Tools.replicationTableCfs(ev.unionByName(cust), cfg)
+        .orderBy("peer_id", "table_name", "family")
+    }),
+    // SCD Type-2 dimension build: every cell version becomes an
+    // effectivity interval [valid_from, valid_to) with the next
+    // version's ts as the exclusive upper bound (NULL = current row) —
+    // the warehouse dual of HBase's multi-version scan
+    "scd2_build" -> ((s, d) =>
+      Tools.scd2Build(
+          Tables.eventCells(s, d)
+            .select("rowkey", "qualifier", "ts", "value", "event_id"),
+          Seq("rowkey", "qualifier"), "ts", "event_id")
+        .select("rowkey", "qualifier", "valid_from", "valid_to", "value",
+          "event_id", "is_current")
+        .orderBy("rowkey", "qualifier", "valid_from", "event_id")),
+    // Point-in-time lookup against the SCD2 dimension: three probe
+    // timestamps (a 3-row broadcast — bounded ×3 fanout, never a
+    // per-key range join) each select the version effective at that
+    // instant; zero-width same-ts versions can never match
+    "scd2_lookup" -> ((s, d) => {
+      import s.implicits._
+      val probes = Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00",
+          "2024-01-22 00:00:00").toDF("_p")
+        .select(to_timestamp(col("_p")).as("probe_ts"))
+      Tools.scd2Build(
+          Tables.eventCells(s, d)
+            .select("rowkey", "qualifier", "ts", "value", "event_id"),
+          Seq("rowkey", "qualifier"), "ts", "event_id")
+        .join(broadcast(probes),
+          col("valid_from") <= col("probe_ts") &&
+            (col("valid_to").isNull || col("valid_to") > col("probe_ts")))
+        .select("probe_ts", "rowkey", "qualifier", "value", "event_id",
+          "valid_from")
+        .orderBy("probe_ts", "rowkey", "qualifier")
+    }),
     // SimpleLoadBalancer round-robin assignment: unevenly grown regions
     // (normalizer's squared-key buckets) dealt to 5 servers in size
     // order — per-region placement the oracle recomputes exactly
@@ -1196,6 +1272,80 @@ object AnalyticsQueries {
         |      FROM ok)
         |SELECT region, first_seq, n_files, tot_size FROM r WHERE rn = 1
         |ORDER BY region""".stripMargin,
+    "compaction_date_tiered" ->
+      """WITH b AS (SELECT min(user_id) lo, max(user_id) hi FROM events),
+        |f AS (SELECT CAST(floor((user_id - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,
+        |             date_trunc('day', ts) AS file_day, count(*) AS size
+        |      FROM events, b GROUP BY 1, 2),
+        |n AS (SELECT max(file_day) AS newest FROM f),
+        |a AS (SELECT region, size,
+        |             CAST(date_diff('day', file_day, newest) AS BIGINT) AS age
+        |      FROM f, n),
+        |t AS (SELECT region, size, age,
+        |             CAST(CASE WHEN age < 16 THEN 0 WHEN age < 64 THEN 1
+        |                       WHEN age < 256 THEN 2 ELSE 3 END AS BIGINT) AS tier
+        |      FROM a),
+        |w AS (SELECT region, size, age, tier,
+        |             age // (CASE tier WHEN 0 THEN 4 WHEN 1 THEN 16
+        |                               WHEN 2 THEN 64 ELSE 256 END) AS window_id
+        |      FROM t)
+        |SELECT region, tier, window_id, CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(size) AS BIGINT) AS tot_size,
+        |       min(age) AS min_age, max(age) AS max_age,
+        |       count(*) >= (CASE WHEN tier = 0 AND window_id = 0 THEN 6 ELSE 3 END) AS compact
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "region_mover" ->
+      """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |st AS (SELECT CAST(floor((k - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |              count(*) AS n_rows FROM g, b GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n_rows DESC, bucket) AS rn FROM st),
+        |a AS (SELECT bucket, n_rows, CAST((rn - 1) % 5 AS INT) AS server FROM r),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY server = 2 ORDER BY bucket) AS drn
+        |       FROM a)
+        |SELECT bucket, n_rows, server AS src_server,
+        |       CAST(CASE WHEN server <> 2 THEN server
+        |                 WHEN (drn - 1) % 4 >= 2 THEN (drn - 1) % 4 + 1
+        |                 ELSE (drn - 1) % 4 END AS INT) AS dest_server,
+        |       server = 2 AS moved
+        |FROM dd ORDER BY bucket""".stripMargin,
+    "replication_table_cfs" ->
+      ("WITH " + graft.core.Tables.eventCellsTwoFamiliesSql + ",\n" +
+        graft.core.Tables.customerCellsSql + """,
+        |cfg(peer_id, tbl, fam) AS (VALUES
+        |  ('p_dr', 'events', 'web'),
+        |  ('p_analytics', 'events', NULL),
+        |  ('p_analytics', 'customer', NULL),
+        |  ('p_backup', 'customer', 'info')),
+        |ed AS (SELECT 'events' AS table_name, family FROM vcells2
+        |       UNION ALL SELECT 'customer', family FROM cells)
+        |SELECT peer_id, table_name, family, count(*) AS n_edits
+        |FROM ed JOIN cfg ON cfg.tbl = ed.table_name
+        |                AND (cfg.fam IS NULL OR cfg.fam = ed.family)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+    "scd2_build" ->
+      ("WITH " + graft.core.Tables.eventCellsSql + """
+        |SELECT rowkey, qualifier, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY rowkey, qualifier
+        |                      ORDER BY ts, event_id) AS valid_to,
+        |       value, event_id,
+        |       lead(ts) OVER (PARTITION BY rowkey, qualifier
+        |                      ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM vcells ORDER BY rowkey, qualifier, valid_from, event_id""".stripMargin),
+    "scd2_lookup" ->
+      ("WITH " + graft.core.Tables.eventCellsSql + """,
+        |dim AS (SELECT rowkey, qualifier, ts AS valid_from,
+        |               lead(ts) OVER (PARTITION BY rowkey, qualifier
+        |                              ORDER BY ts, event_id) AS valid_to,
+        |               value, event_id
+        |        FROM vcells),
+        |p(probe_ts) AS (VALUES (TIMESTAMP '2024-01-08 00:00:00'),
+        |                       (TIMESTAMP '2024-01-15 00:00:00'),
+        |                       (TIMESTAMP '2024-01-22 00:00:00'))
+        |SELECT probe_ts, rowkey, qualifier, value, event_id, valid_from
+        |FROM dim JOIN p ON valid_from <= probe_ts
+        |                AND (valid_to IS NULL OR valid_to > probe_ts)
+        |ORDER BY probe_ts, rowkey, qualifier""".stripMargin),
     "region_balancer" ->
       """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
         |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),

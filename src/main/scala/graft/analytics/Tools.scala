@@ -233,6 +233,56 @@ object Tools {
         (-col("m.negtot")).as("tot_size"))
   }
 
+  /** DateTieredCompactionPolicy (hbase-server/.../regionserver/
+    * compactions/DateTieredCompactionPolicy.java:230-255 — files are
+    * grouped into time windows that grow exponentially with age:
+    * `windowsPerTier` windows of `baseWindowDays` in tier 0, each tier
+    * `windowsPerTier`× wider; the window holding the newest data is
+    * the INCOMING window and needs `incomingMin` files before it
+    * compacts (:230 getDateTieredIncomingWindowMin), older windows
+    * compact at the ordinary `minFiles` threshold (:241
+    * getMinFilesToCompact)). Windows here are aged from the corpus
+    * max file day (deterministic "now"), which re-expresses the
+    * reference's epoch-aligned boundaries in audit-stable form.
+    *
+    * Scale shape: file stats are metadata rows (one per region × day
+    * flush); tier/window assignment is a codegen'd projection against
+    * a 1-row broadcast of the max day, then one map-side-combinable
+    * rollup per (region, tier, window). The edit stream itself never
+    * shuffles here — callers aggregate it to file stats first.
+    *
+    * @param files (region, file_day: date/timestamp, size) store-file
+    *              stats, one row per flushed file. */
+  def dateTieredSelect(files: DataFrame, baseWindowDays: Int = 4,
+                       windowsPerTier: Int = 4, minFiles: Int = 3,
+                       incomingMin: Int = 6): DataFrame = {
+    require(baseWindowDays >= 1 && windowsPerTier >= 2,
+      s"need baseWindowDays ($baseWindowDays) >= 1, windowsPerTier ($windowsPerTier) >= 2")
+    val newest = files.agg(max(col("file_day")).as("_newest"))
+    // tier t covers ages [base*per^t * (t==0 ? 0 : 1), base*per^(t+1))
+    // — 4 tiers is enough for any corpus this audits (base 4/per 4
+    // reaches 1024 days); the last tier is open-ended.
+    val w0 = baseWindowDays.toLong
+    val bounds = Seq(w0 * windowsPerTier, w0 * windowsPerTier * windowsPerTier,
+      w0 * windowsPerTier * windowsPerTier * windowsPerTier)
+    val winSize = Seq(w0, w0 * windowsPerTier,
+      w0 * windowsPerTier * windowsPerTier, bounds(2))
+    files.crossJoin(broadcast(newest))
+      .withColumn("_age", datediff(col("_newest"), col("file_day")).cast("bigint"))
+      .withColumn("tier",
+        when(col("_age") < bounds(0), 0L).when(col("_age") < bounds(1), 1L)
+          .when(col("_age") < bounds(2), 2L).otherwise(3L))
+      .withColumn("window_id", expr(
+        s"""_age div (CASE tier WHEN 0 THEN ${winSize(0)} WHEN 1 THEN ${winSize(1)}
+           |          WHEN 2 THEN ${winSize(2)} ELSE ${winSize(3)} END)""".stripMargin))
+      .groupBy("region", "tier", "window_id")
+      .agg(count(lit(1)).cast("bigint").as("n_files"),
+        sum(col("size")).as("tot_size"),
+        min(col("_age")).as("min_age"), max(col("_age")).as("max_age"))
+      .withColumn("compact", col("n_files") >= when(
+        col("tier") === 0 && col("window_id") === 0, incomingMin).otherwise(minFiles))
+  }
+
   /** SimpleLoadBalancer.roundRobinAssignment (hbase-server/.../master/
     * balancer/BaseLoadBalancer.java:1550): deal regions to servers
     * round-robin in descending size order — the assignment HBase uses
@@ -247,6 +297,34 @@ object Tools {
     regionStats
       .withColumn("server", pmod(row_number().over(w) - 1, lit(nServers)).cast("int"))
       .select(col("bucket"), col("n_rows"), col("server"))
+  }
+
+  /** Region mover / graceful decommission (bin/region_mover.rb
+    * `unload` — move every region off the target server, dealing them
+    * to the surviving servers in turn; the rolling-restart workflow
+    * every HBase operator runs). Drained regions are ranked in start
+    * key order and dealt round-robin over the `nServers - 1`
+    * survivors (skipping the drained slot), so post-drain counts stay
+    * within one region of even; untouched regions keep their server.
+    *
+    * Scale shape: the rank window runs over the drained server's
+    * region rows only — master metadata (dozens), never data.
+    *
+    * @param assign (bucket, n_rows, server) current assignment, e.g.
+    *               [[balancerPlan]] output. */
+  def regionMoverPlan(assign: DataFrame, nServers: Int, drain: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nServers >= 2 && 0 <= drain && drain < nServers,
+      s"need nServers ($nServers) >= 2 and drain ($drain) in [0, nServers)")
+    val w = Window.partitionBy(col("_drained")).orderBy("bucket")
+    assign
+      .withColumn("_drained", col("server") === drain)
+      .withColumn("_idx", pmod(row_number().over(w) - 1, lit(nServers - 1)))
+      .select(col("bucket"), col("n_rows"), col("server").as("src_server"),
+        when(!col("_drained"), col("server"))
+          .when(col("_idx") >= drain, col("_idx") + 1)
+          .otherwise(col("_idx")).cast("int").as("dest_server"),
+        col("_drained").as("moved"))
   }
 
   /** The total-order bucket formula — ONE copy of the expression every
@@ -501,6 +579,53 @@ object Tools {
         greatest(lit(0L), unix_timestamp(col("_newest")) -
           unix_timestamp(col("replicated_upto"))).as("lag_sec"))
   }
+
+  /** SCD Type-2 dimension build over a versioned cell history — the
+    * warehouse re-expression of HBase's multi-version cells (KeyValue
+    * .java's ts dimension): each version becomes an effectivity
+    * interval `[valid_from, valid_to)` with `valid_to` = the next
+    * version's ts (NULL = current). A version superseded at its own
+    * timestamp (same-ts tie, later `tieCol` wins) gets a zero-width
+    * interval and is never effective — the same latest-wins rule the
+    * scan path applies.
+    *
+    * Scale shape: ONE window shuffle partitioned by the dimension key
+    * (versions per key are bounded by maxVersions, never data-scale
+    * within a partition beyond the key's own history). */
+  def scd2Build(cells: DataFrame, keyCols: Seq[String], tsCol: String,
+                tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    cells
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Per-peer table-CFs replication scoping (hbase-client/.../
+    * replication/ReplicationPeerConfig.java with the tableCFsMap the
+    * 1.3 ReplicationAdmin.setPeerTableCFs installs: peer ⇒
+    * "table1:cf1,cf2;table2" — a NULL family list replicates every
+    * family of the table; TableCfWALEntryFilter applies it per WAL
+    * edit). One scan of the tagged edit stream against the broadcast
+    * peer-config relation (table must match; family matches or the
+    * config row is family-wildcard), then a per-(peer, table, family)
+    * rollup — the shipped-edit accounting per peer scope.
+    *
+    * Scale shape: config is master metadata (a handful of rows,
+    * broadcast); the inner join fans each edit out only to the peers
+    * that actually subscribe to it, and the rollup takes map-side
+    * partials. The edit stream never shuffles pre-aggregation.
+    *
+    * @param edits  (table_name, family, ...) tagged WAL edit stream.
+    * @param config (peer_id, tbl, fam) peer scopes, fam NULL = all. */
+  def replicationTableCfs(edits: DataFrame, config: DataFrame): DataFrame =
+    edits.join(broadcast(config),
+        col("tbl") === col("table_name") &&
+          (col("fam").isNull || col("fam") === col("family")))
+      .groupBy("peer_id", "table_name", "family")
+      .agg(count(lit(1)).as("n_edits"))
 
   /** Master LogCleaner chore over oldWALs (master/cleaner/LogCleaner
     * .java with its delegate chain; CleanerChore.checkAndDeleteFiles

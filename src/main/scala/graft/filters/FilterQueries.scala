@@ -76,6 +76,15 @@ object FilterQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")),
     "filter_first_key_only" -> ((s, d) =>
       Filters.firstKeyOnly(cc(s, d)).orderBy("rowkey")),
+    // KeyOnlyFilter(true) — lenAsVal (KeyOnlyFilter.java:60-67 stores
+    // the 4-byte int value LENGTH in place of the value): cell
+    // coordinates plus value width, never the value bytes — the
+    // "how wide are my values" audit scan. The plain blanking form is
+    // exercised through the DSL in filter_parse_registry.
+    "filter_key_only" -> ((s, d) =>
+      cc(s, d).select(col("rowkey"), col("family"), col("qualifier"),
+          length(col("value")).cast("bigint").as("value_len"))
+        .orderBy("rowkey", "family", "qualifier")),
     // FirstKeyValueMatchingQualifiersFilter over the versioned view:
     // each user's cells stream in (qualifier, ts desc) scan order until
     // the first purchase/signup cell, inclusive; users with neither
@@ -206,6 +215,9 @@ object FilterQueries {
              |  SELECT rowkey, family, qualifier,
              |         row_number() OVER (PARTITION BY rowkey ORDER BY family, qualifier) AS rn
              |  FROM cells) WHERE rn = 1 ORDER BY rowkey""".stripMargin),
+    "filter_key_only" ->
+      (C + """SELECT rowkey, family, qualifier, CAST(len(value) AS BIGINT) AS value_len
+             |FROM cells ORDER BY rowkey, family, qualifier""".stripMargin),
     "filter_first_key_matching_qualifiers" ->
       (V + """SELECT rowkey, qualifier, ts, value, event_id FROM (
              |  SELECT *, coalesce(sum(CASE WHEN qualifier IN ('purchase', 'signup')

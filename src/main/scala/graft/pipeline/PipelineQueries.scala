@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.dedup.Dedup
@@ -617,6 +617,57 @@ object PipelineQueries {
         .withColumn("recall_ppm",
           expr("IF(tp + fn = 0, 0L, tp * 1000000 div (tp + fn))"))
         .orderBy("thresh")),
+    // Calibration / reliability audit of the quality classifier: docs
+    // bucketed into 10 equal-width score bins (broadcast bounds, the
+    // histogram_fixed shape), per bin the observed positive rate
+    // (label = lang 'en') against the mean score — the reliability
+    // diagram that says whether a scorer's confidence means anything.
+    // Integer floor arithmetic end-to-end; one aggregate pass after
+    // the classifier's own rollup.
+    "eval_calibration" -> ((s, d) => {
+      val scored = TextOps.qualityClassifier(docs(s, d))
+        .join(docs(s, d).select(col("doc_id"),
+          (col("lang") === lit("en")).as("_pos")), "doc_id")
+      val b = scored.agg(min("score_micro").as("_lo"), max("score_micro").as("_hi"))
+      scored.crossJoin(broadcast(b))
+        .withColumn("bin", graft.analytics.Tools.totalOrderBucket(
+          col("score_micro"), col("_lo"), col("_hi"), 10))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(score_micro) div count(1)").as("mean_score_micro"),
+          expr("(sum(IF(_pos, 1, 0)) * 1000000) div count(1)").as("pos_rate_ppm"))
+        .orderBy("bin")
+    }),
+    // Ranking eval: NDCG@10 per order priority over the TopKStruct
+    // bounded-heap top-10 (by price, the agg_topk machinery — no
+    // corpus-wide window sort); graded relevance rel = orderkey % 4,
+    // gain 2^rel − 1, and a literal floor-ppm discount table
+    // (⌊1e6 / log2(rank+1)⌋) shared digit-for-digit with the oracle.
+    // The ideal ranking re-orders the SAME retrieved list by
+    // relevance; both rank windows run over ≤10 rows per group.
+    "eval_ndcg" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def disc(r: Column): Column =
+        when(r === 1, 1000000L).when(r === 2, 630929L).when(r === 3, 500000L)
+          .when(r === 4, 430676L).when(r === 5, 386852L).when(r === 6, 356207L)
+          .when(r === 7, 333333L).when(r === 8, 315464L).when(r === 9, 301029L)
+          .otherwise(289064L)
+      val scored = Tables.load(s, d, "orders").select(col("o_orderpriority"),
+        col("o_orderkey").as("nn_id"), col("o_totalprice").as("_score"))
+      val wIdeal = Window.partitionBy("o_orderpriority")
+        .orderBy(col("rel").desc, col("_score").desc, col("nn_id"))
+      graft.sim.Ann.topK(scored, "o_orderpriority", 10)
+        .withColumn("rel", pmod(col("nn_id"), lit(4)))
+        .withColumn("gain", when(col("rel") === 0, 0L).when(col("rel") === 1, 1L)
+          .when(col("rel") === 2, 3L).otherwise(7L))
+        .withColumn("irank", row_number().over(wIdeal))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("gain") * disc(col("rank"))).as("dcg"),
+          sum(col("gain") * disc(col("irank"))).as("idcg"))
+        .withColumn("ndcg_ppm",
+          expr("IF(idcg = 0, 1000000L, dcg * 1000000 div idcg)"))
+        .orderBy("o_orderpriority")
+    }),
     // Sharded HLL NDV (Apache DataSketches via Spark's hll_* family):
     // each shard builds a fixed-size sketch, shards merge by
     // hll_union_agg — the mergeable-state pattern that replaces the
@@ -1843,6 +1894,50 @@ object PipelineQueries {
         |  CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
         |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_ppm
         |FROM a ORDER BY thresh""".stripMargin,
+    "eval_calibration" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
+        |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
+        |      FROM tok GROUP BY 1),
+        |f AS (SELECT doc_id,
+        |             least(n, 64) * 15625 * 1 + (ns * 1000000) // n * 4 +
+        |               (nd * 1000000) // n * 1 AS score_micro
+        |      FROM s),
+        |sc AS (SELECT f.doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+        |              (d.lang = 'en') AS pos
+        |       FROM f JOIN documents d ON d.doc_id = f.doc_id),
+        |b AS (SELECT min(score_micro) lo, max(score_micro) hi FROM sc)
+        |SELECT CAST(floor((score_micro - lo) * 10 / (hi - lo + 1)) AS BIGINT) AS bin,
+        |       count(*) AS n_docs,
+        |       CAST(sum(score_micro) // count(*) AS BIGINT) AS mean_score_micro,
+        |       CAST((sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000) // count(*)
+        |            AS BIGINT) AS pos_rate_ppm
+        |FROM sc, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "eval_ndcg" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |                  row_number() OVER (PARTITION BY o_orderpriority
+        |                                     ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |           FROM orders),
+        |t AS (SELECT *, o_orderkey % 4 AS rel,
+        |             CASE o_orderkey % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |                                 WHEN 2 THEN 3 ELSE 7 END AS gain
+        |      FROM r WHERE rank <= 10),
+        |i AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+        |                                   ORDER BY rel DESC, o_totalprice DESC, o_orderkey)
+        |               AS irank
+        |      FROM t),
+        |dt(rk, disc) AS (VALUES (1, 1000000), (2, 630929), (3, 500000), (4, 430676),
+        |                        (5, 386852), (6, 356207), (7, 333333), (8, 315464),
+        |                        (9, 301029), (10, 289064))
+        |SELECT o_orderpriority,
+        |       CAST(sum(gain * d1.disc) AS BIGINT) AS dcg,
+        |       CAST(sum(gain * d2.disc) AS BIGINT) AS idcg,
+        |       CAST(CASE WHEN sum(gain * d2.disc) = 0 THEN 1000000
+        |                 ELSE (sum(gain * d1.disc) * 1000000) // sum(gain * d2.disc)
+        |            END AS BIGINT) AS ndcg_ppm
+        |FROM i JOIN dt d1 ON d1.rk = i.rank JOIN dt d2 ON d2.rk = i.irank
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // sketch_hll_shards: rows-only (DuckDB's HLL is a different
     // sketch implementation) — estimate accuracy + shard-merge
     // equivalence are spec-asserted.

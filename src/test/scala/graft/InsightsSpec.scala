@@ -566,4 +566,95 @@ class InsightsSpec extends SparkSpec {
     val frac = natural.count(_.getAs[Long]("scanned") == 1L).toDouble / natural.length
     assert(frac > 0.9, s"natural layout unexpectedly prunable: $frac")
   }
+
+  // ---- date-tiered compaction ----------------------------------------
+
+  test("dateTieredSelect: incoming window holds the 6-file bar, old windows compact at 3") {
+    // region 0: 3 files in the incoming window (ages 0-2: below the
+    // 6-file incoming bar), 3 files aged 20-22 (tier 1 window 1: meets
+    // the ordinary 3-file bar), 2 files aged 40-41 (tier 1 window 2:
+    // below the bar)
+    val days = Seq(0, 1, 2, 20, 21, 22, 40, 41)
+    val df = days.zipWithIndex.map { case (age, i) =>
+      (0L, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1).minusDays(age)), 10L + i)
+    }.toDF("region", "file_day", "size")
+    val out = Tools.dateTieredSelect(df).collect()
+      .map(r => ((r.getAs[Long]("tier"), r.getAs[Long]("window_id")),
+        (r.getAs[Long]("n_files"), r.getAs[Boolean]("compact")))).toMap
+    assert(out((0L, 0L)) == (3L, false), "incoming window needs 6 files")
+    assert(out((1L, 1L)) == (3L, true), "old window compacts at 3")
+    assert(out((1L, 2L)) == (2L, false), "2 files never reach the bar")
+  }
+
+  test("compaction_date_tiered: windows partition the file set, one file set per (region, day)") {
+    val rows = q("compaction_date_tiered").collect()
+    // every window's ages lie inside its tier's span, and windows
+    // within a (region, tier) don't overlap in age range
+    for (r <- rows) {
+      val (t, lo, hi) = (r.getAs[Long]("tier"), r.getAs[Long]("min_age"), r.getAs[Long]("max_age"))
+      val span = Seq(16L, 64L, 256L, Long.MaxValue)
+      assert(hi < span(t.toInt) && (t == 0 || lo >= span(t.toInt - 1)), r.toString)
+      val w = Seq(4L, 16L, 64L, 256L)(t.toInt)
+      assert(lo / w == r.getAs[Long]("window_id") && hi / w == r.getAs[Long]("window_id"))
+    }
+  }
+
+  // ---- region mover ---------------------------------------------------
+
+  test("regionMoverPlan: drained server empties, survivors stay within one region of even") {
+    val assign = (0 until 16).map(b => (b.toLong, 100L - b, b % 5)).toDF("bucket", "n_rows", "server")
+    val out = Tools.regionMoverPlan(assign, nServers = 5, drain = 2).collect()
+    assert(out.forall(_.getAs[Int]("dest_server") != 2), "drained server must end empty")
+    val moved = out.filter(_.getAs[Boolean]("moved"))
+    assert(moved.forall(_.getAs[Int]("src_server") == 2))
+    val dealt = moved.groupBy(_.getAs[Int]("dest_server")).view.mapValues(_.length)
+    assert(dealt.values.max - dealt.values.min <= 1, dealt.toMap.toString)
+    // untouched regions keep their server
+    assert(out.filterNot(_.getAs[Boolean]("moved"))
+      .forall(r => r.getAs[Int]("dest_server") == r.getAs[Int]("src_server")))
+  }
+
+  // ---- SCD2 ----------------------------------------------------------
+
+  test("scd2Build: intervals tile each key's history; zero-width ties never effective") {
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val df = Seq(
+      (1L, "q", ts(1), "v1", 10L), (1L, "q", ts(5), "v2", 11L),
+      (1L, "q", ts(5), "v3", 12L), // same-ts tie: 11 gets a zero-width interval
+      (1L, "q", ts(9), "v4", 13L),
+      (2L, "q", ts(3), "w1", 20L))
+      .toDF("rowkey", "qualifier", "ts", "value", "event_id")
+    val out = Tools.scd2Build(df, Seq("rowkey", "qualifier"), "ts", "event_id")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[java.sql.Timestamp]("valid_from"), r.getAs[java.sql.Timestamp]("valid_to")))
+      .toMap
+    assert(out(10L) == (ts(1), ts(5)))
+    assert(out(11L) == (ts(5), ts(5)), "superseded same-ts version is zero-width")
+    assert(out(12L) == (ts(5), ts(9)))
+    assert(out(13L)._2 == null && out(20L)._2 == null, "latest versions are current")
+  }
+
+  test("scd2_lookup: at most one effective version per (probe, key), matching as-of") {
+    val rows = q("scd2_lookup").collect()
+    val dupes = rows.groupBy(r => (r.getAs[java.sql.Timestamp]("probe_ts"),
+        r.getAs[Long]("rowkey"), r.getAs[String]("qualifier")))
+      .filter(_._2.length > 1)
+    assert(dupes.isEmpty, s"ambiguous effectivity: ${dupes.keys.take(3)}")
+    // every returned version was live at its probe
+    assert(rows.forall(r => !r.getAs[java.sql.Timestamp]("valid_from")
+      .after(r.getAs[java.sql.Timestamp]("probe_ts"))))
+  }
+
+  // ---- replication table-CFs scoping ---------------------------------
+
+  test("replicationTableCfs: family wildcard covers every family, scoped peers only theirs") {
+    val edits = Seq(("events", "web"), ("events", "web"), ("events", "act"),
+      ("customer", "info"), ("customer", "id")).toDF("table_name", "family")
+    val cfg = Seq(("p1", "events", Some("web")), ("p2", "events", None: Option[String]))
+      .toDF("peer_id", "tbl", "fam")
+    val out = Tools.replicationTableCfs(edits, cfg).collect()
+      .map(r => (r.getAs[String]("peer_id"), r.getAs[String]("family")) -> r.getAs[Long]("n_edits"))
+      .toMap
+    assert(out == Map(("p1", "web") -> 2L, ("p2", "web") -> 2L, ("p2", "act") -> 1L))
+  }
 }

@@ -1177,4 +1177,28 @@ class PipelineSpec extends SparkSpec {
     // digests must not poison the corpus filter)
     assert(Dedup.incremental(corpus, shard.where(lit(false))).isEmpty)
   }
+
+  test("eval_ndcg: dcg never beats idcg, ndcg bounded by 1e6, ideal self-consistency") {
+    val rows = SparkEntry.queries("eval_ndcg")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (dcg, idcg, ndcg) = (r.getAs[Long]("dcg"), r.getAs[Long]("idcg"),
+        r.getAs[Long]("ndcg_ppm"))
+      assert(dcg <= idcg, s"dcg $dcg > idcg $idcg")
+      assert(ndcg <= 1000000L && ndcg >= 0L, s"ndcg $ndcg out of range")
+      assert(idcg == 0 || ndcg == dcg * 1000000L / idcg)
+    }
+  }
+
+  test("eval_calibration: bins tile the corpus, rates bounded, means monotone by bin") {
+    val rows = SparkEntry.queries("eval_calibration")(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("bin"))
+    val nDocs = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.forall { r =>
+      val p = r.getAs[Long]("pos_rate_ppm"); p >= 0L && p <= 1000000L })
+    // equal-width bins over the score axis: per-bin means must ascend
+    val means = rows.map(_.getAs[Long]("mean_score_micro"))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b }, means.mkString(","))
+  }
 }
