@@ -214,6 +214,74 @@ object AnalyticsQueries {
           "valid_from")
         .orderBy("probe_ts", "rowkey", "qualifier")
     }),
+    // LogRoller WAL file inventory: hour-grain edit chunks per server
+    // (4 key-range servers) accumulate deterministic edit bytes; a
+    // segment closes as the running size crosses 4 KiB — the WAL file
+    // list log-split recovery would walk
+    "wal_roll_plan" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
+      val chunks = ev.crossJoin(broadcast(b))
+        .withColumn("server",
+          Tools.totalOrderBucket(col("user_id"), col("_lo"), col("_hi"), 4))
+        .groupBy(col("server"), date_trunc("HOUR", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_edits"),
+          sum(length(col("event_type")) + lit(24L)).as("bytes"))
+      Tools.walRollPlan(chunks, 4096L).orderBy("server", "segment_id")
+    }),
+    // FlushLargeStoresPolicy: two-family memstores per 8 key-range
+    // regions; regions over the trigger flush only the families at the
+    // lower bound — unless none qualifies, then all (the fallback)
+    "flush_policy" -> ((s, d) => {
+      val cells = Tables.eventCellsTwoFamilies(s, d)
+      val b = cells.agg(min("rowkey").as("_lo"), max("rowkey").as("_hi"))
+      val fam = cells.crossJoin(broadcast(b))
+        .withColumn("region",
+          Tools.totalOrderBucket(col("rowkey"), col("_lo"), col("_hi"), 8))
+        .groupBy("region", "family")
+        .agg(sum(length(col("qualifier")) + lit(20L)).as("mem_bytes"))
+      Tools.flushPolicy(fam).orderBy("region", "family")
+    }),
+    // LruBlockCache working-set audit (io/hfile/LruBlockCache.java):
+    // the hit ratio a 32-block cache would reach if it held the 32
+    // hottest 64-row blocks — the steady-state LFU upper bound an LRU
+    // converges toward under a stable access mix. Top-32 is
+    // TakeOrderedAndProject over block-count metadata rows.
+    "block_cache_plan" -> ((s, d) => {
+      val acc = Tables.load(s, d, "events")
+        .groupBy(expr("user_id div 64").as("block"))
+        .agg(count(lit(1)).as("n_acc"))
+      val top = acc.orderBy(col("n_acc").desc, col("block")).limit(32)
+        .select(col("block"), lit(true).as("_cached"))
+      acc.join(broadcast(top), Seq("block"), "left")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum(when(col("_cached"), 1L).otherwise(0L)).as("cached_blocks"),
+          sum("n_acc").as("total_acc"),
+          sum(when(col("_cached"), col("n_acc")).otherwise(0L)).as("cached_acc"))
+        .withColumn("hit_ppm", expr("cached_acc * 1000000 div total_acc"))
+    }),
+    // CompoundBloomFilter sizing plan (io/hfile/CompoundBloomFilter
+    // Writer.java — blooms build in 128 Kibit chunks as keys arrive;
+    // util/BloomFilterUtil): per region, ROW vs ROWCOL key counts at
+    // 10 bits/key → chunk count and bloom bytes for each bloom type —
+    // the sizing table behind the BloomType column-family decision
+    "bloom_size_plan" -> ((s, d) => {
+      val cells = Tables.eventCells(s, d)
+      val b = cells.agg(min("rowkey").as("_lo"), max("rowkey").as("_hi"))
+      cells.crossJoin(broadcast(b))
+        .withColumn("region",
+          Tools.totalOrderBucket(col("rowkey"), col("_lo"), col("_hi"), 8))
+        .groupBy("region")
+        .agg(countDistinct(col("rowkey")).as("row_keys"),
+          countDistinct(col("rowkey"), col("qualifier")).as("rowcol_keys"))
+        .withColumn("row_chunks", expr("(row_keys * 10 + 131071) div 131072"))
+        .withColumn("row_bloom_bytes", col("row_chunks") * 16384L)
+        .withColumn("rowcol_chunks", expr("(rowcol_keys * 10 + 131071) div 131072"))
+        .withColumn("rowcol_bloom_bytes", col("rowcol_chunks") * 16384L)
+        .withColumn("rowcol_overhead_ppm",
+          expr("(rowcol_keys - row_keys) * 1000000 div row_keys"))
+        .orderBy("region")
+    }),
     // SimpleLoadBalancer round-robin assignment: unevenly grown regions
     // (normalizer's squared-key buckets) dealt to 5 servers in size
     // order — per-region placement the oracle recomputes exactly
@@ -1346,6 +1414,62 @@ object AnalyticsQueries {
         |FROM dim JOIN p ON valid_from <= probe_ts
         |                AND (valid_to IS NULL OR valid_to > probe_ts)
         |ORDER BY probe_ts, rowkey, qualifier""".stripMargin),
+    "wal_roll_plan" ->
+      """WITH b AS (SELECT min(user_id) lo, max(user_id) hi FROM events),
+        |c AS (SELECT CAST(floor((user_id - lo) * 4 / (hi - lo + 1)) AS BIGINT) AS server,
+        |             date_trunc('hour', ts) AS hour, count(*) AS n_edits,
+        |             CAST(sum(len(event_type) + 24) AS BIGINT) AS bytes
+        |      FROM events, b GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(sum(bytes) OVER (PARTITION BY server ORDER BY hour
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM c)
+        |SELECT server, (cum - bytes) // 4096 AS segment_id,
+        |       min(hour) AS first_hour, max(hour) AS last_hour,
+        |       CAST(sum(n_edits) AS BIGINT) AS n_edits,
+        |       CAST(sum(bytes) AS BIGINT) AS bytes
+        |FROM r GROUP BY 1, 2 ORDER BY server, segment_id""".stripMargin,
+    "flush_policy" ->
+      ("WITH " + graft.core.Tables.eventCellsTwoFamiliesSql + """,
+        |b AS (SELECT min(rowkey) lo, max(rowkey) hi FROM vcells2),
+        |fam AS (SELECT CAST(floor((rowkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,
+        |               family, CAST(sum(len(qualifier) + 20) AS BIGINT) AS mem_bytes
+        |        FROM vcells2, b GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(mem_bytes) AS BIGINT) AS t FROM fam),
+        |sel AS (SELECT f.*, mem_bytes >= t // 40 AS fam_selected FROM fam f, tot),
+        |reg AS (SELECT region, CAST(sum(mem_bytes) AS BIGINT) AS region_bytes,
+        |               max(CASE WHEN fam_selected THEN 1 ELSE 0 END) AS any_sel
+        |        FROM sel GROUP BY 1),
+        |rt AS (SELECT r.*, region_bytes > t // 10 AS flush_region FROM reg r, tot)
+        |SELECT s.region, s.family, s.mem_bytes, rt.region_bytes, rt.flush_region,
+        |       rt.flush_region AND (s.fam_selected OR rt.any_sel = 0) AS flushed
+        |FROM sel s JOIN rt ON s.region = rt.region
+        |ORDER BY s.region, family""".stripMargin),
+    "block_cache_plan" ->
+      """WITH acc AS (SELECT user_id // 64 AS block, count(*) AS n_acc
+        |             FROM events GROUP BY 1),
+        |top AS (SELECT block FROM acc ORDER BY n_acc DESC, block LIMIT 32),
+        |j AS (SELECT a.n_acc, a.block IN (SELECT block FROM top) AS cached FROM acc a)
+        |SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+        |       CAST(sum(CASE WHEN cached THEN 1 ELSE 0 END) AS BIGINT) AS cached_blocks,
+        |       CAST(sum(n_acc) AS BIGINT) AS total_acc,
+        |       CAST(sum(CASE WHEN cached THEN n_acc ELSE 0 END) AS BIGINT) AS cached_acc,
+        |       CAST(sum(CASE WHEN cached THEN n_acc ELSE 0 END) * 1000000 // sum(n_acc)
+        |            AS BIGINT) AS hit_ppm
+        |FROM j""".stripMargin,
+    "bloom_size_plan" ->
+      ("WITH " + graft.core.Tables.eventCellsSql + """,
+        |b AS (SELECT min(rowkey) lo, max(rowkey) hi FROM vcells),
+        |g AS (SELECT CAST(floor((rowkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,
+        |             count(DISTINCT rowkey) AS row_keys,
+        |             count(DISTINCT (rowkey, qualifier)) AS rowcol_keys
+        |      FROM vcells, b GROUP BY 1)
+        |SELECT region, row_keys, rowcol_keys,
+        |       (row_keys * 10 + 131071) // 131072 AS row_chunks,
+        |       (row_keys * 10 + 131071) // 131072 * 16384 AS row_bloom_bytes,
+        |       (rowcol_keys * 10 + 131071) // 131072 AS rowcol_chunks,
+        |       (rowcol_keys * 10 + 131071) // 131072 * 16384 AS rowcol_bloom_bytes,
+        |       (rowcol_keys - row_keys) * 1000000 // row_keys AS rowcol_overhead_ppm
+        |FROM g ORDER BY region""".stripMargin),
     "region_balancer" ->
       """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
         |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),

@@ -580,6 +580,66 @@ object Tools {
           unix_timestamp(col("replicated_upto"))).as("lag_sec"))
   }
 
+  /** WAL roll plan (regionserver/LogRoller.java + FSHLog: a WAL file
+    * rolls when its size crosses the roll threshold — blocksize ×
+    * hbase.regionserver.hlog.blocksize multiplier — or on the roll
+    * period). Re-expressed over hour-grain byte chunks per server: a
+    * chunk's segment is ⌊bytes-before-it / rollBytes⌋, so a segment
+    * closes as the running size crosses the threshold — the WAL file
+    * inventory (count, span, bytes) that sizes log-split recovery.
+    *
+    * Scale shape: chunks are (server × hour) metadata rows from one
+    * map-side-combinable aggregate the CALLER runs; the cumsum window
+    * partitions by server over those bounded rows, never the edit
+    * stream.
+    *
+    * @param chunks (server, hour, n_edits, bytes). */
+  def walRollPlan(chunks: DataFrame, rollBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rollBytes >= 1, s"rollBytes ($rollBytes) must be positive")
+    val w = Window.partitionBy("server").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("_cum", sum(col("bytes")).over(w))
+      .withColumn("segment_id", expr(s"(_cum - bytes) div $rollBytes"))
+      .groupBy("server", "segment_id")
+      .agg(min("hour").as("first_hour"), max("hour").as("last_hour"),
+        sum("n_edits").as("n_edits"), sum("bytes").as("bytes"))
+  }
+
+  /** Per-family flush selection (regionserver/FlushLargeStoresPolicy
+    * .java:95 selectStoresToFlush — HBASE-10201's per-CF flush): when
+    * a region's memstore crosses the flush trigger, flush only the
+    * families at/above the lower bound; if NO family qualifies, flush
+    * them all (the policy's fallback, FlushAllStoresPolicy behavior).
+    * Thresholds derive from the corpus total so the audit is
+    * scale-factor-proof.
+    *
+    * Scale shape: per-(region, family) sizes are one map-side-partial
+    * aggregate; region totals re-aggregate the family rows (already
+    * keyed by region — the join reuses the partitioning); corpus total
+    * is a 1-row broadcast.
+    *
+    * @param famSizes (region, family, mem_bytes). */
+  def flushPolicy(famSizes: DataFrame, triggerDiv: Long = 10L,
+                  lowerDiv: Long = 40L): DataFrame = {
+    val corpus = famSizes.agg(sum("mem_bytes").as("_tot"))
+    val sel = famSizes.crossJoin(broadcast(corpus))
+      .withColumn("fam_selected",
+        col("mem_bytes") >= expr(s"_tot div $lowerDiv"))
+    val regions = sel.groupBy("region")
+      .agg(sum("mem_bytes").as("region_bytes"),
+        max(when(col("fam_selected"), 1L).otherwise(0L)).as("_any"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("flush_region", col("region_bytes") > expr(s"_tot div $triggerDiv"))
+    sel.join(regions.select("region", "region_bytes", "_any", "flush_region"),
+        "region")
+      .withColumn("flushed",
+        col("flush_region") && (col("fam_selected") || col("_any") === 0L))
+      .select("region", "family", "mem_bytes", "region_bytes",
+        "flush_region", "flushed")
+  }
+
   /** SCD Type-2 dimension build over a versioned cell history — the
     * warehouse re-expression of HBase's multi-version cells (KeyValue
     * .java's ts dimension): each version becomes an effectivity

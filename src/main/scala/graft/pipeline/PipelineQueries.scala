@@ -638,6 +638,41 @@ object PipelineQueries {
           expr("(sum(IF(_pos, 1, 0)) * 1000000) div count(1)").as("pos_rate_ppm"))
         .orderBy("bin")
     }),
+    // BPE tokenizer training (the algorithm, not just the vocab prep):
+    // 8 greedy merge rounds over the word-frequency table — ONE corpus
+    // pass, then vocab-cardinality rounds with 1-row argmax collects
+    // (driver-local metadata, the k-means-centroid pattern). rows-only:
+    // the per-round argmax loop has no portable single-SQL form; the
+    // spec replays a reference BPE implementation and demands
+    // rule-for-rule equality.
+    "bpe_train" -> ((s, d) => TextOps.bpeTrain(docs(s, d), 8)
+      .orderBy("merge_idx")),
+    // Curriculum phase assignment by difficulty (quality score) WITHOUT
+    // a global sort: scores pre-bucket into ≤4096 range cells, the
+    // quartile boundary cumsum runs over the bounded cell table only
+    // (the eval_auc machinery), phase = cell-prefix quartile. The
+    // training-order manifest for curriculum learning, scale-safe.
+    "curriculum_order" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = 4096
+      val scored = TextOps.qualityClassifier(docs(s, d))
+        .select("doc_id", "score_micro")
+      val bounds = scored.agg(min("score_micro").as("_lo"),
+        max("score_micro").as("_hi"))
+      val celled = scored.crossJoin(broadcast(bounds))
+        .withColumn("_cell", ((col("score_micro") - col("_lo")) * cells /
+          (col("_hi") - col("_lo") + 1)).cast("bigint"))
+      val wCell = Window.orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cellCum = celled.groupBy("_cell").agg(count(lit(1)).as("_n"))
+        .withColumn("_b4", sum("_n").over(wCell) - col("_n"))
+      val tot = scored.agg(count(lit(1)).as("_t"))
+      celled.join(broadcast(cellCum.select("_cell", "_b4")), "_cell")
+        .crossJoin(broadcast(tot))
+        .withColumn("phase", expr("_b4 * 4 div _t"))
+        .select("doc_id", "score_micro", "phase")
+        .orderBy("doc_id")
+    }),
     // Ranking eval: NDCG@10 per order priority over the TopKStruct
     // bounded-heap top-10 (by price, the agg_topk machinery — no
     // corpus-wide window sort); graded relevance rel = orderkey % 4,
@@ -1914,6 +1949,31 @@ object PipelineQueries {
         |       CAST((sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1000000) // count(*)
         |            AS BIGINT) AS pos_rate_ppm
         |FROM sc, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bpe_train: rows-only — the greedy per-round argmax loop has no
+    // portable single-SQL form; the spec replays a reference Scala BPE
+    // on the same word counts and demands rule-for-rule equality.
+    "curriculum_order" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
+        |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
+        |      FROM tok GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |              CAST(least(n, 64) * 15625 * 1 + (ns * 1000000) // n * 4 +
+        |                   (nd * 1000000) // n * 1 AS BIGINT) AS score_micro
+        |       FROM s),
+        |b AS (SELECT min(score_micro) lo, max(score_micro) hi FROM sc),
+        |cd AS (SELECT doc_id, score_micro,
+        |              CAST(floor((score_micro - lo) * 4096 / (hi - lo + 1)) AS BIGINT) AS cell
+        |       FROM sc, b),
+        |cc AS (SELECT cell, count(*) AS n FROM cd GROUP BY 1),
+        |cb AS (SELECT cell, CAST(sum(n) OVER (ORDER BY cell
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS b4
+        |       FROM cc),
+        |t AS (SELECT count(*) AS nt FROM sc)
+        |SELECT doc_id, score_micro, b4 * 4 // nt AS phase
+        |FROM cd JOIN cb USING (cell), t
+        |ORDER BY doc_id""".stripMargin,
     "eval_ndcg" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
         |                  row_number() OVER (PARTITION BY o_orderpriority

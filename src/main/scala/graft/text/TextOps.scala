@@ -464,6 +464,71 @@ object TextOps {
       .limit(topK)
   }
 
+  /** BPE merge-rule training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units" — the tokenizer
+    * algorithm itself, not just the prep [[vocabBuild]] does): greedy
+    * rounds, each merging the most frequent adjacent symbol pair
+    * (count desc, then lexicographic pair — deterministic ties) across
+    * the corpus, applied left-to-right within each word.
+    *
+    * Scale shape — the key fact making BPE trainable at 100 TB: after
+    * ONE corpus pass builds the (word, count) table, every round runs
+    * entirely over that VOCAB-cardinality table (pair explode ≤
+    * word-length fanout, one map-side-combinable aggregate, a 1-row
+    * argmax collect — driver-local metadata like k-means centroids).
+    * The corpus is never re-scanned; rounds checkpoint the symbol
+    * table and free the superseded pin (the Lloyd discipline,
+    * [[graft.sim.Ann]]). Tokens normalize to [a-z0-9]+ (lowercase
+    * word-piece alphabet) so merge rules are literal-safe.
+    *
+    * @return one row per learned rule:
+    *         (merge_idx, left, right, new_sym, pair_count). */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    val spark = docs.sparkSession
+    var vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(expr("split(w, '')").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    var exhausted = false
+    for (i <- 0 until nMerges if !exhausted) {
+      val top = vocab.where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "j -> struct(syms[j-1] AS l, syms[j] AS r))")).as("p"))
+        .groupBy("p").agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("p.l"), col("p.r")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val p = top.head.getStruct(0)
+        val (l, r, pc) = (p.getString(0), p.getString(1), top.head.getLong(1))
+        val ns = l + r
+        merges += ((i.toLong, l, r, ns, pc))
+        val next = vocab.select(expr(
+          s"""aggregate(syms,
+             |  named_struct('out', cast(array() as array<string>),
+             |               'pend', cast(null as string)),
+             |  (s, x) -> IF(s.pend = '$l' AND x = '$r',
+             |    named_struct('out', array_append(s.out, '$ns'),
+             |                 'pend', cast(null as string)),
+             |    named_struct('out', IF(s.pend IS NULL, s.out,
+             |                           array_append(s.out, s.pend)),
+             |                 'pend', x)),
+             |  s -> IF(s.pend IS NULL, s.out, array_append(s.out, s.pend))
+             |)""".stripMargin).as("syms"), col("cnt"))
+          .localCheckpoint(true)
+        CheckpointBridge.free(vocab)
+        vocab = next
+      }
+    }
+    CheckpointBridge.free(vocab)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_idx", "left", "right", "new_sym", "pair_count")
+  }
+
   def tfidf(docs: DataFrame, topK: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("token"))

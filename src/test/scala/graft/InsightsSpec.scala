@@ -614,6 +614,56 @@ class InsightsSpec extends SparkSpec {
       .forall(r => r.getAs[Int]("dest_server") == r.getAs[Int]("src_server")))
   }
 
+  // ---- WAL roll / flush policy / cache audits ------------------------
+
+  test("walRollPlan: segments close as running bytes cross the threshold") {
+    val ts = (h: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // server 0: 3000 + 3000 (crosses 4096 at chunk 2) + 9000 (giant
+    // chunk: its OWN segment, single chunk) + 100
+    val df = Seq((0L, ts(1), 5L, 3000L), (0L, ts(2), 5L, 3000L),
+      (0L, ts(3), 5L, 9000L), (0L, ts(4), 5L, 100L))
+      .toDF("server", "hour", "n_edits", "bytes")
+    val out = Tools.walRollPlan(df, 4096L).collect()
+      .map(r => r.getAs[Long]("segment_id") -> r.getAs[Long]("bytes")).toMap
+    // cum-before: 0, 3000, 6000, 15000 → segments 0, 0, 1, 3
+    assert(out == Map(0L -> 6000L, 1L -> 9000L, 3L -> 100L), out.toString)
+  }
+
+  test("flushPolicy: qualifying families flush alone; none-qualify falls back to all") {
+    // corpus total 1000 → trigger 100, lower bound 25
+    val df = Seq(
+      (0L, "a", 300L), (0L, "b", 10L),   // region 0 over trigger: only a flushes
+      (1L, "a", 20L), (1L, "b", 24L),    // region 1: no family >= 25 and total < 100: nothing
+      (2L, "a", 23L), (2L, "b", 23L),    // region 2: under trigger: nothing
+      (3L, "a", 150L), (3L, "b", 450L))  // region 3: both qualify
+      .toDF("region", "family", "mem_bytes")
+    val out = Tools.flushPolicy(df).collect()
+      .map(r => (r.getAs[Long]("region"), r.getAs[String]("family")) ->
+        r.getAs[Boolean]("flushed")).toMap
+    assert(out == Map((0L, "a") -> true, (0L, "b") -> false,
+      (1L, "a") -> false, (1L, "b") -> false,
+      (2L, "a") -> false, (2L, "b") -> false,
+      (3L, "a") -> true, (3L, "b") -> true), out.toString)
+    // the fallback: one over-trigger region whose families all sit
+    // below the lower bound flushes EVERYTHING
+    val fb = Seq((0L, "a", 60L), (0L, "b", 60L), (1L, "a", 500L))
+      .toDF("region", "family", "mem_bytes")
+    val fbOut = Tools.flushPolicy(fb, triggerDiv = 6L, lowerDiv = 4L).collect()
+      .map(r => (r.getAs[Long]("region"), r.getAs[String]("family")) ->
+        r.getAs[Boolean]("flushed")).toMap
+    // total 620: trigger 103, lower 155; region 0 (120 > 103) has no
+    // family >= 155 → both flush; region 1 qualifies on its own family
+    assert(fbOut == Map((0L, "a") -> true, (0L, "b") -> true, (1L, "a") -> true))
+  }
+
+  test("block_cache_plan: capacity respected, hit ratio bounded and consistent") {
+    val r = q("block_cache_plan").collect().head
+    assert(r.getAs[Long]("cached_blocks") <= 32L)
+    assert(r.getAs[Long]("cached_acc") <= r.getAs[Long]("total_acc"))
+    assert(r.getAs[Long]("hit_ppm") ==
+      r.getAs[Long]("cached_acc") * 1000000L / r.getAs[Long]("total_acc"))
+  }
+
   // ---- SCD2 ----------------------------------------------------------
 
   test("scd2Build: intervals tile each key's history; zero-width ties never effective") {

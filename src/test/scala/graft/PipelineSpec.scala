@@ -1178,6 +1178,55 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.incremental(corpus, shard.where(lit(false))).isEmpty)
   }
 
+  test("bpeTrain: rule-for-rule equal to a reference BPE on the same word counts") {
+    import spark.implicits._
+    // low*5 lower*2 newest*6 widest*3 — the classic Sennrich fixture
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = graft.text.TextOps.bpeTrain(docs, 6).collect()
+      .map(r => (r.getAs[Long]("merge_idx"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("new_sym"),
+        r.getAs[Long]("pair_count"))).toSeq.sortBy(_._1)
+    // independent reference implementation (greedy, count desc then
+    // lexicographic pair, left-to-right application)
+    var vocab: Map[Vector[String], Long] =
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+        .map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    for (i <- 0 until 6) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((syms, c) <- vocab; j <- 0 until syms.length - 1)
+        counts((syms(j), syms(j + 1))) += c
+      val ((l, r), pc) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      expected += ((i.toLong, l, r, l + r, pc))
+      vocab = vocab.toSeq.map { case (syms, c) =>
+        val m = scala.collection.mutable.ArrayBuffer[String]()
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+            m += l + r; j += 2
+          } else { m += syms(j); j += 1 }
+        }
+        (m.toVector, c)
+      }.groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }
+    }
+    assert(got == expected.toSeq, s"got ${got.mkString(";")}")
+  }
+
+  test("curriculum_order: phases monotone in score, in range, covering every doc") {
+    val rows = SparkEntry.queries("curriculum_order")(spark, sfDir).collect()
+    val nDocs = graft.core.Tables.load(spark, sfDir, "documents").count()
+    assert(rows.length == nDocs)
+    assert(rows.forall(r => r.getAs[Long]("phase") >= 0L && r.getAs[Long]("phase") <= 3L))
+    // a doc in a later phase never has a lower score than one in an
+    // earlier phase (phases are cell-aligned score ranges)
+    val byPhase = rows.groupBy(_.getAs[Long]("phase")).toSeq.sortBy(_._1)
+    for (Seq((_, lo), (_, hi)) <- byPhase.sliding(2).toSeq if lo.nonEmpty && hi.nonEmpty)
+      assert(lo.map(_.getAs[Long]("score_micro")).max <=
+        hi.map(_.getAs[Long]("score_micro")).min)
+  }
+
   test("eval_ndcg: dcg never beats idcg, ndcg bounded by 1e6, ideal self-consistency") {
     val rows = SparkEntry.queries("eval_ndcg")(spark, sfDir).collect()
     assert(rows.nonEmpty)
