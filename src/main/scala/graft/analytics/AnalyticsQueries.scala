@@ -1214,6 +1214,87 @@ object AnalyticsQueries {
           (col("zmin") < hi && col("zmax") >= lo).cast("bigint"))
         .orderBy("layout", "file_id")
     }),
+    // StochasticLoadBalancer cost table for the SimpleLoadBalancer's
+    // own plan: 16 order-key regions dealt to 5 servers in size order
+    // (region_balancer's assignment), initial placement bucket mod 5,
+    // storefile = price cents, read/write loads split on order status,
+    // locality a deterministic per-(region, server) ppm fixture — the
+    // candidate-state cost vector the balancer's simulated annealing
+    // minimizes
+    "balancer_stochastic_cost" -> ((s, d) => {
+      val grown = Tables.load(s, d, "orders")
+      val tagged = Tools.totalOrderBuckets(grown, "o_orderkey", 16,
+        Seq(sum(floor(col("o_totalprice") * 100).cast("bigint")).as("storefile"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("read_req"),
+          sum(when(col("o_orderstatus") =!= "O", 1L).otherwise(0L)).as("write_req")))
+      val assigned = Tools.balancerPlan(tagged.select("bucket", "n_rows"), 5)
+        .join(tagged, Seq("bucket", "n_rows"))
+        .withColumn("init_server", pmod(col("bucket"), lit(5L)))
+        .withColumn("locality_ppm",
+          pmod(col("bucket") * 31L + col("server") * 17L, lit(100L)) * 10000L)
+      Tools.stochasticCost(assigned, 5).orderBy("cost_function")
+    }),
+    // BufferedMutator write-path flush plan: 4 client connections
+    // (user-id ranges) buffering event edits; 2 KiB write buffer,
+    // 30-minute periodic flusher
+    "buffered_mutator_flush" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
+      val muts = ev.crossJoin(broadcast(b))
+        .select(
+          Tools.totalOrderBucket(col("user_id"), col("_lo"), col("_hi"), 4)
+            .as("client"),
+          col("event_id").as("mut_id"), col("ts"),
+          (length(col("event_type")) + lit(32L)).as("bytes"))
+      Tools.bufferedMutatorFlush(muts, 2048L, 1800L * 1000000L)
+        .orderBy("client", "epoch", "batch")
+    }),
+    // DelimitedKeyPrefixRegionSplitPolicy (regionserver/
+    // DelimitedKeyPrefixRegionSplitPolicy.java:66 getSplitPoint —
+    // truncate the mid key at the first delimiter so no prefix group
+    // ever straddles a split): flat string rowkeys
+    // u<user>_<type>_<event>, 8 regions, median row key per region,
+    // split point = prefix before the first '_'. The rank window runs
+    // per region partition (a region's own rows — the same per-region
+    // bound as the reference's single-HFile midkey walk).
+    "split_policy_delimited" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, d, "events")
+      val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
+      val keyed = ev.crossJoin(broadcast(b))
+        .select(
+          Tools.totalOrderBucket(col("user_id"), col("_lo"), col("_hi"), 8)
+            .as("region"),
+          concat(lit("u"), lpad(col("user_id").cast("string"), 8, "0"),
+            lit("_"), col("event_type"), lit("_"),
+            col("event_id").cast("string")).as("rowkey"))
+      val w = Window.partitionBy("region").orderBy("rowkey")
+      keyed
+        .withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(Window.partitionBy("region")))
+        .where(col("_rn") === expr("(_n + 1) div 2"))
+        .select(col("region"), col("_n").as("n_rows"),
+          col("rowkey").as("split_key"),
+          substring_index(col("rowkey"), "_", 1).as("split_point"))
+        .orderBy("region")
+    }),
+    // RpcServer responseTooSlow audit (ipc/RpcServer.java:2334
+    // logResponse — the (processingTime > warnResponseTime) slow-log):
+    // per method, request count, slow count over the 200 ms line, max
+    // and exact discrete p50/p99 processing micros on the
+    // groupQuantiles machinery
+    "slow_request_log" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("event_type").as("method"), col("event_id"),
+          floor(col("value") * 1000).cast("bigint").as("proc_us"))
+      val agg = ev.groupBy("method").agg(count(lit(1)).as("n_req"),
+        sum(when(col("proc_us") > 200000L, 1L).otherwise(0L)).as("n_slow"),
+        max("proc_us").as("max_us"))
+      agg.join(
+          Tools.groupQuantiles(ev, "method", "proc_us", "event_id", Seq(50, 99)),
+          "method")
+        .orderBy("method")
+    }),
   )
 
   private val C = "WITH " + Tables.customerCellsSql + "\n"
@@ -2250,5 +2331,104 @@ object AnalyticsQueries {
         |             AND zmax >= TIMESTAMP '1996-07-01 00:00:00'
         |            THEN 1 ELSE 0 END AS BIGINT) AS scanned
         |FROM f ORDER BY layout, file_id""".stripMargin,
+    "balancer_stochastic_cost" ->
+      """WITH b AS (SELECT min(o_orderkey) lo, max(o_orderkey) hi FROM orders),
+        |t AS (SELECT CAST(floor((o_orderkey - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |             count(*) AS n_rows,
+        |             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS storefile,
+        |             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS read_req,
+        |             CAST(sum(CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END) AS BIGINT) AS write_req
+        |      FROM orders, b GROUP BY 1),
+        |a AS (SELECT *, (row_number() OVER (ORDER BY n_rows DESC, bucket) - 1) % 5 AS server
+        |      FROM t),
+        |r AS (SELECT *, bucket % 5 AS init_server,
+        |             ((bucket * 31 + server * 17) % 100) * 10000 AS locality_ppm
+        |      FROM a),
+        |ps AS (SELECT server, count(*) AS c_regions, CAST(sum(storefile) AS BIGINT) AS c_sf,
+        |              CAST(sum(read_req) AS BIGINT) AS c_rr, CAST(sum(write_req) AS BIGINT) AS c_wr
+        |       FROM r GROUP BY 1),
+        |melt AS (
+        |  SELECT 'region_count_skew' AS cost_function, server, c_regions AS stat FROM ps
+        |  UNION ALL SELECT 'storefile_size', server, c_sf FROM ps
+        |  UNION ALL SELECT 'read_request', server, c_rr FROM ps
+        |  UNION ALL SELECT 'write_request', server, c_wr FROM ps),
+        |tot AS (SELECT cost_function, CAST(sum(stat) AS BIGINT) AS tt, count(*) AS np
+        |        FROM melt GROUP BY 1),
+        |sk AS (SELECT m.cost_function, tt, np,
+        |              CAST(sum(abs(5 * stat - tt)) AS BIGINT) + (5 - np) * tt AS num,
+        |              tt % 5 AS md
+        |       FROM melt m JOIN tot USING (cost_function) GROUP BY 1, 2, 3),
+        |skc AS (SELECT cost_function,
+        |               CASE WHEN 8 * tt <= 2 * md * (5 - md) OR num <= 2 * md * (5 - md) THEN 0
+        |                    ELSE least(1000000,
+        |                      (num - 2 * md * (5 - md)) * 1000000 // (8 * tt - 2 * md * (5 - md)))
+        |               END AS cost_ppm
+        |        FROM sk),
+        |lc AS (SELECT 'locality' AS cost_function,
+        |              CAST(sum(1000000 - locality_ppm) AS BIGINT) // count(*) AS cost_ppm FROM r),
+        |mc AS (SELECT 'move' AS cost_function,
+        |              CASE WHEN moves > maxm THEN 1000000000000
+        |                   ELSE least(1000000, moves * 1000000 // least(n, maxm)) END AS cost_ppm
+        |       FROM (SELECT count(*) AS n,
+        |                    CAST(sum(CASE WHEN server <> init_server THEN 1 ELSE 0 END) AS BIGINT) AS moves,
+        |                    greatest(count(*) * 25 // 100, 600) AS maxm FROM r)),
+        |u AS (SELECT * FROM skc UNION ALL SELECT * FROM lc UNION ALL SELECT * FROM mc),
+        |w AS (SELECT cost_function, CAST(cost_ppm AS BIGINT) AS cost_ppm,
+        |             CAST(CASE cost_function WHEN 'region_count_skew' THEN 500
+        |                  WHEN 'move' THEN 7 WHEN 'locality' THEN 25 ELSE 5 END AS BIGINT)
+        |               AS multiplier
+        |      FROM u)
+        |SELECT cost_function, cost_ppm, multiplier,
+        |       multiplier * cost_ppm AS weighted_ppm
+        |FROM w ORDER BY cost_function""".stripMargin,
+    "buffered_mutator_flush" ->
+      """WITH b AS (SELECT min(user_id) lo, max(user_id) hi FROM events),
+        |m AS (SELECT CAST(floor((user_id - lo) * 4 / (hi - lo + 1)) AS BIGINT) AS client,
+        |             event_id AS mut_id, ts, len(event_type) + 32 AS bytes,
+        |             epoch_us(ts) AS us
+        |      FROM events, b),
+        |e AS (SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+        |                       OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM m WINDOW w AS (PARTITION BY client ORDER BY ts, mut_id)),
+        |e2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY client ORDER BY ts, mut_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS epoch
+        |       FROM e),
+        |c AS (SELECT *, CAST(sum(bytes) OVER (PARTITION BY client, epoch ORDER BY ts, mut_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM e2),
+        |g AS (SELECT client, epoch, (cum - bytes) // 2048 AS batch, count(*) AS n_mutations,
+        |             CAST(sum(bytes) AS BIGINT) AS bytes, min(ts) AS first_ts, max(ts) AS last_ts
+        |      FROM c GROUP BY 1, 2, 3),
+        |f AS (SELECT *, max(batch) OVER (PARTITION BY client, epoch) AS maxb,
+        |             max(epoch) OVER (PARTITION BY client) AS maxe FROM g)
+        |SELECT client, epoch, batch, n_mutations, bytes, first_ts, last_ts,
+        |       CASE WHEN batch < maxb THEN 'size'
+        |            WHEN epoch < maxe THEN 'timer' ELSE 'end' END AS closed_by
+        |FROM f ORDER BY client, epoch, batch""".stripMargin,
+    "split_policy_delimited" ->
+      """WITH b AS (SELECT min(user_id) lo, max(user_id) hi FROM events),
+        |k AS (SELECT CAST(floor((user_id - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,
+        |             'u' || lpad(CAST(user_id AS VARCHAR), 8, '0') || '_' || event_type
+        |               || '_' || CAST(event_id AS VARCHAR) AS rowkey
+        |      FROM events, b),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY region ORDER BY rowkey) AS rn,
+        |             count(*) OVER (PARTITION BY region) AS n FROM k)
+        |SELECT region, n AS n_rows, rowkey AS split_key,
+        |       split_part(rowkey, '_', 1) AS split_point
+        |FROM r WHERE rn = (n + 1) // 2 ORDER BY region""".stripMargin,
+    "slow_request_log" ->
+      """WITH e AS (SELECT event_type AS method, event_id,
+        |                  CAST(floor(value * 1000) AS BIGINT) AS proc_us FROM events),
+        |a AS (SELECT method, count(*) AS n_req,
+        |             CAST(sum(CASE WHEN proc_us > 200000 THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+        |             max(proc_us) AS max_us FROM e GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY method ORDER BY proc_us, event_id) AS rn,
+        |             count(*) OVER (PARTITION BY method) AS n FROM e),
+        |q AS (SELECT method,
+        |             max(CASE WHEN rn = (50 * n + 99) // 100 THEN proc_us END) AS p50,
+        |             max(CASE WHEN rn = (99 * n + 99) // 100 THEN proc_us END) AS p99
+        |      FROM r GROUP BY 1)
+        |SELECT a.method, n_req, n_slow, max_us, p50, p99
+        |FROM a JOIN q USING (method) ORDER BY method""".stripMargin,
   )
 }

@@ -1223,4 +1223,138 @@ object Tools {
           .as("n_runs"))
       .withColumn("density_ppm", expr("n_rows * 1000000 div (max_id - min_id + 1)"))
   }
+
+  /** StochasticLoadBalancer cost audit (hbase-server/.../master/
+    * balancer/StochasticLoadBalancer.java:868 CostFunction,
+    * :931 costFromArray, :981 scale, :995 MoveCostFunction,
+    * :1037 RegionCountSkewCostFunction, :1140 LocalityCostFunction) —
+    * the per-cost-function table the balancer's
+    * `updateStochasticCost` metrics publish, for ONE candidate
+    * assignment. Each skew function is costFromArray over a
+    * per-server stat: cost = Σ|stat−mean| scaled between min (the
+    * best achievable imbalance: T mod C servers holding ⌈mean⌉) and
+    * max (one server holds everything). Re-derived as EXACT integer
+    * arithmetic over the common denominator C (servers):
+    * num = Σ|C·statᵢ − T| (absent servers contribute T each),
+    * min = 2r(C−r) with r = T mod C, max = 2T(C−1) — so
+    * cost_ppm = (num−min)·10⁶ / (max−min) is engine-portable with no
+    * float in sight. Locality cost is Σ(1−locality)/n (ref :1155);
+    * move cost is moves/min(n, maxMoves) with the reference's raw
+    * 10⁶-sentinel when moves exceed maxMoves = max(25% of regions,
+    * 600) (ref :1016-1030). Multipliers are the 1.3.0 defaults
+    * (region count 500, move 7, locality 25, load costs 5).
+    *
+    * Scale shape: region metadata only — regions collapse to one row
+    * per server (map-side partial), cost rows number 4·C + 2. The
+    * ppm multiply bounds stats at ~9·10¹² per function (Long overflow
+    * guard): at 100 TB pass storefile sizes in MiB, not bytes.
+    *
+    * @param regions (bucket, server, init_server, storefile,
+    *                read_req, write_req, locality_ppm) — one row per
+    *                region with integer metrics; locality_ppm = the
+    *                region's HDFS-block locality on its assigned
+    *                server. */
+  def stochasticCost(regions: DataFrame, nServers: Int): DataFrame = {
+    require(nServers >= 2, s"nServers ($nServers) must be at least 2")
+    val C = nServers.toLong
+    val perServer = regions.groupBy("server")
+      .agg(count(lit(1)).as("_region_count"),
+        sum("storefile").as("_storefile_size"),
+        sum("read_req").as("_read_request"),
+        sum("write_req").as("_write_request"))
+    val melted = perServer.select(expr(
+      "stack(4, 'region_count_skew', _region_count, " +
+        "'storefile_size', _storefile_size, " +
+        "'read_request', _read_request, " +
+        "'write_request', _write_request) AS (cost_function, stat)"))
+    val totals = melted.groupBy("cost_function")
+      .agg(sum("stat").as("_T"), count(lit(1)).as("_np"))
+    val skew = melted.join(broadcast(totals), "cost_function")
+      .groupBy("cost_function", "_T", "_np")
+      .agg(sum(abs(lit(C) * col("stat") - col("_T"))).as("_presentNum"))
+      .withColumn("_num",
+        col("_presentNum") + (lit(C) - col("_np")) * col("_T"))
+      .withColumn("_r", pmod(col("_T"), lit(C)))
+      .withColumn("_min", lit(2L) * col("_r") * (lit(C) - col("_r")))
+      .withColumn("_max", lit(2L) * col("_T") * lit(C - 1L))
+      .select(col("cost_function"),
+        when(col("_max") <= col("_min") || col("_num") <= col("_min"), 0L)
+          .otherwise(least(lit(1000000L),
+            expr("(_num - _min) * 1000000 div (_max - _min)")))
+          .as("cost_ppm"))
+    val loc = regions
+      .agg(count(lit(1)).as("_n"),
+        sum(lit(1000000L) - col("locality_ppm")).as("_lnum"))
+      .select(lit("locality").as("cost_function"),
+        expr("_lnum div _n").as("cost_ppm"))
+    val mv = regions
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("server") =!= col("init_server"), 1L).otherwise(0L))
+          .as("_moves"))
+      .withColumn("_maxMoves", greatest(expr("_n * 25 div 100"), lit(600L)))
+      .select(lit("move").as("cost_function"),
+        when(col("_moves") > col("_maxMoves"), lit(1000000000000L))
+          .otherwise(least(lit(1000000L),
+            expr("_moves * 1000000 div least(_n, _maxMoves)")))
+          .as("cost_ppm"))
+    val mult = when(col("cost_function") === "region_count_skew", 500L)
+      .when(col("cost_function") === "move", 7L)
+      .when(col("cost_function") === "locality", 25L)
+      .otherwise(5L)
+    skew.unionByName(loc).unionByName(mv)
+      .withColumn("multiplier", mult)
+      .withColumn("weighted_ppm", col("multiplier") * col("cost_ppm"))
+  }
+
+  /** BufferedMutator flush segmentation (hbase-client/.../client/
+    * BufferedMutatorImpl.java — `mutate` accumulates
+    * currentWriteBufferSize until it crosses writeBufferSize and
+    * backgroundFlushCommits ships the batch; the periodic flusher
+    * closes an idle buffer): per client, mutations in (ts, id) order
+    * segment into flush batches — a gap over `timerGapUs` starts a
+    * new timer epoch, and within an epoch the running byte total cuts
+    * a size-flush every `bufferBytes` (the walRollPlan cumulative-div
+    * re-expression of roll-at-boundary: batch k holds the bytes in
+    * [k·B, (k+1)·B)). Each batch reports what closed it: `size` (a
+    * later batch exists in the same epoch), `timer` (epoch ended but
+    * the client wrote again), `end` (close()'s final flush).
+    *
+    * Scale shape: two window passes partitioned by client (then
+    * client+epoch) — per-client history is the natural write-path
+    * partitioning, exactly the reference's per-connection buffer; no
+    * global sort anywhere.
+    *
+    * @param muts (client, mut_id, ts, bytes). */
+  def bufferedMutatorFlush(muts: DataFrame, bufferBytes: Long,
+                           timerGapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bufferBytes >= 1 && timerGapUs >= 1,
+      "bufferBytes and timerGapUs must be positive")
+    val w = Window.partitionBy("client").orderBy(col("ts"), col("mut_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val epochs = muts
+      .withColumn("_us", unix_micros(col("ts")))
+      .withColumn("_gap", col("_us") - lag(col("_us"), 1).over(w))
+      .withColumn("_brk",
+        when(col("_gap").isNull || col("_gap") > timerGapUs, 1L).otherwise(0L))
+      .withColumn("epoch", sum("_brk").over(cum))
+    val w2 = Window.partitionBy("client", "epoch")
+      .orderBy(col("ts"), col("mut_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epochs
+      .withColumn("_cum", sum("bytes").over(w2))
+      .withColumn("batch", expr(s"(_cum - bytes) div $bufferBytes"))
+      .groupBy("client", "epoch", "batch")
+      .agg(count(lit(1)).as("n_mutations"), sum("bytes").as("bytes"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .withColumn("_maxb",
+        max("batch").over(Window.partitionBy("client", "epoch")))
+      .withColumn("_maxe", max("epoch").over(Window.partitionBy("client")))
+      .withColumn("closed_by",
+        when(col("batch") < col("_maxb"), "size")
+          .when(col("epoch") < col("_maxe"), "timer")
+          .otherwise("end"))
+      .select("client", "epoch", "batch", "n_mutations", "bytes",
+        "first_ts", "last_ts", "closed_by")
+  }
 }

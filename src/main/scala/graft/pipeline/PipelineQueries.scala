@@ -816,6 +816,61 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")),
+    // Gopher Appendix-A1 document gate, thresholds tuned to where this
+    // corpus actually varies (word count / repetition bite; the
+    // mean-word-length band and alpha floor pass by construction and
+    // prove the rule wiring)
+    "gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(docs(s, d), minWords = 20L).orderBy("doc_id")),
+    // CCNet-style LM quality signal: corpus-trained add-one bigram LM,
+    // per-doc mean negative log10 likelihood
+    "text_perplexity" -> ((s, d) =>
+      TextOps.bigramLogProb(docs(s, d)).orderBy("doc_id")),
+    // RLHF preference-pair builder: within each prompt group (source
+    // stands in for the prompt key), the top-scored candidate is
+    // `chosen` and every candidate at least `margin` below it becomes
+    // a (chosen, rejected) training pair — the standard reward-model
+    // data shape. Ties on score break to the lower doc_id so the
+    // chosen row is deterministic. The rank window runs per prompt
+    // group (candidate lists are small by construction at any corpus
+    // scale — a prompt has dozens of candidates, not millions).
+    "preference_pairs" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val margin = 400000L
+      val scored = TextOps.qualityClassifier(docs(s, d))
+        .select("doc_id", "score_micro")
+        .join(docs(s, d).select("doc_id", "source"), "doc_id")
+      val w = Window.partitionBy("source")
+        .orderBy(desc("score_micro"), asc("doc_id"))
+      val best = scored.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("source"), col("doc_id").as("chosen_id"),
+          col("score_micro").as("chosen_score"))
+      scored.join(best, "source")
+        .where(col("chosen_score") - col("score_micro") >= margin)
+        .select(col("source"), col("chosen_id"),
+          col("doc_id").as("rejected_id"),
+          (col("chosen_score") - col("score_micro")).as("margin_micro"))
+        .orderBy("source", "rejected_id")
+    }),
+    // Training-mixture report: the per-(lang, source) doc/token table
+    // with global token share in ppm — the dataset-card summary every
+    // corpus release publishes. One map-side-combinable aggregate plus
+    // a 1-row broadcast total.
+    "mixture_report" -> ((s, d) => {
+      val per = docs(s, d)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("_toks"),
+          col("n_chars"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("_toks").as("n_tokens"),
+          sum("n_chars").as("n_chars"))
+      val tot = per.agg(sum("n_tokens").as("_t"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("token_share_ppm", expr("n_tokens * 1000000 div _t"))
+        .drop("_t")
+        .orderBy("lang", "source")
+    }),
   )
 
   /** Shared DuckDB vector helpers (double-precision sequential folds —
@@ -2058,6 +2113,77 @@ object PipelineQueries {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin),
+    "gopher_rules" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |             CAST(sum(cnt * len(tok)) AS BIGINT) AS len_sum,
+        |             count(DISTINCT CASE WHEN tok IN ('the','be','to','of','and','that','have','with')
+        |                                 THEN tok END) AS stop_hits,
+        |             CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN cnt ELSE 0 END) AS BIGINT) AS alpha,
+        |             CAST(max(cnt) AS BIGINT) AS top
+        |      FROM c GROUP BY 1),
+        |m AS (SELECT doc_id, n_words, (len_sum * 1000000) // n_words AS mean_len_micro,
+        |             stop_hits, (alpha * 1000000) // n_words AS alpha_micro,
+        |             (top * 1000000) // n_words AS top_tok_micro
+        |      FROM s)
+        |SELECT *, n_words >= 20 AND n_words <= 100000 AS ok_words,
+        |       mean_len_micro BETWEEN 3000000 AND 10000000 AS ok_mean_len,
+        |       stop_hits >= 2 AS ok_stop,
+        |       alpha_micro >= 800000 AS ok_alpha,
+        |       top_tok_micro <= 200000 AS ok_repetition,
+        |       (n_words >= 20 AND n_words <= 100000)
+        |         AND mean_len_micro BETWEEN 3000000 AND 10000000
+        |         AND stop_hits >= 2 AND alpha_micro >= 800000
+        |         AND top_tok_micro <= 200000 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "text_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2 FROM w),
+        |model AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+        |lefts AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vv
+        |      FROM (SELECT unnest(ws) AS tok FROM w)),
+        |sc AS (SELECT m.w1, m.w2,
+        |              CAST(floor(log10(c1 + vv) * 1000000) AS BIGINT)
+        |                - CAST(floor(log10(c12 + 1) * 1000000) AS BIGINT) AS mneg
+        |       FROM model m JOIN lefts USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(mneg) AS BIGINT) AS sum_mneg,
+        |       round(sum(mneg) / 1000000.0 / count(*), 4) AS avg_neg_log10p
+        |FROM p JOIN sc USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "preference_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |f AS (SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd,
+        |             sum(CASE WHEN tok IN ('the','a','of','and','in','to','is')
+        |                      THEN 1 ELSE 0 END) AS ns
+        |      FROM tok GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |              CAST(least(n, 64) * 15625 * 1
+        |                + ((ns * 1000000) // n) * 4
+        |                + ((nd * 1000000) // n) * 1 AS BIGINT) AS score_micro
+        |       FROM f),
+        |g AS (SELECT s.doc_id, d.source, s.score_micro
+        |      FROM sc s JOIN documents d USING (doc_id)),
+        |best AS (SELECT source, doc_id AS chosen_id, score_micro AS chosen_score
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |                 ORDER BY score_micro DESC, doc_id) AS rn FROM g)
+        |         WHERE rn = 1)
+        |SELECT g.source, chosen_id, g.doc_id AS rejected_id,
+        |       chosen_score - g.score_micro AS margin_micro
+        |FROM g JOIN best USING (source)
+        |WHERE chosen_score - g.score_micro >= 400000
+        |ORDER BY g.source, rejected_id""".stripMargin,
+    "mixture_report" ->
+      """WITH per AS (SELECT lang, source, count(*) AS n_docs,
+        |                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |                    CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |             FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM per)
+        |SELECT lang, source, n_docs, n_tokens, n_chars,
+        |       n_tokens * 1000000 // tt AS token_share_ppm
+        |FROM per, t ORDER BY lang, source""".stripMargin,
     // dedup_minhash_lsh, dedup_simhash, ann_ivf, dedup_embedding_ivf,
     // ann_quantized: rows-only (xxhash64 / float-mean centroids /
     // quantization-noise reordering have no portable SQL form) — no

@@ -547,4 +547,97 @@ object TextOps {
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .where(col("rnk") <= topK)
   }
+
+  /** Gopher quality-filter rule suite (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Appendix A1.1 — the published document-level heuristics
+    * that became the de-facto pretraining gate): word-count bounds,
+    * mean-word-length bounds, a stopword minimum (the paper requires
+    * ≥ 2 distinct hits from a fixed 8-word list), an alphabetic-word
+    * fraction floor, and a repetition ceiling (the paper's
+    * duplicate-n-gram family, expressed here as the top unigram's
+    * share — the n=1 member of that family, the only one this
+    * single-line corpus exercises).
+    *
+    * Every ratio is integer MICRO-UNITS (⌊x·10⁶⌋ with integer div) so
+    * the oracle recomputes bit-for-bit; thresholds are parameters with
+    * the paper's defaults. Scale shape: one (doc_id, token) hash
+    * aggregate with map-side partials, then a per-doc projection —
+    * the same single-shuffle shape as [[quality]]; rules are
+    * expressions, never extra passes. */
+  def gopherRules(docs: DataFrame,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minMeanLenMicro: Long = 3000000L,
+                  maxMeanLenMicro: Long = 10000000L,
+                  minStopHits: Long = 2L,
+                  minAlphaMicro: Long = 800000L,
+                  maxTopTokMicro: Long = 200000L): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"),
+        sum(col("cnt") * length(col("tok"))).as("_len_sum"),
+        countDistinct(when(col("tok").isInCollection(gopherStops), col("tok")))
+          .as("stop_hits"),
+        sum(when(col("tok").rlike("[a-z]"), col("cnt")).otherwise(0L))
+          .as("_alpha"),
+        max("cnt").as("_top"))
+      .select(col("doc_id"), col("n_words"),
+        expr("(_len_sum * 1000000) div n_words").as("mean_len_micro"),
+        col("stop_hits"),
+        expr("(_alpha * 1000000) div n_words").as("alpha_micro"),
+        expr("(_top * 1000000) div n_words").as("top_tok_micro"))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_len_micro") >= minMeanLenMicro &&
+          col("mean_len_micro") <= maxMeanLenMicro)
+      .withColumn("ok_stop", col("stop_hits") >= minStopHits)
+      .withColumn("ok_alpha", col("alpha_micro") >= minAlphaMicro)
+      .withColumn("ok_repetition", col("top_tok_micro") <= maxTopTokMicro)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_stop") &&
+          col("ok_alpha") && col("ok_repetition"))
+  }
+
+  /** Bigram-LM perplexity scoring — the CCNet quality signal (Wenzek
+    * et al. 2020 §3.3 score documents with a language-model negative
+    * log-likelihood; KenLM there, an order-2 model with add-one
+    * smoothing here, trained on the corpus itself in the same job):
+    * P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V), doc score = mean −log₁₀ P over
+    * its bigrams. High avg_neg_log10p = surprising/noisy text; low =
+    * fluent under the corpus distribution.
+    *
+    * Parity: the only float op is log10 of an INTEGER count, floored
+    * to micro-units per model row ([[unigramLogProb]]'s trick), so
+    * per-doc sums are exact long arithmetic in both engines. Scale
+    * shape: bigram extraction is an array zip (no join against
+    * position-shifted copies); the model is one map-side-combinable
+    * aggregate; scoring re-joins docs to the model on the bigram key —
+    * model rows are bounded by distinct bigrams (≪ corpus tokens), and
+    * V is a 1-row broadcast. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        expr("slice(ws, 1, size(ws) - 1)").as("a"),
+        expr("slice(ws, 2, size(ws) - 1)").as("b"))
+      .select(col("doc_id"), expr("explode(arrays_zip(a, b))").as("p"))
+      .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val lefts = model.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct("tok").as("_V"))
+    def mlog(c: Column) = floor(log10(c) * 1e6).cast("bigint")
+    val scored = model.join(lefts, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        (mlog(col("c1") + col("_V")) - mlog(col("c12") + 1L)).as("mneg"))
+    pairs.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("mneg").as("sum_mneg"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_mneg"),
+        round(col("sum_mneg") / 1e6 / col("n_bigrams"), 4).as("avg_neg_log10p"))
+  }
 }

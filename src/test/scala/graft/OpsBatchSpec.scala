@@ -1,0 +1,221 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.analytics.Tools
+import graft.text.TextOps
+
+/** Behavior specs for the round-7 continuation batch: stochastic
+  * balancer costs, BufferedMutator flush segmentation, delimited split
+  * points, slow-request log, Gopher rules, bigram perplexity,
+  * preference pairs and the mixture report. */
+class OpsBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  // ---- stochasticCost -------------------------------------------------
+
+  private def clusterDF(rows: Seq[(Long, Long, Long, Long, Long, Long, Long)]) =
+    rows.toDF("bucket", "server", "init_server", "storefile", "read_req",
+      "write_req", "locality_ppm")
+
+  test("stochasticCost: a perfectly balanced cluster costs zero on every skew function") {
+    // 2 servers, 2 identical regions each, no moves, full locality
+    val df = clusterDF(Seq(
+      (0L, 0L, 0L, 100L, 10L, 5L, 1000000L),
+      (1L, 1L, 1L, 100L, 10L, 5L, 1000000L),
+      (2L, 0L, 0L, 100L, 10L, 5L, 1000000L),
+      (3L, 1L, 1L, 100L, 10L, 5L, 1000000L)))
+    val out = Tools.stochasticCost(df, 2).collect()
+      .map(r => r.getAs[String]("cost_function") -> r.getAs[Long]("cost_ppm")).toMap
+    assert(out.size == 6)
+    assert(out.values.forall(_ == 0L), out.toString)
+  }
+
+  test("stochasticCost: everything on one server is the 10^6 ceiling, absent servers counted") {
+    // 4 regions all on server 0 of a 2-server cluster: worst case for
+    // every skew function (server 1 never appears in the input — its
+    // zero stat must still enter the cost array)
+    val df = clusterDF(Seq(
+      (0L, 0L, 0L, 100L, 10L, 5L, 1000000L),
+      (1L, 0L, 1L, 100L, 10L, 5L, 1000000L),
+      (2L, 0L, 0L, 100L, 10L, 5L, 1000000L),
+      (3L, 0L, 1L, 100L, 10L, 5L, 1000000L)))
+    val out = Tools.stochasticCost(df, 2).collect()
+      .map(r => r.getAs[String]("cost_function") -> r.getAs[Long]("cost_ppm")).toMap
+    for (f <- Seq("region_count_skew", "storefile_size", "read_request", "write_request"))
+      assert(out(f) == 1000000L, s"$f = ${out(f)}")
+    // 2 of 4 regions moved, maxMoves = max(1, 600) = 600 > moves:
+    // scale(0, min(4, 600), 2) = 1/2
+    assert(out("move") == 500000L, out.toString)
+  }
+
+  test("stochasticCost: locality cost is the mean (1 - locality), weighted by the 1.3.0 multipliers") {
+    val df = clusterDF(Seq(
+      (0L, 0L, 0L, 1L, 1L, 1L, 250000L),
+      (1L, 1L, 1L, 1L, 1L, 1L, 750000L)))
+    val rows = Tools.stochasticCost(df, 2).collect()
+    val loc = rows.find(_.getAs[String]("cost_function") == "locality").get
+    assert(loc.getAs[Long]("cost_ppm") == 500000L) // mean of 750000 and 250000 missing
+    assert(loc.getAs[Long]("multiplier") == 25L)
+    assert(loc.getAs[Long]("weighted_ppm") == 25L * 500000L)
+    val rc = rows.find(_.getAs[String]("cost_function") == "region_count_skew").get
+    assert(rc.getAs[Long]("multiplier") == 500L)
+  }
+
+  test("balancer_stochastic_cost: exactly the 6 cost rows, all within [0, 10^6]") {
+    val rows = q("balancer_stochastic_cost").collect()
+    assert(rows.length == 6)
+    // round-robin deal of 16 regions to 5 servers is near-balanced:
+    // region-count skew must be far from the ceiling
+    val byF = rows.map(r => r.getAs[String]("cost_function") -> r.getAs[Long]("cost_ppm")).toMap
+    assert(byF("region_count_skew") < 300000L, byF.toString)
+    assert(byF.values.forall(v => v >= 0L && v <= 1000000L), byF.toString)
+  }
+
+  // ---- bufferedMutatorFlush -------------------------------------------
+
+  test("bufferedMutatorFlush: size cuts inside an epoch, timer between epochs, end at close") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // client 0: 3 mutations of 600 B within one epoch (buffer 1000 B →
+    // size flush after the second), then a 2h gap → new epoch
+    val muts = Seq(
+      (0L, 1L, ts(0L), 600L),
+      (0L, 2L, ts(10L), 600L),
+      (0L, 3L, ts(20L), 600L),
+      (0L, 4L, ts(8000L), 600L))
+      .toDF("client", "mut_id", "ts", "bytes")
+    val out = Tools.bufferedMutatorFlush(muts, 1000L, 3600L * 1000000L)
+      .orderBy("client", "epoch", "batch").collect()
+    assert(out.length == 3, out.mkString("\n"))
+    // batch 0 of epoch 1: mutations 1+2 (pre-sums 0 and 600 < 1000) —
+    // closed by size
+    assert(out(0).getAs[Long]("n_mutations") == 2L)
+    assert(out(0).getAs[String]("closed_by") == "size")
+    // batch 1 of epoch 1: mutation 3 (pre-sum 1200) — last of its
+    // epoch, timer
+    assert(out(1).getAs[Long]("n_mutations") == 1L)
+    assert(out(1).getAs[String]("closed_by") == "timer")
+    // epoch 2: the final mutation — closed by end
+    assert(out(2).getAs[String]("closed_by") == "end")
+    assert(out(2).getAs[Long]("epoch") == 2L)
+  }
+
+  test("buffered_mutator_flush: batch bytes re-sum to the corpus total") {
+    val out = q("buffered_mutator_flush")
+    val total = out.agg(sum("bytes")).head.getLong(0)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val want = ev.select(sum(length(col("event_type")) + lit(32L))).head.getLong(0)
+    assert(total == want)
+  }
+
+  // ---- split_policy_delimited -----------------------------------------
+
+  test("split_policy_delimited: split point is the median key truncated at the first delimiter") {
+    val rows = q("split_policy_delimited").collect()
+    assert(rows.length == 8)
+    for (r <- rows) {
+      val key = r.getAs[String]("split_key")
+      val pt = r.getAs[String]("split_point")
+      assert(key.startsWith(pt + "_"), s"$pt not a proper prefix of $key")
+      assert(!pt.contains("_"))
+    }
+  }
+
+  // ---- slow_request_log -----------------------------------------------
+
+  test("slow_request_log: quantiles bracket correctly and slow counts match a direct filter") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_type").as("method"),
+        floor(col("value") * 1000).cast("bigint").as("proc_us"))
+    val direct = ev.where(col("proc_us") > 200000L).groupBy("method")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("method") -> r.getAs[Long]("n")).toMap
+    for (r <- q("slow_request_log").collect()) {
+      val m = r.getAs[String]("method")
+      assert(r.getAs[Long]("n_slow") == direct.getOrElse(m, 0L), m)
+      assert(r.getAs[Long]("p50") <= r.getAs[Long]("p99"), m)
+      assert(r.getAs[Long]("p99") <= r.getAs[Long]("max_us"), m)
+    }
+  }
+
+  // ---- gopherRules ----------------------------------------------------
+
+  test("gopherRules: each rule fires on its own planted violation") {
+    val good = (1 to 30).map(i => s"the and word$i city house").mkString(" ") // 150 words, stopwords, varied
+    val docs = Seq(
+      (1L, good),
+      (2L, "the and " + Seq.fill(60)("x").mkString(" ")),          // repetition: 'x' dominates
+      (3L, Seq.tabulate(60)(i => s"word$i").mkString(" ")),        // no stopwords
+      (4L, "the of few words")                                     // too short
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs, minWords = 20L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), out(1L).toString)
+    assert(!out(2L).getAs[Boolean]("ok_repetition"))
+    assert(out(2L).getAs[Boolean]("ok_stop"))
+    assert(!out(3L).getAs[Boolean]("ok_stop"))
+    assert(!out(4L).getAs[Boolean]("ok_words"))
+    assert(Seq(2L, 3L, 4L).forall(i => !out(i).getAs[Boolean]("keep")))
+  }
+
+  // ---- bigramLogProb --------------------------------------------------
+
+  test("bigramLogProb: hand-checked add-one bigram scores on a 2-doc corpus") {
+    // corpus: "a b a b" and "a b" → bigrams: (a,b)x3, (b,a)x1; V = 2
+    // c(a·)=3, c(b·)=1
+    // P(b|a) = (3+1)/(3+2) = 4/5; P(a|b) = (1+1)/(1+2) = 2/3
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.bigramLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(out(2L).getAs[Long]("n_bigrams") == 1L)
+    def mlog(x: Double) = math.floor(math.log10(x) * 1e6).toLong
+    val mAB = mlog(5.0) - mlog(4.0) // -log10 P(b|a) in micro
+    val mBA = mlog(3.0) - mlog(2.0)
+    assert(out(1L).getAs[Long]("sum_mneg") == 2 * mAB + mBA)
+    assert(out(2L).getAs[Long]("sum_mneg") == mAB)
+    // fluent text scores lower (less surprising) than the rarer path
+    assert(out(2L).getAs[Double]("avg_neg_log10p") <
+      out(1L).getAs[Double]("avg_neg_log10p"))
+  }
+
+  test("text_perplexity: model join is the only data-shaped shuffle; V rides a broadcast") {
+    val p = q("text_perplexity").queryExecution.executedPlan.toString()
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  // ---- preference_pairs ----------------------------------------------
+
+  test("preference_pairs: every pair respects the margin and names the group's top candidate") {
+    val rows = q("preference_pairs").collect()
+    assert(rows.nonEmpty)
+    val scored = TextOps.qualityClassifier(
+        spark.read.parquet(s"$sfDir/documents.parquet"))
+      .join(spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "source"), "doc_id")
+      .select("source", "doc_id", "score_micro").collect()
+      .groupBy(_.getAs[String]("source"))
+    for (r <- rows) {
+      val src = r.getAs[String]("source")
+      val group = scored(src)
+      val best = group.minBy(g => (-g.getAs[Long]("score_micro"), g.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("chosen_id") == best.getAs[Long]("doc_id"), src)
+      assert(r.getAs[Long]("margin_micro") >= 400000L)
+      assert(r.getAs[Long]("rejected_id") != r.getAs[Long]("chosen_id"))
+    }
+  }
+
+  // ---- mixture_report -------------------------------------------------
+
+  test("mixture_report: shares are ppm floors of the group token totals and docs re-sum") {
+    val rows = q("mixture_report").collect()
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(totalDocs == nDocs)
+    val totalToks = rows.map(_.getAs[Long]("n_tokens")).sum
+    for (r <- rows)
+      assert(r.getAs[Long]("token_share_ppm") ==
+        r.getAs[Long]("n_tokens") * 1000000L / totalToks)
+  }
+}
