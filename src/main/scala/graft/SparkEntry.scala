@@ -191,6 +191,28 @@ object SparkEntry {
         .select("rowkey", "family", "qualifier", "ts", "value", "event_id")
         .orderBy("event_id")
     }),
+    // HBASE-7662 cell-level ACLs composed with the hierarchy: carol
+    // holds only family-level web, but every 7th cell carries a
+    // carol:R ACL tag — those act-family cells become readable via the
+    // cell grant (acl_source names which check admitted each cell);
+    // dave's cell tags must not leak in. Disjoint semi/anti broadcast
+    // joins, no dedup shuffle.
+    "cell_acl" -> ((s, d) => {
+      import s.implicits._
+      val grants = Seq[(String, Option[String], Option[String], Option[String], String)](
+        ("carol", Some("events"), Some("web"), None, "R"),
+        ("dave", Some("events"), None, None, "RW")
+      ).toDF("grantee", "tbl", "family", "qualifier", "perm")
+      val cells = Tables.eventCellsTwoFamilies(s, d)
+        .withColumn("cell_acl",
+          when(col("event_id") % 7 === 0, lit("carol:R"))
+            .when(col("event_id") % 11 === 0, lit("dave:RW"))
+            .otherwise(lit(null).cast("string")))
+      graft.kv.Acl.enforceReadCellAcls(cells, grants, "carol", "events")
+        .select("rowkey", "family", "qualifier", "ts", "value",
+          "event_id", "acl_source")
+        .orderBy("event_id", "family", "qualifier")
+    }),
     // Get.setTimeRange(0, ts) + maxVersions(1) as a stream-wide temporal
     // join: for each click, the same user's latest purchase at or
     // before it — one shuffle on the key, running struct-max, never a
@@ -341,6 +363,28 @@ object SparkEntry {
         |    AND (g.family IS NULL OR g.family = c.family)
         |    AND (g.qualifier IS NULL OR g.qualifier = c.qualifier))
         |ORDER BY event_id""".stripMargin),
+    "cell_acl" ->
+      ("WITH " + graft.core.Tables.eventCellsTwoFamiliesSql + """,
+        |grants(grantee, tbl, family, qualifier, perm) AS (VALUES
+        |  ('carol', 'events', 'web', NULL, 'R'),
+        |  ('dave', 'events', NULL, NULL, 'RW')),
+        |tagged AS (SELECT *, CASE WHEN event_id % 7 = 0 THEN 'carol:R'
+        |                          WHEN event_id % 11 = 0 THEN 'dave:RW'
+        |                     END AS cell_acl FROM vcells2),
+        |m AS (SELECT *, EXISTS (SELECT 1 FROM grants g
+        |         WHERE g.grantee = 'carol' AND g.perm LIKE '%R%'
+        |           AND (g.tbl IS NULL OR g.tbl = 'events')
+        |           AND (g.family IS NULL OR g.family = c.family)
+        |           AND (g.qualifier IS NULL OR g.qualifier = c.qualifier))
+        |         AS hier,
+        |       cell_acl IS NOT NULL
+        |         AND split_part(cell_acl, ':', 1) = 'carol'
+        |         AND strpos(split_part(cell_acl, ':', 2), 'R') > 0 AS cellok
+        |      FROM tagged c)
+        |SELECT rowkey, family, qualifier, ts, value, event_id,
+        |       CASE WHEN hier THEN 'table' ELSE 'cell' END AS acl_source
+        |FROM m WHERE hier OR cellok
+        |ORDER BY event_id, family, qualifier""".stripMargin),
     // querying through the index must equal filtering the base directly
     "secondary_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -44,4 +44,40 @@ object Acl {
         (col("_gq").isNull || col("_gq") === col("qualifier")),
       "left_semi")
   }
+
+  /** Cell-level ACL read enforcement (hbase-server/.../security/access/
+    * AccessController.java — HBASE-7662's per-cell ACLs: Mutation#setACL
+    * writes a serialized perm list as a cell TAG, and the read path
+    * authorizes a cell when the table/family/qualifier hierarchy check
+    * fails but the cell's own ACL grants READ). Composition, exactly
+    * the reference's check order: a cell is visible iff a hierarchy
+    * grant covers it ([[enforceRead]]) OR its `cell_acl` tag names the
+    * user with 'R'.
+    *
+    * Plan shape: the OR is materialized as two DISJOINT broadcast
+    * joins — hierarchy cover via the left-semi, cell-only grants via a
+    * left-ANTI against the same broadcast grant list (cells whose tag
+    * matches but that no hierarchy grant reaches) — so the union never
+    * needs a dedup shuffle; both sides stream from the scan.
+    *
+    * @param cells must carry a `cell_acl` string column,
+    *              "user:perms" or NULL (the tag payload). */
+  def enforceReadCellAcls(cells: DataFrame, grants: DataFrame,
+                          user: String, table: String): DataFrame = {
+    val g = grants
+      .where(col("grantee") === user && instr(col("perm"), "R") > 0 &&
+        (col("tbl").isNull || col("tbl") === table))
+      .select(col("family").as("_gf"), col("qualifier").as("_gq"))
+    val cover = (col("_gf").isNull || col("_gf") === col("family")) &&
+      (col("_gq").isNull || col("_gq") === col("qualifier"))
+    val cellOk = col("cell_acl").isNotNull &&
+      substring_index(col("cell_acl"), ":", 1) === user &&
+      instr(substring_index(col("cell_acl"), ":", -1), "R") > 0
+    val byHierarchy = cells.join(broadcast(g), cover, "left_semi")
+      .withColumn("acl_source", lit("table"))
+    val byCell = cells.where(cellOk)
+      .join(broadcast(g), cover, "left_anti")
+      .withColumn("acl_source", lit("cell"))
+    byHierarchy.unionByName(byCell)
+  }
 }

@@ -816,6 +816,17 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")),
+    // PCA spectrum of the embedding covariance: only the d(d+1)/2-cell
+    // Gramian crosses the wire; eigensolve is driver-local (rows-only —
+    // float eigenvalues have no portable SQL form; PcaSpec asserts the
+    // spectral invariants instead)
+    "embedding_pca" -> ((s, d) =>
+      graft.sim.Pca.spectrum(s, emb(s, d)).orderBy("component")),
+    // BPE apply: trained merges replayed over the DISTINCT word table,
+    // token counts joined back per doc (rows-only — the trained rule
+    // replay has no single-SQL form; spec replays a reference BPE)
+    "bpe_apply" -> ((s, d) =>
+      TextOps.bpeApply(docs(s, d)).orderBy("doc_id")),
     // Gopher Appendix-A1 document gate, thresholds tuned to where this
     // corpus actually varies (word count / repetition bite; the
     // mean-word-length band and alpha floor pass by construction and

@@ -1,0 +1,104 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over the embedding column — the whitening /
+  * dimensionality-reduction stage SemDeDup-style semantic pipelines
+  * run before clustering (Abbas et al. 2023 reduce embeddings before
+  * the k-means pass; classic Halko et al. 2011 motivates the
+  * covariance route for short, fat matrices).
+  *
+  * The 100 TB shape is the textbook one: the d×d covariance is the
+  * ONLY thing that ever crosses the wire — an upper-triangle Gramian
+  * of d(d+1)/2 cells plus d means, computed in one map-side-combinable
+  * aggregate pass over the corpus (no row leaves its executor
+  * un-summed), then eigensolved on the DRIVER (d = 64 here; a 64×64
+  * symmetric Jacobi sweep is microseconds — the same driver-local
+  * trained-model pattern as k-means centroids and PQ codebooks,
+  * sim/Ann.scala). N never appears in anything but the two aggregate
+  * passes fused into one.
+  */
+object Pca {
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix (in-place on a
+    * copy); returns eigenvalues sorted descending. Deterministic sweep
+    * order; converges quadratically — 64×64 finishes in a handful of
+    * sweeps. */
+  private[graft] def jacobiEigenvalues(a0: Array[Array[Double]]): Array[Double] = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 50 && off > 1e-12) {
+      off = 0.0
+      for (p <- 0 until d - 1; q <- p + 1 until d) {
+        off += a(p)(q) * a(p)(q)
+        if (math.abs(a(p)(q)) > 1e-15) {
+          val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+          // sign(0) must be +1 here: a zero theta is the 45-degree
+          // rotation, not "skip" (math.signum(0) = 0 would stall on
+          // equal diagonal entries)
+          val sgn = if (theta >= 0.0) 1.0 else -1.0
+          val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+          val c = 1.0 / math.sqrt(t * t + 1.0)
+          val s = t * c
+          for (k <- 0 until d) {
+            val akp = a(k)(p); val akq = a(k)(q)
+            a(k)(p) = c * akp - s * akq
+            a(k)(q) = s * akp + c * akq
+          }
+          for (k <- 0 until d) {
+            val apk = a(p)(k); val aqk = a(q)(k)
+            a(p)(k) = c * apk - s * aqk
+            a(q)(k) = s * apk + c * aqk
+          }
+        }
+      }
+      sweep += 1
+    }
+    (0 until d).map(i => a(i)(i)).toArray.sorted(Ordering[Double].reverse)
+  }
+
+  /** Top-k principal spectrum of the embedding covariance:
+    * (component, eigenvalue_micro, evr_ppm, cum_evr_ppm) — explained
+    * variance ratios against the full trace, the table that decides
+    * how many dimensions survive the reduction.
+    *
+    * @param emb (vec_id, embedding array<float>). */
+  def spectrum(spark: SparkSession, emb: DataFrame, k: Int = 8): DataFrame = {
+    val x = emb.select(col("embedding").cast("array<double>").as("e"))
+    // upper-triangle second moments + first moments in ONE aggregate:
+    // the (i, j >= i) pair explode is per-row fanout d(d+1)/2, combined
+    // map-side to a 2080-cell partial per partition before the shuffle
+    val pairs = x
+      .select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"), posexplode(col("e")).as(Seq("j", "vj")))
+      .where(col("j") >= col("i"))
+    val gram = pairs.groupBy("i", "j")
+      .agg(sum(col("vi") * col("vj")).as("s")).collect()
+    val moments = x.select(posexplode(col("e")).as(Seq("i", "vi")))
+      .groupBy("i").agg(sum("vi").as("m"), count(lit(1)).as("n")).collect()
+    val d = moments.length
+    val n = moments.head.getAs[Long]("n").toDouble
+    val mean = Array.ofDim[Double](d)
+    moments.foreach(r => mean(r.getAs[Int]("i")) = r.getAs[Double]("m") / n)
+    val cov = Array.ofDim[Double](d, d)
+    gram.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      val c = r.getAs[Double]("s") / n - mean(i) * mean(j)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val ev = jacobiEigenvalues(cov)
+    val trace = ev.sum
+    import spark.implicits._
+    val rows = ev.take(k).zipWithIndex.scanLeft((0L, 0L, 0L, 0.0)) {
+      case ((_, _, cum, _), (lam, i)) =>
+        val evr = math.floor(lam * 1e6 / trace).toLong
+        (i.toLong, math.floor(lam * 1e6).toLong, cum + evr, lam)
+    }.drop(1).map { case (i, lamMicro, cumEvr, lam) =>
+      (i, lamMicro, math.floor(lam * 1e6 / trace).toLong, cumEvr)
+    }
+    rows.toSeq.toDF("component", "eigenvalue_micro", "evr_ppm", "cum_evr_ppm")
+  }
+}

@@ -529,6 +529,53 @@ object TextOps {
     merges.toSeq.toDF("merge_idx", "left", "right", "new_sym", "pair_count")
   }
 
+  /** BPE tokenization with a trained merge table — the APPLY half of
+    * [[bpeTrain]] (Sennrich et al. 2016 §2: learned rules replay in
+    * learned order, each a left-to-right pass over a word's symbols):
+    * per doc, word/char/token counts under the learned segmentation
+    * and the chars-per-token compression ratio — the fertility table
+    * that decides whether a tokenizer is good enough to train with.
+    *
+    * Scale shape, same discipline as training: rules are a driver-
+    * local model (k rows — the trained-model collect pattern); the
+    * merge folds apply to the DISTINCT word table only (vocab
+    * cardinality, all k rules in ONE chained codegen projection, one
+    * pass); docs then join token counts back on the word key. The
+    * corpus text itself is never folded per rule. */
+  def bpeApply(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val rules = bpeTrain(docs, nMerges).collect()
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w").rlike("^[a-z0-9]+$"))
+      .distinct()
+    var t = words.select(col("w"), expr("split(w, '')").as("syms"))
+    for (r <- rules) {
+      val (l, rr, ns) = (r.getAs[String]("left"), r.getAs[String]("right"),
+        r.getAs[String]("new_sym"))
+      t = t.select(col("w"), expr(
+        s"""aggregate(syms,
+           |  named_struct('out', cast(array() as array<string>),
+           |               'pend', cast(null as string)),
+           |  (s, x) -> IF(s.pend = '$l' AND x = '$rr',
+           |    named_struct('out', array_append(s.out, '$ns'),
+           |                 'pend', cast(null as string)),
+           |    named_struct('out', IF(s.pend IS NULL, s.out,
+           |                           array_append(s.out, s.pend)),
+           |                 'pend', x)),
+           |  s -> IF(s.pend IS NULL, s.out, array_append(s.out, s.pend))
+           |)""".stripMargin).as("syms"))
+    }
+    val wordTok = t.select(col("w"), size(col("syms")).cast("long").as("_n_syms"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w").rlike("^[a-z0-9]+$"))
+      .join(wordTok, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum("_n_syms").as("n_tokens"))
+      .withColumn("chars_per_token_micro",
+        expr("n_chars * 1000000 div n_tokens"))
+  }
+
   def tfidf(docs: DataFrame, topK: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("token"))
