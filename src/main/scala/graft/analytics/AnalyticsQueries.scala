@@ -1214,6 +1214,33 @@ object AnalyticsQueries {
           (col("zmin") < hi && col("zmax") >= lo).cast("bigint"))
         .orderBy("layout", "file_id")
     }),
+    // HFile v2 multi-level block index sizing (io/hfile/
+    // HFileBlockIndex.java BlockIndexWriter — the index goes
+    // multi-level when root entries exceed the chunk budget;
+    // io/hfile/HFileWriterV2.java): per region, 64-cell data blocks,
+    // fanout-128 index chain (leaf → intermediate → root), index level
+    // count and root entry count — the metadata-overhead table behind
+    // block-size tuning. Pure integer ceil arithmetic over one count.
+    "hfile_index_plan" -> ((s, d) => {
+      val cells = Tables.eventCells(s, d)
+      val b = cells.agg(min("rowkey").as("_lo"), max("rowkey").as("_hi"))
+      cells.crossJoin(broadcast(b))
+        .withColumn("region",
+          Tools.totalOrderBucket(col("rowkey"), col("_lo"), col("_hi"), 8))
+        .groupBy("region").agg(count(lit(1)).as("n_cells"))
+        .withColumn("data_blocks", expr("(n_cells + 63) div 64"))
+        .withColumn("levels", (lit(1L)
+          + when(col("data_blocks") > 128L, 1L).otherwise(0L)
+          + when(col("data_blocks") > 16384L, 1L).otherwise(0L)))
+        .withColumn("leaf_blocks",
+          expr("IF(levels >= 2, (data_blocks + 127) div 128, 0)"))
+        .withColumn("mid_blocks",
+          expr("IF(levels >= 3, (leaf_blocks + 127) div 128, 0)"))
+        .withColumn("root_entries", expr(
+          "CASE WHEN levels = 1 THEN data_blocks " +
+            "WHEN levels = 2 THEN leaf_blocks ELSE mid_blocks END"))
+        .orderBy("region")
+    }),
     // StochasticLoadBalancer cost table for the SimpleLoadBalancer's
     // own plan: 16 order-key regions dealt to 5 servers in size order
     // (region_balancer's assignment), initial placement bucket mod 5,
@@ -2331,6 +2358,25 @@ object AnalyticsQueries {
         |             AND zmax >= TIMESTAMP '1996-07-01 00:00:00'
         |            THEN 1 ELSE 0 END AS BIGINT) AS scanned
         |FROM f ORDER BY layout, file_id""".stripMargin,
+    "hfile_index_plan" ->
+      (V + """,
+        |b AS (SELECT min(rowkey) lo, max(rowkey) hi FROM vcells),
+        |g AS (SELECT CAST(floor((rowkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,
+        |             count(*) AS n_cells
+        |      FROM vcells, b GROUP BY 1),
+        |d AS (SELECT *, (n_cells + 63) // 64 AS data_blocks FROM g),
+        |l AS (SELECT *, 1 + CASE WHEN data_blocks > 128 THEN 1 ELSE 0 END
+        |               + CASE WHEN data_blocks > 16384 THEN 1 ELSE 0 END AS levels
+        |      FROM d),
+        |f AS (SELECT *, CASE WHEN levels >= 2 THEN (data_blocks + 127) // 128 ELSE 0 END
+        |               AS leaf_blocks FROM l),
+        |m AS (SELECT *, CASE WHEN levels >= 3 THEN (leaf_blocks + 127) // 128 ELSE 0 END
+        |               AS mid_blocks FROM f)
+        |SELECT region, n_cells, data_blocks, CAST(levels AS BIGINT) AS levels,
+        |       leaf_blocks, mid_blocks,
+        |       CASE WHEN levels = 1 THEN data_blocks
+        |            WHEN levels = 2 THEN leaf_blocks ELSE mid_blocks END AS root_entries
+        |FROM m ORDER BY region""".stripMargin),
     "balancer_stochastic_cost" ->
       """WITH b AS (SELECT min(o_orderkey) lo, max(o_orderkey) hi FROM orders),
         |t AS (SELECT CAST(floor((o_orderkey - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket,

@@ -816,6 +816,29 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")),
+    // hard-negative mining: top-5 most-similar DIFFERENT-label vectors
+    // per query — the confusing-negatives table for contrastive
+    // training (queries = every 50th vector)
+    "mine_hard_negatives" -> ((s, d) =>
+      Ann.hardNegatives(emb(s, d),
+          emb(s, d).where(pmod(col("vec_id"), lit(50)) === 0), 5)
+        .orderBy("q_id", "rank")),
+    // T5 span-corruption geometry (Raffel et al. 2020 §3.1.4: 15%
+    // corruption, mean span 3): per doc the corrupt-token count, span
+    // count and the resulting encoder/decoder sequence lengths
+    // (sentinel per span + final sentinel) — the table that sizes
+    // batches for span-corruption pretraining. Pure integer
+    // projection, scan speed.
+    "span_corruption" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("n_corrupt", expr("n_tokens * 15 div 100"))
+        .withColumn("n_spans",
+          expr("IF(n_corrupt = 0, 0, greatest(1, n_corrupt div 3))"))
+        .withColumn("input_len", expr("n_tokens - n_corrupt + n_spans"))
+        .withColumn("target_len", expr("n_corrupt + n_spans + 1"))
+        .orderBy("doc_id")),
     // PCA spectrum of the embedding covariance: only the d(d+1)/2-cell
     // Gramian crosses the wire; eigensolve is driver-local (rows-only —
     // float eigenvalues have no portable SQL form; PcaSpec asserts the
@@ -2124,6 +2147,28 @@ object PipelineQueries {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin),
+    "mine_hard_negatives" ->
+      (s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS ql
+          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |scored AS (
+          |  SELECT q.q_id, e.vec_id AS nn_id, ${ddCos("q.q_emb", "e.embedding")} AS sc
+          |  FROM q, embeddings e WHERE e.label <> q.ql),
+          |top AS (SELECT q_id, nn_id, sc,
+          |          row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, nn_id) AS rank
+          |        FROM scored)
+          |SELECT q_id, nn_id, round(sc, 4) AS score, rank FROM top
+          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+    "span_corruption" ->
+      """WITH t AS (SELECT doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT *, n_tokens * 15 // 100 AS n_corrupt FROM t),
+        |s AS (SELECT *, CASE WHEN n_corrupt = 0 THEN 0
+        |                     ELSE greatest(1, n_corrupt // 3) END AS n_spans FROM c)
+        |SELECT doc_id, n_tokens, n_corrupt, n_spans,
+        |       n_tokens - n_corrupt + n_spans AS input_len,
+        |       n_corrupt + n_spans + 1 AS target_len
+        |FROM s ORDER BY doc_id""".stripMargin,
     "gopher_rules" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),

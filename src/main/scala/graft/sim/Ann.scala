@@ -66,6 +66,29 @@ object Ann {
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive / retrieval training (the
+    * in-batch-negatives upgrade every dual-encoder pipeline runs —
+    * Karpukhin et al. 2020 §3.2 pick top-scoring passages that are NOT
+    * positives): for each query vector, the top-k most similar corpus
+    * vectors whose LABEL differs — maximally confusing negatives.
+    * Same scale shape as [[bruteForce]] (broadcast query side,
+    * codegen'd VecDot, bounded-state top-k heap) with the label
+    * mismatch filtered BEFORE anything shuffles. */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("label").as("_ql"))
+      .withColumn("_qn", norm("q_emb"))
+    val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"),
+        col("label"))
+      .withColumn("_vn", norm("embedding"))
+    val scored = v.crossJoin(broadcast(q))
+      .where(col("label") =!= col("_ql"))
+      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
+    topK(scored, "q_id", k)
+      .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"),
+        col("rank"))
+  }
+
   /** Radius (range) search: every corpus vector within cosine ≥
     * `minCos` of each query — the "all sufficiently-similar" report
     * (dedup sweeps, recall audits, neighborhood exports) where top-k's

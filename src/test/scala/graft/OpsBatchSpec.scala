@@ -206,6 +206,55 @@ class OpsBatchSpec extends SparkSpec {
     }
   }
 
+  // ---- mine_hard_negatives -------------------------------------------
+
+  test("mine_hard_negatives: every returned neighbor carries a different label than its query") {
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = q("mine_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(labels(r.getAs[Long]("q_id")) != labels(r.getAs[Long]("nn_id")),
+        s"q=${r.getAs[Long]("q_id")} nn=${r.getAs[Long]("nn_id")}")
+      assert(r.getAs[Int]("rank") >= 1 && r.getAs[Int]("rank") <= 5)
+    }
+    // scores descend within each query
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  // ---- span_corruption ------------------------------------------------
+
+  test("span_corruption: T5 length arithmetic holds row-by-row") {
+    for (r <- q("span_corruption").collect()) {
+      val n = r.getAs[Long]("n_tokens"); val c = r.getAs[Long]("n_corrupt")
+      val sp = r.getAs[Long]("n_spans")
+      assert(c == n * 15 / 100)
+      assert(sp == (if (c == 0) 0L else math.max(1L, c / 3)))
+      assert(r.getAs[Long]("input_len") == n - c + sp)
+      assert(r.getAs[Long]("target_len") == c + sp + 1)
+    }
+  }
+
+  // ---- hfile_index_plan ----------------------------------------------
+
+  test("hfile_index_plan: index chain ceilings are consistent per region") {
+    for (r <- q("hfile_index_plan").collect()) {
+      val blocks = r.getAs[Long]("data_blocks")
+      val levels = r.getAs[Long]("levels")
+      val leaf = r.getAs[Long]("leaf_blocks")
+      assert(blocks == (r.getAs[Long]("n_cells") + 63) / 64)
+      if (blocks <= 128) assert(levels == 1L && leaf == 0L)
+      else assert(levels >= 2L && leaf == (blocks + 127) / 128)
+      // the root must hold what the top level feeds it, within fanout
+      assert(r.getAs[Long]("root_entries") <= 128L ||
+        levels == 3L, r.toString) // 3 levels caps at fanout^3 blocks
+    }
+  }
+
   // ---- mixture_report -------------------------------------------------
 
   test("mixture_report: shares are ppm floors of the group token totals and docs re-sum") {

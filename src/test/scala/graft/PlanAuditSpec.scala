@@ -805,4 +805,30 @@ class PlanAuditSpec extends SparkSpec {
     // anything beyond these two is a regression
     assert(exchanges(p, "hashpartitioning") == 2, s"unexpected shuffles:\n$p")
   }
+
+  test("cell_acl: both ACL checks are broadcast NLJs, the scan sides never hash-shuffle") {
+    val p = plan("cell_acl")
+    // hierarchy cover = left-semi, cell-only grants = left-anti —
+    // disjoint by construction, so the union carries NO dedup exchange
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, LeftSemi"), p)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, LeftAnti"), p)
+    assert(!p.contains("HashAggregate(keys=[rowkey"), s"dedup crept in:\n$p")
+    // only the final orderBy may range-shuffle; no hash exchange at all
+    assert(exchanges(p, "hashpartitioning") == 0, s"data side shuffled:\n$p")
+  }
+
+  test("mine_hard_negatives: query side broadcasts, top-k is the bounded heap, no window") {
+    val p = plan("mine_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TopKStruct") || p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), s"corpus-wide rank window leaked in:\n$p")
+  }
+
+  test("buffered_mutator_flush: every window is client-partitioned, none global") {
+    val p = plan("buffered_mutator_flush")
+    assert(!p.contains("WindowExec: No Partition"), p)
+    // all Window nodes must carry a partition spec (client / client+epoch)
+    val windows = p.split("\n").filter(_.contains("Window "))
+    assert(windows.forall(w => w.contains("client")), windows.mkString("\n"))
+  }
 }
