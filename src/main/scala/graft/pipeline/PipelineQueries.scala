@@ -817,11 +817,15 @@ object PipelineQueries {
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")),
     // hard-negative mining: top-5 most-similar DIFFERENT-label vectors
-    // per query — the confusing-negatives table for contrastive
-    // training (queries = every 50th vector)
+    // per anchor — the confusing-negatives table for contrastive
+    // training. The anchor set is a FIXED batch (vec_id < 200), NOT a
+    // corpus fraction: exact mining is O(|anchors| × N), so a
+    // fractional anchor set would grow quadratically with the corpus
+    // (the sf1 spike measured exactly that before this cap). Mining
+    // negatives for EVERY anchor at corpus scale goes through the IVF
+    // cell probe (dedup_embedding_ivf's shape), not brute force.
     "mine_hard_negatives" -> ((s, d) =>
-      Ann.hardNegatives(emb(s, d),
-          emb(s, d).where(pmod(col("vec_id"), lit(50)) === 0), 5)
+      Ann.hardNegatives(emb(s, d), emb(s, d).where(col("vec_id") < 200), 5)
         .orderBy("q_id", "rank")),
     // T5 span-corruption geometry (Raffel et al. 2020 §3.1.4: 15%
     // corruption, mean span 3): per doc the corrupt-token count, span
@@ -2149,7 +2153,7 @@ object PipelineQueries {
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin),
     "mine_hard_negatives" ->
       (s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS ql
-          |           FROM embeddings WHERE vec_id % 50 = 0),
+          |           FROM embeddings WHERE vec_id < 200),
           |scored AS (
           |  SELECT q.q_id, e.vec_id AS nn_id, ${ddCos("q.q_emb", "e.embedding")} AS sc
           |  FROM q, embeddings e WHERE e.label <> q.ql),

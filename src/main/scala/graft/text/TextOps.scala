@@ -672,6 +672,14 @@ object TextOps {
         expr("slice(ws, 2, size(ws) - 1)").as("b"))
       .select(col("doc_id"), expr("explode(arrays_zip(a, b))").as("p"))
       .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    // The model-build and scoring branches each explode the corpus
+    // once (Spark does no CSE across the join). Measured trade, both
+    // SFs: pre-aggregating (doc, w1, w2) counts to share one explode
+    // ADDS a corpus-sized shuffle while shrinking nothing (bigram
+    // instances are near-distinct within a doc) and came out slower at
+    // sf0.1 AND the 10× spike (1.0→1.5 s / 11.8→13.5 s). Two columnar
+    // scans are the cheaper linear path — scans prune and stream;
+    // corpus-wide shuffles spill.
     val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val lefts = model.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = docs
