@@ -1214,6 +1214,32 @@ object AnalyticsQueries {
           (col("zmin") < hi && col("zmax") >= lo).cast("bigint"))
         .orderBy("layout", "file_id")
     }),
+    // CatalogJanitor split-parent GC (master/CatalogJanitor.java:180
+    // scan, :250 cleanParent — a split parent row leaves hbase:meta
+    // only after NEITHER daughter still holds reference files to the
+    // parent's HFiles): 8 split parents over the order keyspace, each
+    // with two daughter half-ranges; a daughter "still references"
+    // while its half holds an open order (the compaction that rewrites
+    // references away hasn't run) — deletable = both daughters clean.
+    // Region-metadata scale: one bucket aggregate, one 16-row join.
+    "catalog_janitor" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+      val b = o.agg(min("o_orderkey").as("_lo"), max("o_orderkey").as("_hi"))
+      val daughters = o.crossJoin(broadcast(b))
+        .withColumn("daughter",
+          Tools.totalOrderBucket(col("o_orderkey"), col("_lo"), col("_hi"), 16))
+        .groupBy("daughter")
+        .agg(sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+          .as("open_orders"))
+        .withColumn("has_refs", col("open_orders") > 0L)
+        .withColumn("parent_id", expr("daughter div 2"))
+      daughters.groupBy("parent_id")
+        .agg(min("daughter").as("daughter_a"), max("daughter").as("daughter_b"),
+          max(when(col("daughter") % 2 === 0, col("has_refs"))).as("refs_a"),
+          max(when(col("daughter") % 2 === 1, col("has_refs"))).as("refs_b"))
+        .withColumn("deletable", !col("refs_a") && !col("refs_b"))
+        .orderBy("parent_id")
+    }),
     // HFile v2 multi-level block index sizing (io/hfile/
     // HFileBlockIndex.java BlockIndexWriter — the index goes
     // multi-level when root entries exceed the chunk budget;
@@ -2358,6 +2384,19 @@ object AnalyticsQueries {
         |             AND zmax >= TIMESTAMP '1996-07-01 00:00:00'
         |            THEN 1 ELSE 0 END AS BIGINT) AS scanned
         |FROM f ORDER BY layout, file_id""".stripMargin,
+    "catalog_janitor" ->
+      """WITH b AS (SELECT min(o_orderkey) lo, max(o_orderkey) hi FROM orders),
+        |d AS (SELECT CAST(floor((o_orderkey - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS daughter,
+        |             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        |               AS open_orders
+        |      FROM orders, b GROUP BY 1),
+        |h AS (SELECT *, open_orders > 0 AS has_refs, daughter // 2 AS parent_id FROM d)
+        |SELECT parent_id, min(daughter) AS daughter_a, max(daughter) AS daughter_b,
+        |       max(CASE WHEN daughter % 2 = 0 THEN has_refs END) AS refs_a,
+        |       max(CASE WHEN daughter % 2 = 1 THEN has_refs END) AS refs_b,
+        |       NOT max(CASE WHEN daughter % 2 = 0 THEN has_refs END)
+        |         AND NOT max(CASE WHEN daughter % 2 = 1 THEN has_refs END) AS deletable
+        |FROM h GROUP BY 1 ORDER BY parent_id""".stripMargin,
     "hfile_index_plan" ->
       (V + """,
         |b AS (SELECT min(rowkey) lo, max(rowkey) hi FROM vcells),

@@ -816,6 +816,33 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
         .orderBy("shard")),
+    // tokenizer coverage QA: per language, what fraction of running
+    // tokens the top-64 vocabulary covers (the OOV-rate table that
+    // decides vocab size per language before a tokenizer ships). The
+    // vocab is bounded (k rows) and broadcasts beside the token
+    // stream; one (lang) aggregate with map-side partials.
+    "tokenizer_coverage" -> ((s, d) => {
+      val vocab = TextOps.vocabBuild(docs(s, d), 64)
+        .select(col("token"), lit(true).as("_in_vocab"))
+      docs(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("_in_vocab"), 1L).otherwise(0L)).as("covered"))
+        .withColumn("covered_ppm", expr("covered * 1000000 div n_tokens"))
+        .withColumn("oov_ppm", expr("(n_tokens - covered) * 1000000 div n_tokens"))
+        .orderBy("lang")
+    }),
+    // language-ID evaluation: the labeled `lang` column vs the
+    // marker-heuristic prediction as a confusion table — the accuracy
+    // audit behind text_langid's classification. One aggregate.
+    "langid_eval" -> ((s, d) =>
+      TextOps.langId(docs(s, d))
+        .join(docs(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "pred_lang")),
     // hard-negative mining: top-5 most-similar DIFFERENT-label vectors
     // per anchor — the confusing-negatives table for contrastive
     // training. The anchor set is a FIXED batch (vec_id < 200), NOT a
@@ -2151,6 +2178,27 @@ object PipelineQueries {
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
          |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin),
+    "tokenizer_coverage" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |      GROUP BY 1),
+        |v AS (SELECT token FROM c ORDER BY cnt DESC, token DESC LIMIT 64),
+        |j AS (SELECT lang, t.token IN (SELECT token FROM v) AS iv FROM tok t)
+        |SELECT lang, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN iv THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+        |       CAST(sum(CASE WHEN iv THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS covered_ppm,
+        |       CAST((count(*) - sum(CASE WHEN iv THEN 1 ELSE 0 END)) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+        |FROM j GROUP BY 1 ORDER BY lang""".stripMargin,
+    "langid_eval" ->
+      """WITH p AS (SELECT doc_id, lang,
+        |       round(len(list_filter(string_split(text, ' '),
+        |                 x -> x IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')))
+        |             * 1.0 / len(string_split(text, ' ')), 4) AS er
+        |       FROM documents)
+        |SELECT lang, CASE WHEN er >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
+        |       count(*) AS n_docs
+        |FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
     "mine_hard_negatives" ->
       (s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label AS ql
           |           FROM embeddings WHERE vec_id < 200),

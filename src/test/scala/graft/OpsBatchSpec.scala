@@ -255,6 +255,44 @@ class OpsBatchSpec extends SparkSpec {
     }
   }
 
+  // ---- catalog_janitor ------------------------------------------------
+
+  test("catalog_janitor: daughters pair as (2p, 2p+1) and deletable means both clean") {
+    val rows = q("catalog_janitor").collect()
+    assert(rows.length == 8)
+    for (r <- rows) {
+      val p = r.getAs[Long]("parent_id")
+      assert(r.getAs[Long]("daughter_a") == 2 * p)
+      assert(r.getAs[Long]("daughter_b") == 2 * p + 1)
+      assert(r.getAs[Boolean]("deletable") ==
+        (!r.getAs[Boolean]("refs_a") && !r.getAs[Boolean]("refs_b")))
+    }
+  }
+
+  // ---- tokenizer_coverage / langid_eval -------------------------------
+
+  test("tokenizer_coverage: ppm identities hold and token totals re-sum to the corpus") {
+    val rows = q("tokenizer_coverage").collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(total == want)
+    for (r <- rows) {
+      val n = r.getAs[Long]("n_tokens"); val c = r.getAs[Long]("covered")
+      assert(r.getAs[Long]("covered_ppm") == c * 1000000L / n)
+      assert(r.getAs[Long]("oov_ppm") == (n - c) * 1000000L / n)
+      assert(c <= n)
+    }
+  }
+
+  test("langid_eval: confusion cells re-sum to the corpus and labels stay in domain") {
+    val rows = q("langid_eval").collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    assert(rows.forall(r => Set("en", "other")(r.getAs[String]("pred_lang"))))
+  }
+
   // ---- mixture_report -------------------------------------------------
 
   test("mixture_report: shares are ppm floors of the group token totals and docs re-sum") {
