@@ -1214,6 +1214,59 @@ object AnalyticsQueries {
           (col("zmin") < hi && col("zmax") >= lo).cast("bigint"))
         .orderBy("layout", "file_id")
     }),
+    // PressureAwareCompactionThroughputController (regionserver/
+    // throttle/PressureAwareCompactionThroughputController.java:95 —
+    // pressure ≥ 1 lifts the limit entirely, off-peak uses the fixed
+    // bound, otherwise lower + (upper−lower)·pressure; pressure from
+    // HStore.getCompactionPressure: (files−min)/(blocking−min)): the
+    // per-(region, day) flush-file model of compaction_select scored
+    // into the throttle table, all integer ppm math (10/20 MiB/s
+    // bounds, 40 off-peak, days 1-5 off-peak config)
+    "compaction_throughput" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
+      val mib = 1048576L
+      ev.crossJoin(broadcast(b))
+        .withColumn("region",
+          Tools.totalOrderBucket(col("user_id"), col("_lo"), col("_hi"), 8))
+        .groupBy(col("region"), dayofmonth(col("ts")).cast("bigint").as("day"))
+        .agg(count(lit(1)).as("n_files"))
+        .withColumn("pressure_ppm",
+          greatest(lit(0L), expr("(n_files - 3) * 1000000 div (10 - 3)")))
+        .withColumn("unlimited", col("pressure_ppm") >= 1000000L)
+        .withColumn("offpeak", col("day") <= 5L)
+        .withColumn("throttle_bps",
+          when(col("unlimited"), lit(null).cast("long"))
+            .when(col("offpeak"), lit(40L * mib))
+            .otherwise(lit(10L * mib) +
+              expr(s"10 * $mib * pressure_ppm div 1000000")))
+        .orderBy("region", "day")
+    }),
+    // DefaultHeapMemoryTuner direction table: hour-grain workload
+    // metrics (blocked flushes = error events, unblocked = purchases,
+    // evictions = views, cache misses = clicks; used-fraction fixtures
+    // scale with the hour's own volume) classified by the tuner's
+    // early-sufficiency checks + rolling mean ± 0.8·dev statistics —
+    // integer-exact, no sqrt (see Tools.heapTunerDirections)
+    "heap_tuner_direction" -> ((s, d) => {
+      val stats = Tables.load(s, d, "events")
+        .groupBy(date_trunc("HOUR", col("ts")).as("period"))
+        .agg(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("blocked_flush"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("unblocked_flush"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("evict"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("cache_miss"))
+        .withColumn("mem_used_ppm",
+          least(lit(1000000L),
+            (col("blocked_flush") + col("unblocked_flush")) * 120000L))
+        .withColumn("cache_used_ppm",
+          least(lit(1000000L), (col("evict") + col("cache_miss")) * 90000L))
+      Tools.heapTunerDirections(stats).orderBy("period")
+    }),
     // CatalogJanitor split-parent GC (master/CatalogJanitor.java:180
     // scan, :250 cleanParent — a split parent row leaves hbase:meta
     // only after NEITHER daughter still holds reference files to the
@@ -2384,6 +2437,60 @@ object AnalyticsQueries {
         |             AND zmax >= TIMESTAMP '1996-07-01 00:00:00'
         |            THEN 1 ELSE 0 END AS BIGINT) AS scanned
         |FROM f ORDER BY layout, file_id""".stripMargin,
+    "compaction_throughput" ->
+      """WITH b AS (SELECT min(user_id) lo, max(user_id) hi FROM events),
+        |f AS (SELECT CAST(floor((user_id - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,
+        |             CAST(day(ts) AS BIGINT) AS day, count(*) AS n_files
+        |      FROM events, b GROUP BY 1, 2),
+        |p AS (SELECT *, greatest(0, (n_files - 3) * 1000000 // (10 - 3)) AS pressure_ppm
+        |      FROM f)
+        |SELECT region, day, n_files, pressure_ppm,
+        |       pressure_ppm >= 1000000 AS unlimited,
+        |       day <= 5 AS offpeak,
+        |       CASE WHEN pressure_ppm >= 1000000 THEN NULL
+        |            WHEN day <= 5 THEN 40 * 1048576
+        |            ELSE 10 * 1048576 + 10 * 1048576 * pressure_ppm // 1000000
+        |       END AS throttle_bps
+        |FROM p ORDER BY region, day""".stripMargin,
+    "heap_tuner_direction" ->
+      """WITH st AS (SELECT date_trunc('hour', ts) AS period,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS blocked_flush,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS unblocked_flush,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS evict,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cache_miss
+        |     FROM events GROUP BY 1),
+        |u AS (SELECT *, blocked_flush + unblocked_flush AS flush_total,
+        |       least(1000000, (blocked_flush + unblocked_flush) * 120000) AS mem_used_ppm,
+        |       least(1000000, (evict + cache_miss) * 90000) AS cache_used_ppm
+        |      FROM st),
+        |r AS (SELECT *,
+        |       count(*) OVER tw AS n,
+        |       CAST(sum(flush_total) OVER tw AS BIGINT) AS fs,
+        |       CAST(sum(flush_total * flush_total) OVER tw AS BIGINT) AS fq,
+        |       CAST(sum(cache_miss) OVER tw AS BIGINT) AS ms,
+        |       CAST(sum(cache_miss * cache_miss) OVER tw AS BIGINT) AS mq
+        |      FROM u WINDOW tw AS (ORDER BY period ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+        |c AS (SELECT *,
+        |       flush_total * n - fs AS fd, cache_miss * n - ms AS md,
+        |       n * fq - fs * fs AS fv, n * mq - ms * ms AS mv,
+        |       flush_total = 0 OR mem_used_ppm < 500000 AS mem_suff,
+        |       evict = 0 OR cache_used_ppm < 500000 AS bc_suff
+        |      FROM r)
+        |SELECT period, blocked_flush, unblocked_flush, evict, cache_miss,
+        |       mem_used_ppm, cache_used_ppm, flush_total,
+        |       CASE WHEN mem_suff AND bc_suff THEN 'NEUTRAL'
+        |            WHEN mem_suff THEN 'INCREASE_BLOCK_CACHE_SIZE'
+        |            WHEN bc_suff THEN 'INCREASE_MEMSTORE_SIZE'
+        |            WHEN n < 3 THEN 'NEUTRAL'
+        |            WHEN (md < 0 AND 25 * md * md > 16 * mv)
+        |             AND (fd < 0 AND 25 * fd * fd > 16 * fv) THEN 'NEUTRAL'
+        |            WHEN (md > 0 AND 25 * md * md > 16 * mv)
+        |             AND (fd < 0 AND 25 * fd * fd > 16 * fv) THEN 'INCREASE_BLOCK_CACHE_SIZE'
+        |            WHEN (md < 0 AND 25 * md * md > 16 * mv)
+        |             AND (fd > 0 AND 25 * fd * fd > 16 * fv) THEN 'INCREASE_MEMSTORE_SIZE'
+        |            WHEN blocked_flush > 0 THEN 'INCREASE_MEMSTORE_SIZE'
+        |            ELSE 'NEUTRAL' END AS direction
+        |FROM c ORDER BY period""".stripMargin,
     "catalog_janitor" ->
       """WITH b AS (SELECT min(o_orderkey) lo, max(o_orderkey) hi FROM orders),
         |d AS (SELECT CAST(floor((o_orderkey - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS daughter,

@@ -1224,6 +1224,76 @@ object Tools {
       .withColumn("density_ppm", expr("n_rows * 1000000 div (max_id - min_id + 1)"))
   }
 
+  /** HeapMemoryManager auto-tuner direction table (regionserver/
+    * DefaultHeapMemoryTuner.java:218 getTuneDirection): per metrics
+    * period, the step direction the tuner would log — early
+    * sufficient-memory checks first (:230: no flushes or memstore
+    * under the sufficient level ⇒ that side needs nothing), then the
+    * steady-state classification against rolling statistics (:298:
+    * low/high = outside mean ± 0.8·deviation over past periods; more
+    * misses + fewer flushes ⇒ grow block cache, the reverse ⇒ grow
+    * memstore, blocked flushes break ties toward memstore). The
+    * revert arm (:247) needs the tuner's own previous step — that's
+    * the stateful control loop itself, out of scope for a direction
+    * TABLE; rows here assume the steady NEUTRAL prior, exactly the
+    * state the reference spends ≳90% of periods in (:294 comment).
+    *
+    * The mean ± 0.8·dev comparisons are EXACT integer arithmetic: with
+    * D = x·n − S over the trailing window (S = Σx, Q = Σx², n rows),
+    * x > mean + 0.8·dev  ⇔  D > 0 ∧ 25·D² > 16·(n·Q − S²) — no float
+    * sqrt in either engine. Warm-up periods (fewer than `minPeriods`
+    * trailing rows) classify NEUTRAL like the reference's ignored
+    * initial periods.
+    *
+    * Scale shape: ONE unpartitioned trailing window — over the
+    * metrics-PERIOD series, whose cardinality is wall-clock time
+    * (≤ 8760 rows/year at hour grain), never data size; the same
+    * time-cardinality bound as watermark_lag_audit.
+    *
+    * @param stats (period, blocked_flush, unblocked_flush, evict,
+    *              cache_miss, mem_used_ppm, cache_used_ppm). */
+  def heapTunerDirections(stats: DataFrame, lookback: Int = 6,
+                          minPeriods: Int = 3,
+                          sufficientPpm: Long = 500000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lookback >= 1 && minPeriods >= 1)
+    val w = Window.orderBy("period").rowsBetween(-lookback, -1)
+    val s = stats
+      .withColumn("flush_total", col("blocked_flush") + col("unblocked_flush"))
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_fs", sum("flush_total").over(w))
+      .withColumn("_fq", sum(col("flush_total") * col("flush_total")).over(w))
+      .withColumn("_ms", sum("cache_miss").over(w))
+      .withColumn("_mq", sum(col("cache_miss") * col("cache_miss")).over(w))
+    def hi(x: Column, n: Column, sm: Column, q: Column): Column = {
+      val d = x * n - sm
+      d > 0 && lit(25L) * d * d > lit(16L) * (n * q - sm * sm)
+    }
+    def lo(x: Column, n: Column, sm: Column, q: Column): Column = {
+      val d = x * n - sm
+      d < 0 && lit(25L) * d * d > lit(16L) * (n * q - sm * sm)
+    }
+    val memSuff = col("flush_total") === 0 || col("mem_used_ppm") < sufficientPpm
+    val bcSuff = col("evict") === 0 || col("cache_used_ppm") < sufficientPpm
+    val missHi = hi(col("cache_miss"), col("_n"), col("_ms"), col("_mq"))
+    val missLo = lo(col("cache_miss"), col("_n"), col("_ms"), col("_mq"))
+    val flushHi = hi(col("flush_total"), col("_n"), col("_fs"), col("_fq"))
+    val flushLo = lo(col("flush_total"), col("_n"), col("_fs"), col("_fq"))
+    s.withColumn("direction",
+        when(memSuff && bcSuff, "NEUTRAL")
+          .when(memSuff, "INCREASE_BLOCK_CACHE_SIZE")
+          .when(bcSuff, "INCREASE_MEMSTORE_SIZE")
+          .when(col("_n") < minPeriods, "NEUTRAL")
+          .when(missLo && flushLo, "NEUTRAL")
+          .when(missHi && flushLo, "INCREASE_BLOCK_CACHE_SIZE")
+          .when(missLo && flushHi, "INCREASE_MEMSTORE_SIZE")
+          .when(col("blocked_flush") > 0, "INCREASE_MEMSTORE_SIZE")
+          .otherwise("NEUTRAL"))
+      .select("period", "blocked_flush", "unblocked_flush", "evict",
+        "cache_miss", "mem_used_ppm", "cache_used_ppm", "flush_total",
+        "direction")
+  }
+
   /** StochasticLoadBalancer cost audit (hbase-server/.../master/
     * balancer/StochasticLoadBalancer.java:868 CostFunction,
     * :931 costFromArray, :981 scale, :995 MoveCostFunction,

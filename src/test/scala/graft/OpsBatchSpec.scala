@@ -255,6 +255,50 @@ class OpsBatchSpec extends SparkSpec {
     }
   }
 
+  // ---- heapTunerDirections -------------------------------------------
+
+  test("heapTunerDirections: each branch fires on its crafted period") {
+    // periods 1-6: identical steady load (warmup + stable stats);
+    // period 7: cache-miss spike with flushes low  → grow block cache;
+    // period 8: flush spike with misses low        → grow memstore;
+    // period 9: memstore sufficient (used < 50%)   → grow block cache
+    //           via the EARLY check (stats never consulted);
+    // period 10: everything sufficient             → NEUTRAL.
+    def row(p: Long, bf: Long, uf: Long, ev: Long, cm: Long,
+            mem: Long, bc: Long) = (p, bf, uf, ev, cm, mem, bc)
+    val steady = (1L to 6L).map(p => row(p, 1L, 9L, 50L, 20L, 900000L, 900000L))
+    val crafted = steady ++ Seq(
+      row(7L, 0L, 2L, 50L, 90L, 900000L, 900000L),
+      row(8L, 10L, 40L, 50L, 2L, 900000L, 900000L),
+      row(9L, 1L, 9L, 50L, 20L, 400000L, 900000L),
+      row(10L, 0L, 0L, 0L, 0L, 100000L, 100000L))
+    val out = Tools.heapTunerDirections(
+        crafted.toDF("period", "blocked_flush", "unblocked_flush", "evict",
+          "cache_miss", "mem_used_ppm", "cache_used_ppm"))
+      .collect().map(r => r.getAs[Long]("period") -> r.getAs[String]("direction")).toMap
+    assert(out(1L) == "NEUTRAL") // warmup: no trailing periods
+    assert(out(7L) == "INCREASE_BLOCK_CACHE_SIZE", out.toString)
+    assert(out(8L) == "INCREASE_MEMSTORE_SIZE", out.toString)
+    assert(out(9L) == "INCREASE_BLOCK_CACHE_SIZE", out.toString)
+    assert(out(10L) == "NEUTRAL", out.toString)
+  }
+
+  test("compaction_throughput: throttle formula identities per row") {
+    val mib = 1048576L
+    for (r <- q("compaction_throughput").collect()) {
+      val p = r.getAs[Long]("pressure_ppm")
+      assert(p == math.max(0L, (r.getAs[Long]("n_files") - 3) * 1000000L / 7))
+      if (r.getAs[Boolean]("unlimited")) assert(r.isNullAt(r.fieldIndex("throttle_bps")))
+      else if (r.getAs[Boolean]("offpeak"))
+        assert(r.getAs[Long]("throttle_bps") == 40L * mib)
+      else {
+        val t = r.getAs[Long]("throttle_bps")
+        assert(t >= 10L * mib && t <= 20L * mib)
+        assert(t == 10L * mib + 10L * mib * p / 1000000L)
+      }
+    }
+  }
+
   // ---- catalog_janitor ------------------------------------------------
 
   test("catalog_janitor: daughters pair as (2p, 2p+1) and deletable means both clean") {
