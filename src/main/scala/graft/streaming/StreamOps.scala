@@ -161,10 +161,11 @@ object StreamOps {
         graft.core.Snapshots.write(batch, "event_type", path, batchId.toInt)
       }
 
-  /** The read side of [[maintainCounterTable]]: the highest `v=N`
-    * snapshot whose write completed (parquet `_SUCCESS` marker) — a
-    * version mid-write is simply not visible yet. */
-  def readCounterTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+  /** The read side of every foreachBatch-maintained table
+    * ([[maintainCounterTable]], [[maintainScd2Table]]): the highest
+    * `v=N` snapshot whose write completed (parquet `_SUCCESS`
+    * marker) — a version mid-write is simply not visible yet. */
+  def readMaintained(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -172,8 +173,73 @@ object StreamOps {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
       .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.drop(2).toInt)
-    require(versions.nonEmpty, s"no complete counter-table snapshot under $path")
+    require(versions.nonEmpty, s"no complete maintained-table snapshot under $path")
     graft.core.Snapshots.read(spark, path, versions.max)
+  }
+
+  def readCounterTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    readMaintained(spark, path)
+
+  /** Maintain an SCD Type-2 dimension TABLE from a stream of versioned
+    * cells — the streaming half of [[graft.analytics.Tools.scd2Build]]
+    * (KeyValue.java's ts dimension turned into effectivity intervals),
+    * i.e. the incremental MERGE a warehouse dimension gets from its
+    * CDC feed. Each micro-batch:
+    *
+    *  1. reads the latest complete table version,
+    *  2. carries every UNTOUCHED key's rows forward verbatim (the
+    *     batch's distinct keys broadcast; carry-forward is a
+    *     left-anti against that tiny set),
+    *  3. re-windows ONLY the touched keys — their existing versions
+    *     (intervals dropped back to raw versions) unioned with the
+    *     batch's new versions through scd2Build's one key-partitioned
+    *     lead() window,
+    *  4. writes the result as a new immutable `v=<batchId>` snapshot
+    *     (the [[maintainCounterTable]] copy-on-write convention —
+    *     readers never catch a partial table).
+    *
+    * Out-of-order and late versions are handled by construction: the
+    * re-window sorts each touched key's FULL history, so a version
+    * arriving in a later batch splices its interval correctly and
+    * clips its neighbors — convergence to the batch scd2Build over all
+    * shipped cells is spec-asserted under shuffled batch order.
+    *
+    * Scale note: the window cost is per-touched-key history (bounded
+    * by maxVersions, never corpus-wide); the carry-forward rewrites
+    * the full table per batch — the copy-on-write price of plain
+    * parquet versioning. The at-scale refinement is file-pruned MERGE
+    * (rewrite only the key-bucketed files the batch touches), which is
+    * table-format (Delta/Iceberg) territory, not a different plan. */
+  def maintainScd2Table(cells: DataFrame, path: String, keyCols: Seq[String],
+                        tsCol: String, tieCol: String): DataStreamWriter[Row] = {
+    import org.apache.hadoop.fs.Path
+    cells.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val base = new Path(path)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val versions =
+          if (!fs.exists(base)) Seq.empty
+          else fs.listStatus(base).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+            .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+            .map(_.getPath.getName.drop(2).toInt)
+        val intervalCols = Seq("valid_from", "valid_to", "is_current")
+        val out = versions match {
+          case Nil => graft.analytics.Tools.scd2Build(batch, keyCols, tsCol, tieCol)
+          case vs =>
+            val existing = graft.core.Snapshots.read(spark, path, vs.max)
+            val touched = batch.select(keyCols.map(col): _*).distinct()
+            val untouched = existing.join(broadcast(touched), keyCols, "left_anti")
+            val affectedRaw = existing
+              .join(broadcast(touched), keyCols, "left_semi")
+              .drop(intervalCols: _*)
+              .unionByName(batch)
+            untouched.unionByName(
+              graft.analytics.Tools.scd2Build(affectedRaw, keyCols, tsCol, tieCol))
+        }
+        graft.core.Snapshots.write(out, keyCols.head, path, batchId.toInt)
+      }
   }
 
   /** Sessionization — gaps-and-islands over per-user event streams:

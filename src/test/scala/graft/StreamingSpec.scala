@@ -399,4 +399,34 @@ class StreamingSpec extends SparkSpec {
       .count()
     assert(bad == 0, s"$bad updates with inconsistent throttle fields")
   }
+
+  test("streaming SCD2 maintenance converges to the batch build under shuffled batches") {
+    val cells = Tables.eventCells(spark, sfDir)
+      .select("rowkey", "qualifier", "ts", "value", "event_id")
+    val srcDir = Files.createTempDirectory("graft_scd2_src").toString
+    // repartition(5) gives 5 files = 5 micro-batches in arbitrary
+    // order: versions of one key land across batches out of ts order,
+    // exercising the splice-and-clip re-window
+    cells.repartition(5).write.mode("overwrite").parquet(srcDir)
+    val dimDir = Files.createTempDirectory("graft_scd2_tbl").toString + "/t"
+    val streamed = spark.readStream.schema(cells.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = StreamOps.maintainScd2Table(streamed, dimDir,
+      Seq("rowkey", "qualifier"), "ts", "event_id").start()
+    try q.processAllAvailable() finally q.stop()
+    val cols = Seq("rowkey", "qualifier", "ts", "value", "event_id",
+      "valid_from", "valid_to", "is_current")
+    val got = StreamOps.readMaintained(spark, dimDir)
+      .select(cols.head, cols.tail: _*).orderBy(cols.map(col): _*).collect()
+    val want = graft.analytics.Tools.scd2Build(
+        cells, Seq("rowkey", "qualifier"), "ts", "event_id")
+      .select(cols.head, cols.tail: _*).orderBy(cols.map(col): _*).collect()
+    assert(got.length == want.length, s"${got.length} vs ${want.length}")
+    assert(got.sameElements(want), "maintained SCD2 table diverged from the batch build")
+    // dimension invariant: exactly one current version per live key
+    val multiCurrent = StreamOps.readMaintained(spark, dimDir)
+      .where(col("is_current")).groupBy("rowkey", "qualifier")
+      .count().where(col("count") > 1).count()
+    assert(multiCurrent == 0)
+  }
 }
