@@ -1401,6 +1401,138 @@ object AnalyticsQueries {
           "method")
         .orderBy("method")
     }),
+    // GroupBasedLoadBalancer (hbase-server/.../group/
+    // GroupBasedLoadBalancer.java:113-210, the HBASE-6721 rsgroup
+    // surface): tables pin to a named server group; balanceCluster
+    // first CORRECTS assignments (a region hosted outside its table's
+    // group is misplaced and must move — :172 getMisplacedRegions),
+    // then balances WITHIN each group independently (:133). Two tables
+    // — orders → 16 regions in group g0 = servers 0-2, customer → 8
+    // regions in g1 = servers 3-4; the current placement is the
+    // group-BLIND round-robin deal (what a grouping-unaware balancer
+    // leaves behind), so a fixed fraction of each table's regions sit
+    // on foreign servers. dest_server = the within-group size-ranked
+    // round-robin deal — the same SimpleLoadBalancer shape
+    // region_balancer verifies, scoped to the group's servers. Every
+    // window ranks ≤24 region-metadata rows; the data tables are
+    // touched only by the two bucket aggregates.
+    "rsgroup_balance" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ordersR = Tools.totalOrderBuckets(Tables.load(s, d, "orders"),
+          "o_orderkey", 16)
+        .select(lit("t_orders").as("table_name"), col("bucket"), col("n_rows"))
+      val custR = Tools.totalOrderBuckets(Tables.load(s, d, "customer"),
+          "c_custkey", 8)
+        .select(lit("t_customer").as("table_name"), col("bucket"), col("n_rows"))
+      val tie = Seq(col("n_rows").desc, col("table_name"), col("bucket"))
+      val wAll = Window.orderBy(tie: _*)
+      val wGrp = Window.partitionBy("grp").orderBy(tie: _*)
+      ordersR.unionByName(custR)
+        .withColumn("grp",
+          when(col("table_name") === "t_orders", "g0").otherwise("g1"))
+        .withColumn("cur_server",
+          pmod(row_number().over(wAll) - 1, lit(5)).cast("int"))
+        .withColumn("misplaced",
+          when(col("grp") === "g0", col("cur_server") >= 3)
+            .otherwise(col("cur_server") < 3))
+        .withColumn("dest_server",
+          when(col("grp") === "g0", pmod(row_number().over(wGrp) - 1, lit(3)))
+            .otherwise(pmod(row_number().over(wGrp) - 1, lit(2)) + 3)
+            .cast("int"))
+        .select("table_name", "bucket", "n_rows", "grp", "cur_server",
+          "misplaced", "dest_server")
+        .orderBy("table_name", "bucket")
+    }),
+    // FavoredNodeAssignmentHelper (hbase-server/.../master/balancer/
+    // FavoredNodeAssignmentHelper.java:190-264): each region gets
+    // THREE favored nodes — the primary dealt round-robin across
+    // racks one server per rack at a time (:190-198), and a
+    // secondary + tertiary PAIR placed together on a rack different
+    // from the primary's (:257-264, placeSecondaryAndTertiaryRS).
+    // Deterministic re-expression over 6 servers on 3 racks (rack =
+    // server div 2): region rank idx deals primary = rack(idx mod 3),
+    // in-rack slot (idx div 3) mod 2; the pair lands on the NEXT rack
+    // cyclically, filling both its slots. The constraint the layout
+    // exists for — 3 distinct servers, pair-rack ≠ primary-rack, so
+    // one rack failure never loses 2 replicas — is spec-asserted;
+    // the oracle recomputes the whole arithmetic. Windows rank 16
+    // region-metadata rows only.
+    "favored_nodes" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("bucket")
+      Tools.totalOrderBuckets(Tables.load(s, d, "orders"), "o_orderkey", 16)
+        .withColumn("_idx", row_number().over(w) - 1)
+        .withColumn("_prack", pmod(col("_idx"), lit(3)))
+        .withColumn("_slot", pmod(expr("_idx div 3"), lit(2)))
+        .withColumn("_srack", pmod(col("_prack") + 1, lit(3)))
+        .select(col("bucket"), col("n_rows"),
+          (col("_prack") * 2 + col("_slot")).cast("int").as("primary_server"),
+          (col("_srack") * 2).cast("int").as("secondary_server"),
+          (col("_srack") * 2 + 1).cast("int").as("tertiary_server"))
+        .orderBy("bucket")
+    }),
+    // ProcedureStore WAL replay (hbase-procedure/.../ProcedureExecutor
+    // .java load() + RootProcedureState.java): the master rebuilds
+    // procedure state from the append-only store — the LATEST entry
+    // per procedure wins — then links procedures to their root: a
+    // root chain completes only when every member succeeded, and ANY
+    // rolled-back member forces the whole chain into rollback
+    // (RootProcedureState.isValid/setRollback — partial chains must
+    // never half-commit). Events synthesize the store: proc =
+    // event_id div 4 (each proc's entries are its 4 events, seq =
+    // event_id), entry state from event_type (error → ROLLEDBACK,
+    // purchase → SUCCESS, else RUNNABLE); roots own the 5-proc block
+    // proc_id div 5. One max-struct aggregate (latest entry, seq is
+    // unique so the struct max is total) + one root rollup — two key
+    // shuffles, both linear, state bounded by proc count.
+    "procedure_replay" -> ((s, d) => {
+      val wal = Tables.load(s, d, "events")
+        .withColumn("proc_id", expr("event_id div 4"))
+        .withColumn("state",
+          when(col("event_type") === "error", "ROLLEDBACK")
+            .when(col("event_type") === "purchase", "SUCCESS")
+            .otherwise("RUNNABLE"))
+      wal.groupBy("proc_id")
+        .agg(max(struct(col("event_id").as("seq"), col("state"))).as("_e"))
+        .select(col("proc_id"), col("_e.seq").as("last_seq"),
+          col("_e.state").as("state"))
+        .withColumn("root_id", expr("proc_id div 5"))
+        .groupBy("root_id")
+        .agg(count(lit(1)).as("n_procs"),
+          sum(when(col("state") === "SUCCESS", 1L).otherwise(0L)).as("n_success"),
+          sum(when(col("state") === "ROLLEDBACK", 1L).otherwise(0L))
+            .as("n_rolledback"),
+          max("last_seq").as("max_seq"))
+        .withColumn("root_state",
+          when(col("n_rolledback") > 0, "ROLLBACK")
+            .when(col("n_success") === col("n_procs"), "SUCCESS")
+            .otherwise("WAITING"))
+        .orderBy("root_id")
+    }),
+    // MultiTableOutputFormat (hbase-server/.../mapreduce/
+    // MultiTableOutputFormat.java — write() routes each mutation to
+    // the table named in the output KEY): one job fans the event
+    // stream out to one table per event_type in a SINGLE pass —
+    // write.partitionBy IS the routed multi-table commit, each
+    // table's rows landing in its own directory with no per-table
+    // re-scan of the source. The audit then reads every produced
+    // table back (independent pruned directory reads) and reports
+    // per-table row count, key range and a cents checksum the oracle
+    // recomputes straight from the source — routing lost or
+    // duplicated nothing.
+    "multi_table_write" -> ((s, d) => {
+      val path = graft.core.Indexes.ensure(s, d, "mtw_events") { target =>
+        Tables.load(s, d, "events")
+          .withColumn("table_name", col("event_type"))
+          .write.partitionBy("table_name").mode("overwrite").parquet(target)
+      }
+      s.read.parquet(path)
+        .groupBy("table_name")
+        .agg(count(lit(1)).as("n_rows"),
+          min("event_id").as("min_key"), max("event_id").as("max_key"),
+          sum(floor(col("value") * 100).cast("bigint")).as("cents_sum"))
+        .orderBy("table_name")
+    }),
   )
 
   private val C = "WITH " + Tables.customerCellsSql + "\n"
@@ -2622,5 +2754,67 @@ object AnalyticsQueries {
         |      FROM r GROUP BY 1)
         |SELECT a.method, n_req, n_slow, max_us, p50, p99
         |FROM a JOIN q USING (method) ORDER BY method""".stripMargin,
+    "rsgroup_balance" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |ob AS (SELECT min(k) AS lo, max(k) AS hi FROM o),
+        |orx AS (SELECT 't_orders' AS table_name,
+        |               CAST(floor((k - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |               count(*) AS n_rows FROM o, ob GROUP BY 1, 2),
+        |c AS (SELECT c_custkey AS k FROM customer),
+        |cb AS (SELECT min(k) AS lo, max(k) AS hi FROM c),
+        |crx AS (SELECT 't_customer' AS table_name,
+        |               CAST(floor((k - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |               count(*) AS n_rows FROM c, cb GROUP BY 1, 2),
+        |r AS (SELECT * FROM orx UNION ALL SELECT * FROM crx),
+        |w AS (SELECT *,
+        |        CASE WHEN table_name = 't_orders' THEN 'g0' ELSE 'g1' END AS grp,
+        |        row_number() OVER (ORDER BY n_rows DESC, table_name, bucket) AS rn_all,
+        |        row_number() OVER (PARTITION BY table_name = 't_orders'
+        |                           ORDER BY n_rows DESC, table_name, bucket) AS rn_grp
+        |      FROM r)
+        |SELECT table_name, bucket, n_rows, grp,
+        |       CAST((rn_all - 1) % 5 AS INT) AS cur_server,
+        |       CASE WHEN grp = 'g0' THEN (rn_all - 1) % 5 >= 3
+        |            ELSE (rn_all - 1) % 5 < 3 END AS misplaced,
+        |       CAST(CASE WHEN grp = 'g0' THEN (rn_grp - 1) % 3
+        |                 ELSE (rn_grp - 1) % 2 + 3 END AS INT) AS dest_server
+        |FROM w ORDER BY table_name, bucket""".stripMargin,
+    "favored_nodes" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM o),
+        |st AS (SELECT CAST(floor((k - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |              count(*) AS n_rows FROM o, b GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY bucket) - 1 AS idx FROM st)
+        |SELECT bucket, n_rows,
+        |       CAST((idx % 3) * 2 + (idx // 3) % 2 AS INT) AS primary_server,
+        |       CAST(((idx % 3 + 1) % 3) * 2 AS INT) AS secondary_server,
+        |       CAST(((idx % 3 + 1) % 3) * 2 + 1 AS INT) AS tertiary_server
+        |FROM r ORDER BY bucket""".stripMargin,
+    "procedure_replay" ->
+      """WITH wal AS (SELECT event_id // 4 AS proc_id, event_id AS seq,
+        |                    CASE WHEN event_type = 'error' THEN 'ROLLEDBACK'
+        |                         WHEN event_type = 'purchase' THEN 'SUCCESS'
+        |                         ELSE 'RUNNABLE' END AS state
+        |             FROM events),
+        |latest AS (SELECT proc_id, max_by(state, seq) AS state,
+        |                  max(seq) AS last_seq
+        |           FROM wal GROUP BY 1)
+        |SELECT proc_id // 5 AS root_id, count(*) AS n_procs,
+        |       CAST(sum(CASE WHEN state = 'SUCCESS' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_success,
+        |       CAST(sum(CASE WHEN state = 'ROLLEDBACK' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_rolledback,
+        |       max(last_seq) AS max_seq,
+        |       CASE WHEN sum(CASE WHEN state = 'ROLLEDBACK' THEN 1 ELSE 0 END) > 0
+        |              THEN 'ROLLBACK'
+        |            WHEN sum(CASE WHEN state = 'SUCCESS' THEN 1 ELSE 0 END) = count(*)
+        |              THEN 'SUCCESS'
+        |            ELSE 'WAITING' END AS root_state
+        |FROM latest GROUP BY 1 ORDER BY root_id""".stripMargin,
+    "multi_table_write" ->
+      """SELECT event_type AS table_name, count(*) AS n_rows,
+        |       min(event_id) AS min_key, max(event_id) AS max_key,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+        |FROM events GROUP BY 1 ORDER BY table_name""".stripMargin,
   )
 }

