@@ -1533,6 +1533,74 @@ object AnalyticsQueries {
           sum(floor(col("value") * 100).cast("bigint")).as("cents_sum"))
         .orderBy("table_name")
     }),
+    // HFilePrettyPrinter -printstats (io/hfile/HFilePrettyPrinter
+    // .java:334, :478 KeyValueStatsCollector): the store-file audit
+    // tool — cell count, key/value bytes, per-row byte and column
+    // footprints, and the biggest row. Per region (16 total-order
+    // buckets over the customer cell store, each region standing for
+    // one store file): cells collapse to per-row footprints in one
+    // hash aggregate (row_bytes models KeyValue.length as
+    // key+value+8 fixed overhead), then the region rollup;
+    // biggest_row = struct-max (bytes, rowkey) so ties resolve
+    // deterministically to the largest key — the collector's
+    // last-row-wins made order-free. Two linear shuffles, no windows.
+    "hfile_stats" -> ((s, d) => {
+      val cells = Tables.customerCells(s, d)
+        .withColumn("key_len", length(col("rowkey")) + length(col("qualifier")))
+        .withColumn("val_len", length(col("value")))
+      val b = cells.agg(min(col("rowkey").cast("bigint")).as("_lo"),
+        max(col("rowkey").cast("bigint")).as("_hi"))
+      val rows = cells.crossJoin(broadcast(b))
+        .withColumn("region", Tools.totalOrderBucket(
+          col("rowkey").cast("bigint"), col("_lo"), col("_hi"), 16))
+        .groupBy("region", "rowkey")
+        .agg(sum(col("key_len") + col("val_len") + 8).as("row_bytes"),
+          count(lit(1)).as("row_cols"),
+          sum("key_len").as("_kl"), sum("val_len").as("_vl"))
+      rows.groupBy("region")
+        .agg(count(lit(1)).as("n_rows"), sum("row_cols").as("n_cells"),
+          sum("_kl").as("key_bytes"), sum("_vl").as("val_bytes"),
+          expr("sum(row_bytes) div count(*)").as("avg_row_bytes"),
+          max("row_bytes").as("max_row_bytes"),
+          max(struct(col("row_bytes"), col("rowkey"))).as("_big"),
+          max("row_cols").as("max_row_cols"))
+        .select(col("region"), col("n_rows"), col("n_cells"),
+          col("key_bytes"), col("val_bytes"), col("avg_row_bytes"),
+          col("max_row_bytes"), col("_big.rowkey").as("biggest_row"),
+          col("max_row_cols"))
+        .orderBy("region")
+    }),
+    // JvmPauseMonitor (util/JvmPauseMonitor.java:55-166): the GC/host
+    // pause detector every HBase daemon runs — a 500 ms heartbeat
+    // loop; extraSleepTime = observed gap − 500, logged INFO past
+    // 1000 ms and WARN past 10000 ms (:61, :67 defaults). Events
+    // synthesize per-server heartbeat streams (server = user_id mod
+    // 4, beats at event ts): one lag() window PER SERVER (4 bounded
+    // partitions of the time-ordered series — the monitor's own
+    // per-process grain), then a per-server rollup of pause counts
+    // and totals. The first beat of each server has no gap and is
+    // excluded, exactly as the monitor's first sleep is.
+    "jvm_pause_monitor" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("server").orderBy("ts_ms", "event_id")
+      Tables.load(s, d, "events")
+        .select(pmod(col("user_id"), lit(4)).as("server"),
+          expr("unix_micros(ts) div 1000").as("ts_ms"),
+          col("event_id"))
+        .withColumn("_prev", lag("ts_ms", 1).over(w))
+        .withColumn("extra_ms",
+          col("ts_ms") - col("_prev") - 500L)
+        .where(col("_prev").isNotNull)
+        .groupBy("server")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("extra_ms") > 10000L, 1L).otherwise(0L)).as("n_warn"),
+          sum(when(col("extra_ms") > 1000L && col("extra_ms") <= 10000L, 1L)
+            .otherwise(0L)).as("n_info"),
+          max("extra_ms").as("max_pause_ms"),
+          sum(when(col("extra_ms") > 0L, col("extra_ms")).otherwise(0L))
+            .as("total_pause_ms"))
+        .orderBy("server")
+    }),
   )
 
   private val C = "WITH " + Tables.customerCellsSql + "\n"
@@ -2816,5 +2884,45 @@ object AnalyticsQueries {
         |       min(event_id) AS min_key, max(event_id) AS max_key,
         |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
         |FROM events GROUP BY 1 ORDER BY table_name""".stripMargin,
+    "hfile_stats" -> (C +
+      """, r AS (SELECT rowkey,
+        |               length(rowkey) + length(qualifier) AS key_len,
+        |               length(value) AS val_len FROM cells),
+        |b AS (SELECT min(CAST(rowkey AS BIGINT)) AS lo,
+        |             max(CAST(rowkey AS BIGINT)) AS hi FROM cells),
+        |rws AS (SELECT CAST(floor((CAST(rowkey AS BIGINT) - lo) * 16
+        |                          / (hi - lo + 1)) AS BIGINT) AS region,
+        |               rowkey,
+        |               CAST(sum(key_len + val_len + 8) AS BIGINT) AS row_bytes,
+        |               count(*) AS row_cols,
+        |               CAST(sum(key_len) AS BIGINT) AS kl,
+        |               CAST(sum(val_len) AS BIGINT) AS vl
+        |        FROM r, b GROUP BY 1, 2)
+        |SELECT region, count(*) AS n_rows,
+        |       CAST(sum(row_cols) AS BIGINT) AS n_cells,
+        |       CAST(sum(kl) AS BIGINT) AS key_bytes,
+        |       CAST(sum(vl) AS BIGINT) AS val_bytes,
+        |       CAST(sum(row_bytes) AS BIGINT) // count(*) AS avg_row_bytes,
+        |       max(row_bytes) AS max_row_bytes,
+        |       (max(struct_pack(row_bytes := row_bytes, rowkey := rowkey))).rowkey
+        |         AS biggest_row,
+        |       max(row_cols) AS max_row_cols
+        |FROM rws GROUP BY 1 ORDER BY region""".stripMargin),
+    "jvm_pause_monitor" ->
+      """WITH hb AS (SELECT user_id % 4 AS server, epoch_us(ts) // 1000 AS ts_ms,
+        |                   event_id FROM events),
+        |g AS (SELECT server, ts_ms
+        |             - lag(ts_ms) OVER (PARTITION BY server
+        |                                ORDER BY ts_ms, event_id) - 500 AS extra_ms
+        |      FROM hb)
+        |SELECT server, count(*) AS n_intervals,
+        |       CAST(sum(CASE WHEN extra_ms > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_warn,
+        |       CAST(sum(CASE WHEN extra_ms > 1000 AND extra_ms <= 10000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_info,
+        |       max(extra_ms) AS max_pause_ms,
+        |       CAST(sum(CASE WHEN extra_ms > 0 THEN extra_ms ELSE 0 END) AS BIGINT)
+        |         AS total_pause_ms
+        |FROM g WHERE extra_ms IS NOT NULL GROUP BY 1 ORDER BY server""".stripMargin,
   )
 }

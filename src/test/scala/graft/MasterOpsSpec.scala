@@ -114,6 +114,38 @@ class MasterOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- hfile_stats ----------------------------------------------------
+
+  test("hfile_stats: footprints reconcile — cells, bytes, rows add up") {
+    val rows = q("hfile_stats").collect()
+    val cells = graft.core.Tables.customerCells(spark, sfDir)
+    assert(rows.map(_.getAs[Long]("n_cells")).sum == cells.count())
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      cells.select("rowkey").distinct().count())
+    rows.foreach { r =>
+      // avg can never exceed max, and the biggest row is a real key
+      assert(r.getAs[Long]("avg_row_bytes") <= r.getAs[Long]("max_row_bytes"))
+      assert(r.getAs[String]("biggest_row").nonEmpty)
+    }
+  }
+
+  // ---- jvm_pause_monitor ----------------------------------------------
+
+  test("jvm_pause_monitor: intervals = beats minus one per server; counts bracket") {
+    val rows = q("jvm_pause_monitor").collect()
+    val beats = graft.core.Tables.load(spark, sfDir, "events")
+      .groupBy(pmod(col("user_id"), lit(4)).as("server")).count().collect()
+      .map(r => r.getAs[Long]("server") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val sv = r.getAs[Long]("server")
+      assert(r.getAs[Long]("n_intervals") == beats(sv) - 1, r.toString)
+      // warn ⊂ pauses: warn intervals are NOT double-counted as info
+      assert(r.getAs[Long]("n_warn") + r.getAs[Long]("n_info") <=
+        r.getAs[Long]("n_intervals"))
+      assert(r.getAs[Long]("max_pause_ms") <= r.getAs[Long]("total_pause_ms"))
+    }
+  }
+
   test("multi_table_write: each table reads back from its own pruned directory") {
     // the routed layout is real: filtering one table prunes the scan
     // to that table's partition directory (no full re-scan)
