@@ -669,4 +669,50 @@ object Dedup {
     }
     p
   }
+
+  /** Semi-supervised label propagation over a near-dup pair graph —
+    * the curation move that spreads a sparse trusted annotation
+    * (language, domain, quality tier) to the unlabeled bulk through
+    * duplicate/near-duplicate structure: a near-copy of a labeled
+    * document inherits its label. Each round, every still-unlabeled
+    * node takes the MAJORITY label of its already-labeled neighbors
+    * (ties to the lexicographically smallest label, so the result is
+    * set-deterministic — no dependence on edge order); seed labels
+    * are clamped and never change. Labeled frontier grows
+    * monotonically; nodes the frontier never reaches stay out of the
+    * result.
+    *
+    * Scale shape: one shuffle per round (edge join on src) + one
+    * map-side-combinable vote count on (dst, label) + an anti-join
+    * against the labeled set — linear in edges per round, rounds
+    * small and fixed (near-dup components have tiny diameters; CC
+    * handles the unbounded-diameter case with pointer jumping).
+    *
+    * @param seeds (node, label) trusted annotations
+    * @return (node, label, round) — round 0 = seed, r ≥ 1 = adopted
+    *         in round r */
+  def labelPropagation(pairs: DataFrame, seeds: DataFrame,
+                       rounds: Int = 2): DataFrame = {
+    require(rounds >= 1 && rounds <= 10,
+      s"rounds ($rounds) must be in [1, 10]; past that, pin per round")
+    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .distinct()
+    var labeled = seeds.select(col("node"), col("label"),
+      lit(0).as("round"))
+    for (r <- 1 to rounds) {
+      val votes = edges
+        .join(labeled.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val adopted = votes
+        .join(labeled.select("node"), Seq("node"), "left_anti")
+        .groupBy("node")
+        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("_b"))
+        .select(col("node"), col("_b.label").as("label"),
+          lit(r).as("round"))
+      labeled = labeled.unionByName(adopted)
+    }
+    labeled
+  }
 }

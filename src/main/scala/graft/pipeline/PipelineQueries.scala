@@ -175,6 +175,17 @@ object PipelineQueries {
     "graph_pagerank" -> ((s, d) =>
       Dedup.pagerank(ngramPairs(s, d).select("i", "j"), iters = 3)
         .orderBy("node")),
+    // Sparse trusted labels spread through near-dup structure: docs
+    // with doc_id % 3 == 0 seed their lang; two clamped majority-vote
+    // rounds over the ngram pair graph (ties to the smallest label —
+    // set-deterministic). The oracle unrolls both rounds.
+    "label_propagation" -> ((s, d) => {
+      val seeds = docs(s, d).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("node"), col("lang").as("label"))
+      Dedup.labelPropagation(ngramPairs(s, d).select("i", "j"), seeds,
+          rounds = 2)
+        .orderBy("node")
+    }),
     // the ingest-time gate every corpus refresh runs: a new shard
     // classified against the kept corpus. The shard is planted from the
     // corpus deterministically — verbatim copies (dup_in_corpus), twin
@@ -1169,6 +1180,34 @@ object PipelineQueries {
          |$rounds
          |SELECT node, p AS p_micro FROM it3 ORDER BY node""".stripMargin
     },
+    // the same pair graph, 2 unrolled clamped majority-vote rounds;
+    // ties to the smallest label on both sides
+    "label_propagation" ->
+      s"""WITH pairs AS (
+         |$ddNgramPairs
+         |),
+         |edges AS (SELECT i AS src, j AS dst FROM pairs
+         |          UNION SELECT j AS src, i AS dst FROM pairs),
+         |seeds AS (SELECT doc_id AS node, lang AS label FROM documents
+         |          WHERE doc_id % 3 = 0),
+         |v1 AS (SELECT e.dst AS node, s.label, count(*) AS cnt
+         |       FROM edges e JOIN seeds s ON s.node = e.src GROUP BY 1, 2),
+         |l1 AS (SELECT node, label FROM (
+         |         SELECT node, label, row_number() OVER (
+         |           PARTITION BY node ORDER BY cnt DESC, label) AS rn
+         |         FROM v1 WHERE node NOT IN (SELECT node FROM seeds))
+         |       WHERE rn = 1),
+         |lab1 AS (SELECT node, label, 0 AS round FROM seeds
+         |         UNION ALL SELECT node, label, 1 FROM l1),
+         |v2 AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+         |       FROM edges e JOIN lab1 l ON l.node = e.src GROUP BY 1, 2),
+         |l2 AS (SELECT node, label FROM (
+         |         SELECT node, label, row_number() OVER (
+         |           PARTITION BY node ORDER BY cnt DESC, label) AS rn
+         |         FROM v2 WHERE node NOT IN (SELECT node FROM lab1))
+         |       WHERE rn = 1)
+         |SELECT node, label, round FROM lab1
+         |UNION ALL SELECT node, label, 2 FROM l2 ORDER BY node""".stripMargin,
     // transitive closure of the same pair list: min reachable doc_id =
     // the cluster id the pointer-jumping Spark path converges to
     // same boundary rule via list comprehensions: the Rabin fold of

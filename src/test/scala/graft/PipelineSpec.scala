@@ -1250,4 +1250,41 @@ class PipelineSpec extends SparkSpec {
     val means = rows.map(_.getAs[Long]("mean_score_micro"))
     assert(means.zip(means.tail).forall { case (a, b) => a <= b }, means.mkString(","))
   }
+
+  test("labelPropagation: clamped seeds, majority vote, deterministic ties, frontier rounds") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // path graph 1-2-3-4-5 plus a tie node 6 touching two seeds:
+    //   seeds: 1=en, 5=fr, 7=de (7 isolated — stays a seed, spreads nowhere)
+    //   6 - 1 and 6 - 5: one 'en' vote, one 'fr' vote → tie → 'en'
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 1L), (6L, 5L))
+      .toDF("i", "j")
+    val seeds = Seq((1L, "en"), (5L, "fr"), (7L, "de")).toDF("node", "label")
+    val out = Dedup.labelPropagation(pairs, seeds, rounds = 2).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[String]("label"), r.getAs[Int]("round"))).toMap
+    // seeds clamped at round 0
+    assert(out(1L) == ("en", 0) && out(5L) == ("fr", 0) && out(7L) == ("de", 0))
+    // round 1: direct neighbors adopt; the tie node takes the smallest label
+    assert(out(2L) == ("en", 1) && out(4L) == ("fr", 1))
+    assert(out(6L) == ("en", 1))
+    // round 2: node 3 sees en (from 2) and fr (from 4) — tie → en
+    assert(out(3L) == ("en", 2))
+    assert(out.size == 7)
+  }
+
+  test("labelPropagation: result is edge-order and partitioning independent") {
+    import graft.dedup.Dedup
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .select("i", "j")
+    val seeds = graft.core.Tables.load(spark, sfDir, "documents")
+      .where(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("node"), col("lang").as("label"))
+    val a = Dedup.labelPropagation(pairs, seeds).collect()
+      .map(_.toString).sorted
+    val b = Dedup.labelPropagation(pairs.repartition(7).orderBy(col("j")),
+        seeds.repartition(3)).collect()
+      .map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }
