@@ -1601,6 +1601,32 @@ object AnalyticsQueries {
             .as("total_pause_ms"))
         .orderBy("server")
     }),
+    // RegionSplitter HexStringSplit (util/RegionSplitter.java:893):
+    // pre-splitting for hashed/hex rowkeys — the admin creates N
+    // regions whose boundaries evenly divide the 8-hex-char keyspace
+    // BEFORE any data exists (no sample needed; the dual of the
+    // data-driven region_splitter). Boundary r = ceil(r·2^32/N) as
+    // zero-padded hex; a row lands by the leading 8 hex chars of its
+    // md5 rowkey. N = 12 — not a power of 16, so boundaries fall
+    // inside hex digits and the division arithmetic is actually
+    // exercised. One codegen projection + one aggregate; boundaries
+    // are pure arithmetic on the region id, no second scan.
+    "presplit_hex" -> ((s, d) => {
+      val n = 12
+      Tables.load(s, d, "orders")
+        .select(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+          16, 10).cast("bigint").as("hv"))
+        .withColumn("region", expr(s"(hv * $n) div 4294967296"))
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_rows"),
+          min("hv").as("min_hv"), max("hv").as("max_hv"))
+        .withColumn("start_hex", format_string("%08x",
+          expr(s"(region * 4294967296 + ${n - 1}) div $n")))
+        .withColumn("end_hex", format_string("%08x",
+          expr(s"((region + 1) * 4294967296 + ${n - 1}) div $n - 1")))
+        .select("region", "start_hex", "end_hex", "n_rows", "min_hv", "max_hv")
+        .orderBy("region")
+    }),
   )
 
   private val C = "WITH " + Tables.customerCellsSql + "\n"
@@ -2924,5 +2950,17 @@ object AnalyticsQueries {
         |       CAST(sum(CASE WHEN extra_ms > 0 THEN extra_ms ELSE 0 END) AS BIGINT)
         |         AS total_pause_ms
         |FROM g WHERE extra_ms IS NOT NULL GROUP BY 1 ORDER BY server""".stripMargin,
+    "presplit_hex" ->
+      """WITH h AS (SELECT CAST(CAST(concat('0x',
+        |             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |             AS BIGINT) AS hv FROM orders),
+        |r AS (SELECT (hv * 12) // 4294967296 AS region, count(*) AS n_rows,
+        |             min(hv) AS min_hv, max(hv) AS max_hv
+        |      FROM h GROUP BY 1)
+        |SELECT region,
+        |       printf('%08x', (region * 4294967296 + 11) // 12) AS start_hex,
+        |       printf('%08x', ((region + 1) * 4294967296 + 11) // 12 - 1) AS end_hex,
+        |       n_rows, min_hv, max_hv
+        |FROM r ORDER BY region""".stripMargin,
   )
 }

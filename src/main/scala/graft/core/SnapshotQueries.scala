@@ -179,6 +179,37 @@ object SnapshotQueries {
         .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 4).as("sum_qty"))
         .orderBy("l_orderkey")
     }),
+    // SnapshotInfo (hbase-server/.../snapshot/SnapshotInfo.java — the
+    // admin tool answering "what does this snapshot hold, and how much
+    // of it is shared?"): copy-on-write means rows unchanged between
+    // versions sit in files both snapshots reference, so the
+    // shared/unique split is the snapshot's real storage cost. Per
+    // version: row count, rows shared with the other version, rows
+    // unique to it — one full outer key join + ONE aggregate whose
+    // single row explodes into the 2-row report (no double evaluation
+    // of the join subtree). Physical file counts are layout metadata,
+    // spec-asserted rather than oracled.
+    "snapshot_info" -> ((s, d) => {
+      val base = ensureSnapshots(s, d)
+      val v1 = Snapshots.read(s, base, 1)
+        .select(col("event_id"), lit(1L).as("_a"))
+      val v2 = Snapshots.read(s, base, 2)
+        .select(col("event_id"), lit(1L).as("_b"))
+      v1.join(v2, Seq("event_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("_a"), lit(0L))).as("n1"),
+          sum(coalesce(col("_b"), lit(0L))).as("n2"),
+          sum(when(col("_a").isNotNull && col("_b").isNotNull, 1L)
+            .otherwise(0L)).as("ns"))
+        .select(explode(array(
+          struct(lit(1).as("version"), col("n1").as("n_rows"),
+            col("ns").as("n_shared"), (col("n1") - col("ns")).as("n_unique")),
+          struct(lit(2).as("version"), col("n2").as("n_rows"),
+            col("ns").as("n_shared"), (col("n2") - col("ns")).as("n_unique"))
+        )).as("r"))
+        .select("r.*")
+        .orderBy("version")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -248,5 +279,14 @@ object SnapshotQueries {
          |           FROM keep1)
          |SELECT rowkey, qualifier, ts, value, event_id FROM ranked
          |WHERE rn2 <= 3 ORDER BY event_id""".stripMargin),
+    // v1 = the full events snapshot, v2 = after deleting even users,
+    // so shared = v2's rows and each side's unique count follows
+    "snapshot_info" ->
+      """WITH n AS (SELECT (SELECT count(*) FROM events) AS n1,
+        |                  (SELECT count(*) FROM events WHERE user_id % 2 <> 0) AS n2)
+        |SELECT 1 AS version, n1 AS n_rows, n2 AS n_shared,
+        |       n1 - n2 AS n_unique FROM n
+        |UNION ALL
+        |SELECT 2, n2, n2, 0 FROM n ORDER BY version""".stripMargin,
   )
 }

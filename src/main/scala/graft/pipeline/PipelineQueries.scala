@@ -175,6 +175,68 @@ object PipelineQueries {
     "graph_pagerank" -> ((s, d) =>
       Dedup.pagerank(ngramPairs(s, d).select("i", "j"), iters = 3)
         .orderBy("node")),
+    // The dedup TELEMETRY every curation run reports before anyone
+    // trusts its output: per source, how much of the corpus is
+    // exact-duplicate (md5 digest df ≥ 2) vs near-duplicate (appears
+    // in the ngram pair graph), in ppm. Digest df via groupBy+join
+    // (map-side partial combine — a boilerplate digest shared by half
+    // a source must pre-aggregate, not flood one partition); near-dup
+    // membership is one distinct over the pair list. Only digests and
+    // doc ids shuffle, never text.
+    "dedup_report" -> ((s, d) => {
+      val dg = docs(s, d).select(col("doc_id"), col("source"),
+        md5(col("text")).as("digest"))
+      val dfTab = dg.groupBy("digest").agg(count(lit(1)).as("df"))
+      val near = ngramPairs(s, d)
+        .select(explode(array(col("i"), col("j"))).as("doc_id"))
+        .distinct()
+        .withColumn("_nd", lit(1L))
+      dg.join(dfTab, "digest")
+        .join(near, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_exact_dup"),
+          sum(when(col("_nd").isNotNull, 1L).otherwise(0L)).as("n_near_dup"))
+        .withColumn("exact_ppm", expr("n_exact_dup * 1000000 div n_docs"))
+        .withColumn("near_ppm", expr("n_near_dup * 1000000 div n_docs"))
+        .orderBy("source")
+    }),
+    // The threshold-sweep table every quality-filter ablation plots
+    // (what fraction of docs/tokens survives each cutoff): per-doc
+    // classifier scores bucket into 500k-µ cells, ONE aggregate
+    // collapses the corpus to ≤7 bucket rows, and the survival
+    // cumsum runs top-down over that bounded table only — the same
+    // bounded-cell discipline as histogram_equi_depth, so no window
+    // ever sees a data-cardinality child.
+    "quality_ablation" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val scored = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("_n"), countDistinct("tok").as("_nd"),
+          sum(when(col("tok").isInCollection(TextOps.EnMarkers), 1L)
+            .otherwise(0L)).as("_ns"))
+        .select(col("_n"),
+          (least(col("_n"), lit(64L)) * 15625L +
+            expr("(_ns * 1000000) div _n") * 4 +
+            expr("(_nd * 1000000) div _n")).as("score_micro"))
+      val buckets = scored
+        .withColumn("bucket", least(expr("score_micro div 500000"), lit(6L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("_n").as("n_tokens"))
+      val tot = buckets.agg(sum("n_docs").as("_td"), sum("n_tokens").as("_tt"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      buckets
+        .withColumn("kept_docs", sum("n_docs").over(w))
+        .withColumn("kept_tokens", sum("n_tokens").over(w))
+        .crossJoin(broadcast(tot))
+        .select((col("bucket") * 500000L).as("cutoff_micro"),
+          col("kept_docs"), col("kept_tokens"),
+          expr("kept_docs * 1000000 div _td").as("doc_ppm"),
+          expr("kept_tokens * 1000000 div _tt").as("token_ppm"))
+        .orderBy("cutoff_micro")
+    }),
     // Sparse trusted labels spread through near-dup structure: docs
     // with doc_id % 3 == 0 seed their lang; two clamped majority-vote
     // rounds over the ngram pair graph (ties to the smallest label —
@@ -1180,6 +1242,55 @@ object PipelineQueries {
          |$rounds
          |SELECT node, p AS p_micro FROM it3 ORDER BY node""".stripMargin
     },
+    // same digest df + pair-graph membership, rolled up per source
+    "dedup_report" ->
+      s"""WITH pairs AS (
+         |$ddNgramPairs
+         |),
+         |near AS (SELECT DISTINCT i AS doc_id FROM pairs
+         |         UNION SELECT DISTINCT j FROM pairs),
+         |dg AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
+         |dfx AS (SELECT digest, count(*) AS df FROM dg GROUP BY 1),
+         |g AS (SELECT source, count(*) AS n_docs,
+         |        CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_exact_dup,
+         |        CAST(sum(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_near_dup
+         |      FROM dg JOIN dfx USING (digest) LEFT JOIN near USING (doc_id)
+         |      GROUP BY 1)
+         |SELECT source, n_docs, n_exact_dup, n_near_dup,
+         |       n_exact_dup * 1000000 // n_docs AS exact_ppm,
+         |       n_near_dup * 1000000 // n_docs AS near_ppm
+         |FROM g ORDER BY source""".stripMargin,
+    // same micro-unit classifier score, bucketed, survival cumsum
+    // over the bounded bucket table
+    "quality_ablation" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
+        |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in',
+        |                                      'to', 'is')
+        |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
+        |      FROM tok GROUP BY 1),
+        |sc AS (SELECT n, least(n, 64) * 15625 + ((ns * 1000000) // n) * 4
+        |                + (nd * 1000000) // n AS score_micro FROM s),
+        |b AS (SELECT least(score_micro // 500000, 6) AS bucket,
+        |             count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |      FROM sc GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+        |             CAST(sum(n_tokens) AS BIGINT) AS tt FROM b),
+        |k AS (SELECT bucket,
+        |        CAST(sum(n_docs) OVER (ORDER BY bucket DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS kept_docs,
+        |        CAST(sum(n_tokens) OVER (ORDER BY bucket DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS kept_tokens
+        |      FROM b)
+        |SELECT bucket * 500000 AS cutoff_micro, kept_docs, kept_tokens,
+        |       kept_docs * 1000000 // td AS doc_ppm,
+        |       kept_tokens * 1000000 // tt AS token_ppm
+        |FROM k, t ORDER BY cutoff_micro""".stripMargin,
     // the same pair graph, 2 unrolled clamped majority-vote rounds;
     // ties to the smallest label on both sides
     "label_propagation" ->

@@ -114,6 +114,39 @@ class MasterOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- presplit_hex ---------------------------------------------------
+
+  test("presplit_hex: regions tile the hex keyspace and contain their rows") {
+    val rows = q("presplit_hex").collect().sortBy(_.getAs[Long]("region"))
+    def hx(s: String): Long = java.lang.Long.parseLong(s, 16)
+    rows.foreach { r =>
+      val (lo, hi) = (hx(r.getAs[String]("start_hex")), hx(r.getAs[String]("end_hex")))
+      assert(lo <= r.getAs[Long]("min_hv") && r.getAs[Long]("max_hv") <= hi,
+        r.toString)
+    }
+    // adjacent boundaries touch exactly: start(r+1) = end(r) + 1
+    rows.sliding(2).foreach {
+      case Array(a, b)
+        if b.getAs[Long]("region") == a.getAs[Long]("region") + 1 =>
+        assert(hx(b.getAs[String]("start_hex")) ==
+          hx(a.getAs[String]("end_hex")) + 1, s"$a | $b")
+      case _ => ()
+    }
+  }
+
+  // ---- snapshot_info --------------------------------------------------
+
+  test("snapshot_info: copy-on-write accounting — v2 is a subset, counts reconcile") {
+    val rows = q("snapshot_info").collect()
+      .map(r => r.getAs[Int]("version") -> r).toMap
+    val (v1, v2) = (rows(1), rows(2))
+    // deleteRows only removes: everything in v2 is shared with v1
+    assert(v2.getAs[Long]("n_unique") == 0L)
+    assert(v1.getAs[Long]("n_shared") == v2.getAs[Long]("n_rows"))
+    assert(v1.getAs[Long]("n_rows") ==
+      v1.getAs[Long]("n_shared") + v1.getAs[Long]("n_unique"))
+  }
+
   // ---- hfile_stats ----------------------------------------------------
 
   test("hfile_stats: footprints reconcile — cells, bytes, rows add up") {

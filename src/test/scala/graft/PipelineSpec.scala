@@ -1251,6 +1251,34 @@ class PipelineSpec extends SparkSpec {
     assert(means.zip(means.tail).forall { case (a, b) => a <= b }, means.mkString(","))
   }
 
+  test("dedup_report: per-source counts reconcile with the corpus and direct digest df") {
+    val rows = SparkEntry.queries("dedup_report")(spark, sfDir).collect()
+    val docsDf = graft.core.Tables.load(spark, sfDir, "documents")
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docsDf.count())
+    val directExact = docsDf.select(md5(col("text")).as("d"))
+      .groupBy("d").count().where(col("count") >= 2)
+      .agg(coalesce(sum("count"), lit(0L))).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_exact_dup")).sum == directExact)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_ppm") <= 1000000L &&
+        r.getAs[Long]("near_ppm") <= 1000000L, r.toString)
+    }
+  }
+
+  test("quality_ablation: survival is monotone in the cutoff and tops out at the corpus") {
+    val rows = SparkEntry.queries("quality_ablation")(spark, sfDir).collect()
+      .sortBy(_.getAs[Long]("cutoff_micro"))
+    val nDocs = graft.core.Tables.load(spark, sfDir, "documents").count()
+    // the lowest present cutoff keeps the whole corpus (cumulative
+    // from the top over every present bucket)
+    assert(rows.head.getAs[Long]("kept_docs") == nDocs)
+    assert(rows.head.getAs[Long]("doc_ppm") == 1000000L)
+    val kd = rows.map(_.getAs[Long]("kept_docs"))
+    val kt = rows.map(_.getAs[Long]("kept_tokens"))
+    assert(kd.zip(kd.tail).forall { case (a, b) => a >= b }, kd.mkString(","))
+    assert(kt.zip(kt.tail).forall { case (a, b) => a >= b }, kt.mkString(","))
+  }
+
   test("labelPropagation: clamped seeds, majority vote, deterministic ties, frontier rounds") {
     import spark.implicits._
     import graft.dedup.Dedup
