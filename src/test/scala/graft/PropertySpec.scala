@@ -69,6 +69,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("label propagation equals the naive clamped majority-vote fold on random graphs") {
+    import spark.implicits._
+    // small id space → multi-label collisions, ties, seeds inside and
+    // outside the graph, unreachable nodes
+    val gen = for {
+      nE <- Gen.chooseNum(1, 25)
+      edges <- Gen.listOfN(nE, Gen.zip(Gen.chooseNum(0L, 12L), Gen.chooseNum(0L, 12L)))
+      nS <- Gen.chooseNum(1, 6)
+      seeds <- Gen.listOfN(nS, Gen.zip(Gen.chooseNum(0L, 14L),
+        Gen.oneOf("en", "fr", "de")))
+    } yield (edges.filter(p => p._1 != p._2), seeds.distinctBy(_._1))
+    samples(gen, 8).filter(_._1.nonEmpty).foreach { case (edges, seeds) =>
+      // naive fold: adjacency both ways; each round, every unlabeled
+      // node with labeled neighbors takes (max count, min label)
+      val adj = (edges ++ edges.map(e => (e._2, e._1))).distinct
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var want = seeds.map { case (n, l) => n -> (l, 0) }.toMap
+      for (r <- 1 to 2) {
+        val adopt = adj.keys.filterNot(want.contains).flatMap { n =>
+          val votes = adj(n).flatMap(m => want.get(m).map(_._1))
+            .groupBy(identity).view.mapValues(_.size).toMap
+          if (votes.isEmpty) None
+          else Some(n -> (votes.toSeq.minBy { case (l, c) => (-c, l) }._1, r))
+        }.toMap
+        want = want ++ adopt
+      }
+      val got = graft.dedup.Dedup.labelPropagation(
+          edges.toDF("i", "j"), seeds.toDF("node", "label"), rounds = 2)
+        .collect()
+        .map(row => row.getAs[Long]("node") ->
+          (row.getAs[String]("label"), row.getAs[Int]("round"))).toMap
+      assert(got == want, s"edges $edges seeds $seeds:\ngot  $got\nwant $want")
+    }
+  }
+
   test("asof join equals the naive latest-at-or-before lookup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
