@@ -1611,6 +1611,79 @@ object AnalyticsQueries {
     // inside hex digits and the division arithmetic is actually
     // exercised. One codegen projection + one aggregate; boundaries
     // are pure arithmetic on the region id, no second scan.
+    // WALPlayer bulk-HFile mode (mapreduce/WALPlayer.java:92
+    // WALKeyValueMapper → KeyValueSortReducer → HFileOutputFormat2):
+    // instead of replaying edits against a live table, the tool turns
+    // one table's WAL slice into REGION-PARTITIONED, KEY-SORTED HFiles
+    // ready for completebulkload — all cells including delete markers
+    // ship (only METAFAMILY edits skip; masking happens at read, not
+    // here). Re-expression: the event-cell WAL slice physically lands
+    // region-partitioned and key-sorted (one shuffle on the region
+    // tag + sortWithinPartitions = the sort reducer); the audit reads
+    // the bulk output BACK and rolls up per region file — cells,
+    // delete markers, key range, seq range — which the oracle
+    // recomputes from the raw edits: nothing lost, nothing in the
+    // wrong region file. In-file key order is spec-asserted.
+    "wal_player_bulk" -> ((s, d) => {
+      val path = graft.core.Indexes.ensure(s, d, "walp_bulk") { target =>
+        val edits = Tables.eventCells(s, d)
+          .withColumn("op",
+            when(col("event_id") % 7 === 0, "delete").otherwise("put"))
+        val b = edits.agg(min("rowkey").as("_lo"), max("rowkey").as("_hi"))
+        // HFileOutputFormat2's partitioner takes the TARGET TABLE's
+        // region boundaries (configureIncrementalLoad), not a data
+        // sample — here the 8 total-order regions; one shuffle lands
+        // every cell in its region's sorted file
+        edits.crossJoin(broadcast(b))
+          .withColumn("region", Tools.totalOrderBucket(
+            col("rowkey"), col("_lo"), col("_hi"), 8))
+          .repartition(col("region"))
+          .sortWithinPartitions("region", "rowkey")
+          .write.partitionBy("region").mode("overwrite").parquet(target)
+      }
+      s.read.parquet(path)
+        .groupBy(col("region").cast("bigint").as("region"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes"),
+          min("rowkey").as("first_key"), max("rowkey").as("last_key"),
+          min("event_id").as("first_seq"), max("event_id").as("last_seq"))
+        .orderBy("region")
+    }),
+    // Regions-in-transition audit (master/RegionStates.java:72
+    // regionsInTransition + client/.../master/RegionState.java:41-56
+    // state machine): the master's RIT board — a region's CURRENT
+    // state is its LATEST transition, "in transition" = any state
+    // that isn't a settled OPEN, and the operator alarm is a region
+    // STUCK in transition (the ritOldestAge metric every HBase
+    // dashboard graphs). Events synthesize the transition log (region
+    // = user_id mod 16; event_type → state); latest transition by one
+    // max-struct aggregate (ts, event_id makes it total), age against
+    // the corpus horizon (1-row broadcast), stuck = in transition
+    // for > 24 h. One linear shuffle.
+    "rit_audit" -> ((s, d) => {
+      val trans = Tables.load(s, d, "events")
+        .select(pmod(col("user_id"), lit(16)).as("region"),
+          col("ts"), col("event_id"),
+          when(col("event_type") === "signup", "PENDING_OPEN")
+            .when(col("event_type") === "view", "OPENING")
+            .when(col("event_type") === "click", "OPEN")
+            .when(col("event_type") === "purchase", "CLOSING")
+            .otherwise("FAILED_OPEN").as("state"))
+      val horizon = trans.agg(max("ts").as("_now"))
+      trans.groupBy("region")
+        .agg(max(struct(col("ts"), col("event_id"), col("state"))).as("_c"),
+          count(lit(1)).as("n_transitions"))
+        .crossJoin(broadcast(horizon))
+        .select(col("region"), col("n_transitions"),
+          col("_c.state").as("state"), col("_c.ts").as("since_ts"),
+          (unix_timestamp(col("_now")) - unix_timestamp(col("_c.ts")))
+            .as("age_s"),
+          (col("_c.state") =!= "OPEN").as("in_transition"),
+          (col("_c.state") =!= "OPEN" &&
+            unix_timestamp(col("_now")) - unix_timestamp(col("_c.ts")) >
+              86400L).as("stuck"))
+        .orderBy("region")
+    }),
     "presplit_hex" -> ((s, d) => {
       val n = 12
       Tables.load(s, d, "orders")
@@ -2950,6 +3023,40 @@ object AnalyticsQueries {
         |       CAST(sum(CASE WHEN extra_ms > 0 THEN extra_ms ELSE 0 END) AS BIGINT)
         |         AS total_pause_ms
         |FROM g WHERE extra_ms IS NOT NULL GROUP BY 1 ORDER BY server""".stripMargin,
+    "wal_player_bulk" -> (V +
+      """, ed AS (SELECT rowkey, event_id,
+        |                CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op
+        |          FROM vcells),
+        |b AS (SELECT min(rowkey) AS lo, max(rowkey) AS hi FROM ed)
+        |SELECT CAST(floor((rowkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,
+        |       count(*) AS n_cells,
+        |       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_deletes,
+        |       min(rowkey) AS first_key, max(rowkey) AS last_key,
+        |       min(event_id) AS first_seq, max(event_id) AS last_seq
+        |FROM ed, b GROUP BY 1 ORDER BY region""".stripMargin),
+    "rit_audit" ->
+      """WITH t AS (SELECT user_id % 16 AS region, ts, event_id,
+        |                  CASE event_type WHEN 'signup' THEN 'PENDING_OPEN'
+        |                                  WHEN 'view' THEN 'OPENING'
+        |                                  WHEN 'click' THEN 'OPEN'
+        |                                  WHEN 'purchase' THEN 'CLOSING'
+        |                                  ELSE 'FAILED_OPEN' END AS state
+        |           FROM events),
+        |h AS (SELECT max(ts) AS now FROM t),
+        |c AS (SELECT region, count(*) AS n_transitions,
+        |             (max(struct_pack(ts := ts, event_id := event_id,
+        |                              state := state))).state AS state,
+        |             (max(struct_pack(ts := ts, event_id := event_id,
+        |                              state := state))).ts AS since_ts
+        |      FROM t GROUP BY 1)
+        |SELECT region, n_transitions, state, since_ts,
+        |       CAST(floor(epoch(now)) AS BIGINT)
+        |         - CAST(floor(epoch(since_ts)) AS BIGINT) AS age_s,
+        |       state <> 'OPEN' AS in_transition,
+        |       state <> 'OPEN' AND CAST(floor(epoch(now)) AS BIGINT)
+        |         - CAST(floor(epoch(since_ts)) AS BIGINT) > 86400 AS stuck
+        |FROM c, h ORDER BY region""".stripMargin,
     "presplit_hex" ->
       """WITH h AS (SELECT CAST(CAST(concat('0x',
         |             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT)

@@ -114,6 +114,46 @@ class MasterOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- wal_player_bulk ------------------------------------------------
+
+  test("wal_player_bulk: bulk files are key-sorted within each region partition") {
+    // the KeyValueSortReducer guarantee: every physical file ascends
+    // by rowkey (bulk load requires it — HFiles must be sorted)
+    q("wal_player_bulk").count() // ensure the bulk output exists
+    val path = graft.core.Indexes.ensure(spark, sfDir, "walp_bulk")(_ => ())
+    val withFile = spark.read.parquet(path)
+      .select(col("rowkey"), input_file_name().as("f"))
+      .collect()
+    withFile.groupBy(_.getAs[String]("f")).foreach { case (_, rows) =>
+      // parquet preserves row order within a file: read order = write order
+      val keys = rows.map(_.getAs[Long]("rowkey"))
+      assert(keys.zip(keys.tail).forall { case (a, b) => a <= b })
+    }
+    // and region dirs are disjoint in key space
+    val ranges = withFile.groupBy(r => r.getAs[String]("f")
+        .replaceAll(".*region=([0-9]+).*", "$1").toInt)
+      .view.mapValues(rs => (rs.map(_.getAs[Long]("rowkey")).min,
+        rs.map(_.getAs[Long]("rowkey")).max)).toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, (_, hiA)), (_, (loB, _))) => assert(hiA <= loB)
+      case _ => ()
+    }
+  }
+
+  // ---- rit_audit ------------------------------------------------------
+
+  test("rit_audit: latest transition wins and the stuck flag brackets correctly") {
+    val rows = q("rit_audit").collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    rows.foreach { r =>
+      val inT = r.getAs[Boolean]("in_transition")
+      assert(inT == (r.getAs[String]("state") != "OPEN"), r.toString)
+      if (r.getAs[Boolean]("stuck"))
+        assert(inT && r.getAs[Long]("age_s") > 86400L, r.toString)
+      assert(r.getAs[Long]("age_s") >= 0L)
+    }
+  }
+
   // ---- presplit_hex ---------------------------------------------------
 
   test("presplit_hex: regions tile the hex keyspace and contain their rows") {
