@@ -201,6 +201,27 @@ object PipelineQueries {
         .withColumn("near_ppm", expr("n_near_dup * 1000000 div n_docs"))
         .orderBy("source")
     }),
+    // Corpus-diversity audit (the "what does each source add that
+    // nothing else has" table a mixture designer reads next to
+    // mixture_report): per source, distinct 3-gram shingles and the
+    // NOVEL ones no other source contains, in ppm. Presence pairs
+    // (source, digest) distinct in one aggregate, shingle→source
+    // count in a second — only 16-byte md5 digests ever shuffle, the
+    // shingle text stays in its scan (the decontaminate discipline).
+    "ngram_novelty" -> ((s, d) => {
+      val pres = shingleTab(s, d)
+        .join(docs(s, d).select("doc_id", "source"), "doc_id")
+        .select(col("source"), explode(col("shs")).as("_sh"))
+        .select(col("source"), md5(col("_sh")).as("g"))
+        .distinct()
+      val counts = pres.groupBy("g").agg(count(lit(1)).as("n_src"))
+      pres.join(counts, "g")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novel_ppm", expr("n_novel * 1000000 div n_shingles"))
+        .orderBy("source")
+    }),
     // The threshold-sweep table every quality-filter ablation plots
     // (what fraction of docs/tokens survives each cutoff): per-doc
     // classifier scores bucket into 500k-µ cells, ONE aggregate
@@ -1242,6 +1263,23 @@ object PipelineQueries {
          |$rounds
          |SELECT node, p AS p_micro FROM it3 ORDER BY node""".stripMargin
     },
+    // same shingling, presence via DISTINCT (source, digest) pairs
+    "ngram_novelty" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                        for i in range(1, len(ts) - 1)]) AS shs
+        |       FROM tok WHERE len(ts) >= 3),
+        |pres AS (SELECT DISTINCT source, md5(sg) AS g
+        |         FROM (SELECT doc_id, unnest(shs) AS sg FROM sh) e
+        |         JOIN documents USING (doc_id)),
+        |c AS (SELECT g, count(*) AS n_src FROM pres GROUP BY 1)
+        |SELECT source, count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_novel,
+        |       CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         * 1000000 // count(*) AS novel_ppm
+        |FROM pres JOIN c USING (g) GROUP BY 1 ORDER BY source""".stripMargin,
     // same digest df + pair-graph membership, rolled up per source
     "dedup_report" ->
       s"""WITH pairs AS (

@@ -1265,6 +1265,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ngram_novelty: per-source novel counts equal a direct single-source recount") {
+    val rows = SparkEntry.queries("ngram_novelty")(spark, sfDir).collect()
+    // direct recount: shingle → distinct source set, novel = |set|==1
+    val direct = graft.dedup.Dedup.shingles(
+        graft.core.Tables.load(spark, sfDir, "documents"))
+      .join(graft.core.Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "source"), "doc_id")
+      .select(col("source"), explode(col("shs")).as("sh"))
+      .distinct()
+      .groupBy("sh").agg(collect_set("source").as("srcs"))
+      .select(explode(col("srcs")).as("source"),
+        (size(col("srcs")) === 1).as("novel"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(when(col("novel"), 1L).otherwise(0L)).as("nov"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("nov"))).toMap
+    rows.foreach { r =>
+      val (n, nov) = direct(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_shingles") == n, r.toString)
+      assert(r.getAs[Long]("n_novel") == nov, r.toString)
+      assert(r.getAs[Long]("novel_ppm") <= 1000000L)
+    }
+  }
+
   test("quality_ablation: survival is monotone in the cutoff and tops out at the corpus") {
     val rows = SparkEntry.queries("quality_ablation")(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("cutoff_micro"))
