@@ -222,6 +222,34 @@ object PipelineQueries {
         .withColumn("novel_ppm", expr("n_novel * 1000000 div n_shingles"))
         .orderBy("source")
     }),
+    // The companion matrix to ngram_novelty: pairwise source-overlap —
+    // how many distinct shingles sources A and B share, plus the
+    // containment ppm in each direction (the "is source B just a
+    // crawl of source A" question). The self-join is keyed on the
+    // shingle digest with per-digest fanout bounded by the SOURCE
+    // count (≤ C(n_sources, 2) pairs per digest, a constant) — never
+    // a doc-level pair explosion; only digests shuffle.
+    "source_overlap" -> ((s, d) => {
+      val pres = shingleTab(s, d)
+        .join(docs(s, d).select("doc_id", "source"), "doc_id")
+        .select(col("source"), explode(col("shs")).as("_sh"))
+        .select(col("source"), md5(col("_sh")).as("g"))
+        .distinct()
+      val sizes = pres.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = pres.select(col("source").as("src_a"), col("g"))
+      val b = pres.select(col("source").as("src_b"), col("g"))
+      a.join(b, "g").where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n").as("_na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n").as("_nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          expr("n_shared * 1000000 div _na").as("contain_a_ppm"),
+          expr("n_shared * 1000000 div _nb").as("contain_b_ppm"))
+        .orderBy("src_a", "src_b")
+    }),
     // The threshold-sweep table every quality-filter ablation plots
     // (what fraction of docs/tokens survives each cutoff): per-doc
     // classifier scores bucket into 500k-µ cells, ONE aggregate
@@ -1280,6 +1308,27 @@ object PipelineQueries {
         |       CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |         * 1000000 // count(*) AS novel_ppm
         |FROM pres JOIN c USING (g) GROUP BY 1 ORDER BY source""".stripMargin,
+    // same presence pairs, digest-keyed self-join, both containments
+    "source_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+        |                        for i in range(1, len(ts) - 1)]) AS shs
+        |       FROM tok WHERE len(ts) >= 3),
+        |pres AS (SELECT DISTINCT source, md5(sg) AS g
+        |         FROM (SELECT doc_id, unnest(shs) AS sg FROM sh) e
+        |         JOIN documents USING (doc_id)),
+        |sz AS (SELECT source, count(*) AS n FROM pres GROUP BY 1),
+        |ov AS (SELECT a.source AS src_a, b.source AS src_b,
+        |              count(*) AS n_shared
+        |       FROM pres a JOIN pres b ON a.g = b.g AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared,
+        |       n_shared * 1000000 // na.n AS contain_a_ppm,
+        |       n_shared * 1000000 // nb.n AS contain_b_ppm
+        |FROM ov JOIN sz na ON na.source = src_a
+        |        JOIN sz nb ON nb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // same digest df + pair-graph membership, rolled up per source
     "dedup_report" ->
       s"""WITH pairs AS (

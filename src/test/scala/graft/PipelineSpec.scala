@@ -1290,6 +1290,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("source_overlap: symmetric shared counts, containment bounded, novelty consistent") {
+    val ov = SparkEntry.queries("source_overlap")(spark, sfDir).collect()
+    val nov = SparkEntry.queries("ngram_novelty")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"))).toMap
+    ov.foreach { r =>
+      val shared = r.getAs[Long]("n_shared")
+      val (na, _) = nov(r.getAs[String]("src_a"))
+      val (nb, _) = nov(r.getAs[String]("src_b"))
+      // shared can't exceed either side's distinct-shingle count
+      assert(shared <= na && shared <= nb, r.toString)
+      assert(r.getAs[Long]("contain_a_ppm") <= 1000000L &&
+        r.getAs[Long]("contain_b_ppm") <= 1000000L)
+    }
+    // a source's NOVEL shingles appear in no overlap row: shared
+    // totals can only come from the non-novel fraction
+    nov.foreach { case (src, (n, novel)) =>
+      val maxShared = ov.filter(r => r.getAs[String]("src_a") == src ||
+        r.getAs[String]("src_b") == src).map(_.getAs[Long]("n_shared"))
+      maxShared.foreach(sh => assert(sh <= n - novel, s"$src: $sh > ${n - novel}"))
+    }
+  }
+
   test("quality_ablation: survival is monotone in the cutoff and tops out at the corpus") {
     val rows = SparkEntry.queries("quality_ablation")(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("cutoff_micro"))
