@@ -403,6 +403,21 @@ object Dedup {
     * would run shingles×perms times and dominate the whole job), then
     * `perms` affine permutations h_p(x) = (x*(2p+1) + p*K) mod M — all
     * codegen'd array arithmetic per row, no extra shuffle. */
+  /** (doc_id, band, key) LSH band keys off the MinHash signature —
+    * ONE copy of the banding arithmetic, shared by the batch
+    * [[minhashLsh]] candidate stage and the streaming ingest gate
+    * ([[graft.streaming.StreamOps.streamingLshCandidates]]); the two
+    * MUST band identically or the streaming gate's convergence
+    * contract against the batch buckets is vacuous. Pure projection —
+    * runs unchanged on a streaming DataFrame. */
+  private[graft] def bandKeys(sh: DataFrame, perms: Int, bands: Int): DataFrame = {
+    val rows = perms / bands
+    minhashSigs(sh, perms).select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> array_join(slice(sig, b*$rows + 1, $rows), '_'))")))
+      .toDF("doc_id", "band", "key")
+  }
+
   private def minhashSigs(sh: DataFrame, perms: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val hs = expr("transform(shs, s -> pmod(xxhash64(s), 2147483647))")
@@ -433,15 +448,10 @@ object Dedup {
       s"perms ($perms) must be divisible by bands ($bands) — otherwise " +
         "perms % bands signature values are silently unused and the " +
         "collision probability differs from the documented formula")
-    val rows = perms / bands
     // pinned for the same three-consumer reason as the capped ngram
     // path: the signature projection + both sides of the exact verify
     val sh = shingleTable.getOrElse(shingles(docs).localCheckpoint())
-    val sigs = minhashSigs(sh, perms)
-    val banded = sigs.select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> array_join(slice(sig, b*$rows + 1, $rows), '_'))")))
-      .toDF("doc_id", "band", "key")
+    val banded = bandKeys(sh, perms, bands)
     // candidates straight off the per-bucket postings list (same trick
     // as the capped ngram path): one groupBy shuffle builds each
     // (band, key) bucket, pairs are emitted by a codegen'd nested

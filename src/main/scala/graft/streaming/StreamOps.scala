@@ -39,6 +39,8 @@ case class TopKUpdate(window_start: java.sql.Timestamp, rank: Long,
 /** Per-(user, day) request-quota state: requests seen so far in the
   * window. The running count is all the throttle needs — rejected =
   * max(0, n − limit) is derivable, so state stays one long per key. */
+case class LshCandidate(i: Long, j: Long)
+
 case class QuotaState(n: Long)
 
 /** Quota decision emitted per touched (user, day) per micro-batch:
@@ -210,6 +212,49 @@ object StreamOps {
     * parquet versioning. The at-scale refinement is file-pruned MERGE
     * (rewrite only the key-bucketed files the batch touches), which is
     * table-format (Delta/Iceberg) territory, not a different plan. */
+  /** Streaming LSH near-dup candidate ingest — the streaming form of
+    * [[graft.dedup.Dedup.minhashLsh]]'s candidate stage, for the
+    * pipeline where the corpus ARRIVES as a stream and "is this a
+    * near-copy of something already ingested?" must answer
+    * incrementally (the near-dup sibling of the exact-hash
+    * [[streamingDedup]]). Each arriving doc's MinHash band keys
+    * (identical banding to the batch path — one shared
+    * [[graft.dedup.Dedup.bandKeys]] projection, stateless so it runs
+    * unchanged on a stream) look up a per-bucket ANCHOR: a miss
+    * claims the bucket for the doc, a hit emits the candidate pair
+    * (min, max). Emission is the STAR to the batch path's per-bucket
+    * clique — state is one long per live bucket and output is linear
+    * in arrivals, while preserving exactly the batch buckets'
+    * connectivity (every bucket member touches its anchor), which is
+    * all downstream connectedComponents consumes. Pairs may repeat
+    * across bands; consumers dedup or feed CC, which is
+    * idempotent. Which doc anchors depends on arrival order, but the
+    * COMPONENTS do not (spec-asserted under shuffled file order).
+    *
+    * @param docs streaming (doc_id, text) */
+  def streamingLshCandidates(docs: DataFrame, perms: Int = 128,
+                             bands: Int = 32): Dataset[LshCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.dedup.Dedup.bandKeys(graft.dedup.Dedup.shingles(docs), perms, bands)
+      .select(col("band"), col("key"), col("doc_id"))
+      .as[(Int, String, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), rows: Iterator[(Int, String, Long)],
+         state: GroupState[Long]) =>
+          var anchor = state.getOption.getOrElse(Long.MinValue)
+          val out = List.newBuilder[LshCandidate]
+          rows.foreach { case (_, _, doc) =>
+            if (anchor == Long.MinValue) anchor = doc
+            else if (doc != anchor)
+              out += LshCandidate(math.min(anchor, doc), math.max(anchor, doc))
+          }
+          state.update(anchor)
+          out.result().iterator
+      }
+  }
+
   def maintainScd2Table(cells: DataFrame, path: String, keyCols: Seq[String],
                         tsCol: String, tieCol: String): DataStreamWriter[Row] = {
     import org.apache.hadoop.fs.Path

@@ -429,4 +429,45 @@ class StreamingSpec extends SparkSpec {
       .count().where(col("count") > 1).count()
     assert(multiCurrent == 0)
   }
+
+  test("streaming LSH candidates preserve batch-bucket connectivity under shuffled arrival") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_lsh_src").toString
+    // plain repartition = shuffled arrival order across micro-batches
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = StreamOps.streamingLshCandidates(streamed)
+      .writeStream.format("memory").queryName("lsh_cand")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val pairs = spark.table("lsh_cand").collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).distinct
+    // batch buckets off the SAME banding
+    val buckets = graft.dedup.Dedup.bandKeys(
+        graft.dedup.Dedup.shingles(docs), 128, 32)
+      .groupBy("band", "key").agg(collect_set("doc_id").as("ds"))
+      .where(size(col("ds")) >= 2)
+      .collect().map(_.getAs[Seq[Long]]("ds").toSet)
+    // (a) no false edge: every streamed pair shares at least one bucket
+    pairs.foreach { case (i, j) =>
+      assert(buckets.exists(s => s(i) && s(j)), s"phantom pair ($i,$j)")
+    }
+    assert(pairs.nonEmpty == buckets.nonEmpty)
+    // (b) connectivity: every batch bucket collapses to ONE component
+    // of the streamed pair graph (arrival order moved the anchor, not
+    // the component)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (i, j) =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    buckets.foreach { s =>
+      assert(s.map(find).size == 1, s"bucket $s split across components")
+    }
+  }
 }
