@@ -1487,27 +1487,12 @@ object AnalyticsQueries {
     // shuffles, both linear, state bounded by proc count.
     "procedure_replay" -> ((s, d) => {
       val wal = Tables.load(s, d, "events")
-        .withColumn("proc_id", expr("event_id div 4"))
-        .withColumn("state",
+        .select(expr("event_id div 4").as("proc_id"),
+          col("event_id").as("seq"),
           when(col("event_type") === "error", "ROLLEDBACK")
             .when(col("event_type") === "purchase", "SUCCESS")
-            .otherwise("RUNNABLE"))
-      wal.groupBy("proc_id")
-        .agg(max(struct(col("event_id").as("seq"), col("state"))).as("_e"))
-        .select(col("proc_id"), col("_e.seq").as("last_seq"),
-          col("_e.state").as("state"))
-        .withColumn("root_id", expr("proc_id div 5"))
-        .groupBy("root_id")
-        .agg(count(lit(1)).as("n_procs"),
-          sum(when(col("state") === "SUCCESS", 1L).otherwise(0L)).as("n_success"),
-          sum(when(col("state") === "ROLLEDBACK", 1L).otherwise(0L))
-            .as("n_rolledback"),
-          max("last_seq").as("max_seq"))
-        .withColumn("root_state",
-          when(col("n_rolledback") > 0, "ROLLBACK")
-            .when(col("n_success") === col("n_procs"), "SUCCESS")
-            .otherwise("WAITING"))
-        .orderBy("root_id")
+            .otherwise("RUNNABLE").as("state"))
+      Tools.procedureReplay(wal, expr("proc_id div 5")).orderBy("root_id")
     }),
     // MultiTableOutputFormat (hbase-server/.../mapreduce/
     // MultiTableOutputFormat.java — write() routes each mutation to
@@ -1601,16 +1586,6 @@ object AnalyticsQueries {
             .as("total_pause_ms"))
         .orderBy("server")
     }),
-    // RegionSplitter HexStringSplit (util/RegionSplitter.java:893):
-    // pre-splitting for hashed/hex rowkeys — the admin creates N
-    // regions whose boundaries evenly divide the 8-hex-char keyspace
-    // BEFORE any data exists (no sample needed; the dual of the
-    // data-driven region_splitter). Boundary r = ceil(r·2^32/N) as
-    // zero-padded hex; a row lands by the leading 8 hex chars of its
-    // md5 rowkey. N = 12 — not a power of 16, so boundaries fall
-    // inside hex digits and the division arithmetic is actually
-    // exercised. One codegen projection + one aggregate; boundaries
-    // are pure arithmetic on the region id, no second scan.
     // WALPlayer bulk-HFile mode (mapreduce/WALPlayer.java:92
     // WALKeyValueMapper → KeyValueSortReducer → HFileOutputFormat2):
     // instead of replaying edits against a live table, the tool turns
@@ -1637,6 +1612,7 @@ object AnalyticsQueries {
         edits.crossJoin(broadcast(b))
           .withColumn("region", Tools.totalOrderBucket(
             col("rowkey"), col("_lo"), col("_hi"), 8))
+          .drop("_lo", "_hi")
           .repartition(col("region"))
           .sortWithinPartitions("region", "rowkey")
           .write.partitionBy("region").mode("overwrite").parquet(target)
@@ -1684,6 +1660,16 @@ object AnalyticsQueries {
               86400L).as("stuck"))
         .orderBy("region")
     }),
+    // RegionSplitter HexStringSplit (util/RegionSplitter.java:893):
+    // data-free pre-splitting for hashed/hex rowkeys — the admin
+    // creates N regions whose boundaries evenly divide the 8-hex-char
+    // keyspace BEFORE any data exists (no sample needed; the dual of
+    // the data-driven region_splitter). Boundary r = ceil(r·2^32/N)
+    // as zero-padded hex; a row lands by the leading 8 hex chars of
+    // its md5 rowkey. N = 12 — not a power of 16, so boundaries fall
+    // inside hex digits and the division arithmetic is actually
+    // exercised. One codegen projection + one aggregate; boundaries
+    // are pure arithmetic on the region id, no second scan.
     "presplit_hex" -> ((s, d) => {
       val n = 12
       Tables.load(s, d, "orders")

@@ -1427,4 +1427,31 @@ object Tools {
       .select("client", "epoch", "batch", "n_mutations", "bytes",
         "first_ts", "last_ts", "closed_by")
   }
+
+  /** ProcedureStore WAL replay fold (hbase-procedure ProcedureExecutor
+    * .load + RootProcedureState): latest entry per procedure wins (seq
+    * is unique, so the struct max is total — replay is ORDER-FREE by
+    * construction, which the property spec shuffles to prove), then
+    * the root rollup: a chain completes only when every member
+    * succeeded, ANY rolled-back member poisons it to ROLLBACK, else
+    * it's still WAITING. Two key shuffles, both linear.
+    *
+    * @param wal    (proc_id, seq, state) store entries
+    * @param rootOf root procedure id as an expression over `proc_id` */
+  def procedureReplay(wal: DataFrame, rootOf: Column): DataFrame =
+    wal.groupBy("proc_id")
+      .agg(max(struct(col("seq"), col("state"))).as("_e"))
+      .select(col("proc_id"), col("_e.seq").as("last_seq"),
+        col("_e.state").as("state"))
+      .withColumn("root_id", rootOf)
+      .groupBy("root_id")
+      .agg(count(lit(1)).as("n_procs"),
+        sum(when(col("state") === "SUCCESS", 1L).otherwise(0L)).as("n_success"),
+        sum(when(col("state") === "ROLLEDBACK", 1L).otherwise(0L))
+          .as("n_rolledback"),
+        max("last_seq").as("max_seq"))
+      .withColumn("root_state",
+        when(col("n_rolledback") > 0, "ROLLBACK")
+          .when(col("n_success") === col("n_procs"), "SUCCESS")
+          .otherwise("WAITING"))
 }

@@ -403,6 +403,13 @@ object Dedup {
     * would run shingles×perms times and dominate the whole job), then
     * `perms` affine permutations h_p(x) = (x*(2p+1) + p*K) mod M — all
     * codegen'd array arithmetic per row, no extra shuffle. */
+  private def minhashSigs(sh: DataFrame, perms: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val hs = expr("transform(shs, s -> pmod(xxhash64(s), 2147483647))")
+    sh.select(col("doc_id"),
+      ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), perms)).as("sig"))
+  }
+
   /** (doc_id, band, key) LSH band keys off the MinHash signature —
     * ONE copy of the banding arithmetic, shared by the batch
     * [[minhashLsh]] candidate stage and the streaming ingest gate
@@ -411,18 +418,15 @@ object Dedup {
     * contract against the batch buckets is vacuous. Pure projection —
     * runs unchanged on a streaming DataFrame. */
   private[graft] def bandKeys(sh: DataFrame, perms: Int, bands: Int): DataFrame = {
+    require(perms % bands == 0,
+      s"perms ($perms) must be divisible by bands ($bands) — otherwise " +
+        "perms % bands signature values are silently unused and the " +
+        "collision probability differs from the documented formula")
     val rows = perms / bands
     minhashSigs(sh, perms).select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> array_join(slice(sig, b*$rows + 1, $rows), '_'))")))
       .toDF("doc_id", "band", "key")
-  }
-
-  private def minhashSigs(sh: DataFrame, perms: Int): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    val hs = expr("transform(shs, s -> pmod(xxhash64(s), 2147483647))")
-    sh.select(col("doc_id"),
-      ColumnBridge.column(MinHashSig(ColumnBridge.expression(hs), perms)).as("sig"))
   }
 
   /** MinHash + LSH banding: signature → `bands` band keys → equi-join
@@ -444,10 +448,6 @@ object Dedup {
                  perms: Int = 128, bands: Int = 32,
                  shingleTable: Option[DataFrame] = None,
                  starAbove: Int = Int.MaxValue): DataFrame = {
-    require(perms % bands == 0,
-      s"perms ($perms) must be divisible by bands ($bands) — otherwise " +
-        "perms % bands signature values are silently unused and the " +
-        "collision probability differs from the documented formula")
     // pinned for the same three-consumer reason as the capped ngram
     // path: the signature projection + both sides of the exact verify
     val sh = shingleTable.getOrElse(shingles(docs).localCheckpoint())

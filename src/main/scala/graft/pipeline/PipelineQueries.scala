@@ -259,16 +259,11 @@ object PipelineQueries {
     // ever sees a data-cardinality child.
     "quality_ablation" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val toks = docs(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val scored = toks.groupBy("doc_id")
-        .agg(count(lit(1)).as("_n"), countDistinct("tok").as("_nd"),
-          sum(when(col("tok").isInCollection(TextOps.EnMarkers), 1L)
-            .otherwise(0L)).as("_ns"))
-        .select(col("_n"),
-          (least(col("_n"), lit(64L)) * 15625L +
-            expr("(_ns * 1000000) div _n") * 4 +
-            expr("(_nd * 1000000) div _n")).as("score_micro"))
+      // THE classifier's features and weights (shared TextOps copy),
+      // so the sweep ablates the registered quality_classifier itself
+      val scored = TextOps.qualityFeatures(docs(s, d))
+        .select(col("n_tokens").as("_n"),
+          TextOps.scoreMicro().as("score_micro"))
       val buckets = scored
         .withColumn("bucket", least(expr("score_micro div 500000"), lit(6L)))
         .groupBy("bucket")
@@ -1352,11 +1347,10 @@ object PipelineQueries {
     // same micro-unit classifier score, bucketed, survival cumsum
     // over the bounded bucket table
     "quality_ablation" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |             FROM documents),
         |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
-        |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in',
-        |                                      'to', 'is')
+        |             CAST(sum(CASE WHEN t IN ($markerIn)
         |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
         |      FROM tok GROUP BY 1),
         |sc AS (SELECT n, least(n, 64) * 15625 + ((ns * 1000000) // n) * 4

@@ -36,11 +36,14 @@ case class TopKWindowState(counts: Map[String, Long])
 case class TopKUpdate(window_start: java.sql.Timestamp, rank: Long,
                       event_type: String, n_events: Long)
 
+/** A near-dup candidate pair (i < j) emitted by the streaming LSH
+  * ingest gate — a band-bucket anchor and a later arrival that hashed
+  * into its bucket. */
+case class LshCandidate(i: Long, j: Long)
+
 /** Per-(user, day) request-quota state: requests seen so far in the
   * window. The running count is all the throttle needs — rejected =
   * max(0, n − limit) is derivable, so state stays one long per key. */
-case class LshCandidate(i: Long, j: Long)
-
 case class QuotaState(n: Long)
 
 /** Quota decision emitted per touched (user, day) per micro-batch:

@@ -73,20 +73,34 @@ object TextOps {
     * caps at exactly 10⁶), stopword-fraction µ, distinct-token-ratio
     * µ. */
   def qualityClassifier(docs: DataFrame, cutoffMicro: Long = 1500000L,
-                        wLen: Int = 1, wStop: Int = 4, wDist: Int = 1): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    toks.groupBy("doc_id")
-      .agg(count(lit(1)).as("_n"), countDistinct(col("tok")).as("_nd"),
-        sum(when(col("tok").isInCollection(EnMarkers), 1L).otherwise(0L)).as("_ns"))
-      .select(col("doc_id"),
-        (least(col("_n"), lit(64L)) * 15625L).as("f_len_micro"),
-        expr("(_ns * 1000000) div _n").as("f_stop_micro"),
-        expr("(_nd * 1000000) div _n").as("f_dist_micro"))
-      .withColumn("score_micro",
-        col("f_len_micro") * wLen + col("f_stop_micro") * wStop +
-          col("f_dist_micro") * wDist)
+                        wLen: Int = 1, wStop: Int = 4, wDist: Int = 1): DataFrame =
+    qualityFeatures(docs)
+      .select(col("doc_id"), col("f_len_micro"), col("f_stop_micro"),
+        col("f_dist_micro"))
+      .withColumn("score_micro", scoreMicro(wLen, wStop, wDist))
       .withColumn("keep", col("score_micro") >= cutoffMicro)
-  }
+
+  /** Per-doc classifier features in integer micro-units PLUS the raw
+    * token count — ONE copy of the feature extraction, shared by
+    * [[qualityClassifier]] and the quality_ablation threshold sweep
+    * (which must sweep THE classifier's score, not a drifting
+    * reimplementation). */
+  private[graft] def qualityFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("_nd"),
+        sum(when(col("tok").isInCollection(EnMarkers), 1L).otherwise(0L)).as("_ns"))
+      .select(col("doc_id"), col("n_tokens"),
+        (least(col("n_tokens"), lit(64L)) * 15625L).as("f_len_micro"),
+        expr("(_ns * 1000000) div n_tokens").as("f_stop_micro"),
+        expr("(_nd * 1000000) div n_tokens").as("f_dist_micro"))
+
+  /** The classifier's linear score over [[qualityFeatures]] columns —
+    * default weights are the registered quality_classifier's. */
+  private[graft] def scoreMicro(wLen: Int = 1, wStop: Int = 4,
+                                wDist: Int = 1): Column =
+    col("f_len_micro") * wLen + col("f_stop_micro") * wStop +
+      col("f_dist_micro") * wDist
 
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single other-symbols). */

@@ -90,12 +90,26 @@ class MasterOpsSpec extends SparkSpec {
   }
 
   test("procedure_replay: latest entry wins — replay of a reordered store converges") {
-    // store replay must be order-independent: shuffling the WAL rows
-    // (repartition by an unrelated key) cannot change any root state
-    val a = q("procedure_replay").collect().map(_.toString).sorted
-    val shuffled = SparkEntry.queries("procedure_replay")(spark, sfDir)
-    val b = shuffled.repartition(7).collect().map(_.toString).sorted
-    assert(a.sameElements(b))
+    import spark.implicits._
+    import graft.analytics.Tools
+    // crafted store: proc 0 ends SUCCESS (seq 5 supersedes the seq 1
+    // rollback), proc 1 ends ROLLEDBACK (poisons root 0), proc 5 ends
+    // RUNNABLE (root 1 stays WAITING), proc 6 SUCCESS alone on root 1
+    val wal = Seq(
+      (0L, 1L, "ROLLEDBACK"), (0L, 5L, "SUCCESS"),
+      (1L, 2L, "SUCCESS"), (1L, 7L, "ROLLEDBACK"),
+      (5L, 3L, "RUNNABLE"), (6L, 4L, "SUCCESS"))
+      .toDF("proc_id", "seq", "state")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Tools.procedureReplay(df, expr("proc_id div 5")).collect()
+        .map(r => r.getAs[Long]("root_id") -> r.getAs[String]("root_state"))
+        .toMap
+    val want = Map(0L -> "ROLLBACK", 1L -> "WAITING")
+    assert(run(wal) == want)
+    // replay must be INPUT-order free: shuffle the store rows before
+    // the fold — the max-struct latest-wins makes any arrival order
+    // converge to the same root states
+    assert(run(wal.repartition(7).orderBy(col("state"))) == want)
   }
 
   // ---- multi_table_write ----------------------------------------------
@@ -222,11 +236,8 @@ class MasterOpsSpec extends SparkSpec {
   test("multi_table_write: each table reads back from its own pruned directory") {
     // the routed layout is real: filtering one table prunes the scan
     // to that table's partition directory (no full re-scan)
-    val path = graft.core.Indexes.ensure(spark, sfDir, "mtw_events") { target =>
-      graft.core.Tables.load(spark, sfDir, "events")
-        .withColumn("table_name", col("event_type"))
-        .write.partitionBy("table_name").mode("overwrite").parquet(target)
-    }
+    q("multi_table_write").count() // the query's own builder writes the layout
+    val path = graft.core.Indexes.ensure(spark, sfDir, "mtw_events")(_ => ())
     val one = spark.read.parquet(path).where(col("table_name") === "click")
     val p = one.queryExecution.executedPlan.toString()
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*table_name[^\\]]*\\].*"),
