@@ -1660,6 +1660,75 @@ object AnalyticsQueries {
               86400L).as("stuck"))
         .orderBy("region")
     }),
+    // Table-descriptor sanity check (master/HMaster.java:1610
+    // sanityCheckTableDescriptor — the gate every createTable/
+    // modifyTable RPC passes): the portable rule subset as pure
+    // arithmetic — MAX_FILESIZE ≥ 2 MiB (:1622, over-splitting),
+    // MEMSTORE_FLUSHSIZE ≥ 1 MiB (:1636, flush storms), CF TTL > 0,
+    // block size in [1 KiB, 16 MiB] (:1687), minVersions ≥ 0 and
+    // ≤ maxVersions (HBASE-13776), replication scope ≥ 0 (class-
+    // loading/compression checks are JVM-environment, out of scope).
+    // Descriptors synthesize per part brand (25 tables) with stats
+    // chosen so both outcomes occur; one aggregate + one codegen
+    // rule projection.
+    "schema_sanity" -> ((s, d) => {
+      val htd = Tables.load(s, d, "part")
+        .withColumn("_cents", floor(col("p_retailprice") * 100).cast("bigint"))
+        .groupBy(col("p_brand").as("table_name"))
+        .agg(max("_cents").as("_maxc"), min("_cents").as("_minc"),
+          min("p_size").as("_minsz"), count(lit(1)).as("_n"))
+        .select(col("table_name"),
+          (col("_maxc") * 23).as("max_filesize_b"),
+          (col("_minc") * 12).as("flush_b"),
+          col("_minsz").cast("bigint").as("ttl_s"),
+          (col("_minsz") * 2048).cast("bigint").as("blocksize_b"),
+          (pmod(col("_n"), lit(4)) - 1).cast("int").as("min_versions"),
+          lit(3).as("max_versions"),
+          pmod(col("_n"), lit(2)).cast("int").as("scope"))
+      htd.select(col("table_name"),
+          (col("max_filesize_b") < 2097152L).as("v_max_filesize"),
+          (col("flush_b") < 1048576L).as("v_flush_size"),
+          (col("ttl_s") <= 0L).as("v_ttl"),
+          (col("blocksize_b") < 1024L || col("blocksize_b") > 16777216L)
+            .as("v_blocksize"),
+          (col("min_versions") < 0).as("v_min_versions"),
+          (col("min_versions") > col("max_versions")).as("v_version_order"),
+          (col("scope") < 0).as("v_scope"))
+        .withColumn("n_violations",
+          Seq("v_max_filesize", "v_flush_size", "v_ttl", "v_blocksize",
+            "v_min_versions", "v_version_order", "v_scope")
+            .map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _))
+        .withColumn("valid", col("n_violations") === 0L)
+        .orderBy("table_name")
+    }),
+    // Retained assignment at master startup (master/balancer/
+    // BaseLoadBalancer.java:1377 retainAssignment): regions whose
+    // last-known server is still live go BACK there (locality — the
+    // point of retention); regions of dead servers re-assign across
+    // the survivors (the reference randomizes; re-expressed as the
+    // deterministic bucket-ordered round-robin so the plan is
+    // reproducible). Old placement = the 5-server round-robin deal,
+    // server 2 dead. Windows rank region-metadata rows only.
+    "retain_assignment" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val dead = 2
+      val live = Seq(0, 1, 3, 4)
+      val old = Tools.balancerPlan(
+        Tools.totalOrderBuckets(Tables.load(s, d, "orders"), "o_orderkey", 16), 5)
+      val w = Window.partitionBy("_isDead").orderBy("bucket")
+      old
+        .withColumn("_isDead", col("server") === dead)
+        .withColumn("_idx", pmod(row_number().over(w) - 1, lit(live.size)))
+        .select(col("bucket"), col("n_rows"), col("server").as("old_server"),
+          when(!col("_isDead"), col("server"))
+            .otherwise(
+              live.zipWithIndex.foldLeft(lit(-1)) { case (acc, (sv, i)) =>
+                when(col("_idx") === i, lit(sv)).otherwise(acc)
+              })
+            .cast("int").as("dest_server"),
+          (!col("_isDead")).as("retained"))
+        .orderBy("bucket")
+    }),
     // RegionSplitter HexStringSplit (util/RegionSplitter.java:893):
     // data-free pre-splitting for hashed/hex rowkeys — the admin
     // creates N regions whose boundaries evenly divide the 8-hex-char
@@ -3009,6 +3078,52 @@ object AnalyticsQueries {
         |       CAST(sum(CASE WHEN extra_ms > 0 THEN extra_ms ELSE 0 END) AS BIGINT)
         |         AS total_pause_ms
         |FROM g WHERE extra_ms IS NOT NULL GROUP BY 1 ORDER BY server""".stripMargin,
+    "schema_sanity" ->
+      """WITH htd AS (SELECT p_brand AS table_name,
+        |  max(CAST(floor(p_retailprice * 100) AS BIGINT)) * 23 AS max_filesize_b,
+        |  min(CAST(floor(p_retailprice * 100) AS BIGINT)) * 12 AS flush_b,
+        |  CAST(min(p_size) AS BIGINT) AS ttl_s,
+        |  CAST(min(p_size) * 2048 AS BIGINT) AS blocksize_b,
+        |  CAST(count(*) % 4 - 1 AS INT) AS min_versions,
+        |  3 AS max_versions, CAST(count(*) % 2 AS INT) AS scope
+        |FROM part GROUP BY 1),
+        |v AS (SELECT table_name,
+        |  max_filesize_b < 2097152 AS v_max_filesize,
+        |  flush_b < 1048576 AS v_flush_size,
+        |  ttl_s <= 0 AS v_ttl,
+        |  (blocksize_b < 1024 OR blocksize_b > 16777216) AS v_blocksize,
+        |  min_versions < 0 AS v_min_versions,
+        |  min_versions > max_versions AS v_version_order,
+        |  scope < 0 AS v_scope
+        |FROM htd)
+        |SELECT *,
+        |  CAST(CASE WHEN v_max_filesize THEN 1 ELSE 0 END
+        |     + CASE WHEN v_flush_size THEN 1 ELSE 0 END
+        |     + CASE WHEN v_ttl THEN 1 ELSE 0 END
+        |     + CASE WHEN v_blocksize THEN 1 ELSE 0 END
+        |     + CASE WHEN v_min_versions THEN 1 ELSE 0 END
+        |     + CASE WHEN v_version_order THEN 1 ELSE 0 END
+        |     + CASE WHEN v_scope THEN 1 ELSE 0 END AS BIGINT) AS n_violations,
+        |  NOT (v_max_filesize OR v_flush_size OR v_ttl OR v_blocksize
+        |       OR v_min_versions OR v_version_order OR v_scope) AS valid
+        |FROM v ORDER BY table_name""".stripMargin,
+    "retain_assignment" ->
+      """WITH g AS (SELECT o_orderkey AS k FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |st AS (SELECT CAST(floor((k - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |              count(*) AS n_rows FROM g, b GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n_rows DESC, bucket) AS rn
+        |      FROM st),
+        |o AS (SELECT bucket, n_rows, CAST((rn - 1) % 5 AS INT) AS server FROM r),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY server = 2
+        |                                   ORDER BY bucket) - 1 AS idx FROM o)
+        |SELECT bucket, n_rows, server AS old_server,
+        |       CAST(CASE WHEN server <> 2 THEN server
+        |                 ELSE CASE idx % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |                                   WHEN 2 THEN 3 ELSE 4 END
+        |            END AS INT) AS dest_server,
+        |       server <> 2 AS retained
+        |FROM w ORDER BY bucket""".stripMargin,
     "wal_player_bulk" -> (V +
       """, ed AS (SELECT rowkey, event_id,
         |                CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op

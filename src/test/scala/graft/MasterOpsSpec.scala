@@ -128,6 +128,39 @@ class MasterOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- schema_sanity --------------------------------------------------
+
+  test("schema_sanity: violation count reconciles with flags, both outcomes occur") {
+    val rows = q("schema_sanity").collect()
+    val flags = Seq("v_max_filesize", "v_flush_size", "v_ttl", "v_blocksize",
+      "v_min_versions", "v_version_order", "v_scope")
+    rows.foreach { r =>
+      val n = flags.count(r.getAs[Boolean])
+      assert(r.getAs[Long]("n_violations") == n, r.toString)
+      assert(r.getAs[Boolean]("valid") == (n == 0), r.toString)
+    }
+    // the synthesized descriptors exercise the gate both ways
+    assert(rows.exists(_.getAs[Boolean]("valid")))
+    assert(rows.exists(!_.getAs[Boolean]("valid")))
+  }
+
+  // ---- retain_assignment ----------------------------------------------
+
+  test("retain_assignment: live-host regions stay put, dead spread within one") {
+    val rows = q("retain_assignment").collect()
+    rows.foreach { r =>
+      val (old, dest) = (r.getAs[Int]("old_server"), r.getAs[Int]("dest_server"))
+      assert(dest != 2, s"assigned to the dead server: $r")
+      if (r.getAs[Boolean]("retained")) assert(dest == old, r.toString)
+      else assert(old == 2, r.toString)
+    }
+    // the re-dealt regions stay within one of even across survivors
+    val redealt = rows.filter(!_.getAs[Boolean]("retained"))
+      .groupBy(_.getAs[Int]("dest_server")).view.mapValues(_.length)
+    if (redealt.nonEmpty)
+      assert(redealt.values.max - redealt.values.min <= 1, redealt.toMap.toString)
+  }
+
   // ---- wal_player_bulk ------------------------------------------------
 
   test("wal_player_bulk: bulk files are key-sorted within each region partition") {
