@@ -76,8 +76,15 @@ object Dedup {
       regexp_replace(_, "#.*$", ""),               // fragment
       regexp_replace(_, "^https?://", ""),         // scheme
       regexp_replace(_, "^www\\.", ""),            // www prefix
-      regexp_replace(_, "^([^/:]+):(80|443)(/|$)", "$1$3"), // default port
-      regexp_replace(_, "utm_[a-z]+=[^&#]*&?", ""),// tracking params
+      // default port — [/?] | end: ':80?a=1' is a port too, and the
+      // fragment is already gone so '#' can't follow
+      regexp_replace(_, "^([^/:]+):(80|443)([/?]|$)", "$1$3"),
+      // tracking params: anchored on a REAL separator (an unanchored
+      // 'utm_' would mangle any parameter or path segment merely
+      // containing it, colliding distinct URLs), separator kept so a
+      // following param re-attaches
+      regexp_replace(_, "([?&])utm_[a-z]+=[^&#]*", "$1"),
+      regexp_replace(_, "([?&])&+", "$1"),         // collapse left-over &&
       regexp_replace(_, "[?&]+$", ""),             // dangling separators
       regexp_replace(_, "/+$", ""))                // trailing slash(es)
     steps.foldLeft(url)((c, f) => f(c))
@@ -613,26 +620,40 @@ object Dedup {
       toks.select(col("doc_id"),
         ColumnBridge.column(SimHash64(ColumnBridge.expression(col("tf")))).as("sim"))
     }
-    val banded = sig.select(col("doc_id"), col("sim"),
-        posexplode(expr("transform(sequence(0, 3), q -> pmod(shiftright(sim, q*16), 65536))")))
-      .toDF("doc_id", "sim", "band", "key")
-    // postings-list pair emission (see minhashLsh): the signature rides
-    // along in the bucket struct so hamming is computed at emission —
-    // no join back to the sig table, one groupBy shuffle total
-    banded.groupBy("band", "key")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sim")))).as("ds"))
+    bandedSigPairs(sig.select(col("doc_id"), col("sim").as("sig")),
+      bands = 4, width = 16, starAbove = starAbove, hamCut = maxHamming)
+  }
+
+  /** Banded 64-bit-signature buckets → hamming candidate pairs: the
+    * shared scaffolding of [[simhash]] and the SRP arm
+    * ([[graft.sim.Ann.srpDupPairs]]) — band keys posexplode off the
+    * signature (`bands` windows of `width` bits), buckets build on one
+    * (band, key) shuffle, pairs emit in-bucket with bit_count hamming
+    * riding the struct (no join back to the sig table), the star form
+    * caps degenerate buckets past `starAbove`, and `hamCut` filters
+    * before the dedup. ONE copy of the bucket/emission logic for the
+    * same no-drift reason as [[pairExpansion]].
+    *
+    * @param sigs (doc_id, sig: long) */
+  private[graft] def bandedSigPairs(sigs: DataFrame, bands: Int, width: Int,
+                                    starAbove: Int, hamCut: Int): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"q -> pmod(shiftright(sig, q*$width), ${1L << width}))")))
+      .toDF("doc_id", "sig", "band", "key")
+      .groupBy("band", "key")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .where(size(col("ds")) >= 2)
       .select(explode(
         when(size(col("ds")) <= starAbove, expr(pairExpansion(
           """y -> struct(x.doc_id AS i, y.doc_id AS j,
-            |            bit_count(x.sim ^ y.sim) AS hamming)""".stripMargin)))
+            |            bit_count(x.sig ^ y.sig) AS hamming)""".stripMargin)))
         .otherwise(expr(starExpansion(
-          "struct(x.doc_id AS i, y.doc_id AS j, bit_count(x.sim ^ y.sim) AS hamming)"))))
+          "struct(x.doc_id AS i, y.doc_id AS j, bit_count(x.sig ^ y.sig) AS hamming)"))))
         .as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
-      .where(col("hamming") <= maxHamming)
+      .where(col("hamming") <= hamCut)
       .distinct()
-  }
 
   /** Bounded-iteration PageRank over an undirected pair list — the
     * centrality signal a near-dup graph yields beyond components:

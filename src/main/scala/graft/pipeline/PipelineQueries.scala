@@ -1221,13 +1221,14 @@ object PipelineQueries {
         |  FROM documents),
         |canon AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |  regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |    lower(url),
         |    '#.*$', ''),
         |    '^https?://', ''),
         |    '^www\.', ''),
-        |    '^([^/:]+):(80|443)(/|$)', '\1\3'),
-        |    'utm_[a-z]+=[^&#]*&?', '', 'g'),
+        |    '^([^/:]+):(80|443)([/?]|$)', '\1\3'),
+        |    '([?&])utm_[a-z]+=[^&#]*', '\1', 'g'),
+        |    '([?&])&+', '\1', 'g'),
         |    '[?&]+$', ''),
         |    '/+$', '') AS canonical_url
         |  FROM caps)

@@ -24,7 +24,13 @@ object VectorOps {
     ColumnBridge.column(VecDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  def norm(a: String): Column = sqrt(dot(a, a))
+  /** L2 norm, floored at 1e-12: an all-zero embedding (failed encoder
+    * output, padding row) must score cosine 0 against everything, not
+    * 0/0 = NaN — Spark orders NaN ABOVE every number, so an unguarded
+    * zero vector would take rank 1 in every top-k and pass every
+    * similarity threshold (the same guard [[Quantize.quantized]]
+    * applies to its scale division). */
+  def norm(a: String): Column = greatest(sqrt(dot(a, a)), lit(1e-12))
 }
 
 object Ann {
@@ -145,7 +151,7 @@ object Ann {
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
       .select(col("cell"), expr("transform(pv, x -> x.v)").as("c_emb"))
-      .withColumn("c_norm", sqrt(dot(col("c_emb"), col("c_emb"))))
+      .withColumn("c_norm", greatest(sqrt(dot(col("c_emb"), col("c_emb"))), lit(1e-12)))
 
   /** The whole centroid table collapsed to a single broadcast row
     * holding the (cell, c_emb, c_norm) array. */
@@ -158,7 +164,7 @@ object Ann {
     * order makes max = best score with smallest-cell tiebreak — a PURE
     * PROJECTION over the broadcast centroid row, zero shuffle. */
   private[sim] def withCellScores(df: DataFrame, centArr: DataFrame): DataFrame =
-    df.withColumn("_n", sqrt(dot(col("embedding"), col("embedding"))))
+    df.withColumn("_n", greatest(sqrt(dot(col("embedding"), col("embedding"))), lit(1e-12)))
       .crossJoin(centArr)
       .withColumn("_cs", transform(col("cents"), c =>
         struct(
@@ -393,24 +399,9 @@ object Ann {
       }
     val sigs = vectors.select(col("vec_id").as("doc_id"),
       ColumnBridge.column(SrpSig64(ColumnBridge.expression(col("embedding")))).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"q -> pmod(shiftright(sig, q*$width), ${1L << width}))")))
-      .toDF("doc_id", "sig", "band", "key")
-    val cand = banded.groupBy("band", "key")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
-      .where(size(col("ds")) >= 2)
-      .select(explode(
-        when(size(col("ds")) <= starAbove,
-          expr(graft.dedup.Dedup.pairExpansion(
-            """y -> struct(x.doc_id AS i, y.doc_id AS j,
-              |            bit_count(x.sig ^ y.sig) AS hamming)""".stripMargin)))
-        .otherwise(expr(graft.dedup.Dedup.starExpansion(
-          "struct(x.doc_id AS i, y.doc_id AS j, bit_count(x.sig ^ y.sig) AS hamming)"))))
-        .as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.hamming").as("hamming"))
-      .where(col("hamming") <= hamCut)
-      .distinct()
+    // bucket/emission scaffolding shared with Dedup.simhash — ONE copy
+    val cand = graft.dedup.Dedup.bandedSigPairs(
+      sigs, bands = bands, width = width, starAbove = starAbove, hamCut = hamCut)
     val e = vectors.select(col("vec_id"), col("embedding"),
       norm("embedding").as("_n"))
     cand

@@ -75,16 +75,20 @@ object Pca {
       .select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))
       .select(col("i"), col("vi"), posexplode(col("e")).as(Seq("j", "vj")))
       .where(col("j") >= col("i"))
-    val gram = pairs.groupBy("i", "j")
-      .agg(sum(col("vi") * col("vj")).as("s")).collect()
-    val moments = x.select(posexplode(col("e")).as(Seq("i", "vi")))
-      .groupBy("i").agg(sum("vi").as("m"), count(lit(1)).as("n")).collect()
-    val d = moments.length
-    val n = moments.head.getAs[Long]("n").toDouble
+    // diagonal groups (i == j) carry sum(vi) and the row count
+    // alongside their gram cell, so the means come out of the SAME
+    // aggregate — one corpus scan total, not a second moments pass
+    val cells = pairs.groupBy("i", "j")
+      .agg(sum(col("vi") * col("vj")).as("s"),
+        sum(col("vi")).as("m"), count(lit(1)).as("cnt"))
+      .collect()
+    val diag = cells.filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
+    val d = diag.length
+    val n = diag.head.getAs[Long]("cnt").toDouble
     val mean = Array.ofDim[Double](d)
-    moments.foreach(r => mean(r.getAs[Int]("i")) = r.getAs[Double]("m") / n)
+    diag.foreach(r => mean(r.getAs[Int]("i")) = r.getAs[Double]("m") / n)
     val cov = Array.ofDim[Double](d, d)
-    gram.foreach { r =>
+    cells.foreach { r =>
       val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
       val c = r.getAs[Double]("s") / n - mean(i) * mean(j)
       cov(i)(j) = c; cov(j)(i) = c

@@ -58,15 +58,26 @@ object Quantize {
     * quantized corpus ONCE and feed it to [[annInt8]] / [[annInt8Ivf]]
     * — each call otherwise re-quantizes per plan subtree. */
   def quantized(vectors: DataFrame): DataFrame =
+    withQuantized(vectors)
+      .select(col("vec_id"),
+        expr("transform(qv, x -> cast(x as double) * scale)").as("embedding"))
+
+  /** (vec_id, v: double[], scale, qv: bigint[]) — ONE copy of the
+    * quantizer arithmetic (scale = amax/127 guarded against all-zero
+    * vectors; q = floor(v/scale + 0.5) clamped to ±127, explicit
+    * floor because CAST rounds in DuckDB but truncates in Spark),
+    * shared by [[quantized]] and [[int8Report]]: the report must
+    * describe the SAME quantizer that produced the stored corpus, or
+    * a drifted copy silently invalidates the audit. */
+  private def withQuantized(vectors: DataFrame): DataFrame =
     vectors
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("scale",
         greatest(expr("array_max(transform(v, x -> abs(x)))") / 127, lit(1e-12)))
-      .select(col("vec_id"), expr(
-        """transform(v, x -> cast(
-          |  greatest(least(cast(floor(x / scale + 0.5) as bigint), 127), -127)
-          |  as double) * scale)""".stripMargin).as("embedding"))
+      .withColumn("qv", expr(
+        """transform(v, x ->
+          |  greatest(least(cast(floor(x / scale + 0.5) as bigint), 127), -127))""".stripMargin))
 
   /** ANN over the int8-quantized corpus: same broadcast-queries +
     * bounded-state top-k plan as [[Ann.bruteForce]], scoring the
@@ -128,14 +139,7 @@ object Quantize {
     * same sequential double folds on both engines. */
   def int8Report(vectors: DataFrame): DataFrame = {
     import VectorOps.dot
-    val q = vectors
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("scale",
-        greatest(expr("array_max(transform(v, x -> abs(x)))") / 127, lit(1e-12)))
-      .withColumn("qv", expr(
-        """transform(v, x ->
-          |  greatest(least(cast(floor(x / scale + 0.5) as bigint), 127), -127))""".stripMargin))
+    val q = withQuantized(vectors)
       .withColumn("qd", expr("transform(qv, x -> cast(x as double))"))
     q.select(col("vec_id"), round(col("scale"), 6).as("scale"),
         expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x)").as("q_sum"),

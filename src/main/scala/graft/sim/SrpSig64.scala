@@ -51,7 +51,11 @@ case class SrpSig64(child: Expression) extends UnaryExpression {
     var j = 0
     while (j < n) {
       val x = if (fl) v.getFloat(j).toDouble else v.getDouble(j)
-      val h = fmix64(j.toLong)
+      // j + 1, never j: fmix64(0) == 0, which would give dimension 0
+      // an ALL-ZERO hyperplane row — every one of the 64 sums sharing
+      // a perfectly correlated -v[0] component instead of independent
+      // Rademacher signs, breaking the P[bit differs] = θ/π contract
+      val h = fmix64(j.toLong + 1L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) sums(b) += x else sums(b) -= x
@@ -77,7 +81,8 @@ case class SrpSig64(child: Expression) extends UnaryExpression {
          |double[] $sums = new double[64];
          |for (int $j = 0; $j < $n; $j++) {
          |  double $x = (double)$v.$get($j);
-         |  long $h = (long)$j;
+         |  long $h = (long)$j + 1L; // fmix64(0) == 0 — see nullSafeEval
+
          |  $h ^= $h >>> 33; $h *= 0xff51afd7ed558ccdL;
          |  $h ^= $h >>> 33; $h *= 0xc4ceb9fe1a85ec53L;
          |  $h ^= $h >>> 33;
