@@ -70,7 +70,15 @@ object Salt {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
                       partials: Seq[Column], merges: Seq[Column]): DataFrame = {
-    val salted = df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
+    // salt from row CONTENT, never monotonically_increasing_id: the id
+    // is nondeterministic under partial stage recompute (a lost map
+    // task re-salts its rows differently, and a row merged into two
+    // different (key, salt) partials double-counts in phase 2 — the
+    // same determinism discipline saltedJoin documents for saltOf).
+    // Identical rows share a salt; they only narrow the spread, never
+    // break correctness.
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
     val phase1 = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
       .agg(partials.head, partials.tail: _*)
     phase1.groupBy(keys.map(col): _*).agg(merges.head, merges.tail: _*)

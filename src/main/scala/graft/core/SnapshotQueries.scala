@@ -17,9 +17,13 @@ object SnapshotQueries {
     * layout, and re-paying the ingest write on every (warmup + timed)
     * invocation times the wrong thing. Per-JVM, so a fresh process never
     * trusts stale on-disk leftovers from an earlier run. */
-  private val prepared = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val prepared =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def once(key: String)(setup: => Unit): Unit =
-    if (prepared.add(key)) setup
+    // computeIfAbsent, NOT add-then-run: a THROWN setup must cache
+    // nothing, or every later call in the JVM reads a missing/partial
+    // layout (the same failed-build discipline as Indexes.ensure)
+    prepared.computeIfAbsent(key, _ => { setup; java.lang.Boolean.TRUE })
 
   /** Per-region stats: regions = n equal key ranges (the split table)
     * — the total-order bucketing from analytics.Tools with a payload

@@ -246,14 +246,19 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: (Int, String), rows: Iterator[(Int, String, Long)],
          state: GroupState[Long]) =>
-          var anchor = state.getOption.getOrElse(Long.MinValue)
+          // Option, not an in-band sentinel: a doc_id equal to any
+          // sentinel value must still be able to anchor its bucket
+          var anchor = state.getOption
           val out = List.newBuilder[LshCandidate]
           rows.foreach { case (_, _, doc) =>
-            if (anchor == Long.MinValue) anchor = doc
-            else if (doc != anchor)
-              out += LshCandidate(math.min(anchor, doc), math.max(anchor, doc))
+            anchor match {
+              case None => anchor = Some(doc)
+              case Some(a) if doc != a =>
+                out += LshCandidate(math.min(a, doc), math.max(a, doc))
+              case _ => ()
+            }
           }
-          state.update(anchor)
+          anchor.foreach(state.update)
           out.result().iterator
       }
   }
@@ -273,7 +278,15 @@ object StreamOps {
             .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
             .map(_.getPath.getName.drop(2).toInt)
         val intervalCols = Seq("valid_from", "valid_to", "is_current")
-        val out = versions match {
+        // merge base = the newest version STRICTLY BEFORE this batch:
+        // foreachBatch is at-least-once, and on replay of a committed
+        // batch N the table already holds v=N — merging from it would
+        // union batch N's cells with themselves (duplicate zero-width
+        // versions) AND overwrite the very path being read (Spark
+        // rejects that, wedging the stream on every restart). Basing
+        // on < batchId makes the batch a pure idempotent rewrite of
+        // its own version.
+        val out = versions.filter(_ < batchId) match {
           case Nil => graft.analytics.Tools.scd2Build(batch, keyCols, tsCol, tieCol)
           case vs =>
             val existing = graft.core.Snapshots.read(spark, path, vs.max)
@@ -400,7 +413,6 @@ object StreamOps {
                      retentionDays: Int = 2): Dataset[QuotaUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val retentionMs = retentionDays * 86400000L
     events
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("window"))
       .withWatermark("window", s"$retentionDays days")

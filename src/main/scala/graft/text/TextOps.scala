@@ -129,24 +129,37 @@ object TextOps {
     * token first (TopKStruct keeps the largest struct values; the
     * oracle mirrors ORDER BY cnt DESC, token DESC). */
   def vocabBuild(docs: DataFrame, k: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import graft.sim.TopKStruct
     val counts = docs.select(explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val payload = struct(col("cnt").as("c"), col("token").as("t"))
+    topKWithCoverage(counts, "token", k)
+  }
+
+  /** Top-K terms with per-term and cumulative corpus coverage — ONE
+    * copy of the heap/rank/coverage scaffolding (TopKStruct bounded
+    * heap → grand total → posexplode rank → cumulative window over
+    * the K selected rows only), shared by [[vocabBuild]] and
+    * [[bigramVocab]]: a tie-order or rounding tweak must land in both
+    * or the two vocab reports silently diverge.
+    *
+    * @param counts (`keyCol`, cnt) term counts */
+  private def topKWithCoverage(counts: DataFrame, keyCol: String,
+                               k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import graft.sim.TopKStruct
+    val payload = struct(col("cnt").as("c"), col(keyCol).as("t"))
     val agg = ColumnBridge.column(
       TopKStruct(ColumnBridge.expression(payload), k).toAggregateExpression())
     val total = counts.agg(sum(col("cnt")).as("_total"))
     counts.agg(agg.as("_top"))
       .select(posexplode(col("_top")))
       .select((col("pos") + 1).cast("bigint").as("rank"),
-        col("col.t").as("token"), col("col.c").as("cnt"))
+        col("col.t").as(keyCol), col("col.c").as("cnt"))
       .crossJoin(broadcast(total))
       .withColumn("_cum", sum(col("cnt")).over(
         Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("rank"), col("token"), col("cnt"),
+      .select(col("rank"), col(keyCol), col("cnt"),
         round(col("cnt") / col("_total"), 4).as("pct"),
         round(col("_cum") / col("_total"), 4).as("cum_pct"))
   }
@@ -159,9 +172,6 @@ object TextOps {
     * extra passes over text, the explode carries ~n tokens per doc
     * exactly like the unigram path. */
   def bigramVocab(docs: DataFrame, k: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import graft.sim.TopKStruct
     val counts = docs
       .withColumn("w", expr("filter(split(text, ' '), t -> length(t) > 0)"))
       .select(explode(expr(
@@ -170,20 +180,7 @@ object TextOps {
           |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1))),
           |  array())""".stripMargin)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
-    val payload = struct(col("cnt").as("c"), col("bigram").as("t"))
-    val agg = ColumnBridge.column(
-      TopKStruct(ColumnBridge.expression(payload), k).toAggregateExpression())
-    val total = counts.agg(sum(col("cnt")).as("_total"))
-    counts.agg(agg.as("_top"))
-      .select(posexplode(col("_top")))
-      .select((col("pos") + 1).cast("bigint").as("rank"),
-        col("col.t").as("bigram"), col("col.c").as("cnt"))
-      .crossJoin(broadcast(total))
-      .withColumn("_cum", sum(col("cnt")).over(
-        Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("rank"), col("bigram"), col("cnt"),
-        round(col("cnt") / col("_total"), 4).as("pct"),
-        round(col("_cum") / col("_total"), 4).as("cum_pct"))
+    topKWithCoverage(counts, "bigram", k)
   }
 
   /** Blocklist gate (the C4 "badwords" filter — Raffel et al. 2020
@@ -372,21 +369,6 @@ object TextOps {
       fold("substring(text, 1, 64)").as("prefix_fp"))
   }
 
-  /** TF-IDF top-`topK` terms per document — the keyword-extraction /
-    * topic-tagging pass of a curation pipeline. The idf is the
-    * [[unigramLogProb]] integer micro-log: `score = tf ·
-    * (⌊log₁₀(N+1)·10⁶⌋ − ⌊log₁₀(df+1)·10⁶⌋)` — both logs evaluate on
-    * INTEGER inputs, so floor-to-micro renders them engine-portable,
-    * and everything after is exact bigint arithmetic (no float idf to
-    * drift between engines). Rare terms score high, corpus-saturating
-    * terms score ~0; ties break on token order.
-    *
-    * Scale shape: tf is one (doc, token) map-side-combinable count;
-    * df aggregates tf's output WITHOUT re-reading text (counting tf
-    * rows = counting distinct docs per token, tf is already distinct);
-    * N broadcasts as a 1-row scalar; the per-doc ranking window is
-    * partitioned by doc_id — never global. The token join shuffles
-    * (tf, df) pairs, not text. */
   /** DSIR-style importance scoring (Xie et al. 2023 "Data Selection
     * for Language Models via Importance Resampling"): per-doc
     * log-importance weight log(p_target/p_raw) under hashed-unigram
@@ -464,10 +446,23 @@ object TextOps {
     tf.join(dfreq, "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
+      .withColumn("_idf", mlog(col("_N") + 1) - mlog(col("df") + 1))
       .select(col("doc_id"),
         // full product before the ONE floor division — dividing the
-        // tf ratio first would floor away the idf precision
-        ((mlog(col("_N") + 1) - mlog(col("df") + 1)) * col("tf") * 22 * col("_L"))
+        // tf ratio first would floor away the idf precision. The
+        // product idf_micro·tf·22·L outgrows int64 at corpus scales
+        // (L ≈ 1e10 tokens with tf 20, idf 3e6 already crosses 2^63)
+        // where non-ANSI Spark would WRAP NEGATIVE and silently invert
+        // the ranking — guard loudly instead (the rangeJoinBinned
+        // discipline). Integer divs floor the bound, so the check only
+        // errs on the strict side.
+        when(col("tf") <=
+            expr("(9223372036854775807 div (greatest(_idf, 1) * 22)) div _L"),
+          col("_idf") * col("tf") * 22 * col("_L"))
+          .otherwise(raise_error(concat(
+            lit("bm25: idf_micro*tf*22*L overflows int64 (tf="),
+            col("tf").cast("string"), lit(", L="), col("_L").cast("string"),
+            lit(") — shard the corpus or rescale the micro units"))))
           .as("_num"),
         (lit(10) * col("_L") * col("tf") + lit(3) * col("_L")
           + lit(9) * col("dl") * col("_N")).as("_den"))
@@ -590,6 +585,21 @@ object TextOps {
         expr("n_chars * 1000000 div n_tokens"))
   }
 
+  /** TF-IDF top-`topK` terms per document — the keyword-extraction /
+    * topic-tagging pass of a curation pipeline. The idf is the
+    * [[unigramLogProb]] integer micro-log: `score = tf ·
+    * (⌊log₁₀(N+1)·10⁶⌋ − ⌊log₁₀(df+1)·10⁶⌋)` — both logs evaluate on
+    * INTEGER inputs, so floor-to-micro renders them engine-portable,
+    * and everything after is exact bigint arithmetic (no float idf to
+    * drift between engines). Rare terms score high, corpus-saturating
+    * terms score ~0; ties break on token order.
+    *
+    * Scale shape: tf is one (doc, token) map-side-combinable count;
+    * df aggregates tf's output WITHOUT re-reading text (counting tf
+    * rows = counting distinct docs per token, tf is already distinct);
+    * N broadcasts as a 1-row scalar; the per-doc ranking window is
+    * partitioned by doc_id — never global. The token join shuffles
+    * (tf, df) pairs, not text. */
   def tfidf(docs: DataFrame, topK: Int = 3): DataFrame = {
     val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("token"))
