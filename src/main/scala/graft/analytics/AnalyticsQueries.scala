@@ -881,14 +881,9 @@ object AnalyticsQueries {
       val e = Tables.load(s, d, "events")
         .withColumn("c", floor(col("value") * 100).cast("bigint"))
         .select("event_type", "event_id", "c")
-      val med = Tools.groupQuantiles(e, "event_type", "c", "event_id", Seq(50))
-        .select(col("event_type"), col("p50").as("median_cents"))
-      val dev = e.join(broadcast(med), "event_type")
-        .withColumn("dev", abs(col("c") - col("median_cents")))
-      Tools.groupQuantiles(dev, "event_type", "dev", "event_id", Seq(50))
-        .select(col("event_type"), col("p50").as("mad_cents"))
-        .join(broadcast(med), "event_type")
-        .select("event_type", "median_cents", "mad_cents")
+      Tools.medianMad(e, "event_type", "c", "event_id")
+        .select(col("event_type"), col("median").as("median_cents"),
+          col("mad").as("mad_cents"))
         .orderBy("event_type")
     }),
     // First-touch attribution: each purchase credits the EARLIEST
@@ -951,16 +946,13 @@ object AnalyticsQueries {
       val e = Tables.load(s, d, "events")
         .withColumn("c", floor(col("value") * 100).cast("bigint"))
         .select("event_type", "event_id", "c")
-      val med = Tools.groupQuantiles(e, "event_type", "c", "event_id", Seq(50))
-        .select(col("event_type"), col("p50").as("med"))
-      val dev = e.join(broadcast(med), "event_type")
-        .withColumn("dev", abs(col("c") - col("med")))
-      val mad = Tools.groupQuantiles(dev, "event_type", "dev", "event_id", Seq(50))
-        .select(col("event_type"), col("p50").as("mad"))
-      e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
-        .where(abs(col("c") - col("med")) > lit(5L) * col("mad"))
+      // the SAME robust stats agg_mad publishes (one shared chain,
+      // Tools.medianMad), joined back ONCE for the flag projection
+      e.join(broadcast(Tools.medianMad(e, "event_type", "c", "event_id")),
+          "event_type")
+        .where(abs(col("c") - col("median")) > lit(5L) * col("mad"))
         .select(col("event_id"), col("event_type"), col("c").as("value_cents"),
-          (col("c") - col("med")).as("dev_cents"))
+          (col("c") - col("median")).as("dev_cents"))
         .orderBy("event_id")
     }),
     // Equi-depth histogram (the ANALYZE / optimizer-statistics shape,
@@ -1604,15 +1596,11 @@ object AnalyticsQueries {
         val edits = Tables.eventCells(s, d)
           .withColumn("op",
             when(col("event_id") % 7 === 0, "delete").otherwise("put"))
-        val b = edits.agg(min("rowkey").as("_lo"), max("rowkey").as("_hi"))
         // HFileOutputFormat2's partitioner takes the TARGET TABLE's
         // region boundaries (configureIncrementalLoad), not a data
         // sample — here the 8 total-order regions; one shuffle lands
         // every cell in its region's sorted file
-        edits.crossJoin(broadcast(b))
-          .withColumn("region", Tools.totalOrderBucket(
-            col("rowkey"), col("_lo"), col("_hi"), 8))
-          .drop("_lo", "_hi")
+        Tools.withTotalOrderTag(edits, "rowkey", 8)
           .repartition(col("region"))
           .sortWithinPartitions("region", "rowkey")
           .write.partitionBy("region").mode("overwrite").parquet(target)
@@ -1710,23 +1698,17 @@ object AnalyticsQueries {
     // reproducible). Old placement = the 5-server round-robin deal,
     // server 2 dead. Windows rank region-metadata rows only.
     "retain_assignment" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val dead = 2
-      val live = Seq(0, 1, 3, 4)
+      // the drain/deal arithmetic is EXACTLY regionMoverPlan's (a dead
+      // server at startup = a drained server mid-flight): live-host
+      // regions keep their server, the dead host's regions deal
+      // bucket-ordered round-robin over the survivors skipping the
+      // dead slot — one shared copy, renamed to retention vocabulary
       val old = Tools.balancerPlan(
         Tools.totalOrderBuckets(Tables.load(s, d, "orders"), "o_orderkey", 16), 5)
-      val w = Window.partitionBy("_isDead").orderBy("bucket")
-      old
-        .withColumn("_isDead", col("server") === dead)
-        .withColumn("_idx", pmod(row_number().over(w) - 1, lit(live.size)))
-        .select(col("bucket"), col("n_rows"), col("server").as("old_server"),
-          when(!col("_isDead"), col("server"))
-            .otherwise(
-              live.zipWithIndex.foldLeft(lit(-1)) { case (acc, (sv, i)) =>
-                when(col("_idx") === i, lit(sv)).otherwise(acc)
-              })
-            .cast("int").as("dest_server"),
-          (!col("_isDead")).as("retained"))
+      Tools.regionMoverPlan(old, nServers = 5, drain = 2)
+        .select(col("bucket"), col("n_rows"),
+          col("src_server").as("old_server"), col("dest_server"),
+          (!col("moved")).as("retained"))
         .orderBy("bucket")
     }),
     // RegionSplitter HexStringSplit (util/RegionSplitter.java:893):

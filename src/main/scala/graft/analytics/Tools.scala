@@ -336,6 +336,21 @@ object Tools {
   def totalOrderBucket(key: Column, lo: Column, hi: Column, n: Int): Column =
     floor((key - lo) * n / (hi - lo + 1)).cast("bigint")
 
+  /** Per-ROW total-order region tag — the row-level sibling of
+    * [[totalOrderBuckets]] (which aggregates away the rows): bounds
+    * from one 1-row aggregate broadcast back, tag from
+    * [[totalOrderBucket]], helper columns dropped. ONE copy of the
+    * bounds plumbing for queries that tag rows before their OWN
+    * grouping (compaction/flush/split policies, bulk outputs). */
+  def withTotalOrderTag(df: DataFrame, keyCol: String, n: Int,
+                        tagName: String = "region"): DataFrame = {
+    val b = df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
+    df.crossJoin(broadcast(b))
+      .withColumn(tagName,
+        totalOrderBucket(col(keyCol), col("_lo"), col("_hi"), n))
+      .drop("_lo", "_hi")
+  }
+
   def totalOrderBuckets(df: DataFrame, keyCol: String, n: Int,
                         extraAggs: Seq[Column] = Nil,
                         bucketName: String = "bucket"): DataFrame = {
@@ -369,8 +384,11 @@ object Tools {
     import org.apache.spark.sql.expressions.Window
     val r = broadcast(regions.select(col("region").as("_r"),
       col("start_key").as("_rs"), col("end_key").as("_re")))
+    // NULL start = the open-start first region (the same META
+    // convention regionLocate handles): it must catch every file its
+    // end allows, not NULL out of the join
     files.join(r,
-        col("last_key") >= col("_rs") &&
+        (col("_rs").isNull || col("last_key") >= col("_rs")) &&
         (col("_re").isNull || col("first_key") < col("_re")))
       .select(col("hfile"),
         col("_r").as("region"),
@@ -711,12 +729,17 @@ object Tools {
       .agg(count(lit(1)).as("n_edits"),
         min(col(tsCol)).as("oldest_ts"), max(col(tsCol)).as("newest_ts"))
     val cut = wal.agg((max(col(tsCol)) - expr(s"INTERVAL $ttl")).as("_cut"))
-    val wm = peers.agg(min(col("replicated_upto")).as("_wm"))
+    val wm = peers.agg(min(col("replicated_upto")).as("_wm"),
+      count(lit(1)).as("_npeers"))
     segs.crossJoin(broadcast(cut)).crossJoin(broadcast(wm))
       .withColumn("ttl_ok", col("newest_ts") < col("_cut"))
-      .withColumn("shipped_ok", col("newest_ts") <= col("_wm"))
+      // no peers configured = the replication delegate passes through
+      // (ReplicationLogCleaner with an empty queue set) — a NULL min
+      // watermark must not NULL-poison deletable into never-delete
+      .withColumn("shipped_ok",
+        col("_npeers") === 0L || col("newest_ts") <= col("_wm"))
       .withColumn("deletable", col("ttl_ok") && col("shipped_ok"))
-      .drop("_cut", "_wm")
+      .drop("_cut", "_wm", "_npeers")
   }
 
   /** PREFIX data-block-encoding savings audit (hbase-common/.../io/
@@ -1426,6 +1449,24 @@ object Tools {
           .otherwise("end"))
       .select("client", "epoch", "batch", "n_mutations", "bytes",
         "first_ts", "last_ts", "closed_by")
+  }
+
+  /** Per-group exact (median, MAD) on the discrete-quantile machinery
+    * — ONE copy of the robust-stats chain, shared by `agg_mad` (the
+    * stats report) and `anomaly_mad` (the flags built on them): the
+    * two must agree on every quantile convention or the flags stop
+    * matching the published stats. Two groupQuantiles passes + two
+    * broadcast joins of group-cardinality relations. */
+  def medianMad(e: DataFrame, groupCol: String, valCol: String,
+                tieCol: String): DataFrame = {
+    val med = groupQuantiles(e, groupCol, valCol, tieCol, Seq(50))
+      .select(col(groupCol), col("p50").as("median"))
+    val dev = e.join(broadcast(med), groupCol)
+      .withColumn("_dev", abs(col(valCol) - col("median")))
+    groupQuantiles(dev, groupCol, "_dev", tieCol, Seq(50))
+      .select(col(groupCol), col("p50").as("mad"))
+      .join(broadcast(med), groupCol)
+      .select(col(groupCol), col("median"), col("mad"))
   }
 
   /** ProcedureStore WAL replay fold (hbase-procedure ProcedureExecutor

@@ -152,9 +152,15 @@ object Filters {
   /** ColumnPaginationFilter's cell predicate as a composable Column —
     * the single source of the pagination semantics, shared by
     * [[columnPagination]] and the ParseFilter DSL (two hand-synced
-    * copies would drift). Window-shaped: materialize before WHERE. */
-  def columnPaginationPredicate(limit: Int, offset: Int): Column = {
-    val w = Window.partitionBy("rowkey").orderBy("family", "qualifier")
+    * copies would drift). `orderCols` is the cell scan order — on a
+    * VERSIONED view (family, qualifier) alone is not unique and the
+    * row_number tie would be partition-order nondeterministic, so such
+    * callers append ts desc + a unique tiebreak (the same contract as
+    * [[firstKeyValueMatchingQualifiers]]). Window-shaped: materialize
+    * before WHERE. */
+  def columnPaginationPredicate(limit: Int, offset: Int,
+      orderCols: Seq[Column] = Seq(col("family"), col("qualifier"))): Column = {
+    val w = Window.partitionBy("rowkey").orderBy(orderCols: _*)
     val rn = row_number().over(w)
     rn > offset && rn <= offset + limit
   }
@@ -162,16 +168,19 @@ object Filters {
   /** ColumnPaginationFilter.java — per row, `limit` cells starting at
     * `offset`, in qualifier order. Window over (rowkey), no shuffle
     * beyond the hash partition on rowkey. */
-  def columnPagination(cells: DataFrame, limit: Int, offset: Int): DataFrame =
-    cells.withColumn("_keep", columnPaginationPredicate(limit, offset))
+  def columnPagination(cells: DataFrame, limit: Int, offset: Int,
+      orderCols: Seq[Column] = Seq(col("family"), col("qualifier"))): DataFrame =
+    cells.withColumn("_keep", columnPaginationPredicate(limit, offset, orderCols))
       .where(col("_keep")).drop("_keep")
 
   /** FirstKeyOnlyFilter's cell predicate as a composable Column (the
     * DSL form of [[firstKeyOnly]]): true only for the row's first cell
-    * in (family, qualifier) order. Window-shaped: materialize before
-    * WHERE (ParseFilter.filter does). */
-  def firstKeyOnlyPredicate: Column = {
-    val w = Window.partitionBy("rowkey").orderBy("family", "qualifier")
+    * in `orderCols` order — versioned views append ts desc + a unique
+    * tiebreak, as [[columnPaginationPredicate]] documents. Window-
+    * shaped: materialize before WHERE (ParseFilter.filter does). */
+  def firstKeyOnlyPredicate(
+      orderCols: Seq[Column] = Seq(col("family"), col("qualifier"))): Column = {
+    val w = Window.partitionBy("rowkey").orderBy(orderCols: _*)
     row_number().over(w) === 1
   }
 
@@ -308,8 +317,14 @@ object Filters {
   def whileMatch(df: DataFrame, keyCol: String, pred: Column): DataFrame = {
     val firstFail = df.where(coalesce(pred, lit(false)) === false)
       .agg(min(col(keyCol)).as("_wm_first_fail"))
+    // NULL first-fail (nothing failed) keeps EVERY row via isNull, not
+    // a max-value sentinel: coalesce(…, Long.MaxValue) would type-
+    // coerce to string on a VARCHAR rowkey and turn the stop condition
+    // into a lexicographic compare against "92233…", silently dropping
+    // high-sorting keys — the no-fail branch must be type-free
     df.join(broadcast(firstFail),
-        df(keyCol) < coalesce(firstFail("_wm_first_fail"), lit(Long.MaxValue)), "inner")
+        firstFail("_wm_first_fail").isNull ||
+          df(keyCol) < firstFail("_wm_first_fail"), "inner")
       .drop("_wm_first_fail")
   }
 

@@ -347,7 +347,7 @@ object ParseFilter {
           // ColumnCountGetFilter.java: at most n cells per row in
           // (family, qualifier) order = pagination at offset 0
           Pred(Filters.columnPaginationPredicate(number().toInt, 0))
-        case "FirstKeyOnlyFilter" => Pred(Filters.firstKeyOnlyPredicate)
+        case "FirstKeyOnlyFilter" => Pred(Filters.firstKeyOnlyPredicate())
         case "FirstKeyValueMatchingQualifiersFilter" =>
           // FirstKeyValueMatchingQualifiersFilter.java:49 — qualifier
           // set as quoted args; cells pass until the first match, then

@@ -100,14 +100,23 @@ object Mutations {
   /** Append — concatenate onto a cell value. Batch form: per key, fold
     * all appended values in a deterministic order. sort_array on a
     * (ts, id, value) struct keeps it reproducible across partitionings. */
-  def appendCells(vcells: DataFrame): DataFrame =
-    vcells.groupBy("rowkey", "qualifier")
+  def appendCells(vcells: DataFrame): DataFrame = {
+    // the Append coordinate is (row, family, qualifier) — two families
+    // sharing a qualifier must NOT concatenate into one value; views
+    // projected without a family column (single-family tables) group
+    // on (row, qualifier) alone
+    val keys =
+      if (vcells.columns.contains("family"))
+        Seq("rowkey", "family", "qualifier")
+      else Seq("rowkey", "qualifier")
+    vcells.groupBy(keys.map(col): _*)
       .agg(array_join(
         transform(
           sort_array(collect_list(struct(col("ts"), col("event_id"),
             col("value").cast("string").as("value")))),
           s => s.getField("value")),
         ",").as("appended"))
+  }
 
   /** checkAndPut — CAS (HTable.checkAndPut): each put is applied ONLY
     * where the CURRENT base row satisfies `check` (the compare half of

@@ -40,11 +40,19 @@ object Scans {
     * keeps between scanner RPCs, derived in-plan. Pages are tagged
     * `page_idx` and unioned (each page re-derives its predecessors'
     * n-row aggregates — n·pageSize rows of repeated work, the price of
-    * statelessness, negligible against any real scan). */
+    * statelessness, negligible against any real scan).
+    *
+    * `keyCol` must be UNIQUE per row (an HBase rowkey is): the resume
+    * predicate is strictly `key > cursor`, so rows SHARING the
+    * page-boundary key would be skipped by the next page — duplicate
+    * keys need a composite unique cursor instead. It must also appear
+    * in `projection` (the cursor is derived from the projected page). */
   def pagedScan(df: DataFrame, keyCol: String, pageSize: Int, nPages: Int,
                 projection: Seq[String]): DataFrame = {
     require(pageSize >= 1 && nPages >= 1,
       s"need pageSize ($pageSize) >= 1 and nPages ($nPages) >= 1")
+    require(projection.contains(keyCol),
+      s"projection must carry the cursor key '$keyCol' (got $projection)")
     var cursor: Option[DataFrame] = None
     val pages = (0 until nPages).map { i =>
       val base = cursor.fold(df)(c =>
