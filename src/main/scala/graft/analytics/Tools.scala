@@ -1451,6 +1451,33 @@ object Tools {
         "first_ts", "last_ts", "closed_by")
   }
 
+  /** The bounded-cell prefix scaffold (histogram_equi_depth's two-pass
+    * trick made reusable): tag `df`'s rows with a ≤`cells`-cell range
+    * bucket over `valCol`, and compute each cell's cumsum-BEFORE of
+    * `weight` over the bounded cell table — the only unpartitioned
+    * window in the shape runs over ≤`cells` rows, never a
+    * data-cardinality child. Consumers join `prefix` back on `_cell`
+    * and refine in-cell if they need exact per-row prefixes. ONE copy
+    * of the cell formula/monotonicity for eval_auc, curriculum_order
+    * and friends.
+    *
+    * @return (celled rows with `_cell`, prefix table (_cell, _before)) */
+  def cellPrefix(df: DataFrame, valCol: String, cells: Int,
+                 weight: Column): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.agg(min(valCol).as("_lo"), max(valCol).as("_hi"))
+    val celled = df.crossJoin(broadcast(bounds))
+      .withColumn("_cell", ((col(valCol) - col("_lo")) * cells /
+        (col("_hi") - col("_lo") + 1)).cast("bigint"))
+      .drop("_lo", "_hi")
+    val wCell = Window.orderBy("_cell")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefix = celled.groupBy("_cell").agg(sum(weight).as("_w"))
+      .withColumn("_before", sum("_w").over(wCell) - col("_w"))
+      .select("_cell", "_before")
+    (celled, prefix)
+  }
+
   /** Per-group exact (median, MAD) on the discrete-quantile machinery
     * — ONE copy of the robust-stats chain, shared by `agg_mad` (the
     * stats report) and `anomaly_mad` (the flags built on them): the

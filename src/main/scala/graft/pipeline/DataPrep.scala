@@ -171,20 +171,6 @@ object DataPrep {
         ((col("_cum") - col("n_tokens")) % ctxTokens).as("seq_offset"))
   }
 
-  /** Deterministic fixed-size per-group sample (the reproducible form
-    * of reservoir sampling): for each group, the `k` rows whose Knuth
-    * key hash sorts lowest — a "random" draw that every engine, run,
-    * and partitioning reproduces bit-for-bit, unlike rand()-seeded
-    * reservoirs whose output depends on partition iteration order.
-    * Draws are ranked (1..k, hash order, doc-id tie-break) so
-    * downstream can take any prefix for a smaller sample without
-    * re-drawing — the nested property real eval-set carving relies on.
-    *
-    * Scale shape: ranking rides the bounded-state [[graft.sim.TopKStruct]]
-    * heap, NOT a per-group window sort — each input partition reduces
-    * to ≤ k rows of state before the one shuffle, so a 10⁹-row group
-    * costs the same shuffle bytes as a 10³-row one. A group with fewer
-    * than k rows yields all of them. */
   /** Group-aware train/valid/test split — the assignment-time guard
     * against eval contamination: the split is a pure md5 hash of the
     * GROUP key (source domain, url host, dedup-cluster id …), so every
@@ -209,6 +195,20 @@ object DataPrep {
         .otherwise("test"))
   }
 
+  /** Deterministic fixed-size per-group sample (the reproducible form
+    * of reservoir sampling): for each group, the `k` rows whose Knuth
+    * key hash sorts lowest — a "random" draw that every engine, run,
+    * and partitioning reproduces bit-for-bit, unlike rand()-seeded
+    * reservoirs whose output depends on partition iteration order.
+    * Draws are ranked (1..k, hash order, doc-id tie-break) so
+    * downstream can take any prefix for a smaller sample without
+    * re-drawing — the nested property real eval-set carving relies on.
+    *
+    * Scale shape: ranking rides the bounded-state [[graft.sim.TopKStruct]]
+    * heap, NOT a per-group window sort — each input partition reduces
+    * to ≤ k rows of state before the one shuffle, so a 10⁹-row group
+    * costs the same shuffle bytes as a 10³-row one. A group with fewer
+    * than k rows yields all of them. */
   def sampleReservoir(df: DataFrame, keyCol: String, groupCol: String,
                       k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

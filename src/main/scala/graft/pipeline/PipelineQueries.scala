@@ -7,6 +7,7 @@ import graft.dedup.Dedup
 import graft.sim.Ann
 import graft.text.TextOps
 import graft.multimodal.MM
+import graft.analytics.Tools
 
 /** SURVEY §2G–J — the LLM-training-data pipeline operators as verified
   * queries over `documents` / `embeddings`.
@@ -80,6 +81,33 @@ object PipelineQueries {
 
   private def shingleTab(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "shingles")(Dedup.shingles(docs(s, d)))
+
+  /** The jittered-twin embedding corpus (base ∪ every-10th vector
+    * scaled ×1.01 plus a small per-dimension pmod jitter, ids offset
+    * by 10⁶) — ONE copy of the planting shared by `dedup_semantic`
+    * and `dedup_embedding_srp`: the jitter formula IS those queries'
+    * spec'd near-dup ground truth, so a drifted second copy would
+    * decouple a query from its recall contract. */
+  private def twinEmb(s: SparkSession, d: String): DataFrame = {
+    val base = emb(s, d).select("vec_id", "embedding")
+    val planted = base.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, j) -> " +
+          "CAST(x * 1.01D + 0.001D * pmod(vec_id + j, 7) AS FLOAT))")
+          .as("embedding"))
+    base.unionByName(planted)
+  }
+
+  /** DISTINCT (source, shingle md5 digest) presence pairs — ONE copy
+    * of the presence semantics shared by `ngram_novelty` and
+    * `source_overlap` (their two reports must agree on what "a source
+    * contains a shingle" means); only 16-byte digests shuffle. */
+  private def presencePairs(s: SparkSession, d: String): DataFrame =
+    shingleTab(s, d)
+      .join(docs(s, d).select("doc_id", "source"), "doc_id")
+      .select(col("source"), explode(col("shs")).as("_sh"))
+      .select(col("source"), md5(col("_sh")).as("g"))
+      .distinct()
 
   /** Capped-ngram near-dup pairs with the registered parameters
     * (threshold 0.5, maxDf 8, minShared 2). Dependencies are resolved
@@ -155,7 +183,13 @@ object PipelineQueries {
         .select((col("doc_id") + 500000).as("doc_id"),
           expr("array_join(slice(split(text, ' '), 1, " +
             "greatest(3, (size(split(text, ' ')) + 1) div 2)), ' ')").as("text"))
-      Dedup.ngramContainment(corpus.unionByName(quotes), 0.9)
+      val aug = corpus.unionByName(quotes)
+      // the AUGMENTED corpus's shingle table pins through the memo
+      // (one per session, released by resetShared) — the bare call
+      // would localCheckpoint a fresh copy per invocation that
+      // nothing ever frees (the r4 block-manager accumulation mode)
+      val sh = memoized(s, d, "contain_shingles")(Dedup.shingles(aug))
+      Dedup.ngramContainment(aug, 0.9, shingleTable = Some(sh))
         .orderBy("i", "j")
     }),
     // cluster resolution: the pair report made actionable — connected
@@ -209,11 +243,7 @@ object PipelineQueries {
     // count in a second — only 16-byte md5 digests ever shuffle, the
     // shingle text stays in its scan (the decontaminate discipline).
     "ngram_novelty" -> ((s, d) => {
-      val pres = shingleTab(s, d)
-        .join(docs(s, d).select("doc_id", "source"), "doc_id")
-        .select(col("source"), explode(col("shs")).as("_sh"))
-        .select(col("source"), md5(col("_sh")).as("g"))
-        .distinct()
+      val pres = presencePairs(s, d)
       val counts = pres.groupBy("g").agg(count(lit(1)).as("n_src"))
       pres.join(counts, "g")
         .groupBy("source")
@@ -230,11 +260,7 @@ object PipelineQueries {
     // count (≤ C(n_sources, 2) pairs per digest, a constant) — never
     // a doc-level pair explosion; only digests shuffle.
     "source_overlap" -> ((s, d) => {
-      val pres = shingleTab(s, d)
-        .join(docs(s, d).select("doc_id", "source"), "doc_id")
-        .select(col("source"), explode(col("shs")).as("_sh"))
-        .select(col("source"), md5(col("_sh")).as("g"))
-        .distinct()
+      val pres = presencePairs(s, d)
       val sizes = pres.groupBy("source").agg(count(lit(1)).as("n"))
       val a = pres.select(col("source").as("src_a"), col("g"))
       val b = pres.select(col("source").as("src_b"), col("g"))
@@ -385,23 +411,16 @@ object PipelineQueries {
     // groups recovered inside kmeans cells, one low-centroid-cosine
     // exemplar kept per group (rows-only: float kmeans; spec-proved)
     "dedup_semantic" -> ((s, d) => {
-      val base = emb(s, d).select("vec_id", "embedding")
-      val planted = base.where(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          expr("transform(embedding, (x, j) -> " +
-            "CAST(x * 1.01D + 0.001D * pmod(vec_id + j, 7) AS FLOAT))").as("embedding"))
-      Ann.semanticDedup(base.unionByName(planted), iters = 2,
-          threshold = 0.95)
+      // memoizedPinned: semanticDedup pins its kmeans assignment and
+      // the CC label generation inside the returned plan — the memo
+      // makes resetShared's CheckpointBridge.free walk them, instead
+      // of a fresh pair of pinned tables leaking per invocation
+      memoizedPinned(s, d, "semantic_dedup")(
+          Ann.semanticDedup(twinEmb(s, d), iters = 2, threshold = 0.95))
         .orderBy("vec_id")
     }),
-    "dedup_embedding_srp" -> ((s, d) => {
-      val base = emb(s, d).select("vec_id", "embedding")
-      val planted = base.where(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          expr("transform(embedding, (x, j) -> " +
-            "CAST(x * 1.01D + 0.001D * pmod(vec_id + j, 7) AS FLOAT))").as("embedding"))
-      Ann.srpDupPairs(base.unionByName(planted), 0.9).orderBy("i", "j")
-    }),
+    "dedup_embedding_srp" -> ((s, d) =>
+      Ann.srpDupPairs(twinEmb(s, d), 0.9).orderBy("i", "j")),
     // ExactSubstr cross-doc repeated spans: distinct word-8-grams
     // md5-digested, df computed on the digest, per-doc shared fraction
     "dedup_substring" -> ((s, d) =>
@@ -679,7 +698,6 @@ object PipelineQueries {
     // auc_ppm is exact floor arithmetic end-to-end.
     "eval_auc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val cells = 4096
       val e = Tables.load(s, d, "embeddings")
         .withColumn("score_ppm",
           floor(element_at(col("embedding"), 1).cast("double") * 1000000)
@@ -687,23 +705,15 @@ object PipelineQueries {
         .withColumn("pos", (col("label") >= 5).cast("bigint"))
       val hist = e.groupBy("score_ppm")
         .agg(sum("pos").as("pos_b"), sum(lit(1L) - col("pos")).as("neg_b"))
-      val bounds = hist.agg(min("score_ppm").as("_lo"),
-        max("score_ppm").as("_hi"))
-      val celled = hist.crossJoin(broadcast(bounds))
-        .withColumn("_cell",
-          ((col("score_ppm") - col("_lo")) * cells /
-            (col("_hi") - col("_lo") + 1)).cast("bigint"))
-      val wCell = Window.orderBy("_cell")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cellCum = celled.groupBy("_cell").agg(sum("neg_b").as("_cellNeg"))
-        .withColumn("_cell_neg_before",
-          sum("_cellNeg").over(wCell) - col("_cellNeg"))
-        .select("_cell", "_cell_neg_before")
+      // the shared bounded-cell prefix scaffold (Tools.cellPrefix) +
+      // an in-cell refinement window partitioned per cell
+      val (celled, prefix) =
+        Tools.cellPrefix(hist, "score_ppm", 4096, col("neg_b"))
       val wIn = Window.partitionBy("_cell").orderBy("score_ppm")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      celled.join(broadcast(cellCum), "_cell")
+      celled.join(broadcast(prefix), "_cell")
         .withColumn("neg_below",
-          col("_cell_neg_before") + sum("neg_b").over(wIn) - col("neg_b"))
+          col("_before") + sum("neg_b").over(wIn) - col("neg_b"))
         .agg(sum("pos_b").as("n_pos"), sum("neg_b").as("n_neg"),
           sum(expr("pos_b * (2 * neg_below + neg_b)")).as("_u2"))
         .select(col("n_pos"), col("n_neg"),
@@ -770,23 +780,16 @@ object PipelineQueries {
     // (the eval_auc machinery), phase = cell-prefix quartile. The
     // training-order manifest for curriculum learning, scale-safe.
     "curriculum_order" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val cells = 4096
       val scored = TextOps.qualityClassifier(docs(s, d))
         .select("doc_id", "score_micro")
-      val bounds = scored.agg(min("score_micro").as("_lo"),
-        max("score_micro").as("_hi"))
-      val celled = scored.crossJoin(broadcast(bounds))
-        .withColumn("_cell", ((col("score_micro") - col("_lo")) * cells /
-          (col("_hi") - col("_lo") + 1)).cast("bigint"))
-      val wCell = Window.orderBy("_cell")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cellCum = celled.groupBy("_cell").agg(count(lit(1)).as("_n"))
-        .withColumn("_b4", sum("_n").over(wCell) - col("_n"))
+      // the shared bounded-cell prefix scaffold (Tools.cellPrefix);
+      // phase granularity is cell-level, so no in-cell refinement
+      val (celled, prefix) =
+        Tools.cellPrefix(scored, "score_micro", 4096, lit(1L))
       val tot = scored.agg(count(lit(1)).as("_t"))
-      celled.join(broadcast(cellCum.select("_cell", "_b4")), "_cell")
+      celled.join(broadcast(prefix), "_cell")
         .crossJoin(broadcast(tot))
-        .withColumn("phase", expr("_b4 * 4 div _t"))
+        .withColumn("phase", expr("_before * 4 div _t"))
         .select("doc_id", "score_micro", "phase")
         .orderBy("doc_id")
     }),
@@ -906,13 +909,6 @@ object PipelineQueries {
         .select(col("label"), col("rn").cast("bigint").as("rn"), col("vec_id"))
         .orderBy("label", "rn")
     }),
-    // Deterministic training-shard assignment: shard = md5(doc_id)
-    // folded to 60 bits, mod 16 — the content-independent hash split
-    // every epoch-reshuffle pipeline needs (stable across runs and
-    // engines, unlike hash()/xxhash64 whose seeds are Spark-private).
-    // The manifest (counts, char volume, id range per shard) is one
-    // aggregate; at 100 TB the same expression IS the partitionBy
-    // column for the sharded write — assignment never leaves codegen.
     // group-aware train/valid/test split: assignment is a pure md5
     // hash of the SOURCE (all docs of a source share a split — the
     // leakage guard), rollup per split; group-integrity spec-proved
@@ -923,6 +919,13 @@ object PipelineQueries {
           countDistinct(col("source")).as("n_groups"),
           sum("n_chars").as("total_chars"))
         .orderBy("split")),
+    // Deterministic training-shard assignment: shard = md5(doc_id)
+    // folded to 60 bits, mod 16 — the content-independent hash split
+    // every epoch-reshuffle pipeline needs (stable across runs and
+    // engines, unlike hash()/xxhash64 whose seeds are Spark-private).
+    // The manifest (counts, char volume, id range per shard) is one
+    // aggregate; at 100 TB the same expression IS the partitionBy
+    // column for the sharded write — assignment never leaves codegen.
     "shuffle_shard" -> ((s, d) =>
       Tables.load(s, d, "documents")
         .withColumn("shard", expr(
@@ -1064,6 +1067,19 @@ object PipelineQueries {
 
   private val markerIn = TextOps.EnMarkers.map(w => s"'$w'").mkString(", ")
 
+  /** DuckDB mirror of [[presencePairs]] (tok/sh/pres CTE chain) —
+    * ONE copy shared by the ngram_novelty and source_overlap oracles,
+    * matching the ONE Spark-side copy. */
+  private val ddPresencePairs: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                        for i in range(1, len(ts) - 1)]) AS shs
+      |       FROM tok WHERE len(ts) >= 3),
+      |pres AS (SELECT DISTINCT source, md5(sg) AS g
+      |         FROM (SELECT doc_id, unnest(shs) AS sg FROM sh) e
+      |         JOIN documents USING (doc_id))""".stripMargin
+
   // ---- DuckDB byte-arithmetic helpers for the mm_meta oracle (mirror
   //      MM.scala's synthesis/parse exactly; all offsets 1-based) ----
   /** n as `nbytes` big-endian bytes (BLOB). */
@@ -1090,6 +1106,25 @@ object PipelineQueries {
     * DuckDB mirror of MM.synthesizePayload — all three mm oracles build
     * on these. */
   private val ddPayloadCtes: String = ddPayloadCtesFrom("documents")
+
+  /** DuckDB mirror of MM's GVID video-container synthesis + header
+    * walk (params/payloads/hexed/geo CTE chain over `src`) — ONE copy
+    * for the three video oracles (frame sample, scene detect, video
+    * dedup), the same factoring [[ddPayloadCtesFrom]] gives the image
+    * oracles: a header-layout change must land exactly once. */
+  private def ddGvidCtes(src: String): String =
+    s"""params AS (
+       |  SELECT doc_id, text,
+       |         4 + doc_id % 13 AS nf, 16 + doc_id % 32 AS fs
+       |  FROM $src),
+       |payloads AS (
+       |  SELECT doc_id,
+       |    encode('GVID') || ${ddBe("nf", 2)} || ${ddBe("fs", 2)} ||
+       |      CAST(rpad(text, CAST(nf * fs AS INT), '.') AS BLOB) AS payload
+       |  FROM params),
+       |hexed AS (SELECT doc_id, upper(hex(payload)) AS h FROM payloads),
+       |geo AS (SELECT doc_id, h, ${ddBei("5", 2)} AS n_frames, ${ddBei("7", 2)} AS fs
+       |        FROM hexed WHERE ${ddHx("1", 4)} = '47564944')""".stripMargin
 
   /** [[ddPayloadCtes]] over an arbitrary (doc_id, text) source — the
     * phash oracle synthesizes from an AUGMENTED corpus (planted twins)
@@ -1287,16 +1322,9 @@ object PipelineQueries {
          |$rounds
          |SELECT node, p AS p_micro FROM it3 ORDER BY node""".stripMargin
     },
-    // same shingling, presence via DISTINCT (source, digest) pairs
+    // same shingling, presence via the shared DISTINCT-pair CTE
     "ngram_novelty" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-        |                        for i in range(1, len(ts) - 1)]) AS shs
-        |       FROM tok WHERE len(ts) >= 3),
-        |pres AS (SELECT DISTINCT source, md5(sg) AS g
-        |         FROM (SELECT doc_id, unnest(shs) AS sg FROM sh) e
-        |         JOIN documents USING (doc_id)),
+      s"""WITH $ddPresencePairs,
         |c AS (SELECT g, count(*) AS n_src FROM pres GROUP BY 1)
         |SELECT source, count(*) AS n_shingles,
         |       CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1306,14 +1334,7 @@ object PipelineQueries {
         |FROM pres JOIN c USING (g) GROUP BY 1 ORDER BY source""".stripMargin,
     // same presence pairs, digest-keyed self-join, both containments
     "source_overlap" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-        |                        for i in range(1, len(ts) - 1)]) AS shs
-        |       FROM tok WHERE len(ts) >= 3),
-        |pres AS (SELECT DISTINCT source, md5(sg) AS g
-        |         FROM (SELECT doc_id, unnest(shs) AS sg FROM sh) e
-        |         JOIN documents USING (doc_id)),
+      s"""WITH $ddPresencePairs,
         |sz AS (SELECT source, count(*) AS n FROM pres GROUP BY 1),
         |ov AS (SELECT a.source AS src_a, b.source AS src_b,
         |              count(*) AS n_shared
@@ -1608,12 +1629,14 @@ object PipelineQueries {
         |         AS shared_frac
         |FROM g JOIN df USING (h) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "sample_mixture" ->
-      """WITH c AS (SELECT source, count(*) AS ns FROM documents GROUP BY 1),
-        |w AS (SELECT * FROM (VALUES ('src0', 40), ('src1', 30), ('src2', 20), ('src3', 10))
+      """WITH w AS (SELECT * FROM (VALUES ('src0', 40), ('src1', 30), ('src2', 20), ('src3', 10))
         |      t(source, w)),
-        |tt AS (SELECT min((ns * 100) // w) AS t FROM c JOIN w USING (source)),
+        |c AS (SELECT w.source, w.w, coalesce(n.ns, 0) AS ns
+        |      FROM w LEFT JOIN (SELECT source, count(*) AS ns
+        |                        FROM documents GROUP BY 1) n USING (source)),
+        |tt AS (SELECT min((ns * 100) // w) AS t FROM c),
         |thr AS (SELECT source, ((((w * t) // 100)) * 4294967296) // ns AS thr
-        |        FROM c JOIN w USING (source), tt)
+        |        FROM c, tt WHERE ns > 0)
         |SELECT d.doc_id, d.source, d.lang, d.n_chars
         |FROM documents d JOIN thr USING (source)
         |WHERE ((((doc_id % 2147483648) + 2147483648) % 2147483648) * 2654435761) % 4294967296 < thr
@@ -2161,18 +2184,7 @@ object PipelineQueries {
           | UNION ALL
           | SELECT doc_id + 416000, substr(text, 1, length(text) - 1) || '~'
           | FROM documents WHERE doc_id % 11 = 2),
-          |params AS (
-          |  SELECT doc_id, text,
-          |         4 + doc_id % 13 AS nf, 16 + doc_id % 32 AS fs
-          |  FROM aug),
-          |payloads AS (
-          |  SELECT doc_id,
-          |    encode('GVID') || ${ddBe("nf", 2)} || ${ddBe("fs", 2)} ||
-          |      CAST(rpad(text, CAST(nf * fs AS INT), '.') AS BLOB) AS payload
-          |  FROM params),
-          |hexed AS (SELECT doc_id, upper(hex(payload)) AS h FROM payloads),
-          |geo AS (SELECT doc_id, h, ${ddBei("5", 2)} AS n_frames, ${ddBei("7", 2)} AS fs
-          |        FROM hexed WHERE ${ddHx("1", 4)} = '47564944'),
+          |${ddGvidCtes("aug")},
           |idx AS (SELECT doc_id, h, fs, unnest(range(0, n_frames, 1)) AS fi
           |        FROM geo),
           |fpt AS (SELECT doc_id, ${ddBei("9 + fi * fs", 4)} AS fp FROM idx),
@@ -2195,36 +2207,14 @@ object PipelineQueries {
           |  FROM v)
           |WHERE jaccard >= 0.8 ORDER BY i, j""".stripMargin),
     "mm_frame_sample" ->
-      (s"""WITH params AS (
-          |  SELECT doc_id, text,
-          |         4 + doc_id % 13 AS nf, 16 + doc_id % 32 AS fs
-          |  FROM documents),
-          |payloads AS (
-          |  SELECT doc_id,
-          |    encode('GVID') || ${ddBe("nf", 2)} || ${ddBe("fs", 2)} ||
-          |      CAST(rpad(text, CAST(nf * fs AS INT), '.') AS BLOB) AS payload
-          |  FROM params),
-          |hexed AS (SELECT doc_id, upper(hex(payload)) AS h FROM payloads),
-          |geo AS (SELECT doc_id, h, ${ddBei("5", 2)} AS n_frames, ${ddBei("7", 2)} AS fs
-          |        FROM hexed WHERE ${ddHx("1", 4)} = '47564944'),
+      (s"""WITH ${ddGvidCtes("documents")},
           |idx AS (SELECT doc_id, h, n_frames, fs, unnest(range(0, n_frames, 3)) AS frame_idx
           |        FROM geo)
           |SELECT doc_id, n_frames, frame_idx, 9 + frame_idx * fs AS offset,
           |       ${ddBei("9 + frame_idx * fs", 4)} AS fp
           |FROM idx ORDER BY doc_id, frame_idx""".stripMargin),
     "mm_scene_detect" ->
-      (s"""WITH params AS (
-          |  SELECT doc_id, text,
-          |         4 + doc_id % 13 AS nf, 16 + doc_id % 32 AS fs
-          |  FROM documents),
-          |payloads AS (
-          |  SELECT doc_id,
-          |    encode('GVID') || ${ddBe("nf", 2)} || ${ddBe("fs", 2)} ||
-          |      CAST(rpad(text, CAST(nf * fs AS INT), '.') AS BLOB) AS payload
-          |  FROM params),
-          |hexed AS (SELECT doc_id, upper(hex(payload)) AS h FROM payloads),
-          |geo AS (SELECT doc_id, h, ${ddBei("5", 2)} AS n_frames, ${ddBei("7", 2)} AS fs
-          |        FROM hexed WHERE ${ddHx("1", 4)} = '47564944'),
+      (s"""WITH ${ddGvidCtes("documents")},
           |idx AS (SELECT doc_id, h, n_frames, fs,
           |               unnest(range(0, n_frames, 1)) AS frame_idx
           |        FROM geo),
@@ -2414,7 +2404,7 @@ object PipelineQueries {
       """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS cnt
         |      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |      GROUP BY 1),
+        |      WHERE token <> '' GROUP BY 1),
         |v AS (SELECT token FROM c ORDER BY cnt DESC, token DESC LIMIT 64),
         |j AS (SELECT lang, t.token IN (SELECT token FROM v) AS iv FROM tok t)
         |SELECT lang, count(*) AS n_tokens,
