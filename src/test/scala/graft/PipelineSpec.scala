@@ -466,6 +466,23 @@ class PipelineSpec extends SparkSpec {
     assert(pinned <= before, s"releaseLabels left pins: $before -> $pinned")
   }
 
+  test("a zero embedding never outranks real neighbors (no NaN in the cosine path)") {
+    import spark.implicits._
+    // failed-encoder output: an all-zero vector. Unguarded, 0/0 = NaN
+    // and Spark sorts NaN above every number — the zero vector would
+    // take rank 1 for every query and pass every threshold.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (99L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Ann.bruteForce(vecs, q, 1).collect()
+    assert(top.length == 1 && top.head.getAs[Long]("nn_id") == 2L, top.mkString)
+    // and the radius search must not report it similar to anything
+    val rs = Ann.rangeSearch(vecs, q, 0.5).collect()
+    assert(rs.forall(_.getAs[Long]("nn_id") != 99L), rs.mkString)
+  }
+
   test("ann_ivf agrees with brute force on most top-1 neighbors") {
     val q = emb.where(col("vec_id") < 10)
     val bf = Ann.bruteForce(emb, q, 1).select("q_id", "nn_id")
