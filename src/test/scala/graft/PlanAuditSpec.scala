@@ -831,4 +831,15 @@ class PlanAuditSpec extends SparkSpec {
     val windows = p.split("\n").filter(_.contains("Window "))
     assert(windows.forall(w => w.contains("client")), windows.mkString("\n"))
   }
+
+  test("ann_pq: the float re-score joins the corpus to BROADCAST candidates") {
+    // cand is queries×max(32,4k) rows off an aggregate — without the
+    // explicit broadcast, Catalyst's corpus-derived size estimate
+    // degrades the re-score to a full corpus shuffle by nn_id
+    val p = plan("ann_pq")
+    val joins = p.split("\n").filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(!joins.exists(_.contains("nn_id")),
+      s"re-score shuffled the corpus by nn_id:\n${joins.mkString("\n")}")
+  }
 }
