@@ -125,6 +125,21 @@ class FiltersSpec extends SparkSpec {
     assert(got.select("k").as[Long].collect().sorted.sameElements(Array(1L, 2L)))
   }
 
+  test("whileMatch on STRING rowkeys keeps every row when nothing fails") {
+    import spark.implicits._
+    // regression: the old Long.MaxValue sentinel coerced to the string
+    // "92233…" on a VARCHAR key, silently dropping keys sorting above
+    // it lexicographically ("95", "99") even though no row failed
+    val df = Seq(("10", "a"), ("95", "a"), ("99", "a")).toDF("k", "v")
+    val all = Filters.whileMatch(df, "k", col("v") === "a")
+    assert(all.count() == 3, all.collect().mkString(","))
+    // and the stop still works on string keys when a row does fail
+    val part = Filters.whileMatch(
+      Seq(("10", "a"), ("50", "b"), ("95", "a")).toDF("k", "v"),
+      "k", col("v") === "a")
+    assert(part.select("k").as[String].collect().sorted.sameElements(Array("10")))
+  }
+
   test("columnPagination offsets per row") {
     val cells = Tables.customerCells(spark, sfDir)
     val page = Filters.columnPagination(cells, limit = 2, offset = 1)

@@ -271,6 +271,37 @@ class MutationsSpec extends SparkSpec {
       "restored state diverged from the direct computation")
   }
 
+  test("logCleaner: no peers configured = replication delegate passes through (TTL alone decides)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    val wal = Seq(t(2), t(12), t(20)).toDF("ts")
+    val noPeers = Seq.empty[(String, Timestamp)].toDF("peer_id", "replicated_upto")
+    val got = graft.analytics.Tools.logCleaner(wal, "ts", noPeers, "5 DAYS")
+      .orderBy("segment_day")
+      .select("ttl_ok", "shipped_ok", "deletable")
+      .as[(Boolean, Boolean, Boolean)].collect()
+    // regression: min() over an empty peer table is NULL — deletable
+    // must not NULL-poison into never-delete; every segment ships ok
+    assert(got.forall(_._2), got.mkString(","))
+    assert(got.map(_._3).sameElements(got.map(_._1)), got.mkString(","))
+    assert(got.count(_._3) == 2) // Jan 2 + Jan 12 are past the Jan 15 cutoff
+  }
+
+  test("bulkLoadAssign: an open-START first region catches its files") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    // META convention: the first region's start_key is NULL (open) —
+    // regression: the join predicate must not NULL out for it
+    val regions = Seq(
+      (0L, None: Option[Long], Some(20L)), (1L, Some(20L), None: Option[Long]))
+      .toDF("region", "start_key", "end_key")
+    val files = Seq(("a", 2L, 9L), ("b", 15L, 25L)).toDF("hfile", "first_key", "last_key")
+    val got = Tools.bulkLoadAssign(files, regions)
+      .select("hfile", "region").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 0L), ("b", 0L), ("b", 1L)), got.toString)
+  }
+
   test("bulkLoadAssign: in-range file untouched, straddler clipped per region, boundary last key splits") {
     import spark.implicits._
     import graft.analytics.Tools
