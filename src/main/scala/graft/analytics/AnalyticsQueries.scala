@@ -138,6 +138,34 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("size"))
       Tools.compactionSelect(files).orderBy("region")
     }),
+    // CompactSplitThread queue routing (regionserver/CompactSplitThread
+    // .java:356 — requestCompactionInternal picks the pool by
+    // store.throttleCompaction(size): a request whose total size
+    // crosses the throttle point runs in the LARGE pool so monster
+    // compactions can't starve the small queue; throttlePoint default
+    // = 2 · maxFilesToCompact · memstoreFlushSize,
+    // compactions/CompactionConfiguration.java:132). Requests are the
+    // SAME selections compaction_select verifies (one shared
+    // Tools.compactionSelect); the flush-size analogue is the model's
+    // mean flush-file size (1-row broadcast), maxFiles = 5 as
+    // registered, so throttle = mean · 10.
+    "compaction_queue_split" -> ((s, d) => {
+      val files = Tools.withTotalOrderTag(
+          Tables.load(s, d, "events").select(col("user_id"), col("ts")),
+          "user_id", 8)
+        .groupBy(col("region"), dayofmonth(col("ts")).cast("bigint").as("seq"))
+        .agg(count(lit(1)).as("size"))
+      val flush = files.agg(expr("sum(size) div count(1)").as("_flush"))
+      Tools.compactionSelect(files)
+        .crossJoin(broadcast(flush))
+        .withColumn("throttle_point", col("_flush") * 10)
+        .withColumn("queue",
+          when(col("tot_size") > col("throttle_point"), "large")
+            .otherwise("small"))
+        .select("region", "first_seq", "n_files", "tot_size",
+          "throttle_point", "queue")
+        .orderBy("region")
+    }),
     // DateTieredCompactionPolicy: the same per-(region, day) flush
     // files grouped into age-tiered time windows (4-day base windows,
     // 4 windows per tier, exponential growth); the incoming window
@@ -1742,6 +1770,31 @@ object AnalyticsQueries {
   private val C = "WITH " + Tables.customerCellsSql + "\n"
   private val V = "WITH " + Tables.eventCellsSql + "\n"
 
+  /** DuckDB mirror of the exploratory-compaction selection over the
+    * per-(region, day) flush-file model — ONE copy of the CTE chain
+    * (files `f` → windows → ratio filter → best pick `r`), shared by
+    * the compaction_select and compaction_queue_split oracles exactly
+    * as both Spark sides share [[Tools.compactionSelect]]. */
+  private val ddCompactionCtes: String =
+    """b AS (SELECT min(user_id) lo, max(user_id) hi FROM events),
+      |f AS (SELECT CAST(floor((user_id - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,
+      |             CAST(day(ts) AS BIGINT) AS seq, count(*) AS size
+      |      FROM events, b GROUP BY 1, 2),
+      |l AS (SELECT region, list(struct_pack(seq := seq, size := size) ORDER BY seq) AS fs
+      |      FROM f GROUP BY 1),
+      |wlen AS (SELECT region, fs, unnest([3, 4, 5]) AS len FROM l),
+      |ws AS (SELECT region, fs, len, unnest(range(0, len(fs) - len + 1)) AS s FROM wlen),
+      |v AS (SELECT region, len, s, fs[s+1 : s+len] AS win,
+      |             list_sum(list_transform(fs[s+1 : s+len], x -> x.size)) AS tot
+      |      FROM ws),
+      |ok AS (SELECT * FROM v
+      |       WHERE len(list_filter(win, x -> x.size > 1.2 * (tot - x.size))) = 0),
+      |r AS (SELECT region, win[1].seq AS first_seq, CAST(len AS BIGINT) AS n_files,
+      |             CAST(tot AS BIGINT) AS tot_size,
+      |             row_number() OVER (PARTITION BY region
+      |                                ORDER BY len DESC, tot ASC, s ASC) AS rn
+      |      FROM ok)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "namespace_quota" ->
       """WITH catalog AS (
@@ -1843,26 +1896,19 @@ object AnalyticsQueries {
         |       round(qs[split_idx], 4) AS quantile_key
         |FROM s, b, q ORDER BY split_idx""".stripMargin,
     "compaction_select" ->
-      """WITH b AS (SELECT min(user_id) lo, max(user_id) hi FROM events),
-        |f AS (SELECT CAST(floor((user_id - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,
-        |             CAST(day(ts) AS BIGINT) AS seq, count(*) AS size
-        |      FROM events, b GROUP BY 1, 2),
-        |l AS (SELECT region, list(struct_pack(seq := seq, size := size) ORDER BY seq) AS fs
-        |      FROM f GROUP BY 1),
-        |wlen AS (SELECT region, fs, unnest([3, 4, 5]) AS len FROM l),
-        |ws AS (SELECT region, fs, len, unnest(range(0, len(fs) - len + 1)) AS s FROM wlen),
-        |v AS (SELECT region, len, s, fs[s+1 : s+len] AS win,
-        |             list_sum(list_transform(fs[s+1 : s+len], x -> x.size)) AS tot
-        |      FROM ws),
-        |ok AS (SELECT * FROM v
-        |       WHERE len(list_filter(win, x -> x.size > 1.2 * (tot - x.size))) = 0),
-        |r AS (SELECT region, win[1].seq AS first_seq, CAST(len AS BIGINT) AS n_files,
-        |             CAST(tot AS BIGINT) AS tot_size,
-        |             row_number() OVER (PARTITION BY region
-        |                                ORDER BY len DESC, tot ASC, s ASC) AS rn
-        |      FROM ok)
-        |SELECT region, first_seq, n_files, tot_size FROM r WHERE rn = 1
-        |ORDER BY region""".stripMargin,
+      (s"WITH $ddCompactionCtes\n" +
+        """SELECT region, first_seq, n_files, tot_size FROM r WHERE rn = 1
+          |ORDER BY region""".stripMargin),
+    "compaction_queue_split" ->
+      (s"WITH $ddCompactionCtes,\n" +
+        """fl AS (SELECT CAST(sum(size) // count(*) AS BIGINT) AS flush FROM f),
+          |sel AS (SELECT region, first_seq, n_files, tot_size FROM r
+          |        WHERE rn = 1)
+          |SELECT region, first_seq, n_files, tot_size,
+          |       flush * 10 AS throttle_point,
+          |       CASE WHEN tot_size > flush * 10 THEN 'large'
+          |            ELSE 'small' END AS queue
+          |FROM sel, fl ORDER BY region""".stripMargin),
     "compaction_date_tiered" ->
       """WITH b AS (SELECT min(user_id) lo, max(user_id) hi FROM events),
         |f AS (SELECT CAST(floor((user_id - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS region,

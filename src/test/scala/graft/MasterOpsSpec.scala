@@ -128,6 +128,27 @@ class MasterOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- compaction_queue_split -----------------------------------------
+
+  test("compaction_queue_split: queue routing brackets the throttle point exactly") {
+    val rows = q("compaction_queue_split").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val large = r.getAs[Long]("tot_size") > r.getAs[Long]("throttle_point")
+      assert(r.getAs[String]("queue") == (if (large) "large" else "small"), r.toString)
+    }
+    // the selections are EXACTLY compaction_select's (one shared chain)
+    val sel = q("compaction_select").collect()
+      .map(r => r.getAs[Long]("region") ->
+        (r.getAs[Long]("first_seq"), r.getAs[Long]("n_files"),
+          r.getAs[Long]("tot_size"))).toMap
+    rows.foreach { r =>
+      assert(sel(r.getAs[Long]("region")) ==
+        (r.getAs[Long]("first_seq"), r.getAs[Long]("n_files"),
+          r.getAs[Long]("tot_size")), r.toString)
+    }
+  }
+
   // ---- schema_sanity --------------------------------------------------
 
   test("schema_sanity: violation count reconciles with flags, both outcomes occur") {
