@@ -138,6 +138,52 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("size"))
       Tools.compactionSelect(files).orderBy("region")
     }),
+    // StochasticLoadBalancer's MOVE GENERATION (master/balancer/
+    // StochasticLoadBalancer.java:330 balanceCluster's candidate loop
+    // + RegionMoveCandidateGenerator — pick a region, pick a server,
+    // accept when the cost function drops; balancer_stochastic_cost
+    // verifies the EVALUATION, this verifies one greedy step of the
+    // generator made deterministic): every (region, dest) candidate's
+    // exact integer cost delta on the region-count-skew function
+    // (Σ|C·n_s − T| — only the source and dest servers' terms change,
+    // so the delta is four |·| terms, no full re-evaluation per
+    // candidate), ranked; chosen = the best strictly-improving move,
+    // ties to (bucket, dest). Initial placement bucket mod 3 over 5
+    // servers leaves two servers EMPTY — absent servers must enter
+    // the cost at n = 0, the same trap balancer_stochastic_cost
+    // spec-covers. Everything is region/server metadata (≤ 80 rows).
+    "balancer_move_plan" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val C = 5
+      val regions = Tools.totalOrderBuckets(
+          Tables.load(s, d, "orders"), "o_orderkey", 16)
+        .select(col("bucket"), col("n_rows"),
+          pmod(col("bucket"), lit(3)).cast("int").as("server"))
+      val totals = regions.agg(count(lit(1)).as("_t"))
+      val servers = s.range(0, C).select(col("id").cast("int").as("server"))
+      val counts = servers.join(
+          regions.groupBy("server").agg(count(lit(1)).as("_n")),
+          Seq("server"), "left")
+        .select(col("server"), coalesce(col("_n"), lit(0L)).as("_n"))
+      def term(n: org.apache.spark.sql.Column) = abs(n * C - col("_t"))
+      val cand = regions.select(col("bucket"), col("server").as("src"))
+        .crossJoin(broadcast(servers.select(col("server").as("dest"))))
+        .where(col("src") =!= col("dest"))
+        .join(broadcast(counts.select(col("server").as("src"),
+          col("_n").as("_na"))), "src")
+        .join(broadcast(counts.select(col("server").as("dest"),
+          col("_n").as("_nb"))), "dest")
+        .crossJoin(broadcast(totals))
+        .withColumn("delta_num",
+          term(col("_na") - 1) - term(col("_na")) +
+            term(col("_nb") + 1) - term(col("_nb")))
+      cand
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("delta_num"), col("bucket"), col("dest"))))
+        .withColumn("chosen", col("rank") === 1 && col("delta_num") < 0)
+        .select("bucket", "src", "dest", "delta_num", "rank", "chosen")
+        .orderBy("bucket", "dest")
+    }),
     // CompactSplitThread queue routing (regionserver/CompactSplitThread
     // .java:356 — requestCompactionInternal picks the pool by
     // store.throttleCompaction(size): a request whose total size
@@ -1899,6 +1945,33 @@ object AnalyticsQueries {
       (s"WITH $ddCompactionCtes\n" +
         """SELECT region, first_seq, n_files, tot_size FROM r WHERE rn = 1
           |ORDER BY region""".stripMargin),
+    "balancer_move_plan" ->
+      """WITH g AS (SELECT o_orderkey AS k FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |reg AS (SELECT CAST(floor((k - lo) * 16 / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |               count(*) AS n_rows FROM g, b GROUP BY 1),
+        |r AS (SELECT bucket, CAST(bucket % 3 AS INT) AS server FROM reg),
+        |t AS (SELECT count(*) AS tt FROM r),
+        |sv AS (SELECT unnest(range(0, 5)) AS server),
+        |cnt AS (SELECT sv.server, CAST(coalesce(n.c, 0) AS BIGINT) AS n
+        |        FROM sv LEFT JOIN (SELECT server, count(*) AS c FROM r
+        |                           GROUP BY 1) n USING (server)),
+        |cand AS (SELECT r.bucket, r.server AS src, d.server AS dest,
+        |                na.n AS na, nb.n AS nb, tt
+        |         FROM r CROSS JOIN sv d
+        |         JOIN cnt na ON na.server = r.server
+        |         JOIN cnt nb ON nb.server = d.server
+        |         CROSS JOIN t
+        |         WHERE r.server <> d.server),
+        |dl AS (SELECT bucket, CAST(src AS INT) AS src, CAST(dest AS INT) AS dest,
+        |              abs((na - 1) * 5 - tt) - abs(na * 5 - tt)
+        |              + abs((nb + 1) * 5 - tt) - abs(nb * 5 - tt) AS delta_num
+        |       FROM cand),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY delta_num, bucket, dest)
+        |                 AS rank FROM dl)
+        |SELECT bucket, src, dest, delta_num, CAST(rank AS INT) AS rank,
+        |       rank = 1 AND delta_num < 0 AS chosen
+        |FROM rk ORDER BY bucket, dest""".stripMargin,
     "compaction_queue_split" ->
       (s"WITH $ddCompactionCtes,\n" +
         """fl AS (SELECT CAST(sum(size) // count(*) AS BIGINT) AS flush FROM f),

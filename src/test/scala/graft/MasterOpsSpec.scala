@@ -128,6 +128,33 @@ class MasterOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- balancer_move_plan ---------------------------------------------
+
+  test("balancer_move_plan: the chosen move's delta equals a direct cost recomputation") {
+    val rows = q("balancer_move_plan").collect()
+    // rebuild the placement and the skew cost directly
+    val placement = rows.map(r =>
+      r.getAs[Long]("bucket") -> r.getAs[Int]("src")).toMap
+    val t = placement.size
+    def cost(counts: Map[Int, Long]): Long =
+      (0 until 5).map(sv => math.abs(counts.getOrElse(sv, 0L) * 5 - t)).sum
+    val base = placement.values.groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { r =>
+      val (b, src, dest) = (r.getAs[Long]("bucket"), r.getAs[Int]("src"),
+        r.getAs[Int]("dest"))
+      val moved = base + (src -> (base(src) - 1)) +
+        (dest -> (base.getOrElse(dest, 0L) + 1))
+      assert(cost(moved) - cost(base) == r.getAs[Long]("delta_num"), r.toString)
+    }
+    // exactly one chosen move, and it strictly improves (two servers
+    // start empty, so an improving move must exist)
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length == 1, chosen.mkString(","))
+    assert(chosen.head.getAs[Long]("delta_num") < 0)
+    assert(chosen.head.getAs[Int]("rank") == 1)
+  }
+
   // ---- compaction_queue_split -----------------------------------------
 
   test("compaction_queue_split: queue routing brackets the throttle point exactly") {
