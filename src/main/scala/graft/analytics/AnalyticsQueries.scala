@@ -129,11 +129,8 @@ object AnalyticsQueries {
     // best ratio-valid window of 3-5 seq-ordered files (most files,
     // then fewest bytes), all as per-row array algebra
     "compaction_select" -> ((s, d) => {
-      val ev = Tables.load(s, d, "events")
-      val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
-      val files = ev.crossJoin(broadcast(b))
-        .withColumn("region",
-          Tools.totalOrderBucket(col("user_id"), col("_lo"), col("_hi"), 8))
+      val files = Tools.withTotalOrderTag(
+          Tables.load(s, d, "events"), "user_id", 8)
         .groupBy(col("region"), dayofmonth(col("ts")).cast("bigint").as("seq"))
         .agg(count(lit(1)).as("size"))
       Tools.compactionSelect(files).orderBy("region")
@@ -218,11 +215,8 @@ object AnalyticsQueries {
     // needs 6 files before compacting, older windows 3 — the
     // time-series layout that never rewrites cold data
     "compaction_date_tiered" -> ((s, d) => {
-      val ev = Tables.load(s, d, "events")
-      val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
-      val files = ev.crossJoin(broadcast(b))
-        .withColumn("region",
-          Tools.totalOrderBucket(col("user_id"), col("_lo"), col("_hi"), 8))
+      val files = Tools.withTotalOrderTag(
+          Tables.load(s, d, "events"), "user_id", 8)
         .groupBy(col("region"), date_trunc("DAY", col("ts")).as("file_day"))
         .agg(count(lit(1)).as("size"))
       Tools.dateTieredSelect(files).orderBy("region", "tier", "window_id")
@@ -293,11 +287,8 @@ object AnalyticsQueries {
     // segment closes as the running size crosses 4 KiB — the WAL file
     // list log-split recovery would walk
     "wal_roll_plan" -> ((s, d) => {
-      val ev = Tables.load(s, d, "events")
-      val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
-      val chunks = ev.crossJoin(broadcast(b))
-        .withColumn("server",
-          Tools.totalOrderBucket(col("user_id"), col("_lo"), col("_hi"), 4))
+      val chunks = Tools.withTotalOrderTag(
+          Tables.load(s, d, "events"), "user_id", 4, "server")
         .groupBy(col("server"), date_trunc("HOUR", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n_edits"),
           sum(length(col("event_type")) + lit(24L)).as("bytes"))
@@ -307,11 +298,8 @@ object AnalyticsQueries {
     // regions; regions over the trigger flush only the families at the
     // lower bound — unless none qualifies, then all (the fallback)
     "flush_policy" -> ((s, d) => {
-      val cells = Tables.eventCellsTwoFamilies(s, d)
-      val b = cells.agg(min("rowkey").as("_lo"), max("rowkey").as("_hi"))
-      val fam = cells.crossJoin(broadcast(b))
-        .withColumn("region",
-          Tools.totalOrderBucket(col("rowkey"), col("_lo"), col("_hi"), 8))
+      val fam = Tools.withTotalOrderTag(
+          Tables.eventCellsTwoFamilies(s, d), "rowkey", 8)
         .groupBy("region", "family")
         .agg(sum(length(col("qualifier")) + lit(20L)).as("mem_bytes"))
       Tools.flushPolicy(fam).orderBy("region", "family")
@@ -340,11 +328,7 @@ object AnalyticsQueries {
     // 10 bits/key → chunk count and bloom bytes for each bloom type —
     // the sizing table behind the BloomType column-family decision
     "bloom_size_plan" -> ((s, d) => {
-      val cells = Tables.eventCells(s, d)
-      val b = cells.agg(min("rowkey").as("_lo"), max("rowkey").as("_hi"))
-      cells.crossJoin(broadcast(b))
-        .withColumn("region",
-          Tools.totalOrderBucket(col("rowkey"), col("_lo"), col("_hi"), 8))
+      Tools.withTotalOrderTag(Tables.eventCells(s, d), "rowkey", 8)
         .groupBy("region")
         .agg(countDistinct(col("rowkey")).as("row_keys"),
           countDistinct(col("rowkey"), col("qualifier")).as("rowcol_keys"))
@@ -1289,12 +1273,8 @@ object AnalyticsQueries {
     // into the throttle table, all integer ppm math (10/20 MiB/s
     // bounds, 40 off-peak, days 1-5 off-peak config)
     "compaction_throughput" -> ((s, d) => {
-      val ev = Tables.load(s, d, "events")
-      val b = ev.agg(min("user_id").as("_lo"), max("user_id").as("_hi"))
       val mib = 1048576L
-      ev.crossJoin(broadcast(b))
-        .withColumn("region",
-          Tools.totalOrderBucket(col("user_id"), col("_lo"), col("_hi"), 8))
+      Tools.withTotalOrderTag(Tables.load(s, d, "events"), "user_id", 8)
         .groupBy(col("region"), dayofmonth(col("ts")).cast("bigint").as("day"))
         .agg(count(lit(1)).as("n_files"))
         .withColumn("pressure_ppm",
