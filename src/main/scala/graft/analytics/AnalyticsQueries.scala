@@ -43,6 +43,32 @@ object AnalyticsQueries {
           Tables.load(s, d, "orders"), col("o_totalprice") > 400000,
           tmp("graft_export_import", d))
         .select("o_orderkey", "o_orderstatus", "o_totalprice").orderBy("o_orderkey")),
+    // Import with import-side transforms (mapreduce/Import.java:88
+    // CF_RENAME_PROP, :90 FILTER_CLASS_CONF_KEY — the importer can
+    // RENAME column families and run a standard Filter while
+    // replaying an export: the migration move that reshapes a table
+    // without touching the source cluster). The two-family event
+    // cells export physically (ensure-once); the import applies a
+    // RowFilter(>=, 5) through the SAME filter library every scan
+    // uses (Import.filterRowKey delegates to the standard Filter
+    // class, :206) and renames web → web_v2, then the imported table
+    // itself is the audit — the oracle recomputes rename+filter
+    // straight from the source: nothing lost, nothing unrenamed.
+    "import_renamed" -> ((s, d) => {
+      val path = graft.core.Indexes.ensure(s, d, "import_renamed") { target =>
+        Tables.eventCellsTwoFamilies(s, d)
+          .write.mode("overwrite").parquet(target)
+      }
+      s.read.parquet(path)
+        .where(graft.filters.Filters.rowFilter(col("rowkey"),
+          graft.filters.CompareOp.GREATER_OR_EQUAL,
+          graft.filters.Comparators.long(5L)))
+        .withColumn("family",
+          when(col("family") === "web", "web_v2").otherwise(col("family")))
+        .groupBy("rowkey", "family")
+        .agg(count(lit(1)).as("n_cells"), max("ts").as("latest_ts"))
+        .orderBy("rowkey", "family")
+    }),
     "import_tsv" -> ((s, d) => {
       val path = tmp("graft_import_tsv", d)
       Tables.load(s, d, "nation").orderBy("n_nationkey")
@@ -1925,6 +1951,13 @@ object AnalyticsQueries {
       (s"WITH $ddCompactionCtes\n" +
         """SELECT region, first_seq, n_files, tot_size FROM r WHERE rn = 1
           |ORDER BY region""".stripMargin),
+    "import_renamed" ->
+      ("WITH " + Tables.eventCellsTwoFamiliesSql + """
+        |SELECT rowkey,
+        |       CASE WHEN family = 'web' THEN 'web_v2' ELSE family END AS family,
+        |       count(*) AS n_cells, max(ts) AS latest_ts
+        |FROM vcells2 WHERE rowkey >= 5
+        |GROUP BY 1, 2 ORDER BY rowkey, family""".stripMargin),
     "balancer_move_plan" ->
       """WITH g AS (SELECT o_orderkey AS k FROM orders),
         |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),

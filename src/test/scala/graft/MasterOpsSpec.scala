@@ -128,6 +128,21 @@ class MasterOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- import_renamed -------------------------------------------------
+
+  test("import_renamed: rename is total and the import filter dropped only low keys") {
+    val rows = q("import_renamed").collect()
+    // no unrenamed 'web' family survives the import, and the renamed
+    // family exists (rename happened, not a drop)
+    assert(!rows.exists(_.getAs[String]("family") == "web"))
+    assert(rows.exists(_.getAs[String]("family") == "web_v2"))
+    assert(rows.forall(_.getAs[Long]("rowkey") >= 5L))
+    // cell conservation: per-key totals equal the source above the cut
+    val want = graft.core.Tables.eventCellsTwoFamilies(spark, sfDir)
+      .where(col("rowkey") >= 5).count()
+    assert(rows.map(_.getAs[Long]("n_cells")).sum == want)
+  }
+
   // ---- balancer_move_plan ---------------------------------------------
 
   test("balancer_move_plan: the chosen move's delta equals a direct cost recomputation") {
