@@ -17,6 +17,40 @@ object AnalyticsQueries {
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name + "_" +
       Integer.toHexString(sfDir.hashCode)
 
+  /** The deliberately corrupted META catalog hbck_region_chain AND
+    * hbck_repair_plan both run against (audit and fix must see the
+    * SAME defects): 16 uniform regions over the orders keyspace with
+    * region 5 lost (hole), region 9 degenerate (start == end, which
+    * also un-covers its range), r12b sharing region 12's start (dupe +
+    * overlap), r14x straddling the 14/15 boundary (transitive
+    * overlap), a non-open first start, and an open last end.
+    * boundary(i) = floor(lo + (hi−lo+1)·i/16) — the total-order
+    * formula the oracles mirror in double division. */
+  def corruptedCatalog(s: SparkSession, d: String): DataFrame = {
+    val b = Tables.load(s, d, "orders")
+      .agg(min("o_orderkey").as("_lo"), max("o_orderkey").as("_hi"))
+    def bd(i: org.apache.spark.sql.Column) =
+      floor(col("_lo") + (col("_hi") - col("_lo") + 1) * i / 16).cast("bigint")
+    val base = b.select(explode(sequence(lit(0), lit(15))).as("i"),
+        col("_lo"), col("_hi"))
+      .where(col("i") =!= 5)
+      .select(
+        concat(lit("r"), lpad(col("i").cast("string"), 2, "0")).as("region_id"),
+        bd(col("i")).as("start_key"),
+        when(col("i") === 9, bd(col("i")))
+          .when(col("i") === 15, lit(null).cast("bigint"))
+          .otherwise(bd(col("i") + 1)).as("end_key"))
+    val extras = b.select(explode(array(
+        struct(lit("r12b").as("region_id"), bd(lit(12)).as("start_key"),
+          floor((bd(lit(12)) + bd(lit(13))) / 2).cast("bigint").as("end_key")),
+        struct(lit("r14x").as("region_id"),
+          floor((bd(lit(14)) + bd(lit(15))) / 2).cast("bigint").as("start_key"),
+          floor((bd(lit(15)) + bd(lit(16))) / 2).cast("bigint").as("end_key"))))
+        .as("x"))
+      .select(col("x.*"))
+    base.unionByName(extras)
+  }
+
   /** Portable row hash for orders: Knuth-multiplicative key hash plus
     * price cents. The key folds into [0, 2^31) before the multiply
     * (same overflow guard as randomRowFilter — the raw multiply blows
@@ -443,6 +477,16 @@ object AnalyticsQueries {
       Tools.canaryProbe(Tables.eventCellsTwoFamilies(s, d), 8,
           Seq("web", "act", "meta"))
         .orderBy("region", "family")),
+    // Canary write sniffing (the WRITE half of the tool): a put+delete
+    // round trip per region of the 8-region split, regions 3 and 6
+    // planted read-only — their probes must surface as put_ok = false
+    // (publishWriteFailure), every writable region must read its probe
+    // back out of its own region and the post-delete set must hold
+    // zero canary cells
+    "canary_write" -> ((s, d) =>
+      Tools.canaryWriteProbe(Tables.eventCellsTwoFamilies(s, d), 8,
+          readOnly = Seq(3L, 6L))
+        .orderBy("region")),
     // Merge execution: the normalizer's merge plans applied over the
     // skew-grown 16-bucket region table — pairs collapse into the
     // lower id, merged stats re-aggregated, untouched regions ride
@@ -527,33 +571,19 @@ object AnalyticsQueries {
     // (dupe + overlap), a stray region straddling the 14/15 boundary
     // (overlaps), and a non-open first start (the reference's
     // first-region-startkey-not-empty); the last region ends open
-    "hbck_region_chain" -> ((s, d) => {
-      val b = Tables.load(s, d, "orders")
-        .agg(min("o_orderkey").as("_lo"), max("o_orderkey").as("_hi"))
-      // boundary(i) = floor(lo + (hi-lo+1)*i/16) — the same total-order
-      // formula the oracle mirrors in double division
-      def bd(i: org.apache.spark.sql.Column) =
-        floor(col("_lo") + (col("_hi") - col("_lo") + 1) * i / 16).cast("bigint")
-      val base = b.select(explode(sequence(lit(0), lit(15))).as("i"),
-          col("_lo"), col("_hi"))
-        .where(col("i") =!= 5)
-        .select(
-          concat(lit("r"), lpad(col("i").cast("string"), 2, "0")).as("region_id"),
-          bd(col("i")).as("start_key"),
-          when(col("i") === 9, bd(col("i")))
-            .when(col("i") === 15, lit(null).cast("bigint"))
-            .otherwise(bd(col("i") + 1)).as("end_key"))
-      val extras = b.select(explode(array(
-          struct(lit("r12b").as("region_id"), bd(lit(12)).as("start_key"),
-            floor((bd(lit(12)) + bd(lit(13))) / 2).cast("bigint").as("end_key")),
-          struct(lit("r14x").as("region_id"),
-            floor((bd(lit(14)) + bd(lit(15))) / 2).cast("bigint").as("start_key"),
-            floor((bd(lit(15)) + bd(lit(16))) / 2).cast("bigint").as("end_key"))))
-          .as("x"))
-        .select(col("x.*"))
-      Tools.hbckRegionChain(base.unionByName(extras))
-        .orderBy("code", "at_key", "end_key")
-    }),
+    "hbck_region_chain" -> ((s, d) =>
+      Tools.hbckRegionChain(corruptedCatalog(s, d))
+        .orderBy("code", "at_key", "end_key")),
+    // The FIX side of the same audit (HBaseFsckRepair): over the SAME
+    // corrupted catalog, the plan -fixHdfsHoles/-fixHdfsOverlaps would
+    // execute — three fabricated hole-filling regions (the two true
+    // holes plus the not-empty-first-start edge), the {r12, r12b} and
+    // the transitive {r14, r14x, r15} overlap groups each merged to
+    // their union bounds, and the degenerate r9 sidelined. Replaying
+    // the plan onto the catalog audits clean (MasterOpsSpec).
+    "hbck_repair_plan" -> ((s, d) =>
+      Tools.hbckRepairPlan(corruptedCatalog(s, d))
+        .orderBy("action", "region_id", "start_key")),
     // semi-structured source path: events.props is a JSON string column
     // (HBase users stuff JSON into cell values constantly); extraction
     // stays codegen'd, no UDF
@@ -746,6 +776,23 @@ object AnalyticsQueries {
       Tools.walReplay(edits, "2024-01-05 00:00:00", "2024-01-25 00:00:00")
         .orderBy("rowkey", "qualifier")
     }),
+    // WALPrettyPrinter (wal/WALPrettyPrinter.java:74 — the -w/--row and
+    // -s/--sequence narrowing options): the edit history of SPECIFIC
+    // rows in a sequence window, each edit as (seq, row, family,
+    // qualifier, ts, op, value) in sequence order — the debugging view
+    // ("what happened to THIS row"). Point-row and sequence predicates
+    // reach the parquet scan as PushedFilters (PlanAuditSpec), so a
+    // 100 TB WAL archive answers with a few row-group probes, not a
+    // scan.
+    "wal_inspect" -> ((s, d) =>
+      Tables.eventCellsTwoFamilies(s, d)
+        .withColumn("op",
+          when(col("event_id") % 7 === 0, "delete").otherwise("put"))
+        .where(col("rowkey").isin(1L, 2L, 7L) && col("event_id") >= 50L)
+        .select(col("event_id").as("seq"), col("rowkey"), col("family"),
+          col("qualifier"), col("ts"), col("op"),
+          floor(col("value") * 100).cast("bigint").as("value_cents"))
+        .orderBy("seq")),
     // MultiTableInputFormat / MultiTableSnapshotInputFormat analogue:
     // one scan spanning several tables, rows tagged by source table.
     // Same filter applies to each; a union of pruned scans, no shuffle.
@@ -1739,6 +1786,26 @@ object AnalyticsQueries {
     // Descriptors synthesize per part brand (25 tables) with stats
     // chosen so both outcomes occur; one aggregate + one codegen
     // rule projection.
+    // modifyTable descriptor-diff impact over the two-family event
+    // cells: web tightens TTL 30→14 days, cuts versions 3→1 and
+    // switches encoding (full rewrite + newly-expired + newly-dropped
+    // counts all nonzero); act changes only blocksize (pure rewrite);
+    // tmp is dropped (no data — zero-footprint DROP row); meta is
+    // added (ADD row, nothing to touch). schema_sanity gates the NEW
+    // descriptor, this query prices applying it.
+    "alter_table_plan" -> ((s, d) => {
+      import s.implicits._
+      val oldP = Seq(("web", 30L, 3, "NONE", 65536L),
+          ("act", 60L, 5, "PREFIX", 65536L),
+          ("tmp", 7L, 1, "NONE", 65536L))
+        .toDF("family", "ttl_days", "max_versions", "encoding", "blocksize_b")
+      val newP = Seq(("web", 14L, 1, "PREFIX", 65536L),
+          ("act", 60L, 5, "PREFIX", 32768L),
+          ("meta", 365L, 3, "NONE", 65536L))
+        .toDF("family", "ttl_days", "max_versions", "encoding", "blocksize_b")
+      Tools.alterTablePlan(Tables.eventCellsTwoFamilies(s, d), oldP, newP)
+        .orderBy("family")
+    }),
     "schema_sanity" -> ((s, d) => {
       val htd = Tables.load(s, d, "part")
         .withColumn("_cents", floor(col("p_retailprice") * 100).cast("bigint"))
@@ -2195,6 +2262,30 @@ object AnalyticsQueries {
         |       q.probe_key IS NOT NULL AS ok
         |FROM f LEFT JOIN q ON f.region = q.region AND f.family = q.family
         |ORDER BY f.region, f.family""".stripMargin),
+    "canary_write" ->
+      ("WITH " + Tables.eventCellsTwoFamiliesSql + """,
+        |b AS (SELECT min(rowkey) AS lo, max(rowkey) AS hi FROM vcells2),
+        |pr AS (SELECT r.i AS region,
+        |              lo + ((r.i * (hi - lo + 1) + 7) // 8) AS probe_key,
+        |              r.i NOT IN (3, 6) AS writable
+        |       FROM range(0, 8) r(i), b),
+        |rb AS (SELECT probe_key,
+        |              CAST(floor((probe_key - lo) * 8 / (hi - lo + 1)) AS BIGINT)
+        |                AS rb_region
+        |       FROM pr, b WHERE writable),
+        |ld AS (SELECT CAST(floor((rowkey - lo) * 8 / (hi - lo + 1)) AS BIGINT)
+        |                AS region,
+        |              count(*) AS n_cells
+        |       FROM vcells2, b GROUP BY 1),
+        |lv AS (SELECT count(*) AS leftover FROM vcells2 WHERE family = '_canary_')
+        |SELECT pr.region, pr.probe_key, pr.writable,
+        |       rb.probe_key IS NOT NULL AS put_ok,
+        |       (rb.probe_key IS NOT NULL AND leftover = 0) AS roundtrip_ok,
+        |       coalesce(ld.n_cells, 0) AS n_cells
+        |FROM pr LEFT JOIN rb ON pr.region = rb.rb_region
+        |                    AND pr.probe_key = rb.probe_key
+        |        LEFT JOIN ld ON pr.region = ld.region, lv
+        |ORDER BY pr.region""".stripMargin),
     "region_merge" ->
       """WITH g AS (SELECT o_orderkey * o_orderkey AS k FROM orders),
         |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
@@ -2347,6 +2438,93 @@ object AnalyticsQueries {
         |            THEN NULL ELSE end_key END AS end_key,
         |       CAST(n AS BIGINT) AS n
         |FROM o ORDER BY code, at_key, end_key""".stripMargin,
+    "hbck_repair_plan" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+        |bd AS (SELECT i, CAST(floor(lo + (hi - lo + 1) * i / 16.0) AS BIGINT) AS k
+        |       FROM range(0, 17) t(i), b),
+        |reg AS (
+        |  SELECT 'r' || lpad(CAST(t.i AS VARCHAR), 2, '0') AS region_id,
+        |         s.k AS start_key,
+        |         CASE WHEN t.i = 9 THEN s.k
+        |              WHEN t.i = 15 THEN NULL
+        |              ELSE e.k END AS end_key
+        |  FROM range(0, 16) t(i)
+        |  JOIN bd s ON s.i = t.i JOIN bd e ON e.i = t.i + 1
+        |  WHERE t.i <> 5
+        |  UNION ALL
+        |  SELECT 'r12b', (SELECT k FROM bd WHERE i = 12),
+        |         CAST(floor(((SELECT k FROM bd WHERE i = 12)
+        |                   + (SELECT k FROM bd WHERE i = 13)) / 2) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'r14x',
+        |         CAST(floor(((SELECT k FROM bd WHERE i = 14)
+        |                   + (SELECT k FROM bd WHERE i = 15)) / 2) AS BIGINT),
+        |         CAST(floor(((SELECT k FROM bd WHERE i = 15)
+        |                   + (SELECT k FROM bd WHERE i = 16)) / 2) AS BIGINT)),
+        |r AS (SELECT region_id,
+        |             coalesce(start_key, -4611686018427387904) AS s,
+        |             coalesce(end_key, 4611686018427387904) AS e FROM reg),
+        |st AS (SELECT s AS k, count(*) AS n_starts FROM r GROUP BY 1),
+        |en AS (SELECT e AS k, count(*) AS n_ends FROM r GROUP BY 1),
+        |sw AS (SELECT k, coalesce(n_starts, 0) AS n_starts,
+        |              coalesce(n_ends, 0) AS n_ends
+        |       FROM st FULL OUTER JOIN en USING (k)),
+        |cv AS (SELECT k, sum(n_starts - n_ends) OVER (ORDER BY k) AS cov,
+        |              lead(k) OVER (ORDER BY k) AS next_k
+        |       FROM sw),
+        |hl AS (
+        |  SELECT k AS hs, next_k AS he FROM cv
+        |  WHERE cov = 0 AND next_k IS NOT NULL
+        |  UNION ALL
+        |  SELECT -4611686018427387904, min(s) FROM r
+        |  HAVING min(s) IS NOT NULL AND min(s) <> -4611686018427387904
+        |  UNION ALL
+        |  SELECT max(e), 4611686018427387904 FROM r
+        |  HAVING max(e) IS NOT NULL AND max(e) <> 4611686018427387904),
+        |ov AS (SELECT k, next_k FROM cv WHERE cov > 1),
+        |mem AS (SELECT ov.k, ov.next_k, r.region_id, r.s, r.e
+        |        FROM r JOIN ov ON r.s <= ov.k AND r.e >= ov.next_k AND r.s < r.e),
+        |ih AS (SELECT k, next_k, min(s) AS hs, max(e) AS he FROM mem GROUP BY 1, 2),
+        |il AS (SELECT k, next_k, hs,
+        |              max(he) OVER (ORDER BY hs, k
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run
+        |       FROM ih),
+        |i2 AS (SELECT k, next_k,
+        |              sum(CASE WHEN run IS NULL OR run <= hs THEN 1 ELSE 0 END)
+        |                OVER (ORDER BY hs, k
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                AS island
+        |       FROM il),
+        |gm AS (SELECT DISTINCT island, region_id, s, e
+        |       FROM mem JOIN i2 USING (k, next_k)),
+        |gr AS (SELECT island, count(*) AS n_members,
+        |              min(s) AS g_s, max(e) AS g_e
+        |       FROM gm GROUP BY 1),
+        |mg AS (SELECT gm.island, gm.region_id, gm.s, gm.e,
+        |              gr.n_members, gr.g_s, gr.g_e
+        |       FROM gm JOIN gr USING (island)),
+        |pl(action, region_id, start_key, end_key) AS (
+        |  SELECT 'CREATE_HOLE_REGION',
+        |         'fab_' || coalesce(CAST(CASE WHEN hs = -4611686018427387904
+        |                                 THEN NULL ELSE hs END AS VARCHAR), 'open'),
+        |         hs, he FROM hl
+        |  UNION ALL
+        |  SELECT 'MERGE_OVERLAP', region_id, g_s, g_e FROM mg WHERE n_members <= 5
+        |  UNION ALL
+        |  SELECT CASE WHEN rk = 1 THEN 'KEEP_OVERLAP' ELSE 'SIDELINE_OVERLAP' END,
+        |         region_id, s, e
+        |  FROM (SELECT mg.*, row_number() OVER (PARTITION BY island
+        |          ORDER BY (CAST(e AS DOUBLE) - CAST(s AS DOUBLE)) DESC,
+        |                   region_id) AS rk
+        |        FROM mg WHERE n_members > 5) t
+        |  UNION ALL
+        |  SELECT 'SIDELINE_DEGENERATE', region_id, s, e FROM r WHERE s = e)
+        |SELECT action, region_id,
+        |       CASE WHEN start_key IN (-4611686018427387904, 4611686018427387904)
+        |            THEN NULL ELSE start_key END AS start_key,
+        |       CASE WHEN end_key IN (-4611686018427387904, 4611686018427387904)
+        |            THEN NULL ELSE end_key END AS end_key
+        |FROM pl ORDER BY action, region_id, start_key""".stripMargin,
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
@@ -2554,6 +2732,15 @@ object AnalyticsQueries {
         |FROM p LEFT JOIN dl USING (rowkey, qualifier)
         |WHERE rn = 1 AND (del_ts IS NULL OR p.ts > del_ts)
         |ORDER BY rowkey, qualifier""".stripMargin,
+    "wal_inspect" ->
+      """SELECT event_id AS seq, user_id AS rowkey,
+        |       CASE WHEN event_type IN ('click', 'view') THEN 'web' ELSE 'act' END
+        |         AS family,
+        |       event_type AS qualifier, ts,
+        |       CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op,
+        |       CAST(floor(value * 100) AS BIGINT) AS value_cents
+        |FROM events WHERE user_id IN (1, 2, 7) AND event_id >= 50
+        |ORDER BY seq""".stripMargin,
     "multi_table_scan" ->
       ("WITH " + Tables.customerCellsSql + ",\n" + Tables.supplierCellsSql + "\n" +
        """SELECT table_name, rowkey, family, qualifier, value FROM (
@@ -3192,6 +3379,57 @@ object AnalyticsQueries {
         |       CAST(sum(CASE WHEN extra_ms > 0 THEN extra_ms ELSE 0 END) AS BIGINT)
         |         AS total_pause_ms
         |FROM g WHERE extra_ms IS NOT NULL GROUP BY 1 ORDER BY server""".stripMargin,
+    "alter_table_plan" ->
+      ("WITH " + Tables.eventCellsTwoFamiliesSql + """,
+        |op(family, ttl_old, mv_old, enc_old, bs_old) AS (
+        |  VALUES ('web', 30, 3, 'NONE', 65536),
+        |         ('act', 60, 5, 'PREFIX', 65536),
+        |         ('tmp', 7, 1, 'NONE', 65536)),
+        |np(family, ttl_new, mv_new, enc_new, bs_new) AS (
+        |  VALUES ('web', 14, 1, 'PREFIX', 65536),
+        |         ('act', 60, 5, 'PREFIX', 32768),
+        |         ('meta', 365, 3, 'NONE', 65536)),
+        |d AS (SELECT coalesce(op.family, np.family) AS family,
+        |             ttl_old, ttl_new, mv_old, mv_new,
+        |             CASE WHEN ttl_old IS NULL THEN 'ADD_FAMILY'
+        |                  WHEN ttl_new IS NULL THEN 'DROP_FAMILY'
+        |                  WHEN ttl_old <> ttl_new OR mv_old <> mv_new
+        |                    OR enc_old <> enc_new OR bs_old <> bs_new
+        |                    THEN 'MODIFY'
+        |                  ELSE 'NONE' END AS action,
+        |             coalesce(enc_old <> enc_new, false) AS encoding_changed,
+        |             coalesce(bs_old <> bs_new, false) AS blocksize_changed
+        |      FROM op FULL OUTER JOIN np ON op.family = np.family),
+        |nw AS (SELECT epoch_us(max(ts)) AS now_us FROM vcells2),
+        |rk AS (SELECT family, qualifier, epoch_us(ts) AS ts_us,
+        |              row_number() OVER (PARTITION BY family, rowkey, qualifier
+        |                                 ORDER BY ts DESC, event_id DESC) AS vrank
+        |       FROM vcells2),
+        |ft AS (SELECT rk.family, count(*) AS n_cells,
+        |              CAST(sum(8 + length(qualifier)) AS BIGINT) AS n_bytes,
+        |              CAST(sum(CASE WHEN ttl_new IS NOT NULL
+        |                             AND ttl_old IS NOT NULL
+        |                             AND now_us - ts_us > ttl_new * 86400000000
+        |                             AND now_us - ts_us <= ttl_old * 86400000000
+        |                            THEN 1 ELSE 0 END) AS BIGINT) AS newly_expired,
+        |              CAST(sum(CASE WHEN mv_new IS NOT NULL AND mv_old IS NOT NULL
+        |                             AND vrank > mv_new AND vrank <= mv_old
+        |                            THEN 1 ELSE 0 END) AS BIGINT)
+        |                AS newly_dropped_versions
+        |       FROM rk JOIN d ON rk.family = d.family, nw GROUP BY 1)
+        |SELECT d.family, d.action,
+        |       CAST(ttl_old AS BIGINT) AS ttl_old,
+        |       CAST(ttl_new AS BIGINT) AS ttl_new,
+        |       CAST(mv_old AS INT) AS mv_old, CAST(mv_new AS INT) AS mv_new,
+        |       encoding_changed, blocksize_changed,
+        |       coalesce(n_cells, 0) AS n_cells,
+        |       coalesce(newly_expired, 0) AS newly_expired,
+        |       coalesce(newly_dropped_versions, 0) AS newly_dropped_versions,
+        |       CASE WHEN d.action = 'DROP_FAMILY' OR encoding_changed
+        |              OR blocksize_changed THEN coalesce(n_bytes, 0)
+        |            ELSE 0 END AS rewrite_bytes
+        |FROM d LEFT JOIN ft ON d.family = ft.family
+        |ORDER BY d.family""".stripMargin),
     "schema_sanity" ->
       """WITH htd AS (SELECT p_brand AS table_name,
         |  max(CAST(floor(p_retailprice * 100) AS BIGINT)) * 23 AS max_filesize_b,

@@ -437,6 +437,78 @@ object Tools {
         col("_first").isNotNull.as("ok"))
   }
 
+  /** The WRITE half of the canary (hbase-server/.../tool/Canary.java
+    * RegionTask write mode — `-writeSniffing`: one put + one delete
+    * round trip per region of the canary table, publishWriteFailure on
+    * rejection): for every region of the nRegions total-order split,
+    * fabricate the probe cell at the region's start boundary
+    * (`lo + ceil(i·span/n)` — the smallest key the bucket arithmetic
+    * assigns to region i), apply the put (probe cells of writable
+    * regions join the live cell set; `readOnly` regions reject, the
+    * planted failure mode), READ IT BACK out of its own region
+    * (put_ok — the read-back re-derives the region from the key, so a
+    * boundary-arithmetic bug surfaces here, not silently), then delete
+    * every probe and verify global absence (roundtrip_ok). Region load
+    * (n_cells) rides along — the reference reports write latency
+    * against region load; cardinality is the deterministic analogue.
+    *
+    * Scale shape: the probe frame is nRegions rows (metadata); the
+    * read-back scans the live set under a `family = '_canary_'`
+    * predicate (pushed — prunes the whole data corpus); load is one
+    * map-side-combinable count. Nothing data-sized shuffles. */
+  def canaryWriteProbe(cells: DataFrame, nRegions: Int,
+                       readOnly: Seq[Long] = Nil): DataFrame = {
+    require(nRegions >= 1, "need at least one region")
+    // key bounds as a driver-local 1-row scalar (the kv/Mutations
+    // pattern): the probe frame feeds FOUR consumers (output, read-
+    // back, delete left side, delete broadcast), and Catalyst shares
+    // nothing across consumers — a lazy bounds relation would rescan
+    // the corpus key column once per consumer. Collected, the frame
+    // is a pure literal relation; the two remaining corpus scans
+    // (this one + the load count) are asserted in PlanAuditSpec.
+    val bRow = cells.agg(min(col("rowkey")).as("_lo"), max(col("rowkey")).as("_hi"))
+      .collect()(0)
+    require(!bRow.isNullAt(0), "canaryWriteProbe: empty canary table")
+    val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+    val spark = cells.sparkSession
+    val probes = spark.range(0, nRegions).toDF("region")
+      .withColumn("probe_key",
+        lit(lo) + expr(s"(region * ${hi - lo + 1} + ($nRegions - 1)) div $nRegions"))
+      .withColumn("writable",
+        if (readOnly.isEmpty) lit(true) else !col("region").isin(readOnly: _*))
+    val puts = probes.where(col("writable"))
+      .select(col("probe_key").as("rowkey"), lit("_canary_").as("family"),
+        lit("probe").as("qualifier"))
+    // the put: probe cells of writable regions join the live cell set
+    // (the '_canary_' filter constant-folds the data branch away, so
+    // the read-back costs probe-cardinality work, not a corpus scan)
+    val live = cells.select("rowkey", "family", "qualifier").unionByName(puts)
+    val readBack = live.where(col("family") === "_canary_")
+      .select(col("rowkey").as("_rb_key"),
+        totalOrderBucket(col("rowkey"), lit(lo), lit(hi), nRegions)
+          .as("_rb_region"))
+    val load = cells
+      .groupBy(totalOrderBucket(col("rowkey"), lit(lo), lit(hi), nRegions)
+        .as("region"))
+      .agg(count(lit(1)).as("n_cells"))
+    // the delete: every probe cell leaves the set; a nonzero leftover
+    // means the tombstone missed (the delete half of the round trip)
+    val leftover = live
+      .join(broadcast(puts.select("rowkey", "family")), Seq("rowkey", "family"),
+        "left_anti")
+      .where(col("family") === "_canary_")
+      .agg(count(lit(1)).as("_left"))
+    probes
+      .join(readBack, probes("region") === readBack("_rb_region") &&
+        probes("probe_key") === readBack("_rb_key"), "left")
+      .join(load, Seq("region"), "left")
+      .crossJoin(broadcast(leftover))
+      .select(col("region"), col("probe_key"), col("writable"),
+        col("_rb_key").isNotNull.as("put_ok"),
+        (col("_rb_key").isNotNull && col("_left") === 0L).as("roundtrip_ok"),
+        coalesce(col("n_cells"), lit(0L)).as("n_cells"))
+  }
+
   /** Merge (hbase-server/.../util/Merge.java:57, and the master path
     * CatalogJanitor feeds) — EXECUTE the merge half of
     * [[normalizerPlan]]: each planned (bucket, other_bucket) pair
@@ -912,6 +984,210 @@ object Tools {
             nullKey.as("end_key"), lit(1L).as("n"))))).as("x"))
       .where(col("x").isNotNull).select(col("x.*"))
     sweepErrors.unionByName(degen).unionByName(bounds)
+  }
+
+  /** The FIX side of HBaseFsck (util/HBaseFsckRepair.java; the
+    * `-fixHdfsHoles` / `-fixHdfsOverlaps` arms wired at
+    * HBaseFsck.java:244-245, shouldFixAssignments at :2133-2370):
+    * from the same catalog [[hbckRegionChain]] audits, emit the repair
+    * PLAN the tool would execute —
+    *
+    *  - every hole (including the not-empty first-start / last-end
+    *    edges, which the reference plugs with an open-boundary region)
+    *    → `CREATE_HOLE_REGION`: a fabricated empty region with the
+    *    hole's exact bounds (HBaseFsck.java fabricates the HRI and
+    *    creates its HDFS dir);
+    *  - every transitive overlap group of ≤ `maxMerge` regions
+    *    (hbase.hbck.overlap.merge.max, default 5) → `MERGE_OVERLAP`:
+    *    one row per member carrying the merged target bounds
+    *    (mergeOverlaps collapses the group into one region spanning
+    *    the union);
+    *  - larger groups → keep the widest member (`KEEP_OVERLAP`),
+    *    sideline the rest (`SIDELINE_OVERLAP` — sidelineBigOverlaps
+    *    moves region data aside for later bulk re-load);
+    *  - degenerate regions (start == end) → `SIDELINE_DEGENERATE`
+    *    (an empty interval can neither merge nor serve reads).
+    *
+    * Overlap grouping must be TRANSITIVE (a region straddling two
+    * others connects all three even though the outer two never touch
+    * — the reference builds the group by walking shared coverage).
+    * Relationally: overlap intervals from the boundary sweep, each
+    * extended to the HULL of its covering regions, then classic
+    * interval-island merging over the hulls. A shared region forces
+    * its full extent into both intervals' hulls, so hull overlap ⇔
+    * transitive connectivity — islands ARE the reference's groups,
+    * computed in one bounded window instead of a driver-side walk.
+    *
+    * Windows and broadcast joins run over DEFECT cardinality (overlap
+    * intervals), not the catalog, and the catalog itself is master
+    * metadata — region-count scale, like hbckRegionChain's sweep.
+    *
+    * Applying the plan (drop SIDELINE*, collapse each MERGE group to
+    * its target bounds, add the CREATE rows) yields a catalog
+    * [[hbckRegionChain]] audits clean — the replay spec's contract.
+    *
+    * @param regions (region_id, start_key, end_key); NULL = open. */
+  def hbckRepairPlan(regions: DataFrame, maxMerge: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val MINK = -4611686018427387904L
+    val MAXK =  4611686018427387904L
+    val nullKey = lit(null).cast("bigint")
+    def outKey(c: Column) =
+      when(c === MINK || c === MAXK, nullKey).otherwise(c)
+    val r = regions.select(col("region_id"),
+      coalesce(col("start_key"), lit(MINK)).as("s"),
+      coalesce(col("end_key"), lit(MAXK)).as("e"))
+    val starts = r.groupBy(col("s").as("k")).agg(count(lit(1)).as("n_starts"))
+    val ends   = r.groupBy(col("e").as("k")).agg(count(lit(1)).as("n_ends"))
+    val byKey  = Window.orderBy("k")
+    val sweep = starts.join(ends, Seq("k"), "full_outer")
+      .na.fill(0L, Seq("n_starts", "n_ends"))
+      .withColumn("cov", sum(col("n_starts") - col("n_ends"))
+        .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_k", lead(col("k"), 1).over(byKey))
+    val bounds = r.agg(min(col("s")).as("_min_s"), max(col("e")).as("_max_e"))
+    val holes = sweep.where(col("cov") === 0 && col("next_k").isNotNull)
+      .select(col("k").as("hs"), col("next_k").as("he"))
+      .unionByName(bounds.select(explode(array(
+          when(col("_min_s").isNotNull && col("_min_s") =!= MINK,
+            struct(lit(MINK).as("hs"), col("_min_s").as("he"))),
+          when(col("_max_e").isNotNull && col("_max_e") =!= MAXK,
+            struct(col("_max_e").as("hs"), lit(MAXK).as("he"))))).as("x"))
+        .where(col("x").isNotNull).select(col("x.*")))
+    val creates = holes.select(lit("CREATE_HOLE_REGION").as("action"),
+      concat(lit("fab_"),
+        coalesce(outKey(col("hs")).cast("string"), lit("open"))).as("region_id"),
+      outKey(col("hs")).as("start_key"), outKey(col("he")).as("end_key"))
+    // overlap members: covering regions per overlap interval (the
+    // interval side is defect-bounded — broadcast)
+    val ov = sweep.where(col("cov") > 1).select(col("k"), col("next_k"))
+    val members = r.where(col("s") < col("e"))
+      .join(broadcast(ov), col("s") <= col("k") && col("e") >= col("next_k"))
+    val ihull = members.groupBy("k", "next_k")
+      .agg(min(col("s")).as("hs"), max(col("e")).as("he"))
+    val byHull = Window.orderBy("hs", "k")
+    val islands = ihull
+      .withColumn("_run",
+        max(col("he")).over(byHull.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        (col("_run").isNull || col("_run") <= col("hs")).cast("long"))
+      .withColumn("island", sum(col("_new"))
+        .over(byHull.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("k", "next_k", "island")
+    // a region's intervals all share its own hull, so its island is
+    // unique — distinct collapses the per-interval repeats
+    val gm = members.join(broadcast(islands), Seq("k", "next_k"))
+      .select("island", "region_id", "s", "e").distinct()
+    val groups = gm.groupBy("island").agg(count(lit(1)).as("n_members"),
+      min(col("s")).as("g_s"), max(col("e")).as("g_e"))
+    val merged = gm.join(broadcast(groups), Seq("island"))
+    val mergeRows = merged.where(col("n_members") <= maxMerge)
+      .select(lit("MERGE_OVERLAP").as("action"), col("region_id"),
+        outKey(col("g_s")).as("start_key"), outKey(col("g_e")).as("end_key"))
+    // widest-region span as DOUBLE: open-boundary sentinels subtract
+    // to 2^63, one past Long.MaxValue — the ordering key must not wrap
+    val bySpan = Window.partitionBy("island")
+      .orderBy((col("e").cast("double") - col("s").cast("double")).desc,
+        col("region_id"))
+    val big = merged.where(col("n_members") > maxMerge)
+      .withColumn("_rk", row_number().over(bySpan))
+      .select(when(col("_rk") === 1, "KEEP_OVERLAP")
+          .otherwise("SIDELINE_OVERLAP").as("action"),
+        col("region_id"), outKey(col("s")).as("start_key"),
+        outKey(col("e")).as("end_key"))
+    val degen = r.where(col("s") === col("e"))
+      .select(lit("SIDELINE_DEGENERATE").as("action"), col("region_id"),
+        outKey(col("s")).as("start_key"), outKey(col("e")).as("end_key"))
+    creates.unionByName(mergeRows).unionByName(big).unionByName(degen)
+  }
+
+  /** modifyTable descriptor-diff impact plan (master/HMaster.java
+    * modifyTable → MasterDDLOperationHelper; HTableDescriptor /
+    * HColumnDescriptor compareTo — the alter-table flow every schema
+    * change goes through): diff the OLD vs NEW per-family descriptor
+    * properties and join each family's DATA footprint, reporting what
+    * the change actually touches —
+    *
+    *  - `action`: ADD_FAMILY / DROP_FAMILY (descriptor presence diff)
+    *    or MODIFY / NONE (any property differs);
+    *  - `newly_expired`: cells a TIGHTENED TTL newly kills — older
+    *    than now − new_ttl but inside now − old_ttl ("now" = the
+    *    corpus max timestamp, the deterministic clock every TTL
+    *    operator here uses); a loosened TTL newly kills nothing;
+    *  - `newly_dropped_versions`: per-(rowkey, qualifier) versions a
+    *    LOWERED max_versions newly evicts — version rank in
+    *    (new_mv, old_mv], rank by (ts, seq) desc exactly as the
+    *    version scanner orders;
+    *  - `rewrite_bytes`: encoding or blocksize changes rewrite every
+    *    store file of the family (the reference reopens regions and
+    *    rewrites on next major compaction) — the family's full byte
+    *    footprint; a dropped family likewise pays its full bytes.
+    *
+    * Cell bytes = 8 (fixed-width value) + qualifier length — integer
+    * and engine-portable, the cellCounter convention.
+    *
+    * Scale shape: descriptors are metadata (broadcast both sides);
+    * the footprint is ONE pass over the cells — the version-rank
+    * window partitions by (family, rowkey, qualifier), data-scale
+    * keys, and every counter is a map-side-combinable conditional
+    * aggregate. Nothing collects.
+    *
+    * @param cells    (rowkey, family, qualifier, ts, event_id, value)
+    * @param oldProps / newProps (family, ttl_days, max_versions,
+    *                 encoding, blocksize_b) */
+  def alterTablePlan(cells: DataFrame, oldProps: DataFrame,
+                     newProps: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = oldProps.select(col("family"), col("ttl_days").as("ttl_old"),
+      col("max_versions").as("mv_old"), col("encoding").as("enc_old"),
+      col("blocksize_b").as("bs_old"))
+    val n = newProps.select(col("family"), col("ttl_days").as("ttl_new"),
+      col("max_versions").as("mv_new"), col("encoding").as("enc_new"),
+      col("blocksize_b").as("bs_new"))
+    val diff = o.join(n, Seq("family"), "full_outer")
+      .withColumn("action",
+        when(col("ttl_old").isNull, "ADD_FAMILY")
+          .when(col("ttl_new").isNull, "DROP_FAMILY")
+          .when(col("ttl_old") =!= col("ttl_new") ||
+                col("mv_old") =!= col("mv_new") ||
+                col("enc_old") =!= col("enc_new") ||
+                col("bs_old") =!= col("bs_new"), "MODIFY")
+          .otherwise("NONE"))
+      .withColumn("encoding_changed",
+        coalesce(col("enc_old") =!= col("enc_new"), lit(false)))
+      .withColumn("blocksize_changed",
+        coalesce(col("bs_old") =!= col("bs_new"), lit(false)))
+    val now = cells.agg(unix_micros(max(col("ts"))).as("_now_us"))
+    val byVersion = Window.partitionBy("family", "rowkey", "qualifier")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val ranked = cells
+      .withColumn("_vrank", row_number().over(byVersion).cast("long"))
+      .crossJoin(broadcast(now))
+      .withColumn("_age_us", col("_now_us") - unix_micros(col("ts")))
+    val DAY_US = 86400000000L
+    val foot = ranked.join(broadcast(diff), Seq("family"))
+      .groupBy("family")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(lit(8L) + length(col("qualifier"))).as("n_bytes"),
+        sum(when(col("ttl_new").isNotNull && col("ttl_old").isNotNull &&
+            col("_age_us") > col("ttl_new") * DAY_US &&
+            col("_age_us") <= col("ttl_old") * DAY_US, 1L).otherwise(0L))
+          .as("newly_expired"),
+        sum(when(col("mv_new").isNotNull && col("mv_old").isNotNull &&
+            col("_vrank") > col("mv_new") && col("_vrank") <= col("mv_old"),
+            1L).otherwise(0L))
+          .as("newly_dropped_versions"))
+    diff.join(foot, Seq("family"), "left")
+      .select(col("family"), col("action"),
+        col("ttl_old"), col("ttl_new"), col("mv_old"), col("mv_new"),
+        col("encoding_changed"), col("blocksize_changed"),
+        coalesce(col("n_cells"), lit(0L)).as("n_cells"),
+        coalesce(col("newly_expired"), lit(0L)).as("newly_expired"),
+        coalesce(col("newly_dropped_versions"), lit(0L))
+          .as("newly_dropped_versions"),
+        when(col("action") === "DROP_FAMILY" || col("encoding_changed") ||
+            col("blocksize_changed"), coalesce(col("n_bytes"), lit(0L)))
+          .otherwise(lit(0L)).as("rewrite_bytes"))
   }
 
   /** NamespaceAuditor (hbase-server/.../namespace/NamespaceAuditor.java:58,

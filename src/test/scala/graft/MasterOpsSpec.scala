@@ -329,6 +329,129 @@ class MasterOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- hbck_repair_plan ----------------------------------------------
+
+  test("hbck_repair_plan: replaying the plan onto the catalog audits clean") {
+    import graft.analytics.{AnalyticsQueries, Tools}
+    import spark.implicits._
+    val catalog = AnalyticsQueries.corruptedCatalog(spark, sfDir)
+    val plan = q("hbck_repair_plan").collect()
+    def keyOpt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    // regions the plan removes from the chain: sidelined ones and
+    // every merge-group member (replaced by the merged region below)
+    val removed = plan.filter(r => r.getString(0).startsWith("SIDELINE") ||
+        r.getString(0) == "MERGE_OVERLAP")
+      .map(_.getString(1)).toSet
+    // fabricated hole-fillers enter verbatim; each merge group enters
+    // once at its target bounds
+    val adds =
+      plan.filter(_.getString(0) == "CREATE_HOLE_REGION")
+        .map(r => (r.getString(1), keyOpt(r, 2), keyOpt(r, 3))).toSeq ++
+      plan.filter(_.getString(0) == "MERGE_OVERLAP")
+        .map(r => (keyOpt(r, 2), keyOpt(r, 3))).distinct
+        .map { case (s, e) => (s"merged_${s.getOrElse("open")}", s, e) }
+    val repaired = catalog
+      .where(!col("region_id").isin(removed.toSeq: _*))
+      .unionByName(adds.toDF("region_id", "start_key", "end_key"))
+    assert(Tools.hbckRegionChain(repaired).collect().isEmpty,
+      Tools.hbckRegionChain(repaired).collect().mkString("\n"))
+  }
+
+  test("hbckRepairPlan: oversize overlap group keeps the widest, sidelines the rest") {
+    import spark.implicits._
+    // 7 regions stacked over one range: > maxMerge (5), so the widest
+    // (a) survives and the other six sideline — sidelineBigOverlaps
+    val cat = (Seq(("a", 0L, 100L)) ++
+      (1 to 6).map(i => (('a' + i).toChar.toString, 0L, 100L - i * 10L)))
+      .toDF("region_id", "start_key", "end_key")
+    val plan = graft.analytics.Tools.hbckRepairPlan(cat).collect()
+    val keep = plan.filter(_.getString(0) == "KEEP_OVERLAP")
+    val side = plan.filter(_.getString(0) == "SIDELINE_OVERLAP")
+    assert(keep.map(_.getString(1)).toSeq == Seq("a"), plan.mkString("\n"))
+    assert(side.map(_.getString(1)).sorted.toSeq ==
+      Seq("b", "c", "d", "e", "f", "g"))
+    assert(!plan.exists(_.getString(0) == "MERGE_OVERLAP"))
+  }
+
+  test("hbckRepairPlan: a straddler transitively connects disjoint neighbors") {
+    import spark.implicits._
+    // A and B never overlap each other, but X straddles both — the
+    // reference's group walk puts all three in ONE merge group
+    val cat = Seq(("A", 0L, 10L), ("B", 10L, 20L), ("X", 5L, 15L))
+      .toDF("region_id", "start_key", "end_key")
+    val plan = graft.analytics.Tools.hbckRepairPlan(cat).collect()
+    val merges = plan.filter(_.getString(0) == "MERGE_OVERLAP")
+    assert(merges.map(_.getString(1)).sorted.toSeq == Seq("A", "B", "X"),
+      plan.mkString("\n"))
+    // one group, spanning the union [0, 20)
+    assert(merges.map(r => (r.getLong(2), r.getLong(3))).distinct.toSeq ==
+      Seq((0L, 20L)))
+  }
+
+  // ---- canary_write ---------------------------------------------------
+
+  test("canary_write: read-only regions fail the put, writable ones round-trip") {
+    val rows = q("canary_write").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val region = r.getAs[Long]("region")
+      val writable = r.getAs[Boolean]("writable")
+      assert(writable == !Set(3L, 6L).contains(region), r.toString)
+      assert(r.getAs[Boolean]("put_ok") == writable, r.toString)
+      assert(r.getAs[Boolean]("roundtrip_ok") == writable, r.toString)
+      assert(r.getAs[Long]("n_cells") > 0, s"empty region in canary table: $r")
+    }
+  }
+
+  test("canaryWriteProbe: the probe key lands in its own region (boundary arithmetic)") {
+    import spark.implicits._
+    // skewed keyspace [3, 45]: ceil-boundary probes must still map
+    // back to their region through totalOrderBucket
+    val cells = Seq((3L, "f", "q"), (17L, "f", "q"), (45L, "f", "q"))
+      .toDF("rowkey", "family", "qualifier")
+    val got = graft.analytics.Tools.canaryWriteProbe(cells, 4).collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("put_ok"), r.toString)
+      assert(r.getAs[Boolean]("roundtrip_ok"), r.toString)
+    }
+  }
+
+  // ---- alter_table_plan -----------------------------------------------
+
+  test("alterTablePlan: TTL tighten and version cut count exactly the newly-hit cells") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def daysAgo(d: Int) =
+      new java.sql.Timestamp(ts0.getTime - d * 86400000L)
+    // f: 4 versions of one cell at ages 0/5/20/40 days
+    val cells = Seq(
+      (1L, "f", "q", daysAgo(0), 10.0, 4L),
+      (1L, "f", "q", daysAgo(5), 9.0, 3L),
+      (1L, "f", "q", daysAgo(20), 8.0, 2L),
+      (1L, "f", "q", daysAgo(40), 7.0, 1L))
+      .toDF("rowkey", "family", "qualifier", "ts", "value", "event_id")
+    val oldP = Seq(("f", 30L, 3, "NONE", 65536L), ("gone", 30L, 3, "NONE", 65536L))
+      .toDF("family", "ttl_days", "max_versions", "encoding", "blocksize_b")
+    val newP = Seq(("f", 10L, 2, "NONE", 65536L), ("added", 30L, 3, "NONE", 65536L))
+      .toDF("family", "ttl_days", "max_versions", "encoding", "blocksize_b")
+    val got = graft.analytics.Tools.alterTablePlan(cells, oldP, newP)
+      .collect().map(r => r.getAs[String]("family") -> r).toMap
+    val f = got("f")
+    // TTL 30→10: the 20-day cell newly expires (40-day was already
+    // out under 30); versions 3→2: rank-3 newly drops (rank-4 was
+    // already beyond old max)
+    assert(f.getAs[Long]("newly_expired") == 1, f.toString)
+    assert(f.getAs[Long]("newly_dropped_versions") == 1, f.toString)
+    assert(f.getAs[String]("action") == "MODIFY")
+    assert(f.getAs[Long]("rewrite_bytes") == 0, "no encoding/blocksize change")
+    assert(got("gone").getAs[String]("action") == "DROP_FAMILY")
+    assert(got("gone").getAs[Long]("n_cells") == 0)
+    assert(got("added").getAs[String]("action") == "ADD_FAMILY")
+    assert(got("added").getAs[Long]("n_cells") == 0)
+  }
+
   test("multi_table_write: each table reads back from its own pruned directory") {
     // the routed layout is real: filtering one table prunes the scan
     // to that table's partition directory (no full re-scan)

@@ -832,6 +832,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows.forall(w => w.contains("client")), windows.mkString("\n"))
   }
 
+  test("wal_inspect: row IN-list and sequence bound are pushed scan predicates") {
+    // the WALPrettyPrinter debugging view must answer from row-group
+    // probes — both narrowing predicates reach the parquet scan
+    val p = plan("wal_inspect")
+    assert(p.contains("In(user_id"), p)
+    assert(p.contains("GreaterThanOrEqual(event_id,50"), p)
+    assert(!p.contains("props"), "projection not pruned to the read columns")
+  }
+
+  test("canary_write: the read-back never rescans the data corpus") {
+    // live = cells ∪ probe puts filtered to family = '_canary_'; the
+    // cells side's family is a literal-branch CASE, so the filter must
+    // constant-fold the whole data branch away — the read-back and
+    // leftover checks cost probe-cardinality work, not a corpus scan.
+    // ONE corpus scan remains in the plan by design (the per-region
+    // load count; the bounds scalar is collected before planning).
+    val p = plan("canary_write")
+    val scans = p.split("\n").count(_.contains("Scan parquet"))
+    assert(scans <= 1, s"read-back rescans the corpus ($scans scans):\n$p")
+  }
+
   test("ann_pq: the float re-score joins the corpus to BROADCAST candidates") {
     // cand is queries×max(32,4k) rows off an aggregate — without the
     // explicit broadcast, Catalyst's corpus-derived size estimate
