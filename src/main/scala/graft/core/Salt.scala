@@ -63,6 +63,16 @@ object Salt {
 
   /** Two-phase salted aggregation.
     *
+    * Caveats of the content-derived salt (deliberate trade-offs):
+    *  - EXACT duplicate rows of a hot key hash to one salt, so they
+    *    collapse into a single (key, salt) partial — skew mitigation
+    *    degrades precisely on heavily-duplicated hot rows. If the
+    *    caller has a distinguishing column (an event id, an offset),
+    *    pre-project it into the row before calling so duplicates
+    *    spread; with none, the collapse is the price of determinism.
+    *  - `xxhash64` rejects MapType columns at analysis time; project
+    *    maps away (or to `map_entries(...)`) before salting.
+    *
     * @param partials salted-phase aggregates, e.g.
     *                 `Seq(sum("v").as("s"), count(lit(1)).as("c"))`
     * @param merges   merge-phase aggregates over the partial columns,

@@ -19,6 +19,15 @@ object SnapshotQueries {
     * trusts stale on-disk leftovers from an earlier run. */
   private val prepared =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** NO-NESTING INVARIANT: `setup` runs INSIDE computeIfAbsent, which
+    * holds the map bin lock for the (multi-second) ingest — a setup
+    * that itself calls once() for another key throws
+    * IllegalStateException or deadlocks, and unrelated keys hashing to
+    * the same bin block behind it. Every current setup is a leaf
+    * (plain writes); keep it that way, or switch to the per-key-future
+    * shape (putIfAbsent of a lazy holder) before composing setups.
+    * The lock-held form is kept deliberately: it preserves
+    * throw-caches-nothing atomically, with no half-registered state. */
   private def once(key: String)(setup: => Unit): Unit =
     // computeIfAbsent, NOT add-then-run: a THROWN setup must cache
     // nothing, or every later call in the JVM reads a missing/partial

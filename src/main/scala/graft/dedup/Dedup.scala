@@ -724,13 +724,21 @@ object Dedup {
     *         in round r */
   def labelPropagation(pairs: DataFrame, seeds: DataFrame,
                        rounds: Int = 2): DataFrame = {
-    require(rounds >= 1 && rounds <= 10,
-      s"rounds ($rounds) must be in [1, 10]; past that, pin per round")
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    require(rounds >= 1 && rounds <= 10, s"rounds ($rounds) must be in [1, 10]")
+    // pin the edge relation (it feeds every round) and pin `labeled`
+    // PER ROUND, freeing the superseded pin — the frontier is
+    // referenced three times per round (vote join, anti-join, union),
+    // so an unpinned lineage re-evaluates ~3^rounds times (the
+    // connectedComponents / pagerank discipline). The final pin is
+    // returned live for the caller to consume.
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
       .distinct()
+      .localCheckpoint()
     var labeled = seeds.select(col("node"), col("label"),
       lit(0).as("round"))
+      .localCheckpoint()
     for (r <- 1 to rounds) {
       val votes = edges
         .join(labeled.select(col("node").as("src"), col("label")), "src")
@@ -742,8 +750,11 @@ object Dedup {
         .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("_b"))
         .select(col("node"), col("_b.label").as("label"),
           lit(r).as("round"))
-      labeled = labeled.unionByName(adopted)
+      val next = labeled.unionByName(adopted).localCheckpoint()
+      CheckpointBridge.free(labeled)
+      labeled = next
     }
+    CheckpointBridge.free(edges)
     labeled
   }
 }

@@ -312,11 +312,15 @@ object PipelineQueries {
     // rounds over the ngram pair graph (ties to the smallest label —
     // set-deterministic). The oracle unrolls both rounds.
     "label_propagation" -> ((s, d) => {
-      val seeds = docs(s, d).where(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("node"), col("lang").as("label"))
-      Dedup.labelPropagation(ngramPairs(s, d).select("i", "j"), seeds,
+      // memoizedPinned: labelPropagation returns its final pinned
+      // frontier generation (per-round checkpoint discipline) — route
+      // it through the session memo so resetShared frees the pin
+      memoizedPinned(s, d, "label_prop") {
+        val seeds = docs(s, d).where(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("node"), col("lang").as("label"))
+        Dedup.labelPropagation(ngramPairs(s, d).select("i", "j"), seeds,
           rounds = 2)
-        .orderBy("node")
+      }.orderBy("node")
     }),
     // the ingest-time gate every corpus refresh runs: a new shard
     // classified against the kept corpus. The shard is planted from the

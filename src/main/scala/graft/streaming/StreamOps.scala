@@ -234,7 +234,17 @@ object StreamOps {
     * idempotent. Which doc anchors depends on arrival order, but the
     * COMPONENTS do not (spec-asserted under shuffled file order).
     *
-    * @param docs streaming (doc_id, text) */
+    * STATE-LIFETIME CAVEAT: one long per live (band, key) bucket with
+    * NoTimeout means state grows with the stream's cumulative shingle
+    * vocabulary and never shrinks — fine for a bounded ingest or the
+    * test harness, but a perpetual production gate must bound it:
+    * either restart the query per corpus epoch (anchors rebuild from
+    * the next arrivals; CC downstream is idempotent across the seam)
+    * or add a ProcessingTimeTimeout that expires cold buckets — an
+    * expired anchor only means the next member of that bucket
+    * re-anchors, i.e. a missed CANDIDATE pair across the expiry gap,
+    * never corruption. Choose the TTL by how far apart true near-dups
+    * arrive. */
   def streamingLshCandidates(docs: DataFrame, perms: Int = 128,
                              bands: Int = 32): Dataset[LshCandidate] = {
     val spark = docs.sparkSession
