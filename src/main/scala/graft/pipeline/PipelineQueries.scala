@@ -778,6 +778,14 @@ object PipelineQueries {
     // rule-for-rule equality.
     "bpe_train" -> ((s, d) => TextOps.bpeTrain(docs(s, d), 8)
       .orderBy("merge_idx")),
+    // Unigram-LM (SentencePiece) tokenizer training, bpe_train's
+    // sibling family: substring-seeded inventory, Viterbi-EM rounds on
+    // the vocab-cardinality table with a driver-local piece-cost map,
+    // linear prune to the target inventory. rows-only: the per-round
+    // collect loop has no portable single-SQL form; the spec replays
+    // an independent hand implementation piece-for-piece.
+    "tokenizer_unigram" -> ((s, d) => TextOps.unigramTrain(docs(s, d))
+      .orderBy("cost_micro", "piece")),
     // Curriculum phase assignment by difficulty (quality score) WITHOUT
     // a global sort: scores pre-bucket into ≤4096 range cells, the
     // quartile boundary cumsum runs over the bounded cell table only

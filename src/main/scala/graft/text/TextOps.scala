@@ -585,6 +585,121 @@ object TextOps {
         expr("n_chars * 1000000 div n_tokens"))
   }
 
+  /** Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization"
+    * §3 — the SentencePiece unigram model, the other mainstream
+    * tokenizer family beside [[bpeTrain]]): seed a piece inventory from
+    * frequent substrings, then Viterbi-EM rounds — segment every word
+    * into its maximum-likelihood piece sequence under the current piece
+    * costs, re-estimate piece frequencies from those segmentations, and
+    * prune the weakest multi-char pieces on a linear shrink toward the
+    * target inventory. Single characters are never pruned (coverage —
+    * SentencePiece's required-character set). Hard (Viterbi) EM — the
+    * deterministic variant — so the train is exact integer arithmetic
+    * over micro-log costs and an independent implementation replays it
+    * bit-for-bit (the spec's contract).
+    *
+    * Scale shape, the [[bpeTrain]] discipline: ONE corpus pass builds
+    * the (word, cnt) vocab table; seeding explodes substrings over
+    * VOCAB cardinality (≤ maxPieceLen per position); each EM round runs
+    * the Viterbi DP as one chained codegen projection over the vocab
+    * table — the piece-cost model is a driver-local ≤(chars + multis)-
+    * entry MAP LITERAL (constant-folded once; the trained-model collect
+    * pattern, bounded rows) — plus one map-side-combinable count. The
+    * corpus text is never re-scanned after the first pass.
+    *
+    * Viterbi forward: best[i] = min over j ≤ maxPieceLen of best[i−j] +
+    * cost(w[i−j+1..i]); absent pieces cost a sentinel no real path can
+    * reach (every single char is always in the model, so position i
+    * always has a real arm). Backtrack: the SMALLEST matching j at each
+    * boundary — fully deterministic.
+    *
+    * @return final inventory, one row per piece:
+    *         (piece, piece_len, count, cost_micro) — count is the
+    *         last-round Viterbi frequency, cost the −log₁₀ micro
+    *         unigram cost. */
+  def unigramTrain(docs: DataFrame, maxPieceLen: Int = 5,
+                   seedMultis: Int = 96, finalMultis: Int = 48,
+                   emRounds: Int = 2): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    require(maxPieceLen >= 2 && maxPieceLen <= 8,
+      s"maxPieceLen ($maxPieceLen) must be in [2, 8]")
+    require(emRounds >= 1 && seedMultis >= finalMultis && finalMultis >= 1,
+      s"bad schedule: rounds=$emRounds seed=$seedMultis final=$finalMultis")
+    val spark = docs.sparkSession
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val subs = words.select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, least($maxPieceLen, length(w))),
+           |  l -> transform(sequence(1, length(w) - l + 1),
+           |    p -> substring(w, p, l))))""".stripMargin)).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("n"))
+    val singles = subs.where(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    require(singles.nonEmpty, "unigramTrain: no trainable [a-z0-9]+ tokens")
+    val multis = subs.where(length(col("piece")) > 1)
+      .orderBy(col("n").desc, col("piece")).limit(seedMultis)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // integer micro-log cost: −log₁₀ p in the add-one-smoothed model,
+    // floor-to-micro so every engine/implementation agrees exactly
+    def mlog(x: Long): Long =
+      math.floor(math.log10((x + 1).toDouble) * 1e6).toLong
+    def costs(inv: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val total = inv.map(_._2).sum
+      inv.map { case (p, n) => (p, mlog(total) - mlog(n)) }
+    }
+    val BIG = 99999999999L // > any reachable path cost; absent-piece arm
+    def mapLit(model: Seq[(String, Long)]): String =
+      model.map { case (p, c) => s"'$p', ${c}L" }.mkString("map(", ", ", ")")
+    def bestSql(m: String): String = {
+      val arms = (1 to maxPieceLen).map { j =>
+        s"IF(i >= $j, element_at(acc, i - ${j - 1}) + " +
+          s"coalesce(element_at($m, substring(w, i - ${j - 1}, $j)), ${BIG}L), " +
+          "CAST(NULL AS BIGINT))"
+      }.mkString("least(", ", ", ")")
+      s"""aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
+         |  (acc, i) -> array_append(acc, $arms), acc -> acc)""".stripMargin
+    }
+    def backSql(m: String): String = {
+      // arms nest j ascending: the OUTERMOST test is j = 1, so the
+      // smallest matching piece wins every boundary
+      val nested = (maxPieceLen to 1 by -1).foldLeft("s") { (els, j) =>
+        s"IF(s.pos >= $j AND element_at(_best, s.pos + 1) = " +
+          s"element_at(_best, s.pos - ${j - 1}) + " +
+          s"coalesce(element_at($m, substring(w, s.pos - ${j - 1}, $j)), ${BIG}L), " +
+          s"named_struct('pos', s.pos - $j, " +
+          s"'out', array_append(s.out, substring(w, s.pos - ${j - 1}, $j))), $els)"
+      }
+      s"""reverse((aggregate(sequence(1, length(w)),
+         |  named_struct('pos', length(w), 'out', CAST(array() AS ARRAY<STRING>)),
+         |  (s, i) -> IF(s.pos <= 0, s, $nested), s -> s)).out)""".stripMargin
+    }
+    var model = costs(singles ++ multis)
+    var lastCounts = (singles ++ multis).toMap
+    for (r <- 1 to emRounds) {
+      val m = mapLit(model)
+      val counted = words
+        .withColumn("_best", expr(bestSql(m)))
+        .select(col("cnt"), explode(expr(backSql(m))).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("n"))
+        .collect().map(rr => (rr.getString(0), rr.getLong(1))).toMap
+      val keepMultis = seedMultis - ((seedMultis - finalMultis) * r) / emRounds
+      val sing = singles.map { case (p, _) => (p, counted.getOrElse(p, 0L)) }
+      val mult = model.map(_._1).filter(_.length > 1)
+        .map(p => (p, counted.getOrElse(p, 0L)))
+        .sortBy { case (p, n) => (-n, p) }.take(keepMultis)
+        .filter(_._2 > 0)
+      lastCounts = (sing ++ mult).toMap
+      model = costs(sing ++ mult)
+    }
+    CheckpointBridge.free(words)
+    import spark.implicits._
+    model.map { case (p, c) =>
+      (p, p.length.toLong, lastCounts.getOrElse(p, 0L), c)
+    }.toDF("piece", "piece_len", "count", "cost_micro")
+  }
+
   /** TF-IDF top-`topK` terms per document — the keyword-extraction /
     * topic-tagging pass of a curation pipeline. The idf is the
     * [[unigramLogProb]] integer micro-log: `score = tf ·

@@ -1231,6 +1231,104 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected.toSeq, s"got ${got.mkString(";")}")
   }
 
+  test("unigramTrain: piece-for-piece equal to an independent Viterbi-EM implementation") {
+    import spark.implicits._
+    val wordCnt = Map("lowest" -> 6L, "low" -> 4L, "newest" -> 5L,
+      "wide" -> 3L, "widest" -> 2L)
+    val text = wordCnt.toSeq.flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w) }.mkString(" ")
+    val docsDf = Seq((1L, text)).toDF("doc_id", "text")
+    val P = 4; val seedM = 12; val finalM = 6; val rounds = 2
+    val got = graft.text.TextOps.unigramTrain(docsDf, P, seedM, finalM, rounds)
+      .collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("piece_len"),
+        r.getAs[Long]("count"), r.getAs[Long]("cost_micro"))).toSet
+
+    // ---- independent reference implementation ----
+    def mlog(x: Long) = math.floor(math.log10((x + 1).toDouble) * 1e6).toLong
+    val subCnt = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, c) <- wordCnt; l <- 1 to math.min(P, w.length);
+         p <- 0 to w.length - l)
+      subCnt(w.substring(p, p + l)) += c
+    val singles = subCnt.filter(_._1.length == 1).toSeq.sortBy(_._1)
+    val multis = subCnt.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(seedM)
+    def costs(inv: Seq[(String, Long)]): Map[String, Long] = {
+      val total = inv.map(_._2).sum
+      inv.map { case (p, n) => (p, mlog(total) - mlog(n)) }.toMap
+    }
+    val BIG = 99999999999L
+    def viterbi(w: String, cost: Map[String, Long]): Seq[String] = {
+      val n = w.length
+      val best = Array.fill(n + 1)(0L)
+      for (i <- 1 to n)
+        best(i) = (1 to math.min(P, i)).map(j =>
+          best(i - j) + cost.getOrElse(w.substring(i - j, i), BIG)).min
+      var pos = n
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      while (pos > 0) {
+        val j = (1 to math.min(P, pos)).find(j =>
+          best(pos) == best(pos - j) +
+            cost.getOrElse(w.substring(pos - j, pos), BIG)).get
+        out += w.substring(pos - j, pos); pos -= j
+      }
+      out.reverse.toSeq
+    }
+    // brute-force check: the DP cost IS the minimum over every
+    // segmentation with pieces <= P chars
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(P, w.length)).flatMap(j =>
+        allSegs(w.drop(j)).map(w.take(j) +: _))
+    val seedCost = costs(singles ++ multis)
+    for (w <- wordCnt.keys) {
+      val dp = viterbi(w, seedCost).map(p => seedCost.getOrElse(p, BIG)).sum
+      val brute = allSegs(w)
+        .map(_.map(p => seedCost.getOrElse(p, BIG)).sum).min
+      assert(dp == brute, s"$w: dp $dp vs brute $brute")
+    }
+    var model = costs(singles ++ multis)
+    var modelPieces = (singles ++ multis).map(_._1)
+    var last = (singles ++ multis).toMap
+    for (r <- 1 to rounds) {
+      val counted = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((w, c) <- wordCnt; p <- viterbi(w, model)) counted(p) += c
+      val keep = seedM - ((seedM - finalM) * r) / rounds
+      val sing = singles.map { case (p, _) => (p, counted(p)) }
+      val mult = modelPieces.filter(_.length > 1).map(p => (p, counted(p)))
+        .sortBy { case (p, n) => (-n, p) }.take(keep).filter(_._2 > 0)
+      last = (sing ++ mult).toMap
+      model = costs(sing ++ mult)
+      modelPieces = (sing ++ mult).map(_._1)
+    }
+    val expected = model.map { case (p, c) =>
+      (p, p.length.toLong, last(p), c) }.toSet
+    assert(got == expected,
+      s"got ${got.toSeq.sorted.mkString(";")}\nexp ${expected.toSeq.sorted.mkString(";")}")
+  }
+
+  test("tokenizer_unigram: alphabet coverage, count-cost monotonicity, determinism") {
+    val q = SparkEntry.queries("tokenizer_unigram")
+    val a = q(spark, sfDir).collect()
+    assert(a.toSeq == q(spark, sfDir).collect().toSeq, "nondeterministic train")
+    val rows = a.map(r => (r.getAs[String]("piece"), r.getAs[Long]("piece_len"),
+      r.getAs[Long]("count"), r.getAs[Long]("cost_micro")))
+    // every [a-z0-9] char of the corpus survives as a single-char piece
+    val corpusChars = graft.core.Tables.load(spark, sfDir, "documents")
+      .select(explode(split(col("text"), "")).as("c"))
+      .where(col("c").rlike("^[a-z0-9]$"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val singlePieces = rows.filter(_._2 == 1).map(_._1).toSet
+    assert(corpusChars.subsetOf(singlePieces),
+      s"missing singles: ${corpusChars -- singlePieces}")
+    // final costs come from final counts: higher count => cost no higher
+    val byCount = rows.sortBy(-_._3)
+    byCount.zip(byCount.tail).foreach { case (x, y) =>
+      assert(x._4 <= y._4, s"cost not monotone: $x vs $y")
+    }
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 5 && r._3 >= 0))
+  }
+
   test("curriculum_order: phases monotone in score, in range, covering every doc") {
     val rows = SparkEntry.queries("curriculum_order")(spark, sfDir).collect()
     val nDocs = graft.core.Tables.load(spark, sfDir, "documents").count()
