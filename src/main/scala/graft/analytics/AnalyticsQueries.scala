@@ -1775,17 +1775,6 @@ object AnalyticsQueries {
               86400L).as("stuck"))
         .orderBy("region")
     }),
-    // Table-descriptor sanity check (master/HMaster.java:1610
-    // sanityCheckTableDescriptor — the gate every createTable/
-    // modifyTable RPC passes): the portable rule subset as pure
-    // arithmetic — MAX_FILESIZE ≥ 2 MiB (:1622, over-splitting),
-    // MEMSTORE_FLUSHSIZE ≥ 1 MiB (:1636, flush storms), CF TTL > 0,
-    // block size in [1 KiB, 16 MiB] (:1687), minVersions ≥ 0 and
-    // ≤ maxVersions (HBASE-13776), replication scope ≥ 0 (class-
-    // loading/compression checks are JVM-environment, out of scope).
-    // Descriptors synthesize per part brand (25 tables) with stats
-    // chosen so both outcomes occur; one aggregate + one codegen
-    // rule projection.
     // modifyTable descriptor-diff impact over the two-family event
     // cells: web tightens TTL 30→14 days, cuts versions 3→1 and
     // switches encoding (full rewrite + newly-expired + newly-dropped
@@ -1806,6 +1795,17 @@ object AnalyticsQueries {
       Tools.alterTablePlan(Tables.eventCellsTwoFamilies(s, d), oldP, newP)
         .orderBy("family")
     }),
+    // Table-descriptor sanity check (master/HMaster.java:1610
+    // sanityCheckTableDescriptor — the gate every createTable/
+    // modifyTable RPC passes): the portable rule subset as pure
+    // arithmetic — MAX_FILESIZE ≥ 2 MiB (:1622, over-splitting),
+    // MEMSTORE_FLUSHSIZE ≥ 1 MiB (:1636, flush storms), CF TTL > 0,
+    // block size in [1 KiB, 16 MiB] (:1687), minVersions ≥ 0 and
+    // ≤ maxVersions (HBASE-13776), replication scope ≥ 0 (class-
+    // loading/compression checks are JVM-environment, out of scope).
+    // Descriptors synthesize per part brand (25 tables) with stats
+    // chosen so both outcomes occur; one aggregate + one codegen
+    // rule projection.
     "schema_sanity" -> ((s, d) => {
       val htd = Tables.load(s, d, "part")
         .withColumn("_cents", floor(col("p_retailprice") * 100).cast("bigint"))

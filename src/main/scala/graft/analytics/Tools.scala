@@ -332,9 +332,17 @@ object Tools {
     * double-division order are parity-load-bearing; see
     * bulk_load_partitioner's oracle). Shared by [[totalOrderBuckets]]
     * and any query needing a per-row region tag before its own
-    * grouping (compaction_select's per-(region, day) flush files). */
+    * grouping (compaction_select's per-(region, day) flush files).
+    *
+    * The (key − lo) offset multiplies n in DOUBLE: a LONG multiply
+    * wraps once the key span crosses Long.Max/n (the sf1 spike hit it
+    * on squared-key ranges at ~8·10¹⁷ × 16 under ANSI overflow
+    * checks). Below 2^53 the double product is bit-exact, so every
+    * oracle comparison (≤ sf0.1 magnitudes) is unchanged; above it,
+    * bucket boundaries are approximate to ULP — a layout choice, not
+    * a correctness surface, at spans no oracle reaches. */
   def totalOrderBucket(key: Column, lo: Column, hi: Column, n: Int): Column =
-    floor((key - lo) * n / (hi - lo + 1)).cast("bigint")
+    floor((key - lo).cast("double") * n / (hi - lo + 1)).cast("bigint")
 
   /** Per-ROW total-order region tag — the row-level sibling of
     * [[totalOrderBuckets]] (which aggregates away the rows): bounds
@@ -470,6 +478,12 @@ object Tools {
       .collect()(0)
     require(!bRow.isNullAt(0), "canaryWriteProbe: empty canary table")
     val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+    // a span narrower than the region count makes the ceil boundaries
+    // collide (several probes landing in one region, displaced regions
+    // falsely reporting put failure) — refuse rather than mis-report
+    require(hi - lo + 1 >= nRegions,
+      s"canaryWriteProbe: key span ${hi - lo + 1} < $nRegions regions — " +
+        "probe boundaries would collide")
     val spark = cells.sparkSession
     val probes = spark.range(0, nRegions).toDF("region")
       .withColumn("probe_key",

@@ -730,8 +730,11 @@ object Dedup {
     // PER ROUND, freeing the superseded pin — the frontier is
     // referenced three times per round (vote join, anti-join, union),
     // so an unpinned lineage re-evaluates ~3^rounds times (the
-    // connectedComponents / pagerank discipline). The final pin is
-    // returned live for the caller to consume.
+    // connectedComponents / pagerank discipline). CONTRACT: the final
+    // pin is returned LIVE for the caller to consume — route it
+    // through a pin-owning memo (PipelineQueries.memoizedPinned) or
+    // free it after collecting, as connectedComponents' callers do.
+    // Intermediate pins are freed even when a round throws.
     val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
       .distinct()
@@ -739,20 +742,25 @@ object Dedup {
     var labeled = seeds.select(col("node"), col("label"),
       lit(0).as("round"))
       .localCheckpoint()
-    for (r <- 1 to rounds) {
-      val votes = edges
-        .join(labeled.select(col("node").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("cnt"))
-      val adopted = votes
-        .join(labeled.select("node"), Seq("node"), "left_anti")
-        .groupBy("node")
-        .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("_b"))
-        .select(col("node"), col("_b.label").as("label"),
-          lit(r).as("round"))
-      val next = labeled.unionByName(adopted).localCheckpoint()
-      CheckpointBridge.free(labeled)
-      labeled = next
+    try {
+      for (r <- 1 to rounds) {
+        val votes = edges
+          .join(labeled.select(col("node").as("src"), col("label")), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+        val adopted = votes
+          .join(labeled.select("node"), Seq("node"), "left_anti")
+          .groupBy("node")
+          .agg(min(struct((-col("cnt")).as("nc"), col("label"))).as("_b"))
+          .select(col("node"), col("_b.label").as("label"),
+            lit(r).as("round"))
+        val next = labeled.unionByName(adopted).localCheckpoint()
+        CheckpointBridge.free(labeled)
+        labeled = next
+      }
+    } catch {
+      case t: Throwable =>
+        CheckpointBridge.free(labeled); CheckpointBridge.free(edges); throw t
     }
     CheckpointBridge.free(edges)
     labeled

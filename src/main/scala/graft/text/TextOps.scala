@@ -630,17 +630,24 @@ object TextOps {
       .where(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
+    try {
+    // pinned: the substring explosion feeds TWO collects (singles,
+    // top-multis) — unpinned, each would re-run the whole seeding job
     val subs = words.select(col("cnt"), explode(expr(
         s"""flatten(transform(sequence(1, least($maxPieceLen, length(w))),
            |  l -> transform(sequence(1, length(w) - l + 1),
            |    p -> substring(w, p, l))))""".stripMargin)).as("piece"))
       .groupBy("piece").agg(sum("cnt").as("n"))
-    val singles = subs.where(length(col("piece")) === 1)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
-    require(singles.nonEmpty, "unigramTrain: no trainable [a-z0-9]+ tokens")
-    val multis = subs.where(length(col("piece")) > 1)
-      .orderBy(col("n").desc, col("piece")).limit(seedMultis)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .localCheckpoint(true)
+    val (singles, multis) = try {
+      val sg = subs.where(length(col("piece")) === 1)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+      require(sg.nonEmpty, "unigramTrain: no trainable [a-z0-9]+ tokens")
+      val ml = subs.where(length(col("piece")) > 1)
+        .orderBy(col("n").desc, col("piece")).limit(seedMultis)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      (sg, ml)
+    } finally CheckpointBridge.free(subs)
     // integer micro-log cost: −log₁₀ p in the add-one-smoothed model,
     // floor-to-micro so every engine/implementation agrees exactly
     def mlog(x: Long): Long =
@@ -693,11 +700,14 @@ object TextOps {
       lastCounts = (sing ++ mult).toMap
       model = costs(sing ++ mult)
     }
-    CheckpointBridge.free(words)
     import spark.implicits._
     model.map { case (p, c) =>
       (p, p.length.toLong, lastCounts.getOrElse(p, 0L), c)
     }.toDF("piece", "piece_len", "count", "cost_micro")
+    // the words pin is freed on every exit path (try/finally wraps
+    // the whole training body; the result is a driver-local literal
+    // relation, independent of the pin)
+    } finally CheckpointBridge.free(words)
   }
 
   /** TF-IDF top-`topK` terms per document — the keyword-extraction /

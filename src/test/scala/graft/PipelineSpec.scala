@@ -1451,9 +1451,12 @@ class PipelineSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 1L), (6L, 5L))
       .toDF("i", "j")
     val seeds = Seq((1L, "en"), (5L, "fr"), (7L, "de")).toDF("node", "label")
-    val out = Dedup.labelPropagation(pairs, seeds, rounds = 2).collect()
+    // labelPropagation returns a LIVE pin — free it once collected
+    val lp = Dedup.labelPropagation(pairs, seeds, rounds = 2)
+    val out = lp.collect()
       .map(r => r.getAs[Long]("node") ->
         (r.getAs[String]("label"), r.getAs[Int]("round"))).toMap
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(lp)
     // seeds clamped at round 0
     assert(out(1L) == ("en", 0) && out(5L) == ("fr", 0) && out(7L) == ("de", 0))
     // round 1: direct neighbors adopt; the tie node takes the smallest label
@@ -1471,11 +1474,13 @@ class PipelineSpec extends SparkSpec {
     val seeds = graft.core.Tables.load(spark, sfDir, "documents")
       .where(col("doc_id") % 3 === 0)
       .select(col("doc_id").as("node"), col("lang").as("label"))
-    val a = Dedup.labelPropagation(pairs, seeds).collect()
-      .map(_.toString).sorted
-    val b = Dedup.labelPropagation(pairs.repartition(7).orderBy(col("j")),
-        seeds.repartition(3)).collect()
-      .map(_.toString).sorted
+    val lpA = Dedup.labelPropagation(pairs, seeds)
+    val a = lpA.collect().map(_.toString).sorted
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(lpA)
+    val lpB = Dedup.labelPropagation(pairs.repartition(7).orderBy(col("j")),
+      seeds.repartition(3))
+    val b = lpB.collect().map(_.toString).sorted
+    org.apache.spark.sql.graftbridge.CheckpointBridge.free(lpB)
     assert(a.sameElements(b))
   }
 }

@@ -95,11 +95,14 @@ class PropertySpec extends SparkSpec {
         }.toMap
         want = want ++ adopt
       }
-      val got = graft.dedup.Dedup.labelPropagation(
-          edges.toDF("i", "j"), seeds.toDF("node", "label"), rounds = 2)
-        .collect()
+      // free the returned pin per generated case — scalacheck runs
+      // many cases in one JVM and stranded pins accumulate
+      val lp = graft.dedup.Dedup.labelPropagation(
+        edges.toDF("i", "j"), seeds.toDF("node", "label"), rounds = 2)
+      val got = lp.collect()
         .map(row => row.getAs[Long]("node") ->
           (row.getAs[String]("label"), row.getAs[Int]("round"))).toMap
+      org.apache.spark.sql.graftbridge.CheckpointBridge.free(lp)
       assert(got == want, s"edges $edges seeds $seeds:\ngot  $got\nwant $want")
     }
   }
