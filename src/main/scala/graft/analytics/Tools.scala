@@ -484,6 +484,13 @@ object Tools {
     require(hi - lo + 1 >= nRegions,
       s"canaryWriteProbe: key span ${hi - lo + 1} < $nRegions regions — " +
         "probe boundaries would collide")
+    // the exact ceil boundary needs region·span in LONG; refuse spans
+    // it would wrap on (the totalOrderBucket overflow class — but a
+    // probe KEY must be exact, so a double approximation could land a
+    // probe one region low: guard loudly instead, the bm25 discipline)
+    require(hi - lo + 1 <= Long.MaxValue / nRegions,
+      s"canaryWriteProbe: key span ${hi - lo + 1} * $nRegions regions " +
+        "overflows the exact boundary arithmetic — probe fewer regions")
     val spark = cells.sparkSession
     val probes = spark.range(0, nRegions).toDF("region")
       .withColumn("probe_key",

@@ -739,10 +739,13 @@ object Dedup {
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labeled = seeds.select(col("node"), col("label"),
-      lit(0).as("round"))
-      .localCheckpoint()
+    // everything after the first pin runs inside the try: a failure in
+    // the SEEDS projection/checkpoint must also free the edges pin
+    var labeled: DataFrame = null
     try {
+      labeled = seeds.select(col("node"), col("label"),
+        lit(0).as("round"))
+        .localCheckpoint()
       for (r <- 1 to rounds) {
         val votes = edges
           .join(labeled.select(col("node").as("src"), col("label")), "src")
@@ -760,7 +763,9 @@ object Dedup {
       }
     } catch {
       case t: Throwable =>
-        CheckpointBridge.free(labeled); CheckpointBridge.free(edges); throw t
+        if (labeled != null) CheckpointBridge.free(labeled)
+        CheckpointBridge.free(edges)
+        throw t
     }
     CheckpointBridge.free(edges)
     labeled

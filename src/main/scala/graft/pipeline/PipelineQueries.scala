@@ -314,12 +314,15 @@ object PipelineQueries {
     "label_propagation" -> ((s, d) => {
       // memoizedPinned: labelPropagation returns its final pinned
       // frontier generation (per-round checkpoint discipline) — route
-      // it through the session memo so resetShared frees the pin
+      // it through the session memo so resetShared frees the pin.
+      // The ngramPairs dependency resolves BEFORE the builder:
+      // computeIfAbsent must not re-enter the memo map (ngramClusters'
+      // rule).
+      val pairs = ngramPairs(s, d).select("i", "j")
       memoizedPinned(s, d, "label_prop") {
         val seeds = docs(s, d).where(col("doc_id") % 3 === 0)
           .select(col("doc_id").as("node"), col("lang").as("label"))
-        Dedup.labelPropagation(ngramPairs(s, d).select("i", "j"), seeds,
-          rounds = 2)
+        Dedup.labelPropagation(pairs, seeds, rounds = 2)
       }.orderBy("node")
     }),
     // the ingest-time gate every corpus refresh runs: a new shard
