@@ -27,28 +27,31 @@ object AnalyticsQueries {
     * boundary(i) = floor(lo + (hi−lo+1)·i/16) — the total-order
     * formula the oracles mirror in double division. */
   def corruptedCatalog(s: SparkSession, d: String): DataFrame = {
-    val b = Tables.load(s, d, "orders")
+    // key bounds as a driver-local 1-row scalar: the catalog feeds
+    // FIVE-plus consumers inside the hbck sweep/repair (starts, ends,
+    // bounds, overlap members, degens) and Catalyst shares nothing
+    // across consumers — a lazy bounds relation re-scans orders once
+    // per consumer. Collected, the catalog is an 18-row literal
+    // relation and the whole audit costs ONE corpus scan.
+    val bRow = Tables.load(s, d, "orders")
       .agg(min("o_orderkey").as("_lo"), max("o_orderkey").as("_hi"))
-    def bd(i: org.apache.spark.sql.Column) =
-      floor(col("_lo") + (col("_hi") - col("_lo") + 1) * i / 16).cast("bigint")
-    val base = b.select(explode(sequence(lit(0), lit(15))).as("i"),
-        col("_lo"), col("_hi"))
-      .where(col("i") =!= 5)
-      .select(
-        concat(lit("r"), lpad(col("i").cast("string"), 2, "0")).as("region_id"),
-        bd(col("i")).as("start_key"),
-        when(col("i") === 9, bd(col("i")))
-          .when(col("i") === 15, lit(null).cast("bigint"))
-          .otherwise(bd(col("i") + 1)).as("end_key"))
-    val extras = b.select(explode(array(
-        struct(lit("r12b").as("region_id"), bd(lit(12)).as("start_key"),
-          floor((bd(lit(12)) + bd(lit(13))) / 2).cast("bigint").as("end_key")),
-        struct(lit("r14x").as("region_id"),
-          floor((bd(lit(14)) + bd(lit(15))) / 2).cast("bigint").as("start_key"),
-          floor((bd(lit(15)) + bd(lit(16))) / 2).cast("bigint").as("end_key"))))
-        .as("x"))
-      .select(col("x.*"))
-    base.unionByName(extras)
+      .collect()(0)
+    val (lo, hi) = (bRow.getLong(0), bRow.getLong(1))
+    // same double-division boundary formula the oracles mirror
+    // (floor(lo + (hi−lo+1)·i/16.0) — IEEE double on both sides)
+    def bd(i: Int): Long = math.floor(lo + (hi - lo + 1) * i / 16.0).toLong
+    val base = (0 to 15).filter(_ != 5).map { i =>
+      (f"r$i%02d", Some(bd(i)),
+        if (i == 9) Some(bd(9))
+        else if (i == 15) None
+        else Some(bd(i + 1)))
+    }
+    val extras = Seq(
+      ("r12b", Some(bd(12)), Some(math.floorDiv(bd(12) + bd(13), 2L))),
+      ("r14x", Some(math.floorDiv(bd(14) + bd(15), 2L)),
+        Some(math.floorDiv(bd(15) + bd(16), 2L))))
+    import s.implicits._
+    (base ++ extras).toDF("region_id", "start_key", "end_key")
   }
 
   /** Portable row hash for orders: Knuth-multiplicative key hash plus

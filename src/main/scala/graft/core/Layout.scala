@@ -92,7 +92,10 @@ object Indexes {
     * the next request retries cleanly. (The build runs inside the
     * map's per-bin lock — ensure-ONCE is the point; concurrent callers
     * of the same index must wait for it, and index builds are rare
-    * ingest-time events, not a serving-path contention source.) */
+    * ingest-time events, not a serving-path contention source.
+    * NO-NESTING INVARIANT, as with SnapshotQueries.once: a build that
+    * itself calls ensure() for another index can corrupt or deadlock
+    * the map — every current builder is a leaf write; keep it so.) */
   def ensure(spark: SparkSession, dir: String, name: String)
             (build: String => Unit): String =
     built.computeIfAbsent(
