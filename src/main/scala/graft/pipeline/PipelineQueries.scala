@@ -789,6 +789,10 @@ object PipelineQueries {
     // an independent hand implementation piece-for-piece.
     "tokenizer_unigram" -> ((s, d) => TextOps.unigramTrain(docs(s, d))
       .orderBy("cost_micro", "piece")),
+    // the APPLY half (bpe_apply's sibling): per-doc fertility under
+    // the trained unigram segmentation. rows-only like the trainer.
+    "tokenizer_unigram_apply" -> ((s, d) => TextOps.unigramApply(docs(s, d))
+      .orderBy("doc_id")),
     // Curriculum phase assignment by difficulty (quality score) WITHOUT
     // a global sort: scores pre-bucket into ≤4096 range cells, the
     // quartile boundary cumsum runs over the bounded cell table only

@@ -617,15 +617,51 @@ object TextOps {
     *         (piece, piece_len, count, cost_micro) — count is the
     *         last-round Viterbi frequency, cost the −log₁₀ micro
     *         unigram cost. */
-  def unigramTrain(docs: DataFrame, maxPieceLen: Int = 5,
-                   seedMultis: Int = 96, finalMultis: Int = 48,
-                   emRounds: Int = 2): DataFrame = {
+  private val UniBig = 99999999999L // > any reachable Viterbi path cost
+
+  private def uniMapLit(model: Seq[(String, Long)]): String =
+    model.map { case (p, c) => s"'$p', ${c}L" }.mkString("map(", ", ", ")")
+
+  /** Viterbi forward DP over a word column `w`: best-cost array per
+    * prefix, one codegen `aggregate`. `m` is the map-literal model. */
+  private def uniBestSql(m: String, maxPieceLen: Int): String = {
+    val arms = (1 to maxPieceLen).map { j =>
+      s"IF(i >= $j, element_at(acc, i - ${j - 1}) + " +
+        s"coalesce(element_at($m, substring(w, i - ${j - 1}, $j)), ${UniBig}L), " +
+        "CAST(NULL AS BIGINT))"
+    }.mkString("least(", ", ", ")")
+    s"""aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
+       |  (acc, i) -> array_append(acc, $arms), acc -> acc)""".stripMargin
+  }
+
+  /** Viterbi backtrack over `w` and a `_best` column from
+    * [[uniBestSql]] — arms nest j ascending: the OUTERMOST test is
+    * j = 1, so the smallest matching piece wins every boundary. */
+  private def uniBackSql(m: String, maxPieceLen: Int): String = {
+    val nested = (maxPieceLen to 1 by -1).foldLeft("s") { (els, j) =>
+      s"IF(s.pos >= $j AND element_at(_best, s.pos + 1) = " +
+        s"element_at(_best, s.pos - ${j - 1}) + " +
+        s"coalesce(element_at($m, substring(w, s.pos - ${j - 1}, $j)), ${UniBig}L), " +
+        s"named_struct('pos', s.pos - $j, " +
+        s"'out', array_append(s.out, substring(w, s.pos - ${j - 1}, $j))), $els)"
+    }
+    s"""reverse((aggregate(sequence(1, length(w)),
+       |  named_struct('pos', length(w), 'out', CAST(array() AS ARRAY<STRING>)),
+       |  (s, i) -> IF(s.pos <= 0, s, $nested), s -> s)).out)""".stripMargin
+  }
+
+  /** The training loop shared by [[unigramTrain]] (inventory report)
+    * and [[unigramApply]] (segmentation): returns the final
+    * (piece, cost_micro) model in inventory order plus the final
+    * Viterbi-EM counts. All pins freed on every exit path. */
+  private def unigramModel(docs: DataFrame, maxPieceLen: Int,
+                           seedMultis: Int, finalMultis: Int, emRounds: Int)
+      : (Seq[(String, Long)], Map[String, Long]) = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
     require(maxPieceLen >= 2 && maxPieceLen <= 8,
       s"maxPieceLen ($maxPieceLen) must be in [2, 8]")
     require(emRounds >= 1 && seedMultis >= finalMultis && finalMultis >= 1,
       s"bad schedule: rounds=$emRounds seed=$seedMultis final=$finalMultis")
-    val spark = docs.sparkSession
     val words = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -656,39 +692,13 @@ object TextOps {
       val total = inv.map(_._2).sum
       inv.map { case (p, n) => (p, mlog(total) - mlog(n)) }
     }
-    val BIG = 99999999999L // > any reachable path cost; absent-piece arm
-    def mapLit(model: Seq[(String, Long)]): String =
-      model.map { case (p, c) => s"'$p', ${c}L" }.mkString("map(", ", ", ")")
-    def bestSql(m: String): String = {
-      val arms = (1 to maxPieceLen).map { j =>
-        s"IF(i >= $j, element_at(acc, i - ${j - 1}) + " +
-          s"coalesce(element_at($m, substring(w, i - ${j - 1}, $j)), ${BIG}L), " +
-          "CAST(NULL AS BIGINT))"
-      }.mkString("least(", ", ", ")")
-      s"""aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)),
-         |  (acc, i) -> array_append(acc, $arms), acc -> acc)""".stripMargin
-    }
-    def backSql(m: String): String = {
-      // arms nest j ascending: the OUTERMOST test is j = 1, so the
-      // smallest matching piece wins every boundary
-      val nested = (maxPieceLen to 1 by -1).foldLeft("s") { (els, j) =>
-        s"IF(s.pos >= $j AND element_at(_best, s.pos + 1) = " +
-          s"element_at(_best, s.pos - ${j - 1}) + " +
-          s"coalesce(element_at($m, substring(w, s.pos - ${j - 1}, $j)), ${BIG}L), " +
-          s"named_struct('pos', s.pos - $j, " +
-          s"'out', array_append(s.out, substring(w, s.pos - ${j - 1}, $j))), $els)"
-      }
-      s"""reverse((aggregate(sequence(1, length(w)),
-         |  named_struct('pos', length(w), 'out', CAST(array() AS ARRAY<STRING>)),
-         |  (s, i) -> IF(s.pos <= 0, s, $nested), s -> s)).out)""".stripMargin
-    }
     var model = costs(singles ++ multis)
     var lastCounts = (singles ++ multis).toMap
     for (r <- 1 to emRounds) {
-      val m = mapLit(model)
+      val m = uniMapLit(model)
       val counted = words
-        .withColumn("_best", expr(bestSql(m)))
-        .select(col("cnt"), explode(expr(backSql(m))).as("piece"))
+        .withColumn("_best", expr(uniBestSql(m, maxPieceLen)))
+        .select(col("cnt"), explode(expr(uniBackSql(m, maxPieceLen))).as("piece"))
         .groupBy("piece").agg(sum("cnt").as("n"))
         .collect().map(rr => (rr.getString(0), rr.getLong(1))).toMap
       val keepMultis = seedMultis - ((seedMultis - finalMultis) * r) / emRounds
@@ -700,14 +710,53 @@ object TextOps {
       lastCounts = (sing ++ mult).toMap
       model = costs(sing ++ mult)
     }
+    (model, lastCounts)
+    } finally CheckpointBridge.free(words)
+  }
+
+  def unigramTrain(docs: DataFrame, maxPieceLen: Int = 5,
+                   seedMultis: Int = 96, finalMultis: Int = 48,
+                   emRounds: Int = 2): DataFrame = {
+    val (model, lastCounts) =
+      unigramModel(docs, maxPieceLen, seedMultis, finalMultis, emRounds)
+    val spark = docs.sparkSession
     import spark.implicits._
     model.map { case (p, c) =>
       (p, p.length.toLong, lastCounts.getOrElse(p, 0L), c)
     }.toDF("piece", "piece_len", "count", "cost_micro")
-    // the words pin is freed on every exit path (try/finally wraps
-    // the whole training body; the result is a driver-local literal
-    // relation, independent of the pin)
-    } finally CheckpointBridge.free(words)
+  }
+
+  /** Unigram tokenization with the [[unigramTrain]] model — the APPLY
+    * half, [[bpeApply]]'s shape for the other tokenizer family: per
+    * doc, word/char/token counts under the trained max-likelihood
+    * segmentation plus the chars-per-token fertility micro-ratio.
+    *
+    * Scale shape, the bpeApply discipline: the trained model is a
+    * driver-local map literal; the Viterbi DP + backtrack run over
+    * the DISTINCT word table only (vocab cardinality, one chained
+    * codegen projection), then token counts join back on the word
+    * key. The corpus text is never segmented per piece. */
+  def unigramApply(docs: DataFrame, maxPieceLen: Int = 5,
+                   seedMultis: Int = 96, finalMultis: Int = 48,
+                   emRounds: Int = 2): DataFrame = {
+    val (model, _) =
+      unigramModel(docs, maxPieceLen, seedMultis, finalMultis, emRounds)
+    val m = uniMapLit(model)
+    val wordTok = docs.select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w").rlike("^[a-z0-9]+$"))
+      .distinct()
+      .withColumn("_best", expr(uniBestSql(m, maxPieceLen)))
+      .select(col("w"),
+        size(expr(uniBackSql(m, maxPieceLen))).cast("long").as("_n_syms"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w").rlike("^[a-z0-9]+$"))
+      .join(wordTok, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_chars"),
+        sum("_n_syms").as("n_tokens"))
+      .withColumn("chars_per_token_micro",
+        expr("n_chars * 1000000 div n_tokens"))
   }
 
   /** TF-IDF top-`topK` terms per document — the keyword-extraction /

@@ -1305,6 +1305,21 @@ class PipelineSpec extends SparkSpec {
       (p, p.length.toLong, last(p), c) }.toSet
     assert(got == expected,
       s"got ${got.toSeq.sorted.mkString(";")}\nexp ${expected.toSeq.sorted.mkString(";")}")
+
+    // the APPLY half on the same fixture: per-doc fertility must match
+    // token counts from the reference Viterbi under the final model
+    val applied = graft.text.TextOps
+      .unigramApply(docsDf, P, seedM, finalM, rounds).collect()
+    assert(applied.length == 1)
+    val row = applied(0)
+    val refTokens = wordCnt.map { case (w, c) => viterbi(w, model).size * c }.sum
+    val refWords = wordCnt.values.sum
+    val refChars = wordCnt.map { case (w, c) => w.length * c }.sum
+    assert(row.getAs[Long]("n_words") == refWords, row.toString)
+    assert(row.getAs[Long]("n_chars") == refChars, row.toString)
+    assert(row.getAs[Long]("n_tokens") == refTokens, row.toString)
+    assert(row.getAs[Long]("chars_per_token_micro") ==
+      refChars * 1000000L / refTokens, row.toString)
   }
 
   test("tokenizer_unigram: alphabet coverage, count-cost monotonicity, determinism") {
