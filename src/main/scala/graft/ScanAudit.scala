@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-shape audit over the whole query registry: count parquet scans
+  * per SOURCE FILE in every registered query's executed plan and
+  * report queries that re-scan the same file many times — the
+  * Catalyst-shares-nothing-across-consumers waste class that
+  * canaryWriteProbe and the hbck corrupted catalog exhibited (each
+  * fixed by collecting a 1-row scalar / literalizing a metadata
+  * relation). Repeated scans are LINEAR, not superlinear — the sf1
+  * spike won't flag them — but at 100 TB every extra pass over a fact
+  * table is a real cluster-hour bill, so they deserve an explicit
+  * audit of their own.
+  *
+  * Prints one line per (query, source) with scan count ≥ `minScans`
+  * (default 4; 2-3 is normal for bounds + data passes). Queries that
+  * physically write layouts (ensure-once) naturally scan more on
+  * first build — run twice and read the second report if in doubt.
+  *
+  * Triage guide (the r8 sweep's outcome, recorded in BASELINE_PERF):
+  *  - METADATA relation under multiple forks (bucket stats, plans,
+  *    catalogs) → Tools.materializeMeta. This killed the seven worst
+  *    offenders (up to ×16 → 1 corpus scan).
+  *  - Per-page / per-step scans with PUSHED point or range predicates
+  *    (scan_cursor's pages, the mutation round-trip chains) are the
+  *    OPERATION's semantics — each "scan" is a row-group probe, not a
+  *    corpus pass. Leave them.
+  *  - Multi-stage pipelines re-reading a pruned COLUMN of a fact
+  *    table per stage (tf/df passes, dedup stages): re-scanning a
+  *    pruned parquet column is usually cheaper at scale than pinning
+  *    a data-cardinality intermediate — leave unless a stage rereads
+  *    FULL rows.
+  *
+  * Usage: runMain graft.ScanAudit <sfDir> [minScans]
+  */
+object ScanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val minScans = if (args.length > 1) args(1).toInt else 4
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val scanRe = """Scan parquet[^\[]*\[[^\]]*\][^\n]*Location[^\[]*\[([^\]]+)\]""".r
+    val fileRe = """file:[^,\s\]]+""".r
+    var flagged = 0
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
+        val perFile = fileRe.findAllIn(plan).toSeq
+          .map(_.replaceAll(".*/", "")) // basename only
+          .groupBy(identity).view.mapValues(_.size)
+        for ((src, n) <- perFile.toSeq.sortBy(-_._2) if n >= minScans) {
+          println(f"[scan-audit] $name%-28s $src%-24s x$n")
+          flagged += 1
+        }
+      } catch {
+        case e: Throwable =>
+          println(s"[scan-audit] $name PLAN-ERROR ${e.getMessage.take(100)}")
+      }
+    }
+    println(s"[scan-audit] done: $flagged flagged (min $minScans scans of one file)")
+    spark.stop()
+  }
+}

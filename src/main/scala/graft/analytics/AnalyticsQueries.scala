@@ -174,7 +174,10 @@ object AnalyticsQueries {
     "region_normalizer" -> ((s, d) => {
       val grown = Tables.load(s, d, "orders")
         .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
-      Tools.normalizerPlan(Tools.totalOrderBuckets(grown, "region_key", 16))
+      // 16-row bucket stats feed three forks inside normalizerPlan —
+      // materialized so the corpus scans once (ScanAudit)
+      Tools.normalizerPlan(Tools.materializeMeta(
+          Tools.totalOrderBuckets(grown, "region_key", 16)))
         .orderBy("action", "bucket")
     }),
     // RegionSplitter pre-split points over the skew-grown keyspace:
@@ -215,10 +218,12 @@ object AnalyticsQueries {
     "balancer_move_plan" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val C = 5
-      val regions = Tools.totalOrderBuckets(
+      // 16-row region metadata feeding candidate fan-out + two count
+      // joins — materialized so orders scans once (ScanAudit)
+      val regions = Tools.materializeMeta(Tools.totalOrderBuckets(
           Tables.load(s, d, "orders"), "o_orderkey", 16)
         .select(col("bucket"), col("n_rows"),
-          pmod(col("bucket"), lit(3)).cast("int").as("server"))
+          pmod(col("bucket"), lit(3)).cast("int").as("server")))
       val totals = regions.agg(count(lit(1)).as("_t"))
       val servers = s.range(0, C).select(col("id").cast("int").as("server"))
       val counts = servers.join(
@@ -497,7 +502,10 @@ object AnalyticsQueries {
     "region_merge" -> ((s, d) => {
       val grown = Tables.load(s, d, "orders")
         .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
-      val buckets = Tools.totalOrderBuckets(grown, "region_key", 16)
+      // materialized: the bucket stats feed the plan AND the merge
+      // application — lazy, each fork re-scans orders (ScanAudit)
+      val buckets = Tools.materializeMeta(
+        Tools.totalOrderBuckets(grown, "region_key", 16))
       Tools.applyMerges(buckets, Tools.normalizerPlan(buckets))
         .orderBy("new_region")
     }),
@@ -507,7 +515,10 @@ object AnalyticsQueries {
     "region_split_exec" -> ((s, d) => {
       val grown = Tables.load(s, d, "orders")
         .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
-      val buckets = Tools.totalOrderBuckets(grown, "region_key", 16)
+      // the plan input is 16-row metadata (materialized — ScanAudit);
+      // `tagged` stays lazy, its two consumers are the honest data work
+      val buckets = Tools.materializeMeta(
+        Tools.totalOrderBuckets(grown, "region_key", 16))
       val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
       val tagged = grown.crossJoin(broadcast(b))
         .withColumn("bucket",
@@ -541,8 +552,10 @@ object AnalyticsQueries {
           struct(lit("r3b").as("region_id"), mid34.as("start_key"),
             bd(lit(4)).as("end_key"), lit(false).as("offline")))).as("x"))
         .select(col("x.*"))
+      // the META catalog is 9 rows deriving from the bounds aggregate
+      // — materialized so the lookup side is the only orders scan
       Tools.regionLocate(orders.select(col("o_orderkey")), "o_orderkey",
-          uniform.unionByName(daughters))
+          Tools.materializeMeta(uniform.unionByName(daughters)))
         .orderBy("region_id")
     }),
     // RegionSplitPolicy verdicts: ConstantSize vs the 1.x-default
@@ -1451,10 +1464,14 @@ object AnalyticsQueries {
     // minimizes
     "balancer_stochastic_cost" -> ((s, d) => {
       val grown = Tables.load(s, d, "orders")
-      val tagged = Tools.totalOrderBuckets(grown, "o_orderkey", 16,
-        Seq(sum(floor(col("o_totalprice") * 100).cast("bigint")).as("storefile"),
-          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("read_req"),
-          sum(when(col("o_orderstatus") =!= "O", 1L).otherwise(0L)).as("write_req")))
+      // 16-row region stats feeding the plan join AND every cost
+      // function's fork inside stochasticCost — materialized, the
+      // corpus scans once instead of 16 times (ScanAudit's worst hit)
+      val tagged = Tools.materializeMeta(
+        Tools.totalOrderBuckets(grown, "o_orderkey", 16,
+          Seq(sum(floor(col("o_totalprice") * 100).cast("bigint")).as("storefile"),
+            sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("read_req"),
+            sum(when(col("o_orderstatus") =!= "O", 1L).otherwise(0L)).as("write_req"))))
       val assigned = Tools.balancerPlan(tagged.select("bucket", "n_rows"), 5)
         .join(tagged, Seq("bucket", "n_rows"))
         .withColumn("init_server", pmod(col("bucket"), lit(5L)))
@@ -1540,12 +1557,14 @@ object AnalyticsQueries {
     // touched only by the two bucket aggregates.
     "rsgroup_balance" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ordersR = Tools.totalOrderBuckets(Tables.load(s, d, "orders"),
-          "o_orderkey", 16)
-        .select(lit("t_orders").as("table_name"), col("bucket"), col("n_rows"))
-      val custR = Tools.totalOrderBuckets(Tables.load(s, d, "customer"),
-          "c_custkey", 8)
-        .select(lit("t_customer").as("table_name"), col("bucket"), col("n_rows"))
+      // region metadata (16 + 8 rows) under three ranking forks —
+      // materialized so each table scans once (ScanAudit)
+      val ordersR = Tools.materializeMeta(
+        Tools.totalOrderBuckets(Tables.load(s, d, "orders"), "o_orderkey", 16)
+          .select(lit("t_orders").as("table_name"), col("bucket"), col("n_rows")))
+      val custR = Tools.materializeMeta(
+        Tools.totalOrderBuckets(Tables.load(s, d, "customer"), "c_custkey", 8)
+          .select(lit("t_customer").as("table_name"), col("bucket"), col("n_rows")))
       val tie = Seq(col("n_rows").desc, col("table_name"), col("bucket"))
       val wAll = Window.orderBy(tie: _*)
       val wGrp = Window.partitionBy("grp").orderBy(tie: _*)
@@ -1853,8 +1872,8 @@ object AnalyticsQueries {
       // regions keep their server, the dead host's regions deal
       // bucket-ordered round-robin over the survivors skipping the
       // dead slot — one shared copy, renamed to retention vocabulary
-      val old = Tools.balancerPlan(
-        Tools.totalOrderBuckets(Tables.load(s, d, "orders"), "o_orderkey", 16), 5)
+      val old = Tools.balancerPlan(Tools.materializeMeta(
+        Tools.totalOrderBuckets(Tables.load(s, d, "orders"), "o_orderkey", 16)), 5)
       Tools.regionMoverPlan(old, nServers = 5, drain = 2)
         .select(col("bucket"), col("n_rows"),
           col("src_server").as("old_server"), col("dest_server"),

@@ -327,6 +327,24 @@ object Tools {
         col("_drained").as("moved"))
   }
 
+  /** Collapse a small METADATA-cardinality relation (bucket stats, a
+    * region catalog, a balancer plan) to a driver-local literal: ONE
+    * evaluation of its possibly-corpus-scanning plan, after which
+    * every consumer reads the literal rows — Catalyst shares nothing
+    * across consumers, so a lazy 16-row bucket table consumed by k
+    * downstream branches re-scans the fact table k times (the
+    * canaryWriteProbe / hbck-catalog fix, generalized; found
+    * systematically by [[graft.ScanAudit]]). Values are identical to
+    * the lazy form — oracle parity is untouched — and the row guard
+    * keeps this an explicit metadata-only tool, never a data collect. */
+  def materializeMeta(df: DataFrame, maxRows: Int = 4096): DataFrame = {
+    val rows = df.collect()
+    require(rows.length <= maxRows,
+      s"materializeMeta: ${rows.length} rows exceed the $maxRows metadata bound")
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** The total-order bucket formula — ONE copy of the expression every
     * DuckDB oracle mirrors verbatim (the `+ 1` denominator and the
     * double-division order are parity-load-bearing; see
@@ -649,11 +667,13 @@ object Tools {
       .agg(sum(when(isWrite, 0L).otherwise(1L)).as("read_requests"),
         sum(when(isWrite, 1L).otherwise(0L)).as("write_requests"))
     val frame = b.select(explode(sequence(lit(0L), lit(nRegions - 1L))).as("region"))
-    val full = frame.join(counts, Seq("region"), "left")
+    // nRegions metadata rows feeding two forks (mean + final) — lazy,
+    // the mean branch would re-run the whole log aggregation
+    val full = materializeMeta(frame.join(counts, Seq("region"), "left")
       .select(col("region"),
         coalesce(col("read_requests"), lit(0L)).as("read_requests"),
         coalesce(col("write_requests"), lit(0L)).as("write_requests"))
-      .withColumn("total_requests", col("read_requests") + col("write_requests"))
+      .withColumn("total_requests", col("read_requests") + col("write_requests")))
     val avgReq = full.agg(avg(col("total_requests")).as("_avg"))
     full.crossJoin(broadcast(avgReq))
       .select(col("region"), col("read_requests"), col("write_requests"),
@@ -734,8 +754,12 @@ object Tools {
     * @param famSizes (region, family, mem_bytes). */
   def flushPolicy(famSizes: DataFrame, triggerDiv: Long = 10L,
                   lowerDiv: Long = 40L): DataFrame = {
-    val corpus = famSizes.agg(sum("mem_bytes").as("_tot"))
-    val sel = famSizes.crossJoin(broadcast(corpus))
+    // famSizes is (region × family) metadata feeding FOUR forks
+    // (corpus total, selection, region rollup, final join) — lazy, its
+    // data-aggregating plan would re-scan the corpus per fork
+    val fam = materializeMeta(famSizes)
+    val corpus = fam.agg(sum("mem_bytes").as("_tot"))
+    val sel = fam.crossJoin(broadcast(corpus))
       .withColumn("fam_selected",
         col("mem_bytes") >= expr(s"_tot div $lowerDiv"))
     val regions = sel.groupBy("region")
