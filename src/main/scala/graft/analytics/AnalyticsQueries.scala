@@ -54,6 +54,25 @@ object AnalyticsQueries {
     (base ++ extras).toDF("region_id", "start_key", "end_key")
   }
 
+  /** The WALPlayer bulk-HFile layout (region-partitioned, key-sorted
+    * parquet of the event-cell WAL slice), written once per (session,
+    * dir) — shared by wal_player_bulk (the per-region rollup audit)
+    * and wal_inspect_region (the region-filtered edit view).
+    * HFileOutputFormat2's partitioner takes the TARGET TABLE's region
+    * boundaries (configureIncrementalLoad), not a data sample — here
+    * the 8 total-order regions; one shuffle lands every cell in its
+    * region's sorted file. */
+  private def walpBulkLayout(s: SparkSession, d: String): String =
+    graft.core.Indexes.ensure(s, d, "walp_bulk") { target =>
+      val edits = Tables.eventCells(s, d)
+        .withColumn("op",
+          when(col("event_id") % 7 === 0, "delete").otherwise("put"))
+      Tools.withTotalOrderTag(edits, "rowkey", 8)
+        .repartition(col("region"))
+        .sortWithinPartitions("region", "rowkey")
+        .write.partitionBy("region").mode("overwrite").parquet(target)
+    }
+
   /** Portable row hash for orders: Knuth-multiplicative key hash plus
     * price cents. The key folds into [0, 2^31) before the multiply
     * (same overflow guard as randomRowFilter — the raw multiply blows
@@ -1741,20 +1760,7 @@ object AnalyticsQueries {
     // recomputes from the raw edits: nothing lost, nothing in the
     // wrong region file. In-file key order is spec-asserted.
     "wal_player_bulk" -> ((s, d) => {
-      val path = graft.core.Indexes.ensure(s, d, "walp_bulk") { target =>
-        val edits = Tables.eventCells(s, d)
-          .withColumn("op",
-            when(col("event_id") % 7 === 0, "delete").otherwise("put"))
-        // HFileOutputFormat2's partitioner takes the TARGET TABLE's
-        // region boundaries (configureIncrementalLoad), not a data
-        // sample — here the 8 total-order regions; one shuffle lands
-        // every cell in its region's sorted file
-        Tools.withTotalOrderTag(edits, "rowkey", 8)
-          .repartition(col("region"))
-          .sortWithinPartitions("region", "rowkey")
-          .write.partitionBy("region").mode("overwrite").parquet(target)
-      }
-      s.read.parquet(path)
+      s.read.parquet(walpBulkLayout(s, d))
         .groupBy(col("region").cast("bigint").as("region"))
         .agg(count(lit(1)).as("n_cells"),
           sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_deletes"),
@@ -1762,6 +1768,19 @@ object AnalyticsQueries {
           min("event_id").as("first_seq"), max("event_id").as("last_seq"))
         .orderBy("region")
     }),
+    // WALPrettyPrinter's -r/--region option (WALPrettyPrinter.java:74,
+    // the region-scoped sibling of wal_inspect's row view): every edit
+    // of ONE region out of the region-partitioned bulk layout — the
+    // partition column is the pruning handle, so the read touches only
+    // region 5's directory (PartitionFilters, plan-asserted), exactly
+    // the one-region file a WAL debugger opens.
+    "wal_inspect_region" -> ((s, d) =>
+      s.read.parquet(walpBulkLayout(s, d))
+        .where(col("region") === 5)
+        .select(col("event_id").as("seq"), col("rowkey"), col("qualifier"),
+          col("ts"), col("op"),
+          floor(col("value") * 100).cast("bigint").as("value_cents"))
+        .orderBy("seq")),
     // Regions-in-transition audit (master/RegionStates.java:72
     // regionsInTransition + client/.../master/RegionState.java:41-56
     // state machine): the master's RIT board — a region's CURRENT
@@ -3510,6 +3529,16 @@ object AnalyticsQueries {
         |       min(rowkey) AS first_key, max(rowkey) AS last_key,
         |       min(event_id) AS first_seq, max(event_id) AS last_seq
         |FROM ed, b GROUP BY 1 ORDER BY region""".stripMargin),
+    "wal_inspect_region" -> (V +
+      """, ed AS (SELECT rowkey, qualifier, ts, value, event_id,
+        |                CASE WHEN event_id % 7 = 0 THEN 'delete' ELSE 'put' END AS op
+        |          FROM vcells),
+        |b AS (SELECT min(rowkey) AS lo, max(rowkey) AS hi FROM ed)
+        |SELECT event_id AS seq, rowkey, qualifier, ts, op,
+        |       CAST(floor(value * 100) AS BIGINT) AS value_cents
+        |FROM ed, b
+        |WHERE CAST(floor((rowkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) = 5
+        |ORDER BY seq""".stripMargin),
     "rit_audit" ->
       """WITH t AS (SELECT user_id % 16 AS region, ts, event_id,
         |                  CASE event_type WHEN 'signup' THEN 'PENDING_OPEN'

@@ -841,6 +841,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("props"), "projection not pruned to the read columns")
   }
 
+  test("wal_inspect_region: the region predicate prunes to one partition directory") {
+    // WALPrettyPrinter -r over the bulk layout must open ONE region's
+    // file, not scan the archive — the partition column is the handle
+    val p = plan("wal_inspect_region")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*region[^\\]]*\\].*"),
+      p.take(800))
+  }
+
   test("canary_write: the read-back never rescans the data corpus") {
     // live = cells ∪ probe puts filtered to family = '_canary_'; the
     // cells side's family is a literal-branch CASE, so the filter must
