@@ -78,7 +78,13 @@ object StreamOps {
   /** Streaming form: 1-day tumbling windows with a 1-day watermark —
     * state for a window is dropped once the watermark passes, so state
     * size is bounded by (windows in flight × event types), not by the
-    * stream length. */
+    * stream length. CAVEAT: that eviction guarantee holds for
+    * append/update sinks only — in COMPLETE output mode (what
+    * [[maintainCounterTable]] and the convergence spec drive, since
+    * they need the full running aggregate each batch) watermarks never
+    * evict, and state grows with the number of distinct windows seen.
+    * A perpetual complete-mode maintainer must bound its window span
+    * (e.g. restart per retention epoch). */
   def streamingCounters(events: DataFrame): DataFrame =
     windowedCounters(events.withWatermark("ts", "1 day"))
 
@@ -163,8 +169,50 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
       .writeStream.outputMode("complete")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.core.Snapshots.write(batch, "event_type", path, batchId.toInt)
+        maintainGuard(batch.sparkSession, path, batchId) {
+          graft.core.Snapshots.write(batch, "event_type", path, batchId.toInt)
+        }
       }
+
+  /** ONE copy of the complete-version listing every maintained-table
+    * path uses (read side and both maintainers): `v=N` directories
+    * whose parquet `_SUCCESS` marker exists; a missing base path is
+    * simply "no versions yet", never a raw FileNotFoundException. */
+  private def completeVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               base: org.apache.hadoop.fs.Path): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(2).toInt)
+  }
+
+  /** Shared foreachBatch write discipline for the maintainers:
+    *
+    *  - REPLAY SKIP: on at-least-once redelivery of a committed batch,
+    *    v=batchId is already complete and its content deterministic —
+    *    rewriting it in place would delete-then-rewrite the directory
+    *    under a concurrent reader that just resolved it as newest
+    *    (the copy-on-write contract's one remaining hole). Skip.
+    *  - FRESH-CHECKPOINT GUARD: a new checkpoint restarts batchIds at
+    *    0; against a table holding versions from a previous stream the
+    *    maintainer would silently rebuild v=0 from one batch while
+    *    readers keep serving the stale old maximum — every key not
+    *    re-shipped since is then lost. Refuse loudly: resume from the
+    *    original checkpoint, or point the new stream at a fresh path. */
+  private[graft] def maintainGuard(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, batchId: Long)(write: => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = completeVersions(fs, base)
+    require(versions.forall(_ <= batchId),
+      s"maintained table at $path holds version ${versions.max} from a " +
+        s"previous stream but this checkpoint is at batch $batchId — " +
+        "resume the original checkpoint or use a fresh table path")
+    if (!versions.contains(batchId.toInt)) write
+  }
 
   /** The read side of every foreachBatch-maintained table
     * ([[maintainCounterTable]], [[maintainScd2Table]]): the highest
@@ -174,10 +222,7 @@ object StreamOps {
     import org.apache.hadoop.fs.Path
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val versions = fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.drop(2).toInt)
+    val versions = completeVersions(fs, base)
     require(versions.nonEmpty, s"no complete maintained-table snapshot under $path")
     graft.core.Snapshots.read(spark, path, versions.max)
   }
@@ -185,36 +230,6 @@ object StreamOps {
   def readCounterTable(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     readMaintained(spark, path)
 
-  /** Maintain an SCD Type-2 dimension TABLE from a stream of versioned
-    * cells — the streaming half of [[graft.analytics.Tools.scd2Build]]
-    * (KeyValue.java's ts dimension turned into effectivity intervals),
-    * i.e. the incremental MERGE a warehouse dimension gets from its
-    * CDC feed. Each micro-batch:
-    *
-    *  1. reads the latest complete table version,
-    *  2. carries every UNTOUCHED key's rows forward verbatim (the
-    *     batch's distinct keys broadcast; carry-forward is a
-    *     left-anti against that tiny set),
-    *  3. re-windows ONLY the touched keys — their existing versions
-    *     (intervals dropped back to raw versions) unioned with the
-    *     batch's new versions through scd2Build's one key-partitioned
-    *     lead() window,
-    *  4. writes the result as a new immutable `v=<batchId>` snapshot
-    *     (the [[maintainCounterTable]] copy-on-write convention —
-    *     readers never catch a partial table).
-    *
-    * Out-of-order and late versions are handled by construction: the
-    * re-window sorts each touched key's FULL history, so a version
-    * arriving in a later batch splices its interval correctly and
-    * clips its neighbors — convergence to the batch scd2Build over all
-    * shipped cells is spec-asserted under shuffled batch order.
-    *
-    * Scale note: the window cost is per-touched-key history (bounded
-    * by maxVersions, never corpus-wide); the carry-forward rewrites
-    * the full table per batch — the copy-on-write price of plain
-    * parquet versioning. The at-scale refinement is file-pruned MERGE
-    * (rewrite only the key-bucketed files the batch touches), which is
-    * table-format (Delta/Iceberg) territory, not a different plan. */
   /** Streaming LSH near-dup candidate ingest — the streaming form of
     * [[graft.dedup.Dedup.minhashLsh]]'s candidate stage, for the
     * pipeline where the corpus ARRIVES as a stream and "is this a
@@ -273,6 +288,38 @@ object StreamOps {
       }
   }
 
+  /** Maintain an SCD Type-2 dimension TABLE from a stream of versioned
+    * cells — the streaming half of [[graft.analytics.Tools.scd2Build]]
+    * (KeyValue.java's ts dimension turned into effectivity intervals),
+    * i.e. the incremental MERGE a warehouse dimension gets from its
+    * CDC feed. Each micro-batch:
+    *
+    *  1. reads the latest complete table version,
+    *  2. carries every UNTOUCHED key's rows forward verbatim (the
+    *     batch's distinct keys broadcast; carry-forward is a
+    *     left-anti against that tiny set),
+    *  3. re-windows ONLY the touched keys — their existing versions
+    *     (intervals dropped back to raw versions) unioned with the
+    *     batch's new versions through scd2Build's one key-partitioned
+    *     lead() window,
+    *  4. writes the result as a new immutable `v=<batchId>` snapshot
+    *     (the [[maintainCounterTable]] copy-on-write convention —
+    *     readers never catch a partial table; [[maintainGuard]]
+    *     additionally skips the replay rewrite of a committed version
+    *     and refuses a fresh checkpoint over an older table).
+    *
+    * Out-of-order and late versions are handled by construction: the
+    * re-window sorts each touched key's FULL history, so a version
+    * arriving in a later batch splices its interval correctly and
+    * clips its neighbors — convergence to the batch scd2Build over all
+    * shipped cells is spec-asserted under shuffled batch order.
+    *
+    * Scale note: the window cost is per-touched-key history (bounded
+    * by maxVersions, never corpus-wide); the carry-forward rewrites
+    * the full table per batch — the copy-on-write price of plain
+    * parquet versioning. The at-scale refinement is file-pruned MERGE
+    * (rewrite only the key-bucketed files the batch touches), which is
+    * table-format (Delta/Iceberg) territory, not a different plan. */
   def maintainScd2Table(cells: DataFrame, path: String, keyCols: Seq[String],
                         tsCol: String, tieCol: String): DataStreamWriter[Row] = {
     import org.apache.hadoop.fs.Path
@@ -281,35 +328,29 @@ object StreamOps {
         val spark = batch.sparkSession
         val base = new Path(path)
         val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val versions =
-          if (!fs.exists(base)) Seq.empty
-          else fs.listStatus(base).toSeq
-            .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-            .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-            .map(_.getPath.getName.drop(2).toInt)
-        val intervalCols = Seq("valid_from", "valid_to", "is_current")
-        // merge base = the newest version STRICTLY BEFORE this batch:
-        // foreachBatch is at-least-once, and on replay of a committed
-        // batch N the table already holds v=N — merging from it would
-        // union batch N's cells with themselves (duplicate zero-width
-        // versions) AND overwrite the very path being read (Spark
-        // rejects that, wedging the stream on every restart). Basing
-        // on < batchId makes the batch a pure idempotent rewrite of
-        // its own version.
-        val out = versions.filter(_ < batchId) match {
-          case Nil => graft.analytics.Tools.scd2Build(batch, keyCols, tsCol, tieCol)
-          case vs =>
-            val existing = graft.core.Snapshots.read(spark, path, vs.max)
-            val touched = batch.select(keyCols.map(col): _*).distinct()
-            val untouched = existing.join(broadcast(touched), keyCols, "left_anti")
-            val affectedRaw = existing
-              .join(broadcast(touched), keyCols, "left_semi")
-              .drop(intervalCols: _*)
-              .unionByName(batch)
-            untouched.unionByName(
-              graft.analytics.Tools.scd2Build(affectedRaw, keyCols, tsCol, tieCol))
+        maintainGuard(spark, path, batchId) {
+          val versions = completeVersions(fs, base)
+          val intervalCols = Seq("valid_from", "valid_to", "is_current")
+          // merge base = the newest version STRICTLY BEFORE this batch:
+          // with maintainGuard's replay skip the committed-v=N case no
+          // longer reaches here, but the strict bound stays — it is
+          // what makes the batch a pure rewrite of its own version
+          // even if a half-written (no _SUCCESS) v=N is left behind.
+          val out = versions.filter(_ < batchId) match {
+            case Nil => graft.analytics.Tools.scd2Build(batch, keyCols, tsCol, tieCol)
+            case vs =>
+              val existing = graft.core.Snapshots.read(spark, path, vs.max)
+              val touched = batch.select(keyCols.map(col): _*).distinct()
+              val untouched = existing.join(broadcast(touched), keyCols, "left_anti")
+              val affectedRaw = existing
+                .join(broadcast(touched), keyCols, "left_semi")
+                .drop(intervalCols: _*)
+                .unionByName(batch)
+              untouched.unionByName(
+                graft.analytics.Tools.scd2Build(affectedRaw, keyCols, tsCol, tieCol))
+          }
+          graft.core.Snapshots.write(out, keyCols.head, path, batchId.toInt)
         }
-        graft.core.Snapshots.write(out, keyCols.head, path, batchId.toInt)
       }
   }
 

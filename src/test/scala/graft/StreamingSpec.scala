@@ -195,6 +195,33 @@ class StreamingSpec extends SparkSpec {
       s"maintained table (${got.mkString(",")}) != batch (${want.mkString(",")})")
   }
 
+  test("maintainGuard: replay of a committed version skips the rewrite; fresh checkpoint over an older table refuses") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_guard_tbl").toString + "/t"
+    // plant a complete v=3 snapshot
+    import spark.implicits._
+    graft.core.Snapshots.write(Seq(("a", 1L)).toDF("k", "n"), "k", dir, 3)
+    // replay of batch 3: the body must NOT run (an in-place rewrite
+    // would delete the directory under a concurrent reader)
+    var ran = false
+    StreamOps.maintainGuard(spark, dir, 3L) { ran = true }
+    assert(!ran, "committed version was rewritten on replay")
+    // a LATER batch writes normally
+    StreamOps.maintainGuard(spark, dir, 4L) { ran = true }
+    assert(ran)
+    // fresh checkpoint (batch 0) against the v=3 table: refuse loudly
+    // instead of silently rebuilding v=0 from one batch
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.maintainGuard(spark, dir, 0L) { fail("must not write") }
+    }
+    assert(e.getMessage.contains("previous stream"), e.getMessage)
+    // no table yet: batch 0 writes
+    val fresh = Files.createTempDirectory("graft_guard_fresh").toString + "/t"
+    var wrote = false
+    StreamOps.maintainGuard(spark, fresh, 0L) { wrote = true }
+    assert(wrote)
+  }
+
   test("streaming dedup drops duplicate payloads across micro-batches, bounded state") {
     val events = Tables.load(spark, sfDir, "events").select("event_id", "ts", "props")
     val dir = Files.createTempDirectory("graft_dedup_src").toString
