@@ -82,7 +82,10 @@ object MM {
       ascii("JFIF"), bytes("00"), bytes("0101"), bytes("00"),
       be(lit(1), 2), be(lit(1), 2), bytes("0000"),
       bytes("FFFE"), be(pad + 2, 2),               // COM, doc-varying length
-      expr("repeat('X', cast(3 + doc_id % 5 as int))").cast("binary"),
+      // body length derives from the SAME pad expression as the length
+      // field — two independent copies of the formula would let them
+      // drift and land sofWalk's next hop mid-segment
+      repeat(lit("X"), pad.cast("int")).cast("binary"),
       bytes("FFC0"), be(lit(17), 2), bytes("08"),  // SOF0, len 17, precision 8
       be(h, 2), be(w, 2),                          // height, width (BE)
       bytes("03011100021101031101"),               // 3 components
@@ -128,7 +131,12 @@ object MM {
           Array.tabulate(dim)(k =>
             if (counts(k) == 0) 0f else (sums(k) / counts(k)).toFloat)
         }
-        rows.map { case (id, bytes) => (id, stubDecode(bytes)) }
+        // a NULL payload (missing blob after a left join) yields a
+        // NULL feature row instead of an NPE that kills the batch job
+        // — one corrupt file must not abort the 100 TB scan
+        rows.map { case (id, bytes) =>
+          (id, if (bytes == null) null else stubDecode(bytes))
+        }
       }
       .toDF("doc_id", "feat")
       .select(col("doc_id"), col("feat"), lit(dim).as("feat_dim"))
@@ -157,18 +165,28 @@ object MM {
   //      which hex image they read ----
   private def isPng(h: String = "_h"): Column  = hx(lit(1), 8, h) === "89504E470D0A1A0A"
   private def isJpeg(h: String = "_h"): Column = hx(lit(1), 2, h) === "FFD8"
-  private def isWav(h: String = "_h"): Column  = hx(lit(1), 4, h) === "52494646" // "RIFF"
+  // "RIFF" alone is any RIFF container (WEBP, AVI...) — the "WAVE"
+  // form tag at bytes 9-12 is what makes it audio; without it a WEBP
+  // would enter the audio triage with a garbage sample rate
+  private def isWav(h: String = "_h"): Column =
+    hx(lit(1), 4, h) === "52494646" && hx(lit(9), 4, h) === "57415645"
 
   /** JPEG: walk the length-prefixed segment chain from offset 3 until
-    * the SOF0 marker (FFC0). Bounded to 3 hops — enough for the
-    * SOI/APP0/COM/SOF0 layouts synthesized here; a deeper chain just
-    * parses as unknown dims rather than mis-parsing. */
+    * the SOF0 marker (FFC0). Bounded to 4 hops — enough for
+    * SOI/APP0/[APP1]/COM/SOF0 layouts (the corpus synthesizes 3
+    * segments; the 4th hop covers an Exif APP1 a real camera JPEG
+    * carries — the exifStrip spec exercises it). A deeper chain just
+    * parses as unknown dims rather than mis-parsing. The DuckDB
+    * oracles mirror the 3-hop walk the corpus needs; the 4th hop
+    * never fires on synthesized payloads. */
   private def sofWalk(h: String = "_h"): Column = {
     val n1 = lit(5) + bei(lit(5), 2, h)           // after segment 1
     val n2 = n1 + 2 + bei(n1 + 2, 2, h)           // after segment 2
+    val n3 = n2 + 2 + bei(n2 + 2, 2, h)           // after segment 3
     when(hx(lit(3), 2, h) === "FFC0", lit(3L))
       .when(hx(n1, 2, h) === "FFC0", n1)
       .when(hx(n2, 2, h) === "FFC0", n2)
+      .when(hx(n3, 2, h) === "FFC0", n3)
   }
 
   /** Extract typed metadata from the payload BYTES (never doc_id). */
@@ -347,49 +365,66 @@ object MM {
   }
 
   /** Metadata scrub — the privacy pass an image corpus runs before
-    * training (EXIF GPS/serial tags, editor comments): the JPEG
-    * COM (FFFE) metadata segment is removed by BYTE SURGERY on the
-    * payload (the [[resizeToFit]] splice discipline — hex-image concat,
-    * no decode), and the scrub is verified by construction: the
-    * stripped image is re-walked with the SAME shared header probe and
-    * must still parse to the ORIGINAL dims with no metadata marker left
-    * at any walk position. Non-JPEG payloads (and JPEGs without a COM)
-    * pass through untouched with `removed_bytes` 0 — a scrub that
-    * drops or mangles clean files is worse than none. Pure projection:
-    * runs at scan speed next to the other triage gates. */
+    * training: BOTH JPEG metadata segment kinds are removed by BYTE
+    * SURGERY on the payload (the [[resizeToFit]] splice discipline —
+    * hex-image concat, no decode): APP1 (FFE1 — where EXIF GPS/serial
+    * tags actually live in a camera JPEG) and COM (FFFE — editor
+    * comments). Two splice passes, so an image carrying one of each
+    * sheds both; the scrub is verified by construction: the stripped
+    * image is re-walked with the SAME shared header probe and must
+    * still parse to the ORIGINAL dims with no metadata marker left at
+    * any walk position. Non-JPEG payloads (and JPEGs with no metadata
+    * segment) pass through untouched with `removed_bytes` 0 — a scrub
+    * that drops or mangles clean files is worse than none. Pure
+    * projection: runs at scan speed next to the other triage gates.
+    * (The corpus synthesizes COM-only JPEGs — the DuckDB oracle
+    * mirrors that single-segment case; the APP1 arm and the two-pass
+    * behavior are exercised by the hand-built-Exif spec.) */
   def exifStrip(withBytes: DataFrame): DataFrame = {
+    // a metadata segment at a walk position: APP1 or COM
+    def metaAt(i: Column, h: String) = hx(i, 2, h).isin("FFFE", "FFE1")
+    def metaPos(h: String): Column = {
+      val n1 = lit(5) + bei(lit(5), 2, h)
+      val n2 = n1 + 2 + bei(n1 + 2, 2, h)
+      when(!isJpeg(h), lit(null).cast("bigint"))
+        .when(metaAt(lit(3), h), lit(3L))
+        .when(metaAt(n1, h), n1)
+        .when(metaAt(n2, h), n2)
+    }
+    // splice the segment (marker + length-prefixed body) out of hex
+    // image `h`, given its position column name `pos` and length `len`
+    def splice(h: String, pos: String, len: String): Column =
+      when(col(pos).isNull, col(h)).otherwise(concat(
+        col(h).substr(lit(1), ((col(pos) - 1) * 2).cast("int")),
+        col(h).substr(((col(pos) + 2 + col(len) - 1) * 2 + 1).cast("int"),
+          length(col(h)))))
     val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
     val staged = hexed
-      .withColumn("_n1", pinned(lit(5) + bei(lit(5), 2)))
       .withColumn("_sof", pinned(sofWalk()))
       .withColumn("_w", pinned(when(isJpeg(), bei(col("_sof") + 7, 2))))
       .withColumn("_ht", pinned(when(isJpeg(), bei(col("_sof") + 5, 2))))
-    // COM candidates are the same walk positions the SOF probe visits
-    val n2 = col("_n1") + 2 + bei(col("_n1") + 2, 2)
-    val comPos = when(!isJpeg(), lit(null).cast("bigint"))
-      .when(hx(lit(3), 2) === "FFFE", lit(3L))
-      .when(hx(col("_n1"), 2) === "FFFE", col("_n1"))
-      .when(hx(n2, 2) === "FFFE", n2)
-    val withCom = staged.withColumn("_com", pinned(comPos))
-      .withColumn("_comlen", pinned(bei(col("_com") + 2, 2)))
-    // splice the segment (marker + length-prefixed body) out of the hex
-    val restStart = ((col("_com") + 2 + col("_comlen") - 1) * 2 + 1).cast("int")
-    val strippedHex = when(col("_com").isNull, col("_h")).otherwise(concat(
-      col("_h").substr(lit(1), ((col("_com") - 1) * 2).cast("int")),
-      col("_h").substr(restStart, length(col("_h")))))
-    val reread = withCom.withColumn("_sh", pinned(strippedHex))
+    // pass 1: first metadata segment
+    val p1 = staged.withColumn("_m1", pinned(metaPos("_h")))
+      .withColumn("_l1", pinned(bei(col("_m1") + 2, 2)))
+      .withColumn("_h1", pinned(splice("_h", "_m1", "_l1")))
+    // pass 2: a second metadata segment surviving the first splice
+    // (APP1 + COM in one image)
+    val p2 = p1.withColumn("_m2", pinned(metaPos("_h1")))
+      .withColumn("_l2", pinned(bei(col("_m2") + 2, 2, "_h1")))
+      .withColumn("_sh", pinned(splice("_h1", "_m2", "_l2")))
+    val reread = p2
       .withColumn("_ssof", pinned(sofWalk("_sh")))
       .withColumn("_sn1", pinned(lit(5) + bei(lit(5), 2, "_sh")))
     val rw = when(isJpeg("_sh"), bei(col("_ssof") + 7, 2, "_sh"))
     val rh = when(isJpeg("_sh"), bei(col("_ssof") + 5, 2, "_sh"))
-    val noComLeft = hx(lit(3), 2, "_sh") =!= "FFFE" &&
-      hx(col("_sn1"), 2, "_sh") =!= "FFFE"
+    val noMetaLeft = !metaAt(lit(3), "_sh") && !metaAt(col("_sn1"), "_sh")
     reread.select(col("doc_id"),
       (length(col("_h")) / 2).cast("bigint").as("n_before"),
-      coalesce(col("_comlen") + 2, lit(0L)).as("removed_bytes"),
+      (coalesce(col("_l1") + 2, lit(0L)) + coalesce(col("_l2") + 2, lit(0L)))
+        .as("removed_bytes"),
       (length(col("_sh")) / 2).cast("bigint").as("n_after"),
-      (when(col("_com").isNull, lit(true))
-        .otherwise(rw <=> col("_w") && rh <=> col("_ht") && noComLeft))
+      (when(col("_m1").isNull, lit(true))
+        .otherwise(rw <=> col("_w") && rh <=> col("_ht") && noMetaLeft))
         .as("strip_ok"))
   }
 

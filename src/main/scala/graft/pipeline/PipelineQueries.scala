@@ -2134,12 +2134,15 @@ object PipelineQueries {
          |    octet_length(payload) AS n_bytes,
          |    CASE WHEN ${ddHx("1", 8)} = '89504E470D0A1A0A' THEN 'png'
          |         WHEN ${ddHx("1", 2)} = 'FFD8' THEN 'jpeg'
-         |         WHEN ${ddHx("1", 4)} = '52494646' THEN 'wav' ELSE 'unknown' END AS format,
+         |         WHEN ${ddHx("1", 4)} = '52494646'
+         |              AND ${ddHx("9", 4)} = '57415645' THEN 'wav'
+         |         ELSE 'unknown' END AS format,
          |    CASE WHEN ${ddHx("1", 8)} = '89504E470D0A1A0A' THEN ${ddBei("17", 4)}
          |         WHEN ${ddHx("1", 2)} = 'FFD8' THEN ${ddBei("wk.sof + 7", 2)} END AS width,
          |    CASE WHEN ${ddHx("1", 8)} = '89504E470D0A1A0A' THEN ${ddBei("21", 4)}
          |         WHEN ${ddHx("1", 2)} = 'FFD8' THEN ${ddBei("wk.sof + 5", 2)} END AS height,
-         |    CASE WHEN ${ddHx("1", 4)} = '52494646' THEN ${ddLei("25", 4)} END AS sample_rate
+         |    CASE WHEN ${ddHx("1", 4)} = '52494646'
+         |          AND ${ddHx("9", 4)} = '57415645' THEN ${ddLei("25", 4)} END AS sample_rate
          |  FROM hexed x LEFT JOIN walk wk ON x.doc_id = wk.doc_id)
          |SELECT doc_id, n_bytes, format, width, height, sample_rate,
          |       coalesce(CASE WHEN format IN ('png','jpeg') THEN width > 0 AND height > 0
@@ -2258,7 +2261,8 @@ object PipelineQueries {
          |       CAST(floor(CAST(floor(${ddLei("41", 4)} / 2.0) AS BIGINT) * 1000
          |                  / CAST(${ddLei("25", 4)} AS DOUBLE)) AS BIGINT) AS duration_ms
          |FROM hexed
-         |WHERE ${ddHx("1", 4)} = '52494646' AND ${ddLei("25", 4)} > 0
+         |WHERE ${ddHx("1", 4)} = '52494646' AND ${ddHx("9", 4)} = '57415645'
+         |  AND ${ddLei("25", 4)} > 0
          |ORDER BY doc_id""".stripMargin),
     "eval_auc" ->
       """WITH e AS (SELECT

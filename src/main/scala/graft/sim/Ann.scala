@@ -30,7 +30,12 @@ object VectorOps {
     * zero vector would take rank 1 in every top-k and pass every
     * similarity threshold (the same guard [[Quantize.quantized]]
     * applies to its scale division). */
-  def norm(a: String): Column = greatest(sqrt(dot(a, a)), lit(1e-12))
+  def norm(a: String): Column = norm(col(a))
+
+  /** Column form of [[norm]] — ONE copy of the zero-norm guard; the
+    * inline `greatest(sqrt(dot(x,x)), 1e-12)` re-spellings this
+    * replaced were a drift trap for the guard's floor. */
+  def norm(a: Column): Column = greatest(sqrt(dot(a, a)), lit(1e-12))
 }
 
 object Ann {
@@ -151,7 +156,7 @@ object Ann {
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
       .select(col("cell"), expr("transform(pv, x -> x.v)").as("c_emb"))
-      .withColumn("c_norm", greatest(sqrt(dot(col("c_emb"), col("c_emb"))), lit(1e-12)))
+      .withColumn("c_norm", norm(col("c_emb")))
 
   /** The whole centroid table collapsed to a single broadcast row
     * holding the (cell, c_emb, c_norm) array. */
@@ -164,7 +169,7 @@ object Ann {
     * order makes max = best score with smallest-cell tiebreak — a PURE
     * PROJECTION over the broadcast centroid row, zero shuffle. */
   private[sim] def withCellScores(df: DataFrame, centArr: DataFrame): DataFrame =
-    df.withColumn("_n", greatest(sqrt(dot(col("embedding"), col("embedding"))), lit(1e-12)))
+    df.withColumn("_n", norm(col("embedding")))
       .crossJoin(centArr)
       .withColumn("_cs", transform(col("cents"), c =>
         struct(
@@ -269,7 +274,15 @@ object Ann {
     * groups are transitive-closure components
     * ([[graft.dedup.Dedup.connectedComponents]], pointer jumping).
     * Rows-only contract (float kmeans; the spec plants jittered
-    * copies and proves group recovery + the keeper rule). */
+    * copies and proves group recovery + the keeper rule).
+    *
+    * PIN CONTRACT: the returned DataFrame's plan carries LIVE
+    * localCheckpoint pins (the kmeans assignment here, plus
+    * connectedComponents' final label generation). CheckpointBridge
+    * .free walks the plan and releases every reachable pin, so either
+    * route the result through a pin-owning memo
+    * (PipelineQueries.memoizedPinned + resetShared — the registered
+    * query's path) or call free(result) once consumed. */
   def semanticDedup(vectors: DataFrame, k: Int = 0, iters: Int = 2,
                     threshold: Double = 0.95): DataFrame = {
     val base = vectors.select(col("vec_id"), col("embedding"))
@@ -346,10 +359,19 @@ object Ann {
     * broadcast is the capped centroid table (≤4096·d doubles — a few
     * MB), the join is an equi-join on cell id. */
   def nearestNeighborReportIvf(vectors: DataFrame, threshold: Double,
-                               nCells: Int = 0, nprobe: Int = 4): DataFrame =
-    ivf(vectors, vectors, 1, nCells, nprobe)
+                               nCells: Int = 0, nprobe: Int = 4): DataFrame = {
+    val found = ivf(vectors, vectors, 1, nCells, nprobe)
       .select(col("q_id").as("vec_id"), col("nn_id"),
         col("score").as("cos"), (col("score") >= threshold).as("is_dup"))
+    // a vector ALONE in the intersection of its probed cells has no
+    // candidate after the self-pair filter and would vanish from the
+    // report — but the exact nearestNeighborReport emits one row per
+    // vector, and a dup-rate denominator must not shift between the
+    // exact and IVF paths: emit the lonely vector's no-neighbor row
+    // (NULL nn, is_dup = false) explicitly
+    vectors.select(col("vec_id")).join(found, Seq("vec_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+  }
 
   /** Embedding near-dup via SRP (random-hyperplane) LSH — the third
     * candidate-generation arm next to the full report and the IVF cell

@@ -83,6 +83,8 @@ object Pca {
         sum(col("vi")).as("m"), count(lit(1)).as("cnt"))
       .collect()
     val diag = cells.filter(r => r.getAs[Int]("i") == r.getAs[Int]("j"))
+    require(diag.nonEmpty,
+      "pca spectrum: empty corpus or empty embedding arrays — nothing to decompose")
     val d = diag.length
     val n = diag.head.getAs[Long]("cnt").toDouble
     val mean = Array.ofDim[Double](d)

@@ -36,7 +36,7 @@ object Pq {
   /** (vec_id, sub, sv) exploded normalized subvectors. */
   private def subRows(vectors: DataFrame, m: Int, dsub: Int): DataFrame =
     vectors
-      .withColumn("_n", greatest(sqrt(VectorOps.dot(col("embedding"), col("embedding"))), lit(1e-12)))
+      .withColumn("_n", VectorOps.norm(col("embedding")))
       .withColumn("_ne", expr("transform(embedding, x -> x / _n)"))
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice(_ne, s * $dsub + 1, $dsub))")))
@@ -110,7 +110,7 @@ object Pq {
         expr("transform(sc, x -> x.code)").as("codes"))
     // per-query ADC tables: dot(q_sub, centroid) for every (sub, code)
     val qrows = queries
-      .withColumn("_qn", greatest(sqrt(VectorOps.dot(col("embedding"), col("embedding"))), lit(1e-12)))
+      .withColumn("_qn", VectorOps.norm(col("embedding")))
       .withColumn("_qe", expr("transform(embedding, x -> x / _qn)"))
       .select(col("vec_id").as("q_id"), col("_qe"))
       .crossJoin(books)
@@ -153,9 +153,9 @@ object Pq {
     // explicitly or the plan shuffles the whole float corpus by nn_id
     // (the exact cost Quantize.annInt8Ivf's broadcast semi-join avoids)
     val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"))
-      .withColumn("_vn", greatest(sqrt(VectorOps.dot(col("embedding"), col("embedding"))), lit(1e-12)))
+      .withColumn("_vn", VectorOps.norm(col("embedding")))
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("_qn", greatest(sqrt(VectorOps.dot(col("q_emb"), col("q_emb"))), lit(1e-12)))
+      .withColumn("_qn", VectorOps.norm(col("q_emb")))
     val exact = v.join(broadcast(cand), "nn_id").join(broadcast(q), "q_id")
       .withColumn("_score",
         VectorOps.dot(col("q_emb"), col("embedding")) / (col("_qn") * col("_vn")))

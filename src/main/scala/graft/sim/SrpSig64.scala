@@ -50,7 +50,13 @@ case class SrpSig64(child: Expression) extends UnaryExpression {
     val fl = isFloat
     var j = 0
     while (j < n) {
-      val x = if (fl) v.getFloat(j).toDouble else v.getDouble(j)
+      // null element contributes 0 — matches what the codegen path
+      // reads from an UnsafeArrayData null slot, so interpreted and
+      // codegen evaluation agree instead of NPE-ing on the generic
+      // fallback (corpus embeddings never carry null elements)
+      val x =
+        if (v.isNullAt(j)) 0.0
+        else if (fl) v.getFloat(j).toDouble else v.getDouble(j)
       // j + 1, never j: fmix64(0) == 0, which would give dimension 0
       // an ALL-ZERO hyperplane row — every one of the 64 sums sharing
       // a perfectly correlated -v[0] component instead of independent
@@ -80,7 +86,7 @@ case class SrpSig64(child: Expression) extends UnaryExpression {
          |int $n = $v.numElements();
          |double[] $sums = new double[64];
          |for (int $j = 0; $j < $n; $j++) {
-         |  double $x = (double)$v.$get($j);
+         |  double $x = $v.isNullAt($j) ? 0.0 : (double)$v.$get($j);
          |  long $h = (long)$j + 1L; // fmix64(0) == 0 — see nullSafeEval
 
          |  $h ^= $h >>> 33; $h *= 0xff51afd7ed558ccdL;

@@ -20,11 +20,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * overhead dominates the actual math by ~50×. This is the "custom
   * Expression for the hot path" escape hatch: one tight loop inside
   * whole-stage codegen, no allocation.
+  *
+  * Malformed-input semantics (identical in interpreted and codegen
+  * paths — the registered corpora never produce either case, so
+  * oracle parity is unaffected):
+  *  - LENGTH MISMATCH → NULL. A silent min-length truncation would
+  *    yield plausible-but-wrong scores on a dimension-drifted corpus;
+  *    DuckDB raises on mismatched lists, so a NULL here surfaces the
+  *    same malformation conspicuously instead of diverging quietly.
+  *  - NULL ELEMENT → contributes 0 (what UnsafeArrayData codegen
+  *    reads); the interpreted path guards explicitly so both paths
+  *    agree instead of NPE-ing on the generic-array fallback.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  override def nullable: Boolean = true // mismatched lengths yield NULL
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -45,17 +57,15 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    def get(d: ArrayData, fl: Boolean, j: Int): Double =
+      if (d.isNullAt(j)) 0.0
+      else if (fl) d.getFloat(j).toDouble else d.getDouble(j)
+    val lf = isFloat(left); val rf = isFloat(right)
     var acc = 0.0
     var i = 0
-    if (isFloat(left) && isFloat(right)) {
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    } else {
-      def get(d: ArrayData, fl: Boolean, j: Int): Double =
-        if (fl) d.getFloat(j).toDouble else d.getDouble(j)
-      val lf = isFloat(left); val rf = isFloat(right)
-      while (i < n) { acc += get(x, lf, i) * get(y, rf, i); i += 1 }
-    }
+    while (i < n) { acc += get(x, lf, i) * get(y, rf, i); i += 1 }
     acc
   }
 
@@ -67,12 +77,18 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double)$a.$lGet($i) * (double)$b.$rGet($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double l$i = $a.isNullAt($i) ? 0.0 : (double)$a.$lGet($i);
+         |    double r$i = $b.isNullAt($i) ? 0.0 : (double)$b.$rGet($i);
+         |    $acc += l$i * r$i;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
   }

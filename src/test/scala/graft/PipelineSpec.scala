@@ -872,6 +872,60 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("exifStrip: APP1 Exif AND COM both removed from a hand-built camera JPEG") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    def be2(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def m(a: Int, b: Int) = Array(a.toByte, b.toByte)
+    // SOI | APP0(16) | APP1 "Exif\0\0GPS!" (the segment real EXIF GPS
+    // tags live in) | COM "abc" | SOF0 h=100 w=200 | body
+    val jpeg: Array[Byte] =
+      m(0xFF, 0xD8) ++
+      (m(0xFF, 0xE0) ++ be2(16) ++ "JFIF".getBytes("UTF-8") ++
+        Array[Byte](0, 1, 1, 0) ++ be2(1) ++ be2(1) ++ Array[Byte](0, 0)) ++
+      (m(0xFF, 0xE1) ++ be2(12) ++ "Exif".getBytes("UTF-8") ++
+        Array[Byte](0, 0) ++ "GPS!".getBytes("UTF-8")) ++
+      (m(0xFF, 0xFE) ++ be2(5) ++ "abc".getBytes("UTF-8")) ++
+      (m(0xFF, 0xC0) ++ be2(17) ++ Array[Byte](8) ++ be2(100) ++ be2(200) ++
+        Array(0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+          .map(_.toByte)) ++
+      "XYZ".getBytes("UTF-8")
+    val df = Seq((9L, jpeg)).toDF("doc_id", "payload")
+    // the 4-hop walk parses the 4-segment chain pre-strip
+    val dec = MM.decode(df).collect()(0)
+    assert(dec.getAs[Long]("width") == 200 && dec.getAs[Long]("height") == 100,
+      dec.toString)
+    val r = MM.exifStrip(df).collect()(0)
+    assert(r.getAs[Long]("removed_bytes") == 21, r.toString) // 14 APP1 + 7 COM
+    assert(r.getAs[Long]("n_before") - r.getAs[Long]("n_after") == 21, r.toString)
+    assert(r.getAs[Boolean]("strip_ok"), r.toString)
+  }
+
+  test("decode/audioInfo: a WEBP RIFF container is NOT audio") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    // RIFF + size + 'WEBP' form tag: RIFF yes, WAVE no
+    val webp = "RIFF".getBytes("UTF-8") ++ Array[Byte](10, 0, 0, 0) ++
+      "WEBPVP8 ".getBytes("UTF-8") ++ Array.tabulate[Byte](24)(_.toByte)
+    val df = Seq((3L, webp)).toDF("doc_id", "payload")
+    val dec = MM.decode(df).collect()(0)
+    assert(dec.getAs[String]("format") == "unknown", dec.toString)
+    assert(dec.isNullAt(dec.fieldIndex("sample_rate")), dec.toString)
+    assert(MM.audioInfo(df).isEmpty,
+      "image container entered the audio triage")
+  }
+
+  test("featureExtract: a NULL payload yields a NULL feature row, not a job abort") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4)), (2L, null: Array[Byte]))
+      .toDF("doc_id", "payload")
+    val rows = MM.featureExtract(df, dim = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(2L).isNullAt(1), "null payload must stay null")
+    assert(!rows(1L).isNullAt(1))
+  }
+
   test("phash: twin with an unsampled byte change collides at hamming 0") {
     import graft.multimodal.MM
     import spark.implicits._
