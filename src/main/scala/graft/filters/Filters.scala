@@ -95,8 +95,10 @@ object Filters {
     * Bounds lift through `lit`, so numeric and string rowkeys share one
     * implementation (the DSL passes quoted strings, the DataFrame API
     * passes longs). */
-  def multiRowRange(keyCol: Column, ranges: Seq[(Any, Any)]): Column =
+  def multiRowRange(keyCol: Column, ranges: Seq[(Any, Any)]): Column = {
+    require(ranges.nonEmpty, "multiRowRange needs at least one range")
     ranges.map { case (a, b) => keyCol >= a && keyCol < b }.reduce(_ || _)
+  }
 
   /** InclusiveStopFilter.java — scan up to and including the stop row. */
   def inclusiveStop(keyCol: Column, stop: Any): Column = keyCol <= lit(stop)
@@ -127,8 +129,10 @@ object Filters {
   def familyFilter(op: CompareOp.Value, cmp: Cmp): Column = cmp(col("family"), op)
 
   /** ColumnPrefixFilter.java / MultipleColumnPrefixFilter.java. */
-  def columnPrefix(prefixes: String*): Column =
+  def columnPrefix(prefixes: String*): Column = {
+    require(prefixes.nonEmpty, "columnPrefix needs at least one prefix")
     prefixes.map(col("qualifier").startsWith(_)).reduce(_ || _)
+  }
 
   /** ColumnRangeFilter.java — [minQual, maxQual) on qualifier. */
   def columnRange(min: String, minInclusive: Boolean,
@@ -162,7 +166,11 @@ object Filters {
       orderCols: Seq[Column] = Seq(col("family"), col("qualifier"))): Column = {
     val w = Window.partitionBy("rowkey").orderBy(orderCols: _*)
     val rn = row_number().over(w)
-    rn > offset && rn <= offset + limit
+    // offset + limit in LONG: both args pass the DSL's per-argument
+    // Int guard individually, but their Int sum can wrap negative and
+    // turn the scan silently empty — the exact failure class that
+    // guard exists to prevent
+    rn > offset && rn <= offset.toLong + limit.toLong
   }
 
   /** ColumnPaginationFilter.java — per row, `limit` cells starting at

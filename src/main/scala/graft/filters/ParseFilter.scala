@@ -58,7 +58,19 @@ object ParseFilter {
 
   // ---- AST: pure Column predicates vs scan-stateful transforms ----
   private sealed trait Node
-  private final case class Pred(c: Column) extends Node
+  // `win = true` marks a WINDOW-SHAPED predicate (the SCVF family,
+  // SKIP, pagination): composable under AND/OR like any Column, but
+  // it cannot nest inside another window or an aggregate — SKIP and
+  // WHILE reject it at parse time instead of dying in the analyzer.
+  private final case class Pred(c: Column, win: Boolean = false) extends Node
+  // Order-DEPENDENT window predicates (pagination / column-count /
+  // first-key-only) defer Column construction until the scan order is
+  // known: ParseFilter.filter supplies the VIEW's schema-aware order
+  // (version columns appended — fkOrder), the pure parse() API the
+  // single-version (family, qualifier) default. A fixed parse-time
+  // order would tie version duplicates nondeterministically, the same
+  // hazard FirstMatch defers for.
+  private final case class WinPred(mk: Seq[Column] => Column) extends Node
   private final case class While(inner: Column) extends Node
   private final case class Page(n: Long) extends Node
   private case object KeyOnly extends Node
@@ -91,22 +103,38 @@ object ParseFilter {
     n
   }
 
-  private def toColumn(n: Node): Column = n match {
-    case Pred(c)    => c
-    case AndN(l, r) => toColumn(l) && toColumn(r)
-    case OrN(l, r)  => toColumn(l) || toColumn(r)
-    case While(_) | Page(_) | KeyOnly | FirstMatch(_) =>
-      throw new IllegalArgumentException(
-        "ParseFilter: WHILE / PageFilter / KeyOnlyFilter / " +
-          "FirstKeyValueMatchingQualifiersFilter carry scanner state, " +
-          "rewrite cells, or need the view's schema and cannot compile " +
-          "to a Column — apply them with ParseFilter.filter(df, s)")
-  }
+  private val defaultFkOrder: Seq[Column] = Seq(col("family"), col("qualifier"))
+
+  private def toColumn(n: Node, order: Seq[Column] = defaultFkOrder): Column =
+    n match {
+      case Pred(c, _)  => c
+      case WinPred(mk) => mk(order)
+      case AndN(l, r)  => toColumn(l, order) && toColumn(r, order)
+      case OrN(l, r)   => toColumn(l, order) || toColumn(r, order)
+      case While(_) | Page(_) | KeyOnly | FirstMatch(_) =>
+        throw new IllegalArgumentException(
+          "ParseFilter: WHILE / PageFilter / KeyOnlyFilter / " +
+            "FirstKeyValueMatchingQualifiersFilter carry scanner state, " +
+            "rewrite cells, or need the view's schema and cannot compile " +
+            "to a Column — apply them with ParseFilter.filter(df, s)")
+    }
 
   private def pure(n: Node): Boolean = n match {
-    case Pred(_)    => true
-    case AndN(l, r) => pure(l) && pure(r)
-    case OrN(l, r)  => pure(l) && pure(r)
+    case Pred(_, _)  => true
+    case WinPred(_)  => true
+    case AndN(l, r)  => pure(l) && pure(r)
+    case OrN(l, r)   => pure(l) && pure(r)
+    case _           => false
+  }
+
+  /** Does the subtree contain a window-shaped predicate? SKIP/WHILE
+    * must refuse those — nesting a window inside SKIP's own row
+    * window or WHILE's min() aggregate is rejected by the analyzer. */
+  private def windowed(n: Node): Boolean = n match {
+    case Pred(_, w) => w
+    case WinPred(_) => true
+    case AndN(l, r) => windowed(l) || windowed(r)
+    case OrN(l, r)  => windowed(l) || windowed(r)
     case _          => false
   }
 
@@ -139,9 +167,10 @@ object ParseFilter {
         (if (have("event_id")) Seq(col("event_id").desc) else Nil)
     }
     val preds  = ts.collect { case p: Pred => p.c } ++
+                 ts.collect { case wp: WinPred => wp.mk(fkOrder) } ++
                  ts.collect { case f: FirstMatch =>
                    Filters.firstKeyValueMatchingQualifiers(f.qualifiers, fkOrder) } ++
-                 ts.collect { case o: OrN => toColumn(o) }
+                 ts.collect { case o: OrN => toColumn(o, fkOrder) }
     val whiles = ts.collect { case w: While => w.inner }
     val pages  = ts.collect { case pg: Page => pg.n }
     val keyOnly = ts.contains(KeyOnly)
@@ -208,16 +237,21 @@ object ParseFilter {
         case "SKIP" =>
           eat("SKIP")
           val inner = factor()
-          require(pure(inner), "ParseFilter: SKIP wraps a cell predicate, " +
-            "not a scan-stateful filter")
+          require(pure(inner) && !windowed(inner),
+            "ParseFilter: SKIP wraps a plain cell predicate — scan-" +
+              "stateful and window-shaped filters (the SCVF family, " +
+              "pagination, first-key) cannot nest inside SKIP's row window")
           // SkipFilter.java semantics live in Filters.skipPredicate —
           // one source for the DSL and the DataFrame API
-          Pred(Filters.skipPredicate(toColumn(inner)))
+          Pred(Filters.skipPredicate(toColumn(inner)), win = true)
         case "WHILE" =>
           eat("WHILE")
           val inner = factor()
-          require(pure(inner), "ParseFilter: WHILE wraps a cell predicate, " +
-            "not another scan-stateful filter")
+          require(pure(inner) && !windowed(inner),
+            "ParseFilter: WHILE wraps a plain cell predicate — scan-" +
+              "stateful and window-shaped filters (the SCVF family, " +
+              "pagination, first-key) cannot nest inside WHILE's " +
+              "first-fail aggregate")
           While(toColumn(inner))
         case _ => filter()
       }
@@ -227,12 +261,17 @@ object ParseFilter {
       val name = peekWord; pos += name.length
       eat("(")
       val n: Node = name match {
-        case "PrefixFilter"        => Pred { val p = quoted(); col("rowkey").startsWith(p) }
-        case "ColumnPrefixFilter"  => Pred { val p = quoted(); col("qualifier").startsWith(p) }
+        // each arm delegates to the Filters helper — ONE source of the
+        // filter's semantics for the DSL and the DataFrame API (two
+        // hand-synced copies would drift, the codebase's own rule for
+        // the window-shaped predicates)
+        case "PrefixFilter" =>
+          Pred(Filters.prefixFilter(col("rowkey"), quoted()))
+        case "ColumnPrefixFilter" => Pred(Filters.columnPrefix(quoted()))
         case "MultipleColumnPrefixFilter" => Pred {
           val ps = scala.collection.mutable.ListBuffer(quoted())
           while ({ ws(); !eof && s.charAt(pos) == ',' }) { eat(","); ps += quoted() }
-          ps.map(col("qualifier").startsWith(_)).reduce(_ || _)
+          Filters.columnPrefix(ps.toSeq: _*)
         }
         case "ColumnRangeFilter" => Pred {
           val lo = quoted(); eat(","); val loInc = bool()
@@ -241,7 +280,8 @@ object ParseFilter {
         }
         case "FuzzyRowFilter" =>
           Pred { val p = quoted(); Filters.fuzzyRowFilter(col("rowkey"), p) }
-        case "InclusiveStopFilter" => Pred { val k = quoted(); col("rowkey") <= lit(k) }
+        case "InclusiveStopFilter" =>
+          Pred(Filters.inclusiveStop(col("rowkey"), quoted()))
         case "RowFilter"           => Pred(cmpFilter(col("rowkey")))
         case "ValueFilter"         => Pred(cmpFilter(col("value")))
         case "QualifierFilter"     => Pred(cmpFilter(col("qualifier")))
@@ -253,15 +293,17 @@ object ParseFilter {
           Page(number())
         case "ColumnPaginationFilter" =>
           // ColumnPaginationFilter.java(limit, offset): per row, `limit`
-          // cells starting at 0-based `offset`, in (family, qualifier)
-          // order — semantics live in Filters.columnPaginationPredicate
+          // cells starting at 0-based `offset` — order-deferred so
+          // ParseFilter.filter can tie version duplicates
+          // deterministically with the view's schema-aware order
           val limit = number(); eat(","); val offset = number()
-          Pred(Filters.columnPaginationPredicate(limit.toInt, offset.toInt))
+          WinPred(ord =>
+            Filters.columnPaginationPredicate(limit.toInt, offset.toInt, ord))
         case "TimestampsFilter" => Pred {
           // TimestampsFilter.java: cell version ts ∈ explicit list.
           val ts = scala.collection.mutable.ListBuffer(quoted())
           while ({ ws(); !eof && s.charAt(pos) == ',' }) { eat(","); ts += quoted() }
-          col("ts").isInCollection(ts.map(lit(_).cast("timestamp")))
+          Filters.timestampsFilter(col("ts"), ts.toSeq.map(lit(_).cast("timestamp")))
         }
         case "SingleColumnValueFilter" => Pred {
           // ROW-level semantics like the reference: the row passes when
@@ -286,7 +328,7 @@ object ParseFilter {
             if (!eof && s.charAt(pos) == ',') { eat(","); bool() }
           }
           Filters.singleColumnValuePredicate(f, q, vp, ifMissing)
-        }
+        }.copy(win = true)
         case "SingleColumnValueExcludeFilter" => Pred {
           // SingleColumnValueExcludeFilter.java: SCVF row semantics,
           // minus the tested cell itself from the emitted rows; accepts
@@ -302,7 +344,7 @@ object ParseFilter {
           }
           Filters.singleColumnValuePredicate(f, q, vp, ifMissing) &&
             !(col("family") === f && col("qualifier") === q)
-        }
+        }.copy(win = true)
         case "DependentColumnFilter" => Pred {
           // DependentColumnFilter.java: cells whose version ts matches a
           // reference cell's ts in the same row (windowed form). The
@@ -324,7 +366,7 @@ object ParseFilter {
           val base = Filters.dependentColumnPredicate(f, q, vp)
           if (drop) base && !(col("family") === f && col("qualifier") === q)
           else base
-        }
+        }.copy(win = true)
         case "RandomRowFilter" => Pred {
           // RandomRowFilter.java(chance): reference uses Random per row;
           // cluster determinism needs a key hash — fold the (string)
@@ -344,10 +386,12 @@ object ParseFilter {
           Filters.multiRowRange(col("rowkey"), rs.toSeq)
         }
         case "ColumnCountGetFilter" =>
-          // ColumnCountGetFilter.java: at most n cells per row in
-          // (family, qualifier) order = pagination at offset 0
-          Pred(Filters.columnPaginationPredicate(number().toInt, 0))
-        case "FirstKeyOnlyFilter" => Pred(Filters.firstKeyOnlyPredicate())
+          // ColumnCountGetFilter.java: at most n cells per row =
+          // pagination at offset 0 (order-deferred, see above)
+          val n = number().toInt
+          WinPred(ord => Filters.columnPaginationPredicate(n, 0, ord))
+        case "FirstKeyOnlyFilter" =>
+          WinPred(ord => Filters.firstKeyOnlyPredicate(ord))
         case "FirstKeyValueMatchingQualifiersFilter" =>
           // FirstKeyValueMatchingQualifiersFilter.java:49 — qualifier
           // set as quoted args; cells pass until the first match, then

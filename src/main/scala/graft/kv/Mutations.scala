@@ -192,7 +192,12 @@ object Mutations {
     require(regionWidth > 0, s"regionWidth ($regionWidth) must be positive")
     val members = puts.select(col(keyCol), col(batchCol))
       .unionByName(delKeys.select(col(keyCol), col(batchCol)))
-      .withColumn("_region", expr(s"`$keyCol` div $regionWidth"))
+      // FLOOR division, not `div` (which truncates toward zero): a
+      // negative key one region below zero would otherwise share
+      // region 0 with positive keys and a straddling batch would pass
+      // the atomicity check it exists to fail
+      .withColumn("_region",
+        expr(s"(`$keyCol` - pmod(`$keyCol`, $regionWidth)) div $regionWidth"))
     val spans = members.groupBy(batchCol)
       .agg(min("_region").as("_rlo"), max("_region").as("_rhi"))
     if (strict) {

@@ -23,14 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Visibility {
 
-  /** The predicate: does `vis` authorize a scanner holding `auths`? */
+  /** The predicate: does `vis` authorize a scanner holding `auths`?
+    * Atoms are TRIMMED before the auth lookup — the reference's
+    * ExpressionParser skips whitespace, so "secret & audit" must mean
+    * the same labels as "secret&audit" (an untrimmed atom would
+    * silently DENY a fully authorized scanner). */
   def visibleExpr(vis: Column, auths: Seq[String]): Column = {
     val authArr = array(auths.map(lit): _*)
     val satisfied = exists(split(vis, "\\|"), term =>
-      forall(split(term, "&"), atom =>
+      forall(split(term, "&"), rawAtom => {
+        val atom = trim(rawAtom)
         when(atom.startsWith("!"),
-          !array_contains(authArr, substring(atom, 2, Int.MaxValue)))
-        .otherwise(array_contains(authArr, atom))))
+          !array_contains(authArr, trim(substring(atom, 2, Int.MaxValue))))
+        .otherwise(array_contains(authArr, atom))
+      }))
     vis.isNull || vis === "" || satisfied
   }
 

@@ -232,4 +232,57 @@ class FiltersSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet
     assert(got == Set(2L, 3L, 5L, 7L, 8L), s"got $got")
   }
+
+  test("visibility: whitespace around operators does not deny an authorized scanner") {
+    import spark.implicits._
+    val cells = Seq(
+      (1L, "secret & audit"),     // spaced AND — both held -> visible
+      (2L, "secret | embargo"),   // spaced OR — first term held -> visible
+      (3L, " ! embargo "),        // spaced negation of an unheld label -> visible
+      (4L, "secret & embargo")    // embargo not held -> hidden
+    ).toDF("k", "vis")
+    val got = graft.kv.Visibility.applyAuths(cells, "vis", Seq("secret", "audit"))
+      .select("k").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L), s"got $got")
+  }
+
+  test("DSL ColumnCountGetFilter is version-deterministic on a versioned view") {
+    import spark.implicits._
+    // two versions of the SAME (family, qualifier): the survivor must
+    // be the NEWEST (ts desc, event_id tiebreak), not partition luck
+    val cells = Seq(
+      (1L, "ev", "click", java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "new", 20L),
+      (1L, "ev", "click", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "old", 10L))
+      .toDF("rowkey", "family", "qualifier", "ts", "value", "event_id")
+      .repartition(4)
+    (1 to 3).foreach { _ =>
+      val got = graft.filters.ParseFilter
+        .filter(cells, "ColumnCountGetFilter(1)").collect()
+      assert(got.length == 1 && got(0).getAs[String]("value") == "new",
+        got.mkString(","))
+    }
+  }
+
+  test("DSL SKIP/WHILE refuse window-shaped inner filters with a clear error") {
+    val scvf = "SingleColumnValueFilter('info','c_mktsegment',=,'binary:BUILDING')"
+    for (outer <- Seq(s"SKIP $scvf", s"WHILE $scvf", "SKIP FirstKeyOnlyFilter()")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.filters.ParseFilter.filter(
+          graft.core.Tables.customerCells(spark, sfDir), outer).collect()
+      }
+      assert(e.getMessage.contains("window-shaped"), s"$outer: ${e.getMessage}")
+    }
+  }
+
+  test("DSL ColumnPaginationFilter: Int-max limit does not wrap the bound negative") {
+    import spark.implicits._
+    val cells = Seq(
+      (1L, "f", "a", "v1"), (1L, "f", "b", "v2"), (1L, "f", "c", "v3"))
+      .toDF("rowkey", "family", "qualifier", "value")
+    val got = graft.filters.ParseFilter
+      .filter(cells, "ColumnPaginationFilter(2147483647, 1)")
+      .select("qualifier").collect().map(_.getString(0)).sorted
+    // everything after the first cell — a wrapped Int bound returns nothing
+    assert(got.toSeq == Seq("b", "c"), got.mkString(","))
+  }
 }

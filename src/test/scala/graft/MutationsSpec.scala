@@ -43,6 +43,21 @@ class MutationsSpec extends SparkSpec {
     assert(got.sameElements(Array((2L, "old", -1.0), (3L, "old", 9.0))))
   }
 
+  test("multiRowMutation: a batch straddling the zero boundary is rejected (floor regions)") {
+    import spark.implicits._
+    // keys -10 and +10 at width 256: FLOOR division puts them in
+    // regions -1 and 0 — truncating `div` would collapse both to 0 and
+    // accept the straddling batch as atomic
+    val base = Seq((-10L, "x"), (10L, "y")).toDF("k", "v")
+    val puts = Seq((-10L, "x2", 1L), (10L, "y2", 1L)).toDF("k", "v", "batch")
+    val dels = puts.where(lit(false)).select("k", "batch")
+    val e = intercept[IllegalArgumentException] {
+      graft.kv.Mutations.multiRowMutation(base, puts, dels, "k", "batch",
+        regionWidth = 256L, strict = true)
+    }
+    assert(e.getMessage.contains("straddles"), e.getMessage)
+  }
+
   test("multiRowMutation: straddling batch leaves every row untouched, aligned batch mutates") {
     // regions of width 10: batch 100 sits inside region 0; batch 200
     // spans keys 8 and 12 -> regions 0 and 1 -> rejected whole
