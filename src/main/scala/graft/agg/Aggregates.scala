@@ -35,7 +35,7 @@ object Aggregates {
     * use exact `percentile` (interpolated), plus the weighted variant
     * below for parity with the weight-column mode. */
   def median(df: DataFrame, c: String): DataFrame =
-    df.agg(round(expr(s"percentile($c, 0.5)"), 4).as("median_v"))
+    df.agg(round(expr(s"percentile(`$c`, 0.5)"), 4).as("median_v"))
 
   /** Weighted median (AggregateImplementation.java:418 with a weight
     * column): smallest value v such that the cumulative weight of all
@@ -52,7 +52,12 @@ object Aggregates {
     * partition, so the op survives a 100× scale-up. */
   def weightedMedian(df: DataFrame, valueCol: String, weightCol: String,
                      buckets: Int = 256): DataFrame = {
+    // NULL values are excluded up front: least() skips nulls, so an
+    // unfiltered null row would land in the LAST bucket with its full
+    // weight while also inflating the half-total — a silently shifted
+    // median. The weighted median is defined over non-null values.
     val vw = df.select(col(valueCol).as("_v"), col(weightCol).as("_w"))
+      .where(col("_v").isNotNull)
     val bounds = vw.agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"),
       (sum(col("_w")) / 2).as("_half"))
     val bucketed = vw.crossJoin(broadcast(bounds))
@@ -85,11 +90,11 @@ object Aggregates {
     * fixed-size sketch per group (the 100 TB-safe form; exact
     * `percentile` buffers every value — oracle-only). */
   def medianApprox(df: DataFrame, c: String): DataFrame =
-    df.agg(round(expr(s"percentile_approx($c, 0.5, 10000)"), 4).as("median_v"))
+    df.agg(round(expr(s"percentile_approx(`$c`, 0.5, 10000)"), 4).as("median_v"))
 
   /** groupBy flagship with the bounded-memory median term. */
   def groupedApprox(df: DataFrame, keys: Seq[String], c: String): DataFrame =
-    groupedWith(df, keys, c, expr(s"percentile_approx($c, 0.5, 10000)"))
+    groupedWith(df, keys, c, expr(s"percentile_approx(`$c`, 0.5, 10000)"))
 
   /** All coprocessor aggregates, grouped by dimensions — the
     * GroupingTableMapper (hbase-server/.../mapreduce/GroupingTableMapper
@@ -110,5 +115,5 @@ object Aggregates {
       .orderBy(keys.map(col): _*)
 
   def grouped(df: DataFrame, keys: Seq[String], c: String): DataFrame =
-    groupedWith(df, keys, c, expr(s"percentile($c, 0.5)"))
+    groupedWith(df, keys, c, expr(s"percentile(`$c`, 0.5)"))
 }

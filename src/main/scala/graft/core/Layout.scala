@@ -34,9 +34,24 @@ object Layout {
     * repeated calls (e.g. a benchmark's warmup + timed pass) must not
     * re-pay the write. A fresh JVM has an empty in-memory catalog and
     * always rewrites, so stale on-disk leftovers are never trusted. */
+  private val bucketing =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def ensureBucketed(df: => DataFrame, keyCol: String, buckets: Int, table: String)
                     (spark: SparkSession): Unit =
-    if (!spark.catalog.tableExists(table)) writeBucketed(df, keyCol, buckets, table)
+    // computeIfAbsent, not bare check-then-act: two threads racing the
+    // same table (bucket_join and bucket_agg share lineitem_bkt) would
+    // both see tableExists=false and concurrently DROP/delete/create —
+    // the same once-per-JVM discipline as Indexes.ensure. The catalog
+    // check stays inside for the leaf-write case of a table dropped
+    // out-of-band; a thrown write caches nothing.
+    bucketing.computeIfAbsent(
+      s"${org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark)}|$table",
+      _ => {
+        if (!spark.catalog.tableExists(table))
+          writeBucketed(df, keyCol, buckets, table)
+        java.lang.Boolean.TRUE
+      })
 
   def writeBucketed(df: DataFrame, keyCol: String, buckets: Int, table: String): Unit = {
     val spark = df.sparkSession
@@ -59,9 +74,12 @@ object Layout {
     * against broadcast corpus bounds `lo`/`hi`. floor((x·2^bits)/span)
     * is exact while x·2^bits < 2^53 (double-exact integers — holds for
     * any real key domain at bits ≤ 16); identical in DuckDB, so
-    * oracles rebuild the bucket bit-for-bit. */
+    * oracles rebuild the bucket bit-for-bit. The offset multiplies in
+    * DOUBLE — the long multiply wraps once the key span crosses
+    * 2^(63−bits) (Tools.totalOrderBucket's overflow class, same fix). */
   def dimBucket(c: Column, lo: Column, hi: Column, bits: Int): Column =
-    floor(((c - lo) * lit(1L << bits)) / (hi - lo + lit(1))).cast("bigint")
+    floor(((c - lo).cast("double") * lit(1L << bits)) / (hi - lo + lit(1)))
+      .cast("bigint")
 
   /** Morton (Z-order) interleave of two `bits`-bit buckets: dim A takes
     * the odd bit positions, dim B the even. Rows sorted by this key

@@ -47,10 +47,17 @@ object RangeJoin {
     require(binSeconds >= 1, s"binSeconds ($binSeconds) must be at least 1")
     val loBin = expr(s"unix_timestamp(`$loCol`) div $binSeconds")
     val hiBin = expr(s"unix_timestamp(`$hiCol`) div $binSeconds")
-    val guarded = when(hiBin - loBin < maxBinsPerWindow, hiBin).otherwise(
-      raise_error(concat(lit("rangeJoinBinned: window spans "),
-        (hiBin - loBin + 1).cast("string"),
-        lit(s" bins (max $maxBinsPerWindow); raise binSeconds"))))
+    // a NULL bound is a malformed window, not an oversized one: it
+    // explodes to zero bins and drops (the row could never satisfy the
+    // exact [lo, hi] filter anyway) — without the isNotNull arm the
+    // null span would fall into raise_error, whose concat'd message
+    // is itself null, killing the job with a message-less error
+    val guarded =
+      when(loBin.isNull || hiBin.isNull, lit(null).cast("bigint"))
+        .when(hiBin - loBin < maxBinsPerWindow, hiBin)
+        .otherwise(raise_error(concat(lit("rangeJoinBinned: window spans "),
+          (hiBin - loBin + 1).cast("string"),
+          lit(s" bins (max $maxBinsPerWindow); raise binSeconds"))))
     val wb = windows.withColumn("_bin", explode(sequence(loBin, guarded)))
     facts
       .withColumn("_bin", expr(s"unix_timestamp(`$tsCol`) div $binSeconds"))

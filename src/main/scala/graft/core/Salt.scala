@@ -30,8 +30,12 @@ object Salt {
     // saltedRangeScan relies on (it requires start >= 0), so refuse
     // loudly (the guard is a codegen'd branch, free on the valid path)
     val digits = key.cast("string")
+    // coalesce in the MESSAGE: a NULL key makes `digits` null, and a
+    // null concat would turn raise_error's diagnostic into a
+    // message-less abort — the exact opacity this guard exists to avoid
     val guarded = when(key >= 0 && length(digits) <= width, digits).otherwise(
-      raise_error(concat(lit("saltedKey: key "), digits,
+      raise_error(concat(lit("saltedKey: key "),
+        coalesce(digits, lit("NULL")),
         lit(s" must be a non-negative integer of at most $width digits"))))
     concat_ws("-", pmod(key, lit(salts)).cast("string"),
       lpad(guarded, width, "0"))
@@ -48,15 +52,23 @@ object Salt {
     require(salts >= 1, s"salts ($salts) must be at least 1")
     require(start >= 0 && stop >= start, s"bad range [$start, $stop)")
     // bounds past the pad width would format wider than stored keys
-    // and silently match nothing — same contract saltedKey enforces
-    require(stop.toString.length <= width,
+    // and silently match nothing — same contract saltedKey enforces.
+    // stop == 10^width is allowed as "whole keyspace above start": the
+    // maximum storable key is 10^width − 1, and with the exclusive
+    // stop bound it would otherwise be UNREACHABLE by any valid scan —
+    // that case becomes an inclusive <= on the max representable key.
+    val maxExclusive = math.pow(10, width).toLong
+    require(stop.toString.length <= width || stop == maxExclusive,
       s"range bound $stop wider than $width digits — widen `width`")
     def bound(s: Int, k: Long): String = {
       val p = k.toString
       s.toString + "-" + ("0" * (width - p.length)) + p
     }
     val pred = (0 until salts).map { s =>
-      col(saltedKeyCol) >= bound(s, start) && col(saltedKeyCol) < bound(s, stop)
+      val lo = col(saltedKeyCol) >= bound(s, start)
+      if (stop == maxExclusive)
+        lo && col(saltedKeyCol) <= bound(s, maxExclusive - 1)
+      else lo && col(saltedKeyCol) < bound(s, stop)
     }.reduce(_ || _)
     df.where(pred)
   }
@@ -80,6 +92,10 @@ object Salt {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], salts: Int,
                       partials: Seq[Column], merges: Seq[Column]): DataFrame = {
+    // its three siblings all guard this; salts = 0 would make pmod
+    // yield NULL salts — one partial per key, the exact unsalted
+    // hot-partition skew this function exists to prevent, silently
+    require(salts >= 1, s"salts ($salts) must be at least 1")
     // salt from row CONTENT, never monotonically_increasing_id: the id
     // is nondeterministic under partial stage recompute (a lost map
     // task re-salts its rows differently, and a row merged into two

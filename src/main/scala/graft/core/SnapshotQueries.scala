@@ -157,8 +157,14 @@ object SnapshotQueries {
       val afterTtl = Mutations.ttlExpireMinVersions(afterDelete, "15 DAYS", minVersions = 1)
       val kept = graft.kv.Scans.maxVersions(afterTtl, 3)
       val base = tmp("graft_compact", d)
-      Layout.writeSorted(
-        kept.select("rowkey", "qualifier", "ts", "value", "event_id"), "rowkey", base)
+      // once(): every other layout write here is guarded — an
+      // unguarded overwrite lets concurrent runs over the same sfDir
+      // delete the directory under each other's reads
+      once(base) {
+        Layout.writeSorted(
+          kept.select("rowkey", "qualifier", "ts", "value", "event_id"),
+          "rowkey", base)
+      }
       Layout.read(s, base).orderBy("event_id")
     }),
     "bucket_join" -> ((s, d) => {
