@@ -64,17 +64,25 @@ object Dedup {
 
   /** URL canonicalization — the normalization web-crawl pipelines run
     * before URL-level dedup (Common Crawl keeps one capture per
-    * canonical URL): lowercase, drop the fragment, drop the scheme
-    * (http/https variants of one page are one page), strip a leading
-    * `www.`, strip an explicit default port (:80/:443), drop
-    * `utm_*` tracking parameters, tidy the separators they leave
-    * behind, and strip a trailing slash. A pure codegen'd
-    * regexp_replace chain — scan-speed, nothing shuffles. */
+    * canonical URL): drop the fragment, drop the scheme (http/https
+    * variants of one page are one page), lowercase the AUTHORITY only
+    * (scheme and host are case-insensitive per RFC 3986 §3.1/3.2.2 —
+    * paths and query values are case-SIGNIFICANT, and lowercasing
+    * them would conflate /About with /about, silently dropping a
+    * genuinely different page), strip a leading `www.`, strip an
+    * explicit default port (:80/:443), drop `utm_*` tracking
+    * parameters (multi-underscore GA4 names like utm_source_platform
+    * included), tidy the separators they leave behind, and strip a
+    * trailing slash. A pure codegen'd regexp chain — scan-speed,
+    * nothing shuffles. */
   def canonicalizeUrl(url: Column): Column = {
     val steps: Seq[Column => Column] = Seq(
-      lower,
       regexp_replace(_, "#.*$", ""),               // fragment
-      regexp_replace(_, "^https?://", ""),         // scheme
+      regexp_replace(_, "(?i)^https?://", ""),     // scheme, any case
+      // lowercase the authority (everything before the first / or ?);
+      // the path/query tail passes through byte-identical
+      c => concat(lower(regexp_extract(c, "^[^/?]*", 0)),
+        regexp_extract(c, "^[^/?]*(.*)$", 1)),
       regexp_replace(_, "^www\\.", ""),            // www prefix
       // default port — [/?] | end: ':80?a=1' is a port too, and the
       // fragment is already gone so '#' can't follow
@@ -83,7 +91,7 @@ object Dedup {
       // 'utm_' would mangle any parameter or path segment merely
       // containing it, colliding distinct URLs), separator kept so a
       // following param re-attaches
-      regexp_replace(_, "([?&])utm_[a-z]+=[^&#]*", "$1"),
+      regexp_replace(_, "([?&])utm_[a-z0-9_]+=[^&#]*", "$1"),
       regexp_replace(_, "([?&])&+", "$1"),         // collapse left-over &&
       regexp_replace(_, "[?&]+$", ""),             // dangling separators
       regexp_replace(_, "/+$", ""))                // trailing slash(es)
@@ -310,7 +318,11 @@ object Dedup {
                    shingleTable: Option[DataFrame] = None): DataFrame = {
     maxDf match {
       case None =>
-        val sh = shingleTable.getOrElse(shingles(docs))
+        // pinned like the capped path: the exploded table feeds the
+        // df-prune aggregate plus BOTH self-join sides, and Catalyst
+        // re-tokenizes the corpus for each consumer. The pin rides the
+        // returned plan (CheckpointBridge.free(result) releases it).
+        val sh = shingleTable.getOrElse(shingles(docs).localCheckpoint())
         // exact path: carry each doc's set size through the explode; the
         // pair aggregate then has |A| and |B| in-row, saving two
         // post-aggregation joins
@@ -544,34 +556,52 @@ object Dedup {
       .localCheckpoint()
     var iter = 0
     var done = false
-    while (!done && iter < maxIters) {
-      // 1-hop min: smallest label among me and my neighbors
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
-      // prop feeds BOTH sides of the pointer-jump self-join below — pin
-      // it so the (edges ⋈ labels ⋈ groupBy) subtree runs once per
-      // round, not twice. The pre-round label rides along so convergence
-      // is a filter on the pinned result instead of a join back to
-      // `labels`.
-      val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl").as("prev"),
-          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      // pointer jump: my new label = my label's label (chain halving)
-      val next = prop
-        .join(prop.select(col("id").as("lbl"), col("lbl").as("l2")), Seq("lbl"), "left")
-        .select(col("id"), col("prev"), coalesce(col("l2"), col("lbl")).as("lbl"))
-        .localCheckpoint()
-      done = next.where(col("lbl") =!= col("prev")).isEmpty
-      // `next` is materialized (eager checkpoint) — the round's scratch
-      // pin and the superseded label generation can be freed NOW. In a
-      // long-lived JVM, keeping every round's blocks alive is a storage
-      // leak that squeezes every later query (r4 driver bench: 2×).
-      CheckpointBridge.free(prop)
-      CheckpointBridge.free(labels)
-      labels = next.select("id", "lbl")
-      iter += 1
+    // a round that THROWS (executor loss mid-join, a failed isEmpty
+    // action) must still free the live pins — the labelPropagation
+    // discipline; without it the orphaned blocks persist for the JVM
+    try {
+      while (!done && iter < maxIters) {
+        // 1-hop min: smallest label among me and my neighbors
+        val nbrMin = edges
+          .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
+          .groupBy(col("a").as("id")).agg(min(col("nl")).as("nmin"))
+        // prop feeds BOTH sides of the pointer-jump self-join below — pin
+        // it so the (edges ⋈ labels ⋈ groupBy) subtree runs once per
+        // round, not twice. The pre-round label rides along so convergence
+        // is a filter on the pinned result instead of a join back to
+        // `labels`.
+        val prop = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("lbl").as("prev"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        // pointer jump: my new label = my label's label (chain halving)
+        var next: DataFrame = null
+        try {
+          next = prop
+            .join(prop.select(col("id").as("lbl"), col("lbl").as("l2")),
+              Seq("lbl"), "left")
+            .select(col("id"), col("prev"),
+              coalesce(col("l2"), col("lbl")).as("lbl"))
+            .localCheckpoint()
+          done = next.where(col("lbl") =!= col("prev")).isEmpty
+        } catch {
+          case t: Throwable =>
+            CheckpointBridge.free(prop)
+            if (next != null) CheckpointBridge.free(next)
+            throw t // the outer catch frees labels + edges
+        }
+        // `next` is materialized (eager checkpoint) — the round's scratch
+        // pin and the superseded label generation can be freed NOW. In a
+        // long-lived JVM, keeping every round's blocks alive is a storage
+        // leak that squeezes every later query (r4 driver bench: 2×).
+        CheckpointBridge.free(prop)
+        CheckpointBridge.free(labels)
+        labels = next.select("id", "lbl")
+        iter += 1
+      }
+    } catch {
+      case t: Throwable =>
+        CheckpointBridge.free(labels); CheckpointBridge.free(edges); throw t
     }
     CheckpointBridge.free(edges)
     // the final generation stays pinned — it IS the returned result;

@@ -1273,19 +1273,25 @@ object PipelineQueries {
         |      ELSE 'https://example.com/doc/' || (doc_id // 4) || '/alt'
         |    END AS url
         |  FROM documents),
+        |nofrag AS (SELECT doc_id,
+        |  regexp_replace(regexp_replace(url, '#.*$', ''),
+        |                 '(?i)^https?://', '') AS u
+        |  FROM caps),
+        |cased AS (SELECT doc_id,
+        |  lower(regexp_extract(u, '^[^/?]*')) ||
+        |    regexp_extract(u, '^[^/?]*(.*)$', 1) AS u
+        |  FROM nofrag),
         |canon AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |    lower(url),
-        |    '#.*$', ''),
-        |    '^https?://', ''),
+        |  regexp_replace(regexp_replace(
+        |    u,
         |    '^www\.', ''),
         |    '^([^/:]+):(80|443)([/?]|$)', '\1\3'),
-        |    '([?&])utm_[a-z]+=[^&#]*', '\1', 'g'),
+        |    '([?&])utm_[a-z0-9_]+=[^&#]*', '\1', 'g'),
         |    '([?&])&+', '\1', 'g'),
         |    '[?&]+$', ''),
         |    '/+$', '') AS canonical_url
-        |  FROM caps)
+        |  FROM cased)
         |SELECT canonical_url, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM canon GROUP BY 1 ORDER BY keeper""".stripMargin,
     "dedup_containment" ->
@@ -1775,8 +1781,7 @@ object PipelineQueries {
          |       round(least(n_tokens / 100.0, 1.0) * (n_distinct * 1.0 / n_tokens), 4) AS quality
          |FROM st JOIN pd ON st.doc_id = pd.doc_id ORDER BY st.doc_id""".stripMargin),
     "text_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 3),
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
         |                i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
         |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
@@ -1790,10 +1795,11 @@ object PipelineQueries {
         |SELECT doc_id, n2 AS n_2grams,
         |       round(1 - d2 / CAST(n2 AS DOUBLE), 4) AS dup_2gram_frac,
         |       round(m2 / CAST(n2 AS DOUBLE), 4) AS top_2gram_frac,
-        |       round(1 - d3 / CAST(n3 AS DOUBLE), 4) AS dup_3gram_frac,
+        |       coalesce(round(1 - d3 / CAST(n3 AS DOUBLE), 4), 0.0)
+        |         AS dup_3gram_frac,
         |       (round(m2 / CAST(n2 AS DOUBLE), 4) <= 0.05
         |        AND round(1 - d2 / CAST(n2 AS DOUBLE), 4) <= 0.05) AS rep_pass
-        |FROM s2 JOIN s3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |FROM s2 LEFT JOIN s3 USING (doc_id) ORDER BY doc_id""".stripMargin,
     "ann_hybrid" ->
       (s"""WITH tk0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
           |             FROM documents),

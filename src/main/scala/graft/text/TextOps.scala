@@ -151,12 +151,13 @@ object TextOps {
     val payload = struct(col("cnt").as("c"), col(keyCol).as("t"))
     val agg = ColumnBridge.column(
       TopKStruct(ColumnBridge.expression(payload), k).toAggregateExpression())
-    val total = counts.agg(sum(col("cnt")).as("_total"))
-    counts.agg(agg.as("_top"))
-      .select(posexplode(col("_top")))
+    // heap AND grand total in ONE aggregate — two separate aggregate
+    // subtrees would each re-scan/re-explode the whole corpus (no CSE
+    // across crossJoin arms), doubling the corpus pass per vocab build
+    counts.agg(agg.as("_top"), sum(col("cnt")).as("_total"))
+      .select(posexplode(col("_top")), col("_total"))
       .select((col("pos") + 1).cast("bigint").as("rank"),
-        col("col.t").as(keyCol), col("col.c").as("cnt"))
-      .crossJoin(broadcast(total))
+        col("col.t").as(keyCol), col("col.c").as("cnt"), col("_total"))
       .withColumn("_cum", sum(col("cnt")).over(
         Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("rank"), col(keyCol), col("cnt"),
@@ -216,8 +217,7 @@ object TextOps {
     docs.select(col("doc_id"),
       size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("bigint").as("n_emails"),
       size(expr(s"regexp_extract_all(text, '$phone', 0)")).cast("bigint").as("n_phones"),
-      expr(s"aggregate(transform(split($scrubbed, ''), c -> ascii(c)), 0L, " +
-        "(h, c) -> (h * 31 + c) % 1000000007)").as("scrubbed_fp"))
+      rabinFold(scrubbed).as("scrubbed_fp"))
       .withColumn("had_pii", col("n_emails") + col("n_phones") > 0)
   }
 
@@ -232,23 +232,27 @@ object TextOps {
     * so Spark and the SQL oracle agree at the threshold boundary. */
   def repetition(docs: DataFrame, topFracMax: Double = 0.05,
                  dupFracMax: Double = 0.05): DataFrame = {
-    val ws = docs
-      .withColumn("w", split(col("text"), " "))
-      .where(size(col("w")) >= 3)
+    val ws = docs.withColumn("w", split(col("text"), " "))
+    // each gram level gates on ITS OWN minimum length: a 2-word doc
+    // has one 2-gram the report promises ('foo foo' is maximal 2-gram
+    // repetition — a >= 3 gate would silently pass it by omission) and
+    // simply no 3-grams (left join; zero 3-grams = zero repeats)
     def gramStats(n: Int, pre: String): DataFrame = {
       val mk = (0 until n).map(j => s"w[i+$j]").mkString(", ")
-      ws.select(col("doc_id"), explode(expr(
+      ws.where(size(col("w")) >= n)
+        .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $mk))")).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id")
         .agg(sum("cnt").as(s"${pre}_n"), count(lit(1)).as(s"${pre}_d"),
           max("cnt").as(s"${pre}_m"))
     }
-    gramStats(2, "g2").join(gramStats(3, "g3"), "doc_id")
+    gramStats(2, "g2").join(gramStats(3, "g3"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("g2_n").as("n_2grams"),
         round(lit(1) - col("g2_d").cast("double") / col("g2_n"), 4).as("dup_2gram_frac"),
         round(col("g2_m").cast("double") / col("g2_n"), 4).as("top_2gram_frac"),
-        round(lit(1) - col("g3_d").cast("double") / col("g3_n"), 4).as("dup_3gram_frac"))
+        coalesce(round(lit(1) - col("g3_d").cast("double") / col("g3_n"), 4),
+          lit(0.0)).as("dup_3gram_frac"))
       .withColumn("rep_pass",
         col("top_2gram_frac") <= topFracMax && col("dup_2gram_frac") <= dupFracMax)
   }
@@ -268,7 +272,11 @@ object TextOps {
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .select(col("tok"), floor(log10(col("cnt")) * 1e6).cast("bigint").as("mlog"))
     val total = toks.agg(count(lit(1)).as("_N"))
-    toks.join(broadcast(vocab), "tok")
+    // no broadcast hint: Zipf keeps the vocab tiny at test scale (AQE
+    // broadcasts it on its own), but at corpus scale distinct tokens
+    // can exceed any broadcast budget — the planner must stay free to
+    // shuffle on `tok`, the key the vocab count already partitioned by
+    toks.join(vocab, "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("mlog").as("sum_mlog"))
       .crossJoin(broadcast(total))
@@ -356,18 +364,24 @@ object TextOps {
         min(col("_sel")).as("min_fp"))
   }
 
+  /** The engine-portable Rabin fold h = (h·31 + ascii(c)) mod 1e9+7
+    * over a string expression — ONE copy: [[fingerprint]]'s contract
+    * (and cdcChunks' boundary parity) depends on bit-identity across
+    * every consumer (piiScrub's proof-of-redaction digest,
+    * importanceScore's bucket hash), so the fold must never fork. */
+  private def rabinFold(e: String): Column =
+    expr(s"aggregate(transform(split($e, ''), c -> ascii(c)), 0L, " +
+      "(h, c) -> (h * 31 + c) % 1000000007)")
+
   /** Rabin–Karp-style rolling fingerprint: left fold of
     * h = (h * 31 + ascii(c)) mod 1e9+7 over the characters — a
     * sequential mod-fold both Spark (`aggregate`) and DuckDB
     * (`list_reduce`) evaluate identically. `prefix_fp` fingerprints the
     * first 64 chars (the cheap near-head dedup key). */
-  def fingerprint(docs: DataFrame): DataFrame = {
-    def fold(e: String): Column =
-      expr(s"aggregate(transform(split($e, ''), c -> ascii(c)), 0L, (h, c) -> (h * 31 + c) % 1000000007)")
+  def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      fold("text").as("fp"),
-      fold("substring(text, 1, 64)").as("prefix_fp"))
-  }
+      rabinFold("text").as("fp"),
+      rabinFold("substring(text, 1, 64)").as("prefix_fp"))
 
   /** DSIR-style importance scoring (Xie et al. 2023 "Data Selection
     * for Language Models via Importance Resampling"): per-doc
@@ -392,9 +406,7 @@ object TextOps {
     val toks = docs.select(col("doc_id"), isTarget.as("_t"),
         explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
-      .withColumn("bucket", expr(
-        "aggregate(transform(split(token, ''), c -> ascii(c)), 0L, " +
-          s"(h, c) -> (h * 31 + c) % 1000000007) % $buckets"))
+      .withColumn("bucket", rabinFold("token") % buckets)
     val model = toks.groupBy("bucket").agg(count(lit(1)).as("cr"),
       sum(when(col("_t"), 1L).otherwise(0L)).as("ct"))
     val consts = model.agg(sum("cr").as("_nr"), sum("ct").as("_nt"))
@@ -473,6 +485,23 @@ object TextOps {
       .limit(topK)
   }
 
+  /** The BPE left-to-right merge fold over a `syms` array — ONE copy
+    * shared by training and application: a fold divergence would make
+    * the trainer and the tokenizer segment DIFFERENTLY, the silent
+    * split the unigram family avoids with its shared SQL builders. */
+  private def bpeMergeFoldSql(l: String, r: String, ns: String): String =
+    s"""aggregate(syms,
+       |  named_struct('out', cast(array() as array<string>),
+       |               'pend', cast(null as string)),
+       |  (s, x) -> IF(s.pend = '$l' AND x = '$r',
+       |    named_struct('out', array_append(s.out, '$ns'),
+       |                 'pend', cast(null as string)),
+       |    named_struct('out', IF(s.pend IS NULL, s.out,
+       |                           array_append(s.out, s.pend)),
+       |                 'pend', x)),
+       |  s -> IF(s.pend IS NULL, s.out, array_append(s.out, s.pend))
+       |)""".stripMargin
+
   /** BPE merge-rule training (Sennrich et al. 2016, "Neural Machine
     * Translation of Rare Words with Subword Units" — the tokenizer
     * algorithm itself, not just the prep [[vocabBuild]] does): greedy
@@ -502,6 +531,9 @@ object TextOps {
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     var exhausted = false
+    // try/finally: a throwing round (failed collect/checkpoint) must
+    // still release the live vocab pin — the unigramModel discipline
+    try {
     for (i <- 0 until nMerges if !exhausted) {
       val top = vocab.where(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
@@ -516,24 +548,14 @@ object TextOps {
         val (l, r, pc) = (p.getString(0), p.getString(1), top.head.getLong(1))
         val ns = l + r
         merges += ((i.toLong, l, r, ns, pc))
-        val next = vocab.select(expr(
-          s"""aggregate(syms,
-             |  named_struct('out', cast(array() as array<string>),
-             |               'pend', cast(null as string)),
-             |  (s, x) -> IF(s.pend = '$l' AND x = '$r',
-             |    named_struct('out', array_append(s.out, '$ns'),
-             |                 'pend', cast(null as string)),
-             |    named_struct('out', IF(s.pend IS NULL, s.out,
-             |                           array_append(s.out, s.pend)),
-             |                 'pend', x)),
-             |  s -> IF(s.pend IS NULL, s.out, array_append(s.out, s.pend))
-             |)""".stripMargin).as("syms"), col("cnt"))
+        val next = vocab.select(
+          expr(bpeMergeFoldSql(l, r, ns)).as("syms"), col("cnt"))
           .localCheckpoint(true)
         CheckpointBridge.free(vocab)
         vocab = next
       }
     }
-    CheckpointBridge.free(vocab)
+    } finally CheckpointBridge.free(vocab)
     import spark.implicits._
     merges.toSeq.toDF("merge_idx", "left", "right", "new_sym", "pair_count")
   }
@@ -560,18 +582,7 @@ object TextOps {
     for (r <- rules) {
       val (l, rr, ns) = (r.getAs[String]("left"), r.getAs[String]("right"),
         r.getAs[String]("new_sym"))
-      t = t.select(col("w"), expr(
-        s"""aggregate(syms,
-           |  named_struct('out', cast(array() as array<string>),
-           |               'pend', cast(null as string)),
-           |  (s, x) -> IF(s.pend = '$l' AND x = '$rr',
-           |    named_struct('out', array_append(s.out, '$ns'),
-           |                 'pend', cast(null as string)),
-           |    named_struct('out', IF(s.pend IS NULL, s.out,
-           |                           array_append(s.out, s.pend)),
-           |                 'pend', x)),
-           |  s -> IF(s.pend IS NULL, s.out, array_append(s.out, s.pend))
-           |)""".stripMargin).as("syms"))
+      t = t.select(col("w"), expr(bpeMergeFoldSql(l, rr, ns)).as("syms"))
     }
     val wordTok = t.select(col("w"), size(col("syms")).cast("long").as("_n_syms"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))

@@ -148,6 +148,36 @@ class PipelineSpec extends SparkSpec {
     assert(got(5) == "example.com/a/b?id=2", got(5))
   }
 
+  test("canonicalizeUrl: path case is SIGNIFICANT, host case is not; GA4 utm params strip") {
+    import spark.implicits._
+    val got = Seq(
+      "https://EXAMPLE.com/About",         // host folds, path case kept
+      "https://example.com/about",         // a DIFFERENT page than /About
+      "https://example.com/p?q=Foo",       // query value case kept
+      "https://example.com/p?utm_source_platform=x&id=3") // GA4 multi-underscore
+      .toDF("url")
+      .select(Dedup.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    assert(got(0) == "example.com/About", got(0))
+    assert(got(1) == "example.com/about", got(1))
+    assert(got(0) != got(1), "case-distinct pages conflated")
+    assert(got(2) == "example.com/p?q=Foo", got(2))
+    assert(got(3) == "example.com/p?id=3", got(3))
+  }
+
+  test("repetition: a 2-word doc reports its 2-gram stats with zero 3-gram repeats") {
+    import spark.implicits._
+    val docs = Seq((1L, "foo foo"), (2L, "a b c a b c")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 'foo foo': one 2-gram, max frequency 1 of 1 -> top frac 1.0; a
+    // >= 3-word gate would have silently omitted (passed) this doc
+    assert(got.contains(1L), "2-word doc missing from the repetition report")
+    assert(got(1L).getAs[Double]("top_2gram_frac") == 1.0, got(1L).toString)
+    assert(got(1L).getAs[Double]("dup_3gram_frac") == 0.0, got(1L).toString)
+    assert(!got(1L).getAs[Boolean]("rep_pass"))
+    assert(got(2L).getAs[Double]("dup_2gram_frac") > 0, got(2L).toString)
+  }
+
   test("ngramContainment: finds the quote-in-longer-doc pair Jaccard misses") {
     import spark.implicits._
     // doc 2 is doc 1's first 5 words: contained whole (containment 1.0)
