@@ -1142,8 +1142,11 @@ object AnalyticsQueries {
       val bounds = vals.agg(min("c").as("_lo"), max("c").as("_hi"),
         sum("cnt").as("_n"))
       val celled = vals.crossJoin(broadcast(bounds))
+        // the Tools.cellPrefix cell formula (kept inline because this
+        // query also needs _n and in-cell refinement) — the DOUBLE
+        // multiply must stay in sync with the helper's overflow fix
         .withColumn("_cell",
-          ((col("c") - col("_lo")) * cells /
+          ((col("c") - col("_lo")).cast("double") * cells /
             (col("_hi") - col("_lo") + 1)).cast("bigint"))
       // ≤4096 rows by construction — the only orderBy-without-partition
       // window in the plan runs over this bounded cell table
@@ -1970,11 +1973,15 @@ object AnalyticsQueries {
         |u AS (SELECT namespace, count(*) AS n_tables,
         |             CAST(sum(n_regions) AS BIGINT) AS n_regions
         |      FROM catalog GROUP BY 1)
-        |SELECT namespace, n_tables, n_regions, max_tables, max_regions,
-        |       n_tables > max_tables OR n_regions > max_regions AS over_quota,
-        |       max_tables - n_tables AS table_headroom,
-        |       max_regions - n_regions AS region_headroom
-        |FROM u JOIN q USING (namespace)
+        |SELECT namespace,
+        |       coalesce(n_tables, 0) AS n_tables,
+        |       coalesce(n_regions, 0) AS n_regions,
+        |       max_tables, max_regions,
+        |       coalesce(n_tables, 0) > max_tables
+        |         OR coalesce(n_regions, 0) > max_regions AS over_quota,
+        |       max_tables - coalesce(n_tables, 0) AS table_headroom,
+        |       max_regions - coalesce(n_regions, 0) AS region_headroom
+        |FROM q LEFT JOIN u USING (namespace)
         |ORDER BY namespace""".stripMargin,
     "rowcounter" ->
       (C + "SELECT count(DISTINCT rowkey) AS n_rows FROM cells WHERE value = 'BUILDING'"),
@@ -2521,7 +2528,10 @@ object AnalyticsQueries {
         |  HAVING min(s) IS NOT NULL AND min(s) <> -4611686018427387904
         |  UNION ALL
         |  SELECT max(e), 4611686018427387904 FROM r
-        |  HAVING max(e) IS NOT NULL AND max(e) <> 4611686018427387904),
+        |  HAVING max(e) IS NOT NULL AND max(e) <> 4611686018427387904
+        |  UNION ALL
+        |  SELECT -4611686018427387904, 4611686018427387904 FROM r
+        |  HAVING min(s) IS NULL),
         |ov AS (SELECT k, next_k FROM cv WHERE cov > 1),
         |mem AS (SELECT ov.k, ov.next_k, r.region_id, r.s, r.e
         |        FROM r JOIN ov ON r.s <= ov.k AND r.e >= ov.next_k AND r.s < r.e),

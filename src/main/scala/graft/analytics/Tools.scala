@@ -191,7 +191,9 @@ object Tools {
         expr(s"$fn($keyCol, array(${qs.mkString(", ")}))").as("_qs"))
       .select(col("_lo"), col("_hi"), posexplode(col("_qs")))
       .select((col("pos") + 1).cast("bigint").as("split_idx"),
-        floor(col("_lo") + (col("_hi") - col("_lo") + 1) * (col("pos") + 1) / n)
+        // span × idx in DOUBLE — the totalOrderBucket overflow class
+        floor(col("_lo") +
+            (col("_hi") - col("_lo") + 1).cast("double") * (col("pos") + 1) / n)
           .as("uniform_key"),
         round(col("col"), 4).as("quantile_key"))
   }
@@ -410,21 +412,26 @@ object Tools {
     import org.apache.spark.sql.expressions.Window
     val r = broadcast(regions.select(col("region").as("_r"),
       col("start_key").as("_rs"), col("end_key").as("_re")))
+    // the reference throws on an inverted HFile range (:758) — guard
+    // BEFORE the join: a guard projected after the join never fires
+    // for a corrupt file whose range matches no region, silently
+    // dropping it instead of erroring. (A VALID file outside the
+    // region chain still drops — the registered catalogs end open, so
+    // only a sub-minimum key can fall outside; reference behavior for
+    // that case is a retry queue, out of scope here.)
+    val checked = files.withColumn("first_key",
+      when(col("first_key") > col("last_key"),
+        raise_error(concat(lit("invalid hfile range: "), col("hfile"))))
+        .otherwise(col("first_key")))
     // NULL start = the open-start first region (the same META
     // convention regionLocate handles): it must catch every file its
     // end allows, not NULL out of the join
-    files.join(r,
+    checked.join(r,
         (col("_rs").isNull || col("last_key") >= col("_rs")) &&
         (col("_re").isNull || col("first_key") < col("_re")))
       .select(col("hfile"),
         col("_r").as("region"),
-        // the reference throws on an inverted HFile range (:758); the
-        // guard lives inside a projected column so pruning can't drop it
-        greatest(
-          when(col("first_key") > col("last_key"),
-            raise_error(concat(lit("invalid hfile range: "), col("hfile"))))
-            .otherwise(col("first_key")),
-          col("_rs")).as("frag_first"),
+        greatest(col("first_key"), col("_rs")).as("frag_first"),
         when(col("_re").isNull, col("last_key"))
           .otherwise(least(col("last_key"), col("_re") - 1)).as("frag_last"))
       .withColumn("n_fragments",
@@ -452,8 +459,10 @@ object Tools {
         totalOrderBucket(col("rowkey"), col("_lo"), col("_hi"), nRegions))
       .groupBy("region", "family")
       .agg(min(struct(col("rowkey"), col("qualifier"))).as("_first"))
-    val frame = b
-      .select(explode(sequence(lit(0L), lit(nRegions - 1L))).as("region"))
+    // literal frame, NOT derived from the bounds aggregate: a frame
+    // inheriting b's plan re-scans the whole cell table just to emit
+    // nRegions rows (the canaryWriteProbe spark.range pattern)
+    val frame = cells.sparkSession.range(0, nRegions).toDF("region")
       .select(col("region"),
         explode(array(families.map(lit): _*)).as("family"))
     frame.join(probes, Seq("region", "family"), "left")
@@ -666,7 +675,9 @@ object Tools {
       .groupBy("region")
       .agg(sum(when(isWrite, 0L).otherwise(1L)).as("read_requests"),
         sum(when(isWrite, 1L).otherwise(0L)).as("write_requests"))
-    val frame = b.select(explode(sequence(lit(0L), lit(nRegions - 1L))).as("region"))
+    // literal frame — deriving it from `b` would re-scan the log for
+    // nRegions rows (the canaryWriteProbe spark.range pattern)
+    val frame = log.sparkSession.range(0, nRegions).toDF("region")
     // nRegions metadata rows feeding two forks (mean + final) — lazy,
     // the mean branch would re-run the whole log aggregation
     val full = materializeMeta(frame.join(counts, Seq("region"), "left")
@@ -977,16 +988,24 @@ object Tools {
     *
     * @param regions (region_id, start_key, end_key); keys BIGINT,
     *                NULL = open boundary. */
-  def hbckRegionChain(regions: DataFrame): DataFrame = {
+  private val HbckMinKey = -4611686018427387904L // 'empty' start (-2^62)
+  private val HbckMaxKey =  4611686018427387904L // 'empty' end   (+2^62)
+  private def hbckOutKey(c: Column): Column =
+    when(c === HbckMinKey || c === HbckMaxKey, lit(null).cast("bigint"))
+      .otherwise(c)
+
+  /** The boundary sweep shared by [[hbckRegionChain]] (audit) and
+    * [[hbckRepairPlan]] (fix) — audit and fix must see the SAME
+    * defects, so the sentinel normalization and coverage sweep exist
+    * exactly once (two hand-synced copies would let a sentinel or
+    * coverage tweak silently desynchronize them).
+    * @return (normalized regions (region_id, s, e),
+    *          sweep (k, n_starts, n_ends, cov, next_k)) */
+  private def hbckSweep(regions: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val MINK = -4611686018427387904L // 'empty' start sentinel (-2^62)
-    val MAXK =  4611686018427387904L // 'empty' end sentinel  (+2^62)
-    val nullKey = lit(null).cast("bigint")
-    def outKey(c: Column) =
-      when(c === MINK || c === MAXK, nullKey).otherwise(c)
     val r = regions.select(col("region_id"),
-      coalesce(col("start_key"), lit(MINK)).as("s"),
-      coalesce(col("end_key"), lit(MAXK)).as("e"))
+      coalesce(col("start_key"), lit(HbckMinKey)).as("s"),
+      coalesce(col("end_key"), lit(HbckMaxKey)).as("e"))
     val starts = r.groupBy(col("s").as("k")).agg(count(lit(1)).as("n_starts"))
     val ends   = r.groupBy(col("e").as("k")).agg(count(lit(1)).as("n_ends"))
     val byKey  = Window.orderBy("k")
@@ -995,6 +1014,15 @@ object Tools {
       .withColumn("cov", sum(col("n_starts") - col("n_ends"))
         .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("next_k", lead(col("k"), 1).over(byKey))
+    (r, sweep)
+  }
+
+  def hbckRegionChain(regions: DataFrame): DataFrame = {
+    val MINK = HbckMinKey
+    val MAXK = HbckMaxKey
+    val nullKey = lit(null).cast("bigint")
+    def outKey(c: Column) = hbckOutKey(c)
+    val (r, sweep) = hbckSweep(regions)
     // all three sweep-derived error classes from ONE pass over the
     // boundary table (a union of per-class filters would recompute the
     // whole sweep subtree per branch — Catalyst shares nothing across
@@ -1074,22 +1102,10 @@ object Tools {
     * @param regions (region_id, start_key, end_key); NULL = open. */
   def hbckRepairPlan(regions: DataFrame, maxMerge: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val MINK = -4611686018427387904L
-    val MAXK =  4611686018427387904L
-    val nullKey = lit(null).cast("bigint")
-    def outKey(c: Column) =
-      when(c === MINK || c === MAXK, nullKey).otherwise(c)
-    val r = regions.select(col("region_id"),
-      coalesce(col("start_key"), lit(MINK)).as("s"),
-      coalesce(col("end_key"), lit(MAXK)).as("e"))
-    val starts = r.groupBy(col("s").as("k")).agg(count(lit(1)).as("n_starts"))
-    val ends   = r.groupBy(col("e").as("k")).agg(count(lit(1)).as("n_ends"))
-    val byKey  = Window.orderBy("k")
-    val sweep = starts.join(ends, Seq("k"), "full_outer")
-      .na.fill(0L, Seq("n_starts", "n_ends"))
-      .withColumn("cov", sum(col("n_starts") - col("n_ends"))
-        .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("next_k", lead(col("k"), 1).over(byKey))
+    val MINK = HbckMinKey
+    val MAXK = HbckMaxKey
+    def outKey(c: Column) = hbckOutKey(c)
+    val (r, sweep) = hbckSweep(regions)
     val bounds = r.agg(min(col("s")).as("_min_s"), max(col("e")).as("_max_e"))
     val holes = sweep.where(col("cov") === 0 && col("next_k").isNotNull)
       .select(col("k").as("hs"), col("next_k").as("he"))
@@ -1097,7 +1113,12 @@ object Tools {
           when(col("_min_s").isNotNull && col("_min_s") =!= MINK,
             struct(lit(MINK).as("hs"), col("_min_s").as("he"))),
           when(col("_max_e").isNotNull && col("_max_e") =!= MAXK,
-            struct(col("_max_e").as("hs"), lit(MAXK).as("he"))))).as("x"))
+            struct(col("_max_e").as("hs"), lit(MAXK).as("he"))),
+          // EMPTY catalog: the audit's whole-keyspace hole — the fix
+          // must fabricate the open-open region or applying the plan
+          // would not reach the documented clean fixed point
+          when(col("_min_s").isNull,
+            struct(lit(MINK).as("hs"), lit(MAXK).as("he"))))).as("x"))
         .where(col("x").isNotNull).select(col("x.*")))
     val creates = holes.select(lit("CREATE_HOLE_REGION").as("action"),
       concat(lit("fab_"),
@@ -1411,6 +1432,11 @@ object Tools {
   def columnProfile(df: DataFrame, cols: Seq[String],
                     approxNdv: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "columnProfile needs at least one column")
+    // names are interpolated into generated stack() SQL — the dqAudit
+    // identifier rule: refuse quotes/backticks/spaces loudly
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"columnProfile: column name '$c' must match [A-Za-z0-9_]+ " +
+        "(it is spliced into generated SQL)"))
     val ndv: Column => Column =
       if (approxNdv) approx_count_distinct(_) else countDistinct(_)
     val aggs = cols.flatMap { c => Seq(
@@ -1458,7 +1484,10 @@ object Tools {
     val c = col(valCol)
     val stats = df.groupBy(groupCol).agg(
       count(lit(1)).as("_n"), sum(c).as("_s"), sum(c * c).as("_q"))
-    val m = expr("_s div _n")
+    // floor division for the signed sum (`div` truncates; DuckDB `//`
+    // floors — divergent on negative values); _q is a sum of squares,
+    // always non-negative, so plain `div` is already the floor there
+    val m = expr("(_s - pmod(_s, _n)) div _n")
     val v = greatest(expr("_q div _n") - m * m, lit(0L))
     df.join(broadcast(stats), groupCol)
       .withColumn("dev_cents", c - m)
@@ -1486,7 +1515,11 @@ object Tools {
       .agg(sum(col(valCol) * col("_dt")).as("_num"),
         sum(col("_dt")).as("span_us"))
       .where(col("span_us") > 0)
-      .select(col(keyCol), col("span_us"), expr("_num div span_us").as("twa"))
+      // FLOOR division (a − pmod)/b, not `div`: `div` truncates toward
+      // zero while the DuckDB oracle's `//` floors — they disagree on
+      // negative numerators (a signed value column)
+      .select(col(keyCol), col("span_us"),
+        expr("(_num - pmod(_num, span_us)) div span_us").as("twa"))
   }
 
   /** Exact DISCRETE per-group quantiles without a percentile UDAF: the
@@ -1788,7 +1821,10 @@ object Tools {
     import org.apache.spark.sql.expressions.Window
     val bounds = df.agg(min(valCol).as("_lo"), max(valCol).as("_hi"))
     val celled = df.crossJoin(broadcast(bounds))
-      .withColumn("_cell", ((col(valCol) - col("_lo")) * cells /
+      // offset × cells in DOUBLE (totalOrderBucket's overflow class:
+      // a value span past 2^63/cells wraps the long product);
+      // histogram_equi_depth's inline copy of this formula must match
+      .withColumn("_cell", ((col(valCol) - col("_lo")).cast("double") * cells /
         (col("_hi") - col("_lo") + 1)).cast("bigint"))
       .drop("_lo", "_hi")
     val wCell = Window.orderBy("_cell")

@@ -358,6 +358,20 @@ class MasterOpsSpec extends SparkSpec {
       Tools.hbckRegionChain(repaired).collect().mkString("\n"))
   }
 
+  test("hbckRepairPlan: an EMPTY catalog fabricates the whole-keyspace open region") {
+    import spark.implicits._
+    val cat = Seq.empty[(String, Option[Long], Option[Long])]
+      .toDF("region_id", "start_key", "end_key")
+    val plan = graft.analytics.Tools.hbckRepairPlan(cat).collect()
+    assert(plan.length == 1, plan.mkString(","))
+    assert(plan(0).getString(0) == "CREATE_HOLE_REGION" &&
+      plan(0).isNullAt(2) && plan(0).isNullAt(3), plan(0).toString)
+    // the fixed point holds: applying the fabricated region audits clean
+    val repaired = Seq(("fab_open", None: Option[Long], None: Option[Long]))
+      .toDF("region_id", "start_key", "end_key")
+    assert(graft.analytics.Tools.hbckRegionChain(repaired).collect().isEmpty)
+  }
+
   test("hbckRepairPlan: oversize overlap group keeps the widest, sidelines the rest") {
     import spark.implicits._
     // 7 regions stacked over one range: > maxMerge (5), so the widest
