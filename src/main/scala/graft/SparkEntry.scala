@@ -537,7 +537,11 @@ object SparkEntry {
       "region_split_exec" -> ((s, d) => {
         val grown = T(s, d, "orders")
           .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
-        val buckets = graft.analytics.Tools.totalOrderBuckets(grown, "region_key", 16)
+        // materialized like the registered query (ScanAudit): the plan
+        // input is 16-row metadata; the bench must not time the
+        // per-fork corpus re-scans the registered plan was cured of
+        val buckets = graft.analytics.Tools.materializeMeta(
+          graft.analytics.Tools.totalOrderBuckets(grown, "region_key", 16))
         val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
         val tagged = grown.crossJoin(broadcast(b))
           .withColumn("bucket", graft.analytics.Tools.totalOrderBucket(

@@ -304,7 +304,12 @@ object PipelineQueries {
         .select((col("bucket") * 500000L).as("cutoff_micro"),
           col("kept_docs"), col("kept_tokens"),
           expr("kept_docs * 1000000 div _td").as("doc_ppm"),
-          expr("kept_tokens * 1000000 div _tt").as("token_ppm"))
+          // token volumes cross Long.Max/10⁶ (~9.2e12) inside the
+          // 100 TB design point — guard loudly (doc counts never do)
+          when(col("kept_tokens") > lit(Long.MaxValue / 1000000L),
+            raise_error(lit("quality_ablation: token ppm overflows int64 " +
+              "— pre-aggregate in kilotokens")))
+          .otherwise(expr("kept_tokens * 1000000 div _tt")).as("token_ppm"))
         .orderBy("cutoff_micro")
     }),
     // Sparse trusted labels spread through near-dup structure: docs
@@ -408,12 +413,6 @@ object PipelineQueries {
     // centroids, the IVF reason); determinism/objective/plan spec'd
     "cluster_kmeans" -> ((s, d) =>
       Ann.kmeans(emb(s, d), k = 10, iters = 3).orderBy("vec_id")),
-    // SRP (random-hyperplane) LSH near-dup arm over a corpus seeded
-    // with deterministic jittered copies (cos ≈ 0.9999 vs their
-    // original; the natural pair max is ~0.51, so threshold 0.9
-    // isolates the planted pairs): band-bucket candidates, hamming
-    // pre-filter, exact-cosine verify — the shuffle carries 64-bit
-    // signatures, never embeddings
     // SemDeDup over the corpus seeded with jittered copies: semantic
     // groups recovered inside kmeans cells, one low-centroid-cosine
     // exemplar kept per group (rows-only: float kmeans; spec-proved)
@@ -426,6 +425,12 @@ object PipelineQueries {
           Ann.semanticDedup(twinEmb(s, d), iters = 2, threshold = 0.95))
         .orderBy("vec_id")
     }),
+    // SRP (random-hyperplane) LSH near-dup arm over a corpus seeded
+    // with deterministic jittered copies (cos ≈ 0.9999 vs their
+    // original; the natural pair max is ~0.51, so threshold 0.9
+    // isolates the planted pairs): band-bucket candidates, hamming
+    // pre-filter, exact-cosine verify — the shuffle carries 64-bit
+    // signatures, never embeddings
     "dedup_embedding_srp" -> ((s, d) =>
       Ann.srpDupPairs(twinEmb(s, d), 0.9).orderBy("i", "j")),
     // ExactSubstr cross-doc repeated spans: distinct word-8-grams
@@ -532,9 +537,6 @@ object PipelineQueries {
     // token covered, short tail chunks, pure projection + explode
     "text_chunk" -> ((s, d) =>
       TextOps.chunk(docs(s, d), 32, 24).orderBy("doc_id", "chunk_idx")),
-    // cluster survivorship by QUALITY policy: within each near-dup
-    // cluster keep the highest-quality doc (doc_id breaks ties), not
-    // blindly the min id — the dedup decision real pipelines ship
     // content-defined chunking (FastCDC family): boundaries from a
     // rolling content hash, so edits shift at most one chunk's digest
     // — the storage-style dedup report (dup chunks / dup bytes per doc)
@@ -557,6 +559,9 @@ object PipelineQueries {
           expr("1000000 div cluster_size").as("weight_micro"))
         .orderBy("doc_id")
     }),
+    // cluster survivorship by QUALITY policy: within each near-dup
+    // cluster keep the highest-quality doc (doc_id breaks ties), not
+    // blindly the min id — the dedup decision real pipelines ship
     "dedup_keep_best" -> ((s, d) => {
       val q = TextOps.quality(docs(s, d)).select(col("doc_id"), col("quality"))
       val labeled = q.join(ngramClusters(s, d), Seq("doc_id"), "left")
@@ -724,7 +729,18 @@ object PipelineQueries {
         .agg(sum("pos_b").as("n_pos"), sum("neg_b").as("n_neg"),
           sum(expr("pos_b * (2 * neg_below + neg_b)")).as("_u2"))
         .select(col("n_pos"), col("n_neg"),
-          expr("_u2 * 1000000 div (2 * n_pos * n_neg)").as("auc_ppm"))
+          // loud guards (the bm25 discipline): a single-class eval set
+          // has no defined AUC (Spark would emit NULL where DuckDB
+          // errors), and _u2·10⁶ wraps past ~4.3M balanced rows —
+          // wrap-to-negative ppm must fail, not mislead
+          when(col("n_pos") === 0 || col("n_neg") === 0,
+            raise_error(lit("eval_auc: both classes must be present")))
+          .when(col("_u2") > lit(Long.MaxValue / 1000000L),
+            raise_error(concat(lit("eval_auc: u2 "),
+              col("_u2").cast("string"),
+              lit(" overflows ppm arithmetic — shard the eval set"))))
+          .otherwise(expr("_u2 * 1000000 div (2 * n_pos * n_neg)"))
+          .as("auc_ppm"))
     }),
     // Confusion matrices at three decision thresholds in ONE aggregate
     // pass (thresholds ride a literal explode, counts are conditional
@@ -969,8 +985,15 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_tokens"),
           sum(when(col("_in_vocab"), 1L).otherwise(0L)).as("covered"))
-        .withColumn("covered_ppm", expr("covered * 1000000 div n_tokens"))
+        // n_tokens bounds both numerators; guard once (the 9.2e12
+        // token-ppm overflow line — see quality_ablation)
+        .withColumn("_ppm_ok", col("n_tokens") <= lit(Long.MaxValue / 1000000L))
+        .withColumn("covered_ppm",
+          when(!col("_ppm_ok"), raise_error(lit(
+            "tokenizer_coverage: token ppm overflows int64")))
+          .otherwise(expr("covered * 1000000 div n_tokens")))
         .withColumn("oov_ppm", expr("(n_tokens - covered) * 1000000 div n_tokens"))
+        .drop("_ppm_ok")
         .orderBy("lang")
     }),
     // language-ID evaluation: the labeled `lang` column vs the
@@ -1071,7 +1094,11 @@ object PipelineQueries {
           sum("n_chars").as("n_chars"))
       val tot = per.agg(sum("n_tokens").as("_t"))
       per.crossJoin(broadcast(tot))
-        .withColumn("token_share_ppm", expr("n_tokens * 1000000 div _t"))
+        .withColumn("token_share_ppm",
+          when(col("n_tokens") > lit(Long.MaxValue / 1000000L),
+            raise_error(lit("mixture_report: token ppm overflows int64 " +
+              "— pre-aggregate in kilotokens")))
+          .otherwise(expr("n_tokens * 1000000 div _t")))
         .drop("_t")
         .orderBy("lang", "source")
     }),
@@ -1447,8 +1474,6 @@ object PipelineQueries {
          |       WHERE rn = 1)
          |SELECT node, label, round FROM lab1
          |UNION ALL SELECT node, label, 2 FROM l2 ORDER BY node""".stripMargin,
-    // transitive closure of the same pair list: min reachable doc_id =
-    // the cluster id the pointer-jumping Spark path converges to
     // same boundary rule via list comprehensions: the Rabin fold of
     // each 4-gram decides the cuts, chunks substr out, digests count
     "dedup_cdc" ->
@@ -1508,6 +1533,8 @@ object PipelineQueries {
          |SELECT doc_id, cluster, cluster_size,
          |       CAST(1000000 // cluster_size AS BIGINT) AS weight_micro
          |FROM lab JOIN sz USING (cluster) ORDER BY doc_id""".stripMargin,
+    // transitive closure of the same pair list: min reachable doc_id =
+    // the cluster id the pointer-jumping Spark path converges to
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS (
          |$ddNgramPairs
