@@ -45,7 +45,10 @@ object ScanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val scanRe = """Scan parquet[^\[]*\[[^\]]*\][^\n]*Location[^\[]*\[([^\]]+)\]""".r
+    // counts raw file: occurrences anywhere in the plan string — a
+    // scan-node-scoped match would be stricter, but every file: in a
+    // plan IS inside some scan's Location list, so the simple count
+    // is equivalent for these plans
     val fileRe = """file:[^,\s\]]+""".r
     var flagged = 0
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

@@ -385,10 +385,14 @@ object AnalyticsQueries {
     // regions; regions over the trigger flush only the families at the
     // lower bound — unless none qualifies, then all (the fallback)
     "flush_policy" -> ((s, d) => {
-      val fam = Tools.withTotalOrderTag(
+      // materialized HERE (16 rows), not inside the lazy helper: the
+      // fam aggregate scans the corpus and feeds flushPolicy's four
+      // forks (ScanAudit); a many-thousand-region caller materializes
+      // or not at its own scale
+      val fam = Tools.materializeMeta(Tools.withTotalOrderTag(
           Tables.eventCellsTwoFamilies(s, d), "rowkey", 8)
         .groupBy("region", "family")
-        .agg(sum(length(col("qualifier")) + lit(20L)).as("mem_bytes"))
+        .agg(sum(length(col("qualifier")) + lit(20L)).as("mem_bytes")))
       Tools.flushPolicy(fam).orderBy("region", "family")
     }),
     // LruBlockCache working-set audit (io/hfile/LruBlockCache.java):

@@ -511,13 +511,15 @@ object Tools {
     require(hi - lo + 1 >= nRegions,
       s"canaryWriteProbe: key span ${hi - lo + 1} < $nRegions regions — " +
         "probe boundaries would collide")
-    // the exact ceil boundary needs region·span in LONG; refuse spans
-    // it would wrap on (the totalOrderBucket overflow class — but a
-    // probe KEY must be exact, so a double approximation could land a
-    // probe one region low: guard loudly instead, the bm25 discipline)
-    require(hi - lo + 1 <= Long.MaxValue / nRegions,
-      s"canaryWriteProbe: key span ${hi - lo + 1} * $nRegions regions " +
-        "overflows the exact boundary arithmetic — probe fewer regions")
+    // the exact ceil boundary needs region·span in LONG, and the
+    // read-back bucket runs through totalOrderBucket's DOUBLE form —
+    // exact only below 2^53. A probe KEY must be exact on BOTH sides,
+    // so refuse spans past either line loudly (the bm25 discipline):
+    // past 2^53 the double rounding could land a probe one region low
+    // and report a spurious write failure.
+    require(hi - lo + 1 <= math.min(Long.MaxValue / nRegions, 1L << 53),
+      s"canaryWriteProbe: key span ${hi - lo + 1} exceeds the exact " +
+        s"boundary arithmetic for $nRegions regions — probe fewer regions")
     val spark = cells.sparkSession
     val probes = spark.range(0, nRegions).toDF("region")
       .withColumn("probe_key",
@@ -766,9 +768,12 @@ object Tools {
   def flushPolicy(famSizes: DataFrame, triggerDiv: Long = 10L,
                   lowerDiv: Long = 40L): DataFrame = {
     // famSizes is (region × family) metadata feeding FOUR forks
-    // (corpus total, selection, region rollup, final join) — lazy, its
-    // data-aggregating plan would re-scan the corpus per fork
-    val fam = materializeMeta(famSizes)
+    // (corpus total, selection, region rollup, final join) — callers
+    // whose famSizes aggregates a corpus should pre-materialize it
+    // (Tools.materializeMeta, as the registered flush_policy query
+    // does); the helper itself stays LAZY so a many-thousand-region
+    // deployment is never hard-capped or eagerly collected here
+    val fam = famSizes
     val corpus = fam.agg(sum("mem_bytes").as("_tot"))
     val sel = fam.crossJoin(broadcast(corpus))
       .withColumn("fam_selected",

@@ -60,6 +60,12 @@ object Salt {
     val maxExclusive = math.pow(10, width).toLong
     require(stop.toString.length <= width || stop == maxExclusive,
       s"range bound $stop wider than $width digits — widen `width`")
+    // start must itself be a REPRESENTABLE key: start == 10^width
+    // would format a width+1-digit lower bound that compares above
+    // most stored keys lexicographically — the 'empty' range
+    // [10^width, 10^width) would silently match nearly everything
+    require(start < maxExclusive,
+      s"range start $start is past the widest $width-digit key")
     def bound(s: Int, k: Long): String = {
       val p = k.toString
       s.toString + "-" + ("0" * (width - p.length)) + p

@@ -91,7 +91,9 @@ object Dedup {
       // 'utm_' would mangle any parameter or path segment merely
       // containing it, colliding distinct URLs), separator kept so a
       // following param re-attaches
-      regexp_replace(_, "([?&])utm_[a-z0-9_]+=[^&#]*", "$1"),
+      // param NAME case-folds ((?i: group) — UTM_Source is the same
+      // tracker as utm_source) while VALUES stay case-significant
+      regexp_replace(_, "([?&])(?i:utm_[a-z0-9_]+)=[^&#]*", "$1"),
       regexp_replace(_, "([?&])&+", "$1"),         // collapse left-over &&
       regexp_replace(_, "[?&]+$", ""),             // dangling separators
       regexp_replace(_, "/+$", ""))                // trailing slash(es)

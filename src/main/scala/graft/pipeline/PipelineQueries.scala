@@ -1314,7 +1314,7 @@ object PipelineQueries {
         |    u,
         |    '^www\.', ''),
         |    '^([^/:]+):(80|443)([/?]|$)', '\1\3'),
-        |    '([?&])utm_[a-z0-9_]+=[^&#]*', '\1', 'g'),
+        |    '([?&])(?i:utm_[a-z0-9_]+)=[^&#]*', '\1', 'g'),
         |    '([?&])&+', '\1', 'g'),
         |    '[?&]+$', ''),
         |    '/+$', '') AS canonical_url

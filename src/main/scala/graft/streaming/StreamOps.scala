@@ -169,7 +169,7 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_v"))
       .writeStream.outputMode("complete")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        maintainGuard(batch.sparkSession, path, batchId) {
+        maintainGuard(batch.sparkSession, path, batchId) { _ =>
           graft.core.Snapshots.write(batch, "event_type", path, batchId.toInt)
         }
       }
@@ -202,7 +202,8 @@ object StreamOps {
     *    re-shipped since is then lost. Refuse loudly: resume from the
     *    original checkpoint, or point the new stream at a fresh path. */
   private[graft] def maintainGuard(spark: org.apache.spark.sql.SparkSession,
-                                   path: String, batchId: Long)(write: => Unit): Unit = {
+                                   path: String, batchId: Long)
+                                  (write: Seq[Int] => Unit): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -211,7 +212,10 @@ object StreamOps {
       s"maintained table at $path holds version ${versions.max} from a " +
         s"previous stream but this checkpoint is at batch $batchId — " +
         "resume the original checkpoint or use a fresh table path")
-    if (!versions.contains(batchId.toInt)) write
+    // the write body receives the versions this guard already listed —
+    // re-listing inside the body would double the per-batch FS
+    // metadata round-trips (listStatus + per-dir _SUCCESS probes)
+    if (!versions.contains(batchId.toInt)) write(versions)
   }
 
   /** The read side of every foreachBatch-maintained table
@@ -326,10 +330,7 @@ object StreamOps {
     cells.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val base = new Path(path)
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        maintainGuard(spark, path, batchId) {
-          val versions = completeVersions(fs, base)
+        maintainGuard(spark, path, batchId) { versions =>
           val intervalCols = Seq("valid_from", "valid_to", "is_current")
           // merge base = the newest version STRICTLY BEFORE this batch:
           // with maintainGuard's replay skip the committed-v=N case no

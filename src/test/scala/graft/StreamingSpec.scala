@@ -204,21 +204,21 @@ class StreamingSpec extends SparkSpec {
     // replay of batch 3: the body must NOT run (an in-place rewrite
     // would delete the directory under a concurrent reader)
     var ran = false
-    StreamOps.maintainGuard(spark, dir, 3L) { ran = true }
+    StreamOps.maintainGuard(spark, dir, 3L) { _ => ran = true }
     assert(!ran, "committed version was rewritten on replay")
     // a LATER batch writes normally
-    StreamOps.maintainGuard(spark, dir, 4L) { ran = true }
+    StreamOps.maintainGuard(spark, dir, 4L) { _ => ran = true }
     assert(ran)
     // fresh checkpoint (batch 0) against the v=3 table: refuse loudly
     // instead of silently rebuilding v=0 from one batch
     val e = intercept[IllegalArgumentException] {
-      StreamOps.maintainGuard(spark, dir, 0L) { fail("must not write") }
+      StreamOps.maintainGuard(spark, dir, 0L) { _ => fail("must not write") }
     }
     assert(e.getMessage.contains("previous stream"), e.getMessage)
     // no table yet: batch 0 writes
     val fresh = Files.createTempDirectory("graft_guard_fresh").toString + "/t"
     var wrote = false
-    StreamOps.maintainGuard(spark, fresh, 0L) { wrote = true }
+    StreamOps.maintainGuard(spark, fresh, 0L) { _ => wrote = true }
     assert(wrote)
   }
 
