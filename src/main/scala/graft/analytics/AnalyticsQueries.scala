@@ -2566,12 +2566,27 @@ object AnalyticsQueries {
         |  UNION ALL
         |  SELECT 'MERGE_OVERLAP', region_id, g_s, g_e FROM mg WHERE n_members <= 5
         |  UNION ALL
-        |  SELECT CASE WHEN rk = 1 THEN 'KEEP_OVERLAP' ELSE 'SIDELINE_OVERLAP' END,
+        |  SELECT CASE WHEN rem >= z OR (rem > 0 AND rk0 >= (z - rem) // 2
+        |                AND rk0 < (z - rem) // 2 + rem)
+        |              THEN 'SIDELINE_OVERLAP' ELSE 'RESIDUAL_OVERLAP' END,
         |         region_id, s, e
-        |  FROM (SELECT mg.*, row_number() OVER (PARTITION BY island
-        |          ORDER BY (CAST(e AS DOUBLE) - CAST(s AS DOUBLE)) DESC,
-        |                   region_id) AS rk
-        |        FROM mg WHERE n_members > 5) t
+        |  FROM (SELECT c.*,
+        |          least(n_members - 5, 2) AS kk,
+        |          count(*) OVER (PARTITION BY island, cnt) AS z,
+        |          least(n_members - 5, 2)
+        |            - coalesce(sum(1) OVER (PARTITION BY island
+        |                ORDER BY cnt DESC
+        |                RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |            AS rem,
+        |          row_number() OVER (PARTITION BY island, cnt
+        |            ORDER BY s, e, region_id) - 1 AS rk0
+        |        FROM (SELECT a.island, a.region_id, a.s, a.e, a.n_members,
+        |                count(*) AS cnt
+        |              FROM mg a JOIN mg b ON a.island = b.island
+        |                AND a.s < b.e AND a.e > b.s
+        |              WHERE a.n_members > 5
+        |              GROUP BY 1, 2, 3, 4, 5
+        |              HAVING count(*) > 1) c) t
         |  UNION ALL
         |  SELECT 'SIDELINE_DEGENERATE', region_id, s, e FROM r WHERE s = e)
         |SELECT action, region_id,

@@ -512,12 +512,15 @@ object Tools {
       s"canaryWriteProbe: key span ${hi - lo + 1} < $nRegions regions — " +
         "probe boundaries would collide")
     // the exact ceil boundary needs region·span in LONG, and the
-    // read-back bucket runs through totalOrderBucket's DOUBLE form —
-    // exact only below 2^53. A probe KEY must be exact on BOTH sides,
-    // so refuse spans past either line loudly (the bm25 discipline):
-    // past 2^53 the double rounding could land a probe one region low
-    // and report a spurious write failure.
-    require(hi - lo + 1 <= math.min(Long.MaxValue / nRegions, 1L << 53),
+    // read-back bucket runs through totalOrderBucket's DOUBLE form,
+    // whose PRODUCT (key − lo)·n must stay below 2^53 to be bit-exact
+    // — a span merely ≤ 2^53 is not enough for non-power-of-two n
+    // (the product could round a boundary probe one region low and
+    // report a spurious put failure, the exact bug this guard
+    // prevents). A probe KEY must be exact on BOTH sides, so refuse
+    // spans past span·n ≤ 2^53 loudly (the bm25 discipline).
+    require(hi - lo + 1 <= math.min(Long.MaxValue / nRegions,
+        (1L << 53) / nRegions),
       s"canaryWriteProbe: key span ${hi - lo + 1} exceeds the exact " +
         s"boundary arithmetic for $nRegions regions — probe fewer regions")
     val spark = cells.sparkSession
@@ -1080,9 +1083,20 @@ object Tools {
     *    one row per member carrying the merged target bounds
     *    (mergeOverlaps collapses the group into one region spanning
     *    the union);
-    *  - larger groups → keep the widest member (`KEEP_OVERLAP`),
-    *    sideline the rest (`SIDELINE_OVERLAP` — sidelineBigOverlaps
-    *    moves region data aside for later bulk re-load);
+    *  - larger groups → sideline `min(size − maxMerge,
+    *    maxOverlapsToSideline)` members (`SIDELINE_OVERLAP` —
+    *    sidelineBigOverlaps at HBaseFsck.java:2926 caps the batch by
+    *    hbase.hbck.overlaps.to.sideline, default 2), chosen by
+    *    RegionSplitCalculator.findBigRanges:178: members ranked by how
+    *    many group members they overlap, whole count-chunks taken
+    *    descending, and the first chunk that doesn't fit contributes
+    *    its MIDDLE slice (a chained overlap breaks most efficiently at
+    *    the middle). The remaining members are emitted as
+    *    `RESIDUAL_OVERLAP` — the reference leaves them for the next
+    *    hbck run (the `rerun` flag), so repair of a big group
+    *    CONVERGES over reruns rather than completing in one;
+    *    within a count-chunk the reference walks collection insertion
+    *    order — the deterministic analogue here is (start, end, id);
     *  - degenerate regions (start == end) → `SIDELINE_DEGENERATE`
     *    (an empty interval can neither merge nor serve reads).
     *
@@ -1100,12 +1114,17 @@ object Tools {
     * intervals), not the catalog, and the catalog itself is master
     * metadata — region-count scale, like hbckRegionChain's sweep.
     *
-    * Applying the plan (drop SIDELINE*, collapse each MERGE group to
-    * its target bounds, add the CREATE rows) yields a catalog
-    * [[hbckRegionChain]] audits clean — the replay spec's contract.
+    * Applying the plan (drop SIDELINE*, keep RESIDUAL members,
+    * collapse each MERGE group to its target bounds, add the CREATE
+    * rows) yields a catalog [[hbckRegionChain]] audits clean when no
+    * group exceeds `maxMerge`; a bigger group needs
+    * `ceil((size − maxMerge) / maxOverlapsToSideline)` rerun rounds
+    * before its survivors merge — exactly the reference's rerun loop.
+    * The replay spec iterates to that fixed point.
     *
     * @param regions (region_id, start_key, end_key); NULL = open. */
-  def hbckRepairPlan(regions: DataFrame, maxMerge: Int = 5): DataFrame = {
+  def hbckRepairPlan(regions: DataFrame, maxMerge: Int = 5,
+                     maxOverlapsToSideline: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val MINK = HbckMinKey
     val MAXK = HbckMaxKey
@@ -1155,15 +1174,43 @@ object Tools {
     val mergeRows = merged.where(col("n_members") <= maxMerge)
       .select(lit("MERGE_OVERLAP").as("action"), col("region_id"),
         outKey(col("g_s")).as("start_key"), outKey(col("g_e")).as("end_key"))
-    // widest-region span as DOUBLE: open-boundary sentinels subtract
-    // to 2^63, one past Long.MaxValue — the ordering key must not wrap
-    val bySpan = Window.partitionBy("island")
-      .orderBy((col("e").cast("double") - col("s").cast("double")).desc,
-        col("region_id"))
-    val big = merged.where(col("n_members") > maxMerge)
-      .withColumn("_rk", row_number().over(bySpan))
-      .select(when(col("_rk") === 1, "KEEP_OVERLAP")
-          .otherwise("SIDELINE_OVERLAP").as("action"),
+    // findBigRanges: per-member overlap count within the group (the
+    // group is defect-bounded, so the self-join broadcasts), then the
+    // descending count-chunk walk in closed form — a member sidelines
+    // iff its chunk fits entirely under the remaining budget, or it
+    // sits in the fitting MIDDLE slice of the first chunk that doesn't
+    val bigGm = merged.where(col("n_members") > maxMerge)
+      .select("island", "region_id", "s", "e", "n_members")
+    val bigRhs = bigGm.select(col("island").as("_i2"),
+      col("s").as("_s2"), col("e").as("_e2"))
+    val counted = bigGm
+      .join(broadcast(bigRhs), col("island") === col("_i2") &&
+        col("s") < col("_e2") && col("e") > col("_s2"))
+      .groupBy("island", "region_id", "s", "e", "n_members")
+      .agg(count(lit(1)).as("_cnt"))
+      // a member overlapping only itself is no sideline candidate
+      // (findBigRanges' overlappedRegions > 1 filter) — vacuous inside
+      // an island but kept for reference parity
+      .where(col("_cnt") > 1)
+    val chunkAll = Window.partitionBy("island", "_cnt")
+    val inChunk = chunkAll.orderBy("s", "e", "region_id")
+    // strictly-higher-count chunks consumed before this one: a RANGE
+    // frame ending 1 before the current _cnt under DESC ordering
+    val higher = Window.partitionBy("island").orderBy(col("_cnt").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val big = counted
+      .withColumn("_k", least(col("n_members") - maxMerge,
+        lit(maxOverlapsToSideline.toLong)))
+      .withColumn("_z", count(lit(1)).over(chunkAll))
+      .withColumn("_rem", col("_k") - coalesce(count(lit(1)).over(higher), lit(0L)))
+      .withColumn("_rk0", row_number().over(inChunk).cast("long") - 1L)
+      // (z − rem) is nonnegative wherever _mid0 is consulted (rem < z
+      // there), so the double-division truncation IS floor division
+      .withColumn("_mid0", ((col("_z") - col("_rem")) / lit(2L)).cast("long"))
+      .select(when(col("_rem") >= col("_z") ||
+          (col("_rem") > 0 && col("_rk0") >= col("_mid0") &&
+            col("_rk0") < col("_mid0") + col("_rem")), "SIDELINE_OVERLAP")
+          .otherwise("RESIDUAL_OVERLAP").as("action"),
         col("region_id"), outKey(col("s")).as("start_key"),
         outKey(col("e")).as("end_key"))
     val degen = r.where(col("s") === col("e"))

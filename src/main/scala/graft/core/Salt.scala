@@ -51,6 +51,12 @@ object Salt {
                       start: Long, stop: Long, width: Int = 12): DataFrame = {
     require(salts >= 1, s"salts ($salts) must be at least 1")
     require(start >= 0 && stop >= start, s"bad range [$start, $stop)")
+    // 10^width must itself be a representable Long or maxExclusive
+    // silently saturates (math.pow → Long.MaxValue for width ≥ 19) and
+    // the whole-keyspace carve-out plus the start guard below compare
+    // against the wrong value; 18 is the widest long-exact power of 10
+    require(width >= 1 && width <= 18,
+      s"width ($width) must be in [1, 18] — 10^width must fit a Long")
     // bounds past the pad width would format wider than stored keys
     // and silently match nothing — same contract saltedKey enforces.
     // stop == 10^width is allowed as "whole keyspace above start": the

@@ -372,20 +372,59 @@ class MasterOpsSpec extends SparkSpec {
     assert(graft.analytics.Tools.hbckRegionChain(repaired).collect().isEmpty)
   }
 
-  test("hbckRepairPlan: oversize overlap group keeps the widest, sidelines the rest") {
+  test("hbckRepairPlan: oversize overlap group sidelines the capped middle slice") {
     import spark.implicits._
-    // 7 regions stacked over one range: > maxMerge (5), so the widest
-    // (a) survives and the other six sideline — sidelineBigOverlaps
+    // 7 regions stacked over one range: > maxMerge (5), so
+    // sidelineBigOverlaps takes min(7-5, maxOverlapsToSideline=2) = 2
+    // members by findBigRanges: all 7 overlap all 7 (one count chunk),
+    // chunk order (s, e, id) = g,f,e,d,c,b,a, middle slice of width 2
+    // starts at (7-2)/2 = 2 -> e, d; the other five stay RESIDUAL
     val cat = (Seq(("a", 0L, 100L)) ++
       (1 to 6).map(i => (('a' + i).toChar.toString, 0L, 100L - i * 10L)))
       .toDF("region_id", "start_key", "end_key")
     val plan = graft.analytics.Tools.hbckRepairPlan(cat).collect()
-    val keep = plan.filter(_.getString(0) == "KEEP_OVERLAP")
     val side = plan.filter(_.getString(0) == "SIDELINE_OVERLAP")
-    assert(keep.map(_.getString(1)).toSeq == Seq("a"), plan.mkString("\n"))
-    assert(side.map(_.getString(1)).sorted.toSeq ==
-      Seq("b", "c", "d", "e", "f", "g"))
+    val resid = plan.filter(_.getString(0) == "RESIDUAL_OVERLAP")
+    assert(side.map(_.getString(1)).sorted.toSeq == Seq("d", "e"),
+      plan.mkString("\n"))
+    assert(resid.map(_.getString(1)).sorted.toSeq ==
+      Seq("a", "b", "c", "f", "g"))
     assert(!plan.exists(_.getString(0) == "MERGE_OVERLAP"))
+  }
+
+  test("hbckRepairPlan: big-group repair converges over reruns like the reference") {
+    import graft.analytics.Tools
+    import spark.implicits._
+    // 8-member stack: run 1 sidelines 2 (the cap), run 2 sidelines
+    // min(6-5, 2) = 1 more, run 3 merges the surviving 5 --
+    // ceil((8-5)/2)+1 = 3 runs, the reference's rerun-flag loop.
+    // Open-boundary edge regions wrap [0,100) so only the overlap
+    // defect is in play.
+    var cat = ((0 to 7).map(i =>
+        (('a' + i).toChar.toString, Some(0L), Some(100L - i * 5L))) ++
+      Seq(("lo", None, Some(0L)), ("hi", Some(100L), None)))
+      .toDF("region_id", "start_key", "end_key")
+    def keyOpt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    var rounds = 0
+    while (Tools.hbckRegionChain(cat).limit(1).collect().nonEmpty) {
+      rounds += 1
+      assert(rounds <= 3, s"did not converge in 3 reruns")
+      val plan = Tools.hbckRepairPlan(cat).collect()
+      val removed = plan.filter(r => r.getString(0) == "SIDELINE_OVERLAP" ||
+          r.getString(0) == "SIDELINE_DEGENERATE" ||
+          r.getString(0) == "MERGE_OVERLAP")
+        .map(_.getString(1)).toSet
+      val adds =
+        plan.filter(_.getString(0) == "CREATE_HOLE_REGION")
+          .map(r => (r.getString(1), keyOpt(r, 2), keyOpt(r, 3))).toSeq ++
+        plan.filter(_.getString(0) == "MERGE_OVERLAP")
+          .map(r => (keyOpt(r, 2), keyOpt(r, 3))).distinct
+          .map { case (s, e) => (s"merged_${s.getOrElse("open")}", s, e) }
+      cat = cat.where(!col("region_id").isin(removed.toSeq: _*))
+        .unionByName(adds.toDF("region_id", "start_key", "end_key"))
+    }
+    assert(rounds == 3, s"expected exactly 3 rerun rounds, got $rounds")
   }
 
   test("hbckRepairPlan: a straddler transitively connects disjoint neighbors") {
