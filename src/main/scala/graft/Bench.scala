@@ -42,10 +42,15 @@ object Bench {
     var failed = List.empty[String]
     // (name, wall sec, gc sec) for one timed pass. The shared
     // shingle/pair/cluster tables are re-paid INSIDE each timed window
-    // (by the first timed consumer) — inheriting them from warmup (or
-    // the previous pass) would time cache probes, not operators. The
-    // bucketed/v=N layout guards stay warm by design: their timed
-    // queries still do the join/read work the layout exists for.
+    // — but charged to an explicit `memo_setup` entry (r9), not to
+    // whichever consumer happens to run first: first-consumer
+    // attribution made per-query numbers move when registration order
+    // changed (the r8 ngram_novelty 2.4x "regression" was the shingle
+    // memo landing on a different query). Inheriting the memos from
+    // warmup would time cache probes, not operators, so the build cost
+    // stays inside the pass — on its own line. The bucketed/v=N layout
+    // guards stay warm by design: their timed queries still do the
+    // join/read work the layout exists for.
     // Evacuate the previous pass's broadcast/shuffle garbage BETWEEN
     // passes, not mid-pass: ContextCleaner only releases blocks after a
     // driver GC enqueues their weak refs, so without an explicit
@@ -80,10 +85,24 @@ object Bench {
       }
       System.err.println(s"[bench] gc drain: $rounds rounds, $prev blocks live")
     }
+    // prewarm only when some selected query can consume the memos — a
+    // filtered kv-only run must not pay ~seconds of shingle builds
+    val anyPipeline = qs.exists { case (n, _) =>
+      graft.pipeline.PipelineQueries.queries.contains(n) }
     def timedPass(): Seq[(String, Double, Double)] = {
       graft.pipeline.PipelineQueries.resetShared()
       drainGarbage()
-      qs.map { case (name, fn) =>
+      val setup = if (!anyPipeline) Nil else {
+        val g0 = gcMillis
+        val t0 = System.nanoTime()
+        try graft.pipeline.PipelineQueries.prewarmShared(spark, sfDir)
+        catch { case e: Throwable => // consumers rebuild + report it
+          System.err.println(s"[bench] memo_setup FAILED: ${e.getMessage}")
+        }
+        Seq(("memo_setup", (System.nanoTime() - t0) / 1e9,
+          (gcMillis - g0) / 1e3))
+      }
+      setup ++ qs.map { case (name, fn) =>
         val g0 = gcMillis
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -121,15 +140,17 @@ object Bench {
     // gc2 exists so a pass-2 anomaly is attributable from the record
     // alone: wall-up + gc2-up = memory pressure / cleaner backlog,
     // wall-up + gc2-flat = a real plan or lifecycle regression
+    // qcount counts QUERIES; memo_setup is a charged setup line, not a
+    // query (it still contributes to value/pass2_sec — the pass paid it)
     val fullRecord =
-      s"""{"metric":"total","value":$total,"unit":"sec","qcount":${pass1.size},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","qcount":${qs.size},""" +
         s""""queries":${entries(pass1.map(t => (t._1, t._2)))},""" +
         s""""pass2":${entries(pass2.map(t => (t._1, t._2)))},""" +
         s""""gc":${entries(pass1.map(t => (t._1, t._3)))},""" +
         s""""gc2":${entries(pass2.map(t => (t._1, t._3)))},""" +
         s""""pass2_sec":$total2,"gc_sec":$totalGc,"failed":$failedJson,"sf":"$sfDir"}"""
     val compactLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","qcount":${pass1.size},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","qcount":${qs.size},""" +
         s""""queries":${entries(top)},"pass2_sec":$total2,"gc_sec":$totalGc,""" +
         s""""failed":$failedJson,"full":"$outPath","sf":"$sfDir"}"""
     // a filtered run must not clobber the round's full record

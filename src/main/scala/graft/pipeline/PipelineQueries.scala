@@ -82,6 +82,22 @@ object PipelineQueries {
   private def shingleTab(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "shingles")(Dedup.shingles(docs(s, d)))
 
+  /** Materialize every MULTI-consumer shared memo (shingle table,
+    * capped ngram pair list, its CC labels, the int8 corpus) up front.
+    * Bench charges this to an explicit `memo_setup` line so per-query
+    * numbers stop depending on registration order — before r9 the
+    * build landed on whichever consumer happened to run first, so an
+    * unrelated insertion could shift ~1.5 s between queries (the r8
+    * ngram_novelty/dedup_substring "movers"). Single-consumer memos
+    * (contain_shingles, label_prop, semantic_dedup) stay attributed to
+    * their one query — they ARE that query's cost. */
+  def prewarmShared(s: SparkSession, d: String): Unit = {
+    ngramClusters(s, d) // builds shingles → ngram_pairs → clusters
+    quantEmb(s, d)
+    bpeRules(s, d)
+    ()
+  }
+
   /** The jittered-twin embedding corpus (base ∪ every-10th vector
     * scaled ×1.01 plus a small per-dimension pmod jitter, ids offset
     * by 10⁶) — ONE copy of the planting shared by `dedup_semantic`
@@ -137,6 +153,18 @@ object PipelineQueries {
     * the r4 14-second query). */
   private def quantEmb(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "quant_emb")(graft.sim.Quantize.quantized(emb(s, d)))
+
+  /** The trained BPE merge table (8 rules), collapsed to a DRIVER-LOCAL
+    * relation and shared — the trained-model collect pattern: a
+    * pipeline trains the tokenizer once per corpus snapshot and every
+    * apply consumes the same rules. memoizedPinned because a
+    * driver-local DF has no checkpoint blocks to pin or free. */
+  private def bpeRules(s: SparkSession, d: String): DataFrame =
+    memoizedPinned(s, d, "bpe_rules") {
+      val trained = TextOps.bpeTrain(docs(s, d), 8)
+      s.createDataFrame(
+        java.util.Arrays.asList(trained.collect(): _*), trained.schema)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2G dedup ----
@@ -1040,9 +1068,13 @@ object PipelineQueries {
       graft.sim.Pca.spectrum(s, emb(s, d)).orderBy("component")),
     // BPE apply: trained merges replayed over the DISTINCT word table,
     // token counts joined back per doc (rows-only — the trained rule
-    // replay has no single-SQL form; spec replays a reference BPE)
+    // replay has no single-SQL form; spec replays a reference BPE).
+    // Consumes the SHARED trained model (the production contract —
+    // train once per snapshot, apply everywhere); bpe_train still
+    // times a full independent training
     "bpe_apply" -> ((s, d) =>
-      TextOps.bpeApply(docs(s, d)).orderBy("doc_id")),
+      TextOps.bpeApply(docs(s, d), trained = Some(bpeRules(s, d)))
+        .orderBy("doc_id")),
     // Gopher Appendix-A1 document gate, thresholds tuned to where this
     // corpus actually varies (word count / repetition bite; the
     // mean-word-length band and alpha floor pass by construction and

@@ -43,55 +43,110 @@ object Pq {
       .toDF("vec_id", "sub", "sv")
 
   /** All m codebooks as ONE broadcast row: sorted array of
-    * (sub, code, c_emb) structs. */
+    * (sub, code, c_emb) structs.
+    *
+    * Trains on a deterministic hash-sample capped near `maxTrain`
+    * vectors: with m·ksub cells, a few tens of thousands of training
+    * vectors saturate centroid quality (Jégou et al. §V train
+    * billion-scale codebooks from ~100k samples) — folding a 100 TB
+    * corpus through every Lloyd round would buy nothing. Encoding
+    * still covers every vector; the sample is hash-spread (not a
+    * prefix), so id-correlated content can't bias the cells. */
   private[sim] def codebooks(vectors: DataFrame, m: Int, dsub: Int,
-                             ksub: Int, iters: Int): DataFrame = {
+                             ksub: Int, iters: Int,
+                             maxTrain: Int = 16384): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
+    val spark = vectors.sparkSession
+    val n = vectors.count()
+    val rate = math.max(1L, n / maxTrain) // keeps ~maxTrain expected rows
+    val train = if (rate == 1L) vectors
+      else vectors.where(pmod(xxhash64(col("vec_id")), lit(rate)) === 0)
     // the kmeans iteration discipline (Ann.scala): WITHOUT pinning,
     // round N's plan nests round N-1's whole training subtree, so the
     // final evaluation replays the explode+aggregate chain once per
     // round per reference — measured 6.0 s at sf0.1 for a 16k-row
-    // training relation. Pin the exploded rows once and each round's
-    // 1-row books; free pins as they're superseded.
-    val rows = subRows(vectors, m, dsub).localCheckpoint(true)
+    // training relation. Pin the exploded rows once; each round's
+    // 1-row books collapses to a DRIVER-LOCAL relation immediately
+    // (m·ksub entries, a few KB — the trained-model collect pattern),
+    // which saves a persist job plus a broadcast-exchange build per
+    // round vs checkpointing it, leaves zero pins behind, and hands
+    // callers a relation they can keep evaluating encode/ADC plans
+    // against after this method's pins are gone.
+    // the training relation is SAMPLE-BOUNDED (≤ maxTrain·m sub rows
+    // no matter the corpus), so full shuffle-partition fanout only
+    // pays per-task scheduling across every Lloyd round — 8 partitions
+    // hold ~16k vectors comfortably and stay scale-safe by construction
+    val rows = subRows(train, m, dsub).repartition(8).localCheckpoint(true)
     var assigned = rows.withColumn("code", (col("vec_id") % ksub).cast("int"))
     var books: DataFrame = null
-    for (_ <- 0 to iters) {
-      val next = assigned
-        .select(col("sub"), col("code"), posexplode(col("sv")))
-        .groupBy("sub", "code", "pos").agg(avg(col("col")).as("v"))
-        .groupBy("sub", "code")
-        .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-        .select(col("sub"), col("code"), expr("transform(pv, x -> x.v)").as("c_emb"))
-        .agg(sort_array(collect_list(struct(col("sub"), col("code"), col("c_emb"))))
-          .as("books"))
-        .localCheckpoint(true)
-      if (books != null) CheckpointBridge.free(books)
-      books = next
-      assigned = assignCodes(rows, broadcast(books))
-    }
-    // the trained codebooks are ONE row of a few KB: collapse to a
-    // driver-local relation (the ivf convention — zero pins left
-    // behind; callers can evaluate encode/ADC plans against it long
-    // after this method's pins are gone)
-    val spark = vectors.sparkSession
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(books.collect(): _*), books.schema)
-    CheckpointBridge.free(books)
-    CheckpointBridge.free(rows)
-    local
+    // books schema: one row, one `books` column of (sub, code, c_emb)
+    // structs — the shape assignCodes / the ADC tables filter on
+    val bookSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("books",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("sub",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("code",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("c_emb",
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType, containsNull = false),
+              nullable = false))), containsNull = false))))
+    try {
+      for (_ <- 0 to iters) {
+        // ONE shuffle per round: the (sub, code, pos) cell means — at
+        // most m·ksub·dsub rows (1024 for the registered shape) — then
+        // the books row assembles DRIVER-side; the former
+        // groupBy-into-array + single-row collect_list pipeline paid
+        // two more exchanges per round for what is a metadata reshape
+        val cells = assigned
+          .select(col("sub"), col("code"), posexplode(col("sv")))
+          .groupBy("sub", "code", "pos").agg(avg(col("col")).as("v"))
+          .collect()
+        val entries = cells.groupBy(r => (r.getInt(0), r.getInt(1))).toSeq
+          .sortBy(_._1)
+          .map { case ((sub, code), rs) =>
+            org.apache.spark.sql.Row(sub, code,
+              rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+          }
+        books = spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(entries)), bookSchema)
+        assigned = assignCodes(rows, books)
+      }
+    } finally CheckpointBridge.free(rows)
+    books
+  }
+
+  /** The trained books as a driver literal: sub → (code, centroid)
+    * entries, code-ascending. A few KB (m·ksub·dsub doubles) — it
+    * constant-folds into codegen, so assignment and ADC tables are
+    * pure projections with a DIRECT per-subspace lookup instead of a
+    * crossJoin + 128-entry filter scan per row (the r8 plan paid a
+    * broadcast build and a nested-loop stage per training round). */
+  private def bookLit(books: DataFrame): Column = {
+    import org.apache.spark.sql.Row
+    val entries = books.collect().head.getSeq[Row](0)
+      .map(b => (b.getInt(0), (b.getInt(1), b.getSeq[Double](2))))
+      .groupBy(_._1).map { case (sub, es) =>
+        (sub, es.map(_._2).sortBy(_._1)) }
+    typedLit(entries)
   }
 
   /** Nearest-codebook-entry assignment: per row, min (L2², code) over
-    * the row's own subspace — a projection over the broadcast books. */
-  private def assignCodes(rows: DataFrame, books: DataFrame): DataFrame =
-    rows.crossJoin(books)
-      .withColumn("_best", array_min(expr(
-        s"transform(filter(books, b -> b.sub = sub), b -> " +
-          "struct(CAST(aggregate(zip_with(sv, b.c_emb, (x, y) -> (x - y) * (x - y)), " +
-          "CAST(0 AS DOUBLE), (a, x) -> a + x) AS DOUBLE) AS d2, b.code AS code))")))
+    * the row's own subspace — a literal-lookup projection. */
+  private def assignCodes(rows: DataFrame, books: DataFrame): DataFrame = {
+    val m = bookLit(books)
+    rows.withColumn("_best", array_min(transform(
+        element_at(m, col("sub")),
+        b => struct(
+          aggregate(
+            zip_with(col("sv"), b.getField("_2"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x).cast("double").as("d2"),
+          b.getField("_1").as("code")))))
       .select(col("vec_id"), col("sub"), col("sv"),
         col("_best.code").as("code"))
+  }
 
   /** PQ-ANN: encode the corpus, ADC-score queries against the codes,
     * take 4k candidates per query on the bounded heap, re-score float.
@@ -108,28 +163,28 @@ object Pq {
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
       .select(col("vec_id").as("nn_id"),
         expr("transform(sc, x -> x.code)").as("codes"))
-    // per-query ADC tables: dot(q_sub, centroid) for every (sub, code)
+    // per-query ADC tables: dot(q_sub, centroid) for every (sub, code).
+    // The centroids land as a DENSE driver literal indexed sub·ksub +
+    // code (a Lloyd code that attracted no members holds an empty
+    // array → 0.0 — no corpus code ever references one: assignment
+    // only picks existing entries), so the table is a single indexed
+    // transform — no codebook crossJoin, no sparse scatter scan
+    val denseCentroids = {
+      val es = books.collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(b => (b.getInt(0) * ksub + b.getInt(1), b.getSeq[Double](2))).toMap
+      typedLit((0 until m * ksub).map(i => es.getOrElse(i, Seq.empty[Double])))
+    }
     val qrows = queries
       .withColumn("_qn", VectorOps.norm(col("embedding")))
       .withColumn("_qe", expr("transform(embedding, x -> x / _qn)"))
       .select(col("vec_id").as("q_id"), col("_qe"))
-      .crossJoin(books)
-      .withColumn("_sparse", expr(
-        s"""transform(books, b -> struct(b.sub AS sub, b.code AS code,
-           |  CAST(aggregate(zip_with(slice(_qe, b.sub * $dsub + 1, $dsub),
-           |    b.c_emb, (x, y) -> x * y),
-           |    CAST(0 AS DOUBLE), (a, x) -> a + x) AS DOUBLE) AS ip))"""
-          .stripMargin))
-      // a Lloyd code that attracted no members drops out of the
-      // codebook groupBy, so (sub, code) is NOT a dense grid —
-      // scatter into a dense m·ksub table once per query (get()
-      // tolerates the gap, and no corpus code ever references one:
-      // assignment only ever picks existing entries)
-      .withColumn("_tab", expr(
-        s"""transform(sequence(0, ${m * ksub - 1}), i ->
-           |  coalesce(get(filter(_sparse, e ->
-           |    e.sub = i div $ksub AND e.code = i % $ksub), 0).ip,
-           |    CAST(0 AS DOUBLE)))""".stripMargin))
+      .withColumn("_tab", transform(denseCentroids, (cemb, i) =>
+        when(size(cemb) === 0, lit(0.0)).otherwise(
+          aggregate(
+            zip_with(
+              slice(col("_qe"), (i / lit(ksub)).cast("int") * dsub + 1, lit(dsub)),
+              cemb, (x, y) => x * y),
+            lit(0.0), (a, x) => a + x).cast("double"))))
       .select(col("q_id"), col("_tab"))
     // ADC score: the codes index the query's DENSE table at 0-based
     // subscript sub * ksub + code — positional lookup, no per-element

@@ -572,9 +572,17 @@ object TextOps {
     * merge folds apply to the DISTINCT word table only (vocab
     * cardinality, all k rules in ONE chained codegen projection, one
     * pass); docs then join token counts back on the word key. The
-    * corpus text itself is never folded per rule. */
-  def bpeApply(docs: DataFrame, nMerges: Int = 8): DataFrame = {
-    val rules = bpeTrain(docs, nMerges).collect()
+    * corpus text itself is never folded per rule.
+    *
+    * `trained` supplies an already-trained merge table (the
+    * [[bpeTrain]] schema) — the production contract: a pipeline trains
+    * the tokenizer ONCE per corpus snapshot and applies it everywhere;
+    * re-training inside every apply would re-pay the greedy rounds per
+    * consumer. Omitted, apply trains its own (self-contained form). */
+  def bpeApply(docs: DataFrame, nMerges: Int = 8,
+               trained: Option[DataFrame] = None): DataFrame = {
+    val rules = trained.getOrElse(bpeTrain(docs, nMerges))
+      .orderBy("merge_idx").collect()
     val words = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(col("w").rlike("^[a-z0-9]+$"))
       .distinct()
