@@ -386,8 +386,8 @@ object PipelineQueries {
     "dedup_embedding" -> ((s, d) =>
       Ann.nearestNeighborReport(emb(s, d), 0.45).orderBy("vec_id")),
     // the 100 TB path for the same report: IVF cell join, no full-corpus
-    // broadcast. rows-only (float-mean centroids have no portable SQL
-    // form); recall vs the exact report + plan shape are spec-asserted.
+    // broadcast. FULL oracle since r9 (micro-exact Lloyd replay);
+    // recall vs the exact report + plan shape additionally spec'd.
     "dedup_embedding_ivf" -> ((s, d) =>
       Ann.nearestNeighborReportIvf(emb(s, d), 0.45).orderBy("vec_id")),
     // the whole pipeline family composed as one plan: language gate →
@@ -437,13 +437,15 @@ object PipelineQueries {
         .orderBy("doc_id")),
     // topic clustering for dataset mixing: deterministic-seed Lloyd
     // k-means, one shuffle per round, assignment a pure projection
-    // over the broadcast centroid row. rows-only (float-mean
-    // centroids, the IVF reason); determinism/objective/plan spec'd
+    // over the broadcast centroid row. FULL oracle since r9: micro-
+    // unit integer centroid means are engine-exact, so the whole
+    // 3-round training replays in DuckDB
     "cluster_kmeans" -> ((s, d) =>
       Ann.kmeans(emb(s, d), k = 10, iters = 3).orderBy("vec_id")),
     // SemDeDup over the corpus seeded with jittered copies: semantic
     // groups recovered inside kmeans cells, one low-centroid-cosine
-    // exemplar kept per group (rows-only: float kmeans; spec-proved)
+    // exemplar kept per group. FULL oracle since r9 (micro-unit
+    // kmeans + recursive-CTE closure); recall additionally spec-proved
     "dedup_semantic" -> ((s, d) => {
       // memoizedPinned: semanticDedup pins its kmeans assignment and
       // the CC label generation inside the returned plan — the memo
@@ -530,16 +532,16 @@ object PipelineQueries {
     "ann_ivf" -> ((s, d) =>
       Ann.ivf(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank")),
-    // ANN over the int8-quantized corpus (scales cancel in cosine):
-    // rows-only — quantization noise can reorder near-ties, so the
-    // contract is the spec'd top-1 recall vs the float baseline
+    // ANN over the int8-quantized corpus: FULL oracle since r9 (the
+    // quantizer was engine-portable by construction); the spec'd top-1
+    // recall vs the float baseline remains the semantic contract
     "ann_quantized" -> ((s, d) =>
       graft.sim.Quantize.annInt8(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5,
           quantizedVectors = Some(quantEmb(s, d)))
         .orderBy("q_id", "rank")),
     // IVF candidate generation over the pinned int8 corpus + float
-    // re-scoring of the candidates (faiss SQ8+refine). rows-only;
-    // top-1 recall vs the float baseline is spec-asserted
+    // re-scoring of the candidates (faiss SQ8+refine). FULL oracle
+    // since r9; top-1 recall vs the float baseline additionally spec'd
     "ann_quantized_ivf" -> ((s, d) =>
       graft.sim.Quantize.annInt8Ivf(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5,
           quantizedVectors = Some(quantEmb(s, d)))
@@ -1145,6 +1147,85 @@ object PipelineQueries {
 
   private val markerIn = TextOps.EnMarkers.map(w => s"'$w'").mkString(", ")
 
+  /** Unrolled Lloyd k-means rounds in DuckDB — the [[Ann.cellMeans]] /
+    * [[Ann.lloydCentroids]] mirror, CTE-for-CTE: micro-unit integer
+    * centroid means (floor(x·10⁶), BIGINT sums, explicit-pmod floor
+    * division — DuckDB's BIGINT `//` TRUNCATES toward zero, so bare
+    * `//` would round negative centroid components one off), cosine
+    * assignment with the 1e-12 norm guard, smallest-cell tiebreak.
+    * Expects a CTE `base(vec_id, e DOUBLE[])` and emits
+    * `a0..a{iters+1}` / `m0..m{iters}`; the FINAL assignment is
+    * `a{iters+1}(vec_id, e, cell, cs)`. `kExpr` is the seed modulus
+    * (a literal or a scalar subquery). */
+  private def ddLloyd(kExpr: String, iters: Int): String = {
+    def meanRound(r: Int, src: String) =
+      s"""ex$r AS (SELECT cell, i, CAST(floor(e[i] * 1000000) AS BIGINT) AS xm
+         |        FROM $src, unnest(range(1, len(e) + 1)) AS u(i)),
+         |mm$r AS (SELECT cell, i,
+         |           (sum(xm) - ((sum(xm) % count(*)) + count(*)) % count(*))
+         |             // count(*) AS m
+         |         FROM ex$r GROUP BY 1, 2),
+         |m$r AS (SELECT cell, CAST(list(m ORDER BY i) AS DOUBLE[]) AS c,
+         |          greatest(sqrt(list_dot_product(
+         |            CAST(list(m ORDER BY i) AS DOUBLE[]),
+         |            CAST(list(m ORDER BY i) AS DOUBLE[]))), 1e-12) AS cn
+         |        FROM mm$r GROUP BY cell)""".stripMargin
+    def assignRound(r: Int, cents: String) =
+      s"""s$r AS (SELECT b.vec_id, b.e, m.cell,
+         |          list_dot_product(b.e, m.c)
+         |            / (greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12) * m.cn) AS cs
+         |        FROM base b, $cents m),
+         |a$r AS (SELECT vec_id, e, cell, cs FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY vec_id
+         |            ORDER BY cs DESC, cell) AS rn FROM s$r)
+         |        WHERE rn = 1)""".stripMargin
+    val seed = s"a0 AS (SELECT vec_id, e, CAST(vec_id % $kExpr AS INT) AS cell FROM base)"
+    val rounds = (0 to iters).map { r =>
+      meanRound(r, if (r == 0) "a0" else s"a$r") + ",\n" + assignRound(r + 1, s"m$r")
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  /** The √N auto-cell count ([[Ann.ivf]]'s faiss nlist rule) as a CTE. */
+  private val ddAutoCells: String =
+    "kk AS (SELECT least(4096, greatest(16, CAST(ceil(sqrt(count(*))) AS INT))) AS k FROM base)"
+
+  /** IVF probe + score CTEs over [[ddLloyd]]'s outputs (iters=2 →
+    * corpus assignment `a3`, final centroids `m2`): `asg` is the cell-
+    * assigned corpus, `probes` each query's `nprobe` best cells
+    * (cs desc, cell asc — the slice-of-sorted-structs tiebreak),
+    * `qscored` the probed-cell candidate cosines. `qFilter` restricts
+    * the query side (empty = all vectors, the dedup report form). */
+  private def ddIvfProbe(qFilter: String, nprobe: Int = 4): String =
+    s"""asg AS (SELECT vec_id AS nn_id, e,
+       |          greatest(sqrt(list_dot_product(e, e)), 1e-12) AS vn, cell FROM a3),
+       |qs AS (SELECT b.vec_id AS q_id, b.e AS qe,
+       |         greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12) AS qn, m.cell,
+       |         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+       |           list_dot_product(b.e, m.c)
+       |             / (greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12) * m.cn) DESC,
+       |           m.cell) AS prn
+       |       FROM base b, m2 m $qFilter),
+       |probes AS (SELECT q_id, qe, qn, cell FROM qs WHERE prn <= $nprobe),
+       |qscored AS (SELECT p.q_id, a.nn_id,
+       |             list_dot_product(p.qe, a.e) / (p.qn * a.vn) AS sc
+       |           FROM probes p JOIN asg a USING (cell) WHERE a.nn_id <> p.q_id)""".stripMargin
+
+  /** The int8 quantizer mirror ([[graft.sim.Quantize.withQuantized]]):
+    * reconstructed v̂ = clamp(floor(v/scale + 0.5), ±127)·scale with the
+    * amax/127 scale and its 1e-12 zero-vector guard — emitted as
+    * `base(vec_id, e)`. */
+  private val ddQuantBase: String =
+    """qz AS (SELECT vec_id,
+      |         [CAST(x AS DOUBLE) for x in embedding] AS v,
+      |         greatest(list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127,
+      |                  1e-12) AS scale
+      |       FROM embeddings),
+      |base AS (SELECT vec_id,
+      |          [greatest(least(CAST(floor(x / scale + 0.5) AS BIGINT), 127), -127) * scale
+      |           for x in v] AS e
+      |        FROM qz)""".stripMargin
+
   /** DuckDB mirror of [[presencePairs]] (tok/sh/pres CTE chain) —
     * ONE copy shared by the ngram_novelty and source_overlap oracles,
     * matching the ONE Spark-side copy. */
@@ -1282,6 +1363,122 @@ object PipelineQueries {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents
         |GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+    // IVF search end-to-end: √N-cell Lloyd coarse quantizer (the same
+    // unrolled micro-exact rounds), nprobe=4 best-cell probes, probed-
+    // cell cosine top-5 — full oracle since r9
+    "ann_ivf" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |$ddAutoCells,
+         |${ddLloyd("(SELECT k FROM kk)", 2)},
+         |${ddIvfProbe("WHERE b.vec_id < 10")},
+         |top AS (SELECT q_id, nn_id, sc,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, nn_id) AS rank
+         |        FROM qscored)
+         |SELECT q_id, nn_id, round(sc, 4) AS score, rank FROM top
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // the IVF-routed nearest-neighbor dedup report: every vector
+    // queries its own index (k=1), lonely vectors keep their explicit
+    // no-neighbor row — full oracle since r9
+    "dedup_embedding_ivf" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |$ddAutoCells,
+         |${ddLloyd("(SELECT k FROM kk)", 2)},
+         |${ddIvfProbe("")},
+         |top AS (SELECT q_id, nn_id, sc,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, nn_id) AS rank
+         |        FROM qscored),
+         |found AS (SELECT q_id AS vec_id, nn_id, round(sc, 4) AS cos,
+         |                 (round(sc, 4) >= 0.45) AS is_dup FROM top WHERE rank = 1)
+         |SELECT b.vec_id, f.nn_id, f.cos, coalesce(f.is_dup, false) AS is_dup
+         |FROM base b LEFT JOIN found f USING (vec_id) ORDER BY b.vec_id""".stripMargin,
+    // int8 brute force: the quantizer arithmetic was engine-portable
+    // by construction (explicit floor, amax/127 scale); scoring the
+    // reconstructed corpus is the same portable cosine fold
+    "ann_quantized" ->
+      s"""WITH $ddQuantBase,
+         |q AS (SELECT vec_id AS q_id, e AS qe,
+         |        greatest(sqrt(list_dot_product(e, e)), 1e-12) AS qn
+         |      FROM base WHERE vec_id < 10),
+         |scored AS (SELECT q.q_id, r.vec_id AS nn_id,
+         |             list_dot_product(q.qe, r.e)
+         |               / (q.qn * greatest(sqrt(list_dot_product(r.e, r.e)), 1e-12)) AS sc
+         |           FROM q, base r WHERE r.vec_id <> q.q_id),
+         |top AS (SELECT q_id, nn_id, sc,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, nn_id) AS rank
+         |        FROM scored)
+         |SELECT q_id, nn_id, round(sc, 4) AS score, rank FROM top
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // SQ8 + refine: IVF candidates (top-20) over the reconstructed
+    // int8 corpus, exact float re-score of the candidate slice only
+    "ann_quantized_ivf" ->
+      s"""WITH $ddQuantBase,
+         |$ddAutoCells,
+         |${ddLloyd("(SELECT k FROM kk)", 2)},
+         |${ddIvfProbe("WHERE b.vec_id < 10")},
+         |cand AS (SELECT q_id, nn_id FROM (
+         |           SELECT q_id, nn_id,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, nn_id) AS rank
+         |           FROM qscored) WHERE rank <= 20),
+         |fl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fe,
+         |         greatest(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |           CAST(embedding AS DOUBLE[]))), 1e-12) AS fn
+         |       FROM embeddings),
+         |ref AS (SELECT c.q_id, c.nn_id,
+         |          list_dot_product(fq.fe, fv.fe) / (fq.fn * fv.fn) AS sc
+         |        FROM cand c JOIN fl fv ON fv.vec_id = c.nn_id
+         |                    JOIN fl fq ON fq.vec_id = c.q_id),
+         |top AS (SELECT q_id, nn_id, sc,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, nn_id) AS rank
+         |        FROM ref)
+         |SELECT q_id, nn_id, round(sc, 4) AS score, rank FROM top
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // full Lloyd replay: cellMeans' micro-unit centroid means made the
+    // training integer-exact cross-engine (r9), so the former
+    // rows-only float-mean obstacle is gone — 3 unrolled rounds, k=10
+    "cluster_kmeans" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${ddLloyd("10", 3)}
+         |SELECT vec_id, cell AS cluster, round(cs, 4) AS cos_to_centroid
+         |FROM a4 ORDER BY vec_id""".stripMargin,
+    // SemDeDup end-to-end: the jittered-twin planting, sqrt(N) auto-k
+    // Lloyd (2 rounds), within-cluster cosine pairs, recursive-CTE
+    // transitive closure, min-(cos, id) keeper — every stage the exact
+    // engine-portable form of the Spark plan
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings),
+         |twin AS (
+         |  SELECT vec_id, CAST(de AS FLOAT[]) AS fe FROM raw
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id,
+         |         [CAST(de[i] * 1.01 + 0.001 * ((vec_id + (i-1)) % 7) AS FLOAT)
+         |          for i in range(1, len(de)+1)] AS fe
+         |  FROM raw WHERE vec_id % 10 = 0),
+         |kk AS (SELECT least(4096, greatest(16, CAST(ceil(sqrt(count(*))) AS INT))) AS k
+         |       FROM twin),
+         |base AS (SELECT vec_id, CAST(fe AS DOUBLE[]) AS e FROM twin),
+         |${ddLloyd("(SELECT k FROM kk)", 2)},
+         |km AS (SELECT vec_id, cell AS cluster, round(cs, 4) AS cos_to_centroid, e FROM a3),
+         |prs AS (
+         |  SELECT x.vec_id AS i, y.vec_id AS j
+         |  FROM km x JOIN km y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE list_dot_product(x.e, y.e)
+         |        / (greatest(sqrt(list_dot_product(x.e, x.e)), 1e-12)
+         |           * greatest(sqrt(list_dot_product(y.e, y.e)), 1e-12)) >= 0.95),
+         |edges AS (SELECT i AS a, j AS b FROM prs UNION ALL SELECT j AS a, i AS b FROM prs),
+         |reach AS (
+         |  SELECT a AS id, b AS r FROM edges
+         |  UNION
+         |  SELECT reach.id, e2.b FROM reach JOIN edges e2 ON reach.r = e2.a),
+         |grp AS (SELECT id AS vec_id, least(id, min(r)) AS sem_group FROM reach GROUP BY id),
+         |lab AS (SELECT km.vec_id, km.cluster, coalesce(grp.sem_group, km.vec_id) AS sem_group,
+         |               km.cos_to_centroid
+         |        FROM km LEFT JOIN grp USING (vec_id)),
+         |keep AS (SELECT sem_group,
+         |           min(struct_pack(c := cos_to_centroid, v := vec_id)) AS mk
+         |         FROM lab GROUP BY sem_group)
+         |SELECT lab.vec_id, lab.cluster, lab.sem_group, lab.cos_to_centroid,
+         |       (lab.vec_id = keep.mk.v) AS keep
+         |FROM lab JOIN keep USING (sem_group) ORDER BY lab.vec_id""".stripMargin,
     "dedup_incremental" ->
       """WITH shard AS (
         |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
@@ -2602,9 +2799,11 @@ object PipelineQueries {
         |SELECT lang, source, n_docs, n_tokens, n_chars,
         |       n_tokens * 1000000 // tt AS token_share_ppm
         |FROM per, t ORDER BY lang, source""".stripMargin,
-    // dedup_minhash_lsh, dedup_simhash, ann_ivf, dedup_embedding_ivf,
-    // ann_quantized: rows-only (xxhash64 / float-mean centroids /
-    // quantization-noise reordering have no portable SQL form) — no
-    // entries here; behavior is spec-asserted (recall + plan shape).
+    // dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 has no
+    // portable SQL form) — no entries here; behavior is spec-asserted
+    // (recall + plan shape). The former float-mean arms (ann_ivf,
+    // dedup_embedding_ivf, ann_quantized*, cluster_kmeans,
+    // dedup_semantic) converted to full oracles in r9 via the
+    // micro-exact Lloyd.
   )
 }

@@ -152,7 +152,28 @@ object Ann {
   private[sim] def cellMeans(tagged: DataFrame): DataFrame =
     tagged
       .select(col("cell"), posexplode(col("embedding")))
-      .groupBy("cell", "pos").agg(avg(col("col")).as("v"))
+      // EXACT integer micro-unit mean — the obstacle that kept every
+      // Lloyd consumer rows-only was the float `avg` here (partial-sum
+      // order differs across partitions and engines). floor(x·10⁶) is
+      // the identical IEEE op everywhere, BIGINT sums are order-
+      // independent, and the floor division is the portable idiom
+      // (Spark `div` truncates, DuckDB `//` floors — the pmod form
+      // floors in both). Centroids come out integral in micro units;
+      // cosine is scale-free, so assignment/scores are unchanged
+      // semantics at 1e-6 centroid resolution — and now bit-identical
+      // cross-engine, which turns kmeans/semantic-dedup into
+      // full-oracle queries. Overflow headroom: |x| ≤ 1e3 → 1e9 micro
+      // per element; 2^63/1e9 ≈ 9.2e9 members per cell before the sum
+      // wraps — raise_error loudly at 2^62 (the bm25 discipline).
+      .select(col("cell"), col("pos"),
+        floor(col("col").cast("double") * 1e6).cast("long").as("xm"))
+      .groupBy("cell", "pos")
+      .agg(sum("xm").as("sm"), count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        when(abs(col("sm")) > lit(1L << 62),
+          raise_error(lit("cellMeans: micro-unit sum near int64 range — " +
+            "rescale the micro units or shard the cell")))
+          .otherwise(expr("(sm - pmod(sm, n)) div n")).cast("double").as("v"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
       .select(col("cell"), expr("transform(pv, x -> x.v)").as("c_emb"))
@@ -243,7 +264,9 @@ object Ann {
     * freed ([[lloydCentroids]]), so the returned plan holds no
     * persisted state.
     *
-    * Rows-only contract ([[ivf]]'s float-mean reason); the spec
+    * FULL-oracle contract since r9 — [[cellMeans]]' micro-unit
+    * integer centroid means are bit-identical cross-engine, so DuckDB
+    * replays the whole training round-for-round. The spec additionally
     * asserts determinism, an EMPIRICALLY non-decreasing objective
     * (cosine assignment with arithmetic-mean centroids is not Lloyd-
     * monotone in theory — the cosine-optimal centroid is the mean of
@@ -273,8 +296,9 @@ object Ann {
     * pre-normed once and shuffle only on the cluster key; duplicate
     * groups are transitive-closure components
     * ([[graft.dedup.Dedup.connectedComponents]], pointer jumping).
-    * Rows-only contract (float kmeans; the spec plants jittered
-    * copies and proves group recovery + the keeper rule).
+    * FULL-oracle contract since r9 (micro-unit kmeans + recursive-CTE
+    * closure in DuckDB); the spec additionally plants jittered copies
+    * and proves group recovery + the keeper rule.
     *
     * PIN CONTRACT: the returned DataFrame's plan carries LIVE
     * localCheckpoint pins (the kmeans assignment here, plus
