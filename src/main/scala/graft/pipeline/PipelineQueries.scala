@@ -500,7 +500,8 @@ object PipelineQueries {
         .orderBy("q_id", "rank")),
     // PQ-ANN: 64x corpus compression (m=8 subspace codes vs float32),
     // ADC table-lookup scoring, float re-score of the 4k candidate
-    // slice. rows-only (float codebook means); recall spec'd
+    // slice. FULL oracle since r9 (micro-exact codebook means); the
+    // spec'd recall vs the float baseline remains the semantic contract
     "ann_pq" -> ((s, d) =>
       graft.sim.Pq.pqSearch(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank")),
@@ -1226,6 +1227,48 @@ object PipelineQueries {
       |           for x in v] AS e
       |        FROM qz)""".stripMargin
 
+  /** PQ training mirror ([[graft.sim.Pq.codebooks]]): per-subspace
+    * micro-exact Lloyd over the exploded (vec_id, sub, sv) subvector
+    * relation — L2 assignment (d2 asc, code asc tiebreak), floor-
+    * division micro-unit cell means scaled back to natural units
+    * (one deterministic /1e6 IEEE division, identical cross-engine).
+    * Emits `nrm` (normalized vectors), `sr` (subvectors), the final
+    * books `b{iters}` and the corpus codes `enc`. Covers the rate=1
+    * training regime (corpus ≤ the 16384-vector sample cap — true at
+    * every testdata SF; above it Spark hash-samples with xxhash64,
+    * which has no DuckDB form). */
+  private def ddPq(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+    val diff = s"[r.sv[i] - b.c[i] for i in range(1, ${dsub + 1})]"
+    def meanRound(r: Int) =
+      s"""ex$r AS (SELECT sub, code, i, CAST(floor(sv[i] * 1000000) AS BIGINT) AS xm
+         |        FROM a$r, unnest(range(1, ${dsub + 1})) AS u(i)),
+         |mm$r AS (SELECT sub, code, i,
+         |          CAST((sum(xm) - ((sum(xm) % count(*)) + count(*)) % count(*))
+         |            // count(*) AS DOUBLE) / 1000000.0 AS v
+         |        FROM ex$r GROUP BY 1, 2, 3),
+         |b$r AS (SELECT sub, code, list(v ORDER BY i) AS c FROM mm$r GROUP BY 1, 2)""".stripMargin
+    def assignRound(r: Int, out: String, cols: String) =
+      s"""s${r + 1} AS (SELECT r.vec_id, r.sub, r.sv, b.code,
+         |         list_dot_product($diff, $diff) AS d2
+         |       FROM sr r JOIN b$r b ON b.sub = r.sub),
+         |$out AS (SELECT $cols FROM (
+         |         SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |           ORDER BY d2, code) AS rn FROM s${r + 1})
+         |       WHERE rn = 1)""".stripMargin
+    val seed =
+      s"""nrm AS (SELECT vec_id, e,
+         |          [x / greatest(sqrt(list_dot_product(e, e)), 1e-12) for x in e] AS ne
+         |        FROM base),
+         |sr AS (SELECT vec_id, s AS sub, ne[s*$dsub+1 : s*$dsub+$dsub] AS sv
+         |       FROM nrm, unnest(range(0, $m)) AS u(s)),
+         |a0 AS (SELECT vec_id, sub, sv, CAST(vec_id % $ksub AS INT) AS code FROM sr)""".stripMargin
+    val rounds = (0 until iters).map(r =>
+      meanRound(r) + ",\n" + assignRound(r, s"a${r + 1}", "vec_id, sub, sv, code"))
+    val fin = meanRound(iters) + ",\n" +
+      assignRound(iters, "enc", "vec_id AS nn_id, sub, code")
+    (seed +: rounds :+ fin).mkString(",\n")
+  }
+
   /** DuckDB mirror of [[presencePairs]] (tok/sh/pres CTE chain) —
     * ONE copy shared by the ngram_novelty and source_overlap oracles,
     * matching the ONE Spark-side copy. */
@@ -1425,6 +1468,39 @@ object PipelineQueries {
          |       FROM embeddings),
          |ref AS (SELECT c.q_id, c.nn_id,
          |          list_dot_product(fq.fe, fv.fe) / (fq.fn * fv.fn) AS sc
+         |        FROM cand c JOIN fl fv ON fv.vec_id = c.nn_id
+         |                    JOIN fl fq ON fq.vec_id = c.q_id),
+         |top AS (SELECT q_id, nn_id, sc,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, nn_id) AS rank
+         |        FROM ref)
+         |SELECT q_id, nn_id, round(sc, 4) AS score, rank FROM top
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // PQ-ANN end-to-end: micro-exact per-subspace Lloyd (3 rounds,
+    // m=8, ksub=16), corpus encoding, ADC table scoring (the ones-
+    // vector dot keeps the sub-order sequential sum), top-32
+    // candidates, exact float re-score of the slice — full oracle
+    // since r9 (the micro-unit cell means made training bit-identical
+    // cross-engine)
+    "ann_pq" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${ddPq(8, 8, 16, 2)},
+         |q AS (SELECT vec_id AS q_id, ne FROM nrm WHERE vec_id < 10),
+         |tab AS (SELECT q.q_id, b.sub, b.code,
+         |          list_dot_product(q.ne[b.sub*8+1 : b.sub*8+8], b.c) AS ip
+         |        FROM q, b2 b),
+         |adc AS (SELECT t.q_id, c.nn_id,
+         |          list_dot_product(list(t.ip ORDER BY t.sub),
+         |            [${Seq.fill(8)("1.0").mkString(", ")}]) AS adc
+         |        FROM enc c JOIN tab t ON t.sub = c.sub AND t.code = c.code
+         |        WHERE c.nn_id <> t.q_id
+         |        GROUP BY 1, 2),
+         |cand AS (SELECT q_id, nn_id FROM (
+         |           SELECT q_id, nn_id,
+         |             row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, nn_id) AS rn
+         |           FROM adc) WHERE rn <= 32),
+         |fl AS (SELECT vec_id, e, greatest(sqrt(list_dot_product(e, e)), 1e-12) AS n FROM base),
+         |ref AS (SELECT c.q_id, c.nn_id,
+         |          list_dot_product(fq.e, fv.e) / (fq.n * fv.n) AS sc
          |        FROM cand c JOIN fl fv ON fv.vec_id = c.nn_id
          |                    JOIN fl fq ON fq.vec_id = c.q_id),
          |top AS (SELECT q_id, nn_id, sc,
@@ -2802,7 +2878,7 @@ object PipelineQueries {
     // dedup_minhash_lsh, dedup_simhash: rows-only (xxhash64 has no
     // portable SQL form) — no entries here; behavior is spec-asserted
     // (recall + plan shape). The former float-mean arms (ann_ivf,
-    // dedup_embedding_ivf, ann_quantized*, cluster_kmeans,
+    // dedup_embedding_ivf, ann_quantized*, ann_pq, cluster_kmeans,
     // dedup_semantic) converted to full oracles in r9 via the
     // micro-exact Lloyd.
   )

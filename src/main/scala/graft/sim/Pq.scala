@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *
   * Deterministic end to end: seed code = vec_id mod ksub, L2 argmin
   * ties break toward the smaller code, no RNG — same contract as
-  * [[Ann.kmeans]]. Like the other quantized ANN arms this is
-  * *rows-only* for the oracle gate (float centroid means have no
-  * portable SQL form); recall vs the float baseline is spec-asserted.
+  * [[Ann.kmeans]]. Since r9 training means are integer micro-unit
+  * exact, so the whole search replays bit-identically in the DuckDB
+  * oracle (full-oracle gate); recall vs the float baseline stays
+  * spec-asserted as the semantic contract.
   */
 object Pq {
 
@@ -100,9 +101,22 @@ object Pq {
         // the books row assembles DRIVER-side; the former
         // groupBy-into-array + single-row collect_list pipeline paid
         // two more exchanges per round for what is a metadata reshape
+        // EXACT integer micro-unit cell means scaled back to natural
+        // units (the Ann.cellMeans discipline — float avg partial-sum
+        // order differs across partitions/engines; /1e6 is one
+        // deterministic IEEE division, identical everywhere). PQ
+        // assignment is L2 — scale matters, unlike Lloyd's cosine —
+        // hence the scale-back where cellMeans keeps raw micro.
+        // Makes the whole training bit-identical cross-engine → the
+        // full-oracle contract.
         val cells = assigned
           .select(col("sub"), col("code"), posexplode(col("sv")))
-          .groupBy("sub", "code", "pos").agg(avg(col("col")).as("v"))
+          .select(col("sub"), col("code"), col("pos"),
+            floor(col("col") * 1e6).cast("long").as("xm"))
+          .groupBy("sub", "code", "pos")
+          .agg(sum("xm").as("sm"), count(lit(1)).as("n"))
+          .select(col("sub"), col("code"), col("pos"),
+            (expr("(sm - pmod(sm, n)) div n").cast("double") / 1e6).as("v"))
           .collect()
         val entries = cells.groupBy(r => (r.getInt(0), r.getInt(1))).toSeq
           .sortBy(_._1)
