@@ -776,6 +776,27 @@ object AnalyticsQueries {
       Tools.prefixEncodingSavings(cells, fk, expr("rowkey div 64"))
         .orderBy("region")
     }),
+    // the full DataBlockEncoding decision table: PREFIX vs DIFF vs
+    // FAST_DIFF byte-exact per-region costs over the same cell layout
+    // (padded rowkey, family `ev`, qualifier, µs ts; 64-cell blocks
+    // of 64-user regions) — the three-way comparison that picks a
+    // table's block encoding, with DIFF's timestamp-diff narrowing
+    // and FAST_DIFF's same-value elision priced per the encoders. The
+    // cell value is the VARIABLE-length props string (the numeric
+    // `value` column would be a fixed 8-byte payload, degenerating
+    // the value-length flags; its string rendering is not portable)
+    "encoding_diff_savings" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      Tools.blockEncodingDecision(ev,
+          region = expr("user_id div 64"),
+          row = lpad(col("user_id").cast("string"), 10, "0"),
+          qualifier = col("event_type"),
+          tsMicros = unix_micros(col("ts")),
+          value = col("props"),
+          tiebreak = col("event_id"),
+          famLen = 2)
+        .orderBy("region")
+    }),
     // Master LogCleaner chore over oldWALs: day-grain WAL segments
     // audited by the delegate chain — TTL (life > 10 days against the
     // corpus max ts) AND replication (every peer's watermark past the
@@ -1962,6 +1983,29 @@ object AnalyticsQueries {
       |                                ORDER BY len DESC, tot ASC, s ASC) AS rn
       |      FROM ok)""".stripMargin
 
+  /** putCompressedInt's 7-bit varint width, as a SQL CASE ladder —
+    * the [[Tools.blockEncodingDecision]] vint mirror. */
+  private def ddVint(x: String): String =
+    s"(CASE WHEN $x < 128 THEN 1 WHEN $x < 16384 THEN 2 " +
+      s"WHEN $x < 2097152 THEN 3 WHEN $x < 268435456 THEN 4 ELSE 5 END)"
+
+  /** Leading-common-chars fold for the encoding oracle (list_position
+    * returns 0 — not NULL — on no-match in DuckDB, so the full-match
+    * case must branch, exactly like Spark's array_position). */
+  private def ddCommonChars(a: String, b: String): String = {
+    val fl = s"[CASE WHEN substr($a, i, 1) = substr(coalesce($b, ''), i, 1) " +
+      s"THEN 1 ELSE 0 END for i in range(1, greatest(len($a), len(coalesce($b, ''))) + 1)]"
+    s"(CASE WHEN list_position($fl, 0) = 0 " +
+      s"THEN greatest(len($a), len(coalesce($b, ''))) " +
+      s"ELSE list_position($fl, 0) - 1 END)"
+  }
+
+  /** ByteBufferUtils.longFitsIn as a SQL CASE ladder. */
+  private def ddFitsIn(x: String): String =
+    s"(CASE WHEN $x < 0 THEN 8 " +
+      (1 to 7).map(n => s"WHEN $x < (1::BIGINT) << ${8 * n} THEN $n").mkString(" ") +
+      " ELSE 8 END)"
+
   val oracles: Map[String, String] = Map(
     "namespace_quota" ->
       """WITH catalog AS (
@@ -2757,6 +2801,76 @@ object AnalyticsQueries {
         |  CAST(sum(prefix) AS BIGINT) * 1000000
         |    // CAST(sum(len(fk)) AS BIGINT) AS saved_ppm
         |FROM p GROUP BY 1 ORDER BY region""".stripMargin),
+    // the three-way block-encoding decision table: every per-cell byte
+    // cost replays Tools.blockEncodingDecision exactly (fixed rowlen,
+    // famLen=2 → klen = 2+rlen+3+qlen+9; common prefixes via the
+    // position fold; DIFF's min(tsFitsIn, diffFitsIn); FAST_DIFF's
+    // BE-byte ts suffix + same-value elision)
+    "encoding_diff_savings" ->
+      s"""WITH k AS (SELECT user_id // 64 AS region,
+         |        lpad(CAST(user_id AS VARCHAR), 10, '0') AS rw,
+         |        event_type AS q, epoch_us(ts) AS t, props AS v, event_id AS tie
+         |      FROM events),
+         |r AS (SELECT region, rw, q, t, v,
+         |        row_number() OVER w AS rn,
+         |        lag(rw) OVER w AS prow, lag(q) OVER w AS pq,
+         |        lag(t) OVER w AS pts, lag(v) OVER w AS pv
+         |      FROM k WINDOW w AS (PARTITION BY region ORDER BY rw, q, t, tie)),
+         |c1 AS (SELECT *,
+         |        ((rn - 1) % 64 = 0 OR prow IS NULL) AS fst,
+         |        len(rw) AS rlen, len(q) AS qlen, len(pq) AS pqlen,
+         |        len(v) AS vlen, len(pv) AS pvlen,
+         |        2 + len(rw) + 3 + len(q) + 9 AS klen,
+         |        ${ddCommonChars("rw", "prow")} AS rkc,
+         |        ${ddCommonChars("q", "pq")} AS qc,
+         |        CASE WHEN list_position(
+         |          [CASE WHEN ((t >> ((8 - i) * 8)) & 255) = ((coalesce(pts, -1) >> ((8 - i) * 8)) & 255)
+         |                THEN 1 ELSE 0 END for i in range(1, 9)], 0) = 0 THEN 8
+         |          ELSE list_position(
+         |          [CASE WHEN ((t >> ((8 - i) * 8)) & 255) = ((coalesce(pts, -1) >> ((8 - i) * 8)) & 255)
+         |                THEN 1 ELSE 0 END for i in range(1, 9)], 0) - 1 END AS tsc,
+         |        ${ddFitsIn("t")} AS tfits,
+         |        ${ddFitsIn("abs(coalesce(pts, 0) - t)")} AS dfits
+         |      FROM r),
+         |c2 AS (SELECT *,
+         |        CASE WHEN rkc < rlen THEN rkc + 2 ELSE rkc + 5 + qc END AS com
+         |      FROM c1),
+         |c3 AS (SELECT *,
+         |        CASE WHEN q = pq THEN com + (CASE WHEN tsc = 8 THEN 9 ELSE tsc END)
+         |             ELSE com END AS comt,
+         |        CASE WHEN com < rlen + 2 THEN rlen + 2 - com + qlen
+         |             ELSE qlen - (com - rlen - 5) END AS suffix
+         |      FROM c2),
+         |costs AS (SELECT region,
+         |        8 + klen + vlen AS raw,
+         |        CASE WHEN fst THEN ${ddVint("klen")} + ${ddVint("vlen")} + 1 + klen + vlen
+         |             ELSE ${ddVint("klen - comt")} + ${ddVint("vlen")} +
+         |                  ${ddVint("comt")} + klen - comt + vlen END AS pfx,
+         |        CASE WHEN fst THEN 3 + 1 + ${ddVint("klen")} + ${ddVint("vlen")} + 1
+         |                           + rlen + 2 + qlen + tfits + 1 + vlen
+         |             ELSE 1 + (CASE WHEN qlen = pqlen THEN 0 ELSE ${ddVint("klen")} END)
+         |                    + (CASE WHEN vlen = pvlen THEN 0 ELSE ${ddVint("vlen")} END)
+         |                    + ${ddVint("com")} + suffix + least(tfits, dfits) + vlen END AS dif,
+         |        CASE WHEN fst THEN 2 + ${ddVint("klen")} + ${ddVint("vlen")} + klen + vlen
+         |             ELSE 1 + (CASE WHEN qlen = pqlen THEN 0 ELSE ${ddVint("klen")} END)
+         |                    + (CASE WHEN vlen = pvlen THEN 0 ELSE ${ddVint("vlen")} END)
+         |                    + ${ddVint("com")} + suffix + (8 - tsc)
+         |                    + (CASE WHEN v = pv THEN 0 ELSE vlen END) END AS fdf
+         |      FROM c3),
+         |agg AS (SELECT region, count(*) AS n_cells,
+         |        CAST(sum(raw) AS BIGINT) AS raw_bytes,
+         |        CAST(sum(pfx) AS BIGINT) AS prefix_bytes,
+         |        CAST(sum(dif) AS BIGINT) AS diff_bytes,
+         |        CAST(sum(fdf) AS BIGINT) AS fast_diff_bytes
+         |      FROM costs GROUP BY 1)
+         |SELECT region, n_cells, raw_bytes, prefix_bytes, diff_bytes, fast_diff_bytes,
+         |       (raw_bytes - prefix_bytes) * 1000000 // raw_bytes AS prefix_saved_ppm,
+         |       (raw_bytes - diff_bytes) * 1000000 // raw_bytes AS diff_saved_ppm,
+         |       (raw_bytes - fast_diff_bytes) * 1000000 // raw_bytes AS fast_diff_saved_ppm,
+         |       CASE WHEN prefix_bytes <= least(diff_bytes, fast_diff_bytes) THEN 'PREFIX'
+         |            WHEN diff_bytes <= fast_diff_bytes THEN 'DIFF'
+         |            ELSE 'FAST_DIFF' END AS best_encoding
+         |FROM agg ORDER BY region""".stripMargin,
     "log_cleaner" ->
       """WITH segs AS (SELECT date_trunc('day', ts) AS segment_day,
         |    count(*) AS n_edits, min(ts) AS oldest_ts, max(ts) AS newest_ts

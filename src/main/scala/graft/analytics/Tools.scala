@@ -878,6 +878,152 @@ object Tools {
       .drop("_cut", "_wm", "_npeers")
   }
 
+  /** Three-way DataBlockEncoding decision table: per-region encoded
+    * byte counts for PREFIX vs DIFF vs FAST_DIFF against the raw
+    * KeyValue layout — the comparison an operator sizing block
+    * encoding for a table actually reads (hbase-common/.../io/encoding/
+    * PrefixKeyDeltaEncoder.java:40 internalEncode,
+    * DiffKeyDeltaEncoder.java:207 compressSingleKeyValue,
+    * FastDiffDeltaEncoder.java:73 compressSingleKeyValue).
+    *
+    * Cell model: fixed-width padded row (rowLen = width of `row`),
+    * ONE column family of `famLen` bytes per file, variable qualifier
+    * and value, 8-byte timestamp (µs), constant Put type — so
+    * keyLength = 2 + rowLen + 1 + famLen + qualLen + 8 + 1 and a raw
+    * cell costs 8 (len ints) + keyLength + valueLength. Cells sort by
+    * (row, qualifier, ts, tiebreak) within their region; blocks of
+    * `blockCells` reset the delta chain and re-carry the family (the
+    * encoder state is per block — the seek unit).
+    *
+    * Byte costs follow the encoders exactly:
+    *  - PREFIX: vint(kLen−common) + vint(vLen) + vint(common) +
+    *    (kLen−common) + vLen, common over the flat key INCLUDING
+    *    ts/type (findCommonPrefixInFlatKey withTsType=true).
+    *  - DIFF: flag + optional vint(kLen)/vint(vLen) (same-length
+    *    flags) + vint(common) + row/qual suffix + min(tsFitsIn,
+    *    diffFitsIn) timestamp bytes (FLAG_TIMESTAMP_IS_DIFF) + value;
+    *    common EXCLUDES ts/type; family written once per block; type
+    *    byte elided via FLAG_SAME_TYPE.
+    *  - FAST_DIFF: like DIFF but the timestamp stores its suffix past
+    *    the common BE-byte prefix with the previous cell's ts, and an
+    *    identical value is elided entirely (FLAG_SAME_VALUE).
+    *
+    * `best_encoding` is the byte-minimal of the three (ties break in
+    * DataBlockEncoding enum id order PREFIX < DIFF < FAST_DIFF).
+    *
+    * Scale shape: one window shuffle partitioned by REGION, every
+    * cost a codegen'd per-row projection over lag() columns, then a
+    * map-side-partial rollup per region — the
+    * [[prefixEncodingSavings]] discipline. */
+  def blockEncodingDecision(df: DataFrame, region: Column, row: Column,
+                            qualifier: Column, tsMicros: Column,
+                            value: Column, tiebreak: Column, famLen: Int,
+                            blockCells: Int = 64): DataFrame = {
+    require(blockCells >= 2, s"blockCells ($blockCells) must be at least 2")
+    require(famLen >= 1, s"famLen ($famLen) must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    // putCompressedInt's 7-bit varint width
+    def vint(x: Column): Column =
+      when(x < 128, 1).when(x < (1 << 14), 2).when(x < (1 << 21), 3)
+        .when(x < (1 << 28), 4).otherwise(5).cast("long")
+    // ByteBufferUtils.longFitsIn: bytes needed for a non-negative long
+    def fitsIn(x: Column): Column =
+      when(x < 0L, 8)
+        .when(x < (1L << 8), 1).when(x < (1L << 16), 2)
+        .when(x < (1L << 24), 3).when(x < (1L << 32), 4)
+        .when(x < (1L << 40), 5).when(x < (1L << 48), 6)
+        .when(x < (1L << 56), 7).otherwise(8).cast("long")
+    // leading common chars of two strings (self-caps at the shorter:
+    // substring past either end yields '' ≠ any char)
+    def commonChars(a: String, b: String): Column = expr(
+      s"cast(IF(array_position(transform(sequence(1, greatest(length($a), " +
+        s"length($b))), i -> IF(substring($a, i, 1) = substring($b, i, 1), 1, 0)" +
+        s"), 0) = 0, greatest(length($a), length($b)), " +
+        s"array_position(transform(sequence(1, greatest(length($a), length($b))), " +
+        s"i -> IF(substring($a, i, 1) = substring($b, i, 1), 1, 0)), 0) - 1) as bigint)")
+    val w = Window.partitionBy("region").orderBy("_row", "_q", "_ts", "_tie")
+    val famPart = 1 + famLen // famLen byte + family name
+    df.select(region.as("region"), row.as("_row"), qualifier.as("_q"),
+        tsMicros.cast("long").as("_ts"), value.as("_v"),
+        tiebreak.as("_tie"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_pq", lag(col("_q"), 1).over(w))
+      .withColumn("_pts", lag(col("_ts"), 1).over(w))
+      .withColumn("_pv", lag(col("_v"), 1).over(w))
+      .withColumn("_prow", lag(col("_row"), 1).over(w))
+      .withColumn("_first",
+        expr(s"(_rn - 1) % $blockCells") === 0 || col("_prow").isNull)
+      .withColumn("_rlen", length(col("_row")).cast("long"))
+      .withColumn("_qlen", length(col("_q")).cast("long"))
+      .withColumn("_pqlen", length(col("_pq")).cast("long"))
+      .withColumn("_vlen", length(col("_v")).cast("long"))
+      .withColumn("_pvlen", length(col("_pv")).cast("long"))
+      .withColumn("_klen", lit(2L) + col("_rlen") + lit(1L + famLen) +
+        col("_qlen") + lit(9L))
+      .withColumn("_rkc", commonChars("_row", "_prow"))
+      // findCommonPrefixInFlatKey, bypassFamilyCheck=true, no ts/type:
+      // 2-byte rowlen (always equal: fixed width) + row common; past a
+      // full row match the famlen byte + family ride along, then the
+      // qualifier common
+      .withColumn("_common", when(col("_rkc") < col("_rlen"), col("_rkc") + 2L)
+        .otherwise(col("_rkc") + lit(3L + famLen) + commonChars("_q", "_pq")))
+      // common leading BE bytes of the two 8-byte timestamps
+      .withColumn("_tsc", expr(
+        "cast(IF(array_position(transform(sequence(1, 8), i -> " +
+          "IF((shiftright(_ts, (8 - i) * 8) & 255) = " +
+          "(shiftright(_pts, (8 - i) * 8) & 255), 1, 0)), 0) = 0, 8, " +
+          "array_position(transform(sequence(1, 8), i -> " +
+          "IF((shiftright(_ts, (8 - i) * 8) & 255) = " +
+          "(shiftright(_pts, (8 - i) * 8) & 255), 1, 0)), 0) - 1) as bigint)"))
+      // withTsType=true common (PREFIX): qualifier must match whole,
+      // then ts bytes, then the (always-equal) type byte
+      .withColumn("_commonT", when(col("_q") === col("_pq"),
+          col("_common") + when(col("_tsc") === 8L, 9L).otherwise(col("_tsc")))
+        .otherwise(col("_common")))
+      .withColumn("_suffix", when(col("_common") < col("_rlen") + 2L,
+          col("_rlen") + 2L - col("_common") + col("_qlen"))
+        .otherwise(col("_qlen") - (col("_common") - col("_rlen") - lit(3L + famLen))))
+      .withColumn("_tfits", fitsIn(col("_ts")))
+      .withColumn("_dfits", fitsIn(abs(col("_pts") - col("_ts"))))
+      .withColumn("_raw", lit(8L) + col("_klen") + col("_vlen"))
+      .withColumn("_prefix", when(col("_first"),
+          vint(col("_klen")) + vint(col("_vlen")) + 1L + col("_klen") + col("_vlen"))
+        .otherwise(vint(col("_klen") - col("_commonT")) + vint(col("_vlen")) +
+          vint(col("_commonT")) + col("_klen") - col("_commonT") + col("_vlen")))
+      .withColumn("_diff", when(col("_first"),
+          lit(famPart.toLong) + 1L + vint(col("_klen")) + vint(col("_vlen")) + 1L +
+            col("_rlen") + 2L + col("_qlen") + col("_tfits") + 1L + col("_vlen"))
+        .otherwise(lit(1L) +
+          when(col("_qlen") === col("_pqlen"), 0L).otherwise(vint(col("_klen"))) +
+          when(col("_vlen") === col("_pvlen"), 0L).otherwise(vint(col("_vlen"))) +
+          vint(col("_common")) + col("_suffix") +
+          least(col("_tfits"), col("_dfits")) + col("_vlen")))
+      .withColumn("_fast", when(col("_first"),
+          lit(2L) + vint(col("_klen")) + vint(col("_vlen")) + col("_klen") + col("_vlen"))
+        .otherwise(lit(1L) +
+          when(col("_qlen") === col("_pqlen"), 0L).otherwise(vint(col("_klen"))) +
+          when(col("_vlen") === col("_pvlen"), 0L).otherwise(vint(col("_vlen"))) +
+          vint(col("_common")) + col("_suffix") + (lit(8L) - col("_tsc")) +
+          when(col("_v") === col("_pv"), 0L).otherwise(col("_vlen"))))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("_raw")).as("raw_bytes"),
+        sum(col("_prefix")).as("prefix_bytes"),
+        sum(col("_diff")).as("diff_bytes"),
+        sum(col("_fast")).as("fast_diff_bytes"))
+      .withColumn("prefix_saved_ppm",
+        expr("(raw_bytes - prefix_bytes) * 1000000 div raw_bytes"))
+      .withColumn("diff_saved_ppm",
+        expr("(raw_bytes - diff_bytes) * 1000000 div raw_bytes"))
+      .withColumn("fast_diff_saved_ppm",
+        expr("(raw_bytes - fast_diff_bytes) * 1000000 div raw_bytes"))
+      .withColumn("best_encoding",
+        when(col("prefix_bytes") <= least(col("diff_bytes"), col("fast_diff_bytes")),
+          "PREFIX")
+        .when(col("diff_bytes") <= col("fast_diff_bytes"), "DIFF")
+        .otherwise("FAST_DIFF"))
+  }
+
   /** PREFIX data-block-encoding savings audit (hbase-common/.../io/
     * encoding/PrefixKeyDeltaEncoder.java:34 — each cell stores only
     * the bytes of its flat key past the common prefix with the

@@ -368,6 +368,29 @@ class InsightsSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("blockEncodingDecision: hand-priced cells, ts-diff narrowing, value elision") {
+    // region 0, rlen=4, famLen=2 -> klen = 18 + qlen; blocks of 2.
+    // A/B same row+qual, ts 256 apart (DIFF stores a 2-byte diff vs a
+    // 3-byte ts; FAST_DIFF shares 6 BE ts bytes AND elides the equal
+    // value). C opens block 2; D changes row (3 common chars) and qual.
+    val df = Seq(
+      (0L, "0001", "cl", 1000000L, "xyz", 1L),
+      (0L, "0001", "cl", 1000256L, "xyz", 2L),
+      (0L, "0001", "cl", 1000256L, "ab", 3L),
+      (0L, "0002", "click", 5L, "ab", 4L)
+    ).toDF("reg", "row", "q", "ts", "v", "tie")
+    val got = Tools.blockEncodingDecision(df, col("reg"), col("row"), col("q"),
+        col("ts"), col("v"), col("tie"), famLen = 2, blockCells = 2)
+      .collect().map(r => (r.getAs[Long]("n_cells"), r.getAs[Long]("raw_bytes"),
+        r.getAs[Long]("prefix_bytes"), r.getAs[Long]("diff_bytes"),
+        r.getAs[Long]("fast_diff_bytes"), r.getAs[String]("best_encoding")))
+    // per-cell: raw 31/31/30/33; PREFIX 26/9/25/23; DIFF 22/7/21/12
+    // (B: flag+vint(common)+2-byte ts diff+value); FAST 27/4/26/12
+    // (B: flag+vint(common)+2 ts suffix bytes, value elided)
+    assert(got.sameElements(Array((4L, 125L, 83L, 62L, 69L, "DIFF"))),
+      got.mkString(","))
+  }
+
   test("dqAudit: violations counted, NULL predicates violate, one aggregate pass") {
     val df = Seq((Some(1L), 10.0), (None, -5.0), (Some(1L), 0.0))
       .toDF("k", "price")

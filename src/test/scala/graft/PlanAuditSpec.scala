@@ -378,6 +378,15 @@ class PlanAuditSpec extends SparkSpec {
       s"unpartitioned delta window: $l"))
   }
 
+  test("encoding_diff_savings: the delta window is region-partitioned, never global") {
+    val opt = SparkEntry.queries("encoding_diff_savings")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString()
+    val specs = opt.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(specs.nonEmpty, s"no window in:\n$opt")
+    specs.foreach(l => assert(l.contains("windowspecdefinition(region"),
+      s"unpartitioned delta window: $l"))
+  }
+
   test("eval_auc: the U-statistic cumsum is cell-anchored, never a global data window") {
     val opt = SparkEntry.queries("eval_auc")(spark, sfDir)
       .queryExecution.optimizedPlan.toString()
