@@ -118,6 +118,29 @@ object MutationQueries {
           regionWidth = 256)
         .orderBy("o_orderkey")
     }),
+    // HTable.batch() partial failure — one result slot per op, the
+    // NON-atomic dual of multi_row_mutation: puts on %7 keys (every
+    // 35th naming a bogus family), deletes on %11 keys, region
+    // [512, 1024) read-only. Bad-family and read-only ops fail ALONE
+    // (the RetriesExhaustedWithDetailsException per-op detail); their
+    // batch-mates still land
+    "batch_partial_failure" -> ((s, d) => {
+      val base = ordersKV(s, d)
+      val puts = base.where(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") * 2).as("op_idx"),
+          lit("put").as("op_type"),
+          when(col("o_orderkey") % 35 === 0, "bogus")
+            .otherwise("info").as("family"),
+          col("o_orderkey"))
+      val dels = base.where(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") * 2 + 1).as("op_idx"),
+          lit("delete").as("op_type"),
+          lit("info").as("family"),
+          col("o_orderkey"))
+      Mutations.batchOutcomes(puts.unionByName(dels), Seq("id", "info"),
+          expr("o_orderkey div 512") === 1)
+        .orderBy("op_idx")
+    }),
     // Constraint coprocessor write path: keys %10 carry a put tripling
     // the price; the enabled chain (status domain + 400k price cap)
     // rejects every put whose new price busts the cap — those rows
@@ -149,6 +172,23 @@ object MutationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "batch_partial_failure" ->
+      """WITH ops AS (
+        |  SELECT o_orderkey * 2 AS op_idx, 'put' AS op_type,
+        |         CASE WHEN o_orderkey % 35 = 0 THEN 'bogus' ELSE 'info' END AS family,
+        |         o_orderkey
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey * 2 + 1, 'delete', 'info', o_orderkey
+        |  FROM orders WHERE o_orderkey % 11 = 0),
+        |cls AS (SELECT *,
+        |  CASE WHEN family NOT IN ('id', 'info') THEN 'NoSuchColumnFamilyException'
+        |       WHEN o_orderkey // 512 = 1 THEN 'DoNotRetryIOException: region is read only'
+        |       ELSE 'OK' END AS outcome
+        |  FROM ops)
+        |SELECT op_idx, op_type, family, o_orderkey, outcome,
+        |       outcome = 'OK' AS applied
+        |FROM cls ORDER BY op_idx""".stripMargin,
     "put_upsert" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 100 <> 0
         |UNION ALL

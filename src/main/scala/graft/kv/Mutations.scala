@@ -281,6 +281,53 @@ object Mutations {
     vcells.crossJoin(broadcast(now)).where(keep).drop("_now")
   }
 
+  /** Client batch() partial-failure semantics (hbase-client/.../client/
+    * AsyncProcess.java:1324 — a DoNotRetryIOException on one action
+    * "continue[s] to retry for other actions";
+    * RetriesExhaustedWithDetailsException.java:70 exposes the failed
+    * slice per op via getNumExceptions/getRow(i)/getCause(i)). The
+    * NON-atomic dual of [[multiRowMutation]]: every op in a mixed batch
+    * succeeds or fails ALONE, and the client reads one result slot per
+    * op — this report is that result array.
+    *
+    * Failure classes modeled (both DoNotRetryIOExceptions the
+    * regionserver raises before the WAL):
+    *  - `NoSuchColumnFamilyException` — the op names a family the
+    *    table lacks (HRegion.checkFamily);
+    *  - `DoNotRetryIOException: region is read only` — the op's key
+    *    lands in a read-only region (HRegion.java:3812), expressed as
+    *    the `readOnly` predicate over the op row.
+    * Outcome = the FIRST failing check (family validates before the
+    * region is consulted, mirroring the server's check order), 'OK'
+    * otherwise. A pure per-op projection — no shuffle, no join; the
+    * batch never re-reads the base table to classify. */
+  def batchOutcomes(ops: DataFrame, validFamilies: Seq[String],
+                    readOnly: Column): DataFrame = {
+    require(validFamilies.nonEmpty, "batchOutcomes needs the table's family set")
+    ops.withColumn("outcome",
+        when(!col("family").isin(validFamilies: _*),
+          "NoSuchColumnFamilyException")
+          .when(readOnly, "DoNotRetryIOException: region is read only")
+          .otherwise("OK"))
+      .withColumn("applied", col("outcome") === "OK")
+  }
+
+  /** Apply the accepted slice of a mixed put+delete batch (`op_type`
+    * column: 'put' rows carry the base schema as payload, 'delete'
+    * rows only their key): failed ops drop ALONE — the rows they
+    * targeted stay byte-identical — and accepted ops land atomically
+    * per row with [[mutateRow]]'s delete-wins convention (batch() has
+    * no same-row ordering guarantee, so the engine fixes a
+    * deterministic one). */
+  def batchApply(base: DataFrame, ops: DataFrame, keyCol: String,
+                 validFamilies: Seq[String], readOnly: Column): DataFrame = {
+    val ok = batchOutcomes(ops, validFamilies, readOnly).where(col("applied"))
+    val puts = ok.where(col("op_type") === "put")
+      .select(base.columns.map(col).toSeq: _*)
+    val dels = ok.where(col("op_type") === "delete").select(col(keyCol))
+    mutateRow(base, puts, dels, keyCol)
+  }
+
   /** TTL with HColumnDescriptor#setMinVersions semantics: expired cells
     * are dropped EXCEPT the latest `minVersions` per
     * (rowkey, family, qualifier), which survive any TTL — HBase

@@ -21,6 +21,42 @@ class MutationsSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, "a", 0L), (2L, "b9", 20L), (3L, "c", 5L))))
   }
 
+  test("batch partial failure: mixed outcomes, failed ops never poison batch-mates") {
+    // base keys 1..4; ops: put k=1 (ok), put k=2 bogus family, put k=3
+    // read-only region, delete k=4 (ok), put k=5 (ok, new row),
+    // delete k=1 (ok — delete wins over the same-row accepted put)
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val ops = Seq(
+      (0L, "put", "info", 1L, "A"),
+      (1L, "put", "bogus", 2L, "B"),
+      (2L, "put", "info", 3L, "C"),
+      (3L, "delete", "info", 4L, null),
+      (4L, "put", "info", 5L, "E"),
+      (5L, "delete", "info", 1L, null)
+    ).toDF("op_idx", "op_type", "family", "k", "v")
+    val readOnly = col("k") === 3L
+    val out = Mutations.batchOutcomes(ops, Seq("info"), readOnly)
+      .orderBy("op_idx")
+      .select("outcome", "applied").as[(String, Boolean)].collect()
+    assert(out.sameElements(Array(
+      ("OK", true),
+      ("NoSuchColumnFamilyException", false),
+      ("DoNotRetryIOException: region is read only", false),
+      ("OK", true), ("OK", true), ("OK", true))), out.mkString(","))
+    // family validates BEFORE the region check (server order): a bogus
+    // family in a read-only region reports the family error
+    val both = Mutations.batchOutcomes(
+      Seq((0L, "put", "bogus", 3L, "X")).toDF("op_idx", "op_type", "family", "k", "v"),
+      Seq("info"), readOnly).select("outcome").as[String].head()
+    assert(both == "NoSuchColumnFamilyException")
+    // applying: k=2 and k=3 stay byte-identical (their ops failed),
+    // k=4 deleted, k=5 inserted, k=1 deleted (delete-wins convention)
+    val applied = Mutations.batchApply(base, ops, "k", Seq("info"), readOnly)
+      .orderBy("k").as[(Long, String)].collect()
+    assert(applied.sameElements(Array((2L, "b"), (3L, "c"), (5L, "E"))),
+      applied.mkString(","))
+  }
+
   test("checkAndPut applies only where the BASE row passes the check") {
     val base = Seq((1L, "old", 5.0), (2L, "old", -1.0), (3L, "old", 9.0)).toDF("k", "v", "bal")
     val puts = Seq((1L, "new", 5.0), (2L, "new", -1.0), (4L, "new", 0.0)).toDF("k", "v", "bal")
