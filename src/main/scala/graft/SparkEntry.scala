@@ -171,6 +171,49 @@ object SparkEntry {
         .select("rowkey", "qualifier", "ts", "vis", "value", "event_id")
         .orderBy("event_id")
     }),
+    // VisibilityClient admin half (addLabels/setAuths/clearAuths/
+    // getAuths) beside cell_visibility's read path: a replayed op log
+    // over the labels/auth tables with per-op OperationStatus outcomes
+    // — one invalid-alphabet add, duplicate adds, per-user grant waves,
+    // ghost-label sets, held and not-held clears — plus the surviving
+    // getAuths rows. Labels come from the corpus event types (first-
+    // char arithmetic assigns users portably); the spec shows a clear
+    // FLIPS cell visibility on the next read
+    "visibility_labels_admin" -> ((s, d) => {
+      import s.implicits._
+      val lbl = Tables.load(s, d, "events")
+        .select(col("event_type").as("label")).distinct()
+      val ai = ascii(substring(col("label"), 1, 1)) % 5
+      val users = Seq(0, 1, 2, 3, 4).toDF("i")
+      val a1 = lbl.select(lit(100L).as("op_idx"), lit("add_label").as("op"),
+        lit(null).cast("string").as("grantee"), col("label"))
+      val aBad = Seq("bad label!").toDF("label")
+        .select(lit(150L).as("op_idx"), lit("add_label").as("op"),
+          lit(null).cast("string").as("grantee"), col("label"))
+      val a2 = lbl.where(ascii(substring(col("label"), 1, 1)) % 2 === 0)
+        .select(lit(200L).as("op_idx"), lit("add_label").as("op"),
+          lit(null).cast("string").as("grantee"), col("label"))
+      val s1 = lbl.crossJoin(users)
+        .where(ai === col("i") || ai === (col("i") + 1) % 5)
+        .select((lit(1000L) + col("i")).as("op_idx"), lit("set_auths").as("op"),
+          concat(lit("u"), col("i")).as("grantee"), col("label"))
+      val sGhost = users.select((lit(1900L) + col("i")).as("op_idx"),
+        lit("set_auths").as("op"), concat(lit("u"), col("i")).as("grantee"),
+        lit("ghost").as("label"))
+      val c1 = lbl.crossJoin(users).where(ai === col("i"))
+        .select((lit(3000L) + col("i")).as("op_idx"), lit("clear_auths").as("op"),
+          concat(lit("u"), col("i")).as("grantee"), col("label"))
+      val c2 = lbl.crossJoin(users).where(ai === (col("i") + 2) % 5)
+        .select((lit(3500L) + col("i")).as("op_idx"), lit("clear_auths").as("op"),
+          concat(lit("u"), col("i")).as("grantee"), col("label"))
+      val ops = a1.unionByName(aBad).unionByName(a2).unionByName(s1)
+        .unionByName(sGhost).unionByName(c1).unionByName(c2)
+      val held = graft.kv.Visibility.finalAuths(ops)
+        .select(lit(9000L).as("op_idx"), lit("get_auths").as("op"),
+          col("grantee"), col("label"), lit("held").as("outcome"))
+      graft.kv.Visibility.adminReplay(ops).unionByName(held)
+        .orderBy("op_idx", "grantee", "label")
+    }),
     // AccessController read masking, the grant-table half of HBase
     // security next to cell_visibility's label half: the user's _acl_
     // grants broadcast beside the scan, a cell survives iff a READ
@@ -349,6 +392,58 @@ object SparkEntry {
         |           ELSE list_contains(['public','internal'], a) END))
         |      = len(string_split(t, '&')))) > 0
         |ORDER BY event_id""".stripMargin),
+    // the admin replay mirror: same op log from the distinct event
+    // types, same first-valid-add / first-grant min-aggregates, same
+    // VisibilityLabelsValidator alphabet (full match)
+    "visibility_labels_admin" ->
+      """WITH lbl AS (SELECT DISTINCT event_type AS label FROM events),
+        |u AS (SELECT CAST(unnest(range(0, 5)) AS INT) AS i),
+        |ops AS (
+        |  SELECT CAST(100 AS BIGINT) AS op_idx, 'add_label' AS op,
+        |         CAST(NULL AS VARCHAR) AS grantee, label FROM lbl
+        |  UNION ALL SELECT 150, 'add_label', NULL, 'bad label!'
+        |  UNION ALL SELECT 200, 'add_label', NULL, label FROM lbl
+        |    WHERE ascii(substr(label, 1, 1)) % 2 = 0
+        |  UNION ALL SELECT 1000 + i, 'set_auths', 'u' || i, label FROM lbl, u
+        |    WHERE ascii(substr(label, 1, 1)) % 5 = i
+        |       OR ascii(substr(label, 1, 1)) % 5 = (i + 1) % 5
+        |  UNION ALL SELECT 1900 + i, 'set_auths', 'u' || i, 'ghost' FROM u
+        |  UNION ALL SELECT 3000 + i, 'clear_auths', 'u' || i, label FROM lbl, u
+        |    WHERE ascii(substr(label, 1, 1)) % 5 = i
+        |  UNION ALL SELECT 3500 + i, 'clear_auths', 'u' || i, label FROM lbl, u
+        |    WHERE ascii(substr(label, 1, 1)) % 5 = (i + 2) % 5),
+        |born AS (SELECT label, min(op_idx) AS born FROM ops
+        |         WHERE op = 'add_label'
+        |           AND regexp_full_match(label, '[A-Za-z_\-:/.0-9]+')
+        |         GROUP BY 1),
+        |addo AS (SELECT o.op_idx, o.op, o.grantee, o.label,
+        |           CASE WHEN NOT regexp_full_match(o.label, '[A-Za-z_\-:/.0-9]+')
+        |                  THEN 'InvalidLabelException'
+        |                WHEN o.op_idx = b.born THEN 'OK'
+        |                ELSE 'LabelAlreadyExistsException' END AS outcome
+        |         FROM ops o LEFT JOIN born b USING (label)
+        |         WHERE o.op = 'add_label'),
+        |seto AS (SELECT o.op_idx, o.op, o.grantee, o.label,
+        |           CASE WHEN b.born IS NOT NULL AND b.born < o.op_idx THEN 'OK'
+        |                ELSE 'InvalidLabelException' END AS outcome
+        |         FROM ops o LEFT JOIN born b USING (label)
+        |         WHERE o.op = 'set_auths'),
+        |granted AS (SELECT grantee, label, min(op_idx) AS granted
+        |            FROM seto WHERE outcome = 'OK' GROUP BY 1, 2),
+        |clro AS (SELECT o.op_idx, o.op, o.grantee, o.label,
+        |           CASE WHEN g.granted IS NOT NULL AND g.granted < o.op_idx THEN 'OK'
+        |                ELSE 'InvalidLabelException' END AS outcome
+        |         FROM ops o LEFT JOIN granted g USING (grantee, label)
+        |         WHERE o.op = 'clear_auths'),
+        |rep AS (SELECT * FROM addo UNION ALL SELECT * FROM seto
+        |        UNION ALL SELECT * FROM clro),
+        |held AS (SELECT CAST(9000 AS BIGINT) AS op_idx, 'get_auths' AS op,
+        |           s.grantee, s.label, 'held' AS outcome
+        |         FROM seto s WHERE s.outcome = 'OK' AND NOT EXISTS (
+        |           SELECT 1 FROM clro c WHERE c.outcome = 'OK'
+        |             AND c.grantee = s.grantee AND c.label = s.label))
+        |SELECT * FROM rep UNION ALL SELECT * FROM held
+        |ORDER BY op_idx, grantee, label""".stripMargin,
     "acl_enforce" ->
       ("WITH " + graft.core.Tables.eventCellsTwoFamiliesSql + """,
         |grants(grantee, tbl, family, qualifier, perm) AS (VALUES

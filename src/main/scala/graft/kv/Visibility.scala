@@ -43,4 +43,72 @@ object Visibility {
   /** Scan-with-Authorizations: keep cells the auth set may see. */
   def applyAuths(cells: DataFrame, visCol: String, auths: Seq[String]): DataFrame =
     cells.where(visibleExpr(col(visCol), auths))
+
+  /** VisibilityLabelsValidator.regex (hbase-client/.../security/
+    * visibility/VisibilityLabelsValidator.java:31) — the full-match
+    * label alphabet addLabels enforces. */
+  private val labelRegex = "^[A-Za-z_\\-:/.0-9]+$"
+
+  /** VisibilityClient admin surface replayed over an op log
+    * (hbase-client/.../security/visibility/VisibilityClient.java
+    * addLabels/setAuths/clearAuths; service semantics per
+    * DefaultVisibilityLabelServiceImpl.java:215/245/284): one outcome
+    * row per op, exactly the per-label OperationStatus array the
+    * client reads back —
+    *  - `add_label`: regex-invalid label → InvalidLabelException; a
+    *    label already added → LabelAlreadyExistsException; first valid
+    *    add wins.
+    *  - `set_auths`: the label must have been added (successfully,
+    *    earlier) → else InvalidLabelException ("doesn't exists").
+    *  - `clear_auths`: the grantee must hold the auth (an earlier
+    *    successful set) → else InvalidLabelException ("not set for
+    *    the user").
+    *
+    * Ops are (op_idx, op, grantee, label); `op_idx` orders the log.
+    * The replay is RELATIONAL (first-add / first-grant min-aggregates
+    * + broadcast-size joins, no sequential fold), which is exact while
+    * each (grantee, label) pair carries at most one set and one clear,
+    * the clear after the set — the admin-log shape (idempotent label
+    * assignment); re-grant-after-revoke cycles would need a
+    * sequential replay. Label/auth tables are metadata: a few rows
+    * per label, never corpus-sized. */
+  def adminReplay(ops: DataFrame): DataFrame = {
+    val valid = col("label").rlike(labelRegex)
+    val adds = ops.where(col("op") === "add_label")
+    val born = adds.where(valid).groupBy("label").agg(min("op_idx").as("_born"))
+    val addOut = adds.join(broadcast(born), Seq("label"), "left")
+      .withColumn("outcome",
+        when(!valid, "InvalidLabelException")
+          .when(col("op_idx") === col("_born"), "OK")
+          .otherwise("LabelAlreadyExistsException"))
+      .drop("_born")
+    val sets = ops.where(col("op") === "set_auths")
+    val setOut = sets.join(broadcast(born), Seq("label"), "left")
+      .withColumn("outcome",
+        when(col("_born").isNotNull && col("_born") < col("op_idx"), "OK")
+          .otherwise("InvalidLabelException"))
+      .drop("_born")
+    val granted = setOut.where(col("outcome") === "OK")
+      .groupBy("grantee", "label").agg(min("op_idx").as("_granted"))
+    val clears = ops.where(col("op") === "clear_auths")
+    val clearOut = clears.join(broadcast(granted), Seq("grantee", "label"), "left")
+      .withColumn("outcome",
+        when(col("_granted").isNotNull && col("_granted") < col("op_idx"), "OK")
+          .otherwise("InvalidLabelException"))
+      .drop("_granted")
+    addOut.unionByName(setOut).unionByName(clearOut)
+  }
+
+  /** getAuths after the replay: the (grantee, label) grants that
+    * survive — successful sets minus successful clears. The auth set
+    * a scan's effective Authorizations are intersected with, so a
+    * clear here FLIPS cell visibility on the next read (the
+    * before/after contract the spec asserts via [[applyAuths]]). */
+  def finalAuths(ops: DataFrame): DataFrame = {
+    val replay = adminReplay(ops)
+    val ok = replay.where(col("outcome") === "OK")
+    ok.where(col("op") === "set_auths").select("grantee", "label")
+      .join(ok.where(col("op") === "clear_auths").select("grantee", "label"),
+        Seq("grantee", "label"), "left_anti")
+  }
 }

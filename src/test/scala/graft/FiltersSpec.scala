@@ -246,6 +246,45 @@ class FiltersSpec extends SparkSpec {
     assert(got == Set(1L, 2L, 3L), s"got $got")
   }
 
+  test("visibility admin: per-op outcomes, auth changes flip cell visibility") {
+    import spark.implicits._
+    // op log: add secret+audit (audit re-added = dupe, one invalid);
+    // alice granted both, bob granted a ghost; alice's audit cleared,
+    // her never-held embargo clear fails
+    val ops = Seq(
+      (1L, "add_label", null.asInstanceOf[String], "secret"),
+      (2L, "add_label", null.asInstanceOf[String], "audit"),
+      (3L, "add_label", null.asInstanceOf[String], "bad label!"),
+      (4L, "add_label", null.asInstanceOf[String], "audit"),
+      (10L, "set_auths", "alice", "secret"),
+      (11L, "set_auths", "alice", "audit"),
+      (12L, "set_auths", "bob", "ghost"),
+      (20L, "clear_auths", "alice", "audit"),
+      (21L, "clear_auths", "alice", "embargo")
+    ).toDF("op_idx", "op", "grantee", "label")
+    val out = graft.kv.Visibility.adminReplay(ops).orderBy("op_idx")
+      .select("op_idx", "outcome").as[(Long, String)].collect()
+    assert(out.sameElements(Array(
+      (1L, "OK"), (2L, "OK"), (3L, "InvalidLabelException"),
+      (4L, "LabelAlreadyExistsException"),
+      (10L, "OK"), (11L, "OK"), (12L, "InvalidLabelException"),
+      (20L, "OK"), (21L, "InvalidLabelException"))), out.mkString(","))
+    // getAuths: alice keeps only secret (audit cleared), bob nothing
+    val auths = graft.kv.Visibility.finalAuths(ops)
+      .as[(String, String)].collect().toSet
+    assert(auths == Set(("alice", "secret")))
+    // the flip: before the clear alice held {secret, audit} and saw
+    // the audit-labelled cell; with her POST-replay auth set the same
+    // scan hides it — an auth mutation changed read results
+    val cells = Seq((1L, "secret"), (2L, "audit"), (3L, null.asInstanceOf[String]))
+      .toDF("k", "vis")
+    def visible(a: Seq[String]) = graft.kv.Visibility.applyAuths(cells, "vis", a)
+      .select("k").as[Long].collect().toSet
+    assert(visible(Seq("secret", "audit")) == Set(1L, 2L, 3L))
+    val after = auths.collect { case ("alice", l) => l }.toSeq
+    assert(visible(after) == Set(1L, 3L))
+  }
+
   test("DSL ColumnCountGetFilter is version-deterministic on a versioned view") {
     import spark.implicits._
     // two versions of the SAME (family, qualifier): the survivor must
