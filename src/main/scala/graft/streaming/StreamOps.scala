@@ -253,42 +253,55 @@ object StreamOps {
     * idempotent. Which doc anchors depends on arrival order, but the
     * COMPONENTS do not (spec-asserted under shuffled file order).
     *
-    * STATE-LIFETIME CAVEAT: one long per live (band, key) bucket with
-    * NoTimeout means state grows with the stream's cumulative shingle
-    * vocabulary and never shrinks — fine for a bounded ingest or the
-    * test harness, but a perpetual production gate must bound it:
-    * either restart the query per corpus epoch (anchors rebuild from
-    * the next arrivals; CC downstream is idempotent across the seam)
-    * or add a ProcessingTimeTimeout that expires cold buckets — an
-    * expired anchor only means the next member of that bucket
-    * re-anchors, i.e. a missed CANDIDATE pair across the expiry gap,
-    * never corruption. Choose the TTL by how far apart true near-dups
-    * arrive. */
+    * STATE LIFETIME: one long per live (band, key) bucket. With
+    * `idleTimeout = None` state grows with the stream's cumulative
+    * shingle vocabulary and never shrinks — fine for a bounded ingest
+    * or the test harness. A perpetual production gate passes an
+    * `idleTimeout` (e.g. "6 hours"): a bucket untouched for that long
+    * expires via ProcessingTimeTimeout and its state row is removed —
+    * the [[streamingQuota]] eviction lifecycle. An expired anchor only
+    * means the next member of that bucket re-anchors, i.e. a missed
+    * CANDIDATE pair across the expiry gap, never corruption (CC
+    * downstream is idempotent across the seam). Choose the TTL by how
+    * far apart true near-dups arrive; restarting the query per corpus
+    * epoch remains the zero-state alternative. */
   def streamingLshCandidates(docs: DataFrame, perms: Int = 128,
-                             bands: Int = 32): Dataset[LshCandidate] = {
+                             bands: Int = 32,
+                             idleTimeout: Option[String] = None): Dataset[LshCandidate] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf = if (idleTimeout.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     graft.dedup.Dedup.bandKeys(graft.dedup.Dedup.shingles(docs), perms, bands)
       .select(col("band"), col("key"), col("doc_id"))
       .as[(Int, String, Long)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: (Int, String), rows: Iterator[(Int, String, Long)],
          state: GroupState[Long]) =>
-          // Option, not an in-band sentinel: a doc_id equal to any
-          // sentinel value must still be able to anchor its bucket
-          var anchor = state.getOption
-          val out = List.newBuilder[LshCandidate]
-          rows.foreach { case (_, _, doc) =>
-            anchor match {
-              case None => anchor = Some(doc)
-              case Some(a) if doc != a =>
-                out += LshCandidate(math.min(a, doc), math.max(a, doc))
-              case _ => ()
+          if (state.hasTimedOut) {
+            // cold bucket: drop the anchor; the bucket's next member
+            // re-anchors it (missed pair across the gap, by contract)
+            state.remove()
+            Iterator.empty
+          } else {
+            // Option, not an in-band sentinel: a doc_id equal to any
+            // sentinel value must still be able to anchor its bucket
+            var anchor = state.getOption
+            val out = List.newBuilder[LshCandidate]
+            rows.foreach { case (_, _, doc) =>
+              anchor match {
+                case None => anchor = Some(doc)
+                case Some(a) if doc != a =>
+                  out += LshCandidate(math.min(a, doc), math.max(a, doc))
+                case _ => ()
+              }
             }
+            anchor.foreach(state.update)
+            // re-arm on every touch: the timeout measures IDLENESS
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          anchor.foreach(state.update)
-          out.result().iterator
       }
   }
 

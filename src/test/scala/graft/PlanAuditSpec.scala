@@ -880,4 +880,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!joins.exists(_.contains("nn_id")),
       s"re-score shuffled the corpus by nn_id:\n${joins.mkString("\n")}")
   }
+
+  test("every unpartitioned window reads a bounded metadata relation") {
+    // WindowExec warns on every unpartitioned window because it is a
+    // single-partition sort — fatal over corpus-sized input, correct
+    // by design over bounded metadata (top-K coverage tables, ≤4096
+    // grouping cells, catalog rows). This walk EXECUTES each such
+    // window's input and asserts the bound, so the warning class is
+    // structurally closed: a future query putting a global window over
+    // corpus-scaled rows fails here, not on a cluster.
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val bound = 8192L
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    var audited = 0
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      (plan +: plan.subqueriesAll).foreach(_.foreach {
+        case w: Window if w.partitionSpec.isEmpty =>
+          audited += 1
+          val n = PlanBridge.ofRows(spark, w.child).count()
+          if (n > bound)
+            offenders += s"$name: unpartitioned window over $n input rows"
+        case _ => ()
+      })
+    }
+    // the class is real: the audit must actually have found the known
+    // bounded global windows, not silently matched nothing
+    assert(audited > 0, "no unpartitioned windows found — matcher broken?")
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

@@ -497,4 +497,73 @@ class StreamingSpec extends SparkSpec {
       assert(s.map(find).size == 1, s"bucket $s split across components")
     }
   }
+
+  test("streaming LSH idleTimeout bounds state: cold buckets evict, pairs stay real") {
+    val docs = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_lsh_ttl_src").toString
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // a 1 ms idle TTL expires every bucket between micro-batches — the
+    // maximal-eviction corner of the contract. Metrics come from a
+    // listener, not recentProgress: ProcessingTimeTimeout keeps firing
+    // empty timeout batches, which rotate the data batches out of the
+    // bounded recentProgress ring. AvailableNow (not
+    // processAllAvailable) bounds the run; the empty-batch tail is
+    // cut by stop() after termination or the deadline.
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (total, removed)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        e.progress.stateOperators.foreach(so => seen.synchronized {
+          seen += ((so.numRowsTotal, so.numRowsRemoved)) })
+    }
+    spark.streams.addListener(listener)
+    val q = StreamOps.streamingLshCandidates(streamed,
+        idleTimeout = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("lsh_cand_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // wait until eviction is OBSERVED (removed > 0 and state back to
+      // 0), not for termination: the timeout-batch tail can outlive
+      // the data by design
+      val deadline = System.currentTimeMillis() + 90000
+      while (System.currentTimeMillis() < deadline &&
+             !seen.synchronized(seen.exists(_._2 > 0) && seen.lastOption.exists(_._1 == 0L))) {
+        Thread.sleep(200)
+      }
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+    val snap = seen.synchronized(seen.toList)
+    assert(snap.nonEmpty, "no stateful progress recorded")
+    // eviction actually ran: state rows were removed across the run
+    assert(snap.exists(_._2 > 0), "idleTimeout never evicted a bucket")
+    // the state bound: live rows never exceed what ONE batch's buckets
+    // need (every older bucket expired before the next batch ran) —
+    // with NoTimeout this would be the cumulative bucket vocabulary
+    val liveMax = snap.map(_._1).max
+    val cumulativeBuckets = graft.dedup.Dedup.bandKeys(
+        graft.dedup.Dedup.shingles(docs), 128, 32)
+      .select("band", "key").distinct().count()
+    assert(liveMax < cumulativeBuckets,
+      s"state ($liveMax) did not stay below the cumulative bucket count ($cumulativeBuckets)")
+    // expiry loses pairs across the gap but never invents them: every
+    // emitted pair still shares a batch bucket
+    val pairs = spark.table("lsh_cand_ttl").collect()
+      .map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"))).distinct
+    val buckets = graft.dedup.Dedup.bandKeys(
+        graft.dedup.Dedup.shingles(docs), 128, 32)
+      .groupBy("band", "key").agg(collect_set("doc_id").as("ds"))
+      .where(size(col("ds")) >= 2)
+      .collect().map(_.getAs[Seq[Long]]("ds").toSet)
+    pairs.foreach { case (i, j) =>
+      assert(buckets.exists(s => s(i) && s(j)), s"phantom pair ($i,$j)")
+    }
+  }
 }
