@@ -32,12 +32,19 @@ import org.apache.spark.sql.SparkSession
   *    a data-cardinality intermediate — leave unless a stage rereads
   *    FULL rows.
   *
-  * Usage: runMain graft.ScanAudit <sfDir> [minScans]
+  * Usage: runMain graft.ScanAudit <sfDir> [minScans] [q1,q2,...]
+  * With a query list, audits ONLY those queries and prints each scan
+  * node's pushed filters + read schema — the evidence a "benign"
+  * triage rests on (point-probe pages show PushedFilters, pipeline
+  * re-reads show a pruned ReadSchema), committed per query as the
+  * re-verification artifact.
   */
 object ScanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val minScans = if (args.length > 1) args(1).toInt else 4
+    val only = if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet)
+      else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,7 +58,9 @@ object ScanAudit {
     // is equivalent for these plans
     val fileRe = """file:[^,\s\]]+""".r
     var flagged = 0
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    for ((name, fn) <- qs) {
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
         val perFile = fileRe.findAllIn(plan).toSeq
@@ -60,6 +69,20 @@ object ScanAudit {
         for ((src, n) <- perFile.toSeq.sortBy(-_._2) if n >= minScans) {
           println(f"[scan-audit] $name%-28s $src%-24s x$n")
           flagged += 1
+        }
+        if (only.isDefined) {
+          // detail mode: one line per scan node — source, pushed
+          // filters, read schema — the triage evidence itself
+          val pushedRe = """PushedFilters: \[[^\]]*\]""".r
+          val schemaRe = """ReadSchema: [^,\s]+""".r
+          plan.linesIterator.filter(_.contains("Scan parquet")).foreach { l =>
+            val src = fileRe.findFirstIn(l).map(_.replaceAll(".*/", ""))
+              .getOrElse("?")
+            val pushed = pushedRe.findFirstIn(l).getOrElse("PushedFilters: ?")
+            val schema = schemaRe.findFirstIn(l).getOrElse("ReadSchema: ?")
+              .take(160)
+            println(s"[scan-audit]   $name scan $src | $pushed | $schema")
+          }
         }
       } catch {
         case e: Throwable =>

@@ -31,16 +31,19 @@ object Scans {
   /** REST/Thrift scanner paging (hbase-rest ScannerResource.java:47,
     * hbase-thrift ThriftServerRunner.scannerGetList:1411) — a scanner
     * handle is a CURSOR: each fetch returns the next `pageSize` rows
-    * strictly after it. Stateless re-expression: every page is an
-    * independent range scan `key > cursor ORDER BY key LIMIT n` — the
-    * cursor is a pushed-down predicate, the page plans as
+    * strictly after it. Every page is an independent range scan
+    * `key > cursor ORDER BY key LIMIT n`: the page plans as
     * TakeOrderedAndProject (per-partition top-n + n-row merge, never a
-    * global sort), and the next cursor is the page's max key carried
-    * as one broadcast scalar — exactly the resume-row an HBase client
-    * keeps between scanner RPCs, derived in-plan. Pages are tagged
-    * `page_idx` and unioned (each page re-derives its predecessors'
-    * n-row aggregates — n·pageSize rows of repeated work, the price of
-    * statelessness, negligible against any real scan).
+    * global sort), and the cursor is the previous page's max key held
+    * DRIVER-side as a literal — exactly the resume-row an HBase client
+    * keeps between scanner RPCs. The literal matters at scale: the r8
+    * form carried the cursor as a lazy broadcast scalar, which kept
+    * the `key > cursor` predicate out of the parquet scan
+    * (PushedFilters stayed empty — the r9 ScanAudit re-verification
+    * caught it), so every page re-read the WHOLE table; as a literal
+    * the predicate pushes and each page min/max-prunes to the row
+    * groups past the cursor. The price is one tiny driver job per
+    * page during construction — a cursor is sequential by nature.
     *
     * `keyCol` must be UNIQUE per row (an HBase rowkey is): the resume
     * predicate is strictly `key > cursor`, so rows SHARING the
@@ -53,13 +56,15 @@ object Scans {
       s"need pageSize ($pageSize) >= 1 and nPages ($nPages) >= 1")
     require(projection.contains(keyCol),
       s"projection must carry the cursor key '$keyCol' (got $projection)")
-    var cursor: Option[DataFrame] = None
+    var cursor: Option[Any] = None
     val pages = (0 until nPages).map { i =>
-      val base = cursor.fold(df)(c =>
-        df.crossJoin(broadcast(c)).where(col(keyCol) > col("_cur")))
+      val base = cursor.fold(df)(c => df.where(col(keyCol) > lit(c)))
       val page = base.orderBy(keyCol).limit(pageSize)
         .select(projection.map(col) :+ lit(i.toLong).as("page_idx"): _*)
-      cursor = Some(page.agg(max(col(keyCol)).as("_cur")))
+      // an empty page leaves the cursor where it was — every later
+      // page is empty too (nothing sits above the cursor)
+      Option(page.agg(max(col(keyCol))).head().get(0)).foreach(v =>
+        cursor = Some(v))
       page
     }
     pages.reduce(_ unionByName _)
