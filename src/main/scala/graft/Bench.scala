@@ -85,10 +85,12 @@ object Bench {
       }
       System.err.println(s"[bench] gc drain: $rounds rounds, $prev blocks live")
     }
-    // prewarm only when some selected query can consume the memos — a
-    // filtered kv-only run must not pay ~seconds of shingle builds
+    // prewarm only when some selected query actually CONSUMES a shared
+    // memo — a filtered run of memo-free queries (kv-only, or pipeline
+    // arms like dedup_exact that touch no memo) must not pay ~seconds
+    // of shingle builds nobody reads
     val anyPipeline = qs.exists { case (n, _) =>
-      graft.pipeline.PipelineQueries.queries.contains(n) }
+      graft.pipeline.PipelineQueries.sharedMemoConsumers.contains(n) }
     def timedPass(): Seq[(String, Double, Double)] = {
       graft.pipeline.PipelineQueries.resetShared()
       drainGarbage()

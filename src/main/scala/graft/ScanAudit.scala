@@ -74,7 +74,9 @@ object ScanAudit {
           // detail mode: one line per scan node — source, pushed
           // filters, read schema — the triage evidence itself
           val pushedRe = """PushedFilters: \[[^\]]*\]""".r
-          val schemaRe = """ReadSchema: [^,\s]+""".r
+          // \S+ keeps the FULL comma-separated struct<...> (schemas
+          // have no spaces); the take() below is the only bound
+          val schemaRe = """ReadSchema: \S+""".r
           plan.linesIterator.filter(_.contains("Scan parquet")).foreach { l =>
             val src = fileRe.findFirstIn(l).map(_.replaceAll(".*/", ""))
               .getOrElse("?")

@@ -519,8 +519,9 @@ object Tools {
     // report a spurious put failure, the exact bug this guard
     // prevents). A probe KEY must be exact on BOTH sides, so refuse
     // spans past span·n ≤ 2^53 loudly (the bm25 discipline).
-    require(hi - lo + 1 <= math.min(Long.MaxValue / nRegions,
-        (1L << 53) / nRegions),
+    // 2^53/n is strictly tighter than Long.MaxValue/n for every n ≥ 1,
+    // so the double-exactness bound subsumes the long-overflow one
+    require(hi - lo + 1 <= (1L << 53) / nRegions,
       s"canaryWriteProbe: key span ${hi - lo + 1} exceeds the exact " +
         s"boundary arithmetic for $nRegions regions — probe fewer regions")
     val spark = cells.sparkSession

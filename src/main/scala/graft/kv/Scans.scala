@@ -62,9 +62,11 @@ object Scans {
       val page = base.orderBy(keyCol).limit(pageSize)
         .select(projection.map(col) :+ lit(i.toLong).as("page_idx"): _*)
       // an empty page leaves the cursor where it was — every later
-      // page is empty too (nothing sits above the cursor)
-      Option(page.agg(max(col(keyCol))).head().get(0)).foreach(v =>
-        cursor = Some(v))
+      // page is empty too (nothing sits above the cursor). The LAST
+      // page's cursor is never read: skip its driver job.
+      if (i < nPages - 1)
+        Option(page.agg(max(col(keyCol))).head().get(0)).foreach(v =>
+          cursor = Some(v))
       page
     }
     pages.reduce(_ unionByName _)

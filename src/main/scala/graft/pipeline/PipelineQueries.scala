@@ -70,9 +70,11 @@ object PipelineQueries {
     * until driver GC notices (the r4 bench regression: a 100-query JVM
     * accumulated every pinned table ever built). Bench hygiene: the
     * timed pass must pay the first computation of each shared table
-    * inside the timed window (attributed to whichever consumer runs
-    * first), not inherit it from the warmup pass — otherwise the dedup
-    * family times a cache probe instead of the operator. */
+    * inside the timed window — charged to the explicit `memo_setup`
+    * line via [[prewarmShared]] (r9; first-consumer attribution made
+    * per-query numbers move with registration order) — not inherit it
+    * from the warmup pass, otherwise the dedup family times a cache
+    * probe instead of the operator. */
   def resetShared(): Unit = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
     memo.values().forEach(df => CheckpointBridge.free(df))
@@ -97,6 +99,19 @@ object PipelineQueries {
     bpeRules(s, d)
     ()
   }
+
+  /** The queries that consume a [[prewarmShared]] memo (directly or
+    * via presencePairs) — Bench pays memo_setup only when a selected
+    * query is in this set, so a filtered run of memo-free queries
+    * never buys memos nobody reads. Keep in sync with the memo call
+    * sites in the map above (the spec asserts every name here is a
+    * registered query, so renames can't silently un-gate). */
+  val sharedMemoConsumers: Set[String] = Set(
+    "dedup_ngram_jaccard", "dedup_clusters", "graph_pagerank",
+    "dedup_report", "ngram_novelty", "source_overlap",
+    "label_propagation", "dedup_minhash_lsh", "pipeline_curation",
+    "ann_quantized", "ann_quantized_ivf", "dedup_soft",
+    "dedup_keep_best", "bpe_apply")
 
   /** The jittered-twin embedding corpus (base ∪ every-10th vector
     * scaled ×1.01 plus a small per-dimension pmod jitter, ids offset

@@ -91,17 +91,6 @@ object SessionBridge {
   * OUTSIDE its timed windows needs to see when the drain has actually
   * finished; block counts are that signal (private[spark] API, hence
   * this bridge). */
-/** Plan-level access for audits: rebuild a DataFrame from a logical
-  * subtree (Dataset.ofRows is private[sql]) — lets a spec EXECUTE the
-  * input of a plan fragment, e.g. count the child of an unpartitioned
-  * window to prove it is a bounded metadata relation. */
-object PlanBridge {
-  import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
-  def ofRows(spark: org.apache.spark.sql.SparkSession,
-             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
-    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
-}
-
 object CleanerBridge {
   import org.apache.spark.SparkEnv
   import org.apache.spark.storage.{BlockId, BroadcastBlockId, RDDBlockId}
@@ -114,4 +103,15 @@ object CleanerBridge {
       case _: BroadcastBlockId | _: RDDBlockId => true
       case _: BlockId => false
     }, askStorageEndpoints = false).size
+}
+
+/** Plan-level access for audits: rebuild a DataFrame from a logical
+  * subtree (Dataset.ofRows is private[sql]) — lets a spec EXECUTE the
+  * input of a plan fragment, e.g. count the child of an unpartitioned
+  * window to prove it is a bounded metadata relation. */
+object PlanBridge {
+  import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
 }
