@@ -181,8 +181,13 @@ object SparkEntry {
     // FLIPS cell visibility on the next read
     "visibility_labels_admin" -> ((s, d) => {
       import s.implicits._
-      val lbl = Tables.load(s, d, "events")
-        .select(col("event_type").as("label")).distinct()
+      // the label vocabulary is METADATA (a handful of event types);
+      // materialized once — the op-log branches below each reference
+      // it, and Catalyst shares nothing across plan forks (the lazy
+      // form re-scanned events 20x, ScanAudit-caught)
+      val lbl = graft.analytics.Tools.materializeMeta(
+        Tables.load(s, d, "events")
+          .select(col("event_type").as("label")).distinct())
       val ai = ascii(substring(col("label"), 1, 1)) % 5
       val users = Seq(0, 1, 2, 3, 4).toDF("i")
       val a1 = lbl.select(lit(100L).as("op_idx"), lit("add_label").as("op"),
