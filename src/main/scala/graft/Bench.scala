@@ -97,7 +97,8 @@ object Bench {
       val setup = if (!anyPipeline) Nil else {
         val g0 = gcMillis
         val t0 = System.nanoTime()
-        try graft.pipeline.PipelineQueries.prewarmShared(spark, sfDir)
+        try graft.pipeline.PipelineQueries.prewarmShared(spark, sfDir,
+          selected = Some(qs.map(_._1).toSet))
         catch { case e: Throwable => // consumers rebuild + report it
           System.err.println(s"[bench] memo_setup FAILED: ${e.getMessage}")
         }

@@ -2836,7 +2836,8 @@ object AnalyticsQueries {
          |        CASE WHEN rkc < rlen THEN rkc + 2 ELSE rkc + 5 + qc END AS com
          |      FROM c1),
          |c3 AS (SELECT *,
-         |        CASE WHEN q = pq THEN com + (CASE WHEN tsc = 8 THEN 9 ELSE tsc END)
+         |        CASE WHEN rkc = rlen AND q = pq
+         |               THEN com + (CASE WHEN tsc = 8 THEN 9 ELSE tsc END)
          |             ELSE com END AS comt,
          |        CASE WHEN com < rlen + 2 THEN rlen + 2 - com + qlen
          |             ELSE qlen - (com - rlen - 5) END AS suffix

@@ -976,9 +976,14 @@ object Tools {
           "array_position(transform(sequence(1, 8), i -> " +
           "IF((shiftright(_ts, (8 - i) * 8) & 255) = " +
           "(shiftright(_pts, (8 - i) * 8) & 255), 1, 0)), 0) - 1) as bigint)"))
-      // withTsType=true common (PREFIX): qualifier must match whole,
-      // then ts bytes, then the (always-equal) type byte
-      .withColumn("_commonT", when(col("_q") === col("_pq"),
+      // withTsType=true common (PREFIX): the fold is SEQUENTIAL — ts
+      // bytes only count after the row fully matched AND the whole
+      // qualifier matched (findCommonPrefixInFlatKey early-returns at
+      // the first divergence; a qualifier coincidence across a row
+      // change must not reach the timestamp), then the always-equal
+      // type byte rides along after all 8 ts bytes
+      .withColumn("_commonT",
+        when(col("_rkc") === col("_rlen") && col("_q") === col("_pq"),
           col("_common") + when(col("_tsc") === 8L, 9L).otherwise(col("_tsc")))
         .otherwise(col("_common")))
       .withColumn("_suffix", when(col("_common") < col("_rlen") + 2L,

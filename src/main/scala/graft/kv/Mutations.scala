@@ -313,16 +313,22 @@ object Mutations {
   }
 
   /** Apply the accepted slice of a mixed put+delete batch (`op_type`
-    * column: 'put' rows carry the base schema as payload, 'delete'
-    * rows only their key): failed ops drop ALONE — the rows they
-    * targeted stay byte-identical — and accepted ops land atomically
-    * per row with [[mutateRow]]'s delete-wins convention (batch() has
-    * no same-row ordering guarantee, so the engine fixes a
-    * deterministic one). */
+    * column: 'put' rows carry the base schema as payload plus their
+    * `op_idx`, 'delete' rows only their key): failed ops drop ALONE —
+    * the rows they targeted stay byte-identical — and accepted ops
+    * land atomically per row. batch() gives no same-row ordering
+    * guarantee, so the engine fixes a deterministic one: among
+    * accepted puts for the same key the HIGHEST op_idx wins (without
+    * this, two accepted puts would both survive [[put]]'s anti-join
+    * union and break the one-row-per-key invariant), and a delete
+    * beats the puts ([[mutateRow]]'s convention). */
   def batchApply(base: DataFrame, ops: DataFrame, keyCol: String,
                  validFamilies: Seq[String], readOnly: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ok = batchOutcomes(ops, validFamilies, readOnly).where(col("applied"))
+    val lastWins = Window.partitionBy(keyCol).orderBy(col("op_idx").desc)
     val puts = ok.where(col("op_type") === "put")
+      .withColumn("_rn", row_number().over(lastWins)).where(col("_rn") === 1)
       .select(base.columns.map(col).toSeq: _*)
     val dels = ok.where(col("op_type") === "delete").select(col(keyCol))
     mutateRow(base, puts, dels, keyCol)

@@ -103,10 +103,27 @@ object Visibility {
     * survive — successful sets minus successful clears. The auth set
     * a scan's effective Authorizations are intersected with, so a
     * clear here FLIPS cell visibility on the next read (the
-    * before/after contract the spec asserts via [[applyAuths]]). */
+    * before/after contract the spec asserts via [[applyAuths]]).
+    *
+    * The relational-replay contract (one set + one clear per pair) is
+    * ENFORCED here, not assumed: a set→clear→set re-grant cycle would
+    * make the set-minus-clear anti-join silently report the re-granted
+    * auth as not held — so any (grantee, label) with multiple
+    * successful sets or clears fails loudly instead (the op log is
+    * admin metadata; the existence probe is a metadata-sized job). */
   def finalAuths(ops: DataFrame): DataFrame = {
     val replay = adminReplay(ops)
     val ok = replay.where(col("outcome") === "OK")
+    val multi = ok.where(col("op").isin("set_auths", "clear_auths"))
+      .groupBy("grantee", "label", "op").agg(count(lit(1)).as("_n"))
+      .where(col("_n") > 1).limit(1).collect()
+    require(multi.isEmpty, {
+      val r = multi.head
+      s"finalAuths: (${r.get(0)}, ${r.get(1)}) carries ${r.get(3)} " +
+        s"successful ${r.get(2)} ops — the relational replay supports at " +
+        "most one set and one clear per (grantee, label); replay " +
+        "re-grant cycles sequentially (or split the log per epoch)"
+    })
     ok.where(col("op") === "set_auths").select("grantee", "label")
       .join(ok.where(col("op") === "clear_auths").select("grantee", "label"),
         Seq("grantee", "label"), "left_anti")

@@ -93,25 +93,36 @@ object PipelineQueries {
     * ngram_novelty/dedup_substring "movers"). Single-consumer memos
     * (contain_shingles, label_prop, semantic_dedup) stay attributed to
     * their one query — they ARE that query's cost. */
-  def prewarmShared(s: SparkSession, d: String): Unit = {
-    ngramClusters(s, d) // builds shingles → ngram_pairs → clusters
-    quantEmb(s, d)
-    bpeRules(s, d)
+  def prewarmShared(s: SparkSession, d: String,
+                    selected: Option[Set[String]] = None): Unit = {
+    def wanted(consumers: Set[String]) =
+      selected.forall(_.exists(consumers.contains))
+    // builds shingles → ngram_pairs → clusters
+    if (wanted(ngramMemoConsumers)) ngramClusters(s, d)
+    if (wanted(quantMemoConsumers)) quantEmb(s, d)
+    if (wanted(bpeMemoConsumers)) bpeRules(s, d)
     ()
   }
 
-  /** The queries that consume a [[prewarmShared]] memo (directly or
-    * via presencePairs) — Bench pays memo_setup only when a selected
-    * query is in this set, so a filtered run of memo-free queries
-    * never buys memos nobody reads. Keep in sync with the memo call
-    * sites in the map above (the spec asserts every name here is a
-    * registered query, so renames can't silently un-gate). */
-  val sharedMemoConsumers: Set[String] = Set(
+  /** Per-memo consumer sets (directly or via presencePairs) — the
+    * [[prewarmShared]] gate builds a memo only when a selected query
+    * consumes THAT memo, so a filtered bench of e.g. ann_quantized
+    * pays the int8 corpus but not seconds of shingle builds. Keep in
+    * sync with the memo call sites in the map above (the spec asserts
+    * every name here is a registered query, so renames can't silently
+    * un-gate). */
+  private val ngramMemoConsumers: Set[String] = Set(
     "dedup_ngram_jaccard", "dedup_clusters", "graph_pagerank",
     "dedup_report", "ngram_novelty", "source_overlap",
     "label_propagation", "dedup_minhash_lsh", "pipeline_curation",
-    "ann_quantized", "ann_quantized_ivf", "dedup_soft",
-    "dedup_keep_best", "bpe_apply")
+    "dedup_soft", "dedup_keep_best")
+  private val quantMemoConsumers: Set[String] =
+    Set("ann_quantized", "ann_quantized_ivf")
+  private val bpeMemoConsumers: Set[String] = Set("bpe_apply")
+
+  /** Union of the per-memo sets — Bench's memo_setup gate. */
+  val sharedMemoConsumers: Set[String] =
+    ngramMemoConsumers ++ quantMemoConsumers ++ bpeMemoConsumers
 
   /** The jittered-twin embedding corpus (base ∪ every-10th vector
     * scaled ×1.01 plus a small per-dimension pmod jitter, ids offset

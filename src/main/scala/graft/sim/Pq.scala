@@ -95,7 +95,12 @@ object Pq {
                 org.apache.spark.sql.types.DoubleType, containsNull = false),
               nullable = false))), containsNull = false))))
     try {
-      for (_ <- 0 to iters) {
+      for (r <- 0 to iters) {
+        // re-assign against the previous round's books at the TOP of
+        // the round (round 0 keeps the vec_id-mod seed) — assigning at
+        // the bottom built one final dead assignment plan whose result
+        // nothing read (callers re-encode via assignCodes themselves)
+        if (r > 0) assigned = assignCodes(rows, books)
         // ONE shuffle per round: the (sub, code, pos) cell means — at
         // most m·ksub·dsub rows (1024 for the registered shape) — then
         // the books row assembles DRIVER-side; the former
@@ -118,7 +123,7 @@ object Pq {
           .select(col("sub"), col("code"), col("pos"),
             (expr("(sm - pmod(sm, n)) div n").cast("double") / 1e6).as("v"))
           .collect()
-        val entries = cells.groupBy(r => (r.getInt(0), r.getInt(1))).toSeq
+        val entries = cells.groupBy(c => (c.getInt(0), c.getInt(1))).toSeq
           .sortBy(_._1)
           .map { case ((sub, code), rs) =>
             org.apache.spark.sql.Row(sub, code,
@@ -126,7 +131,6 @@ object Pq {
           }
         books = spark.createDataFrame(
           java.util.Arrays.asList(org.apache.spark.sql.Row(entries)), bookSchema)
-        assigned = assignCodes(rows, books)
       }
     } finally CheckpointBridge.free(rows)
     books

@@ -283,6 +283,18 @@ class FiltersSpec extends SparkSpec {
     assert(visible(Seq("secret", "audit")) == Set(1L, 2L, 3L))
     val after = auths.collect { case ("alice", l) => l }.toSeq
     assert(visible(after) == Set(1L, 3L))
+    // the relational replay supports one set + one clear per pair; a
+    // re-grant cycle must fail LOUDLY, not answer "not held"
+    val cycle = Seq(
+      (1L, "add_label", null.asInstanceOf[String], "secret"),
+      (10L, "set_auths", "alice", "secret"),
+      (20L, "clear_auths", "alice", "secret"),
+      (30L, "set_auths", "alice", "secret")
+    ).toDF("op_idx", "op", "grantee", "label")
+    val e = intercept[IllegalArgumentException] {
+      graft.kv.Visibility.finalAuths(cycle).collect()
+    }
+    assert(e.getMessage.contains("at most one set and one clear"))
   }
 
   test("DSL ColumnCountGetFilter is version-deterministic on a versioned view") {

@@ -373,21 +373,29 @@ class InsightsSpec extends SparkSpec {
     // A/B same row+qual, ts 256 apart (DIFF stores a 2-byte diff vs a
     // 3-byte ts; FAST_DIFF shares 6 BE ts bytes AND elides the equal
     // value). C opens block 2; D changes row (3 common chars) and qual.
+    // E/F probe the sequential-prefix rule: F follows E across a ROW
+    // change with an IDENTICAL qualifier and timestamp — the flat-key
+    // fold stops inside the row (common = 5), so PREFIX must NOT
+    // credit the coinciding qualifier/ts bytes (the r9 review bug:
+    // `q = pq` alone added up to 9 phantom common bytes)
     val df = Seq(
       (0L, "0001", "cl", 1000000L, "xyz", 1L),
       (0L, "0001", "cl", 1000256L, "xyz", 2L),
       (0L, "0001", "cl", 1000256L, "ab", 3L),
-      (0L, "0002", "click", 5L, "ab", 4L)
+      (0L, "0002", "click", 5L, "ab", 4L),
+      (0L, "0003", "click", 5L, "zz", 5L),
+      (0L, "0004", "click", 5L, "zz", 6L)
     ).toDF("reg", "row", "q", "ts", "v", "tie")
     val got = Tools.blockEncodingDecision(df, col("reg"), col("row"), col("q"),
         col("ts"), col("v"), col("tie"), famLen = 2, blockCells = 2)
       .collect().map(r => (r.getAs[Long]("n_cells"), r.getAs[Long]("raw_bytes"),
         r.getAs[Long]("prefix_bytes"), r.getAs[Long]("diff_bytes"),
         r.getAs[Long]("fast_diff_bytes"), r.getAs[String]("best_encoding")))
-    // per-cell: raw 31/31/30/33; PREFIX 26/9/25/23; DIFF 22/7/21/12
-    // (B: flag+vint(common)+2-byte ts diff+value); FAST 27/4/26/12
-    // (B: flag+vint(common)+2 ts suffix bytes, value elided)
-    assert(got.sameElements(Array((4L, 125L, 83L, 62L, 69L, "DIFF"))),
+    // per-cell: raw 31/31/30/33/33/33; PREFIX 26/9/25/23/28/23 (F:
+    // common stays 5 — 1+1+1+18+2); DIFF 22/7/21/12/22/11 (B:
+    // flag+vint(common)+2-byte ts diff+value); FAST 27/4/26/12/29/8
+    // (B: 2 ts suffix bytes + value elided; F: 0 ts suffix bytes)
+    assert(got.sameElements(Array((6L, 191L, 134L, 95L, 106L, "DIFF"))),
       got.mkString(","))
   }
 

@@ -55,6 +55,15 @@ class MutationsSpec extends SparkSpec {
       .orderBy("k").as[(Long, String)].collect()
     assert(applied.sameElements(Array((2L, "b"), (3L, "c"), (5L, "E"))),
       applied.mkString(","))
+    // two accepted puts for the SAME key: the higher op_idx wins and
+    // exactly one row survives (no duplicate-row corruption)
+    val dbl = Seq(
+      (0L, "put", "info", 9L, "first"),
+      (1L, "put", "info", 9L, "second")
+    ).toDF("op_idx", "op_type", "family", "k", "v")
+    val one = Mutations.batchApply(base, dbl, "k", Seq("info"), lit(false))
+      .where(col("k") === 9L).as[(Long, String)].collect()
+    assert(one.sameElements(Array((9L, "second"))), one.mkString(","))
   }
 
   test("checkAndPut applies only where the BASE row passes the check") {
