@@ -557,6 +557,85 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("blockEncodingDecision equals a sequential per-block encoder replay") {
+    import spark.implicits._
+    // independent oracle: the encoders as the literal per-block state
+    // machine the reference runs (prev-cell state, reset per block) —
+    // a different formulation from the window+lag plan under test
+    def vint(x: Long) = if (x < 128) 1L else if (x < 16384) 2L else 3L
+    def fits(x: Long): Long =
+      if (x < 0) 8 else (1 to 7).find(n => x < (1L << (8 * n))).getOrElse(8).toLong
+    def commonChars(a: String, b: String): Long =
+      a.zip(b).takeWhile { case (x, y) => x == y }.size.toLong
+    def tsCommon(a: Long, b: Long): Long =
+      (1 to 8).takeWhile(i => ((a >> ((8 - i) * 8)) & 255) == ((b >> ((8 - i) * 8)) & 255))
+        .size.toLong
+    val famLen = 2L
+    def naive(cells: Seq[(String, String, Long, String)], blockCells: Int) = {
+      var raw, pfx, dif, fst = 0L
+      var prev: Option[(String, String, Long, String)] = None
+      cells.zipWithIndex.foreach { case (c @ (row, q, ts, v), idx) =>
+        val (rlen, qlen, vlen) = (row.length.toLong, q.length.toLong, v.length.toLong)
+        val klen = 2 + rlen + 1 + famLen + qlen + 9
+        raw += 8 + klen + vlen
+        val p = if (idx % blockCells == 0) None else prev
+        p match {
+          case None =>
+            pfx += vint(klen) + vint(vlen) + 1 + klen + vlen
+            dif += (1 + famLen) + 1 + vint(klen) + vint(vlen) + 1 +
+              rlen + 2 + qlen + fits(ts) + 1 + vlen
+            fst += 2 + vint(klen) + vint(vlen) + klen + vlen
+          case Some((prow, pq, pts, pv)) =>
+            val rkc = commonChars(row, prow)
+            val com = if (rkc < rlen) rkc + 2 else rkc + 3 + famLen + commonChars(q, pq)
+            val tsc = tsCommon(ts, pts)
+            val comT = if (rkc == rlen && q == pq)
+              com + (if (tsc == 8) 9 else tsc) else com
+            val suffix = if (com < rlen + 2) rlen + 2 - com + qlen
+              else qlen - (com - rlen - 3 - famLen)
+            pfx += vint(klen - comT) + vint(vlen) + vint(comT) + klen - comT + vlen
+            val sameK = if (qlen == pq.length) 0L else vint(klen)
+            val sameV = if (vlen == pv.length) 0L else vint(vlen)
+            dif += 1 + sameK + sameV + vint(com) + suffix +
+              math.min(fits(ts), fits(math.abs(pts - ts))) + vlen
+            fst += 1 + sameK + sameV + vint(com) + suffix + (8 - tsc) +
+              (if (v == pv) 0L else vlen)
+        }
+        prev = Some(c)
+      }
+      (cells.size.toLong, raw, pfx, dif, fst)
+    }
+    val cellGen = for {
+      rowN <- Gen.chooseNum(0, 12)
+      q <- Gen.oneOf("cl", "click", "view", "purchase")
+      ts <- Gen.chooseNum(0L, 3000L)
+      v <- Gen.oneOf("a", "xy", "value9", "")
+    } yield (f"$rowN%04d", q, ts, v)
+    val setGen = Gen.chooseNum(5, 60).flatMap(n => Gen.listOfN(n, cellGen))
+    samples(setGen, 8).zipWithIndex.foreach { case (cells, i) =>
+      // the plan sorts by (row, q, ts, tie); feed the naive replay the
+      // SAME order so both price the same physical layout
+      val sorted = cells.zipWithIndex
+        .map { case ((r, q, t, v), tie) => (r, q, t, v, tie.toLong) }
+        .sortBy { case (r, q, t, _, tie) => (r, q, t, tie) }
+      val want = naive(sorted.map(c => (c._1, c._2, c._3, c._4)), 4)
+      val df = sorted.toDF("row", "q", "ts", "v", "tie")
+        .withColumn("reg", org.apache.spark.sql.functions.lit(0L))
+      val got = graft.analytics.Tools.blockEncodingDecision(df,
+          org.apache.spark.sql.functions.col("reg"),
+          org.apache.spark.sql.functions.col("row"),
+          org.apache.spark.sql.functions.col("q"),
+          org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("tie"),
+          famLen = 2, blockCells = 4)
+        .collect().map(r => (r.getAs[Long]("n_cells"), r.getAs[Long]("raw_bytes"),
+          r.getAs[Long]("prefix_bytes"), r.getAs[Long]("diff_bytes"),
+          r.getAs[Long]("fast_diff_bytes"))).head
+      assert(got == want, s"sample $i: got $got want $want")
+    }
+  }
+
   test("FuzzyMatch equals the mask semantics it encodes (overlap-prefix)") {
     val gen = for {
       pat <- Gen.listOfN(6, Gen.oneOf('a', 'b', '?')).map(_.mkString)
