@@ -636,6 +636,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("visibility adminReplay equals a sequential op-log interpreter") {
+    import spark.implicits._
+    // naive oracle: the admin service as the literal sequential state
+    // machine (labels set + per-user auth sets, ops in op_idx order)
+    def naive(ops: Seq[(Long, String, String, String)]) = {
+      val labels = scala.collection.mutable.Set[String]()
+      val auths = scala.collection.mutable.Set[(String, String)]()
+      val outcomes = ops.sortBy(_._1).map { case (idx, op, g, l) =>
+        val res = op match {
+          case "add_label" =>
+            if (!l.matches("[A-Za-z_\\-:/.0-9]+")) "InvalidLabelException"
+            else if (labels(l)) "LabelAlreadyExistsException"
+            else { labels += l; "OK" }
+          case "set_auths" =>
+            if (!labels(l)) "InvalidLabelException"
+            else { auths += ((g, l)); "OK" }
+          case "clear_auths" =>
+            if (!auths((g, l))) "InvalidLabelException"
+            else { auths -= ((g, l)); "OK" }
+        }
+        (idx, res)
+      }
+      (outcomes.toMap, auths.toSet)
+    }
+    // generator honors the documented relational contract: at most one
+    // set and one clear per (grantee, label), the clear after the set
+    val logGen = for {
+      labs <- Gen.someOf(Seq("alpha", "beta", "g:1", "x.y", "bad lbl!", "no|pe"))
+      dupes <- Gen.someOf(labs)
+      pairs <- Gen.someOf(for {
+        g <- Seq("u0", "u1", "u2"); l <- labs ++ Seq("ghost")
+      } yield (g, l))
+      clears <- Gen.someOf(pairs)
+      extraClears <- Gen.someOf(Seq(("u0", "never_set"), ("u2", "alpha")))
+    } yield {
+      val adds = labs.zipWithIndex.map { case (l, i) =>
+        (100L + i, "add_label", null.asInstanceOf[String], l) }
+      val readds = dupes.zipWithIndex.map { case (l, i) =>
+        (200L + i, "add_label", null.asInstanceOf[String], l) }
+      val sets = pairs.zipWithIndex.map { case ((g, l), i) =>
+        (1000L + i, "set_auths", g, l) }
+      val cls = (clears ++ extraClears.filterNot(pairs.contains)).zipWithIndex
+        .map { case ((g, l), i) => (3000L + i, "clear_auths", g, l) }
+      (adds ++ readds ++ sets ++ cls).toSeq
+    }
+    samples(logGen, 12).filter(_.nonEmpty).foreach { log =>
+      val (wantOut, wantAuths) = naive(log)
+      val df = log.toDF("op_idx", "op", "grantee", "label")
+      val gotOut = graft.kv.Visibility.adminReplay(df)
+        .select("op_idx", "outcome").as[(Long, String)].collect().toMap
+      assert(gotOut == wantOut,
+        s"outcomes diverge: ${gotOut.toSet.diff(wantOut.toSet)} vs ${wantOut.toSet.diff(gotOut.toSet)}")
+      val gotAuths = graft.kv.Visibility.finalAuths(df)
+        .as[(String, String)].collect().toSet
+      assert(gotAuths == wantAuths, s"held auths $gotAuths != $wantAuths")
+    }
+  }
+
   test("FuzzyMatch equals the mask semantics it encodes (overlap-prefix)") {
     val gen = for {
       pat <- Gen.listOfN(6, Gen.oneOf('a', 'b', '?')).map(_.mkString)
