@@ -89,12 +89,12 @@ object Bench {
     // memo — a filtered run of memo-free queries (kv-only, or pipeline
     // arms like dedup_exact that touch no memo) must not pay ~seconds
     // of shingle builds nobody reads
-    val anyPipeline = qs.exists { case (n, _) =>
+    val anyMemoConsumer = qs.exists { case (n, _) =>
       graft.pipeline.PipelineQueries.sharedMemoConsumers.contains(n) }
     def timedPass(): Seq[(String, Double, Double)] = {
       graft.pipeline.PipelineQueries.resetShared()
       drainGarbage()
-      val setup = if (!anyPipeline) Nil else {
+      val setup = if (!anyMemoConsumer) Nil else {
         val g0 = gcMillis
         val t0 = System.nanoTime()
         try graft.pipeline.PipelineQueries.prewarmShared(spark, sfDir,

@@ -82,18 +82,8 @@ object Pq {
     var books: DataFrame = null
     // books schema: one row, one `books` column of (sub, code, c_emb)
     // structs — the shape assignCodes / the ADC tables filter on
-    val bookSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("books",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("sub",
-              org.apache.spark.sql.types.IntegerType, nullable = false),
-            org.apache.spark.sql.types.StructField("code",
-              org.apache.spark.sql.types.IntegerType, nullable = false),
-            org.apache.spark.sql.types.StructField("c_emb",
-              org.apache.spark.sql.types.ArrayType(
-                org.apache.spark.sql.types.DoubleType, containsNull = false),
-              nullable = false))), containsNull = false))))
+    val bookSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "books array<struct<sub:int,code:int,c_emb:array<double>>>")
     try {
       for (r <- 0 to iters) {
         // re-assign against the previous round's books at the TOP of
