@@ -934,14 +934,14 @@ object Tools {
         .when(x < (1L << 24), 3).when(x < (1L << 32), 4)
         .when(x < (1L << 40), 5).when(x < (1L << 48), 6)
         .when(x < (1L << 56), 7).otherwise(8).cast("long")
-    // leading common chars of two strings (self-caps at the shorter:
-    // substring past either end yields '' ≠ any char)
-    def commonChars(a: String, b: String): Column = expr(
-      s"cast(IF(array_position(transform(sequence(1, greatest(length($a), " +
-        s"length($b))), i -> IF(substring($a, i, 1) = substring($b, i, 1), 1, 0)" +
-        s"), 0) = 0, greatest(length($a), length($b)), " +
-        s"array_position(transform(sequence(1, greatest(length($a), length($b))), " +
-        s"i -> IF(substring($a, i, 1) = substring($b, i, 1), 1, 0)), 0) - 1) as bigint)")
+    // leading common chars of two strings (self-caps at the shorter;
+    // equal strings count whole) — the native fused loop instead of
+    // the flags-array fold: no per-row array allocation at scan volume
+    def commonChars(a: String, b: String): Column = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.core.CommonPrefixLen(
+        ColumnBridge.expression(col(a)), ColumnBridge.expression(col(b))))
+    }
     val w = Window.partitionBy("region").orderBy("_row", "_q", "_ts", "_tie")
     val famPart = 1 + famLen // famLen byte + family name
     df.select(region.as("region"), row.as("_row"), qualifier.as("_q"),
@@ -1042,9 +1042,10 @@ object Tools {
     * region; blocks of `blockCells` reset the delta chain (a block is
     * the seek unit, so its first key must be self-contained —
     * internalEncode's prevCell == null case). The common-prefix
-    * length is a position-wise character fold written identically in
-    * Spark and the DuckDB oracle (substring past either end yields ''
-    * ≠ any char, so the fold self-caps at the shorter key).
+    * length is the first-divergence character count — natively via
+    * [[graft.core.CommonPrefixLen]] (the DuckDB oracle keeps the
+    * equivalent position-wise fold; equivalence is property-tested,
+    * and the fold self-caps at the shorter key either way).
     *
     * Scale shape: one window shuffle partitioned by REGION (the
     * physical sort unit — never a global order), the fold a codegen'd
@@ -1055,17 +1056,20 @@ object Tools {
     require(blockCells >= 2, s"blockCells ($blockCells) must be at least 2")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("region").orderBy("_fk")
+    // the native common-prefix loop (graft.core.CommonPrefixLen)
+    // replaced the flags-array fold in r9 — same first-divergence
+    // semantics, no per-row array allocation
+    val commonLen = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.core.CommonPrefixLen(
+        ColumnBridge.expression(col("_fk")), ColumnBridge.expression(col("_prev"))))
+    }
     df.select(region.as("region"), flatKey.as("_fk"))
       .withColumn("_rn", row_number().over(w))
       .withColumn("_prev", lag(col("_fk"), 1).over(w))
-      .withColumn("_flags", expr(
-        "transform(sequence(1, greatest(length(_fk), length(_prev))), " +
-          "i -> IF(substring(_fk, i, 1) = substring(_prev, i, 1), 1, 0))"))
       .withColumn("_prefix", when(
           expr(s"(_rn - 1) % $blockCells") === 0 || col("_prev").isNull, lit(0L))
-        .otherwise(expr(
-          "cast(IF(array_position(_flags, 0) = 0, size(_flags), " +
-            "array_position(_flags, 0) - 1) as bigint)")))
+        .otherwise(commonLen))
       .groupBy("region")
       .agg(count(lit(1)).as("n_cells"),
         sum(length(col("_fk"))).cast("bigint").as("raw_key_bytes"),

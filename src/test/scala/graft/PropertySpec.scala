@@ -636,6 +636,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CommonPrefixLen equals the SQL flags-array fold, code points included") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // the fold CommonPrefixLen replaced in the encoding operators —
+    // kept here as the semantic reference (and still the DuckDB form)
+    val foldSql =
+      "cast(IF(array_position(transform(sequence(1, greatest(length(a), " +
+        "length(b))), i -> IF(substring(a, i, 1) = substring(b, i, 1), 1, 0)" +
+        "), 0) = 0, greatest(length(a), length(b)), " +
+        "array_position(transform(sequence(1, greatest(length(a), length(b))), " +
+        "i -> IF(substring(a, i, 1) = substring(b, i, 1), 1, 0)), 0) - 1) as bigint)"
+    val alphabet = Seq("a", "b", "0", "é", "λ", "語", "🙂")
+    val strGen = Gen.chooseNum(0, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alphabet)).map(_.mkString))
+    val pairGen = for { a <- strGen; b <- strGen
+      // bias toward shared prefixes so the interesting branch fires
+      sharePrefix <- Gen.oneOf(true, false)
+    } yield if (sharePrefix) (a, a.take(a.length / 2) + b) else (a, b)
+    val pairs = samples(pairGen, 300) ++
+      Seq(("", ""), ("abc", "abc"), ("abc", "ab"), ("", "x"))
+    val df = pairs.toDF("a", "b")
+    val out = df.select(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.core.CommonPrefixLen(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("b")))
+        ).as("native"),
+        expr(foldSql).as("fold"), col("a"), col("b"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1),
+        s"'${r.getString(2)}' vs '${r.getString(3)}': " +
+          s"native ${r.getLong(0)} != fold ${r.getLong(1)}")
+    }
+  }
+
   test("visibility adminReplay equals a sequential op-log interpreter") {
     import spark.implicits._
     // naive oracle: the admin service as the literal sequential state
