@@ -675,7 +675,7 @@ object SparkEntry {
         val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
         val params = grown.agg(
           floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
-          floor(sum(cellBytes) / 5000).cast("bigint").as("flush_size"))
+          floor(sum(cellBytes) / 10000).cast("bigint").as("flush_size"))
         graft.analytics.Tools.splitPolicy(tagged, "region_key", cellBytes,
             params, 1000L, approx = true)
           .orderBy("region")

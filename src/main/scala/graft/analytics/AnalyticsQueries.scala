@@ -597,9 +597,12 @@ object AnalyticsQueries {
         .withColumn("bucket", Tools.totalOrderBucket(
           col("region_key"), col("_lo"), col("_hi"), 8))
       val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
+      // flush divisor 10000 keeps 2·flush·R³ (the reference's
+      // initialSize·R³, R=8) BELOW max_file_size, so the increasing
+      // policy still catches mid-size regions ConstantSize misses
       val params = grown.agg(
         floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
-        floor(sum(cellBytes) / 5000).cast("bigint").as("flush_size"))
+        floor(sum(cellBytes) / 10000).cast("bigint").as("flush_size"))
       Tools.splitPolicy(tagged, "region_key", cellBytes, params, 1000L)
         .orderBy("region")
     }),
@@ -2462,10 +2465,12 @@ object AnalyticsQueries {
         |              CAST(floor(quantile_cont(k, 0.5)) AS BIGINT) AS mid
         |       FROM t GROUP BY 1),
         |p AS (SELECT CAST(floor(sum(sz) / 7) AS BIGINT) AS max_file_size,
-        |             CAST(floor(sum(sz) / 5000) AS BIGINT) AS flush_size FROM g),
+        |             CAST(floor(sum(sz) / 10000) AS BIGINT) AS flush_size FROM g),
         |r AS (SELECT count(*) AS nr FROM st),
         |lb AS (SELECT bucket, store_size, mid, max_file_size,
-        |              least(max_file_size, flush_size * nr * nr * nr) AS limit_bytes
+        |              CASE WHEN nr = 0 OR nr > 100 THEN max_file_size
+        |                   ELSE least(max_file_size, 2 * flush_size * nr * nr * nr)
+        |              END AS limit_bytes
         |       FROM st, p, r)
         |SELECT bucket AS region, store_size,
         |       store_size > max_file_size AS split_constant,

@@ -1083,9 +1083,14 @@ object Tools {
     * KeyPrefixRegionSplitPolicy.java:68 getSplitPoint): per region,
     * ConstantSize splits when the store exceeds
     * hbase.hregion.max.filesize; IncreasingToUpperBound — the 1.x
-    * DEFAULT — caps the check at min(maxFileSize, flushSize·R³) with R
-    * the table's region count on the server, so young tables split
-    * long before maxFileSize; the split POINT is the biggest store's
+    * DEFAULT — caps the check at min(maxFileSize, initialSize·R³)
+    * where initialSize = 2·flushSize (configureForRegion's default —
+    * the javadoc example: 128 MB flush ⇒ first split at 256 MB) and R
+    * is the table's region count on the server; R == 0 or R > 100
+    * falls back to maxFileSize outright (getSizeToCheck's overflow
+    * guard — at 100 TB, R > 100 is the NORM, so mature tables run
+    * pure ConstantSize). Young tables split long before maxFileSize;
+    * the split POINT is the biggest store's
     * midkey (median), and KeyPrefixRegionSplitPolicy snaps it down to
     * a key prefix so rows sharing the prefix stay co-located across
     * the daughters (numeric analog: floor to a multiple of
@@ -1111,8 +1116,11 @@ object Tools {
     val mid = floor(col("_mid")).cast("bigint")
     stats.crossJoin(broadcast(r)).crossJoin(broadcast(params))
       .withColumn("limit_bytes",
-        least(col("max_file_size"),
-          col("flush_size") * col("_r") * col("_r") * col("_r")))
+        // getSizeToCheck: R==0 / R>100 → maxFileSize (overflow guard);
+        // else min(maxFileSize, initialSize·R³), initialSize = 2·flush
+        when(col("_r") === 0 || col("_r") > 100, col("max_file_size"))
+          .otherwise(least(col("max_file_size"),
+            lit(2L) * col("flush_size") * col("_r") * col("_r") * col("_r"))))
       .select(col("bucket").as("region"), col("store_size"),
         (col("store_size") > col("max_file_size")).as("split_constant"),
         col("limit_bytes"),

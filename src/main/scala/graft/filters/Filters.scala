@@ -156,26 +156,43 @@ object Filters {
   /** ColumnPaginationFilter's cell predicate as a composable Column —
     * the single source of the pagination semantics, shared by
     * [[columnPagination]] and the ParseFilter DSL (two hand-synced
-    * copies would drift). `orderCols` is the cell scan order — on a
-    * VERSIONED view (family, qualifier) alone is not unique and the
-    * row_number tie would be partition-order nondeterministic, so such
-    * callers append ts desc + a unique tiebreak (the same contract as
-    * [[firstKeyValueMatchingQualifiers]]). Window-shaped: materialize
-    * before WHERE. */
+    * copies would drift). Reference-faithful COLUMN pagination
+    * (ColumnPaginationFilter.java:135-141): the filter returns
+    * NEXT_COL / INCLUDE_AND_NEXT_COL, so `count` increments once per
+    * COLUMN, extra versions are skipped by the scanner, and columns
+    * [offset, offset+limit) surface with their NEWEST version only —
+    * pagination is over distinct (family, qualifier), not over cells
+    * (r9 reference-semantics audit; the two coincide on one-version
+    * views). `colCols` is the column identity, `orderCols` the cell
+    * scan order — on a VERSIONED view (family, qualifier) alone is
+    * not unique and the version tie would be partition-order
+    * nondeterministic, so such callers append ts desc + a unique
+    * tiebreak (the same contract as
+    * [[firstKeyValueMatchingQualifiers]]). One rowkey-partitioned
+    * window carries all three functions (the scanner's own walk:
+    * column starts flagged by lag, the running start count IS the
+    * column index). Window-shaped: materialize before WHERE. */
   def columnPaginationPredicate(limit: Int, offset: Int,
-      orderCols: Seq[Column] = Seq(col("family"), col("qualifier"))): Column = {
+      orderCols: Seq[Column] = Seq(col("family"), col("qualifier")),
+      colCols: Seq[Column] = Seq(col("family"), col("qualifier"))): Column = {
     val w = Window.partitionBy("rowkey").orderBy(orderCols: _*)
-    val rn = row_number().over(w)
+    val colKey = struct(colCols: _*)
+    val prev = lag(colKey, 1).over(w)
+    // first cell of its column in scan order = the version that survives
+    val firstVer = prev.isNull || prev =!= colKey
+    val colIdx = sum(when(firstVer, 1L).otherwise(0L))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     // offset + limit in LONG: both args pass the DSL's per-argument
     // Int guard individually, but their Int sum can wrap negative and
     // turn the scan silently empty — the exact failure class that
     // guard exists to prevent
-    rn > offset && rn <= offset.toLong + limit.toLong
+    firstVer && colIdx > offset && colIdx <= offset.toLong + limit.toLong
   }
 
-  /** ColumnPaginationFilter.java — per row, `limit` cells starting at
-    * `offset`, in qualifier order. Window over (rowkey), no shuffle
-    * beyond the hash partition on rowkey. */
+  /** ColumnPaginationFilter.java — per row, `limit` COLUMNS starting
+    * at column `offset` in (family, qualifier) order, newest version
+    * each (see [[columnPaginationPredicate]]). Window over (rowkey),
+    * no shuffle beyond the hash partition on rowkey. */
   def columnPagination(cells: DataFrame, limit: Int, offset: Int,
       orderCols: Seq[Column] = Seq(col("family"), col("qualifier"))): DataFrame =
     cells.withColumn("_keep", columnPaginationPredicate(limit, offset, orderCols))
@@ -298,8 +315,10 @@ object Filters {
     else kept
   }
 
-  /** ColumnCountGetFilter.java — at most `n` cells per row, in
-    * (family, qualifier) order (pagination with offset 0). */
+  /** ColumnCountGetFilter.java — at most `n` COLUMNS per row, newest
+    * version each, in (family, qualifier) order (pagination with
+    * offset 0 — the reference likewise returns INCLUDE_AND_NEXT_COL
+    * while counting). */
   def columnCount(cells: DataFrame, n: Int): DataFrame =
     columnPagination(cells, limit = n, offset = 0)
 

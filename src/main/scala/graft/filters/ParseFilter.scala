@@ -293,7 +293,8 @@ object ParseFilter {
           Page(number())
         case "ColumnPaginationFilter" =>
           // ColumnPaginationFilter.java(limit, offset): per row, `limit`
-          // cells starting at 0-based `offset` — order-deferred so
+          // COLUMNS starting at 0-based column `offset`, newest version
+          // each (NEXT_COL semantics) — order-deferred so
           // ParseFilter.filter can tie version duplicates
           // deterministically with the view's schema-aware order
           val limit = number(); eat(","); val offset = number()
@@ -386,7 +387,7 @@ object ParseFilter {
           Filters.multiRowRange(col("rowkey"), rs.toSeq)
         }
         case "ColumnCountGetFilter" =>
-          // ColumnCountGetFilter.java: at most n cells per row =
+          // ColumnCountGetFilter.java: at most n columns per row =
           // pagination at offset 0 (order-deferred, see above)
           val n = number().toInt
           WinPred(ord => Filters.columnPaginationPredicate(n, 0, ord))

@@ -148,6 +148,31 @@ class FiltersSpec extends SparkSpec {
     assert(counts.length == 1 && counts(0).getLong(0) == 2)
   }
 
+  test("columnPagination on a versioned view paginates COLUMNS, newest version each") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ColumnPaginationFilter.java:135-141 returns NEXT_COL /
+    // INCLUDE_AND_NEXT_COL: count increments once per COLUMN and the
+    // scanner skips the remaining versions — so offset/limit index
+    // distinct (family, qualifier) pairs and only the newest version
+    // of each selected column surfaces. Column a has 2 versions: cell
+    // pagination would return a's OLDER version at offset 1; column
+    // pagination must return b's newest.
+    val cells = Seq(
+      ("1", "f", "a", 20L, "a-new"), ("1", "f", "a", 10L, "a-old"),
+      ("1", "f", "b", 20L, "b-new"), ("1", "f", "b", 10L, "b-old"),
+      ("1", "f", "c", 10L, "c-only"))
+      .toDF("rowkey", "family", "qualifier", "ts", "value")
+    val ord = Seq(col("family"), col("qualifier"), col("ts").desc, col("value"))
+    val got = Filters.columnPagination(cells, limit = 1, offset = 1, ord)
+      .select("qualifier", "value").as[(String, String)].collect().toSeq
+    assert(got == Seq(("b", "b-new")), s"got $got")
+    // offset 0, limit 2: newest version of each of the first two columns
+    val two = Filters.columnPagination(cells, limit = 2, offset = 0, ord)
+      .select("value").as[String].collect().toSet
+    assert(two == Set("a-new", "b-new"), s"got $two")
+  }
+
   test("firstKeyOnly yields one cell per row") {
     val cells = Tables.customerCells(spark, sfDir)
     val fk = Filters.firstKeyOnly(cells)

@@ -615,14 +615,16 @@ class MutationsSpec extends SparkSpec {
   test("splitPolicy: constant vs increasing verdicts, gated prefix-snapped points") {
     import spark.implicits._
     import graft.analytics.Tools
-    // bucket 0: 100 bytes, bucket 1: 60, bucket 2: 30; R=3 so the
-    // increasing limit is min(80, 2*27)=54 — bucket 1 splits under the
-    // default policy but NOT under ConstantSize (60 < 80)
+    // bucket 0: 100 bytes, bucket 1: 60, bucket 2: 30; R=3, flush=1 so
+    // initialSize = 2·flush = 2 (IncreasingToUpperBoundRegionSplitPolicy
+    // .configureForRegion's default) and the increasing limit is
+    // min(80, 2·3³)=54 — bucket 1 splits under the default policy but
+    // NOT under ConstantSize (60 < 80)
     val tagged = Seq(
       (0L, 11L, 25L), (0L, 13L, 25L), (0L, 17L, 25L), (0L, 19L, 25L),
       (1L, 21L, 30L), (1L, 25L, 30L),
       (2L, 31L, 30L)).toDF("bucket", "k", "sz")
-    val params = Seq((80L, 2L)).toDF("max_file_size", "flush_size")
+    val params = Seq((80L, 1L)).toDF("max_file_size", "flush_size")
     val got = Tools.splitPolicy(tagged, "k", col("sz"), params, 10L)
       .select("region", "store_size", "split_constant", "limit_bytes",
         "split_increasing", "split_point", "split_point_prefix")
@@ -639,6 +641,17 @@ class MutationsSpec extends SparkSpec {
     assert(ap.map(t => (t._1, t._2, t._3, t._4.isDefined)) ==
       Set((0L, true, true, true), (1L, false, true, true), (2L, false, false, false)),
       s"got $ap")
+    // getSizeToCheck's R>100 guard: the cubic check is abandoned for
+    // maxFileSize OUTRIGHT — 2·1·101³ ≈ 2.06e6 would otherwise be the
+    // limit, well under max_file_size=1e7, so the guard is observable
+    val many = (0 until 101).map(i => (i.toLong, i * 10L, 5L))
+      .toDF("bucket", "k", "sz")
+    val bigParams = Seq((10000000L, 1L)).toDF("max_file_size", "flush_size")
+    val guarded = Tools.splitPolicy(many, "k", col("sz"), bigParams, 10L)
+      .select("limit_bytes", "split_increasing")
+      .as[(Long, Boolean)].collect()
+    assert(guarded.length == 101 &&
+      guarded.forall(t => t._1 == 10000000L && !t._2), s"got ${guarded.toSeq}")
   }
 
   test("hbckRegionChain: clean chain is silent, every planted defect reported") {
