@@ -937,11 +937,8 @@ object Tools {
     // leading common chars of two strings (self-caps at the shorter;
     // equal strings count whole) — the native fused loop instead of
     // the flags-array fold: no per-row array allocation at scan volume
-    def commonChars(a: String, b: String): Column = {
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      ColumnBridge.column(graft.core.CommonPrefixLen(
-        ColumnBridge.expression(col(a)), ColumnBridge.expression(col(b))))
-    }
+    def commonChars(a: String, b: String): Column =
+      graft.core.CommonPrefixLen.commonPrefixLen(col(a), col(b))
     val w = Window.partitionBy("region").orderBy("_row", "_q", "_ts", "_tie")
     val famPart = 1 + famLen // famLen byte + family name
     df.select(region.as("region"), row.as("_row"), qualifier.as("_q"),
@@ -1059,11 +1056,8 @@ object Tools {
     // the native common-prefix loop (graft.core.CommonPrefixLen)
     // replaced the flags-array fold in r9 — same first-divergence
     // semantics, no per-row array allocation
-    val commonLen = {
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      ColumnBridge.column(graft.core.CommonPrefixLen(
-        ColumnBridge.expression(col("_fk")), ColumnBridge.expression(col("_prev"))))
-    }
+    val commonLen =
+      graft.core.CommonPrefixLen.commonPrefixLen(col("_fk"), col("_prev"))
     df.select(region.as("region"), flatKey.as("_fk"))
       .withColumn("_rn", row_number().over(w))
       .withColumn("_prev", lag(col("_fk"), 1).over(w))

@@ -1,7 +1,10 @@
 package graft.core
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,6 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * canonical per code point, so per-character byte-slice equality IS
   * code-point equality — no decoding needed.
   *
+  * TOTAL on null input: a null operand yields 0, not null — the fold
+  * this replaces returned 0 on a ONE-SIDED null (substring(NULL, i,
+  * 1) fails the IF, flag 0 at position 1), the retained DuckDB
+  * oracle form still does, and a null-propagating version would
+  * silently drop such cells from region byte sums while the oracle
+  * counts them. (Both-null is out of contract: the fold propagates
+  * NULL there, this stays 0 — no operator compares two nullable
+  * keys.)
+  *
   * Exists because the composable form materializes a flags ARRAY of
   * greatest(len) ints per row (twice per cell comparison: row key and
   * qualifier) and walks it with array_position — allocation plus two
@@ -31,6 +43,7 @@ case class CommonPrefixLen(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "common_prefix_len"
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -41,13 +54,24 @@ case class CommonPrefixLen(left: Expression, right: Expression)
         s"common_prefix_len needs (string, string), got " +
           s"${left.dataType}, ${right.dataType}")
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CommonPrefixLen.commonChars(
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) 0L
+    else CommonPrefixLen.commonChars(
       a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.core.CommonPrefixLen.commonChars($a, $b);")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = left.genCode(ctx)
+    val b = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${a.code}
+      ${b.code}
+      long ${ev.value} = (${a.isNull} || ${b.isNull}) ? 0L :
+        graft.core.CommonPrefixLen.commonChars(${a.value}, ${b.value});""",
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CommonPrefixLen =
@@ -55,6 +79,16 @@ case class CommonPrefixLen(left: Expression, right: Expression)
 }
 
 object CommonPrefixLen {
+  /** The Column form — the ONE place the graftbridge wrapping lives
+    * (the encoding operators and specs all build the expression
+    * through here; hand-built copies would drift if the bridging ever
+    * gains casts or registration). */
+  def commonPrefixLen(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(CommonPrefixLen(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** One shared loop for both evaluation paths (also callable from
     * generated Java — keep it a plain static-shaped method). */
   def commonChars(a: UTF8String, b: UTF8String): Long = {

@@ -194,8 +194,10 @@ object Filters {
     * each (see [[columnPaginationPredicate]]). Window over (rowkey),
     * no shuffle beyond the hash partition on rowkey. */
   def columnPagination(cells: DataFrame, limit: Int, offset: Int,
-      orderCols: Seq[Column] = Seq(col("family"), col("qualifier"))): DataFrame =
-    cells.withColumn("_keep", columnPaginationPredicate(limit, offset, orderCols))
+      orderCols: Seq[Column] = Seq(col("family"), col("qualifier")),
+      colCols: Seq[Column] = Seq(col("family"), col("qualifier"))): DataFrame =
+    cells.withColumn("_keep",
+        columnPaginationPredicate(limit, offset, orderCols, colCols))
       .where(col("_keep")).drop("_keep")
 
   /** FirstKeyOnlyFilter's cell predicate as a composable Column (the

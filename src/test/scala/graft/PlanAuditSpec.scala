@@ -36,6 +36,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("filter_col_pagination: column walk is ONE rowkey hash exchange") {
+    // the r9 column-faithful predicate stacks lag + running-sum over
+    // the SAME (partition, order) — Spark pipelines the dependency as
+    // two Window nodes over one sort, but a refactor that keys them
+    // differently would surface as a second hash exchange here (the
+    // only other exchange is the query's own final orderBy range
+    // partitioning)
+    val p = plan("filter_col_pagination")
+    assert(exchanges(p, "hashpartitioning") == 1,
+      s"expected the single rowkey hash exchange:\n$p")
+  }
+
   test("multi_get_bulk: key set broadcast, big side scanned once with no shuffle") {
     import spark.implicits._
     val keys = (0 until 2000).map(i => 3L * i + 1).toDF("o_orderkey")

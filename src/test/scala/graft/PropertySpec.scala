@@ -655,14 +655,17 @@ class PropertySpec extends SparkSpec {
       sharePrefix <- Gen.oneOf(true, false)
     } yield if (sharePrefix) (a, a.take(a.length / 2) + b) else (a, b)
     val pairs = samples(pairGen, 300) ++
-      Seq(("", ""), ("abc", "abc"), ("abc", "ab"), ("", "x"))
+      Seq(("", ""), ("abc", "abc"), ("abc", "ab"), ("", "x"),
+        // one-sided null: the fold's substring(NULL, i, 1) fails the
+        // IF at position 1 → 0, and the total native expression
+        // matches (both-null is out of contract: the fold propagates
+        // NULL there, the native form stays 0 — no operator compares
+        // two nullable keys)
+        (null, "x"), ("x", null))
     val df = pairs.toDF("a", "b")
     val out = df.select(
-        org.apache.spark.sql.graftbridge.ColumnBridge.column(
-          graft.core.CommonPrefixLen(
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("a")),
-            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("b")))
-        ).as("native"),
+        graft.core.CommonPrefixLen.commonPrefixLen(col("a"), col("b"))
+          .as("native"),
         expr(foldSql).as("fold"), col("a"), col("b"))
       .collect()
     out.foreach { r =>
