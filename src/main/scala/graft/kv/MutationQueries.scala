@@ -48,6 +48,19 @@ object MutationQueries {
       Mutations.checkAndPut(base, puts, "c_custkey", col("c_acctbal") > 0)
         .orderBy("c_custkey")
     }),
+    // checkAndPut(value = null): CAS insert-if-absent — the store
+    // holds the non-multiple-of-3 customers, the client retries every
+    // even customer; only the even multiples of 3 (absent) insert,
+    // existing even rows stay untouched despite the CASNEW payload
+    "check_and_put_absent" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val base = cust.where(col("c_custkey") % 3 =!= 0)
+      val puts = cust.where(col("c_custkey") % 2 === 0)
+        .withColumn("c_mktsegment", lit("CASNEW"))
+      Mutations.checkAndPutAbsent(base, puts, "c_custkey")
+        .orderBy("c_custkey")
+    }),
     "ttl_expiry" -> ((s, d) =>
       Mutations.ttlExpire(Tables.eventCells(s, d), "10 DAYS")
         .select("rowkey", "qualifier", "ts", "value", "event_id").orderBy("event_id")),
@@ -211,6 +224,14 @@ object MutationQueries {
         |            ELSE c_mktsegment END AS c_mktsegment,
         |       c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "check_and_put_absent" ->
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 3 = 0 THEN 'CASNEW'
+        |            ELSE c_mktsegment END AS c_mktsegment,
+        |       c_acctbal
+        |FROM customer
+        |WHERE c_custkey % 3 <> 0 OR c_custkey % 2 = 0
+        |ORDER BY c_custkey""".stripMargin,
     "mutate_row" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey % 10 <> 0

@@ -131,6 +131,20 @@ object Mutations {
     put(base, applicable, keyCol)
   }
 
+  /** checkAndPut's NULL-check-value mode (HTable.checkAndPut with
+    * value = null — checkAndRowMutate compares against the absent
+    * cell): the put applies only where NO current row exists for its
+    * key — CAS insert-if-absent, the guard [[checkAndPut]]'s
+    * stored-state `check` can never express (a key absent from base
+    * never passes a WHERE over base). Existing rows are untouched
+    * whatever the put carries. One anti-join gates the puts; no
+    * window, no state. */
+  def checkAndPutAbsent(base: DataFrame, puts: DataFrame,
+                        keyCol: String): DataFrame = {
+    val applicable = puts.join(base.select(col(keyCol)), Seq(keyCol), "left_anti")
+    put(base, applicable, keyCol)
+  }
+
   /** checkAndDelete (HTable.checkAndDelete) — delete each keyed row only
     * where its CURRENT state satisfies `check`; rows failing the check
     * (or not keyed for deletion) survive. */

@@ -76,6 +76,20 @@ class MutationsSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, "new", 5.0), (2L, "old", -1.0), (3L, "old", 9.0))))
   }
 
+  test("checkAndPutAbsent: inserts ONLY where no row exists — CAS insert-if-absent") {
+    // HTable.checkAndPut with value = null succeeds iff the checked
+    // cell is ABSENT — the inverse gate of the stored-state check,
+    // which a WHERE over base can never pass for a missing key
+    val base = Seq((1L, "old", 5.0), (3L, "old", 9.0)).toDF("k", "v", "bal")
+    val puts = Seq((1L, "new", 7.0), (2L, "new", 2.0), (4L, "new", 0.0)).toDF("k", "v", "bal")
+    val got = Mutations.checkAndPutAbsent(base, puts, "k")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    // k=1: row exists -> put REJECTED, row untouched; k=2, k=4: absent
+    // -> inserted; k=3: no put -> untouched.
+    assert(got.sameElements(Array((1L, "old", 5.0), (2L, "new", 2.0),
+      (3L, "old", 9.0), (4L, "new", 0.0))), got.mkString(","))
+  }
+
   test("checkAndMutateRow: a failed guard drops the WHOLE batch — put AND delete") {
     val base = Seq((1L, "old", 5.0), (2L, "old", -1.0), (3L, "old", 9.0)).toDF("k", "v", "bal")
     val puts = Seq((1L, "new", 5.0), (2L, "new", -1.0)).toDF("k", "v", "bal")
