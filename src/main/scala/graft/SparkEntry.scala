@@ -49,6 +49,18 @@ object SparkEntry {
       Scans.multiGetBulk(T(s, d, "orders"), "o_orderkey", keys,
         Seq("o_orderkey", "o_custkey", "o_orderstatus")).orderBy("o_orderkey")
     }),
+    // Table.existsAll: presence probe per key, misses reported FALSE —
+    // the table side reads ONLY the key column (no value bytes move,
+    // the API's whole point; plan-asserted in spec)
+    "multi_exists" -> ((s, d) => {
+      import s.implicits._
+      // 36 in-range probes + 4 past any scale factor's keyspace, so
+      // hit AND miss rows both occur at every SF
+      val keys = ((0 until 36).map(i => 7L * i + 1) ++
+        (1 to 4).map(i => 1000000000000000L + i)).toDF("o_orderkey")
+      Scans.multiExists(T(s, d, "orders"), "o_orderkey", keys)
+        .orderBy("o_orderkey")
+    }),
     // the bloom-pruned variant: key set past broadcast size → SMJ, with
     // a BloomFilterAggregate scalar subquery pruning the table scan
     // before the exchange (the HFile-bloom-filter read path; plan spec
@@ -80,6 +92,14 @@ object SparkEntry {
     "scan_batch" -> ((s, d) =>
       Scans.batchCells(Tables.customerCells(s, d), 2)
         .orderBy("rowkey", "batch_idx", "pos_in_batch")),
+    // Scan.setRowOffsetPerColumnFamily(1) + setMaxResultsPerColumnFamily(2):
+    // per (row, family) skip the newest cell, return the next two —
+    // CELL-counted per store, the API next to ColumnPaginationFilter's
+    // per-row COLUMN count
+    "scan_store_limit" -> ((s, d) =>
+      Scans.storeLimit(Tables.eventCellsTwoFamilies(s, d), limit = 2, offset = 1,
+          Seq(col("qualifier"), col("ts").desc, col("event_id").desc))
+        .orderBy("event_id")),
     // per-family version time ranges: family `web` keeps mid-January,
     // family `act` keeps early January — one disjunctive pushed predicate
     "scan_family_time_range" -> ((s, d) =>
@@ -302,6 +322,14 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 3 = 1 AND o_orderkey BETWEEN 1 AND 5998
         |ORDER BY o_orderkey""".stripMargin,
+    "multi_exists" ->
+      """SELECT p.o_orderkey,
+        |       EXISTS(SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = p.o_orderkey) AS key_exists
+        |FROM (SELECT DISTINCT 7 * i + 1 AS o_orderkey FROM range(0, 36) t(i)
+        |      UNION ALL
+        |      SELECT 1000000000000000 + i FROM range(1, 5) t(i)) p
+        |ORDER BY p.o_orderkey""".stripMargin,
     "multi_get_bloom" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
         |WHERE o_orderkey % 7 = 2 AND o_orderkey BETWEEN 2 AND 20995
@@ -342,6 +370,14 @@ object SparkEntry {
         |   OR (family = 'act' AND ts >= TIMESTAMP '2024-01-02 00:00:00'
         |                      AND ts <  TIMESTAMP '2024-01-12 00:00:00')
         |ORDER BY event_id""".stripMargin),
+    "scan_store_limit" ->
+      ("WITH " + graft.core.Tables.eventCellsTwoFamiliesSql + """,
+        |r AS (SELECT rowkey, family, qualifier, ts, value, event_id,
+        |             row_number() OVER (PARTITION BY rowkey, family
+        |               ORDER BY qualifier, ts DESC, event_id DESC) AS rn
+        |      FROM vcells2)
+        |SELECT rowkey, family, qualifier, ts, value, event_id
+        |FROM r WHERE rn > 1 AND rn <= 3 ORDER BY event_id""".stripMargin),
     "get_closest_before" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey <= 31 ORDER BY o_orderkey DESC LIMIT 1""".stripMargin,

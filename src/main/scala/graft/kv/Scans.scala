@@ -104,6 +104,30 @@ object Scans {
     df.join(broadcast(keys.select(col(keyCol)).distinct()), Seq(keyCol), "leftsemi")
       .select(projection.map(col): _*)
 
+  /** Table.existsAll / Get.setCheckExistenceOnly (hbase-client/.../
+    * client/Table.java existsAll, HTable.exists — the server answers
+    * presence WITHOUT shipping cell values; the whole point is that
+    * no value bytes cross the wire): one row per probed key with an
+    * `exists` flag, absent keys reported FALSE rather than dropped
+    * (an existence probe that silently drops misses can't tell a
+    * miss from a lost probe). The table side projects ONLY the key
+    * column — column pruning reaches the scan (plan-asserted), the
+    * Spark analog of not shipping values — and streams ONE unshuffled
+    * pass against the broadcast probe set; only the surviving hit
+    * keys (≤ the probe count, small by premise) are distinct'd and
+    * joined back onto the probes for the miss rows. */
+  def multiExists(df: DataFrame, keyCol: String, keys: DataFrame): DataFrame = {
+    val probes = keys.select(col(keyCol)).distinct()
+    val hits = df.select(col(keyCol))
+      .join(broadcast(probes), Seq(keyCol), "leftsemi")
+      .distinct()
+    probes
+      .join(broadcast(hits.withColumn("_hit", lit(true))), Seq(keyCol), "left")
+      // key_exists, not `exists` — reserved in half the SQL engines
+      // an oracle might run on
+      .select(col(keyCol), coalesce(col("_hit"), lit(false)).as("key_exists"))
+  }
+
   /** The HFile-bloom-filter read path (reference: StoreFile bloom
     * filters let a Get skip files that cannot contain the key) for key
     * batches too large to broadcast as a hash table: a
@@ -154,6 +178,30 @@ object Scans {
     val k = row_number().over(w) - 1
     cells.withColumn("batch_idx", floor(k / batch).cast("bigint"))
       .withColumn("pos_in_batch", pmod(k, lit(batch)).cast("bigint"))
+  }
+
+  /** Scan.setMaxResultsPerColumnFamily / setRowOffsetPerColumnFamily
+    * (Scan.java storeLimit / storeOffset; enforced per STORE — per
+    * (row, family) — by StoreScanner's countPerRow check): skip the
+    * first `offset` CELLS of each (rowkey, family) in scan order,
+    * return at most `limit` more. Cell-counted, unlike
+    * ColumnPaginationFilter's per-row COLUMN count — the two APIs
+    * coexist in the reference and differ on versioned views and on
+    * multi-family rows (this one paginates within each family
+    * independently). `orderCols` is the within-family scan order —
+    * versioned callers append ts desc + a unique tiebreak, the
+    * columnPaginationPredicate contract. One window on
+    * (rowkey, family); window-shaped, so a caller composing further
+    * predicates materializes first. */
+  def storeLimit(cells: DataFrame, limit: Int, offset: Int,
+                 orderCols: Seq[Column] = Seq(col("qualifier"))): DataFrame = {
+    require(limit >= 1 && offset >= 0,
+      s"need limit ($limit) >= 1, offset ($offset) >= 0")
+    val w = Window.partitionBy("rowkey", "family").orderBy(orderCols: _*)
+    // offset + limit in LONG — the DSL Int-sum wrap guard
+    cells.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") > offset && col("_rn") <= offset.toLong + limit.toLong)
+      .drop("_rn")
   }
 
   /** Get.setColumnFamilyTimeRange (Get.java:217) — per-family [min,max)

@@ -227,6 +227,27 @@ class FiltersSpec extends SparkSpec {
     assert(shape == Map(0L -> 1L, 1L -> 0L), s"unexpected chunk shape $shape")
   }
 
+  test("storeLimit: per-(row, family) CELL pagination — offset skips, families independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // row 1 family f: 3 cells (a newest-first under ts desc), family g:
+    // 1 cell; row 2 family f: 2 cells. storeLimit(limit=1, offset=1)
+    // keeps the SECOND cell of each (row, family) — g and any
+    // single-cell store yield nothing (offset past the end), and
+    // unlike ColumnPaginationFilter the count is per family, not per row
+    val cells = Seq(
+      ("1", "f", "a", 30L, "f-a30"), ("1", "f", "a", 20L, "f-a20"),
+      ("1", "f", "b", 10L, "f-b10"),
+      ("1", "g", "x", 10L, "g-x10"),
+      ("2", "f", "a", 20L, "f2-a20"), ("2", "f", "b", 10L, "f2-b10"))
+      .toDF("rowkey", "family", "qualifier", "ts", "value")
+    val got = graft.kv.Scans.storeLimit(cells, limit = 1, offset = 1,
+        Seq(col("qualifier"), col("ts").desc, col("value")))
+      .select("rowkey", "family", "value").as[(String, String, String)]
+      .collect().toSet
+    assert(got == Set(("1", "f", "f-a20"), ("2", "f", "f2-b10")), s"got $got")
+  }
+
   test("familyTimeRange: listed families range-pruned, unlisted pass whole") {
     import spark.implicits._
     val v = Tables.eventCellsTwoFamilies(spark, sfDir)

@@ -48,6 +48,35 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the single rowkey hash exchange:\n$p")
   }
 
+  test("multi_exists: key-only table scan, no value bytes, misses reported false") {
+    import spark.implicits._
+    // Get.setCheckExistenceOnly's point is that NO value bytes move:
+    // the orders scan must read ONLY the key column, stream unshuffled
+    // against the broadcast probe set, and absent keys surface as
+    // false rows rather than disappearing
+    val df = SparkEntry.queries("multi_exists")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    val lines = p.linesIterator.toVector
+    val scanIdx = lines.indexWhere(l =>
+      l.contains("FileScan") && l.contains("orders.parquet"))
+    assert(scanIdx >= 0 &&
+      lines(scanIdx).contains("ReadSchema: struct<o_orderkey:bigint>"),
+      s"orders scan reads more than the key:\n$p")
+    // the table must STREAM into its semi-join: no shuffle exchange
+    // between the LeftSemi join above the scan and the scan itself
+    // (the only shuffles allowed are over probe/hit-scale relations —
+    // the distincts and the final orderBy)
+    val semiIdx = lines.lastIndexWhere(
+      l => l.contains("LeftSemi"), scanIdx)
+    assert(semiIdx >= 0, s"orders scan not under a semi-join:\n$p")
+    assert(!lines.slice(semiIdx + 1, scanIdx).exists(
+        l => "(?<!Reused)(?<!Broadcast)Exchange".r.findFirstIn(l).isDefined),
+      s"table side shuffled before its semi-join:\n$p")
+    val got = df.as[(Long, Boolean)].collect()
+    assert(got.length == 40 && got.exists(_._2) && got.exists(!_._2),
+      s"expected hits AND misses: ${got.count(_._2)} hits")
+  }
+
   test("multi_get_bulk: key set broadcast, big side scanned once with no shuffle") {
     import spark.implicits._
     val keys = (0 until 2000).map(i => 3L * i + 1).toDF("o_orderkey")
