@@ -93,9 +93,10 @@ object SparkEntry {
       Scans.batchCells(Tables.customerCells(s, d), 2)
         .orderBy("rowkey", "batch_idx", "pos_in_batch")),
     // Scan.setRowOffsetPerColumnFamily(1) + setMaxResultsPerColumnFamily(2):
-    // per (row, family) skip the newest cell, return the next two —
-    // CELL-counted per store, the API next to ColumnPaginationFilter's
-    // per-row COLUMN count
+    // per (row, family) skip the FIRST cell in scan order (qualifier
+    // asc, newest version first within a qualifier), return the next
+    // two — CELL-counted per store, the API next to
+    // ColumnPaginationFilter's per-row COLUMN count
     "scan_store_limit" -> ((s, d) =>
       Scans.storeLimit(Tables.eventCellsTwoFamilies(s, d), limit = 2, offset = 1,
           Seq(col("qualifier"), col("ts").desc, col("event_id").desc))

@@ -137,12 +137,30 @@ object Mutations {
     * key — CAS insert-if-absent, the guard [[checkAndPut]]'s
     * stored-state `check` can never express (a key absent from base
     * never passes a WHERE over base). Existing rows are untouched
-    * whatever the put carries. One anti-join gates the puts; no
-    * window, no state. */
-  def checkAndPutAbsent(base: DataFrame, puts: DataFrame,
-                        keyCol: String): DataFrame = {
-    val applicable = puts.join(base.select(col(keyCol)), Seq(keyCol), "left_anti")
-    put(base, applicable, keyCol)
+    * whatever the put carries. Duplicate put keys follow the
+    * reference's sequential CAS: the FIRST op in `versionCol`(+
+    * `tieBreakers`) order wins, the rest fail their absence check —
+    * put()'s dedup convention; with no versionCol the batch must be
+    * key-unique. One anti-join gates the puts, then a plain union —
+    * no second anti-join: applicable keys are disjoint from base BY
+    * CONSTRUCTION, so routing through put() would re-prove it with a
+    * redundant join and extra base key scans. */
+  def checkAndPutAbsent(base: DataFrame, puts: DataFrame, keyCol: String,
+                        versionCol: Option[String] = None,
+                        tieBreakers: Seq[String] = Nil): DataFrame = {
+    val resolved = versionCol match {
+      case Some(v) =>
+        // first op wins: order ASCENDING on the op sequence (the
+        // inverse of put()'s last-write-wins desc)
+        val ord = (v +: tieBreakers).map(col(_).asc)
+        val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+        puts.withColumn("_pv", row_number().over(w))
+          .where(col("_pv") === 1).drop("_pv")
+      case None => puts
+    }
+    val applicable =
+      resolved.join(base.select(col(keyCol)), Seq(keyCol), "left_anti")
+    base.unionByName(applicable)
   }
 
   /** checkAndDelete (HTable.checkAndDelete) — delete each keyed row only

@@ -88,6 +88,17 @@ class MutationsSpec extends SparkSpec {
     // -> inserted; k=3: no put -> untouched.
     assert(got.sameElements(Array((1L, "old", 5.0), (2L, "new", 2.0),
       (3L, "old", 9.0), (4L, "new", 0.0))), got.mkString(","))
+    // duplicate put keys replay the reference's SEQUENTIAL CAS: the
+    // first op (lowest seq) inserts, the second fails its absence
+    // check — never two rows for one key
+    val vbase = Seq((1L, "old", 0L), (3L, "old", 0L)).toDF("k", "v", "seq")
+    val dup = Seq((2L, "first", 10L), (2L, "second", 20L),
+      (4L, "only", 30L)).toDF("k", "v", "seq")
+    val gotDup = Mutations.checkAndPutAbsent(vbase,
+        dup, "k", versionCol = Some("seq"))
+      .orderBy("k").select("k", "v").as[(Long, String)].collect()
+    assert(gotDup.sameElements(Array((1L, "old"), (2L, "first"),
+      (3L, "old"), (4L, "only"))), gotDup.mkString(","))
   }
 
   test("checkAndMutateRow: a failed guard drops the WHOLE batch — put AND delete") {
