@@ -199,45 +199,39 @@ object SparkEntry {
     // ghost-label sets, held and not-held clears — plus the surviving
     // getAuths rows. Labels come from the corpus event types (first-
     // char arithmetic assigns users portably); the spec shows a clear
-    // FLIPS cell visibility on the next read
+    // FLIPS cell visibility on the next read.
+    // The op log and its replay are METADATA (a handful of labels x 5
+    // users), so the whole thing runs DRIVER-LOCAL and the query ships
+    // ONE literal relation: one events scan for the vocabulary, zero
+    // further Spark jobs. The r9 relational form (7 unioned plan forks
+    // + relational replay + a collect probe) cost dozens of tiny jobs
+    // — 11.5 s steady-state on the driver bench for a metadata answer.
+    // Visibility.replayLocal is spec-equated to the relational
+    // adminReplay/finalAuths on randomized logs (PropertySpec).
     "visibility_labels_admin" -> ((s, d) => {
       import s.implicits._
-      // the label vocabulary is METADATA (a handful of event types);
-      // materialized once — the op-log branches below each reference
-      // it, and Catalyst shares nothing across plan forks (the lazy
-      // form re-scanned events 20x, ScanAudit-caught)
-      val lbl = graft.analytics.Tools.materializeMeta(
-        Tables.load(s, d, "events")
-          .select(col("event_type").as("label")).distinct())
-      val ai = ascii(substring(col("label"), 1, 1)) % 5
-      val users = Seq(0, 1, 2, 3, 4).toDF("i")
-      val a1 = lbl.select(lit(100L).as("op_idx"), lit("add_label").as("op"),
-        lit(null).cast("string").as("grantee"), col("label"))
-      val aBad = Seq("bad label!").toDF("label")
-        .select(lit(150L).as("op_idx"), lit("add_label").as("op"),
-          lit(null).cast("string").as("grantee"), col("label"))
-      val a2 = lbl.where(ascii(substring(col("label"), 1, 1)) % 2 === 0)
-        .select(lit(200L).as("op_idx"), lit("add_label").as("op"),
-          lit(null).cast("string").as("grantee"), col("label"))
-      val s1 = lbl.crossJoin(users)
-        .where(ai === col("i") || ai === (col("i") + 1) % 5)
-        .select((lit(1000L) + col("i")).as("op_idx"), lit("set_auths").as("op"),
-          concat(lit("u"), col("i")).as("grantee"), col("label"))
-      val sGhost = users.select((lit(1900L) + col("i")).as("op_idx"),
-        lit("set_auths").as("op"), concat(lit("u"), col("i")).as("grantee"),
-        lit("ghost").as("label"))
-      val c1 = lbl.crossJoin(users).where(ai === col("i"))
-        .select((lit(3000L) + col("i")).as("op_idx"), lit("clear_auths").as("op"),
-          concat(lit("u"), col("i")).as("grantee"), col("label"))
-      val c2 = lbl.crossJoin(users).where(ai === (col("i") + 2) % 5)
-        .select((lit(3500L) + col("i")).as("op_idx"), lit("clear_auths").as("op"),
-          concat(lit("u"), col("i")).as("grantee"), col("label"))
-      val ops = a1.unionByName(aBad).unionByName(a2).unionByName(s1)
-        .unionByName(sGhost).unionByName(c1).unionByName(c2)
-      val held = graft.kv.Visibility.finalAuths(ops)
-        .select(lit(9000L).as("op_idx"), lit("get_auths").as("op"),
-          col("grantee"), col("label"), lit("held").as("outcome"))
-      graft.kv.Visibility.adminReplay(ops).unionByName(held)
+      val labels = Tables.load(s, d, "events")
+        .select(col("event_type").as("label")).distinct()
+        .as[String].collect().toSeq.sorted
+      require(labels.size <= 4096, "label vocabulary is metadata-sized")
+      val ai = (l: String) => l.head.toInt % 5
+      val nul = null.asInstanceOf[String]
+      val us = 0 until 5
+      val ops: Seq[(Long, String, String, String)] =
+        labels.map(l => (100L, "add_label", nul, l)) ++
+          Seq((150L, "add_label", nul, "bad label!")) ++
+          labels.filter(_.head.toInt % 2 == 0)
+            .map(l => (200L, "add_label", nul, l)) ++
+          (for { i <- us; l <- labels; if ai(l) == i || ai(l) == (i + 1) % 5 }
+            yield (1000L + i, "set_auths", s"u$i", l)) ++
+          us.map(i => (1900L + i, "set_auths", s"u$i", "ghost")) ++
+          (for { i <- us; l <- labels; if ai(l) == i }
+            yield (3000L + i, "clear_auths", s"u$i", l)) ++
+          (for { i <- us; l <- labels; if ai(l) == (i + 2) % 5 }
+            yield (3500L + i, "clear_auths", s"u$i", l))
+      val (rep, held) = graft.kv.Visibility.replayLocal(ops)
+      (rep ++ held.map { case (g, l) => (9000L, "get_auths", g, l, "held") })
+        .toDF("op_idx", "op", "grantee", "label", "outcome")
         .orderBy("op_idx", "grantee", "label")
     }),
     // AccessController read masking, the grant-table half of HBase

@@ -1027,6 +1027,156 @@ object Tools {
         .otherwise("FAST_DIFF"))
   }
 
+  /** PREFIX_TREE data-block-encoding size — the fourth encoder in
+    * DataBlockEncoding (hbase-common/.../io/encoding/DataBlockEncoding
+    * .java:46, implemented in hbase-prefix-tree/.../codec/prefixtree/):
+    * per-region byte-exact trie-encoded size beside the
+    * [[blockEncodingDecision]] three, under the same cell model
+    * (fixed-width `rowWidth` row, ONE `famLen`-byte family, variable
+    * qualifier/value, µs timestamp, all-Put types, no tags, mvcc
+    * excluded — PrefixTreeEncoder with includeMvccVersion=false).
+    *
+    * A block (blockCells cells, the delta/seek unit shared with the
+    * other encoders) prices per the writers:
+    *  - ROW trie (RowNodeWriter.calculateWidth, RowSectionWriter
+    *    .compile): one node per full row key or branch point; node =
+    *    uvint(tokenW) + tokenW + uvint(fanOut) + fanOut + uvint(
+    *    numCells) + numCells·fixedPerCell + fanOut·nextNodeOffsetW
+    *    (non-leaves). Non-root tokens drop their FIRST byte (it lives
+    *    in the parent's fan list), so Σ token bytes + Σ fan = the
+    *    distinct-prefix count; nextNodeOffsetW is negotiated so the
+    *    section total fits (strict <, UFIntTool.maxValueForNumBytes).
+    *  - COLUMN tries (ColumnNodeWriter/ColumnSectionWriter): per node
+    *    uvint(tokenLen) + tokenLen + parentOffsetW (FULL tokens — the
+    *    reverse trie stores no fan), offset width negotiated the same
+    *    way. The single family costs famLen+3; the always-present
+    *    empty-tags trie costs 2.
+    *  - TIMESTAMPS (LongEncoder): T distinct → T·ufint(max−min) delta
+    *    bytes + per-cell index of ufint(T−1) bytes; T=1 → zero bytes,
+    *    zero index width (compile()'s early return).
+    *  - VALUES: raw concatenation; per-cell offset/length FInts sized
+    *    by ufint(totalValueBytes)/ufint(maxValueLen).
+    *  - HEADER (PrefixTreeBlockMeta.calculateNumMetaBytes): 25
+    *    constant bytes under this model (8 one-byte widths, flags,
+    *    zero-valued uvints) + uvints of the section sizes/counts +
+    *    uvlong(minTimestamp).
+    *
+    * Trie stats come from the SORTED distinct keys: branch nodes are
+    * exactly the distinct adjacent-pair LCP strings, and Σ token
+    * chars = Σ (len − lcp-with-predecessor) — so one window (the
+    * shared region sort) plus ONE per-block aggregation computes
+    * everything; the ≤blockCells-element collected arrays are the
+    * encoder's own bounded per-block state, and no second corpus
+    * scan or shuffle exists. Requires rowWidth/qualifiers/famLen
+    * < 128 chars and blockCells ≤ 127 (uvints of token/fan/numCells
+    * are then 1 byte, as the header constants assume). */
+  def prefixTreeEncodingSize(df: DataFrame, region: Column, row: Column,
+                             qualifier: Column, tsMicros: Column,
+                             value: Column, tiebreak: Column, famLen: Int,
+                             rowWidth: Int, blockCells: Int = 64): DataFrame = {
+    require(blockCells >= 2 && blockCells <= 127,
+      s"blockCells ($blockCells) must be in [2, 127]")
+    require(famLen >= 1 && famLen < 126, s"famLen ($famLen) out of range")
+    require(rowWidth >= 1 && rowWidth < 128, s"rowWidth ($rowWidth) out of range")
+    import org.apache.spark.sql.expressions.Window
+    // UFIntTool.numBytes: full bytes of a non-negative long (0 → 1)
+    def ufint(x: Column): Column =
+      when(x < (1L << 8), 1L).when(x < (1L << 16), 2L)
+        .when(x < (1L << 24), 3L).when(x < (1L << 32), 4L)
+        .when(x < (1L << 40), 5L).when(x < (1L << 48), 6L)
+        .when(x < (1L << 56), 7L).otherwise(8L)
+    // UVIntTool.numBytes: 7-bit varint width of a non-negative int
+    def uvint(x: Column): Column =
+      when(x < 128L, 1L).when(x < (1L << 14), 2L)
+        .when(x < (1L << 21), 3L).when(x < (1L << 28), 4L).otherwise(5L)
+    // UVLongTool.numBytes: 7-bit varint width of a non-negative long
+    def uvlong(x: Column): Column =
+      (1 to 9).foldLeft(when(x < (1L << 7), 1L)) { (acc, n) =>
+        if (n < 9) acc.when(x < (1L << (7 * (n + 1))), (n + 1).toLong)
+        else acc.otherwise(10L)
+      }
+    // adjacent-pair LCP lengths / prefix strings over a sorted array
+    def adjLcp(arr: Column): Column =
+      when(size(arr) <= 1, expr("array()").cast("array<long>"))
+        .otherwise(transform(sequence(lit(2), size(arr)), i =>
+          graft.core.CommonPrefixLen.commonPrefixLen(
+            element_at(arr, i), element_at(arr, i - 1))))
+    def adjLcpStr(arr: Column): Column =
+      when(size(arr) <= 1, expr("array()").cast("array<string>"))
+        .otherwise(transform(sequence(lit(2), size(arr)), i =>
+          substring(element_at(arr, i), lit(1),
+            graft.core.CommonPrefixLen.commonPrefixLen(
+              element_at(arr, i), element_at(arr, i - 1)).cast("int"))))
+    val w = Window.partitionBy("region").orderBy("_row", "_q", "_ts", "_tie")
+    val blocks = df
+      .select(region.as("region"), row.as("_row"), qualifier.as("_q"),
+        tsMicros.cast("long").as("_ts"), value.as("_v"), tiebreak.as("_tie"))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_blk", expr(s"(_rn - 1) div $blockCells"))
+      .groupBy("region", "_blk")
+      .agg(count(lit(1)).as("c"),
+        sum(length(col("_q"))).as("sqlen"),
+        sum(length(col("_v"))).as("tvb"),
+        max(length(col("_v"))).as("mvl"),
+        count_distinct(col("_ts")).as("tn"),
+        min("_ts").as("tmin"), max("_ts").as("tmax"),
+        array_sort(collect_set(col("_row"))).as("rs"),
+        array_sort(collect_set(col("_q"))).as("qs"))
+    val sized = blocks
+      .withColumn("nur", size(col("rs")).cast("long"))
+      .withColumn("nuq", size(col("qs")).cast("long"))
+      // Σ token chars: fixed-width rows → R·W − Σ lcp; variable quals
+      // → Σ len − Σ lcp
+      .withColumn("p_row", col("nur") * rowWidth -
+        aggregate(adjLcp(col("rs")), lit(0L), (a, x) => a + x))
+      .withColumn("p_q",
+        aggregate(col("qs"), lit(0L), (a, x) => a + length(x)) -
+          aggregate(adjLcp(col("qs")), lit(0L), (a, x) => a + x))
+      // nodes = full keys ∪ adjacent-LCP branch strings (dedup = nubs)
+      .withColumn("n_row",
+        size(array_distinct(concat(col("rs"), adjLcpStr(col("rs"))))).cast("long"))
+      .withColumn("n_q",
+        size(array_distinct(concat(col("qs"), adjLcpStr(col("qs"))))).cast("long"))
+      // per-cell FInt widths
+      .withColumn("vow", ufint(col("tvb")))
+      .withColumn("vlw", ufint(col("mvl")))
+      .withColumn("tsiw", when(col("tn") === 1L, 0L).otherwise(ufint(col("tn") - 1L)))
+      .withColumn("tsbytes",
+        when(col("tn") === 1L, 0L).otherwise(col("tn") * ufint(col("tmax") - col("tmin"))))
+      // qualifier section: per node uvint(tokenLen)=1 + token bytes,
+      // + negotiated parent-offset FInt per node (strict <)
+      .withColumn("qbase", col("n_q") + col("p_q"))
+      .withColumn("qow",
+        when(col("qbase") + col("n_q") < 255L, 1L)
+          .when(col("qbase") + col("n_q") * 2L < 65535L, 2L).otherwise(3L))
+      .withColumn("qbytes", col("qbase") + col("n_q") * col("qow"))
+      // fixedBytesPerCell: famOffset(1) + qualOffset + tagsOffset(1) +
+      // tsIndex + mvccIndex(0) + type(0, all same) + valueOffset + valueLen
+      .withColumn("fbpc", lit(2L) + col("qow") + col("tsiw") + col("vow") + col("vlw"))
+      // row section: 3 uvints per node + elided tokens + fan bytes +
+      // per-cell fixed block + negotiated child pointers. Σ tokenW' =
+      // P − (N−1) and Σ fan = N−1 cancel to P.
+      .withColumn("rbase", col("n_row") * 3L + col("p_row") + col("c") * col("fbpc"))
+      .withColumn("rptrs", col("n_row") - 1L)
+      .withColumn("rowow",
+        when(col("rbase") + col("rptrs") < 255L, 1L)
+          .when(col("rbase") + col("rptrs") * 2L < 65535L, 2L).otherwise(3L))
+      .withColumn("rbytes", col("rbase") + col("rptrs") * col("rowow"))
+      // raw KeyValue bytes: 8 + keyLength + valueLength per cell
+      .withColumn("kvbytes",
+        col("c") * (20L + rowWidth + famLen) + col("sqlen") + col("tvb"))
+      .withColumn("hdr", lit(25L) +
+        uvint(col("kvbytes")) + uvint(col("rbytes")) + uvint(col("qbytes")) +
+        uvint(col("tsbytes")) + uvint(col("tvb")) + uvlong(col("tmin")) +
+        uvint(col("nur")) + uvint(col("nuq")))
+      .withColumn("blkbytes", col("hdr") + col("rbytes") +
+        lit(famLen + 3L) + col("qbytes") + lit(2L) + col("tsbytes") + col("tvb"))
+    sized.groupBy("region")
+      .agg(sum("c").as("n_cells"),
+        sum("kvbytes").as("raw_bytes"),
+        sum("blkbytes").as("prefix_tree_bytes"))
+  }
+
   /** PREFIX data-block-encoding savings audit (hbase-common/.../io/
     * encoding/PrefixKeyDeltaEncoder.java:34 — each cell stores only
     * the bytes of its flat key past the common prefix with the

@@ -141,7 +141,11 @@ object Mutations {
     * reference's sequential CAS: the FIRST op in `versionCol`(+
     * `tieBreakers`) order wins, the rest fail their absence check —
     * put()'s dedup convention; with no versionCol the batch must be
-    * key-unique. One anti-join gates the puts, then a plain union —
+    * key-unique — ENFORCED, not assumed: the no-order path pays the
+    * same one count-window shuffle the ordered path pays and fails
+    * the job naming the first duplicate key (silently inserting every
+    * duplicate would break the one-row-per-key invariant this CAS
+    * exists to protect). One anti-join gates the puts, then a plain union —
     * no second anti-join: applicable keys are disjoint from base BY
     * CONSTRUCTION, so routing through put() would re-prove it with a
     * redundant join and extra base key scans. */
@@ -156,7 +160,16 @@ object Mutations {
         val w = Window.partitionBy(keyCol).orderBy(ord: _*)
         puts.withColumn("_pv", row_number().over(w))
           .where(col("_pv") === 1).drop("_pv")
-      case None => puts
+      case None =>
+        val w = Window.partitionBy(keyCol)
+        puts.withColumn("_pn", count(lit(1)).over(w))
+          .where(assert_true(col("_pn") <= 1,
+            concat(lit("checkAndPutAbsent: duplicate put key "),
+              col(keyCol).cast("string"),
+              lit(" in a batch with no versionCol to order the CAS — " +
+                "pass versionCol (first op wins) or de-duplicate the batch")))
+            .isNull)
+          .drop("_pn")
     }
     val applicable =
       resolved.join(base.select(col(keyCol)), Seq(keyCol), "left_anti")

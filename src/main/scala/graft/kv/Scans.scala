@@ -45,6 +45,15 @@ object Scans {
     * groups past the cursor. The price is one tiny driver job per
     * page during construction — a cursor is sequential by nature.
     *
+    * EAGER by design: those nPages−1 cursor jobs run when the
+    * DataFrame is BUILT, not when it is acted on — a plan-only caller
+    * (explain, plan audits, specs that never collect) still executes
+    * them, and the cursors snapshot the table as of construction time
+    * (a row inserted behind an already-advanced cursor is not seen,
+    * which is also the HBase scanner-handle contract). Callers that
+    * need a lazy plan should build the pages themselves from known
+    * boundary keys.
+    *
     * `keyCol` must be UNIQUE per row (an HBase rowkey is): the resume
     * predicate is strictly `key > cursor`, so rows SHARING the
     * page-boundary key would be skipped by the next page — duplicate

@@ -99,6 +99,45 @@ object Visibility {
     addOut.unionByName(setOut).unionByName(clearOut)
   }
 
+  /** The admin service as the literal sequential state machine, run on
+    * the DRIVER (labels set + per-user auth sets, ops in `op_idx`
+    * order; ties keep input order — the registered log never makes
+    * same-idx ops interact). Same per-op semantics as [[adminReplay]],
+    * and EXACT on re-grant cycles the relational form must reject: a
+    * set→clear→set sequence simply re-grants.
+    *
+    * This exists because the op log is METADATA — tens of rows, never
+    * corpus-sized. Replaying it relationally costs a dozen tiny Spark
+    * jobs whose fixed overhead dwarfs the work (the r9 driver bench
+    * measured 11.5 s steady-state for a handful-of-labels answer);
+    * replaying it here costs microseconds, and the caller ships ONE
+    * literal relation into the rest of the plan. [[adminReplay]] stays
+    * the scale path for a log that somehow outgrows the driver.
+    *
+    * Returns (per-op outcome rows, surviving (grantee, label) auths —
+    * the getAuths view). */
+  def replayLocal(ops: Seq[(Long, String, String, String)])
+      : (Seq[(Long, String, String, String, String)], Seq[(String, String)]) = {
+    val labels = scala.collection.mutable.Set[String]()
+    val auths = scala.collection.mutable.LinkedHashSet[(String, String)]()
+    val outcomes = ops.sortBy(_._1).map { case (idx, op, g, l) =>
+      val res = op match {
+        case "add_label" =>
+          if (!l.matches("[A-Za-z_\\-:/.0-9]+")) "InvalidLabelException"
+          else if (labels(l)) "LabelAlreadyExistsException"
+          else { labels += l; "OK" }
+        case "set_auths" =>
+          if (!labels(l)) "InvalidLabelException"
+          else { auths += ((g, l)); "OK" }
+        case "clear_auths" =>
+          if (!auths((g, l))) "InvalidLabelException"
+          else { auths -= ((g, l)); "OK" }
+      }
+      (idx, op, g, l, res)
+    }
+    (outcomes, auths.toSeq)
+  }
+
   /** getAuths after the replay: the (grantee, label) grants that
     * survive — successful sets minus successful clears. The auth set
     * a scan's effective Authorizations are intersected with, so a

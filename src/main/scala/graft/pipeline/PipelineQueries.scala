@@ -97,8 +97,14 @@ object PipelineQueries {
                     selected: Option[Set[String]] = None): Unit = {
     def wanted(consumers: Set[String]) =
       selected.forall(_.exists(consumers.contains))
-    // builds shingles → ngram_pairs → clusters
-    if (wanted(ngramMemoConsumers)) ngramClusters(s, d)
+    // the ngram chain is LAYERED (shingles → ngram_pairs → clusters);
+    // build only to the DEEPEST level a selected query reads — a
+    // filtered bench of a shingle-only consumer (dedup_minhash_lsh,
+    // the presence reports) must not be charged pair/cluster builds
+    // nobody consumes (the r9 memo_setup attribution gap)
+    if (wanted(ngramClusterConsumers)) ngramClusters(s, d)
+    else if (wanted(ngramPairConsumers)) ngramPairs(s, d)
+    else if (wanted(ngramShingleConsumers)) shingleTab(s, d)
     if (wanted(quantMemoConsumers)) quantEmb(s, d)
     if (wanted(bpeMemoConsumers)) bpeRules(s, d)
     ()
@@ -106,16 +112,21 @@ object PipelineQueries {
 
   /** Per-memo consumer sets (directly or via presencePairs) — the
     * [[prewarmShared]] gate builds a memo only when a selected query
-    * consumes THAT memo, so a filtered bench of e.g. ann_quantized
+    * consumes THAT memo (and, for the layered ngram chain, only to
+    * the depth it reads), so a filtered bench of e.g. ann_quantized
     * pays the int8 corpus but not seconds of shingle builds. Keep in
     * sync with the memo call sites in the map above (the spec asserts
     * every name here is a registered query, so renames can't silently
     * un-gate). */
-  private val ngramMemoConsumers: Set[String] = Set(
-    "dedup_ngram_jaccard", "dedup_clusters", "graph_pagerank",
-    "dedup_report", "ngram_novelty", "source_overlap",
-    "label_propagation", "dedup_minhash_lsh", "pipeline_curation",
-    "dedup_soft", "dedup_keep_best")
+  private val ngramShingleConsumers: Set[String] = Set(
+    "dedup_minhash_lsh", "ngram_novelty", "source_overlap")
+  private val ngramPairConsumers: Set[String] = Set(
+    "dedup_ngram_jaccard", "graph_pagerank", "dedup_report",
+    "label_propagation")
+  private val ngramClusterConsumers: Set[String] = Set(
+    "dedup_clusters", "pipeline_curation", "dedup_soft", "dedup_keep_best")
+  private val ngramMemoConsumers: Set[String] =
+    ngramShingleConsumers ++ ngramPairConsumers ++ ngramClusterConsumers
   private val quantMemoConsumers: Set[String] =
     Set("ann_quantized", "ann_quantized_ivf")
   private val bpeMemoConsumers: Set[String] = Set("bpe_apply")

@@ -99,6 +99,14 @@ class MutationsSpec extends SparkSpec {
       .orderBy("k").select("k", "v").as[(Long, String)].collect()
     assert(gotDup.sameElements(Array((1L, "old"), (2L, "first"),
       (3L, "old"), (4L, "only"))), gotDup.mkString(","))
+    // duplicate keys WITHOUT a versionCol: the key-uniqueness
+    // precondition is enforced, not assumed — silently inserting both
+    // would break the one-row-per-key invariant the CAS protects
+    val e = intercept[Exception] {
+      Mutations.checkAndPutAbsent(vbase.select("k", "v"),
+        dup.select("k", "v"), "k").collect()
+    }
+    assert(e.getMessage.contains("duplicate put key"), e.getMessage)
   }
 
   test("checkAndMutateRow: a failed guard drops the WHOLE batch — put AND delete") {

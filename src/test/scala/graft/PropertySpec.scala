@@ -675,29 +675,15 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("visibility adminReplay equals a sequential op-log interpreter") {
+  test("visibility adminReplay equals the sequential op-log interpreter") {
     import spark.implicits._
-    // naive oracle: the admin service as the literal sequential state
-    // machine (labels set + per-user auth sets, ops in op_idx order)
+    // the sequential state machine is now the LIBRARY's driver-local
+    // replay (Visibility.replayLocal — the registered query's path);
+    // this cross-checks it op-for-op against the relational
+    // min-aggregate formulation on randomized logs
     def naive(ops: Seq[(Long, String, String, String)]) = {
-      val labels = scala.collection.mutable.Set[String]()
-      val auths = scala.collection.mutable.Set[(String, String)]()
-      val outcomes = ops.sortBy(_._1).map { case (idx, op, g, l) =>
-        val res = op match {
-          case "add_label" =>
-            if (!l.matches("[A-Za-z_\\-:/.0-9]+")) "InvalidLabelException"
-            else if (labels(l)) "LabelAlreadyExistsException"
-            else { labels += l; "OK" }
-          case "set_auths" =>
-            if (!labels(l)) "InvalidLabelException"
-            else { auths += ((g, l)); "OK" }
-          case "clear_auths" =>
-            if (!auths((g, l))) "InvalidLabelException"
-            else { auths -= ((g, l)); "OK" }
-        }
-        (idx, res)
-      }
-      (outcomes.toMap, auths.toSet)
+      val (out, auths) = graft.kv.Visibility.replayLocal(ops)
+      (out.map(r => (r._1, r._5)).toMap, auths.toSet)
     }
     // generator honors the documented relational contract: at most one
     // set and one clear per (grantee, label), the clear after the set
