@@ -71,6 +71,12 @@ object SparkEntry {
       Scans.multiGetBloomSmj(T(s, d, "orders"), "o_orderkey", keys,
         Seq("o_orderkey", "o_custkey", "o_orderstatus")).orderBy("o_orderkey")
     }),
+    // Scan.setSmall: the one-RPC bounded scan — 25 rows from key 5000
+    // up, planned as TakeOrderedAndProject over a pushed range (the
+    // spec asserts the plan shape; no global sort, no scanner state)
+    "scan_small" -> ((s, d) =>
+      Scans.small(T(s, d, "orders"), "o_orderkey", 5000L, 25,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
     "scan_time_range" -> ((s, d) =>
       Scans.timeRange(Tables.eventCells(s, d), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
         .select("rowkey", "qualifier", "ts", "value", "event_id")
@@ -340,6 +346,9 @@ object SparkEntry {
         |      FROM vis)
         |SELECT rowkey, qualifier, ts, value, event_id, stale FROM r
         |WHERE rn = 1 ORDER BY event_id""".stripMargin),
+    "scan_small" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey >= 5000 ORDER BY o_orderkey LIMIT 25""".stripMargin,
     "scan_time_range" ->
       """SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'

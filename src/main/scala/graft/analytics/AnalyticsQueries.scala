@@ -171,6 +171,33 @@ object AnalyticsQueries {
           greatest(lit(0L), col("n_reqs") - col("max_reqs")).as("n_throttled"))
         .orderBy("user_id", "window")
     }),
+    // the SIZE half of the throttle surface (ThrottleType REQUEST_SIZE
+    // / WRITE_SIZE / READ_SIZE): byte-weighted day windows per user —
+    // request bytes = value cents + props length, reads are the
+    // click/view ops — with per-tier byte budgets chosen so each tier
+    // trips a DIFFERENT limiter: free binds on request count first
+    // (precedence) then total size, pro on write size, ent on read
+    // size. throttle_as = the exception type checkQuota would throw
+    "quota_throttle_size" -> ((s, d) => {
+      import s.implicits._
+      val limits = Seq(
+        ("free", 3L, 8000L, 1000000000L, 1000000000L),
+        ("pro", 1000000000L, 1000000000L, 6000L, 3000L),
+        ("ent", 1000000000L, 1000000000L, 1000000000L, 2500L))
+        .toDF("tier", "max_reqs", "max_req_bytes", "max_write_bytes",
+          "max_read_bytes")
+      val log = Tables.load(s, d, "events")
+        .withColumn("tier",
+          when(col("user_id") % 3 === 0, "free")
+            .when(col("user_id") % 3 === 1, "pro").otherwise("ent"))
+      Tools.quotaThrottleSize(log,
+          principal = col("user_id"), tier = col("tier"),
+          window = date_trunc("DAY", col("ts")),
+          isRead = col("event_type").isin("click", "view"),
+          bytes = floor(col("value") * 100).cast("long") + length(col("props")),
+          limits = limits)
+        .orderBy("principal", "window")
+    }),
     // NamespaceAuditor: per-namespace table/region accounting vs the
     // namespace quota properties (the `n.` rows of hbase:quota) —
     // 5 tables in 2 namespaces, region counts from exact integer
@@ -798,6 +825,36 @@ object AnalyticsQueries {
           value = col("props"),
           tiebreak = col("event_id"),
           famLen = 2)
+        .orderBy("region")
+    }),
+    // the fourth DataBlockEncoding arm: PREFIX_TREE trie-encoded bytes
+    // per region over the SAME cell layout as encoding_diff_savings,
+    // and the four-way best_encoding that answers the full enum
+    // (PREFIX < DIFF < FAST_DIFF < PREFIX_TREE in enum-id tie order).
+    // Two windowed passes over events (the trie sizer + the delta
+    // trio) — a decision-table audit, not a read-path operator
+    "encoding_prefix_tree_savings" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+      val region = expr("user_id div 64")
+      val row = lpad(col("user_id").cast("string"), 10, "0")
+      val trie = Tools.prefixTreeEncodingSize(ev, region = region, row = row,
+        qualifier = col("event_type"), tsMicros = unix_micros(col("ts")),
+        value = col("props"), tiebreak = col("event_id"),
+        famLen = 2, rowWidth = 10)
+      val trio = Tools.blockEncodingDecision(ev, region = region, row = row,
+        qualifier = col("event_type"), tsMicros = unix_micros(col("ts")),
+        value = col("props"), tiebreak = col("event_id"), famLen = 2)
+      trio.join(trie.select("region", "prefix_tree_bytes"), Seq("region"))
+        .select(col("region"), col("n_cells"), col("raw_bytes"),
+          col("prefix_tree_bytes"),
+          expr("(raw_bytes - prefix_tree_bytes) * 1000000 div raw_bytes")
+            .as("prefix_tree_saved_ppm"),
+          when(col("prefix_bytes") <= least(col("diff_bytes"),
+              col("fast_diff_bytes"), col("prefix_tree_bytes")), "PREFIX")
+            .when(col("diff_bytes") <= least(col("fast_diff_bytes"),
+              col("prefix_tree_bytes")), "DIFF")
+            .when(col("fast_diff_bytes") <= col("prefix_tree_bytes"), "FAST_DIFF")
+            .otherwise("PREFIX_TREE").as("best_encoding"))
         .orderBy("region")
     }),
     // Master LogCleaner chore over oldWALs: day-grain WAL segments
@@ -2009,6 +2066,78 @@ object AnalyticsQueries {
       (1 to 7).map(n => s"WHEN $x < (1::BIGINT) << ${8 * n} THEN $n").mkString(" ") +
       " ELSE 8 END)"
 
+  /** UVLongTool.numBytes — 7-bit varint width of a non-negative long. */
+  private def ddUvlong(x: String): String =
+    "(CASE " +
+      (1 to 9).map(n => s"WHEN $x < (1::BIGINT) << ${7 * n} THEN $n").mkString(" ") +
+      " ELSE 10 END)"
+
+  /** Shared CTE chain of the block-encoding oracles: the event-cell
+    * layout (region = user_id // 64, 10-char padded row, 2-byte
+    * family, µs ts, props value, event_id tiebreak, 64-cell blocks)
+    * priced per-cell for PREFIX / DIFF / FAST_DIFF and rolled up to
+    * the per-region `agg` relation. `encoding_diff_savings` selects
+    * from it directly; `encoding_prefix_tree_savings` joins the
+    * PREFIX_TREE trie arm beside it. */
+  private lazy val encBlockCtes: String =
+    s"""WITH k AS (SELECT user_id // 64 AS region,
+       |        lpad(CAST(user_id AS VARCHAR), 10, '0') AS rw,
+       |        event_type AS q, epoch_us(ts) AS t, props AS v, event_id AS tie
+       |      FROM events),
+       |r AS (SELECT region, rw, q, t, v,
+       |        row_number() OVER w AS rn,
+       |        lag(rw) OVER w AS prow, lag(q) OVER w AS pq,
+       |        lag(t) OVER w AS pts, lag(v) OVER w AS pv
+       |      FROM k WINDOW w AS (PARTITION BY region ORDER BY rw, q, t, tie)),
+       |c1 AS (SELECT *,
+       |        ((rn - 1) % 64 = 0 OR prow IS NULL) AS fst,
+       |        len(rw) AS rlen, len(q) AS qlen, len(pq) AS pqlen,
+       |        len(v) AS vlen, len(pv) AS pvlen,
+       |        2 + len(rw) + 3 + len(q) + 9 AS klen,
+       |        ${ddCommonChars("rw", "prow")} AS rkc,
+       |        ${ddCommonChars("q", "pq")} AS qc,
+       |        CASE WHEN list_position(
+       |          [CASE WHEN ((t >> ((8 - i) * 8)) & 255) = ((coalesce(pts, -1) >> ((8 - i) * 8)) & 255)
+       |                THEN 1 ELSE 0 END for i in range(1, 9)], 0) = 0 THEN 8
+       |          ELSE list_position(
+       |          [CASE WHEN ((t >> ((8 - i) * 8)) & 255) = ((coalesce(pts, -1) >> ((8 - i) * 8)) & 255)
+       |                THEN 1 ELSE 0 END for i in range(1, 9)], 0) - 1 END AS tsc,
+       |        ${ddFitsIn("t")} AS tfits,
+       |        ${ddFitsIn("abs(coalesce(pts, 0) - t)")} AS dfits
+       |      FROM r),
+       |c2 AS (SELECT *,
+       |        CASE WHEN rkc < rlen THEN rkc + 2 ELSE rkc + 5 + qc END AS com
+       |      FROM c1),
+       |c3 AS (SELECT *,
+       |        CASE WHEN rkc = rlen AND q = pq
+       |               THEN com + (CASE WHEN tsc = 8 THEN 9 ELSE tsc END)
+       |             ELSE com END AS comt,
+       |        CASE WHEN com < rlen + 2 THEN rlen + 2 - com + qlen
+       |             ELSE qlen - (com - rlen - 5) END AS suffix
+       |      FROM c2),
+       |costs AS (SELECT region,
+       |        8 + klen + vlen AS raw,
+       |        CASE WHEN fst THEN ${ddVint("klen")} + ${ddVint("vlen")} + 1 + klen + vlen
+       |             ELSE ${ddVint("klen - comt")} + ${ddVint("vlen")} +
+       |                  ${ddVint("comt")} + klen - comt + vlen END AS pfx,
+       |        CASE WHEN fst THEN 3 + 1 + ${ddVint("klen")} + ${ddVint("vlen")} + 1
+       |                           + rlen + 2 + qlen + tfits + 1 + vlen
+       |             ELSE 1 + (CASE WHEN qlen = pqlen THEN 0 ELSE ${ddVint("klen")} END)
+       |                    + (CASE WHEN vlen = pvlen THEN 0 ELSE ${ddVint("vlen")} END)
+       |                    + ${ddVint("com")} + suffix + least(tfits, dfits) + vlen END AS dif,
+       |        CASE WHEN fst THEN 2 + ${ddVint("klen")} + ${ddVint("vlen")} + klen + vlen
+       |             ELSE 1 + (CASE WHEN qlen = pqlen THEN 0 ELSE ${ddVint("klen")} END)
+       |                    + (CASE WHEN vlen = pvlen THEN 0 ELSE ${ddVint("vlen")} END)
+       |                    + ${ddVint("com")} + suffix + (8 - tsc)
+       |                    + (CASE WHEN v = pv THEN 0 ELSE vlen END) END AS fdf
+       |      FROM c3),
+       |agg AS (SELECT region, count(*) AS n_cells,
+       |        CAST(sum(raw) AS BIGINT) AS raw_bytes,
+       |        CAST(sum(pfx) AS BIGINT) AS prefix_bytes,
+       |        CAST(sum(dif) AS BIGINT) AS diff_bytes,
+       |        CAST(sum(fdf) AS BIGINT) AS fast_diff_bytes
+       |      FROM costs GROUP BY 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "namespace_quota" ->
       """WITH catalog AS (
@@ -2071,6 +2200,37 @@ object AnalyticsQueries {
         |SELECT CAST(floor((o_orderkey - lo) * 8 / (hi - lo + 1)) AS BIGINT) AS bucket,
         |       count(*) AS n_rows, min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders, b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // checkQuota precedence mirror: number > request size > write
+    // size (writes only) > read size (reads only)
+    "quota_throttle_size" ->
+      """WITH lim AS (SELECT * FROM (VALUES
+        |    ('free', 3, 8000, 1000000000, 1000000000),
+        |    ('pro', 1000000000, 1000000000, 6000, 3000),
+        |    ('ent', 1000000000, 1000000000, 1000000000, 2500))
+        |  t(tier, max_reqs, max_req_bytes, max_write_bytes, max_read_bytes)),
+        |log AS (SELECT user_id AS principal,
+        |          CASE WHEN user_id % 3 = 0 THEN 'free'
+        |               WHEN user_id % 3 = 1 THEN 'pro' ELSE 'ent' END AS tier,
+        |          date_trunc('day', ts) AS "window",
+        |          event_type IN ('click', 'view') AS r,
+        |          CAST(floor(value * 100) AS BIGINT) + len(props) AS b
+        |        FROM events),
+        |c AS (SELECT principal, tier, "window", count(*) AS n_reqs,
+        |        CAST(sum(b) AS BIGINT) AS req_bytes,
+        |        CAST(sum(CASE WHEN r THEN 0 ELSE b END) AS BIGINT) AS write_bytes,
+        |        CAST(sum(CASE WHEN r THEN b ELSE 0 END) AS BIGINT) AS read_bytes
+        |      FROM log GROUP BY 1, 2, 3),
+        |f AS (SELECT c.*,
+        |        CASE WHEN n_reqs > max_reqs THEN 'NumRequestsExceeded'
+        |             WHEN req_bytes > max_req_bytes THEN 'RequestSizeExceeded'
+        |             WHEN write_bytes > 0 AND write_bytes > max_write_bytes
+        |               THEN 'WriteSizeExceeded'
+        |             WHEN read_bytes > 0 AND read_bytes > max_read_bytes
+        |               THEN 'ReadSizeExceeded' END AS throttle_as
+        |      FROM c JOIN lim USING (tier))
+        |SELECT principal, tier, "window", n_reqs, req_bytes, write_bytes,
+        |       read_bytes, throttle_as, throttle_as IS NOT NULL AS over_quota
+        |FROM f ORDER BY principal, "window"""".stripMargin,
     "quota_throttle" ->
       """WITH lim AS (SELECT * FROM (VALUES ('free', 3), ('pro', 6), ('ent', 1000000))
         |             t(tier, max_reqs)),
@@ -2812,63 +2972,8 @@ object AnalyticsQueries {
     // position fold; DIFF's min(tsFitsIn, diffFitsIn); FAST_DIFF's
     // BE-byte ts suffix + same-value elision)
     "encoding_diff_savings" ->
-      s"""WITH k AS (SELECT user_id // 64 AS region,
-         |        lpad(CAST(user_id AS VARCHAR), 10, '0') AS rw,
-         |        event_type AS q, epoch_us(ts) AS t, props AS v, event_id AS tie
-         |      FROM events),
-         |r AS (SELECT region, rw, q, t, v,
-         |        row_number() OVER w AS rn,
-         |        lag(rw) OVER w AS prow, lag(q) OVER w AS pq,
-         |        lag(t) OVER w AS pts, lag(v) OVER w AS pv
-         |      FROM k WINDOW w AS (PARTITION BY region ORDER BY rw, q, t, tie)),
-         |c1 AS (SELECT *,
-         |        ((rn - 1) % 64 = 0 OR prow IS NULL) AS fst,
-         |        len(rw) AS rlen, len(q) AS qlen, len(pq) AS pqlen,
-         |        len(v) AS vlen, len(pv) AS pvlen,
-         |        2 + len(rw) + 3 + len(q) + 9 AS klen,
-         |        ${ddCommonChars("rw", "prow")} AS rkc,
-         |        ${ddCommonChars("q", "pq")} AS qc,
-         |        CASE WHEN list_position(
-         |          [CASE WHEN ((t >> ((8 - i) * 8)) & 255) = ((coalesce(pts, -1) >> ((8 - i) * 8)) & 255)
-         |                THEN 1 ELSE 0 END for i in range(1, 9)], 0) = 0 THEN 8
-         |          ELSE list_position(
-         |          [CASE WHEN ((t >> ((8 - i) * 8)) & 255) = ((coalesce(pts, -1) >> ((8 - i) * 8)) & 255)
-         |                THEN 1 ELSE 0 END for i in range(1, 9)], 0) - 1 END AS tsc,
-         |        ${ddFitsIn("t")} AS tfits,
-         |        ${ddFitsIn("abs(coalesce(pts, 0) - t)")} AS dfits
-         |      FROM r),
-         |c2 AS (SELECT *,
-         |        CASE WHEN rkc < rlen THEN rkc + 2 ELSE rkc + 5 + qc END AS com
-         |      FROM c1),
-         |c3 AS (SELECT *,
-         |        CASE WHEN rkc = rlen AND q = pq
-         |               THEN com + (CASE WHEN tsc = 8 THEN 9 ELSE tsc END)
-         |             ELSE com END AS comt,
-         |        CASE WHEN com < rlen + 2 THEN rlen + 2 - com + qlen
-         |             ELSE qlen - (com - rlen - 5) END AS suffix
-         |      FROM c2),
-         |costs AS (SELECT region,
-         |        8 + klen + vlen AS raw,
-         |        CASE WHEN fst THEN ${ddVint("klen")} + ${ddVint("vlen")} + 1 + klen + vlen
-         |             ELSE ${ddVint("klen - comt")} + ${ddVint("vlen")} +
-         |                  ${ddVint("comt")} + klen - comt + vlen END AS pfx,
-         |        CASE WHEN fst THEN 3 + 1 + ${ddVint("klen")} + ${ddVint("vlen")} + 1
-         |                           + rlen + 2 + qlen + tfits + 1 + vlen
-         |             ELSE 1 + (CASE WHEN qlen = pqlen THEN 0 ELSE ${ddVint("klen")} END)
-         |                    + (CASE WHEN vlen = pvlen THEN 0 ELSE ${ddVint("vlen")} END)
-         |                    + ${ddVint("com")} + suffix + least(tfits, dfits) + vlen END AS dif,
-         |        CASE WHEN fst THEN 2 + ${ddVint("klen")} + ${ddVint("vlen")} + klen + vlen
-         |             ELSE 1 + (CASE WHEN qlen = pqlen THEN 0 ELSE ${ddVint("klen")} END)
-         |                    + (CASE WHEN vlen = pvlen THEN 0 ELSE ${ddVint("vlen")} END)
-         |                    + ${ddVint("com")} + suffix + (8 - tsc)
-         |                    + (CASE WHEN v = pv THEN 0 ELSE vlen END) END AS fdf
-         |      FROM c3),
-         |agg AS (SELECT region, count(*) AS n_cells,
-         |        CAST(sum(raw) AS BIGINT) AS raw_bytes,
-         |        CAST(sum(pfx) AS BIGINT) AS prefix_bytes,
-         |        CAST(sum(dif) AS BIGINT) AS diff_bytes,
-         |        CAST(sum(fdf) AS BIGINT) AS fast_diff_bytes
-         |      FROM costs GROUP BY 1)
+      (encBlockCtes +
+       """
          |SELECT region, n_cells, raw_bytes, prefix_bytes, diff_bytes, fast_diff_bytes,
          |       (raw_bytes - prefix_bytes) * 1000000 // raw_bytes AS prefix_saved_ppm,
          |       (raw_bytes - diff_bytes) * 1000000 // raw_bytes AS diff_saved_ppm,
@@ -2876,7 +2981,87 @@ object AnalyticsQueries {
          |       CASE WHEN prefix_bytes <= least(diff_bytes, fast_diff_bytes) THEN 'PREFIX'
          |            WHEN diff_bytes <= fast_diff_bytes THEN 'DIFF'
          |            ELSE 'FAST_DIFF' END AS best_encoding
-         |FROM agg ORDER BY region""".stripMargin,
+         |FROM agg ORDER BY region""".stripMargin),
+    // the PREFIX_TREE arm replays Tools.prefixTreeEncodingSize: trie
+    // stats from sorted distinct keys (branch nodes = distinct
+    // adjacent-pair LCP strings, token chars = Σ len − lcp), LongEncoder
+    // timestamp pricing, negotiated UFInt offset widths, the 25-byte
+    // constant header core + variable uvints/uvlong — then the 4-way
+    // decision joined onto the shared PREFIX/DIFF/FAST_DIFF agg
+    "encoding_prefix_tree_savings" ->
+      (encBlockCtes +
+       s""",
+         |tb AS (SELECT region, rw, q, t, v, (rn - 1) // 64 AS blk FROM r),
+         |tca AS (SELECT region, blk, count(*) AS c, sum(len(q)) AS sqlen,
+         |        sum(len(v)) AS tvb, max(len(v)) AS mvl, count(DISTINCT t) AS tn,
+         |        min(t) AS tmin, max(t) AS tmax
+         |      FROM tb GROUP BY 1, 2),
+         |trw AS (SELECT DISTINCT region, blk, rw FROM tb),
+         |trl AS (SELECT region, blk, rw,
+         |        lag(rw) OVER (PARTITION BY region, blk ORDER BY rw) AS prw FROM trw),
+         |trl2 AS (SELECT region, blk, rw, prw,
+         |        CASE WHEN prw IS NULL THEN NULL
+         |             ELSE ${ddCommonChars("rw", "prw")} END AS lcp FROM trl),
+         |trs AS (SELECT region, blk, count(*) AS nur,
+         |        CAST(sum(10 - coalesce(lcp, 0)) AS BIGINT) AS p_row
+         |      FROM trl2 GROUP BY 1, 2),
+         |trn AS (SELECT region, blk, count(DISTINCT nd) AS n_row FROM (
+         |        SELECT region, blk, rw AS nd FROM trw
+         |        UNION ALL
+         |        SELECT region, blk, substr(rw, 1, lcp) FROM trl2 WHERE lcp IS NOT NULL
+         |      ) GROUP BY 1, 2),
+         |tqd AS (SELECT DISTINCT region, blk, q FROM tb),
+         |tql AS (SELECT region, blk, q,
+         |        lag(q) OVER (PARTITION BY region, blk ORDER BY q) AS pq FROM tqd),
+         |tql2 AS (SELECT region, blk, q, pq,
+         |        CASE WHEN pq IS NULL THEN NULL
+         |             ELSE ${ddCommonChars("q", "pq")} END AS lcp FROM tql),
+         |tqs AS (SELECT region, blk, count(*) AS nuq,
+         |        CAST(sum(len(q) - coalesce(lcp, 0)) AS BIGINT) AS p_q
+         |      FROM tql2 GROUP BY 1, 2),
+         |tqn AS (SELECT region, blk, count(DISTINCT nd) AS n_q FROM (
+         |        SELECT region, blk, q AS nd FROM tqd
+         |        UNION ALL
+         |        SELECT region, blk, substr(q, 1, lcp) FROM tql2 WHERE lcp IS NOT NULL
+         |      ) GROUP BY 1, 2),
+         |tw AS (SELECT tca.*, trs.nur, trs.p_row, trn.n_row, tqs.nuq, tqs.p_q, tqn.n_q,
+         |        ${ddFitsIn("tca.tvb")} AS vow, ${ddFitsIn("tca.mvl")} AS vlw,
+         |        CASE WHEN tn = 1 THEN 0 ELSE ${ddFitsIn("(tn - 1)")} END AS tsiw,
+         |        CASE WHEN tn = 1 THEN 0
+         |             ELSE tn * ${ddFitsIn("(tmax - tmin)")} END AS tsbytes
+         |      FROM tca
+         |        JOIN trs USING (region, blk) JOIN trn USING (region, blk)
+         |        JOIN tqs USING (region, blk) JOIN tqn USING (region, blk)),
+         |tw2 AS (SELECT *,
+         |        CASE WHEN n_q + p_q + n_q < 255 THEN 1
+         |             WHEN n_q + p_q + n_q * 2 < 65535 THEN 2 ELSE 3 END AS qow FROM tw),
+         |tw3 AS (SELECT *, n_q + p_q + n_q * qow AS qbytes,
+         |        2 + qow + tsiw + vow + vlw AS fbpc FROM tw2),
+         |tw4 AS (SELECT *, n_row * 3 + p_row + c * fbpc AS rbase,
+         |        n_row - 1 AS rptrs FROM tw3),
+         |tw5 AS (SELECT *,
+         |        CASE WHEN rbase + rptrs < 255 THEN 1
+         |             WHEN rbase + rptrs * 2 < 65535 THEN 2 ELSE 3 END AS rowow FROM tw4),
+         |tw6 AS (SELECT *, rbase + rptrs * rowow AS rbytes,
+         |        c * 32 + sqlen + tvb AS kvbytes FROM tw5),
+         |tw7 AS (SELECT *, 25 + ${ddVint("kvbytes")} + ${ddVint("rbytes")}
+         |          + ${ddVint("qbytes")} + ${ddVint("tsbytes")} + ${ddVint("tvb")}
+         |          + ${ddUvlong("tmin")} + ${ddVint("nur")} + ${ddVint("nuq")} AS hdr
+         |      FROM tw6),
+         |trie AS (SELECT region,
+         |        CAST(sum(hdr + rbytes + 5 + qbytes + 2 + tsbytes + tvb) AS BIGINT)
+         |          AS prefix_tree_bytes
+         |      FROM tw7 GROUP BY 1)
+         |SELECT a.region, a.n_cells, a.raw_bytes, t.prefix_tree_bytes,
+         |       (a.raw_bytes - t.prefix_tree_bytes) * 1000000 // a.raw_bytes
+         |         AS prefix_tree_saved_ppm,
+         |       CASE WHEN a.prefix_bytes <= least(a.diff_bytes, a.fast_diff_bytes,
+         |                                         t.prefix_tree_bytes) THEN 'PREFIX'
+         |            WHEN a.diff_bytes <= least(a.fast_diff_bytes,
+         |                                       t.prefix_tree_bytes) THEN 'DIFF'
+         |            WHEN a.fast_diff_bytes <= t.prefix_tree_bytes THEN 'FAST_DIFF'
+         |            ELSE 'PREFIX_TREE' END AS best_encoding
+         |FROM agg a JOIN trie t USING (region) ORDER BY region""".stripMargin),
     "log_cleaner" ->
       """WITH segs AS (SELECT date_trunc('day', ts) AS segment_day,
         |    count(*) AS n_edits, min(ts) AS oldest_ts, max(ts) AS newest_ts

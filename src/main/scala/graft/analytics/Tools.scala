@@ -1027,6 +1027,44 @@ object Tools {
         .otherwise("FAST_DIFF"))
   }
 
+  /** Size-based quota throttles (hbase-client/.../quotas/ThrottleType
+    * .java:33-39 — REQUEST_SIZE / WRITE_SIZE / READ_SIZE beside the
+    * REQUEST_NUMBER arm quota_throttle already prices). Enforcement
+    * order per TimeBasedLimiter.checkQuota (hbase-server/.../quotas/
+    * TimeBasedLimiter.java:113): the request-NUMBER limiter is
+    * consulted first, then total request SIZE (write+read bytes),
+    * then the write-size limiter (only for requests that write), then
+    * the read-size limiter — `throttle_as` names the FIRST limiter in
+    * that order a window's totals exceed, i.e. the ThrottlingException
+    * type a client would actually see (the mixed-type precedence).
+    *
+    * Byte-weighted accounting is a different ledger from counts: a
+    * window can be fine on requests and throttled on bytes, or vice
+    * versa. One map-side-combinable aggregate per (principal, window)
+    * + a broadcast limits join — bytes sum per window, requests never
+    * shuffle individually. */
+  def quotaThrottleSize(log: DataFrame, principal: Column, tier: Column,
+                        window: Column, isRead: Column, bytes: Column,
+                        limits: DataFrame): DataFrame =
+    log.select(principal.as("principal"), tier.as("tier"),
+        window.as("window"), isRead.as("_r"), bytes.cast("long").as("_b"))
+      .groupBy("principal", "tier", "window")
+      .agg(count(lit(1)).as("n_reqs"),
+        sum(col("_b")).as("req_bytes"),
+        sum(when(!col("_r"), col("_b")).otherwise(0L)).as("write_bytes"),
+        sum(when(col("_r"), col("_b")).otherwise(0L)).as("read_bytes"))
+      .join(broadcast(limits), "tier")
+      .withColumn("throttle_as",
+        when(col("n_reqs") > col("max_reqs"), "NumRequestsExceeded")
+          .when(col("req_bytes") > col("max_req_bytes"), "RequestSizeExceeded")
+          .when(col("write_bytes") > 0 &&
+            col("write_bytes") > col("max_write_bytes"), "WriteSizeExceeded")
+          .when(col("read_bytes") > 0 &&
+            col("read_bytes") > col("max_read_bytes"), "ReadSizeExceeded"))
+      .withColumn("over_quota", col("throttle_as").isNotNull)
+      .select("principal", "tier", "window", "n_reqs", "req_bytes",
+        "write_bytes", "read_bytes", "throttle_as", "over_quota")
+
   /** PREFIX_TREE data-block-encoding size — the fourth encoder in
     * DataBlockEncoding (hbase-common/.../io/encoding/DataBlockEncoding
     * .java:46, implemented in hbase-prefix-tree/.../codec/prefixtree/):
@@ -1097,14 +1135,14 @@ object Tools {
       }
     // adjacent-pair LCP lengths / prefix strings over a sorted array
     def adjLcp(arr: Column): Column =
-      when(size(arr) <= 1, expr("array()").cast("array<long>"))
+      when(size(arr) <= 1, typedLit(Seq.empty[Long]))
         .otherwise(transform(sequence(lit(2), size(arr)), i =>
           graft.core.CommonPrefixLen.commonPrefixLen(
             element_at(arr, i), element_at(arr, i - 1))))
     def adjLcpStr(arr: Column): Column =
-      when(size(arr) <= 1, expr("array()").cast("array<string>"))
+      when(size(arr) <= 1, typedLit(Seq.empty[String]))
         .otherwise(transform(sequence(lit(2), size(arr)), i =>
-          substring(element_at(arr, i), lit(1),
+          element_at(arr, i).substr(lit(1),
             graft.core.CommonPrefixLen.commonPrefixLen(
               element_at(arr, i), element_at(arr, i - 1)).cast("int"))))
     val w = Window.partitionBy("region").orderBy("_row", "_q", "_ts", "_tie")

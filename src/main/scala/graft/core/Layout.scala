@@ -236,14 +236,63 @@ object Snapshots {
     * receiving side verifies integrity). Here: a byte-level copy of the
     * version directory; verification is the caller composing per-bucket
     * digests over source and export (see the export_snapshot query). */
-  def exportSnapshot(base: String, version: Int, targetBase: String): Unit = {
+  def exportSnapshot(base: String, version: Int, targetBase: String): Unit =
+    copyVersionDir(path(base, version), path(targetBase, version))
+
+  /** In-place restoreSnapshot (hbase-server/.../master/snapshot/
+    * RestoreSnapshotHandler.java:63, executing RestoreSnapshotHelper
+    * .restoreHdfsRegions): roll an EXISTING table back to a snapshot —
+    * the table's content is REPLACED by the snapshot version (regions
+    * only in the current table are dropped, regions only in the
+    * snapshot re-added, shared regions restored to snapshot files);
+    * reference files are put in place without moving data. Unlike
+    * clone (a NEW table), every mutation made after the snapshot is
+    * lost — the disaster-recovery path. Here: a file-level copy of
+    * the snapshot version into the next version slot, the
+    * copy-on-write equivalent of reference placement — older versions
+    * (including the pre-restore current state) stay readable, which
+    * is what lets [[restoreAudit]] price exactly what the rollback
+    * discarded, and keeps clones taken from the snapshot independent
+    * of the restore (the spec's clone-unaffected contract). */
+  def restore(base: String, snapshotVersion: Int, newCurrentVersion: Int): Unit = {
+    require(newCurrentVersion > snapshotVersion,
+      s"restore writes a NEW current version (got v$newCurrentVersion " +
+        s"over snapshot v$snapshotVersion)")
+    copyVersionDir(path(base, snapshotVersion), path(base, newCurrentVersion))
+  }
+
+  /** The rollback audit — the dual of [[diff]]: given the snapshot
+    * being restored and the PRE-restore current state, report every
+    * row the in-place restore changes, keyed by what happened to it:
+    *  - `resurrected`: deleted after the snapshot → comes back;
+    *  - `discarded_insert`: inserted after the snapshot → lost (the
+    *    mutation-loss class the handler's javadoc warns about);
+    *  - `reverted_update`: updated after the snapshot → snapshot
+    *    payload wins.
+    * Rows identical in both states survive unchanged (not reported).
+    * Same single full-outer sort-merge join shape as [[diff]]. */
+  def restoreAudit(snapshot: DataFrame, current: DataFrame,
+                   keyCol: String, cmpCols: Seq[String]): DataFrame = {
+    val sv = snapshot.select(col(keyCol), struct(cmpCols.map(col): _*).as("_s"))
+    val cv = current.select(col(keyCol), struct(cmpCols.map(col): _*).as("_c"))
+    sv.join(cv, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("_c").isNull, "resurrected")
+          .when(col("_s").isNull, "discarded_insert")
+          .when(!(col("_s") === col("_c")), "reverted_update"))
+      .where(col("change").isNotNull)
+      .select(col(keyCol), col("change"))
+  }
+
+  /** Byte-level copy of one snapshot version directory. REPLACES the
+    * destination: snapshot part files carry fresh random names per
+    * write, so merging into stale leftovers from an earlier process
+    * would silently double the data. */
+  private def copyVersionDir(srcPath: String, dstPath: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.util.Comparator
-    val src = Paths.get(path(base, version))
-    val dst = Paths.get(path(targetBase, version))
-    // a re-export REPLACES the destination version dir: snapshot part
-    // files carry fresh random names per write, so merging into stale
-    // leftovers from an earlier process would silently double the data
+    val src = Paths.get(srcPath)
+    val dst = Paths.get(dstPath)
     if (Files.exists(dst)) {
       val old = Files.walk(dst)
       try old.sorted(Comparator.reverseOrder[java.nio.file.Path]())

@@ -97,6 +97,37 @@ object SnapshotQueries {
           "event_id", Seq("user_id", "event_type", "ts", "value"))
         .orderBy("event_id")
     }),
+    // In-place restoreSnapshot (RestoreSnapshotHandler.java:63): the
+    // EXISTING table rolls back to the v1 snapshot, and the query is
+    // the rollback AUDIT — the dual of snapshot_diff: the current
+    // state (v2) drifted from the snapshot three ways (even-user rows
+    // deleted, user%7 values bumped, user%9 rows re-inserted under
+    // fresh ids), so the restore resurrects the deletes, reverts the
+    // updates and DISCARDS the post-snapshot inserts (the
+    // mutation-loss class the handler's javadoc warns about). The
+    // restore itself writes v3 = snapshot content copy-on-write; the
+    // spec asserts v3 equals v1 row-for-row and that a clone taken
+    // from the snapshot is unaffected by the origin's rollback.
+    "restore_snapshot" -> ((s, d) => {
+      val base = tmp("graft_snap_restore", d)
+      once(base) {
+        val ev = Tables.load(s, d, "events")
+          .select("event_id", "user_id", "event_type", "ts", "value")
+        Snapshots.write(ev, "user_id", base, 1)
+        val survivors = ev.where(col("user_id") % 2 =!= 0)
+        val updated = survivors.withColumn("value",
+          when(col("user_id") % 7 === 0, round(col("value") + 1, 4))
+            .otherwise(col("value")))
+        val inserted = survivors.where(col("user_id") % 9 === 0)
+          .withColumn("event_id", col("event_id") + 1000000000L)
+        Snapshots.write(updated.unionByName(inserted), "user_id", base, 2)
+        Snapshots.restore(base, 1, 3)
+      }
+      Snapshots.restoreAudit(
+          Snapshots.read(s, base, 1), Snapshots.read(s, base, 2),
+          "event_id", Seq("user_id", "event_type", "ts", "value"))
+        .orderBy("event_id")
+    }),
     // CloneSnapshot (snapshot/CloneSnapshotProcedure): a new table
     // seeded from the v1 snapshot by FILE copy, then mutated
     // independently — diffing source v1 against the clone's own v2
@@ -249,6 +280,18 @@ object SnapshotQueries {
     "snapshot_diff" ->
       """SELECT event_id, 'removed' AS change FROM events
         |WHERE user_id % 2 = 0 ORDER BY event_id""".stripMargin,
+    // the rollback audit mirror: deletes resurrect, surviving %7
+    // updates revert, %9 re-inserts (ids offset 10^9) are discarded
+    "restore_snapshot" ->
+      """SELECT event_id, 'resurrected' AS change FROM events
+        |WHERE user_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, 'reverted_update' FROM events
+        |WHERE user_id % 2 <> 0 AND user_id % 7 = 0
+        |UNION ALL
+        |SELECT event_id + 1000000000, 'discarded_insert' FROM events
+        |WHERE user_id % 2 <> 0 AND user_id % 9 = 0
+        |ORDER BY event_id""".stripMargin,
     // v1 is the events snapshot, so the direct region-file scan must
     // equal the plain range filter over the base table
     "snapshot_scan_direct" ->

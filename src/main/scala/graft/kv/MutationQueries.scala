@@ -48,6 +48,37 @@ object MutationQueries {
       Mutations.checkAndPut(base, puts, "c_custkey", col("c_acctbal") > 0)
         .orderBy("c_custkey")
     }),
+    // checkAndPut with a CompareOp guard (Table.java:274 —
+    // checkAndPut(row, family, qualifier, compareOp, value, put), the
+    // 6-op CAS surface beyond the equality form): three successive
+    // CAS waves, each guard evaluated against the CURRENT stored
+    // state, so stage 3's NOT_EQUAL guard reads segments stage 1
+    // wrote — the optimistic-concurrency ledger shape. GREATER on the
+    // balance promotes rich %4 customers to HIBAL; LESS 0 flags
+    // overdrawn ones; NOT_EQUAL('HIBAL') then bumps %6 balances only
+    // where the first wave did NOT already promote (a %12 customer
+    // with a >5000 balance must keep its unbumped balance).
+    "check_and_put_compare" -> ((s, d) => {
+      import graft.filters.{CompareOp, Comparators}
+      val base = Tables.load(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val s1 = Mutations.checkAndPut(base,
+        base.where(col("c_custkey") % 4 === 0)
+          .withColumn("c_mktsegment", lit("HIBAL")),
+        "c_custkey",
+        Comparators.long(5000L)(col("c_acctbal"), CompareOp.GREATER))
+      val s2 = Mutations.checkAndPut(s1,
+        s1.where(col("c_custkey") % 4 === 0)
+          .withColumn("c_mktsegment", lit("NEGBAL")),
+        "c_custkey",
+        Comparators.long(0L)(col("c_acctbal"), CompareOp.LESS))
+      val s3 = Mutations.checkAndPut(s2,
+        s2.where(col("c_custkey") % 6 === 0)
+          .withColumn("c_acctbal", round(col("c_acctbal") + 100, 4)),
+        "c_custkey",
+        Comparators.binary("HIBAL")(col("c_mktsegment"), CompareOp.NOT_EQUAL))
+      s3.orderBy("c_custkey")
+    }),
     // checkAndPut(value = null): CAS insert-if-absent — the store
     // holds the non-multiple-of-3 customers, the client retries every
     // even customer; only the even multiples of 3 (absent) insert,
@@ -224,6 +255,23 @@ object MutationQueries {
         |            ELSE c_mktsegment END AS c_mktsegment,
         |       c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // the three CAS waves as nested CASEs — each stage's guard reads
+    // the PREVIOUS stage's state
+    "check_and_put_compare" ->
+      """WITH s1 AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 0 AND c_acctbal > 5000 THEN 'HIBAL'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    c_acctbal FROM customer),
+        |s2 AS (SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 0 AND c_acctbal < 0 THEN 'NEGBAL'
+        |         ELSE c_mktsegment END AS c_mktsegment,
+        |    c_acctbal FROM s1),
+        |s3 AS (SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 6 = 0 AND c_mktsegment <> 'HIBAL'
+        |         THEN round(c_acctbal + 100, 4) ELSE c_acctbal END AS c_acctbal
+        |  FROM s2)
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM s3
+        |ORDER BY c_custkey""".stripMargin,
     "check_and_put_absent" ->
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 3 = 0 THEN 'CASNEW'

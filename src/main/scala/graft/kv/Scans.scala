@@ -23,6 +23,27 @@ object Scans {
     df.where(col(keyCol) >= start && col(keyCol) < stop)
       .select(projection.map(col): _*)
 
+  /** Scan.setSmall(true) (hbase-client/.../client/Scan.java:152,
+    * HBASE-9488): a scan known to be tiny runs
+    * openScanner+next+closeScanner in ONE RPC with pread instead of
+    * streaming seek+read — the contract is "bounded result, minimal
+    * round trips, no scanner state". The Spark rendering: a pushed
+    * `key >= start` range with a row LIMIT that must plan as
+    * TakeOrderedAndProject — per-partition top-n + an n-row merge at
+    * the driver, never a global sort or an iterative scanner
+    * (plan-asserted in the spec). At 100 TB the parquet min/max
+    * pruning plays the pread role: only the row groups at the start
+    * key are touched, everything else is skipped metadata-side. */
+  def small(df: DataFrame, keyCol: String, start: Long, limit: Int,
+            projection: Seq[String]): DataFrame = {
+    require(limit >= 1 && limit <= 10000,
+      s"a small scan is BOUNDED — limit $limit out of (0, 10000]")
+    df.where(col(keyCol) >= start)
+      .orderBy(col(keyCol))
+      .limit(limit)
+      .select(projection.map(col): _*)
+  }
+
   /** Scan.setReversed(true) + limit — top-N by key descending. */
   def reversed(df: DataFrame, keyCol: String, limit: Int,
                projection: Seq[String]): DataFrame =

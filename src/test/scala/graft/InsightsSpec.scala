@@ -399,6 +399,80 @@ class InsightsSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("quotaThrottleSize: checkQuota precedence on windows violating several limits") {
+    // One user per case, all in ONE window; limits: 2 reqs, 100 req
+    // bytes, 50 write bytes, 40 read bytes. checkQuota's order is
+    // number > request size > write size > read size, so a window
+    // violating several limits reports the FIRST — and the write/read
+    // arms only fire when the window actually wrote/read.
+    val limits = Seq(("t", 2L, 100L, 50L, 40L))
+      .toDF("tier", "max_reqs", "max_req_bytes", "max_write_bytes",
+        "max_read_bytes")
+    // (user, isRead, bytes): u1 violates EVERYTHING (3 reqs, 200 bytes,
+    // 120 write, 80 read) -> NumRequests wins. u2: 2 reqs but 200
+    // bytes -> RequestSize wins over both size arms. u3: fine on
+    // number/total, write 60 + read 35 -> WriteSize (before ReadSize).
+    // u4: READ-ONLY window of 90 bytes: write arm must NOT fire
+    // (write_bytes = 0) -> ReadSize. u5: under everything -> null.
+    val log = Seq(
+      (1L, false, 60L), (1L, true, 80L), (1L, false, 60L),
+      (2L, false, 30L), (2L, true, 170L),
+      (3L, false, 60L), (3L, true, 35L),
+      (4L, true, 45L), (4L, true, 45L),
+      (5L, false, 20L), (5L, true, 20L)
+    ).toDF("u", "r", "b").withColumn("tier", lit("t"))
+    val got = Tools.quotaThrottleSize(log, col("u"), col("tier"), lit(1L),
+        col("r"), col("b"), limits)
+      .orderBy("principal")
+      .collect().map(r => (r.getAs[Long]("principal"),
+        r.getAs[String]("throttle_as"), r.getAs[Boolean]("over_quota")))
+    assert(got.sameElements(Array(
+      (1L, "NumRequestsExceeded", true), (2L, "RequestSizeExceeded", true),
+      (3L, "WriteSizeExceeded", true), (4L, "ReadSizeExceeded", true),
+      (5L, null, false))), got.mkString(","))
+  }
+
+  test("prefixTreeEncodingSize: hand-priced trie blocks, nubs, degenerate block") {
+    // Region 0, rowWidth=4, famLen=2, one 4-cell block.
+    // Rows {0001,0001,0002,0011}: trie = root "00" + branch "000" +
+    // leaves 0001(2 cells)/0002/0011 -> N=5 nodes, 7 distinct
+    // prefixes. Quals {cl,cli,d}: root ""(empty token) + NUB "cl"
+    // (full qual AND parent of "cli") + "cli" + "d" -> N_q=4, P_q=4;
+    // qbytes = 4 uvints + 4 token chars + 4x1 offset = 12.
+    // ts {1000,2000}: index width ufint(1)=1, deltas 2 x ufint(1000)=4.
+    // values: tvb=7, maxLen=2 -> offset/len FInts 1+1.
+    // fixedPerCell = fam1+qual1+tags1+ts1+val 1+1 = 6; row section =
+    // 3x5 uvints + 3 elided token chars + 4 fan + 4x6 cell block +
+    // 4 child ptrs = 50; header = 25 + 7 one-byte uvints +
+    // uvlong(1000)=2 -> 34; total = 34+50+fam 5+12+tags 2+4+7 = 114
+    // vs raw KeyValue bytes 119.
+    // Region 1 probes the degenerate corners: ONE row, ONE qual, ONE
+    // distinct ts (LongEncoder early return -> 0 index width, 0 delta
+    // bytes) -> 69 trie vs 62 raw (the trie header loses on a tiny
+    // uniform block - the decision table must be able to say so).
+    val df = Seq(
+      (0L, "0001", "cl", 1000L, "xy", 1L),
+      (0L, "0001", "cli", 1000L, "xy", 2L),
+      (0L, "0002", "cl", 2000L, "z", 3L),
+      (0L, "0011", "d", 1000L, "xy", 4L),
+      (1L, "9999", "q", 500L, "vvvv", 5L),
+      (1L, "9999", "q", 500L, "vvvv", 6L)
+    ).toDF("reg", "row", "q", "ts", "v", "tie")
+    val got = Tools.prefixTreeEncodingSize(df, col("reg"), col("row"), col("q"),
+        col("ts"), col("v"), col("tie"), famLen = 2, rowWidth = 4, blockCells = 4)
+      .orderBy("region")
+      .collect().map(r => (r.getAs[Long]("region"), r.getAs[Long]("n_cells"),
+        r.getAs[Long]("raw_bytes"), r.getAs[Long]("prefix_tree_bytes")))
+    assert(got.sameElements(Array((0L, 4L, 119L, 114L), (1L, 2L, 62L, 69L))),
+      got.mkString(","))
+    // raw KeyValue bytes must agree with the three-way table's raw —
+    // the four-way decision compares like against like
+    val raw3 = Tools.blockEncodingDecision(df, col("reg"), col("row"), col("q"),
+        col("ts"), col("v"), col("tie"), famLen = 2, blockCells = 4)
+      .orderBy("region").collect().map(_.getAs[Long]("raw_bytes"))
+    assert(raw3.sameElements(Array(119L, 62L)), raw3.mkString(","))
+  }
+
   test("dqAudit: violations counted, NULL predicates violate, one aggregate pass") {
     val df = Seq((Some(1L), 10.0), (None, -5.0), (Some(1L), 0.0))
       .toDF("k", "price")

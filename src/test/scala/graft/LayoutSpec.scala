@@ -71,4 +71,41 @@ class LayoutSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, 1).count() == v1.count())
     assert(Snapshots.read(spark, dir, 2).count() < v1.count())
   }
+
+  test("restore rolls the table back to the snapshot; clones are unaffected") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_restore").toString
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    Snapshots.write(snap, "k", dir, 1)
+    // current state drifts three ways: k=1 deleted, k=2 updated,
+    // k=9 inserted after the snapshot
+    val current = Seq((2L, "b", 99.0), (3L, "c", 30.0), (9L, "z", 1.0))
+      .toDF("k", "name", "v")
+    Snapshots.write(current, "k", dir, 2)
+    // a clone taken from the snapshot BEFORE the rollback
+    val cloneDir = Files.createTempDirectory("graft_restore_clone").toString
+    Snapshots.exportSnapshot(dir, 1, cloneDir)
+    // the in-place rollback: v3 becomes the serving state
+    Snapshots.restore(dir, 1, 3)
+    val restored = Snapshots.read(spark, dir, 3)
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(restored.sameElements(Array((1L, "a", 10.0), (2L, "b", 20.0),
+      (3L, "c", 30.0))), restored.mkString(","))
+    // the audit prices exactly what the rollback changed
+    val audit = Snapshots.restoreAudit(
+        Snapshots.read(spark, dir, 1), Snapshots.read(spark, dir, 2),
+        "k", Seq("name", "v"))
+      .orderBy("k").as[(Long, String)].collect()
+    assert(audit.sameElements(Array((1L, "resurrected"),
+      (2L, "reverted_update"), (9L, "discarded_insert"))), audit.mkString(","))
+    // clone independence: the origin's restore must not perturb a
+    // clone taken from the snapshot (copy-on-write placement)
+    val clone = Snapshots.read(spark, cloneDir, 1)
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(clone.sameElements(restored), clone.mkString(","))
+    // restore refuses to overwrite the snapshot slot itself
+    val e = intercept[IllegalArgumentException](Snapshots.restore(dir, 3, 2))
+    assert(e.getMessage.contains("NEW current version"))
+  }
 }

@@ -109,6 +109,29 @@ class MutationsSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate put key"), e.getMessage)
   }
 
+  test("checkAndPut with every CompareOp guard — the 6-op CAS surface") {
+    import graft.filters.{CompareOp, Comparators}
+    // counters 1..6 hold balance = 10*k; each op guards against the
+    // stored 30, and the put marks which keys CAS'd through
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("k", "bal")
+    def casKeys(op: CompareOp.Value): Set[Long] = {
+      val puts = base.select(col("k"), lit(-1L).as("bal"))
+      Mutations.checkAndPut(base, puts, "k",
+          Comparators.long(30L)(col("bal"), op))
+        .where(col("bal") === -1L).select("k")
+        .as[Long].collect().toSet
+    }
+    assert(casKeys(CompareOp.LESS) == Set(1L, 2L))
+    assert(casKeys(CompareOp.LESS_OR_EQUAL) == Set(1L, 2L, 3L))
+    assert(casKeys(CompareOp.EQUAL) == Set(3L))
+    assert(casKeys(CompareOp.NOT_EQUAL) == Set(1L, 2L, 4L, 5L))
+    assert(casKeys(CompareOp.GREATER_OR_EQUAL) == Set(3L, 4L, 5L))
+    // GREATER is the optimistic-concurrency guard of the registered
+    // check_and_put_compare query
+    assert(casKeys(CompareOp.GREATER) == Set(4L, 5L))
+  }
+
   test("checkAndMutateRow: a failed guard drops the WHOLE batch — put AND delete") {
     val base = Seq((1L, "old", 5.0), (2L, "old", -1.0), (3L, "old", 9.0)).toDF("k", "v", "bal")
     val puts = Seq((1L, "new", 5.0), (2L, "new", -1.0)).toDF("k", "v", "bal")

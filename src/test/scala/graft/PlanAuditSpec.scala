@@ -114,6 +114,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("scan_small: one-RPC contract — pushed start key + TakeOrderedAndProject") {
+    val p = plan("scan_small")
+    // the bounded read: per-partition top-n + n-row merge, no global
+    // sort, no scanner iteration
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // and the start key reaches the parquet scan (the pread role:
+    // min/max pruning skips every row group below the key)
+    assert(p.contains("GreaterThanOrEqual(o_orderkey,5000)"), p)
+    // one RPC ≈ one stage: no shuffle exchange anywhere in the plan
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("agg_grouped: single hash aggregate with map-side partials") {
     val p = plan("agg_grouped")
     assert(p.contains("HashAggregate"), p)
