@@ -2066,11 +2066,16 @@ object AnalyticsQueries {
       (1 to 7).map(n => s"WHEN $x < (1::BIGINT) << ${8 * n} THEN $n").mkString(" ") +
       " ELSE 8 END)"
 
-  /** UVLongTool.numBytes — 7-bit varint width of a non-negative long. */
+  /** UVLongTool.numBytes — 7-bit varint width of a long: ⌈bits/7⌉,
+    * so every non-negative BIGINT fits in ≤9 bytes and only negatives
+    * (64 significant bits) take 10. The negative arm leads, and there
+    * is no `1 << 63` rung — DuckDB throws Out of Range on that shift
+    * (and its signed value would make the 9-byte case unreachable,
+    * mirroring the Spark-side uvlongBytes fix). */
   private def ddUvlong(x: String): String =
-    "(CASE " +
-      (1 to 9).map(n => s"WHEN $x < (1::BIGINT) << ${7 * n} THEN $n").mkString(" ") +
-      " ELSE 10 END)"
+    s"(CASE WHEN $x < 0 THEN 10 " +
+      (1 to 8).map(n => s"WHEN $x < (1::BIGINT) << ${7 * n} THEN $n").mkString(" ") +
+      " ELSE 9 END)"
 
   /** Shared CTE chain of the block-encoding oracles: the event-cell
     * layout (region = user_id // 64, 10-char padded row, 2-byte

@@ -923,17 +923,9 @@ object Tools {
     require(blockCells >= 2, s"blockCells ($blockCells) must be at least 2")
     require(famLen >= 1, s"famLen ($famLen) must be at least 1")
     import org.apache.spark.sql.expressions.Window
-    // putCompressedInt's 7-bit varint width
-    def vint(x: Column): Column =
-      when(x < 128, 1).when(x < (1 << 14), 2).when(x < (1 << 21), 3)
-        .when(x < (1 << 28), 4).otherwise(5).cast("long")
-    // ByteBufferUtils.longFitsIn: bytes needed for a non-negative long
-    def fitsIn(x: Column): Column =
-      when(x < 0L, 8)
-        .when(x < (1L << 8), 1).when(x < (1L << 16), 2)
-        .when(x < (1L << 24), 3).when(x < (1L << 32), 4)
-        .when(x < (1L << 40), 5).when(x < (1L << 48), 6)
-        .when(x < (1L << 56), 7).otherwise(8).cast("long")
+    // the shared codec width ladders ([[uvintBytes]]/[[ufintBytes]])
+    def vint(x: Column): Column = uvintBytes(x)
+    def fitsIn(x: Column): Column = ufintBytes(x)
     // leading common chars of two strings (self-caps at the shorter;
     // equal strings count whole) — the native fused loop instead of
     // the flags-array fold: no per-row array allocation at scan volume
@@ -1027,6 +1019,34 @@ object Tools {
         .otherwise("FAST_DIFF"))
   }
 
+  /** putCompressedInt / UVIntTool.numBytes — 7-bit varint width of a
+    * non-negative int (0 → 1): the encoders' vint, shared by every
+    * block-encoding cost model so the ladders can't drift apart. */
+  private def uvintBytes(x: Column): Column =
+    when(x < 128L, 1L).when(x < (1L << 14), 2L)
+      .when(x < (1L << 21), 3L).when(x < (1L << 28), 4L).otherwise(5L)
+
+  /** ByteBufferUtils.longFitsIn / UFIntTool.numBytes — full bytes of
+    * a long (0 → 1; NEGATIVE → 8, all bytes move — callers must not
+    * lose that guard by reimplementing the ladder). */
+  private def ufintBytes(x: Column): Column =
+    when(x < 0L, 8L)
+      .when(x < (1L << 8), 1L).when(x < (1L << 16), 2L)
+      .when(x < (1L << 24), 3L).when(x < (1L << 32), 4L)
+      .when(x < (1L << 40), 5L).when(x < (1L << 48), 6L)
+      .when(x < (1L << 56), 7L).otherwise(8L)
+
+  /** UVLongTool.numBytes — 7-bit varint width of a long: ⌈bits/7⌉,
+    * so EVERY non-negative long fits in ≤9 bytes (2^63−1 has 63
+    * bits); only a negative (64 significant bits) takes 10. The
+    * negative arm leads because -x < 2^7 would otherwise match the
+    * 1-byte rung; a 1L << 63 rung would be Long.MinValue and make
+    * the 9-byte case unreachable. */
+  private def uvlongBytes(x: Column): Column =
+    (2 to 8).foldLeft(when(x < 0L, 10L).when(x < (1L << 7), 1L)) {
+      (acc, n) => acc.when(x < (1L << (7 * n)), n.toLong)
+    }.otherwise(9L)
+
   /** Size-based quota throttles (hbase-client/.../quotas/ThrottleType
     * .java:33-39 — REQUEST_SIZE / WRITE_SIZE / READ_SIZE beside the
     * REQUEST_NUMBER arm quota_throttle already prices). Enforcement
@@ -1046,8 +1066,13 @@ object Tools {
   def quotaThrottleSize(log: DataFrame, principal: Column, tier: Column,
                         window: Column, isRead: Column, bytes: Column,
                         limits: DataFrame): DataFrame =
+    // an UNCLASSIFIABLE request (isRead = NULL) counts as a WRITE:
+    // the oracle's CASE WHEN r THEN read ELSE write does the same,
+    // and charging the stricter ledger beats silently dropping the
+    // bytes from both
     log.select(principal.as("principal"), tier.as("tier"),
-        window.as("window"), isRead.as("_r"), bytes.cast("long").as("_b"))
+        window.as("window"), coalesce(isRead, lit(false)).as("_r"),
+        bytes.cast("long").as("_b"))
       .groupBy("principal", "tier", "window")
       .agg(count(lit(1)).as("n_reqs"),
         sum(col("_b")).as("req_bytes"),
@@ -1117,22 +1142,11 @@ object Tools {
     require(famLen >= 1 && famLen < 126, s"famLen ($famLen) out of range")
     require(rowWidth >= 1 && rowWidth < 128, s"rowWidth ($rowWidth) out of range")
     import org.apache.spark.sql.expressions.Window
-    // UFIntTool.numBytes: full bytes of a non-negative long (0 → 1)
-    def ufint(x: Column): Column =
-      when(x < (1L << 8), 1L).when(x < (1L << 16), 2L)
-        .when(x < (1L << 24), 3L).when(x < (1L << 32), 4L)
-        .when(x < (1L << 40), 5L).when(x < (1L << 48), 6L)
-        .when(x < (1L << 56), 7L).otherwise(8L)
-    // UVIntTool.numBytes: 7-bit varint width of a non-negative int
-    def uvint(x: Column): Column =
-      when(x < 128L, 1L).when(x < (1L << 14), 2L)
-        .when(x < (1L << 21), 3L).when(x < (1L << 28), 4L).otherwise(5L)
-    // UVLongTool.numBytes: 7-bit varint width of a non-negative long
-    def uvlong(x: Column): Column =
-      (1 to 9).foldLeft(when(x < (1L << 7), 1L)) { (acc, n) =>
-        if (n < 9) acc.when(x < (1L << (7 * (n + 1))), (n + 1).toLong)
-        else acc.otherwise(10L)
-      }
+    // the shared codec width ladders (one copy at object scope so the
+    // three-way and trie models can't drift apart)
+    def ufint(x: Column): Column = ufintBytes(x)
+    def uvint(x: Column): Column = uvintBytes(x)
+    def uvlong(x: Column): Column = uvlongBytes(x)
     // adjacent-pair LCP lengths / prefix strings over a sorted array
     def adjLcp(arr: Column): Column =
       when(size(arr) <= 1, typedLit(Seq.empty[Long]))

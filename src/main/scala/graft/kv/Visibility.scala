@@ -120,20 +120,23 @@ object Visibility {
       : (Seq[(Long, String, String, String, String)], Seq[(String, String)]) = {
     val labels = scala.collection.mutable.Set[String]()
     val auths = scala.collection.mutable.LinkedHashSet[(String, String)]()
-    val outcomes = ops.sortBy(_._1).map { case (idx, op, g, l) =>
+    // unknown ops are SKIPPED (no outcome row), matching adminReplay's
+    // relational filters — not a MatchError on a stray probe row
+    val outcomes = ops.sortBy(_._1).flatMap { case (idx, op, g, l) =>
       val res = op match {
         case "add_label" =>
-          if (!l.matches("[A-Za-z_\\-:/.0-9]+")) "InvalidLabelException"
-          else if (labels(l)) "LabelAlreadyExistsException"
-          else { labels += l; "OK" }
+          if (!l.matches(labelRegex)) Some("InvalidLabelException")
+          else if (labels(l)) Some("LabelAlreadyExistsException")
+          else { labels += l; Some("OK") }
         case "set_auths" =>
-          if (!labels(l)) "InvalidLabelException"
-          else { auths += ((g, l)); "OK" }
+          if (!labels(l)) Some("InvalidLabelException")
+          else { auths += ((g, l)); Some("OK") }
         case "clear_auths" =>
-          if (!auths((g, l))) "InvalidLabelException"
-          else { auths -= ((g, l)); "OK" }
+          if (!auths((g, l))) Some("InvalidLabelException")
+          else { auths -= ((g, l)); Some("OK") }
+        case _ => None
       }
-      (idx, op, g, l, res)
+      res.map(r => (idx, op, g, l, r))
     }
     (outcomes, auths.toSeq)
   }

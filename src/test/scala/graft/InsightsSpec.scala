@@ -456,21 +456,25 @@ class InsightsSpec extends SparkSpec {
       (0L, "0002", "cl", 2000L, "z", 3L),
       (0L, "0011", "d", 1000L, "xy", 4L),
       (1L, "9999", "q", 500L, "vvvv", 5L),
-      (1L, "9999", "q", 500L, "vvvv", 6L)
+      (1L, "9999", "q", 500L, "vvvv", 6L),
+      // region 2 pins the uvlong ladder's 9-byte rung: minTimestamp
+      // 2^57 needs ceil(58/7) = 9 header bytes (a 1L<<63 rung would
+      // have made this unreachable) — hdr 41, total 65 vs raw 29
+      (2L, "7777", "x", 1L << 57, "ab", 7L)
     ).toDF("reg", "row", "q", "ts", "v", "tie")
     val got = Tools.prefixTreeEncodingSize(df, col("reg"), col("row"), col("q"),
         col("ts"), col("v"), col("tie"), famLen = 2, rowWidth = 4, blockCells = 4)
       .orderBy("region")
       .collect().map(r => (r.getAs[Long]("region"), r.getAs[Long]("n_cells"),
         r.getAs[Long]("raw_bytes"), r.getAs[Long]("prefix_tree_bytes")))
-    assert(got.sameElements(Array((0L, 4L, 119L, 114L), (1L, 2L, 62L, 69L))),
-      got.mkString(","))
+    assert(got.sameElements(Array((0L, 4L, 119L, 114L), (1L, 2L, 62L, 69L),
+      (2L, 1L, 29L, 65L))), got.mkString(","))
     // raw KeyValue bytes must agree with the three-way table's raw —
     // the four-way decision compares like against like
     val raw3 = Tools.blockEncodingDecision(df, col("reg"), col("row"), col("q"),
         col("ts"), col("v"), col("tie"), famLen = 2, blockCells = 4)
       .orderBy("region").collect().map(_.getAs[Long]("raw_bytes"))
-    assert(raw3.sameElements(Array(119L, 62L)), raw3.mkString(","))
+    assert(raw3.sameElements(Array(119L, 62L, 29L)), raw3.mkString(","))
   }
 
   test("dqAudit: violations counted, NULL predicates violate, one aggregate pass") {
