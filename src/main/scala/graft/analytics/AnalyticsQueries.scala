@@ -1991,25 +1991,30 @@ object AnalyticsQueries {
     // data-free pre-splitting for hashed/hex rowkeys — the admin
     // creates N regions whose boundaries evenly divide the 8-hex-char
     // keyspace BEFORE any data exists (no sample needed; the dual of
-    // the data-driven region_splitter). Boundary r = ceil(r·2^32/N)
-    // as zero-padded hex; a row lands by the leading 8 hex chars of
-    // its md5 rowkey. N = 12 — not a power of 16, so boundaries fall
-    // inside hex digits and the division arithmetic is actually
+    // the data-driven region_splitter). Split i per split(n):
+    // firstRow + floor(range/n)·i — sizeOfEachSplit is FLOOR division
+    // and "the last region gets all the slop" (RegionSplitter.java:
+    // 915-919), so every region is exactly floor(2^32/N) wide except
+    // the last (the r10 reference audit: the previous ceil(r·2^32/N)
+    // boundaries spread the slop evenly — a different splitter). A
+    // row lands by the leading 8 hex chars of its md5 rowkey. N = 12
+    // — not a power of 16, so the division arithmetic is actually
     // exercised. One codegen projection + one aggregate; boundaries
     // are pure arithmetic on the region id, no second scan.
     "presplit_hex" -> ((s, d) => {
       val n = 12
+      val size = 4294967296L / n // floor — slop to the last region
       Tables.load(s, d, "orders")
         .select(conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
           16, 10).cast("bigint").as("hv"))
-        .withColumn("region", expr(s"(hv * $n) div 4294967296"))
+        .withColumn("region", least(expr(s"hv div $size"), lit(n - 1L)))
         .groupBy("region")
         .agg(count(lit(1)).as("n_rows"),
           min("hv").as("min_hv"), max("hv").as("max_hv"))
-        .withColumn("start_hex", format_string("%08x",
-          expr(s"(region * 4294967296 + ${n - 1}) div $n")))
+        .withColumn("start_hex", format_string("%08x", expr(s"region * $size")))
         .withColumn("end_hex", format_string("%08x",
-          expr(s"((region + 1) * 4294967296 + ${n - 1}) div $n - 1")))
+          when(col("region") === (n - 1L), lit(4294967295L))
+            .otherwise(expr(s"(region + 1) * $size - 1"))))
         .select("region", "start_hex", "end_hex", "n_rows", "min_hv", "max_hv")
         .orderBy("region")
     }),
@@ -3900,16 +3905,19 @@ object AnalyticsQueries {
         |       state <> 'OPEN' AND CAST(floor(epoch(now)) AS BIGINT)
         |         - CAST(floor(epoch(since_ts)) AS BIGINT) > 86400 AS stuck
         |FROM c, h ORDER BY region""".stripMargin,
+    // split(n) mirror: sizeOfEachSplit = floor(2^32/12) = 357913941,
+    // slop to the LAST region
     "presplit_hex" ->
       """WITH h AS (SELECT CAST(CAST(concat('0x',
         |             substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT)
         |             AS BIGINT) AS hv FROM orders),
-        |r AS (SELECT (hv * 12) // 4294967296 AS region, count(*) AS n_rows,
+        |r AS (SELECT least(hv // 357913941, 11) AS region, count(*) AS n_rows,
         |             min(hv) AS min_hv, max(hv) AS max_hv
         |      FROM h GROUP BY 1)
         |SELECT region,
-        |       printf('%08x', (region * 4294967296 + 11) // 12) AS start_hex,
-        |       printf('%08x', ((region + 1) * 4294967296 + 11) // 12 - 1) AS end_hex,
+        |       printf('%08x', region * 357913941) AS start_hex,
+        |       CASE WHEN region = 11 THEN 'ffffffff'
+        |            ELSE printf('%08x', (region + 1) * 357913941 - 1) END AS end_hex,
         |       n_rows, min_hv, max_hv
         |FROM r ORDER BY region""".stripMargin,
   )

@@ -282,6 +282,17 @@ class MasterOpsSpec extends SparkSpec {
           hx(a.getAs[String]("end_hex")) + 1, s"$a | $b")
       case _ => ()
     }
+    // RegionSplitter.split(n) exactness (r10 reference audit): split i
+    // = floor(range/n)·i — every region exactly floor(2^32/12) =
+    // 357913941 wide, the LAST takes the slop up to ffffffff
+    rows.foreach { r =>
+      val reg = r.getAs[Long]("region")
+      assert(hx(r.getAs[String]("start_hex")) == reg * 357913941L, r.toString)
+      if (reg < 11)
+        assert(hx(r.getAs[String]("end_hex")) == (reg + 1) * 357913941L - 1,
+          r.toString)
+      else assert(r.getAs[String]("end_hex") == "ffffffff", r.toString)
+    }
   }
 
   // ---- snapshot_info --------------------------------------------------
