@@ -12,10 +12,12 @@ import graft.core.Tables
 object AnalyticsQueries {
 
   /** Per-sfDir temp path: concurrent Verify/Bench runs over different
-    * scale factors must not clobber each other's round-trip files. */
+    * scale factors must not clobber each other's round-trip files.
+    * Keyed on the collision-safe digest (SnapshotQueries.dirKey) —
+    * a 32-bit hashCode collision would silently share files. */
   private def tmp(name: String, sfDir: String): String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name + "_" +
-      Integer.toHexString(sfDir.hashCode)
+      graft.core.SnapshotQueries.dirKey(sfDir)
 
   /** The deliberately corrupted META catalog hbck_region_chain AND
     * hbck_repair_plan both run against (audit and fix must see the

@@ -77,9 +77,13 @@ object Layout {
     * oracles rebuild the bucket bit-for-bit. The offset multiplies in
     * DOUBLE — the long multiply wraps once the key span crosses
     * 2^(63−bits) (Tools.totalOrderBucket's overflow class, same fix). */
-  def dimBucket(c: Column, lo: Column, hi: Column, bits: Int): Column =
+  def dimBucket(c: Column, lo: Column, hi: Column, bits: Int): Column = {
+    // the exactness doc above relies on bits <= 16; bits >= 63 would
+    // even flip 1L << bits negative — refuse loudly like Salt.* do
+    require(bits >= 1 && bits <= 16, s"bits ($bits) must be in [1, 16]")
     floor(((c - lo).cast("double") * lit(1L << bits)) / (hi - lo + lit(1)))
       .cast("bigint")
+  }
 
   /** Morton (Z-order) interleave of two `bits`-bit buckets: dim A takes
     * the odd bit positions, dim B the even. Rows sorted by this key
@@ -87,11 +91,16 @@ object Layout {
     * two-column predicates — the multi-dimensional clustering
     * OPTIMIZE ZORDER gives a lakehouse table, built from shifts and
     * masks that stay inside whole-stage codegen. */
-  def mortonKey(a: Column, b: Column, bits: Int): Column =
+  def mortonKey(a: Column, b: Column, bits: Int): Column = {
+    // bits = 0 would crash an empty reduce; bits >= 32 shifts past 63
+    // and the JVM wraps shift counts mod 64 — silently COLLIDING
+    // Z-order keys, the worst failure mode for a clustering key
+    require(bits >= 1 && bits <= 16, s"bits ($bits) must be in [1, 16]")
     (0 until bits).map { i =>
       shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
+  }
 }
 
 /** Ensure-once side artifacts (secondary-index tables). HBase
@@ -155,14 +164,24 @@ object Snapshots {
     * struct equality over `cmpCols` — map-side projections, the join
     * is the only shuffle. */
   def diff(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame,
-           keyCol: String, cmpCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+           keyCol: String, cmpCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    labeledDiff(a, b, keyCol, cmpCols,
+      onlyInA = "removed", onlyInB = "added", changed = "changed")
+
+  /** ONE copy of the labeled full-outer diff shape shared by [[diff]]
+    * and [[restoreAudit]] (their docs each say "same join shape" — so
+    * it IS the same code): key + struct payload per side, full-outer
+    * SMJ, a change label per divergence class, identical rows silent. */
+  private def labeledDiff(a: DataFrame, b: DataFrame, keyCol: String,
+                          cmpCols: Seq[String], onlyInA: String,
+                          onlyInB: String, changed: String): DataFrame = {
     val av = a.select(col(keyCol), struct(cmpCols.map(col): _*).as("_a"))
     val bv = b.select(col(keyCol), struct(cmpCols.map(col): _*).as("_b"))
     av.join(bv, Seq(keyCol), "full_outer")
       .withColumn("change",
-        when(col("_b").isNull, "removed")
-          .when(col("_a").isNull, "added")
-          .when(!(col("_a") === col("_b")), "changed"))
+        when(col("_b").isNull, onlyInA)
+          .when(col("_a").isNull, onlyInB)
+          .when(!(col("_a") === col("_b")), changed))
       .where(col("change").isNotNull)
       .select(col(keyCol), col("change"))
   }
@@ -272,39 +291,30 @@ object Snapshots {
     * Rows identical in both states survive unchanged (not reported).
     * Same single full-outer sort-merge join shape as [[diff]]. */
   def restoreAudit(snapshot: DataFrame, current: DataFrame,
-                   keyCol: String, cmpCols: Seq[String]): DataFrame = {
-    val sv = snapshot.select(col(keyCol), struct(cmpCols.map(col): _*).as("_s"))
-    val cv = current.select(col(keyCol), struct(cmpCols.map(col): _*).as("_c"))
-    sv.join(cv, Seq(keyCol), "full_outer")
-      .withColumn("change",
-        when(col("_c").isNull, "resurrected")
-          .when(col("_s").isNull, "discarded_insert")
-          .when(!(col("_s") === col("_c")), "reverted_update"))
-      .where(col("change").isNotNull)
-      .select(col(keyCol), col("change"))
-  }
+                   keyCol: String, cmpCols: Seq[String]): DataFrame =
+    labeledDiff(snapshot, current, keyCol, cmpCols,
+      onlyInA = "resurrected", onlyInB = "discarded_insert",
+      changed = "reverted_update")
 
-  /** Byte-level copy of one snapshot version directory. REPLACES the
-    * destination: snapshot part files carry fresh random names per
-    * write, so merging into stale leftovers from an earlier process
-    * would silently double the data. */
+  /** Byte-level copy of one snapshot version directory, at the SAME
+    * filesystem abstraction the snapshot writes use (Hadoop FS — a
+    * java.nio walk would silently look at the LOCAL path while
+    * Snapshots.write landed on the session's default FS, e.g. HDFS/S3
+    * on a real cluster; writeBucketed already bridges the same way).
+    * REPLACES the destination: snapshot part files carry fresh random
+    * names per write, so merging into stale leftovers from an earlier
+    * process would silently double the data. */
   private def copyVersionDir(srcPath: String, dstPath: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import java.util.Comparator
-    val src = Paths.get(srcPath)
-    val dst = Paths.get(dstPath)
-    if (Files.exists(dst)) {
-      val old = Files.walk(dst)
-      try old.sorted(Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.delete(p))
-      finally old.close()
-    }
-    Files.createDirectories(dst)
-    val walk = Files.walk(src)
-    try walk.forEach { p =>
-      val t = dst.resolve(src.relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
-    } finally walk.close()
+    import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val src = new HPath(srcPath)
+    val dst = new HPath(dstPath)
+    val fs = src.getFileSystem(conf)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.mkdirs(dst.getParent)
+    if (!FileUtil.copy(fs, src, fs, dst, false, true, conf))
+      throw new java.io.IOException(s"copy $srcPath -> $dstPath failed")
   }
 }
+

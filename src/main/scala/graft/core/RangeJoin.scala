@@ -52,8 +52,14 @@ object RangeJoin {
     // exact [lo, hi] filter anyway) — without the isNotNull arm the
     // null span would fall into raise_error, whose concat'd message
     // is itself null, killing the job with a message-less error
+    // an INVERTED window (hi < lo) joins the null arm too: the row can
+    // never satisfy lo <= ts <= hi, and Spark's sequence(start, stop)
+    // would otherwise generate a DESCENDING run — a negative span also
+    // passes the `< maxBinsPerWindow` check, so one corrupted row
+    // could explode to epoch-scale bins instead of dropping
     val guarded =
-      when(loBin.isNull || hiBin.isNull, lit(null).cast("bigint"))
+      when(loBin.isNull || hiBin.isNull || hiBin < loBin,
+        lit(null).cast("bigint"))
         .when(hiBin - loBin < maxBinsPerWindow, hiBin)
         .otherwise(raise_error(concat(lit("rangeJoinBinned: window spans "),
           (hiBin - loBin + 1).cast("string"),

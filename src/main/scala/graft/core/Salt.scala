@@ -33,7 +33,14 @@ object Salt {
     // coalesce in the MESSAGE: a NULL key makes `digits` null, and a
     // null concat would turn raise_error's diagnostic into a
     // message-less abort — the exact opacity this guard exists to avoid
-    val guarded = when(key >= 0 && length(digits) <= width, digits).otherwise(
+    // the integral round-trip arm: a double/decimal key renders as
+    // "5.0", which passes the sign/length checks but stores a key no
+    // saltedRangeScan bound can ever match ('.' sorts above '-') —
+    // exactly the silent scan-format breakage this guard exists to
+    // refuse loudly
+    val guarded = when(
+      key >= 0 && length(digits) <= width &&
+        key.cast("bigint").cast("string") === digits, digits).otherwise(
       raise_error(concat(lit("saltedKey: key "),
         coalesce(digits, lit("NULL")),
         lit(s" must be a non-negative integer of at most $width digits"))))

@@ -7,10 +7,19 @@ import graft.kv.Mutations
 /** SURVEY §2F — snapshots and region metadata as verified queries. */
 object SnapshotQueries {
 
+  /** Collision-safe per-dataset suffix: 32-bit String.hashCode has
+    * collisions among ordinary path strings, and a collision would
+    * silently serve one dataset's snapshot/bucket artifacts to the
+    * other (same once()-guard, same table name). 64 md5 bits keep the
+    * suffix identifier-safe and collision odds negligible. */
+  private[graft] def dirKey(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   /** Per-sfDir temp path (concurrent runs over different SFs isolate). */
   private def tmp(name: String, sfDir: String): String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name + "_" +
-      Integer.toHexString(sfDir.hashCode)
+      dirKey(sfDir)
 
   /** Setup-once guard: snapshot/bucket layouts are written once per JVM
     * per input dir — the verified operator is the READ/JOIN over the
@@ -199,7 +208,7 @@ object SnapshotQueries {
       Layout.read(s, base).orderBy("event_id")
     }),
     "bucket_join" -> ((s, d) => {
-      val sfx = Integer.toHexString(d.hashCode)
+      val sfx = dirKey(d)
       val (ot, lt) = (s"orders_bkt_$sfx", s"lineitem_bkt_$sfx")
       Layout.ensureBucketed(Tables.load(s, d, "orders")
         .select("o_orderkey", "o_totalprice"), "o_orderkey", 8, ot)(s)
@@ -219,7 +228,7 @@ object SnapshotQueries {
     // is the only shuffle). At 100 TB this is the difference between
     // re-shuffling the fact table per rollup and reading it in place.
     "bucket_agg" -> ((s, d) => {
-      val sfx = Integer.toHexString(d.hashCode)
+      val sfx = dirKey(d)
       val lt = s"lineitem_bkt_$sfx"
       Layout.ensureBucketed(Tables.load(s, d, "lineitem")
         .select("l_orderkey", "l_quantity"), "l_orderkey", 8, lt)(s)
