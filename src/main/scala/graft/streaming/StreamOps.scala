@@ -183,9 +183,33 @@ object StreamOps {
     import org.apache.hadoop.fs.Path
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      // full-match v=<digits>: a stray sibling (v=3.bak from a manual
+      // copy, with its _SUCCESS inside) is simply NOT a version — the
+      // old prefix match fed "3.bak" to toInt and every read and both
+      // maintainers died on the NumberFormatException forever
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
       .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.drop(2).toInt)
+  }
+
+  /** GC for a maintained table: delete all but the newest `keepLast`
+    * COMPLETE versions, returning what was dropped. The versioned-dir
+    * design pays one directory listing per batch and never reclaims
+    * disk on its own, so a perpetual maintainer accrues O(batches) FS
+    * metadata and storage — run this from the maintenance cadence
+    * once no reader can still hold the dropped versions (the same
+    * copy-on-write visibility caveat as snapshot GC). keepLast >= 1
+    * always preserves the serving version, which is also the SCD2
+    * maintainer's merge base. */
+  def gcMaintained(spark: org.apache.spark.sql.SparkSession, path: String,
+                   keepLast: Int = 2): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    require(keepLast >= 1, s"keepLast ($keepLast) must keep the serving version")
+    val base = new Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drop = completeVersions(fs, base).sorted.dropRight(keepLast)
+    drop.foreach(v => fs.delete(new Path(base, s"v=$v"), true))
+    drop
   }
 
   /** Shared foreachBatch write discipline for the maintainers:
@@ -208,6 +232,35 @@ object StreamOps {
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = completeVersions(fs, base)
+    // FOREIGN-STREAM check by IDENTITY, not version arithmetic: the
+    // table carries its owning streaming query's id (_QUERY_ID —
+    // stable across restarts from the same checkpoint, fresh per new
+    // checkpoint), closing the one case the arithmetic below cannot
+    // see: old max == new batchId. A previous stream that committed
+    // only v=0 would otherwise make a fresh checkpoint's batch 0 look
+    // like a replay and silently skip it — losing the new stream's
+    // batch-0 rows with no error. Tables from before this marker (or
+    // written outside a stream) have no marker and fall back to the
+    // version arithmetic alone.
+    val marker = new Path(base, "_QUERY_ID")
+    val curId = Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+    val ownerId: Option[String] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        finally in.close()
+      }
+    (ownerId, curId) match {
+      case (Some(own), Some(cur)) =>
+        require(own == cur,
+          s"maintained table at $path belongs to streaming query $own but " +
+            s"this stream is $cur — a fresh checkpoint against an existing " +
+            "table loses data; resume the original checkpoint or use a " +
+            "fresh table path")
+      case _ => ()
+    }
     require(versions.forall(_ <= batchId),
       s"maintained table at $path holds version ${versions.max} from a " +
         s"previous stream but this checkpoint is at batch $batchId — " +
@@ -215,7 +268,15 @@ object StreamOps {
     // the write body receives the versions this guard already listed —
     // re-listing inside the body would double the per-batch FS
     // metadata round-trips (listStatus + per-dir _SUCCESS probes)
-    if (!versions.contains(batchId.toInt)) write(versions)
+    if (!versions.contains(batchId.toInt)) {
+      write(versions)
+      // claim ownership only AFTER a successful first write — a thrown
+      // write must not brand the path
+      if (ownerId.isEmpty) curId.foreach { id =>
+        val out = fs.create(marker, true)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+      }
+    }
   }
 
   /** The read side of every foreachBatch-maintained table
@@ -440,9 +501,15 @@ object StreamOps {
             ReplCellState(Long.MinValue, Long.MinValue, Long.MinValue, 0.0))
           rows.foreach { case (_, _, ts, v, eid, op) =>
             val us = micros(ts)
+            // the WAL vocabulary is EXACTLY {put, delete}, matching the
+            // batch walReplay's op === 'put' filter: an out-of-vocabulary
+            // op folded in as a put could resurrect a cell the batch
+            // replay masks — the convergence contract would silently
+            // break on the replica only
             if (op == "delete") {
               if (us > st.delUs) st = st.copy(delUs = us)
-            } else if (us > st.putUs || (us == st.putUs && eid > st.putEid)) {
+            } else if (op == "put" &&
+                (us > st.putUs || (us == st.putUs && eid > st.putEid))) {
               st = st.copy(putUs = us, putEid = eid, putValue = v)
             }
           }

@@ -222,6 +222,59 @@ class StreamingSpec extends SparkSpec {
     assert(wrote)
   }
 
+  test("maintainGuard: query-id marker closes the max==batchId fresh-checkpoint hole") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_guard_qid").toString + "/t"
+    val key = "sql.streaming.queryId"
+    try {
+      // stream q1 commits ONLY v=0, branding the table
+      spark.sparkContext.setLocalProperty(key, "q1")
+      import spark.implicits._
+      StreamOps.maintainGuard(spark, dir, 0L) { _ =>
+        graft.core.Snapshots.write(Seq(("a", 1L)).toDF("k", "n"), "k", dir, 0)
+      }
+      // a FRESH checkpoint (q2) also starts at batch 0: version
+      // arithmetic alone would call this a replay and silently skip
+      // the new stream's rows — the identity marker refuses loudly
+      spark.sparkContext.setLocalProperty(key, "q2")
+      val e = intercept[IllegalArgumentException] {
+        StreamOps.maintainGuard(spark, dir, 0L) { _ => fail("must not write") }
+      }
+      assert(e.getMessage.contains("belongs to streaming query q1"), e.getMessage)
+      // the ORIGINAL stream's replay of batch 0 still skips cleanly
+      spark.sparkContext.setLocalProperty(key, "q1")
+      var ran = false
+      StreamOps.maintainGuard(spark, dir, 0L) { _ => ran = true }
+      assert(!ran)
+      // and its next batch writes normally
+      StreamOps.maintainGuard(spark, dir, 1L) { _ =>
+        graft.core.Snapshots.write(Seq(("a", 2L)).toDF("k", "n"), "k", dir, 1) }
+      assert(StreamOps.readMaintained(spark, dir)
+        .as[(String, Long)].collect().sameElements(Array(("a", 2L))))
+    } finally spark.sparkContext.setLocalProperty(key, null)
+  }
+
+  test("maintained tables: stray version-like dirs ignored, GC keeps the newest") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_guard_gc").toString + "/t"
+    (0 to 3).foreach(v => graft.core.Snapshots.write(
+      Seq(("a", v.toLong)).toDF("k", "n"), "k", dir, v))
+    // a manual backup copy with its own _SUCCESS is NOT a version —
+    // the old prefix parse threw NumberFormatException forever
+    val bak = new java.io.File(dir, "v=3.bak"); bak.mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, "v=3", "_SUCCESS"),
+      java.nio.file.Paths.get(dir, "v=3.bak", "_SUCCESS"))
+    assert(StreamOps.readMaintained(spark, dir)
+      .as[(String, Long)].collect().sameElements(Array(("a", 3L))))
+    // GC drops all but the newest 2 complete versions
+    assert(StreamOps.gcMaintained(spark, dir, keepLast = 2) == Seq(0, 1))
+    assert(!new java.io.File(dir, "v=0").exists())
+    assert(StreamOps.readMaintained(spark, dir)
+      .as[(String, Long)].collect().sameElements(Array(("a", 3L))))
+  }
+
   test("streaming dedup drops duplicate payloads across micro-batches, bounded state") {
     val events = Tables.load(spark, sfDir, "events").select("event_id", "ts", "props")
     val dir = Files.createTempDirectory("graft_dedup_src").toString
