@@ -95,8 +95,16 @@ object Dedup {
       // tracker as utm_source) while VALUES stay case-significant
       regexp_replace(_, "([?&])(?i:utm_[a-z0-9_]+)=[^&#]*", "$1"),
       regexp_replace(_, "([?&])&+", "$1"),         // collapse left-over &&
+      // path trailing slash(es) immediately before the query
+      regexp_replace(_, "/+\\?", "?"),
       regexp_replace(_, "[?&]+$", ""),             // dangling separators
-      regexp_replace(_, "/+$", ""))                // trailing slash(es)
+      // trailing slash(es) — PATH only: the anchored ?-free pattern
+      // refuses to fire on a URL with a query string, where the
+      // trailing slash belongs to the last query VALUE ('?next=/home/'
+      // vs '?next=/home' are different resources — stripping it was
+      // exactly the case-conflation class this function documents
+      // itself against)
+      regexp_replace(_, "^([^?]*)/+$", "$1"))
     steps.foldLeft(url)((c, f) => f(c))
   }
 
@@ -272,7 +280,7 @@ object Dedup {
     // hashes over ~1 KiB CDC chunks, so the hottest digest is bounded
     // by true duplication, which is exactly what the operator reports.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("digest")
-    chunks.withColumn("_df", count(lit(1)).over(w))
+    val report = chunks.withColumn("_df", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum("chunk_len").as("n_bytes"),
@@ -283,6 +291,19 @@ object Dedup {
         col("n_dup_chunks"), col("dup_bytes"),
         round(col("dup_bytes").cast("double") / col("n_bytes"), 4)
           .as("dup_frac"))
+    // an EMPTY doc has no chunk rows (its only slot is the '' tail the
+    // length filter drops) — without the backfill it vanishes from the
+    // per-doc report entirely, silently shifting any corpus-wide
+    // dup-rate denominator (the lineDedup/nearestNeighborReportIvf
+    // discipline: a report row per input doc, zeroed counts, dup_frac
+    // NULL — 0 of 0 bytes has no honest ratio)
+    docs.select("doc_id").join(report, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        coalesce(col("dup_bytes"), lit(0L)).as("dup_bytes"),
+        col("dup_frac"))
   }
 
   /** Exact n-gram Jaccard pairs via the inverted-index join: explode
@@ -397,27 +418,33 @@ object Dedup {
                        shingleTable: Option[DataFrame] = None): DataFrame = {
     require(maxDf >= 2, s"maxDf ($maxDf) below 2 keeps no pair-producing shingle")
     val shp = shingleTable.getOrElse(shingles(docs).localCheckpoint())
-    cappedCandidates(shp, maxDf, minShared)
-      .join(shp.select(col("doc_id").as("i"), col("shs").as("shs_i")), "i")
-      .join(shp.select(col("doc_id").as("j"), col("shs").as("shs_j")), "j")
-      .withColumn("inter", size(array_intersect(col("shs_i"), col("shs_j"))))
-      .withColumn("containment", round(col("inter").cast("double") /
-        least(size(col("shs_i")), size(col("shs_j"))), 4))
-      .where(col("containment") >= threshold)
-      .select("i", "j", "containment")
+    verifyWith(cappedCandidates(shp, maxDf, minShared), shp, threshold,
+      metricName = "containment",
+      metric = (inter, ni, nj) => inter.cast("double") / least(ni, nj))
   }
 
   /** Exact full-set Jaccard verify on a candidate pair set — shared by
     * the LSH and capped-inverted-index paths. */
   private def verifyPairs(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    verifyWith(cand, sh, threshold, metricName = "jaccard",
+      metric = (inter, ni, nj) => inter.cast("double") / (ni + nj - inter))
+
+  /** ONE copy of the exact verify scaffold (double shingle join +
+    * intersection), parameterized by the similarity metric — Jaccard
+    * and containment differ ONLY in the denominator, and two
+    * hand-synced copies of the join shape are exactly the drift mode
+    * the pairExpansion scaladoc warns about. */
+  private def verifyWith(cand: DataFrame, sh: DataFrame, threshold: Double,
+                         metricName: String,
+                         metric: (Column, Column, Column) => Column): DataFrame =
     cand
       .join(sh.select(col("doc_id").as("i"), col("shs").as("shs_i")), "i")
       .join(sh.select(col("doc_id").as("j"), col("shs").as("shs_j")), "j")
       .withColumn("inter", size(array_intersect(col("shs_i"), col("shs_j"))))
-      .withColumn("jaccard", round(col("inter").cast("double") /
-        (size(col("shs_i")) + size(col("shs_j")) - col("inter")), 4))
-      .where(col("jaccard") >= threshold)
-      .select("i", "j", "jaccard")
+      .withColumn(metricName, round(metric(col("inter"),
+        size(col("shs_i")), size(col("shs_j"))), 4))
+      .where(col(metricName) >= threshold)
+      .select(col("i"), col("j"), col(metricName))
 
   /** MinHash signature: fold each shingle to a 31-bit base hash ONCE
     * (hoisted out of the permutation loop — inside it, the string hash

@@ -1652,14 +1652,15 @@ object PipelineQueries {
         |  FROM nofrag),
         |canon AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |  regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(regexp_replace(
         |    u,
         |    '^www\.', ''),
         |    '^([^/:]+):(80|443)([/?]|$)', '\1\3'),
         |    '([?&])(?i:utm_[a-z0-9_]+)=[^&#]*', '\1', 'g'),
         |    '([?&])&+', '\1', 'g'),
+        |    '/+\?', '?'),
         |    '[?&]+$', ''),
-        |    '/+$', '') AS canonical_url
+        |    '^([^?]*)/+$', '\1') AS canonical_url
         |  FROM cased)
         |SELECT canonical_url, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM canon GROUP BY 1 ORDER BY keeper""".stripMargin,
@@ -1843,18 +1844,23 @@ object PipelineQueries {
         |cd AS (SELECT doc_id, md5(chunk) AS digest,
         |              CAST(length(chunk) AS BIGINT) AS chunk_len
         |       FROM ch WHERE length(chunk) > 0),
-        |df AS (SELECT digest, count(*) AS dfreq FROM cd GROUP BY 1)
-        |SELECT doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_chunks,
-        |  CAST(sum(chunk_len) AS BIGINT) AS n_bytes,
-        |  CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_dup_chunks,
-        |  CAST(sum(CASE WHEN dfreq >= 2 THEN chunk_len ELSE 0 END) AS BIGINT)
-        |    AS dup_bytes,
-        |  round(sum(CASE WHEN dfreq >= 2 THEN chunk_len ELSE 0 END)
-        |        * 1.0 / sum(chunk_len), 4) AS dup_frac
-        |FROM cd JOIN df USING (digest)
-        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+        |df AS (SELECT digest, count(*) AS dfreq FROM cd GROUP BY 1),
+        |rep AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(chunk_len) AS BIGINT) AS n_bytes,
+        |    CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_chunks,
+        |    CAST(sum(CASE WHEN dfreq >= 2 THEN chunk_len ELSE 0 END) AS BIGINT)
+        |      AS dup_bytes,
+        |    round(sum(CASE WHEN dfreq >= 2 THEN chunk_len ELSE 0 END)
+        |          * 1.0 / sum(chunk_len), 4) AS dup_frac
+        |  FROM cd JOIN df USING (digest) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_chunks, 0) AS n_chunks,
+        |       coalesce(n_bytes, 0) AS n_bytes,
+        |       coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+        |       coalesce(dup_bytes, 0) AS dup_bytes, dup_frac
+        |FROM documents d LEFT JOIN rep USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the same recursive-CTE clusters, reweighted instead of culled
     "dedup_soft" ->
       s"""WITH RECURSIVE pairs AS (

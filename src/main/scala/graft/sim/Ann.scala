@@ -24,6 +24,13 @@ object VectorOps {
     ColumnBridge.column(VecDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Squared L2 distance — the native [[VecL2Sq]], bit-identical to
+    * the `aggregate(zip_with(...))` fold it replaces (see its
+    * scaladoc: the a·a − 2a·b expansion would NOT be). */
+  def l2sq(a: Column, b: Column): Column =
+    ColumnBridge.column(VecL2Sq(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** L2 norm, floored at 1e-12: an all-zero embedding (failed encoder
     * output, padding row) must score cosine 0 against everything, not
     * 0/0 = NaN — Spark orders NaN ABOVE every number, so an unguarded
@@ -61,18 +68,35 @@ object Ann {
         col("col.s").as("_score"), (col("pos") + 1).as("rank"))
   }
 
+  /** ONE copy of the broadcast-scored-pairs scaffold shared by
+    * [[bruteForce]], [[hardNegatives]] and [[rangeSearch]] (their
+    * docs each say "same scale shape" — so it is the same code):
+    * query side broadcast with precomputed norms, corpus streamed
+    * once through the codegen'd VecDot cosine, `pairFilter` applied
+    * BEFORE anything shuffles. The three operators differ only in
+    * extra carried columns, the filter, and the tail (top-k heap vs
+    * threshold). */
+  private def scoredPairs(vectors: DataFrame, queries: DataFrame,
+                          extraQ: Seq[Column] = Nil, extraV: Seq[Column] = Nil,
+                          pairFilter: Column): DataFrame = {
+    // norms precomputed per row, not per pair
+    val q = queries.select(Seq(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb")) ++ extraQ: _*)
+      .withColumn("_qn", norm("q_emb"))
+    val v = vectors.select(Seq(col("vec_id").as("nn_id"),
+        col("embedding")) ++ extraV: _*)
+      .withColumn("_vn", norm("embedding"))
+    v.crossJoin(broadcast(q))
+      .where(pairFilter)
+      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
+  }
+
   /** Exact brute-force cosine top-k: broadcast the (small) query side
     * against the full corpus — the correctness baseline every ANN
     * variant is measured against. */
   def bruteForce(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // norms precomputed per row, not per pair
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("_qn", norm("q_emb"))
-    val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"))
-      .withColumn("_vn", norm("embedding"))
-    val scored = v.crossJoin(broadcast(q))
-      .where(col("nn_id") =!= col("q_id"))
-      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
+    val scored = scoredPairs(vectors, queries,
+      pairFilter = col("nn_id") =!= col("q_id"))
     topK(scored, "q_id", k)
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
   }
@@ -86,15 +110,9 @@ object Ann {
     * codegen'd VecDot, bounded-state top-k heap) with the label
     * mismatch filtered BEFORE anything shuffles. */
   def hardNegatives(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"), col("label").as("_ql"))
-      .withColumn("_qn", norm("q_emb"))
-    val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"),
-        col("label"))
-      .withColumn("_vn", norm("embedding"))
-    val scored = v.crossJoin(broadcast(q))
-      .where(col("label") =!= col("_ql"))
-      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
+    val scored = scoredPairs(vectors, queries,
+      extraQ = Seq(col("label").as("_ql")), extraV = Seq(col("label")),
+      pairFilter = col("label") =!= col("_ql"))
     topK(scored, "q_id", k)
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"),
         col("rank"))
@@ -110,17 +128,10 @@ object Ann {
     * the only thing that ever leaves the scan, and per-query result
     * sizes are data-dependent (the reason no bounded-state top-k
     * applies). */
-  def rangeSearch(vectors: DataFrame, queries: DataFrame, minCos: Double): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("_qn", norm("q_emb"))
-    val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"))
-      .withColumn("_vn", norm("embedding"))
-    v.crossJoin(broadcast(q))
-      .where(col("nn_id") =!= col("q_id"))
-      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
+  def rangeSearch(vectors: DataFrame, queries: DataFrame, minCos: Double): DataFrame =
+    scoredPairs(vectors, queries, pairFilter = col("nn_id") =!= col("q_id"))
       .where(col("_score") >= minCos)
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"))
-  }
 
   /** IVF-style ANN: a TRAINED coarse quantizer (deterministic mod-k
     * seeding refined by [[lloydCentroids]]'s Lloyd rounds — the faiss

@@ -70,11 +70,17 @@ object Pca {
     val x = emb.select(col("embedding").cast("array<double>").as("e"))
     // upper-triangle second moments + first moments in ONE aggregate:
     // the (i, j >= i) pair explode is per-row fanout d(d+1)/2, combined
-    // map-side to a 2080-cell partial per partition before the shuffle
+    // map-side to a 2080-cell partial per partition before the shuffle.
+    // The second explode runs over slice(e, i+1, d−i) — generating the
+    // triangle DIRECTLY: a full d×d posexplode followed by a j >= i
+    // filter materializes 2× the rows first, because Catalyst cannot
+    // push a filter inside a Generate (at d=64 that is 4096 vs 2080
+    // generated rows per corpus vector on the one full-corpus pass)
     val pairs = x
       .select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))
-      .select(col("i"), col("vi"), posexplode(col("e")).as(Seq("j", "vj")))
-      .where(col("j") >= col("i"))
+      .select(col("i"), col("vi"),
+        posexplode(expr("slice(e, i + 1, size(e) - i)")).as(Seq("dj", "vj")))
+      .select(col("i"), col("vi"), (col("i") + col("dj")).as("j"), col("vj"))
     // diagonal groups (i == j) carry sum(vi) and the row count
     // alongside their gram cell, so the means come out of the SAME
     // aggregate — one corpus scan total, not a second moments pass

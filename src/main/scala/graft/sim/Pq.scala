@@ -142,15 +142,19 @@ object Pq {
   }
 
   /** Nearest-codebook-entry assignment: per row, min (L2², code) over
-    * the row's own subspace — a literal-lookup projection. */
+    * the row's own subspace — a literal-lookup projection. The
+    * distance is the native [[VecL2Sq]] loop: this runs corpus×ksub
+    * times per encode (the PQ hot path), where the HOF
+    * aggregate(zip_with(...)) form allocates an intermediate array
+    * per comparison; VecL2Sq folds the identical terms in the
+    * identical order, so code assignments — and with them the Lloyd
+    * training trajectory the full oracle replays — are bit-unchanged. */
   private def assignCodes(rows: DataFrame, books: DataFrame): DataFrame = {
     val m = bookLit(books)
     rows.withColumn("_best", array_min(transform(
         element_at(m, col("sub")),
         b => struct(
-          aggregate(
-            zip_with(col("sv"), b.getField("_2"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (a, x) => a + x).cast("double").as("d2"),
+          VectorOps.l2sq(col("sv"), b.getField("_2")).as("d2"),
           b.getField("_1").as("code")))))
       .select(col("vec_id"), col("sub"), col("sv"),
         col("_best.code").as("code"))

@@ -173,6 +173,34 @@ class PipelineSpec extends SparkSpec {
     assert(got(3) == "example.com/p?id=3", got(3))
   }
 
+  test("canonicalizeUrl: a trailing slash in a QUERY VALUE is significant") {
+    import spark.implicits._
+    val got = Seq(
+      "https://site.com/cb?next=/home/",   // slash belongs to the value
+      "https://site.com/cb?next=/home",    // a DIFFERENT target
+      "https://site.com/cb/?next=/x",      // path slash before ? strips
+      "https://site.com/cb/?utm_source=a") // query strips away entirely
+      .toDF("url")
+      .select(Dedup.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    assert(got(0) == "site.com/cb?next=/home/", got(0))
+    assert(got(1) == "site.com/cb?next=/home", got(1))
+    assert(got(0) != got(1), "query-value slash conflated distinct resources")
+    assert(got(2) == "site.com/cb?next=/x", got(2))
+    assert(got(3) == "site.com/cb", got(3))
+  }
+
+  test("cdcChunks: an empty doc keeps its report row (zeroed, dup_frac NULL)") {
+    import spark.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over a lazy dog repeatedly"),
+      (2L, "")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(docs).orderBy("doc_id").collect()
+    assert(got.length == 2, got.mkString(","))
+    val empty = got(1)
+    assert(empty.getAs[Long]("n_chunks") == 0L && empty.getAs[Long]("n_bytes") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("dup_frac")),
+      "0 of 0 bytes has no honest dup ratio")
+  }
+
   test("repetition: a 2-word doc reports its 2-gram stats with zero 3-gram repeats") {
     import spark.implicits._
     val docs = Seq((1L, "foo foo"), (2L, "a b c a b c")).toDF("doc_id", "text")
