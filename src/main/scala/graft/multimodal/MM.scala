@@ -179,14 +179,25 @@ object MM {
     * parses as unknown dims rather than mis-parsing. The DuckDB
     * oracles mirror the 3-hop walk the corpus needs; the 4th hop
     * never fires on synthesized payloads. */
-  private def sofWalk(h: String = "_h"): Column = {
+  private def sofWalk(h: String = "_h"): Column =
+    segWalk(i => hx(i, 2, h) === "FFC0", h)
+
+  /** The length-prefixed segment-chain walk itself, ONE copy
+    * parameterized by the marker predicate — [[sofWalk]], the
+    * metadata scan and the post-strip re-verify all ride the same
+    * chain, and the three previously hand-rolled copies had DRIFTED
+    * in depth (4 vs 3 vs 2 hops), which is exactly how a
+    * fourth-position Exif APP1 could escape the scrub while
+    * reporting strip_ok. Returns the first walk position whose
+    * marker satisfies `pred`, else null. */
+  private def segWalk(pred: Column => Column, h: String): Column = {
     val n1 = lit(5) + bei(lit(5), 2, h)           // after segment 1
     val n2 = n1 + 2 + bei(n1 + 2, 2, h)           // after segment 2
     val n3 = n2 + 2 + bei(n2 + 2, 2, h)           // after segment 3
-    when(hx(lit(3), 2, h) === "FFC0", lit(3L))
-      .when(hx(n1, 2, h) === "FFC0", n1)
-      .when(hx(n2, 2, h) === "FFC0", n2)
-      .when(hx(n3, 2, h) === "FFC0", n3)
+    when(pred(lit(3)), lit(3L))
+      .when(pred(n1), n1)
+      .when(pred(n2), n2)
+      .when(pred(n3), n3)
   }
 
   /** Extract typed metadata from the payload BYTES (never doc_id). */
@@ -288,11 +299,16 @@ object MM {
   def synthesizeVideo(docs: DataFrame): DataFrame = {
     val nf = lit(4) + col("doc_id") % 13
     val fs = lit(16) + col("doc_id") % 32
-    val payload = concat(
-      ascii("GVID"), be(nf, 2), be(fs, 2),
-      expr("rpad(text, cast((4 + doc_id % 13) * (16 + doc_id % 32) as int), '.')")
-        .cast("binary"))
-    docs.select(col("doc_id"), pinned(payload).as("payload"))
+    // ONE copy of the frame geometry: the header's nf/fs and the body
+    // length both derive from the same columns (an independent string
+    // re-spelling of the formula in the rpad was the COM-pad drift
+    // class this file documents — a header/body disagreement makes
+    // frameSample's last-frame fingerprint read past the payload)
+    docs.withColumn("_nf", nf).withColumn("_fs", fs)
+      .select(col("doc_id"), pinned(concat(
+        ascii("GVID"), be(col("_nf"), 2), be(col("_fs"), 2),
+        expr("rpad(text, cast(_nf * _fs as int), '.')").cast("binary")))
+        .as("payload"))
   }
 
   /** Frame sampling — the video analogue of the image/audio triage:
@@ -381,16 +397,14 @@ object MM {
     * mirrors that single-segment case; the APP1 arm and the two-pass
     * behavior are exercised by the hand-built-Exif spec.) */
   def exifStrip(withBytes: DataFrame): DataFrame = {
-    // a metadata segment at a walk position: APP1 or COM
+    // a metadata segment at a walk position: APP1 or COM. The scan
+    // rides the SAME 4-hop segWalk as sofWalk — the previous 3-hop
+    // copy let a metadata segment at the 4th walk position (e.g.
+    // SOI|APP0|DQT|SOF0|APP1) survive the scrub with strip_ok=true
     def metaAt(i: Column, h: String) = hx(i, 2, h).isin("FFFE", "FFE1")
-    def metaPos(h: String): Column = {
-      val n1 = lit(5) + bei(lit(5), 2, h)
-      val n2 = n1 + 2 + bei(n1 + 2, 2, h)
+    def metaPos(h: String): Column =
       when(!isJpeg(h), lit(null).cast("bigint"))
-        .when(metaAt(lit(3), h), lit(3L))
-        .when(metaAt(n1, h), n1)
-        .when(metaAt(n2, h), n2)
-    }
+        .otherwise(segWalk(i => metaAt(i, h), h))
     // splice the segment (marker + length-prefixed body) out of hex
     // image `h`, given its position column name `pos` and length `len`
     def splice(h: String, pos: String, len: String): Column =
@@ -414,10 +428,12 @@ object MM {
       .withColumn("_sh", pinned(splice("_h1", "_m2", "_l2")))
     val reread = p2
       .withColumn("_ssof", pinned(sofWalk("_sh")))
-      .withColumn("_sn1", pinned(lit(5) + bei(lit(5), 2, "_sh")))
     val rw = when(isJpeg("_sh"), bei(col("_ssof") + 7, 2, "_sh"))
     val rh = when(isJpeg("_sh"), bei(col("_ssof") + 5, 2, "_sh"))
-    val noMetaLeft = !metaAt(lit(3), "_sh") && !metaAt(col("_sn1"), "_sh")
+    // the re-verify scans the SAME 4-hop walk: no metadata marker may
+    // remain at ANY position (a 2-position probe could bless a strip
+    // that left a third segment behind)
+    val noMetaLeft = metaPos("_sh").isNull
     reread.select(col("doc_id"),
       (length(col("_h")) / 2).cast("bigint").as("n_before"),
       (coalesce(col("_l1") + 2, lit(0L)) + coalesce(col("_l2") + 2, lit(0L)))

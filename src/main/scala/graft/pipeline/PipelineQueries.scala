@@ -2167,14 +2167,16 @@ object PipelineQueries {
         |c3 AS (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY 1, 2),
         |s3 AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n3, count(*) AS d3
         |       FROM c3 GROUP BY 1)
-        |SELECT doc_id, n2 AS n_2grams,
+        |SELECT d.doc_id, coalesce(n2, 0) AS n_2grams,
         |       round(1 - d2 / CAST(n2 AS DOUBLE), 4) AS dup_2gram_frac,
         |       round(m2 / CAST(n2 AS DOUBLE), 4) AS top_2gram_frac,
-        |       coalesce(round(1 - d3 / CAST(n3 AS DOUBLE), 4), 0.0)
-        |         AS dup_3gram_frac,
-        |       (round(m2 / CAST(n2 AS DOUBLE), 4) <= 0.05
-        |        AND round(1 - d2 / CAST(n2 AS DOUBLE), 4) <= 0.05) AS rep_pass
-        |FROM s2 LEFT JOIN s3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+        |       CASE WHEN n2 IS NULL THEN 0.0
+        |            ELSE coalesce(round(1 - d3 / CAST(n3 AS DOUBLE), 4), 0.0)
+        |       END AS dup_3gram_frac,
+        |       coalesce(round(m2 / CAST(n2 AS DOUBLE), 4) <= 0.05
+        |        AND round(1 - d2 / CAST(n2 AS DOUBLE), 4) <= 0.05, true) AS rep_pass
+        |FROM documents d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "ann_hybrid" ->
       (s"""WITH tk0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
           |             FROM documents),

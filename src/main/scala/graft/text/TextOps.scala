@@ -19,6 +19,15 @@ object TextOps {
 
   private def markerList = EnMarkers.map(w => s"'$w'").mkString(", ")
 
+  /** ⌊log₁₀(c)·10⁶⌋ as bigint — THE integer micro-log every
+    * engine-portable log-score in this file builds on (unigram LM,
+    * tf-idf/bm25 idf, importance weights, bigram log-probs). ONE copy:
+    * a precision or flooring tweak must move every consumer at once,
+    * or the micro-log scales the operators are documented to share
+    * silently diverge. Inputs are integer counts (+smoothing), so the
+    * float log evaluates on identical values in every engine. */
+  private def mlog(c: Column): Column = floor(log10(c) * 1e6).cast("bigint")
+
   /** n-gram-heuristic language ID: fraction of whitespace tokens that
     * are English marker words; >= 5% → 'en'. A profile-based classifier
     * would swap in here — the pipeline shape (pure projection) is the
@@ -247,7 +256,7 @@ object TextOps {
         .agg(sum("cnt").as(s"${pre}_n"), count(lit(1)).as(s"${pre}_d"),
           max("cnt").as(s"${pre}_m"))
     }
-    gramStats(2, "g2").join(gramStats(3, "g3"), Seq("doc_id"), "left")
+    val report = gramStats(2, "g2").join(gramStats(3, "g3"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("g2_n").as("n_2grams"),
         round(lit(1) - col("g2_d").cast("double") / col("g2_n"), 4).as("dup_2gram_frac"),
         round(col("g2_m").cast("double") / col("g2_n"), 4).as("top_2gram_frac"),
@@ -255,6 +264,18 @@ object TextOps {
           lit(0.0)).as("dup_3gram_frac"))
       .withColumn("rep_pass",
         col("top_2gram_frac") <= topFracMax && col("dup_2gram_frac") <= dupFracMax)
+    // a QUALITY GATE must return a verdict for EVERY doc (the
+    // gopherRules discipline): a sub-2-token doc has no 2-grams at
+    // all — zero repetition evidence — so it PASSES with zeroed
+    // stats and NULL fractions (0 of 0 grams has no honest ratio),
+    // rather than silently vanishing from the pass AND fail sets
+    docs.select("doc_id").join(report, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        col("dup_2gram_frac"), col("top_2gram_frac"),
+        when(col("n_2grams").isNull, lit(0.0))
+          .otherwise(col("dup_3gram_frac")).as("dup_3gram_frac"),
+        coalesce(col("rep_pass"), lit(true)).as("rep_pass"))
   }
 
   /** Corpus-LM quality proxy (the CCNet pipeline's LM-perplexity
@@ -270,7 +291,7 @@ object TextOps {
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .select(col("tok"), floor(log10(col("cnt")) * 1e6).cast("bigint").as("mlog"))
+      .select(col("tok"), mlog(col("cnt")).as("mlog"))
     val total = toks.agg(count(lit(1)).as("_N"))
     // no broadcast hint: Zipf keeps the vocab tiny at test scale (AQE
     // broadcasts it on its own), but at corpus scale distinct tokens
@@ -410,7 +431,6 @@ object TextOps {
     val model = toks.groupBy("bucket").agg(count(lit(1)).as("cr"),
       sum(when(col("_t"), 1L).otherwise(0L)).as("ct"))
     val consts = model.agg(sum("cr").as("_nr"), sum("ct").as("_nt"))
-    def mlog(c: Column) = floor(log10(c) * 1e6).cast("bigint")
     toks.join(broadcast(model), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
@@ -454,7 +474,6 @@ object TextOps {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val stats = toks.agg(count(lit(1)).as("_L"))
       .crossJoin(docs.agg(count(lit(1)).as("_N")))
-    def mlog(c: Column) = floor(log10(c) * 1e6).cast("bigint")
     tf.join(dfreq, "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
@@ -593,6 +612,17 @@ object TextOps {
       t = t.select(col("w"), expr(bpeMergeFoldSql(l, rr, ns)).as("syms"))
     }
     val wordTok = t.select(col("w"), size(col("syms")).cast("long").as("_n_syms"))
+    fertility(docs, wordTok)
+  }
+
+  /** ONE copy of the per-doc fertility join-back both tokenizer
+    * families share ([[bpeApply]] / [[unigramApply]]): explode words,
+    * the same `[a-z0-9]+` token filter, join the per-word token count
+    * on the word key, and the identical chars-per-token micro-ratio —
+    * a rounding or filter tweak applied to one family but not the
+    * other would make the two fertility reports silently
+    * incomparable. `wordTok` is (w, _n_syms). */
+  private def fertility(docs: DataFrame, wordTok: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .where(col("w").rlike("^[a-z0-9]+$"))
       .join(wordTok, "w")
@@ -602,7 +632,6 @@ object TextOps {
         sum("_n_syms").as("n_tokens"))
       .withColumn("chars_per_token_micro",
         expr("n_chars * 1000000 div n_tokens"))
-  }
 
   /** Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization"
     * §3 — the SentencePiece unigram model, the other mainstream
@@ -757,9 +786,19 @@ object TextOps {
     * key. The corpus text is never segmented per piece. */
   def unigramApply(docs: DataFrame, maxPieceLen: Int = 5,
                    seedMultis: Int = 96, finalMultis: Int = 48,
-                   emRounds: Int = 2): DataFrame = {
-    val (model, _) =
-      unigramModel(docs, maxPieceLen, seedMultis, finalMultis, emRounds)
+                   emRounds: Int = 2,
+                   trained: Option[DataFrame] = None): DataFrame = {
+    // `trained` takes an already-trained model ([[unigramTrain]]
+    // schema) — the same train-once production contract as
+    // [[bpeApply]]'s `trained`: re-running the Viterbi-EM rounds (and
+    // their driver collects) inside every apply re-pays training per
+    // consumer. Omitted, apply trains its own (self-contained form).
+    val model: Seq[(String, Long)] = trained match {
+      case Some(t) => t.select("piece", "cost_micro").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      case None =>
+        unigramModel(docs, maxPieceLen, seedMultis, finalMultis, emRounds)._1
+    }
     val m = uniMapLit(model)
     val wordTok = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(col("w").rlike("^[a-z0-9]+$"))
@@ -767,15 +806,7 @@ object TextOps {
       .withColumn("_best", expr(uniBestSql(m, maxPieceLen)))
       .select(col("w"),
         size(expr(uniBackSql(m, maxPieceLen))).cast("long").as("_n_syms"))
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .where(col("w").rlike("^[a-z0-9]+$"))
-      .join(wordTok, "w")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum(length(col("w")).cast("long")).as("n_chars"),
-        sum("_n_syms").as("n_tokens"))
-      .withColumn("chars_per_token_micro",
-        expr("n_chars * 1000000 div n_tokens"))
+    fertility(docs, wordTok)
   }
 
   /** TF-IDF top-`topK` terms per document — the keyword-extraction /
@@ -800,7 +831,6 @@ object TextOps {
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("_nd"))
-    def mlog(c: Column) = floor(log10(c) * 1e6).cast("bigint")
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("score_micro"), asc("token"))
     tf.join(dfreq, "token")
@@ -902,7 +932,6 @@ object TextOps {
     val vocab = docs
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct("tok").as("_V"))
-    def mlog(c: Column) = floor(log10(c) * 1e6).cast("bigint")
     val scored = model.join(lefts, "w1").crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         (mlog(col("c1") + col("_V")) - mlog(col("c12") + 1L)).as("mneg"))

@@ -215,6 +215,22 @@ class PipelineSpec extends SparkSpec {
     assert(got(2L).getAs[Double]("dup_2gram_frac") > 0, got(2L).toString)
   }
 
+  test("repetition: a sub-2-token doc gets a verdict row (pass, zero grams)") {
+    import spark.implicits._
+    // a gate must judge EVERY doc: a 1-token doc has no 2-grams — no
+    // repetition evidence — so it passes with zeroed stats instead of
+    // vanishing from both the pass and fail sets
+    val docs = Seq((1L, "supercalifragilistic"), (2L, "x y x y")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.contains(1L), "1-token doc missing from the repetition report")
+    assert(got(1L).getAs[Long]("n_2grams") == 0L)
+    assert(got(1L).isNullAt(got(1L).fieldIndex("top_2gram_frac")))
+    assert(got(1L).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(got(1L).getAs[Boolean]("rep_pass"))
+    assert(!got(2L).getAs[Boolean]("rep_pass"))
+  }
+
   test("ngramContainment: finds the quote-in-longer-doc pair Jaccard misses") {
     import spark.implicits._
     // doc 2 is doc 1's first 5 words: contained whole (containment 1.0)
@@ -966,6 +982,34 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("removed_bytes") == 21, r.toString) // 14 APP1 + 7 COM
     assert(r.getAs[Long]("n_before") - r.getAs[Long]("n_after") == 21, r.toString)
     assert(r.getAs[Boolean]("strip_ok"), r.toString)
+  }
+
+  test("exifStrip: metadata at the FOURTH walk position is still scrubbed") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    def be2(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def m(a: Int, b: Int) = Array(a.toByte, b.toByte)
+    // SOI | APP0(16) | DQT(6) | SOF0 | APP1 "Exif..GPS!" — the r10
+    // review found the metadata scan ran one hop SHORT of the shared
+    // 4-hop walk, so this legal layout kept its GPS segment while
+    // reporting strip_ok=true
+    val jpeg: Array[Byte] =
+      m(0xFF, 0xD8) ++
+      (m(0xFF, 0xE0) ++ be2(16) ++ "JFIF".getBytes("UTF-8") ++
+        Array[Byte](0, 1, 1, 0) ++ be2(1) ++ be2(1) ++ Array[Byte](0, 0)) ++
+      (m(0xFF, 0xDB) ++ be2(6) ++ Array[Byte](1, 2, 3, 4)) ++
+      (m(0xFF, 0xC0) ++ be2(17) ++ Array[Byte](8) ++ be2(100) ++ be2(200) ++
+        Array(0x03, 0x01, 0x11, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+          .map(_.toByte)) ++
+      (m(0xFF, 0xE1) ++ be2(12) ++ "Exif".getBytes("UTF-8") ++
+        Array[Byte](0, 0) ++ "GPS!".getBytes("UTF-8")) ++
+      "XYZ".getBytes("UTF-8")
+    val df = Seq((4L, jpeg)).toDF("doc_id", "payload")
+    val r = MM.exifStrip(df).collect()(0)
+    assert(r.getAs[Long]("removed_bytes") == 14L, r.toString) // the APP1
+    assert(r.getAs[Boolean]("strip_ok"), r.toString)
+    assert(r.getAs[Long]("n_before") - r.getAs[Long]("n_after") == 14L,
+      r.toString)
   }
 
   test("decode/audioInfo: a WEBP RIFF container is NOT audio") {
