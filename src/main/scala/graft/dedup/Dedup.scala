@@ -103,8 +103,10 @@ object Dedup {
       // trailing slash belongs to the last query VALUE ('?next=/home/'
       // vs '?next=/home' are different resources — stripping it was
       // exactly the case-conflation class this function documents
-      // itself against)
-      regexp_replace(_, "^([^?]*)/+$", "$1"))
+      // itself against). The capture is LAZY: a greedy [^?]* would
+      // backtrack just one '/' into the suffix and keep the rest,
+      // stripping one slash per pass (idempotence-property-caught)
+      regexp_replace(_, "^([^?]*?)/+$", "$1"))
     steps.foldLeft(url)((c, f) => f(c))
   }
 

@@ -20,12 +20,12 @@ case class FuzzyMatch(child: Expression, pattern: String)
   override def prettyName: String = "fuzzy_match"
 
   override def nullSafeEval(input: Any): Any =
-    FuzzyMatch.matches(input.asInstanceOf[UTF8String].toString, pattern)
+    FuzzyMatch.matches(input.asInstanceOf[UTF8String], pattern)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pat = ctx.addReferenceObj("fuzzyPattern", pattern, "java.lang.String")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.filters.FuzzyMatch.matches($c.toString(), $pat);")
+      s"${ev.value} = graft.filters.FuzzyMatch.matches($c, $pat);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): FuzzyMatch =
@@ -48,5 +48,26 @@ object FuzzyMatch {
       i += 1
     }
     true
+  }
+
+  /** UTF8String form — what both evaluation paths call: a pure-ASCII
+    * input (byte count == char count, the rowkey norm) compares by
+    * byte position with NO per-row String materialization — the
+    * allocation the `$c.toString()` codegen used to pay per scanned
+    * row, undercutting this expression's whole reason to exist.
+    * Multi-byte input falls back to the decoded-chars form, so the
+    * two paths are semantically one function. */
+  def matches(s: UTF8String, pattern: String): Boolean = {
+    val nb = s.numBytes()
+    if (nb == s.numChars()) {
+      val n = math.min(nb, pattern.length)
+      var i = 0
+      while (i < n) {
+        val p = pattern.charAt(i)
+        if (p != '?' && p.toInt != (s.getByte(i) & 0xff)) return false
+        i += 1
+      }
+      true
+    } else matches(s.toString, pattern)
   }
 }

@@ -319,30 +319,14 @@ object ParseFilter {
           // Scans.maxVersions(1) upstream for latest-only semantics
           // (the parse accepts the flag for grammar compatibility; on a
           // single-version view both settings coincide).
-          val f = quoted(); eat(","); val q = quoted(); eat(",")
-          val vp = cmpFilter(col("value"))
-          var ifMissing = false
-          ws()
-          if (!eof && s.charAt(pos) == ',') {
-            eat(","); ifMissing = bool()
-            ws()
-            if (!eof && s.charAt(pos) == ',') { eat(","); bool() }
-          }
+          val (f, q, vp, ifMissing) = scvfArgs()
           Filters.singleColumnValuePredicate(f, q, vp, ifMissing)
         }.copy(win = true)
         case "SingleColumnValueExcludeFilter" => Pred {
           // SingleColumnValueExcludeFilter.java: SCVF row semantics,
           // minus the tested cell itself from the emitted rows; accepts
           // SCVF's 6-arg form too (it inherits createFilterFromArguments)
-          val f = quoted(); eat(","); val q = quoted(); eat(",")
-          val vp = cmpFilter(col("value"))
-          var ifMissing = false
-          ws()
-          if (!eof && s.charAt(pos) == ',') {
-            eat(","); ifMissing = bool()
-            ws()
-            if (!eof && s.charAt(pos) == ',') { eat(","); bool() }
-          }
+          val (f, q, vp, ifMissing) = scvfArgs()
           Filters.singleColumnValuePredicate(f, q, vp, ifMissing) &&
             !(col("family") === f && col("qualifier") === q)
         }.copy(win = true)
@@ -473,8 +457,31 @@ object ParseFilter {
       n.toLong
     }
 
+    /** SCVF / SingleColumnValueExcludeFilter shared argument block:
+      * family, qualifier, value comparator, optional (filterIfMissing
+      * [, latestVersionOnly — accepted and swallowed; see the SCVF
+      * arm's scaladoc]). ONE copy so the Exclude variant cannot drift
+      * from SCVF's optional-argument handling. */
+    private def scvfArgs(): (String, String, Column, Boolean) = {
+      val f = quoted(); eat(","); val q = quoted(); eat(",")
+      val vp = cmpFilter(col("value"))
+      var ifMissing = false
+      ws()
+      if (!eof && s.charAt(pos) == ',') {
+        eat(","); ifMissing = bool()
+        ws()
+        if (!eof && s.charAt(pos) == ',') { eat(","); bool() }
+      }
+      (f, q, vp, ifMissing)
+    }
+
     private def opToken(): CompareOp.Value = {
       ws()
+      // eof guard like every other primitive: a filter string ending
+      // where an op is expected must raise the parser's positioned
+      // error, not leak a StringIndexOutOfBoundsException
+      require(pos < s.length,
+        s"ParseFilter: expected compare op at $pos, got end of input")
       val two = if (pos + 1 < s.length) s.substring(pos, pos + 2) else ""
       val (tok, op) = two match {
         case "<=" => ("<=", LESS_OR_EQUAL)

@@ -70,7 +70,14 @@ object Acl {
       .select(col("family").as("_gf"), col("qualifier").as("_gq"))
     val cover = (col("_gf").isNull || col("_gf") === col("family")) &&
       (col("_gq").isNull || col("_gq") === col("qualifier"))
+    // the tag must actually CARRY a perms suffix: on a colon-less tag
+    // substring_index returns the whole string for BOTH positions, so
+    // a malformed tag equal to a username containing 'R' would
+    // authorize the cell with no grant at all — a default-deny
+    // violation (the DuckDB oracle's split_part already denies it:
+    // the missing second field is '')
     val cellOk = col("cell_acl").isNotNull &&
+      instr(col("cell_acl"), ":") > 0 &&
       substring_index(col("cell_acl"), ":", 1) === user &&
       instr(substring_index(col("cell_acl"), ":", -1), "R") > 0
     val byHierarchy = cells.join(broadcast(g), cover, "left_semi")

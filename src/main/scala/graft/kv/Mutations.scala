@@ -369,7 +369,6 @@ object Mutations {
     * beats the puts ([[mutateRow]]'s convention). */
   def batchApply(base: DataFrame, ops: DataFrame, keyCol: String,
                  validFamilies: Seq[String], readOnly: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ok = batchOutcomes(ops, validFamilies, readOnly).where(col("applied"))
     val lastWins = Window.partitionBy(keyCol).orderBy(col("op_idx").desc)
     val puts = ok.where(col("op_type") === "put")

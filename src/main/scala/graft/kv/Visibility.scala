@@ -65,12 +65,15 @@ object Visibility {
     *    the user").
     *
     * Ops are (op_idx, op, grantee, label); `op_idx` orders the log.
-    * The replay is RELATIONAL (first-add / first-grant min-aggregates
-    * + broadcast-size joins, no sequential fold), which is exact while
-    * each (grantee, label) pair carries at most one set and one clear,
-    * the clear after the set — the admin-log shape (idempotent label
-    * assignment); re-grant-after-revoke cycles would need a
-    * sequential replay. Label/auth tables are metadata: a few rows
+    * The replay is RELATIONAL (first-add / first-grant / first-clear
+    * min-aggregates + broadcast-size joins, no sequential fold):
+    * repeated sets of a held auth succeed (idempotent, as in the
+    * service), repeated clears fail per-op ("not set for the user" —
+    * only the first clear after the grant finds the auth), both
+    * matching [[replayLocal]]. The one unsupported shape is a
+    * RE-GRANT (set after a successful clear) — outcomes still match,
+    * but [[finalAuths]]' anti-join cannot represent held-again and
+    * fails loudly there. Label/auth tables are metadata: a few rows
     * per label, never corpus-sized. */
   def adminReplay(ops: DataFrame): DataFrame = {
     val valid = col("label").rlike(labelRegex)
@@ -91,11 +94,22 @@ object Visibility {
     val granted = setOut.where(col("outcome") === "OK")
       .groupBy("grantee", "label").agg(min("op_idx").as("_granted"))
     val clears = ops.where(col("op") === "clear_auths")
-    val clearOut = clears.join(broadcast(granted), Seq("grantee", "label"), "left")
+    // only the FIRST clear after the grant succeeds: a REPEATED clear
+    // finds the auth already gone and fails "not set for the user" —
+    // the r10 review caught the earlier granted<op_idx test marking
+    // every later clear OK, diverging from replayLocal (and making an
+    // ordinary admin retry trip finalAuths' loud guard)
+    val clearCand = clears.join(broadcast(granted), Seq("grantee", "label"), "left")
+      .withColumn("_eligible",
+        col("_granted").isNotNull && col("_granted") < col("op_idx"))
+    val firstClear = clearCand.where(col("_eligible"))
+      .groupBy("grantee", "label").agg(min("op_idx").as("_fc"))
+    val clearOut = clearCand
+      .join(broadcast(firstClear), Seq("grantee", "label"), "left")
       .withColumn("outcome",
-        when(col("_granted").isNotNull && col("_granted") < col("op_idx"), "OK")
+        when(col("_eligible") && col("op_idx") === col("_fc"), "OK")
           .otherwise("InvalidLabelException"))
-      .drop("_granted")
+      .drop("_granted", "_eligible", "_fc")
     addOut.unionByName(setOut).unionByName(clearOut)
   }
 
@@ -156,17 +170,26 @@ object Visibility {
   def finalAuths(ops: DataFrame): DataFrame = {
     val replay = adminReplay(ops)
     val ok = replay.where(col("outcome") === "OK")
-    val multi = ok.where(col("op").isin("set_auths", "clear_auths"))
-      .groupBy("grantee", "label", "op").agg(count(lit(1)).as("_n"))
-      .where(col("_n") > 1).limit(1).collect()
-    require(multi.isEmpty, {
-      val r = multi.head
-      s"finalAuths: (${r.get(0)}, ${r.get(1)}) carries ${r.get(3)} " +
-        s"successful ${r.get(2)} ops — the relational replay supports at " +
-        "most one set and one clear per (grantee, label); replay " +
-        "re-grant cycles sequentially (or split the log per epoch)"
+    // the one shape the set-minus-clear anti-join cannot represent is
+    // a RE-GRANT: a successful set AFTER the successful clear (the
+    // auth is held again, but the anti-join would report it gone).
+    // Repeated clears now fail per-op in adminReplay and extra sets
+    // BEFORE the clear change nothing, so only the genuine cycle
+    // fails loudly (the op log is admin metadata; the probe is a
+    // metadata-sized job).
+    val okClears = ok.where(col("op") === "clear_auths")
+      .select(col("grantee"), col("label"), col("op_idx").as("_c"))
+    val regrant = ok.where(col("op") === "set_auths")
+      .join(okClears, Seq("grantee", "label"))
+      .where(col("op_idx") > col("_c")).limit(1).collect()
+    require(regrant.isEmpty, {
+      val r = regrant.head
+      s"finalAuths: (${r.get(0)}, ${r.get(1)}) is RE-GRANTED after a " +
+        "successful clear — the set-minus-clear anti-join cannot " +
+        "represent a re-grant cycle; replay it sequentially " +
+        "(Visibility.replayLocal) or split the log per epoch"
     })
-    ok.where(col("op") === "set_auths").select("grantee", "label")
+    ok.where(col("op") === "set_auths").select("grantee", "label").distinct()
       .join(ok.where(col("op") === "clear_auths").select("grantee", "label"),
         Seq("grantee", "label"), "left_anti")
   }

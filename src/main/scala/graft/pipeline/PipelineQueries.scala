@@ -1660,7 +1660,7 @@ object PipelineQueries {
         |    '([?&])&+', '\1', 'g'),
         |    '/+\?', '?'),
         |    '[?&]+$', ''),
-        |    '^([^?]*)/+$', '\1') AS canonical_url
+        |    '^([^?]*?)/+$', '\1') AS canonical_url
         |  FROM cased)
         |SELECT canonical_url, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM canon GROUP BY 1 ORDER BY keeper""".stripMargin,

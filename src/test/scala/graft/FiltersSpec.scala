@@ -340,7 +340,21 @@ class FiltersSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       graft.kv.Visibility.finalAuths(cycle).collect()
     }
-    assert(e.getMessage.contains("at most one set and one clear"))
+    assert(e.getMessage.contains("RE-GRANTED after a successful clear"))
+    // a REPEATED clear is an ordinary admin retry, not a cycle: the
+    // second clear fails per-op ("not set"), finalAuths stays calm
+    val retry = Seq(
+      (1L, "add_label", null.asInstanceOf[String], "secret"),
+      (10L, "set_auths", "alice", "secret"),
+      (20L, "clear_auths", "alice", "secret"),
+      (21L, "clear_auths", "alice", "secret")
+    ).toDF("op_idx", "op", "grantee", "label")
+    val retryOut = graft.kv.Visibility.adminReplay(retry)
+      .where(col("op") === "clear_auths").orderBy("op_idx")
+      .select("op_idx", "outcome").as[(Long, String)].collect()
+    assert(retryOut.sameElements(Array(
+      (20L, "OK"), (21L, "InvalidLabelException"))), retryOut.mkString(","))
+    assert(graft.kv.Visibility.finalAuths(retry).collect().isEmpty)
   }
 
   test("DSL ColumnCountGetFilter is version-deterministic on a versioned view") {

@@ -695,6 +695,9 @@ class PropertySpec extends SparkSpec {
       } yield (g, l))
       clears <- Gen.someOf(pairs)
       extraClears <- Gen.someOf(Seq(("u0", "never_set"), ("u2", "alpha")))
+      // repeated clears are exactly replayable relationally (first
+      // clear OK, retries fail "not set") — generate some
+      reclears <- Gen.someOf(clears)
     } yield {
       val adds = labs.zipWithIndex.map { case (l, i) =>
         (100L + i, "add_label", null.asInstanceOf[String], l) }
@@ -704,7 +707,9 @@ class PropertySpec extends SparkSpec {
         (1000L + i, "set_auths", g, l) }
       val cls = (clears ++ extraClears.filterNot(pairs.contains)).zipWithIndex
         .map { case ((g, l), i) => (3000L + i, "clear_auths", g, l) }
-      (adds ++ readds ++ sets ++ cls).toSeq
+      val recls = reclears.zipWithIndex.map { case ((g, l), i) =>
+        (4000L + i, "clear_auths", g, l) }
+      (adds ++ readds ++ sets ++ cls ++ recls).toSeq
     }
     samples(logGen, 12).filter(_.nonEmpty).foreach { log =>
       val (wantOut, wantAuths) = naive(log)
