@@ -58,9 +58,17 @@ object Tools {
     * hash must be engine-portable (plain ±*% integer arithmetic), so a
     * DuckDB oracle — or a remote cluster, which is the tool's point —
     * computes the identical digest. */
-  def hashTable(df: DataFrame, keyCol: String, rowHash: Column, bucketWidth: Long): DataFrame =
-    df.groupBy(floor(col(keyCol) / bucketWidth).cast("bigint").as("bucket"))
+  def hashTable(df: DataFrame, keyCol: String, rowHash: Column, bucketWidth: Long): DataFrame = {
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"key column '$keyCol' must match [A-Za-z0-9_]+") // SQL splice below
+    // portable integer FLOOR division ((k − pmod)/w), not floor(k/w):
+    // the double division rounds past 2^53, assigning boundary keys to
+    // the wrong bucket on exactly the cross-engine comparison this
+    // tool exists for (DuckDB's `//` mirror is already integer)
+    df.groupBy(expr(
+        s"($keyCol - pmod($keyCol, $bucketWidth)) div $bucketWidth").as("bucket"))
       .agg(sum(rowHash).as("digest"), count(lit(1)).as("n_rows"))
+  }
 
   /** SyncTable.java:56 — compare two tables' per-bucket digests; emit
     * every bucket with both digests and a match flag (the MR job then
@@ -185,6 +193,10 @@ object Tools {
   def regionSplitPoints(df: DataFrame, keyCol: String, n: Int,
                         approx: Boolean = false): DataFrame = {
     require(n >= 2, s"need at least 2 regions, got $n")
+    // keyCol splices into generated SQL — the dqAudit identifier rule:
+    // refuse quotes/backticks/spaces loudly
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"key column '$keyCol' must match [A-Za-z0-9_]+")
     val qs = (1 until n).map(_.toDouble / n)
     val fn = if (approx) "approx_percentile" else "percentile"
     df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"),
@@ -340,9 +352,12 @@ object Tools {
     * the lazy form — oracle parity is untouched — and the row guard
     * keeps this an explicit metadata-only tool, never a data collect. */
   def materializeMeta(df: DataFrame, maxRows: Int = 4096): DataFrame = {
-    val rows = df.collect()
+    // limit BEFORE collecting: the guard must prevent a data-scale
+    // driver collect, not diagnose it post-OOM — collect() first and
+    // the require never runs on the mistake it exists to catch
+    val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
-      s"materializeMeta: ${rows.length} rows exceed the $maxRows metadata bound")
+      s"materializeMeta: over $maxRows rows — not a metadata relation")
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
   }
@@ -602,6 +617,8 @@ object Tools {
     * @param tagged data rows carrying a `bucket` region tag. */
   def applySplits(tagged: DataFrame, plan: DataFrame, keyCol: String,
                   approx: Boolean = false): DataFrame = {
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"key column '$keyCol' must match [A-Za-z0-9_]+") // SQL splice below
     val fn = if (approx) "approx_percentile" else "percentile"
     val mids = tagged
       .join(broadcast(plan.where(col("action") === "split").select("bucket")),
@@ -679,8 +696,13 @@ object Tools {
       .withColumn("region",
         totalOrderBucket(col(keyCol), col("_lo"), col("_hi"), nRegions))
       .groupBy("region")
-      .agg(sum(when(isWrite, 0L).otherwise(1L)).as("read_requests"),
-        sum(when(isWrite, 1L).otherwise(0L)).as("write_requests"))
+      // NULL classification counts as a WRITE — the quotaThrottleSize
+      // convention (the stricter ledger), so the two tools put an
+      // unclassifiable request in the SAME column
+      .agg(sum(when(coalesce(isWrite, lit(true)), 0L).otherwise(1L))
+          .as("read_requests"),
+        sum(when(coalesce(isWrite, lit(true)), 1L).otherwise(0L))
+          .as("write_requests"))
     // literal frame — deriving it from `b` would re-scan the log for
     // nRegions rows (the canaryWriteProbe spark.range pattern)
     val frame = log.sparkSession.range(0, nRegions).toDF("region")
@@ -713,19 +735,26 @@ object Tools {
     * (not wall clock) so the report is deterministic and
     * engine-portable. */
   def replicationLag(wal: DataFrame, tsCol: String, peers: DataFrame): DataFrame = {
+    // a NULL watermark is a peer that has shipped NOTHING (a
+    // bootstrapping queue): it must report the WHOLE wal pending and
+    // the full newest-edit age — the raw NULL would fail every
+    // `ts > NULL` join condition and NULL-skip the lag subtraction,
+    // reporting the one peer with maximal backlog as fully caught up
+    val normPeers = peers.withColumn("_upto",
+      coalesce(col("replicated_upto"), lit("1970-01-01 00:00:00").cast("timestamp")))
     val newest = wal.agg(max(col(tsCol)).as("_newest"))
-    val pending = wal.join(broadcast(peers), col(tsCol) > col("replicated_upto"))
+    val pending = wal.join(broadcast(normPeers), col(tsCol) > col("_upto"))
       .groupBy("peer_id")
       .agg(count(lit(1)).as("n_pending"),
         min(col(tsCol)).as("oldest_pending"),
         max(col(tsCol)).as("newest_pending"))
-    peers.join(pending, Seq("peer_id"), "left")
+    normPeers.join(pending, Seq("peer_id"), "left")
       .crossJoin(broadcast(newest))
       .select(col("peer_id"), col("replicated_upto"),
         coalesce(col("n_pending"), lit(0L)).as("n_pending"),
         col("oldest_pending"), col("newest_pending"),
         greatest(lit(0L), unix_timestamp(col("_newest")) -
-          unix_timestamp(col("replicated_upto"))).as("lag_sec"))
+          unix_timestamp(col("_upto"))).as("lag_sec"))
   }
 
   /** WAL roll plan (regionserver/LogRoller.java + FSHLog: a WAL file
@@ -867,16 +896,22 @@ object Tools {
         min(col(tsCol)).as("oldest_ts"), max(col(tsCol)).as("newest_ts"))
     val cut = wal.agg((max(col(tsCol)) - expr(s"INTERVAL $ttl")).as("_cut"))
     val wm = peers.agg(min(col("replicated_upto")).as("_wm"),
-      count(lit(1)).as("_npeers"))
+      count(lit(1)).as("_npeers"),
+      sum(when(col("replicated_upto").isNull, 1L).otherwise(0L)).as("_nullwm"))
     segs.crossJoin(broadcast(cut)).crossJoin(broadcast(wm))
       .withColumn("ttl_ok", col("newest_ts") < col("_cut"))
       // no peers configured = the replication delegate passes through
       // (ReplicationLogCleaner with an empty queue set) — a NULL min
-      // watermark must not NULL-poison deletable into never-delete
+      // watermark must not NULL-poison deletable into never-delete.
+      // But a PEER with a NULL watermark (shipped nothing yet) pins
+      // EVERY segment: min() silently skips NULLs, which would delete
+      // WAL data the bootstrapping peer still queues — the exact loss
+      // the replication delegate exists to prevent
       .withColumn("shipped_ok",
-        col("_npeers") === 0L || col("newest_ts") <= col("_wm"))
+        col("_npeers") === 0L ||
+          (col("_nullwm") === 0L && col("newest_ts") <= col("_wm")))
       .withColumn("deletable", col("ttl_ok") && col("shipped_ok"))
-      .drop("_cut", "_wm", "_npeers")
+      .drop("_cut", "_wm", "_npeers", "_nullwm")
   }
 
   /** Three-way DataBlockEncoding decision table: per-region encoded
@@ -1304,10 +1339,17 @@ object Tools {
                   params: DataFrame, prefixMod: Long,
                   approx: Boolean = false): DataFrame = {
     require(prefixMod > 0, "prefixMod must be positive")
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"key column '$keyCol' must match [A-Za-z0-9_]+") // SQL splice below
     val fn = if (approx) "approx_percentile" else "percentile"
-    val stats = tagged.groupBy("bucket")
+    // R metadata rows from a corpus-scale aggregate feeding TWO forks
+    // (the region count + the main projection) — materialized so the
+    // per-bucket sum + percentile pass runs ONCE, not once per fork
+    // (Catalyst shares nothing across consumers; at 100 TB the second
+    // pass is a full extra corpus scan)
+    val stats = materializeMeta(tagged.groupBy("bucket")
       .agg(sum(sizeCol).as("store_size"),
-        expr(s"$fn($keyCol, 0.5)").as("_mid"))
+        expr(s"$fn($keyCol, 0.5)").as("_mid")))
     val r = stats.agg(count(lit(1)).as("_r"))
     val mid = floor(col("_mid")).cast("bigint")
     stats.crossJoin(broadcast(r)).crossJoin(broadcast(params))
@@ -1616,21 +1658,27 @@ object Tools {
   def alterTablePlan(cells: DataFrame, oldProps: DataFrame,
                      newProps: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // presence is a DEDICATED marker, never a nullable property: a
+    // family whose ttl_days is legitimately NULL (TTL FOREVER) is
+    // still PRESENT — inferring presence from ttl NULLness called it
+    // ADD_FAMILY, and plain =!= on a NULL-sided property diff fell
+    // through every MODIFY arm to NONE (null-safe <=> below)
     val o = oldProps.select(col("family"), col("ttl_days").as("ttl_old"),
       col("max_versions").as("mv_old"), col("encoding").as("enc_old"),
-      col("blocksize_b").as("bs_old"))
+      col("blocksize_b").as("bs_old"), lit(true).as("_in_old"))
     val n = newProps.select(col("family"), col("ttl_days").as("ttl_new"),
       col("max_versions").as("mv_new"), col("encoding").as("enc_new"),
-      col("blocksize_b").as("bs_new"))
+      col("blocksize_b").as("bs_new"), lit(true).as("_in_new"))
     val diff = o.join(n, Seq("family"), "full_outer")
       .withColumn("action",
-        when(col("ttl_old").isNull, "ADD_FAMILY")
-          .when(col("ttl_new").isNull, "DROP_FAMILY")
-          .when(col("ttl_old") =!= col("ttl_new") ||
-                col("mv_old") =!= col("mv_new") ||
-                col("enc_old") =!= col("enc_new") ||
-                col("bs_old") =!= col("bs_new"), "MODIFY")
+        when(col("_in_old").isNull, "ADD_FAMILY")
+          .when(col("_in_new").isNull, "DROP_FAMILY")
+          .when(!(col("ttl_old") <=> col("ttl_new")) ||
+                !(col("mv_old") <=> col("mv_new")) ||
+                !(col("enc_old") <=> col("enc_new")) ||
+                !(col("bs_old") <=> col("bs_new")), "MODIFY")
           .otherwise("NONE"))
+      .drop("_in_old", "_in_new")
       .withColumn("encoding_changed",
         coalesce(col("enc_old") =!= col("enc_new"), lit(false)))
       .withColumn("blocksize_changed",
@@ -1647,12 +1695,17 @@ object Tools {
       .groupBy("family")
       .agg(count(lit(1)).as("n_cells"),
         sum(lit(8L) + length(col("qualifier"))).as("n_bytes"),
-        sum(when(col("ttl_new").isNotNull && col("ttl_old").isNotNull &&
+        // NULL old TTL / maxVersions = FOREVER / unlimited (nothing
+        // expired or dropped before), so a tightening from NULL → k
+        // counts everything past the new limit
+        sum(when(col("ttl_new").isNotNull &&
             col("_age_us") > col("ttl_new") * DAY_US &&
-            col("_age_us") <= col("ttl_old") * DAY_US, 1L).otherwise(0L))
+            (col("ttl_old").isNull ||
+              col("_age_us") <= col("ttl_old") * DAY_US), 1L).otherwise(0L))
           .as("newly_expired"),
-        sum(when(col("mv_new").isNotNull && col("mv_old").isNotNull &&
-            col("_vrank") > col("mv_new") && col("_vrank") <= col("mv_old"),
+        sum(when(col("mv_new").isNotNull &&
+            col("_vrank") > col("mv_new") &&
+            (col("mv_old").isNull || col("_vrank") <= col("mv_old")),
             1L).otherwise(0L))
           .as("newly_dropped_versions"))
     diff.join(foot, Seq("family"), "left")
@@ -2233,11 +2286,12 @@ object Tools {
     import org.apache.spark.sql.expressions.Window
     val bounds = df.agg(min(valCol).as("_lo"), max(valCol).as("_hi"))
     val celled = df.crossJoin(broadcast(bounds))
-      // offset × cells in DOUBLE (totalOrderBucket's overflow class:
-      // a value span past 2^63/cells wraps the long product);
-      // histogram_equi_depth's inline copy of this formula must match
-      .withColumn("_cell", ((col(valCol) - col("_lo")).cast("double") * cells /
-        (col("_hi") - col("_lo") + 1)).cast("bigint"))
+      // THE shared total-order formula (totalOrderBucket — declared
+      // 'ONE copy every oracle mirrors verbatim'); the inline
+      // re-spelling this replaced could drift from the helper.
+      // histogram_equi_depth's inline copy of the formula must match.
+      .withColumn("_cell",
+        totalOrderBucket(col(valCol), col("_lo"), col("_hi"), cells))
       .drop("_lo", "_hi")
     val wCell = Window.orderBy("_cell")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

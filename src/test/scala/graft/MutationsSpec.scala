@@ -437,6 +437,15 @@ class MutationsSpec extends SparkSpec {
       Tools.bulkLoadAssign(Seq(("bad", 9L, 2L)).toDF("hfile", "first_key", "last_key"),
         regions).collect()
     }
+    // ...including when the corrupt file sits BELOW every region's
+    // closed start, so NO join condition would ever evaluate it — the
+    // guard must be a projection on the join INPUT, not a condition
+    // side effect (r10 review scenario)
+    val closed = Seq((0L, 10L, Some(20L))).toDF("region", "start_key", "end_key")
+    intercept[Exception] {
+      Tools.bulkLoadAssign(Seq(("bad", 9L, 2L)).toDF("hfile", "first_key", "last_key"),
+        closed).collect()
+    }
     assert(got == Set(
       ("a", 0L, 2L, 9L, 1L, false),
       ("b", 0L, 15L, 19L, 3L, true), ("b", 1L, 20L, 39L, 3L, true),
