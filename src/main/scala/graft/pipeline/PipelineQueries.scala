@@ -77,8 +77,21 @@ object PipelineQueries {
     * probe instead of the operator. */
   def resetShared(): Unit = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
-    memo.values().forEach(df => CheckpointBridge.free(df))
-    memo.clear()
+    // remove-then-free PER ENTRY, not free-all-then-clear: an entry
+    // inserted between the two bulk steps would be cleared without
+    // freeing its blocks (the r4 leak re-opened), and one dead-session
+    // entry throwing mid-loop would abort the rest unfreed. Callers
+    // must still not run this concurrently with an executing consumer
+    // (freeing pins under a running job is a use-after-free by
+    // definition) — Bench calls it between passes only.
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val df = it.next().getValue
+      it.remove()
+      if (!df.sparkSession.sparkContext.isStopped)
+        try CheckpointBridge.free(df)
+        catch { case _: Throwable => () } // best-effort hygiene
+    }
   }
 
   private def shingleTab(s: SparkSession, d: String): DataFrame =
@@ -105,6 +118,9 @@ object PipelineQueries {
     if (wanted(ngramClusterConsumers)) ngramClusters(s, d)
     else if (wanted(ngramPairConsumers)) ngramPairs(s, d)
     else if (wanted(ngramShingleConsumers)) shingleTab(s, d)
+    // the presence table layers ON the shingles (memoized r10) — its
+    // two consumers sit in ngramShingleConsumers for the base build
+    if (wanted(presenceConsumers)) presencePairs(s, d)
     if (wanted(quantMemoConsumers)) quantEmb(s, d)
     if (wanted(bpeMemoConsumers)) bpeRules(s, d)
     ()
@@ -120,6 +136,8 @@ object PipelineQueries {
     * un-gate). */
   private val ngramShingleConsumers: Set[String] = Set(
     "dedup_minhash_lsh", "ngram_novelty", "source_overlap")
+  private val presenceConsumers: Set[String] = Set(
+    "ngram_novelty", "source_overlap")
   private val ngramPairConsumers: Set[String] = Set(
     "dedup_ngram_jaccard", "graph_pagerank", "dedup_report",
     "label_propagation")
@@ -151,16 +169,39 @@ object PipelineQueries {
     base.unionByName(planted)
   }
 
+  /** Last-char-changed text twins — ONE copy of the near-dup planting
+    * shared by `mm_phash` and `mm_video_dedup` (the twinEmb
+    * discipline: the planting IS those queries' spec'd ground truth,
+    * and two hand-synced copies mirrored byte-for-byte in their
+    * oracles could drift silently). Each doc_id % mod == residue doc
+    * gets a copy at doc_id + offset with its final text char swapped
+    * for '~'. */
+  private def plantTextTwins(base: DataFrame, mod: Int, residue: Int,
+                             offset: Long): DataFrame =
+    base.unionByName(base.where(col("doc_id") % mod === residue)
+      .select((col("doc_id") + offset).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 1)"), lit("~"))
+          .as("text")))
+
   /** DISTINCT (source, shingle md5 digest) presence pairs — ONE copy
     * of the presence semantics shared by `ngram_novelty` and
     * `source_overlap` (their two reports must agree on what "a source
     * contains a shingle" means); only 16-byte digests shuffle. */
-  private def presencePairs(s: SparkSession, d: String): DataFrame =
-    shingleTab(s, d)
-      .join(docs(s, d).select("doc_id", "source"), "doc_id")
-      .select(col("source"), explode(col("shs")).as("_sh"))
-      .select(col("source"), md5(col("_sh")).as("g"))
-      .distinct()
+  private def presencePairs(s: SparkSession, d: String): DataFrame = {
+    // memoized like every other declared multi-consumer table:
+    // ngram_novelty references it twice and source_overlap three
+    // times IN ONE PLAN (Catalyst does no cross-subtree CSE), so the
+    // unpinned form re-ran the explode+md5+distinct shuffle per
+    // reference and again per sibling query. Dependency resolved
+    // BEFORE the builder — computeIfAbsent must not re-enter the map.
+    val sh = shingleTab(s, d)
+    val dd = docs(s, d).select("doc_id", "source")
+    memoized(s, d, "presence_pairs")(
+      sh.join(dd, "doc_id")
+        .select(col("source"), explode(col("shs")).as("_sh"))
+        .select(col("source"), md5(col("_sh")).as("g"))
+        .distinct())
+  }
 
   /** Capped-ngram near-dup pairs with the registered parameters
     * (threshold 0.5, maxDf 8, minShared 2). Dependencies are resolved
@@ -314,7 +355,14 @@ object PipelineQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_novel"))
-        .withColumn("novel_ppm", expr("n_novel * 1000000 div n_shingles"))
+        // distinct-shingle counts are token-order: guard the ppm
+        // multiply like quality_ablation/mixture_report (past
+        // Long.Max/10⁶ the product wraps negative silently)
+        .withColumn("novel_ppm",
+          when(col("n_novel") > lit(Long.MaxValue / 1000000L),
+            raise_error(lit("ngram_novelty: shingle ppm overflows int64 " +
+              "— pre-aggregate in kiloshingles")))
+          .otherwise(expr("n_novel * 1000000 div n_shingles")))
         .orderBy("source")
     }),
     // The companion matrix to ngram_novelty: pairwise source-overlap —
@@ -337,7 +385,13 @@ object PipelineQueries {
         .join(broadcast(sizes.select(col("source").as("src_b"),
           col("n").as("_nb"))), "src_b")
         .select(col("src_a"), col("src_b"), col("n_shared"),
-          expr("n_shared * 1000000 div _na").as("contain_a_ppm"),
+          // shared-shingle counts are token-order — same loud int64
+          // guard as ngram_novelty's ppm (one check covers both
+          // directions: n_shared is the common numerator)
+          when(col("n_shared") > lit(Long.MaxValue / 1000000L),
+            raise_error(lit("source_overlap: shingle ppm overflows int64 " +
+              "— pre-aggregate in kiloshingles")))
+            .otherwise(expr("n_shared * 1000000 div _na")).as("contain_a_ppm"),
           expr("n_shared * 1000000 div _nb").as("contain_b_ppm"))
         .orderBy("src_a", "src_b")
     }),
@@ -690,16 +744,19 @@ object PipelineQueries {
     // char changed — at most one frame HEAD shifts, so twin sets stay
     // near-identical
     "mm_video_dedup" -> ((s, d) => {
-      val base = docs(s, d).select("doc_id", "text")
-      val twins = base.where(col("doc_id") % 11 === 2)
-        .select((col("doc_id") + 416000L).as("doc_id"),
-          concat(expr("substring(text, 1, length(text) - 1)"), lit("~"))
-            .as("text"))
-      val aug = base.unionByName(twins)
-      val fpSets = MM.frameSample(MM.synthesizeVideo(aug), every = 1)
-        .groupBy("doc_id")
-        .agg(array_sort(array_distinct(collect_list(col("fp").cast("string"))))
-          .as("shs"))
+      val aug = plantTextTwins(docs(s, d).select("doc_id", "text"),
+        mod = 11, residue = 2, offset = 416000L)
+      // memoized: ngramJaccard references the shingle table THREE
+      // times in one plan (candidate join + both verify sides) and
+      // Catalyst does no cross-subtree CSE — unpinned, the
+      // synthesize→frameSample→collect_list chain ran per reference
+      // (the dedup_containment pin discipline; single-consumer, so
+      // the build stays attributed to this query)
+      val fpSets = memoized(s, d, "video_fps")(
+        MM.frameSample(MM.synthesizeVideo(aug), every = 1)
+          .groupBy("doc_id")
+          .agg(array_sort(array_distinct(collect_list(col("fp").cast("string"))))
+            .as("shs")))
       Dedup.ngramJaccard(aug, 0.8, pruneUnique = false, maxDf = Some(8),
           minShared = 2, shingleTable = Some(fpSets))
         .orderBy("i", "j")
@@ -717,12 +774,9 @@ object PipelineQueries {
     // decimation grid never samples for n > 64, so each twin pairs
     // with its original at hamming 0
     "mm_phash" -> ((s, d) => {
-      val base = docs(s, d).select("doc_id", "text")
-      val twins = base.where(col("doc_id") % 9 === 1)
-        .select((col("doc_id") + 768000L).as("doc_id"),
-          concat(expr("substring(text, 1, length(text) - 1)"), lit("~"))
-            .as("text"))
-      MM.phashPairs(MM.phash(MM.synthesizePayload(base.unionByName(twins))))
+      val aug = plantTextTwins(docs(s, d).select("doc_id", "text"),
+        mod = 9, residue = 1, offset = 768000L)
+      MM.phashPairs(MM.phash(MM.synthesizePayload(aug)))
         .orderBy("i", "j")
     }),
     // the batch decode stage (stubbed decoder, real mapPartitions
@@ -757,7 +811,7 @@ object PipelineQueries {
     // the totals relation is ONE row, broadcast back — nothing big
     // moves twice.
     "label_balance" -> ((s, d) => {
-      val per = Tables.load(s, d, "embeddings")
+      val per = emb(s, d)
         .groupBy("label").agg(count(lit(1)).as("n_vecs"))
       val tot = per.agg(sum("n_vecs").as("_t"), count(lit(1)).as("_k"))
       per.crossJoin(broadcast(tot))
@@ -778,7 +832,7 @@ object PipelineQueries {
     // auc_ppm is exact floor arithmetic end-to-end.
     "eval_auc" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.load(s, d, "embeddings")
+      val e = emb(s, d)
         .withColumn("score_ppm",
           floor(element_at(col("embedding"), 1).cast("double") * 1000000)
             .cast("bigint"))
@@ -814,7 +868,7 @@ object PipelineQueries {
     // pass (thresholds ride a literal explode, counts are conditional
     // sums, ratios floor ppm) — the eval readout next to eval_auc
     "eval_confusion" -> ((s, d) =>
-      Tables.load(s, d, "embeddings")
+      emb(s, d)
         .withColumn("score_ppm",
           floor(element_at(col("embedding"), 1).cast("double") * 1000000)
             .cast("bigint"))
@@ -1001,7 +1055,7 @@ object PipelineQueries {
     // training prep.
     "sample_balanced" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val e = Tables.load(s, d, "embeddings").select("vec_id", "label")
+      val e = emb(s, d).select("vec_id", "label")
         .withColumn("h", md5(col("vec_id").cast("string").cast("binary")))
       val floor0 = e.groupBy("label").agg(count(lit(1)).as("_n"))
         .agg(min("_n").as("_k"))
@@ -1030,7 +1084,7 @@ object PipelineQueries {
     // aggregate; at 100 TB the same expression IS the partitionBy
     // column for the sharded write — assignment never leaves codegen.
     "shuffle_shard" -> ((s, d) =>
-      Tables.load(s, d, "documents")
+      docs(s, d)
         .withColumn("shard", expr(
           // 15 hex chars = 60 bits: always non-negative in a long
           "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), " +
