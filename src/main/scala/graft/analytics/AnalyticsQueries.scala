@@ -11,13 +11,23 @@ import graft.core.Tables
   */
 object AnalyticsQueries {
 
-  /** Per-sfDir temp path: concurrent Verify/Bench runs over different
-    * scale factors must not clobber each other's round-trip files.
-    * Keyed on the collision-safe digest (SnapshotQueries.dirKey) —
-    * a 32-bit hashCode collision would silently share files. */
+  /** The three-peer replication fixture — ONE copy shared by
+    * replication_lag and log_cleaner (their reports must agree on the
+    * peer set; p_dr's Jan-10 watermark is the binding min the
+    * log_cleaner ORACLE hardcodes — moving a watermark here means
+    * updating that oracle too). */
+  private def replicationPeers(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("p_dr", "2024-01-10 00:00:00"),
+        ("p_analytics", "2024-01-20 00:00:00"),
+        ("p_backup", "2030-01-01 00:00:00"))
+      .toDF("peer_id", "_wm")
+      .select(col("peer_id"), to_timestamp(col("_wm")).as("replicated_upto"))
+  }
+
+  /** Per-sfDir temp path — THE shared helper (SnapshotQueries.tmp). */
   private def tmp(name: String, sfDir: String): String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name + "_" +
-      graft.core.SnapshotQueries.dirKey(sfDir)
+    graft.core.SnapshotQueries.tmp(name, sfDir)
 
   /** The deliberately corrupted META catalog hbck_region_chain AND
     * hbck_repair_plan both run against (audit and fix must see the
@@ -128,9 +138,15 @@ object AnalyticsQueries {
         .orderBy("rowkey", "family")
     }),
     "import_tsv" -> ((s, d) => {
-      val path = tmp("graft_import_tsv", d)
-      Tables.load(s, d, "nation").orderBy("n_nationkey")
-        .coalesce(1).write.mode("overwrite").option("sep", "\t").csv(path)
+      // ensure-once export (the secondary_index/snapshot discipline):
+      // the verified operator is the TSV READ — rewriting the CSV on
+      // every bench invocation times an export nobody asked for, and
+      // two concurrent runs over one sfDir would clobber mid-read
+      val path = graft.core.Indexes.ensure(s, d, "import_tsv_src") { target =>
+        Tables.load(s, d, "nation").orderBy("n_nationkey")
+          .coalesce(1).write.mode("overwrite").option("sep", "\t")
+          .csv(target + "/tsv")
+      } + "/tsv"
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType),
         StructField("n_name", StringType),
@@ -440,7 +456,13 @@ object AnalyticsQueries {
           sum(when(col("_cached"), 1L).otherwise(0L)).as("cached_blocks"),
           sum("n_acc").as("total_acc"),
           sum(when(col("_cached"), col("n_acc")).otherwise(0L)).as("cached_acc"))
-        .withColumn("hit_ppm", expr("cached_acc * 1000000 div total_acc"))
+        // the access count is corpus-order: guard the ppm multiply loudly (past
+        // Long.Max/10⁶ it wraps negative silently — the
+        // quality_ablation/ngram_novelty discipline)
+        .withColumn("hit_ppm",
+          when(col("cached_acc") > lit(Long.MaxValue / 1000000L),
+            raise_error(lit("hit_ppm overflows int64 — pre-aggregate")))
+          .otherwise(expr("cached_acc * 1000000 div total_acc")))
     }),
     // CompoundBloomFilter sizing plan (io/hfile/CompoundBloomFilter
     // Writer.java — blooms build in 128 Kibit chunks as keys arrive;
@@ -456,8 +478,13 @@ object AnalyticsQueries {
         .withColumn("row_bloom_bytes", col("row_chunks") * 16384L)
         .withColumn("rowcol_chunks", expr("(rowcol_keys * 10 + 131071) div 131072"))
         .withColumn("rowcol_bloom_bytes", col("rowcol_chunks") * 16384L)
+        // the distinct-key count is corpus-order: guard the ppm multiply loudly (past
+        // Long.Max/10⁶ it wraps negative silently — the
+        // quality_ablation/ngram_novelty discipline)
         .withColumn("rowcol_overhead_ppm",
-          expr("(rowcol_keys - row_keys) * 1000000 div row_keys"))
+          when(col("rowcol_keys") > lit(Long.MaxValue / 1000000L),
+            raise_error(lit("rowcol_overhead_ppm overflows int64 — pre-aggregate")))
+          .otherwise(expr("(rowcol_keys - row_keys) * 1000000 div row_keys")))
         .orderBy("region")
     }),
     // SimpleLoadBalancer round-robin assignment: unevenly grown regions
@@ -494,15 +521,20 @@ object AnalyticsQueries {
     // the state computed directly from the source at T2, which is what
     // the oracle asserts.
     "backup_restore" -> ((s, d) => {
-      val cells = Tables.eventCells(s, d)
-      val t1 = lit("2024-01-15 00:00:00").cast("timestamp")
-      val t2 = lit("2024-01-25 00:00:00").cast("timestamp")
-      val fullDir = tmp("graft_backup_full", d)
-      val incDir = tmp("graft_backup_inc", d)
-      cells.where(col("ts") < t1).write.mode("overwrite").parquet(fullDir)
-      cells.where(col("ts") >= t1 && col("ts") < t2)
-        .write.mode("overwrite").parquet(incDir)
-      s.read.parquet(fullDir).unionByName(s.read.parquet(incDir))
+      // the two physical exports are ensure-once ingest (backups are
+      // taken once; RESTORE is the verified operator) — re-writing
+      // both parquet sets on every bench invocation timed the backup,
+      // and concurrent same-sfDir runs clobbered each other's files
+      val base = graft.core.Indexes.ensure(s, d, "backup_sets") { target =>
+        val cells = Tables.eventCells(s, d)
+        val t1 = lit("2024-01-15 00:00:00").cast("timestamp")
+        val t2 = lit("2024-01-25 00:00:00").cast("timestamp")
+        cells.where(col("ts") < t1)
+          .write.mode("overwrite").parquet(target + "/full")
+        cells.where(col("ts") >= t1 && col("ts") < t2)
+          .write.mode("overwrite").parquet(target + "/inc")
+      }
+      s.read.parquet(base + "/full").unionByName(s.read.parquet(base + "/inc"))
         .groupBy("rowkey", "qualifier")
         .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("_c"))
         .select(col("rowkey"), col("qualifier"), col("_c.ts").as("ts"),
@@ -785,11 +817,7 @@ object AnalyticsQueries {
     // that must still report, with zero pending and zero lag
     "replication_lag" -> ((s, d) => {
       import s.implicits._
-      val peers = Seq(("p_dr", "2024-01-10 00:00:00"),
-          ("p_analytics", "2024-01-20 00:00:00"),
-          ("p_backup", "2030-01-01 00:00:00"))
-        .toDF("peer_id", "_wm")
-        .select(col("peer_id"), to_timestamp(col("_wm")).as("replicated_upto"))
+      val peers = replicationPeers(s)
       Tools.replicationLag(Tables.load(s, d, "events"), "ts", peers)
         .orderBy("peer_id")
     }),
@@ -866,11 +894,7 @@ object AnalyticsQueries {
     // min). A segment dies only when BOTH delegates agree.
     "log_cleaner" -> ((s, d) => {
       import s.implicits._
-      val peers = Seq(("p_dr", "2024-01-10 00:00:00"),
-          ("p_analytics", "2024-01-20 00:00:00"),
-          ("p_backup", "2030-01-01 00:00:00"))
-        .toDF("peer_id", "_wm")
-        .select(col("peer_id"), to_timestamp(col("_wm")).as("replicated_upto"))
+      val peers = replicationPeers(s)
       Tools.logCleaner(Tables.load(s, d, "events"), "ts", peers, "10 DAYS")
         .orderBy("segment_day")
     }),
@@ -1420,8 +1444,14 @@ object AnalyticsQueries {
         .where(col("_next").isNotNull)
         .groupBy(col("event_type").as("src"), col("_next").as("dst"))
         .agg(count(lit(1)).as("n_trans"))
-        .withColumn("prob_ppm", expr(
-          "n_trans * 1000000 div sum(n_trans) OVER (PARTITION BY src)"))
+        // the transition count is corpus-order: guard the ppm multiply loudly (past
+        // Long.Max/10⁶ it wraps negative silently — the
+        // quality_ablation/ngram_novelty discipline)
+        .withColumn("prob_ppm",
+          when(col("n_trans") > lit(Long.MaxValue / 1000000L),
+            raise_error(lit("prob_ppm overflows int64 — pre-aggregate")))
+          .otherwise(expr(
+            "n_trans * 1000000 div sum(n_trans) OVER (PARTITION BY src)")))
         .orderBy("src", "dst")
     }),
     // Market-basket co-occurrence: part pairs within an order via the
@@ -2025,6 +2055,36 @@ object AnalyticsQueries {
   private val C = "WITH " + Tables.customerCellsSql + "\n"
   private val V = "WITH " + Tables.eventCellsSql + "\n"
 
+  /** The corrupted-META catalog CTE chain — ONE copy shared by the
+    * hbck_region_chain and hbck_repair_plan oracles, exactly as both
+    * Spark sides share [[corruptedCatalog]] ("audit and fix must see
+    * the SAME defects"): editing a planted defect in one oracle but
+    * not the other would silently de-couple them. */
+  private val ddHbckCatalogCtes: String =
+    """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+      |bd AS (SELECT i, CAST(floor(lo + (hi - lo + 1) * i / 16.0) AS BIGINT) AS k
+      |       FROM range(0, 17) t(i), b),
+      |reg AS (
+      |  SELECT 'r' || lpad(CAST(t.i AS VARCHAR), 2, '0') AS region_id,
+      |         s.k AS start_key,
+      |         CASE WHEN t.i = 9 THEN s.k
+      |              WHEN t.i = 15 THEN NULL
+      |              ELSE e.k END AS end_key
+      |  FROM range(0, 16) t(i)
+      |  JOIN bd s ON s.i = t.i JOIN bd e ON e.i = t.i + 1
+      |  WHERE t.i <> 5
+      |  UNION ALL
+      |  SELECT 'r12b', (SELECT k FROM bd WHERE i = 12),
+      |         CAST(floor(((SELECT k FROM bd WHERE i = 12)
+      |                   + (SELECT k FROM bd WHERE i = 13)) / 2) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'r14x',
+      |         CAST(floor(((SELECT k FROM bd WHERE i = 14)
+      |                   + (SELECT k FROM bd WHERE i = 15)) / 2) AS BIGINT),
+      |         CAST(floor(((SELECT k FROM bd WHERE i = 15)
+      |                   + (SELECT k FROM bd WHERE i = 16)) / 2) AS BIGINT)),
+      |""".stripMargin
+
   /** DuckDB mirror of the exploratory-compaction selection over the
     * per-(region, day) flush-file model — ONE copy of the CTE chain
     * (files `f` → windows → ratio filter → best pick `r`), shared by
@@ -2192,13 +2252,13 @@ object AnalyticsQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "hash_sync_table" ->
       """WITH h1 AS (
-        |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket,
+        |  SELECT o_orderkey // 1000 AS bucket,
         |         CAST(sum(((o_orderkey % 2147483648) * 2654435761) % 4294967296
         |             + CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS digest_a,
         |         count(*) AS rows_a
         |  FROM orders GROUP BY 1),
         |h2 AS (
-        |  SELECT CAST(floor(o_orderkey / 1000.0) AS BIGINT) AS bucket,
+        |  SELECT o_orderkey // 1000 AS bucket,
         |         CAST(sum(((o_orderkey % 2147483648) * 2654435761) % 4294967296
         |             + CAST(floor((CASE WHEN o_orderkey % 500 = 0 THEN o_totalprice + 1
         |                           ELSE o_totalprice END) * 100) AS BIGINT)) AS BIGINT) AS digest_b,
@@ -2653,28 +2713,7 @@ object AnalyticsQueries {
         |         AS split_point_prefix
         |FROM lb ORDER BY region""".stripMargin,
     "hbck_region_chain" ->
-      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
-        |bd AS (SELECT i, CAST(floor(lo + (hi - lo + 1) * i / 16.0) AS BIGINT) AS k
-        |       FROM range(0, 17) t(i), b),
-        |reg AS (
-        |  SELECT 'r' || lpad(CAST(t.i AS VARCHAR), 2, '0') AS region_id,
-        |         s.k AS start_key,
-        |         CASE WHEN t.i = 9 THEN s.k
-        |              WHEN t.i = 15 THEN NULL
-        |              ELSE e.k END AS end_key
-        |  FROM range(0, 16) t(i)
-        |  JOIN bd s ON s.i = t.i JOIN bd e ON e.i = t.i + 1
-        |  WHERE t.i <> 5
-        |  UNION ALL
-        |  SELECT 'r12b', (SELECT k FROM bd WHERE i = 12),
-        |         CAST(floor(((SELECT k FROM bd WHERE i = 12)
-        |                   + (SELECT k FROM bd WHERE i = 13)) / 2) AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'r14x',
-        |         CAST(floor(((SELECT k FROM bd WHERE i = 14)
-        |                   + (SELECT k FROM bd WHERE i = 15)) / 2) AS BIGINT),
-        |         CAST(floor(((SELECT k FROM bd WHERE i = 15)
-        |                   + (SELECT k FROM bd WHERE i = 16)) / 2) AS BIGINT)),
+      (ddHbckCatalogCtes + """
         |r AS (SELECT region_id,
         |             coalesce(start_key, -4611686018427387904) AS s,
         |             coalesce(end_key, 4611686018427387904) AS e FROM reg),
@@ -2710,30 +2749,9 @@ object AnalyticsQueries {
         |       CASE WHEN end_key IN (-4611686018427387904, 4611686018427387904)
         |            THEN NULL ELSE end_key END AS end_key,
         |       CAST(n AS BIGINT) AS n
-        |FROM o ORDER BY code, at_key, end_key""".stripMargin,
+        |FROM o ORDER BY code, at_key, end_key""".stripMargin),
     "hbck_repair_plan" ->
-      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
-        |bd AS (SELECT i, CAST(floor(lo + (hi - lo + 1) * i / 16.0) AS BIGINT) AS k
-        |       FROM range(0, 17) t(i), b),
-        |reg AS (
-        |  SELECT 'r' || lpad(CAST(t.i AS VARCHAR), 2, '0') AS region_id,
-        |         s.k AS start_key,
-        |         CASE WHEN t.i = 9 THEN s.k
-        |              WHEN t.i = 15 THEN NULL
-        |              ELSE e.k END AS end_key
-        |  FROM range(0, 16) t(i)
-        |  JOIN bd s ON s.i = t.i JOIN bd e ON e.i = t.i + 1
-        |  WHERE t.i <> 5
-        |  UNION ALL
-        |  SELECT 'r12b', (SELECT k FROM bd WHERE i = 12),
-        |         CAST(floor(((SELECT k FROM bd WHERE i = 12)
-        |                   + (SELECT k FROM bd WHERE i = 13)) / 2) AS BIGINT)
-        |  UNION ALL
-        |  SELECT 'r14x',
-        |         CAST(floor(((SELECT k FROM bd WHERE i = 14)
-        |                   + (SELECT k FROM bd WHERE i = 15)) / 2) AS BIGINT),
-        |         CAST(floor(((SELECT k FROM bd WHERE i = 15)
-        |                   + (SELECT k FROM bd WHERE i = 16)) / 2) AS BIGINT)),
+      (ddHbckCatalogCtes + """
         |r AS (SELECT region_id,
         |             coalesce(start_key, -4611686018427387904) AS s,
         |             coalesce(end_key, 4611686018427387904) AS e FROM reg),
@@ -2815,7 +2833,7 @@ object AnalyticsQueries {
         |            THEN NULL ELSE start_key END AS start_key,
         |       CASE WHEN end_key IN (-4611686018427387904, 4611686018427387904)
         |            THEN NULL ELSE end_key END AS end_key
-        |FROM pl ORDER BY action, region_id, start_key""".stripMargin,
+        |FROM pl ORDER BY action, region_id, start_key""".stripMargin),
     "json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
@@ -3134,7 +3152,7 @@ object AnalyticsQueries {
          |  SELECT 'customer' AS table_name, * FROM cells
          |  UNION ALL
          |  SELECT 'supplier' AS table_name, * FROM scells)
-         |WHERE qualifier LIKE '%nationkey' AND CAST(value AS INT) < 5
+         |WHERE qualifier LIKE '%nationkey' AND TRY_CAST(value AS INT) < 5
          |ORDER BY table_name, rowkey""".stripMargin),
     "agg_cube" ->
       """SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,

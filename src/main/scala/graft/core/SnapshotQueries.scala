@@ -16,8 +16,11 @@ object SnapshotQueries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
 
-  /** Per-sfDir temp path (concurrent runs over different SFs isolate). */
-  private def tmp(name: String, sfDir: String): String =
+  /** Per-sfDir temp path (concurrent runs over different SFs isolate).
+    * private[graft]: AnalyticsQueries shares THIS helper — its former
+    * byte-identical copy had to be hand-synced through the r10 dirKey
+    * fix, which is the evidence duplication costs. */
+  private[graft] def tmp(name: String, sfDir: String): String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/" + name + "_" +
       dirKey(sfDir)
 
