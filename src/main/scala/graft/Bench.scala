@@ -162,10 +162,13 @@ object Bench {
         s""""gc":${entries(pass1.map(t => (t._1, t._3)))},""" +
         s""""gc2":${entries(pass2.map(t => (t._1, t._3)))},""" +
         s""""pass2_sec":$total2,"gc_sec":$totalGc,"failed":$failedJson,"sf":"$sfDir"}"""
+    // a FILTERED run writes no full record — its compact line must say
+    // null, not point at a stale full file from an earlier round
+    val fullRef = if (only.isEmpty) "\"" + outPath + "\"" else "null"
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${qs.size},""" +
         s""""queries":${entries(top)},"pass2_sec":$total2,"gc_sec":$totalGc,""" +
-        s""""failed":$failedJson,"full":"$outPath","sf":"$sfDir"}"""
+        s""""failed":$failedJson,"full":$fullRef,"sf":"$sfDir"}"""
     // a filtered run must not clobber the round's full record
     if (only.isEmpty) {
       java.nio.file.Files.write(outPath, (fullRecord + "\n").getBytes("UTF-8"))

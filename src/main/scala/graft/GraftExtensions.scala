@@ -37,22 +37,35 @@ object GraftFunctions {
       s"$fn expects an integer literal, got $other")
   }
 
+  /** Arity guard: a wrong-arg-count SQL call must fail with a message
+    * naming the function and the expected count, not an
+    * IndexOutOfBoundsException from deep inside analysis (litString/
+    * litInt already give this quality of message for wrong TYPES). */
+  private def arity(fn: String, n: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$fn expects $n argument" + (if (n == 1) "" else "s") +
+          s", got ${args.length}")
+      b(args)
+    }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("vec_dot",
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+      arity("vec_dot", 2)(args => VecDot(args(0), args(1)))),
     ("fuzzy_match",
       new ExpressionInfo(classOf[FuzzyMatch].getName, "fuzzy_match"),
-      (args: Seq[Expression]) => FuzzyMatch(args(0), litString(args(1), "fuzzy_match"))),
+      arity("fuzzy_match", 2)(args => FuzzyMatch(args(0), litString(args(1), "fuzzy_match")))),
     ("minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0), litInt(args(1), "minhash_sig"))),
+      arity("minhash_sig", 2)(args => MinHashSig(args(0), litInt(args(1), "minhash_sig")))),
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args(0))),
+      arity("simhash64", 1)(args => SimHash64(args(0)))),
     ("topk_struct",
       new ExpressionInfo(classOf[TopKStruct].getName, "topk_struct"),
-      (args: Seq[Expression]) => TopKStruct(args(0), litInt(args(1), "topk_struct"))),
+      arity("topk_struct", 2)(args => TopKStruct(args(0), litInt(args(1), "topk_struct")))),
     // The shell/REST access-path analogue: the HBase filter-string
     // grammar callable from plain SQL over any cell view —
     //   SELECT * FROM cells WHERE hbase_filter('PrefixFilter(''1'')')
@@ -68,7 +81,7 @@ object GraftFunctions {
     // reject here with a pointer to ParseFilter.filter.
     ("hbase_filter",
       new ExpressionInfo(classOf[graft.filters.ParseFilter.type].getName, "hbase_filter"),
-      (args: Seq[Expression]) => {
+      arity("hbase_filter", 1) { args =>
         import org.apache.spark.sql.graftbridge.ColumnBridge
         ColumnBridge.resolvableExpression(
           graft.filters.ParseFilter.parse(litString(args(0), "hbase_filter")))

@@ -48,7 +48,11 @@ object ScaleSpike {
     // must gain the relational tables without re-paying those two
     def spikeTable(name: String)(mkCopy: (DataFrame, Int) => DataFrame): Unit = {
       val tgt = new java.io.File(out, s"$name.parquet")
-      if (!tgt.exists()) {
+      // trust the table only if its write COMMITTED (_SUCCESS): a run
+      // killed mid-write leaves the dir with a partial part-file set,
+      // and timing queries against a truncated corpus reports
+      // misleadingly sub-linear ratios with no sign of the corruption
+      if (!new java.io.File(tgt, "_SUCCESS").exists()) {
         val src =
           if (name == "events") graft.core.Tables.load(spark, srcDir, name)
           else spark.read.parquet(s"$srcDir/$name.parquet")

@@ -64,7 +64,7 @@ object ScanAudit {
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
         val perFile = fileRe.findAllIn(plan).toSeq
-          .map(_.replaceAll(".*/", "")) // basename only
+          .map(srcKey) // basename, parent-qualified for generic names
           .groupBy(identity).view.mapValues(_.size)
         for ((src, n) <- perFile.toSeq.sortBy(-_._2) if n >= minScans) {
           println(f"[scan-audit] $name%-28s $src%-24s x$n")
@@ -78,8 +78,7 @@ object ScanAudit {
           // have no spaces); the take() below is the only bound
           val schemaRe = """ReadSchema: \S+""".r
           plan.linesIterator.filter(_.contains("Scan parquet")).foreach { l =>
-            val src = fileRe.findFirstIn(l).map(_.replaceAll(".*/", ""))
-              .getOrElse("?")
+            val src = fileRe.findFirstIn(l).map(srcKey).getOrElse("?")
             val pushed = pushedRe.findFirstIn(l).getOrElse("PushedFilters: ?")
             val schema = schemaRe.findFirstIn(l).getOrElse("ReadSchema: ?")
               .take(160)
@@ -88,10 +87,26 @@ object ScanAudit {
         }
       } catch {
         case e: Throwable =>
-          println(s"[scan-audit] $name PLAN-ERROR ${e.getMessage.take(100)}")
+          // String.valueOf: a message-less exception (bare NPE from
+          // Catalyst internals) must print "null", not NPE out of the
+          // catch and abort the audit over the remaining registry
+          println(s"[scan-audit] $name PLAN-ERROR " +
+            String.valueOf(e.getMessage).take(100))
       }
     }
     println(s"[scan-audit] done: $flagged flagged (min $minScans scans of one file)")
     spark.stop()
+  }
+
+  /** Scan-source key: the basename, PARENT-qualified when the basename
+    * is a generic layout segment (v=N version dirs) — two snapshot
+    * bases both reading v=1 would otherwise merge into one source and
+    * fake a re-scan at exactly the flag threshold. */
+  private def srcKey(path: String): String = {
+    val parts = path.split("/").filter(_.nonEmpty)
+    val base = parts.last
+    if (base.matches("v=\\d+") && parts.length >= 2)
+      parts(parts.length - 2) + "/" + base
+    else base
   }
 }
