@@ -29,22 +29,35 @@ object Salt {
     // numeric order — either silently breaks the scan-bound format
     // saltedRangeScan relies on (it requires start >= 0), so refuse
     // loudly (the guard is a codegen'd branch, free on the valid path)
-    val digits = key.cast("string")
-    // coalesce in the MESSAGE: a NULL key makes `digits` null, and a
-    // null concat would turn raise_error's diagnostic into a
-    // message-less abort — the exact opacity this guard exists to avoid
-    // the integral round-trip arm: a double/decimal key renders as
-    // "5.0", which passes the sign/length checks but stores a key no
-    // saltedRangeScan bound can ever match ('.' sorts above '-') —
-    // exactly the silent scan-format breakage this guard exists to
-    // refuse loudly
-    val guarded = when(
-      key >= 0 && length(digits) <= width &&
-        key.cast("bigint").cast("string") === digits, digits).otherwise(
+    // NORMALIZE on the STRING rendering (casting to string never
+    // throws, unlike ANSI numeric casts on malformed input, so every
+    // refusal carries THIS guard's diagnostic): strip an integral
+    // fraction tail ("7.0" → "7" — a double/decimal-typed integral
+    // key stores the identical key as the bigint) and leading zeros
+    // ("007" → "7" — zero-padded string keys are fine, and stripping
+    // keeps a 13-zero-padded 7 from silently lpad-TRUNCATING to key
+    // 0). What survives must be pure digits: fractional values
+    // ("5.5" — truncation would collide distinct keys), negatives,
+    // scientific double renderings ("7.0E10" — use a bigint key), and
+    // unparseable strings all refuse loudly.
+    val digits = regexp_replace(
+      regexp_replace(key.cast("string"), "\\.0+$", ""), "^0+(?=.)", "")
+    // ≤18 digits always fits a Long, so the salt cast below is safe
+    val valid = digits.rlike("^[0-9]{1,18}$") && length(digits) <= width
+    // coalesce in the MESSAGE: a NULL key would turn raise_error's
+    // diagnostic into a message-less abort — the exact opacity this
+    // guard exists to avoid
+    val guarded = when(valid, digits).otherwise(
       raise_error(concat(lit("saltedKey: key "),
-        coalesce(digits, lit("NULL")),
+        coalesce(key.cast("string"), lit("NULL")),
         lit(s" must be a non-negative integer of at most $width digits"))))
-    concat_ws("-", pmod(key, lit(salts)).cast("string"),
+    // salt from the NORMALIZED value so the prefix is always an
+    // integer rendering (pmod on a raw string/double key coerces to
+    // double and prefixes "3.0-", a format no saltedRangeScan bound
+    // ever matches); the otherwise-arm value is never stored — the
+    // guarded lpad raises first on invalid rows
+    val norm = when(valid, digits).otherwise(lit("0")).cast("bigint")
+    concat_ws("-", pmod(norm, lit(salts.toLong)).cast("string"),
       lpad(guarded, width, "0"))
   }
 

@@ -65,16 +65,17 @@ object Visibility {
     *    the user").
     *
     * Ops are (op_idx, op, grantee, label); `op_idx` orders the log.
-    * The replay is RELATIONAL (first-add / first-grant / first-clear
-    * min-aggregates + broadcast-size joins, no sequential fold):
+    * The replay is RELATIONAL (first-add / grant-epoch min-aggregates
+    * + broadcast-size joins, no sequential fold) and EXACT against
+    * [[replayLocal]] on every log shape, re-grant cycles included:
     * repeated sets of a held auth succeed (idempotent, as in the
-    * service), repeated clears fail per-op ("not set for the user" —
-    * only the first clear after the grant finds the auth), both
-    * matching [[replayLocal]]. The one unsupported shape is a
-    * RE-GRANT (set after a successful clear) — outcomes still match,
-    * but [[finalAuths]]' anti-join cannot represent held-again and
-    * fails loudly there. Label/auth tables are metadata: a few rows
-    * per label, never corpus-sized. */
+    * service); a clear's GRANT EPOCH is the latest successful set
+    * before it, and within an epoch only the FIRST clear finds the
+    * auth held (a later set re-arms the state, so each epoch's first
+    * clear succeeds and retries fail "not set for the user").
+    * [[finalAuths]]' set-minus-clear anti-join still cannot represent
+    * held-AGAIN and keeps its loud re-grant guard. Label/auth tables
+    * are metadata: a few rows per label, never corpus-sized. */
   def adminReplay(ops: DataFrame): DataFrame = {
     val valid = col("label").rlike(labelRegex)
     val adds = ops.where(col("op") === "add_label")
@@ -91,34 +92,40 @@ object Visibility {
         when(col("_born").isNotNull && col("_born") < col("op_idx"), "OK")
           .otherwise("InvalidLabelException"))
       .drop("_born")
-    val granted = setOut.where(col("outcome") === "OK")
-      .groupBy("grantee", "label").agg(min("op_idx").as("_granted"))
+    val okSets = setOut.where(col("outcome") === "OK")
+      .select(col("grantee"), col("label"), col("op_idx").as("_set"))
     val clears = ops.where(col("op") === "clear_auths")
-    // only the FIRST clear after the grant succeeds: a REPEATED clear
-    // finds the auth already gone and fails "not set for the user" —
-    // the r10 review caught the earlier granted<op_idx test marking
-    // every later clear OK, diverging from replayLocal (and making an
-    // ordinary admin retry trip finalAuths' loud guard)
-    val clearCand = clears.join(broadcast(granted), Seq("grantee", "label"), "left")
-      .withColumn("_eligible",
-        col("_granted").isNotNull && col("_granted") < col("op_idx"))
-    val firstClear = clearCand.where(col("_eligible"))
-      .groupBy("grantee", "label").agg(min("op_idx").as("_fc"))
-    val clearOut = clearCand
-      .join(broadcast(firstClear), Seq("grantee", "label"), "left")
+    // a clear's GRANT EPOCH = the latest successful set before it.
+    // Within an epoch only the FIRST clear finds the auth held: the
+    // epoch's set re-armed the state whatever happened before, and no
+    // set intervenes until the epoch changes — so min-per-epoch is
+    // exactly the sequential semantics (OK once, retries fail "not
+    // set for the user"), including set→clear→set→clear re-grant
+    // cycles the earlier first-grant keying got wrong (an r11 fix:
+    // the second cycle's clear was InvalidLabelException here but OK
+    // in replayLocal). A clear with NO earlier successful set has a
+    // NULL epoch and fails.
+    val clearEpoch = clears.join(broadcast(okSets), Seq("grantee", "label"), "left")
+      .groupBy("grantee", "label", "op_idx", "op")
+      .agg(max(when(col("_set") < col("op_idx"), col("_set"))).as("_epoch"))
+    val firstInEpoch = clearEpoch.where(col("_epoch").isNotNull)
+      .groupBy("grantee", "label", "_epoch").agg(min("op_idx").as("_fc"))
+    val clearOut = clearEpoch
+      .join(broadcast(firstInEpoch), Seq("grantee", "label", "_epoch"), "left")
       .withColumn("outcome",
-        when(col("_eligible") && col("op_idx") === col("_fc"), "OK")
+        when(col("_epoch").isNotNull && col("op_idx") === col("_fc"), "OK")
           .otherwise("InvalidLabelException"))
-      .drop("_granted", "_eligible", "_fc")
+      .drop("_epoch", "_fc")
     addOut.unionByName(setOut).unionByName(clearOut)
   }
 
   /** The admin service as the literal sequential state machine, run on
     * the DRIVER (labels set + per-user auth sets, ops in `op_idx`
     * order; ties keep input order — the registered log never makes
-    * same-idx ops interact). Same per-op semantics as [[adminReplay]],
-    * and EXACT on re-grant cycles the relational form must reject: a
-    * set→clear→set sequence simply re-grants.
+    * same-idx ops interact). Same per-op semantics as [[adminReplay]]
+    * (op-for-op, re-grant cycles included), and unlike [[finalAuths]]
+    * it also REPRESENTS the held-again state: a set→clear→set
+    * sequence simply re-grants.
     *
     * This exists because the op log is METADATA — tens of rows, never
     * corpus-sized. Replaying it relationally costs a dozen tiny Spark

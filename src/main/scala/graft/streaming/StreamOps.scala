@@ -193,7 +193,9 @@ object StreamOps {
   }
 
   /** GC for a maintained table: delete all but the newest `keepLast`
-    * COMPLETE versions, returning what was dropped. The versioned-dir
+    * COMPLETE versions, plus any PARTIAL (crashed-write) version dirs
+    * older than the oldest kept complete version; returns what was
+    * dropped. The versioned-dir
     * design pays one directory listing per batch and never reclaims
     * disk on its own, so a perpetual maintainer accrues O(batches) FS
     * metadata and storage — run this from the maintenance cadence
@@ -207,7 +209,24 @@ object StreamOps {
     require(keepLast >= 1, s"keepLast ($keepLast) must keep the serving version")
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val drop = completeVersions(fs, base).sorted.dropRight(keepLast)
+    val complete = completeVersions(fs, base).sorted
+    val dropComplete = complete.dropRight(keepLast)
+    // PARTIAL version dirs (no _SUCCESS — a crashed write) older than
+    // the oldest KEPT complete version can never become complete:
+    // batchIds are monotonic and the checkpoint has already committed
+    // a newer batch, so the crashed attempt is never replayed. Without
+    // this arm the GC leaks storage on exactly the failure path it
+    // exists to bound. Partials AT or ABOVE the kept range are left
+    // alone — one may be the maintainer's write in progress.
+    val oldestKept = complete.takeRight(keepLast).headOption
+    val partials =
+      if (!fs.exists(base) || oldestKept.isEmpty) Seq.empty[Int]
+      else fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
+        .filterNot(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.drop(2).toInt)
+        .filter(v => v < oldestKept.get)
+    val drop = (dropComplete ++ partials).distinct.sorted
     drop.foreach(v => fs.delete(new Path(base, s"v=$v"), true))
     drop
   }

@@ -264,6 +264,27 @@ class PropertySpec extends SparkSpec {
       assert(e.getMessage.contains("non-negative integer"),
         s"key $bad: ${e.getMessage}")
     }
+    // FRACTIONAL keys refuse loudly (truncating would silently collide
+    // 5.2 and 5.5), as do unparseable strings
+    for (bad <- Seq("5.5", "abc", "-7")) {
+      val e = intercept[Exception] {
+        Seq(bad).toDF("k")
+          .select(graft.core.Salt.saltedKey(col("k"), 8)).collect()
+      }
+      assert(e.getMessage.contains("non-negative integer"),
+        s"key $bad: ${e.getMessage}")
+    }
+    // integral keys NORMALIZE: a zero-padded string, an integral
+    // double, and the plain bigint all store the IDENTICAL key —
+    // integer salt prefix included (a raw pmod on the string/double
+    // form would prefix "7.0-", a format no scan bound matches)
+    def stored(df: org.apache.spark.sql.DataFrame) = df
+      .select(graft.core.Salt.saltedKey(col("k"), 8).as("s"))
+      .as[String].collect().head
+    val want = stored(Seq(7L).toDF("k"))
+    assert(want == "7-000000000007", want)
+    assert(stored(Seq("007").toDF("k")) == want)
+    assert(stored(Seq(7.0).toDF("k")) == want)
   }
 
   test("compactionSelect equals the brute-force window search on random file lists") {
@@ -677,16 +698,40 @@ class PropertySpec extends SparkSpec {
 
   test("visibility adminReplay equals the sequential op-log interpreter") {
     import spark.implicits._
-    // the sequential state machine is now the LIBRARY's driver-local
-    // replay (Visibility.replayLocal — the registered query's path);
-    // this cross-checks it op-for-op against the relational
-    // min-aggregate formulation on randomized logs
-    def naive(ops: Seq[(Long, String, String, String)]) = {
-      val (out, auths) = graft.kv.Visibility.replayLocal(ops)
-      (out.map(r => (r._1, r._5)).toMap, auths.toSet)
+    // INDEPENDENT inline oracle: the DefaultVisibilityLabelServiceImpl
+    // semantics re-implemented here from scratch (labels set + per-user
+    // auth sets, ops in order) — NOT the library's replayLocal, so a
+    // shared per-op bug in the library cannot self-certify. Both
+    // library paths (replayLocal, relational adminReplay) are asserted
+    // against it op-for-op.
+    def oracle(ops: Seq[(Long, String, String, String)]) = {
+      val labelRe = "^[A-Za-z_\\-:/.0-9]+$"
+      var labels = Set.empty[String]
+      var auths = Set.empty[(String, String)]
+      val out = scala.collection.mutable.Map[Long, String]()
+      ops.sortBy(_._1).foreach { case (idx, op, g, l) =>
+        op match {
+          case "add_label" =>
+            out(idx) =
+              if (!l.matches(labelRe)) "InvalidLabelException"
+              else if (labels(l)) "LabelAlreadyExistsException"
+              else { labels += l; "OK" }
+          case "set_auths" =>
+            out(idx) =
+              if (!labels(l)) "InvalidLabelException"
+              else { auths += ((g, l)); "OK" }
+          case "clear_auths" =>
+            out(idx) =
+              if (!auths((g, l))) "InvalidLabelException"
+              else { auths -= ((g, l)); "OK" }
+          case _ => ()
+        }
+      }
+      (out.toMap, auths)
     }
-    // generator honors the documented relational contract: at most one
-    // set and one clear per (grantee, label), the clear after the set
+    // generator covers the FULL shape space adminReplay now handles:
+    // dupes, ghost labels, repeated clears, AND re-grant cycles
+    // (set→clear→set→clear — the r11 grant-epoch fix's target)
     val logGen = for {
       labs <- Gen.someOf(Seq("alpha", "beta", "g:1", "x.y", "bad lbl!", "no|pe"))
       dupes <- Gen.someOf(labs)
@@ -695,9 +740,12 @@ class PropertySpec extends SparkSpec {
       } yield (g, l))
       clears <- Gen.someOf(pairs)
       extraClears <- Gen.someOf(Seq(("u0", "never_set"), ("u2", "alpha")))
-      // repeated clears are exactly replayable relationally (first
-      // clear OK, retries fail "not set") — generate some
+      // repeated clears (first OK, retries fail "not set")
       reclears <- Gen.someOf(clears)
+      // re-grant cycles: set AGAIN after the clear, then clear some of
+      // those re-grants — each epoch's first clear must succeed
+      regrants <- Gen.someOf(clears)
+      recycleClears <- Gen.someOf(regrants)
     } yield {
       val adds = labs.zipWithIndex.map { case (l, i) =>
         (100L + i, "add_label", null.asInstanceOf[String], l) }
@@ -709,18 +757,49 @@ class PropertySpec extends SparkSpec {
         .map { case ((g, l), i) => (3000L + i, "clear_auths", g, l) }
       val recls = reclears.zipWithIndex.map { case ((g, l), i) =>
         (4000L + i, "clear_auths", g, l) }
-      (adds ++ readds ++ sets ++ cls ++ recls).toSeq
+      val regr = regrants.zipWithIndex.map { case ((g, l), i) =>
+        (5000L + i, "set_auths", g, l) }
+      val recy = recycleClears.zipWithIndex.map { case ((g, l), i) =>
+        (6000L + i, "clear_auths", g, l) }
+      (adds ++ readds ++ sets ++ cls ++ recls ++ regr ++ recy).toSeq
     }
     samples(logGen, 12).filter(_.nonEmpty).foreach { log =>
-      val (wantOut, wantAuths) = naive(log)
+      val (wantOut, wantAuths) = oracle(log)
+      // library sequential replay vs the independent oracle
+      val (localOut, localAuths) = graft.kv.Visibility.replayLocal(log)
+      assert(localOut.map(r => (r._1, r._5)).toMap == wantOut,
+        "replayLocal diverges from the independent interpreter")
+      assert(localAuths.toSet == wantAuths,
+        s"replayLocal auths ${localAuths.toSet} != $wantAuths")
+      // relational replay vs the independent oracle
       val df = log.toDF("op_idx", "op", "grantee", "label")
       val gotOut = graft.kv.Visibility.adminReplay(df)
         .select("op_idx", "outcome").as[(Long, String)].collect().toMap
       assert(gotOut == wantOut,
         s"outcomes diverge: ${gotOut.toSet.diff(wantOut.toSet)} vs ${wantOut.toSet.diff(gotOut.toSet)}")
-      val gotAuths = graft.kv.Visibility.finalAuths(df)
-        .as[(String, String)].collect().toSet
-      assert(gotAuths == wantAuths, s"held auths $gotAuths != $wantAuths")
+      // finalAuths: exact when no re-grant cycle exists; a genuine
+      // cycle (successful set AFTER a successful clear of the same
+      // pair) must fail LOUDLY, never answer "not held"
+      val hasCycle = log.exists {
+        case (sIdx, "set_auths", g, l) =>
+          wantOut.get(sIdx).contains("OK") && log.exists {
+            case (cIdx, "clear_auths", g2, l2) =>
+              g2 == g && l2 == l && cIdx < sIdx &&
+                wantOut.get(cIdx).contains("OK")
+            case _ => false
+          }
+        case _ => false
+      }
+      if (hasCycle) {
+        val e = intercept[IllegalArgumentException] {
+          graft.kv.Visibility.finalAuths(df).collect()
+        }
+        assert(e.getMessage.contains("RE-GRANTED"), e.getMessage)
+      } else {
+        val gotAuths = graft.kv.Visibility.finalAuths(df)
+          .as[(String, String)].collect().toSet
+        assert(gotAuths == wantAuths, s"held auths $gotAuths != $wantAuths")
+      }
     }
   }
 

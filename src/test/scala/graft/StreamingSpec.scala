@@ -268,9 +268,18 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(dir, "v=3.bak", "_SUCCESS"))
     assert(StreamOps.readMaintained(spark, dir)
       .as[(String, Long)].collect().sameElements(Array(("a", 3L))))
-    // GC drops all but the newest 2 complete versions
+    // partial (crashed-write) dirs: v=1 loses its _SUCCESS — older
+    // than the kept range it must be reclaimed; v=9 (no _SUCCESS,
+    // newer than every complete version) may be a write in progress
+    // and must survive
+    assert(new java.io.File(dir, "v=1/_SUCCESS").delete())
+    val inflight = new java.io.File(dir, "v=9"); inflight.mkdirs()
+    // GC drops all but the newest 2 complete versions (2, 3) AND the
+    // crashed v=1 partial; the in-flight v=9 stays
     assert(StreamOps.gcMaintained(spark, dir, keepLast = 2) == Seq(0, 1))
     assert(!new java.io.File(dir, "v=0").exists())
+    assert(!new java.io.File(dir, "v=1").exists())
+    assert(inflight.exists())
     assert(StreamOps.readMaintained(spark, dir)
       .as[(String, Long)].collect().sameElements(Array(("a", 3L))))
   }
