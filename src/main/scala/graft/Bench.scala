@@ -1,17 +1,54 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.AtomicLong
 
 /** Per-round benchmark main. One warmup pass (JVM/codegen/IO caches),
-  * then TWO timed passes over the full set with per-query GC time —
-  * pass 1 is the headline (`value`, comparable across rounds); pass 2
-  * separates lifecycle leaks from host noise: blocks accumulating
-  * across a pass make pass 2 systematically slower than pass 1, while
-  * noise moves both the same way. `gc_sec` localizes memory-pressure
-  * regressions to the queries that paid them. Failures are NOT
-  * swallowed: each failing query is reported in "failed" and the
-  * process exits nonzero, so a regression can't hide as a ~0-second
-  * success. */
+  * then THREE timed passes over the full set with per-query GC time,
+  * executor task-time, and shuffle read/write bytes — pass 1 is the
+  * headline (`value`, comparable across rounds); pass 2 separates
+  * lifecycle leaks from host noise (blocks accumulating across a pass
+  * make pass 2 systematically slower, noise moves both the same way);
+  * pass 3 is the anomaly TIE-BREAK: a pass-asymmetric cliff is noise
+  * iff pass 3 rejoins the healthy value. The task/shuffle columns make
+  * the committed artifact SELF-ADJUDICATING (the r10 verdict's ask):
+  * wall-time up with task-time and shuffle bytes flat is host
+  * contention; task-time or bytes up with wall is a real plan or
+  * lifecycle regression. `gc_sec` localizes memory-pressure
+  * regressions to the queries that paid them (local[*] runs driver
+  * and executors in ONE JVM, so the MXBean reading covers both).
+  * Failures are NOT swallowed: each failing query is reported in
+  * "failed" and the process exits nonzero, so a regression can't hide
+  * as a ~0-second success. */
 object Bench {
+
+  /** Accumulates executor-side task metrics across the whole run;
+    * the bench diffs snapshots between queries (after draining the
+    * listener bus, so no query's tasks bleed into its neighbor's
+    * window). AtomicLongs because task-end events post from the
+    * listener thread while the main thread reads snapshots. */
+  private final class TaskMetricsListener extends SparkListener {
+    val taskMillis = new AtomicLong
+    val shuffleReadBytes = new AtomicLong
+    val shuffleWriteBytes = new AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        taskMillis.addAndGet(m.executorRunTime)
+        shuffleReadBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot(): (Long, Long, Long) =
+      (taskMillis.get, shuffleReadBytes.get, shuffleWriteBytes.get)
+  }
+
+  /** One query's record in one timed pass: wall seconds, GC seconds,
+    * executor task seconds, shuffle read MB, shuffle write MB. */
+  private final case class QRec(name: String, wall: Double, gc: Double,
+                                task: Double, sreadMb: Double,
+                                swriteMb: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -22,6 +59,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(metrics)
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (iteration aid; the
     // driver never sets it, so round benches always cover everything)
@@ -38,9 +77,17 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
+    // drain the async listener bus, then snapshot the task counters —
+    // called OUTSIDE the wall-clock window (after nanoTime is read),
+    // so bus-drain cost never lands in a query's wall seconds
+    def taskSnapshot(): (Long, Long, Long) = {
+      org.apache.spark.sql.graftbridge.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext)
+      metrics.snapshot()
+    }
 
     var failed = List.empty[String]
-    // (name, wall sec, gc sec) for one timed pass. The shared
+    // Per-query records for one timed pass. The shared
     // shingle/pair/cluster tables are re-paid INSIDE each timed window
     // — but charged to an explicit `memo_setup` entry (r9), not to
     // whichever consumer happens to run first: first-consumer
@@ -91,43 +138,51 @@ object Bench {
     // of shingle builds nobody reads
     val anyMemoConsumer = qs.exists { case (n, _) =>
       graft.pipeline.PipelineQueries.sharedMemoConsumers.contains(n) }
-    def timedPass(): Seq[(String, Double, Double)] = {
+    def timedPass(): Seq[QRec] = {
       graft.pipeline.PipelineQueries.resetShared()
       drainGarbage()
-      val setup = if (!anyMemoConsumer) Nil else {
+      def timed(name: String)(body: => Unit): QRec = {
+        val (tk0, sr0, sw0) = taskSnapshot()
         val g0 = gcMillis
         val t0 = System.nanoTime()
+        body
+        val wall = (System.nanoTime() - t0) / 1e9
+        val gc = (gcMillis - g0) / 1e3
+        val (tk1, sr1, sw1) = taskSnapshot()
+        QRec(name, wall, gc, (tk1 - tk0) / 1e3,
+          (sr1 - sr0) / 1e6, (sw1 - sw0) / 1e6)
+      }
+      val setup = if (!anyMemoConsumer) Nil else {
         // a failed prewarm is survivable (consumers rebuild their own
         // memos) but must be VISIBLE in the record: otherwise the
         // near-zero memo_setup line plus consumer-absorbed build costs
         // reads exactly like the first-consumer attribution drift this
         // line exists to eliminate. The sentinel NAME marks it (the
         // run still exits 0 — no query failed).
-        val name =
-          try {
-            graft.pipeline.PipelineQueries.prewarmShared(spark, sfDir,
-              selected = Some(qs.map(_._1).toSet))
-            "memo_setup"
-          } catch { case e: Throwable => // consumers rebuild + report it
+        var name = "memo_setup"
+        val rec = timed("memo_setup") {
+          try graft.pipeline.PipelineQueries.prewarmShared(spark, sfDir,
+            selected = Some(qs.map(_._1).toSet))
+          catch { case e: Throwable => // consumers rebuild + report it
             System.err.println(s"[bench] memo_setup FAILED: ${e.getMessage}")
-            "memo_setup_FAILED"
+            name = "memo_setup_FAILED"
           }
-        Seq((name, (System.nanoTime() - t0) / 1e9,
-          (gcMillis - g0) / 1e3))
+        }
+        Seq(rec.copy(name = name))
       }
       setup ++ qs.map { case (name, fn) =>
-        val g0 = gcMillis
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        timed(name) {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
         }
-        (name, (System.nanoTime() - t0) / 1e9, (gcMillis - g0) / 1e3)
       }
     }
     val pass1 = timedPass()
     val pass2 = timedPass()
+    val pass3 = timedPass()
 
     // Locale.ROOT: the f-interpolator uses the default locale, which can
     // emit decimal COMMAS (de_DE etc.) and break the JSON line
@@ -137,38 +192,50 @@ object Bench {
       "\"" + k + "\":" + num(v)
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = num(pass1.map(_._2).sum)
-    val total2 = num(pass2.map(_._2).sum)
-    val totalGc = num(pass1.map(_._3).sum)
+    val total = num(pass1.map(_.wall).sum)
+    val total2 = num(pass2.map(_.wall).sum)
+    val total3 = num(pass3.map(_.wall).sum)
+    val totalGc = num(pass1.map(_.gc).sum)
     // The harness keeps only a ~2000-char tail of this process's output;
     // at 100+ queries the full per-query map no longer fits on one line.
     // Inline the slowest 40 (everything interesting), dump the complete
-    // record (both passes + per-query gc) next to the repo.
-    val top = pass1.map(t => (t._1, t._2)).sortBy(-_._2).take(40).sortBy(_._1)
+    // record (all passes + per-query gc/task/shuffle) next to the repo.
+    val top = pass1.map(r => (r.name, r.wall)).sortBy(-_._2).take(40).sortBy(_._1)
     // the path anchors to an explicit env override or the JVM's working
     // directory, resolved absolute up front so the compact line's "full"
     // pointer names the file actually written (not a stale default)
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")).toAbsolutePath
-    // gc2 exists so a pass-2 anomaly is attributable from the record
-    // alone: wall-up + gc2-up = memory pressure / cleaner backlog,
-    // wall-up + gc2-flat = a real plan or lifecycle regression
-    // qcount counts QUERIES; memo_setup is a charged setup line, not a
-    // query (it still contributes to value/pass2_sec — the pass paid it)
+    // Self-adjudication columns (the r10 verdict's ask): per pass N,
+    //  - queries/pass2/pass3: wall seconds
+    //  - gc/gc2/gc3: JVM GC seconds inside the query's window
+    //  - task/task2/task3: executor task-time seconds (Σ over tasks)
+    //  - sread/sread2/sread3 + swrite/...: shuffle bytes in MB
+    // Adjudication reads: wall↑ with task+shuffle flat → host
+    // contention; task↑ (or bytes↑) with wall → plan/lifecycle
+    // regression; pass 3 is the tie-break sample for pass-asymmetric
+    // anomalies. qcount counts QUERIES; memo_setup is a charged setup
+    // line, not a query (it still contributes to the totals — the
+    // pass paid it).
+    def passMaps(tag: String, rs: Seq[QRec]): String =
+      s""""${if (tag.isEmpty) "queries" else "pass" + tag}":${entries(rs.map(r => (r.name, r.wall)))},""" +
+        s""""gc$tag":${entries(rs.map(r => (r.name, r.gc)))},""" +
+        s""""task$tag":${entries(rs.map(r => (r.name, r.task)))},""" +
+        s""""sread$tag":${entries(rs.map(r => (r.name, r.sreadMb)))},""" +
+        s""""swrite$tag":${entries(rs.map(r => (r.name, r.swriteMb)))}"""
     val fullRecord =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${qs.size},""" +
-        s""""queries":${entries(pass1.map(t => (t._1, t._2)))},""" +
-        s""""pass2":${entries(pass2.map(t => (t._1, t._2)))},""" +
-        s""""gc":${entries(pass1.map(t => (t._1, t._3)))},""" +
-        s""""gc2":${entries(pass2.map(t => (t._1, t._3)))},""" +
-        s""""pass2_sec":$total2,"gc_sec":$totalGc,"failed":$failedJson,"sf":"$sfDir"}"""
+        passMaps("", pass1) + "," + passMaps("2", pass2) + "," +
+        passMaps("3", pass3) + "," +
+        s""""pass2_sec":$total2,"pass3_sec":$total3,"gc_sec":$totalGc,""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
     // a FILTERED run writes no full record — its compact line must say
     // null, not point at a stale full file from an earlier round
     val fullRef = if (only.isEmpty) "\"" + outPath + "\"" else "null"
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${qs.size},""" +
-        s""""queries":${entries(top)},"pass2_sec":$total2,"gc_sec":$totalGc,""" +
-        s""""failed":$failedJson,"full":$fullRef,"sf":"$sfDir"}"""
+        s""""queries":${entries(top)},"pass2_sec":$total2,"pass3_sec":$total3,""" +
+        s""""gc_sec":$totalGc,"failed":$failedJson,"full":$fullRef,"sf":"$sfDir"}"""
     // a filtered run must not clobber the round's full record
     if (only.isEmpty) {
       java.nio.file.Files.write(outPath, (fullRecord + "\n").getBytes("UTF-8"))

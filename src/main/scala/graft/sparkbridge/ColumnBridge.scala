@@ -105,6 +105,18 @@ object CleanerBridge {
     }, askStorageEndpoints = false).size
 }
 
+/** Listener-bus drain for metric attribution: task-end events post
+  * asynchronously, so a bench that diffs listener-accumulated counters
+  * between queries must flush the bus before each snapshot or a slow
+  * consumer bleeds one query's tasks into the next query's window
+  * (waitUntilEmpty is private[spark], hence this bridge). Called
+  * OUTSIDE the wall-clock timed window — it costs bus-drain time, not
+  * query time. */
+object ListenerBridge {
+  def waitUntilEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
+
 /** Plan-level access for audits: rebuild a DataFrame from a logical
   * subtree (Dataset.ofRows is private[sql]) — lets a spec EXECUTE the
   * input of a plan fragment, e.g. count the child of an unpartitioned
