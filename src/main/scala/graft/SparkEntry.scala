@@ -77,6 +77,16 @@ object SparkEntry {
     "scan_small" -> ((s, d) =>
       Scans.small(T(s, d, "orders"), "o_orderkey", 5000L, 25,
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))),
+    // Scan.setLoadColumnFamiliesOnDemand (HBASE-5416): the metadata
+    // family (lang, n_chars) is ESSENTIAL to the filter; the fat text
+    // family loads lazily — phase 1's scan never reads `text`
+    // (ReadSchema plan-asserted in spec), phase 2 fetches full rows
+    // for the passing keys only
+    "scan_lazy_cf" -> ((s, d) =>
+      Scans.lazyCf(T(s, d, "documents"), "doc_id",
+          Seq("lang", "n_chars"),
+          col("lang") === "en" && col("n_chars") > 400)
+        .orderBy("doc_id")),
     "scan_time_range" -> ((s, d) =>
       Scans.timeRange(Tables.eventCells(s, d), "2024-01-10 00:00:00", "2024-01-20 00:00:00")
         .select("rowkey", "qualifier", "ts", "value", "event_id")
@@ -349,6 +359,10 @@ object SparkEntry {
     "scan_small" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
         |WHERE o_orderkey >= 5000 ORDER BY o_orderkey LIMIT 25""".stripMargin,
+    // the lazy-CF two-phase result ≡ the single-pass filter
+    "scan_lazy_cf" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars > 400 ORDER BY doc_id""".stripMargin,
     "scan_time_range" ->
       """SELECT user_id AS rowkey, event_type AS qualifier, ts, value, event_id FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'

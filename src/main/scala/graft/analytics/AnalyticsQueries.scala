@@ -216,6 +216,34 @@ object AnalyticsQueries {
           limits = limits)
         .orderBy("principal", "window")
     }),
+    // the per-direction request-COUNT limiter arms (ThrottleType
+    // WRITE_NUMBER / READ_NUMBER) completing the six-type surface:
+    // limits are tuned so every arm fires somewhere AND the checkQuota
+    // interleaving shows — free trips write-COUNT before write-size
+    // (both over in some windows, count wins), pro read-count before
+    // read-size, ent total-count before request-size before
+    // write-count
+    "quota_throttle_counts" -> ((s, d) => {
+      import s.implicits._
+      val big = 1000000000L
+      val limits = Seq(
+        ("free", big, big, 2L, 9000L, big, big),
+        ("pro", big, big, big, big, 2L, 6000L),
+        ("ent", 5L, 40000L, 1L, big, big, big))
+        .toDF("tier", "max_reqs", "max_req_bytes", "max_write_reqs",
+          "max_write_bytes", "max_read_reqs", "max_read_bytes")
+      val log = Tables.load(s, d, "events")
+        .withColumn("tier",
+          when(col("user_id") % 3 === 0, "free")
+            .when(col("user_id") % 3 === 1, "pro").otherwise("ent"))
+      Tools.quotaThrottleCounts(log,
+          principal = col("user_id"), tier = col("tier"),
+          window = date_trunc("DAY", col("ts")),
+          isRead = col("event_type").isin("click", "view"),
+          bytes = floor(col("value") * 100).cast("long") + length(col("props")),
+          limits = limits)
+        .orderBy("principal", "window")
+    }),
     // NamespaceAuditor: per-namespace table/region accounting vs the
     // namespace quota properties (the `n.` rows of hbase:quota) —
     // 5 tables in 2 namespaces, region counts from exact integer
@@ -2302,6 +2330,46 @@ object AnalyticsQueries {
         |      FROM c JOIN lim USING (tier))
         |SELECT principal, tier, "window", n_reqs, req_bytes, write_bytes,
         |       read_bytes, throttle_as, throttle_as IS NOT NULL AS over_quota
+        |FROM f ORDER BY principal, "window"""".stripMargin,
+    // the six-limiter interleaved precedence mirror (TimeBasedLimiter
+    // .checkQuota): total count > total size > write count > write
+    // size (windows with writes) > read count > read size (with reads)
+    "quota_throttle_counts" ->
+      """WITH lim AS (SELECT * FROM (VALUES
+        |    ('free', 1000000000, 1000000000, 2, 9000, 1000000000, 1000000000),
+        |    ('pro', 1000000000, 1000000000, 1000000000, 1000000000, 2, 6000),
+        |    ('ent', 5, 40000, 1, 1000000000, 1000000000, 1000000000))
+        |  t(tier, max_reqs, max_req_bytes, max_write_reqs,
+        |    max_write_bytes, max_read_reqs, max_read_bytes)),
+        |log AS (SELECT user_id AS principal,
+        |          CASE WHEN user_id % 3 = 0 THEN 'free'
+        |               WHEN user_id % 3 = 1 THEN 'pro' ELSE 'ent' END AS tier,
+        |          date_trunc('day', ts) AS "window",
+        |          event_type IN ('click', 'view') AS r,
+        |          CAST(floor(value * 100) AS BIGINT) + len(props) AS b
+        |        FROM events),
+        |c AS (SELECT principal, tier, "window", count(*) AS n_reqs,
+        |        CAST(sum(CASE WHEN r THEN 0 ELSE 1 END) AS BIGINT) AS n_write_reqs,
+        |        CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_read_reqs,
+        |        CAST(sum(b) AS BIGINT) AS req_bytes,
+        |        CAST(sum(CASE WHEN r THEN 0 ELSE b END) AS BIGINT) AS write_bytes,
+        |        CAST(sum(CASE WHEN r THEN b ELSE 0 END) AS BIGINT) AS read_bytes
+        |      FROM log GROUP BY 1, 2, 3),
+        |f AS (SELECT c.*,
+        |        CASE WHEN n_reqs > max_reqs THEN 'NumRequestsExceeded'
+        |             WHEN req_bytes > max_req_bytes THEN 'RequestSizeExceeded'
+        |             WHEN n_write_reqs > 0 AND n_write_reqs > max_write_reqs
+        |               THEN 'NumWriteRequestsExceeded'
+        |             WHEN n_write_reqs > 0 AND write_bytes > max_write_bytes
+        |               THEN 'WriteSizeExceeded'
+        |             WHEN n_read_reqs > 0 AND n_read_reqs > max_read_reqs
+        |               THEN 'NumReadRequestsExceeded'
+        |             WHEN n_read_reqs > 0 AND read_bytes > max_read_bytes
+        |               THEN 'ReadSizeExceeded' END AS throttle_as
+        |      FROM c JOIN lim USING (tier))
+        |SELECT principal, tier, "window", n_reqs, n_write_reqs, n_read_reqs,
+        |       req_bytes, write_bytes, read_bytes, throttle_as,
+        |       throttle_as IS NOT NULL AS over_quota
         |FROM f ORDER BY principal, "window"""".stripMargin,
     "quota_throttle" ->
       """WITH lim AS (SELECT * FROM (VALUES ('free', 3), ('pro', 6), ('ent', 1000000))

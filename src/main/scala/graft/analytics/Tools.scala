@@ -1125,6 +1125,59 @@ object Tools {
       .select("principal", "tier", "window", "n_reqs", "req_bytes",
         "write_bytes", "read_bytes", "throttle_as", "over_quota")
 
+  /** The FULL six-limiter throttle surface (hbase-client/.../quotas/
+    * ThrottleType.java:28-45 — REQUEST_NUMBER, REQUEST_SIZE,
+    * WRITE_NUMBER, WRITE_SIZE, READ_NUMBER, READ_SIZE), completing
+    * [[quotaThrottleSize]]'s four with the per-direction request-COUNT
+    * limiters. Enforcement order per TimeBasedLimiter.checkQuota
+    * (hbase-server/.../quotas/TimeBasedLimiter.java:113-139) is
+    * INTERLEAVED, not grouped by kind: total request count, total
+    * request size, then — only for requests that write — write COUNT
+    * (line 122) before write SIZE (127), then — only for requests
+    * that read — read COUNT (133) before read SIZE (136).
+    * `throttle_as` names the FIRST limiter in that order the window's
+    * totals exceed, i.e. the ThrottlingException type a client sees.
+    * The per-request `writeSize > 0` guard becomes "the window did
+    * writes" (n_write_reqs > 0) — the window is this model's request.
+    *
+    * Same scale shape as the size form: ONE map-side-combinable
+    * aggregate per (principal, window) + a broadcast limits join —
+    * requests never shuffle individually.
+    *
+    * @param limits (tier, max_reqs, max_req_bytes, max_write_reqs,
+    *               max_write_bytes, max_read_reqs, max_read_bytes). */
+  def quotaThrottleCounts(log: DataFrame, principal: Column, tier: Column,
+                          window: Column, isRead: Column, bytes: Column,
+                          limits: DataFrame): DataFrame =
+    // unclassifiable (isRead = NULL) counts as a WRITE — the
+    // quotaThrottleSize/requestMetrics convention (stricter ledger)
+    log.select(principal.as("principal"), tier.as("tier"),
+        window.as("window"), coalesce(isRead, lit(false)).as("_r"),
+        bytes.cast("long").as("_b"))
+      .groupBy("principal", "tier", "window")
+      .agg(count(lit(1)).as("n_reqs"),
+        sum(when(!col("_r"), 1L).otherwise(0L)).as("n_write_reqs"),
+        sum(when(col("_r"), 1L).otherwise(0L)).as("n_read_reqs"),
+        sum(col("_b")).as("req_bytes"),
+        sum(when(!col("_r"), col("_b")).otherwise(0L)).as("write_bytes"),
+        sum(when(col("_r"), col("_b")).otherwise(0L)).as("read_bytes"))
+      .join(broadcast(limits), "tier")
+      .withColumn("throttle_as",
+        when(col("n_reqs") > col("max_reqs"), "NumRequestsExceeded")
+          .when(col("req_bytes") > col("max_req_bytes"), "RequestSizeExceeded")
+          .when(col("n_write_reqs") > 0 &&
+            col("n_write_reqs") > col("max_write_reqs"), "NumWriteRequestsExceeded")
+          .when(col("n_write_reqs") > 0 &&
+            col("write_bytes") > col("max_write_bytes"), "WriteSizeExceeded")
+          .when(col("n_read_reqs") > 0 &&
+            col("n_read_reqs") > col("max_read_reqs"), "NumReadRequestsExceeded")
+          .when(col("n_read_reqs") > 0 &&
+            col("read_bytes") > col("max_read_bytes"), "ReadSizeExceeded"))
+      .withColumn("over_quota", col("throttle_as").isNotNull)
+      .select("principal", "tier", "window", "n_reqs", "n_write_reqs",
+        "n_read_reqs", "req_bytes", "write_bytes", "read_bytes",
+        "throttle_as", "over_quota")
+
   /** PREFIX_TREE data-block-encoding size — the fourth encoder in
     * DataBlockEncoding (hbase-common/.../io/encoding/DataBlockEncoding
     * .java:46, implemented in hbase-prefix-tree/.../codec/prefixtree/):

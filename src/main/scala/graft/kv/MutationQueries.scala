@@ -132,6 +132,20 @@ object MutationQueries {
       Mutations.checkAndDelete(base, dels, "c_custkey", col("c_acctbal") < 0)
         .orderBy("c_custkey")
     }),
+    // checkAndDelete with a CompareOp guard (Table.java:274 — the
+    // delete sibling of check_and_put_compare's compareOp CAS): purge
+    // every 7th account only while its stored balance is at most 1000
+    // (LESS_OR_EQUAL through the comparator surface, not equality) —
+    // higher-balance rows survive their own delete request
+    "check_and_delete_compare" -> ((s, d) => {
+      import graft.filters.{CompareOp, Comparators}
+      val base = Tables.load(s, d, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      val dels = base.where(col("c_custkey") % 7 === 0).select("c_custkey")
+      Mutations.checkAndDelete(base, dels, "c_custkey",
+          Comparators.long(1000L)(col("c_acctbal"), CompareOp.LESS_OR_EQUAL))
+        .orderBy("c_custkey")
+    }),
     // RowMutations (hbase-client/.../client/RowMutations.java:42):
     // one atomic batch of puts AND deletes — keys %10 get a put, keys
     // %20 ALSO a delete, and deletes win over the batch's own puts
@@ -330,6 +344,10 @@ object MutationQueries {
     "check_and_delete" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |WHERE NOT (c_custkey % 10 = 0 AND c_acctbal < 0)
+        |ORDER BY c_custkey""".stripMargin,
+    "check_and_delete_compare" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE NOT (c_custkey % 7 = 0 AND c_acctbal <= 1000)
         |ORDER BY c_custkey""".stripMargin,
     "constraint_put" ->
       """SELECT o_orderkey,

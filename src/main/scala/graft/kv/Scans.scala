@@ -189,6 +189,37 @@ object Scans {
       .select(projection.map(col): _*)
   }
 
+  /** Scan.setLoadColumnFamiliesOnDemand (hbase-client/.../client/
+    * Scan.java:744, HBASE-5416 "essential column families"): when the
+    * scan's filter reads only some families, those ESSENTIAL families
+    * scan first and the remaining (fat) families load lazily — only
+    * for rows the filter passed — so non-essential store files are
+    * never seeked for filtered-out rows.
+    *
+    * Columnar rendering: phase 1 scans ONLY key + essential columns
+    * (a pruned ReadSchema, plan-asserted in the spec — the fat
+    * columns never appear in the first pass) and yields passing keys;
+    * phase 2 fetches ALL families for exactly those keys via a key
+    * semi-join (merge-hinted: passing keys are data-sized, never a
+    * broadcast premise). Result ≡ the single-pass filter, which IS
+    * the oracle.
+    *
+    * When to prefer which at 100 TB: a columnar store already decodes
+    * only the predicate columns for non-matching row groups, so the
+    * single-pass filter usually wins there; the two-phase shape pays
+    * when the fat families live in separate row-oriented stores (the
+    * reference's HFiles-per-family layout), or when passing keys feed
+    * several downstream fetches. The phase-1 scan shuffles only keys;
+    * the fat side shuffles once, post-prune. */
+  def lazyCf(df: DataFrame, keyCol: String, essential: Seq[String],
+             pred: Column): DataFrame = {
+    val passing = df
+      .select((keyCol +: essential.filterNot(_ == keyCol)).map(col): _*)
+      .where(pred)
+      .select(col(keyCol))
+    df.join(passing.hint("merge"), Seq(keyCol), "leftsemi")
+  }
+
   /** Scan.setTimeRange(min, max) over versioned cells — [min, max). */
   def timeRange(vcells: DataFrame, minTs: String, maxTs: String): DataFrame =
     vcells.where(col("ts") >= lit(minTs).cast("timestamp") &&

@@ -432,6 +432,55 @@ class InsightsSpec extends SparkSpec {
       (5L, null, false))), got.mkString(","))
   }
 
+  test("quotaThrottleCounts: the six-limiter INTERLEAVED checkQuota precedence") {
+    // TimeBasedLimiter.checkQuota order: total count > total size >
+    // write COUNT > write size (windows that wrote) > read COUNT >
+    // read size (windows that read). The count arms sit BETWEEN the
+    // size arms — u3/u5 are the interleave probes: both the count and
+    // the size limiter of one direction are over, and the count must
+    // win because it is checked first INSIDE the direction block.
+    // Limits: 3 reqs / 200 total bytes / 1 write req / 50 write bytes
+    // / 1 read req / 40 read bytes.
+    val limits = Seq(("t", 3L, 200L, 1L, 50L, 1L, 40L))
+      .toDF("tier", "max_reqs", "max_req_bytes", "max_write_reqs",
+        "max_write_bytes", "max_read_reqs", "max_read_bytes")
+    // u1: 4 reqs, everything over -> NumRequests (checked first).
+    // u2: 3 reqs / 300 bytes / 2 writes -> RequestSize beats NumWrite.
+    // u3: 2 writes of 30 (count 2>1 AND bytes 60>50) -> NumWrite wins
+    //     over WriteSize — the write-direction interleave.
+    // u4: 1 write of 60 (count ok, bytes over) -> WriteSize.
+    // u5: 2 reads of 30 (count 2>1 AND bytes 60>40) -> NumRead wins
+    //     over ReadSize — the read-direction interleave.
+    // u6: 1 read of 45 (count ok, bytes over) -> ReadSize.
+    // u7: 1 write of 10 (write arms pass) + 1 read of 45 -> ReadSize;
+    //     passing write arms must not mask the read block.
+    // u8: under everything -> null.
+    val log = Seq(
+      (1L, false, 10L), (1L, false, 10L), (1L, true, 10L), (1L, true, 10L),
+      (2L, false, 100L), (2L, false, 100L), (2L, true, 100L),
+      (3L, false, 30L), (3L, false, 30L),
+      (4L, false, 60L),
+      (5L, true, 30L), (5L, true, 30L),
+      (6L, true, 45L),
+      (7L, false, 10L), (7L, true, 45L),
+      (8L, false, 10L), (8L, true, 10L)
+    ).toDF("u", "r", "b").withColumn("tier", lit("t"))
+    val got = Tools.quotaThrottleCounts(log, col("u"), col("tier"), lit(1L),
+        col("r"), col("b"), limits)
+      .orderBy("principal")
+      .collect().map(r => (r.getAs[Long]("principal"),
+        r.getAs[String]("throttle_as"), r.getAs[Boolean]("over_quota")))
+    assert(got.sameElements(Array(
+      (1L, "NumRequestsExceeded", true),
+      (2L, "RequestSizeExceeded", true),
+      (3L, "NumWriteRequestsExceeded", true),
+      (4L, "WriteSizeExceeded", true),
+      (5L, "NumReadRequestsExceeded", true),
+      (6L, "ReadSizeExceeded", true),
+      (7L, "ReadSizeExceeded", true),
+      (8L, null, false))), got.mkString(","))
+  }
+
   test("prefixTreeEncodingSize: hand-priced trie blocks, nubs, degenerate block") {
     // Region 0, rowWidth=4, famLen=2, one 4-cell block.
     // Rows {0001,0001,0002,0011}: trie = root "00" + branch "000" +

@@ -132,6 +132,28 @@ class MutationsSpec extends SparkSpec {
     assert(casKeys(CompareOp.GREATER) == Set(4L, 5L))
   }
 
+  test("checkAndDelete with every CompareOp guard — the delete half of the CAS surface") {
+    import graft.filters.{CompareOp, Comparators}
+    // same stored balances as the put test; every key requests its own
+    // delete, and the guard against the stored 30 decides which die
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("k", "bal")
+    def deleted(op: CompareOp.Value): Set[Long] = {
+      val dels = base.select("k")
+      val survivors = Mutations.checkAndDelete(base, dels, "k",
+          Comparators.long(30L)(col("bal"), op))
+        .select("k").as[Long].collect().toSet
+      Set(1L, 2L, 3L, 4L, 5L).diff(survivors)
+    }
+    assert(deleted(CompareOp.LESS) == Set(1L, 2L))
+    // LESS_OR_EQUAL is the registered check_and_delete_compare guard
+    assert(deleted(CompareOp.LESS_OR_EQUAL) == Set(1L, 2L, 3L))
+    assert(deleted(CompareOp.EQUAL) == Set(3L))
+    assert(deleted(CompareOp.NOT_EQUAL) == Set(1L, 2L, 4L, 5L))
+    assert(deleted(CompareOp.GREATER_OR_EQUAL) == Set(3L, 4L, 5L))
+    assert(deleted(CompareOp.GREATER) == Set(4L, 5L))
+  }
+
   test("checkAndMutateRow: a failed guard drops the WHOLE batch — put AND delete") {
     val base = Seq((1L, "old", 5.0), (2L, "old", -1.0), (3L, "old", 9.0)).toDF("k", "v", "bal")
     val puts = Seq((1L, "new", 5.0), (2L, "new", -1.0)).toDF("k", "v", "bal")

@@ -77,6 +77,36 @@ class PlanAuditSpec extends SparkSpec {
       s"expected hits AND misses: ${got.count(_._2)} hits")
   }
 
+  test("scan_lazy_cf: essential pass never reads the fat family, result = single-pass filter") {
+    // Scan.setLoadColumnFamiliesOnDemand: the filter's essential
+    // family (lang, n_chars) scans FIRST with a pruned ReadSchema —
+    // the fat text family must be absent from that scan — and the
+    // full-row fetch happens only for passing keys
+    val df = SparkEntry.queries("scan_lazy_cf")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString()
+    val lines = p.linesIterator.toVector
+    val docScans = lines.filter(l =>
+      l.contains("FileScan") && l.contains("documents.parquet"))
+    assert(docScans.size == 2, s"expected essential + fetch scans:\n$p")
+    // exactly one of the two scans is the pruned essential pass: its
+    // ReadSchema carries the predicate columns but NOT text/source
+    val essential = docScans.filter(l => {
+      val rs = l.substring(l.indexOf("ReadSchema:"))
+      rs.contains("lang") && rs.contains("n_chars") &&
+        !rs.contains("text") && !rs.contains("source")
+    })
+    assert(essential.size == 1, s"essential scan not pruned:\n$p")
+    // the filter must be pushed into the essential pass, not applied
+    // post-fetch
+    assert(essential.head.contains("EqualTo(lang,en)") &&
+      essential.head.contains("GreaterThan(n_chars,400)"),
+      s"essential predicate not pushed:\n$p")
+    // result identity with the single-pass filter (the oracle's form)
+    val want = Tables.load(spark, sfDir, "documents")
+      .where(col("lang") === "en" && col("n_chars") > 400).count()
+    assert(df.count() == want && want > 0, s"rows ${df.count()} != $want")
+  }
+
   test("multi_get_bulk: key set broadcast, big side scanned once with no shuffle") {
     import spark.implicits._
     val keys = (0 until 2000).map(i => 3L * i + 1).toDF("o_orderkey")
