@@ -201,8 +201,13 @@ object Scans {
     * columns never appear in the first pass) and yields passing keys;
     * phase 2 fetches ALL families for exactly those keys via a key
     * semi-join (merge-hinted: passing keys are data-sized, never a
-    * broadcast premise). Result ≡ the single-pass filter, which IS
-    * the oracle.
+    * broadcast premise). Result ≡ the single-pass filter PROVIDED
+    * `keyCol` is a non-null row key unique per row — the HBase rowkey
+    * contract this models. With duplicate keys the semi-join would
+    * resurrect non-passing rows sharing a key with a passing one, and
+    * a NULL key never matches its own semi-join probe; neither shape
+    * is a rowkey, so the precondition is the caller's schema, not a
+    * runtime scan.
     *
     * When to prefer which at 100 TB: a columnar store already decodes
     * only the predicate columns for non-matching row groups, so the

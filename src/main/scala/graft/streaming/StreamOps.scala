@@ -174,23 +174,34 @@ object StreamOps {
         }
       }
 
-  /** ONE copy of the complete-version listing every maintained-table
-    * path uses (read side and both maintainers): `v=N` directories
-    * whose parquet `_SUCCESS` marker exists; a missing base path is
-    * simply "no versions yet", never a raw FileNotFoundException. */
-  private def completeVersions(fs: org.apache.hadoop.fs.FileSystem,
-                               base: org.apache.hadoop.fs.Path): Seq[Int] = {
+  /** ONE copy of the version-dir listing every maintained-table path
+    * uses (read side, both maintainers, and the GC): `v=N` directories
+    * split into (complete, partial) by the parquet `_SUCCESS` marker —
+    * one listStatus + one probe per dir, shared so the GC's partial
+    * arm can't double the FS RPCs or fork the name filter. A missing
+    * base path is simply "no versions yet", never a raw
+    * FileNotFoundException. */
+  private def versionDirs(fs: org.apache.hadoop.fs.FileSystem,
+                          base: org.apache.hadoop.fs.Path): (Seq[Int], Seq[Int]) = {
     import org.apache.hadoop.fs.Path
-    if (!fs.exists(base)) Seq.empty
-    else fs.listStatus(base).toSeq
+    if (!fs.exists(base)) (Seq.empty, Seq.empty)
+    else {
       // full-match v=<digits>: a stray sibling (v=3.bak from a manual
       // copy, with its _SUCCESS inside) is simply NOT a version — the
       // old prefix match fed "3.bak" to toInt and every read and both
       // maintainers died on the NumberFormatException forever
-      .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
-      .filter(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.drop(2).toInt)
+      val dirs = fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
+      val (complete, partial) =
+        dirs.partition(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
+      (complete.map(_.getPath.getName.drop(2).toInt),
+        partial.map(_.getPath.getName.drop(2).toInt))
+    }
   }
+
+  private def completeVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               base: org.apache.hadoop.fs.Path): Seq[Int] =
+    versionDirs(fs, base)._1
 
   /** GC for a maintained table: delete all but the newest `keepLast`
     * COMPLETE versions, plus any PARTIAL (crashed-write) version dirs
@@ -209,7 +220,8 @@ object StreamOps {
     require(keepLast >= 1, s"keepLast ($keepLast) must keep the serving version")
     val base = new Path(path)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val complete = completeVersions(fs, base).sorted
+    val (completeRaw, partialRaw) = versionDirs(fs, base)
+    val complete = completeRaw.sorted
     val dropComplete = complete.dropRight(keepLast)
     // PARTIAL version dirs (no _SUCCESS — a crashed write) older than
     // the oldest KEPT complete version can never become complete:
@@ -219,13 +231,8 @@ object StreamOps {
     // exists to bound. Partials AT or ABOVE the kept range are left
     // alone — one may be the maintainer's write in progress.
     val oldestKept = complete.takeRight(keepLast).headOption
-    val partials =
-      if (!fs.exists(base) || oldestKept.isEmpty) Seq.empty[Int]
-      else fs.listStatus(base).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
-        .filterNot(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
-        .map(_.getPath.getName.drop(2).toInt)
-        .filter(v => v < oldestKept.get)
+    val partials = oldestKept
+      .map(k => partialRaw.filter(_ < k)).getOrElse(Seq.empty)
     val drop = (dropComplete ++ partials).distinct.sorted
     drop.foreach(v => fs.delete(new Path(base, s"v=$v"), true))
     drop
