@@ -2293,7 +2293,7 @@ object AnalyticsQueries {
         |         count(*) AS rows_b
         |  FROM orders GROUP BY 1)
         |SELECT bucket, digest_a, rows_a, digest_b, rows_b,
-        |       coalesce(digest_a = digest_b, false) AS is_match
+        |       coalesce(digest_a = digest_b AND rows_a = rows_b, false) AS is_match
         |FROM h1 FULL OUTER JOIN h2 USING (bucket) ORDER BY bucket""".stripMargin,
     "bulk_load_partitioner" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders)
@@ -3180,12 +3180,14 @@ object AnalyticsQueries {
         |j AS (SELECT s.k AS sk, p.k AS pk, s.v AS sv, p.v AS pv
         |      FROM src s FULL OUTER JOIN peer p ON s.k = p.k)
         |SELECT
-        |  CAST(sum(CASE WHEN sk IS NOT NULL AND pk IS NOT NULL AND sv = pv
-        |                THEN 1 ELSE 0 END) AS BIGINT) AS good_rows,
-        |  CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_in_source,
-        |  CAST(sum(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_in_peer,
-        |  CAST(sum(CASE WHEN sk IS NOT NULL AND pk IS NOT NULL AND sv <> pv
-        |                THEN 1 ELSE 0 END) AS BIGINT) AS content_different
+        |  coalesce(CAST(sum(CASE WHEN sk IS NOT NULL AND pk IS NOT NULL AND sv = pv
+        |                THEN 1 ELSE 0 END) AS BIGINT), 0) AS good_rows,
+        |  coalesce(CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |    AS only_in_source,
+        |  coalesce(CAST(sum(CASE WHEN sk IS NULL THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |    AS only_in_peer,
+        |  coalesce(CAST(sum(CASE WHEN sk IS NOT NULL AND pk IS NOT NULL AND sv <> pv
+        |                THEN 1 ELSE 0 END) AS BIGINT), 0) AS content_different
         |FROM j""".stripMargin,
     "wal_replay" ->
       """WITH ed AS (
@@ -3864,14 +3866,18 @@ object AnalyticsQueries {
         |         ('meta', 365, 3, 'NONE', 65536)),
         |d AS (SELECT coalesce(op.family, np.family) AS family,
         |             ttl_old, ttl_new, mv_old, mv_new,
-        |             CASE WHEN ttl_old IS NULL THEN 'ADD_FAMILY'
-        |                  WHEN ttl_new IS NULL THEN 'DROP_FAMILY'
-        |                  WHEN ttl_old <> ttl_new OR mv_old <> mv_new
-        |                    OR enc_old <> enc_new OR bs_old <> bs_new
+        |             CASE WHEN op.family IS NULL THEN 'ADD_FAMILY'
+        |                  WHEN np.family IS NULL THEN 'DROP_FAMILY'
+        |                  WHEN ttl_old IS DISTINCT FROM ttl_new
+        |                    OR mv_old IS DISTINCT FROM mv_new
+        |                    OR enc_old IS DISTINCT FROM enc_new
+        |                    OR bs_old IS DISTINCT FROM bs_new
         |                    THEN 'MODIFY'
         |                  ELSE 'NONE' END AS action,
-        |             coalesce(enc_old <> enc_new, false) AS encoding_changed,
-        |             coalesce(bs_old <> bs_new, false) AS blocksize_changed
+        |             (op.family IS NOT NULL AND np.family IS NOT NULL
+        |               AND enc_old IS DISTINCT FROM enc_new) AS encoding_changed,
+        |             (op.family IS NOT NULL AND np.family IS NOT NULL
+        |               AND bs_old IS DISTINCT FROM bs_new) AS blocksize_changed
         |      FROM op FULL OUTER JOIN np ON op.family = np.family),
         |nw AS (SELECT epoch_us(max(ts)) AS now_us FROM vcells2),
         |rk AS (SELECT family, qualifier, epoch_us(ts) AS ts_us,

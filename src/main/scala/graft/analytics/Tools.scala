@@ -61,6 +61,10 @@ object Tools {
   def hashTable(df: DataFrame, keyCol: String, rowHash: Column, bucketWidth: Long): DataFrame = {
     require(keyCol.matches("[A-Za-z0-9_]+"),
       s"key column '$keyCol' must match [A-Za-z0-9_]+") // SQL splice below
+    // width 0 would pmod to NULL buckets (one garbage digest) and
+    // DuckDB's `// 0` errors — the cross-engine divergence this tool
+    // exists to rule out; refuse loudly like every sibling divisor
+    require(bucketWidth >= 1, s"bucketWidth ($bucketWidth) must be positive")
     // portable integer FLOOR division ((k − pmod)/w), not floor(k/w):
     // the double division rounds past 2^53, assigning boundary keys to
     // the wrong bucket on exactly the cross-engine comparison this
@@ -78,8 +82,13 @@ object Tools {
     val left  = a.select(col("bucket"), col("digest").as("digest_a"), col("n_rows").as("rows_a"))
     val right = b.select(col("bucket"), col("digest").as("digest_b"), col("n_rows").as("rows_b"))
     left.join(right, Seq("bucket"), "full_outer")
+      // a match needs the ROW COUNTS equal too: two different row
+      // sets can sum to colliding digests (a row hashing to 0, or two
+      // rows summing to one side's single hash) — count inequality is
+      // the cheap collision witness the digests alone can't see
       .withColumn("is_match",
-        coalesce(col("digest_a") === col("digest_b"), lit(false)))
+        coalesce(col("digest_a") === col("digest_b") &&
+          col("rows_a") === col("rows_b"), lit(false)))
   }
 
   /** VerifyReplication (mapreduce/replication/VerifyReplication.java) —
@@ -95,13 +104,16 @@ object Tools {
     val sv = src.select(col(keyCol), struct(cmpCols.map(col): _*).as("_sv"))
     val pv = peer.select(col(keyCol), struct(cmpCols.map(col): _*).as("_pv"))
     def n(c: String) = col(c).isNotNull
+    // coalesce: sum over ZERO rows is NULL, and a replication audit
+    // of two empty (or fully-pruned) ranges must report four ZEROS —
+    // a NULL only_in_source slips through any `=== 0` health check
     sv.join(pv, Seq(keyCol), "full_outer").agg(
-      sum(when(n("_sv") && n("_pv") && col("_sv") === col("_pv"), 1L)
-        .otherwise(0L)).as("good_rows"),
-      sum(when(!n("_pv"), 1L).otherwise(0L)).as("only_in_source"),
-      sum(when(!n("_sv"), 1L).otherwise(0L)).as("only_in_peer"),
-      sum(when(n("_sv") && n("_pv") && !(col("_sv") === col("_pv")), 1L)
-        .otherwise(0L)).as("content_different"))
+      coalesce(sum(when(n("_sv") && n("_pv") && col("_sv") === col("_pv"), 1L)
+        .otherwise(0L)), lit(0L)).as("good_rows"),
+      coalesce(sum(when(!n("_pv"), 1L).otherwise(0L)), lit(0L)).as("only_in_source"),
+      coalesce(sum(when(!n("_sv"), 1L).otherwise(0L)), lit(0L)).as("only_in_peer"),
+      coalesce(sum(when(n("_sv") && n("_pv") && !(col("_sv") === col("_pv")), 1L)
+        .otherwise(0L)), lit(0L)).as("content_different"))
   }
 
   /** WALPlayer.java:71 / WALInputFormat.java — replay a time-ranged
@@ -468,15 +480,12 @@ object Tools {
     * availability report. */
   def canaryProbe(cells: DataFrame, nRegions: Int, families: Seq[String]): DataFrame = {
     require(nRegions >= 1 && families.nonEmpty, "need regions and families")
-    val b = cells.agg(min(col("rowkey")).as("_lo"), max(col("rowkey")).as("_hi"))
-    val probes = cells.crossJoin(broadcast(b))
-      .withColumn("region",
-        totalOrderBucket(col("rowkey"), col("_lo"), col("_hi"), nRegions))
+    val probes = withTotalOrderTag(cells, "rowkey", nRegions)
       .groupBy("region", "family")
       .agg(min(struct(col("rowkey"), col("qualifier"))).as("_first"))
     // literal frame, NOT derived from the bounds aggregate: a frame
-    // inheriting b's plan re-scans the whole cell table just to emit
-    // nRegions rows (the canaryWriteProbe spark.range pattern)
+    // inheriting the bounds plan re-scans the whole cell table just to
+    // emit nRegions rows (the canaryWriteProbe spark.range pattern)
     val frame = cells.sparkSession.range(0, nRegions).toDF("region")
       .select(col("region"),
         explode(array(families.map(lit): _*)).as("family"))
@@ -691,10 +700,7 @@ object Tools {
   def requestMetrics(log: DataFrame, keyCol: String, isWrite: Column,
                      nRegions: Int): DataFrame = {
     require(nRegions >= 1, "need at least one region")
-    val b = log.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
-    val counts = log.crossJoin(broadcast(b))
-      .withColumn("region",
-        totalOrderBucket(col(keyCol), col("_lo"), col("_hi"), nRegions))
+    val counts = withTotalOrderTag(log, keyCol, nRegions)
       .groupBy("region")
       // NULL classification counts as a WRITE — the quotaThrottleSize
       // convention (the stricter ledger), so the two tools put an
@@ -703,12 +709,16 @@ object Tools {
           .as("read_requests"),
         sum(when(coalesce(isWrite, lit(true)), 1L).otherwise(0L))
           .as("write_requests"))
-    // literal frame — deriving it from `b` would re-scan the log for
-    // nRegions rows (the canaryWriteProbe spark.range pattern)
+    // literal frame — deriving it from the bounds aggregate would
+    // re-scan the log for nRegions rows (the canaryWriteProbe
+    // spark.range pattern)
     val frame = log.sparkSession.range(0, nRegions).toDF("region")
     // nRegions metadata rows feeding two forks (mean + final) — lazy,
-    // the mean branch would re-run the whole log aggregation
-    val full = materializeMeta(frame.join(counts, Seq("region"), "left")
+    // the mean branch would re-run the whole log aggregation. The cap
+    // is nRegions BY CONSTRUCTION: the default 4096 would refuse a
+    // legitimate wide layout with a misleading "not metadata" error
+    val full = materializeMeta(maxRows = math.max(nRegions, 4096),
+      df = frame.join(counts, Seq("region"), "left")
       .select(col("region"),
         coalesce(col("read_requests"), lit(0L)).as("read_requests"),
         coalesce(col("write_requests"), lit(0L)).as("write_requests"))
@@ -894,7 +904,7 @@ object Tools {
       .groupBy(date_trunc("DAY", col(tsCol)).as("segment_day"))
       .agg(count(lit(1)).as("n_edits"),
         min(col(tsCol)).as("oldest_ts"), max(col(tsCol)).as("newest_ts"))
-    val cut = wal.agg((max(col(tsCol)) - expr(s"INTERVAL $ttl")).as("_cut"))
+    val cut = wal.agg((max(col(tsCol)) - graft.core.Intervals.literal(ttl)).as("_cut"))
     val wm = peers.agg(min(col("replicated_upto")).as("_wm"),
       count(lit(1)).as("_npeers"),
       sum(when(col("replicated_upto").isNull, 1L).otherwise(0L)).as("_nullwm"))
@@ -1042,11 +1052,11 @@ object Tools {
         sum(col("_diff")).as("diff_bytes"),
         sum(col("_fast")).as("fast_diff_bytes"))
       .withColumn("prefix_saved_ppm",
-        expr("(raw_bytes - prefix_bytes) * 1000000 div raw_bytes"))
+        ppmExact("raw_bytes - prefix_bytes", "raw_bytes"))
       .withColumn("diff_saved_ppm",
-        expr("(raw_bytes - diff_bytes) * 1000000 div raw_bytes"))
+        ppmExact("raw_bytes - diff_bytes", "raw_bytes"))
       .withColumn("fast_diff_saved_ppm",
-        expr("(raw_bytes - fast_diff_bytes) * 1000000 div raw_bytes"))
+        ppmExact("raw_bytes - fast_diff_bytes", "raw_bytes"))
       .withColumn("best_encoding",
         when(col("prefix_bytes") <= least(col("diff_bytes"), col("fast_diff_bytes")),
           "PREFIX")
@@ -1358,7 +1368,24 @@ object Tools {
       .agg(count(lit(1)).as("n_cells"),
         sum(length(col("_fk"))).cast("bigint").as("raw_key_bytes"),
         sum(col("_prefix")).as("saved_bytes"))
-      .withColumn("saved_ppm", expr("saved_bytes * 1000000 div raw_key_bytes"))
+      .withColumn("saved_ppm", ppmExact("saved_bytes", "raw_key_bytes"))
+  }
+
+  /** Exact-integer ppm (`num·10⁶ div den`, num ≤ den) with the
+    * overflow refusal the bm25 discipline prescribes: the 10⁶ multiply
+    * wraps once the numerator crosses Long.Max/10⁶ (~9.2 TB of bytes
+    * in ONE region — far past any sane split policy), and a wrapped
+    * ppm silently corrupts the encoding report it feeds. The guard is
+    * a codegen'd branch on the denominator (num ≤ den by contract),
+    * free on the valid path; the column names are spliced, so they
+    * obey the dqAudit identifier rule relaxed to +/- arithmetic. */
+  private def ppmExact(num: String, den: String): Column = {
+    require((num + den).matches("[A-Za-z0-9_ +-]+"),
+      s"ppm operands '$num'/'$den' must be identifier arithmetic") // SQL splice
+    expr(s"CASE WHEN $den <= ${Long.MaxValue / 1000000L} " +
+      s"THEN ($num) * 1000000 div $den " +
+      s"ELSE raise_error(concat('ppm: $den = ', $den, " +
+      "' past the exact-integer ppm bound (~9.2 TB per region) — split regions')) END")
   }
 
   /** RegionSplitPolicy family (hbase-server/.../regionserver/
@@ -1731,11 +1758,19 @@ object Tools {
                 !(col("enc_old") <=> col("enc_new")) ||
                 !(col("bs_old") <=> col("bs_new")), "MODIFY")
           .otherwise("NONE"))
-      .drop("_in_old", "_in_new")
+      // NULL-SAFE like the action arms above (the comment's own rule):
+      // plain =!= on a NULL-sided property made a NULL→'PREFIX'
+      // encoding change report rewrite_bytes 0 — the rewrite the flag
+      // exists to price. Gated on presence so ADD/DROP rows (one side
+      // entirely NULL) keep flags false; DROP prices its rewrite via
+      // its own action arm
       .withColumn("encoding_changed",
-        coalesce(col("enc_old") =!= col("enc_new"), lit(false)))
+        col("_in_old").isNotNull && col("_in_new").isNotNull &&
+          !(col("enc_old") <=> col("enc_new")))
       .withColumn("blocksize_changed",
-        coalesce(col("bs_old") =!= col("bs_new"), lit(false)))
+        col("_in_old").isNotNull && col("_in_new").isNotNull &&
+          !(col("bs_old") <=> col("bs_new")))
+      .drop("_in_old", "_in_new")
     val now = cells.agg(unix_micros(max(col("ts"))).as("_now_us"))
     val byVersion = Window.partitionBy("family", "rowkey", "qualifier")
       .orderBy(col("ts").desc, col("event_id").desc)

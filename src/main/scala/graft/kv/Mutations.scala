@@ -307,7 +307,7 @@ object Mutations {
     * relative to the table's max timestamp. Two-phase aggregate +
     * broadcast — no driver round-trip. */
   def ttlExpire(vcells: DataFrame, ttl: String): DataFrame = {
-    val cutoff = vcells.agg((max(col("ts")) - expr(s"INTERVAL $ttl")).as("_cut"))
+    val cutoff = vcells.agg((max(col("ts")) - graft.core.Intervals.literal(ttl)).as("_cut"))
     vcells.crossJoin(broadcast(cutoff)).where(col("ts") >= col("_cut")).drop("_cut")
   }
 
@@ -321,7 +321,7 @@ object Mutations {
     require(ttls.nonEmpty, "ttlExpirePerFamily needs at least one family TTL")
     val now = vcells.agg(max(col("ts")).as("_now"))
     val keep = ttls.map { case (f, ttl) =>
-      col("family") === f && col("ts") >= col("_now") - expr(s"INTERVAL $ttl")
+      col("family") === f && col("ts") >= col("_now") - graft.core.Intervals.literal(ttl)
     }.reduce(_ || _) || !col("family").isInCollection(ttls.keys.toSeq)
     vcells.crossJoin(broadcast(now)).where(keep).drop("_now")
   }
@@ -384,7 +384,7 @@ object Mutations {
     * guarantees a readable value for every column that ever had one. */
   def ttlExpireMinVersions(vcells: DataFrame, ttl: String, minVersions: Int = 1,
                            tieBreaker: String = "event_id"): DataFrame = {
-    val cutoff = vcells.agg((max(col("ts")) - expr(s"INTERVAL $ttl")).as("_cut"))
+    val cutoff = vcells.agg((max(col("ts")) - graft.core.Intervals.literal(ttl)).as("_cut"))
     val w = Window.partitionBy("rowkey", "family", "qualifier")
       .orderBy(col("ts").desc, col(tieBreaker).desc)
     vcells.crossJoin(broadcast(cutoff))

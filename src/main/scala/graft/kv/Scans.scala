@@ -369,7 +369,7 @@ object Scans {
     * the per-(row, family, qualifier) latest-version window every
     * versioned read already pays. */
   def timelineRead(vcells: DataFrame, primaryDown: Column, lag: String): DataFrame = {
-    val horizon = vcells.agg((max(col("ts")) - expr(s"INTERVAL $lag")).as("_hz"))
+    val horizon = vcells.agg((max(col("ts")) - graft.core.Intervals.literal(lag)).as("_hz"))
     val visible = vcells.crossJoin(broadcast(horizon))
       .where(!primaryDown || col("ts") <= col("_hz"))
       .withColumn("stale", primaryDown)

@@ -130,7 +130,7 @@ object StreamOps {
     s.join(p,
       col("user_id") === col("p_user") &&
         col("purchase_ts") >= col("signup_ts") &&
-        col("purchase_ts") <= col("signup_ts") + expr(s"INTERVAL $window"),
+        col("purchase_ts") <= col("signup_ts") + graft.core.Intervals.literal(window),
       "left_outer")
       .select(col("user_id"), col("signup_ts"), col("purchase_ts"),
         col("purchase_value"))

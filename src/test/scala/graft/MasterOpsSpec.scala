@@ -516,6 +516,49 @@ class MasterOpsSpec extends SparkSpec {
     assert(got("added").getAs[Long]("n_cells") == 0)
   }
 
+  test("alterTablePlan: NULL-to-value encoding change prices its rewrite (null-safe diff)") {
+    import spark.implicits._
+    // encoding NULL = unset/default, a legitimate property state per
+    // the NULL-property convention; setting it to PREFIX rewrites the
+    // family's whole footprint — the r11 review caught plain =!=
+    // reporting rewrite_bytes 0 here (NULL diff fell through coalesce)
+    val cells = Seq(
+      (1L, "f", "qq", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 1.0, 1L))
+      .toDF("rowkey", "family", "qualifier", "ts", "value", "event_id")
+    val oldP = Seq(("f", Some(30L), 3, None: Option[String], 65536L))
+      .toDF("family", "ttl_days", "max_versions", "encoding", "blocksize_b")
+    val newP = Seq(("f", Some(30L), 3, Some("PREFIX"), 65536L))
+      .toDF("family", "ttl_days", "max_versions", "encoding", "blocksize_b")
+    val r = graft.analytics.Tools.alterTablePlan(cells, oldP, newP).collect().head
+    assert(r.getAs[String]("action") == "MODIFY", r.toString)
+    assert(r.getAs[Boolean]("encoding_changed"), r.toString)
+    assert(r.getAs[Long]("rewrite_bytes") == 8L + 2L, r.toString)
+  }
+
+  test("syncTable: a digest-sum collision with unequal row counts is NOT a match") {
+    import spark.implicits._
+    // side A: two rows hashing to 5 and 7 (digest 12, rows 2); side
+    // B: one row hashing to 12 (digest 12, rows 1) — the sum-digest
+    // collides, the row count is the witness
+    val a = graft.analytics.Tools.hashTable(
+      Seq((1L, 5L), (2L, 7L)).toDF("k", "h"), "k", col("h"), 1000L)
+    val b = graft.analytics.Tools.hashTable(
+      Seq((3L, 12L)).toDF("k", "h"), "k", col("h"), 1000L)
+    val r = graft.analytics.Tools.syncTable(a, b).collect().head
+    assert(r.getAs[Long]("digest_a") == r.getAs[Long]("digest_b"))
+    assert(!r.getAs[Boolean]("is_match"), r.toString)
+  }
+
+  test("verifyReplication: empty ranges report four ZEROS, never NULL counters") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val r = graft.analytics.Tools
+      .verifyReplication(empty, empty, "k", Seq("v")).collect().head
+    for (c <- Seq("good_rows", "only_in_source", "only_in_peer",
+        "content_different"))
+      assert(!r.isNullAt(r.fieldIndex(c)) && r.getAs[Long](c) == 0L, s"$c: $r")
+  }
+
   test("multi_table_write: each table reads back from its own pruned directory") {
     // the routed layout is real: filtering one table prunes the scan
     // to that table's partition directory (no full re-scan)
