@@ -92,7 +92,7 @@ object AnalyticsQueries {
     * floor() (not cast) so DuckDB's rounding CAST and Spark's
     * truncating cast can't disagree. */
   private val orderRowHash =
-    pmod(pmod(col("o_orderkey"), lit(2147483648L)) * lit(2654435761L), lit(4294967296L)) +
+    graft.core.Hashes.knuth(col("o_orderkey")) +
       floor(col("o_totalprice") * 100).cast("bigint")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -113,8 +113,7 @@ object Filters {
     * period (2^31) is far beyond any structured-key stride, so the
     * sample stays uncorrelated. */
   def randomRowFilter(keyCol: Column, chance: Double): Column =
-    pmod(pmod(keyCol, lit(2147483648L)) * lit(2654435761L), lit(4294967296L)) <
-      lit((chance * 4294967296L).toLong)
+    graft.core.Hashes.knuth(keyCol) < lit((chance * 4294967296L).toLong)
 
   // ---- cell-level filters (apply to a cells view:
   //      rowkey / family / qualifier / value [/ ts]) ----

@@ -66,9 +66,7 @@ object DataPrep {
     * the fold-then-multiply (see [[sampleStratified]]'s scaladoc for
     * the overflow/negative-key rationale; its SQL mirror is the
     * pmod-equivalent `((k % m + m) % m)` form). */
-  private def knuthHash(keyCol: String) =
-    pmod(pmod(col(keyCol), lit(2147483648L)) * lit(2654435761L),
-      lit(4294967296L))
+  private def knuthHash(keyCol: String) = graft.core.Hashes.knuth(col(keyCol))
 
   /** Domain-mixture resampling (the Pile/Dolma-style source weighting):
     * given target shares in integer percent, find the largest total the
