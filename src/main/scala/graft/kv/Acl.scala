@@ -33,17 +33,25 @@ object Acl {
     * streams straight from the scan with NO shuffle, each cell
     * evaluated against the in-memory grant list, which is precisely
     * what a regionserver's AuthManager cache does per cell batch. */
-  def enforceRead(cells: DataFrame, grants: DataFrame,
-                  user: String, table: String): DataFrame = {
-    val g = grants
+  /** The user's covering READ grants — ONE copy of the grantee/perm/
+    * table filter both read paths share (a grant-semantics change must
+    * land once, not be hand-synced). */
+  private def userReadGrants(grants: DataFrame, user: String,
+                             table: String): DataFrame =
+    grants
       .where(col("grantee") === user && instr(col("perm"), "R") > 0 &&
         (col("tbl").isNull || col("tbl") === table))
       .select(col("family").as("_gf"), col("qualifier").as("_gq"))
-    cells.join(broadcast(g),
-      (col("_gf").isNull || col("_gf") === col("family")) &&
-        (col("_gq").isNull || col("_gq") === col("qualifier")),
+
+  /** The hierarchy cover predicate over [[userReadGrants]]' columns. */
+  private def cover =
+    (col("_gf").isNull || col("_gf") === col("family")) &&
+      (col("_gq").isNull || col("_gq") === col("qualifier"))
+
+  def enforceRead(cells: DataFrame, grants: DataFrame,
+                  user: String, table: String): DataFrame =
+    cells.join(broadcast(userReadGrants(grants, user, table)), cover,
       "left_semi")
-  }
 
   /** Cell-level ACL read enforcement (hbase-server/.../security/access/
     * AccessController.java — HBASE-7662's per-cell ACLs: Mutation#setACL
@@ -64,22 +72,20 @@ object Acl {
     *              "user:perms" or NULL (the tag payload). */
   def enforceReadCellAcls(cells: DataFrame, grants: DataFrame,
                           user: String, table: String): DataFrame = {
-    val g = grants
-      .where(col("grantee") === user && instr(col("perm"), "R") > 0 &&
-        (col("tbl").isNull || col("tbl") === table))
-      .select(col("family").as("_gf"), col("qualifier").as("_gq"))
-    val cover = (col("_gf").isNull || col("_gf") === col("family")) &&
-      (col("_gq").isNull || col("_gq") === col("qualifier"))
-    // the tag must actually CARRY a perms suffix: on a colon-less tag
-    // substring_index returns the whole string for BOTH positions, so
-    // a malformed tag equal to a username containing 'R' would
-    // authorize the cell with no grant at all — a default-deny
-    // violation (the DuckDB oracle's split_part already denies it:
-    // the missing second field is '')
+    val g = userReadGrants(grants, user, table)
+    // the perms live in the SECOND colon field — exactly like the
+    // oracle's split_part(cell_acl, ':', 2). A colon-less tag has no
+    // second field (default-deny: a tag equal to a username containing
+    // 'R' must not authorize), and a multi-colon tag "carol:junk:R"
+    // must read "junk", not the LAST field — substring_index(-1) took
+    // the last, so appending ':R' to any tag authorized it (the r11
+    // review's default-deny violation, invisible to the oracle gate
+    // because split_part already read field 2)
+    val fields = split(col("cell_acl"), ":")
     val cellOk = col("cell_acl").isNotNull &&
-      instr(col("cell_acl"), ":") > 0 &&
-      substring_index(col("cell_acl"), ":", 1) === user &&
-      instr(substring_index(col("cell_acl"), ":", -1), "R") > 0
+      size(fields) >= 2 &&
+      element_at(fields, 1) === user &&
+      instr(element_at(fields, 2), "R") > 0
     val byHierarchy = cells.join(broadcast(g), cover, "left_semi")
       .withColumn("acl_source", lit("table"))
     val byCell = cells.where(cellOk)

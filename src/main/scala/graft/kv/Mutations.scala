@@ -37,7 +37,22 @@ object Mutations {
         val ord = (v +: tieBreakers).map(col(_).desc)
         val w = Window.partitionBy(keyCol).orderBy(ord: _*)
         puts.withColumn("_pv", row_number().over(w)).where(col("_pv") === 1).drop("_pv")
-      case None => puts
+      case None =>
+        // duplicate put keys with no version order would BOTH survive
+        // the anti-join union — two rows for one key, breaking the
+        // one-row-per-key snapshot invariant every downstream CAS and
+        // diff relies on. ENFORCED, not assumed (checkAndPutAbsent's
+        // discipline): one count-window on the puts side — the small
+        // batch side by premise — failing loudly with the first
+        // duplicate key.
+        val w = Window.partitionBy(keyCol)
+        puts.withColumn("_pn", count(lit(1)).over(w))
+          .where(assert_true(col("_pn") <= 1,
+            concat(lit("put: duplicate put key "), col(keyCol).cast("string"),
+              lit(" in a batch with no versionCol to order the upsert — " +
+                "pass versionCol (last write wins) or de-duplicate the batch")))
+            .isNull)
+          .drop("_pn")
     }
     base.join(resolved.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .unionByName(resolved)
@@ -84,11 +99,15 @@ object Mutations {
 
   /** Family-scoped timestamp-bounded delete (Delete.deleteFamily(ts):
     * everything in the family at or before ts, for the keyed rows).
-    * Pure predicate — no join, survives any scale. */
+    * Pure predicate — no join, survives any scale. A NULL-evaluating
+    * marker predicate (NULL key/family/ts) is NON-matching, so the
+    * cell is KEPT — [[bulkDeleteCells]]' convention; the former
+    * `!(p) || ts.isNull` form guarded only the ts leg and silently
+    * DROPPED a NULL-key cell. */
   def deleteFamilyBefore(vcells: DataFrame, keyPred: Column, family: String,
                          maxTs: Column): DataFrame =
-    vcells.where(!(keyPred && col("family") === family && col("ts") <= maxTs) ||
-      col("ts").isNull)
+    vcells.where(!coalesce(
+      keyPred && col("family") === family && col("ts") <= maxTs, lit(false)))
 
   /** Increment — HBase atomic counters. At analytics scale a batch of
     * increments is a groupBy-sum merged into the counter table:
@@ -320,9 +339,13 @@ object Mutations {
   def ttlExpirePerFamily(vcells: DataFrame, ttls: Map[String, String]): DataFrame = {
     require(ttls.nonEmpty, "ttlExpirePerFamily needs at least one family TTL")
     val now = vcells.agg(max(col("ts")).as("_now"))
+    // the unlisted leg coalesces to TRUE for a NULL family: every
+    // disjunct is NULL there, and the documented default is "families
+    // without a TTL keep forever" — a NULL family is not listed
     val keep = ttls.map { case (f, ttl) =>
       col("family") === f && col("ts") >= col("_now") - graft.core.Intervals.literal(ttl)
-    }.reduce(_ || _) || !col("family").isInCollection(ttls.keys.toSeq)
+    }.reduce(_ || _) ||
+      coalesce(!col("family").isInCollection(ttls.keys.toSeq), lit(true))
     vcells.crossJoin(broadcast(now)).where(keep).drop("_now")
   }
 
@@ -349,8 +372,11 @@ object Mutations {
   def batchOutcomes(ops: DataFrame, validFamilies: Seq[String],
                     readOnly: Column): DataFrame = {
     require(validFamilies.nonEmpty, "batchOutcomes needs the table's family set")
+    // coalesce TRUE: a NULL family is as unknown as a wrong one —
+    // three-valued logic would skip the branch and apply the op
+    // (HRegion.checkFamily rejects null before the WAL)
     ops.withColumn("outcome",
-        when(!col("family").isin(validFamilies: _*),
+        when(coalesce(!col("family").isin(validFamilies: _*), lit(true)),
           "NoSuchColumnFamilyException")
           .when(readOnly, "DoNotRetryIOException: region is read only")
           .otherwise("OK"))

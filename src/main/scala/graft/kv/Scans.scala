@@ -283,7 +283,11 @@ object Scans {
         col("ts") >= lit(lo).cast("timestamp") &&
         col("ts") < lit(hi).cast("timestamp")
     }.reduce(_ || _)
-    vcells.where(listed || !col("family").isInCollection(ranges.keys.toSeq))
+    // the unlisted leg coalesces to TRUE for a NULL family: every
+    // listed disjunct is NULL there, and the contract says unlisted
+    // families pass untouched — a NULL family is not listed
+    vcells.where(listed ||
+      coalesce(!col("family").isInCollection(ranges.keys.toSeq), lit(true)))
   }
 
   /** HTable.getRowOrBefore (HTable.java, the closest-row-before read

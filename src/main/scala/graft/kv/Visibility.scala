@@ -105,12 +105,20 @@ object Visibility {
     // the second cycle's clear was InvalidLabelException here but OK
     // in replayLocal). A clear with NO earlier successful set has a
     // NULL epoch and fails.
-    val clearEpoch = clears.join(broadcast(okSets), Seq("grantee", "label"), "left")
-      .groupBy("grantee", "label", "op_idx", "op")
+    // epochs computed on the DISTINCT (grantee, label, op_idx) keys,
+    // then joined BACK onto the original clear rows: grouping the rows
+    // themselves would collapse duplicate identical ops into one
+    // outcome slot, where add/set ops keep one slot per input row (the
+    // per-op OperationStatus array contract) — and it also preserves
+    // any extra columns the op log carries
+    val clearEpoch = clears.select("grantee", "label", "op_idx").distinct()
+      .join(broadcast(okSets), Seq("grantee", "label"), "left")
+      .groupBy("grantee", "label", "op_idx")
       .agg(max(when(col("_set") < col("op_idx"), col("_set"))).as("_epoch"))
     val firstInEpoch = clearEpoch.where(col("_epoch").isNotNull)
       .groupBy("grantee", "label", "_epoch").agg(min("op_idx").as("_fc"))
-    val clearOut = clearEpoch
+    val clearOut = clears
+      .join(broadcast(clearEpoch), Seq("grantee", "label", "op_idx"), "left")
       .join(broadcast(firstInEpoch), Seq("grantee", "label", "_epoch"), "left")
       .withColumn("outcome",
         when(col("_epoch").isNotNull && col("op_idx") === col("_fc"), "OK")

@@ -807,6 +807,75 @@ class MutationsSpec extends SparkSpec {
       ("u", Some("t"), Some("act"), Some("purchase"), "R"))) == Set(1L, 2L, 3L))
   }
 
+  test("Acl.enforceReadCellAcls: tag perms read from the SECOND field, default deny") {
+    import spark.implicits._
+    // the perm field is split_part(tag, ':', 2) — a multi-colon tag's
+    // LAST field must not authorize (the r11 review's default-deny
+    // hole: "carol:junk:R" authorized via substring_index -1)
+    val cells = Seq(
+      (1L, "web", "click", "a", "carol:R"),      // well-formed -> allow
+      (2L, "web", "click", "a", "carol:junk:R"), // perms field = junk -> deny
+      (3L, "web", "click", "a", "caRol"),        // colon-less, 'R' in NAME -> deny
+      (4L, "web", "click", "a", "bob:R"),        // other user -> deny
+      (5L, "web", "click", "a", null.asInstanceOf[String]), // no tag -> deny
+      (6L, "web", "click", "a", "carol:RW")      // RW carries R -> allow
+    ).toDF("rowkey", "family", "qualifier", "value", "cell_acl")
+    val noGrants = Seq.empty[(String, String, String, String, String)]
+      .toDF("grantee", "tbl", "family", "qualifier", "perm")
+    val got = graft.kv.Acl.enforceReadCellAcls(cells, noGrants, "carol", "t")
+      .select("rowkey").as[Long].collect().toSet
+    assert(got == Set(1L, 6L), s"got $got")
+  }
+
+  test("NULL family: unlisted-family defaults KEEP cells, batch ops REJECT") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val cells = Seq(
+      (1L, "web", "q", ts("2024-01-01"), "v", 1L),
+      (2L, null.asInstanceOf[String], "q", ts("2024-01-15"), "v", 2L)
+    ).toDF("rowkey", "family", "qualifier", "ts", "value", "event_id")
+    // familyTimeRange: the NULL-family cell is UNLISTED -> passes
+    // untouched (three-valued logic silently dropped it before r11)
+    val ftr = graft.kv.Scans.familyTimeRange(cells,
+        Map("web" -> ("2024-01-10 00:00:00", "2024-01-20 00:00:00")))
+      .select("rowkey").as[Long].collect().toSet
+    assert(ftr == Set(2L), s"familyTimeRange kept $ftr")
+    // ttlExpirePerFamily: NULL family has no TTL -> keeps forever
+    // (now = 01-15; the web cell at 01-01 is past its 5-day TTL)
+    val kept = Mutations.ttlExpirePerFamily(cells, Map("web" -> "5 DAYS"))
+      .select("rowkey").as[Long].collect().toSet
+    assert(kept == Set(2L), s"ttlExpirePerFamily kept $kept")
+    // batchOutcomes: a NULL family is as unknown as a wrong one
+    val ops = Seq((1L, "web"), (2L, null.asInstanceOf[String]))
+      .toDF("k", "family")
+    val out = Mutations.batchOutcomes(ops, Seq("web"), lit(false))
+      .select("k", "outcome").as[(Long, String)].collect().toMap
+    assert(out(1L) == "OK" && out(2L) == "NoSuchColumnFamilyException", out.toString)
+    // deleteFamilyBefore: a NULL-key cell is NON-matching -> kept
+    val dfb = Mutations.deleteFamilyBefore(
+        cells.withColumn("rowkey",
+          when(col("rowkey") === 2L, lit(null)).otherwise(col("rowkey"))),
+        col("rowkey") === 1L, "web", lit(ts("2024-01-10")))
+      .select("event_id").as[Long].collect().toSet
+    assert(dfb == Set(2L), s"deleteFamilyBefore kept $dfb")
+  }
+
+  test("put without versionCol refuses duplicate put keys loudly") {
+    import spark.implicits._
+    val base = Seq((1L, "old")).toDF("k", "v")
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    val e = intercept[Exception] {
+      Mutations.put(base, dup, "k").collect()
+    }
+    assert(e.getMessage.contains("duplicate put key"), e.getMessage)
+    // with a version order the duplicate resolves latest-wins instead
+    val got = Mutations.put(Seq((1L, "old", 0L)).toDF("k", "v", "ver"),
+        Seq((1L, "a", 1L), (1L, "b", 2L)).toDF("k", "v", "ver"),
+        "k", versionCol = Some("ver"))
+      .select("v").as[String].collect().toSeq
+    assert(got == Seq("b"), got.toString)
+  }
+
   test("bulkDelete NULL-pred cells: both row and cell forms treat NULL as non-matching") {
     import spark.implicits._
     val cells = Seq(
