@@ -186,12 +186,15 @@ object StreamOps {
     import org.apache.hadoop.fs.Path
     if (!fs.exists(base)) (Seq.empty, Seq.empty)
     else {
-      // full-match v=<digits>: a stray sibling (v=3.bak from a manual
-      // copy, with its _SUCCESS inside) is simply NOT a version — the
-      // old prefix match fed "3.bak" to toInt and every read and both
-      // maintainers died on the NumberFormatException forever
+      // full-match v=<1-9 digits>: a stray sibling (v=3.bak from a
+      // manual copy, or a date-stamped v=20260815143000 backup) is
+      // simply NOT a version — the old prefix match fed "3.bak" to
+      // toInt and every read and both maintainers died on the
+      // NumberFormatException forever; the digit cap keeps toInt from
+      // reviving that mode on an over-Int all-digit name (batchIds
+      // reaching 10^9 are not a real stream)
       val dirs = fs.listStatus(base).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d+"))
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v=\\d{1,9}"))
       val (complete, partial) =
         dirs.partition(s => fs.exists(new Path(s.getPath, "_SUCCESS")))
       (complete.map(_.getPath.getName.drop(2).toInt),
@@ -233,9 +236,14 @@ object StreamOps {
     val oldestKept = complete.takeRight(keepLast).headOption
     val partials = oldestKept
       .map(k => partialRaw.filter(_ < k)).getOrElse(Seq.empty)
-    val drop = (dropComplete ++ partials).distinct.sorted
-    drop.foreach(v => fs.delete(new Path(base, s"v=$v"), true))
-    drop
+    // report only what was ACTUALLY deleted: a false return (perm
+    // error, concurrent handle) must not read as reclaimed — the
+    // maintenance cadence retries what stays in the listing. Paths
+    // come from Snapshots.path, the writer's own naming, not a
+    // re-interpolated copy of the v=N convention.
+    (dropComplete ++ partials).distinct.sorted
+      .filter(v => fs.delete(
+        new Path(graft.core.Snapshots.path(path, v)), true))
   }
 
   /** Shared foreachBatch write discipline for the maintainers:
@@ -291,18 +299,23 @@ object StreamOps {
       s"maintained table at $path holds version ${versions.max} from a " +
         s"previous stream but this checkpoint is at batch $batchId — " +
         "resume the original checkpoint or use a fresh table path")
+    // claim ownership at FIRST CONTACT, before any write: claiming
+    // after the write left a crash window (v=0 complete, marker not
+    // yet created) where a later fresh-checkpoint stream's batch 0
+    // read as a replay of the unowned v=0 and was SILENTLY skipped —
+    // the data-loss hole the marker exists to close. Branding first
+    // is safe: the marker is idempotent for the owning query (same id
+    // across restarts from one checkpoint), and a path branded by a
+    // stream that then never completes a write refuses the NEXT
+    // stream LOUDLY (operator cleanup) instead of losing its rows.
+    if (ownerId.isEmpty) curId.foreach { id =>
+      val out = fs.create(marker, true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+    }
     // the write body receives the versions this guard already listed —
     // re-listing inside the body would double the per-batch FS
     // metadata round-trips (listStatus + per-dir _SUCCESS probes)
-    if (!versions.contains(batchId.toInt)) {
-      write(versions)
-      // claim ownership only AFTER a successful first write — a thrown
-      // write must not brand the path
-      if (ownerId.isEmpty) curId.foreach { id =>
-        val out = fs.create(marker, true)
-        try out.write(id.getBytes("UTF-8")) finally out.close()
-      }
-    }
+    if (!versions.contains(batchId.toInt)) write(versions)
   }
 
   /** The read side of every foreachBatch-maintained table
@@ -437,20 +450,30 @@ object StreamOps {
           // longer reaches here, but the strict bound stays — it is
           // what makes the batch a pure rewrite of its own version
           // even if a half-written (no _SUCCESS) v=N is left behind.
-          val out = versions.filter(_ < batchId) match {
-            case Nil => graft.analytics.Tools.scd2Build(batch, keyCols, tsCol, tieCol)
+          versions.filter(_ < batchId) match {
+            case Nil => graft.core.Snapshots.write(
+              graft.analytics.Tools.scd2Build(batch, keyCols, tsCol, tieCol),
+              keyCols.head, path, batchId.toInt)
             case vs =>
+              // the base snapshot feeds BOTH merge legs (anti + semi);
+              // without the pin each leg re-reads the full table from
+              // parquet — the dominant per-batch IO, paid twice
               val existing = graft.core.Snapshots.read(spark, path, vs.max)
-              val touched = batch.select(keyCols.map(col): _*).distinct()
-              val untouched = existing.join(broadcast(touched), keyCols, "left_anti")
-              val affectedRaw = existing
-                .join(broadcast(touched), keyCols, "left_semi")
-                .drop(intervalCols: _*)
-                .unionByName(batch)
-              untouched.unionByName(
-                graft.analytics.Tools.scd2Build(affectedRaw, keyCols, tsCol, tieCol))
+                .persist()
+              try {
+                val touched = batch.select(keyCols.map(col): _*).distinct()
+                val untouched =
+                  existing.join(broadcast(touched), keyCols, "left_anti")
+                val affectedRaw = existing
+                  .join(broadcast(touched), keyCols, "left_semi")
+                  .drop(intervalCols: _*)
+                  .unionByName(batch)
+                graft.core.Snapshots.write(
+                  untouched.unionByName(graft.analytics.Tools
+                    .scd2Build(affectedRaw, keyCols, tsCol, tieCol)),
+                  keyCols.head, path, batchId.toInt)
+              } finally existing.unpersist(false)
           }
-          graft.core.Snapshots.write(out, keyCols.head, path, batchId.toInt)
         }
       }
   }
@@ -494,11 +517,17 @@ object StreamOps {
     * masking as [[graft.analytics.Tools.walReplay]] — latest put
     * strictly newer than the latest delete survives — and each
     * micro-batch emits the touched cells' current versions (the
-    * replica-table write). State is one small struct per LIVE cell,
-    * keyed and shuffle-local: the replica's own size, the floor for
-    * any replication mechanism. Convergence to the batch replay (and
-    * so VerifyReplication-green against the source) is spec-asserted
-    * under multi-batch out-of-order shipment.
+    * replica-table write). State is one small struct per cell EVER
+    * TOUCHED — tombstone-masked cells keep their (delUs, putUs) pair,
+    * because evicting a tombstone would let an arbitrarily-late older
+    * put resurrect the cell (the replica's analogue of keeping delete
+    * markers until major compaction). That is the replica table's own
+    * key cardinality, the floor for order-independent replication;
+    * a deployment with bounded shipment lateness can add watermark +
+    * event-time timeout to reclaim dead cells, trading away exactly
+    * the unbounded-lateness guarantee. Convergence to the batch
+    * replay (and so VerifyReplication-green against the source) is
+    * spec-asserted under multi-batch out-of-order shipment.
     *
     * @param edits streaming (rowkey, qualifier, ts, value, event_id,
     *              op ∈ {put, delete}) — the WAL entry shape. */
@@ -516,7 +545,12 @@ object StreamOps {
       t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
       t
     }
-    edits.selectExpr("rowkey", "qualifier", "ts", "value", "event_id", "op")
+    // a NULL-ts edit is undated and unfoldable: the batch walReplay's
+    // range predicate drops it, and micros(null) here would NPE the
+    // micro-batch and crash-loop the stream on the poisoned batch —
+    // filter matches the batch convention
+    edits.where(col("ts").isNotNull)
+      .selectExpr("rowkey", "qualifier", "ts", "value", "event_id", "op")
       .as[(Long, String, java.sql.Timestamp, Double, Long, String)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
@@ -532,10 +566,17 @@ object StreamOps {
             // op folded in as a put could resurrect a cell the batch
             // replay masks — the convergence contract would silently
             // break on the replica only
+            // the fold mirrors the batch replay's max(struct(ts,
+            // event_id, value)) LEXICOGRAPHICALLY — value included:
+            // on a full (ts, event_id) tie the larger value wins, so
+            // a duplicated eid in the feed converges to the same
+            // survivor whatever the shipment order (first-arrival-
+            // wins would be VerifyReplication-red on one ordering)
             if (op == "delete") {
               if (us > st.delUs) st = st.copy(delUs = us)
             } else if (op == "put" &&
-                (us > st.putUs || (us == st.putUs && eid > st.putEid))) {
+                (us > st.putUs || (us == st.putUs && (eid > st.putEid ||
+                  (eid == st.putEid && v > st.putValue))))) {
               st = st.copy(putUs = us, putEid = eid, putValue = v)
             }
           }
