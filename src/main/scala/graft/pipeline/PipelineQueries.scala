@@ -1818,7 +1818,7 @@ object PipelineQueries {
     // same micro-unit classifier score, bucketed, survival cumsum
     // over the bounded bucket table
     "quality_ablation" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
         |             FROM documents),
         |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
         |             CAST(sum(CASE WHEN t IN ($markerIn)
@@ -1965,11 +1965,11 @@ object PipelineQueries {
          |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
          |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
          |lang AS (SELECT doc_id,
-         |           CASE WHEN round(len(list_filter(string_split(text, ' '), x -> x IN ($markerIn)))
-         |                      * 1.0 / len(string_split(text, ' ')), 4) >= 0.05
+         |           CASE WHEN round(len(list_filter(list_filter(string_split(text, ' '), x -> len(x) > 0), x -> x IN ($markerIn)))
+         |                      * 1.0 / len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 4) >= 0.05
          |                THEN 'en' ELSE 'other' END AS pred_lang
          |         FROM documents),
-         |tokq AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         |tokq AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t FROM documents),
          |freqs AS (SELECT doc_id, t, count(*) AS cnt FROM tokq GROUP BY 1, 2),
          |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct
          |       FROM freqs GROUP BY doc_id),
@@ -2187,14 +2187,14 @@ object PipelineQueries {
           |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
     "text_langid" ->
       s"""SELECT doc_id,
-         |       round(len(list_filter(string_split(text, ' '), x -> x IN ($markerIn)))
-         |             * 1.0 / len(string_split(text, ' ')), 4) AS en_ratio,
-         |       CASE WHEN round(len(list_filter(string_split(text, ' '), x -> x IN ($markerIn)))
-         |                  * 1.0 / len(string_split(text, ' ')), 4) >= 0.05
+         |       round(len(list_filter(list_filter(string_split(text, ' '), x -> len(x) > 0), x -> x IN ($markerIn)))
+         |             * 1.0 / len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 4) AS en_ratio,
+         |       CASE WHEN round(len(list_filter(list_filter(string_split(text, ' '), x -> len(x) > 0), x -> x IN ($markerIn)))
+         |                  * 1.0 / len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 4) >= 0.05
          |            THEN 'en' ELSE 'other' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      (s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      (s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t FROM documents),
          |freqs AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
          |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct, max(cnt) AS max_freq,
          |              CAST(sum(CASE WHEN t IN ($markerIn) THEN cnt ELSE 0 END) AS BIGINT) AS n_stop
@@ -2210,7 +2210,7 @@ object PipelineQueries {
          |       round(least(n_tokens / 100.0, 1.0) * (n_distinct * 1.0 / n_tokens), 4) AS quality
          |FROM st JOIN pd ON st.doc_id = pd.doc_id ORDER BY st.doc_id""".stripMargin),
     "text_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents),
         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
         |                i -> ws[i] || ' ' || ws[i+1])) AS g FROM w),
         |c2 AS (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY 1, 2),
@@ -2300,7 +2300,7 @@ object PipelineQueries {
         |SELECT doc_id, token, tf, df, score_micro, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_unigram_logprob" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok FROM documents),
         |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
         |vm AS (SELECT tok, CAST(floor(log10(cnt) * 1000000) AS BIGINT) AS mlog FROM v),
         |n AS (SELECT count(*) AS nn FROM tok),
@@ -2371,7 +2371,7 @@ object PipelineQueries {
           |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
           |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster
           |       FROM reach GROUP BY id),
-          |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+          |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t FROM documents),
           |freqs AS (SELECT doc_id, t, count(*) AS cnt FROM tok GROUP BY 1, 2),
           |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
           |              count(*) AS n_distinct
@@ -2413,7 +2413,7 @@ object PipelineQueries {
         |       round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "quality_classifier" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t FROM documents),
         |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
         |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
         |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
@@ -2440,17 +2440,18 @@ object PipelineQueries {
         |  FROM documents),
         |scrubbed AS (
         |  SELECT doc_id, text,
+        |    regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g') AS email_done,
         |    regexp_replace(regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |                   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
         |  FROM seeded)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(email_done, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
         |  list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split(clean, ''),
         |                c -> CAST(ascii(c) AS BIGINT)),
         |              (h, c) -> (h * 31 + c) % 1000000007) AS scrubbed_fp,
         |  (len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) +
-        |   len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) > 0 AS had_pii
+        |   len(regexp_extract_all(email_done, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) > 0 AS had_pii
         |FROM scrubbed ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
@@ -2732,7 +2733,7 @@ object PipelineQueries {
         |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_ppm
         |FROM a ORDER BY thresh""".stripMargin,
     "eval_calibration" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t FROM documents),
         |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
         |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
         |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
@@ -2755,7 +2756,7 @@ object PipelineQueries {
     // portable single-SQL form; the spec replays a reference Scala BPE
     // on the same word counts and demands rule-for-rule equality.
     "curriculum_order" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t FROM documents),
         |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
         |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
         |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
@@ -2874,9 +2875,9 @@ object PipelineQueries {
         |FROM j GROUP BY 1 ORDER BY lang""".stripMargin,
     "langid_eval" ->
       """WITH p AS (SELECT doc_id, lang,
-        |       round(len(list_filter(string_split(text, ' '),
+        |       round(len(list_filter(list_filter(string_split(text, ' '), x -> len(x) > 0),
         |                 x -> x IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')))
-        |             * 1.0 / len(string_split(text, ' ')), 4) AS er
+        |             * 1.0 / len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 4) AS er
         |       FROM documents)
         |SELECT lang, CASE WHEN er >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
         |       count(*) AS n_docs
@@ -2904,7 +2905,7 @@ object PipelineQueries {
         |       n_corrupt + n_spans + 1 AS target_len
         |FROM s ORDER BY doc_id""".stripMargin,
     "gopher_rules" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok FROM documents),
         |c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
         |s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
         |             CAST(sum(cnt * len(tok)) AS BIGINT) AS len_sum,
@@ -2928,7 +2929,7 @@ object PipelineQueries {
         |         AND top_tok_micro <= 200000 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
     "text_perplexity" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents),
         |p AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2 FROM w),
         |model AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
         |lefts AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY 1),
@@ -2937,14 +2938,18 @@ object PipelineQueries {
         |sc AS (SELECT m.w1, m.w2,
         |              CAST(floor(log10(c1 + vv) * 1000000) AS BIGINT)
         |                - CAST(floor(log10(c12 + 1) * 1000000) AS BIGINT) AS mneg
-        |       FROM model m JOIN lefts USING (w1), v)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |       CAST(sum(mneg) AS BIGINT) AS sum_mneg,
-        |       round(sum(mneg) / 1000000.0 / count(*), 4) AS avg_neg_log10p
-        |FROM p JOIN sc USING (w1, w2)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |       FROM model m JOIN lefts USING (w1), v),
+        |r AS (SELECT doc_id, count(*) AS n_bigrams,
+        |             CAST(sum(mneg) AS BIGINT) AS sum_mneg,
+        |             round(sum(mneg) / 1000000.0 / count(*), 4) AS avg_neg_log10p
+        |      FROM p JOIN sc USING (w1, w2)
+        |      GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+        |       coalesce(sum_mneg, 0) AS sum_mneg, avg_neg_log10p
+        |FROM documents d LEFT JOIN r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "preference_pairs" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok FROM documents),
         |f AS (SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd,
         |             sum(CASE WHEN tok IN ('the','a','of','and','in','to','is')
         |                      THEN 1 ELSE 0 END) AS ns

@@ -28,6 +28,26 @@ object TextOps {
     * float log evaluates on identical values in every engine. */
   private def mlog(c: Column): Column = floor(log10(c) * 1e6).cast("bigint")
 
+  /** Driver-side mirror of [[mlog]] for trainer loops that fold costs
+    * in Scala (a Column can't run there). MUST stay formula-identical
+    * to the Column form — PropertySpec crosschecks the two over a
+    * count range; smoothing (+1) belongs to the CALLER, exactly as
+    * with the Column version. */
+  private[graft] def mlogLong(c: Long): Long =
+    math.floor(math.log10(c.toDouble) * 1e6).toLong
+
+  /** Whitespace WORDS — empties removed: split(text, ' ') emits empty
+    * strings for doubled/leading/trailing spaces, and a phantom token
+    * deflates alpha/stopword/distinct ratios enough to flip a gate
+    * verdict on otherwise-clean text (corpus-blind: the registered
+    * corpora are single-spaced, so only hand-payload specs see it).
+    * THE tokenizer every VERDICT-class operator shares; its oracle
+    * mirror is `list_filter(string_split(text, ' '), x -> len(x) > 0)`.
+    * Pure-count operators (ws_tokens) keep raw split-field semantics
+    * by documented contract. */
+  private def words: Column =
+    filter(split(col("text"), " "), t => length(t) > 0)
+
   /** n-gram-heuristic language ID: fraction of whitespace tokens that
     * are English marker words; >= 5% → 'en'. A profile-based classifier
     * would swap in here — the pipeline shape (pure projection) is the
@@ -37,7 +57,7 @@ object TextOps {
         col("doc_id"),
         round(
           size(expr(s"filter(split(text, ' '), x -> x IN ($markerList))")).cast("double") /
-            size(split(col("text"), " ")), 4).as("en_ratio"))
+            size(words), 4).as("en_ratio"))
       .withColumn("pred_lang", when(col("en_ratio") >= 0.05, "en").otherwise("other"))
 
   /** Quality scoring: token counts, lexical diversity, repetition.
@@ -45,7 +65,7 @@ object TextOps {
     * (doc_id, token) with map-side partial counts; everything else is
     * projection. */
   def quality(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = docs.select(col("doc_id"), explode(words).as("tok"))
     val freqs = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
     val stats = freqs.groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_tokens"),
@@ -95,7 +115,7 @@ object TextOps {
     * (which must sweep THE classifier's score, not a drifting
     * reimplementation). */
   private[graft] def qualityFeatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    docs.select(col("doc_id"), explode(words).as("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("_nd"),
         sum(when(col("tok").isInCollection(EnMarkers), 1L).otherwise(0L)).as("_ns"))
@@ -221,11 +241,16 @@ object TextOps {
   def piiScrub(docs: DataFrame): DataFrame = {
     val email = "[a-z0-9._]+@[a-z0-9.]+"
     val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
-    val scrubbed =
-      s"regexp_replace(regexp_replace(text, '$email', '<EMAIL>'), '$phone', '<PHONE>')"
+    val emailDone = s"regexp_replace(text, '$email', '<EMAIL>')"
+    val scrubbed = s"regexp_replace($emailDone, '$phone', '<PHONE>')"
+    // n_phones counts on the POST-email text — the redaction order the
+    // scrub actually runs: a phone overlapping an email match is partly
+    // consumed by <EMAIL> and never becomes <PHONE>, and an audit that
+    // counted it on the original would report a redaction that did not
+    // happen (proof-of-redaction must match the fingerprinted output)
     docs.select(col("doc_id"),
       size(expr(s"regexp_extract_all(text, '$email', 0)")).cast("bigint").as("n_emails"),
-      size(expr(s"regexp_extract_all(text, '$phone', 0)")).cast("bigint").as("n_phones"),
+      size(expr(s"regexp_extract_all($emailDone, '$phone', 0)")).cast("bigint").as("n_phones"),
       rabinFold(scrubbed).as("scrubbed_fp"))
       .withColumn("had_pii", col("n_emails") + col("n_phones") > 0)
   }
@@ -241,7 +266,7 @@ object TextOps {
     * so Spark and the SQL oracle agree at the threshold boundary. */
   def repetition(docs: DataFrame, topFracMax: Double = 0.05,
                  dupFracMax: Double = 0.05): DataFrame = {
-    val ws = docs.withColumn("w", split(col("text"), " "))
+    val ws = docs.withColumn("w", words)
     // each gram level gates on ITS OWN minimum length: a 2-word doc
     // has one 2-gram the report promises ('foo foo' is maximal 2-gram
     // repetition — a >= 3 gate would silently pass it by omission) and
@@ -289,7 +314,7 @@ object TextOps {
     * long arithmetic — immune to float summation order, which a
     * distributed avg(log) is not. */
   def unigramLogProb(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = docs.select(col("doc_id"), explode(words).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .select(col("tok"), mlog(col("cnt")).as("mlog"))
     val total = toks.agg(count(lit(1)).as("_N"))
@@ -368,13 +393,16 @@ object TextOps {
     val ws = docs.withColumn("wd", split(col("text"), " "))
       .where(size(col("wd")) >= k + w - 1)
     val mk = (0 until k).map(j => s"wd[i+$j]").mkString(", ")
-    val grams = ws.select(col("doc_id"), posexplode(expr(
+    // the per-doc gram count is size(wd) - k + 1 BY CONSTRUCTION — a
+    // cheap projection carried through the posexplode, not a second
+    // full-partition count window over every gram row
+    val grams = ws.select(col("doc_id"), (size(col("wd")) - (k - 1)).as("_g"),
+        posexplode(expr(
         s"transform(sequence(0, size(wd) - $k), i -> md5(concat_ws(' ', $mk)))")))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
-    val byDoc = Window.partitionBy("doc_id")
-    val win = byDoc.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+      .select(col("doc_id"), col("_g"), col("pos"), col("col").as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
     grams
-      .withColumn("_g", count(lit(1)).over(byDoc))
       .withColumn("_sel", min(col("h")).over(win))
       .where(col("pos") <= col("_g") - w)
       .select(col("doc_id"), col("_sel")).distinct()
@@ -495,8 +523,21 @@ object TextOps {
             col("tf").cast("string"), lit(", L="), col("_L").cast("string"),
             lit(") — shard the corpus or rescale the micro units"))))
           .as("_num"),
-        (lit(10) * col("_L") * col("tf") + lit(3) * col("_L")
-          + lit(9) * col("dl") * col("_N")).as("_den"))
+        // the DENOMINATOR overflows the same way (9·dl·N crosses 2^63
+        // at ~1e10 docs with 1e8-token outliers): bound each term at
+        // Long.Max/3 so the 3-term sum is wrap-free, refuse loudly
+        when(col("tf") <=
+            expr("((9223372036854775807 div 3) div 10) div greatest(_L, 1)") &&
+            col("dl") <=
+            expr("((9223372036854775807 div 3) div 9) div greatest(_N, 1)"),
+          lit(10) * col("_L") * col("tf") + lit(3) * col("_L")
+            + lit(9) * col("dl") * col("_N"))
+          .otherwise(raise_error(concat(
+            lit("bm25: the 10·L·tf + 3·L + 9·dl·N denominator overflows "),
+            lit("int64 (dl="), col("dl").cast("string"),
+            lit(", N="), col("_N").cast("string"),
+            lit(") — shard the corpus or rescale the micro units"))))
+          .as("_den"))
       .select(col("doc_id"), expr("_num div _den").as("contrib_micro"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"), sum("contrib_micro").as("score_micro"))
@@ -609,6 +650,12 @@ object TextOps {
     for (r <- rules) {
       val (l, rr, ns) = (r.getAs[String]("left"), r.getAs[String]("right"),
         r.getAs[String]("new_sym"))
+      // rules are SPLICED into the merge-fold SQL: self-trained rules
+      // are [a-z0-9]+ by construction, a caller-supplied `trained`
+      // table must prove it (uniMapLit's discipline)
+      Seq(l, rr, ns).foreach(v => require(v != null && v.matches("[a-z0-9]+"),
+        s"BPE rule symbol '$v' must match [a-z0-9]+ (rules are spliced " +
+          "into generated SQL)"))
       t = t.select(col("w"), expr(bpeMergeFoldSql(l, rr, ns)).as("syms"))
     }
     val wordTok = t.select(col("w"), size(col("syms")).cast("long").as("_n_syms"))
@@ -667,8 +714,17 @@ object TextOps {
     *         unigram cost. */
   private val UniBig = 99999999999L // > any reachable Viterbi path cost
 
-  private def uniMapLit(model: Seq[(String, Long)]): String =
+  private def uniMapLit(model: Seq[(String, Long)]): String = {
+    // the pieces are SPLICED into generated SQL: the self-trained
+    // inventory is [a-z0-9]+ by construction, but a caller-supplied
+    // `trained` model must prove it too — an unvalidated quote would
+    // inject into (or break) the map literal
+    model.foreach { case (p, _) =>
+      require(p != null && p.matches("[a-z0-9]+"),
+        s"unigram piece '$p' must match [a-z0-9]+ (pieces are spliced " +
+          "into generated SQL; retrain on the [a-z0-9]+ token filter)") }
     model.map { case (p, c) => s"'$p', ${c}L" }.mkString("map(", ", ", ")")
+  }
 
   /** Viterbi forward DP over a word column `w`: best-cost array per
     * prefix, one codegen `aggregate`. `m` is the map-literal model. */
@@ -732,13 +788,10 @@ object TextOps {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       (sg, ml)
     } finally CheckpointBridge.free(subs)
-    // integer micro-log cost: −log₁₀ p in the add-one-smoothed model,
-    // floor-to-micro so every engine/implementation agrees exactly
-    def mlog(x: Long): Long =
-      math.floor(math.log10((x + 1).toDouble) * 1e6).toLong
+    // integer micro-log cost: −log₁₀ p in the add-one-smoothed model
     def costs(inv: Seq[(String, Long)]): Seq[(String, Long)] = {
       val total = inv.map(_._2).sum
-      inv.map { case (p, n) => (p, mlog(total) - mlog(n)) }
+      inv.map { case (p, n) => (p, mlogLong(total + 1) - mlogLong(n + 1)) }
     }
     var model = costs(singles ++ multis)
     var lastCounts = (singles ++ multis).toMap
@@ -800,12 +853,17 @@ object TextOps {
         unigramModel(docs, maxPieceLen, seedMultis, finalMultis, emRounds)._1
     }
     val m = uniMapLit(model)
+    // probe as deep as the model's LONGEST piece: with a caller-trained
+    // model and the default maxPieceLen, longer pieces would be
+    // silently unreachable and segmentation would diverge from
+    // training with no error
+    val probeLen = (maxPieceLen +: model.map(_._1.length)).max
     val wordTok = docs.select(explode(split(col("text"), " ")).as("w"))
       .where(col("w").rlike("^[a-z0-9]+$"))
       .distinct()
-      .withColumn("_best", expr(uniBestSql(m, maxPieceLen)))
+      .withColumn("_best", expr(uniBestSql(m, probeLen)))
       .select(col("w"),
-        size(expr(uniBackSql(m, maxPieceLen))).cast("long").as("_n_syms"))
+        size(expr(uniBackSql(m, probeLen))).cast("long").as("_n_syms"))
     fertility(docs, wordTok)
   }
 
@@ -867,7 +925,7 @@ object TextOps {
                   minAlphaMicro: Long = 800000L,
                   maxTopTokMicro: Long = 200000L): DataFrame = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val toks = docs.select(col("doc_id"), explode(words).as("tok"))
     toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_words"),
@@ -913,7 +971,7 @@ object TextOps {
     * V is a 1-row broadcast. */
   def bigramLogProb(docs: DataFrame): DataFrame = {
     val pairs = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), words.as("ws"))
       .select(col("doc_id"),
         expr("slice(ws, 1, size(ws) - 1)").as("a"),
         expr("slice(ws, 2, size(ws) - 1)").as("b"))
@@ -930,15 +988,23 @@ object TextOps {
     val model = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val lefts = model.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = docs
-      .select(explode(split(col("text"), " ")).as("tok"))
+      .select(explode(words).as("tok"))
       .agg(countDistinct("tok").as("_V"))
     val scored = model.join(lefts, "w1").crossJoin(broadcast(vocab))
       .select(col("w1"), col("w2"),
         (mlog(col("c1") + col("_V")) - mlog(col("c12") + 1L)).as("mneg"))
-    pairs.join(scored, Seq("w1", "w2"))
+    val report = pairs.join(scored, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("mneg").as("sum_mneg"))
-      .select(col("doc_id"), col("n_bigrams"), col("sum_mneg"),
+    // a QUALITY SCORE must cover EVERY doc (the repetition/gopherRules
+    // discipline): a sub-2-word doc has no bigrams — zero perplexity
+    // evidence — so it reports zeroed counts and a NULL mean (0 of 0
+    // bigrams has no honest ratio) rather than silently vanishing
+    // from both the keep and drop sets of a downstream filter
+    docs.select("doc_id").join(report, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_mneg"), lit(0L)).as("sum_mneg"),
         round(col("sum_mneg") / 1e6 / col("n_bigrams"), 4).as("avg_neg_log10p"))
   }
 }

@@ -15,6 +15,66 @@ class PipelineSpec extends SparkSpec {
   private def physicalPlan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString()
 
+  test("verdict operators ignore phantom empty tokens from irregular whitespace") {
+    import spark.implicits._
+    import graft.text.TextOps
+    // "the  cat" (doubled space) splits to ["the", "", "cat"]: the
+    // phantom "" must not count as a word anywhere a RATIO or VERDICT
+    // is computed (r11 corpus-blind fix — the registered corpora are
+    // single-spaced, so only this payload sees it)
+    val d = Seq((1L, "the  dog and  the cat is  here of it"),
+        (2L, " the dog ")).toDF("doc_id", "text")
+    val q = TextOps.quality(d).where(col("doc_id") === 1).collect().head
+    assert(q.getAs[Long]("n_tokens") == 9L, q.toString) // not 11
+    val lid = TextOps.langId(d).where(col("doc_id") === 2).collect().head
+    // 2 real words, 1 marker -> 0.5, not 1/4
+    assert(lid.getAs[Double]("en_ratio") == 0.5, lid.toString)
+    val g = graft.text.TextOps.gopherRules(d, minWords = 1L, minStopHits = 1L)
+      .where(col("doc_id") === 2).collect().head
+    assert(g.getAs[Long]("n_words") == 2L, g.toString)
+    // mean word length over REAL words: (3 + 3) / 2
+    assert(g.getAs[Long]("mean_len_micro") == 3000000L, g.toString)
+    // bigramLogProb: every doc gets a row — a one-word doc reports
+    // zero bigrams and a NULL mean instead of vanishing
+    val one = Seq((1L, "word"), (2L, "two words here")).toDF("doc_id", "text")
+    val bl = TextOps.bigramLogProb(one).orderBy("doc_id").collect()
+    assert(bl.length == 2, bl.mkString(","))
+    assert(bl.head.getAs[Long]("n_bigrams") == 0L &&
+      bl.head.isNullAt(bl.head.fieldIndex("avg_neg_log10p")), bl.head.toString)
+    assert(bl(1).getAs[Long]("n_bigrams") == 2L, bl(1).toString)
+  }
+
+  test("mlogLong mirrors the Column micro-log formula exactly") {
+    import spark.implicits._
+    // the driver-side trainer mirror MUST stay formula-identical to
+    // floor(log10(c) * 1e6) (TextOps.mlog's documented ONE copy)
+    val counts = (Seq(1L, 2L, 3L, 9L, 10L, 11L, 99L, 100L, 999983L) ++
+      (1 to 50).map(i => i * 37L + 1)).distinct
+    val viaSql = counts.toDF("c")
+      .select(col("c"), expr("cast(floor(log10(c) * 1e6) as bigint)").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { c =>
+      assert(graft.text.TextOps.mlogLong(c) == viaSql(c),
+        s"mlogLong($c) = ${graft.text.TextOps.mlogLong(c)} != SQL ${viaSql(c)}")
+    }
+  }
+
+  test("piiScrub counts only phones it actually redacts (post-email text)") {
+    import spark.implicits._
+    // the phone digits are consumed by the email match: the audit must
+    // NOT report a phone redaction that never happened
+    val d = Seq(
+      (1L, "call 555-123-4567 or mail a@b.com"),
+      (2L, "overlap 555-123-4567x@y.com end")).toDF("doc_id", "text")
+    val got = graft.text.TextOps.piiScrub(d).orderBy("doc_id")
+      .select("doc_id", "n_emails", "n_phones")
+      .as[(Long, Long, Long)].collect()
+    assert(got(0) == ((1L, 1L, 1L)), got(0).toString)
+    // the email regex eats "4567x@y.com"; what remains ("555-123-")
+    // is no longer a phone — count 0, matching the scrubbed output
+    assert(got(1) == ((2L, 1L, 0L)), got(1).toString)
+  }
+
   test("sharedMemoConsumers names registered queries only") {
     // the Bench memo_setup gate reads this set; a renamed/removed
     // query silently un-gating the prewarm must fail here
