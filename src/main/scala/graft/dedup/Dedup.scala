@@ -40,12 +40,17 @@ object Dedup {
     * engine-independent oracle can recompute. */
   def lineDedup(docs: DataFrame, spanWords: Int = 6, maxDf: Int = 1): DataFrame = {
     require(spanWords >= 1 && maxDf >= 1, "need positive span width and df cap")
+    // pinned: the span table feeds the df aggregate, the kept join AND
+    // the per-doc span count — unpinned, Catalyst re-tokenizes the
+    // corpus once per consumer (the ngramJaccard convention; the pin
+    // rides the returned plan and frees when it is GC'd)
     val spans = docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, CAST(greatest(1, ceil(size(ts) / ${spanWords}.0)) AS INT)), " +
           s"i -> array_join(slice(ts, (i - 1) * $spanWords + 1, $spanWords), ' '))")))
       .select(col("doc_id"), col("pos"), col("col").as("line"))
+      .localCheckpoint()
     val df = spans.select(col("doc_id"), col("line")).distinct()
       .groupBy("line").agg(count(lit(1)).as("_df"))
     val kept = spans.join(df, "line").where(col("_df") <= maxDf)
@@ -53,11 +58,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_kept"),
         md5(expr("array_join(transform(array_sort(collect_list(struct(pos, line))), " +
           "x -> x.line), ' ')").cast("binary")).as("clean_digest"))
-    docs.select(col("doc_id"),
-        greatest(lit(1L), ceil(size(split(col("text"), " ")) / spanWords.toDouble)
-          .cast("bigint")).as("n_lines"))
+    // n_lines = the spans actually generated per doc (max pos + 1) —
+    // not a third corpus re-split hand-duplicating the span-count
+    // arithmetic; a NULL-text doc generates no spans and backfills 1
+    // (split(NULL) has no rows, matching the former greatest(1, ...))
+    val nLines = spans.groupBy("doc_id")
+      .agg((max(col("pos")) + 1L).as("n_lines"))
+    docs.select("doc_id")
+      .join(nLines, Seq("doc_id"), "left")
       .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(1L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_digest"), md5(lit("").cast("binary"))).as("clean_digest"))
   }
@@ -77,12 +88,18 @@ object Dedup {
     * nothing shuffles. */
   def canonicalizeUrl(url: Column): Column = {
     val steps: Seq[Column => Column] = Seq(
-      regexp_replace(_, "#.*$", ""),               // fragment
+      // (?s): an embedded newline (dirty crawl artifact) must not
+      // leave the fragment tail unstripped — `.` stops at \n otherwise
+      regexp_replace(_, "(?s)#.*$", ""),           // fragment
       regexp_replace(_, "(?i)^https?://", ""),     // scheme, any case
       // lowercase the authority (everything before the first / or ?);
       // the path/query tail passes through byte-identical
+      // (?s) on the tail: with an embedded newline, `(.*)$` stops at
+      // the \n, regexp_extract returns '' on the no-match, and the
+      // whole path/query tail silently VANISHES — every malformed URL
+      // on a host then collapses to one canonical key
       c => concat(lower(regexp_extract(c, "^[^/?]*", 0)),
-        regexp_extract(c, "^[^/?]*(.*)$", 1)),
+        regexp_extract(c, "(?s)^[^/?]*(.*)$", 1)),
       regexp_replace(_, "^www\\.", ""),            // www prefix
       // default port — [/?] | end: ':80?a=1' is a port too, and the
       // fragment is already gone so '#' can't follow
@@ -95,8 +112,11 @@ object Dedup {
       // tracker as utm_source) while VALUES stay case-significant
       regexp_replace(_, "([?&])(?i:utm_[a-z0-9_]+)=[^&#]*", "$1"),
       regexp_replace(_, "([?&])&+", "$1"),         // collapse left-over &&
-      // path trailing slash(es) immediately before the query
-      regexp_replace(_, "/+\\?", "?"),
+      // path trailing slash(es) immediately before the query —
+      // anchored to the FIRST '?' (lazy [^?]*? cannot cross one): the
+      // unanchored form fired on '/?' inside query VALUES (a nested
+      // URL in a redirect param), conflating distinct URLs
+      regexp_replace(_, "^([^?]*?)/+\\?", "$1?"),
       regexp_replace(_, "[?&]+$", ""),             // dangling separators
       // trailing slash(es) — PATH only: the anchored ?-free pattern
       // refuses to fire on a URL with a query string, where the
@@ -195,11 +215,18 @@ object Dedup {
         s"transform(sequence(0, size(w) - $n), i -> md5(concat_ws(' ', $mk)))")).as("h"))
       .distinct()
     val df = grams.groupBy("h").agg(count(lit(1)).as("_df"))
-    grams.join(df, "h")
+    val report = grams.join(df, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("_df") >= 2, 1L).otherwise(0L)).as("n_shared"))
-      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+    // a report row per input doc (the cdcChunks discipline): a doc
+    // under n words has zero n-grams — zero memorization evidence —
+    // and must report zeroed counts with a NULL frac, not silently
+    // vanish and shift a corpus-wide avg(shared_frac) denominator
+    docs.select("doc_id").join(report, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         round(col("n_shared").cast("double") / col("n_grams"), 4).as("shared_frac"))
   }
 
@@ -745,8 +772,19 @@ object Dedup {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("node")).distinct()
     val n = nodes.agg(count(lit(1)).as("_n"))
+    // the micro-unit resolution BOUNDS the graph: past 150000 nodes
+    // the teleport term 150000 div N floors to 0 (no mass
+    // re-injection) and past 10^6 every rank is exactly 0 — an
+    // all-zero ranking would pick keepers arbitrarily, silently.
+    // Near-dup neighborhoods are far smaller; refuse loudly otherwise
+    // (rescale to nano units or shard the graph).
     var p = nodes.crossJoin(broadcast(n))
-      .select(col("node"), expr("1000000 div _n").as("p_micro"))
+      .select(col("node"), expr(
+        "CASE WHEN _n <= 150000 THEN 1000000 div _n " +
+          "ELSE raise_error(concat('pagerank: ', cast(_n as string), " +
+          "' nodes exceeds the integer micro-unit resolution " +
+          "(teleport floors to 0 past 150000) — rescale to nano units " +
+          "or shard the neighborhood')) END").as("p_micro"))
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(p.select(col("node").as("src"), col("p_micro")), "src")

@@ -1697,12 +1697,12 @@ object PipelineQueries {
         |    END AS url
         |  FROM documents),
         |nofrag AS (SELECT doc_id,
-        |  regexp_replace(regexp_replace(url, '#.*$', ''),
+        |  regexp_replace(regexp_replace(url, '(?s)#.*$', ''),
         |                 '(?i)^https?://', '') AS u
         |  FROM caps),
         |cased AS (SELECT doc_id,
         |  lower(regexp_extract(u, '^[^/?]*')) ||
-        |    regexp_extract(u, '^[^/?]*(.*)$', 1) AS u
+        |    regexp_extract(u, '(?s)^[^/?]*(.*)$', 1) AS u
         |  FROM nofrag),
         |canon AS (SELECT doc_id,
         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -1712,7 +1712,7 @@ object PipelineQueries {
         |    '^([^/:]+):(80|443)([/?]|$)', '\1\3'),
         |    '([?&])(?i:utm_[a-z0-9_]+)=[^&#]*', '\1', 'g'),
         |    '([?&])&+', '\1', 'g'),
-        |    '/+\?', '?'),
+        |    '^([^?]*?)/+\?', '\1?'),
         |    '[?&]+$', ''),
         |    '^([^?]*?)/+$', '\1') AS canonical_url
         |  FROM cased)
@@ -2076,12 +2076,15 @@ object PipelineQueries {
         |          i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' ||
         |                   ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' || ws[i+7]))) AS h
         |        FROM w)),
-        |df AS (SELECT h, count(*) AS df FROM g GROUP BY 1)
-        |SELECT doc_id, count(*) AS n_grams,
-        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-        |       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
-        |         AS shared_frac
-        |FROM g JOIN df USING (h) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+        |df AS (SELECT h, count(*) AS df FROM g GROUP BY 1),
+        |r AS (SELECT doc_id, count(*) AS n_grams,
+        |             CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |             round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+        |               AS shared_frac
+        |      FROM g JOIN df USING (h) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |       coalesce(n_shared, 0) AS n_shared, shared_frac
+        |FROM documents d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "sample_mixture" ->
       """WITH w AS (SELECT * FROM (VALUES ('src0', 40), ('src1', 30), ('src2', 20), ('src3', 10))
         |      t(source, w)),

@@ -914,6 +914,16 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
     // docs 1 and 2 share exactly the one copied 8-gram; doc 3 none
     assert(r(1L) == 1 && r(2L) == 1 && r(3L) == 0, s"got $r")
+    // a sub-n-word doc still gets its report row (zeroed counts, NULL
+    // frac) — the cdcChunks discipline; it used to vanish and shift a
+    // corpus-wide avg(shared_frac) denominator
+    val short = d.unionByName(Seq((4L, "too short")).toDF("doc_id", "text"))
+    val row4 = Dedup.crossDocSubstrings(short)
+      .where(col("doc_id") === 4L).collect()
+    assert(row4.length == 1, "short doc vanished from the report")
+    assert(row4.head.getAs[Long]("n_grams") == 0L &&
+      row4.head.isNullAt(row4.head.fieldIndex("shared_frac")),
+      row4.head.toString)
   }
 
   test("sampleMixture: realized shares track targets, unlisted sources drop") {
@@ -956,6 +966,17 @@ class PipelineSpec extends SparkSpec {
         in(v).map(u => p(u) * 850000L / (1000000L * deg(u))).sum)).toMap
     }
     assert(got == p, s"recurrence drifted: got $got want $p")
+    // past the micro-unit resolution the ranking would silently floor
+    // to all-zeros — the guard must refuse loudly instead
+    val big = spark.range(0, 150001L)
+      .select(col("id").as("i"), (col("id") + 150001L).as("j"))
+    // read p_micro (count() would prune the guarded column away —
+    // guard-on-read is the correct semantics: an unread value that
+    // would have been corrupt harms nobody)
+    val e = intercept[Exception] {
+      Dedup.pagerank(big, iters = 1).agg(sum("p_micro")).collect()
+    }
+    assert(e.getMessage.contains("micro-unit resolution"), e.getMessage)
   }
 
   test("importanceScore: target-vocabulary docs score positive, off-target negative") {

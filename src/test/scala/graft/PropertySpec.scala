@@ -536,6 +536,20 @@ class PropertySpec extends SparkSpec {
       assert(a == b, s"not idempotent: '$a' -> '$b'")
       assert(!b.matches("^https?://.*") && !b.startsWith("www."), s"residue in '$b'")
     }
+    // hand corners (r11): '/?' INSIDE a query value is URL structure
+    // only before the FIRST '?' — a nested-URL redirect param must
+    // pass byte-identical; embedded newlines must not swallow the
+    // path/query tail (regexp_extract '' on no-match) or leave a
+    // half-stripped fragment
+    def canon(u: String): String = Seq(u).toDF("url")
+      .select(graft.dedup.Dedup.canonicalizeUrl(col("url")))
+      .as[String].collect().head
+    assert(canon("site.com/login?next=/dash/?tab=1") ==
+      "site.com/login?next=/dash/?tab=1")
+    assert(canon("site.com/login/?next=/dash/") ==
+      "site.com/login?next=/dash/")
+    assert(canon("example.com/a\nb") == "example.com/a\nb")
+    assert(canon("example.com/a#x\ny") == "example.com/a")
   }
 
   test("lineDedup with an infinite df cap reconstructs every doc verbatim") {
