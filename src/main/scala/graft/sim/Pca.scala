@@ -103,6 +103,13 @@ object Pca {
     }
     val ev = jacobiEigenvalues(cov)
     val trace = ev.sum
+    // a zero trace means ZERO variance in every dimension (constant or
+    // all-identical embeddings — the collapsed-encoder case this audit
+    // exists to catch): lam/trace would be NaN and floor(NaN).toLong
+    // reports k rows of silent zeros instead of the loud failure
+    require(trace > 0.0,
+      "pca spectrum: covariance trace is zero — every embedding is " +
+        "identical/constant (collapsed encoder); nothing to decompose")
     import spark.implicits._
     val rows = ev.take(k).zipWithIndex.scanLeft((0L, 0L, 0L, 0.0)) {
       case ((_, _, cum, _), (lam, i)) =>

@@ -78,7 +78,12 @@ object Pq {
     // pays per-task scheduling across every Lloyd round — 8 partitions
     // hold ~16k vectors comfortably and stay scale-safe by construction
     val rows = subRows(train, m, dsub).repartition(8).localCheckpoint(true)
-    var assigned = rows.withColumn("code", (col("vec_id") % ksub).cast("int"))
+    // pmod, not %: a NEGATIVE vec_id would seed a negative code that
+    // propagates through every Lloyd round into the books, where the
+    // dense ADC table's (0 until m*ksub) key range silently drops it —
+    // those vectors then score NULL with no error
+    var assigned = rows.withColumn("code",
+      pmod(col("vec_id"), lit(ksub.toLong)).cast("int"))
     var books: DataFrame = null
     // books schema: one row, one `books` column of (sub, code, c_emb)
     // structs — the shape assignCodes / the ADC tables filter on

@@ -42,6 +42,15 @@ object Quantize {
       .groupBy("dim")
       .agg(count(lit(1)).as("n"), sum(col("_mv")).as("_sum_micro"),
         min(col("v")).as("_min"), max(col("v")).as("_max"))
+      // the micro-unit sum wraps past 2^63 (~9.2e9 vectors at the 1e3
+      // value bound) — raise loudly like cellMeans (the bm25
+      // discipline), never report a silently wrong mean from the
+      // AUDIT that exists to catch range blow-ups
+      .withColumn("_sum_micro",
+        when(abs(col("_sum_micro")) > lit(1L << 62),
+          raise_error(lit("dimStats: micro-unit sum near int64 range — " +
+            "shard the aggregation")))
+          .otherwise(col("_sum_micro")))
       .select(col("dim"), col("n"),
         round(col("_sum_micro") / col("n") / 1000000d, 4).as("mean_v"),
         round(col("_min"), 4).as("min_v"),

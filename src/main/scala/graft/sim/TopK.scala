@@ -50,13 +50,22 @@ case class TopKStruct(
     new java.util.PriorityQueue[UnsafeRow](k,
       (a: UnsafeRow, b: UnsafeRow) => ordering.compare(a, b))
 
-  private def insert(buf: java.util.PriorityQueue[UnsafeRow], row: InternalRow): Unit =
+  private def insert(buf: java.util.PriorityQueue[UnsafeRow], row: InternalRow): Unit = {
+    // merge-path rows are ALREADY UnsafeRows of the buffer schema —
+    // re-running UnsafeProjection would re-encode field by field and
+    // then copy again; a plain copy suffices (update-path rows from
+    // child.eval may be generic and still project)
+    def enc(r: InternalRow): UnsafeRow = r match {
+      case u: UnsafeRow => u.copy()
+      case _ => project(r).copy()
+    }
     if (buf.size < k) {
-      buf.add(project(row).copy())
+      buf.add(enc(row))
     } else if (ordering.compare(row, buf.peek) > 0) {
       buf.poll()
-      buf.add(project(row).copy())
+      buf.add(enc(row))
     }
+  }
 
   override def update(buf: java.util.PriorityQueue[UnsafeRow],
                       input: InternalRow): java.util.PriorityQueue[UnsafeRow] = {
