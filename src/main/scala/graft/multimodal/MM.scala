@@ -115,6 +115,9 @@ object MM {
     * `stubDecode` for a real `libjpeg`/`ffmpeg` call changes NOTHING
     * about the plumbing, which is the part that matters at 100 TB. */
   def featureExtract(payloads: DataFrame, dim: Int = 8): DataFrame = {
+    // fail fast on the driver: dim = 0 would ArithmeticException (i %
+    // dim) inside executors mid-scan (frameSample's stride discipline)
+    require(dim >= 1, s"feature dim ($dim) must be positive")
     val spark = payloads.sparkSession
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
@@ -171,6 +174,13 @@ object MM {
   private def isWav(h: String = "_h"): Column =
     hx(lit(1), 4, h) === "52494646" && hx(lit(9), 4, h) === "57415645"
 
+  /** SOF0 frame dims — width at sof+7, height at sof+5 (the 2-byte
+    * big-endian pair after precision). ONE copy: six hand copies of
+    * the +7/+5 pair existed, and a swap in just one would be invisible
+    * on square images and silently transpose dims on everything else. */
+  private def sofW(sof: Column, h: String = "_h"): Column = bei(sof + 7, 2, h)
+  private def sofH(sof: Column, h: String = "_h"): Column = bei(sof + 5, 2, h)
+
   /** JPEG: walk the length-prefixed segment chain from offset 3 until
     * the SOF0 marker (FFC0). Bounded to 4 hops — enough for
     * SOI/APP0/[APP1]/COM/SOF0 layouts (the corpus synthesizes 3
@@ -206,8 +216,8 @@ object MM {
     val sof = sofWalk()
     val format = when(isPng(), "png").when(isJpeg(), "jpeg")
       .when(isWav(), "wav").otherwise("unknown")
-    val width = when(isPng(), bei(lit(17), 4)).when(isJpeg(), bei(sof + 7, 2))
-    val height = when(isPng(), bei(lit(21), 4)).when(isJpeg(), bei(sof + 5, 2))
+    val width = when(isPng(), bei(lit(17), 4)).when(isJpeg(), sofW(sof))
+    val height = when(isPng(), bei(lit(21), 4)).when(isJpeg(), sofH(sof))
     val sampleRate = when(isWav(), lei(lit(25), 4))
     hexed.select(
       col("doc_id"),
@@ -227,14 +237,22 @@ object MM {
   /** Resize-to-fit as REAL header surgery: compute the fitted dims with
     * integer math, then splice the new big-endian width/height into the
     * payload's own header bytes — PNG IHDR at byte 17/21, JPEG SOF0 at
-    * the walked segment offset — producing a VALID payload of the new
-    * dimensions (pixel resampling is the downstream codec stage; the
-    * metadata/header transform is what a 100 TB triage pipeline runs).
+    * the walked segment offset — producing a header-consistent payload
+    * of the new dimensions (pixel resampling is the downstream codec
+    * stage; the metadata/header transform is what a 100 TB triage
+    * pipeline runs). KNOWN STUB LIMIT: the PNG IHDR CRC32 (bytes
+    * 30-33 of a real PNG) is NOT recomputed — the synthesized corpus
+    * carries no CRCs, and a real-PNG pipeline recomputes chunk CRCs in
+    * its writer stage (DuckDB has no crc32, so a patched CRC could not
+    * be oracle-verified here anyway).
     * The splice happens on the hex image (string surgery, codegen'd)
     * and is verified by construction: the output re-parses the patched
     * payload with [[decode]] and reports the re-read dims. Non-image
     * payloads pass through unchanged. */
   def resizeToFit(withBytes: DataFrame, maxDim: Int): DataFrame = {
+    // maxDim <= 0 would silently patch EVERY image to 1x1 with
+    // patch_ok=true (the greatest(1, ...) clamp) — refuse loudly
+    require(maxDim >= 1, s"maxDim ($maxDim) must be positive")
     // staged as separate pinned columns so every projection's generated
     // method stays small: _h (hex image) → _sof (segment walk) →
     // _w/_ht (parsed dims) → new dims → splice. Downstream expressions
@@ -243,9 +261,9 @@ object MM {
     val staged = hexed
       .withColumn("_sof", pinned(sofWalk()))
       .withColumn("_w", pinned(
-        when(isPng(), bei(lit(17), 4)).when(isJpeg(), bei(col("_sof") + 7, 2))))
+        when(isPng(), bei(lit(17), 4)).when(isJpeg(), sofW(col("_sof")))))
       .withColumn("_ht", pinned(
-        when(isPng(), bei(lit(21), 4)).when(isJpeg(), bei(col("_sof") + 5, 2))))
+        when(isPng(), bei(lit(21), 4)).when(isJpeg(), sofH(col("_sof")))))
     val w = col("_w")
     val h = col("_ht")
     // fit inside maxDim×maxDim preserving aspect; integer floor, min 1.
@@ -282,9 +300,9 @@ object MM {
     val reread = sized.withColumn("_ph", pinned(patchedHex))
       .withColumn("_psof", pinned(sofWalk("_ph")))
     val rw = when(isPng("_ph"), bei(lit(17), 4, "_ph"))
-      .when(isJpeg("_ph"), bei(col("_psof") + 7, 2, "_ph"))
+      .when(isJpeg("_ph"), sofW(col("_psof"), "_ph"))
     val rh = when(isPng("_ph"), bei(lit(21), 4, "_ph"))
-      .when(isJpeg("_ph"), bei(col("_psof") + 5, 2, "_ph"))
+      .when(isJpeg("_ph"), sofH(col("_psof"), "_ph"))
     reread.select(col("doc_id"), col("_w").as("width"), col("_ht").as("height"),
       col("_nw").as("new_width"), col("_nh").as("new_height"),
       (rw <=> col("_nw") && rh <=> col("_nh")).as("patch_ok"))
@@ -370,10 +388,19 @@ object MM {
     val sr = lei(lit(25), 4)
     val dataLen = lei(lit(41), 4)
     val nSamples = floor(dataLen / lit(2.0)).cast("bigint")
+    // the fixed offsets are only meaningful for the canonical
+    // 16-byte-PCM-fmt + immediate-data layout: verify the fmt size
+    // (bytes 17-20 = 16) and the 'data' tag (bytes 37-40) — a WAV with
+    // an 18-byte extensible fmt or a LIST/fact chunk between fmt and
+    // data would otherwise read garbage lengths that still pass the
+    // sr > 0 gate (the isWav WAVE-tag discipline, applied to the
+    // chunks the offsets assume)
+    val canonicalLayout =
+      lei(lit(17), 4) === 16L && hx(lit(37), 4) === "64617461"
     // sr > 0: a zeroed fmt chunk would make duration Infinity, and
     // casting Infinity to bigint throws under Spark 4's ANSI default —
     // one corrupt file must not kill the triage scan
-    hexed.where(isWav() && sr > 0).select(
+    hexed.where(isWav() && canonicalLayout && sr > 0).select(
       col("doc_id"),
       sr.as("sample_rate"),
       nSamples.as("n_samples"),
@@ -415,8 +442,8 @@ object MM {
     val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
     val staged = hexed
       .withColumn("_sof", pinned(sofWalk()))
-      .withColumn("_w", pinned(when(isJpeg(), bei(col("_sof") + 7, 2))))
-      .withColumn("_ht", pinned(when(isJpeg(), bei(col("_sof") + 5, 2))))
+      .withColumn("_w", pinned(when(isJpeg(), sofW(col("_sof")))))
+      .withColumn("_ht", pinned(when(isJpeg(), sofH(col("_sof")))))
     // pass 1: first metadata segment
     val p1 = staged.withColumn("_m1", pinned(metaPos("_h")))
       .withColumn("_l1", pinned(bei(col("_m1") + 2, 2)))
@@ -428,8 +455,8 @@ object MM {
       .withColumn("_sh", pinned(splice("_h1", "_m2", "_l2")))
     val reread = p2
       .withColumn("_ssof", pinned(sofWalk("_sh")))
-    val rw = when(isJpeg("_sh"), bei(col("_ssof") + 7, 2, "_sh"))
-    val rh = when(isJpeg("_sh"), bei(col("_ssof") + 5, 2, "_sh"))
+    val rw = when(isJpeg("_sh"), sofW(col("_ssof"), "_sh"))
+    val rh = when(isJpeg("_sh"), sofH(col("_ssof"), "_sh"))
     // the re-verify scans the SAME 4-hop walk: no metadata marker may
     // remain at ANY position (a 2-position probe could bless a strip
     // that left a third segment behind)
@@ -439,7 +466,14 @@ object MM {
       (coalesce(col("_l1") + 2, lit(0L)) + coalesce(col("_l2") + 2, lit(0L)))
         .as("removed_bytes"),
       (length(col("_sh")) / 2).cast("bigint").as("n_after"),
-      (when(col("_m1").isNull, lit(true))
+      // strip_ok=TRUE requires PROOF: for a no-metadata JPEG the walk
+      // must have REACHED SOF inside its bound — a chain deeper than
+      // the walk (_sof null) may hide an APP1 at position 5+, and
+      // blessing it converts "walked off the bound" into a positive
+      // all-clear in a privacy pass. decode reports the same case as
+      // decode_ok=false; the scrub reports strip_ok=false.
+      (when(!isJpeg(), lit(true))
+        .when(col("_m1").isNull, col("_sof").isNotNull)
         .otherwise(rw <=> col("_w") && rh <=> col("_ht") && noMetaLeft))
         .as("strip_ok"))
   }

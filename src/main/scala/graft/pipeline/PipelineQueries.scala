@@ -176,7 +176,7 @@ object PipelineQueries {
     * oracles could drift silently). Each doc_id % mod == residue doc
     * gets a copy at doc_id + offset with its final text char swapped
     * for '~'. */
-  private def plantTextTwins(base: DataFrame, mod: Int, residue: Int,
+  private[graft] def plantTextTwins(base: DataFrame, mod: Int, residue: Int,
                              offset: Long): DataFrame =
     base.unionByName(base.where(col("doc_id") % mod === residue)
       .select((col("doc_id") + offset).as("doc_id"),
@@ -2520,7 +2520,8 @@ object PipelineQueries {
          |SELECT doc_id, nb AS n_before,
          |       CAST(coalesce(comlen + 2, 0) AS BIGINT) AS removed_bytes,
          |       CAST(length(sh) // 2 AS BIGINT) AS n_after,
-         |       CASE WHEN com IS NULL THEN true
+         |       CASE WHEN NOT jpg THEN true
+         |            WHEN com IS NULL THEN sof IS NOT NULL
          |            ELSE (${sBei("ssof + 7", 2)} = w0
          |              AND ${sBei("ssof + 5", 2)} = h0
          |              AND ${sHx("3", 2)} <> 'FFFE'
@@ -2703,6 +2704,7 @@ object PipelineQueries {
          |                  / CAST(${ddLei("25", 4)} AS DOUBLE)) AS BIGINT) AS duration_ms
          |FROM hexed
          |WHERE ${ddHx("1", 4)} = '52494646' AND ${ddHx("9", 4)} = '57415645'
+         |  AND ${ddLei("17", 4)} = 16 AND ${ddHx("37", 4)} = '64617461'
          |  AND ${ddLei("25", 4)} > 0
          |ORDER BY doc_id""".stripMargin),
     "eval_auc" ->

@@ -1093,6 +1093,81 @@ class PipelineSpec extends SparkSpec {
       r.toString)
   }
 
+  test("mm_phash parity canary: no band bucket reaches the star ceiling") {
+    import graft.multimodal.MM
+    // the Spark side caps degenerate buckets with star edges past
+    // starAbove=256; the DuckDB oracle emits ALL band pairs. Parity
+    // therefore REQUIRES every registered-corpus bucket to stay under
+    // the ceiling — this canary fails BEFORE a corpus regeneration
+    // could surface as a confusing hash mismatch (and if it ever
+    // fires, mirror the cap in the oracle or raise starAbove there)
+    val aug = graft.pipeline.PipelineQueries.plantTextTwins(
+      Tables.load(spark, sfDir, "documents").select("doc_id", "text"),
+      mod = 9, residue = 1, offset = 768000L)
+    val sigs = MM.phash(MM.synthesizePayload(aug))
+    val maxBucket = sigs.select(col("doc_id"),
+        explode(expr("""array(hash_hi div 65536, hash_hi % 65536,
+          |hash_lo div 65536, hash_lo % 65536)""".stripMargin)).as("key"))
+      .groupBy("key").count().agg(max("count")).collect().head.getLong(0)
+    assert(maxBucket <= 256, s"band bucket $maxBucket past the star ceiling")
+  }
+
+  test("exifStrip: a chain DEEPER than the walk is never blessed strip_ok") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    def be2(v: Int) = Array[Byte](((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def m(a: Int, b: Int) = Array(a.toByte, b.toByte)
+    def seg(mk: (Int, Int), body: Int) = m(mk._1, mk._2) ++ be2(body + 2) ++
+      Array.fill[Byte](body)(1)
+    // SOI | APP0 | APP2 | APP2 | DQT | APP1(GPS) | SOF0: the metadata
+    // sits at walk position 5 — beyond the 4-hop bound. No probe sees
+    // it, so the scrub cannot PROVE the image clean; strip_ok must be
+    // false, never the silent all-clear the r11 review caught
+    val jpeg: Array[Byte] =
+      m(0xFF, 0xD8) ++ seg((0xFF, 0xE0), 8) ++ seg((0xFF, 0xE2), 6) ++
+        seg((0xFF, 0xE2), 6) ++ seg((0xFF, 0xDB), 4) ++
+        (m(0xFF, 0xE1) ++ be2(12) ++ "Exif".getBytes("UTF-8") ++
+          Array[Byte](0, 0) ++ "GPS!".getBytes("UTF-8")) ++
+        (m(0xFF, 0xC0) ++ be2(17) ++ Array[Byte](8) ++ be2(100) ++ be2(200) ++
+          Array.fill[Byte](10)(1))
+    val df = Seq((7L, jpeg)).toDF("doc_id", "payload")
+    val r = MM.exifStrip(df).collect()(0)
+    assert(!r.getAs[Boolean]("strip_ok"), r.toString)
+    assert(r.getAs[Long]("removed_bytes") == 0L, r.toString)
+    // a clean SHALLOW jpeg still earns its all-clear (SOF reached)
+    val clean: Array[Byte] =
+      m(0xFF, 0xD8) ++ seg((0xFF, 0xE0), 8) ++
+        (m(0xFF, 0xC0) ++ be2(17) ++ Array[Byte](8) ++ be2(100) ++ be2(200) ++
+          Array.fill[Byte](10)(1))
+    val c = MM.exifStrip(Seq((8L, clean)).toDF("doc_id", "payload")).collect()(0)
+    assert(c.getAs[Boolean]("strip_ok") && c.getAs[Long]("removed_bytes") == 0L,
+      c.toString)
+  }
+
+  test("audioInfo: non-canonical WAV layouts are excluded, not mis-read") {
+    import graft.multimodal.MM
+    import spark.implicits._
+    def le4(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // an 18-byte EXTENSIBLE fmt chunk: byte offsets 41+ no longer hold
+    // the data length — reading them anyway reported garbage
+    // n_samples/duration that still passed the sr > 0 gate
+    val ext = "RIFF".getBytes ++ le4(60) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(18) ++ Array[Byte](1, 0, 1, 0) ++ le4(8000) ++
+      le4(16000) ++ Array[Byte](2, 0, 16, 0, 0, 0) ++
+      "data".getBytes ++ le4(4) ++ Array[Byte](1, 2, 3, 4)
+    assert(MM.audioInfo(Seq((1L, ext)).toDF("doc_id", "payload")).isEmpty,
+      "extensible-fmt WAV entered triage with garbage offsets")
+    // canonical 16-byte-PCM layout still parses
+    val ok = "RIFF".getBytes ++ le4(40) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le4(16) ++ Array[Byte](1, 0, 1, 0) ++ le4(8000) ++
+      le4(16000) ++ Array[Byte](2, 0, 16, 0) ++
+      "data".getBytes ++ le4(4) ++ Array[Byte](1, 2, 3, 4)
+    val r = MM.audioInfo(Seq((2L, ok)).toDF("doc_id", "payload")).collect()(0)
+    assert(r.getAs[Long]("sample_rate") == 8000L &&
+      r.getAs[Long]("n_samples") == 2L, r.toString)
+  }
+
   test("decode/audioInfo: a WEBP RIFF container is NOT audio") {
     import graft.multimodal.MM
     import spark.implicits._
