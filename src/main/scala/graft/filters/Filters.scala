@@ -45,8 +45,11 @@ object Comparators {
 
   /** SubstringComparator: EQUAL means "contains" (case-insensitive in HBase). */
   def substr(s: String)(c: Column, op: CompareOp.Value): Column = op match {
-    case EQUAL     => lower(c).contains(s.toLowerCase)
-    case NOT_EQUAL => !lower(c).contains(s.toLowerCase)
+    // Locale.ROOT: the column side lowers locale-independently; a
+    // default-locale toLowerCase under tr_TR folds I to dotless ı and
+    // the two sides silently never match
+    case EQUAL     => lower(c).contains(s.toLowerCase(java.util.Locale.ROOT))
+    case NOT_EQUAL => !lower(c).contains(s.toLowerCase(java.util.Locale.ROOT))
     case _ => throw new IllegalArgumentException(s"SubstringComparator: $op")
   }
 
@@ -174,6 +177,12 @@ object Filters {
   def columnPaginationPredicate(limit: Int, offset: Int,
       orderCols: Seq[Column] = Seq(col("family"), col("qualifier")),
       colCols: Seq[Column] = Seq(col("family"), col("qualifier"))): Column = {
+    // the reference constructor rejects negatives; here they would
+    // make the scan silently empty (the exact failure class the
+    // overflow comment below defends against) — the DSL path is
+    // digit-guarded, the public API must be too
+    require(limit >= 0 && offset >= 0,
+      s"ColumnPagination limit ($limit) and offset ($offset) must be >= 0")
     val w = Window.partitionBy("rowkey").orderBy(orderCols: _*)
     val colKey = struct(colCols: _*)
     val prev = lag(colKey, 1).over(w)
@@ -320,8 +329,10 @@ object Filters {
     * version each, in (family, qualifier) order (pagination with
     * offset 0 — the reference likewise returns INCLUDE_AND_NEXT_COL
     * while counting). */
-  def columnCount(cells: DataFrame, n: Int): DataFrame =
+  def columnCount(cells: DataFrame, n: Int): DataFrame = {
+    require(n >= 0, s"ColumnCountGetFilter n ($n) must be >= 0")
     columnPagination(cells, limit = n, offset = 0)
+  }
 
   /** FilterList.java:56 — MUST_PASS_ALL / MUST_PASS_ONE composition of
     * Column-shaped filters, arbitrarily nested (a FilterList is itself
@@ -342,17 +353,26 @@ object Filters {
     * the same convention as skipFilter and the ParseFilter WHILE
     * lowering, so the two WhileMatch entry points cannot diverge on
     * null-producing comparators. */
-  def whileMatch(df: DataFrame, keyCol: String, pred: Column): DataFrame = {
-    val firstFail = df.where(coalesce(pred, lit(false)) === false)
+  def whileMatch(df: DataFrame, keyCol: String, pred: Column): DataFrame =
+    whileMatchOver(df, df, keyCol, pred)
+
+  /** The min-fail prune with the JUDGING relation split from the
+    * pruned one — ONE copy of the WhileMatch shape shared with the
+    * ParseFilter WHILE lowering (which judges each WHILE on the FULL
+    * scan while pruning the already-filtered stream; two hand-synced
+    * copies of this join had already drifted in mechanics). */
+  private[filters] def whileMatchOver(judge: DataFrame, cur: DataFrame,
+                                      keyCol: String, pred: Column): DataFrame = {
+    val firstFail = judge.where(coalesce(pred, lit(false)) === false)
       .agg(min(col(keyCol)).as("_wm_first_fail"))
     // NULL first-fail (nothing failed) keeps EVERY row via isNull, not
     // a max-value sentinel: coalesce(…, Long.MaxValue) would type-
     // coerce to string on a VARCHAR rowkey and turn the stop condition
     // into a lexicographic compare against "92233…", silently dropping
     // high-sorting keys — the no-fail branch must be type-free
-    df.join(broadcast(firstFail),
+    cur.join(broadcast(firstFail),
         firstFail("_wm_first_fail").isNull ||
-          df(keyCol) < firstFail("_wm_first_fail"), "inner")
+          cur(keyCol) < firstFail("_wm_first_fail"), "inner")
       .drop("_wm_first_fail")
   }
 

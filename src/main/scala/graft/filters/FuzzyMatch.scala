@@ -2,7 +2,7 @@ package graft.filters
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, Predicate}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst re-expression of HBase's FuzzyRowFilter
@@ -15,6 +15,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class FuzzyMatch(child: Expression, pattern: String)
     extends UnaryExpression with Predicate {
+
+  // analysis-time type check (the VecDot discipline): without it a
+  // numeric rowkey passed analysis and died per-row — ClassCastException
+  // interpreted, a janino compile error in codegen
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"fuzzy_match needs a string rowkey, got ${child.dataType}")
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "fuzzy_match"

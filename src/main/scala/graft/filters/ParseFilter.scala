@@ -176,15 +176,10 @@ object ParseFilter {
     val keyOnly = ts.contains(KeyOnly)
 
     // WHILE first (judged on the full scan): rows strictly before the
-    // first failing rowkey — min-fail aggregated then broadcast, the
-    // same scale-safe shape as Filters.whileMatch, but typed for any
-    // orderable rowkey (no Long.MaxValue sentinel).
+    // first failing rowkey — THE Filters.whileMatchOver shape (one
+    // copy; the former inline twin had already drifted in mechanics)
     val afterWhile = whiles.foldLeft(df) { (cur, inner) =>
-      val firstFail = df.agg(
-        min(when(coalesce(inner, lit(false)) === false, col("rowkey"))).as("_ff"))
-      cur.crossJoin(broadcast(firstFail))
-        .where(col("_ff").isNull || col("rowkey") < col("_ff"))
-        .drop("_ff")
+      Filters.whileMatchOver(df, cur, "rowkey", inner)
     }
     // pure predicates (window-shaped ones need materialization)
     val afterPred =
@@ -441,7 +436,10 @@ object ParseFilter {
       val start = pos
       while (!eof && (s.charAt(pos).isDigit || s.charAt(pos) == '.')) pos += 1
       val w = s.substring(start, pos)
-      require(w.nonEmpty && w.count(_ == '.') <= 1, s"expected decimal at $start in '$s'")
+      // at least one DIGIT: a lone "." passed nonEmpty and then threw
+      // a raw positionless NumberFormatException from toDouble
+      require(w.exists(_.isDigit) && w.count(_ == '.') <= 1,
+        s"expected decimal at $start in '$s'")
       w.toDouble
     }
 
@@ -470,6 +468,13 @@ object ParseFilter {
       if (!eof && s.charAt(pos) == ',') {
         eat(","); ifMissing = bool()
         ws()
+        // latestVersionOnly parses (strict bool — a typo still throws)
+        // but the LOWERING tests whatever versions the cells view
+        // carries: on a single-version view both settings coincide;
+        // on a multi-version view this is latestVersionOnly=FALSE
+        // semantics, and a caller needing TRUE pre-applies
+        // Scans.maxVersions(1) to the view — rejecting the flag would
+        // break parsing the reference's own 6-arg filter strings
         if (!eof && s.charAt(pos) == ',') { eat(","); bool() }
       }
       (f, q, vp, ifMissing)
