@@ -23,11 +23,6 @@ object Layout {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
-  /** Write as a bucketed+sorted catalog table: both sides of a future
-    * equi-join bucketed by the same key into the same bucket count
-    * join WITHOUT a shuffle (Spark plans SortMergeJoin over the
-    * existing bucketing — the co-located join HBase gets from
-    * co-partitioned regions). */
   /** Bucket `df` unless this session already holds `table`. Bucketing is
     * ingest-time work done once; the recurring operation a bucketed
     * layout exists FOR is the exchange-free join/agg on top of it — so
@@ -53,6 +48,11 @@ object Layout {
         java.lang.Boolean.TRUE
       })
 
+  /** Write as a bucketed+sorted catalog table: both sides of a future
+    * equi-join bucketed by the same key into the same bucket count
+    * join WITHOUT a shuffle (Spark plans SortMergeJoin over the
+    * existing bucketing — the co-located join HBase gets from
+    * co-partitioned regions). */
   def writeBucketed(df: DataFrame, keyCol: String, buckets: Int, table: String): Unit = {
     val spark = df.sparkSession
     // true overwrite across JVMs: the in-memory catalog is per-session,
@@ -71,18 +71,15 @@ object Layout {
   import org.apache.spark.sql.Column
 
   /** Normalize a numeric column to an integer bucket in [0, 2^bits)
-    * against broadcast corpus bounds `lo`/`hi`. floor((x·2^bits)/span)
-    * is exact while x·2^bits < 2^53 (double-exact integers — holds for
-    * any real key domain at bits ≤ 16); identical in DuckDB, so
-    * oracles rebuild the bucket bit-for-bit. The offset multiplies in
-    * DOUBLE — the long multiply wraps once the key span crosses
-    * 2^(63−bits) (Tools.totalOrderBucket's overflow class, same fix). */
+    * against broadcast corpus bounds `lo`/`hi` — DELEGATES to
+    * [[graft.analytics.Tools.totalOrderBucket]] with n = 2^bits: that
+    * is THE one copy of the parity-load-bearing bucket formula every
+    * DuckDB oracle mirrors (this function was a second hand copy of
+    * the identical double-multiply expression — the r10 dirKey
+    * hand-sync class). Exact while x·2^bits < 2^53, hence bits ≤ 16. */
   def dimBucket(c: Column, lo: Column, hi: Column, bits: Int): Column = {
-    // the exactness doc above relies on bits <= 16; bits >= 63 would
-    // even flip 1L << bits negative — refuse loudly like Salt.* do
     require(bits >= 1 && bits <= 16, s"bits ($bits) must be in [1, 16]")
-    floor(((c - lo).cast("double") * lit(1L << bits)) / (hi - lo + lit(1)))
-      .cast("bigint")
+    graft.analytics.Tools.totalOrderBucket(c, lo, hi, 1 << bits)
   }
 
   /** Morton (Z-order) interleave of two `bits`-bit buckets: dim A takes
@@ -131,10 +128,19 @@ object Indexes {
         val target = java.nio.file.Files.createTempDirectory(s"graft_idx_$name")
         try { build(target.toString); target.toString }
         catch { case e: Throwable =>
-          val walk = java.nio.file.Files.walk(target)
-          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
+          // clean through the SAME filesystem the builders write: a
+          // scheme-less path resolves against the Hadoop DEFAULT FS,
+          // so off-local the former java.nio walk cleaned an empty
+          // LOCAL twin and left the partial parquet orphaned forever
+          // (fresh random name per retry — the copyVersionDir
+          // FS-abstraction class). A cleanup failure is SUPPRESSED
+          // onto the build error, never replacing it.
+          try {
+            val tp = new org.apache.hadoop.fs.Path(target.toString)
+            val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(tp)) fs.delete(tp, true)
+            java.nio.file.Files.deleteIfExists(target)
+          } catch { case c: Throwable => e.addSuppressed(c) }
           throw e
         }
       })
@@ -214,12 +220,26 @@ object Snapshots {
     * through a scan of non-overlapping regions (they are absent from
     * the read, not filtered after it). The residual in-file predicate
     * still pushes to parquet for the boundary regions. */
+  // manifest rows memoized per (session, base, version, keyCol): a
+  // snapshot version is immutable, and recomputing the manifest —
+  // a full thin-column scan + shuffle — on EVERY direct-scan call
+  // charged the "pruned" read more IO than an unpruned one (the
+  // reference persists the manifest at snapshot-write time; this map
+  // is the session-local stand-in)
+  private val manifests =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long, Long)]]()
+
   def scanDirect(spark: SparkSession, base: String, version: Int,
                  keyCol: String, lo: Long, hi: Long): DataFrame = {
     require(hi >= lo, s"bad range [$lo, $hi)")
-    val picked = regionManifest(spark, base, version, keyCol)
-      .where(col("start_key") < hi && col("end_key") >= lo)
-      .select("file").collect().map(_.getString(0))
+    val key = org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark) +
+      s"|$base|$version|$keyCol"
+    val manifest = manifests.computeIfAbsent(key, _ =>
+      regionManifest(spark, base, version, keyCol)
+        .select("file", "start_key", "end_key").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
+    val picked = manifest
+      .filter { case (_, s0, e0) => s0 < hi && e0 >= lo }.map(_._1)
     val pred = col(keyCol) >= lo && col(keyCol) < hi
     if (picked.isEmpty) read(spark, base, version).where(lit(false))
     else spark.read.parquet(picked.toIndexedSeq: _*).where(pred)

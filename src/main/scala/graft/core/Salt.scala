@@ -24,6 +24,12 @@ object Salt {
     * portable (modulo + lpad) so oracles rebuild it exactly. */
   def saltedKey(key: Column, salts: Int, width: Int = 12): Column = {
     require(salts >= 1, s"salts ($salts) must be at least 1")
+    // the same bound saltedRangeScan enforces: a width-19 layout would
+    // WRITE fine and then be permanently unscannable through the API
+    // (discovered only at read time) — the write side must refuse the
+    // widths the read side refuses
+    require(width >= 1 && width <= 18,
+      s"width ($width) must be in [1, 18] — 10^width must fit a Long")
     // lpad TRUNCATES past `width`, which would silently collide keys,
     // and a NEGATIVE key ("-5" lpads to "000…0-5") sorts out of
     // numeric order — either silently breaks the scan-bound format
