@@ -124,10 +124,13 @@ object ScaleSpike {
     val names = qlist.split(",").map(_.trim).filter(_.nonEmpty)
     names.foreach { n =>
       graft.pipeline.PipelineQueries.resetShared()
+      val df = SparkEntry.benchQueries(n)(spark, spikeDir)
       val t0 = System.nanoTime()
-      val cnt = SparkEntry.benchQueries(n)(spark, spikeDir).count()
+      // same action as Bench: full-materialization noop write, so the
+      // spike cannot report a count()-pruned plan as sublinear
+      Bench.materialize(df)
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[spike] $n%-24s ${sec}%8.2f s   ($cnt rows)")
+      println(f"[spike] $n%-24s ${sec}%8.2f s")
     }
     spark.stop()
   }
