@@ -695,6 +695,33 @@ object AnalyticsQueries {
       Tools.splitPolicy(tagged, "region_key", cellBytes, params, 1000L)
         .orderBy("region")
     }),
+    // SteppingSplitPolicy (SteppingSplitPolicy.java:20) on its own
+    // verdict frame: the SAME corpus viewed young (R = 1, the whole
+    // table one region — stepping checks initialSize = 2·flush, the
+    // fast-split step) and mature (R = 8 — stepping has settled to
+    // maxFileSize while increasing still escalates 2·flush·R³ BELOW
+    // it, so the mid-size regions split under increasing but ride
+    // under stepping: the spread-fast-then-settle divergence)
+    "split_policy_stepping" -> ((s, d) => {
+      val grown = Tables.load(s, d, "orders")
+        .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+      val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
+      val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
+      val params = grown.agg(
+        floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
+        floor(sum(cellBytes) / 10000).cast("bigint").as("flush_size"))
+      def scenario(n: Int, tag: String) = {
+        val tagged = grown.crossJoin(broadcast(b))
+          .withColumn("bucket", Tools.totalOrderBucket(
+            col("region_key"), col("_lo"), col("_hi"), n))
+        Tools.splitPolicy(tagged, "region_key", cellBytes, params, 1000L)
+          .select(lit(tag).as("scenario"), col("region"), col("store_size"),
+            col("limit_bytes"), col("split_increasing"),
+            col("limit_stepping"), col("split_stepping"))
+      }
+      scenario(1, "young").unionByName(scenario(8, "mature"))
+        .orderBy("scenario", "region")
+    }),
     // HBaseFsck region-chain audit over a deliberately corrupted META
     // catalog: 16 uniform regions over the orders keyspace, with region
     // 5 lost (hole), region 9 degenerate (start == end, which also
@@ -2770,16 +2797,44 @@ object AnalyticsQueries {
         |lb AS (SELECT bucket, store_size, mid, max_file_size,
         |              CASE WHEN nr = 0 OR nr > 100 THEN max_file_size
         |                   ELSE least(max_file_size, 2 * flush_size * nr * nr * nr)
-        |              END AS limit_bytes
+        |              END AS limit_bytes,
+        |              CASE WHEN nr = 1 THEN 2 * flush_size ELSE max_file_size END
+        |                AS limit_stepping
         |       FROM st, p, r)
         |SELECT bucket AS region, store_size,
         |       store_size > max_file_size AS split_constant,
         |       limit_bytes,
         |       store_size > limit_bytes AS split_increasing,
+        |       limit_stepping,
+        |       store_size > limit_stepping AS split_stepping,
         |       CASE WHEN store_size > limit_bytes THEN mid END AS split_point,
         |       CASE WHEN store_size > limit_bytes THEN mid - mid % 1000 END
         |         AS split_point_prefix
         |FROM lb ORDER BY region""".stripMargin,
+    "split_policy_stepping" ->
+      """WITH g AS (SELECT o_orderkey * o_orderkey AS k,
+        |                  CAST(floor(o_totalprice * 100) AS BIGINT) AS sz FROM orders),
+        |b AS (SELECT min(k) AS lo, max(k) AS hi FROM g),
+        |p AS (SELECT CAST(floor(sum(sz) / 7) AS BIGINT) AS max_file_size,
+        |             CAST(floor(sum(sz) / 10000) AS BIGINT) AS flush_size FROM g),
+        |sc AS (SELECT 'young' AS scenario, 1 AS nb UNION ALL SELECT 'mature', 8),
+        |t AS (SELECT scenario, CAST(floor((k - lo) * nb / (hi - lo + 1)) AS BIGINT) AS bucket,
+        |             sz
+        |      FROM g, b, sc),
+        |st AS (SELECT scenario, bucket, CAST(sum(sz) AS BIGINT) AS store_size
+        |       FROM t GROUP BY 1, 2),
+        |r AS (SELECT scenario, count(*) AS nr FROM st GROUP BY 1),
+        |lb AS (SELECT st.scenario AS scenario, bucket, store_size,
+        |              CASE WHEN nr = 0 OR nr > 100 THEN max_file_size
+        |                   ELSE least(max_file_size, 2 * flush_size * nr * nr * nr)
+        |              END AS limit_bytes,
+        |              CASE WHEN nr = 1 THEN 2 * flush_size ELSE max_file_size END
+        |                AS limit_stepping
+        |       FROM st, r, p WHERE st.scenario = r.scenario)
+        |SELECT scenario, bucket AS region, store_size,
+        |       limit_bytes, store_size > limit_bytes AS split_increasing,
+        |       limit_stepping, store_size > limit_stepping AS split_stepping
+        |FROM lb ORDER BY scenario, region""".stripMargin,
     "hbck_region_chain" ->
       (ddHbckCatalogCtes + """
         |r AS (SELECT region_id,

@@ -1391,6 +1391,7 @@ object Tools {
   /** RegionSplitPolicy family (hbase-server/.../regionserver/
     * ConstantSizeRegionSplitPolicy.java:57 shouldSplit,
     * IncreasingToUpperBoundRegionSplitPolicy.java:76 getSizeToCheck,
+    * SteppingSplitPolicy.java:20 getSizeToCheck,
     * KeyPrefixRegionSplitPolicy.java:68 getSplitPoint): per region,
     * ConstantSize splits when the store exceeds
     * hbase.hregion.max.filesize; IncreasingToUpperBound — the 1.x
@@ -1400,7 +1401,14 @@ object Tools {
     * is the table's region count on the server; R == 0 or R > 100
     * falls back to maxFileSize outright (getSizeToCheck's overflow
     * guard — at 100 TB, R > 100 is the NORM, so mature tables run
-    * pure ConstantSize). Young tables split long before maxFileSize;
+    * pure ConstantSize). Stepping — the 2.x default, backported widely
+    * onto 1.3 clusters — is the spread-fast-then-settle variant:
+    * R == 1 checks initialSize (2·flushSize, same first step as
+    * increasing's R³ at R = 1), any other R jumps STRAIGHT to
+    * maxFileSize — so between the first split and maturity it is
+    * strictly LAZIER than increasing (no R³ escalation: a mid-size
+    * region increasing would split rides until maxFileSize).
+    * Young tables split long before maxFileSize;
     * the split POINT is the biggest store's
     * midkey (median), and KeyPrefixRegionSplitPolicy snaps it down to
     * a key prefix so rows sharing the prefix stay co-located across
@@ -1439,10 +1447,17 @@ object Tools {
         when(col("_r") === 0 || col("_r") > 100, col("max_file_size"))
           .otherwise(least(col("max_file_size"),
             lit(2L) * col("flush_size") * col("_r") * col("_r") * col("_r"))))
+      // SteppingSplitPolicy.getSizeToCheck: exactly one region of the
+      // table on this server → initialSize (2·flush); else maxFileSize
+      .withColumn("limit_stepping",
+        when(col("_r") === 1, lit(2L) * col("flush_size"))
+          .otherwise(col("max_file_size")))
       .select(col("bucket").as("region"), col("store_size"),
         (col("store_size") > col("max_file_size")).as("split_constant"),
         col("limit_bytes"),
         (col("store_size") > col("limit_bytes")).as("split_increasing"),
+        col("limit_stepping"),
+        (col("store_size") > col("limit_stepping")).as("split_stepping"),
         when(col("store_size") > col("limit_bytes"), mid)
           .as("split_point"),
         when(col("store_size") > col("limit_bytes"),

@@ -156,8 +156,17 @@ object Indexes {
 object Snapshots {
   def path(base: String, version: Int): String = s"$base/v=$version"
 
-  def write(df: DataFrame, keyCol: String, base: String, version: Int): Unit =
+  def write(df: DataFrame, keyCol: String, base: String, version: Int): Unit = {
     Layout.writeSorted(df, keyCol, path(base, version))
+    // the manifest memo trusts version immutability, but writeSorted
+    // is mode(overwrite): a re-write of an existing (base, version)
+    // dir (the documented half-written-version recovery path, or a
+    // caller re-calling write) would leave every session's cached
+    // manifest pointing at deleted part files — evict all cached
+    // manifests of this version, whatever session or keyCol cached
+    // them, AFTER the write commits
+    manifests.keySet.removeIf(_.contains(s"|$base|$version|"))
+  }
 
   def read(spark: SparkSession, base: String, version: Int): DataFrame =
     Layout.read(spark, path(base, version))
@@ -228,12 +237,18 @@ object Snapshots {
   // is the session-local stand-in)
   private val manifests =
     new java.util.concurrent.ConcurrentHashMap[String, Array[(String, Long, Long)]]()
+  // memo bound: each entry is #regions tuples (tiny), but a process
+  // cycling through unbounded distinct snapshots would still grow the
+  // map forever — past the cap the whole memo resets (it's a cache;
+  // the next call of each live key rebuilds its one manifest)
+  private val manifestCap = 256
 
   def scanDirect(spark: SparkSession, base: String, version: Int,
                  keyCol: String, lo: Long, hi: Long): DataFrame = {
     require(hi >= lo, s"bad range [$lo, $hi)")
     val key = org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark) +
       s"|$base|$version|$keyCol"
+    if (manifests.size > manifestCap) manifests.clear()
     val manifest = manifests.computeIfAbsent(key, _ =>
       regionManifest(spark, base, version, keyCol)
         .select("file", "start_key", "end_key").collect()

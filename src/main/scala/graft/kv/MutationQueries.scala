@@ -120,6 +120,19 @@ object MutationQueries {
           Map("web" -> "10 DAYS", "act" -> "20 DAYS"))
         .select("rowkey", "family", "qualifier", "ts", "value", "event_id")
         .orderBy("event_id")),
+    // Per-cell TTL tags beside the 10-day family clock: every 3rd cell
+    // carries a 2/4/..14-day TTL (from event_id, so the corpus holds
+    // BOTH shapes that matter — cell TTLs shorter than the family
+    // clock, which expire cells the family would keep, and longer
+    // ones, which the family clock caps per HStore.java:1903)
+    "ttl_cell" -> ((s, d) =>
+      Mutations.ttlExpireCell(
+          Tables.eventCells(s, d).withColumn("cell_ttl_ms",
+            when(col("event_id") % 3 === 0,
+              ((col("event_id") % 7) + 1) * 2 * 86400000L)),
+          "10 DAYS")
+        .select("rowkey", "qualifier", "ts", "cell_ttl_ms", "value", "event_id")
+        .orderBy("event_id")),
     "delete_qualifier" -> ((s, d) =>
       Mutations.deleteQualifier(
           Tables.load(s, d, "customer").select("c_custkey", "c_name", "c_mktsegment"),
@@ -327,6 +340,19 @@ object MutationQueries {
        """SELECT rowkey, family, qualifier, ts, value, event_id FROM vcells2
          |WHERE (family = 'web' AND ts >= (SELECT max(ts) - INTERVAL 10 DAY FROM events))
          |   OR (family = 'act' AND ts >= (SELECT max(ts) - INTERVAL 20 DAY FROM events))
+         |ORDER BY event_id""".stripMargin),
+    "ttl_cell" ->
+      ("WITH " + Tables.eventCellsSql + """,
+         |tc AS (
+         |  SELECT rowkey, qualifier, ts,
+         |         CASE WHEN event_id % 3 = 0
+         |              THEN ((event_id % 7) + 1) * 2 * 86400000 END AS cell_ttl_ms,
+         |         value, event_id
+         |  FROM vcells)
+         |SELECT rowkey, qualifier, ts, cell_ttl_ms, value, event_id FROM tc
+         |WHERE ts >= (SELECT max(ts) - INTERVAL 10 DAY FROM events)
+         |  AND (cell_ttl_ms IS NULL
+         |       OR epoch_ms(ts) + cell_ttl_ms >= epoch_ms((SELECT max(ts) FROM events)))
          |ORDER BY event_id""".stripMargin),
     "ttl_min_versions" ->
       ("WITH " + Tables.eventCellsSql + "\n" +

@@ -404,6 +404,38 @@ object Mutations {
     mutateRow(base, puts, dels, keyCol)
   }
 
+  /** Per-CELL TTL (Mutation.setTTL, hbase-client/.../client/
+    * Mutation.java:511 — the OP_ATTRIBUTE_TTL attribute becomes a
+    * TagType.TTL_TAG_TYPE tag on every cell of the mutation,
+    * hbase-common/.../TagType.java:33; ImportTsv writes it from the
+    * per-line TTL attribute, TsvImporterMapper.java:217; increments
+    * and appends carry it through HRegion.java:7965). Enforcement per
+    * HStore.isCellTTLExpired (hbase-server/.../regionserver/
+    * HStore.java:1883-1910): a cell carrying a TTL tag expires when
+    * `ts + cell_ttl < now` (cell TTLs are stored in MILLISECONDS,
+    * unlike the schema's seconds), and then ALWAYS falls through to
+    * the family clock — "Per cell TTLs cannot extend lifetime beyond
+    * family settings" (HStore.java:1903). Effective retention is the
+    * MIN of the two clocks; a NULL cell TTL (no tag) is family-only.
+    *
+    * Same deterministic "now" convention as [[ttlExpire]] (the table's
+    * max ts), one broadcast scalar + a conjunctive per-cell predicate —
+    * no shuffle, rides the scan at any scale. The cell leg adds the
+    * TTL to unix millis exactly as the reference's long arithmetic
+    * does; under ANSI a pathological near-Long.Max TTL fails loudly
+    * rather than wrapping. */
+  def ttlExpireCell(vcells: DataFrame, familyTtl: String,
+                    cellTtlCol: String = "cell_ttl_ms"): DataFrame = {
+    val now = vcells.agg(max(col("ts")).as("_now"))
+    val familyAlive = col("ts") >= col("_now") - graft.core.Intervals.literal(familyTtl)
+    // survives the cell clock iff ts + ttl >= now (expiry is the
+    // STRICT ts + ttl < now, HStore.java:1900); no tag = no cell clock
+    val cellAlive = col(cellTtlCol).isNull ||
+      unix_millis(col("ts")) + col(cellTtlCol) >= unix_millis(col("_now"))
+    vcells.crossJoin(broadcast(now))
+      .where(familyAlive && cellAlive).drop("_now")
+  }
+
   /** TTL with HColumnDescriptor#setMinVersions semantics: expired cells
     * are dropped EXCEPT the latest `minVersions` per
     * (rowkey, family, qualifier), which survive any TTL — HBase

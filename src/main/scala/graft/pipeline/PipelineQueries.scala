@@ -1966,7 +1966,7 @@ object PipelineQueries {
          |cl AS (SELECT id AS doc_id, least(id, min(r)) AS cluster FROM reach GROUP BY id),
          |lang AS (SELECT doc_id,
          |           CASE WHEN round(len(list_filter(list_filter(string_split(text, ' '), x -> len(x) > 0), x -> x IN ($markerIn)))
-         |                      * 1.0 / len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 4) >= 0.05
+         |                      * 1.0 / greatest(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 1), 4) >= 0.05
          |                THEN 'en' ELSE 'other' END AS pred_lang
          |         FROM documents),
          |tokq AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t FROM documents),
@@ -2191,9 +2191,9 @@ object PipelineQueries {
     "text_langid" ->
       s"""SELECT doc_id,
          |       round(len(list_filter(list_filter(string_split(text, ' '), x -> len(x) > 0), x -> x IN ($markerIn)))
-         |             * 1.0 / len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 4) AS en_ratio,
+         |             * 1.0 / greatest(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 1), 4) AS en_ratio,
          |       CASE WHEN round(len(list_filter(list_filter(string_split(text, ' '), x -> len(x) > 0), x -> x IN ($markerIn)))
-         |                  * 1.0 / len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 4) >= 0.05
+         |                  * 1.0 / greatest(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 1), 4) >= 0.05
          |            THEN 'en' ELSE 'other' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
@@ -2882,7 +2882,7 @@ object PipelineQueries {
       """WITH p AS (SELECT doc_id, lang,
         |       round(len(list_filter(list_filter(string_split(text, ' '), x -> len(x) > 0),
         |                 x -> x IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')))
-        |             * 1.0 / len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 4) AS er
+        |             * 1.0 / greatest(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 1), 4) AS er
         |       FROM documents)
         |SELECT lang, CASE WHEN er >= 0.05 THEN 'en' ELSE 'other' END AS pred_lang,
         |       count(*) AS n_docs

@@ -45,11 +45,20 @@ object Quantize {
       // the micro-unit sum wraps past 2^63 (~9.2e9 vectors at the 1e3
       // value bound) — raise loudly like cellMeans (the bm25
       // discipline), never report a silently wrong mean from the
-      // AUDIT that exists to catch range blow-ups
+      // AUDIT that exists to catch range blow-ups. The guard is
+      // EXACT-by-construction, not a post-check on the sum: a long
+      // sum wrapped far past 2^63 can alias back inside any accepted
+      // range, so test the worst case n·max|mv| instead — both
+      // factors come from the same aggregate (floor is monotonic, so
+      // floor(min·10⁶)/floor(max·10⁶) bound every _mv exactly) and
+      // the product is computed in DOUBLE, which cannot wrap
+      .withColumn("_bound_micro",
+        greatest(abs(floor(col("_min") * 1000000d)),
+          abs(floor(col("_max") * 1000000d))))
       .withColumn("_sum_micro",
-        when(abs(col("_sum_micro")) > lit(1L << 62),
-          raise_error(lit("dimStats: micro-unit sum near int64 range — " +
-            "shard the aggregation")))
+        when(col("n").cast("double") * col("_bound_micro") > lit(math.pow(2, 62)),
+          raise_error(lit("dimStats: worst-case micro-unit sum near int64 " +
+            "range — shard the aggregation")))
           .otherwise(col("_sum_micro")))
       .select(col("dim"), col("n"),
         round(col("_sum_micro") / col("n") / 1000000d, 4).as("mean_v"),

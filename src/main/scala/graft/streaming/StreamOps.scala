@@ -292,7 +292,10 @@ object StreamOps {
           s"maintained table at $path belongs to streaming query $own but " +
             s"this stream is $cur — a fresh checkpoint against an existing " +
             "table loses data; resume the original checkpoint or use a " +
-            "fresh table path")
+            "fresh table path. If the owning stream never completed a " +
+            s"write (a failed batch 0 brands the path too), verify the " +
+            s"table is empty — no v=N dir holds a _SUCCESS marker — and " +
+            s"delete $marker to release the claim")
       case _ => ()
     }
     require(versions.forall(_ <= batchId),

@@ -51,13 +51,21 @@ object TextOps {
   /** n-gram-heuristic language ID: fraction of whitespace tokens that
     * are English marker words; >= 5% → 'en'. A profile-based classifier
     * would swap in here — the pipeline shape (pure projection) is the
-    * point at 100 TB. */
+    * point at 100 TB.
+    *
+    * ZERO-token documents (empty / whitespace-only text) score
+    * en_ratio 0.0 → 'other' by the greatest(n, 1) denominator guard:
+    * the unguarded 0/0 is NULL in Spark but inf/NaN-class in DuckDB
+    * under ieee_floating_point — a cross-engine divergence the
+    * empties-filtered tokenizer made REACHABLE (the old split-field
+    * count was always ≥ 1). 'other' is the right verdict anyway: no
+    * tokens is no evidence of English. */
   def langId(docs: DataFrame): DataFrame =
     docs.select(
         col("doc_id"),
         round(
           size(expr(s"filter(split(text, ' '), x -> x IN ($markerList))")).cast("double") /
-            size(words), 4).as("en_ratio"))
+            greatest(size(words), lit(1)), 4).as("en_ratio"))
       .withColumn("pred_lang", when(col("en_ratio") >= 0.05, "en").otherwise("other"))
 
   /** Quality scoring: token counts, lexical diversity, repetition.

@@ -72,6 +72,43 @@ class LayoutSpec extends SparkSpec {
     assert(Snapshots.read(spark, dir, 2).count() < v1.count())
   }
 
+  test("scanDirect manifest memo is evicted when its version is rewritten") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_memo").toString
+    val v1 = (1L to 100L).map(k => (k, k * 2)).toDF("k", "v")
+    Snapshots.write(v1, "k", dir, 1)
+    // prime the memo: this caches v=1's part-file manifest
+    assert(Snapshots.scanDirect(spark, dir, 1, "k", 1L, 101L).count() == 100L)
+    // REWRITE the same version (the documented half-written-version
+    // recovery path): mode(overwrite) deletes the cached part files,
+    // so a stale manifest would read deleted paths or stale rows
+    val v1b = (1L to 40L).map(k => (k, k * 3)).toDF("k", "v")
+    Snapshots.write(v1b, "k", dir, 1)
+    val after = Snapshots.scanDirect(spark, dir, 1, "k", 1L, 101L)
+    assert(after.count() == 40L, "stale manifest survived the rewrite")
+    assert(after.where(col("k") === 5L).select("v").as[Long].head() == 15L)
+  }
+
+  test("Intervals.literal: multi-unit and fractional literals pass, injection fails") {
+    import graft.core.Intervals
+    // Spark's own INTERVAL parser accepts these — the splice guard
+    // must not narrow the operator input language (r12 ADVICE)
+    for (ok <- Seq("10 DAYS", "1 DAY 12 HOURS", "1.5 SECONDS",
+                   "2 weeks 3 days", " 7 day ")) {
+      val c = Intervals.literal(ok)
+      // parse it for real: a literal the guard passes but the parser
+      // rejects would fail operators at plan time
+      spark.range(1).select(
+        (current_timestamp() - c).as("t")).collect()
+    }
+    // "0.5 HOURS" is the parser's own INVALID_FRACTION class — the
+    // guard must reject it with a named error, not let it through
+    for (bad <- Seq("10; DROP TABLE x", "DAYS 10", "10", "ten days",
+                    "10 fortnights", "0.5 HOURS", null)) {
+      intercept[IllegalArgumentException](Intervals.literal(bad))
+    }
+  }
+
   test("restore rolls the table back to the snapshot; clones are unaffected") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_restore").toString

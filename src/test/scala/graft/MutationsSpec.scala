@@ -346,6 +346,30 @@ class MutationsSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 5L, 9L), s"kept $kept")
   }
 
+  test("per-cell TTL shortens but never extends family retention (HStore.java:1904)") {
+    import spark.implicits._
+    // "now" = global max ts = 2024-01-31; family clock = 10 days
+    val cells = Seq(
+      // NO cell TTL → family clock alone
+      (1L, "q", "2024-01-25 00:00:00", None, 1L),              // 6d old → kept
+      (2L, "q", "2024-01-10 00:00:00", None, 2L),              // 21d old → family-expired
+      // cell TTL SHORTER than family: expires cells the family would keep
+      (3L, "q", "2024-01-25 00:00:00", Some(2L * 86400000), 3L),  // 6d old, 2d ttl → cell-expired
+      (4L, "q", "2024-01-30 00:00:00", Some(2L * 86400000), 4L),  // 1d old, 2d ttl → kept
+      // cell TTL LONGER than family: CANNOT extend — family clock caps
+      (5L, "q", "2024-01-10 00:00:00", Some(30L * 86400000), 5L), // 21d old, 30d ttl → family-expired
+      (6L, "q", "2024-01-25 00:00:00", Some(30L * 86400000), 6L), // 6d old, 30d ttl → kept
+      // boundary: expiry is STRICT ts + ttl < now (HStore.java:1900),
+      // so a cell dying exactly at "now" SURVIVES the cell clock
+      (7L, "q", "2024-01-29 00:00:00", Some(2L * 86400000), 7L),  // ts+ttl == now → kept
+      (9L, "q", "2024-01-31 00:00:00", None, 9L)
+    ).toDF("rowkey", "qualifier", "ts_s", "cell_ttl_ms", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val kept = graft.kv.Mutations.ttlExpireCell(cells, "10 DAYS")
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 6L, 7L, 9L), s"kept $kept")
+  }
+
   test("bulkDeleteRows drops whole rows on any matching cell; bulkDeleteCells keeps rows") {
     import spark.implicits._
     val cells = Seq(
@@ -739,6 +763,38 @@ class MutationsSpec extends SparkSpec {
       .as[(Long, Boolean)].collect()
     assert(guarded.length == 101 &&
       guarded.forall(t => t._1 == 10000000L && !t._2), s"got ${guarded.toSeq}")
+  }
+
+  test("splitPolicy stepping: R=1 fast-splits at 2*flush, R>1 ignores the R-cubed escalation") {
+    import spark.implicits._
+    import graft.analytics.Tools
+    val params = Seq((80L, 1L)).toDF("max_file_size", "flush_size")
+    // R = 1, one 3-byte region: stepping checks initialSize = 2·flush
+    // = 2 → splits a region ConstantSize (80) would ride for ~27x
+    // longer (the spread-fast verdict; increasing agrees at R = 1:
+    // 2·1³ = 2)
+    val young = Seq((0L, 5L, 3L)).toDF("bucket", "k", "sz")
+    val y = Tools.splitPolicy(young, "k", col("sz"), params, 10L)
+      .select("limit_stepping", "split_stepping", "split_constant",
+        "split_increasing")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(y == Seq((2L, true, false, true)), s"young $y")
+    // R = 3 (the existing frame): increasing's limit is min(80, 2·3³)
+    // = 54, stepping jumps STRAIGHT to maxFileSize = 80 — the 60-byte
+    // bucket splits under increasing but RIDES under stepping
+    // (SteppingSplitPolicy.java:20's settle), while the 100-byte
+    // bucket splits under both
+    val tagged = Seq(
+      (0L, 11L, 25L), (0L, 13L, 25L), (0L, 17L, 25L), (0L, 19L, 25L),
+      (1L, 21L, 30L), (1L, 25L, 30L),
+      (2L, 31L, 30L)).toDF("bucket", "k", "sz")
+    val m = Tools.splitPolicy(tagged, "k", col("sz"), params, 10L)
+      .select("region", "limit_stepping", "split_stepping", "split_increasing")
+      .as[(Long, Long, Boolean, Boolean)].collect().toSet
+    assert(m == Set(
+      (0L, 80L, true, true),
+      (1L, 80L, false, true),   // the divergence row
+      (2L, 80L, false, false)), s"mature $m")
   }
 
   test("hbckRegionChain: clean chain is silent, every planted defect reported") {

@@ -44,6 +44,21 @@ class PipelineSpec extends SparkSpec {
     assert(bl(1).getAs[Long]("n_bigrams") == 2L, bl(1).toString)
   }
 
+  test("langId: zero-token documents score 0.0 / 'other', never NULL") {
+    import spark.implicits._
+    // empty and whitespace-only text give size(words) = 0 — the
+    // unguarded 0/0 was NULL in Spark vs inf/NaN-class in DuckDB (the
+    // r12 ADVICE divergence); the greatest(n, 1) guard pins BOTH
+    // engines to the documented verdict: no tokens = no evidence of
+    // English = 0.0 / 'other'
+    val d = Seq((1L, ""), (2L, "   "), (3L, "the of and")).toDF("doc_id", "text")
+    val got = TextOps.langId(d).orderBy("doc_id")
+      .select("doc_id", "en_ratio", "pred_lang")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(got == Seq((1L, 0.0, "other"), (2L, 0.0, "other"),
+      (3L, 1.0, "en")), got.mkString(","))
+  }
+
   test("mlogLong mirrors the Column micro-log formula exactly") {
     import spark.implicits._
     // the driver-side trainer mirror MUST stay formula-identical to
