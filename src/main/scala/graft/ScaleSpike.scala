@@ -124,11 +124,15 @@ object ScaleSpike {
     val names = qlist.split(",").map(_.trim).filter(_.nonEmpty)
     names.foreach { n =>
       graft.pipeline.PipelineQueries.resetShared()
-      val df = SparkEntry.benchQueries(n)(spark, spikeDir)
       val t0 = System.nanoTime()
-      // same action as Bench: full-materialization noop write, so the
-      // spike cannot report a count()-pruned plan as sublinear
-      Bench.materialize(df)
+      // same action as Bench, CONSTRUCTION INCLUDED: several closures
+      // do O(N) eager driver-side setup (ensureBucketed writes, index
+      // ensures, snapshot ingests) — building the frame outside the
+      // window would hide a superlinear regression living in setup
+      // from the exact tool built to catch superlinear scaling. The
+      // noop write is Bench's action: full materialization, so a
+      // count()-pruned plan can't report as sublinear.
+      Bench.materialize(SparkEntry.benchQueries(n)(spark, spikeDir))
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[spike] $n%-24s ${sec}%8.2f s")
     }

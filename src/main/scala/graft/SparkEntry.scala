@@ -718,45 +718,17 @@ object SparkEntry {
             "price_cents", "status_nz"), approxNdv = true)
           .orderBy("col_name")
       }),
-      // and for the split-POLICY midkey
-      "split_policy" -> ((s, d) => {
-        val grown = T(s, d, "orders")
-          .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
-        val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
-        val tagged = grown.crossJoin(broadcast(b))
-          .withColumn("bucket", graft.analytics.Tools.totalOrderBucket(
-            col("region_key"), col("_lo"), col("_hi"), 8))
-        val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
-        val params = grown.agg(
-          floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
-          floor(sum(cellBytes) / 10000).cast("bigint").as("flush_size"))
-        graft.analytics.Tools.splitPolicy(tagged, "region_key", cellBytes,
-            params, 1000L, approx = true)
-          .orderBy("region")
-      }),
+      // and for the split-POLICY midkey (one shared frame builder —
+      // AnalyticsQueries.splitPolicyFrame — so the exact/sketch pair
+      // can't hand-sync-drift)
+      "split_policy" -> ((s, d) =>
+        graft.analytics.AnalyticsQueries.splitPolicyFrame(s, d, 8, approx = true)
+          .orderBy("region")),
       // stepping's two-scenario frame, same sketch convention (the
       // midkey isn't selected but the stats pass still computes it)
-      "split_policy_stepping" -> ((s, d) => {
-        val grown = T(s, d, "orders")
-          .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
-        val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
-        val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
-        val params = grown.agg(
-          floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
-          floor(sum(cellBytes) / 10000).cast("bigint").as("flush_size"))
-        def scenario(n: Int, tag: String) = {
-          val tagged = grown.crossJoin(broadcast(b))
-            .withColumn("bucket", graft.analytics.Tools.totalOrderBucket(
-              col("region_key"), col("_lo"), col("_hi"), n))
-          graft.analytics.Tools.splitPolicy(tagged, "region_key", cellBytes,
-              params, 1000L, approx = true)
-            .select(lit(tag).as("scenario"), col("region"), col("store_size"),
-              col("limit_bytes"), col("split_increasing"),
-              col("limit_stepping"), col("split_stepping"))
-        }
-        scenario(1, "young").unionByName(scenario(8, "mature"))
-          .orderBy("scenario", "region")
-      }),
+      "split_policy_stepping" -> ((s, d) =>
+        graft.analytics.AnalyticsQueries
+          .splitPolicySteppingScenarios(s, d, approx = true)),
     )
 
   /** DuckDB-runnable oracle per query (same column names, same order). */

@@ -85,6 +85,45 @@ object AnalyticsQueries {
         .write.partitionBy("region").mode("overwrite").parquet(target)
     }
 
+  /** ONE copy of the split-policy verdict frame, shared by the
+    * registered exact queries here and Bench's approx-sketch variants
+    * in SparkEntry (the r12 review's hand-sync dedupe): squared keys
+    * skew the uniform-keyspace buckets (region 0 holds ~35% of rows,
+    * region 7 ~7%) so the policies genuinely disagree — ConstantSize
+    * splits only the giants, the default IncreasingToUpperBound also
+    * catches the mid-size regions. The flush divisor 10000 keeps
+    * 2·flush·R³ (the reference's initialSize·R³, R=8) BELOW
+    * max_file_size, so the increasing policy still catches mid-size
+    * regions ConstantSize misses. */
+  private[graft] def splitPolicyFrame(s: SparkSession, d: String,
+                                      nBuckets: Int, approx: Boolean): DataFrame = {
+    val grown = Tables.load(s, d, "orders")
+      .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+    val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
+    val tagged = grown.crossJoin(broadcast(b))
+      .withColumn("bucket", Tools.totalOrderBucket(
+        col("region_key"), col("_lo"), col("_hi"), nBuckets))
+    val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
+    val params = grown.agg(
+      floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
+      floor(sum(cellBytes) / 10000).cast("bigint").as("flush_size"))
+    Tools.splitPolicy(tagged, "region_key", cellBytes, params, 1000L, approx)
+  }
+
+  /** SteppingSplitPolicy's young (R=1) / mature (R=8) two-scenario
+    * view over [[splitPolicyFrame]] — the midkey columns are dropped
+    * (stepping gates on size only; the frame still computes them). */
+  private[graft] def splitPolicySteppingScenarios(s: SparkSession, d: String,
+                                                  approx: Boolean): DataFrame = {
+    def scenario(n: Int, tag: String) =
+      splitPolicyFrame(s, d, n, approx)
+        .select(lit(tag).as("scenario"), col("region"), col("store_size"),
+          col("limit_bytes"), col("split_increasing"),
+          col("limit_stepping"), col("split_stepping"))
+    scenario(1, "young").unionByName(scenario(8, "mature"))
+      .orderBy("scenario", "region")
+  }
+
   /** Portable row hash for orders: Knuth-multiplicative key hash plus
     * price cents. The key folds into [0, 2^31) before the multiply
     * (same overflow guard as randomRowFilter — the raw multiply blows
@@ -674,27 +713,8 @@ object AnalyticsQueries {
     // IncreasingToUpperBound, with the KeyPrefix-snapped split point;
     // thresholds derived from the corpus total so the semantics hold
     // at every scale factor
-    "split_policy" -> ((s, d) => {
-      // squared keys skew the uniform-keyspace buckets (region 0 holds
-      // ~35% of rows, region 7 ~7%) so the two policies genuinely
-      // disagree: ConstantSize splits only the giants, the default
-      // IncreasingToUpperBound also catches the mid-size regions
-      val grown = Tables.load(s, d, "orders")
-        .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
-      val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
-      val tagged = grown.crossJoin(broadcast(b))
-        .withColumn("bucket", Tools.totalOrderBucket(
-          col("region_key"), col("_lo"), col("_hi"), 8))
-      val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
-      // flush divisor 10000 keeps 2·flush·R³ (the reference's
-      // initialSize·R³, R=8) BELOW max_file_size, so the increasing
-      // policy still catches mid-size regions ConstantSize misses
-      val params = grown.agg(
-        floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
-        floor(sum(cellBytes) / 10000).cast("bigint").as("flush_size"))
-      Tools.splitPolicy(tagged, "region_key", cellBytes, params, 1000L)
-        .orderBy("region")
-    }),
+    "split_policy" -> ((s, d) =>
+      splitPolicyFrame(s, d, 8, approx = false).orderBy("region")),
     // SteppingSplitPolicy (SteppingSplitPolicy.java:20) on its own
     // verdict frame: the SAME corpus viewed young (R = 1, the whole
     // table one region — stepping checks initialSize = 2·flush, the
@@ -702,26 +722,8 @@ object AnalyticsQueries {
     // maxFileSize while increasing still escalates 2·flush·R³ BELOW
     // it, so the mid-size regions split under increasing but ride
     // under stepping: the spread-fast-then-settle divergence)
-    "split_policy_stepping" -> ((s, d) => {
-      val grown = Tables.load(s, d, "orders")
-        .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
-      val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
-      val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
-      val params = grown.agg(
-        floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
-        floor(sum(cellBytes) / 10000).cast("bigint").as("flush_size"))
-      def scenario(n: Int, tag: String) = {
-        val tagged = grown.crossJoin(broadcast(b))
-          .withColumn("bucket", Tools.totalOrderBucket(
-            col("region_key"), col("_lo"), col("_hi"), n))
-        Tools.splitPolicy(tagged, "region_key", cellBytes, params, 1000L)
-          .select(lit(tag).as("scenario"), col("region"), col("store_size"),
-            col("limit_bytes"), col("split_increasing"),
-            col("limit_stepping"), col("split_stepping"))
-      }
-      scenario(1, "young").unionByName(scenario(8, "mature"))
-        .orderBy("scenario", "region")
-    }),
+    "split_policy_stepping" -> ((s, d) =>
+      splitPolicySteppingScenarios(s, d, approx = false)),
     // HBaseFsck region-chain audit over a deliberately corrupted META
     // catalog: 16 uniform regions over the orders keyspace, with region
     // 5 lost (hole), region 9 degenerate (start == end, which also

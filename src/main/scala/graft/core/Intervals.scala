@@ -11,21 +11,31 @@ import org.apache.spark.sql.functions.expr
   * instead of failing loudly with a named error (the same discipline
   * as the dqAudit identifier rule for column splices).
   *
-  * Grammar: one or more `<n> <unit>` groups — so the multi-unit
-  * literals ("1 DAY 2 HOURS") Spark's own INTERVAL parser accepts
-  * pass through (the first r11 cut accepted only a single group,
-  * silently narrowing every duration-taking operator's input
-  * language — the r12 ADVICE catch). A fraction is allowed ONLY on
-  * SECONDS ("1.5 SECONDS"), exactly the multi-unit parser's own rule
-  * (INVALID_INTERVAL_FORMAT.INVALID_FRACTION for every other unit) —
-  * the guard rejects "0.5 HOURS" with a named error instead of
-  * letting the parser's throw replace it. Still only digits, dots
-  * and unit words reach the parser.
+  * Grammar: one or more whitespace-separated `<n> <unit>` groups — so
+  * the multi-unit literals ("1 DAY 2 HOURS") Spark's own INTERVAL
+  * parser accepts pass through (the first r11 cut accepted only a
+  * single group, silently narrowing every duration-taking operator's
+  * input language — the r12 ADVICE catch). The guard mirrors the
+  * ANSI parser's OWN restrictions so bad shapes fail with THIS named
+  * error, not an unnamed ParseException from inside the plan:
+  *  - groups are all year-month (year/month) OR all day-time
+  *    (week..microsecond) — ANSI interval types cannot mix;
+  *  - a fraction is allowed ONLY on SECONDS ("1.5 SECONDS") —
+  *    INVALID_INTERVAL_FORMAT.INVALID_FRACTION everywhere else;
+  *  - groups are separated by real whitespace ("1 DAY2 HOURS" is the
+  *    parser's error, not two groups).
+  * A duplicated unit ("1 DAY 2 DAYS") still reaches the parser and
+  * fails there — loud, just not renamed. Only digits, dots and unit
+  * words ever reach the parser.
   */
 object Intervals {
-  private val Lit =
-    ("(?i)\\s*(\\d+\\s+(microsecond|millisecond|minute|hour|day|week|month|year)s?\\s*" +
-      "|\\d+(\\.\\d+)?\\s+seconds?\\s*)+").r
+  private val Lit = {
+    val n = "\\d+"
+    val ym = s"$n\\s+(?:month|year)s?"
+    val dt = s"(?:$n\\s+(?:microsecond|millisecond|minute|hour|day|week)s?" +
+      s"|$n(?:\\.\\d+)?\\s+seconds?)"
+    (s"(?i)\\s*(?:$ym(?:\\s+$ym)*|$dt(?:\\s+$dt)*)\\s*").r
+  }
 
   def literal(s: String): Column = {
     require(s != null && Lit.matches(s),

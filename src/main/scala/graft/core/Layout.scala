@@ -158,15 +158,20 @@ object Snapshots {
 
   def write(df: DataFrame, keyCol: String, base: String, version: Int): Unit = {
     Layout.writeSorted(df, keyCol, path(base, version))
-    // the manifest memo trusts version immutability, but writeSorted
-    // is mode(overwrite): a re-write of an existing (base, version)
-    // dir (the documented half-written-version recovery path, or a
-    // caller re-calling write) would leave every session's cached
-    // manifest pointing at deleted part files — evict all cached
-    // manifests of this version, whatever session or keyCol cached
-    // them, AFTER the write commits
-    manifests.keySet.removeIf(_.contains(s"|$base|$version|"))
+    evictManifests(base, version)
   }
+
+  /** The manifest memo trusts version immutability, but EVERY path
+    * that replaces a version dir breaks it — writeSorted's
+    * mode(overwrite) (the documented half-written-version recovery
+    * path, or a caller re-calling write), restore's roll-forward into
+    * an existing slot, and a re-export over a populated target
+    * (copyVersionDir deletes dst first). Each replacement site evicts
+    * all cached manifests of its (base, version), whatever session or
+    * keyCol cached them, AFTER the replacement commits — a stale
+    * manifest would read deleted part-file paths. */
+  private def evictManifests(base: String, version: Int): Unit =
+    manifests.keySet.removeIf(_.contains(s"|$base|$version|"))
 
   def read(spark: SparkSession, base: String, version: Int): DataFrame =
     Layout.read(spark, path(base, version))
@@ -290,8 +295,10 @@ object Snapshots {
     * receiving side verifies integrity). Here: a byte-level copy of the
     * version directory; verification is the caller composing per-bucket
     * digests over source and export (see the export_snapshot query). */
-  def exportSnapshot(base: String, version: Int, targetBase: String): Unit =
+  def exportSnapshot(base: String, version: Int, targetBase: String): Unit = {
     copyVersionDir(path(base, version), path(targetBase, version))
+    evictManifests(targetBase, version)
+  }
 
   /** In-place restoreSnapshot (hbase-server/.../master/snapshot/
     * RestoreSnapshotHandler.java:63, executing RestoreSnapshotHelper
@@ -313,6 +320,7 @@ object Snapshots {
       s"restore writes a NEW current version (got v$newCurrentVersion " +
         s"over snapshot v$snapshotVersion)")
     copyVersionDir(path(base, snapshotVersion), path(base, newCurrentVersion))
+    evictManifests(base, newCurrentVersion)
   }
 
   /** The rollback audit — the dual of [[diff]]: given the snapshot

@@ -94,17 +94,20 @@ class LayoutSpec extends SparkSpec {
     // Spark's own INTERVAL parser accepts these — the splice guard
     // must not narrow the operator input language (r12 ADVICE)
     for (ok <- Seq("10 DAYS", "1 DAY 12 HOURS", "1.5 SECONDS",
-                   "2 weeks 3 days", " 7 day ")) {
+                   "2 weeks 3 days", " 7 day ", "1 YEAR 2 MONTHS")) {
       val c = Intervals.literal(ok)
       // parse it for real: a literal the guard passes but the parser
       // rejects would fail operators at plan time
       spark.range(1).select(
         (current_timestamp() - c).as("t")).collect()
     }
-    // "0.5 HOURS" is the parser's own INVALID_FRACTION class — the
-    // guard must reject it with a named error, not let it through
+    // the parser's own error classes must fail HERE with the named
+    // error, never as an unnamed ParseException from inside the plan:
+    // fractions off seconds, year-month mixed into day-time, and a
+    // missing group separator
     for (bad <- Seq("10; DROP TABLE x", "DAYS 10", "10", "ten days",
-                    "10 fortnights", "0.5 HOURS", null)) {
+                    "10 fortnights", "0.5 HOURS", "1 MONTH 5 DAYS",
+                    "1 DAY2 HOURS", null)) {
       intercept[IllegalArgumentException](Intervals.literal(bad))
     }
   }
