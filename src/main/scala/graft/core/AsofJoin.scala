@@ -37,7 +37,13 @@ object AsofJoin {
            quoteCols: Seq[String]): DataFrame = {
     val pcols = probes.columns.toSeq
     val qStruct = struct((col(ts) +: quoteCols.map(col)): _*)
-    val qSide = quotes.select(
+    // NULL-key quotes never match anything: the equi-join this
+    // generalizes (p.key = q.key) is never true on NULL, but
+    // Window.partitionBy co-locates NULL keys — without this filter a
+    // NULL-key probe would silently take a NULL-key quote as _last
+    // (r12 core review). NULL-key probes still flow through (alone in
+    // their partition) and report _last = null, the no-match verdict.
+    val qSide = quotes.where(col(key).isNotNull).select(
       Seq(col(key).as("_k"), col(ts).as("_t"), lit(0).as("_tag"), qStruct.as("_q")) ++
         pcols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
     val pSide = probes.select(

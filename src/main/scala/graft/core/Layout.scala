@@ -23,7 +23,7 @@ object Layout {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
-  /** Bucket `df` unless this session already holds `table`. Bucketing is
+  /** Bucket `df` unless this JVM already holds `table`. Bucketing is
     * ingest-time work done once; the recurring operation a bucketed
     * layout exists FOR is the exchange-free join/agg on top of it — so
     * repeated calls (e.g. a benchmark's warmup + timed pass) must not
@@ -39,9 +39,12 @@ object Layout {
     // both see tableExists=false and concurrently DROP/delete/create —
     // the same once-per-JVM discipline as Indexes.ensure. The catalog
     // check stays inside for the leaf-write case of a table dropped
-    // out-of-band; a thrown write caches nothing.
-    bucketing.computeIfAbsent(
-      s"${org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark)}|$table",
+    // out-of-band; a thrown write caches nothing. Keyed by TABLE, not
+    // (session, table): spark.newSession() shares the catalog and the
+    // warehouse location, so per-session keys let two sessions run
+    // DROP/delete/create concurrently on the SAME path — the exact
+    // corruption race the map exists to close (r12 core review).
+    bucketing.computeIfAbsent(table,
       _ => {
         if (!spark.catalog.tableExists(table))
           writeBucketed(df, keyCol, buckets, table)
@@ -218,12 +221,22 @@ object Snapshots {
     * wide); at real scale a pipeline persists this at snapshot-write
     * time exactly like the reference's manifest. */
   def regionManifest(spark: SparkSession, base: String, version: Int,
-                     keyCol: String): DataFrame =
-    read(spark, base, version)
-      .select(input_file_name().as("file"), col(keyCol))
+                     keyCol: String): DataFrame = {
+    val src = read(spark, base, version)
+    // integral keys only, widened to bigint: the manifest's consumers
+    // (scanDirect's collect) read start/end as Long — an IntegerType
+    // rowkey would ClassCastException at SCAN time, far from the
+    // write that fixed the type (r12 core review); a string rowkey
+    // has no numeric range semantics here at all
+    val kt = src.schema(keyCol).dataType
+    require(Seq("byte", "short", "int", "bigint").contains(kt.simpleString),
+      s"regionManifest needs an integral key column; '$keyCol' is $kt")
+    src
+      .select(input_file_name().as("file"), col(keyCol).cast("bigint").as(keyCol))
       .groupBy("file")
       .agg(min(col(keyCol)).as("start_key"), max(col(keyCol)).as("end_key"),
         count(lit(1)).as("n_rows"))
+  }
 
   /** TableSnapshotInputFormat-style DIRECT snapshot scan: read the
     * snapshot's files with no serving table in the path, touching ONLY
@@ -254,12 +267,29 @@ object Snapshots {
     val key = org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark) +
       s"|$base|$version|$keyCol"
     if (manifests.size > manifestCap) manifests.clear()
-    val manifest = manifests.computeIfAbsent(key, _ =>
+    def build() = manifests.computeIfAbsent(key, _ =>
       regionManifest(spark, base, version, keyCol)
         .select("file", "start_key", "end_key").collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
-    val picked = manifest
-      .filter { case (_, s0, e0) => s0 < hi && e0 >= lo }.map(_._1)
+    def pick(m: Array[(String, Long, Long)]) =
+      m.filter { case (_, s0, e0) => s0 < hi && e0 >= lo }.map(_._1)
+    var picked = pick(build())
+    // VALIDATE-ON-USE: eviction at the replacement sites covers every
+    // in-process deterministic path, but a scan RACING a replacement
+    // can still publish a stale manifest after the eviction ran (the
+    // CHM reservation is invisible to removeIf), and an out-of-process
+    // rewrite evicts nothing. Every replacement writes fresh random
+    // part-file names, so staleness always shows as a missing file —
+    // #regions driver-side existence probes (the same metadata cost
+    // as the reference's getSplits), then one rebuild heals it.
+    if (picked.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(picked.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!picked.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f)))) {
+        manifests.remove(key)
+        picked = pick(build())
+      }
+    }
     val pred = col(keyCol) >= lo && col(keyCol) < hi
     if (picked.isEmpty) read(spark, base, version).where(lit(false))
     else spark.read.parquet(picked.toIndexedSeq: _*).where(pred)

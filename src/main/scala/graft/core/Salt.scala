@@ -166,7 +166,13 @@ object Salt {
   def saltedJoin(facts: DataFrame, dims: DataFrame, key: String,
                  salts: Int, saltOf: Column): DataFrame = {
     require(salts >= 1, s"salts ($salts) must be at least 1")
-    val saltedFacts = facts.withColumn("_salt", pmod(saltOf, lit(salts)))
+    // coalesce before pmod: a NULL saltOf value would give a NULL
+    // salt, and the (key, _salt) equi-join silently DROPS the fact
+    // row — breaking the identical-to-unsalted contract (r12 core
+    // review). Bucket 0 is as good as any: the dim side replicates
+    // into every bucket, so the row still meets exactly one replica.
+    val saltedFacts = facts.withColumn("_salt",
+      pmod(coalesce(saltOf.cast("long"), lit(0L)), lit(salts.toLong)))
     val replicated = dims.withColumn("_salt",
       explode(expr(s"sequence(0L, ${salts - 1}L)")))
     saltedFacts.join(replicated, Seq(key, "_salt")).drop("_salt")

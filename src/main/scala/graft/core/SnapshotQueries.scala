@@ -140,8 +140,15 @@ object SnapshotQueries {
         val updated = survivors.withColumn("value",
           when(col("user_id") % 7 === 0, round(col("value") + 1, 4))
             .otherwise(col("value")))
+        // synthetic insert ids must stay DISJOINT from real ids or the
+        // audit's full-outer join merges an insert with an unrelated
+        // v1 row — guard rides the id column (the pruning-proof
+        // placement), loud past 1e9 instead of silently colliding
         val inserted = survivors.where(col("user_id") % 9 === 0)
-          .withColumn("event_id", col("event_id") + 1000000000L)
+          .withColumn("event_id", expr(
+            "CASE WHEN event_id < 1000000000 THEN event_id + 1000000000 " +
+              "ELSE raise_error('restore_snapshot: event_id >= 1e9 collides " +
+              "with the synthetic insert offset — raise the offset') END"))
         Snapshots.write(updated.unionByName(inserted), "user_id", base, 2)
         Snapshots.restore(base, 1, 3)
       }

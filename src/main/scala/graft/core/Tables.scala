@@ -20,17 +20,32 @@ object Tables {
       // generator emits µs precision and the DuckDB oracle also
       // truncates ns→µs) and plain TIMESTAMP(MICROS) (usable as-is).
       // Branch on the decoded type so both generations load.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val flag = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = spark.conf.getOption(flag)
+      spark.conf.set(flag, "true")
       // Either way normalize to TimestampType (LTZ): watermarks reject
       // TIMESTAMP_NTZ, and the UTC session timezone (set in every
       // entrypoint builder) makes the NTZ→LTZ cast wall-clock exact.
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
+          // a NANOS-generation file: the flag must STAY set — the scan
+          // consults it again at execution, and restoring it here would
+          // fail every task. The session-wide side effect is confined
+          // to this data generation and documented: other NANOS parquet
+          // in the session reads as long too.
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case org.apache.spark.sql.types.TimestampNTZType =>
-          df.withColumn("ts", col("ts").cast("timestamp"))
-        case _ => df
+        case other =>
+          // MICROS/NTZ generation: the flag was only a schema probe —
+          // restore it so an events load doesn't permanently change
+          // how UNRELATED parquet decodes TIMESTAMP(NANOS) (r12 review)
+          prev match {
+            case Some(v) => spark.conf.set(flag, v)
+            case None => spark.conf.unset(flag)
+          }
+          if (other == org.apache.spark.sql.types.TimestampNTZType)
+            df.withColumn("ts", col("ts").cast("timestamp"))
+          else df
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -45,6 +60,12 @@ object Tables {
     */
   def toCells(df: DataFrame, rowkeyCol: String,
               families: Seq[(String, Seq[String])]): DataFrame = {
+    // family/qualifier names land inside generated stack() SQL — the
+    // dqAudit identifier discipline every other splice point follows
+    // (a quote in a name would re-tokenize the SQL, r12 core review)
+    for ((fam, quals) <- families; name <- fam +: quals)
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"toCells family/qualifier '$name' must match [A-Za-z0-9_]+")
     val n = families.map(_._2.size).sum
     val args = families.flatMap { case (fam, quals) =>
       quals.map(q => s"'$fam', '$q', cast(`$q` as string)")

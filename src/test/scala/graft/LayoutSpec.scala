@@ -89,6 +89,36 @@ class LayoutSpec extends SparkSpec {
     assert(after.where(col("k") === 5L).select("v").as[Long].head() == 15L)
   }
 
+  test("scanDirect widens integral keys and rejects string keys loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_intkey").toString
+    // IntegerType rowkey: the manifest collect reads Longs — the cast
+    // inside regionManifest must widen, not ClassCastException at scan
+    val v = (1 to 50).map(k => (k, s"r$k")).toDF("k", "v")
+    Snapshots.write(v, "k", dir, 1)
+    assert(Snapshots.scanDirect(spark, dir, 1, "k", 10L, 20L).count() == 10L)
+    // a string rowkey has no numeric range semantics — named refusal
+    val sdir = Files.createTempDirectory("graft_strkey").toString
+    Snapshots.write(v.withColumn("k", concat(lit("k"), col("k"))), "k", sdir, 1)
+    val e = intercept[IllegalArgumentException](
+      Snapshots.scanDirect(spark, sdir, 1, "k", 10L, 20L).count())
+    assert(e.getMessage.contains("integral key column"), e.getMessage)
+  }
+
+  test("Tables.load(events) does not leak nanosAsLong into the session (micros generation)") {
+    val flag = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(flag)
+    val df = Tables.load(spark, sfDir, "events")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // the testdata generation is MICROS/NTZ — the probe flag must be
+    // restored (getOption surfaces the registered DEFAULT "false", so
+    // assert the value, not absence) so unrelated TIMESTAMP(NANOS)
+    // parquet still fails loudly instead of silently decoding as long
+    assert(spark.conf.get(flag) == "false",
+      s"$flag leaked into the session as ${spark.conf.get(flag)}")
+  }
+
   test("Intervals.literal: multi-unit and fractional literals pass, injection fails") {
     import graft.core.Intervals
     // Spark's own INTERVAL parser accepts these — the splice guard

@@ -648,6 +648,51 @@ class MutationsSpec extends SparkSpec {
     assert(p.contains("_salt"), s"salt column missing from the plan:\n$p")
   }
 
+  test("saltedJoin keeps NULL-saltOf rows; asof never matches NULL keys; toCells rejects splice names") {
+    import spark.implicits._
+    import graft.core.{AsofJoin, Salt, Tables}
+    // a NULL saltOf value must not drop the fact row (r12 core review:
+    // pmod(null) made the (key, _salt) join silently lose it)
+    val facts = Seq((Some(1L), 0L), (None, 0L), (Some(2L), 1L))
+      .toDF("row_id", "k")
+    val dims = Seq((0L, "z"), (1L, "a")).toDF("k", "tag")
+    val salted = Salt.saltedJoin(facts, dims, "k", 4, col("row_id"))
+    assert(salted.count() == 3, "NULL-saltOf row dropped by the salted join")
+    // NULL join keys: the equi-join semantics asof generalizes never
+    // match NULL = NULL — a NULL-key probe reports no quote, and a
+    // NULL-key quote serves nobody
+    val probes = Seq((Some(1L), 10L, "p1"), (None, 10L, "p2"))
+      .toDF("k", "t", "pid")
+    val quotes = Seq((Some(1L), 5L, "q1"), (None, 5L, "qnull"))
+      .toDF("k", "t", "qid")
+    val got = AsofJoin.asof(probes, quotes, "k", "t", Seq("qid"))
+      .select(col("pid"), col("_last.qid").as("m"))
+      .as[(String, Option[String])].collect().toMap
+    assert(got("p1").contains("q1") && got("p2").isEmpty, got.toString)
+    // toCells family/qualifier names are SQL splices — the identifier
+    // rule must reject a quote before it re-tokenizes the stack() SQL
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      Tables.toCells(df, "k", Seq("f'am" -> Seq("v"))))
+    intercept[IllegalArgumentException](
+      Tables.toCells(df, "k", Seq("fam" -> Seq("v; --"))))
+  }
+
+  test("mortonKey: int-typed bucket inputs interleave exactly like long (no sign-bit wrap)") {
+    import spark.implicits._
+    // the AND with lit(1L) widens each extracted bit to bigint BEFORE
+    // the shift, so bits=16 on IntegerType inputs must equal the long
+    // form bit-for-bit (a raw int shift would wrap at shift 31)
+    val df = Seq((65535, 65535), (40000, 1), (1, 40000)).toDF("ai", "bi")
+    val got = df.select(
+        graft.core.Layout.mortonKey(col("ai"), col("bi"), 16).as("mi"),
+        graft.core.Layout.mortonKey(col("ai").cast("bigint"),
+          col("bi").cast("bigint"), 16).as("ml"))
+      .as[(Long, Long)].collect()
+    got.foreach { case (mi, ml) =>
+      assert(mi == ml && mi >= 0, s"int form $mi != long form $ml") }
+  }
+
   test("columnProfile: exact nulls/ndv/extrema, all-null column zero-length, approx path intact") {
     import spark.implicits._
     import graft.analytics.Tools
