@@ -96,7 +96,8 @@ object AnalyticsQueries {
     * max_file_size, so the increasing policy still catches mid-size
     * regions ConstantSize misses. */
   private[graft] def splitPolicyFrame(s: SparkSession, d: String,
-                                      nBuckets: Int, approx: Boolean): DataFrame = {
+                                      nBuckets: Int, approx: Boolean,
+                                      midkey: Boolean = true): DataFrame = {
     val grown = Tables.load(s, d, "orders")
       .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
     val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
@@ -104,19 +105,22 @@ object AnalyticsQueries {
       .withColumn("bucket", Tools.totalOrderBucket(
         col("region_key"), col("_lo"), col("_hi"), nBuckets))
     val cellBytes = floor(col("o_totalprice") * 100).cast("bigint")
-    val params = grown.agg(
-      floor(sum(cellBytes) / 7).cast("bigint").as("max_file_size"),
-      floor(sum(cellBytes) / 10000).cast("bigint").as("flush_size"))
-    Tools.splitPolicy(tagged, "region_key", cellBytes, params, 1000L, approx)
+    // params derive from the SAME per-bucket stats pass (Σ store_size
+    // ≡ the whole-corpus sum, bit-identical) — the separate params
+    // aggregate was a redundant extra orders scan per invocation
+    Tools.splitPolicyDerived(tagged, "region_key", cellBytes,
+      maxDiv = 7L, flushDiv = 10000L, prefixMod = 1000L, approx, midkey)
   }
 
   /** SteppingSplitPolicy's young (R=1) / mature (R=8) two-scenario
-    * view over [[splitPolicyFrame]] — the midkey columns are dropped
-    * (stepping gates on size only; the frame still computes them). */
+    * view over [[splitPolicyFrame]] — midkey = false: stepping gates
+    * on size only, and at R = 1 the exact percentile would buffer the
+    * whole corpus in one aggregation buffer for a column nobody
+    * selects. */
   private[graft] def splitPolicySteppingScenarios(s: SparkSession, d: String,
                                                   approx: Boolean): DataFrame = {
     def scenario(n: Int, tag: String) =
-      splitPolicyFrame(s, d, n, approx)
+      splitPolicyFrame(s, d, n, approx, midkey = false)
         .select(lit(tag).as("scenario"), col("region"), col("store_size"),
           col("limit_bytes"), col("split_increasing"),
           col("limit_stepping"), col("split_stepping"))
@@ -934,7 +938,10 @@ object AnalyticsQueries {
       trio.join(trie.select("region", "prefix_tree_bytes"), Seq("region"))
         .select(col("region"), col("n_cells"), col("raw_bytes"),
           col("prefix_tree_bytes"),
-          expr("(raw_bytes - prefix_tree_bytes) * 1000000 div raw_bytes")
+          // the guarded ppm (Tools.ppmExact) like its three-way
+          // siblings: a bare 10^6 multiply wraps past ~9.2 TB/region
+          // and reports silently corrupt savings (r12 review)
+          Tools.ppmExact("raw_bytes - prefix_tree_bytes", "raw_bytes")
             .as("prefix_tree_saved_ppm"),
           when(col("prefix_bytes") <= least(col("diff_bytes"),
               col("fast_diff_bytes"), col("prefix_tree_bytes")), "PREFIX")
@@ -2270,11 +2277,11 @@ object AnalyticsQueries {
   val oracles: Map[String, String] = Map(
     "namespace_quota" ->
       """WITH catalog AS (
-        |  SELECT 'sales' AS namespace, (count(*) + 999) // 1000 AS n_regions FROM orders
-        |  UNION ALL SELECT 'sales', (count(*) + 999) // 1000 FROM lineitem
-        |  UNION ALL SELECT 'sales', (count(*) + 999) // 1000 FROM customer
-        |  UNION ALL SELECT 'catalog', (count(*) + 999) // 1000 FROM part
-        |  UNION ALL SELECT 'catalog', (count(*) + 999) // 1000 FROM supplier),
+        |  SELECT 'sales' AS namespace, greatest(1, (count(*) + 999) // 1000) AS n_regions FROM orders
+        |  UNION ALL SELECT 'sales', greatest(1, (count(*) + 999) // 1000) FROM lineitem
+        |  UNION ALL SELECT 'sales', greatest(1, (count(*) + 999) // 1000) FROM customer
+        |  UNION ALL SELECT 'catalog', greatest(1, (count(*) + 999) // 1000) FROM part
+        |  UNION ALL SELECT 'catalog', greatest(1, (count(*) + 999) // 1000) FROM supplier),
         |q AS (SELECT namespace, CAST(max_tables AS BIGINT) AS max_tables,
         |             CAST(max_regions AS BIGINT) AS max_regions
         |      FROM (VALUES ('sales', 5, 60), ('catalog', 2, 50))
@@ -3113,7 +3120,8 @@ object AnalyticsQueries {
         |                THEN 1 ELSE 0 END) AS fl FROM r),
         |p AS (SELECT region, fk,
         |    CASE WHEN (rn - 1) % 64 = 0 OR prev IS NULL THEN 0
-        |         ELSE coalesce(list_position(fl, 0) - 1, len(fl)) END AS prefix
+        |         WHEN list_position(fl, 0) = 0 THEN len(fl)
+        |         ELSE list_position(fl, 0) - 1 END AS prefix
         |  FROM f)
         |SELECT region, count(*) AS n_cells,
         |  CAST(sum(len(fk)) AS BIGINT) AS raw_key_bytes,
@@ -3944,12 +3952,12 @@ object AnalyticsQueries {
         |ft AS (SELECT rk.family, count(*) AS n_cells,
         |              CAST(sum(8 + length(qualifier)) AS BIGINT) AS n_bytes,
         |              CAST(sum(CASE WHEN ttl_new IS NOT NULL
-        |                             AND ttl_old IS NOT NULL
         |                             AND now_us - ts_us > ttl_new * 86400000000
-        |                             AND now_us - ts_us <= ttl_old * 86400000000
+        |                             AND (ttl_old IS NULL
+        |                                  OR now_us - ts_us <= ttl_old * 86400000000)
         |                            THEN 1 ELSE 0 END) AS BIGINT) AS newly_expired,
-        |              CAST(sum(CASE WHEN mv_new IS NOT NULL AND mv_old IS NOT NULL
-        |                             AND vrank > mv_new AND vrank <= mv_old
+        |              CAST(sum(CASE WHEN mv_new IS NOT NULL AND vrank > mv_new
+        |                             AND (mv_old IS NULL OR vrank <= mv_old)
         |                            THEN 1 ELSE 0 END) AS BIGINT)
         |                AS newly_dropped_versions
         |       FROM rk JOIN d ON rk.family = d.family, nw GROUP BY 1)

@@ -65,12 +65,14 @@ object Tools {
     // DuckDB's `// 0` errors — the cross-engine divergence this tool
     // exists to rule out; refuse loudly like every sibling divisor
     require(bucketWidth >= 1, s"bucketWidth ($bucketWidth) must be positive")
-    // portable integer FLOOR division ((k − pmod)/w), not floor(k/w):
-    // the double division rounds past 2^53, assigning boundary keys to
-    // the wrong bucket on exactly the cross-engine comparison this
-    // tool exists for (DuckDB's `//` mirror is already integer)
-    df.groupBy(expr(
-        s"($keyCol - pmod($keyCol, $bucketWidth)) div $bucketWidth").as("bucket"))
+    // INTEGER division `div`, not floor(k/w) in double (which rounds
+    // past 2^53, assigning boundary keys to the wrong bucket on
+    // exactly the cross-engine comparison this tool exists for) and
+    // not the (k − pmod)/w floor form: DuckDB's `//` TRUNCATES toward
+    // zero exactly like Spark's `div` (verified: -7 // 2 = -3 on
+    // duckdb 1.0.0), so the pmod-floor form DIVERGED from the bare-//
+    // oracle on negative keys — the r12 inverted-premise fix
+    df.groupBy(expr(s"$keyCol div $bucketWidth").as("bucket"))
       .agg(sum(rowHash).as("digest"), count(lit(1)).as("n_rows"))
   }
 
@@ -1379,7 +1381,7 @@ object Tools {
     * a codegen'd branch on the denominator (num ≤ den by contract),
     * free on the valid path; the column names are spliced, so they
     * obey the dqAudit identifier rule relaxed to +/- arithmetic. */
-  private def ppmExact(num: String, den: String): Column = {
+  private[analytics] def ppmExact(num: String, den: String): Column = {
     require((num + den).matches("[A-Za-z0-9_ +-]+"),
       s"ppm operands '$num'/'$den' must be identifier arithmetic") // SQL splice
     expr(s"CASE WHEN $den <= ${Long.MaxValue / 1000000L} " +
@@ -1425,7 +1427,30 @@ object Tools {
     * sketch for the bench/100 TB path. */
   def splitPolicy(tagged: DataFrame, keyCol: String, sizeCol: Column,
                   params: DataFrame, prefixMod: Long,
-                  approx: Boolean = false): DataFrame = {
+                  approx: Boolean = false): DataFrame =
+    splitPolicyImpl(tagged, keyCol, sizeCol, Left(params), prefixMod,
+      approx, midkey = true)
+
+  /** [[splitPolicy]] with `max_file_size`/`flush_size` DERIVED from
+    * the same materialized per-bucket stats (total = Σ store_size ≡
+    * the caller-params form's whole-corpus sum, so values are
+    * identical) — removes the redundant extra corpus scan the
+    * params aggregate cost per invocation (r12 review).
+    * `midkey = false` additionally skips the per-bucket percentile:
+    * at nBuckets = 1 the exact form buffers EVERY key in one
+    * aggregation buffer (the OOM shape the scaladoc above warns
+    * about) to compute a midkey the size-only consumers never read. */
+  def splitPolicyDerived(tagged: DataFrame, keyCol: String, sizeCol: Column,
+                         maxDiv: Long, flushDiv: Long, prefixMod: Long,
+                         approx: Boolean = false,
+                         midkey: Boolean = true): DataFrame =
+    splitPolicyImpl(tagged, keyCol, sizeCol, Right((maxDiv, flushDiv)),
+      prefixMod, approx, midkey)
+
+  private def splitPolicyImpl(tagged: DataFrame, keyCol: String, sizeCol: Column,
+                              params: Either[DataFrame, (Long, Long)],
+                              prefixMod: Long, approx: Boolean,
+                              midkey: Boolean): DataFrame = {
     require(prefixMod > 0, "prefixMod must be positive")
     require(keyCol.matches("[A-Za-z0-9_]+"),
       s"key column '$keyCol' must match [A-Za-z0-9_]+") // SQL splice below
@@ -1437,10 +1462,17 @@ object Tools {
     // pass is a full extra corpus scan)
     val stats = materializeMeta(tagged.groupBy("bucket")
       .agg(sum(sizeCol).as("store_size"),
-        expr(s"$fn($keyCol, 0.5)").as("_mid")))
+        (if (midkey) expr(s"$fn($keyCol, 0.5)")
+         else lit(null).cast("double")).as("_mid")))
+    val p = params match {
+      case Left(df) => df
+      case Right((maxDiv, flushDiv)) => stats.agg(
+        floor(sum(col("store_size")) / maxDiv).cast("bigint").as("max_file_size"),
+        floor(sum(col("store_size")) / flushDiv).cast("bigint").as("flush_size"))
+    }
     val r = stats.agg(count(lit(1)).as("_r"))
     val mid = floor(col("_mid")).cast("bigint")
-    stats.crossJoin(broadcast(r)).crossJoin(broadcast(params))
+    stats.crossJoin(broadcast(r)).crossJoin(broadcast(p))
       .withColumn("limit_bytes",
         // getSizeToCheck: R==0 / R>100 → maxFileSize (overflow guard);
         // else min(maxFileSize, initialSize·R³), initialSize = 2·flush
@@ -1460,8 +1492,10 @@ object Tools {
         (col("store_size") > col("limit_stepping")).as("split_stepping"),
         when(col("store_size") > col("limit_bytes"), mid)
           .as("split_point"),
+        // `%` (sign of dividend), not pmod: mirrors the oracle's bare
+        // `mid % 1000` on a negative midkey (r12 inverted-premise fix)
         when(col("store_size") > col("limit_bytes"),
-          mid - pmod(mid, lit(prefixMod))).as("split_point_prefix"))
+          mid - (mid % lit(prefixMod))).as("split_point_prefix"))
   }
 
   /** HBaseFsck "hbck" region-chain integrity check (hbase-server/.../
@@ -2052,10 +2086,12 @@ object Tools {
     val c = col(valCol)
     val stats = df.groupBy(groupCol).agg(
       count(lit(1)).as("_n"), sum(c).as("_s"), sum(c * c).as("_q"))
-    // floor division for the signed sum (`div` truncates; DuckDB `//`
-    // floors — divergent on negative values); _q is a sum of squares,
-    // always non-negative, so plain `div` is already the floor there
-    val m = expr("(_s - pmod(_s, _n)) div _n")
+    // plain `div` for the signed sum: DuckDB `//` TRUNCATES toward
+    // zero exactly like Spark's `div` (-7 // 2 = -3, verified on the
+    // oracle engine), so `div` IS the portable mirror of the oracle's
+    // bare `st.s // st.n` — the previous (s − pmod)/n floor form
+    // diverged on negative sums (r12 inverted-premise fix)
+    val m = expr("_s div _n")
     val v = greatest(expr("_q div _n") - m * m, lit(0L))
     df.join(broadcast(stats), groupCol)
       .withColumn("dev_cents", c - m)
@@ -2083,11 +2119,13 @@ object Tools {
       .agg(sum(col(valCol) * col("_dt")).as("_num"),
         sum(col("_dt")).as("span_us"))
       .where(col("span_us") > 0)
-      // FLOOR division (a − pmod)/b, not `div`: `div` truncates toward
-      // zero while the DuckDB oracle's `//` floors — they disagree on
-      // negative numerators (a signed value column)
+      // plain `div`: DuckDB's `//` TRUNCATES toward zero like Spark's
+      // `div` (verified -7 // 2 = -3), so `div` mirrors the oracle's
+      // bare `num // span_us` exactly — the previous (a − pmod)/b
+      // floor form diverged on negative numerators (a signed value
+      // column), the r12 inverted-premise fix
       .select(col(keyCol), col("span_us"),
-        expr("(_num - pmod(_num, span_us)) div span_us").as("twa"))
+        expr("_num div span_us").as("twa"))
   }
 
   /** Exact DISCRETE per-group quantiles without a percentile UDAF: the

@@ -84,6 +84,44 @@ class InsightsSpec extends SparkSpec {
     assert(r.getAs[Long]("twa") == 166L)
   }
 
+  test("integer division parity on NEGATIVES: Spark div truncates exactly like DuckDB //") {
+    import spark.implicits._
+    // the r12 inverted-premise fix: DuckDB's // TRUNCATES toward zero
+    // (-7 // 2 = -3, verified on duckdb 1.0.0), same as Spark's div —
+    // the old (a - pmod(a, b)) div b floor forms diverged from the
+    // bare-// oracles on negative numerators. Pin the three repaired
+    // operators on signed payloads the fixtures can't produce.
+    // timeWeightedAvg: spans 1 µs at -3 and 1 µs at -4 → num = -7,
+    // span 2 → truncation gives -3 (floor would give -4); µs-precision
+    // timestamps built via timestamp_micros to keep the 1 µs gaps
+    val dfUs = Seq((1L, 0L, -3L, 1L), (2L, 1L, -4L, 1L), (3L, 2L, 999L, 1L))
+      .toDF("event_id", "us", "c", "user_id")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val twa = Tools.timeWeightedAvg(dfUs, "user_id", "ts", "c").collect().head
+    assert(twa.getAs[Long]("twa") == -3L, // truncation, NOT floor (-4)
+      s"twa ${twa.getAs[Long]("twa")} != -3 (DuckDB // truncates)")
+    // anomalyFlags mean: group sum -7 over n=2 → m = -3 (truncation);
+    // dev of the -4 row = -1, of -3 row = 0; v = q/n - m*m = 25 div 2
+    // - 9 = 3 → with sigmas=1, flag rows with dev² > 3 → none. The
+    // assertion is the MEAN path not erroring and matching truncation
+    // semantics: plant a wide outlier to observe m through dev_cents.
+    val adf = Seq((1L, "g", -3L), (2L, "g", -4L), (3L, "g", -10000L))
+      .toDF("event_id", "event_type", "c")
+    val flagged = Tools.anomalyFlags(adf, "event_type", "c", sigmas = 1)
+      .collect()
+    // sum = -10007, n = 3 → m = -3335 (trunc; floor would be -3336).
+    // dev_cents of the outlier = -10000 - (-3335) = -6665
+    assert(flagged.exists(r => r.getAs[Long]("c") == -10000L &&
+      r.getAs[Long]("dev_cents") == -6665L),
+      flagged.map(r => (r.getAs[Long]("c"), r.getAs[Long]("dev_cents"))).mkString(","))
+    // hashTable bucket: negative key -7 at width 1000 → bucket 0
+    // (truncation; the old pmod-floor form gave -1 ≠ DuckDB's 0)
+    val hdf = Seq((-7L, 1L), (-1007L, 1L), (7L, 1L)).toDF("k", "h")
+    val buckets = Tools.hashTable(hdf, "k", col("h"), 1000L)
+      .select("bucket").as[Long].collect().toSet
+    assert(buckets == Set(0L, -1L), s"buckets $buckets != Set(0, -1)")
+  }
+
   test("time_weighted_avg: window and aggregate share one exchange on the key") {
     val p = q("time_weighted_avg").queryExecution.executedPlan.toString()
     val shuffles = "(?<!Reused)(?<!Broadcast)Exchange hashpartitioning".r.findAllIn(p).size
