@@ -37,11 +37,12 @@ object Curation {
              precomputedClusters: Option[DataFrame] = None): DataFrame = {
     val lang = TextOps.langId(docs).select("doc_id", "pred_lang")
     val qual = TextOps.quality(docs).select("doc_id", "n_tokens", "quality")
-    // exact-dedup survivors: min doc_id per content digest
-    val exactKeep = docs
-      .groupBy(md5(col("text").cast("binary")).as("_fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), lit(true).as("_ek"))
+    // exact-dedup survivors: THE registered operator, not an inline
+    // re-derivation of its digest formula — a digest change in
+    // Dedup.exact must move this flag with it (one-copy discipline,
+    // r12 review)
+    val exactKeep = Dedup.exact(docs)
+      .select(col("keeper").as("doc_id"), lit(true).as("_ek"))
     // near-dup clusters (transitive) over the capped ngram pair list
     val clusters = precomputedClusters.getOrElse {
       val pairs = Dedup.ngramJaccard(docs, dupThreshold, pruneUnique = false,
@@ -56,17 +57,26 @@ object Curation {
       org.apache.spark.sql.graftbridge.CheckpointBridge.free(pairs)
       cc
     }
+    // qual LEFT-joined: TextOps.quality emits NO row for a zero-token
+    // document (its stats come from exploded tokens), and an inner
+    // join silently dropped such docs from the audit — violating the
+    // every-document contract this report exists for (r12 review; a
+    // "why was this page dropped" lookup found NOTHING). Zero-token
+    // docs report n_tokens 0 / quality 0.0 and kept = false.
     docs.select("doc_id")
       .join(lang, "doc_id")
-      .join(qual, "doc_id")
+      .join(qual, Seq("doc_id"), "left")
       .join(exactKeep, Seq("doc_id"), "left")
       .join(clusters, Seq("doc_id"), "left")
       .select(
-        col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality"),
+        col("doc_id"), col("pred_lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("quality"), lit(0.0)).as("quality"),
         coalesce(col("_ek"), lit(false)).as("exact_keeper"),
         col("cluster"),
         (col("pred_lang") === "en" &&
-          col("quality") >= minQuality && col("n_tokens") >= minTokens &&
+          coalesce(col("quality"), lit(0.0)) >= minQuality &&
+          coalesce(col("n_tokens"), lit(0L)) >= minTokens &&
           coalesce(col("_ek"), lit(false)) &&
           (col("cluster").isNull || col("cluster") === col("doc_id"))).as("kept"))
   }

@@ -25,9 +25,16 @@ object DataPrep {
     * join → one (doc_id) aggregate. The corpus never shuffles its
     * text, and a doc with no benchmark overlap contributes nothing
     * past the join. */
+  /** @param shingleTable precomputed [[Dedup.shingles]] output for
+    *   `docs` (the session memo every other shingle consumer reads) —
+    *   without it each call re-tokenizes and re-explodes the whole
+    *   corpus, a second complete text scan at the 100 TB design point
+    *   (r12 review); the benchmark side is tiny and always shingled
+    *   fresh. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
-                    minShared: Int = 2, n: Int = 3): DataFrame = {
-    val corpus = Dedup.shingles(docs, n)
+                    minShared: Int = 2, n: Int = 3,
+                    shingleTable: Option[DataFrame] = None): DataFrame = {
+    val corpus = shingleTable.getOrElse(Dedup.shingles(docs, n))
       .select(col("doc_id"), explode(col("shs")).as("s"))
     val benchSh = Dedup.shingles(benchmark, n)
       .select(explode(col("shs")).as("s")).distinct()
@@ -55,18 +62,19 @@ object DataPrep {
     * pmod-equivalent ((k % m + m) % m), not bare sign-preserving %,
     * or the engines pick different rows below key 0. */
   def sampleStratified(df: DataFrame, keyCol: String, strataCol: String,
-                       rates: Map[String, Double]): DataFrame = {
+                       rates: Map[String, Double], salt: Long = 0L): DataFrame = {
     val rate = rates.foldLeft(lit(0.0)) { case (acc, (stratum, r)) =>
       when(col(strataCol) === stratum, lit(r)).otherwise(acc)
     }
-    df.where(knuthHash(keyCol) < rate * lit(4294967296L))
+    df.where(knuthHash(keyCol, salt) < rate * lit(4294967296L))
   }
 
   /** The overflow-guarded Knuth hash both samplers share — ONE copy of
     * the fold-then-multiply (see [[sampleStratified]]'s scaladoc for
     * the overflow/negative-key rationale; its SQL mirror is the
     * pmod-equivalent `((k % m + m) % m)` form). */
-  private def knuthHash(keyCol: String) = graft.core.Hashes.knuth(col(keyCol))
+  private def knuthHash(keyCol: String, salt: Long = 0L) =
+    graft.core.Hashes.knuth(col(keyCol), salt)
 
   /** Domain-mixture resampling (the Pile/Dolma-style source weighting):
     * given target shares in integer percent, find the largest total the
@@ -82,9 +90,13 @@ object DataPrep {
     * not the corpus, exactly so absent sources can't vanish from the
     * feasibility min). All threshold arithmetic is integer-exact;
     * valid while every source holds < 2³¹ rows (the k·2³² product's
-    * overflow bound) — past that, pre-scale with a stratified pass. */
+    * overflow bound) — past that, pre-scale with a stratified pass
+    * carrying a DISTINCT `salt`: all samplers share one key hash, so
+    * same-salt stages are fully correlated (the survivors of stage 1
+    * all hash below its threshold, and stage 2's realized fractions
+    * skew by exactly that conditioning — r12 review). */
   def sampleMixture(docs: DataFrame, keyCol: String, sourceCol: String,
-                    weightsPct: Map[String, Int]): DataFrame = {
+                    weightsPct: Map[String, Int], salt: Long = 0L): DataFrame = {
     require(weightsPct.nonEmpty && weightsPct.values.forall(_ > 0) &&
       weightsPct.values.sum == 100,
       s"mixture weights must be positive percents summing to 100: $weightsPct")
@@ -102,7 +114,7 @@ object DataPrep {
       .select(col(sourceCol),
         expr("(((_w * _T) div 100) * 4294967296) div _ns").as("_thr"))
     docs.join(broadcast(thr), Seq(sourceCol))
-      .where(knuthHash(keyCol) < col("_thr")).drop("_thr")
+      .where(knuthHash(keyCol, salt) < col("_thr")).drop("_thr")
   }
 
   /** Temperature-scaled source mixture (the multilingual sampling rule
@@ -120,21 +132,30 @@ object DataPrep {
     * keep-all — without-replacement sampling can't upsample past 1;
     * the realized mixture shows the cap rather than silently
     * re-normalizing. Integer-exact while every t_i < 2³¹ (the t_i·2³²
-    * overflow bound, as sampleMixture's). */
+    * overflow bound, as sampleMixture's). Compose with other sampling
+    * stages only under DISTINCT salts (see [[sampleMixture]]). */
   def sampleTemperature(docs: DataFrame, keyCol: String, sourceCol: String,
-                        targetPct: Int): DataFrame = {
+                        targetPct: Int, salt: Long = 0L): DataFrame = {
     require(targetPct > 0 && targetPct <= 100,
       s"targetPct must be in (0, 100]: $targetPct")
     val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("_ns"))
       .withColumn("_w", floor(sqrt(col("_ns") * lit(1000000L))).cast("bigint"))
     val tot = counts.agg(sum(col("_w")).as("_z"),
       expr(s"(sum(_ns) * $targetPct) div 100").as("_T"))
+    // t_i = ⌊T·w/Z⌋ via the exact decomposition
+    // (T div Z)·w + ((T mod Z)·w) div Z: the direct T·w product
+    // overflows int64 INSIDE the documented validity domain (300
+    // sources × 2e9 rows puts T·w ≈ 1.1e19 past Long.Max) while every
+    // decomposition intermediate stays below Z·max(w) (r12 review).
+    // All operands non-negative, so div/% are exact floor pieces and
+    // the DuckDB mirror is the same expression verbatim.
     val thr = counts.crossJoin(broadcast(tot))
       .select(col(sourceCol),
         least(lit(4294967296L),
-          expr("(((_T * _w) div _z) * 4294967296) div _ns")).as("_thr"))
+          expr("((((_T div _z) * _w + ((_T % _z) * _w) div _z)) * 4294967296) div _ns"))
+          .as("_thr"))
     docs.join(broadcast(thr), Seq(sourceCol))
-      .where(knuthHash(keyCol) < col("_thr")).drop("_thr")
+      .where(knuthHash(keyCol, salt) < col("_thr")).drop("_thr")
   }
 
   /** Context-window sequence packing ("concat-and-chunk"): documents
@@ -185,8 +206,9 @@ object DataPrep {
                        trainPct: Int = 80, validPct: Int = 10): DataFrame = {
     require(trainPct > 0 && validPct > 0 && trainPct + validPct < 100,
       s"bad split ($trainPct/$validPct): need train>0, valid>0, train+valid<100")
-    val h = expr("cast(conv(substring(md5(cast(cast(" +
-      s"`$groupCol` as string) as binary)), 1, 15), 16, 10) as bigint) % 100")
+    // the ONE md5-fold copy (Hashes.md5Fold60) — shared with
+    // shuffle_shard so split and shard assignment cannot hand-sync-drift
+    val h = graft.core.Hashes.md5Fold60(groupCol, 100)
     df.withColumn("split",
       when(h < trainPct, "train")
         .when(h < trainPct + validPct, "valid")

@@ -37,12 +37,32 @@ object PipelineQueries {
     * consumer. Keyed by `sessionUUID` (stable, unique per session —
     * identityHashCode can collide after GC) so checkpoints never leak
     * across sessions (a localCheckpoint dies with its context). */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** One memo slot: the BUILD (a distributed checkpoint job) runs
+    * under the holder's own monitor, NOT inside ConcurrentHashMap's
+    * bin lock — computeIfAbsent only constructs this cheap shell.
+    * Before r12 the full build ran inside computeIfAbsent, so a
+    * builder that touched another memoized table re-entered the map
+    * under a bin lock (IllegalStateException or deadlock — a hazard
+    * three call sites policed by comment alone), and unrelated keys
+    * sharing a hash bin stalled behind multi-second shingle builds.
+    * Same-key circularity still deadlocks — that is a genuine cycle.
+    * The session rides along so sweeps can drop never-forced holders
+    * of dead sessions without forcing a build on a stopped context. */
+  private final class MemoSlot(val session: SparkSession,
+                               build: () => DataFrame) {
+    private var built: Option[DataFrame] = None
+    def df: DataFrame = synchronized {
+      built.getOrElse { val d = build(); built = Some(d); d }
+    }
+    def peek: Option[DataFrame] = synchronized(built)
+  }
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, MemoSlot]()
   private def memoized(s: SparkSession, d: String, what: String)
                       (build: => DataFrame): DataFrame = {
     sweepDead()
     memo.computeIfAbsent(s"${sessionKey(s)}|$d|$what",
-      _ => build.localCheckpoint())
+      _ => new MemoSlot(s, () => build.localCheckpoint())).df
   }
 
   /** Drop entries whose SparkContext has stopped: their checkpoint
@@ -50,7 +70,7 @@ object PipelineQueries {
     * retain the dead session object for the JVM's life (a slow leak in
     * a service hosting many short-lived sessions). */
   private def sweepDead(): Unit =
-    memo.entrySet().removeIf(e => e.getValue.sparkSession.sparkContext.isStopped)
+    memo.entrySet().removeIf(e => e.getValue.session.sparkContext.isStopped)
 
   private def sessionKey(s: SparkSession): String =
     org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(s)
@@ -62,7 +82,8 @@ object PipelineQueries {
   private def memoizedPinned(s: SparkSession, d: String, what: String)
                             (build: => DataFrame): DataFrame = {
     sweepDead()
-    memo.computeIfAbsent(s"${sessionKey(s)}|$d|$what", _ => build)
+    memo.computeIfAbsent(s"${sessionKey(s)}|$d|$what",
+      _ => new MemoSlot(s, () => build)).df
   }
 
   /** Drop every memoized table, RELEASING its checkpoint blocks —
@@ -86,11 +107,15 @@ object PipelineQueries {
     // definition) — Bench calls it between passes only.
     val it = memo.entrySet().iterator()
     while (it.hasNext) {
-      val df = it.next().getValue
+      val slot = it.next().getValue
       it.remove()
-      if (!df.sparkSession.sparkContext.isStopped)
-        try CheckpointBridge.free(df)
-        catch { case _: Throwable => () } // best-effort hygiene
+      // free only FORCED slots (peek, never df): forcing a build here
+      // just to free it would run a checkpoint job on the reset path
+      slot.peek.foreach { df =>
+        if (!df.sparkSession.sparkContext.isStopped)
+          try CheckpointBridge.free(df)
+          catch { case _: Throwable => () } // best-effort hygiene
+      }
     }
   }
 
@@ -135,7 +160,7 @@ object PipelineQueries {
     * every name here is a registered query, so renames can't silently
     * un-gate). */
   private val ngramShingleConsumers: Set[String] = Set(
-    "dedup_minhash_lsh", "ngram_novelty", "source_overlap")
+    "dedup_minhash_lsh", "ngram_novelty", "source_overlap", "decontaminate")
   private val presenceConsumers: Set[String] = Set(
     "ngram_novelty", "source_overlap")
   private val ngramPairConsumers: Set[String] = Set(
@@ -193,7 +218,9 @@ object PipelineQueries {
     // times IN ONE PLAN (Catalyst does no cross-subtree CSE), so the
     // unpinned form re-ran the explode+md5+distinct shuffle per
     // reference and again per sibling query. Dependency resolved
-    // BEFORE the builder — computeIfAbsent must not re-enter the map.
+    // BEFORE the builder (kept for clarity; since the r12 MemoSlot
+    // builds run outside the map's bin lock, cross-key nesting is
+    // safe — only a same-key cycle would deadlock).
     val sh = shingleTab(s, d)
     val dd = docs(s, d).select("doc_id", "source")
     memoized(s, d, "presence_pairs")(
@@ -204,9 +231,9 @@ object PipelineQueries {
   }
 
   /** Capped-ngram near-dup pairs with the registered parameters
-    * (threshold 0.5, maxDf 8, minShared 2). Dependencies are resolved
-    * BEFORE entering the memo builder — computeIfAbsent must not
-    * re-enter the map. */
+    * (threshold 0.5, maxDf 8, minShared 2). Dependencies resolved
+    * before the builder for clarity (cross-key nesting is safe since
+    * the r12 MemoSlot — builds run outside the map's bin lock). */
   private def ngramPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleTab(s, d)
     memoized(s, d, "ngram_pairs")(
@@ -439,9 +466,8 @@ object PipelineQueries {
       // memoizedPinned: labelPropagation returns its final pinned
       // frontier generation (per-round checkpoint discipline) — route
       // it through the session memo so resetShared frees the pin.
-      // The ngramPairs dependency resolves BEFORE the builder:
-      // computeIfAbsent must not re-enter the memo map (ngramClusters'
-      // rule).
+      // The ngramPairs dependency resolves BEFORE the builder for
+      // clarity (cross-key nesting is safe since the r12 MemoSlot).
       val pairs = ngramPairs(s, d).select("i", "j")
       memoizedPinned(s, d, "label_prop") {
         val seeds = docs(s, d).where(col("doc_id") % 3 === 0)
@@ -493,7 +519,8 @@ object PipelineQueries {
     // the eval-leakage scrub; benchmark shingle set broadcasts
     "decontaminate" -> ((s, d) => {
       val all = docs(s, d)
-      DataPrep.decontaminate(all, all.where(col("doc_id") % 41 === 0))
+      DataPrep.decontaminate(all, all.where(col("doc_id") % 41 === 0),
+          shingleTable = Some(shingleTab(s, d)))
         .orderBy("doc_id")
     }),
     // keyword extraction: top-3 TF-IDF terms per doc, micro-log idf
@@ -1085,10 +1112,7 @@ object PipelineQueries {
     // column for the sharded write — assignment never leaves codegen.
     "shuffle_shard" -> ((s, d) =>
       docs(s, d)
-        .withColumn("shard", expr(
-          // 15 hex chars = 60 bits: always non-negative in a long
-          "cast(conv(substring(md5(cast(cast(doc_id as string) as binary)), 1, 15), " +
-            "16, 10) as bigint) % 16"))
+        .withColumn("shard", graft.core.Hashes.md5Fold60("doc_id", 16))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
@@ -1977,15 +2001,18 @@ object PipelineQueries {
          |             round(least(n_tokens / 100.0, 1.0) * (n_distinct * 1.0 / n_tokens), 4) AS quality
          |      FROM st),
          |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-         |SELECT d.doc_id, l.pred_lang, q.n_tokens, q.quality,
+         |SELECT d.doc_id, l.pred_lang,
+         |       CAST(coalesce(q.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       coalesce(q.quality, 0.0) AS quality,
          |       (ek.doc_id IS NOT NULL) AS exact_keeper,
          |       cl.cluster,
-         |       (l.pred_lang = 'en' AND q.quality >= 0.3 AND q.n_tokens >= 10
+         |       (l.pred_lang = 'en' AND coalesce(q.quality, 0.0) >= 0.3
+         |        AND coalesce(q.n_tokens, 0) >= 10
          |        AND ek.doc_id IS NOT NULL
          |        AND (cl.cluster IS NULL OR cl.cluster = d.doc_id)) AS kept
          |FROM documents d
          |JOIN lang l ON d.doc_id = l.doc_id
-         |JOIN q ON d.doc_id = q.doc_id
+         |LEFT JOIN q ON d.doc_id = q.doc_id
          |LEFT JOIN ek ON d.doc_id = ek.doc_id
          |LEFT JOIN cl ON d.doc_id = cl.doc_id
          |ORDER BY d.doc_id""".stripMargin,
@@ -2110,7 +2137,9 @@ object PipelineQueries {
         |      FROM tagged GROUP BY 1),
         |z AS (SELECT sum(w) AS z, (sum(ns) * 40) // 100 AS t FROM c),
         |thr AS (SELECT source_grp,
-        |               least(4294967296, (((t * w) // z) * 4294967296) // ns) AS thr
+        |               least(4294967296,
+        |                     (((t // z) * w + ((t % z) * w) // z) * 4294967296) // ns)
+        |                 AS thr
         |        FROM c, z)
         |SELECT d.doc_id, d.source_grp, d.source, d.n_chars
         |FROM tagged d JOIN thr USING (source_grp)

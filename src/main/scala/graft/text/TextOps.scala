@@ -81,9 +81,14 @@ object TextOps {
            max(col("cnt")).as("max_freq"),
            sum(when(col("tok").isInCollection(EnMarkers), col("cnt")).otherwise(0L))
              .as("n_stop"))
+    // greatest(len, 1): an EMPTY text makes this projection divide by
+    // zero — an ANSI DIVIDE_BY_ZERO error thrown while scanning, even
+    // though the zero-token doc never survives the stats join (its
+    // row is filtered AFTER the division evaluates). 0/1 = 0 for the
+    // row that's about to be dropped anyway.
     val perDoc = docs.select(col("doc_id"),
       size(expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).cast("double")
-        ./(length(col("text"))).as("punct_ratio"))
+        ./(greatest(length(col("text")), lit(1))).as("punct_ratio"))
     stats.join(perDoc, "doc_id")
       .select(
         col("doc_id"), col("n_tokens"),

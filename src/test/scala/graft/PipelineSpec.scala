@@ -59,6 +59,52 @@ class PipelineSpec extends SparkSpec {
       (3L, 1.0, "en")), got.mkString(","))
   }
 
+  test("curate: every document gets an audit row, zero-token docs included") {
+    import spark.implicits._
+    // TextOps.quality emits no row for zero-token docs (stats come
+    // from exploded tokens) — the audit's inner join silently dropped
+    // them (r12 review): a "why was this page dropped" lookup found
+    // NOTHING. Now left-joined: n_tokens 0 / quality 0.0 / kept false.
+    val d = Seq(
+      (1L, "the a of and in to is the a of and in to is"), // en, keeper
+      (7L, "   "),                                          // zero tokens
+      (9L, "")                                              // empty
+    ).toDF("doc_id", "text")
+    // doc 1 scores quality 0.07 (14 tokens, 7 distinct) — gate below it
+    val audit = graft.pipeline.Curation.curate(d, minQuality = 0.05, minTokens = 5)
+      .orderBy("doc_id").collect()
+    assert(audit.length == 3, s"audit rows ${audit.length} != 3 (docs)")
+    val empty = audit.filter(r => Set(7L, 9L)(r.getAs[Long]("doc_id")))
+    assert(empty.forall(r => r.getAs[Long]("n_tokens") == 0L &&
+      r.getAs[Double]("quality") == 0.0 && !r.getAs[Boolean]("kept")),
+      empty.mkString(","))
+    assert(audit.head.getAs[Boolean]("kept"), audit.head.toString)
+  }
+
+  test("salted samplers decorrelate composed stages; salt 0 is the unsalted hash") {
+    import spark.implicits._
+    import graft.pipeline.DataPrep
+    val d = (0L until 4000L).map(i => (i, "s")).toDF("doc_id", "src")
+    // salt = 0 must reproduce the historical unsalted selection
+    val s0 = DataPrep.sampleStratified(d, "doc_id", "src", Map("s" -> 0.3))
+      .select("doc_id").as[Long].collect().toSet
+    val s0b = DataPrep.sampleStratified(d, "doc_id", "src", Map("s" -> 0.3), salt = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s0 == s0b)
+    // same salt composed: stage 2 at 0.5 over stage-1 survivors keeps
+    // ~ALL of them (full correlation — the r12 review's skew); a
+    // distinct salt restores ~half
+    val stage1 = DataPrep.sampleStratified(d, "doc_id", "src", Map("s" -> 0.3))
+    val sameSalt = DataPrep.sampleStratified(stage1, "doc_id", "src",
+      Map("s" -> 0.5)).count().toDouble
+    val newSalt = DataPrep.sampleStratified(stage1, "doc_id", "src",
+      Map("s" -> 0.5), salt = 7L).count().toDouble
+    val n1 = stage1.count().toDouble
+    assert(sameSalt / n1 > 0.95, s"same-salt kept ${sameSalt / n1} (expected ~1: correlated)")
+    assert(newSalt / n1 > 0.35 && newSalt / n1 < 0.65,
+      s"salted kept ${newSalt / n1} (expected ~0.5: decorrelated)")
+  }
+
   test("mlogLong mirrors the Column micro-log formula exactly") {
     import spark.implicits._
     // the driver-side trainer mirror MUST stay formula-identical to
