@@ -77,8 +77,17 @@ object Bench {
     spark.sparkContext.addSparkListener(metrics)
 
     // SPARK_GRAFT_ONLY=a,b,c restricts the run (iteration aid; the
-    // driver never sets it, so round benches always cover everything)
+    // driver never sets it, so round benches always cover everything).
+    // Unknown names fail LOUDLY — a typo'd filter would otherwise run
+    // ZERO queries and exit 0 with value=0.000, an iteration run that
+    // "measured" nothing reading as instant success (VerifyOne's rule)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.benchQueries.keySet
+      require(unknown.isEmpty, "Bench: unknown SPARK_GRAFT_ONLY " +
+        s"quer${if (unknown.size == 1) "y" else "ies"} " +
+        s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // warmup: full untimed pass (ignore failures here; the timed pass reports them)
@@ -250,19 +259,23 @@ object Bench {
         s""""task$tag":${entries(rs.map(r => (r.name, r.task)))},""" +
         s""""sread$tag":${entries(rs.map(r => (r.name, r.sreadMb)))},""" +
         s""""swrite$tag":${entries(rs.map(r => (r.name, r.swriteMb)))}"""
+    // paths go through the shared JSON escaper (Verify.q): a quote or
+    // backslash in an env-supplied path would otherwise corrupt the
+    // round artifact and lose the record at json.load time
+    val sfJson = Verify.q(sfDir)
     val fullRecord =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${qs.size},""" +
         passMaps("", pass1) + "," + passMaps("2", pass2) + "," +
         passMaps("3", pass3) + "," +
         s""""pass2_sec":$total2,"pass3_sec":$total3,"gc_sec":$totalGc,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""failed":$failedJson,"sf":$sfJson}"""
     // a FILTERED run writes no full record — its compact line must say
     // null, not point at a stale full file from an earlier round
-    val fullRef = if (only.isEmpty) "\"" + outPath + "\"" else "null"
+    val fullRef = if (only.isEmpty) Verify.q(outPath.toString) else "null"
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${qs.size},""" +
         s""""queries":${entries(top)},"pass2_sec":$total2,"pass3_sec":$total3,""" +
-        s""""gc_sec":$totalGc,"failed":$failedJson,"full":$fullRef,"sf":"$sfDir"}"""
+        s""""gc_sec":$totalGc,"failed":$failedJson,"full":$fullRef,"sf":$sfJson}"""
     // a filtered run must not clobber the round's full record
     if (only.isEmpty) {
       java.nio.file.Files.write(outPath, (fullRecord + "\n").getBytes("UTF-8"))

@@ -108,16 +108,44 @@ object ScaleSpike {
     spikeTable("supplier") { (su, c) =>
       su.withColumn("s_suppkey", col("s_suppkey") + off(c))
     }
-    // dimension tables: reuse the source files (copy)
+    // dimension tables: reuse the source files (copy). Same resume
+    // discipline as spikeTable: a dir is trusted only once its copy
+    // COMMITTED (_SUCCESS last — copied after every part file, or
+    // created when the source has none), else a run killed mid-copy
+    // leaves a truncated dimension that reports misleadingly
+    // sub-linear ratios with no sign of corruption. Flat files commit
+    // via copy-to-tmp + atomic rename.
     for (f <- new java.io.File(srcDir).listFiles()
          if f.getName.endsWith(".parquet")) {
       val tgt = new java.io.File(out, f.getName)
-      if (!tgt.exists()) {
-        if (f.isDirectory) {
+      if (f.isDirectory) {
+        if (!new java.io.File(tgt, "_SUCCESS").exists()) {
+          if (tgt.exists()) { // partial earlier copy: start clean
+            tgt.listFiles().foreach(_.delete()); tgt.delete()
+          }
           tgt.mkdirs()
-          f.listFiles().foreach(p => java.nio.file.Files.copy(
-            p.toPath, new java.io.File(tgt, p.getName).toPath))
-        } else java.nio.file.Files.copy(f.toPath, tgt.toPath)
+          val (marker, parts) = f.listFiles().partition(_.getName == "_SUCCESS")
+          // flat layout only: Files.copy of a SUBDIRECTORY creates an
+          // empty dir without error, which would then be committed by
+          // the _SUCCESS stamp below and trusted forever — refuse a
+          // nested/partitioned dim layout loudly instead
+          parts.foreach { p =>
+            require(p.isFile, s"spike dim copy: nested entry $p — " +
+              "recurse support needed for partitioned dim layouts")
+            java.nio.file.Files.copy(
+              p.toPath, new java.io.File(tgt, p.getName).toPath)
+          }
+          val m = new java.io.File(tgt, "_SUCCESS")
+          if (marker.nonEmpty)
+            java.nio.file.Files.copy(marker.head.toPath, m.toPath)
+          else m.createNewFile()
+        }
+      } else if (!tgt.exists()) {
+        val tmp = new java.io.File(out, f.getName + "._tmp")
+        java.nio.file.Files.copy(f.toPath, tmp.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.move(tmp.toPath, tgt.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       }
     }
 

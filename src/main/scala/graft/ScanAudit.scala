@@ -45,17 +45,36 @@ object ScanAudit {
     val minScans = if (args.length > 1) args(1).toInt else 4
     val only = if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet)
       else None
+    // fail-loudly rule (Bench/VerifyOne's): a typo'd name silently
+    // audits nothing and "done: 0 flagged" reads as a clean audit
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"ScanAudit: unknown/empty query list ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // plan strings truncate metadata (Location lists, PushedFilters)
+      // at 100 chars by default: a long path would be cut MID-NAME, so
+      // srcKey would group a mangled basename (or lose trailing paths
+      // entirely) and a real xN re-scan could under-count below the
+      // flag threshold — raise the cap so the audit reads whole paths
+      .config("spark.sql.maxMetadataStringLength", "4096")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // counts raw file: occurrences anywhere in the plan string — a
     // scan-node-scoped match would be stricter, but every file: in a
     // plan IS inside some scan's Location list, so the simple count
-    // is equivalent for these plans
+    // is equivalent for these plans. Caveat, r12 review: a scan whose
+    // file index has SEVERAL root paths prints one file: entry per
+    // path for ONE physical scan. The single such reader (scanDirect's
+    // pruned part-file list) is safe — its roots are DISTINCT files,
+    // so per-source counts stay 1 — but a future reader passing the
+    // SAME dir several times would inflate its count; re-check this
+    // premise if one lands
     val fileRe = """file:[^,\s\]]+""".r
     var flagged = 0
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -680,44 +680,19 @@ object SparkEntry {
       // split points need only be NEAR the quantiles, so the bench
       // path runs the fixed-state approx_percentile sketch (the exact
       // form buffers every key in one aggregation buffer)
+      // shared frame builders (AnalyticsQueries.*Frame): ONE body per
+      // exact/sketch pair, so the bench can't silently time a plan
+      // that drifted from the correctness-verified one
       "region_splitter" -> ((s, d) =>
-        graft.analytics.Tools.regionSplitPoints(
-            T(s, d, "orders")
-              .withColumn("region_key", col("o_orderkey") * col("o_orderkey")),
-            "region_key", 8, approx = true)
-          .orderBy("split_idx")),
+        graft.analytics.AnalyticsQueries.regionSplitterFrame(s, d, approx = true)),
       // same convention for split EXECUTION: daughter boundaries from
       // the approx_percentile sketch on the bench path
-      "region_split_exec" -> ((s, d) => {
-        val grown = T(s, d, "orders")
-          .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
-        // materialized like the registered query (ScanAudit): the plan
-        // input is 16-row metadata; the bench must not time the
-        // per-fork corpus re-scans the registered plan was cured of
-        val buckets = graft.analytics.Tools.materializeMeta(
-          graft.analytics.Tools.totalOrderBuckets(grown, "region_key", 16))
-        val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
-        val tagged = grown.crossJoin(broadcast(b))
-          .withColumn("bucket", graft.analytics.Tools.totalOrderBucket(
-            col("region_key"), col("_lo"), col("_hi"), 16))
-        graft.analytics.Tools.applySplits(tagged,
-            graft.analytics.Tools.normalizerPlan(buckets), "region_key", approx = true)
-          .orderBy("daughter")
-      }),
+      "region_split_exec" -> ((s, d) =>
+        graft.analytics.AnalyticsQueries.regionSplitExecFrame(s, d, approx = true)),
       // and for the profiler's ndv: HLL++ sketches replace the
       // |cols|x expand of the exact multi-distinct (oracle keeps exact)
-      "column_profile" -> ((s, d) => {
-        val t = T(s, d, "orders")
-          .withColumn("price_cents",
-            floor(col("o_totalprice") * 100).cast("bigint"))
-          .withColumn("status_nz",
-            when(col("o_orderstatus") === "O", lit(null))
-              .otherwise(col("o_orderstatus")))
-        graft.analytics.Tools.columnProfile(t, Seq("o_orderkey",
-            "o_orderstatus", "o_orderpriority", "o_orderdate",
-            "price_cents", "status_nz"), approxNdv = true)
-          .orderBy("col_name")
-      }),
+      "column_profile" -> ((s, d) =>
+        graft.analytics.AnalyticsQueries.columnProfileFrame(s, d, approxNdv = true)),
       // and for the split-POLICY midkey (one shared frame builder —
       // AnalyticsQueries.splitPolicyFrame — so the exact/sketch pair
       // can't hand-sync-drift)

@@ -8,9 +8,11 @@ import java.nio.file.{Files, Paths}
 object VerifyOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1); val names = args.drop(2).toSet
-    // a typo'd name must fail LOUDLY: silently filtering it out dumps
-    // nothing, check.py reports "0/0 pass", and the operator reads an
-    // unverified query as verified
+    // a typo'd OR EMPTY name list must fail LOUDLY: silently running
+    // nothing dumps nothing, check.py reports "0/0 pass", and the
+    // operator reads an unverified query set as verified (the empty
+    // case: a shell variable holding the list expands to nothing)
+    require(names.nonEmpty, "VerifyOne: no query names given")
     val unknown = names -- SparkEntry.queries.keySet
     require(unknown.isEmpty,
       s"VerifyOne: unknown quer${if (unknown.size == 1) "y" else "ies"} " +

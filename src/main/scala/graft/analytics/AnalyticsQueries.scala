@@ -128,6 +128,50 @@ object AnalyticsQueries {
       .orderBy("scenario", "region")
   }
 
+  /** The skew-grown orders keyspace every split-planning frame shares. */
+  private def grownOrders(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders")
+      .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
+
+  /** ONE copy each of the region_splitter / region_split_exec /
+    * column_profile frames, shared by the registered exact queries and
+    * Bench's sketch variants in SparkEntry — the split_policy
+    * hand-sync-dedupe pattern applied to the other three exact/sketch
+    * pairs (r12 harness review: a fix to a registered body did not
+    * propagate to its bench copy, so the bench silently timed a
+    * different plan than the one correctness-verified). */
+  private[graft] def regionSplitterFrame(s: SparkSession, d: String,
+                                         approx: Boolean): DataFrame =
+    Tools.regionSplitPoints(grownOrders(s, d), "region_key", 8, approx)
+      .orderBy("split_idx")
+
+  private[graft] def regionSplitExecFrame(s: SparkSession, d: String,
+                                          approx: Boolean): DataFrame = {
+    val grown = grownOrders(s, d)
+    // the plan input is 16-row metadata (materialized — ScanAudit);
+    // `tagged` stays lazy, its two consumers are the honest data work
+    val buckets = Tools.materializeMeta(
+      Tools.totalOrderBuckets(grown, "region_key", 16))
+    val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
+    val tagged = grown.crossJoin(broadcast(b))
+      .withColumn("bucket",
+        Tools.totalOrderBucket(col("region_key"), col("_lo"), col("_hi"), 16))
+    Tools.applySplits(tagged, Tools.normalizerPlan(buckets), "region_key", approx)
+      .orderBy("daughter")
+  }
+
+  private[graft] def columnProfileFrame(s: SparkSession, d: String,
+                                        approxNdv: Boolean): DataFrame = {
+    val t = Tables.load(s, d, "orders")
+      .withColumn("price_cents",
+        floor(col("o_totalprice") * 100).cast("bigint"))
+      .withColumn("status_nz",
+        when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus")))
+    Tools.columnProfile(t, Seq("o_orderkey", "o_orderstatus",
+        "o_orderpriority", "o_orderdate", "price_cents", "status_nz"), approxNdv)
+      .orderBy("col_name")
+  }
+
   /** Portable row hash for orders: Knuth-multiplicative key hash plus
     * price cents. The key folds into [0, 2^31) before the multiply
     * (same overflow guard as randomRowFilter — the raw multiply blows
@@ -320,11 +364,7 @@ object AnalyticsQueries {
     // side — with squared keys the two disagree wildly, which is the
     // reason the data-aware variant exists
     "region_splitter" -> ((s, d) =>
-      Tools.regionSplitPoints(
-          Tables.load(s, d, "orders")
-            .withColumn("region_key", col("o_orderkey") * col("o_orderkey")),
-          "region_key", 8)
-        .orderBy("split_idx")),
+      regionSplitterFrame(s, d, approx = false)),
     // ExploringCompactionPolicy: flush files modeled as one store file
     // per (region, day) — size = cells flushed; per region, select the
     // best ratio-valid window of 3-5 seq-ordered files (most files,
@@ -667,20 +707,8 @@ object AnalyticsQueries {
     // Split execution, the dual of region_merge: the normalizer's
     // split plans applied — flagged buckets divide at their data
     // median into daughters 2b / 2b+1, others carry through as 2b
-    "region_split_exec" -> ((s, d) => {
-      val grown = Tables.load(s, d, "orders")
-        .withColumn("region_key", col("o_orderkey") * col("o_orderkey"))
-      // the plan input is 16-row metadata (materialized — ScanAudit);
-      // `tagged` stays lazy, its two consumers are the honest data work
-      val buckets = Tools.materializeMeta(
-        Tools.totalOrderBuckets(grown, "region_key", 16))
-      val b = grown.agg(min("region_key").as("_lo"), max("region_key").as("_hi"))
-      val tagged = grown.crossJoin(broadcast(b))
-        .withColumn("bucket",
-          Tools.totalOrderBucket(col("region_key"), col("_lo"), col("_hi"), 16))
-      Tools.applySplits(tagged, Tools.normalizerPlan(buckets), "region_key")
-        .orderBy("daughter")
-    }),
+    "region_split_exec" -> ((s, d) =>
+      regionSplitExecFrame(s, d, approx = false)),
     // Client META location lookup over a catalog carrying both an
     // offline split parent (daughters online) and a hole (region 5
     // lost): every orders key resolves through the online chain except
@@ -824,16 +852,8 @@ object AnalyticsQueries {
     // column, the double price profiled as exact integer cents —
     // doubles' string rendering is the one non-portable piece, so the
     // operator contract keeps them out
-    "column_profile" -> ((s, d) => {
-      val t = Tables.load(s, d, "orders")
-        .withColumn("price_cents",
-          floor(col("o_totalprice") * 100).cast("bigint"))
-        .withColumn("status_nz",
-          when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus")))
-      Tools.columnProfile(t, Seq("o_orderkey", "o_orderstatus",
-          "o_orderpriority", "o_orderdate", "price_cents", "status_nz"))
-        .orderBy("col_name")
-    }),
+    "column_profile" -> ((s, d) =>
+      columnProfileFrame(s, d, approxNdv = false)),
     // Pure interval join (no equi-key): promo windows (every 499th
     // event anchors ±1h) matched to the events inside them via the
     // hour-binned equi-join — the plan that replaces the
