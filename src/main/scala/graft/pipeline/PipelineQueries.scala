@@ -916,6 +916,69 @@ object PipelineQueries {
         .withColumn("recall_ppm",
           expr("IF(tp + fn = 0, 0L, tp * 1000000 div (tp + fn))"))
         .orderBy("thresh")),
+    // pass@k — the unbiased estimator of Chen et al. 2021 (Codex,
+    // §2.1): per task with n samples of which c correct,
+    // pass@k = 1 − C(n−c, k)/C(n, k), evaluated as the falling-
+    // factorial ratio Π_{i<k}(n−c−i) / Π_{i<k}(n−i) in EXACT integer
+    // micro units (k is a literal, so both products expand inline and
+    // the DuckDB oracle is the same arithmetic verbatim; n ≤ 100 at
+    // k ≤ 5 keeps Π·10⁶ < 2⁶³ — the loud guard rides the value
+    // column). Tasks = doc_id mod 50, "correct" = a deterministic
+    // content predicate — the plumbing is the operator; a real eval
+    // harness lands its own (task, correct) rows. One tiny aggregate
+    // (50 tasks), k fanned by a literal explode: no shuffle beyond
+    // the task rollup, eval sets of any size reduce map-side.
+    "eval_pass_at_k" -> ((s, d) => {
+      val samples = docs(s, d).select(
+        (col("doc_id") % 50).as("task"),
+        (col("n_chars") % 7 < 2).cast("long").as("_ok"))
+      val byTask = samples.groupBy("task")
+        .agg(count(lit(1)).as("n"), sum("_ok").as("c"))
+      byTask
+        .select(col("task"), col("n"), col("c"),
+          explode(array(lit(1), lit(5))).as("k"))
+        .withColumn("pass_at_k_ppm", expr(
+          """CASE
+            |  WHEN n > 100 THEN raise_error(concat(
+            |    'eval_pass_at_k: n = ', n,
+            |    ' past the exact falling-factorial bound (100 at k<=5)',
+            |    ' - subsample per task'))
+            |  WHEN n - c < k THEN 1000000L
+            |  WHEN k = 1 THEN 1000000L - ((n - c) * 1000000L div n)
+            |  ELSE 1000000L -
+            |    ((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4) * 1000000L)
+            |      div (n * (n-1) * (n-2) * (n-3) * (n-4))
+            |END""".stripMargin))
+        .orderBy("task", "k")
+    }),
+    // ROUGE-N overlap (Lin 2004), distinct-bigram set form: recall =
+    // |∩|/|ref bigrams|, precision = |∩|/|cand bigrams|, F1 — the
+    // generation-eval readout beside eval_auc/ndcg. Candidate/reference
+    // pairs = adjacent doc ids (a real harness feeds its own pairs);
+    // bigram sets ride the SAME Dedup.shingles tokenizer as the dedup
+    // family (n = 2), intersections are codegen'd array_intersect on
+    // the pair row — the only shuffle is the pair join, and at 100 TB
+    // the pre-shingled corpus table serves both sides.
+    "eval_rouge_n" -> ((s, d) => {
+      val sh = Dedup.shingles(docs(s, d), 2)
+      val cand = sh.select(col("doc_id").as("cand_id"), col("shs").as("_cs"))
+      val ref = sh.select((col("doc_id") - 1).as("cand_id"),
+        col("doc_id").as("ref_id"), col("shs").as("_rs"))
+      cand.join(ref, "cand_id")
+        .select(col("cand_id"), col("ref_id"),
+          size(col("_cs")).cast("bigint").as("n_cand"),
+          size(col("_rs")).cast("bigint").as("n_ref"),
+          size(array_intersect(col("_cs"), col("_rs"))).cast("bigint")
+            .as("n_common"))
+        .withColumn("recall_ppm", expr("n_common * 1000000 div n_ref"))
+        .withColumn("precision_ppm", expr("n_common * 1000000 div n_cand"))
+        // F1 = 2PR/(P+R) in ppm (P,R ≤ 10⁶ so 2PR ≤ 2e12 — exact);
+        // zero overlap has no harmonic mean — report 0
+        .withColumn("f1_ppm", expr(
+          "IF(n_common = 0, 0L, " +
+            "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm))"))
+        .orderBy("cand_id")
+    }),
     // Calibration / reliability audit of the quality classifier: docs
     // bucketed into 10 equal-width score bins (broadcast bounds, the
     // histogram_fixed shape), per bin the observed positive rate
@@ -2750,6 +2813,40 @@ object PipelineQueries {
         |    CAST(sum(pos_b * (2 * neg_below + neg_b)) AS BIGINT) AS u2 FROM c)
         |SELECT n_pos, n_neg, u2 * 1000000 // (2 * n_pos * n_neg) AS auc_ppm
         |FROM a""".stripMargin,
+    "eval_pass_at_k" ->
+      """WITH s AS (SELECT doc_id % 50 AS task,
+        |                  CASE WHEN n_chars % 7 < 2 THEN 1 ELSE 0 END AS ok
+        |           FROM documents),
+        |t AS (SELECT task, count(*) AS n, CAST(sum(ok) AS BIGINT) AS c
+        |      FROM s GROUP BY 1),
+        |kk AS (SELECT 1 AS k UNION ALL SELECT 5)
+        |SELECT task, n, c, k,
+        |  CASE WHEN n - c < k THEN 1000000
+        |       WHEN k = 1 THEN 1000000 - ((n - c) * 1000000 // n)
+        |       ELSE 1000000 -
+        |         ((n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4) * 1000000)
+        |           // (n*(n-1)*(n-2)*(n-3)*(n-4))
+        |  END AS pass_at_k_ppm
+        |FROM t, kk ORDER BY task, k""".stripMargin,
+    "eval_rouge_n" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |sh AS (SELECT doc_id,
+        |         list_distinct([ts[i] || ' ' || ts[i+1]
+        |                        for i in range(1, len(ts))]) AS shs
+        |       FROM tok WHERE len(ts) >= 2),
+        |p AS (SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+        |             CAST(len(c.shs) AS BIGINT) AS n_cand,
+        |             CAST(len(r.shs) AS BIGINT) AS n_ref,
+        |             CAST(len(list_intersect(c.shs, r.shs)) AS BIGINT) AS n_common
+        |      FROM sh c JOIN sh r ON r.doc_id = c.doc_id + 1),
+        |m AS (SELECT *, n_common * 1000000 // n_ref AS recall_ppm,
+        |             n_common * 1000000 // n_cand AS precision_ppm FROM p)
+        |SELECT cand_id, ref_id, n_cand, n_ref, n_common,
+        |       recall_ppm, precision_ppm,
+        |       CASE WHEN n_common = 0 THEN 0
+        |            ELSE 2 * precision_ppm * recall_ppm
+        |                 // (precision_ppm + recall_ppm) END AS f1_ppm
+        |FROM m ORDER BY cand_id""".stripMargin,
     "eval_confusion" ->
       """WITH e AS (SELECT
         |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS score_ppm,

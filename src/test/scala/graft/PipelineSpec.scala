@@ -105,6 +105,53 @@ class PipelineSpec extends SparkSpec {
       s"salted kept ${newSalt / n1} (expected ~0.5: decorrelated)")
   }
 
+  test("eval_pass_at_k matches an exact BigInt re-implementation; boundary arms correct") {
+    import spark.implicits._
+    // independent oracle: per-task pass@k recomputed driver-side with
+    // BigInt falling factorials (no shared expression with the query)
+    val got = SparkEntry.queries("eval_pass_at_k")(spark, sfDir)
+      .as[(Long, Long, Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    def passAtK(n: Long, c: Long, k: Int): Long =
+      if (n - c < k) 1000000L
+      else {
+        val num = (0 until k).map(i => BigInt(n - c - i)).product
+        val den = (0 until k).map(i => BigInt(n - i)).product
+        (BigInt(1000000) - (num * 1000000 / den)).toLong
+      }
+    got.foreach { case (task, n, c, k, ppm) =>
+      assert(ppm == passAtK(n, c, k), s"task $task n=$n c=$c k=$k: $ppm")
+    }
+    // hand arithmetic pins the estimator itself: n=10, c=3 →
+    // pass@1 = 1 − 7/10 = 0.3; pass@5 = 1 − C(7,5)/C(10,5) = 11/12
+    assert(passAtK(10, 3, 1) == 300000L)
+    assert(passAtK(10, 3, 5) == 916667L) // 1e6 − 2520e6 div 30240
+    assert(passAtK(10, 0, 5) == 0L)      // no correct samples
+    assert(passAtK(10, 7, 5) == 1000000L) // n − c < k: certain
+  }
+
+  test("eval_rouge_n matches a Scala set re-implementation on the corpus") {
+    import spark.implicits._
+    val got = SparkEntry.queries("eval_rouge_n")(spark, sfDir)
+      .select("cand_id", "ref_id", "n_common", "recall_ppm", "f1_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    def bigrams(t: String): Set[String] = {
+      val w = t.split(" ", -1) // keep empties: the shingle tokenizer's raw split
+      if (w.length < 2) Set.empty
+      else w.sliding(2).map(_.mkString(" ")).toSet
+    }
+    got.foreach { case (cand, ref, common, recall, f1) =>
+      val cs = bigrams(texts(cand)); val rs = bigrams(texts(ref))
+      val inter = (cs & rs).size.toLong
+      assert(common == inter, s"pair ($cand,$ref): $common != $inter")
+      assert(recall == inter * 1000000L / rs.size, s"recall of ($cand,$ref)")
+      if (inter == 0) assert(f1 == 0L)
+    }
+  }
+
   test("mlogLong mirrors the Column micro-log formula exactly") {
     import spark.implicits._
     // the driver-side trainer mirror MUST stay formula-identical to
