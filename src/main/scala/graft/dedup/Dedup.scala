@@ -17,11 +17,20 @@ object Dedup {
 
   /** Exact dedup: group by content digest (md5 — engine-portable),
     * keep the min doc_id as the canonical copy. The shuffle key is the
-    * 32-char digest, never the document body. */
+    * 32-char digest, never the document body.
+    *
+    * NULL text is MISSING content, not SHARED content: md5(NULL) is
+    * NULL and groupBy conflates every NULL into one key, so a crawl
+    * shard with missing captures would silently report all of them as
+    * copies of one keeper (r12 dedup review) — each NULL-text doc is
+    * its own keeper instead. */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text").cast("binary")).as("_fp"))
+    docs.where(col("text").isNotNull)
+      .groupBy(md5(col("text").cast("binary")).as("_fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select("keeper", "n_copies")
+      .unionByName(docs.where(col("text").isNull)
+        .select(col("doc_id").as("keeper"), lit(1L).as("n_copies")))
 
   /** Line-level dedup (C4's three-sentence-span rule, Raffel et al.
     * 2020 §2.2 / CCNet's per-paragraph hash dedup, Wenzek et al. 2020
@@ -133,11 +142,18 @@ object Dedup {
   /** URL-level dedup over [[canonicalizeUrl]]: one capture kept per
     * canonical URL (min doc_id), with the copy count — the cheapest
     * dedup pass a crawl corpus runs, ahead of any content hashing.
-    * Same scale shape as [[exact]]: only canonical URLs shuffle. */
+    * Same scale shape as [[exact]], including its NULL-key rule: a
+    * missing URL is not a shared URL, so every NULL-url capture is
+    * its own keeper (NULL canonical_url, n_copies 1) instead of all
+    * of them conflating into one "duplicate" group. */
   def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
-    docs.groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    docs.where(col(urlCol).isNotNull)
+      .groupBy(canonicalizeUrl(col(urlCol)).as("canonical_url"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
       .select("canonical_url", "keeper", "n_copies")
+      .unionByName(docs.where(col(urlCol).isNull)
+        .select(lit(null).cast("string").as("canonical_url"),
+          col("doc_id").as("keeper"), lit(1L).as("n_copies")))
 
   /** Incremental (shard-vs-corpus) exact dedup — the ingest-time shape
     * of [[exact]]: a NEW shard of documents arrives next to an
@@ -182,7 +198,12 @@ object Dedup {
     b.join(corpusHits.withColumn("_in_corpus", lit(true)), Seq("digest"), "left")
       .withColumn("_min_id", min(col("doc_id")).over(Window.partitionBy("digest")))
       .select(col("doc_id"), col("digest"),
-        when(col("_in_corpus"), "dup_in_corpus")
+        // NULL digest (missing text) is exact()'s NULL-key rule: the
+        // window partitions all NULLs together, so without this arm
+        // every NULL-text shard doc but one was labeled dup_in_batch
+        // of documents it shares nothing with (r12 dedup review)
+        when(col("digest").isNull, "kept")
+          .when(col("_in_corpus"), "dup_in_corpus")
           .when(col("doc_id") > col("_min_id"), "dup_in_batch")
           .otherwise("kept").as("status"))
   }
@@ -441,7 +462,16 @@ object Dedup {
     * shuffle, no self-join); the verify is exact against the full
     * shingle sets, so every reported pair carries its true
     * containment. The reference engine has no containment operator —
-    * this is LLM-pipeline surface (SURVEY §2G). */
+    * this is LLM-pipeline surface (SURVEY §2G).
+    *
+    * RECALL floor, explicit (r12 review): a doc of exactly n words
+    * carries ONE shingle and can never satisfy `minShared` ≥ 2 — the
+    * shortest-doc end of containment's own motivating class is
+    * structurally unreachable at the default. Pass minShared = 1 to
+    * recover single-shingle docs at the cost of a wider candidate set
+    * (Jaccard's "≥ 2 rare shared shingles costs little recall"
+    * argument does NOT transfer to containment, whose positives can
+    * share exactly one shingle). */
   def ngramContainment(docs: DataFrame, threshold: Double,
                        maxDf: Int = 8, minShared: Int = 2,
                        shingleTable: Option[DataFrame] = None): DataFrame = {
@@ -601,13 +631,27 @@ object Dedup {
     *
     * Returns (id, cluster) for every doc appearing in `pairs`, where
     * `cluster` = min doc_id of the component (deterministic keeper). */
+  /** ONE copy of the pair-list → undirected edge expansion shared by
+    * [[connectedComponents]], [[pagerank]] and [[labelPropagation]]
+    * (r12 review: three hand-rolled spellings had already drifted on
+    * the long cast). Ids widen to long so int pair lists work in all
+    * three consumers; `dedup` is for DEGREE-sensitive consumers
+    * (pagerank's deg counts double on duplicate pair rows) — min/vote
+    * propagation tolerates duplicates and skips the extra shuffle. */
+  private def undirected(pairs: DataFrame, outA: String, outB: String,
+                         dedup: Boolean): DataFrame = {
+    val e = pairs
+      .select(col("i").cast("long").as(outA), col("j").cast("long").as(outB))
+      .unionByName(
+        pairs.select(col("j").cast("long").as(outA), col("i").cast("long").as(outB)))
+    if (dedup) e.distinct() else e
+  }
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
     // undirected: each pair feeds both directions; pin the (possibly
     // expensive) upstream pair query so rounds do not recompute it
-    val edges = pairs
-      .select(col("i").cast("long").as("a"), col("j").cast("long").as("b"))
-      .union(pairs.select(col("j").cast("long").as("a"), col("i").cast("long").as("b")))
+    val edges = undirected(pairs, "a", "b", dedup = false)
       .localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
@@ -766,9 +810,12 @@ object Dedup {
   def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 10,
       s"iters ($iters) must be in [1, 10]; past that, add per-round pins")
-    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .distinct()
+    // unrolled single-plan rounds: Catalyst's ReuseExchange shares the
+    // edge exchange across the per-round joins, and the REGISTERED
+    // caller feeds a memoized (checkpointed) pair list — an UNMEMOIZED
+    // caller with an expensive pair query should pass a pinned list
+    // (the scaladoc's production note)
+    val edges = undirected(pairs, "src", "dst", dedup = true)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val nodes = edges.select(col("src").as("node")).distinct()
     val n = nodes.agg(count(lit(1)).as("_n"))
@@ -834,9 +881,7 @@ object Dedup {
     // through a pin-owning memo (PipelineQueries.memoizedPinned) or
     // free it after collecting, as connectedComponents' callers do.
     // Intermediate pins are freed even when a round throws.
-    val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .distinct()
+    val edges = undirected(pairs, "src", "dst", dedup = true)
       .localCheckpoint()
     // everything after the first pin runs inside the try: a failure in
     // the SEEDS projection/checkpoint must also free the edges pin

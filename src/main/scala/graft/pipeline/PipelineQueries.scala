@@ -1582,8 +1582,12 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
-      """SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents
-        |GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+      """SELECT keeper, n_copies FROM (
+        |  SELECT min(doc_id) AS keeper, count(*) AS n_copies FROM documents
+        |  WHERE text IS NOT NULL GROUP BY md5(text)
+        |  UNION ALL
+        |  SELECT doc_id, 1 FROM documents WHERE text IS NULL)
+        |ORDER BY keeper""".stripMargin,
     // IVF search end-to-end: √N-cell Lloyd coarse quantizer (the same
     // unrolled micro-exact rounds), nprobe=4 best-cell probes, probed-
     // cell cosine top-5 — full oracle since r9
@@ -1747,7 +1751,8 @@ object PipelineQueries {
         |c AS (SELECT DISTINCT md5(text) AS digest FROM documents),
         |m AS (SELECT digest, min(doc_id) AS min_id FROM b GROUP BY 1)
         |SELECT b.doc_id, b.digest,
-        |       CASE WHEN c.digest IS NOT NULL THEN 'dup_in_corpus'
+        |       CASE WHEN b.digest IS NULL THEN 'kept'
+        |            WHEN c.digest IS NOT NULL THEN 'dup_in_corpus'
         |            WHEN b.doc_id > m.min_id THEN 'dup_in_batch'
         |            ELSE 'kept' END AS status
         |FROM b LEFT JOIN c USING (digest) JOIN m USING (digest)
@@ -2063,7 +2068,9 @@ object PipelineQueries {
          |q AS (SELECT doc_id, n_tokens,
          |             round(least(n_tokens / 100.0, 1.0) * (n_distinct * 1.0 / n_tokens), 4) AS quality
          |      FROM st),
-         |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |ek AS (SELECT min(doc_id) AS doc_id FROM documents
+         |       WHERE text IS NOT NULL GROUP BY md5(text)
+         |       UNION ALL SELECT doc_id FROM documents WHERE text IS NULL)
          |SELECT d.doc_id, l.pred_lang,
          |       CAST(coalesce(q.n_tokens, 0) AS BIGINT) AS n_tokens,
          |       coalesce(q.quality, 0.0) AS quality,

@@ -43,6 +43,18 @@ object VectorOps {
     * inline `greatest(sqrt(dot(x,x)), 1e-12)` re-spellings this
     * replaced were a drift trap for the guard's floor. */
   def norm(a: Column): Column = greatest(sqrt(dot(a, a)), lit(1e-12))
+
+  /** TRUE iff every element is finite — the NaN/Inf twin of the
+    * zero-norm guard above: ONE NaN element makes a vector's cosine
+    * NaN against everything, and Spark orders NaN ABOVE every number
+    * AND passes NaN >= threshold, so an unguarded corrupt vector
+    * (failed encoder output) would take rank 1 in every top-k and
+    * flip every is_dup verdict in the corpus (r12 sim review). The
+    * search surfaces EXCLUDE non-finite vectors — no defined cosine,
+    * no neighbor verdict; `embedding_stats` is the audit that finds
+    * them upstream. */
+  def allFinite(a: Column): Column =
+    forall(a, x => !isnan(x) && abs(x) < lit(Double.PositiveInfinity))
 }
 
 object Ann {
@@ -79,16 +91,45 @@ object Ann {
   private def scoredPairs(vectors: DataFrame, queries: DataFrame,
                           extraQ: Seq[Column] = Nil, extraV: Seq[Column] = Nil,
                           pairFilter: Column): DataFrame = {
-    // norms precomputed per row, not per pair
-    val q = queries.select(Seq(col("vec_id").as("q_id"),
+    // norms precomputed per row, not per pair; non-finite vectors
+    // excluded on BOTH sides (VectorOps.allFinite — one NaN element
+    // would otherwise rank first everywhere)
+    val q = queries.where(allFinite(col("embedding")))
+      .select(Seq(col("vec_id").as("q_id"),
         col("embedding").as("q_emb")) ++ extraQ: _*)
       .withColumn("_qn", norm("q_emb"))
-    val v = vectors.select(Seq(col("vec_id").as("nn_id"),
+    val v = vectors.where(allFinite(col("embedding")))
+      .select(Seq(col("vec_id").as("nn_id"),
         col("embedding")) ++ extraV: _*)
       .withColumn("_vn", norm("embedding"))
     v.crossJoin(broadcast(q))
       .where(pairFilter)
       .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
+  }
+
+  /** Exact float cosine re-score of a (q_id, nn_id) candidate list —
+    * ONE copy of the refine scaffold shared by [[Quantize.annInt8Ivf]]
+    * and [[Pq.pqSearch]] (r12 review: two hand-synced copies of this
+    * join shape existed, the drift trap the verifyWith scaladoc
+    * documents). The candidate list broadcasts EXPLICITLY: it comes
+    * out of an aggregate whose size estimate is corpus-derived, so
+    * without the hint the plan shuffles the whole float corpus by
+    * nn_id. The corpus streams once through the semi-join-shaped hash
+    * join; candidate-pool WIDTH stays the caller's parameter (it
+    * belongs to candidate generation, not the refine). */
+  private[sim] def refineExact(cand: DataFrame, vectors: DataFrame,
+                               queries: DataFrame, k: Int): DataFrame = {
+    val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"))
+      .withColumn("_vn", norm(col("embedding")))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("_qn", norm(col("q_emb")))
+    val exact = v.join(broadcast(cand.select("q_id", "nn_id")), "nn_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("_score",
+        dot(col("q_emb"), col("embedding")) / (col("_qn") * col("_vn")))
+    topK(exact.select(col("q_id"), col("nn_id"), col("_score")), "q_id", k)
+      .select(col("q_id"), col("nn_id"),
+        round(col("_score"), 4).as("score"), col("rank"))
   }
 
   /** Exact brute-force cosine top-k: broadcast the (small) query side
@@ -108,11 +149,17 @@ object Ann {
     * vectors whose LABEL differs — maximally confusing negatives.
     * Same scale shape as [[bruteForce]] (broadcast query side,
     * codegen'd VecDot, bounded-state top-k heap) with the label
-    * mismatch filtered BEFORE anything shuffles. */
+    * mismatch filtered BEFORE anything shuffles.
+    *
+    * NULL labels are their own class (null-safe <=> comparison, r12
+    * review): a NULL-labeled query mines negatives from every LABELED
+    * vector and vice versa, and two NULLs never pair — the plain =!=
+    * form silently VANISHED every NULL-labeled query from the report
+    * (three-valued logic dropped all its pairs). */
   def hardNegatives(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = scoredPairs(vectors, queries,
       extraQ = Seq(col("label").as("_ql")), extraV = Seq(col("label")),
-      pairFilter = col("label") =!= col("_ql"))
+      pairFilter = !(col("label") <=> col("_ql")))
     topK(scored, "q_id", k)
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"),
         col("rank"))
@@ -179,11 +226,16 @@ object Ann {
       .select(col("cell"), col("pos"),
         floor(col("col").cast("double") * 1e6).cast("long").as("xm"))
       .groupBy("cell", "pos")
-      .agg(sum("xm").as("sm"), count(lit(1)).as("n"))
+      .agg(sum("xm").as("sm"), count(lit(1)).as("n"),
+        max(abs(col("xm"))).as("_bm"))
+      // EXACT-by-construction overflow guard (the dimStats form, r12
+      // review): a long sum wrapped far past 2^63 can alias back
+      // inside any post-check range — test worst-case n·max|xm| in
+      // DOUBLE (cannot wrap) instead of the aliasable |sum| check
       .select(col("cell"), col("pos"),
-        when(abs(col("sm")) > lit(1L << 62),
-          raise_error(lit("cellMeans: micro-unit sum near int64 range — " +
-            "rescale the micro units or shard the cell")))
+        when(col("n").cast("double") * col("_bm") > lit(math.pow(2, 62)),
+          raise_error(lit("cellMeans: worst-case micro-unit sum near " +
+            "int64 range — rescale the micro units or shard the cell")))
           .otherwise(expr("(sm - pmod(sm, n)) div n")).cast("double").as("v"))
       .groupBy("cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
@@ -238,7 +290,10 @@ object Ann {
     // arithmetic + an nCells-row shuffle per round. trainIters = 0
     // keeps the legacy fully-lazy seeded quantizer (no jobs at
     // construction; pair with an explicit nCells).
-    val base = vectors.select(col("vec_id"), col("embedding"))
+    // non-finite vectors excluded at intake (the scoredPairs guard):
+    // one NaN would poison training sums AND take rank 1 in the probe
+    val base = vectors.where(allFinite(col("embedding")))
+      .select(col("vec_id"), col("embedding"))
     val cent =
       if (trainIters <= 0)
         cellMeans(base.select((col("vec_id") % cells).cast("int").as("cell"),
@@ -246,12 +301,13 @@ object Ann {
       else lloydCentroids(base, cells, trainIters)
     val centArr = centroidArray(cent)
     def withScores(df: DataFrame): DataFrame = withCellScores(df, centArr)
-    val assigned = withScores(vectors.select(col("vec_id"), col("embedding")))
+    val assigned = withScores(base)
       .select(col("vec_id").as("nn_id"), col("embedding"), col("_n").as("_vn"),
         (-array_max(col("_cs")).getField("negc")).cast("int").as("cell"))
     // probes scored from the query vectors themselves, so queries need
     // not exist in the corpus (external query sets work like bruteForce)
-    val probes = withScores(queries.select(col("vec_id"), col("embedding")))
+    val probes = withScores(queries.where(allFinite(col("embedding")))
+        .select(col("vec_id"), col("embedding")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("_n").as("_qn"),
         explode(expr(
           s"transform(slice(reverse(array_sort(_cs)), 1, $nprobe), x -> CAST(-x.negc AS INT))"))
@@ -335,25 +391,35 @@ object Ann {
     // would re-run the N·k cosine assignment — pin it once, like
     // ngramJaccard pins its shingle table
     val km = kmeans(base, nClusters, iters).localCheckpoint()
-    val v = base.join(km.select("vec_id", "cluster"), "vec_id")
-      .withColumn("_n", norm("embedding"))
-    val pairs = v.select(col("cluster"), col("vec_id").as("i"),
-        col("embedding").as("_ea"), col("_n").as("_na"))
-      .join(v.select(col("cluster"), col("vec_id").as("j"),
-        col("embedding").as("_eb"), col("_n").as("_nb")), "cluster")
-      .where(col("i") < col("j") &&
-        dot(col("_ea"), col("_eb")) / (col("_na") * col("_nb")) >= threshold)
-      .select("i", "j")
-    val groups = graft.dedup.Dedup.connectedComponents(pairs)
-      .select(col("id").as("vec_id"), col("lbl").as("sem_group"))
-    val labeled = km.join(groups, Seq("vec_id"), "left")
-      .withColumn("sem_group", coalesce(col("sem_group"), col("vec_id")))
-    val keepers = labeled.groupBy("sem_group")
-      .agg(min(struct(col("cos_to_centroid"), col("vec_id"))).as("_k"))
-      .select(col("sem_group"), col("_k.vec_id").as("_keep_id"))
-    labeled.join(keepers, "sem_group")
-      .select(col("vec_id"), col("cluster"), col("sem_group"),
-        col("cos_to_centroid"), (col("vec_id") === col("_keep_id")).as("keep"))
+    // connectedComponents runs EAGER jobs while km's pin is live and
+    // the caller has no handle yet — a CC failure must free km here
+    // or the N-row assignment checkpoint leaks per failed call (CC
+    // frees only its OWN pins before rethrowing; r12 review)
+    try {
+      val v = base.join(km.select("vec_id", "cluster"), "vec_id")
+        .withColumn("_n", norm("embedding"))
+      val pairs = v.select(col("cluster"), col("vec_id").as("i"),
+          col("embedding").as("_ea"), col("_n").as("_na"))
+        .join(v.select(col("cluster"), col("vec_id").as("j"),
+          col("embedding").as("_eb"), col("_n").as("_nb")), "cluster")
+        .where(col("i") < col("j") &&
+          dot(col("_ea"), col("_eb")) / (col("_na") * col("_nb")) >= threshold)
+        .select("i", "j")
+      val groups = graft.dedup.Dedup.connectedComponents(pairs)
+        .select(col("id").as("vec_id"), col("lbl").as("sem_group"))
+      val labeled = km.join(groups, Seq("vec_id"), "left")
+        .withColumn("sem_group", coalesce(col("sem_group"), col("vec_id")))
+      val keepers = labeled.groupBy("sem_group")
+        .agg(min(struct(col("cos_to_centroid"), col("vec_id"))).as("_k"))
+        .select(col("sem_group"), col("_k.vec_id").as("_keep_id"))
+      labeled.join(keepers, "sem_group")
+        .select(col("vec_id"), col("cluster"), col("sem_group"),
+          col("cos_to_centroid"), (col("vec_id") === col("_keep_id")).as("keep"))
+    } catch { case e: Throwable =>
+      try org.apache.spark.sql.graftbridge.CheckpointBridge.free(km)
+      catch { case c: Throwable => e.addSuppressed(c) }
+      throw e
+    }
   }
 
   /** The Lloyd loop shared by [[kmeans]] and [[ivf]]'s coarse-quantizer
@@ -368,21 +434,26 @@ object Ann {
     * LocalRelation with no lineage back into the training jobs. */
   private[sim] def lloydCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.CheckpointBridge
+    // a round that THROWS must still free the live pin (the
+    // connectedComponents/labelPropagation/Pq.codebooks discipline —
+    // r12 review: the unguarded form leaked one centroid checkpoint
+    // per failed training run for the JVM's life)
     var cent = cellMeans(base
       .withColumn("cell", (col("vec_id") % k).cast("int"))).localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val assigned = withCellScores(base, centroidArray(cent))
-        .select(col("vec_id"), col("embedding"),
-          (-array_max(col("_cs")).getField("negc")).cast("int").as("cell"))
-      val next = cellMeans(assigned).localCheckpoint(true)
-      CheckpointBridge.free(cent)
-      cent = next
-    }
-    val spark = base.sparkSession
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-    CheckpointBridge.free(cent)
-    local
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = withCellScores(base, centroidArray(cent))
+          .select(col("vec_id"), col("embedding"),
+            (-array_max(col("_cs")).getField("negc")).cast("int").as("cell"))
+        val next = cellMeans(assigned).localCheckpoint(true)
+        CheckpointBridge.free(cent)
+        cent = next
+      }
+      val spark = base.sparkSession
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(cent.collect(): _*), cent.schema)
+      local
+    } finally CheckpointBridge.free(cent)
   }
 
   /** Embedding near-dup at scale: the same per-vector nearest-neighbor

@@ -219,20 +219,8 @@ object Pq {
     val cand = Ann.topK(scored.select(col("q_id"), col("nn_id"), col("_score")),
         "q_id", math.max(32, 4 * k))
       .select(col("q_id"), col("nn_id"))
-    // float re-score of the candidate slice only; cand is
-    // queries × max(32, 4k) rows but comes out of an aggregate, so
-    // Catalyst's size estimate is corpus-derived — broadcast it
-    // explicitly or the plan shuffles the whole float corpus by nn_id
-    // (the exact cost Quantize.annInt8Ivf's broadcast semi-join avoids)
-    val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"))
-      .withColumn("_vn", VectorOps.norm(col("embedding")))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("_qn", VectorOps.norm(col("q_emb")))
-    val exact = v.join(broadcast(cand), "nn_id").join(broadcast(q), "q_id")
-      .withColumn("_score",
-        VectorOps.dot(col("q_emb"), col("embedding")) / (col("_qn") * col("_vn")))
-    Ann.topK(exact.select(col("q_id"), col("nn_id"), col("_score")), "q_id", k)
-      .select(col("q_id"), col("nn_id"),
-        round(col("_score"), 4).as("score"), col("rank"))
+    // float re-score of the candidate slice only — the ONE shared
+    // refine scaffold (Ann.refineExact; broadcast rationale there)
+    Ann.refineExact(cand, vectors, queries, k)
   }
 }

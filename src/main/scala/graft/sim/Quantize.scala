@@ -134,19 +134,10 @@ object Quantize {
     val cand = Ann.ivf(quantizedVectors.getOrElse(quantized(vectors)),
         quantized(queries), kCand, nCells, nprobe)
       .select(col("q_id"), col("nn_id"))
-    // refine: exact float cosine on the candidate set only. The
-    // candidate list (queries × kCand rows) broadcasts; the float
-    // corpus streams once through the semi-join-shaped hash join — no
-    // corpus shuffle, no full scoring pass.
-    val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"))
-      .withColumn("_vn", norm("embedding"))
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("_qn", norm("q_emb"))
-    val scored = v.join(broadcast(cand), Seq("nn_id"))
-      .join(broadcast(q), Seq("q_id"))
-      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
-    Ann.topK(scored, "q_id", k)
-      .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
+    // refine: exact float cosine on the candidate set only — the ONE
+    // shared scaffold (Ann.refineExact; no corpus shuffle, no full
+    // scoring pass — broadcast rationale documented there)
+    Ann.refineExact(cand, vectors, queries, k)
   }
 
   /** Per-vector int8 quantization report. scale = amax/127 guarded

@@ -105,6 +105,56 @@ class PipelineSpec extends SparkSpec {
       s"salted kept ${newSalt / n1} (expected ~0.5: decorrelated)")
   }
 
+  test("NULL keys never conflate: exact/urlDedup/incremental treat missing content as unique") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    // three NULL-text docs are NOT copies of each other (r12 review:
+    // md5(NULL) grouped them under one keeper)
+    val d = Seq((1L, Some("same")), (2L, Some("same")),
+      (3L, None), (4L, None), (5L, None)).toDF("doc_id", "text")
+    val ex = Dedup.exact(d).orderBy("keeper")
+      .as[(Long, Long)].collect().toSeq
+    assert(ex == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)), ex.mkString(","))
+    // urlDedup: NULL-url captures each their own keeper
+    val u = Seq((1L, Some("https://a.com/x")), (2L, Some("https://a.com/x")),
+      (3L, None), (4L, None)).toDF("doc_id", "url")
+    val ud = Dedup.urlDedup(u).orderBy("keeper")
+      .select("keeper", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(ud == Seq((1L, 2L), (3L, 1L), (4L, 1L)), ud.mkString(","))
+    // incremental: NULL-text shard docs all report kept, never
+    // dup_in_batch of each other
+    val corpus = Seq((100L, "kept text")).toDF("doc_id", "text")
+    val shard = Seq((10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String]), (12L, "kept text")).toDF("doc_id", "text")
+    val inc = Dedup.incremental(corpus, shard)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(inc(10L) == "kept" && inc(11L) == "kept" &&
+      inc(12L) == "dup_in_corpus", inc.toString)
+  }
+
+  test("non-finite vectors are excluded from search; NULL labels mine as their own class") {
+    import spark.implicits._
+    import graft.sim.Ann
+    val nan = Array(Double.NaN, 1.0, 0.0)
+    val v = Seq((1L, Array(1.0, 0.0, 0.0), Some(0L)),
+      (2L, Array(0.9, 0.1, 0.0), Some(1L)),
+      (9L, nan, Some(1L))).toDF("vec_id", "embedding", "label")
+    val q = v.where(col("vec_id") === 1L)
+    // without the allFinite guard the NaN vector ranked FIRST (Spark
+    // orders NaN above every number) — it must not appear at all
+    val bf = Ann.bruteForce(v, q, 2).select("nn_id").as[Long].collect().toSet
+    assert(!bf.contains(9L), s"NaN vector surfaced: $bf")
+    val rs = Ann.rangeSearch(v, q, 0.5).select("nn_id").as[Long].collect().toSet
+    assert(!rs.contains(9L), s"NaN vector passed the threshold: $rs")
+    // NULL label = its own class (null-safe <=>): the NULL-labeled
+    // query still mines labeled vectors; plain =!= vanished it
+    val vl = Seq((1L, Array(1.0, 0.0), Some(0L)), (2L, Array(0.9, 0.1), Some(1L)),
+      (3L, Array(0.8, 0.2), None)).toDF("vec_id", "embedding", "label")
+    val hn = Ann.hardNegatives(vl, vl.where(col("vec_id") === 3L), 2)
+      .select("nn_id").as[Long].collect().toSet
+    assert(hn == Set(1L, 2L), s"NULL-labeled query mined $hn")
+  }
+
   test("eval_pass_at_k matches an exact BigInt re-implementation; boundary arms correct") {
     import spark.implicits._
     // independent oracle: per-task pass@k recomputed driver-side with
