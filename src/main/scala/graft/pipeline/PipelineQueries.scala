@@ -208,6 +208,52 @@ object PipelineQueries {
         concat(expr("substring(text, 1, length(text) - 1)"), lit("~"))
           .as("text")))
 
+  /** pass@k in ppm as a SQL CASE over (task, n, c, k) — ONE copy
+    * shared by the `eval_pass_at_k` query and the hand-payload spec
+    * that pins the wide-n arithmetic. The k=5 falling factorials are
+    * widened to DECIMAL(38,0): n⁵·10⁶ ≤ 10³⁶ < 10³⁸ keeps the
+    * products exact up to n = 10⁶ samples per task (the first int64
+    * cut capped n at 100, which sf1's 1000-per-task corpus already
+    * exceeds — the guard fired on a VALID eval set). The DuckDB
+    * oracle mirrors with HUGEINT (int128, max ~1.7·10³⁸): same
+    * exactness, that engine's widener. `div` on decimals returns
+    * BIGINT, so the column type stays long in both engines. Past 10⁶
+    * the guard still raises loudly — subsampling per task is the
+    * documented escape (Chen et al. themselves estimate from a fixed
+    * n per task). */
+  private[graft] val passAtKPpm: String =
+    """CASE
+      |  WHEN n > 1000000 THEN raise_error(concat(
+      |    'eval_pass_at_k: n = ', n,
+      |    ' past the exact decimal(38) falling-factorial bound (1e6 at k<=5)',
+      |    ' - subsample per task'))
+      |  WHEN n - c < k THEN 1000000L
+      |  WHEN k = 1 THEN 1000000L - ((n - c) * 1000000L div n)
+      |  ELSE 1000000L -
+      |    ((CAST(n-c AS DECIMAL(38,0)) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4) * 1000000)
+      |      div (CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2) * (n-3) * (n-4)))
+      |END""".stripMargin
+
+  /** (doc_id, n, g, cnt) — word n-gram MULTISET counts for n = 1..maxN
+    * in ONE explode pass (grams of every order ride the same shuffle).
+    * BLEU clips on multiplicity, so no distinct — the counting sibling
+    * of Dedup.shingles' distinct sets; eval_distinct_n divides the two
+    * views of this same table. The outer sequence is bounded by
+    * size(ts), so no gram order ever sees a negative slice bound
+    * (Spark's sequence(1, 0) DESCENDS — the guard is least(), never a
+    * CASE whose array branches would fight over element types). Raw
+    * split tokens (≥ 1 even for empty text), matching the shingle
+    * family's tokenizer contract. */
+  private def gramCounts(docs: DataFrame, maxN: Int): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(expr(
+        s"""flatten(transform(sequence(1, least($maxN, size(ts))), n ->
+           |  transform(sequence(1, size(ts) - n + 1), i ->
+           |    named_struct('n', n, 'g', array_join(slice(ts, i, n), ' ')))))"""
+          .stripMargin)).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
+
   /** DISTINCT (source, shingle md5 digest) presence pairs — ONE copy
     * of the presence semantics shared by `ngram_novelty` and
     * `source_overlap` (their two reports must agree on what "a source
@@ -919,13 +965,13 @@ object PipelineQueries {
     // pass@k — the unbiased estimator of Chen et al. 2021 (Codex,
     // §2.1): per task with n samples of which c correct,
     // pass@k = 1 − C(n−c, k)/C(n, k), evaluated as the falling-
-    // factorial ratio Π_{i<k}(n−c−i) / Π_{i<k}(n−i) in EXACT integer
-    // micro units (k is a literal, so both products expand inline and
-    // the DuckDB oracle is the same arithmetic verbatim; n ≤ 100 at
-    // k ≤ 5 keeps Π·10⁶ < 2⁶³ — the loud guard rides the value
-    // column). Tasks = doc_id mod 50, "correct" = a deterministic
-    // content predicate — the plumbing is the operator; a real eval
-    // harness lands its own (task, correct) rows. One tiny aggregate
+    // factorial ratio Π_{i<k}(n−c−i) / Π_{i<k}(n−i) in EXACT
+    // arithmetic (see [[passAtKPpm]] for the decimal widening and its
+    // n ≤ 10⁶ bound — the first cut's int64 products capped n at 100,
+    // which the sf1 corpus's 1000-samples-per-task already exceeds).
+    // Tasks = doc_id mod 50, "correct" = a deterministic content
+    // predicate — the plumbing is the operator; a real eval harness
+    // lands its own (task, correct) rows. One tiny aggregate
     // (50 tasks), k fanned by a literal explode: no shuffle beyond
     // the task rollup, eval sets of any size reduce map-side.
     "eval_pass_at_k" -> ((s, d) => {
@@ -937,18 +983,7 @@ object PipelineQueries {
       byTask
         .select(col("task"), col("n"), col("c"),
           explode(array(lit(1), lit(5))).as("k"))
-        .withColumn("pass_at_k_ppm", expr(
-          """CASE
-            |  WHEN n > 100 THEN raise_error(concat(
-            |    'eval_pass_at_k: n = ', n,
-            |    ' past the exact falling-factorial bound (100 at k<=5)',
-            |    ' - subsample per task'))
-            |  WHEN n - c < k THEN 1000000L
-            |  WHEN k = 1 THEN 1000000L - ((n - c) * 1000000L div n)
-            |  ELSE 1000000L -
-            |    ((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4) * 1000000L)
-            |      div (n * (n-1) * (n-2) * (n-3) * (n-4))
-            |END""".stripMargin))
+        .withColumn("pass_at_k_ppm", expr(passAtKPpm))
         .orderBy("task", "k")
     }),
     // ROUGE-N overlap (Lin 2004), distinct-bigram set form: recall =
@@ -979,6 +1014,68 @@ object PipelineQueries {
             "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm))"))
         .orderBy("cand_id")
     }),
+    // corpus BLEU (Papineni et al. 2002), add-one-smoothed (Lin & Och
+    // 2004) in EXACT micro-log10 units: per adjacent-doc pair, clipped
+    // n-gram matches m_n (multiset min of candidate/reference counts,
+    // n = 1..4) over candidate totals t_n, reported as unsmoothed
+    // p{n}_ppm plus log10(BLEU)·10⁶ =
+    //   bp + (Σ_n mlog(m_n+1) − mlog(t_n+1)) div 4
+    // where mlog is the TextOps micro-log floor and bp =
+    // ⌊(1 − r/c)·log10(e)·10⁶⌋ when c < r (0 otherwise) — identical
+    // texts score exactly 0 (BLEU = 1). All integer arithmetic after
+    // the floors; div/`//` truncation is portable on the negative sums
+    // (r12-verified). One gram-count shuffle serves all four orders;
+    // the pair join keys on (n, gram) with adjacent ids — linear in
+    // corpus tokens, no corpus self-join.
+    "eval_bleu" -> ((s, d) => {
+      val g = gramCounts(docs(s, d), 4)
+      val m = g.select(col("doc_id").as("cand_id"), col("n"), col("g"), col("cnt"))
+        .join(g.select((col("doc_id") - 1).as("cand_id"), col("n"), col("g"),
+          col("cnt").as("_rcnt")), Seq("cand_id", "n", "g"))
+        .groupBy("cand_id", "n")
+        .agg(sum(least(col("cnt"), col("_rcnt"))).as("mm"))
+      val mAgg = (1 to 4).map(n =>
+        sum(when(col("n") === n, col("mm")).otherwise(0L)).as(s"m$n"))
+      val mm = m.groupBy("cand_id").agg(mAgg.head, mAgg.tail: _*)
+      val lens = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("ln"))
+      val pairs = lens.select(col("doc_id").as("cand_id"), col("ln").as("c_len"))
+        .join(lens.select((col("doc_id") - 1).as("cand_id"),
+          col("doc_id").as("ref_id"), col("ln").as("r_len")), "cand_id")
+      val mlogDiff = (1 to 4).map(n =>
+        s"(CAST(floor(log10(m$n + 1) * 1000000) AS BIGINT) - " +
+          s"CAST(floor(log10(t$n + 1) * 1000000) AS BIGINT))").mkString(" + ")
+      pairs.join(mm, Seq("cand_id"), "left")
+        .na.fill(0L, (1 to 4).map(n => s"m$n"))
+        .withColumn("t1", col("c_len"))
+        .withColumn("t2", greatest(col("c_len") - 1, lit(0L)))
+        .withColumn("t3", greatest(col("c_len") - 2, lit(0L)))
+        .withColumn("t4", greatest(col("c_len") - 3, lit(0L)))
+        .withColumn("p1_ppm", expr("m1 * 1000000 div greatest(t1, 1L)"))
+        .withColumn("p2_ppm", expr("m2 * 1000000 div greatest(t2, 1L)"))
+        .withColumn("p3_ppm", expr("m3 * 1000000 div greatest(t3, 1L)"))
+        .withColumn("p4_ppm", expr("m4 * 1000000 div greatest(t4, 1L)"))
+        .withColumn("bleu_mlog_micro", expr(
+          """(CASE WHEN c_len >= r_len THEN 0L
+            |  ELSE CAST(floor(((1.0D - CAST(r_len AS DOUBLE) / c_len)
+            |    * 0.43429448190325176D) * 1000000) AS BIGINT) END)
+            |""".stripMargin + s" + (($mlogDiff) div 4)"))
+        .select(col("cand_id"), col("ref_id"), col("c_len"), col("r_len"),
+          col("p1_ppm"), col("p2_ppm"), col("p3_ppm"), col("p4_ppm"),
+          col("bleu_mlog_micro"))
+        .orderBy("cand_id")
+    }),
+    // generation-diversity readout (distinct-n of Li et al. 2016): per
+    // doc and n = 1..3, distinct n-grams over total n-grams in ppm —
+    // the repetition-collapse detector run over sampled generations.
+    // Rides the SAME gramCounts table as eval_bleu (one shuffle); a
+    // doc shorter than n simply has no n row.
+    "eval_distinct_n" -> ((s, d) =>
+      gramCounts(docs(s, d), 3)
+        .groupBy("doc_id", "n")
+        .agg(sum("cnt").as("n_grams"), count(lit(1)).as("n_distinct"))
+        .withColumn("distinct_ppm", expr("n_distinct * 1000000 div n_grams"))
+        .orderBy("doc_id", "n")),
     // Calibration / reliability audit of the quality classifier: docs
     // bucketed into 10 equal-width score bins (broadcast bounds, the
     // histogram_fixed shape), per bin the observed positive rate
@@ -2259,16 +2356,22 @@ object PipelineQueries {
           |SELECT vec_id, nn_id, round(sc, 4) AS cos, round(sc, 4) >= 0.45 AS is_dup
           |FROM top WHERE rn = 1 ORDER BY vec_id""".stripMargin),
     "embedding_stats" ->
-      """WITH x AS (SELECT unnest(embedding) AS v,
+      """WITH x AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
         |                  unnest(range(0, len(embedding))) AS dim
         |           FROM embeddings),
+        |f AS (SELECT dim, v, (NOT isnan(v) AND NOT isinf(v)) AS fin FROM x),
         |g AS (SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
-        |             sum(CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sm,
-        |             min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
-        |      FROM x GROUP BY 1)
-        |SELECT dim, n, round(sm / n / 1000000.0, 4) AS mean_v,
+        |             CAST(sum(CASE WHEN fin THEN 0 ELSE 1 END) AS BIGINT)
+        |               AS n_nonfinite,
+        |             sum(CASE WHEN fin
+        |                 THEN CAST(floor(v * 1000000) AS BIGINT) END) AS sm,
+        |             min(CASE WHEN fin THEN v END) AS mn,
+        |             max(CASE WHEN fin THEN v END) AS mx
+        |      FROM f GROUP BY 1)
+        |SELECT dim, n, n_nonfinite,
+        |       round(sm / (n - n_nonfinite) / 1000000.0, 4) AS mean_v,
         |       round(mn, 4) AS min_v, round(mx, 4) AS max_v,
-        |       (mx - mn) < 0.0001 AS collapsed
+        |       coalesce((mx - mn) < 0.0001, false) AS collapsed
         |FROM g ORDER BY dim""".stripMargin,
     "ann_range_search" ->
       (s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
@@ -2830,9 +2933,9 @@ object PipelineQueries {
         |SELECT task, n, c, k,
         |  CASE WHEN n - c < k THEN 1000000
         |       WHEN k = 1 THEN 1000000 - ((n - c) * 1000000 // n)
-        |       ELSE 1000000 -
-        |         ((n-c)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4) * 1000000)
-        |           // (n*(n-1)*(n-2)*(n-3)*(n-4))
+        |       ELSE 1000000 - CAST(
+        |         (CAST(n-c AS HUGEINT)*(n-c-1)*(n-c-2)*(n-c-3)*(n-c-4) * 1000000)
+        |           // (CAST(n AS HUGEINT)*(n-1)*(n-2)*(n-3)*(n-4)) AS BIGINT)
         |  END AS pass_at_k_ppm
         |FROM t, kk ORDER BY task, k""".stripMargin,
     "eval_rouge_n" ->
@@ -2854,6 +2957,63 @@ object PipelineQueries {
         |            ELSE 2 * precision_ppm * recall_ppm
         |                 // (precision_ppm + recall_ppm) END AS f1_ppm
         |FROM m ORDER BY cand_id""".stripMargin,
+    "eval_bleu" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS ln FROM tok),
+        |x AS (SELECT doc_id, nn.n AS n,
+        |        unnest([array_to_string(ts[i:i+nn.n-1], ' ')
+        |                for i in range(1, len(ts) - nn.n + 2)]) AS g
+        |      FROM tok, (VALUES (1),(2),(3),(4)) nn(n)),
+        |gc AS (SELECT doc_id, n, g, count(*) AS cnt FROM x GROUP BY 1, 2, 3),
+        |m AS (SELECT c.doc_id AS cand_id, c.n,
+        |        CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS mm
+        |      FROM gc c JOIN gc r
+        |        ON r.n = c.n AND r.g = c.g AND r.doc_id = c.doc_id + 1
+        |      GROUP BY 1, 2),
+        |w AS (SELECT cand_id,
+        |        coalesce(max(CASE WHEN n = 1 THEN mm END), 0) AS m1,
+        |        coalesce(max(CASE WHEN n = 2 THEN mm END), 0) AS m2,
+        |        coalesce(max(CASE WHEN n = 3 THEN mm END), 0) AS m3,
+        |        coalesce(max(CASE WHEN n = 4 THEN mm END), 0) AS m4
+        |      FROM m GROUP BY 1),
+        |p AS (SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+        |             c.ln AS c_len, r.ln AS r_len
+        |      FROM lens c JOIN lens r ON r.doc_id = c.doc_id + 1),
+        |q AS (SELECT p.cand_id, p.ref_id, p.c_len, p.r_len,
+        |        coalesce(w.m1, 0) AS m1, coalesce(w.m2, 0) AS m2,
+        |        coalesce(w.m3, 0) AS m3, coalesce(w.m4, 0) AS m4,
+        |        p.c_len AS t1, greatest(p.c_len - 1, 0) AS t2,
+        |        greatest(p.c_len - 2, 0) AS t3, greatest(p.c_len - 3, 0) AS t4
+        |      FROM p LEFT JOIN w USING (cand_id))
+        |SELECT cand_id, ref_id, c_len, r_len,
+        |  m1 * 1000000 // greatest(t1, 1) AS p1_ppm,
+        |  m2 * 1000000 // greatest(t2, 1) AS p2_ppm,
+        |  m3 * 1000000 // greatest(t3, 1) AS p3_ppm,
+        |  m4 * 1000000 // greatest(t4, 1) AS p4_ppm,
+        |  (CASE WHEN c_len >= r_len THEN 0
+        |        ELSE CAST(floor(((1.0 - CAST(r_len AS DOUBLE) / c_len)
+        |          * 0.43429448190325176) * 1000000) AS BIGINT) END)
+        |  + ((  CAST(floor(log10(m1 + 1) * 1000000) AS BIGINT)
+        |      - CAST(floor(log10(t1 + 1) * 1000000) AS BIGINT)
+        |      + CAST(floor(log10(m2 + 1) * 1000000) AS BIGINT)
+        |      - CAST(floor(log10(t2 + 1) * 1000000) AS BIGINT)
+        |      + CAST(floor(log10(m3 + 1) * 1000000) AS BIGINT)
+        |      - CAST(floor(log10(t3 + 1) * 1000000) AS BIGINT)
+        |      + CAST(floor(log10(m4 + 1) * 1000000) AS BIGINT)
+        |      - CAST(floor(log10(t4 + 1) * 1000000) AS BIGINT)) // 4)
+        |    AS bleu_mlog_micro
+        |FROM q ORDER BY cand_id""".stripMargin,
+    "eval_distinct_n" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |x AS (SELECT doc_id, nn.n AS n,
+        |        unnest([array_to_string(ts[i:i+nn.n-1], ' ')
+        |                for i in range(1, len(ts) - nn.n + 2)]) AS g
+        |      FROM tok, (VALUES (1),(2),(3)) nn(n)),
+        |gc AS (SELECT doc_id, n, g, count(*) AS cnt FROM x GROUP BY 1, 2, 3)
+        |SELECT doc_id, n, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |       count(*) AS n_distinct,
+        |       count(*) * 1000000 // CAST(sum(cnt) AS BIGINT) AS distinct_ppm
+        |FROM gc GROUP BY 1, 2 ORDER BY doc_id, n""".stripMargin,
     "eval_confusion" ->
       """WITH e AS (SELECT
         |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS score_ppm,

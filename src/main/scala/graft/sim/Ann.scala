@@ -340,7 +340,13 @@ object Ann {
     * the NORMALIZED vectors; hence the spec's small tolerance) and
     * the no-cartesian plan shape. */
   def kmeans(vectors: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
-    val base = vectors.select(col("vec_id"), col("embedding"))
+    // non-finite vectors excluded at intake (the ivf discipline): one
+    // NaN poisons the cell micro-sums into an ANSI cast error mid-
+    // training. An excluded vector has no assignment row — this is an
+    // assignment report, not survivorship; dimStats finds the corrupt
+    // vectors upstream.
+    val base = vectors.where(allFinite(col("embedding")))
+      .select(col("vec_id"), col("embedding"))
     val cent = lloydCentroids(base, k, iters)
     withCellScores(base, centroidArray(cent))
       .select(col("vec_id"),
@@ -412,9 +418,21 @@ object Ann {
       val keepers = labeled.groupBy("sem_group")
         .agg(min(struct(col("cos_to_centroid"), col("vec_id"))).as("_k"))
         .select(col("sem_group"), col("_k.vec_id").as("_keep_id"))
-      labeled.join(keepers, "sem_group")
+      val verdicts = labeled.join(keepers, "sem_group")
         .select(col("vec_id"), col("cluster"), col("sem_group"),
           col("cos_to_centroid"), (col("vec_id") === col("_keep_id")).as("keep"))
+      // SURVIVORSHIP must not lose documents: kmeans excludes
+      // non-finite vectors (no defined assignment), but a dedup
+      // verdict table that silently DROPS a doc makes downstream
+      // curation lose it — the NULL-key-dedup data-loss shape. A
+      // corrupt embedding cannot be proven a duplicate of anything:
+      // kept, own group, no cluster/cos (the exact/IVF report's
+      // no-verdict-row discipline).
+      vectors.select(col("vec_id")).join(verdicts, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(col("sem_group"), col("vec_id")).as("sem_group"),
+          col("cos_to_centroid"),
+          coalesce(col("keep"), lit(true)).as("keep"))
     } catch { case e: Throwable =>
       try org.apache.spark.sql.graftbridge.CheckpointBridge.free(km)
       catch { case c: Throwable => e.addSuppressed(c) }
@@ -525,12 +543,18 @@ object Ann {
         val p = math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
         math.min(64, math.ceil(64 * p + 4 * math.sqrt(64 * p * (1 - p)))).toInt
       }
-    val sigs = vectors.select(col("vec_id").as("doc_id"),
+    // non-finite vectors excluded before signing (r12 sim review): a
+    // NaN vector's SRP bits are arbitrary, and if it lands in a bucket
+    // its verify cosine is NaN — which PASSES `cos >= threshold` under
+    // Spark's NaN-is-largest ordering, emitting a false pair with a
+    // NaN score. No defined angle, no pair; dimStats finds the vector.
+    val fin = vectors.where(allFinite(col("embedding")))
+    val sigs = fin.select(col("vec_id").as("doc_id"),
       ColumnBridge.column(SrpSig64(ColumnBridge.expression(col("embedding")))).as("sig"))
     // bucket/emission scaffolding shared with Dedup.simhash — ONE copy
     val cand = graft.dedup.Dedup.bandedSigPairs(
       sigs, bands = bands, width = width, starAbove = starAbove, hamCut = hamCut)
-    val e = vectors.select(col("vec_id"), col("embedding"),
+    val e = fin.select(col("vec_id"), col("embedding"),
       norm("embedding").as("_n"))
     cand
       .join(e.select(col("vec_id").as("i"), col("embedding").as("ei"),
@@ -574,19 +598,30 @@ object Ann {
     * (full oracle); [[nearestNeighborReportIvf]] is the scale path for
     * the same report. */
   def nearestNeighborReport(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id"), col("embedding"))
+    // non-finite vectors excluded from BOTH sides (the scoredPairs
+    // guard this surface missed in the r12 sim review): one NaN
+    // element made the corrupt vector every row's argmax — the struct
+    // max orders NaN above every number — and NaN >= t flipped every
+    // is_dup in the corpus. Excluded vectors still get their
+    // one-row-per-vector no-neighbor row (NULL nn, is_dup false)
+    // through the same left join the IVF variant uses, so the dup-rate
+    // denominator never shifts between the exact and IVF paths.
+    val fin = vectors.where(allFinite(col("embedding")))
+    val a = fin.select(col("vec_id"), col("embedding"))
       .withColumn("_an", norm("embedding"))
-    val b = vectors.select(col("vec_id").as("nn_id"), col("embedding").as("b_emb"))
+    val b = fin.select(col("vec_id").as("nn_id"), col("embedding").as("b_emb"))
       .withColumn("_bn", norm("b_emb"))
     val scored = a.join(broadcast(b), col("vec_id") =!= col("nn_id"))
       .withColumn("_score", dot("embedding", "b_emb") / (col("_an") * col("_bn")))
     // top-1 as an argmax aggregate, not a window: lexicographic max of
     // (score, -nn_id) == best score with smallest-id tiebreak, computed
     // with map-side partial max — no pair row ever shuffles
-    scored.groupBy("vec_id")
+    val top = scored.groupBy("vec_id")
       .agg(max(struct(col("_score").as("s"), (-col("nn_id")).as("negid"))).as("m"))
       .select(col("vec_id"), (-col("m.negid")).as("nn_id"),
         round(col("m.s"), 4).as("cos"),
         (round(col("m.s"), 4) >= threshold).as("is_dup"))
+    vectors.select(col("vec_id")).join(top, Seq("vec_id"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
   }
 }

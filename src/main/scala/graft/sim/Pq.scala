@@ -168,8 +168,14 @@ object Pq {
   /** PQ-ANN: encode the corpus, ADC-score queries against the codes,
     * take 4k candidates per query on the bounded heap, re-score float.
     * Output matches [[Ann.bruteForce]]: (q_id, nn_id, score, rank). */
-  def pqSearch(vectors: DataFrame, queries: DataFrame, k: Int,
+  def pqSearch(vectors0: DataFrame, queries0: DataFrame, k: Int,
                m: Int = 8, ksub: Int = 16, trainIters: Int = 2): DataFrame = {
+    // non-finite vectors excluded on both sides (the Ann.scoredPairs
+    // discipline, r12 sim review): a NaN element ANSI-errors the
+    // codebook training's micro-unit casts and, past training, would
+    // rank first in every ADC heap. dimStats finds them upstream.
+    val vectors = vectors0.where(VectorOps.allFinite(col("embedding")))
+    val queries = queries0.where(VectorOps.allFinite(col("embedding")))
     val dim = vectors.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m

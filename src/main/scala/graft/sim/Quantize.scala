@@ -33,15 +33,32 @@ object Quantize {
     * aggregation — past that, shard the sum (the same split the
     * micro-log LM score documents). min/max on the raw values are
     * order-free and exact. `collapsed` flags dimensions whose whole
-    * corpus range sits inside `eps`. */
+    * corpus range sits inside `eps`. `n_nonfinite` counts NaN/Inf
+    * values per dim — THE column that finds the corrupt vectors the
+    * search surfaces exclude (allFinite's scaladoc sends callers
+    * here). */
   def dimStats(vectors: DataFrame, eps: Double = 1e-4): DataFrame =
     vectors.select(posexplode(col("embedding")))
       .select(col("pos").cast("bigint").as("dim"),
         col("col").cast("double").as("v"))
-      .withColumn("_mv", floor(col("v") * 1000000d).cast("bigint"))
+      // the AUDIT must survive what it audits (r12 sim review): the
+      // search surfaces exclude non-finite vectors and point HERE as
+      // the report that finds them — but floor(NaN)·cast(bigint) is an
+      // ANSI runtime error, so one corrupt vector killed the whole
+      // audit instead of being counted. Non-finite values are COUNTED
+      // per dim (n_nonfinite — the finding) and excluded from the
+      // micro-sum/min/max; a dim with no finite values reports NULL
+      // stats and collapsed = false (no evidence). CASE short-circuits,
+      // so the bigint cast never sees a non-finite value.
+      .withColumn("_fin", !isnan(col("v")) && abs(col("v")) < lit(Double.PositiveInfinity))
+      .withColumn("_mv",
+        when(col("_fin"), floor(col("v") * 1000000d).cast("bigint")))
       .groupBy("dim")
-      .agg(count(lit(1)).as("n"), sum(col("_mv")).as("_sum_micro"),
-        min(col("v")).as("_min"), max(col("v")).as("_max"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_fin"), 0L).otherwise(1L)).as("n_nonfinite"),
+        sum(col("_mv")).as("_sum_micro"),
+        min(when(col("_fin"), col("v"))).as("_min"),
+        max(when(col("_fin"), col("v"))).as("_max"))
       // the micro-unit sum wraps past 2^63 (~9.2e9 vectors at the 1e3
       // value bound) — raise loudly like cellMeans (the bm25
       // discipline), never report a silently wrong mean from the
@@ -56,15 +73,17 @@ object Quantize {
         greatest(abs(floor(col("_min") * 1000000d)),
           abs(floor(col("_max") * 1000000d))))
       .withColumn("_sum_micro",
-        when(col("n").cast("double") * col("_bound_micro") > lit(math.pow(2, 62)),
+        when((col("n") - col("n_nonfinite")).cast("double") * col("_bound_micro")
+            > lit(math.pow(2, 62)),
           raise_error(lit("dimStats: worst-case micro-unit sum near int64 " +
             "range — shard the aggregation")))
           .otherwise(col("_sum_micro")))
-      .select(col("dim"), col("n"),
-        round(col("_sum_micro") / col("n") / 1000000d, 4).as("mean_v"),
+      .select(col("dim"), col("n"), col("n_nonfinite"),
+        round(col("_sum_micro") / (col("n") - col("n_nonfinite")) / 1000000d, 4)
+          .as("mean_v"),
         round(col("_min"), 4).as("min_v"),
         round(col("_max"), 4).as("max_v"),
-        (col("_max") - col("_min") < eps).as("collapsed"))
+        coalesce(col("_max") - col("_min") < eps, lit(false)).as("collapsed"))
 
   /** The corpus re-expressed as reconstructed int8 vectors v̂ = q·scale
     * (what a stored int8+scale index decodes at scan time). The scale
@@ -89,6 +108,12 @@ object Quantize {
     * a drifted copy silently invalidates the audit. */
   private def withQuantized(vectors: DataFrame): DataFrame =
     vectors
+      // non-finite vectors have no defined int8 code — amax is NaN, so
+      // scale is NaN and the bigint cast of floor(NaN) is an ANSI
+      // runtime error that killed the whole query on ONE corrupt
+      // vector (r12 sim review). Excluded at intake, like every search
+      // surface; dimStats' n_nonfinite is the audit that finds them.
+      .where(VectorOps.allFinite(col("embedding")))
       .select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("scale",

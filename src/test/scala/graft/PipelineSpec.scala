@@ -178,6 +178,20 @@ class PipelineSpec extends SparkSpec {
     assert(passAtK(10, 3, 5) == 916667L) // 1e6 − 2520e6 div 30240
     assert(passAtK(10, 0, 5) == 0L)      // no correct samples
     assert(passAtK(10, 7, 5) == 1000000L) // n − c < k: certain
+
+    // the decimal(38) widening stays exact PAST the old int64 bound:
+    // sf1 lands n=1000 per task (the first cut raise_error'd on it),
+    // and the contract holds to n=1e6 — both pinned against the
+    // BigInt oracle through the SAME shared expression the query runs
+    val wide = Seq((0L, 1000L, 250L, 1), (1L, 1000L, 250L, 5),
+        (2L, 1000L, 998L, 5), (3L, 1000000L, 123456L, 5))
+      .toDF("task", "n", "c", "k")
+      .withColumn("pass_at_k_ppm", expr(graft.pipeline.PipelineQueries.passAtKPpm))
+      .select("n", "c", "k", "pass_at_k_ppm")
+      .as[(Long, Long, Int, Long)].collect()
+    wide.foreach { case (n, c, k, ppm) =>
+      assert(ppm == passAtK(n, c, k), s"wide n=$n c=$c k=$k: $ppm")
+    }
   }
 
   test("eval_rouge_n matches a Scala set re-implementation on the corpus") {
@@ -200,6 +214,69 @@ class PipelineSpec extends SparkSpec {
       assert(recall == inter * 1000000L / rs.size, s"recall of ($cand,$ref)")
       if (inter == 0) assert(f1 == 0L)
     }
+  }
+
+  test("eval_bleu matches a Scala multiset re-implementation; identical texts score 0") {
+    import spark.implicits._
+    // independent oracle: clipped counts via Scala multiset min, the
+    // micro-log identity recomputed with strict math — no shared
+    // expression with the query
+    def mlog(x: Long): Long = math.floor(math.log10(x.toDouble) * 1e6).toLong
+    def bleuRef(cand: String, ref: String): (Seq[Long], Long) = {
+      val ct = cand.split(" ", -1); val rt = ref.split(" ", -1)
+      def grams(t: Array[String], n: Int): Seq[String] =
+        if (t.length < n) Seq.empty
+        else t.sliding(n).map(_.mkString(" ")).toSeq
+      val mt = (1 to 4).map { n =>
+        val cg = grams(ct, n).groupBy(identity).map { case (k, v) => k -> v.size }
+        val rg = grams(rt, n).groupBy(identity).map { case (k, v) => k -> v.size }
+        val m = cg.map { case (gr, c) => math.min(c, rg.getOrElse(gr, 0)) }.sum.toLong
+        (m, math.max(ct.length - n + 1, 0).toLong)
+      }
+      val bp = if (ct.length >= rt.length) 0L
+        else math.floor(((1.0 - rt.length.toDouble / ct.length)
+          * 0.43429448190325176) * 1000000).toLong
+      val slog = mt.map { case (m, t) => mlog(m + 1) - mlog(t + 1) }.sum
+      (mt.map { case (m, t) => m * 1000000L / math.max(t, 1L) }, bp + slog / 4)
+    }
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = SparkEntry.queries("eval_bleu")(spark, sfDir)
+      .select("cand_id", "ref_id", "p1_ppm", "p2_ppm", "p3_ppm", "p4_ppm",
+        "bleu_mlog_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (cand, ref, p1, p2, p3, p4, bleu) =>
+      val (ps, b) = bleuRef(texts(cand), texts(ref))
+      assert(Seq(p1, p2, p3, p4) == ps, s"pair ($cand,$ref) precisions")
+      assert(bleu == b, s"pair ($cand,$ref) bleu: $bleu != $b")
+    }
+    // the estimator's fixed points, hand-derived: identical texts →
+    // every m_n = t_n and c = r, so log-BLEU is exactly 0 (BLEU = 1);
+    // a short candidate against a longer reference pays a NEGATIVE
+    // brevity term even at perfect precision
+    assert(bleuRef("a b c d e", "a b c d e")._2 == 0L)
+    val (pShort, bShort) = bleuRef("a b c d", "a b c d e")
+    assert(pShort.head == 1000000L && bShort < 0L, s"($pShort, $bShort)")
+  }
+
+  test("eval_distinct_n matches a Scala re-implementation; repetition collapses the ratio") {
+    import spark.implicits._
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = SparkEntry.queries("eval_distinct_n")(spark, sfDir)
+      .select("doc_id", "n", "n_grams", "n_distinct")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, n, total, distinct) =>
+      val t = texts(id).split(" ", -1)
+      val gs = if (t.length < n) Seq.empty else t.sliding(n).map(_.mkString(" ")).toSeq
+      assert(total == gs.size.toLong, s"doc $id n=$n total")
+      assert(distinct == gs.distinct.size.toLong, s"doc $id n=$n distinct")
+    }
+    // the metric's point, pinned on the corpus: ratios live in (0, 1]
+    // ppm and unigram diversity can only shrink as n_grams grows
+    val ratios = got.map { case (_, _, total, distinct) =>
+      distinct * 1000000L / total }
+    assert(ratios.forall(r => r > 0L && r <= 1000000L), "ppm out of range")
   }
 
   test("mlogLong mirrors the Column micro-log formula exactly") {
@@ -504,6 +581,26 @@ class PipelineSpec extends SparkSpec {
       s"IVF report covers ${got.size}/${exact.size} vectors")
     val agree = exact.count { case (k, v) => got.get(k).contains(v) }
     assert(agree * 2 >= exact.size, s"IVF NN agreement $agree/${exact.size}")
+  }
+
+  test("nearestNeighborReport: a NaN vector neither poisons ranks nor shifts the denominator") {
+    import spark.implicits._
+    // 1 and 2 are near-identical; 3 is orthogonal-ish; 4 is corrupt.
+    // Unguarded, 4 is EVERY row's argmax (struct max orders NaN above
+    // all doubles) and NaN >= t passes — the all-is_dup poisoning the
+    // r12 sim review fixed on the other search surfaces.
+    val vs = Seq(
+      (1L, Array(1.0, 0.0, 0.0)), (2L, Array(0.999, 0.04, 0.0)),
+      (3L, Array(0.0, 1.0, 0.0)), (4L, Array(Double.NaN, 1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val rows = Ann.nearestNeighborReport(vs, 0.45)
+      .select("vec_id", "nn_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1L else r.getLong(1)), r.getBoolean(2)))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L), s"one row per vector: $rows")
+    assert(rows(1L) == ((2L, true)) && rows(2L) == ((1L, true)), s"true pair: $rows")
+    assert(rows(3L)._1 != 4L && !rows(3L)._2, s"3's verdict rode the NaN vector: $rows")
+    assert(rows(4L) == ((-1L, false)), s"corrupt vector got a verdict: $rows")
   }
 
   test("mm decode: metadata comes from the payload bytes and matches the synthesis") {
@@ -1635,6 +1732,53 @@ class PipelineSpec extends SparkSpec {
       (0L, 2L, 2.0, 1.0, 3.0, false),
       (1L, 2L, 0.5, 0.5, 0.5, true),    // constant dim -> collapsed
       (2L, 2L, 0.0, -0.25, 0.25, false)), s"got $got")
+
+    // the audit SURVIVES what it audits (r12 review: floor·cast on a
+    // NaN was an ANSI error that killed the whole report): non-finite
+    // values are counted per dim and excluded from the stats; a dim
+    // with no finite values reports NULL stats, collapsed = false
+    val dirty = Seq(
+      (1L, Array(1.0f, Float.NaN)),
+      (2L, Array(3.0f, Float.PositiveInfinity))).toDF("vec_id", "embedding")
+    val d = Quantize.dimStats(dirty, eps = 1e-4).orderBy("dim").collect()
+    assert(d.length == 2)
+    assert(d(0).getLong(1) == 2 && d(0).getLong(2) == 0 &&
+      d(0).getDouble(3) == 2.0, s"clean dim: ${d(0)}")
+    assert(d(1).getLong(1) == 2 && d(1).getLong(2) == 2 &&
+      d(1).isNullAt(3) && d(1).isNullAt(4) && !d(1).getBoolean(6),
+      s"all-non-finite dim: ${d(1)}")
+  }
+
+  test("quantizer/kmeans/SRP surfaces exclude non-finite vectors instead of erroring") {
+    import spark.implicits._
+    import graft.sim.Quantize
+    val dirty = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)),
+      (3L, Array(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
+    // int8 report: corrupt vector has no defined code — excluded, the
+    // finite rows still report (unguarded, ONE NaN ANSI-errored all)
+    val qr = Quantize.int8Report(dirty).select("vec_id").as[Long].collect().toSet
+    assert(qr == Set(1L, 2L), s"int8Report rows: $qr")
+    // quantized search: corrupt vector neither indexes nor queries
+    val ann = Quantize.annInt8(dirty, dirty, 1)
+      .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
+    assert(ann == Set((1L, 2L), (2L, 1L)), s"annInt8 pairs: $ann")
+    // kmeans: assignment report over the finite vectors only
+    val ks = Ann.kmeans(dirty, k = 2, iters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ks == Set(1L, 2L), s"kmeans rows: $ks")
+    // semanticDedup: survivorship must NOT lose the corrupt doc — it
+    // gets a kept, own-group, no-verdict row
+    val sd = Ann.semanticDedup(dirty, k = 2, iters = 1, threshold = 0.95)
+      .select("vec_id", "sem_group", "keep").as[(Long, Long, Boolean)]
+      .collect().map { case (v, g, kp) => v -> ((g, kp)) }.toMap
+    assert(sd.keySet == Set(1L, 2L, 3L), s"semanticDedup rows: $sd")
+    assert(sd(3L) == ((3L, true)), s"corrupt doc verdict: ${sd(3L)}")
+    // SRP near-dup: the NaN vector emits no pair (unguarded, its NaN
+    // verify cosine PASSED >= t under NaN-is-largest ordering)
+    val srp = Ann.srpDupPairs(dirty, threshold = 0.9, bands = 8)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(!srp.exists(p => p._1 == 3L || p._2 == 3L), s"SRP paired the NaN vector: $srp")
   }
 
   test("Ann.rangeSearch: threshold inclusive, self excluded, matches bruteForce scores") {
