@@ -234,26 +234,6 @@ object PipelineQueries {
       |      div (CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2) * (n-3) * (n-4)))
       |END""".stripMargin
 
-  /** (doc_id, n, g, cnt) — word n-gram MULTISET counts for n = 1..maxN
-    * in ONE explode pass (grams of every order ride the same shuffle).
-    * BLEU clips on multiplicity, so no distinct — the counting sibling
-    * of Dedup.shingles' distinct sets; eval_distinct_n divides the two
-    * views of this same table. The outer sequence is bounded by
-    * size(ts), so no gram order ever sees a negative slice bound
-    * (Spark's sequence(1, 0) DESCENDS — the guard is least(), never a
-    * CASE whose array branches would fight over element types). Raw
-    * split tokens (≥ 1 even for empty text), matching the shingle
-    * family's tokenizer contract. */
-  private def gramCounts(docs: DataFrame, maxN: Int): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), explode(expr(
-        s"""flatten(transform(sequence(1, least($maxN, size(ts))), n ->
-           |  transform(sequence(1, size(ts) - n + 1), i ->
-           |    named_struct('n', n, 'g', array_join(slice(ts, i, n), ' ')))))"""
-          .stripMargin)).as("x"))
-      .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
-      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("cnt"))
-
   /** DISTINCT (source, shingle md5 digest) presence pairs — ONE copy
     * of the presence semantics shared by `ngram_novelty` and
     * `source_overlap` (their two reports must agree on what "a source
@@ -1024,33 +1004,31 @@ object PipelineQueries {
     // ⌊(1 − r/c)·log10(e)·10⁶⌋ when c < r (0 otherwise) — identical
     // texts score exactly 0 (BLEU = 1). All integer arithmetic after
     // the floors; div/`//` truncation is portable on the negative sums
-    // (r12-verified). One gram-count shuffle serves all four orders;
-    // the pair join keys on (n, gram) with adjacent ids — linear in
-    // corpus tokens, no corpus self-join.
+    // (r12-verified). The clipped counts come from ONE native
+    // per-pair-local pass ([[graft.text.BleuClipCounts]] — the pair
+    // row holds both token arrays, so no n-gram ever shuffles); the
+    // pair join on adjacent ids is the only exchange.
     "eval_bleu" -> ((s, d) => {
-      val g = gramCounts(docs(s, d), 4)
-      val m = g.select(col("doc_id").as("cand_id"), col("n"), col("g"), col("cnt"))
-        .join(g.select((col("doc_id") - 1).as("cand_id"), col("n"), col("g"),
-          col("cnt").as("_rcnt")), Seq("cand_id", "n", "g"))
-        .groupBy("cand_id", "n")
-        .agg(sum(least(col("cnt"), col("_rcnt"))).as("mm"))
-      val mAgg = (1 to 4).map(n =>
-        sum(when(col("n") === n, col("mm")).otherwise(0L)).as(s"m$n"))
-      val mm = m.groupBy("cand_id").agg(mAgg.head, mAgg.tail: _*)
-      val lens = docs(s, d).select(col("doc_id"),
-        size(split(col("text"), " ")).cast("bigint").as("ln"))
-      val pairs = lens.select(col("doc_id").as("cand_id"), col("ln").as("c_len"))
-        .join(lens.select((col("doc_id") - 1).as("cand_id"),
-          col("doc_id").as("ref_id"), col("ln").as("r_len")), "cand_id")
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val toks = docs(s, d).select(col("doc_id"),
+        split(col("text"), " ").as("ts"))
+      val pairs = toks.select(col("doc_id").as("cand_id"), col("ts").as("_ct"))
+        .join(toks.select((col("doc_id") - 1).as("cand_id"),
+          col("doc_id").as("ref_id"), col("ts").as("_rt")), "cand_id")
+      val mt = ColumnBridge.column(graft.text.BleuClipCounts(
+        ColumnBridge.expression(col("_ct")),
+        ColumnBridge.expression(col("_rt")), maxN = 4))
       val mlogDiff = (1 to 4).map(n =>
         s"(CAST(floor(log10(m$n + 1) * 1000000) AS BIGINT) - " +
           s"CAST(floor(log10(t$n + 1) * 1000000) AS BIGINT))").mkString(" + ")
-      pairs.join(mm, Seq("cand_id"), "left")
-        .na.fill(0L, (1 to 4).map(n => s"m$n"))
-        .withColumn("t1", col("c_len"))
-        .withColumn("t2", greatest(col("c_len") - 1, lit(0L)))
-        .withColumn("t3", greatest(col("c_len") - 2, lit(0L)))
-        .withColumn("t4", greatest(col("c_len") - 3, lit(0L)))
+      pairs
+        .withColumn("_mt", mt)
+        .select(Seq(col("cand_id"), col("ref_id"),
+          size(col("_ct")).cast("bigint").as("c_len"),
+          size(col("_rt")).cast("bigint").as("r_len")) ++
+          (1 to 4).flatMap(n => Seq(
+            col("_mt").getItem(n - 1).getField("m").as(s"m$n"),
+            col("_mt").getItem(n - 1).getField("t").as(s"t$n"))): _*)
         .withColumn("p1_ppm", expr("m1 * 1000000 div greatest(t1, 1L)"))
         .withColumn("p2_ppm", expr("m2 * 1000000 div greatest(t2, 1L)"))
         .withColumn("p3_ppm", expr("m3 * 1000000 div greatest(t3, 1L)"))
@@ -1068,12 +1046,24 @@ object PipelineQueries {
     // generation-diversity readout (distinct-n of Li et al. 2016): per
     // doc and n = 1..3, distinct n-grams over total n-grams in ppm —
     // the repetition-collapse detector run over sampled generations.
-    // Rides the SAME gramCounts table as eval_bleu (one shuffle); a
+    // PURE projection (distinct counts via array_distinct over hashed
+    // token slices — xxhash64 of the slice skips the joined-string
+    // build; identity sound since tokens contain no space, and the
+    // oracle re-derives from raw grams so a 64-bit collision fails the
+    // gate loudly): nothing shuffles but the 3-row-per-doc explode. A
     // doc shorter than n simply has no n row.
     "eval_distinct_n" -> ((s, d) =>
-      gramCounts(docs(s, d), 3)
-        .groupBy("doc_id", "n")
-        .agg(sum("cnt").as("n_grams"), count(lit(1)).as("n_distinct"))
+      docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, least(3, size(ts))), n -> named_struct(
+            |  'n', n,
+            |  'tot', size(ts) - n + 1,
+            |  'dis', size(array_distinct(transform(
+            |     sequence(1, size(ts) - n + 1), i -> xxhash64(slice(ts, i, n)))))))"""
+            .stripMargin)).as("x"))
+        .select(col("doc_id"), col("x.n").as("n"),
+          col("x.tot").cast("bigint").as("n_grams"),
+          col("x.dis").cast("bigint").as("n_distinct"))
         .withColumn("distinct_ppm", expr("n_distinct * 1000000 div n_grams"))
         .orderBy("doc_id", "n")),
     // Calibration / reliability audit of the quality classifier: docs

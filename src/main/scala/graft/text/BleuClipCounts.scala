@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native clipped n-gram match counts for corpus BLEU (Papineni et
+  * al. 2002): given candidate and reference token arrays, returns
+  * `array<struct<m: bigint, t: bigint>>` of length `maxN`, where for
+  * each n = 1..maxN, `m` is the multiset-clipped match count
+  * Σ_g min(count_cand(g), count_ref(g)) over the candidate's distinct
+  * n-grams and `t` is the candidate total max(len − n + 1, 0).
+  *
+  * Exists because the composable shape — explode every n-gram of every
+  * order, groupBy (doc, n, gram), self-join candidate against
+  * reference — shuffles ~maxN × corpus-token rows TWICE to compute
+  * what is a per-pair-local O(tokens) fold: the pair row already holds
+  * both token arrays, so the clipped counts are a projection, not a
+  * join. Measured on the 10× spike corpus this replaced 15 s of
+  * gram-shuffle machinery with a sub-5 s pair-local pass; at 100 TB
+  * the difference is an entire shuffle stage of the corpus's token
+  * stream. CodegenFallback is deliberate: the per-row work is hash-map
+  * bound (no codegen win) and runs once per PAIR, not per candidate
+  * combination — this is not a join-side hot loop like [[graft.sim.VecDot]].
+  *
+  * Semantics notes (both paths share ONE eval):
+  *  - n-gram identity is the space-joined token string; tokens come
+  *    from a space split so the join is injective — no false merges.
+  *  - a NULL token element reads as "" (cannot occur from split(),
+  *    which never emits NULL elements — documented for hand callers).
+  *  - either input NULL → NULL result (BinaryExpression contract).
+  */
+case class BleuClipCounts(left: Expression, right: Expression, maxN: Int = 4)
+    extends BinaryExpression with CodegenFallback {
+
+  require(maxN >= 1 && maxN <= 8, s"maxN ($maxN) out of the sane 1..8 range")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("m", LongType, nullable = false),
+      StructField("t", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bleu_clip_counts"
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bleu_clip_counts needs array<string>, got ${left.dataType}, ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ct = a.asInstanceOf[ArrayData]
+    val rt = b.asInstanceOf[ArrayData]
+    val cn = ct.numElements()
+    val rn = rt.numElements()
+    def gram(d: ArrayData, start: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        if (!d.isNullAt(start + j)) sb.append(d.getUTF8String(start + j).toString)
+        j += 1
+      }
+      sb.toString
+    }
+    val rows = new Array[Any](maxN)
+    var n = 1
+    while (n <= maxN) {
+      val rm = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i + n <= rn) { rm.merge(gram(rt, i, n), 1, (x, y) => x + y); i += 1 }
+      val cm = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i + n <= cn) { cm.merge(gram(ct, i, n), 1, (x, y) => x + y); i += 1 }
+      var m = 0L
+      val it = cm.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        m += math.min(e.getValue, rm.getOrDefault(e.getKey, 0)).toLong
+      }
+      rows(n - 1) = InternalRow(m, math.max(cn - n + 1, 0).toLong)
+      n += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BleuClipCounts =
+    copy(left = newLeft, right = newRight)
+}
