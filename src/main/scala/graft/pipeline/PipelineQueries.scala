@@ -1043,6 +1043,48 @@ object PipelineQueries {
           col("bleu_mlog_micro"))
         .orderBy("cand_id")
     }),
+    // chrF (Popović 2015), the character-level generation metric that
+    // survives tokenizer mismatch: clipped character n-gram matches
+    // (n = 1..6, whitespace removed) over candidate totals (chrP) and
+    // reference totals (chrR), uniformly averaged across orders, fused
+    // as F2 = 5·P·R/(4P+R) — all integer ppm, an order with no grams
+    // contributes 0. ONE native per-pair pass over the raw strings
+    // ([[graft.text.ChrfClipCounts]] — rolling 64-bit gram keys +
+    // primitive sort-merge, nothing allocated per gram; its scaladoc
+    // carries the collision-fails-the-gate-loudly posture); the
+    // adjacent-id pair join is the only exchange.
+    "eval_chrf" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val texts = docs(s, d).select(col("doc_id"), col("text"))
+      val pairs = texts.select(col("doc_id").as("cand_id"), col("text").as("_ct"))
+        .join(texts.select((col("doc_id") - 1).as("cand_id"),
+          col("doc_id").as("ref_id"), col("text").as("_rt")), "cand_id")
+      val mt = ColumnBridge.column(graft.text.ChrfClipCounts(
+        ColumnBridge.expression(col("_ct")),
+        ColumnBridge.expression(col("_rt")), maxN = 6))
+      val pSum = (1 to 6).map(n => s"(m$n * 1000000 div greatest(tc$n, 1L))")
+        .mkString(" + ")
+      val rSum = (1 to 6).map(n => s"(m$n * 1000000 div greatest(tr$n, 1L))")
+        .mkString(" + ")
+      pairs.withColumn("_mt", mt)
+        .select(Seq(col("cand_id"), col("ref_id"),
+          length(regexp_replace(col("_ct"), " ", "")).cast("bigint").as("c_chars"),
+          length(regexp_replace(col("_rt"), " ", "")).cast("bigint").as("r_chars")) ++
+          (1 to 6).flatMap(n => Seq(
+            col("_mt").getItem(n - 1).getField("m").as(s"m$n"),
+            col("_mt").getItem(n - 1).getField("t").as(s"tc$n"),
+            col("_mt").getItem(n - 1).getField("tr").as(s"tr$n"))): _*)
+        .withColumn("chrp_ppm", expr(s"($pSum) div 6"))
+        .withColumn("chrr_ppm", expr(s"($rSum) div 6"))
+        // F2 in ppm: P,R ≤ 10⁶ so 5PR ≤ 5e12 — exact; no grams at all
+        // (both averages 0) has no harmonic mean — report 0
+        .withColumn("chrf2_ppm", expr(
+          "IF(chrp_ppm + chrr_ppm = 0, 0L, " +
+            "5 * chrp_ppm * chrr_ppm div (4 * chrp_ppm + chrr_ppm))"))
+        .select(col("cand_id"), col("ref_id"), col("c_chars"), col("r_chars"),
+          col("chrp_ppm"), col("chrr_ppm"), col("chrf2_ppm"))
+        .orderBy("cand_id")
+    }),
     // generation-diversity readout (distinct-n of Li et al. 2016): per
     // doc and n = 1..3, distinct n-grams over total n-grams in ppm —
     // the repetition-collapse detector run over sampled generations.
@@ -2993,6 +3035,48 @@ object PipelineQueries {
         |      - CAST(floor(log10(t4 + 1) * 1000000) AS BIGINT)) // 4)
         |    AS bleu_mlog_micro
         |FROM q ORDER BY cand_id""".stripMargin,
+    "eval_chrf" ->
+      (s"""WITH cs AS (SELECT doc_id, regexp_extract_all(text, '[^ ]') AS ch FROM documents),
+          |lens AS (SELECT doc_id, CAST(len(ch) AS BIGINT) AS ln FROM cs),
+          |x AS (SELECT doc_id, nn.n AS n,
+          |        unnest([array_to_string(ch[i:i+nn.n-1], '')
+          |                for i in range(1, len(ch) - nn.n + 2)]) AS g
+          |      FROM cs, (VALUES (1),(2),(3),(4),(5),(6)) nn(n)),
+          |gc AS (SELECT doc_id, n, g, count(*) AS cnt FROM x GROUP BY 1, 2, 3),
+          |m AS (SELECT c.doc_id AS cand_id, c.n,
+          |        CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS mm
+          |      FROM gc c JOIN gc r
+          |        ON r.n = c.n AND r.g = c.g AND r.doc_id = c.doc_id + 1
+          |      GROUP BY 1, 2),
+          |w AS (SELECT cand_id,
+          |        ${(1 to 6).map(n =>
+               s"coalesce(max(CASE WHEN n = $n THEN mm END), 0) AS m$n")
+               .mkString(",\n          |        ")}
+          |      FROM m GROUP BY 1),
+          |p AS (SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+          |             c.ln AS c_chars, r.ln AS r_chars
+          |      FROM lens c JOIN lens r ON r.doc_id = c.doc_id + 1),
+          |q AS (SELECT p.cand_id, p.ref_id, p.c_chars, p.r_chars,
+          |        ${(1 to 6).map(n => s"coalesce(w.m$n, 0) AS m$n")
+               .mkString(", ")},
+          |        ${(1 to 6).map(n =>
+               s"greatest(p.c_chars - ${n - 1}, 0) AS tc$n").mkString(", ")},
+          |        ${(1 to 6).map(n =>
+               s"greatest(p.r_chars - ${n - 1}, 0) AS tr$n").mkString(", ")}
+          |      FROM p LEFT JOIN w USING (cand_id)),
+          |f AS (SELECT cand_id, ref_id, c_chars, r_chars,
+          |        (${(1 to 6).map(n =>
+               s"m$n * 1000000 // greatest(tc$n, 1)").mkString(" + ")}) // 6
+          |          AS chrp_ppm,
+          |        (${(1 to 6).map(n =>
+               s"m$n * 1000000 // greatest(tr$n, 1)").mkString(" + ")}) // 6
+          |          AS chrr_ppm
+          |      FROM q)
+          |SELECT cand_id, ref_id, c_chars, r_chars, chrp_ppm, chrr_ppm,
+          |  CASE WHEN chrp_ppm + chrr_ppm = 0 THEN 0
+          |       ELSE 5 * chrp_ppm * chrr_ppm // (4 * chrp_ppm + chrr_ppm) END
+          |    AS chrf2_ppm
+          |FROM f ORDER BY cand_id""").stripMargin,
     "eval_distinct_n" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |x AS (SELECT doc_id, nn.n AS n,

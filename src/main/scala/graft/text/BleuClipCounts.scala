@@ -7,11 +7,13 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native clipped n-gram match counts for corpus BLEU (Papineni et
-  * al. 2002): given candidate and reference token arrays, returns
-  * `array<struct<m: bigint, t: bigint>>` of length `maxN`, where for
-  * each n = 1..maxN, `m` is the multiset-clipped match count
-  * Σ_g min(count_cand(g), count_ref(g)) over the candidate's distinct
-  * n-grams and `t` is the candidate total max(len − n + 1, 0).
+  * al. 2002) and chrF (Popović 2015): given candidate and reference
+  * token arrays, returns `array<struct<m: bigint, t: bigint,
+  * tr: bigint>>` of length `maxN`, where for each n = 1..maxN, `m` is
+  * the multiset-clipped match count Σ_g min(count_cand(g),
+  * count_ref(g)) over the candidate's distinct n-grams, `t` is the
+  * candidate total max(len − n + 1, 0) (BLEU's precision denominator)
+  * and `tr` the reference total (chrF's recall denominator).
   *
   * Exists because the composable shape — explode every n-gram of every
   * order, groupBy (doc, n, gram), self-join candidate against
@@ -39,7 +41,8 @@ case class BleuClipCounts(left: Expression, right: Expression, maxN: Int = 4)
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("m", LongType, nullable = false),
-      StructField("t", LongType, nullable = false))), containsNull = false)
+      StructField("t", LongType, nullable = false),
+      StructField("tr", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "bleu_clip_counts"
   override def nullable: Boolean = left.nullable || right.nullable
 
@@ -86,7 +89,8 @@ case class BleuClipCounts(left: Expression, right: Expression, maxN: Int = 4)
         val e = it.next()
         m += math.min(e.getValue, rm.getOrDefault(e.getKey, 0)).toLong
       }
-      rows(n - 1) = InternalRow(m, math.max(cn - n + 1, 0).toLong)
+      rows(n - 1) = InternalRow(m, math.max(cn - n + 1, 0).toLong,
+        math.max(rn - n + 1, 0).toLong)
       n += 1
     }
     new GenericArrayData(rows)

@@ -259,6 +259,47 @@ class PipelineSpec extends SparkSpec {
     assert(pShort.head == 1000000L && bShort < 0L, s"($pShort, $bShort)")
   }
 
+  test("eval_chrf matches a Scala re-implementation; identity and disjoint fixed points") {
+    import spark.implicits._
+    def chrfRef(cand: String, ref: String): (Long, Long, Long) = {
+      val cc = cand.filterNot(_ == ' ').map(_.toString).toArray
+      val rc = ref.filterNot(_ == ' ').map(_.toString).toArray
+      def grams(t: Array[String], n: Int): Seq[String] =
+        if (t.length < n) Seq.empty
+        else t.sliding(n).map(_.mkString("")).toSeq
+      val pr = (1 to 6).map { n =>
+        val cg = grams(cc, n).groupBy(identity).map { case (k, v) => k -> v.size }
+        val rg = grams(rc, n).groupBy(identity).map { case (k, v) => k -> v.size }
+        val m = cg.map { case (g, c) => math.min(c, rg.getOrElse(g, 0)) }.sum.toLong
+        val tc = math.max(cc.length - n + 1, 0).toLong
+        val tr = math.max(rc.length - n + 1, 0).toLong
+        (m * 1000000L / math.max(tc, 1L), m * 1000000L / math.max(tr, 1L))
+      }
+      val p = pr.map(_._1).sum / 6
+      val r = pr.map(_._2).sum / 6
+      val f = if (p + r == 0) 0L else 5 * p * r / (4 * p + r)
+      (p, r, f)
+    }
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = SparkEntry.queries("eval_chrf")(spark, sfDir)
+      .select("cand_id", "ref_id", "chrp_ppm", "chrr_ppm", "chrf2_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (cand, ref, p, r, f) =>
+      val (ep, er, ef) = chrfRef(texts(cand), texts(ref))
+      assert((p, r, f) == ((ep, er, ef)), s"pair ($cand,$ref): ($p,$r,$f) != ($ep,$er,$ef)")
+    }
+    // fixed points: identical texts ≥ 6 chars → P = R = F2 = 10⁶
+    // exactly, and whitespace differences are invisible — chrF's
+    // point; fully disjoint alphabets → all zeros. A SHORT identical
+    // pair scores below 10⁶ by the documented contract (an order with
+    // no grams contributes 0 to the uniform average, not a skip):
+    // 4 chars → (4·10⁶ + 0 + 0)/6.
+    assert(chrfRef("abc defgh", "abcdefgh") == ((1000000L, 1000000L, 1000000L)))
+    assert(chrfRef("aaaa aaaa", "bbbb bbbb") == ((0L, 0L, 0L)))
+    assert(chrfRef("ab cd", "abcd") == ((666666L, 666666L, 666666L)))
+  }
+
   test("eval_distinct_n matches a Scala re-implementation; repetition collapses the ratio") {
     import spark.implicits._
     val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
