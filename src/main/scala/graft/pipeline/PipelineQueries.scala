@@ -1085,6 +1085,37 @@ object PipelineQueries {
           col("chrp_ppm"), col("chrr_ppm"), col("chrf2_ppm"))
         .orderBy("cand_id")
     }),
+    // character edit-distance ratio (the char-level cousin of TER,
+    // Snover et al. 2006): Levenshtein(cand, ref) normalized by
+    // reference length in ppm — can exceed 10⁶ when the candidate
+    // overruns. The distance is the unique Levenshtein metric, so the
+    // native [[graft.text.EditDistance]] DP and DuckDB's levenshtein
+    // agree exactly with no micro-unit machinery (Spark's built-in
+    // walks UTF-8 bytes with per-access decoding — ~30× more core
+    // time, the reason for the native pass). Per-pair-local
+    // O(|c|·|r|) DP; the explicit repartition spreads the
+    // CPU-quadratic projection across cores even when the upstream
+    // scan is a single small file (at sf0.1 the one-partition scan
+    // serialized 14 core-seconds of DP onto one thread — at 100 TB
+    // scans are many-partitioned, and one extra thin-pair shuffle is
+    // noise against the quadratic it parallelizes).
+    "eval_edit_ratio" -> ((s, d) => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val t = docs(s, d).select(col("doc_id"), col("text"))
+      t.select(col("doc_id").as("cand_id"), col("text").as("_ct"))
+        .join(t.select((col("doc_id") - 1).as("cand_id"),
+          col("doc_id").as("ref_id"), col("text").as("_rt")), "cand_id")
+        .repartition(col("cand_id"))
+        .select(col("cand_id"), col("ref_id"),
+          length(col("_ct")).cast("bigint").as("c_len"),
+          length(col("_rt")).cast("bigint").as("r_len"),
+          ColumnBridge.column(graft.text.EditDistance(
+            ColumnBridge.expression(col("_ct")),
+            ColumnBridge.expression(col("_rt")))).as("edit_dist"))
+        .withColumn("edit_ratio_ppm",
+          expr("edit_dist * 1000000 div greatest(r_len, 1L)"))
+        .orderBy("cand_id")
+    }),
     // generation-diversity readout (distinct-n of Li et al. 2016): per
     // doc and n = 1..3, distinct n-grams over total n-grams in ppm —
     // the repetition-collapse detector run over sampled generations.
@@ -3077,6 +3108,18 @@ object PipelineQueries {
           |       ELSE 5 * chrp_ppm * chrr_ppm // (4 * chrp_ppm + chrr_ppm) END
           |    AS chrf2_ppm
           |FROM f ORDER BY cand_id""").stripMargin,
+    "eval_edit_ratio" ->
+      """WITH p AS (SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
+        |                  c.text AS ct, r.text AS rt
+        |           FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1),
+        |e AS (SELECT cand_id, ref_id,
+        |        CAST(len(ct) AS BIGINT) AS c_len,
+        |        CAST(len(rt) AS BIGINT) AS r_len,
+        |        CAST(levenshtein(ct, rt) AS BIGINT) AS edit_dist
+        |      FROM p)
+        |SELECT cand_id, ref_id, c_len, r_len, edit_dist,
+        |       edit_dist * 1000000 // greatest(r_len, 1) AS edit_ratio_ppm
+        |FROM e ORDER BY cand_id""".stripMargin,
     "eval_distinct_n" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |x AS (SELECT doc_id, nn.n AS n,

@@ -300,6 +300,47 @@ class PipelineSpec extends SparkSpec {
     assert(chrfRef("ab cd", "abcd") == ((666666L, 666666L, 666666L)))
   }
 
+  test("eval_edit_ratio matches an independent DP re-implementation on sampled pairs") {
+    import spark.implicits._
+    // classic Levenshtein DP, written fresh (two-row rolling) — no
+    // shared code with either engine's native implementation
+    def lev(a: String, b: String): Long = {
+      var prev = (0 to b.length).toArray
+      var cur = new Array[Int](b.length + 1)
+      var i = 1
+      while (i <= a.length) {
+        cur(0) = i
+        var j = 1
+        while (j <= b.length) {
+          val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+          j += 1
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      prev(b.length).toLong
+    }
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val got = SparkEntry.queries("eval_edit_ratio")(spark, sfDir)
+      .select("cand_id", "ref_id", "edit_dist", "edit_ratio_ppm")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // DP on every pair is O(pairs · len²) — sample every 10th pair,
+    // plus the ratio identity on all rows
+    got.zipWithIndex.foreach { case ((cand, ref, d, ppm), k) =>
+      if (k % 10 == 0) {
+        val e = lev(texts(cand), texts(ref))
+        assert(d == e, s"pair ($cand,$ref): $d != $e")
+      }
+      assert(ppm == d * 1000000L / math.max(texts(ref).length, 1),
+        s"ratio of ($cand,$ref)")
+    }
+    // hand pins: the textbook triple, identity = 0, empty-side = length
+    assert(lev("kitten", "sitting") == 3L)
+    assert(lev("abc", "abc") == 0L && lev("", "abc") == 3L && lev("abc", "") == 3L)
+  }
+
   test("eval_distinct_n matches a Scala re-implementation; repetition collapses the ratio") {
     import spark.implicits._
     val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
