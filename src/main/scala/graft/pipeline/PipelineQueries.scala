@@ -220,19 +220,37 @@ object PipelineQueries {
     * BIGINT, so the column type stays long in both engines. Past 10⁶
     * the guard still raises loudly — subsampling per task is the
     * documented escape (Chen et al. themselves estimate from a fixed
-    * n per task). */
+    * n per task). ONLY k = 1 and k = 5 have arms — any other k raises
+    * rather than silently computing the k=5 value (r12 review: the
+    * promotion to a shared expression made silent misuse reachable). */
   private[graft] val passAtKPpm: String =
     """CASE
       |  WHEN n > 1000000 THEN raise_error(concat(
       |    'eval_pass_at_k: n = ', n,
       |    ' past the exact decimal(38) falling-factorial bound (1e6 at k<=5)',
       |    ' - subsample per task'))
+      |  WHEN k != 1 AND k != 5 THEN raise_error(concat(
+      |    'eval_pass_at_k: k = ', k,
+      |    ' but this expression hard-codes the k=1 and k=5 falling-',
+      |    'factorial arms - extend the arms before extending the explode'))
       |  WHEN n - c < k THEN 1000000L
       |  WHEN k = 1 THEN 1000000L - ((n - c) * 1000000L div n)
       |  ELSE 1000000L -
       |    ((CAST(n-c AS DECIMAL(38,0)) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4) * 1000000)
       |      div (CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2) * (n-3) * (n-4)))
       |END""".stripMargin
+
+  /** (cand_id, _c, ref_id, _r) — ONE copy of the adjacent-doc
+    * candidate/reference pairing every generation-eval report shares
+    * (eval_rouge_n / eval_bleu / eval_chrf / eval_edit_ratio):
+    * candidate doc d against reference d+1, one payload column
+    * carried per side. A real harness feeds its own (cand, ref)
+    * rows — swapping the pairing then edits ONE place instead of four
+    * silently-driftable copies (r12 review). */
+  private def adjacentPairs(src: DataFrame, payload: String): DataFrame =
+    src.select(col("doc_id").as("cand_id"), col(payload).as("_c"))
+      .join(src.select((col("doc_id") - 1).as("cand_id"),
+        col("doc_id").as("ref_id"), col(payload).as("_r")), "cand_id")
 
   /** DISTINCT (source, shingle md5 digest) presence pairs — ONE copy
     * of the presence semantics shared by `ngram_novelty` and
@@ -975,15 +993,11 @@ object PipelineQueries {
     // the pair row — the only shuffle is the pair join, and at 100 TB
     // the pre-shingled corpus table serves both sides.
     "eval_rouge_n" -> ((s, d) => {
-      val sh = Dedup.shingles(docs(s, d), 2)
-      val cand = sh.select(col("doc_id").as("cand_id"), col("shs").as("_cs"))
-      val ref = sh.select((col("doc_id") - 1).as("cand_id"),
-        col("doc_id").as("ref_id"), col("shs").as("_rs"))
-      cand.join(ref, "cand_id")
+      adjacentPairs(Dedup.shingles(docs(s, d), 2), "shs")
         .select(col("cand_id"), col("ref_id"),
-          size(col("_cs")).cast("bigint").as("n_cand"),
-          size(col("_rs")).cast("bigint").as("n_ref"),
-          size(array_intersect(col("_cs"), col("_rs"))).cast("bigint")
+          size(col("_c")).cast("bigint").as("n_cand"),
+          size(col("_r")).cast("bigint").as("n_ref"),
+          size(array_intersect(col("_c"), col("_r"))).cast("bigint")
             .as("n_common"))
         .withColumn("recall_ppm", expr("n_common * 1000000 div n_ref"))
         .withColumn("precision_ppm", expr("n_common * 1000000 div n_cand"))
@@ -1010,22 +1024,19 @@ object PipelineQueries {
     // pair join on adjacent ids is the only exchange.
     "eval_bleu" -> ((s, d) => {
       import org.apache.spark.sql.graftbridge.ColumnBridge
-      val toks = docs(s, d).select(col("doc_id"),
-        split(col("text"), " ").as("ts"))
-      val pairs = toks.select(col("doc_id").as("cand_id"), col("ts").as("_ct"))
-        .join(toks.select((col("doc_id") - 1).as("cand_id"),
-          col("doc_id").as("ref_id"), col("ts").as("_rt")), "cand_id")
+      val pairs = adjacentPairs(docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts")), "ts")
       val mt = ColumnBridge.column(graft.text.BleuClipCounts(
-        ColumnBridge.expression(col("_ct")),
-        ColumnBridge.expression(col("_rt")), maxN = 4))
+        ColumnBridge.expression(col("_c")),
+        ColumnBridge.expression(col("_r")), maxN = 4))
       val mlogDiff = (1 to 4).map(n =>
         s"(CAST(floor(log10(m$n + 1) * 1000000) AS BIGINT) - " +
           s"CAST(floor(log10(t$n + 1) * 1000000) AS BIGINT))").mkString(" + ")
       pairs
         .withColumn("_mt", mt)
         .select(Seq(col("cand_id"), col("ref_id"),
-          size(col("_ct")).cast("bigint").as("c_len"),
-          size(col("_rt")).cast("bigint").as("r_len")) ++
+          size(col("_c")).cast("bigint").as("c_len"),
+          size(col("_r")).cast("bigint").as("r_len")) ++
           (1 to 4).flatMap(n => Seq(
             col("_mt").getItem(n - 1).getField("m").as(s"m$n"),
             col("_mt").getItem(n - 1).getField("t").as(s"t$n"))): _*)
@@ -1055,21 +1066,24 @@ object PipelineQueries {
     // adjacent-id pair join is the only exchange.
     "eval_chrf" -> ((s, d) => {
       import org.apache.spark.sql.graftbridge.ColumnBridge
-      val texts = docs(s, d).select(col("doc_id"), col("text"))
-      val pairs = texts.select(col("doc_id").as("cand_id"), col("text").as("_ct"))
-        .join(texts.select((col("doc_id") - 1).as("cand_id"),
-          col("doc_id").as("ref_id"), col("text").as("_rt")), "cand_id")
+      val pairs = adjacentPairs(docs(s, d).select(col("doc_id"), col("text")), "text")
       val mt = ColumnBridge.column(graft.text.ChrfClipCounts(
-        ColumnBridge.expression(col("_ct")),
-        ColumnBridge.expression(col("_rt")), maxN = 6))
+        ColumnBridge.expression(col("_c")),
+        ColumnBridge.expression(col("_r")), maxN = 6))
       val pSum = (1 to 6).map(n => s"(m$n * 1000000 div greatest(tc$n, 1L))")
         .mkString(" + ")
       val rSum = (1 to 6).map(n => s"(m$n * 1000000 div greatest(tr$n, 1L))")
         .mkString(" + ")
+      // c_chars/r_chars come from the native struct's n = 1 totals —
+      // t₁/tr₁ ARE the whitespace-stripped lengths, so the report and
+      // the chrP/chrR denominators share ONE definition of "stripped
+      // length" (the first cut re-derived them via regexp_replace:
+      // a second scan of both full strings per row AND a second,
+      // driftable stripping rule — r12 review)
       pairs.withColumn("_mt", mt)
         .select(Seq(col("cand_id"), col("ref_id"),
-          length(regexp_replace(col("_ct"), " ", "")).cast("bigint").as("c_chars"),
-          length(regexp_replace(col("_rt"), " ", "")).cast("bigint").as("r_chars")) ++
+          col("_mt").getItem(0).getField("t").as("c_chars"),
+          col("_mt").getItem(0).getField("tr").as("r_chars")) ++
           (1 to 6).flatMap(n => Seq(
             col("_mt").getItem(n - 1).getField("m").as(s"m$n"),
             col("_mt").getItem(n - 1).getField("t").as(s"tc$n"),
@@ -1101,17 +1115,14 @@ object PipelineQueries {
     // noise against the quadratic it parallelizes).
     "eval_edit_ratio" -> ((s, d) => {
       import org.apache.spark.sql.graftbridge.ColumnBridge
-      val t = docs(s, d).select(col("doc_id"), col("text"))
-      t.select(col("doc_id").as("cand_id"), col("text").as("_ct"))
-        .join(t.select((col("doc_id") - 1).as("cand_id"),
-          col("doc_id").as("ref_id"), col("text").as("_rt")), "cand_id")
+      adjacentPairs(docs(s, d).select(col("doc_id"), col("text")), "text")
         .repartition(col("cand_id"))
         .select(col("cand_id"), col("ref_id"),
-          length(col("_ct")).cast("bigint").as("c_len"),
-          length(col("_rt")).cast("bigint").as("r_len"),
+          length(col("_c")).cast("bigint").as("c_len"),
+          length(col("_r")).cast("bigint").as("r_len"),
           ColumnBridge.column(graft.text.EditDistance(
-            ColumnBridge.expression(col("_ct")),
-            ColumnBridge.expression(col("_rt")))).as("edit_dist"))
+            ColumnBridge.expression(col("_c")),
+            ColumnBridge.expression(col("_r")))).as("edit_dist"))
         .withColumn("edit_ratio_ppm",
           expr("edit_dist * 1000000 div greatest(r_len, 1L)"))
         .orderBy("cand_id")
@@ -2409,15 +2420,24 @@ object PipelineQueries {
         |              + scale * scale * list_dot_product(qdv, qdv))
         |             / len(v) * 1000000, 4) AS mse_ppm
         |FROM qd ORDER BY vec_id""".stripMargin,
+    // the trailing left join mirrors the Spark report's one-row-per-
+    // vector denominator contract (a vector with no scoreable pair —
+    // single-vector corpus, or every neighbor excluded — still gets
+    // its is_dup = false row); value-identical on the registered
+    // corpus where every vector has a neighbor
     "dedup_embedding" ->
       (s"""WITH scored AS (
           |  SELECT a.vec_id, b.vec_id AS nn_id, ${ddCos("a.embedding", "b.embedding")} AS sc
           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
           |top AS (SELECT vec_id, nn_id, sc,
           |          row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, nn_id) AS rn
-          |        FROM scored)
-          |SELECT vec_id, nn_id, round(sc, 4) AS cos, round(sc, 4) >= 0.45 AS is_dup
-          |FROM top WHERE rn = 1 ORDER BY vec_id""".stripMargin),
+          |        FROM scored),
+          |t1 AS (SELECT vec_id, nn_id, round(sc, 4) AS cos,
+          |              round(sc, 4) >= 0.45 AS is_dup
+          |       FROM top WHERE rn = 1)
+          |SELECT e.vec_id, t1.nn_id, t1.cos, coalesce(t1.is_dup, false) AS is_dup
+          |FROM embeddings e LEFT JOIN t1 ON t1.vec_id = e.vec_id
+          |ORDER BY e.vec_id""".stripMargin),
     "embedding_stats" ->
       """WITH x AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
         |                  unnest(range(0, len(embedding))) AS dim

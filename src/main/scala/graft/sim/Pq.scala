@@ -176,7 +176,14 @@ object Pq {
     // rank first in every ADC heap. dimStats finds them upstream.
     val vectors = vectors0.where(VectorOps.allFinite(col("embedding")))
     val queries = queries0.where(VectorOps.allFinite(col("embedding")))
-    val dim = vectors.select(size(col("embedding"))).head().getInt(0)
+    // loud, NAMED failure when the finite corpus is empty (a fully
+    // corrupt encoder batch) — the bare head() threw an opaque
+    // next-on-empty-iterator from the driver (r12 review)
+    val dimRow = vectors.select(size(col("embedding"))).limit(1).collect()
+    require(dimRow.nonEmpty, "pqSearch: no finite vectors to index — " +
+      "every corpus embedding is NaN/Inf or the corpus is empty; " +
+      "run embedding_stats (n_nonfinite) on the upstream table")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
     val books = codebooks(vectors, m, dsub, ksub, trainIters)
