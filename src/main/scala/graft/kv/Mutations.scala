@@ -32,31 +32,42 @@ object Mutations {
   def put(base: DataFrame, puts: DataFrame, keyCol: String,
           versionCol: Option[String] = None,
           tieBreakers: Seq[String] = Nil): DataFrame = {
-    val resolved = versionCol match {
-      case Some(v) =>
-        val ord = (v +: tieBreakers).map(col(_).desc)
-        val w = Window.partitionBy(keyCol).orderBy(ord: _*)
-        puts.withColumn("_pv", row_number().over(w)).where(col("_pv") === 1).drop("_pv")
-      case None =>
-        // duplicate put keys with no version order would BOTH survive
-        // the anti-join union — two rows for one key, breaking the
-        // one-row-per-key snapshot invariant every downstream CAS and
-        // diff relies on. ENFORCED, not assumed (checkAndPutAbsent's
-        // discipline): one count-window on the puts side — the small
-        // batch side by premise — failing loudly with the first
-        // duplicate key.
-        val w = Window.partitionBy(keyCol)
-        puts.withColumn("_pn", count(lit(1)).over(w))
-          .where(assert_true(col("_pn") <= 1,
-            concat(lit("put: duplicate put key "), col(keyCol).cast("string"),
-              lit(" in a batch with no versionCol to order the upsert — " +
-                "pass versionCol (last write wins) or de-duplicate the batch")))
-            .isNull)
-          .drop("_pn")
-    }
+    val resolved = resolveDuplicateKeys(puts, keyCol, versionCol, tieBreakers,
+      firstWins = false, msg = "put: duplicate put key ",
+      advice = " in a batch with no versionCol to order the upsert — " +
+        "pass versionCol (last write wins) or de-duplicate the batch")
     base.join(resolved.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .unionByName(resolved)
   }
+
+  /** ONE copy of duplicate-put-key resolution, shared by [[put]]
+    * (last write wins — version DESC) and [[checkAndPutAbsent]]
+    * (first op wins — version ASC). With a `versionCol`, one window
+    * keeps the winning row per key; WITHOUT one, duplicate keys would
+    * break the one-row-per-key snapshot invariant every downstream CAS
+    * and diff relies on, so they fail LOUDLY naming the first
+    * duplicate — ENFORCED, not assumed, via one count-window on the
+    * puts side (the small batch side by premise). The two call sites
+    * were hand-synced ~20-line copies differing only in sort direction
+    * and message (r12 kv review — the drift trap). */
+  private def resolveDuplicateKeys(puts: DataFrame, keyCol: String,
+      versionCol: Option[String], tieBreakers: Seq[String],
+      firstWins: Boolean, msg: String, advice: String): DataFrame =
+    versionCol match {
+      case Some(v) =>
+        val ord = (v +: tieBreakers)
+          .map(c => if (firstWins) col(c).asc else col(c).desc)
+        val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+        puts.withColumn("_pv", row_number().over(w))
+          .where(col("_pv") === 1).drop("_pv")
+      case None =>
+        val w = Window.partitionBy(keyCol)
+        puts.withColumn("_pn", count(lit(1)).over(w))
+          .where(assert_true(col("_pn") <= 1,
+            concat(lit(msg), col(keyCol).cast("string"), lit(advice)))
+            .isNull)
+          .drop("_pn")
+    }
 
   /** Delete (row-level): anti-join on the delete key set. */
   def deleteRows(base: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
@@ -142,12 +153,17 @@ object Mutations {
     * compare-and-swap is evaluated against stored state, not against
     * the incoming put). Puts whose key has no base row, or whose base
     * row fails the check, are dropped — nothing is mutated for them.
-    * Semi-join on the passing key set, then a normal upsert. */
+    * Semi-join on the passing key set, then a normal upsert.
+    * `versionCol`/`tieBreakers` forward to [[put]]'s last-write-wins
+    * duplicate resolution — without the forwarding, a duplicate-keyed
+    * CAS batch died with put()'s error telling the caller to pass a
+    * parameter this signature didn't have (r12 kv review). */
   def checkAndPut(base: DataFrame, puts: DataFrame, keyCol: String,
-                  check: Column): DataFrame = {
+                  check: Column, versionCol: Option[String] = None,
+                  tieBreakers: Seq[String] = Nil): DataFrame = {
     val passKeys = base.where(check).select(col(keyCol))
     val applicable = puts.join(passKeys, Seq(keyCol), "leftsemi")
-    put(base, applicable, keyCol)
+    put(base, applicable, keyCol, versionCol, tieBreakers)
   }
 
   /** checkAndPut's NULL-check-value mode (HTable.checkAndPut with
@@ -171,25 +187,12 @@ object Mutations {
   def checkAndPutAbsent(base: DataFrame, puts: DataFrame, keyCol: String,
                         versionCol: Option[String] = None,
                         tieBreakers: Seq[String] = Nil): DataFrame = {
-    val resolved = versionCol match {
-      case Some(v) =>
-        // first op wins: order ASCENDING on the op sequence (the
-        // inverse of put()'s last-write-wins desc)
-        val ord = (v +: tieBreakers).map(col(_).asc)
-        val w = Window.partitionBy(keyCol).orderBy(ord: _*)
-        puts.withColumn("_pv", row_number().over(w))
-          .where(col("_pv") === 1).drop("_pv")
-      case None =>
-        val w = Window.partitionBy(keyCol)
-        puts.withColumn("_pn", count(lit(1)).over(w))
-          .where(assert_true(col("_pn") <= 1,
-            concat(lit("checkAndPutAbsent: duplicate put key "),
-              col(keyCol).cast("string"),
-              lit(" in a batch with no versionCol to order the CAS — " +
-                "pass versionCol (first op wins) or de-duplicate the batch")))
-            .isNull)
-          .drop("_pn")
-    }
+    // first op wins: ASCENDING on the op sequence — the inverse of
+    // put()'s last-write-wins desc, via the ONE shared resolver
+    val resolved = resolveDuplicateKeys(puts, keyCol, versionCol, tieBreakers,
+      firstWins = true, msg = "checkAndPutAbsent: duplicate put key ",
+      advice = " in a batch with no versionCol to order the CAS — " +
+        "pass versionCol (first op wins) or de-duplicate the batch")
     val applicable =
       resolved.join(base.select(col(keyCol)), Seq(keyCol), "left_anti")
     base.unionByName(applicable)
@@ -272,6 +275,16 @@ object Mutations {
           s"region boundary (regionWidth=$regionWidth) — atomic multi-row " +
           "batches must stay within one region")
     }
+    // a NULL batch id has NO atomicity domain — and the null-unsafe
+    // semi-joins below would neither apply nor report its mutations
+    // (vanished without either applying or being rejected: the
+    // data-loss shape, r12 kv review). Refuse loudly in BOTH modes;
+    // the probe rides the same tiny per-batch aggregate the straddle
+    // check reads.
+    val nullBatch = spans.where(col(batchCol).isNull).limit(1).collect()
+    require(nullBatch.isEmpty,
+      "multiRowMutation: a mutation carries a NULL batch id — every " +
+        "mutation must name its atomic batch; tag or drop it upstream")
     val okBatches = spans.where(col("_rlo") === col("_rhi")).select(col(batchCol))
     val okPuts = puts.join(okBatches, Seq(batchCol), "leftsemi").drop(batchCol)
     val okDels = delKeys.join(okBatches, Seq(batchCol), "leftsemi").drop(batchCol)
@@ -339,13 +352,12 @@ object Mutations {
   def ttlExpirePerFamily(vcells: DataFrame, ttls: Map[String, String]): DataFrame = {
     require(ttls.nonEmpty, "ttlExpirePerFamily needs at least one family TTL")
     val now = vcells.agg(max(col("ts")).as("_now"))
-    // the unlisted leg coalesces to TRUE for a NULL family: every
-    // disjunct is NULL there, and the documented default is "families
-    // without a TTL keep forever" — a NULL family is not listed
-    val keep = ttls.map { case (f, ttl) =>
-      col("family") === f && col("ts") >= col("_now") - graft.core.Intervals.literal(ttl)
-    }.reduce(_ || _) ||
-      coalesce(!col("family").isInCollection(ttls.keys.toSeq), lit(true))
+    // unlisted families (NULL included) keep forever — the reference
+    // default, via the ONE shared per-family predicate shape
+    // ([[Scans.perFamilyKeep]] carries the three-valued-logic note)
+    val keep = Scans.perFamilyKeep(ttls.map { case (f, ttl) =>
+      f -> (col("ts") >= col("_now") - graft.core.Intervals.literal(ttl))
+    })
     vcells.crossJoin(broadcast(now)).where(keep).drop("_now")
   }
 

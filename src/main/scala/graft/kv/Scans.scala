@@ -237,10 +237,17 @@ object Scans {
     * index: cell k of a row lands in batch k div n at offset k mod n —
     * a windowed row_number (one hash shuffle on rowkey) plus codegen'd
     * arithmetic; a consumer groups on (rowkey, batch_idx) to iterate
-    * row chunks exactly as an HBase client iterates partial Results. */
-  def batchCells(cells: DataFrame, batch: Int): DataFrame = {
+    * row chunks exactly as an HBase client iterates partial Results.
+    * `orderCols` is the within-row scan order — VERSIONED callers
+    * append ts desc + a unique tiebreak (the storeLimit/
+    * columnPaginationPredicate contract), or two versions of one
+    * (family, qualifier) land in partition-order-dependent chunks
+    * (r12 kv review). */
+  def batchCells(cells: DataFrame, batch: Int,
+                 orderCols: Seq[Column] =
+                   Seq(col("family"), col("qualifier"))): DataFrame = {
     require(batch >= 1, s"batch size ($batch) must be at least 1")
-    val w = Window.partitionBy("rowkey").orderBy("family", "qualifier")
+    val w = Window.partitionBy("rowkey").orderBy(orderCols: _*)
     val k = row_number().over(w) - 1
     cells.withColumn("batch_idx", floor(k / batch).cast("bigint"))
       .withColumn("pos_in_batch", pmod(k, lit(batch)).cast("bigint"))
@@ -270,24 +277,32 @@ object Scans {
       .drop("_rn")
   }
 
+  /** ONE copy of the per-family-disjunct + unlisted-leg predicate
+    * shape shared by [[familyTimeRange]] and
+    * [[Mutations.ttlExpirePerFamily]]: each listed family keeps cells
+    * satisfying ITS leg; an UNLISTED family passes untouched — and
+    * that includes a NULL family, where every listed disjunct is NULL,
+    * via the coalesced isInCollection leg. The three-valued-logic
+    * reasoning lives HERE once (r12 kv review: the two call sites were
+    * hand-synced copies carrying the identical NULL-family comment —
+    * the next NULL-semantics fix must land once). */
+  private[kv] def perFamilyKeep(legs: Map[String, Column]): Column =
+    legs.map { case (f, leg) => col("family") === f && leg }.reduce(_ || _) ||
+      coalesce(!col("family").isInCollection(legs.keys.toSeq), lit(true))
+
   /** Get.setColumnFamilyTimeRange (Get.java:217) — per-family [min,max)
     * version ranges, overriding the scan-wide range family by family:
     * a listed family keeps only versions inside ITS range; unlisted
-    * families pass untouched. A pure disjunctive predicate — pushes to
-    * the scan like any row filter, no shuffle. */
+    * families (NULL included — [[perFamilyKeep]]) pass untouched. A
+    * pure disjunctive predicate — pushes to the scan like any row
+    * filter, no shuffle. */
   def familyTimeRange(vcells: DataFrame,
                       ranges: Map[String, (String, String)]): DataFrame = {
     require(ranges.nonEmpty, "familyTimeRange needs at least one family range")
-    val listed = ranges.map { case (f, (lo, hi)) =>
-      col("family") === f &&
-        col("ts") >= lit(lo).cast("timestamp") &&
-        col("ts") < lit(hi).cast("timestamp")
-    }.reduce(_ || _)
-    // the unlisted leg coalesces to TRUE for a NULL family: every
-    // listed disjunct is NULL there, and the contract says unlisted
-    // families pass untouched — a NULL family is not listed
-    vcells.where(listed ||
-      coalesce(!col("family").isInCollection(ranges.keys.toSeq), lit(true)))
+    vcells.where(perFamilyKeep(ranges.map { case (f, (lo, hi)) =>
+      f -> (col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp"))
+    }))
   }
 
   /** HTable.getRowOrBefore (HTable.java, the closest-row-before read

@@ -27,15 +27,26 @@ object Visibility {
     * Atoms are TRIMMED before the auth lookup — the reference's
     * ExpressionParser skips whitespace, so "secret & audit" must mean
     * the same labels as "secret&audit" (an untrimmed atom would
-    * silently DENY a fully authorized scanner). */
+    * silently DENY a fully authorized scanner).
+    *
+    * MALFORMED atoms default-DENY (r12 kv review): an empty atom —
+    * "a||b"'s middle term, a bare "&", or the negation "!" with
+    * nothing after it — makes its term unsatisfied for every auth set.
+    * The reference rejects these at parse time; here the unguarded
+    * "!" evaluated !array_contains(auths, "") = TRUE and authorized
+    * EVERY scanner, zero-label ones included — the one malformed
+    * shape that flipped to visible-to-all while its positive twin
+    * denied. */
   def visibleExpr(vis: Column, auths: Seq[String]): Column = {
     val authArr = array(auths.map(lit): _*)
     val satisfied = exists(split(vis, "\\|"), term =>
       forall(split(term, "&"), rawAtom => {
         val atom = trim(rawAtom)
-        when(atom.startsWith("!"),
-          !array_contains(authArr, trim(substring(atom, 2, Int.MaxValue))))
-        .otherwise(array_contains(authArr, atom))
+        val neg = trim(substring(atom, 2, Int.MaxValue))
+        when(atom === "", lit(false))
+          .when(atom.startsWith("!"),
+            neg =!= "" && !array_contains(authArr, neg))
+          .otherwise(array_contains(authArr, atom))
       }))
     vis.isNull || vis === "" || satisfied
   }
@@ -64,8 +75,12 @@ object Visibility {
     *    successful set) → else InvalidLabelException ("not set for
     *    the user").
     *
-    * Ops are (op_idx, op, grantee, label); `op_idx` orders the log.
-    * The replay is RELATIONAL (first-add / grant-epoch min-aggregates
+    * Ops are (op_idx, op, grantee, label); `op_idx` orders the log
+    * and must be UNIQUE — a duplicated index refuses loudly (the
+    * min-aggregates would report two "first" ops OK where the
+    * sequential replay fails the second; replayLocal's input-order
+    * tiebreak is the escape). With unique indices the replay is
+    * RELATIONAL (first-add / grant-epoch min-aggregates
     * + broadcast-size joins, no sequential fold) and EXACT against
     * [[replayLocal]] on every log shape, re-grant cycles included:
     * repeated sets of a held auth succeed (idempotent, as in the
@@ -77,7 +92,24 @@ object Visibility {
     * held-AGAIN and keeps its loud re-grant guard. Label/auth tables
     * are metadata: a few rows per label, never corpus-sized. */
   def adminReplay(ops: DataFrame): DataFrame = {
-    val valid = col("label").rlike(labelRegex)
+    // DUPLICATE op_idx refuses loudly (r12 kv review): the relational
+    // replay keys first-add/first-clear on op_idx, so two ops sharing
+    // an index both look "first" and both report OK where the
+    // sequential replay (stable input order) fails the second — the
+    // one log shape the min-aggregates cannot represent. The op log is
+    // admin metadata; the probe is a metadata-sized job (the
+    // finalAuths re-grant guard's pattern). replayLocal handles
+    // duplicate indices by documented input-order tiebreak.
+    val dup = ops.groupBy("op_idx").count().where(col("count") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"adminReplay: op_idx ${dup.head.get(0)} appears more than once — " +
+        "the relational replay needs unique indices; re-index the log " +
+        "or replay it sequentially (Visibility.replayLocal)")
+    // a NULL label is invalid on its face: without the isNotNull leg,
+    // rlike(NULL) made BOTH when-arms skip and a never-added label
+    // reported LabelAlreadyExistsException (r12 kv review)
+    val valid = col("label").isNotNull && col("label").rlike(labelRegex)
     val adds = ops.where(col("op") === "add_label")
     val born = adds.where(valid).groupBy("label").agg(min("op_idx").as("_born"))
     val addOut = adds.join(broadcast(born), Seq("label"), "left")
@@ -154,7 +186,9 @@ object Visibility {
     val outcomes = ops.sortBy(_._1).flatMap { case (idx, op, g, l) =>
       val res = op match {
         case "add_label" =>
-          if (!l.matches(labelRegex)) Some("InvalidLabelException")
+          // NULL label = invalid, not an NPE (r12 kv review — the
+          // relational twin reports InvalidLabelException too)
+          if (l == null || !l.matches(labelRegex)) Some("InvalidLabelException")
           else if (labels(l)) Some("LabelAlreadyExistsException")
           else { labels += l; Some("OK") }
         case "set_auths" =>

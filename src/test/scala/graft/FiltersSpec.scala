@@ -225,6 +225,22 @@ class FiltersSpec extends SparkSpec {
         org.apache.spark.sql.functions.max("pos_in_batch").as("mx"))
       .as[(Long, Long)].collect().toMap
     assert(shape == Map(0L -> 1L, 1L -> 0L), s"unexpected chunk shape $shape")
+
+    // VERSIONED view: two ts versions of one (family, qualifier) tie
+    // under the default (family, qualifier) order — chunk assignment
+    // was partition-order dependent (r12 kv review); the orderCols
+    // hook (the storeLimit contract) pins it: newest version first
+    import org.apache.spark.sql.functions.col
+    val vcells = Seq(
+      ("1", "f", "a", 20L, "new"), ("1", "f", "a", 10L, "old"),
+      ("1", "f", "b", 10L, "b")).toDF("rowkey", "family", "qualifier", "ts", "value")
+    val vb = graft.kv.Scans.batchCells(vcells, 2,
+        orderCols = Seq(col("family"), col("qualifier"), col("ts").desc))
+      .orderBy("batch_idx", "pos_in_batch")
+      .select("value", "batch_idx", "pos_in_batch")
+      .as[(String, Long, Long)].collect()
+    assert(vb.sameElements(Array(("new", 0L, 0L), ("old", 0L, 1L),
+      ("b", 1L, 0L))), vb.mkString(","))
   }
 
   test("storeLimit: per-(row, family) CELL pagination — offset skips, families independent") {
@@ -290,6 +306,60 @@ class FiltersSpec extends SparkSpec {
     val got = graft.kv.Visibility.applyAuths(cells, "vis", Seq("secret", "audit"))
       .select("k").as[Long].collect().toSet
     assert(got == Set(1L, 2L, 3L), s"got $got")
+  }
+
+  test("visibility: malformed atoms default-DENY, never authorize") {
+    import spark.implicits._
+    // the unguarded "!" evaluated !array_contains(auths, "") = TRUE and
+    // authorized EVERY scanner — the r12 kv review's visible-to-all
+    // flip. Every malformed shape must deny, including for a scanner
+    // holding zero labels.
+    val cells = Seq(
+      (1L, "!"),           // bare negation -> deny
+      (2L, "public&!"),    // held label AND empty negation -> deny
+      (3L, "x|!"),         // unheld term OR empty negation -> deny
+      (4L, "a||b"),        // empty middle term is not satisfied...
+      (5L, "public||b"),   // ...but a held NON-empty term still passes
+      (6L, "&"),           // two empty atoms -> deny
+      (7L, "! ")           // whitespace-padded bare negation -> deny
+    ).toDF("k", "vis")
+    val some = graft.kv.Visibility.applyAuths(cells, "vis", Seq("public"))
+      .select("k").as[Long].collect().toSet
+    assert(some == Set(5L), s"authorized scanner got $some")
+    val none = graft.kv.Visibility.applyAuths(cells, "vis", Nil)
+      .select("k").as[Long].collect().toSet
+    assert(none.isEmpty, s"zero-label scanner got $none")
+  }
+
+  test("visibility admin: NULL labels are invalid and duplicate op_idx refuses loudly") {
+    import spark.implicits._
+    // NULL label: rlike(NULL) skipped BOTH when-arms, so a never-added
+    // label reported LabelAlreadyExistsException relationally and
+    // NPE'd sequentially (r12 kv review) — both paths now agree on
+    // InvalidLabelException
+    val ops = Seq(
+      (1L, "add_label", null.asInstanceOf[String], null.asInstanceOf[String]),
+      (2L, "add_label", null.asInstanceOf[String], "ok_label"))
+    val rel = graft.kv.Visibility.adminReplay(
+        ops.toDF("op_idx", "op", "grantee", "label"))
+      .orderBy("op_idx").select("outcome").as[String].collect()
+    assert(rel.sameElements(Array("InvalidLabelException", "OK")), rel.mkString(","))
+    val (seqOut, _) = graft.kv.Visibility.replayLocal(ops)
+    assert(seqOut.map(_._5) == Seq("InvalidLabelException", "OK"))
+    // duplicate op_idx: the min-aggregates would report two "first"
+    // adds OK where the sequential replay fails the second — refuse
+    val dup = Seq(
+      (1L, "add_label", null.asInstanceOf[String], "a"),
+      (1L, "add_label", null.asInstanceOf[String], "a"))
+      .toDF("op_idx", "op", "grantee", "label")
+    val e = intercept[IllegalArgumentException] {
+      graft.kv.Visibility.adminReplay(dup)
+    }
+    assert(e.getMessage.contains("op_idx"), e.getMessage)
+    // ...while replayLocal handles the same shape by input order
+    val (dupSeq, _) = graft.kv.Visibility.replayLocal(Seq(
+      (1L, "add_label", null, "a"), (1L, "add_label", null, "a")))
+    assert(dupSeq.map(_._5) == Seq("OK", "LabelAlreadyExistsException"))
   }
 
   test("visibility admin: per-op outcomes, auth changes flip cell visibility") {

@@ -109,6 +109,33 @@ class MutationsSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate put key"), e.getMessage)
   }
 
+  test("checkAndPut forwards versionCol: a duplicate-keyed CAS batch resolves last-write-wins") {
+    // the unforwarded form died with put()'s error telling the caller
+    // to pass a parameter checkAndPut didn't have (r12 kv review)
+    val base = Seq((1L, "old", 0L), (2L, "old", 0L)).toDF("k", "v", "seq")
+    val dup = Seq((1L, "first", 10L), (1L, "second", 20L),
+      (2L, "reject", 30L)).toDF("k", "v", "seq")
+    val got = Mutations.checkAndPut(base, dup, "k", col("k") === 1L,
+        versionCol = Some("seq"))
+      .orderBy("k").select("k", "v").as[(Long, String)].collect()
+    assert(got.sameElements(Array((1L, "second"), (2L, "old"))), got.mkString(","))
+  }
+
+  test("multiRowMutation: a NULL batch id refuses loudly instead of vanishing") {
+    // the null-unsafe semi-join neither applied nor reported the
+    // NULL-batch mutation — vanished without a trace, the data-loss
+    // shape (r12 kv review)
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val puts = Seq((1L, "a2", java.lang.Long.valueOf(7L)),
+      (2L, "b2", null.asInstanceOf[java.lang.Long])).toDF("k", "v", "batch")
+    val dels = Seq.empty[(Long, Long)].toDF("k", "batch")
+    val e = intercept[IllegalArgumentException] {
+      graft.kv.Mutations.multiRowMutation(base, puts, dels, "k", "batch",
+        regionWidth = 100L)
+    }
+    assert(e.getMessage.contains("NULL batch id"), e.getMessage)
+  }
+
   test("checkAndPut with every CompareOp guard — the 6-op CAS surface") {
     import graft.filters.{CompareOp, Comparators}
     // counters 1..6 hold balance = 10*k; each op guards against the
