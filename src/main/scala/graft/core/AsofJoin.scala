@@ -43,7 +43,12 @@ object AsofJoin {
     // NULL-key probe would silently take a NULL-key quote as _last
     // (r12 core review). NULL-key probes still flow through (alone in
     // their partition) and report _last = null, the no-match verdict.
-    val qSide = quotes.where(col(key).isNotNull).select(
+    // NULL-TS quotes are equally unmatchable ("q.ts <= p.ts" is never
+    // true on NULL) but sorted FIRST by the window's null ordering —
+    // unfiltered, an undated quote became _last for every probe that
+    // had no real quote at-or-before it, instead of the no-match NULL
+    // (and asofNearest then mis-resolved its forward arm).
+    val qSide = quotes.where(col(key).isNotNull && col(ts).isNotNull).select(
       Seq(col(key).as("_k"), col(ts).as("_t"), lit(0).as("_tag"), qStruct.as("_q")) ++
         pcols.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
     val pSide = probes.select(

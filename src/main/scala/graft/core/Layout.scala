@@ -228,8 +228,12 @@ object Snapshots {
     // rowkey would ClassCastException at SCAN time, far from the
     // write that fixed the type (r12 core review); a string rowkey
     // has no numeric range semantics here at all
+    // simpleString vocabulary: tinyint/smallint, NOT the Scala-side
+    // byte/short names — the old allowlist could never match a
+    // ByteType/ShortType rowkey and rejected the very keys the bigint
+    // widening below exists to carry (r12 core review)
     val kt = src.schema(keyCol).dataType
-    require(Seq("byte", "short", "int", "bigint").contains(kt.simpleString),
+    require(Seq("tinyint", "smallint", "int", "bigint").contains(kt.simpleString),
       s"regionManifest needs an integral key column; '$keyCol' is $kt")
     src
       .select(input_file_name().as("file"), col(keyCol).cast("bigint").as(keyCol))
@@ -273,7 +277,7 @@ object Snapshots {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2))))
     def pick(m: Array[(String, Long, Long)]) =
       m.filter { case (_, s0, e0) => s0 < hi && e0 >= lo }.map(_._1)
-    var picked = pick(build())
+    var manifest = build()
     // VALIDATE-ON-USE: eviction at the replacement sites covers every
     // in-process deterministic path, but a scan RACING a replacement
     // can still publish a stale manifest after the eviction ran (the
@@ -282,14 +286,21 @@ object Snapshots {
     // part-file names, so staleness always shows as a missing file —
     // #regions driver-side existence probes (the same metadata cost
     // as the reference's getSplits), then one rebuild heals it.
-    if (picked.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(picked.head)
+    // The probe walks the WHOLE manifest, not just the picked subset:
+    // a stale manifest can pick ZERO files (the rewrite moved data
+    // into a key range the old regions never covered) and a
+    // picked-only probe returned a wrong EMPTY result forever (r12
+    // core review).
+    if (manifest.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(manifest.head._1)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!picked.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f)))) {
+      if (!manifest.forall { case (f, _, _) =>
+          fs.exists(new org.apache.hadoop.fs.Path(f)) }) {
         manifests.remove(key)
-        picked = pick(build())
+        manifest = build()
       }
     }
+    val picked = pick(manifest)
     val pred = col(keyCol) >= lo && col(keyCol) < hi
     if (picked.isEmpty) read(spark, base, version).where(lit(false))
     else spark.read.parquet(picked.toIndexedSeq: _*).where(pred)
@@ -383,10 +394,15 @@ object Snapshots {
       .sparkContext.hadoopConfiguration
     val src = new HPath(srcPath)
     val dst = new HPath(dstPath)
-    val fs = src.getFileSystem(conf)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.mkdirs(dst.getParent)
-    if (!FileUtil.copy(fs, src, fs, dst, false, true, conf))
+    // each side resolves its OWN FileSystem: exportSnapshot's whole
+    // point is shipping to another cluster, and resolving the
+    // destination through the source's FS threw "Wrong FS" the moment
+    // the schemes differed (r12 core review)
+    val srcFs = src.getFileSystem(conf)
+    val dstFs = dst.getFileSystem(conf)
+    if (dstFs.exists(dst)) dstFs.delete(dst, true)
+    dstFs.mkdirs(dst.getParent)
+    if (!FileUtil.copy(srcFs, src, dstFs, dst, false, true, conf))
       throw new java.io.IOException(s"copy $srcPath -> $dstPath failed")
   }
 }

@@ -45,6 +45,12 @@ object RangeJoin {
                       binSeconds: Long,
                       maxBinsPerWindow: Int = 10000): DataFrame = {
     require(binSeconds >= 1, s"binSeconds ($binSeconds) must be at least 1")
+    // the dqAudit identifier rule for column splices (Hashes.md5Fold60 /
+    // Tables.toCells apply the same guard): these names land inside
+    // generated SQL, and a backtick-bearing name would re-tokenize it
+    Seq(tsCol, loCol, hiCol).foreach(c =>
+      require(c.matches("[A-Za-z0-9_]+"),
+        s"rangeJoinBinned column name '$c' must match [A-Za-z0-9_]+"))
     val loBin = expr(s"unix_timestamp(`$loCol`) div $binSeconds")
     val hiBin = expr(s"unix_timestamp(`$hiCol`) div $binSeconds")
     // a NULL bound is a malformed window, not an oversized one: it

@@ -22,11 +22,20 @@ object Tables {
       // Branch on the decoded type so both generations load.
       val flag = "spark.sql.legacy.parquet.nanosAsLong"
       val prev = spark.conf.getOption(flag)
+      def restore(): Unit = prev match {
+        case Some(v) => spark.conf.set(flag, v)
+        case None => spark.conf.unset(flag)
+      }
       spark.conf.set(flag, "true")
       // Either way normalize to TimestampType (LTZ): watermarks reject
       // TIMESTAMP_NTZ, and the UTC session timezone (set in every
       // entrypoint builder) makes the NTZ→LTZ cast wall-clock exact.
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // A FAILED read restores the flag too — leaking it session-wide
+      // would silently decode every later unrelated TIMESTAMP(NANOS)
+      // parquet as long columns (r12 core review).
+      val df =
+        try spark.read.parquet(s"$sfDir/$name.parquet")
+        catch { case e: Throwable => restore(); throw e }
       df.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType =>
           // a NANOS-generation file: the flag must STAY set — the scan
@@ -39,10 +48,7 @@ object Tables {
           // MICROS/NTZ generation: the flag was only a schema probe —
           // restore it so an events load doesn't permanently change
           // how UNRELATED parquet decodes TIMESTAMP(NANOS) (r12 review)
-          prev match {
-            case Some(v) => spark.conf.set(flag, v)
-            case None => spark.conf.unset(flag)
-          }
+          restore()
           if (other == org.apache.spark.sql.types.TimestampNTZType)
             df.withColumn("ts", col("ts").cast("timestamp"))
           else df

@@ -12,7 +12,13 @@ case class CounterState(n: Long, sum: Double)
   * epoch micros — per (rowkey, qualifier). Arrival-order independent:
   * the fold is a pair of maxes, so out-of-order shipment (which HBase
   * replication explicitly permits) converges to the same state. */
-case class ReplCellState(delUs: Long, putUs: Long, putEid: Long, putValue: Double)
+// putValue is BOXED (nullable): a put may legitimately carry a NULL
+// payload, and the batch walReplay's max(struct(ts, eid, value)) fold
+// lets it participate (NULL ordering below any value on a full tie) —
+// a primitive Double could not represent the surviving NULL (r12
+// streaming review, the tombstone-with-no-payload sibling fix)
+case class ReplCellState(delUs: Long, putUs: Long, putEid: Long,
+                         putValue: java.lang.Double)
 
 /** One replica-table update per touched cell per micro-batch: the
   * cell's current surviving version (`live`), or a deletion marker
@@ -22,7 +28,7 @@ case class ReplCellState(delUs: Long, putUs: Long, putEid: Long, putValue: Doubl
 case class ReplicaUpdate(rowkey: Long, qualifier: String,
                          del_us: Long, put_us: Long,
                          ts: java.sql.Timestamp, event_id: Long,
-                         value: Double, live: Boolean)
+                         value: java.lang.Double, live: Boolean)
 
 /** One update emitted per key per micro-batch: the post-increment
   * counter value, i.e. what a Get would return after the batch. */
@@ -259,6 +265,14 @@ object StreamOps {
     *    readers keep serving the stale old maximum — every key not
     *    re-shipped since is then lost. Refuse loudly: resume from the
     *    original checkpoint, or point the new stream at a fresh path. */
+  // session-lifetime memo of verified (queryId, path) ownership — see
+  // the marker-probe note inside maintainGuard. Capped like the
+  // manifest memo: past the cap the whole set resets and each live
+  // stream's next batch re-reads its one marker.
+  private val ownershipVerified =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val ownershipCap = 1024
+
   private[graft] def maintainGuard(spark: org.apache.spark.sql.SparkSession,
                                    path: String, batchId: Long)
                                   (write: Seq[Int] => Unit): Unit = {
@@ -279,42 +293,56 @@ object StreamOps {
     val marker = new Path(base, "_QUERY_ID")
     val curId = Option(
       spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
-    val ownerId: Option[String] =
-      if (!fs.exists(marker)) None
-      else {
-        val in = fs.open(marker)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
+    // ownership, once verified-or-branded for a (queryId, path), is
+    // immutable for the life of the query run — re-reading the marker
+    // every micro-batch paid two extra FS metadata RPCs per batch
+    // forever, in the guard that elsewhere refuses to double its
+    // per-batch round-trips (r12 streaming review). The memo only
+    // skips the MARKER probe; the per-batch version arithmetic below
+    // still runs on every call.
+    val memoKey = curId.map(id => s"$id|$path")
+    if (!memoKey.exists(ownershipVerified.contains)) {
+      val ownerId: Option[String] =
+        if (!fs.exists(marker)) None
+        else {
+          val in = fs.open(marker)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+          finally in.close()
+        }
+      (ownerId, curId) match {
+        case (Some(own), Some(cur)) =>
+          require(own == cur,
+            s"maintained table at $path belongs to streaming query $own but " +
+              s"this stream is $cur — a fresh checkpoint against an existing " +
+              "table loses data; resume the original checkpoint or use a " +
+              "fresh table path. If the owning stream never completed a " +
+              s"write (a failed batch 0 brands the path too), verify the " +
+              s"table is empty — no v=N dir holds a _SUCCESS marker — and " +
+              s"delete $marker to release the claim")
+        case _ => ()
       }
-    (ownerId, curId) match {
-      case (Some(own), Some(cur)) =>
-        require(own == cur,
-          s"maintained table at $path belongs to streaming query $own but " +
-            s"this stream is $cur — a fresh checkpoint against an existing " +
-            "table loses data; resume the original checkpoint or use a " +
-            "fresh table path. If the owning stream never completed a " +
-            s"write (a failed batch 0 brands the path too), verify the " +
-            s"table is empty — no v=N dir holds a _SUCCESS marker — and " +
-            s"delete $marker to release the claim")
-      case _ => ()
+      // claim ownership at FIRST CONTACT, before any write: claiming
+      // after the write left a crash window (v=0 complete, marker not
+      // yet created) where a later fresh-checkpoint stream's batch 0
+      // read as a replay of the unowned v=0 and was SILENTLY skipped —
+      // the data-loss hole the marker exists to close. Branding first
+      // is safe: the marker is idempotent for the owning query (same id
+      // across restarts from one checkpoint), and a path branded by a
+      // stream that then never completes a write refuses the NEXT
+      // stream LOUDLY (operator cleanup) instead of losing its rows.
+      if (ownerId.isEmpty) curId.foreach { id =>
+        val out = fs.create(marker, true)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+      }
+      memoKey.foreach { k =>
+        if (ownershipVerified.size > ownershipCap) ownershipVerified.clear()
+        ownershipVerified.add(k)
+      }
     }
     require(versions.forall(_ <= batchId),
       s"maintained table at $path holds version ${versions.max} from a " +
         s"previous stream but this checkpoint is at batch $batchId — " +
         "resume the original checkpoint or use a fresh table path")
-    // claim ownership at FIRST CONTACT, before any write: claiming
-    // after the write left a crash window (v=0 complete, marker not
-    // yet created) where a later fresh-checkpoint stream's batch 0
-    // read as a replay of the unowned v=0 and was SILENTLY skipped —
-    // the data-loss hole the marker exists to close. Branding first
-    // is safe: the marker is idempotent for the owning query (same id
-    // across restarts from one checkpoint), and a path branded by a
-    // stream that then never completes a write refuses the NEXT
-    // stream LOUDLY (operator cleanup) instead of losing its rows.
-    if (ownerId.isEmpty) curId.foreach { id =>
-      val out = fs.create(marker, true)
-      try out.write(id.getBytes("UTF-8")) finally out.close()
-    }
     // the write body receives the versions this guard already listed —
     // re-listing inside the body would double the per-batch FS
     // metadata round-trips (listStatus + per-dir _SUCCESS probes)
@@ -505,13 +533,22 @@ object StreamOps {
     * dropDuplicatesWithinWatermark keeps state proportional to the
     * ingest rate × horizon. (Dedup against all history belongs to the
     * batch operators — Dedup.exact over the accumulated table.)
-    * The shuffle key is the 128-bit digest, never the payload. */
+    * The shuffle key is the 128-bit digest, never the payload.
+    * NULL text is MISSING content, not SHARED content (the batch
+    * Dedup.exact discipline, r12 review): md5(NULL) is NULL and
+    * dropDuplicatesWithinWatermark treats NULL fingerprints as EQUAL,
+    * so the first extraction-failed record would silently swallow
+    * every later one inside the horizon — NULL-text records bypass
+    * the digest gate entirely, each passing through kept. */
   def streamingDedup(docs: DataFrame, textCol: String, tsCol: String,
-                     watermark: String = "1 day"): DataFrame =
-    docs.withColumn("_fp", md5(col(textCol).cast("binary")))
-      .withWatermark(tsCol, watermark)
+                     watermark: String = "1 day"): DataFrame = {
+    val wm = docs.withWatermark(tsCol, watermark)
+    wm.where(col(textCol).isNotNull)
+      .withColumn("_fp", md5(col(textCol).cast("binary")))
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+      .unionByName(wm.where(col(textCol).isNull))
+  }
 
   /** HBase cluster replication (ReplicationSource tails the WAL, ships
     * edit batches to the peer; the peer applies them in arrival order,
@@ -548,20 +585,32 @@ object StreamOps {
       t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
       t
     }
-    // a NULL-ts edit is undated and unfoldable: the batch walReplay's
-    // range predicate drops it, and micros(null) here would NPE the
-    // micro-batch and crash-loop the stream on the poisoned batch —
-    // filter matches the batch convention
-    edits.where(col("ts").isNotNull)
+    // UNFOLDABLE edits are filtered, never crashed on: a NULL ts is
+    // undated (the batch walReplay's range predicate drops it), and a
+    // NULL rowkey/qualifier/event_id cannot key or sequence a cell —
+    // any of them would throw inside the typed encoder and crash-loop
+    // the stream redelivering the poisoned batch forever (r12
+    // streaming review: a tombstone's naturally-NULL VALUE hit exactly
+    // that). value itself is nullable by contract — deletes carry no
+    // payload, and even a put may (the batch fold lets a NULL value
+    // participate).
+    edits.where(col("ts").isNotNull && col("rowkey").isNotNull &&
+        col("qualifier").isNotNull && col("event_id").isNotNull)
       .selectExpr("rowkey", "qualifier", "ts", "value", "event_id", "op")
-      .as[(Long, String, java.sql.Timestamp, Double, Long, String)]
+      .as[(Long, String, java.sql.Timestamp, java.lang.Double, Long, String)]
       .groupByKey(r => (r._1, r._2))
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: (Long, String),
-         rows: Iterator[(Long, String, java.sql.Timestamp, Double, Long, String)],
+         rows: Iterator[(Long, String, java.sql.Timestamp, java.lang.Double, Long, String)],
          state: GroupState[ReplCellState]) =>
-          var st = state.getOption.getOrElse(
+          // batch-parity NULL ordering for the value tie-break: NULL
+          // below every value (Spark struct max), never an unboxing NPE
+          def vGt(a: java.lang.Double, b: java.lang.Double): Boolean =
+            if (a == null) false else b == null || a > b
+          val had = state.getOption
+          var st = had.getOrElse(
             ReplCellState(Long.MinValue, Long.MinValue, Long.MinValue, 0.0))
+          var changed = false
           rows.foreach { case (_, _, ts, v, eid, op) =>
             val us = micros(ts)
             // the WAL vocabulary is EXACTLY {put, delete}, matching the
@@ -576,22 +625,32 @@ object StreamOps {
             // survivor whatever the shipment order (first-arrival-
             // wins would be VerifyReplication-red on one ordering)
             if (op == "delete") {
-              if (us > st.delUs) st = st.copy(delUs = us)
+              if (us > st.delUs) { st = st.copy(delUs = us); changed = true }
             } else if (op == "put" &&
                 (us > st.putUs || (us == st.putUs && (eid > st.putEid ||
-                  (eid == st.putEid && v > st.putValue))))) {
+                  (eid == st.putEid && vGt(v, st.putValue)))))) {
               st = st.copy(putUs = us, putEid = eid, putValue = v)
+              changed = true
             }
           }
-          state.update(st)
-          val live = st.putUs != Long.MinValue && st.putUs > st.delUs
-          Iterator(
-            if (live)
-              ReplicaUpdate(key._1, key._2, st.delUs, st.putUs,
-                fromMicros(st.putUs), st.putEid, st.putValue, live = true)
-            else
-              ReplicaUpdate(key._1, key._2, st.delUs, st.putUs,
-                null, -1L, 0.0, live = false))
+          // a group whose batch held ONLY ignored ops (out-of-vocabulary
+          // or a no-op fold) and which has no prior state must neither
+          // pin sentinel state forever nor emit a deletion marker for a
+          // cell that never existed (r12 streaming review). A cell WITH
+          // prior state still re-emits its current version — idempotent
+          // for the replica consumer.
+          if (changed) state.update(st)
+          if (had.isEmpty && !changed) Iterator.empty
+          else {
+            val live = st.putUs != Long.MinValue && st.putUs > st.delUs
+            Iterator(
+              if (live)
+                ReplicaUpdate(key._1, key._2, st.delUs, st.putUs,
+                  fromMicros(st.putUs), st.putEid, st.putValue, live = true)
+              else
+                ReplicaUpdate(key._1, key._2, st.delUs, st.putUs,
+                  null, -1L, 0.0, live = false))
+          }
       }
   }
 

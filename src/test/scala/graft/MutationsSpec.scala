@@ -696,6 +696,20 @@ class MutationsSpec extends SparkSpec {
       .select(col("pid"), col("_last.qid").as("m"))
       .as[(String, Option[String])].collect().toMap
     assert(got("p1").contains("q1") && got("p2").isEmpty, got.toString)
+    // an UNDATED quote (NULL ts) is equally unmatchable — "q.ts <=
+    // p.ts" is never true on NULL — but the window's null-first
+    // ordering made it _last for any probe with no real quote
+    // at-or-before it (r12 core review): probe at t=1 precedes q1, so
+    // it must report NO match, not the undated quote
+    val undated = Seq((Some(1L), Option.empty[Long], "qnull2"),
+      (Some(1L), Some(5L), "q1")).toDF("k", "t", "qid")
+    val early = Seq((Some(1L), Some(1L), "p_early"),
+      (Some(1L), Some(9L), "p_late")).toDF("k", "t", "pid")
+    val got2 = AsofJoin.asof(early, undated, "k", "t", Seq("qid"))
+      .select(col("pid"), col("_last.qid").as("m"))
+      .as[(String, Option[String])].collect().toMap
+    assert(got2("p_early").isEmpty, s"undated quote matched: $got2")
+    assert(got2("p_late").contains("q1"), got2.toString)
     // toCells family/qualifier names are SQL splices — the identifier
     // rule must reject a quote before it re-tokenizes the stack() SQL
     val df = Seq((1L, "x")).toDF("k", "v")

@@ -354,6 +354,67 @@ class StreamingSpec extends SparkSpec {
       s"replica covered ${live.size} + $dead of $touched touched cells")
   }
 
+  test("streaming dedup: NULL text is MISSING content — every extraction-failed record passes") {
+    import spark.implicits._
+    // md5(NULL) is NULL and dropDuplicatesWithinWatermark treats NULL
+    // fingerprints as EQUAL: unguarded, doc 3 silently swallowed doc 4
+    // (r12 streaming review — the batch Dedup.exact NULL-key fix's
+    // streaming sibling)
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "same"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "same"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"),
+        null.asInstanceOf[String]),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"),
+        null.asInstanceOf[String])).toDF("event_id", "ts", "props")
+    val dir = Files.createTempDirectory("graft_dedup_null").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(rows.schema).parquet(dir)
+    val q = StreamOps.streamingDedup(streamed, "props", "ts", "90 days")
+      .writeStream.format("memory").queryName("dedup_null")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("dedup_null").select("event_id")
+      .as[Long].collect().toSet
+    assert(got.intersect(Set(1L, 2L)).size == 1,
+      s"shared payload must keep exactly one: $got")
+    assert(got.contains(3L) && got.contains(4L), s"null-text docs lost: $got")
+  }
+
+  test("replicateWal: payload-less tombstones fold, garbage-op cells pin no state") {
+    import spark.implicits._
+    // a tombstone naturally ships NO payload — the primitive-Double
+    // encoder crash-looped the stream on it; an out-of-vocabulary op
+    // for a never-seen cell emitted a deletion marker for a cell that
+    // never existed and pinned sentinel state forever (r12 review)
+    val edits = Seq(
+      (1L, "q", java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+        java.lang.Double.valueOf(5.0), 1L, "put"),
+      (1L, "q", java.sql.Timestamp.valueOf("2024-01-01 00:00:02"),
+        null.asInstanceOf[java.lang.Double], 2L, "delete"),
+      (2L, "q", java.sql.Timestamp.valueOf("2024-01-01 00:00:03"),
+        java.lang.Double.valueOf(1.0), 3L, "deleteColumn"),
+      (3L, "q", java.sql.Timestamp.valueOf("2024-01-01 00:00:04"),
+        null.asInstanceOf[java.lang.Double], 4L, "put"))
+      .toDF("rowkey", "qualifier", "ts", "value", "event_id", "op")
+    val dir = Files.createTempDirectory("graft_repl_null").toString
+    edits.coalesce(1).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(edits.schema).parquet(dir)
+    val q = StreamOps.replicateWal(streamed)
+      .writeStream.format("memory").queryName("replica_null")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("replica_null")
+      .select("rowkey", "live", "value").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.get(2)))).toMap
+    assert(got.keySet == Set(1L, 3L),
+      s"garbage-op cell must emit nothing: ${got.keySet}")
+    assert(got(1L)._1 == false, s"tombstoned cell reported live: ${got(1L)}")
+    assert(got(3L) == ((true, null)),
+      s"NULL-payload put must survive with NULL value: ${got(3L)}")
+  }
+
   test("flatMapGroupsWithState running counters converge to batch totals") {
     val events = Tables.load(spark, sfDir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
