@@ -2466,7 +2466,7 @@ object AnalyticsQueries {
         |      FROM g),
         |s AS (SELECT unnest(range(1, 8)) AS split_idx)
         |SELECT split_idx,
-        |       CAST(floor(lo + (hi - lo + 1) * split_idx / 8.0) AS BIGINT) AS uniform_key,
+        |       CAST(lo + ceil((hi - lo + 1) * split_idx / 8.0) AS BIGINT) AS uniform_key,
         |       round(qs[split_idx], 4) AS quantile_key
         |FROM s, b, q ORDER BY split_idx""".stripMargin,
     "compaction_select" ->

@@ -49,9 +49,14 @@ object Tools {
 
   /** ImportTsv.java:79 — TSV → typed table with an explicit column
     * mapping (the tool's `-Dimporttsv.columns=HBASE_ROW_KEY,f:q,...`).
-    * Schema-first read: no inference, types enforced at parse. */
+    * Schema-first read: no inference, types enforced at parse —
+    * FAILFAST, because the default PERMISSIVE mode silently turned a
+    * malformed field into NULL (r12 analytics review: the scaladoc
+    * promised enforcement, the reader delivered NULL-padding;
+    * ImportTsv's own BadTsvLineException surfaces bad lines). */
   def importTsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.option("sep", "\t").option("header", "false").schema(schema).csv(path)
+    spark.read.option("sep", "\t").option("header", "false")
+      .option("mode", "FAILFAST").schema(schema).csv(path)
 
   /** HashTable.java:64 — divide the keyspace into fixed-width buckets
     * and produce an order-independent integer digest per bucket. The
@@ -133,7 +138,24 @@ object Tools {
     * @param edits (rowkey, qualifier, ts, value, event_id, op) with
     *              op ∈ {put, delete}; event_id breaks ts ties so the
     *              replayed state is deterministic. */
-  def walReplay(edits: DataFrame, tsLo: String, tsHi: String): DataFrame =
+  def walReplay(edits: DataFrame, tsLo: String, tsHi: String): DataFrame = {
+    // a range bound that fails the timestamp cast must fail with a
+    // NAMED error (the Intervals.literal discipline): under ANSI the
+    // cast throws Spark's unlabeled SparkDateTimeException from inside
+    // the plan; with ANSI off it turns the predicate NULL for EVERY
+    // row — an empty replay indistinguishable from "no surviving
+    // versions" (r12 analytics review). Probe the casts on a 1-row
+    // relation and rename/raise either way.
+    def bad(cause: Throwable): Nothing =
+      throw new IllegalArgumentException(
+        s"walReplay: time range ('$tsLo', '$tsHi') does not parse as " +
+          "timestamps — an unparseable bound replays an empty table", cause)
+    val probe =
+      try edits.sparkSession.range(1)
+        .select(lit(tsLo).cast("timestamp").as("lo"),
+          lit(tsHi).cast("timestamp").as("hi")).head()
+      catch { case e: Exception => bad(e) }
+    if (probe.isNullAt(0) || probe.isNullAt(1)) bad(null)
     edits
       .where(col("ts") >= lit(tsLo).cast("timestamp") &&
              col("ts") <  lit(tsHi).cast("timestamp"))
@@ -146,6 +168,7 @@ object Tools {
         (col("_del_ts").isNull || col("_put.ts") > col("_del_ts")))
       .select(col("rowkey"), col("qualifier"), col("_put.ts").as("ts"),
         col("_put.event_id").as("event_id"), col("_put.value").as("value"))
+  }
 
   /** SimpleTotalOrderPartitioner.java:49 — split [minKey, maxKey] into
     * `n` equal key ranges (the HFile bulk-load total order) and report
@@ -165,7 +188,11 @@ object Tools {
     * few-row no-op, not a data-scale sort). */
   def normalizerPlan(buckets: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stats = buckets.select(col("bucket"), col("n_rows"))
+    // THREE consumers read the bucket stats (avg aggregate, splits,
+    // merges) — a lazy corpus-scale buckets plan would re-scan the
+    // fact table once per consumer (r12 analytics review; the k-fold
+    // re-scan class materializeMeta exists for)
+    val stats = materializeMeta(buckets.select(col("bucket"), col("n_rows")))
     val avgSize = stats.agg(avg(col("n_rows")).as("_avg"))
     val ranked = stats.crossJoin(broadcast(avgSize))
       .withColumn("_rn", row_number().over(Window.orderBy("bucket")))
@@ -217,10 +244,17 @@ object Tools {
         expr(s"$fn($keyCol, array(${qs.mkString(", ")}))").as("_qs"))
       .select(col("_lo"), col("_hi"), posexplode(col("_qs")))
       .select((col("pos") + 1).cast("bigint").as("split_idx"),
-        // span × idx in DOUBLE — the totalOrderBucket overflow class
-        floor(col("_lo") +
-            (col("_hi") - col("_lo") + 1).cast("double") * (col("pos") + 1) / n)
-          .as("uniform_key"),
+        // span × idx in DOUBLE — the totalOrderBucket overflow class.
+        // CEIL boundary (lo + ⌈idx·span/n⌉), NOT floor(lo + span·idx/n):
+        // the split key is the FIRST key of the upper daughter, and the
+        // file's own bucket arithmetic (totalOrderBucket assignment,
+        // canaryWriteProbe's region starts) puts floor's key in the
+        // LOWER region at every non-divisible boundary — a pre-split
+        // from the old formula disagreed with the assignment by exactly
+        // the boundary key (r12 analytics review).
+        (col("_lo") + ceil(
+            (col("_hi") - col("_lo") + 1).cast("double") * (col("pos") + 1) / n))
+          .cast("bigint").as("uniform_key"),
         round(col("col"), 4).as("quantile_key"))
   }
 
@@ -411,12 +445,12 @@ object Tools {
   def totalOrderBuckets(df: DataFrame, keyCol: String, n: Int,
                         extraAggs: Seq[Column] = Nil,
                         bucketName: String = "bucket"): DataFrame = {
-    val bounds = df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"))
+    // rides withTotalOrderTag — the ONE copy of the bounds plumbing
+    // its own scaladoc promises (this function had duplicated it
+    // line-for-line; r12 analytics review)
     val baseAggs = Seq(count(lit(1)).as("n_rows"),
       min(col(keyCol)).as("min_key"), max(col(keyCol)).as("max_key")) ++ extraAggs
-    df.crossJoin(broadcast(bounds))
-      .withColumn(bucketName,
-        totalOrderBucket(col(keyCol), col("_lo"), col("_hi"), n))
+    withTotalOrderTag(df, keyCol, n, bucketName)
       .groupBy(bucketName)
       .agg(baseAggs.head, baseAggs.tail: _*)
   }
@@ -1113,29 +1147,47 @@ object Tools {
   def quotaThrottleSize(log: DataFrame, principal: Column, tier: Column,
                         window: Column, isRead: Column, bytes: Column,
                         limits: DataFrame): DataFrame =
-    // an UNCLASSIFIABLE request (isRead = NULL) counts as a WRITE:
-    // the oracle's CASE WHEN r THEN read ELSE write does the same,
-    // and charging the stricter ledger beats silently dropping the
-    // bytes from both
-    log.select(principal.as("principal"), tier.as("tier"),
-        window.as("window"), coalesce(isRead, lit(false)).as("_r"),
-        bytes.cast("long").as("_b"))
-      .groupBy("principal", "tier", "window")
-      .agg(count(lit(1)).as("n_reqs"),
-        sum(col("_b")).as("req_bytes"),
-        sum(when(!col("_r"), col("_b")).otherwise(0L)).as("write_bytes"),
-        sum(when(col("_r"), col("_b")).otherwise(0L)).as("read_bytes"))
-      .join(broadcast(limits), "tier")
-      .withColumn("throttle_as",
+    quotaThrottleImpl(log, principal, tier, window, isRead, bytes, limits,
+      extraAggs = Nil,
+      throttleAs =
         when(col("n_reqs") > col("max_reqs"), "NumRequestsExceeded")
           .when(col("req_bytes") > col("max_req_bytes"), "RequestSizeExceeded")
           .when(col("write_bytes") > 0 &&
             col("write_bytes") > col("max_write_bytes"), "WriteSizeExceeded")
           .when(col("read_bytes") > 0 &&
-            col("read_bytes") > col("max_read_bytes"), "ReadSizeExceeded"))
+            col("read_bytes") > col("max_read_bytes"), "ReadSizeExceeded"),
+      outCols = Seq("principal", "tier", "window", "n_reqs", "req_bytes",
+        "write_bytes", "read_bytes", "throttle_as", "over_quota"))
+
+  /** ONE copy of the throttle scaffold shared by [[quotaThrottleSize]]
+    * and [[quotaThrottleCounts]] (r12 analytics review: the ~25-line
+    * normalize/aggregate/limits-join/verdict pipeline existed twice
+    * and had to be hand-synced): normalization — an UNCLASSIFIABLE
+    * request (isRead = NULL) charges the WRITE ledger, the stricter
+    * side and the requestMetrics convention, exactly what the oracles'
+    * CASE WHEN r THEN read ELSE write does — then the ONE map-side-
+    * combinable aggregate per (principal, tier, window), the broadcast
+    * limits join, and the over_quota tail. Callers contribute their
+    * extra aggregate columns, their limiter CASE (evaluated over the
+    * joined row), and their output shape. */
+  private def quotaThrottleImpl(log: DataFrame, principal: Column,
+      tier: Column, window: Column, isRead: Column, bytes: Column,
+      limits: DataFrame, extraAggs: Seq[Column], throttleAs: Column,
+      outCols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("n_reqs")) ++ extraAggs ++ Seq(
+      sum(col("_b")).as("req_bytes"),
+      sum(when(!col("_r"), col("_b")).otherwise(0L)).as("write_bytes"),
+      sum(when(col("_r"), col("_b")).otherwise(0L)).as("read_bytes"))
+    log.select(principal.as("principal"), tier.as("tier"),
+        window.as("window"), coalesce(isRead, lit(false)).as("_r"),
+        bytes.cast("long").as("_b"))
+      .groupBy("principal", "tier", "window")
+      .agg(aggs.head, aggs.tail: _*)
+      .join(broadcast(limits), "tier")
+      .withColumn("throttle_as", throttleAs)
       .withColumn("over_quota", col("throttle_as").isNotNull)
-      .select("principal", "tier", "window", "n_reqs", "req_bytes",
-        "write_bytes", "read_bytes", "throttle_as", "over_quota")
+      .select(outCols.map(col): _*)
+  }
 
   /** The FULL six-limiter throttle surface (hbase-client/.../quotas/
     * ThrottleType.java:28-45 — REQUEST_NUMBER, REQUEST_SIZE,
@@ -1161,20 +1213,11 @@ object Tools {
   def quotaThrottleCounts(log: DataFrame, principal: Column, tier: Column,
                           window: Column, isRead: Column, bytes: Column,
                           limits: DataFrame): DataFrame =
-    // unclassifiable (isRead = NULL) counts as a WRITE — the
-    // quotaThrottleSize/requestMetrics convention (stricter ledger)
-    log.select(principal.as("principal"), tier.as("tier"),
-        window.as("window"), coalesce(isRead, lit(false)).as("_r"),
-        bytes.cast("long").as("_b"))
-      .groupBy("principal", "tier", "window")
-      .agg(count(lit(1)).as("n_reqs"),
+    quotaThrottleImpl(log, principal, tier, window, isRead, bytes, limits,
+      extraAggs = Seq(
         sum(when(!col("_r"), 1L).otherwise(0L)).as("n_write_reqs"),
-        sum(when(col("_r"), 1L).otherwise(0L)).as("n_read_reqs"),
-        sum(col("_b")).as("req_bytes"),
-        sum(when(!col("_r"), col("_b")).otherwise(0L)).as("write_bytes"),
-        sum(when(col("_r"), col("_b")).otherwise(0L)).as("read_bytes"))
-      .join(broadcast(limits), "tier")
-      .withColumn("throttle_as",
+        sum(when(col("_r"), 1L).otherwise(0L)).as("n_read_reqs")),
+      throttleAs =
         when(col("n_reqs") > col("max_reqs"), "NumRequestsExceeded")
           .when(col("req_bytes") > col("max_req_bytes"), "RequestSizeExceeded")
           .when(col("n_write_reqs") > 0 &&
@@ -1184,11 +1227,10 @@ object Tools {
           .when(col("n_read_reqs") > 0 &&
             col("n_read_reqs") > col("max_read_reqs"), "NumReadRequestsExceeded")
           .when(col("n_read_reqs") > 0 &&
-            col("read_bytes") > col("max_read_bytes"), "ReadSizeExceeded"))
-      .withColumn("over_quota", col("throttle_as").isNotNull)
-      .select("principal", "tier", "window", "n_reqs", "n_write_reqs",
+            col("read_bytes") > col("max_read_bytes"), "ReadSizeExceeded"),
+      outCols = Seq("principal", "tier", "window", "n_reqs", "n_write_reqs",
         "n_read_reqs", "req_bytes", "write_bytes", "read_bytes",
-        "throttle_as", "over_quota")
+        "throttle_as", "over_quota"))
 
   /** PREFIX_TREE data-block-encoding size — the fourth encoder in
     * DataBlockEncoding (hbase-common/.../io/encoding/DataBlockEncoding
@@ -1460,7 +1502,13 @@ object Tools {
     // per-bucket sum + percentile pass runs ONCE, not once per fork
     // (Catalyst shares nothing across consumers; at 100 TB the second
     // pass is a full extra corpus scan)
-    val stats = materializeMeta(tagged.groupBy("bucket")
+    // cap 1 << 20, not the 4096 metadata default: R is the CALLER's
+    // tag cardinality, and 100 TB layouts run tens of thousands of
+    // regions (the requestMetrics refusal class, r12 analytics
+    // review) — a corpus-scale mistake still trips at a million rows,
+    // a legitimately wide layout no longer does
+    val stats = materializeMeta(maxRows = 1 << 20,
+      df = tagged.groupBy("bucket")
       .agg(sum(sizeCol).as("store_size"),
         (if (midkey) expr(s"$fn($keyCol, 0.5)")
          else lit(null).cast("double")).as("_mid")))

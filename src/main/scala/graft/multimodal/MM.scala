@@ -120,7 +120,13 @@ object MM {
     require(dim >= 1, s"feature dim ($dim) must be positive")
     val spark = payloads.sparkSession
     import spark.implicits._
-    payloads.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+    // a NULL doc_id (outer-join manifest corner) would throw inside
+    // the non-nullable Long encoder and abort the whole batch — the
+    // exact job-kill the NULL-payload guard below exists to prevent
+    // (r12 multimodal review). A row with no identity cannot carry a
+    // feature vector anywhere; drop it at the scan.
+    payloads.where(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition "decoder" init lives HERE (a native handle in a
         // real deployment); the stub needs no state beyond the closure
@@ -210,7 +216,15 @@ object MM {
       .when(pred(n3), n3)
   }
 
-  /** Extract typed metadata from the payload BYTES (never doc_id). */
+  /** Extract typed metadata from the payload BYTES (never doc_id).
+    *
+    * KNOWN STUB LIMIT (r12 review, beside the CRC note in
+    * [[resizeToFit]]): a header TRUNCATED mid-field reads SHORT — the
+    * hex substr returns fewer digits and conv parses the partial
+    * number — so a 23-byte PNG can report height 1 and decode_ok =
+    * true. The synthesized corpus never truncates headers; a real
+    * ingest adds per-format minimum-length gates at the triage stage
+    * (where the byte lengths are already columns). */
   def decode(withBytes: DataFrame): DataFrame = {
     val hexed = withBytes.withColumn("_h", pinned(hex(col("payload"))))
     val sof = sofWalk()
@@ -303,9 +317,16 @@ object MM {
       .when(isJpeg("_ph"), sofW(col("_psof"), "_ph"))
     val rh = when(isPng("_ph"), bei(lit(21), 4, "_ph"))
       .when(isJpeg("_ph"), sofH(col("_psof"), "_ph"))
+    // patch_ok demands PROOF for images (the exifStrip rule, r12
+    // review): an image whose dims never parsed (truncated header,
+    // SOF past the walk bound) has _w null, and null <=> null would
+    // bless a patch that never happened — decode calls the same
+    // payload decode_ok = false. Non-images stay the passthrough true.
     reread.select(col("doc_id"), col("_w").as("width"), col("_ht").as("height"),
       col("_nw").as("new_width"), col("_nh").as("new_height"),
-      (rw <=> col("_nw") && rh <=> col("_nh")).as("patch_ok"))
+      ((rw <=> col("_nw")) && (rh <=> col("_nh")) &&
+        !(coalesce(isPng() || isJpeg(), lit(false)) && col("_w").isNull))
+        .as("patch_ok"))
   }
 
   /** Ingest-side stand-in for a video column: a minimal fixed-frame
@@ -321,7 +342,11 @@ object MM {
     // length both derive from the same columns (an independent string
     // re-spelling of the formula in the rpad was the COM-pad drift
     // class this file documents — a header/body disagreement makes
-    // frameSample's last-frame fingerprint read past the payload)
+    // frameSample's last-frame fingerprint read past the payload).
+    // KNOWN STUB LIMIT (r12 review): rpad counts CHARACTERS while the
+    // header counts BYTES — equal only on single-byte text, which the
+    // synthesized corpus is; a multibyte corpus needs byte-level
+    // padding on the binary image to keep header/body geometry coupled.
     docs.withColumn("_nf", nf).withColumn("_fs", fs)
       .select(col("doc_id"), pinned(concat(
         ascii("GVID"), be(col("_nf"), 2), be(col("_fs"), 2),
@@ -472,9 +497,14 @@ object MM {
       // blessing it converts "walked off the bound" into a positive
       // all-clear in a privacy pass. decode reports the same case as
       // decode_ok=false; the scrub reports strip_ok=false.
+      // ...and the SAME proof rule holds on the stripped branch: a
+      // chain deeper than the walk leaves _w/_ht null, and null <=>
+      // null blessed the strip while a 5th-position APP1 survived —
+      // the _m1.isNull arm's hole, still open here until r12 review
       (when(!isJpeg(), lit(true))
         .when(col("_m1").isNull, col("_sof").isNotNull)
-        .otherwise(rw <=> col("_w") && rh <=> col("_ht") && noMetaLeft))
+        .otherwise(col("_sof").isNotNull &&
+          (rw <=> col("_w")) && (rh <=> col("_ht")) && noMetaLeft))
         .as("strip_ok"))
   }
 

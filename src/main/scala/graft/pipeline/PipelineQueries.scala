@@ -2087,8 +2087,10 @@ object PipelineQueries {
         |             CAST(sum(CASE WHEN t IN ($markerIn)
         |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
         |      FROM tok GROUP BY 1),
-        |sc AS (SELECT n, least(n, 64) * 15625 + ((ns * 1000000) // n) * 4
-        |                + (nd * 1000000) // n AS score_micro FROM s),
+        |sc AS (SELECT coalesce(s.n, 0) AS n,
+        |              coalesce(least(s.n, 64) * 15625 + ((s.ns * 1000000) // s.n) * 4
+        |                + (s.nd * 1000000) // s.n, 0) AS score_micro
+        |       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
         |b AS (SELECT least(score_micro // 500000, 6) AS bucket,
         |             count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
         |      FROM sc GROUP BY 1),
@@ -2594,9 +2596,12 @@ object PipelineQueries {
         |n AS (SELECT count(*) AS nn FROM tok),
         |s AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(mlog) AS BIGINT) AS sum_mlog
         |      FROM tok JOIN vm USING (tok) GROUP BY 1)
-        |SELECT doc_id, n_tokens, sum_mlog,
-        |       round(sum_mlog / 1000000.0 / n_tokens - log10(nn), 4) AS avg_log10p
-        |FROM s, n ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+        |       coalesce(s.sum_mlog, 0) AS sum_mlog,
+        |       round(s.sum_mlog / 1000000.0 / s.n_tokens - log10(n.nn), 4)
+        |         AS avg_log10p
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id, n
+        |ORDER BY d.doc_id""".stripMargin,
     "corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
@@ -2604,14 +2609,18 @@ object PipelineQueries {
         |FROM documents GROUP BY ROLLUP (lang, source)
         |ORDER BY lang, source""".stripMargin,
     "text_entropy" ->
-      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      """WITH ch AS (SELECT doc_id,
+        |              unnest(list_filter(string_split(text, ''), x -> x != '')) AS ch
+        |            FROM documents),
         |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
         |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
         |             CAST(sum(c * CAST(floor(log2(c) * 1000000) AS BIGINT)) AS BIGINT) AS clogc
         |      FROM c GROUP BY 1)
-        |SELECT doc_id, n_chars,
-        |       round(log2(n_chars) - clogc / 1000000.0 / n_chars, 4) AS entropy_bits
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id, coalesce(s.n_chars, 0) AS n_chars,
+        |       round(log2(s.n_chars) - s.clogc / 1000000.0 / s.n_chars, 4)
+        |         AS entropy_bits
+        |FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "vocab_build" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS cnt FROM t WHERE len(token) > 0 GROUP BY 1),
@@ -2706,11 +2715,16 @@ object PipelineQueries {
         |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
         |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
         |      FROM tok GROUP BY 1),
-        |f AS (SELECT doc_id,
+        |f0 AS (SELECT doc_id,
         |             least(n, 64) * 15625 AS f_len_micro,
         |             (ns * 1000000) // n AS f_stop_micro,
         |             (nd * 1000000) // n AS f_dist_micro
-        |      FROM s)
+        |      FROM s),
+        |f AS (SELECT d.doc_id,
+        |             coalesce(f0.f_len_micro, 0) AS f_len_micro,
+        |             coalesce(f0.f_stop_micro, 0) AS f_stop_micro,
+        |             coalesce(f0.f_dist_micro, 0) AS f_dist_micro
+        |      FROM documents d LEFT JOIN f0 ON f0.doc_id = d.doc_id)
         |SELECT doc_id, f_len_micro, f_stop_micro, f_dist_micro,
         |       f_len_micro * 1 + f_stop_micro * 4 + f_dist_micro * 1 AS score_micro,
         |       f_len_micro * 1 + f_stop_micro * 4 + f_dist_micro * 1 >= 1500000
@@ -3349,10 +3363,16 @@ object PipelineQueries {
         |             CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN cnt ELSE 0 END) AS BIGINT) AS alpha,
         |             CAST(max(cnt) AS BIGINT) AS top
         |      FROM c GROUP BY 1),
-        |m AS (SELECT doc_id, n_words, (len_sum * 1000000) // n_words AS mean_len_micro,
+        |m0 AS (SELECT doc_id, n_words, (len_sum * 1000000) // n_words AS mean_len_micro,
         |             stop_hits, (alpha * 1000000) // n_words AS alpha_micro,
         |             (top * 1000000) // n_words AS top_tok_micro
-        |      FROM s)
+        |      FROM s),
+        |m AS (SELECT d.doc_id, coalesce(m0.n_words, 0) AS n_words,
+        |             coalesce(m0.mean_len_micro, 0) AS mean_len_micro,
+        |             coalesce(m0.stop_hits, 0) AS stop_hits,
+        |             coalesce(m0.alpha_micro, 0) AS alpha_micro,
+        |             coalesce(m0.top_tok_micro, 0) AS top_tok_micro
+        |      FROM documents d LEFT JOIN m0 ON m0.doc_id = d.doc_id)
         |SELECT *, n_words >= 20 AND n_words <= 100000 AS ok_words,
         |       mean_len_micro BETWEEN 3000000 AND 10000000 AS ok_mean_len,
         |       stop_hits >= 2 AS ok_stop,

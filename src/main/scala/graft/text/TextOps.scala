@@ -127,8 +127,8 @@ object TextOps {
     * [[qualityClassifier]] and the quality_ablation threshold sweep
     * (which must sweep THE classifier's score, not a drifting
     * reimplementation). */
-  private[graft] def qualityFeatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(words).as("tok"))
+  private[graft] def qualityFeatures(docs: DataFrame): DataFrame = {
+    val feats = docs.select(col("doc_id"), explode(words).as("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("_nd"),
         sum(when(col("tok").isInCollection(EnMarkers), 1L).otherwise(0L)).as("_ns"))
@@ -136,6 +136,18 @@ object TextOps {
         (least(col("n_tokens"), lit(64L)) * 15625L).as("f_len_micro"),
         expr("(_ns * 1000000) div n_tokens").as("f_stop_micro"),
         expr("(_nd * 1000000) div n_tokens").as("f_dist_micro"))
+    // the classifier is a keep/drop GATE: a zero-token doc vanished
+    // from BOTH sets (no exploded rows, no group — the silent-vanish
+    // class the r12 curate fix closed downstream). All-zero features
+    // score 0 < any positive cutoff → keep = false, deterministically,
+    // and the ablation sweep sees the doc in every threshold bucket.
+    docs.select("doc_id").join(feats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("f_len_micro"), lit(0L)).as("f_len_micro"),
+        coalesce(col("f_stop_micro"), lit(0L)).as("f_stop_micro"),
+        coalesce(col("f_dist_micro"), lit(0L)).as("f_dist_micro"))
+  }
 
   /** The classifier's linear score over [[qualityFeatures]] columns —
     * default weights are the registered quality_classifier's. */
@@ -216,7 +228,7 @@ object TextOps {
     * exactly like the unigram path. */
   def bigramVocab(docs: DataFrame, k: Int = 64): DataFrame = {
     val counts = docs
-      .withColumn("w", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+      .withColumn("w", words) // the ONE shared tokenizer, not a re-spelling
       .select(explode(expr(
         """IF(size(w) >= 2,
           |  transform(sequence(1, size(w) - 1),
@@ -233,10 +245,13 @@ object TextOps {
     * literal array riding the projection — pure codegen'd per-row array
     * algebra, nothing shuffles, nothing broadcast-joins; at 100 TB this
     * runs at scan speed next to the other projection gates. */
-  def blocklist(docs: DataFrame, words: Seq[String]): DataFrame = {
-    require(words.nonEmpty, "blocklist must not be empty")
-    val bl = array(words.map(lit): _*)
-    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+  def blocklist(docs: DataFrame, blockWords: Seq[String]): DataFrame = {
+    require(blockWords.nonEmpty, "blocklist must not be empty")
+    val bl = array(blockWords.map(lit): _*)
+    // the shared verdict tokenizer — the old parameter name `words`
+    // SHADOWED it, forcing an inline re-spelling that a tokenizer
+    // tweak would have silently missed (r12 text review)
+    val toks = words
     docs.select(col("doc_id"),
       size(filter(toks, t => array_contains(bl, t))).cast("bigint").as("n_hits"),
       size(array_intersect(array_distinct(toks), bl)).cast("bigint")
@@ -276,7 +291,16 @@ object TextOps {
     * hash-shuffle levels — (doc, gram) partial counts then per-doc
     * stats — both map-side combinable, so the gram text never leaves
     * its executor un-aggregated. Pass/fail compares ROUNDED fractions
-    * so Spark and the SQL oracle agree at the threshold boundary. */
+    * so Spark and the SQL oracle agree at the threshold boundary.
+    *
+    * SHORT-DOC boundary, stated plainly (r12 text review): with the
+    * default topFracMax = 0.05 every doc under ~20 bigrams fails the
+    * top-share gate even with zero repeats (1/n > 0.05), while a
+    * sub-2-token doc passes by the no-evidence rule below. The gate
+    * targets corpus-scale documents (Gopher filters PAGES, and its
+    * word-count rule already rejects < 50 words); callers gating
+    * short snippets must raise topFracMax or pre-filter on length —
+    * the thresholds are parameters precisely for that. */
   def repetition(docs: DataFrame, topFracMax: Double = 0.05,
                  dupFracMax: Double = 0.05): DataFrame = {
     val ws = docs.withColumn("w", words)
@@ -284,17 +308,21 @@ object TextOps {
     // has one 2-gram the report promises ('foo foo' is maximal 2-gram
     // repetition — a >= 3 gate would silently pass it by omission) and
     // simply no 3-grams (left join; zero 3-grams = zero repeats)
-    def gramStats(n: Int, pre: String): DataFrame = {
+    def gramStats(n: Int, pre: String, withMax: Boolean): DataFrame = {
       val mk = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+      // the top-gram share only gates at n = 2 — the 3-gram max was
+      // aggregated and discarded (dead state per doc; r12 text review)
+      val aggs = Seq(sum("cnt").as(s"${pre}_n"), count(lit(1)).as(s"${pre}_d")) ++
+        (if (withMax) Seq(max("cnt").as(s"${pre}_m")) else Nil)
       ws.where(size(col("w")) >= n)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', $mk))")).as("g"))
         .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
         .groupBy("doc_id")
-        .agg(sum("cnt").as(s"${pre}_n"), count(lit(1)).as(s"${pre}_d"),
-          max("cnt").as(s"${pre}_m"))
+        .agg(aggs.head, aggs.tail: _*)
     }
-    val report = gramStats(2, "g2").join(gramStats(3, "g3"), Seq("doc_id"), "left")
+    val report = gramStats(2, "g2", withMax = true)
+      .join(gramStats(3, "g3", withMax = false), Seq("doc_id"), "left")
       .select(col("doc_id"), col("g2_n").as("n_2grams"),
         round(lit(1) - col("g2_d").cast("double") / col("g2_n"), 4).as("dup_2gram_frac"),
         round(col("g2_m").cast("double") / col("g2_n"), 4).as("top_2gram_frac"),
@@ -335,11 +363,19 @@ object TextOps {
     // broadcasts it on its own), but at corpus scale distinct tokens
     // can exceed any broadcast budget — the planner must stay free to
     // shuffle on `tok`, the key the vocab count already partitioned by
-    toks.join(vocab, "tok")
+    val report = toks.join(vocab, "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("mlog").as("sum_mlog"))
+    // a QUALITY SCORE must cover EVERY doc (bigramLogProb's
+    // discipline, r12 text review): a zero-token doc has no unigram
+    // evidence — zeroed counts, NULL mean — rather than silently
+    // vanishing from both the keep and drop sets of a downstream
+    // perplexity filter
+    docs.select("doc_id").join(report, Seq("doc_id"), "left")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"), col("n_tokens"), col("sum_mlog"),
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_mlog"), lit(0L)).as("sum_mlog"),
         round(col("sum_mlog") / 1e6 / col("n_tokens") - log10(col("_N")), 4)
           .as("avg_log10p"))
   }
@@ -352,8 +388,15 @@ object TextOps {
     * identical inputs in both engines. One (doc, char) count shuffle
     * with map-side partials; chars never leave their executor
     * un-counted. */
-  def charEntropy(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+  def charEntropy(docs: DataFrame): DataFrame = {
+    // the empties filter kills the PHANTOM '' element both engines
+    // emit for EMPTY text (split('','') = [''] in Spark AND DuckDB —
+    // r12 text review measured both): without it the zero-length doc
+    // reported 1 "char" of zero entropy instead of the honest 0-chars
+    // no-verdict row the coverage join below emits
+    val report = docs
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), ""), c => c =!= "")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_chars"),
@@ -361,6 +404,16 @@ object TextOps {
       .select(col("doc_id"), col("n_chars"),
         round(log2(col("n_chars")) - col("_clogc") / 1e6 / col("n_chars"), 4)
           .as("entropy_bits"))
+    // EVERY doc gets a row (r12 text review): split('', '') is an
+    // empty array in Spark 4, so the zero-length doc — the most
+    // degenerate input an entropy signal exists to catch — vanished
+    // from the report entirely; it carries 0 chars and a NULL entropy
+    // (no distribution to measure)
+    docs.select("doc_id").join(report, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        col("entropy_bits"))
+  }
 
   /** Sliding-window chunking — the windowing stage every pretraining /
     * RAG pipeline runs between cleaning and tokenization: width `w`
@@ -939,7 +992,7 @@ object TextOps {
                   maxTopTokMicro: Long = 200000L): DataFrame = {
     val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     val toks = docs.select(col("doc_id"), explode(words).as("tok"))
-    toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    val stats = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_words"),
         sum(col("cnt") * length(col("tok"))).as("_len_sum"),
@@ -953,6 +1006,18 @@ object TextOps {
         col("stop_hits"),
         expr("(_alpha * 1000000) div n_words").as("alpha_micro"),
         expr("(_top * 1000000) div n_words").as("top_tok_micro"))
+    // a GATE returns a verdict for EVERY doc — this function is the
+    // named discipline the siblings cite, yet it dropped zero-token
+    // docs itself (r12 text review). Zeroed stats make the rules
+    // compute naturally: no words fails the minimums (keep = false),
+    // exactly what the paper's rules say about an empty page.
+    docs.select("doc_id").join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("mean_len_micro"), lit(0L)).as("mean_len_micro"),
+        coalesce(col("stop_hits"), lit(0L)).as("stop_hits"),
+        coalesce(col("alpha_micro"), lit(0L)).as("alpha_micro"),
+        coalesce(col("top_tok_micro"), lit(0L)).as("top_tok_micro"))
       .withColumn("ok_words",
         col("n_words") >= minWords && col("n_words") <= maxWords)
       .withColumn("ok_mean_len",
@@ -985,9 +1050,14 @@ object TextOps {
   def bigramLogProb(docs: DataFrame): DataFrame = {
     val pairs = docs
       .select(col("doc_id"), words.as("ws"))
+      // greatest(…, 0): a ZERO-token doc made the slice length −1,
+      // which is a SparkRuntimeException that killed the whole corpus
+      // scan (r12 text review) — the empty slice feeds zero bigrams
+      // and the doc reaches the coverage join below like any other
+      // sub-2-word doc
       .select(col("doc_id"),
-        expr("slice(ws, 1, size(ws) - 1)").as("a"),
-        expr("slice(ws, 2, size(ws) - 1)").as("b"))
+        expr("slice(ws, 1, greatest(size(ws) - 1, 0))").as("a"),
+        expr("slice(ws, 2, greatest(size(ws) - 1, 0))").as("b"))
       .select(col("doc_id"), expr("explode(arrays_zip(a, b))").as("p"))
       .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
     // The model-build and scoring branches each explode the corpus

@@ -903,4 +903,49 @@ class InsightsSpec extends SparkSpec {
       .toMap
     assert(out == Map(("p1", "web") -> 2L, ("p2", "web") -> 2L, ("p2", "act") -> 1L))
   }
+
+  test("regionSplitPoints: every uniform split key is the FIRST key of its own bucket") {
+    // the r12 analytics review's off-by-one: floor(lo + span·idx/n)
+    // lands one key below the bucket boundary at non-divisible spans
+    // (keys 0..9, n=3: floor gave 3, but totalOrderBucket(3) = 0) —
+    // the ceil form must agree with the file's own bucket arithmetic
+    // at every boundary
+    val keys = spark.range(0, 10).toDF("k") // span 10, n=3: non-divisible
+    val pts = Tools.regionSplitPoints(keys, "k", 3)
+      .select("split_idx", "uniform_key").as[(Long, Long)].collect().toMap
+    assert(pts == Map(1L -> 4L, 2L -> 7L), s"got $pts")
+    pts.foreach { case (idx, key) =>
+      val b = keys.withColumn("b",
+          Tools.totalOrderBucket(col("k"), lit(0L), lit(9L), 3))
+        .where(col("k") === key).select("b").as[Long].head()
+      val bPrev = keys.withColumn("b",
+          Tools.totalOrderBucket(col("k"), lit(0L), lit(9L), 3))
+        .where(col("k") === key - 1).select("b").as[Long].head()
+      assert(b == idx && bPrev == idx - 1,
+        s"split $idx at key $key: bucket($key)=$b, bucket(${key - 1})=$bPrev")
+    }
+  }
+
+  test("walReplay refuses malformed time bounds; importTsv fails fast on bad lines") {
+    // a bound that fails the timestamp cast turned the range predicate
+    // NULL for every row — an empty replay indistinguishable from "no
+    // surviving versions" (r12 analytics review)
+    val edits = Seq((1L, "q", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1.0, 1L, "put")).toDF("rowkey", "qualifier", "ts", "value", "event_id", "op")
+    val e = intercept[IllegalArgumentException] {
+      Tools.walReplay(edits, "not-a-timestamp", "2100-01-01 00:00:00")
+    }
+    assert(e.getMessage.contains("does not parse"), e.getMessage)
+    // PERMISSIVE silently NULL-padded a malformed bigint field — the
+    // scaladoc promises parse-time enforcement (ImportTsv's
+    // BadTsvLineException surfaces bad lines)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_bad")
+    java.nio.file.Files.writeString(dir.resolve("bad.tsv"), "1\tok\nabc\tbroken\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    intercept[Exception] {
+      Tools.importTsv(spark, dir.toString, schema).collect()
+    }
+  }
 }

@@ -361,6 +361,32 @@ class PipelineSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0L && r <= 1000000L), "ppm out of range")
   }
 
+  test("text gates cover EVERY doc: zero-token payloads get verdicts, never vanish or crash") {
+    import spark.implicits._
+    // the r12 text review's silent-vanish class: a zero-token doc had
+    // NO row in four gate outputs (absent from keep AND drop sets),
+    // and bigramLogProb's slice(ws, 1, size-1) CRASHED the whole scan
+    // on it (length -1)
+    val dirty = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""), (3L, "   ")).toDF("doc_id", "text")
+    val all = Set(1L, 2L, 3L)
+    val bl = TextOps.bigramLogProb(dirty).select("doc_id").as[Long].collect().toSet
+    assert(bl == all, s"bigramLogProb covered $bl")
+    val ul = TextOps.unigramLogProb(dirty)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(ul.keySet == all && ul(2L) == 0L && ul(3L) == 0L, s"unigram: $ul")
+    val ce = TextOps.charEntropy(dirty)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toMap
+    assert(ce.keySet == all && ce(2L) == 0L, s"entropy: $ce")
+    val gr = TextOps.gopherRules(dirty)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(gr.keySet == all && !gr(2L) && !gr(3L), s"gopher: $gr")
+    val qc = TextOps.qualityClassifier(dirty)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(qc.keySet == all && !qc(2L) && !qc(3L), s"classifier: $qc")
+  }
+
   test("mlogLong mirrors the Column micro-log formula exactly") {
     import spark.implicits._
     // the driver-side trainer mirror MUST stay formula-identical to
@@ -1479,6 +1505,31 @@ class PipelineSpec extends SparkSpec {
     val c = MM.exifStrip(Seq((8L, clean)).toDF("doc_id", "payload")).collect()(0)
     assert(c.getAs[Boolean]("strip_ok") && c.getAs[Long]("removed_bytes") == 0L,
       c.toString)
+    // the STRIPPED branch of the same hole (r12 review): metadata IS
+    // found and spliced (COM at position 2), but SOF sits past the
+    // walk — _w/_ht never parsed, so null <=> null would bless the
+    // strip while a 6th-position APP1 survives. No proof, no all-clear.
+    val deepStripped: Array[Byte] =
+      m(0xFF, 0xD8) ++ seg((0xFF, 0xFE), 6) ++ seg((0xFF, 0xE2), 6) ++
+        seg((0xFF, 0xE2), 6) ++ seg((0xFF, 0xDB), 4) ++ seg((0xFF, 0xDB), 4) ++
+        (m(0xFF, 0xE1) ++ be2(12) ++ "Exif".getBytes("UTF-8") ++
+          Array[Byte](0, 0) ++ "GPS!".getBytes("UTF-8")) ++
+        (m(0xFF, 0xC0) ++ be2(17) ++ Array[Byte](8) ++ be2(100) ++ be2(200) ++
+          Array.fill[Byte](10)(1))
+    val d = MM.exifStrip(Seq((9L, deepStripped)).toDF("doc_id", "payload")).collect()(0)
+    assert(!d.getAs[Boolean]("strip_ok"), d.toString)
+    // resizeToFit: the parse failure must not read as a successful
+    // patch — same proof rule (decode says decode_ok=false here too)
+    val rz = MM.resizeToFit(Seq((7L, jpeg)).toDF("doc_id", "payload"), 64).collect()(0)
+    assert(!rz.getAs[Boolean]("patch_ok"), rz.toString)
+    // a NULL doc_id row is dropped at the featureExtract scan, never
+    // an encoder NPE that aborts the batch
+    val withNullId = Seq((java.lang.Long.valueOf(1L), Array[Byte](1, 2)),
+      (null.asInstanceOf[java.lang.Long], Array[Byte](3)))
+      .toDF("doc_id", "payload")
+    val feats = MM.featureExtract(withNullId, dim = 2)
+      .select("doc_id").as[Long].collect()
+    assert(feats.sameElements(Array(1L)), feats.mkString(","))
   }
 
   test("audioInfo: non-canonical WAV layouts are excluded, not mis-read") {

@@ -888,14 +888,19 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), s"no equi join found:\n$p")
   }
 
-  test("quality_classifier: aggregate-only plan, distinct stays bounded-state") {
+  test("quality_classifier: no window, distinct stays bounded-state, one coverage join") {
     val p = plan("quality_classifier")
-    assert(!p.contains("Join") && !p.contains("Window"), p)
-    // exactly two hash exchanges: the (doc, tok) pre-shuffle is
-    // Spark's bounded-state count(DISTINCT) expansion — the right
-    // trade vs a collect_set whose per-row state grows with doc size;
-    // anything beyond these two is a regression
-    assert(exchanges(p, "hashpartitioning") == 2, s"unexpected shuffles:\n$p")
+    // the every-doc coverage join (r12 text review: a zero-token doc
+    // must get keep = false, not vanish) is the ONE join allowed — a
+    // thin doc_id left join, not a data-side window
+    assert(!p.contains("Window"), p)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size <= 1, s"more than the coverage join:\n$p")
+    // the (doc, tok) pre-shuffle is Spark's bounded-state
+    // count(DISTINCT) expansion — the right trade vs a collect_set
+    // whose per-row state grows with doc size; the coverage join adds
+    // at most one thin exchange on doc_id
+    assert(exchanges(p, "hashpartitioning") <= 3, s"unexpected shuffles:\n$p")
   }
 
   test("cell_acl: both ACL checks are broadcast NLJs, the scan sides never hash-shuffle") {
