@@ -266,7 +266,9 @@ object Mutations {
       .withColumn("_region",
         expr(s"(`$keyCol` - pmod(`$keyCol`, $regionWidth)) div $regionWidth"))
     val spans = members.groupBy(batchCol)
-      .agg(min("_region").as("_rlo"), max("_region").as("_rhi"))
+      .agg(min("_region").as("_rlo"), max("_region").as("_rhi"),
+        sum(when(col("_region").isNull, lit(1L)).otherwise(lit(0L)))
+          .as("_null_keys"))
     if (strict) {
       val straddlers = spans.where(col("_rlo") =!= col("_rhi"))
         .select(col(batchCol)).limit(1).collect()
@@ -285,6 +287,20 @@ object Mutations {
     require(nullBatch.isEmpty,
       "multiRowMutation: a mutation carries a NULL batch id — every " +
         "mutation must name its atomic batch; tag or drop it upstream")
+    // ...and the sibling identity-less shape (r13 kv review): a NULL
+    // KEY inside a named batch. Its _region is NULL, min/max skip it —
+    // an all-NULL-key batch got NULL _rlo/_rhi and vanished from
+    // okBatches (neither applied nor reported, even in strict mode),
+    // while a mixed batch passed the straddle check blind to the
+    // NULL-key member. Same tiny per-batch aggregate, same loud
+    // refusal in BOTH modes.
+    val nullKey = spans.where(col("_null_keys") > 0)
+      .select(col(batchCol)).limit(1).collect()
+    require(nullKey.isEmpty,
+      s"multiRowMutation: batch ${nullKey.head.get(0)} contains a " +
+        "mutation with a NULL key — a keyless mutation has no region " +
+        "and would silently escape both the straddle check and the " +
+        "apply; fix or drop it upstream")
     val okBatches = spans.where(col("_rlo") === col("_rhi")).select(col(batchCol))
     val okPuts = puts.join(okBatches, Seq(batchCol), "leftsemi").drop(batchCol)
     val okDels = delKeys.join(okBatches, Seq(batchCol), "leftsemi").drop(batchCol)

@@ -29,14 +29,18 @@ object Visibility {
     * the same labels as "secret&audit" (an untrimmed atom would
     * silently DENY a fully authorized scanner).
     *
-    * MALFORMED atoms default-DENY (r12 kv review): an empty atom —
-    * "a||b"'s middle term, a bare "&", or the negation "!" with
-    * nothing after it — makes its term unsatisfied for every auth set.
-    * The reference rejects these at parse time; here the unguarded
-    * "!" evaluated !array_contains(auths, "") = TRUE and authorized
-    * EVERY scanner, zero-label ones included — the one malformed
-    * shape that flipped to visible-to-all while its positive twin
-    * denied. */
+    * MALFORMED atoms default-DENY (r12 kv review, tightened r13): an
+    * empty atom — "a||b"'s middle term, a bare "&", or the negation
+    * "!" with nothing after it — makes its term unsatisfied for every
+    * auth set. The reference rejects these at parse time; here the
+    * unguarded "!" evaluated !array_contains(auths, "") = TRUE and
+    * authorized EVERY scanner, zero-label ones included. The r13
+    * tightening closes the same flip for NEGATIONS OF NON-LABELS:
+    * "!!a" left neg = "!a" — non-empty, never in any auth set — so
+    * !array_contains was again TRUE for everyone. A negated atom now
+    * authorizes only when the negated token is a VALID label
+    * ([[labelRegex]], the alphabet addLabels itself enforces); any
+    * other negation denies, matching the parse-time rejection. */
   def visibleExpr(vis: Column, auths: Seq[String]): Column = {
     val authArr = array(auths.map(lit): _*)
     val satisfied = exists(split(vis, "\\|"), term =>
@@ -45,7 +49,7 @@ object Visibility {
         val neg = trim(substring(atom, 2, Int.MaxValue))
         when(atom === "", lit(false))
           .when(atom.startsWith("!"),
-            neg =!= "" && !array_contains(authArr, neg))
+            neg.rlike(labelRegex) && !array_contains(authArr, neg))
           .otherwise(array_contains(authArr, atom))
       }))
     vis.isNull || vis === "" || satisfied

@@ -222,13 +222,19 @@ object PipelineQueries {
     * documented escape (Chen et al. themselves estimate from a fixed
     * n per task). ONLY k = 1 and k = 5 have arms — any other k raises
     * rather than silently computing the k=5 value (r12 review: the
-    * promotion to a shared expression made silent misuse reachable). */
+    * promotion to a shared expression made silent misuse reachable;
+    * r13: a NULL k raises too — three-valued logic made both guard
+    * arms AND the k=1 arm UNKNOWN, falling through to the k=5 ELSE). */
   private[graft] val passAtKPpm: String =
     """CASE
       |  WHEN n > 1000000 THEN raise_error(concat(
       |    'eval_pass_at_k: n = ', n,
       |    ' past the exact decimal(38) falling-factorial bound (1e6 at k<=5)',
       |    ' - subsample per task'))
+      |  WHEN k IS NULL THEN raise_error(concat(
+      |    'eval_pass_at_k: k is NULL - a NULL k made every guard arm ',
+      |    'UNKNOWN and fell through to silently compute the k=5 value ',
+      |    '(r13 review); tag each task with an explicit k'))
       |  WHEN k != 1 AND k != 5 THEN raise_error(concat(
       |    'eval_pass_at_k: k = ', k,
       |    ' but this expression hard-codes the k=1 and k=5 falling-',
@@ -2821,7 +2827,8 @@ object PipelineQueries {
          |       CAST(length(sh) // 2 AS BIGINT) AS n_after,
          |       CASE WHEN NOT jpg THEN true
          |            WHEN com IS NULL THEN sof IS NOT NULL
-         |            ELSE (${sBei("ssof + 7", 2)} = w0
+         |            ELSE (sof IS NOT NULL AND ssof IS NOT NULL
+         |              AND ${sBei("ssof + 7", 2)} = w0
          |              AND ${sBei("ssof + 5", 2)} = h0
          |              AND ${sHx("3", 2)} <> 'FFFE'
          |              AND ${sHx("sn1", 2)} <> 'FFFE') END AS strip_ok
@@ -2934,7 +2941,9 @@ object PipelineQueries {
          |SELECT s.doc_id, s.w AS width, s.ht AS height,
          |       s.new_w AS new_width, s.new_h AS new_height,
          |       (r.rw IS NOT DISTINCT FROM s.new_w AND
-         |        r.rh IS NOT DISTINCT FROM s.new_h) AS patch_ok
+         |        r.rh IS NOT DISTINCT FROM s.new_h AND
+         |        NOT (coalesce(s.is_png OR s.is_jpeg, false)
+         |             AND s.w IS NULL)) AS patch_ok
          |FROM sized s JOIN reread r ON s.doc_id = r.doc_id
          |ORDER BY s.doc_id""".stripMargin),
     // same container synthesis + header walk as MM.frameSample: frame

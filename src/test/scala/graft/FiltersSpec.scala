@@ -321,7 +321,15 @@ class FiltersSpec extends SparkSpec {
       (4L, "a||b"),        // empty middle term is not satisfied...
       (5L, "public||b"),   // ...but a held NON-empty term still passes
       (6L, "&"),           // two empty atoms -> deny
-      (7L, "! ")           // whitespace-padded bare negation -> deny
+      (7L, "! "),          // whitespace-padded bare negation -> deny
+      // r13: negations of NON-LABELS — neg is non-empty but invalid,
+      // so !array_contains(auths, neg) was TRUE for every scanner
+      // (zero-label ones included), the same visible-to-all flip the
+      // r12 fix closed for the bare "!"
+      (9L, "!!public"),    // double negation -> deny
+      (10L, "public&!!x"), // held label AND negated non-label -> deny
+      (11L, "!a b"),       // negation of a space-broken token -> deny
+      (12L, "!!")          // negation of "!" itself -> deny
     ).toDF("k", "vis")
     val some = graft.kv.Visibility.applyAuths(cells, "vis", Seq("public"))
       .select("k").as[Long].collect().toSet

@@ -136,6 +136,32 @@ class MutationsSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL batch id"), e.getMessage)
   }
 
+  test("multiRowMutation: a NULL key inside a named batch refuses loudly") {
+    // sibling identity-less shape (r13 kv review): _region is NULL,
+    // min/max skip it — an all-NULL-key batch vanished from okBatches
+    // (neither applied nor reported, even strict), a mixed batch passed
+    // the straddle check blind to its NULL-key member
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val mixed = Seq((java.lang.Long.valueOf(1L), "a2", 7L),
+      (null.asInstanceOf[java.lang.Long], "ghost", 7L)).toDF("k", "v", "batch")
+    val dels = Seq.empty[(Long, Long)].toDF("k", "batch")
+    val e = intercept[IllegalArgumentException] {
+      graft.kv.Mutations.multiRowMutation(base, mixed, dels, "k", "batch",
+        regionWidth = 100L)
+    }
+    assert(e.getMessage.contains("NULL key"), e.getMessage)
+    // all-NULL-key batch — the vanish-entirely shape — refuses too,
+    // in strict mode as well (it used to pass the straddle probe:
+    // NULL _rlo/_rhi never compares unequal)
+    val ghost = Seq((null.asInstanceOf[java.lang.Long], "ghost", 9L))
+      .toDF("k", "v", "batch")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.kv.Mutations.multiRowMutation(base, ghost, dels, "k", "batch",
+        regionWidth = 100L, strict = true)
+    }
+    assert(e2.getMessage.contains("NULL key"), e2.getMessage)
+  }
+
   test("checkAndPut with every CompareOp guard — the 6-op CAS surface") {
     import graft.filters.{CompareOp, Comparators}
     // counters 1..6 hold balance = 10*k; each op guards against the

@@ -192,6 +192,24 @@ class PipelineSpec extends SparkSpec {
     wide.foreach { case (n, c, k, ppm) =>
       assert(ppm == passAtK(n, c, k), s"wide n=$n c=$c k=$k: $ppm")
     }
+
+    // the k-guard is LOUD for any k without a hard-coded arm —
+    // INCLUDING NULL, whose three-valued logic previously made both
+    // guard arms and the k=1 arm UNKNOWN and fell through to silently
+    // compute the k=5 value (r13 review)
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    def guardRaises(kDf: DataFrame): Unit = {
+      val e = intercept[Throwable] {
+        kDf.withColumn("ppm", expr(graft.pipeline.PipelineQueries.passAtKPpm))
+          .collect()
+      }
+      assert(chain(e).contains("eval_pass_at_k"), chain(e))
+    }
+    guardRaises(Seq((0L, 10L, 3L, 3)).toDF("task", "n", "c", "k"))
+    guardRaises(Seq((0L, 10L, 3L, Option.empty[Int]))
+      .toDF("task", "n", "c", "k"))
   }
 
   test("eval_rouge_n matches a Scala set re-implementation on the corpus") {
