@@ -250,9 +250,11 @@ object PipelineQueries {
     * candidate/reference pairing every generation-eval report shares
     * (eval_rouge_n / eval_bleu / eval_chrf / eval_edit_ratio):
     * candidate doc d against reference d+1, one payload column
-    * carried per side. A real harness feeds its own (cand, ref)
-    * rows — swapping the pairing then edits ONE place instead of four
-    * silently-driftable copies (r12 review). */
+    * carried per side. A real harness feeds its own pairing through
+    * the PUBLIC [[graft.text.GenerationEval.evalPairs]] surface (the
+    * contract is code since r13); this private helper only builds the
+    * registered queries' synthetic pairing — swapping it edits ONE
+    * place instead of four silently-driftable copies (r12 review). */
   private def adjacentPairs(src: DataFrame, payload: String): DataFrame =
     src.select(col("doc_id").as("cand_id"), col(payload).as("_c"))
       .join(src.select((col("doc_id") - 1).as("cand_id"),
@@ -990,149 +992,40 @@ object PipelineQueries {
         .withColumn("pass_at_k_ppm", expr(passAtKPpm))
         .orderBy("task", "k")
     }),
-    // ROUGE-N overlap (Lin 2004), distinct-bigram set form: recall =
-    // |∩|/|ref bigrams|, precision = |∩|/|cand bigrams|, F1 — the
-    // generation-eval readout beside eval_auc/ndcg. Candidate/reference
-    // pairs = adjacent doc ids (a real harness feeds its own pairs);
-    // bigram sets ride the SAME Dedup.shingles tokenizer as the dedup
-    // family (n = 2), intersections are codegen'd array_intersect on
-    // the pair row — the only shuffle is the pair join, and at 100 TB
-    // the pre-shingled corpus table serves both sides.
-    "eval_rouge_n" -> ((s, d) => {
-      adjacentPairs(Dedup.shingles(docs(s, d), 2), "shs")
-        .select(col("cand_id"), col("ref_id"),
-          size(col("_c")).cast("bigint").as("n_cand"),
-          size(col("_r")).cast("bigint").as("n_ref"),
-          size(array_intersect(col("_c"), col("_r"))).cast("bigint")
-            .as("n_common"))
-        .withColumn("recall_ppm", expr("n_common * 1000000 div n_ref"))
-        .withColumn("precision_ppm", expr("n_common * 1000000 div n_cand"))
-        // F1 = 2PR/(P+R) in ppm (P,R ≤ 10⁶ so 2PR ≤ 2e12 — exact);
-        // zero overlap has no harmonic mean — report 0
-        .withColumn("f1_ppm", expr(
-          "IF(n_common = 0, 0L, " +
-            "2 * precision_ppm * recall_ppm div (precision_ppm + recall_ppm))"))
-        .orderBy("cand_id")
-    }),
-    // corpus BLEU (Papineni et al. 2002), add-one-smoothed (Lin & Och
-    // 2004) in EXACT micro-log10 units: per adjacent-doc pair, clipped
-    // n-gram matches m_n (multiset min of candidate/reference counts,
-    // n = 1..4) over candidate totals t_n, reported as unsmoothed
-    // p{n}_ppm plus log10(BLEU)·10⁶ =
-    //   bp + (Σ_n mlog(m_n+1) − mlog(t_n+1)) div 4
-    // where mlog is the TextOps micro-log floor and bp =
-    // ⌊(1 − r/c)·log10(e)·10⁶⌋ when c < r (0 otherwise) — identical
-    // texts score exactly 0 (BLEU = 1). All integer arithmetic after
-    // the floors; div/`//` truncation is portable on the negative sums
-    // (r12-verified). The clipped counts come from ONE native
-    // per-pair-local pass ([[graft.text.BleuClipCounts]] — the pair
-    // row holds both token arrays, so no n-gram ever shuffles); the
-    // pair join on adjacent ids is the only exchange.
-    "eval_bleu" -> ((s, d) => {
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      val pairs = adjacentPairs(docs(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ts")), "ts")
-      val mt = ColumnBridge.column(graft.text.BleuClipCounts(
-        ColumnBridge.expression(col("_c")),
-        ColumnBridge.expression(col("_r")), maxN = 4))
-      val mlogDiff = (1 to 4).map(n =>
-        s"(CAST(floor(log10(m$n + 1) * 1000000) AS BIGINT) - " +
-          s"CAST(floor(log10(t$n + 1) * 1000000) AS BIGINT))").mkString(" + ")
-      pairs
-        .withColumn("_mt", mt)
-        .select(Seq(col("cand_id"), col("ref_id"),
-          size(col("_c")).cast("bigint").as("c_len"),
-          size(col("_r")).cast("bigint").as("r_len")) ++
-          (1 to 4).flatMap(n => Seq(
-            col("_mt").getItem(n - 1).getField("m").as(s"m$n"),
-            col("_mt").getItem(n - 1).getField("t").as(s"t$n"))): _*)
-        .withColumn("p1_ppm", expr("m1 * 1000000 div greatest(t1, 1L)"))
-        .withColumn("p2_ppm", expr("m2 * 1000000 div greatest(t2, 1L)"))
-        .withColumn("p3_ppm", expr("m3 * 1000000 div greatest(t3, 1L)"))
-        .withColumn("p4_ppm", expr("m4 * 1000000 div greatest(t4, 1L)"))
-        .withColumn("bleu_mlog_micro", expr(
-          """(CASE WHEN c_len >= r_len THEN 0L
-            |  ELSE CAST(floor(((1.0D - CAST(r_len AS DOUBLE) / c_len)
-            |    * 0.43429448190325176D) * 1000000) AS BIGINT) END)
-            |""".stripMargin + s" + (($mlogDiff) div 4)"))
-        .select(col("cand_id"), col("ref_id"), col("c_len"), col("r_len"),
-          col("p1_ppm"), col("p2_ppm"), col("p3_ppm"), col("p4_ppm"),
-          col("bleu_mlog_micro"))
-        .orderBy("cand_id")
-    }),
-    // chrF (Popović 2015), the character-level generation metric that
-    // survives tokenizer mismatch: clipped character n-gram matches
-    // (n = 1..6, whitespace removed) over candidate totals (chrP) and
-    // reference totals (chrR), uniformly averaged across orders, fused
-    // as F2 = 5·P·R/(4P+R) — all integer ppm, an order with no grams
-    // contributes 0. ONE native per-pair pass over the raw strings
-    // ([[graft.text.ChrfClipCounts]] — rolling 64-bit gram keys +
-    // primitive sort-merge, nothing allocated per gram; its scaladoc
-    // carries the collision-fails-the-gate-loudly posture); the
-    // adjacent-id pair join is the only exchange.
-    "eval_chrf" -> ((s, d) => {
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      val pairs = adjacentPairs(docs(s, d).select(col("doc_id"), col("text")), "text")
-      val mt = ColumnBridge.column(graft.text.ChrfClipCounts(
-        ColumnBridge.expression(col("_c")),
-        ColumnBridge.expression(col("_r")), maxN = 6))
-      val pSum = (1 to 6).map(n => s"(m$n * 1000000 div greatest(tc$n, 1L))")
-        .mkString(" + ")
-      val rSum = (1 to 6).map(n => s"(m$n * 1000000 div greatest(tr$n, 1L))")
-        .mkString(" + ")
-      // c_chars/r_chars come from the native struct's n = 1 totals —
-      // t₁/tr₁ ARE the whitespace-stripped lengths, so the report and
-      // the chrP/chrR denominators share ONE definition of "stripped
-      // length" (the first cut re-derived them via regexp_replace:
-      // a second scan of both full strings per row AND a second,
-      // driftable stripping rule — r12 review)
-      pairs.withColumn("_mt", mt)
-        .select(Seq(col("cand_id"), col("ref_id"),
-          col("_mt").getItem(0).getField("t").as("c_chars"),
-          col("_mt").getItem(0).getField("tr").as("r_chars")) ++
-          (1 to 6).flatMap(n => Seq(
-            col("_mt").getItem(n - 1).getField("m").as(s"m$n"),
-            col("_mt").getItem(n - 1).getField("t").as(s"tc$n"),
-            col("_mt").getItem(n - 1).getField("tr").as(s"tr$n"))): _*)
-        .withColumn("chrp_ppm", expr(s"($pSum) div 6"))
-        .withColumn("chrr_ppm", expr(s"($rSum) div 6"))
-        // F2 in ppm: P,R ≤ 10⁶ so 5PR ≤ 5e12 — exact; no grams at all
-        // (both averages 0) has no harmonic mean — report 0
-        .withColumn("chrf2_ppm", expr(
-          "IF(chrp_ppm + chrr_ppm = 0, 0L, " +
-            "5 * chrp_ppm * chrr_ppm div (4 * chrp_ppm + chrr_ppm))"))
-        .select(col("cand_id"), col("ref_id"), col("c_chars"), col("r_chars"),
-          col("chrp_ppm"), col("chrr_ppm"), col("chrf2_ppm"))
-        .orderBy("cand_id")
-    }),
-    // character edit-distance ratio (the char-level cousin of TER,
-    // Snover et al. 2006): Levenshtein(cand, ref) normalized by
-    // reference length in ppm — can exceed 10⁶ when the candidate
-    // overruns. The distance is the unique Levenshtein metric, so the
-    // native [[graft.text.EditDistance]] DP and DuckDB's levenshtein
-    // agree exactly with no micro-unit machinery (Spark's built-in
-    // walks UTF-8 bytes with per-access decoding — ~30× more core
-    // time, the reason for the native pass). Per-pair-local
-    // O(|c|·|r|) DP; the explicit repartition spreads the
-    // CPU-quadratic projection across cores even when the upstream
-    // scan is a single small file (at sf0.1 the one-partition scan
-    // serialized 14 core-seconds of DP onto one thread — at 100 TB
-    // scans are many-partitioned, and one extra thin-pair shuffle is
-    // noise against the quadratic it parallelizes).
-    "eval_edit_ratio" -> ((s, d) => {
-      import org.apache.spark.sql.graftbridge.ColumnBridge
-      adjacentPairs(docs(s, d).select(col("doc_id"), col("text")), "text")
-        .repartition(col("cand_id"))
-        .select(col("cand_id"), col("ref_id"),
-          length(col("_c")).cast("bigint").as("c_len"),
-          length(col("_r")).cast("bigint").as("r_len"),
-          ColumnBridge.column(graft.text.EditDistance(
-            ColumnBridge.expression(col("_c")),
-            ColumnBridge.expression(col("_r")))).as("edit_dist"))
-        .withColumn("edit_ratio_ppm",
-          expr("edit_dist * 1000000 div greatest(r_len, 1L)"))
-        .orderBy("cand_id")
-    }),
+    // ROUGE-N overlap (Lin 2004), distinct-bigram set form — metric
+    // body + scale rationale live in graft.text.GenerationEval.rougeN
+    // (the caller-supplied pair surface, r13); here the synthetic
+    // adjacent-id pairing rides the SAME Dedup.shingles tokenizer as
+    // the dedup family (n = 2).
+    "eval_rouge_n" -> ((s, d) =>
+      graft.text.GenerationEval.rougeN(
+        adjacentPairs(Dedup.shingles(docs(s, d), 2), "shs"))
+        .orderBy("cand_id")),
+    // corpus BLEU (Papineni et al. 2002), add-one-smoothed, exact
+    // micro-log10 integer units — metric body + arithmetic rationale
+    // in graft.text.GenerationEval.bleu; the adjacent-id pair join is
+    // this query's only exchange.
+    "eval_bleu" -> ((s, d) =>
+      graft.text.GenerationEval.bleu(
+        adjacentPairs(docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts")), "ts"))
+        .orderBy("cand_id")),
+    // chrF (Popović 2015), character-level F2 in exact integer ppm —
+    // metric body in graft.text.GenerationEval.chrf (one native
+    // ChrfClipCounts pass; collision-fails-the-gate-loudly posture in
+    // its scaladoc); the adjacent-id pair join is the only exchange.
+    "eval_chrf" -> ((s, d) =>
+      graft.text.GenerationEval.chrf(
+        adjacentPairs(docs(s, d).select(col("doc_id"), col("text")), "text"))
+        .orderBy("cand_id")),
+    // character edit-distance ratio (char-level cousin of TER, Snover
+    // et al. 2006) — metric body + the repartition-before-quadratic-DP
+    // rationale in graft.text.GenerationEval.editRatio; DuckDB's
+    // native levenshtein oracles it exactly (unique metric).
+    "eval_edit_ratio" -> ((s, d) =>
+      graft.text.GenerationEval.editRatio(
+        adjacentPairs(docs(s, d).select(col("doc_id"), col("text")), "text"))
+        .orderBy("cand_id")),
     // generation-diversity readout (distinct-n of Li et al. 2016): per
     // doc and n = 1..3, distinct n-grams over total n-grams in ppm —
     // the repetition-collapse detector run over sampled generations.

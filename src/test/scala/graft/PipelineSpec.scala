@@ -379,6 +379,56 @@ class PipelineSpec extends SparkSpec {
     assert(ratios.forall(r => r > 0L && r <= 1000000L), "ppm out of range")
   }
 
+  test("GenerationEval.evalPairs: a caller-built pair table drives every pair metric") {
+    import spark.implicits._
+    import graft.text.GenerationEval
+    // the public pairing surface (r12 verdict item 4): an explicit
+    // (cand_id, ref_id) table against two DIFFERENT payload relations
+    // — the real-harness contract the registered queries' synthetic
+    // adjacent-id pairing stands in for. Values are hand arithmetic.
+    val pairTable = Seq((10L, 20L), (11L, 21L)).toDF("cand_id", "ref_id")
+    val cand = Seq((10L, "abc"), (11L, "kitten")).toDF("id", "gen")
+    val ref = Seq((20L, "abd"), (21L, "sitting")).toDF("id", "gen")
+    val er = GenerationEval.editRatio(
+        GenerationEval.evalPairs(pairTable, cand, ref,
+          idCol = "id", payloadCol = "gen"))
+      .select("cand_id", "edit_dist", "edit_ratio_ppm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(er(10L) == ((1L, 333333L)), s"abc~abd: ${er(10L)}")   // 1e6 div 3
+    assert(er(11L) == ((3L, 428571L)), s"kitten~sitting: ${er(11L)}") // 3e6 div 7
+
+    // chrf: identical texts hit the 3-of-6-orders fixed point
+    // (P = R = F2 = 500000 ppm for a 3-char string); whitespace is
+    // stripped BEFORE gramming; disjoint texts score 0
+    val ch = GenerationEval.chrf(GenerationEval.evalPairs(
+        Seq((1L, 1L), (2L, 2L)).toDF("cand_id", "ref_id"),
+        Seq((1L, "a b c"), (2L, "aaa")).toDF("doc_id", "text"),
+        Seq((1L, "abc"), (2L, "xyz")).toDF("doc_id", "text")))
+      .select("cand_id", "c_chars", "chrp_ppm", "chrr_ppm", "chrf2_ppm")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(ch(1L) == ((3L, 500000L, 500000L, 500000L)), s"identity: ${ch(1L)}")
+    assert(ch(2L) == ((3L, 0L, 0L, 0L)), s"disjoint: ${ch(2L)}")
+
+    // bleu via the one-reference-per-task overload (id-match pairing):
+    // identical 3-token texts — p1..p3 full, p4 has no grams, micro-log
+    // BLEU exactly 0 (BLEU = 1)
+    val gens = Seq((1L, Seq("x", "y", "z"))).toDF("doc_id", "text")
+    val bl = GenerationEval.bleu(GenerationEval.evalPairs(gens, gens))
+      .select("p1_ppm", "p3_ppm", "p4_ppm", "bleu_mlog_micro")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(bl == ((1000000L, 1000000L, 0L, 0L)), s"bleu identity: $bl")
+
+    // rougeN over pre-built gram sets: 1 common of 2 each side
+    val rg = GenerationEval.rougeN(GenerationEval.evalPairs(
+        Seq((1L, 2L)).toDF("cand_id", "ref_id"),
+        Seq((1L, Seq("a b", "b c"))).toDF("doc_id", "text"),
+        Seq((2L, Seq("b c", "c d"))).toDF("doc_id", "text")))
+      .select("n_common", "recall_ppm", "precision_ppm", "f1_ppm")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(rg == ((1L, 500000L, 500000L, 500000L)), s"rouge: $rg")
+  }
+
   test("text gates cover EVERY doc: zero-token payloads get verdicts, never vanish or crash") {
     import spark.implicits._
     // the r12 text review's silent-vanish class: a zero-token doc had
