@@ -89,6 +89,35 @@ class LayoutSpec extends SparkSpec {
     assert(after.where(col("k") === 5L).select("v").as[Long].head() == 15L)
   }
 
+  test("scanDirect heals an out-of-process rewrite that ran no eviction (validate-on-use)") {
+    import spark.implicits._
+    // the r12 verdict's residual window: eviction covers every
+    // replacement site IN THIS JVM; a rewrite by another process runs
+    // none of them. Every replacement writes fresh random part-file
+    // names, so staleness shows as missing files — the whole-manifest
+    // existence probe must REBUILD, not FileNotFound, and not return a
+    // wrong empty pick when the new data lives in a key range the old
+    // regions never covered.
+    val dir = Files.createTempDirectory("graft_heal").toString
+    val v1 = (1L to 100L).map(k => (k, k * 2)).toDF("k", "v")
+    Snapshots.write(v1, "k", dir, 1)
+    // prime the memo
+    assert(Snapshots.scanDirect(spark, dir, 1, "k", 1L, 101L).count() == 100L)
+    // rewrite the version dir BEHIND the memo: writeSorted straight at
+    // the version path — the in-JVM stand-in for another process's
+    // replacement (Snapshots.write would evict; this does not)
+    val v1b = (200L to 219L).map(k => (k, k * 3)).toDF("k", "v")
+    Layout.writeSorted(v1b, "k", Snapshots.path(dir, 1))
+    // stale manifest picks ZERO old regions for [200, 220) — the probe
+    // must still detect the dead files and rebuild
+    val healed = Snapshots.scanDirect(spark, dir, 1, "k", 200L, 220L)
+    assert(healed.count() == 20L,
+      "stale manifest survived the out-of-process rewrite")
+    assert(healed.where(col("k") === 205L).select("v").as[Long].head() == 615L)
+    // and the OLD key range now correctly reads empty, not FileNotFound
+    assert(Snapshots.scanDirect(spark, dir, 1, "k", 1L, 101L).count() == 0L)
+  }
+
   test("scanDirect widens integral keys and rejects string keys loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_intkey").toString

@@ -998,4 +998,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(audited > 0, "no unpartitioned windows found — matcher broken?")
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("Bench.materialize defeats the count()-pruning blind spot; count() exhibits it") {
+    // the r12 re-baseline's contract, now a spec (r12 verdict item 5):
+    // a LEFT join against a unique-keyed aggregate is PRUNED under
+    // count() (Catalyst correctly eliminates it — the r1–r11 bench
+    // action measured ~0.02 s task time for four backfill-shaped
+    // queries because of exactly this), and must EXECUTE under the
+    // noop-sink action the bench times. Both actions' actual executed
+    // plans are captured from the QueryExecutionListener — the plan
+    // the engine ran, not the plan the DataFrame would print.
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.add((funcName, qe.executedPlan.toString()))
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val base = spark.range(0, 2000).toDF("k")
+      val uniq = spark.range(0, 2000).toDF("k")
+        .withColumn("v", col("k") * 7)
+        .groupBy("k").agg(max("v").as("v")) // provably unique-keyed
+      val backfill = base.join(uniq, Seq("k"), "left")
+      def joins(p: String): Int = p.split("\n").count(l =>
+        l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+          l.contains("ShuffledHashJoin"))
+      backfill.count()
+      graft.Bench.materialize(backfill)
+      // the execution listener bus is asynchronous — wait for both
+      // action plans to arrive before reading them
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (captured.size() < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      val plans = captured.toArray(Array.empty[(String, String)])
+      assert(plans.length >= 2, s"captured ${plans.length} action plans")
+      val countPlan = plans.find(_._1 == "count").map(_._2)
+        .getOrElse(fail("no count() plan captured"))
+      val noopPlan = plans.find(p => p._1 != "count").map(_._2)
+        .getOrElse(fail("no noop-write plan captured"))
+      // the blind spot is REAL: count() eliminated the join...
+      assert(joins(countPlan) == 0,
+        s"count() kept the join — the pruning premise changed:\n$countPlan")
+      // ...and the bench action executes it (AQE prints the join in
+      // both the Final and Initial plan sections — ≥1 is the claim)
+      assert(joins(noopPlan) >= 1,
+        s"materialize did not execute the join:\n$noopPlan")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
