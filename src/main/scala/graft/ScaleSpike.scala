@@ -29,10 +29,24 @@ import org.apache.spark.sql.functions._
   *   (region/nation) stay fixed like real dimensions.
   *
   * Usage: runMain graft.ScaleSpike <srcSfDir> <spikeDir> <q1,q2,...>
+  *          [copies] [tablesCsv]
+  * `copies` (default 10) sets the multiplier — 100 from sf0.1 builds
+  * the sf10 corpus (the 100 TB claim's next decade, r12 verdict item
+  * 3). `tablesCsv` (default all) restricts synthesis to the tables
+  * the timed queries actually read, so a documents/embeddings spike
+  * doesn't pay a 100× lineitem build it never scans.
   */
 object ScaleSpike {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, spikeDir, qlist) = args
+    val (srcDir, spikeDir, qlist) = (args(0), args(1), args(2))
+    val copies = if (args.length > 3) args(3).toInt else 10
+    require(copies >= 2 && copies <= 100,
+      s"copies=$copies outside [2, 100] — entity-key offsets are sized " +
+        "for at most 100 copies (off(99) ≈ 1e10 keeps Knuth-hash and " +
+        "div-batch arithmetic exact)")
+    val onlyTables: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").map(_.trim).toSet)
+      else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -47,6 +61,7 @@ object ScaleSpike {
     // from an earlier tool version holds only documents/embeddings and
     // must gain the relational tables without re-paying those two
     def spikeTable(name: String)(mkCopy: (DataFrame, Int) => DataFrame): Unit = {
+      if (onlyTables.exists(!_.contains(name))) return
       val tgt = new java.io.File(out, s"$name.parquet")
       // trust the table only if its write COMMITTED (_SUCCESS): a run
       // killed mid-write leaves the dir with a partial part-file set,
@@ -56,10 +71,10 @@ object ScaleSpike {
         val src =
           if (name == "events") graft.core.Tables.load(spark, srcDir, name)
           else spark.read.parquet(s"$srcDir/$name.parquet")
-        (0 until 10).map(c => if (c == 0) src else mkCopy(src, c))
+        (0 until copies).map(c => if (c == 0) src else mkCopy(src, c))
           .reduce(_ unionByName _)
           .repartition(32).write.mode("overwrite").parquet(tgt.getPath)
-        System.err.println(s"[spike] synthesized 10x $name")
+        System.err.println(s"[spike] synthesized ${copies}x $name")
       }
     }
     // entity-key offsets: big enough that copies never collide, small
@@ -73,8 +88,12 @@ object ScaleSpike {
         array_join(transform(split(col("text"), " "),
           w => concat(w, lit(s"§$c"))), " ").as("text"),
         col("lang"), col("source"),
-        // n_chars tracks the remapped text (each word grew 2 chars)
-        (col("n_chars") + size(split(col("text"), " ")) * 2).as("n_chars"))
+        // n_chars tracks the remapped text: each word grew by "§" +
+        // the copy index's digits (2 chars for c < 10, 3 for c ≥ 10 —
+        // the old constant 2 under-counted multi-digit copies)
+        (col("n_chars") +
+          size(split(col("text"), " ")) * (1 + c.toString.length))
+          .as("n_chars"))
     }
     spikeTable("embeddings") { (emb, c) =>
       emb.select(
@@ -115,8 +134,19 @@ object ScaleSpike {
     // leaves a truncated dimension that reports misleadingly
     // sub-linear ratios with no sign of corruption. Flat files commit
     // via copy-to-tmp + atomic rename.
+    // spike-ELIGIBLE tables excluded by the tablesCsv filter must stay
+    // ABSENT from the spike dir, not be copied at 1×: a 1×-copied
+    // table carries _SUCCESS, so a later unfiltered run's spikeTable
+    // guard would trust it as spiked and time queries against a
+    // 1/copies-sized corpus — the misleading-sublinear corruption the
+    // guards exist to prevent. A query that needs an excluded table
+    // fails loudly on the missing path instead.
+    val spikeEligible = Set("documents", "embeddings", "orders",
+      "lineitem", "events", "customer", "part", "supplier")
     for (f <- new java.io.File(srcDir).listFiles()
-         if f.getName.endsWith(".parquet")) {
+         if f.getName.endsWith(".parquet")
+         if !(spikeEligible.contains(f.getName.stripSuffix(".parquet")) &&
+           onlyTables.exists(!_.contains(f.getName.stripSuffix(".parquet"))))) {
       val tgt = new java.io.File(out, f.getName)
       if (f.isDirectory) {
         if (!new java.io.File(tgt, "_SUCCESS").exists()) {
