@@ -63,17 +63,29 @@ object ScaleSpike {
     def spikeTable(name: String)(mkCopy: (DataFrame, Int) => DataFrame): Unit = {
       if (onlyTables.exists(!_.contains(name))) return
       val tgt = new java.io.File(out, s"$name.parquet")
-      // trust the table only if its write COMMITTED (_SUCCESS): a run
-      // killed mid-write leaves the dir with a partial part-file set,
-      // and timing queries against a truncated corpus reports
-      // misleadingly sub-linear ratios with no sign of the corruption
-      if (!new java.io.File(tgt, "_SUCCESS").exists()) {
+      // trust the table only if its write COMMITTED (_SUCCESS) AND was
+      // built at THIS copies multiplier (_SPIKE_COPIES stamp, r13
+      // review): a run killed mid-write leaves a partial part-file
+      // set, and a dir built at a DIFFERENT multiplier (say 10×
+      // reused by a 100× run) would time a wrong-sized corpus against
+      // the wrong linear bar — both report misleadingly sub-linear
+      // ratios with no sign of the corruption. A missing stamp (a
+      // pre-r13 spike dir) or a mismatch rebuilds.
+      val stamp = new java.io.File(tgt, "_SPIKE_COPIES")
+      val stampOk = stamp.exists() &&
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+          stamp.toPath)).trim.toInt == copies).getOrElse(false)
+      if (!new java.io.File(tgt, "_SUCCESS").exists() || !stampOk) {
         val src =
           if (name == "events") graft.core.Tables.load(spark, srcDir, name)
           else spark.read.parquet(s"$srcDir/$name.parquet")
         (0 until copies).map(c => if (c == 0) src else mkCopy(src, c))
           .reduce(_ unionByName _)
           .repartition(32).write.mode("overwrite").parquet(tgt.getPath)
+        // stamp AFTER the committed write: mode(overwrite) clears the
+        // dir, so a surviving stamp always describes the current data
+        java.nio.file.Files.write(stamp.toPath,
+          copies.toString.getBytes("UTF-8"))
         System.err.println(s"[spike] synthesized ${copies}x $name")
       }
     }

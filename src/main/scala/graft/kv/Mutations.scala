@@ -269,38 +269,42 @@ object Mutations {
       .agg(min("_region").as("_rlo"), max("_region").as("_rhi"),
         sum(when(col("_region").isNull, lit(1L)).otherwise(lit(0L)))
           .as("_null_keys"))
-    if (strict) {
-      val straddlers = spans.where(col("_rlo") =!= col("_rhi"))
-        .select(col(batchCol)).limit(1).collect()
-      require(straddlers.isEmpty,
-        s"multiRowMutation: batch ${straddlers.head.get(0)} straddles a " +
-          s"region boundary (regionWidth=$regionWidth) — atomic multi-row " +
-          "batches must stay within one region")
+    // ONE loud probe, ONE job (r13 review — the three separate collects
+    // each re-ran the full members aggregate) covering every refusal
+    // class over the same tiny per-batch relation:
+    //  - a NULL batch id has NO atomicity domain — the null-unsafe
+    //    semi-joins below would neither apply nor report its mutations
+    //    (vanished without either applying or being rejected: the
+    //    data-loss shape, r12 kv review). Refused in BOTH modes.
+    //  - a NULL KEY inside a named batch (r13 kv review) is the
+    //    sibling identity-less shape: its _region is NULL, min/max
+    //    skip it — an all-NULL-key batch got NULL _rlo/_rhi and
+    //    vanished from okBatches, while a mixed batch passed the
+    //    straddle check blind to the NULL-key member. BOTH modes.
+    //  - strict only: a batch straddling a region boundary restores
+    //    the endpoint's DoNotRetryIOException behavior.
+    val straddlePred =
+      if (strict) col("_rlo") =!= col("_rhi") else lit(false)
+    val bad = spans.where(col(batchCol).isNull ||
+        col("_null_keys") > 0 || straddlePred)
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      val b = r.get(r.fieldIndex(batchCol))
+      val msg =
+        if (b == null)
+          "multiRowMutation: a mutation carries a NULL batch id — every " +
+            "mutation must name its atomic batch; tag or drop it upstream"
+        else if (r.getLong(r.fieldIndex("_null_keys")) > 0)
+          s"multiRowMutation: batch $b contains a mutation with a NULL " +
+            "key — a keyless mutation has no region and would silently " +
+            "escape both the straddle check and the apply; fix or drop " +
+            "it upstream"
+        else
+          s"multiRowMutation: batch $b straddles a region boundary " +
+            s"(regionWidth=$regionWidth) — atomic multi-row batches " +
+            "must stay within one region"
+      throw new IllegalArgumentException(msg)
     }
-    // a NULL batch id has NO atomicity domain — and the null-unsafe
-    // semi-joins below would neither apply nor report its mutations
-    // (vanished without either applying or being rejected: the
-    // data-loss shape, r12 kv review). Refuse loudly in BOTH modes;
-    // the probe rides the same tiny per-batch aggregate the straddle
-    // check reads.
-    val nullBatch = spans.where(col(batchCol).isNull).limit(1).collect()
-    require(nullBatch.isEmpty,
-      "multiRowMutation: a mutation carries a NULL batch id — every " +
-        "mutation must name its atomic batch; tag or drop it upstream")
-    // ...and the sibling identity-less shape (r13 kv review): a NULL
-    // KEY inside a named batch. Its _region is NULL, min/max skip it —
-    // an all-NULL-key batch got NULL _rlo/_rhi and vanished from
-    // okBatches (neither applied nor reported, even in strict mode),
-    // while a mixed batch passed the straddle check blind to the
-    // NULL-key member. Same tiny per-batch aggregate, same loud
-    // refusal in BOTH modes.
-    val nullKey = spans.where(col("_null_keys") > 0)
-      .select(col(batchCol)).limit(1).collect()
-    require(nullKey.isEmpty,
-      s"multiRowMutation: batch ${nullKey.head.get(0)} contains a " +
-        "mutation with a NULL key — a keyless mutation has no region " +
-        "and would silently escape both the straddle check and the " +
-        "apply; fix or drop it upstream")
     val okBatches = spans.where(col("_rlo") === col("_rhi")).select(col(batchCol))
     val okPuts = puts.join(okBatches, Seq(batchCol), "leftsemi").drop(batchCol)
     val okDels = delKeys.join(okBatches, Seq(batchCol), "leftsemi").drop(batchCol)

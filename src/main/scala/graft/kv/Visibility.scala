@@ -61,8 +61,14 @@ object Visibility {
 
   /** VisibilityLabelsValidator.regex (hbase-client/.../security/
     * visibility/VisibilityLabelsValidator.java:31) — the full-match
-    * label alphabet addLabels enforces. */
-  private val labelRegex = "^[A-Za-z_\\-:/.0-9]+$"
+    * label alphabet addLabels enforces. Anchored with \A...\z, NOT
+    * ^...$ (r13 review): Spark's rlike runs Matcher.find(), where
+    * Java's `$` matches BEFORE a final line terminator — so "ops\n"
+    * passed the ^...$ form, and a negated "!ops\n" atom authorized
+    * every scanner (the token is never in any auth set). \z admits
+    * no terminator; String.matches (replayLocal) treats both forms
+    * as full-region, so the two engines agree under \A...\z. */
+  private val labelRegex = "\\A[A-Za-z_\\-:/.0-9]+\\z"
 
   /** VisibilityClient admin surface replayed over an op log
     * (hbase-client/.../security/visibility/VisibilityClient.java

@@ -231,6 +231,10 @@ object PipelineQueries {
       |    'eval_pass_at_k: n = ', n,
       |    ' past the exact decimal(38) falling-factorial bound (1e6 at k<=5)',
       |    ' - subsample per task'))
+      |  WHEN n IS NULL OR c IS NULL THEN raise_error(concat(
+      |    'eval_pass_at_k: NULL n or c - three-valued logic skips the ',
+      |    'widening guard and every value arm silently yields NULL ppm ',
+      |    '(r13 review); aggregate counts upstream must be NOT NULL'))
       |  WHEN k IS NULL THEN raise_error(concat(
       |    'eval_pass_at_k: k is NULL - a NULL k made every guard arm ',
       |    'UNKNOWN and fell through to silently compute the k=5 value ',
@@ -2948,8 +2952,8 @@ object PipelineQueries {
         |             CAST(len(r.shs) AS BIGINT) AS n_ref,
         |             CAST(len(list_intersect(c.shs, r.shs)) AS BIGINT) AS n_common
         |      FROM sh c JOIN sh r ON r.doc_id = c.doc_id + 1),
-        |m AS (SELECT *, n_common * 1000000 // n_ref AS recall_ppm,
-        |             n_common * 1000000 // n_cand AS precision_ppm FROM p)
+        |m AS (SELECT *, n_common * 1000000 // greatest(n_ref, 1) AS recall_ppm,
+        |             n_common * 1000000 // greatest(n_cand, 1) AS precision_ppm FROM p)
         |SELECT cand_id, ref_id, n_cand, n_ref, n_common,
         |       recall_ppm, precision_ppm,
         |       CASE WHEN n_common = 0 THEN 0

@@ -36,16 +36,38 @@ object GenerationEval {
     * (the registered queries' self-pairing) or two different ones
     * (a sampling harness's generations vs a golden set). Two key
     * equi-joins — at 100 TB both sides shuffle on their ids once,
-    * or broadcast when the pair table is harness-sized. */
+    * or broadcast when the pair table is harness-sized.
+    *
+    * CONTRACT on unmatched pairs (r13 review): the joins are INNER —
+    * a pair row whose cand_id or ref_id has no payload row DROPS from
+    * the output by default (its generation was never produced, its
+    * reference is absent). That is the silent-vanish shape this
+    * library refuses elsewhere, so `strict = true` probes for
+    * unmatched pairs first and refuses loudly with a count — one
+    * extra metadata-shaped job (two anti-joins off the pair table),
+    * for harnesses where a missing generation is a bug, not a gap. */
   def evalPairs(pairs: DataFrame, cand: DataFrame, ref: DataFrame,
                 idCol: String = "doc_id",
-                payloadCol: String = "text"): DataFrame =
-    pairs.select(col("cand_id"), col("ref_id"))
-      .join(cand.select(col(idCol).as("cand_id"),
+                payloadCol: String = "text",
+                strict: Boolean = false): DataFrame = {
+    val p = pairs.select(col("cand_id"), col("ref_id"))
+    if (strict) {
+      val missC = p.join(cand.select(col(idCol).as("cand_id")),
+        Seq("cand_id"), "left_anti").count()
+      val missR = p.join(ref.select(col(idCol).as("ref_id")),
+        Seq("ref_id"), "left_anti").count()
+      require(missC == 0 && missR == 0,
+        s"evalPairs(strict): $missC pair(s) name a cand_id with no " +
+          s"candidate row and $missR a ref_id with no reference row — " +
+          "these pairs would silently drop from the eval report; fix " +
+          "the pair table or score with strict = false")
+    }
+    p.join(cand.select(col(idCol).as("cand_id"),
         col(payloadCol).as("_c")), "cand_id")
       .join(ref.select(col(idCol).as("ref_id"),
         col(payloadCol).as("_r")), "ref_id")
       .select(col("cand_id"), col("_c"), col("ref_id"), col("_r"))
+  }
 
   /** One-reference-per-task harness shape: candidate and reference
     * tables sharing a task id; the pair IS the id match. */
@@ -58,7 +80,12 @@ object GenerationEval {
   /** ROUGE-N overlap (Lin 2004), distinct-n-gram set form: recall =
     * |∩|/|ref grams|, precision = |∩|/|cand grams|, F1 — exact integer
     * ppm. Intersections are codegen'd `array_intersect` on the pair
-    * row; zero overlap has no harmonic mean and reports F1 = 0. */
+    * row; zero overlap has no harmonic mean and reports F1 = 0. An
+    * EMPTY gram array scores 0, not NULL (the `greatest(n,1)` ppm
+    * discipline every sibling metric already carries — r13 review:
+    * the registered corpus never feeds empties, but this public
+    * surface takes a caller's pairs, and an unguarded divide turned
+    * an empty candidate generation into a silent NULL row). */
   def rougeN(pairs: DataFrame): DataFrame =
     pairs
       .select(col("cand_id"), col("ref_id"),
@@ -66,8 +93,10 @@ object GenerationEval {
         size(col("_r")).cast("bigint").as("n_ref"),
         size(array_intersect(col("_c"), col("_r"))).cast("bigint")
           .as("n_common"))
-      .withColumn("recall_ppm", expr("n_common * 1000000 div n_ref"))
-      .withColumn("precision_ppm", expr("n_common * 1000000 div n_cand"))
+      .withColumn("recall_ppm",
+        expr("n_common * 1000000 div greatest(n_ref, 1L)"))
+      .withColumn("precision_ppm",
+        expr("n_common * 1000000 div greatest(n_cand, 1L)"))
       // F1 = 2PR/(P+R) in ppm (P,R ≤ 10⁶ so 2PR ≤ 2e12 — exact)
       .withColumn("f1_ppm", expr(
         "IF(n_common = 0, 0L, " +

@@ -329,7 +329,13 @@ class FiltersSpec extends SparkSpec {
       (9L, "!!public"),    // double negation -> deny
       (10L, "public&!!x"), // held label AND negated non-label -> deny
       (11L, "!a b"),       // negation of a space-broken token -> deny
-      (12L, "!!")          // negation of "!" itself -> deny
+      (12L, "!!"),         // negation of "!" itself -> deny
+      // r13 review: rlike runs Matcher.find() where `$` matches
+      // BEFORE a final newline — under ^...$ anchors "!x\n" passed
+      // the label check and authorized every scanner (trim() strips
+      // spaces, not \n); \A...\z anchors must deny
+      (13L, "!x\n"),       // negation with trailing newline -> deny
+      (14L, "public\n")    // held label + newline is NOT the label -> deny
     ).toDF("k", "vis")
     val some = graft.kv.Visibility.applyAuths(cells, "vis", Seq("public"))
       .select("k").as[Long].collect().toSet

@@ -210,6 +210,12 @@ class PipelineSpec extends SparkSpec {
     guardRaises(Seq((0L, 10L, 3L, 3)).toDF("task", "n", "c", "k"))
     guardRaises(Seq((0L, 10L, 3L, Option.empty[Int]))
       .toDF("task", "n", "c", "k"))
+    // ...and the symmetric NULL-n / NULL-c holes (r13 review): the
+    // widening guard goes UNKNOWN and every value arm yields NULL ppm
+    guardRaises(Seq((0L, Option.empty[Long], 3L, 1))
+      .toDF("task", "n", "c", "k"))
+    guardRaises(Seq((0L, 10L, Option.empty[Long], 5))
+      .toDF("task", "n", "c", "k"))
   }
 
   test("eval_rouge_n matches a Scala set re-implementation on the corpus") {
@@ -427,6 +433,29 @@ class PipelineSpec extends SparkSpec {
       .select("n_common", "recall_ppm", "precision_ppm", "f1_ppm")
       .as[(Long, Long, Long, Long)].collect().head
     assert(rg == ((1L, 500000L, 500000L, 500000L)), s"rouge: $rg")
+
+    // an EMPTY gram array scores 0, never a silent NULL (r13 review:
+    // the public surface takes caller payloads the registered corpus
+    // never produces)
+    val rgEmpty = GenerationEval.rougeN(GenerationEval.evalPairs(
+        Seq((1L, 2L)).toDF("cand_id", "ref_id"),
+        Seq((1L, Seq.empty[String])).toDF("doc_id", "text"),
+        Seq((2L, Seq("b c"))).toDF("doc_id", "text")))
+      .select("recall_ppm", "precision_ppm", "f1_ppm")
+      .as[(Long, Long, Long)].collect().head
+    assert(rgEmpty == ((0L, 0L, 0L)), s"empty-cand rouge: $rgEmpty")
+
+    // unmatched pairs DROP by default (documented inner-join contract)
+    // and refuse loudly under strict (r13 review: a failed sampling
+    // run's missing generation must not silently shrink the report)
+    val holey = Seq((10L, 20L), (42L, 20L)).toDF("cand_id", "ref_id")
+    assert(GenerationEval.evalPairs(holey, cand, ref,
+      idCol = "id", payloadCol = "gen").count() == 1L)
+    val e = intercept[IllegalArgumentException] {
+      GenerationEval.evalPairs(holey, cand, ref,
+        idCol = "id", payloadCol = "gen", strict = true)
+    }
+    assert(e.getMessage.contains("silently drop"), e.getMessage)
   }
 
   test("text gates cover EVERY doc: zero-token payloads get verdicts, never vanish or crash") {
