@@ -43,13 +43,20 @@ object Comparators {
   def binaryPrefix(prefix: String)(c: Column, op: CompareOp.Value): Column =
     ordered(substring(c, 1, prefix.length), op, lit(prefix))
 
-  /** SubstringComparator: EQUAL means "contains" (case-insensitive in HBase). */
+  /** SubstringComparator: EQUAL means "contains" (case-insensitive in
+    * HBase). BOTH sides lower through Spark's `lower()` so they share
+    * ONE case-folding rule (r13 review: lowering the literal with
+    * Locale.ROOT while the column side ran Spark's lower() was only
+    * half a fix — UTF8String.toLowerCase falls back to DEFAULT-locale
+    * String.toLowerCase for values containing any non-ASCII char, so
+    * under tr_TR a capital I in such a value folded to dotless ı
+    * while the literal's I folded to i, and the two sides silently
+    * never matched; folding the literal through the same engine
+    * function makes divergence impossible — the literal side constant-
+    * folds, so there is no per-row cost). */
   def substr(s: String)(c: Column, op: CompareOp.Value): Column = op match {
-    // Locale.ROOT: the column side lowers locale-independently; a
-    // default-locale toLowerCase under tr_TR folds I to dotless ı and
-    // the two sides silently never match
-    case EQUAL     => lower(c).contains(s.toLowerCase(java.util.Locale.ROOT))
-    case NOT_EQUAL => !lower(c).contains(s.toLowerCase(java.util.Locale.ROOT))
+    case EQUAL     => lower(c).contains(lower(lit(s)))
+    case NOT_EQUAL => !lower(c).contains(lower(lit(s)))
     case _ => throw new IllegalArgumentException(s"SubstringComparator: $op")
   }
 
@@ -97,10 +104,17 @@ object Filters {
   /** MultiRowRangeFilter.java — OR of [start, stop) rowkey ranges.
     * Bounds lift through `lit`, so numeric and string rowkeys share one
     * implementation (the DSL passes quoted strings, the DataFrame API
-    * passes longs). */
+    * passes longs). An EMPTY string bound is UNBOUNDED, as in the
+    * reference's RowRange (r13 review: `keyCol < ''` is always false,
+    * so MultiRowRangeFilter('5','') — expressible in the DSL — meant
+    * [5, ∞) but silently matched nothing). */
   def multiRowRange(keyCol: Column, ranges: Seq[(Any, Any)]): Column = {
     require(ranges.nonEmpty, "multiRowRange needs at least one range")
-    ranges.map { case (a, b) => keyCol >= a && keyCol < b }.reduce(_ || _)
+    ranges.map { case (a, b) =>
+      val lo = a match { case "" => lit(true); case _ => keyCol >= a }
+      val hi = b match { case "" => lit(true); case _ => keyCol < b }
+      lo && hi
+    }.reduce(_ || _)
   }
 
   /** InclusiveStopFilter.java — scan up to and including the stop row. */
@@ -111,12 +125,27 @@ object Filters {
     * of the rowkey — same result on every executor, every run, and
     * expressible in plain SQL for the oracle. The key is folded into
     * [0, 2^31) BEFORE the multiply so the product stays under
-    * Long.MaxValue (2^31 · 2654435761 ≈ 5.7e18) for any rowkey — no
-    * ANSI ARITHMETIC_OVERFLOW at 100 TB key ranges, and the fold
-    * period (2^31) is far beyond any structured-key stride, so the
-    * sample stays uncorrelated. */
+    * Long.MaxValue (2^31 · 2654435761 ≈ 5.7e18) — no ANSI
+    * ARITHMETIC_OVERFLOW at 100 TB key ranges, and the fold period
+    * (2^31) is far beyond any structured-key stride, so the sample
+    * stays uncorrelated.
+    *
+    * `keyCol` must be INTEGRAL (r13 review — the old scaladoc said
+    * "any rowkey"): pmod over a STRING key coerces both operands to
+    * DOUBLE, so the hash silently runs in floating point (the Knuth
+    * product far exceeds double's 2^53 exact range, diverging from
+    * the exact-integer oracle mirror) and a non-numeric key is an
+    * ANSI cast error. String/arbitrary rowkeys go through
+    * [[randomRowFilterAnyKey]], which pre-folds with xxhash64 — the
+    * same path the DSL's RandomRowFilter arm has always used. */
   def randomRowFilter(keyCol: Column, chance: Double): Column =
     graft.core.Hashes.knuth(keyCol) < lit((chance * 4294967296L).toLong)
+
+  /** [[randomRowFilter]] for NON-integral rowkeys: fold any key type
+    * into the sampler's [0, 2^31) domain via xxhash64 first. ONE copy
+    * of the fold, shared with the DSL arm. */
+  def randomRowFilterAnyKey(keyCol: Column, chance: Double): Column =
+    randomRowFilter(pmod(xxhash64(keyCol), lit(2147483648L)), chance)
 
   // ---- cell-level filters (apply to a cells view:
   //      rowkey / family / qualifier / value [/ ts]) ----
@@ -229,9 +258,14 @@ object Filters {
       .select(col("rowkey"), col("fk.family").as("family"),
         col("fk.qualifier").as("qualifier"))
 
-  /** KeyOnlyFilter.java — strip values, keep coordinates. */
+  /** KeyOnlyFilter.java — rewrite every emitted cell to a ZERO-LENGTH
+    * value, coordinates intact (the reference keeps the KeyValue and
+    * drops the value bytes — the SCHEMA does not change). ONE copy:
+    * the DSL's KeyOnlyFilter() lowers through this (r13 review: the
+    * old form here DROPPED the value column — a second, divergent,
+    * untested KeyOnly semantics beside the DSL's faithful one). */
   def keyOnly(cells: DataFrame): DataFrame =
-    cells.select("rowkey", "family", "qualifier")
+    cells.withColumn("value", lit(""))
 
   /** FirstKeyValueMatchingQualifiersFilter.java:49 — emit a row's
     * cells in scan order UP TO AND INCLUDING the first cell whose

@@ -150,9 +150,10 @@ object ParseFilter {
     ts.foreach {
       case o: OrN => require(pure(o),
         "ParseFilter: WHILE / PageFilter inside OR have evaluation-order-" +
-          "defined semantics even in the reference FilterList, and " +
-          "KeyOnlyFilter inside OR would blank values for only one branch " +
-          "— place them as top-level AND terms instead")
+          "defined semantics even in the reference FilterList, " +
+          "KeyOnlyFilter inside OR would blank values for only one " +
+          "branch, and FirstKeyValueMatchingQualifiersFilter carries " +
+          "scan position — place them as top-level AND terms instead")
       case _ =>
     }
     // FirstKeyValueMatchingQualifiersFilter's scan order, chosen from
@@ -195,8 +196,9 @@ object ParseFilter {
         afterPred.join(broadcast(topKeys), Seq("rowkey"), "leftsemi")
     }
     // KeyOnlyFilter.java rewrites every emitted cell to a zero-length
-    // value: blank the value, keep the schema (coordinates intact)
-    if (keyOnly) afterPage.withColumn("value", lit(""))
+    // value: blank the value, keep the schema (coordinates intact) —
+    // ONE copy, shared with the DataFrame API (Filters.keyOnly)
+    if (keyOnly) Filters.keyOnly(afterPage)
     else afterPage
   }
 
@@ -297,9 +299,30 @@ object ParseFilter {
             Filters.columnPaginationPredicate(limit.toInt, offset.toInt, ord))
         case "TimestampsFilter" => Pred {
           // TimestampsFilter.java: cell version ts ∈ explicit list.
-          val ts = scala.collection.mutable.ListBuffer(quoted())
-          while ({ ws(); !eof && s.charAt(pos) == ',' }) { eat(","); ts += quoted() }
-          Filters.timestampsFilter(col("ts"), ts.toSeq.map(lit(_).cast("timestamp")))
+          // The REFERENCE grammar is bare epoch-millis longs —
+          // TimestampsFilter (1526353465000) — which the old quoted()
+          // parse rejected (r13 review); quoted datetime strings stay
+          // as the extension. Either form is LOUD on malformed input:
+          // bare values fail tsLong()'s digit check positionally, and
+          // a quoted string that Spark cannot cast raises at plan time
+          // (constant folding evaluates the literal guard) instead of
+          // becoming ts IN (NULL) — a silently empty scan under
+          // non-ANSI, the failure class the number() guard documents.
+          def tsArg(): Column = { ws()
+            if (!eof && s.charAt(pos).isDigit) {
+              org.apache.spark.sql.functions.expr(
+                s"timestamp_millis(${tsLong()}L)")
+            } else {
+              val v = quoted()
+              val c = lit(v).cast("timestamp")
+              when(c.isNull, raise_error(lit(
+                s"TimestampsFilter: unparseable timestamp '$v'"))
+                .cast("timestamp")).otherwise(c)
+            }
+          }
+          val ts = scala.collection.mutable.ListBuffer(tsArg())
+          while ({ ws(); !eof && s.charAt(pos) == ',' }) { eat(","); ts += tsArg() }
+          Filters.timestampsFilter(col("ts"), ts.toSeq)
         }
         case "SingleColumnValueFilter" => Pred {
           // ROW-level semantics like the reference: the row passes when
@@ -349,11 +372,10 @@ object ParseFilter {
         }.copy(win = true)
         case "RandomRowFilter" => Pred {
           // RandomRowFilter.java(chance): reference uses Random per row;
-          // cluster determinism needs a key hash — fold the (string)
-          // rowkey through xxhash64 into the Knuth-hash sampler's domain
+          // cluster determinism needs a key hash — the string rowkey
+          // rides the shared xxhash64 fold into the Knuth sampler
           val chance = decimal()
-          Filters.randomRowFilter(
-            pmod(xxhash64(col("rowkey")), lit(2147483648L)), chance)
+          Filters.randomRowFilterAnyKey(col("rowkey"), chance)
         }
         case "MultiRowRangeFilter" => Pred {
           // MultiRowRangeFilter.java: OR of [start, stop) rowkey ranges,
@@ -408,7 +430,13 @@ object ParseFilter {
         case "binaryprefix" => Comparators.binaryPrefix(v)(target, op)
         case "substring"    => Comparators.substr(v)(target, op)
         case "regexstring"  => Comparators.regex(v)(target, op)
-        case "long"         => Comparators.long(v.toLong)(target.cast("bigint"), op)
+        case "long"         =>
+          // positioned error, not a raw NumberFormatException — the
+          // decimal() discipline (r13 review)
+          require(v.matches("-?\\d+") &&
+            scala.util.Try(v.toLong).isSuccess,
+            s"expected long after 'long:', got '$v' in '$s'")
+          Comparators.long(v.toLong)(target.cast("bigint"), op)
         case other => throw new IllegalArgumentException(
           s"ParseFilter: unsupported comparator '$other:'")
       }
@@ -452,6 +480,18 @@ object ParseFilter {
       require(w.nonEmpty && w.forall(_.isDigit), s"expected number, got '$w'")
       val n = BigInt(w)
       require(n.isValidInt, s"filter argument $w exceeds Int range")
+      n.toLong
+    }
+
+    /** bare epoch-millis literal (TimestampsFilter's reference form) —
+      * full Long range, positioned error (number() caps at Int, which
+      * any epoch-millis value exceeds). */
+    private def tsLong(): Long = {
+      val w = word()
+      require(w.nonEmpty && w.forall(_.isDigit),
+        s"expected epoch-millis number, got '$w' in '$s'")
+      val n = BigInt(w)
+      require(n.isValidLong, s"timestamp $w exceeds Long range in '$s'")
       n.toLong
     }
 

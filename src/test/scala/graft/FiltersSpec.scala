@@ -480,4 +480,84 @@ class FiltersSpec extends SparkSpec {
     // everything after the first cell — a wrapped Int bound returns nothing
     assert(got.toSeq == Seq("b", "c"), got.mkString(","))
   }
+
+  test("r13 filter review fixes: any-key sampler, bare-millis TimestampsFilter, open ranges, keyOnly, loud errors") {
+    import spark.implicits._
+    import graft.filters.{Filters, ParseFilter}
+
+    // randomRowFilterAnyKey samples STRING keys (the plain sampler
+    // documents integral-only; a string key coerced pmod to DOUBLE and
+    // silently diverged from the integer oracle)
+    val skeys = (1 to 400).map(i => s"user$i").toDF("rowkey")
+    val n = skeys.where(Filters.randomRowFilterAnyKey(col("rowkey"), 0.25)).count()
+    assert(n > 40 && n < 180, s"string-key sample kept $n of 400")
+    // ...and it IS the DSL arm's path: identical row sets
+    val viaDsl = ParseFilter.filter(
+      skeys.withColumn("family", lit("f")).withColumn("qualifier", lit("q"))
+        .withColumn("value", lit("v")),
+      "RandomRowFilter(0.25)").select("rowkey").as[String].collect().toSet
+    val viaApi = skeys.where(Filters.randomRowFilterAnyKey(col("rowkey"), 0.25))
+      .select("rowkey").as[String].collect().toSet
+    assert(viaDsl == viaApi)
+
+    // TimestampsFilter accepts the REFERENCE grammar's bare epoch
+    // millis; quoted datetimes stay as the extension; garbage raises
+    // loudly instead of ts IN (NULL) = silently empty
+    val vc = Seq(
+      (1L, "ev", "click", "2024-01-01 00:00:00", "v1"),
+      (1L, "ev", "click", "2024-01-02 00:00:00", "v2")
+    ).toDF("rowkey", "family", "qualifier", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val millis = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val bare = ParseFilter.filter(vc, s"TimestampsFilter($millis)")
+      .select("value").as[String].collect().toSet
+    assert(bare == Set("v1"), bare.toString)
+    val loud = intercept[Throwable] {
+      ParseFilter.filter(vc, "TimestampsFilter('not a time')").collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+    assert(chain(loud).contains("unparseable timestamp") ||
+      chain(loud).toLowerCase.contains("cast"), chain(loud))
+
+    // multiRowRange: empty bound = UNBOUNDED (HBase RowRange), not
+    // keyCol < '' = always-false
+    val rows = Seq("1", "3", "5", "7", "9").toDF("rowkey")
+    val open = rows.where(Filters.multiRowRange(col("rowkey"),
+      Seq(("5", "")))).as[String].collect().toSet
+    assert(open == Set("5", "7", "9"), open.toString)
+    val openLo = rows.where(Filters.multiRowRange(col("rowkey"),
+      Seq(("", "5")))).as[String].collect().toSet
+    assert(openLo == Set("1", "3"), openLo.toString)
+
+    // keyOnly blanks the value IN PLACE (reference-faithful, shared
+    // with the DSL lowering) — schema unchanged
+    val cells = Seq(("1", "f", "q", "secret")).toDF("rowkey", "family", "qualifier", "value")
+    val ko = Filters.keyOnly(cells)
+    assert(ko.columns.toSeq == cells.columns.toSeq)
+    assert(ko.select("value").as[String].head() == "")
+
+    // long: comparator gives a positioned error, not a raw
+    // NumberFormatException
+    val e = intercept[IllegalArgumentException] {
+      ParseFilter.filter(cells, "ValueFilter(=, 'long:1a')")
+    }
+    assert(e.getMessage.contains("expected long"), e.getMessage)
+
+    // the impure-OR refusal names FirstKeyValueMatchingQualifiersFilter
+    val e2 = intercept[IllegalArgumentException] {
+      ParseFilter.filter(cells,
+        "FirstKeyValueMatchingQualifiersFilter('q') OR ValueFilter(=, 'binary:x')")
+    }
+    assert(e2.getMessage.contains("FirstKeyValueMatchingQualifiers"), e2.getMessage)
+
+    // substr folds BOTH sides through the engine's lower(): a
+    // non-ASCII value (default-locale fallback territory) still
+    // matches a differently-cased needle
+    import graft.filters.{Comparators, CompareOp}
+    val funky = Seq(("1", "f", "q", "BÜILDING-IST")).toDF("rowkey", "family", "qualifier", "value")
+    val hit = funky.where(Comparators.substr("büilding-i")(col("value"), CompareOp.EQUAL)).count()
+    assert(hit == 1L)
+  }
 }
