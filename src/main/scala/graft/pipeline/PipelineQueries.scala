@@ -1707,8 +1707,9 @@ object PipelineQueries {
          |        FROM scored)
          |SELECT q_id, nn_id, round(sc, 4) AS score, rank FROM top
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    // SQ8 + refine: IVF candidates (top-20) over the reconstructed
-    // int8 corpus, exact float re-score of the candidate slice only
+    // SQ8 + refine: IVF candidates (top-32, the shared rerankWidth
+    // floor at k = 5) over the reconstructed int8 corpus, exact float
+    // re-score of the candidate slice only
     "ann_quantized_ivf" ->
       s"""WITH $ddQuantBase,
          |$ddAutoCells,
@@ -1717,7 +1718,7 @@ object PipelineQueries {
          |cand AS (SELECT q_id, nn_id FROM (
          |           SELECT q_id, nn_id,
          |             row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, nn_id) AS rank
-         |           FROM qscored) WHERE rank <= 20),
+         |           FROM qscored) WHERE rank <= 32),
          |fl AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fe,
          |         greatest(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |           CAST(embedding AS DOUBLE[]))), 1e-12) AS fn

@@ -117,6 +117,14 @@ object Ann {
     * nn_id. The corpus streams once through the semi-join-shaped hash
     * join; candidate-pool WIDTH stays the caller's parameter (it
     * belongs to candidate generation, not the refine). */
+  /** Candidates-then-verify rerank width: 4k but never under 32 —
+    * coarse candidate orderings (ADC cells, int8 cosine) starve a thin
+    * float re-score; 32 is the standard faiss-style floor. ONE copy
+    * (r13 review: Pq used max(32, 4k) while Quantize.annInt8Ivf had
+    * drifted to max(4k, 20) — the compounded int8+IVF error path got
+    * the THINNER pool of the two). */
+  private[sim] def rerankWidth(k: Int): Int = math.max(32, 4 * k)
+
   private[sim] def refineExact(cand: DataFrame, vectors: DataFrame,
                                queries: DataFrame, k: Int): DataFrame = {
     val v = vectors.select(col("vec_id").as("nn_id"), col("embedding"))
@@ -296,7 +304,9 @@ object Ann {
       .select(col("vec_id"), col("embedding"))
     val cent =
       if (trainIters <= 0)
-        cellMeans(base.select((col("vec_id") % cells).cast("int").as("cell"),
+        // pmod: a negative vec_id under `%` would seed a negative cell
+        // (the lloydCentroids/Pq.codebooks rule, r13 review)
+        cellMeans(base.select(pmod(col("vec_id"), lit(cells)).cast("int").as("cell"),
           col("embedding")))
       else lloydCentroids(base, cells, trainIters)
     val centArr = centroidArray(cent)
@@ -456,8 +466,11 @@ object Ann {
     // connectedComponents/labelPropagation/Pq.codebooks discipline —
     // r12 review: the unguarded form leaked one centroid checkpoint
     // per failed training run for the JVM's life)
+    // pmod, not `%` (r13 review — the Pq.codebooks class): a NEGATIVE
+    // vec_id under `%` seeds a negative cell id, silently doubling the
+    // seed-cluster count and breaking the √N cell sizing
     var cent = cellMeans(base
-      .withColumn("cell", (col("vec_id") % k).cast("int"))).localCheckpoint(true)
+      .withColumn("cell", pmod(col("vec_id"), lit(k)).cast("int"))).localCheckpoint(true)
     try {
       for (_ <- 1 to iters) {
         val assigned = withCellScores(base, centroidArray(cent))
@@ -598,27 +611,23 @@ object Ann {
     * (full oracle); [[nearestNeighborReportIvf]] is the scale path for
     * the same report. */
   def nearestNeighborReport(vectors: DataFrame, threshold: Double): DataFrame = {
-    // non-finite vectors excluded from BOTH sides (the scoredPairs
-    // guard this surface missed in the r12 sim review): one NaN
-    // element made the corrupt vector every row's argmax — the struct
-    // max orders NaN above every number — and NaN >= t flipped every
-    // is_dup in the corpus. Excluded vectors still get their
-    // one-row-per-vector no-neighbor row (NULL nn, is_dup false)
-    // through the same left join the IVF variant uses, so the dup-rate
-    // denominator never shifts between the exact and IVF paths.
-    val fin = vectors.where(allFinite(col("embedding")))
-    val a = fin.select(col("vec_id"), col("embedding"))
-      .withColumn("_an", norm("embedding"))
-    val b = fin.select(col("vec_id").as("nn_id"), col("embedding").as("b_emb"))
-      .withColumn("_bn", norm("b_emb"))
-    val scored = a.join(broadcast(b), col("vec_id") =!= col("nn_id"))
-      .withColumn("_score", dot("embedding", "b_emb") / (col("_an") * col("_bn")))
+    // pair scoring rides the ONE broadcast-cosine scaffold
+    // ([[scoredPairs]] — r13 review: this surface hand-rolled the
+    // identical fin/norm/broadcast/dot shape with different column
+    // names, the drift trap the scaffold exists to close; its
+    // allFinite guard IS the r12 NaN-argmax fix, kept by reuse).
+    // Excluded vectors still get their one-row-per-vector no-neighbor
+    // row (NULL nn, is_dup false) through the same left join the IVF
+    // variant uses, so the dup-rate denominator never shifts between
+    // the exact and IVF paths.
+    val scored = scoredPairs(vectors, vectors,
+      pairFilter = col("q_id") =!= col("nn_id"))
     // top-1 as an argmax aggregate, not a window: lexicographic max of
     // (score, -nn_id) == best score with smallest-id tiebreak, computed
     // with map-side partial max — no pair row ever shuffles
-    val top = scored.groupBy("vec_id")
+    val top = scored.groupBy("q_id")
       .agg(max(struct(col("_score").as("s"), (-col("nn_id")).as("negid"))).as("m"))
-      .select(col("vec_id"), (-col("m.negid")).as("nn_id"),
+      .select(col("q_id").as("vec_id"), (-col("m.negid")).as("nn_id"),
         round(col("m.s"), 4).as("cos"),
         (round(col("m.s"), 4) >= threshold).as("is_dup"))
     vectors.select(col("vec_id")).join(top, Seq("vec_id"), "left")

@@ -67,7 +67,15 @@ object Pca {
     *
     * @param emb (vec_id, embedding array<float>). */
   def spectrum(spark: SparkSession, emb: DataFrame, k: Int = 8): DataFrame = {
-    val x = emb.select(col("embedding").cast("array<double>").as("e"))
+    // non-finite vectors excluded at intake (the r12 allFinite
+    // discipline every sibling surface carries; r13 review closed this
+    // last holdout): one Inf element overflows the gram sums so trace
+    // = Inf PASSES the trace guard and the spectrum rows are silent
+    // garbage (eigenvalue_micro = Long.MaxValue, evr_ppm = 0); one NaN
+    // aborts blaming a "collapsed encoder" that doesn't exist.
+    // embedding_stats is the audit that finds the bad vectors upstream.
+    val x = emb.where(VectorOps.allFinite(col("embedding")))
+      .select(col("embedding").cast("array<double>").as("e"))
     // upper-triangle second moments + first moments in ONE aggregate:
     // the (i, j >= i) pair explode is per-row fanout d(d+1)/2, combined
     // map-side to a 2080-cell partial per partition before the shuffle.

@@ -226,11 +226,10 @@ object Pq {
            |  _tab[CAST(s * $ksub + codes[CAST(s AS INT)] AS INT)]),
            |  CAST(0 AS DOUBLE), (a, x) -> a + x)""".stripMargin))
       .withColumn("_score", col("_adc"))
-    // rerank width: 4k but never under 32 — ADC ordering is coarse
-    // (m·ksub quantization cells), so a thin candidate list starves
-    // the float re-score; 32 is the standard faiss-style floor
+    // rerank width: the ONE shared candidates-then-verify floor
+    // (Ann.rerankWidth — rationale there)
     val cand = Ann.topK(scored.select(col("q_id"), col("nn_id"), col("_score")),
-        "q_id", math.max(32, 4 * k))
+        "q_id", Ann.rerankWidth(k))
       .select(col("q_id"), col("nn_id"))
     // float re-score of the candidate slice only — the ONE shared
     // refine scaffold (Ann.refineExact; broadcast rationale there)

@@ -154,8 +154,10 @@ object Quantize {
     import VectorOps.{dot, norm}
     // candidate pool from the quantized index: wider than k so float
     // re-scoring has slack to reorder (quantization noise perturbs
-    // ranks, rarely ejects a true neighbor from a 4k-deep pool)
-    val kCand = math.max(4 * k, 20)
+    // ranks, rarely ejects a true neighbor) — the ONE shared
+    // candidates-then-verify floor (Ann.rerankWidth; this site had
+    // drifted to max(4k, 20), r13 review)
+    val kCand = Ann.rerankWidth(k)
     val cand = Ann.ivf(quantizedVectors.getOrElse(quantized(vectors)),
         quantized(queries), kCand, nCells, nprobe)
       .select(col("q_id"), col("nn_id"))
@@ -175,12 +177,25 @@ object Quantize {
     import VectorOps.dot
     val q = withQuantized(vectors)
       .withColumn("qd", expr("transform(qv, x -> cast(x as double))"))
-    q.select(col("vec_id"), round(col("scale"), 6).as("scale"),
-        expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x)").as("q_sum"),
-        array_min(col("qv")).as("q_min"), array_max(col("qv")).as("q_max"),
-        round((dot(col("v"), col("v"))
-          - lit(2) * col("scale") * dot(col("qd"), col("v"))
-          + col("scale") * col("scale") * dot(col("qd"), col("qd")))
-          / size(col("v")) * lit(1000000), 4).as("mse_ppm"))
+    val good = q.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+      expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x)").as("q_sum"),
+      array_min(col("qv")).as("q_min"), array_max(col("qv")).as("q_max"),
+      round((dot(col("v"), col("v"))
+        - lit(2) * col("scale") * dot(col("qd"), col("v"))
+        + col("scale") * col("scale") * dot(col("qd"), col("qd")))
+        / size(col("v")) * lit(1000000), 4).as("mse_ppm"))
+    // a per-vector AUDIT covers EVERY vector (the cdcChunks /
+    // nearestNeighborReport backfill discipline — r13 review): a
+    // non-finite or NULL embedding has no defined int8 code, but
+    // silently dropping its row made a "why has this vec_id no
+    // scale/MSE" lookup find nothing and shifted every corpus-wide
+    // average's denominator. It gets an explicit all-NULL metrics row
+    // instead; the coalesce(…, false) leg catches NULL arrays, which
+    // three-valued !allFinite alone would drop from BOTH legs.
+    val bad = vectors
+      .where(!coalesce(VectorOps.allFinite(col("embedding")), lit(false)))
+      .select(col("vec_id") +: good.schema.fields.tail.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    good.unionByName(bad)
   }
 }

@@ -29,6 +29,34 @@ class PcaSpec extends SparkSpec {
     assert(cum.last <= 1000000L && lams.last >= 0L)
   }
 
+  test("spectrum excludes non-finite vectors instead of emitting garbage or misdiagnosing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // r13 review: an Inf element overflowed the gram sums, trace = Inf
+    // PASSED the trace guard, and the rows were silent garbage
+    // (eigenvalue_micro = Long.MaxValue); a NaN aborted blaming a
+    // "collapsed encoder". Both shapes now just fall out at intake.
+    val clean = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)),
+      (3L, Array(1.0f, 1.0f)), (4L, Array(2.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val dirty = clean.unionByName(Seq(
+      (5L, Array(Float.PositiveInfinity, 0.0f)),
+      (6L, Array(Float.NaN, 1.0f))).toDF("vec_id", "embedding"))
+    val a = graft.sim.Pca.spectrum(spark, clean, k = 2).collect()
+    val b = graft.sim.Pca.spectrum(spark, dirty, k = 2).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      s"non-finite vectors changed the spectrum:\n${a.toSeq}\n${b.toSeq}")
+    assert(a.forall(_.getAs[Long]("eigenvalue_micro") < Long.MaxValue))
+    // an all-non-finite corpus is EMPTY after intake — the loud
+    // empty-corpus refusal, not a fake collapsed-encoder diagnosis
+    val none = Seq((1L, Array(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.sim.Pca.spectrum(spark, none, k = 2).collect()
+    }
+    assert(e.getMessage.contains("empty corpus"), e.getMessage)
+  }
+
   test("bpeApply: token counts replay the learned merges on a hand corpus") {
     // corpus: 'abab' x4, 'ab' x2, 'cd' x1 → merges learn a+b → ab,
     // then ab+ab → abab (and onward); 'abab' must tokenize to 1 token,

@@ -1308,6 +1308,13 @@ class PipelineSpec extends SparkSpec {
     // every vector assigned to exactly one of k clusters
     val cl = a.groupBy("cluster").count()
     assert(cl.count() <= 10 && a.count() == emb.count())
+    // NEGATIVE vec_ids (hash-derived) seed through pmod, not `%` (r13
+    // review): `%` seeded up to 2k-1 cells, half with negative ids
+    val negIds = emb.limit(40).withColumn("vec_id", -col("vec_id") - 1)
+    val nk = Ann.kmeans(negIds, k = 4, iters = 1)
+    val ncl = nk.select(col("cluster").cast("long")).distinct().as[Long].collect()
+    assert(ncl.length <= 4 && ncl.forall(_ >= 0),
+      s"negative-id seeding leaked cells: ${ncl.mkString(",")}")
     // the only join is the single-row broadcast centroid attach (the
     // scalar-attach BNLJ every centroid consumer uses) — no cartesian
     val plan = physicalPlan(a)
@@ -1985,10 +1992,15 @@ class PipelineSpec extends SparkSpec {
     val dirty = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.05f)),
       (3L, Array(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
-    // int8 report: corrupt vector has no defined code — excluded, the
-    // finite rows still report (unguarded, ONE NaN ANSI-errored all)
-    val qr = Quantize.int8Report(dirty).select("vec_id").as[Long].collect().toSet
-    assert(qr == Set(1L, 2L), s"int8Report rows: $qr")
+    // int8 report: corrupt vector has no defined code — it now gets an
+    // explicit NULL-metrics row instead of silently vanishing from the
+    // per-vector audit (r13 review; unguarded, ONE NaN ANSI-errored all)
+    val qrRows = Quantize.int8Report(dirty)
+      .select("vec_id", "scale").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(qrRows.keySet == Set(1L, 2L, 3L), s"int8Report rows: $qrRows")
+    assert(!qrRows(1L) && !qrRows(2L) && qrRows(3L),
+      s"NULL-metrics backfill: $qrRows")
     // quantized search: corrupt vector neither indexes nor queries
     val ann = Quantize.annInt8(dirty, dirty, 1)
       .select("q_id", "nn_id").as[(Long, Long)].collect().toSet
