@@ -3,6 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import graft.core.Hashes
 
 /** Spark-native analogues of HBase's MapReduce analytics tools
   * (hbase-server/.../mapreduce/): RowCounter, CellCounter, CopyTable,
@@ -64,8 +65,7 @@ object Tools {
     * DuckDB oracle — or a remote cluster, which is the tool's point —
     * computes the identical digest. */
   def hashTable(df: DataFrame, keyCol: String, rowHash: Column, bucketWidth: Long): DataFrame = {
-    require(keyCol.matches("[A-Za-z0-9_]+"),
-      s"key column '$keyCol' must match [A-Za-z0-9_]+") // SQL splice below
+    Hashes.requireIdentifier(keyCol, "hashTable key column") // SQL splice below
     // width 0 would pmod to NULL buckets (one garbage digest) and
     // DuckDB's `// 0` errors — the cross-engine divergence this tool
     // exists to rule out; refuse loudly like every sibling divisor
@@ -234,10 +234,8 @@ object Tools {
   def regionSplitPoints(df: DataFrame, keyCol: String, n: Int,
                         approx: Boolean = false): DataFrame = {
     require(n >= 2, s"need at least 2 regions, got $n")
-    // keyCol splices into generated SQL — the dqAudit identifier rule:
-    // refuse quotes/backticks/spaces loudly
-    require(keyCol.matches("[A-Za-z0-9_]+"),
-      s"key column '$keyCol' must match [A-Za-z0-9_]+")
+    // keyCol splices into generated SQL — the shared identifier guard
+    Hashes.requireIdentifier(keyCol, "key column")
     val qs = (1 until n).map(_.toDouble / n)
     val fn = if (approx) "approx_percentile" else "percentile"
     df.agg(min(col(keyCol)).as("_lo"), max(col(keyCol)).as("_hi"),
@@ -662,8 +660,7 @@ object Tools {
     * @param tagged data rows carrying a `bucket` region tag. */
   def applySplits(tagged: DataFrame, plan: DataFrame, keyCol: String,
                   approx: Boolean = false): DataFrame = {
-    require(keyCol.matches("[A-Za-z0-9_]+"),
-      s"key column '$keyCol' must match [A-Za-z0-9_]+") // SQL splice below
+    Hashes.requireIdentifier(keyCol, "applySplits key column") // SQL splice below
     val fn = if (approx) "approx_percentile" else "percentile"
     val mids = tagged
       .join(broadcast(plan.where(col("action") === "split").select("bucket")),
@@ -1494,8 +1491,7 @@ object Tools {
                               prefixMod: Long, approx: Boolean,
                               midkey: Boolean): DataFrame = {
     require(prefixMod > 0, "prefixMod must be positive")
-    require(keyCol.matches("[A-Za-z0-9_]+"),
-      s"key column '$keyCol' must match [A-Za-z0-9_]+") // SQL splice below
+    Hashes.requireIdentifier(keyCol, "key column") // SQL splice below
     val fn = if (approx) "approx_percentile" else "percentile"
     // R metadata rows from a corpus-scale aggregate feeding TWO forks
     // (the region count + the main projection) — materialized so the
@@ -2084,9 +2080,7 @@ object Tools {
     require(cols.nonEmpty, "columnProfile needs at least one column")
     // names are interpolated into generated stack() SQL — the dqAudit
     // identifier rule: refuse quotes/backticks/spaces loudly
-    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
-      s"columnProfile: column name '$c' must match [A-Za-z0-9_]+ " +
-        "(it is spliced into generated SQL)"))
+    cols.foreach(c => Hashes.requireIdentifier(c, "columnProfile column"))
     val ndv: Column => Column =
       if (approxNdv) approx_count_distinct(_) else countDistinct(_)
     val aggs = cols.flatMap { c => Seq(
@@ -2212,9 +2206,7 @@ object Tools {
     // both a string literal and a backticked identifier — restrict to
     // identifier characters so a quote/backtick can neither break the
     // generated SQL nor smuggle arbitrary fragments into it
-    rules.find(r => !r._1.matches("[A-Za-z0-9_]+")).foreach(r =>
-      throw new IllegalArgumentException(
-        s"dqAudit rule name '${r._1}' must match [A-Za-z0-9_]+"))
+    rules.foreach(r => Hashes.requireIdentifier(r._1, "dqAudit rule name"))
     val aggs = rules.map { case (n, pred) =>
       sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(s"_v_$n") }
     val stackArgs = rules.map { case (n, _) => s"'$n', `_v_$n`" }.mkString(", ")

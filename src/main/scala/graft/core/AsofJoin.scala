@@ -81,7 +81,12 @@ object AsofJoin {
         probes.withColumn(tsUs, -col(tsUs)),
         quotes.withColumn(tsUs, -col(tsUs)), key, tsUs, Seq(quoteId))
       .select(col(probeId), col("_last").as("_f"))
-    probes.join(back, probeId).join(fwd, probeId)
+    // LEFT joins (r13 review): a NULL probeId never matches an inner
+    // equi-join, so its probe row VANISHED from the output even though
+    // both asof passes had kept it — breaking the one-output-row-per-
+    // probe shape the backward asof establishes. It now surfaces with
+    // nn_id/dt_us NULL, the same no-match verdict a quote-less key gets.
+    probes.join(back, Seq(probeId), "left").join(fwd, Seq(probeId), "left")
       .withColumn("_bdt", col(tsUs) - col(s"_b.$tsUs"))
       .withColumn("_fdt", -col(s"_f.$tsUs") - col(tsUs))
       .withColumn("nn_id",

@@ -42,9 +42,19 @@ object Hashes {
     * review). `keyCol` is spliced into SQL — identifier rule applies.
     * DuckDB mirror:
     * `CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15) AS BIGINT) % mod`. */
+  /** ONE copy of the SQL-splice identifier guard (r13 review: the
+    * identical require was hand-rolled at ten sites across five files
+    * — the r10 dirKey hand-sync class this object exists to prevent).
+    * Returns the name so call sites can splice inline. */
+  def requireIdentifier(name: String, context: String): String = {
+    require(name != null && name.matches("[A-Za-z0-9_]+"),
+      s"$context: identifier '$name' must match [A-Za-z0-9_]+ — " +
+        "it is spliced into generated SQL")
+    name
+  }
+
   def md5Fold60(keyCol: String, mod: Int): org.apache.spark.sql.Column = {
-    require(keyCol.matches("[A-Za-z0-9_]+"),
-      s"md5Fold60 key '$keyCol' must match [A-Za-z0-9_]+")
+    requireIdentifier(keyCol, "md5Fold60 key")
     require(mod >= 1, s"md5Fold60 mod ($mod) must be positive")
     org.apache.spark.sql.functions.expr(
       "cast(conv(substring(md5(cast(cast(" +

@@ -58,6 +58,11 @@ object Layout {
     * co-partitioned regions). */
   def writeBucketed(df: DataFrame, keyCol: String, buckets: Int, table: String): Unit = {
     val spark = df.sparkSession
+    // the table name splices into DROP TABLE SQL below — the shared
+    // identifier guard every other splice point enforces (r13 review:
+    // a backtick-bearing name re-tokenized the statement AND desynced
+    // from the unvalidated name saveAsTable/defaultTablePath see)
+    Hashes.requireIdentifier(table, "writeBucketed table")
     // true overwrite across JVMs: the in-memory catalog is per-session,
     // so a previous run may have left the managed location on disk with
     // no catalog entry — CREATE then refuses with LOCATION_ALREADY_EXISTS
@@ -299,6 +304,16 @@ object Snapshots {
         manifests.remove(key)
         manifest = build()
       }
+    } else {
+      // an EMPTY cached manifest has no file paths to probe, so the
+      // existence check above can never detect an out-of-process
+      // rewrite that filled the version (r13 review: a previously
+      // empty version returned a wrong empty result FOREVER). Don't
+      // trust the memo for empties — rebuild every call; the rebuild
+      // is a metadata-sized job on a genuinely empty version, and a
+      // filled version heals on its first read.
+      manifests.remove(key)
+      manifest = build()
     }
     val picked = pick(manifest)
     val pred = col(keyCol) >= lo && col(keyCol) < hi

@@ -49,8 +49,7 @@ object RangeJoin {
     // Tables.toCells apply the same guard): these names land inside
     // generated SQL, and a backtick-bearing name would re-tokenize it
     Seq(tsCol, loCol, hiCol).foreach(c =>
-      require(c.matches("[A-Za-z0-9_]+"),
-        s"rangeJoinBinned column name '$c' must match [A-Za-z0-9_]+"))
+      Hashes.requireIdentifier(c, "rangeJoinBinned column"))
     val loBin = expr(s"unix_timestamp(`$loCol`) div $binSeconds")
     val hiBin = expr(s"unix_timestamp(`$hiCol`) div $binSeconds")
     // a NULL bound is a malformed window, not an oversized one: it

@@ -12,8 +12,20 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Serializes the nanosAsLong set/probe/restore in [[load]]: the
+    * flag is SESSION-wide conf, so two concurrent events loads raced —
+    * thread B could capture thread A's temporary "true" as its
+    * restore value (leaking the flag for the session: every later
+    * unrelated TIMESTAMP(NANOS) parquet silently decodes as long), or
+    * restore-to-unset while A's probe still needed it (r13 core
+    * review). The probe is driver-side footer reading — cheap to
+    * serialize; the returned DataFrame's execution is outside the
+    * lock (the NANOS generation deliberately leaves the flag set,
+    * which every serialized probe then captures consistently). */
+  private val nanosProbeLock = new Object
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") {
+    if (name == "events") nanosProbeLock.synchronized {
       // events.parquet has shipped with two ts encodings across data
       // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
       // rejects — read nanos as long, integer-div to µs; exact, the
@@ -70,8 +82,7 @@ object Tables {
     // dqAudit identifier discipline every other splice point follows
     // (a quote in a name would re-tokenize the SQL, r12 core review)
     for ((fam, quals) <- families; name <- fam +: quals)
-      require(name.matches("[A-Za-z0-9_]+"),
-        s"toCells family/qualifier '$name' must match [A-Za-z0-9_]+")
+      Hashes.requireIdentifier(name, "toCells family/qualifier")
     val n = families.map(_._2.size).sum
     val args = families.flatMap { case (fam, quals) =>
       quals.map(q => s"'$fam', '$q', cast(`$q` as string)")

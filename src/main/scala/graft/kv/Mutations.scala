@@ -323,9 +323,8 @@ object Mutations {
   def constraintCheck(puts: DataFrame,
                       constraints: Seq[(String, Column)]): DataFrame = {
     require(constraints.nonEmpty, "constraintCheck needs at least one constraint")
-    constraints.find(c => !c._1.matches("[A-Za-z0-9_]+")).foreach(c =>
-      throw new IllegalArgumentException(
-        s"constraint name '${c._1}' must match [A-Za-z0-9_]+"))
+    constraints.foreach(c =>
+      graft.core.Hashes.requireIdentifier(c._1, "constraint name"))
     val firstFail = coalesce(constraints.map { case (n, pred) =>
       when(!coalesce(pred, lit(false)), lit(n)) }: _*)
     puts.withColumn("_violation", firstFail)

@@ -225,10 +225,16 @@ object Scans {
     df.join(passing.hint("merge"), Seq(keyCol), "leftsemi")
   }
 
+  /** ONE copy of the [lo, hi) timestamp-range predicate shared by
+    * [[timeRange]], [[raw]] and [[familyTimeRange]] (r13 review: three
+    * hand-synced inline copies — the perFamilyKeep drift class). */
+  private[graft] def tsRange(lo: String, hi: String): Column =
+    col("ts") >= lit(lo).cast("timestamp") &&
+      col("ts") < lit(hi).cast("timestamp")
+
   /** Scan.setTimeRange(min, max) over versioned cells — [min, max). */
   def timeRange(vcells: DataFrame, minTs: String, maxTs: String): DataFrame =
-    vcells.where(col("ts") >= lit(minTs).cast("timestamp") &&
-      col("ts") < lit(maxTs).cast("timestamp"))
+    vcells.where(tsRange(minTs, maxTs))
 
   /** Scan.setBatch(n) (Scan.java:479) — chunk each row's cells into
     * batches of ≤ n cells, in (family, qualifier) order: the reference
@@ -300,8 +306,7 @@ object Scans {
                       ranges: Map[String, (String, String)]): DataFrame = {
     require(ranges.nonEmpty, "familyTimeRange needs at least one family range")
     vcells.where(perFamilyKeep(ranges.map { case (f, (lo, hi)) =>
-      f -> (col("ts") >= lit(lo).cast("timestamp") &&
-        col("ts") < lit(hi).cast("timestamp"))
+      f -> tsRange(lo, hi)
     }))
   }
 
@@ -321,8 +326,7 @@ object Scans {
     * [[graft.analytics.Tools.walReplay]] is simply not applied — the
     * time-range predicate pushes to the scan and nothing shuffles. */
   def raw(edits: DataFrame, tsLo: String, tsHi: String): DataFrame =
-    edits.where(col("ts") >= lit(tsLo).cast("timestamp") &&
-      col("ts") < lit(tsHi).cast("timestamp"))
+    edits.where(tsRange(tsLo, tsHi))
 
   /** KEEP_DELETED_CELLS point-in-time read
     * (HColumnDescriptor.setKeepDeletedCells, honored by

@@ -656,6 +656,18 @@ class InsightsSpec extends SparkSpec {
     assert(out(10L) == ((Some(2L), Some(5L))), out(10L).toString)
     assert(out(11L) == ((Some(3L), Some(5L))), out(11L).toString)
     assert(out(12L) == ((None, None)), "no quotes for key 3 -> null match")
+    // a NULL probeId keeps its one output row with a null verdict (r13
+    // review: the inner probe-id joins silently dropped it, breaking
+    // the one-output-row-per-probe shape both asof passes preserve)
+    val withNull = probes.unionByName(
+      Seq((Option.empty[Long], 1L, 100L)).toDF("event_id", "k", "us"))
+    val nOut = graft.core.AsofJoin
+      .asofNearest(withNull, quotes, "k", "us", "event_id", "qid")
+    assert(nOut.count() == 4L, "NULL-probeId row vanished")
+    val nullRow = nOut.where(col("event_id").isNull).collect()
+    assert(nullRow.length == 1 &&
+      nullRow.head.isNullAt(nullRow.head.fieldIndex("nn_id")),
+      nullRow.mkString(","))
   }
 
   test("interval_islands: overlapping intervals merge, gaps split") {

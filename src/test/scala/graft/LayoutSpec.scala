@@ -118,6 +118,31 @@ class LayoutSpec extends SparkSpec {
     assert(Snapshots.scanDirect(spark, dir, 1, "k", 1L, 101L).count() == 0L)
   }
 
+  test("scanDirect does not trust a memoized EMPTY manifest (r13: filled-behind-memo heals)") {
+    import spark.implicits._
+    // an empty manifest has no file paths to probe, so the existence
+    // check can never detect an out-of-process fill — a previously
+    // empty version returned a wrong empty result forever
+    val dir = Files.createTempDirectory("graft_emptymemo").toString
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    Snapshots.write(empty, "k", dir, 1)
+    assert(Snapshots.scanDirect(spark, dir, 1, "k", 0L, 100L).count() == 0L)
+    // fill the version BEHIND the memo (no eviction site runs)
+    Layout.writeSorted((1L to 30L).map(k => (k, k)).toDF("k", "v"),
+      "k", Snapshots.path(dir, 1))
+    assert(Snapshots.scanDirect(spark, dir, 1, "k", 0L, 100L).count() == 30L,
+      "memoized empty manifest survived the out-of-process fill")
+  }
+
+  test("writeBucketed refuses a non-identifier table name (SQL splice guard)") {
+    val e = intercept[IllegalArgumentException] {
+      Layout.writeBucketed(
+        Tables.load(spark, sfDir, "region"), "r_regionkey", 2,
+        "t` ; DROP TABLE `other")
+    }
+    assert(e.getMessage.contains("must match [A-Za-z0-9_]+"), e.getMessage)
+  }
+
   test("scanDirect widens integral keys and rejects string keys loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_intkey").toString
