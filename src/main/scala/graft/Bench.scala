@@ -66,12 +66,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_CONF=k=v;k2=v2 — extra session confs, an experiment
+    // aid (e.g. codegen knobs for the in-suite-amplification probes);
+    // the driver never sets it, so round records run stock. Malformed
+    // entries fail loudly — a typo'd knob silently ignored would make
+    // an experiment "measure" the stock config.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry '$kv' is not k=v")
+        builder.config(kv.take(i), kv.drop(i + 1))
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val metrics = new TaskMetricsListener
     spark.sparkContext.addSparkListener(metrics)
@@ -216,9 +227,36 @@ object Bench {
         }
       }
     }
+    // Calibration canary (r13 verdict item 2): a PINNED 5-query probe
+    // — one scan, one agg, one join, one scalar-heavy text query, one
+    // window — timed immediately before and after the three passes,
+    // min of 3 repeats each (the min shakes out one-time memo builds
+    // and stray GC; the probe measures the HOST, not lifecycle).
+    // Adjudication (BASELINE_PERF "r14 canary rule"): host_drift =
+    // median over the 5 of (this record's canary / the compared
+    // record's canary, same pre/post side); a flagged per-query ratio
+    // is host noise, not regression, when ratio / host_drift ≤ 1.3.
+    // canary_post / canary_pre medians expose intra-run drift the same
+    // way (the r13 close2 "median 1.26, uniform" case). Runs only on
+    // FULL benches — a filtered iteration run skips the ~20 s.
+    val canaryNames = Seq("scan_range", "agg_grouped", "join_salted",
+      "text_fingerprint", "agg_running_total")
+    def canaryPass(): Seq[(String, Double)] =
+      if (only.nonEmpty) Nil
+      else canaryNames.map { n =>
+        val fn = SparkEntry.benchQueries(n)
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          materialize(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        (n, best)
+      }
+    val canaryPre = canaryPass()
     val pass1 = timedPass()
     val pass2 = timedPass()
     val pass3 = timedPass()
+    val canaryPost = canaryPass()
 
     // Locale.ROOT: the f-interpolator uses the default locale, which can
     // emit decimal COMMAS (de_DE etc.) and break the JSON line
@@ -263,10 +301,12 @@ object Bench {
     // backslash in an env-supplied path would otherwise corrupt the
     // round artifact and lose the record at json.load time
     val sfJson = Verify.q(sfDir)
+    val canaryJson =
+      s""""canary_pre":${entries(canaryPre)},"canary_post":${entries(canaryPost)}"""
     val fullRecord =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${qs.size},""" +
         passMaps("", pass1) + "," + passMaps("2", pass2) + "," +
-        passMaps("3", pass3) + "," +
+        passMaps("3", pass3) + "," + canaryJson + "," +
         s""""pass2_sec":$total2,"pass3_sec":$total3,"gc_sec":$totalGc,""" +
         s""""failed":$failedJson,"sf":$sfJson}"""
     // a FILTERED run writes no full record — its compact line must say
@@ -275,7 +315,7 @@ object Bench {
     val compactLine =
       s"""{"metric":"total","value":$total,"unit":"sec","qcount":${qs.size},""" +
         s""""queries":${entries(top)},"pass2_sec":$total2,"pass3_sec":$total3,""" +
-        s""""gc_sec":$totalGc,"failed":$failedJson,"full":$fullRef,"sf":$sfJson}"""
+        s""""gc_sec":$totalGc,$canaryJson,"failed":$failedJson,"full":$fullRef,"sf":$sfJson}"""
     // a filtered run must not clobber the round's full record
     if (only.isEmpty) {
       java.nio.file.Files.write(outPath, (fullRecord + "\n").getBytes("UTF-8"))

@@ -38,6 +38,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSpike {
   def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** The synthesis + timing body, session-injected so specs can drive
+    * it on the shared test session (main stops ITS session after). */
+  private[graft] def run(spark: SparkSession, args: Array[String]): Unit = {
     val (srcDir, spikeDir, qlist) = (args(0), args(1), args(2))
     val copies = if (args.length > 3) args(3).toInt else 10
     require(copies >= 2 && copies <= 100,
@@ -47,22 +60,41 @@ object ScaleSpike {
     val onlyTables: Option[Set[String]] =
       if (args.length > 4) Some(args(4).split(",").map(_.trim).toSet)
       else None
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
     val out = new java.io.File(spikeDir)
     out.mkdirs()
     // per-table guard (not one marker for the whole dir): a spike dir
     // from an earlier tool version holds only documents/embeddings and
     // must gain the relational tables without re-paying those two
+    def stampOk(tgt: java.io.File): Boolean = {
+      val stamp = new java.io.File(tgt, "_SPIKE_COPIES")
+      stamp.exists() &&
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+          stamp.toPath)).trim.toInt == copies).getOrElse(false)
+    }
+    def deleteRecursively(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+      f.delete()
+    }
     def spikeTable(name: String)(mkCopy: (DataFrame, Int) => DataFrame): Unit = {
-      if (onlyTables.exists(!_.contains(name))) return
       val tgt = new java.io.File(out, s"$name.parquet")
+      if (onlyTables.exists(!_.contains(name))) {
+        // filtered tables stay ABSENT, not merely unrefreshed: a dir
+        // left over from a run at a DIFFERENT multiplier (or killed
+        // mid-write) is PRESENT with wrong-sized data, so a later
+        // timed query touching it silently reads the wrong corpus —
+        // the loud-on-missing-path guarantee only held for fresh dirs
+        // (r13 advice). Delete the stale dir so that query fails
+        // loudly on the missing path instead.
+        if (tgt.exists() &&
+            (!new java.io.File(tgt, "_SUCCESS").exists() || !stampOk(tgt))) {
+          deleteRecursively(tgt)
+          System.err.println(s"[spike] deleted stale $name " +
+            s"(stamp != $copies copies or uncommitted write); filtered " +
+            "out of this run, so it stays absent rather than wrong-sized")
+        }
+        return
+      }
       // trust the table only if its write COMMITTED (_SUCCESS) AND was
       // built at THIS copies multiplier (_SPIKE_COPIES stamp, r13
       // review): a run killed mid-write leaves a partial part-file
@@ -71,11 +103,7 @@ object ScaleSpike {
       // the wrong linear bar — both report misleadingly sub-linear
       // ratios with no sign of the corruption. A missing stamp (a
       // pre-r13 spike dir) or a mismatch rebuilds.
-      val stamp = new java.io.File(tgt, "_SPIKE_COPIES")
-      val stampOk = stamp.exists() &&
-        scala.util.Try(new String(java.nio.file.Files.readAllBytes(
-          stamp.toPath)).trim.toInt == copies).getOrElse(false)
-      if (!new java.io.File(tgt, "_SUCCESS").exists() || !stampOk) {
+      if (!new java.io.File(tgt, "_SUCCESS").exists() || !stampOk(tgt)) {
         val src =
           if (name == "events") graft.core.Tables.load(spark, srcDir, name)
           else spark.read.parquet(s"$srcDir/$name.parquet")
@@ -84,7 +112,8 @@ object ScaleSpike {
           .repartition(32).write.mode("overwrite").parquet(tgt.getPath)
         // stamp AFTER the committed write: mode(overwrite) clears the
         // dir, so a surviving stamp always describes the current data
-        java.nio.file.Files.write(stamp.toPath,
+        java.nio.file.Files.write(
+          new java.io.File(tgt, "_SPIKE_COPIES").toPath,
           copies.toString.getBytes("UTF-8"))
         System.err.println(s"[spike] synthesized ${copies}x $name")
       }
@@ -206,6 +235,5 @@ object ScaleSpike {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[spike] $n%-24s ${sec}%8.2f s")
     }
-    spark.stop()
   }
 }

@@ -12,58 +12,74 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Serializes the nanosAsLong set/probe/restore in [[load]]: the
-    * flag is SESSION-wide conf, so two concurrent events loads raced —
-    * thread B could capture thread A's temporary "true" as its
-    * restore value (leaking the flag for the session: every later
-    * unrelated TIMESTAMP(NANOS) parquet silently decodes as long), or
-    * restore-to-unset while A's probe still needed it (r13 core
-    * review). The probe is driver-side footer reading — cheap to
-    * serialize; the returned DataFrame's execution is outside the
-    * lock (the NANOS generation deliberately leaves the flag set,
-    * which every serialized probe then captures consistently). */
-  private val nanosProbeLock = new Object
+  /** Whether the parquet at `path` (a single file or a directory of
+    * part files) encodes its `ts` column as TIMESTAMP(NANOS) — read
+    * from ONE footer with ParquetFileReader, driver-side, no Spark
+    * plan. The former probe (set nanosAsLong session-wide, plan a
+    * read, branch on the decoded type, restore) opened a window where
+    * the temporary `true` was visible to CONCURRENT unrelated parquet
+    * loads on other threads — any TIMESTAMP(NANOS) file planned inside
+    * it silently decoded ts as long (r13 advice; the r13 lock only
+    * serialized events loads against EACH OTHER). The footer probe
+    * never touches session conf, so the window is gone. */
+  private def tsIsNanos(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.getName).headOption
+          .getOrElse(throw new IllegalStateException(
+            s"tsIsNanos: no data files under $path"))
+      else p
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    try {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      // getFieldIndex form sidesteps MessageType's varargs getType
+      // overload (ambiguous vs GroupType's single-String one in Scala)
+      schema.getType(schema.getFieldIndex("ts"))
+        .getLogicalTypeAnnotation match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+        case _ => false
+      }
+    } finally reader.close()
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (name == "events") nanosProbeLock.synchronized {
+    if (name == "events") {
       // events.parquet has shipped with two ts encodings across data
       // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader
       // rejects — read nanos as long, integer-div to µs; exact, the
       // generator emits µs precision and the DuckDB oracle also
       // truncates ns→µs) and plain TIMESTAMP(MICROS) (usable as-is).
-      // Branch on the decoded type so both generations load.
-      val flag = "spark.sql.legacy.parquet.nanosAsLong"
-      val prev = spark.conf.getOption(flag)
-      def restore(): Unit = prev match {
-        case Some(v) => spark.conf.set(flag, v)
-        case None => spark.conf.unset(flag)
-      }
-      spark.conf.set(flag, "true")
-      // Either way normalize to TimestampType (LTZ): watermarks reject
-      // TIMESTAMP_NTZ, and the UTC session timezone (set in every
-      // entrypoint builder) makes the NTZ→LTZ cast wall-clock exact.
-      // A FAILED read restores the flag too — leaking it session-wide
-      // would silently decode every later unrelated TIMESTAMP(NANOS)
-      // parquet as long columns (r12 core review).
-      val df =
-        try spark.read.parquet(s"$sfDir/$name.parquet")
-        catch { case e: Throwable => restore(); throw e }
-      df.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          // a NANOS-generation file: the flag must STAY set — the scan
-          // consults it again at execution, and restoring it here would
-          // fail every task. The session-wide side effect is confined
-          // to this data generation and documented: other NANOS parquet
-          // in the session reads as long too.
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case other =>
-          // MICROS/NTZ generation: the flag was only a schema probe —
-          // restore it so an events load doesn't permanently change
-          // how UNRELATED parquet decodes TIMESTAMP(NANOS) (r12 review)
-          restore()
-          if (other == org.apache.spark.sql.types.TimestampNTZType)
-            df.withColumn("ts", col("ts").cast("timestamp"))
-          else df
+      // Branch on the FOOTER type (one driver-side footer read — never
+      // a session-conf round-trip, see [[tsIsNanos]]) so both
+      // generations load. Either way normalize to TimestampType (LTZ):
+      // watermarks reject TIMESTAMP_NTZ, and the UTC session timezone
+      // (set in every entrypoint builder) makes the NTZ→LTZ cast
+      // wall-clock exact.
+      val path = s"$sfDir/$name.parquet"
+      if (tsIsNanos(spark, path)) {
+        // NANOS generation: the flag must be set AND stay set — the
+        // scan consults it again at execution. The session-wide side
+        // effect is confined to this data generation and documented:
+        // other NANOS parquet in the session reads as long too.
+        // Setting a constant "true" is idempotent, so concurrent
+        // events loads no longer race (no restore exists to misfire).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else {
+        val df = spark.read.parquet(path)
+        if (df.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        else df
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 

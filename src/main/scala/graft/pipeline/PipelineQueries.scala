@@ -707,6 +707,13 @@ object PipelineQueries {
     "ann_ivf" -> ((s, d) =>
       Ann.ivf(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank")),
+    // IMI two-level coarse quantizer (Babenko & Lempitsky 2012): the
+    // routing escape past the flat 4096-cell cap — K² effective cells
+    // priced at two K-codebook scans; assignment N^1.25 instead of
+    // N^1.5 (r13 verdict item 1, the one measured scale frontier)
+    "ann_ivf_imi" -> ((s, d) =>
+      Ann.ivfImi(emb(s, d), emb(s, d).where(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rank")),
     // ANN over the int8-quantized corpus: FULL oracle since r9 (the
     // quantizer was engine-portable by construction); the spec'd top-1
     // recall vs the float baseline remains the semantic contract
@@ -1014,6 +1021,22 @@ object PipelineQueries {
         adjacentPairs(docs(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("ts")), "ts"))
         .orderBy("cand_id")),
+    // cross-relation pairing through the PUBLIC evalPairs surface with
+    // the strict probe ON (r13 verdict item 5): candidate relation ≠
+    // reference relation — token sequences vs their REVERSALS (same
+    // unigram multiset so p1 = 1e6; higher n-grams nearly disjoint),
+    // pair table a doc_id % 3 harness subset. strict = true runs the
+    // two anti-join no-silent-drop probes under the driver gate.
+    "eval_bleu_paired" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      val refs = toks.select(col("doc_id"), reverse(col("ts")).as("ts"))
+      val pairs = docs(s, d).where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("cand_id"), col("doc_id").as("ref_id"))
+      graft.text.GenerationEval.bleu(
+        graft.text.GenerationEval.evalPairs(pairs, toks, refs,
+          payloadCol = "ts", strict = true)).orderBy("cand_id")
+    }),
     // chrF (Popović 2015), character-level F2 in exact integer ppm —
     // metric body in graft.text.GenerationEval.chrf (one native
     // ChrfClipCounts pass; collision-fails-the-gate-loudly posture in
@@ -1321,6 +1344,13 @@ object PipelineQueries {
     // spectral invariants instead)
     "embedding_pca" -> ((s, d) =>
       graft.sim.Pca.spectrum(s, emb(s, d)).orderBy("component")),
+    // the distributed half of embedding_pca as its own full-oracle
+    // row (r14): exact milli-unit Gramian cells + i-side moments +
+    // counts over the SAME trianglePairs shape spectrum aggregates —
+    // the shuffle-bearing PCA code is hash-gated, only the 64×64
+    // driver eigensolve stays spec-only
+    "embedding_pca_gram" -> ((s, d) =>
+      graft.sim.Pca.gramExact(emb(s, d)).orderBy("i", "j")),
     // BPE apply: trained merges replayed over the DISTINCT word table,
     // token counts joined back per doc (rows-only — the trained rule
     // replay has no single-SQL form; spec replays a reference BPE).
@@ -1410,31 +1440,37 @@ object PipelineQueries {
     * `a0..a{iters+1}` / `m0..m{iters}`; the FINAL assignment is
     * `a{iters+1}(vec_id, e, cell, cs)`. `kExpr` is the seed modulus
     * (a literal or a scalar subquery). */
-  private def ddLloyd(kExpr: String, iters: Int): String = {
+  private def ddLloyd(kExpr: String, iters: Int,
+                      pfx: String = "", baseCte: String = "base"): String = {
+    // `pfx` namespaces every emitted CTE (ex/mm/m/s/a → ${pfx}ex…) and
+    // `baseCte` names the input relation, so TWO trainings can coexist
+    // in one oracle (the IMI per-half quantizers: h1…/b1 and h2…/b2);
+    // the defaults keep the single-quantizer call sites byte-identical
     def meanRound(r: Int, src: String) =
-      s"""ex$r AS (SELECT cell, i, CAST(floor(e[i] * 1000000) AS BIGINT) AS xm
+      s"""${pfx}ex$r AS (SELECT cell, i, CAST(floor(e[i] * 1000000) AS BIGINT) AS xm
          |        FROM $src, unnest(range(1, len(e) + 1)) AS u(i)),
-         |mm$r AS (SELECT cell, i,
+         |${pfx}mm$r AS (SELECT cell, i,
          |           (sum(xm) - ((sum(xm) % count(*)) + count(*)) % count(*))
          |             // count(*) AS m
-         |         FROM ex$r GROUP BY 1, 2),
-         |m$r AS (SELECT cell, CAST(list(m ORDER BY i) AS DOUBLE[]) AS c,
+         |         FROM ${pfx}ex$r GROUP BY 1, 2),
+         |${pfx}m$r AS (SELECT cell, CAST(list(m ORDER BY i) AS DOUBLE[]) AS c,
          |          greatest(sqrt(list_dot_product(
          |            CAST(list(m ORDER BY i) AS DOUBLE[]),
          |            CAST(list(m ORDER BY i) AS DOUBLE[]))), 1e-12) AS cn
-         |        FROM mm$r GROUP BY cell)""".stripMargin
+         |        FROM ${pfx}mm$r GROUP BY cell)""".stripMargin
     def assignRound(r: Int, cents: String) =
-      s"""s$r AS (SELECT b.vec_id, b.e, m.cell,
+      s"""${pfx}s$r AS (SELECT b.vec_id, b.e, m.cell,
          |          list_dot_product(b.e, m.c)
          |            / (greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12) * m.cn) AS cs
-         |        FROM base b, $cents m),
-         |a$r AS (SELECT vec_id, e, cell, cs FROM (
+         |        FROM $baseCte b, $cents m),
+         |${pfx}a$r AS (SELECT vec_id, e, cell, cs FROM (
          |          SELECT *, row_number() OVER (PARTITION BY vec_id
-         |            ORDER BY cs DESC, cell) AS rn FROM s$r)
+         |            ORDER BY cs DESC, cell) AS rn FROM ${pfx}s$r)
          |        WHERE rn = 1)""".stripMargin
-    val seed = s"a0 AS (SELECT vec_id, e, CAST(vec_id % $kExpr AS INT) AS cell FROM base)"
+    val seed = s"${pfx}a0 AS (SELECT vec_id, e, CAST(vec_id % $kExpr AS INT) AS cell FROM $baseCte)"
     val rounds = (0 to iters).map { r =>
-      meanRound(r, if (r == 0) "a0" else s"a$r") + ",\n" + assignRound(r + 1, s"m$r")
+      meanRound(r, if (r == 0) s"${pfx}a0" else s"${pfx}a$r") + ",\n" +
+        assignRound(r + 1, s"${pfx}m$r")
     }
     (seed +: rounds).mkString(",\n")
   }
@@ -1675,6 +1711,78 @@ object PipelineQueries {
          |        FROM qscored)
          |SELECT q_id, nn_id, round(sc, 4) AS score, rank FROM top
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // IMI search end-to-end, CTE-for-CTE with the Spark plan: per-half
+    // micro-exact Lloyd quantizers (ceil(sqrt(sqrt(N))) cells each —
+    // nested sqrt is correctly-rounded IEEE, bit-identical cross-
+    // engine where pow(n, .25) is not), per-half top-4 cells, the 16
+    // candidate pairs ranked by combined half-cosine (ps DESC, cell1,
+    // cell2 — Spark's reverse(array_sort(struct(ps, negc1, negc2)))),
+    // top-8 pairs probed via the (cell1, cell2) equi-join, cosine
+    // top-5. Halves via 1-based inclusive list slices ≡ Spark slice.
+    "ann_ivf_imi" ->
+      s"""WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |kk AS (SELECT least(4096, greatest(4, CAST(ceil(sqrt(sqrt(count(*)))) AS INT))) AS k FROM base),
+         |b1 AS (SELECT vec_id, e[1:len(e) // 2] AS e FROM base),
+         |b2 AS (SELECT vec_id, e[len(e) // 2 + 1:len(e)] AS e FROM base),
+         |${ddLloyd("(SELECT k FROM kk)", 2, "h1", "b1")},
+         |${ddLloyd("(SELECT k FROM kk)", 2, "h2", "b2")},
+         |asg AS (SELECT b.vec_id AS nn_id, b.e,
+         |          greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12) AS vn,
+         |          x.cell AS cell1, y.cell AS cell2
+         |        FROM base b JOIN h1a3 x ON x.vec_id = b.vec_id
+         |                    JOIN h2a3 y ON y.vec_id = b.vec_id),
+         |q1 AS (SELECT b.vec_id AS q_id, m.cell,
+         |         list_dot_product(b.e, m.c)
+         |           / (greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12) * m.cn) AS s,
+         |         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |           list_dot_product(b.e, m.c)
+         |             / (greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12) * m.cn) DESC,
+         |           m.cell) AS prn
+         |       FROM b1 b, h1m2 m WHERE b.vec_id < 10),
+         |q2 AS (SELECT b.vec_id AS q_id, m.cell,
+         |         list_dot_product(b.e, m.c)
+         |           / (greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12) * m.cn) AS s,
+         |         row_number() OVER (PARTITION BY b.vec_id ORDER BY
+         |           list_dot_product(b.e, m.c)
+         |             / (greatest(sqrt(list_dot_product(b.e, b.e)), 1e-12) * m.cn) DESC,
+         |           m.cell) AS prn
+         |       FROM b2 b, h2m2 m WHERE b.vec_id < 10),
+         |pq AS (SELECT a.q_id, a.cell AS cell1, b.cell AS cell2, a.s + b.s AS ps
+         |       FROM (SELECT * FROM q1 WHERE prn <= 4) a
+         |       JOIN (SELECT * FROM q2 WHERE prn <= 4) b USING (q_id)),
+         |probes AS (SELECT q_id, cell1, cell2 FROM (
+         |            SELECT *, row_number() OVER (PARTITION BY q_id
+         |              ORDER BY ps DESC, cell1, cell2) AS rn FROM pq)
+         |          WHERE rn <= 8),
+         |qv AS (SELECT vec_id AS q_id, e AS qe,
+         |         greatest(sqrt(list_dot_product(e, e)), 1e-12) AS qn
+         |       FROM base WHERE vec_id < 10),
+         |qscored AS (SELECT p.q_id, a.nn_id,
+         |             list_dot_product(v.qe, a.e) / (v.qn * a.vn) AS sc
+         |           FROM probes p JOIN qv v USING (q_id)
+         |           JOIN asg a ON a.cell1 = p.cell1 AND a.cell2 = p.cell2
+         |           WHERE a.nn_id <> p.q_id),
+         |top AS (SELECT q_id, nn_id, sc,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY sc DESC, nn_id) AS rank
+         |        FROM qscored)
+         |SELECT q_id, nn_id, round(sc, 4) AS score, rank FROM top
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // exact milli-unit upper-triangle Gramian: order-independent
+    // BIGINT sums, 0-based (i, j) to match Spark's posexplode; the
+    // oracle enumerates the full d×d and filters j >= i (exactness,
+    // not plan shape, is what an oracle prices)
+    "embedding_pca_gram" ->
+      """WITH base AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |px AS (SELECT u.i, w.j,
+        |         CAST(floor(e[u.i + 1] * 1000) AS BIGINT) AS xi,
+        |         CAST(floor(e[w.j + 1] * 1000) AS BIGINT) AS xj
+        |       FROM base,
+        |            unnest(range(0, len(e))) AS u(i),
+        |            unnest(range(0, len(e))) AS w(j)
+        |       WHERE w.j >= u.i)
+        |SELECT i, j, CAST(sum(xi * xj) AS BIGINT) AS gram_milli2,
+        |       CAST(sum(xi) AS BIGINT) AS sum_i_milli, count(*) AS n
+        |FROM px GROUP BY i, j ORDER BY i, j""".stripMargin,
     // the IVF-routed nearest-neighbor dedup report: every vector
     // queries its own index (k=1), lonely vectors keep their explicit
     // no-neighbor row — full oracle since r9
@@ -2983,6 +3091,63 @@ object PipelineQueries {
         |p AS (SELECT c.doc_id AS cand_id, r.doc_id AS ref_id,
         |             c.ln AS c_len, r.ln AS r_len
         |      FROM lens c JOIN lens r ON r.doc_id = c.doc_id + 1),
+        |q AS (SELECT p.cand_id, p.ref_id, p.c_len, p.r_len,
+        |        coalesce(w.m1, 0) AS m1, coalesce(w.m2, 0) AS m2,
+        |        coalesce(w.m3, 0) AS m3, coalesce(w.m4, 0) AS m4,
+        |        p.c_len AS t1, greatest(p.c_len - 1, 0) AS t2,
+        |        greatest(p.c_len - 2, 0) AS t3, greatest(p.c_len - 3, 0) AS t4
+        |      FROM p LEFT JOIN w USING (cand_id))
+        |SELECT cand_id, ref_id, c_len, r_len,
+        |  m1 * 1000000 // greatest(t1, 1) AS p1_ppm,
+        |  m2 * 1000000 // greatest(t2, 1) AS p2_ppm,
+        |  m3 * 1000000 // greatest(t3, 1) AS p3_ppm,
+        |  m4 * 1000000 // greatest(t4, 1) AS p4_ppm,
+        |  (CASE WHEN c_len >= r_len THEN 0
+        |        ELSE CAST(floor(((1.0 - CAST(r_len AS DOUBLE) / c_len)
+        |          * 0.43429448190325176) * 1000000) AS BIGINT) END)
+        |  + ((  CAST(floor(log10(m1 + 1) * 1000000) AS BIGINT)
+        |      - CAST(floor(log10(t1 + 1) * 1000000) AS BIGINT)
+        |      + CAST(floor(log10(m2 + 1) * 1000000) AS BIGINT)
+        |      - CAST(floor(log10(t2 + 1) * 1000000) AS BIGINT)
+        |      + CAST(floor(log10(m3 + 1) * 1000000) AS BIGINT)
+        |      - CAST(floor(log10(t3 + 1) * 1000000) AS BIGINT)
+        |      + CAST(floor(log10(m4 + 1) * 1000000) AS BIGINT)
+        |      - CAST(floor(log10(t4 + 1) * 1000000) AS BIGINT)) // 4)
+        |    AS bleu_mlog_micro
+        |FROM q ORDER BY cand_id""".stripMargin,
+    // the cross-relation strict-pair form: reference grams come from
+    // the REVERSED token sequence (rx/rgc), the pairing is the
+    // doc_id % 3 subset; r_len = c_len (reversal preserves length) so
+    // the brevity penalty is identically 0
+    "eval_bleu_paired" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |prs AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS ln FROM tok),
+        |x AS (SELECT doc_id, nn.n AS n,
+        |        unnest([array_to_string(ts[i:i+nn.n-1], ' ')
+        |                for i in range(1, len(ts) - nn.n + 2)]) AS g
+        |      FROM tok, (VALUES (1),(2),(3),(4)) nn(n)),
+        |gc AS (SELECT doc_id, n, g, count(*) AS cnt FROM x GROUP BY 1, 2, 3),
+        |rx AS (SELECT doc_id, nn.n AS n,
+        |        unnest([array_to_string(list_reverse(ts)[i:i+nn.n-1], ' ')
+        |                for i in range(1, len(ts) - nn.n + 2)]) AS g
+        |      FROM tok, (VALUES (1),(2),(3),(4)) nn(n)),
+        |rgc AS (SELECT doc_id, n, g, count(*) AS cnt FROM rx GROUP BY 1, 2, 3),
+        |m AS (SELECT c.doc_id AS cand_id, c.n,
+        |        CAST(sum(least(c.cnt, r.cnt)) AS BIGINT) AS mm
+        |      FROM gc c JOIN rgc r
+        |        ON r.n = c.n AND r.g = c.g AND r.doc_id = c.doc_id
+        |      JOIN prs ON prs.doc_id = c.doc_id
+        |      GROUP BY 1, 2),
+        |w AS (SELECT cand_id,
+        |        coalesce(max(CASE WHEN n = 1 THEN mm END), 0) AS m1,
+        |        coalesce(max(CASE WHEN n = 2 THEN mm END), 0) AS m2,
+        |        coalesce(max(CASE WHEN n = 3 THEN mm END), 0) AS m3,
+        |        coalesce(max(CASE WHEN n = 4 THEN mm END), 0) AS m4
+        |      FROM m GROUP BY 1),
+        |p AS (SELECT c.doc_id AS cand_id, c.doc_id AS ref_id,
+        |             c.ln AS c_len, c.ln AS r_len
+        |      FROM lens c JOIN prs ON prs.doc_id = c.doc_id),
         |q AS (SELECT p.cand_id, p.ref_id, p.c_len, p.r_len,
         |        coalesce(w.m1, 0) AS m1, coalesce(w.m2, 0) AS m2,
         |        coalesce(w.m3, 0) AS m3, coalesce(w.m4, 0) AS m4,

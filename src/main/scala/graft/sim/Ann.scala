@@ -271,7 +271,17 @@ object Ann {
 
   def ivf(vectors: DataFrame, queries: DataFrame, k: Int,
           nCells: Int = 0, nprobe: Int = 4,
-          trainIters: Int = 2): DataFrame = {
+          trainIters: Int = 2): DataFrame =
+    topK(ivfScored(vectors, queries, nCells, nprobe, trainIters), "q_id", k)
+      .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
+
+  /** The flat-IVF candidate stream BEFORE the top-k heap — one row per
+    * (query, probed-cell member) scored pair. Exposed so candidate-
+    * volume audits (ImiAudit, pruning specs) can count what the
+    * routing admits without re-deriving the plan. */
+  private[graft] def ivfScored(vectors: DataFrame, queries: DataFrame,
+                               nCells: Int = 0, nprobe: Int = 4,
+                               trainIters: Int = 2): DataFrame = {
     // nCells <= 0 → auto: ~√N cells (the faiss nlist rule, floored at
     // 16). The cell count MUST grow with the corpus: at a fixed count
     // the probed-cell join scores Q·nprobe·(N/nCells) pairs — quadratic
@@ -322,11 +332,131 @@ object Ann {
         explode(expr(
           s"transform(slice(reverse(array_sort(_cs)), 1, $nprobe), x -> CAST(-x.negc AS INT))"))
           .as("cell"))
-    val scored = probes.join(assigned, Seq("cell"))
+    probes.join(assigned, Seq("cell"))
       .where(col("nn_id") =!= col("q_id"))
       .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
-    topK(scored, "q_id", k)
+  }
+
+  /** IMI-style two-level coarse quantizer ANN (Babenko & Lempitsky
+    * 2012, "The Inverted Multi-Index") — the ROUTING escape past
+    * [[ivf]]'s flat 4096-cell cap. The embedding splits into two
+    * halves; each half gets its own Lloyd-trained quantizer of
+    * `nCellsPerHalf` centroids, and a routing cell is the PAIR
+    * (cell1, cell2) — K² effective cells priced at two K-codebook
+    * scans. Why this is the scale path:
+    *   - flat IVF's per-row assignment scores N·nCells·d pairs and
+    *     broadcasts nCells·d doubles; growing nCells with √N makes
+    *     assignment N^1.5 — the reason [[ivf]] caps at 4096 cells,
+    *     which BINDS past ~16M vectors (the r13 sf10 spike measured
+    *     dedup_embedding_ivf at ~N^1.07 against the 10× bar, the one
+    *     operator near linear). Real systems switch the routing
+    *     structure there, not the cell count.
+    *   - IMI assignment scores N·2K·(d/2) = N·K·d with K ~ N^(1/4)
+    *     (assignment N^1.25), yet routes over K² ~ √N effective
+    *     cells; the per-half cap of 4096 only binds past K² ≈ 16.7M
+    *     cells ≈ 2.8e14 vectors. Broadcast stays 2·K·(d/2) doubles.
+    *
+    * Query routing is a PURE PROJECTION like [[ivf]]'s: score both
+    * half-codebooks per row, take the `probePerHalf` best cells per
+    * half, enumerate the probePerHalf² candidate pairs in-row, keep
+    * the `nprobe` best by combined half-cosine (the multi-sequence
+    * order of the paper, truncated to a bounded in-row sort — exact
+    * for the pairs drawn from the per-half top lists), then ONE
+    * (cell1, cell2) equi-join against the pair-assigned corpus — the
+    * identical shuffle inventory as [[ivf]] (training rounds' K-row
+    * aggregates + the probe equi-join + bounded-state top-k), no new
+    * corpus shuffle, no corpus broadcast.
+    *
+    * Like [[ivf]], construction RUNS the training (faiss-build
+    * semantics); trainIters = 0 keeps the fully-lazy seeded quantizer
+    * for plan inspection. Auto sizing (`nCellsPerHalf` <= 0) is
+    * K = ceil(N^(1/4)) floored at 4 — K² ≈ √N effective cells, the
+    * same nlist rule as [[ivf]] — via nested `sqrt` (correctly-rounded
+    * IEEE, so the DuckDB oracle's ceil(sqrt(sqrt(n))) is bit-identical
+    * where `pow(n, 0.25)` would not be).
+    *
+    * Reference anchor: same coprocessor-side pruning role as the
+    * salted/prefix scan routing in hbase-server scan machinery — the
+    * index decides which stores a read touches; here which cell pair
+    * a query scores. */
+  def ivfImi(vectors: DataFrame, queries: DataFrame, k: Int,
+             nCellsPerHalf: Int = 0, probePerHalf: Int = 4,
+             nprobe: Int = 8, trainIters: Int = 2): DataFrame =
+    topK(ivfImiScored(vectors, queries, nCellsPerHalf, probePerHalf,
+        nprobe, trainIters), "q_id", k)
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
+
+  /** The IMI candidate stream BEFORE the top-k heap ([[ivfScored]]'s
+    * two-level sibling) — what the (cell1, cell2) routing admits. */
+  private[graft] def ivfImiScored(vectors: DataFrame, queries: DataFrame,
+                                  nCellsPerHalf: Int = 0, probePerHalf: Int = 4,
+                                  nprobe: Int = 8, trainIters: Int = 2): DataFrame = {
+    val base = vectors.where(allFinite(col("embedding")))
+      .select(col("vec_id"), col("embedding"))
+    // sizing count runs over the UNFILTERED input like [[ivf]]'s (the
+    // oracle's kk CTE counts the raw table; a metadata-only parquet
+    // count either way — registered corpora hold no non-finite rows)
+    val kHalf =
+      if (nCellsPerHalf > 0) nCellsPerHalf
+      else math.min(4096, math.max(4,
+        math.ceil(math.sqrt(math.sqrt(vectors.count().toDouble))).toInt))
+    // halves are computed per-row (size div 2), so no d probe job;
+    // slice is 1-based and the second half takes the remainder (odd d
+    // puts the extra dimension in half 2)
+    val half1 = expr("slice(embedding, 1, size(embedding) div 2)")
+    val half2 = expr("slice(embedding, size(embedding) div 2 + 1, " +
+      "size(embedding) - size(embedding) div 2)")
+    def trainHalf(half: Column): DataFrame = {
+      val hb = base.select(col("vec_id"), half.as("embedding"))
+      if (trainIters <= 0)
+        cellMeans(hb.select(pmod(col("vec_id"), lit(kHalf)).cast("int").as("cell"),
+          col("embedding")))
+      else lloydCentroids(hb, kHalf, trainIters)
+    }
+    val centArr1 = centroidArray(trainHalf(half1))
+    val centArr2 = centroidArray(trainHalf(half2))
+      .withColumnRenamed("cents", "cents2")
+    // per-row (cos, -cell) structs per half — the withCellScores shape
+    // twice over one pass, against two 1-row broadcast codebooks
+    def withHalfScores(df: DataFrame): DataFrame =
+      df.crossJoin(centArr1).crossJoin(centArr2)
+        .withColumn("_h1", half1).withColumn("_h2", half2)
+        .withColumn("_n1", norm(col("_h1")))
+        .withColumn("_n2", norm(col("_h2")))
+        .withColumn("_cs1", transform(col("cents"), c => struct(
+          (dot(col("_h1"), c.getField("c_emb")) /
+            (col("_n1") * c.getField("c_norm"))).as("s"),
+          (-c.getField("cell")).cast("long").as("negc"))))
+        .withColumn("_cs2", transform(col("cents2"), c => struct(
+          (dot(col("_h2"), c.getField("c_emb")) /
+            (col("_n2") * c.getField("c_norm"))).as("s"),
+          (-c.getField("cell")).cast("long").as("negc"))))
+    val assigned = withHalfScores(base)
+      .select(col("vec_id").as("nn_id"), col("embedding"),
+        norm(col("embedding")).as("_vn"),
+        (-array_max(col("_cs1")).getField("negc")).cast("int").as("cell1"),
+        (-array_max(col("_cs2")).getField("negc")).cast("int").as("cell2"))
+    // pair enumeration in-row: probePerHalf² (ps, negc1, negc2)
+    // structs, sorted so max = best combined score with smallest-
+    // (cell1, cell2) tiebreak, sliced to nprobe, exploded — the
+    // multi-sequence frontier truncated to the per-half top lists
+    val probes = withHalfScores(
+        queries.where(allFinite(col("embedding")))
+          .select(col("vec_id"), col("embedding")))
+      .withColumn("_t1", expr(s"slice(reverse(array_sort(_cs1)), 1, $probePerHalf)"))
+      .withColumn("_t2", expr(s"slice(reverse(array_sort(_cs2)), 1, $probePerHalf)"))
+      .withColumn("_pairs", expr(
+        "flatten(transform(_t1, a -> transform(_t2, b -> " +
+          "struct(a.s + b.s AS ps, a.negc AS negc1, b.negc AS negc2))))"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("_qn"),
+        explode(expr(s"slice(reverse(array_sort(_pairs)), 1, $nprobe)")).as("_p"))
+      .select(col("q_id"), col("q_emb"), col("_qn"),
+        (-col("_p.negc1")).cast("int").as("cell1"),
+        (-col("_p.negc2")).cast("int").as("cell2"))
+    probes.join(assigned, Seq("cell1", "cell2"))
+      .where(col("nn_id") =!= col("q_id"))
+      .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
   }
 
   /** Topic clustering for dataset mixing — k-means (Lloyd) with the

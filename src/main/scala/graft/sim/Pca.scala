@@ -60,6 +60,61 @@ object Pca {
     (0 until d).map(i => a(i)(i)).toArray.sorted(Ordering[Double].reverse)
   }
 
+  /** The upper-triangle (i, vi, j >= i, vj) pair stream every Gramian
+    * consumer aggregates — ONE copy of the shuffle-bearing shape
+    * shared by [[spectrum]] (double sums, driver eigensolve) and
+    * [[gramExact]] (integer milli-unit sums, the hash-gated oracle
+    * leg). Per-row fanout is d(d+1)/2, combined map-side to a
+    * 2080-cell partial per partition before the shuffle. The second
+    * explode runs over slice(e, i+1, d−i) — generating the triangle
+    * DIRECTLY: a full d×d posexplode followed by a j >= i filter
+    * materializes 2× the rows first, because Catalyst cannot push a
+    * filter inside a Generate (at d=64 that is 4096 vs 2080 generated
+    * rows per corpus vector on the one full-corpus pass).
+    * @param x one column `e` array<double>. */
+  private[graft] def trianglePairs(x: DataFrame): DataFrame =
+    x.select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))
+      .select(col("i"), col("vi"),
+        posexplode(expr("slice(e, i + 1, size(e) - i)")).as(Seq("dj", "vj")))
+      .select(col("i"), col("vi"), (col("i") + col("dj")).as("j"), col("vj"))
+
+  /** EXACT integer Gramian audit — the distributed half of
+    * [[spectrum]] as a full-oracle query (r13 verdict item 6): per
+    * upper-triangle cell (i, j), milli-unit second moments
+    * Σ floor(vi·10³)·floor(vj·10³), i-side first moments Σ floor(vi·10³)
+    * and the member count, all order-independent BIGINT sums — bit-
+    * identical cross-engine, so the shuffle-bearing shape
+    * ([[trianglePairs]] + the (i, j) aggregate, the ONLY thing in PCA
+    * that touches data scale) is hash-gated; the 64×64 driver-side
+    * Jacobi eigensolve stays spec-covered. Milli (not micro) units:
+    * the guarded product headroom n·(10³·|e|)² must hold 10⁹-row
+    * corpora — at micro units a |e| ≤ 2 corpus would trip the guard
+    * near 5e8 rows. [[spectrum]] itself keeps full double precision
+    * (its sums never cross an engine boundary).
+    *
+    * Overflow is guarded EXACTLY like [[Ann.cellMeans]]: worst-case
+    * n·max|xi|·max|xj| tested in double (cannot wrap) and the
+    * raise_error rides the value column consumers read. */
+  def gramExact(emb: DataFrame): DataFrame = {
+    val x = emb.where(VectorOps.allFinite(col("embedding")))
+      .select(col("embedding").cast("array<double>").as("e"))
+    trianglePairs(x)
+      .select(col("i"), col("j"),
+        floor(col("vi") * 1000).cast("long").as("xi"),
+        floor(col("vj") * 1000).cast("long").as("xj"))
+      .groupBy("i", "j")
+      .agg(sum(col("xi") * col("xj")).as("s2"),
+        sum(col("xi")).as("sm"), count(lit(1)).as("n"),
+        max(abs(col("xi"))).as("_bi"), max(abs(col("xj"))).as("_bj"))
+      .select(col("i"), col("j"),
+        when(col("n").cast("double") * col("_bi").cast("double") *
+            col("_bj").cast("double") > lit(math.pow(2, 62)),
+          raise_error(lit("gramExact: worst-case milli-unit product sum " +
+            "near int64 range — rescale the units or shard the corpus")))
+          .otherwise(col("s2")).as("gram_milli2"),
+        col("sm").as("sum_i_milli"), col("n"))
+  }
+
   /** Top-k principal spectrum of the embedding covariance:
     * (component, eigenvalue_micro, evr_ppm, cum_evr_ppm) — explained
     * variance ratios against the full trace, the table that decides
@@ -76,19 +131,7 @@ object Pca {
     // embedding_stats is the audit that finds the bad vectors upstream.
     val x = emb.where(VectorOps.allFinite(col("embedding")))
       .select(col("embedding").cast("array<double>").as("e"))
-    // upper-triangle second moments + first moments in ONE aggregate:
-    // the (i, j >= i) pair explode is per-row fanout d(d+1)/2, combined
-    // map-side to a 2080-cell partial per partition before the shuffle.
-    // The second explode runs over slice(e, i+1, d−i) — generating the
-    // triangle DIRECTLY: a full d×d posexplode followed by a j >= i
-    // filter materializes 2× the rows first, because Catalyst cannot
-    // push a filter inside a Generate (at d=64 that is 4096 vs 2080
-    // generated rows per corpus vector on the one full-corpus pass)
-    val pairs = x
-      .select(col("e"), posexplode(col("e")).as(Seq("i", "vi")))
-      .select(col("i"), col("vi"),
-        posexplode(expr("slice(e, i + 1, size(e) - i)")).as(Seq("dj", "vj")))
-      .select(col("i"), col("vi"), (col("i") + col("dj")).as("j"), col("vj"))
+    val pairs = trianglePairs(x)
     // diagonal groups (i == j) carry sum(vi) and the row count
     // alongside their gram cell, so the means come out of the SAME
     // aggregate — one corpus scan total, not a second moments pass

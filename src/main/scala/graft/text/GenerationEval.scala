@@ -70,12 +70,24 @@ object GenerationEval {
   }
 
   /** One-reference-per-task harness shape: candidate and reference
-    * tables sharing a task id; the pair IS the id match. */
-  def evalPairs(cand: DataFrame, ref: DataFrame): DataFrame =
+    * tables sharing a task id; the pair IS the id match. `strict`
+    * threads through to the 3-relation form (r13 advice: without it,
+    * a reference table missing some cand doc_ids silently shrank the
+    * eval report via the inner join — exactly the silent-vanish shape
+    * the strict probe refuses; the cand-side probe is trivially
+    * satisfied since the pair table IS cand's ids, so strict here
+    * prices one effective anti-join, the ref side). */
+  def evalPairs(cand: DataFrame, ref: DataFrame,
+                strict: Boolean): DataFrame =
     evalPairs(
       cand.select(col("doc_id").as("cand_id"),
         col("doc_id").as("ref_id")),
-      cand, ref)
+      cand, ref, strict = strict)
+
+  /** [[evalPairs(cand:*]] with `strict = false` (only one overload may
+    * carry default arguments, so the lenient form is spelled out). */
+  def evalPairs(cand: DataFrame, ref: DataFrame): DataFrame =
+    evalPairs(cand, ref, strict = false)
 
   /** ROUGE-N overlap (Lin 2004), distinct-n-gram set form: recall =
     * |∩|/|ref grams|, precision = |∩|/|cand grams|, F1 — exact integer

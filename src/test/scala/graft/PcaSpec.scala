@@ -77,6 +77,40 @@ class PcaSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("chars_per_token_micro") == 3000000L)
   }
 
+  test("gramExact: hand-computed milli-unit triangle cells, guard rides the value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two 2-d vectors, hand milli units: v1 = (1.5, -0.25) → (1500,
+    // -250); v2 = (2.0, 0.5) → (2000, 500). floor(-0.25·1000) = -250.
+    val emb = Seq(
+      (1L, Array(1.5f, -0.25f)),
+      (2L, Array(2.0f, 0.5f)),
+      (3L, Array(Float.NaN, 1.0f))) // excluded at intake
+      .toDF("vec_id", "embedding")
+    val got = graft.sim.Pca.gramExact(emb).orderBy("i", "j")
+      .as[(Int, Int, Long, Long, Long)].collect()
+    // (0,0): 1500² + 2000² = 6_250_000; sum_i = 3500; n = 2
+    // (0,1): 1500·(−250) + 2000·500 = 625_000; sum_i = 3500
+    // (1,1): (−250)² + 500² = 312_500; sum_i = 250
+    assert(got.sameElements(Array(
+      (0, 0, 6250000L, 3500L, 2L),
+      (0, 1, 625000L, 3500L, 2L),
+      (1, 1, 312500L, 250L, 2L))), got.mkString(", "))
+    // the overflow guard fires READING the value column (it rides
+    // gram_milli2, the raise_error-in-consumed-expression discipline).
+    // Values sit in the 2^62..2^63 headroom band the guard owns:
+    // |x| = 1.6e6 → milli 1.6e9, 2·(1.6e9)² = 5.12e18 > 2^62 — the sum
+    // itself still fits int64 (past 2^63 ANSI's ARITHMETIC_OVERFLOW is
+    // the loud backstop; the guard's job is refusing BEFORE that)
+    val big = Seq((1L, Array(1.6e6f, 0f)), (2L, Array(1.6e6f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      graft.sim.Pca.gramExact(big).agg(sum("gram_milli2")).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("gramExact"),
+      s"guard did not fire: $e")
+  }
+
   test("bpe_apply query: every doc appears once with tokens <= chars") {
     val out = SparkEntry.queries("bpe_apply")(spark, sfDir).collect()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()

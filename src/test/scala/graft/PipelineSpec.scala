@@ -456,6 +456,21 @@ class PipelineSpec extends SparkSpec {
         idCol = "id", payloadCol = "gen", strict = true)
     }
     assert(e.getMessage.contains("silently drop"), e.getMessage)
+
+    // the id-match (2-relation) overload can opt into the same strict
+    // probe (r13 advice: without it, a reference table missing some
+    // cand doc_ids silently shrank the report via the inner join —
+    // the exact silent-vanish shape strict was added to refuse)
+    val cands = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val refsHoley = Seq((1L, "aa")).toDF("doc_id", "text")
+    assert(GenerationEval.evalPairs(cands, refsHoley).count() == 1L)
+    val e2 = intercept[IllegalArgumentException] {
+      GenerationEval.evalPairs(cands, refsHoley, strict = true).count()
+    }
+    assert(e2.getMessage.contains("silently drop"), e2.getMessage)
+    // and a fully-matched strict id-match pairing sails through
+    assert(GenerationEval.evalPairs(cands, cands, strict = true)
+      .count() == 2L)
   }
 
   test("text gates cover EVERY doc: zero-token payloads get verdicts, never vanish or crash") {
@@ -1095,6 +1110,41 @@ class PipelineSpec extends SparkSpec {
     val agree = bf.count { case (k, v) => ivf.get(k).contains(v) }
     // nprobe=4 of 16 cells: recall can miss some, but must find most
     assert(agree >= 5, s"IVF top-1 recall $agree/10 vs brute force")
+  }
+
+  test("ann_ivf_imi: two-level routing keeps top-1 recall and is deterministic") {
+    val q = emb.where(col("vec_id") < 10)
+    val bf = Ann.bruteForce(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val imi = Ann.ivfImi(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-half quantizers ignore cross-half correlation, so pair
+    // routing is coarser than flat cells at equal effective counts —
+    // the 8-of-16 pair probe must still find most true neighbors
+    val agree = bf.count { case (k, v) => imi.get(k).contains(v) }
+    assert(agree >= 5, s"IMI top-1 recall $agree/10 vs brute force")
+    // deterministic across invocations (seeded per-half Lloyd, no RNG)
+    val again = Ann.ivfImi(emb, q, 1).select("q_id", "nn_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == imi, "IMI search is not deterministic")
+  }
+
+  test("ann_ivf_imi: cell-pair pruning admits a strict candidate subset, equi-join shaped") {
+    val q = emb.where(col("vec_id") < 10)
+    // the routing's whole point: the (cell1, cell2) equi-join admits
+    // far fewer scored pairs than the Q·(N−1) brute-force stream
+    val n = emb.count()
+    val admitted = Ann.ivfImiScored(emb, q).count()
+    assert(admitted > 0, "IMI admitted no candidates")
+    assert(admitted < 10L * (n - 1) / 2,
+      s"IMI admitted $admitted of ${10 * (n - 1)} brute-force pairs — routing prunes nothing")
+    // plan shape: no cartesian product; the only nested-loop joins are
+    // the two intended 1-row-broadcast codebook scorings; the corpus-
+    // side candidate join is an equi-join on the probed (cell1, cell2)
+    val plan = physicalPlan(Ann.ivfImi(emb, q, 5))
+    assert(!plan.contains("CartesianProduct"), s"cartesian product in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin")
+      || plan.contains("ShuffledHashJoin"), s"no equi-join on cell pair in:\n$plan")
   }
 
   test("PQ ANN: float re-score of ADC candidates keeps high top-1 agreement") {

@@ -817,6 +817,111 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("visibility atoms: generated malformed strings vs the full-region label-alphabet oracle") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the r13 guard class under test: a NEGATED atom authorizes ONLY
+    // when the negated token is a valid label (labelRegex full-region)
+    // and absent from the auth set — every other negation (multi-`!`
+    // prefixes, embedded whitespace/newlines, non-alphabet chars,
+    // empties) must DENY, matching the reference's parse-time
+    // rejection. Example-based specs covered instances; generated
+    // atoms close the class (r13 verdict item 8).
+    val atomChar = Gen.frequency(
+      (6, Gen.oneOf(('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9'))),
+      (3, Gen.oneOf('_', '-', ':', '/', '.')),
+      (3, Gen.oneOf('!', ' ', '\n', '\t', '§', '*')))
+    val atomGen = for {
+      n <- Gen.chooseNum(0, 8)
+      cs <- Gen.listOfN(n, atomChar)
+      negs <- Gen.chooseNum(0, 2) // 0..2 EXTRA leading bangs on top of
+                                  // the test's own "!" → "!x".."!!!x"
+    } yield ("!" * negs) + cs.mkString
+    val auths = Seq("ops", "a", "B2", "x_y")
+    // half the corpus negated (the guard arm), half plain (membership
+    // arm); seed a few exact auth hits so both arms exercise both
+    // outcomes
+    val atoms = (samples(atomGen, 300).flatMap(x => Seq("!" + x, x)) ++
+      Seq("!ops", "ops", "!zz", "zz", "!", "", " ", "!ops\n", "!!a")).distinct
+    // local full-region mirror: Spark trim strips SPACES only (not \n
+    // or \t — String.trim would diverge), label alphabet is the
+    // anchored [A-Za-z_\-:/.0-9]+ of VisibilityLabelsValidator
+    def sparkTrim(s: String) =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    def labelOk(s: String) = s.nonEmpty && s.forall(c =>
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || "_-:/.".contains(c))
+    def localVisible(vis: String): Boolean =
+      if (vis.isEmpty) true // no visibility expression = public cell
+      else {
+        val atom = sparkTrim(vis)
+        if (atom.isEmpty) false
+        else if (atom.startsWith("!")) {
+          val neg = sparkTrim(atom.drop(1))
+          labelOk(neg) && !auths.contains(neg)
+        } else auths.contains(atom)
+      }
+    val df = atoms.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "vis")
+    val got = graft.kv.Visibility.applyAuths(df, "vis", auths)
+      .select("id").as[Long].collect().toSet
+    val want = atoms.zipWithIndex
+      .collect { case (a, i) if localVisible(a) => i.toLong }.toSet
+    val diff = (got diff want) ++ (want diff got)
+    assert(got == want, diff.toSeq.sorted.map(i => atoms(i.toInt))
+      .map(a => s"'${a.replace("\n", "\\n").replace("\t", "\\t")}'")
+      .mkString(s"${diff.size} atoms disagree: ", ", ", ""))
+  }
+
+  test("TimestampsFilter grammar: random epochs parse bare and quoted identically; garbage refuses loudly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.filters.ParseFilter
+    // corpus: each generated epoch plus a +1ms decoy — exact-version
+    // selection must never admit the neighbor
+    val eps = samples(Gen.chooseNum(0L, 4102444800000L), 40).distinct
+    val vc = eps.flatMap(e => Seq(e, e + 1L)).toDF("ms")
+      .withColumn("ts", timestamp_millis(col("ms")))
+      .withColumn("rowkey", col("ms"))
+      .withColumn("family", lit("f")).withColumn("qualifier", lit("q"))
+      .withColumn("value", col("ms").cast("string"))
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+    samples(Gen.chooseNum(1, 4), 8).zipWithIndex.foreach { case (k, i) =>
+      val list = samples(Gen.oneOf(eps), k + i).distinct
+      val want = list.map(_.toString).toSet
+      // reference grammar: bare epoch-millis longs
+      val bare = ParseFilter.filter(vc,
+          s"TimestampsFilter(${list.mkString(", ")})")
+        .select("value").as[String].collect().toSet
+      assert(bare == want, s"bare list=$list got=$bare")
+      // extension grammar: quoted datetimes (UTC session) — identical
+      // row set to the bare form on the same instants
+      val quoted = ParseFilter.filter(vc,
+          list.map(e => s"'${fmt.format(java.time.Instant.ofEpochMilli(e))}'")
+            .mkString("TimestampsFilter(", ", ", ")"))
+        .select("value").as[String].collect().toSet
+      assert(quoted == bare, s"quoted diverges: list=$list got=$quoted")
+    }
+    // malformed arguments refuse loudly — digit-led garbage fails
+    // tsLong's digit check positionally at PARSE time, letter-led
+    // garbage fails the quote expectation; neither becomes
+    // ts IN (NULL) = a silently empty scan
+    val garbageGen = for {
+      head <- Gen.oneOf(Gen.chooseNum('0', '9'), Gen.chooseNum('a', 'z'))
+      tail <- Gen.listOfN(4, Gen.frequency(
+        (2, Gen.chooseNum('0', '9')), (2, Gen.chooseNum('a', 'z'))))
+      if tail.exists(c => c >= 'a') || head >= 'a' // never a pure number
+    } yield (head +: tail).mkString
+    samples(garbageGen.retryUntil(w => !w.forall(_.isDigit)), 20).foreach { w =>
+      val e = intercept[Throwable] {
+        ParseFilter.filter(vc, s"TimestampsFilter($w)").collect()
+      }
+      assert(e != null, s"garbage '$w' was silently accepted")
+    }
+  }
+
   test("FuzzyMatch equals the mask semantics it encodes (overlap-prefix)") {
     val gen = for {
       pat <- Gen.listOfN(6, Gen.oneOf('a', 'b', '?')).map(_.mkString)
