@@ -54,33 +54,41 @@ object ImiAudit {
           "i -> CAST((pmod(xxhash64(vec_id, i), 2000001) - 1000000) / 1e6 AS FLOAT))"))
     val queries = vectors.where(col("vec_id") < 10)
 
-    def timedCount(mk: => DataFrame): (Long, Double) = {
+    def num(v: Double) =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    // each arm prints ITS OWN line the moment it lands — a killed or
+    // timed-out later arm can't lose an earlier arm's 10-minute result
+    def report(tag: String, detail: String)(mk: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       val c = mk.count()
-      (c, (System.nanoTime() - t0) / 1e9)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"arm":"$tag","n":$n,"dim":$dim,"queries":10,$detail,""" +
+        s""""cand":$c,"sec":${num(sec)}}""")
     }
     val flatCells = math.min(4096,
       math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
     val kHalf = math.min(4096,
       math.max(4, math.ceil(math.sqrt(math.sqrt(n.toDouble))).toInt))
+    val imiDetail = s""""k_half":$kHalf,"eff_cells":${kHalf.toLong * kHalf}"""
 
-    // trainIters = 1 on both arms: the trained operating point (the
-    // registered queries run 2) at half the audit's assignment passes;
-    // candidate volume is routing-structural, not iteration-sensitive
-    val (imiCand, imiSec) = timedCount(
+    // IMI arms at the trained operating point (trainIters = 1: one
+    // Lloyd round — volume is routing-structural, not iteration-
+    // sensitive). The nprobe=4 row is the MATCHED-PROBE-BUDGET
+    // comparison against flat's 4 probed cells; nprobe=8 is the
+    // registered default (recall-parity budget).
+    report("imi_np8", s"""$imiDetail,"nprobe_pairs":8""")(
       graft.sim.Ann.ivfImiScored(vectors, queries, trainIters = 1))
-    val (flatCand, flatSec) =
-      if (arms == "imi") (-1L, -1.0)
-      else timedCount(
-        graft.sim.Ann.ivfScored(vectors, queries, trainIters = 1))
-
-    def num(v: Double) =
-      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
-    println(
-      s"""{"n":$n,"dim":$dim,"queries":10,""" +
-        s""""flat":{"cells":$flatCells,"nprobe":4,"cand":$flatCand,"sec":${num(flatSec)}},""" +
-        s""""imi":{"k_half":$kHalf,"eff_cells":${kHalf.toLong * kHalf},"nprobe_pairs":8,""" +
-        s""""cand":$imiCand,"sec":${num(imiSec)}}}""")
+    report("imi_np4", s"""$imiDetail,"nprobe_pairs":4""")(
+      graft.sim.Ann.ivfImiScored(vectors, queries, nprobe = 4, trainIters = 1))
+    // the flat arm runs UNTRAINED (trainIters = 0, seeded quantizer):
+    // one N·4096·d assignment pass instead of two — a LOWER BOUND on
+    // the capped flat arm's cost (the trained form the registered
+    // queries run pays this pass once per Lloyd round on top), and
+    // near-uniform cells, so its measured candidate volume sits at the
+    // analytic nprobe·N/4096
+    if (arms != "imi")
+      report("flat_seeded", s""""cells":$flatCells,"nprobe":4,"train_iters":0""")(
+        graft.sim.Ann.ivfScored(vectors, queries, trainIters = 0))
     spark.stop()
   }
 }
