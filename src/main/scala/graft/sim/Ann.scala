@@ -31,6 +31,15 @@ object VectorOps {
     ColumnBridge.column(VecL2Sq(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Top-n (s: cosine, cell) structs of `emb` against the broadcast
+    * codebook, sorted (s desc, cell asc) — the native [[CodebookTopK]]
+    * scan (scaladoc there: why the HOF `transform` form this replaces
+    * was the IVF/IMI assignment bottleneck, and the bit-identical
+    * score/tiebreak contract). */
+  def topCells(emb: Column, cents: Column, n: Int): Column =
+    ColumnBridge.column(CodebookTopK(
+      ColumnBridge.expression(emb), ColumnBridge.expression(cents), n))
+
   /** L2 norm, floored at 1e-12: an all-zero embedding (failed encoder
     * output, padding row) must score cosine 0 against everything, not
     * 0/0 = NaN — Spark orders NaN ABOVE every number, so an unguarded
@@ -257,17 +266,14 @@ object Ann {
       cent.agg(sort_array(collect_list(struct(col("cell"), col("c_emb"), col("c_norm"))))
         .as("cents")))
 
-  /** Per-row (cos, -cell) score structs against every centroid: struct
-    * order makes max = best score with smallest-cell tiebreak — a PURE
-    * PROJECTION over the broadcast centroid row, zero shuffle. */
-  private[sim] def withCellScores(df: DataFrame, centArr: DataFrame): DataFrame =
-    df.withColumn("_n", norm(col("embedding")))
-      .crossJoin(centArr)
-      .withColumn("_cs", transform(col("cents"), c =>
-        struct(
-          (dot(col("embedding"), c.getField("c_emb")) /
-            (col("_n") * c.getField("c_norm"))).as("s"),
-          (-c.getField("cell")).cast("long").as("negc"))))
+  /** Per-row best (s, cell) against every centroid: the native
+    * [[CodebookTopK]] argmax — a PURE PROJECTION over the broadcast
+    * centroid row, zero shuffle, and (since r15) one fused codegen
+    * loop instead of the interpreted HOF transform + array_max walk
+    * (CodebookTopK's scaladoc carries the measured rationale). */
+  private[sim] def withBestCell(df: DataFrame, centArr: DataFrame): DataFrame =
+    df.crossJoin(centArr)
+      .withColumn("_best", element_at(topCells(col("embedding"), col("cents"), 1), 1))
 
   def ivf(vectors: DataFrame, queries: DataFrame, k: Int,
           nCells: Int = 0, nprobe: Int = 4,
@@ -275,13 +281,27 @@ object Ann {
     topK(ivfScored(vectors, queries, nCells, nprobe, trainIters), "q_id", k)
       .select(col("q_id"), col("nn_id"), round(col("_score"), 4).as("score"), col("rank"))
 
+  /** The flat quantizer's cell cap, and the auto-routing rule built on
+    * it: past ⌈√N⌉ > cap (N ≳ 16.8M at the production cap of 4096) the
+    * capped flat quantizer's probe join admits nprobe·N/cap candidates
+    * per query — LINEAR in N — so the auto path switches the ROUTING
+    * STRUCTURE to the two-level IMI quantizer instead (the faiss
+    * index-factory decision: IVF→IMI/HNSW at scale, never more flat
+    * cells). Measured adjudication: at 2e7 vectors the capped flat arm
+    * DNF'd (>70 min) where IMI finished in 36.5 min end-to-end
+    * (audits/imi_audit_r14.json). `capForTest` exists ONLY so a spec
+    * can prove the switch fires without synthesizing 17M vectors. */
+  private[graft] def flatCapBinds(n: Long, cap: Int): Boolean =
+    math.ceil(math.sqrt(n.toDouble)) > cap
+
   /** The flat-IVF candidate stream BEFORE the top-k heap — one row per
     * (query, probed-cell member) scored pair. Exposed so candidate-
     * volume audits (ImiAudit, pruning specs) can count what the
     * routing admits without re-deriving the plan. */
   private[graft] def ivfScored(vectors: DataFrame, queries: DataFrame,
                                nCells: Int = 0, nprobe: Int = 4,
-                               trainIters: Int = 2): DataFrame = {
+                               trainIters: Int = 2,
+                               capForTest: Int = 4096): DataFrame = {
     // nCells <= 0 → auto: ~√N cells (the faiss nlist rule, floored at
     // 16). The cell count MUST grow with the corpus: at a fixed count
     // the probed-cell join scores Q·nprobe·(N/nCells) pairs — quadratic
@@ -292,12 +312,30 @@ object Ann {
     // quantizer's own assignment (N·nCells·d per pass, and the
     // nCells·d broadcast) would outgrow the probe join it exists to
     // shrink — beyond ~16M vectors, real systems switch the ROUTING
-    // structure (IMI/HNSW coarse quantizers), not the cell count.
-    // Callers with a tuned index pass nCells explicitly.
+    // structure, so the auto path DELEGATES to [[ivfImiScored]] there
+    // ([[flatCapBinds]] — r14 verdict item 3: a 100 TB caller who
+    // doesn't know to call ivfImi must not get the capped flat plan).
+    // Callers with a tuned index pass nCells explicitly and are never
+    // rerouted. Probe-budget mapping: IMI cells are finer (K² ≈ √N of
+    // them vs the capped 4096), so probe 2·nprobe pairs — the same
+    // flat-4 → IMI-8 ratio the registered defaults encode — and size
+    // probePerHalf to keep ≥ nprobe pairs enumerable.
+    val autoN = if (nCells <= 0) vectors.count() else 0L
+    if (nCells <= 0 && flatCapBinds(autoN, capForTest)) {
+      val imiProbe = 2 * nprobe
+      val perHalf = math.max(4,
+        math.ceil(math.sqrt(imiProbe.toDouble)).toInt)
+      System.err.println(s"[ann] auto-routing: N=$autoN past the flat-IVF " +
+        s"cell cap ($capForTest) — switching to the IMI two-level " +
+        s"quantizer (probePerHalf=$perHalf, nprobe=$imiProbe pairs); " +
+        "pass nCells explicitly to force the flat structure")
+      return ivfImiScored(vectors, queries, nCellsPerHalf = 0,
+        probePerHalf = perHalf, nprobe = imiProbe, trainIters = trainIters)
+    }
     val cells =
       if (nCells > 0) nCells
-      else math.min(4096,
-        math.max(16, math.ceil(math.sqrt(vectors.count().toDouble)).toInt))
+      else math.min(capForTest,
+        math.max(16, math.ceil(math.sqrt(autoN.toDouble)).toInt))
     // the coarse quantizer is TRAINED (a couple of Lloyd rounds), not
     // just mod-k seeded means: untrained cells are near-random slices
     // of the corpus, so neighbor recall decays like nprobe/nCells and
@@ -320,18 +358,21 @@ object Ann {
           col("embedding")))
       else lloydCentroids(base, cells, trainIters)
     val centArr = centroidArray(cent)
-    def withScores(df: DataFrame): DataFrame = withCellScores(df, centArr)
-    val assigned = withScores(base)
-      .select(col("vec_id").as("nn_id"), col("embedding"), col("_n").as("_vn"),
-        (-array_max(col("_cs")).getField("negc")).cast("int").as("cell"))
+    val assigned = withBestCell(base, centArr)
+      .select(col("vec_id").as("nn_id"), col("embedding"),
+        norm(col("embedding")).as("_vn"), col("_best.cell").as("cell"))
     // probes scored from the query vectors themselves, so queries need
-    // not exist in the corpus (external query sets work like bruteForce)
-    val probes = withScores(queries.where(allFinite(col("embedding")))
-        .select(col("vec_id"), col("embedding")))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("_n").as("_qn"),
-        explode(expr(
-          s"transform(slice(reverse(array_sort(_cs)), 1, $nprobe), x -> CAST(-x.negc AS INT))"))
-          .as("cell"))
+    // not exist in the corpus (external query sets work like bruteForce).
+    // CodebookTopK returns the nprobe best cells already sorted, so the
+    // probe list is a plain struct explode — no lambda anywhere in the
+    // flat-IVF plan's corpus-volume projections.
+    val probes = queries.where(allFinite(col("embedding")))
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(centArr)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("_qn"),
+        explode(topCells(col("embedding"), col("cents"), nprobe)).as("_p"))
+      .select(col("q_id"), col("q_emb"), col("_qn"), col("_p.cell").as("cell"))
     probes.join(assigned, Seq("cell"))
       .where(col("nn_id") =!= col("q_id"))
       .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
@@ -416,38 +457,34 @@ object Ann {
     val centArr1 = centroidArray(trainHalf(half1))
     val centArr2 = centroidArray(trainHalf(half2))
       .withColumnRenamed("cents", "cents2")
-    // per-row (cos, -cell) structs per half — the withCellScores shape
+    // per-half top-n (s, cell) lists — the native CodebookTopK scan
     // twice over one pass, against two 1-row broadcast codebooks
-    def withHalfScores(df: DataFrame): DataFrame =
+    // (n = 1 for assignment, probePerHalf for query routing)
+    def withHalfTops(df: DataFrame, n: Int): DataFrame =
       df.crossJoin(centArr1).crossJoin(centArr2)
         .withColumn("_h1", half1).withColumn("_h2", half2)
-        .withColumn("_n1", norm(col("_h1")))
-        .withColumn("_n2", norm(col("_h2")))
-        .withColumn("_cs1", transform(col("cents"), c => struct(
-          (dot(col("_h1"), c.getField("c_emb")) /
-            (col("_n1") * c.getField("c_norm"))).as("s"),
-          (-c.getField("cell")).cast("long").as("negc"))))
-        .withColumn("_cs2", transform(col("cents2"), c => struct(
-          (dot(col("_h2"), c.getField("c_emb")) /
-            (col("_n2") * c.getField("c_norm"))).as("s"),
-          (-c.getField("cell")).cast("long").as("negc"))))
-    val assigned = withHalfScores(base)
+        .withColumn("_t1", topCells(col("_h1"), col("cents"), n))
+        .withColumn("_t2", topCells(col("_h2"), col("cents2"), n))
+    val assigned = withHalfTops(base, 1)
       .select(col("vec_id").as("nn_id"), col("embedding"),
         norm(col("embedding")).as("_vn"),
-        (-array_max(col("_cs1")).getField("negc")).cast("int").as("cell1"),
-        (-array_max(col("_cs2")).getField("negc")).cast("int").as("cell2"))
+        element_at(col("_t1"), 1).getField("cell").as("cell1"),
+        element_at(col("_t2"), 1).getField("cell").as("cell2"))
     // pair enumeration in-row: probePerHalf² (ps, negc1, negc2)
     // structs, sorted so max = best combined score with smallest-
     // (cell1, cell2) tiebreak, sliced to nprobe, exploded — the
-    // multi-sequence frontier truncated to the per-half top lists
-    val probes = withHalfScores(
+    // multi-sequence frontier truncated to the per-half top lists.
+    // The transform lambdas here walk the BOUNDED probePerHalf-entry
+    // top lists (≤ p² structs per query row), not the K-codebook —
+    // the codebook scan already happened inside CodebookTopK.
+    val probes = withHalfTops(
         queries.where(allFinite(col("embedding")))
-          .select(col("vec_id"), col("embedding")))
-      .withColumn("_t1", expr(s"slice(reverse(array_sort(_cs1)), 1, $probePerHalf)"))
-      .withColumn("_t2", expr(s"slice(reverse(array_sort(_cs2)), 1, $probePerHalf)"))
+          .select(col("vec_id"), col("embedding")), probePerHalf)
       .withColumn("_pairs", expr(
         "flatten(transform(_t1, a -> transform(_t2, b -> " +
-          "struct(a.s + b.s AS ps, a.negc AS negc1, b.negc AS negc2))))"))
+          "struct(a.s + b.s AS ps, " +
+          "CAST(-a.cell AS BIGINT) AS negc1, " +
+          "CAST(-b.cell AS BIGINT) AS negc2))))"))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         norm(col("embedding")).as("_qn"),
         explode(expr(s"slice(reverse(array_sort(_pairs)), 1, $nprobe)")).as("_p"))
@@ -488,10 +525,10 @@ object Ann {
     val base = vectors.where(allFinite(col("embedding")))
       .select(col("vec_id"), col("embedding"))
     val cent = lloydCentroids(base, k, iters)
-    withCellScores(base, centroidArray(cent))
+    withBestCell(base, centroidArray(cent))
       .select(col("vec_id"),
-        (-array_max(col("_cs")).getField("negc")).cast("int").as("cluster"),
-        round(array_max(col("_cs")).getField("s"), 4).as("cos_to_centroid"))
+        col("_best.cell").as("cluster"),
+        round(col("_best.s"), 4).as("cos_to_centroid"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -603,9 +640,8 @@ object Ann {
       .withColumn("cell", pmod(col("vec_id"), lit(k)).cast("int"))).localCheckpoint(true)
     try {
       for (_ <- 1 to iters) {
-        val assigned = withCellScores(base, centroidArray(cent))
-          .select(col("vec_id"), col("embedding"),
-            (-array_max(col("_cs")).getField("negc")).cast("int").as("cell"))
+        val assigned = withBestCell(base, centroidArray(cent))
+          .select(col("vec_id"), col("embedding"), col("_best.cell").as("cell"))
         val next = cellMeans(assigned).localCheckpoint(true)
         CheckpointBridge.free(cent)
         cent = next
