@@ -75,7 +75,11 @@ object Bench {
     // aid (e.g. codegen knobs for the in-suite-amplification probes);
     // the driver never sets it, so round records run stock. Malformed
     // entries fail loudly — a typo'd knob silently ignored would make
-    // an experiment "measure" the stock config.
+    // an experiment "measure" the stock config. LIMITATION (r14
+    // advice): ';' is the entry separator with no escape, so a conf
+    // VALUE containing a semicolon (legal in e.g. extraJavaOptions)
+    // cannot be injected here — the truncated tail entry then fails
+    // the k=v require loudly rather than half-applying.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
         val i = kv.indexOf('=')

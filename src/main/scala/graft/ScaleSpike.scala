@@ -73,8 +73,15 @@ object ScaleSpike {
           stamp.toPath)).trim.toInt == copies).getOrElse(false)
     }
     def deleteRecursively(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-      f.delete()
+      // listFiles() returns NULL (not empty) on an I/O error or a
+      // concurrent-deletion race — report the path we could not clear
+      // instead of NPE-ing mid-cleanup (r14 advice)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .foreach(deleteRecursively)
+      if (!f.delete() && f.exists())
+        System.err.println(s"[spike] WARN could not delete $f — " +
+          "stale-table cleanup incomplete; clear it manually")
     }
     def spikeTable(name: String)(mkCopy: (DataFrame, Int) => DataFrame): Unit = {
       val tgt = new java.io.File(out, s"$name.parquet")

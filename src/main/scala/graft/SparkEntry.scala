@@ -292,6 +292,45 @@ object SparkEntry {
           "event_id", "acl_source")
         .orderBy("event_id", "family", "qualifier")
     }),
+    // AccessController WRITE path (prePut/preDelete, Action.WRITE —
+    // the mutation-side gate, r14 verdict's one surface gap): a mixed
+    // put/delete batch authorized per-op by covering W grant, deny by
+    // default, per-op ACCEPT/DENY slots (the batch_partial_failure
+    // shape). alice: RW on web (covers puts, qualifier deletes AND
+    // family-wide deletes there), W on exactly act:purchase (covers
+    // only that qualifier's ops — NOT act family-wide deletes, which
+    // touch every qualifier), R-only on act (an action-specificity
+    // trap: must authorize nothing here); bob's global RW must not
+    // leak in
+    "acl_write_enforce" -> ((s, d) => {
+      import s.implicits._
+      val grants = Seq[(String, Option[String], Option[String], Option[String], String)](
+        ("alice", Some("events"), Some("web"), None, "RW"),
+        ("alice", Some("events"), Some("act"), Some("purchase"), "W"),
+        ("alice", Some("events"), Some("act"), None, "R"),
+        ("bob", None, None, None, "RW")
+      ).toDF("grantee", "tbl", "family", "qualifier", "perm")
+      val cells = Tables.eventCellsTwoFamilies(s, d)
+      val puts = cells.where(col("event_id") % 5 === 0)
+        .select((col("event_id") * 2).as("op_idx"), lit("put").as("op_type"),
+          col("family"), col("qualifier"), col("event_id"))
+      val dels = cells.where(col("event_id") % 7 === 0 &&
+          col("event_id") % 21 =!= 0)
+        .select((col("event_id") * 2 + 1).as("op_idx"),
+          lit("delete").as("op_type"),
+          col("family"), col("qualifier"), col("event_id"))
+      // family-wide deletes: ONE op per (event, family) — qualifier
+      // NULL means the op covers every qualifier in the family
+      val famDels = cells.where(col("event_id") % 21 === 0)
+        .select(col("event_id"), col("family")).distinct()
+        .select((col("event_id") * 2 + 1).as("op_idx"),
+          lit("delete_family").as("op_type"), col("family"),
+          lit(null).cast("string").as("qualifier"), col("event_id"))
+      graft.kv.Acl.enforceWrite(
+          puts.unionByName(dels).unionByName(famDels),
+          grants, "alice", "events")
+        .orderBy("op_idx", "family", "qualifier")
+    }),
     // Get.setTimeRange(0, ts) + maxVersions(1) as a stream-wide temporal
     // join: for each click, the same user's latest purchase at or
     // before it — one shuffle on the key, running struct-max, never a
@@ -539,6 +578,33 @@ object SparkEntry {
         |       CASE WHEN hier THEN 'table' ELSE 'cell' END AS acl_source
         |FROM m WHERE hier OR cellok
         |ORDER BY event_id, family, qualifier""".stripMargin),
+    "acl_write_enforce" ->
+      ("WITH " + graft.core.Tables.eventCellsTwoFamiliesSql + """,
+        |grants(grantee, tbl, family, qualifier, perm) AS (VALUES
+        |  ('alice', 'events', 'web', NULL, 'RW'),
+        |  ('alice', 'events', 'act', 'purchase', 'W'),
+        |  ('alice', 'events', 'act', NULL, 'R'),
+        |  ('bob', NULL, NULL, NULL, 'RW')),
+        |ops AS (
+        |  SELECT event_id * 2 AS op_idx, 'put' AS op_type,
+        |         family, qualifier, event_id
+        |  FROM vcells2 WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT event_id * 2 + 1, 'delete', family, qualifier, event_id
+        |  FROM vcells2 WHERE event_id % 7 = 0 AND event_id % 21 <> 0
+        |  UNION ALL
+        |  SELECT DISTINCT event_id * 2 + 1, 'delete_family', family,
+        |         CAST(NULL AS VARCHAR), event_id
+        |  FROM vcells2 WHERE event_id % 21 = 0)
+        |SELECT op_idx, op_type, family, qualifier, event_id,
+        |  CASE WHEN EXISTS (SELECT 1 FROM grants g
+        |    WHERE g.grantee = 'alice' AND g.perm LIKE '%W%'
+        |      AND (g.tbl IS NULL OR g.tbl = 'events')
+        |      AND (g.family IS NULL OR g.family = o.family)
+        |      AND (g.qualifier IS NULL OR
+        |           (o.qualifier IS NOT NULL AND g.qualifier = o.qualifier)))
+        |  THEN 'ACCEPT' ELSE 'DENY' END AS outcome
+        |FROM ops o ORDER BY op_idx, family, qualifier""".stripMargin),
     // querying through the index must equal filtering the base directly
     "secondary_index" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

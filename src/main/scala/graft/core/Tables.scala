@@ -27,28 +27,51 @@ object Tables {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).map(_.getPath)
-          .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .sortBy(_.getName).headOption
-          .getOrElse(throw new IllegalStateException(
-            s"tsIsNanos: no data files under $path"))
-      else p
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-    try {
-      import org.apache.parquet.schema.LogicalTypeAnnotation
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      // getFieldIndex form sidesteps MessageType's varargs getType
-      // overload (ambiguous vs GroupType's single-String one in Scala)
-      schema.getType(schema.getFieldIndex("ts"))
-        .getLogicalTypeAnnotation match {
-        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-        case _ => false
-      }
-    } finally reader.close()
+    def footerIsNanos(file: Path): Boolean = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        import org.apache.parquet.schema.LogicalTypeAnnotation
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        // getFieldIndex form sidesteps MessageType's varargs getType
+        // overload (ambiguous vs GroupType's single-String one in Scala)
+        schema.getType(schema.getFieldIndex("ts"))
+          .getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }
+      } finally reader.close()
+    }
+    if (fs.getFileStatus(p).isDirectory) {
+      // FILES only (r14 advice): a partitioned/nested layout would
+      // hand ParquetFileReader a subdirectory and fail obscurely —
+      // name the layout problem instead. Directories are skipped,
+      // not descended: this loader serves the flat single-generation
+      // dirs the generators write; a partitioned events table would
+      // need a per-partition probe to be trustworthy.
+      val entries = fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .sortBy(_.getName)
+      if (entries.isEmpty) throw new IllegalStateException(
+        s"tsIsNanos: no data FILES directly under $path — " +
+          "nested/partitioned parquet layouts need a flat events dir " +
+          "(one generation of part files)")
+      // mixed-generation guard (r14 verdict low finding): letting the
+      // lexicographically-first footer speak for the whole dir would
+      // mis-decode or fail mid-scan when NANOS and MICROS part files
+      // co-reside (a partial regeneration). Probing first AND last
+      // catches the realistic mixed shape (one generation's part
+      // files appended after another's sort as a contiguous block)
+      // for two footer reads, not |files|.
+      val headNanos = footerIsNanos(entries.head)
+      if (entries.length > 1 && footerIsNanos(entries.last) != headNanos)
+        throw new IllegalStateException(
+          s"tsIsNanos: mixed ts encodings under $path — " +
+            s"${entries.head.getName} and ${entries.last.getName} disagree " +
+            "on TIMESTAMP(NANOS); regenerate the dir as one generation")
+      headNanos
+    } else footerIsNanos(p)
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =

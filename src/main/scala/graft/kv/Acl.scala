@@ -33,15 +33,22 @@ object Acl {
     * streams straight from the scan with NO shuffle, each cell
     * evaluated against the in-memory grant list, which is precisely
     * what a regionserver's AuthManager cache does per cell batch. */
-  /** The user's covering READ grants — ONE copy of the grantee/perm/
-    * table filter both read paths share (a grant-semantics change must
-    * land once, not be hand-synced). */
+  /** The user's covering grants for one action — ONE copy of the
+    * grantee/perm/table filter every enforcement path shares (a
+    * grant-semantics change must land once, not be hand-synced).
+    * `action` is the single-letter Action code ('R' read, 'W' write)
+    * matched inside the perm string, exactly the reference's
+    * Permission#implies action test. */
+  private def userGrants(grants: DataFrame, user: String,
+                         table: String, action: String): DataFrame =
+    grants
+      .where(col("grantee") === user && instr(col("perm"), action) > 0 &&
+        (col("tbl").isNull || col("tbl") === table))
+    .select(col("family").as("_gf"), col("qualifier").as("_gq"))
+
   private def userReadGrants(grants: DataFrame, user: String,
                              table: String): DataFrame =
-    grants
-      .where(col("grantee") === user && instr(col("perm"), "R") > 0 &&
-        (col("tbl").isNull || col("tbl") === table))
-      .select(col("family").as("_gf"), col("qualifier").as("_gq"))
+    userGrants(grants, user, table, "R")
 
   /** The hierarchy cover predicate over [[userReadGrants]]' columns. */
   private def cover =
@@ -52,6 +59,50 @@ object Acl {
                   user: String, table: String): DataFrame =
     cells.join(broadcast(userReadGrants(grants, user, table)), cover,
       "left_semi")
+
+  /** WRITE-path enforcement — the prePut/preDelete half of
+    * AccessController (hbase-server/.../security/access/
+    * AccessController.java:1647 `prePut`, :1691 `preDelete`, both
+    * calling `permissionGranted(..., Action.WRITE)` at :1661/:1706): a
+    * mutation is authorized iff a WRITE grant covers every cell it
+    * touches at some hierarchy level — global, table, family, or exact
+    * qualifier — and DENIED by default. Re-expressed per-op over a
+    * mixed put/delete batch: each op row gets the per-op result slot
+    * of HTable.batch (the `batch_partial_failure` outcome shape),
+    * ACCEPT when covered, DENY otherwise — denied ops fail ALONE,
+    * their batch-mates still land.
+    *
+    * Cover is STRICTER than the read path's on wildcards in the OP
+    * (the preDelete comment in the reference: a delete must hold WRITE
+    * on ALL cells it covers, since compaction can drop prior
+    * versions): an op with a NULL qualifier (family-wide delete)
+    * touches every qualifier in the family, so a qualifier-level
+    * grant cannot cover it — only family-or-above grants do. A
+    * qualifier-level op is covered by any level down to its exact
+    * qualifier, like reads.
+    *
+    * Plan shape: same as [[enforceRead]] — the user's few covering
+    * grants broadcast beside the op stream (the AuthManager cache),
+    * authorization is a broadcast semi/anti pair with NO shuffle on
+    * the op side; the ACCEPT/DENY legs are disjoint by construction so
+    * the union needs no dedup.
+    *
+    * @param ops one row per mutation op: at least (family, qualifier)
+    *            — qualifier NULL = whole-family op; all columns pass
+    *            through with `outcome` appended. */
+  def enforceWrite(ops: DataFrame, grants: DataFrame,
+                   user: String, table: String): DataFrame = {
+    val g = userGrants(grants, user, table, "W")
+    val writeCover =
+      (col("_gf").isNull || col("_gf") === col("family")) &&
+        (col("_gq").isNull ||
+          (col("qualifier").isNotNull && col("_gq") === col("qualifier")))
+    val accepted = ops.join(broadcast(g), writeCover, "left_semi")
+      .withColumn("outcome", lit("ACCEPT"))
+    val denied = ops.join(broadcast(g), writeCover, "left_anti")
+      .withColumn("outcome", lit("DENY"))
+    accepted.unionByName(denied)
+  }
 
   /** Cell-level ACL read enforcement (hbase-server/.../security/access/
     * AccessController.java — HBASE-7662's per-cell ACLs: Mutation#setACL

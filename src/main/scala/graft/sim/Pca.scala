@@ -112,7 +112,15 @@ object Pca {
           raise_error(lit("gramExact: worst-case milli-unit product sum " +
             "near int64 range — rescale the units or shard the corpus")))
           .otherwise(col("s2")).as("gram_milli2"),
-        col("sm").as("sum_i_milli"), col("n"))
+        // the first moment needs its OWN guard riding ITS column (r14
+        // advice): the s2 guard's product is 0 whenever a j-dimension
+        // is all zeros (_bj = 0), yet Σxi can still wrap at extreme
+        // n·|e| — n·_bi in double cannot wrap, same discipline
+        when(col("n").cast("double") * col("_bi").cast("double")
+            > lit(math.pow(2, 62)),
+          raise_error(lit("gramExact: worst-case milli-unit first-moment " +
+            "sum near int64 range — rescale the units or shard the corpus")))
+          .otherwise(col("sm")).as("sum_i_milli"), col("n"))
   }
 
   /** Top-k principal spectrum of the embedding covariance:

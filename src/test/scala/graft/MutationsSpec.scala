@@ -975,6 +975,49 @@ class MutationsSpec extends SparkSpec {
       ("u", Some("t"), Some("act"), Some("purchase"), "R"))) == Set(1L, 2L, 3L))
   }
 
+  test("Acl.enforceWrite: deny by default, hierarchy covers, family-wide " +
+      "ops need family-or-above W, read grants don't write") {
+    import spark.implicits._
+    // op batch: qualifier-level put/delete plus a family-wide delete
+    // (qualifier NULL) per family
+    val ops = Seq(
+      (1L, "put", "web", Option("click")), (2L, "delete", "web", Option("view")),
+      (3L, "put", "act", Option("purchase")), (4L, "delete", "act", Option("error")),
+      (5L, "delete_family", "web", None), (6L, "delete_family", "act", None)
+    ).toDF("op_idx", "op_type", "family", "qualifier")
+    def grants(rows: (String, Option[String], Option[String], Option[String], String)*) =
+      rows.toSeq.toDF("grantee", "tbl", "family", "qualifier", "perm")
+    def accepted(g: org.apache.spark.sql.DataFrame, user: String = "u") =
+      graft.kv.Acl.enforceWrite(ops, g, user, "t")
+        .where(col("outcome") === "ACCEPT")
+        .select("op_idx").as[Long].collect().toSet
+    // every op always gets exactly one result slot, whatever the grants
+    assert(graft.kv.Acl.enforceWrite(ops,
+      grants(("u", Some("t"), Some("web"), None, "W")), "u", "t")
+      .groupBy("op_idx").count().where(col("count") =!= 1).count() == 0)
+    // no grants at all → all DENY (deny by default)
+    assert(accepted(grants(("other", None, None, None, "W"))) == Set.empty[Long])
+    // read-only grant does not authorize writes (action specificity)
+    assert(accepted(grants(("u", Some("t"), None, None, "R"))) == Set.empty[Long])
+    // a grant on another table must not leak in
+    assert(accepted(grants(("u", Some("elsewhere"), None, None, "RW"))) == Set.empty[Long])
+    // qualifier-level W: exactly that op — NOT the family-wide delete,
+    // which touches qualifiers the grant does not cover (the preDelete
+    // all-covered-cells rule)
+    assert(accepted(grants(("u", Some("t"), Some("web"), Some("click"), "W"))) == Set(1L))
+    // family-level W: the family's qualifier ops AND its family-wide op
+    assert(accepted(grants(("u", Some("t"), Some("web"), None, "W"))) == Set(1L, 2L, 5L))
+    // table-level RW: everything; global (tbl NULL) likewise
+    assert(accepted(grants(("u", Some("t"), None, None, "RW"))) ==
+      Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(accepted(grants(("u", None, None, None, "W"))) ==
+      Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // levels combine across families
+    assert(accepted(grants(
+      ("u", Some("t"), Some("web"), None, "W"),
+      ("u", Some("t"), Some("act"), Some("purchase"), "W"))) == Set(1L, 2L, 3L, 5L))
+  }
+
   test("Acl.enforceReadCellAcls: tag perms read from the SECOND field, default deny") {
     import spark.implicits._
     // the perm field is split_part(tag, ':', 2) — a multi-colon tag's
