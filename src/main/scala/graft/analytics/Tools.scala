@@ -1035,14 +1035,20 @@ object Tools {
       // qualifier common
       .withColumn("_common", when(col("_rkc") < col("_rlen"), col("_rkc") + 2L)
         .otherwise(col("_rkc") + lit(3L + famLen) + commonChars("_q", "_pq")))
-      // common leading BE bytes of the two 8-byte timestamps
-      .withColumn("_tsc", expr(
-        "cast(IF(array_position(transform(sequence(1, 8), i -> " +
+      // common leading BE bytes of the two 8-byte timestamps. The
+      // first-mismatch position is computed ONCE into its own column
+      // (r15 review): inlining the transform+array_position subtree
+      // into both arms of the IF made every cell of this scan-volume
+      // projection allocate and fold the 8-flag array twice —
+      // CollapseProject keeps a multiply-referenced non-cheap alias in
+      // its own projection, so this halves the per-cell work of the
+      // hottest expression in the encoding queries
+      .withColumn("_tsmis", expr(
+        "array_position(transform(sequence(1, 8), i -> " +
           "IF((shiftright(_ts, (8 - i) * 8) & 255) = " +
-          "(shiftright(_pts, (8 - i) * 8) & 255), 1, 0)), 0) = 0, 8, " +
-          "array_position(transform(sequence(1, 8), i -> " +
-          "IF((shiftright(_ts, (8 - i) * 8) & 255) = " +
-          "(shiftright(_pts, (8 - i) * 8) & 255), 1, 0)), 0) - 1) as bigint)"))
+          "(shiftright(_pts, (8 - i) * 8) & 255), 1, 0)), 0)"))
+      .withColumn("_tsc",
+        expr("cast(IF(_tsmis = 0, 8, _tsmis - 1) as bigint)"))
       // withTsType=true common (PREFIX): the fold is SEQUENTIAL — ts
       // bytes only count after the row fully matched AND the whole
       // qualifier matched (findCommonPrefixInFlatKey early-returns at
@@ -2244,7 +2250,18 @@ object Tools {
         min(idCol).as("min_id"), max(idCol).as("max_id"),
         sum(when(col("_gap").isNull || col("_gap") > 1, 1L).otherwise(0L))
           .as("n_runs"))
-      .withColumn("density_ppm", expr("n_rows * 1000000 div (max_id - min_id + 1)"))
+      // guarded multiply, not bare (r15 review): n_rows * 10⁶ wraps
+      // past ~9.2e12 rows per value and reports a garbage density from
+      // the audit that sizes the index — refuse loudly like
+      // block_cache_plan/bloom_size_plan. The guard rides the
+      // NUMERATOR, not ppmExact's denominator proxy: a sparse posting
+      // (2 rows across a 10¹³ id span) has a huge span but a tiny
+      // numerator, and the proxy would false-refuse it.
+      .withColumn("density_ppm", expr(
+        s"CASE WHEN n_rows <= ${Long.MaxValue / 1000000L} " +
+          "THEN n_rows * 1000000 div (max_id - min_id + 1) " +
+          "ELSE raise_error(concat('postingRunStats: n_rows = ', n_rows, " +
+          "' past the exact-integer ppm bound — shard the posting audit')) END"))
   }
 
   /** HeapMemoryManager auto-tuner direction table (regionserver/

@@ -3103,7 +3103,7 @@ object PipelineQueries {
         |  m3 * 1000000 // greatest(t3, 1) AS p3_ppm,
         |  m4 * 1000000 // greatest(t4, 1) AS p4_ppm,
         |  (CASE WHEN c_len >= r_len THEN 0
-        |        ELSE CAST(floor(((1.0 - CAST(r_len AS DOUBLE) / c_len)
+        |        ELSE CAST(floor(((1.0 - CAST(r_len AS DOUBLE) / greatest(c_len, 1))
         |          * 0.43429448190325176) * 1000000) AS BIGINT) END)
         |  + ((  CAST(floor(log10(m1 + 1) * 1000000) AS BIGINT)
         |      - CAST(floor(log10(t1 + 1) * 1000000) AS BIGINT)
@@ -3160,7 +3160,7 @@ object PipelineQueries {
         |  m3 * 1000000 // greatest(t3, 1) AS p3_ppm,
         |  m4 * 1000000 // greatest(t4, 1) AS p4_ppm,
         |  (CASE WHEN c_len >= r_len THEN 0
-        |        ELSE CAST(floor(((1.0 - CAST(r_len AS DOUBLE) / c_len)
+        |        ELSE CAST(floor(((1.0 - CAST(r_len AS DOUBLE) / greatest(c_len, 1))
         |          * 0.43429448190325176) * 1000000) AS BIGINT) END)
         |  + ((  CAST(floor(log10(m1 + 1) * 1000000) AS BIGINT)
         |      - CAST(floor(log10(t1 + 1) * 1000000) AS BIGINT)

@@ -146,9 +146,17 @@ object GenerationEval {
       .withColumn("p2_ppm", expr("m2 * 1000000 div greatest(t2, 1L)"))
       .withColumn("p3_ppm", expr("m3 * 1000000 div greatest(t3, 1L)"))
       .withColumn("p4_ppm", expr("m4 * 1000000 div greatest(t4, 1L)"))
+      // greatest(c_len, 1) in the brevity penalty: an EMPTY candidate
+      // (c_len = 0, r_len > 0) otherwise divides by zero — silent NULL
+      // bleu for the worst possible generation (or an ANSI job kill),
+      // the exact class the rougeN guard above closed (r15 review; the
+      // registered corpora never feed empties, but this public surface
+      // takes a caller's pairs). Treated as length 1: bp = 1 − r, the
+      // deepest penalty the integer form expresses, same discipline as
+      // every greatest(t, 1) ppm divide in this file.
       .withColumn("bleu_mlog_micro", expr(
         """(CASE WHEN c_len >= r_len THEN 0L
-          |  ELSE CAST(floor(((1.0D - CAST(r_len AS DOUBLE) / c_len)
+          |  ELSE CAST(floor(((1.0D - CAST(r_len AS DOUBLE) / greatest(c_len, 1L))
           |    * 0.43429448190325176D) * 1000000) AS BIGINT) END)
           |""".stripMargin + s" + (($mlogDiff) div 4)"))
       .select(col("cand_id"), col("ref_id"), col("c_len"), col("r_len"),

@@ -522,8 +522,16 @@ object TextOps {
         explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
       .withColumn("bucket", rabinFold("token") % buckets)
-    val model = toks.groupBy("bucket").agg(count(lit(1)).as("cr"),
+    val model0 = toks.groupBy("bucket").agg(count(lit(1)).as("cr"),
       sum(when(col("_t"), 1L).otherwise(0L)).as("ct"))
+    // the model is ≤ buckets rows BY CONSTRUCTION (hash % buckets),
+    // but its lazy plan re-runs the full corpus token pass per
+    // consumer — and it had TWO (the scoring join and the consts
+    // aggregate, which paid an entire corpus scan for 2 scalars; r15
+    // review, the k-fold re-scan class materializeMeta exists for).
+    // Pinned to a driver-local relation once, consts becomes a
+    // LocalRelation fold — values bit-identical, one corpus pass saved.
+    val model = graft.analytics.Tools.materializeMeta(model0, buckets)
     val consts = model.agg(sum("cr").as("_nr"), sum("ct").as("_nt"))
     toks.join(broadcast(model), "bucket")
       .groupBy("doc_id")
@@ -735,16 +743,31 @@ object TextOps {
     * a rounding or filter tweak applied to one family but not the
     * other would make the two fertility reports silently
     * incomparable. `wordTok` is (w, _n_syms). */
-  private def fertility(docs: DataFrame, wordTok: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+  private def fertility(docs: DataFrame, wordTok: DataFrame): DataFrame = {
+    val per = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .where(col("w").rlike("^[a-z0-9]+$"))
       .join(wordTok, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("w")).cast("long")).as("n_chars"),
         sum("_n_syms").as("n_tokens"))
+    // a per-doc REPORT covers every doc (r15 review — the same
+    // docs-left-join coverage fix gopherRules/repetition/
+    // unigramLogProb/qualityFeatures each received): a doc with no
+    // [a-z0-9]+ word (all punctuation/uppercase) vanished from the
+    // fertility table through the inner join, indistinguishable from
+    // "doc absent". It reports zero counts and a NULL ratio instead —
+    // no tokens, no defined chars-per-token (the IF also keeps the
+    // div off zero, which ANSI would kill the job over).
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .withColumn("chars_per_token_micro",
-        expr("n_chars * 1000000 div n_tokens"))
+        expr("IF(n_tokens = 0, CAST(NULL AS BIGINT), " +
+          "n_chars * 1000000 div n_tokens)"))
+  }
 
   /** Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization"
     * §3 — the SentencePiece unigram model, the other mainstream

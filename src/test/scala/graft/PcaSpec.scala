@@ -77,6 +77,24 @@ class PcaSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("chars_per_token_micro") == 3000000L)
   }
 
+  test("fertility reports cover wordless docs with zero counts, not absence") {
+    // a doc with no [a-z0-9]+ word (all punctuation/uppercase) used to
+    // vanish through the inner word join (r15 review — the same
+    // docs-left-join coverage class gopherRules/repetition/
+    // unigramLogProb closed): it must report zero counts and a NULL
+    // ratio, distinguishable from "doc absent"
+    val docs = Seq(
+      (1L, "abab ab"),
+      (2L, "FOO !!! ??")).toDF("doc_id", "text")
+    val out = TextOps.bpeApply(docs, nMerges = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(1L, 2L), s"docs covered: ${out.keySet}")
+    assert(out(2L).getAs[Long]("n_words") == 0L)
+    assert(out(2L).getAs[Long]("n_tokens") == 0L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("chars_per_token_micro")),
+      "no tokens -> no defined chars-per-token ratio")
+  }
+
   test("gramExact: hand-computed milli-unit triangle cells, guard rides the value") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -445,6 +445,18 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().head
     assert(rgEmpty == ((0L, 0L, 0L)), s"empty-cand rouge: $rgEmpty")
 
+    // an EMPTY candidate must score a deep FINITE brevity penalty,
+    // never a silent NULL / ANSI divide-by-zero (r15 review — bleu's
+    // sibling of the rougeN guard above): c_len treated as 1, so
+    // bp = (1 − r_len)·log10(e)·10⁶ = floor(−434294.48) at r_len = 2
+    val blEmpty = GenerationEval.bleu(GenerationEval.evalPairs(
+        Seq((1L, 2L)).toDF("cand_id", "ref_id"),
+        Seq((1L, Seq.empty[String])).toDF("doc_id", "text"),
+        Seq((2L, Seq("b", "c"))).toDF("doc_id", "text")))
+      .select("p1_ppm", "bleu_mlog_micro")
+      .as[(Long, Long)].collect().head
+    assert(blEmpty == ((0L, -434295L)), s"empty-cand bleu: $blEmpty")
+
     // unmatched pairs DROP by default (documented inner-join contract)
     // and refuse loudly under strict (r13 review: a failed sampling
     // run's missing generation must not silently shrink the report)
