@@ -83,12 +83,16 @@ object ImiAudit {
     // the flat arm runs UNTRAINED (trainIters = 0, seeded quantizer):
     // one N·4096·d assignment pass instead of two — a LOWER BOUND on
     // the capped flat arm's cost (the trained form the registered
-    // queries run pays this pass once per Lloyd round on top), and
-    // near-uniform cells, so its measured candidate volume sits at the
-    // analytic nprobe·N/4096
+    // queries run pays this pass once per Lloyd round on top).
+    // nCells is passed EXPLICITLY (r15 review): past the cap the auto
+    // path now reroutes to IMI (Ann.flatCapBinds — the very rule this
+    // audit justifies), which silently turned this control arm into a
+    // second IMI measurement; an explicit nCells pins the flat
+    // structure, which is the whole point of the arm.
     if (arms != "imi")
       report("flat_seeded", s""""cells":$flatCells,"nprobe":4,"train_iters":0""")(
-        graft.sim.Ann.ivfScored(vectors, queries, trainIters = 0))
+        graft.sim.Ann.ivfScored(vectors, queries, nCells = flatCells,
+          trainIters = 0))
     spark.stop()
   }
 }

@@ -330,7 +330,8 @@ object Ann {
         s"quantizer (probePerHalf=$perHalf, nprobe=$imiProbe pairs); " +
         "pass nCells explicitly to force the flat structure")
       return ivfImiScored(vectors, queries, nCellsPerHalf = 0,
-        probePerHalf = perHalf, nprobe = imiProbe, trainIters = trainIters)
+        probePerHalf = perHalf, nprobe = imiProbe, trainIters = trainIters,
+        knownN = autoN)
     }
     val cells =
       if (nCells > 0) nCells
@@ -431,16 +432,21 @@ object Ann {
     * two-level sibling) — what the (cell1, cell2) routing admits. */
   private[graft] def ivfImiScored(vectors: DataFrame, queries: DataFrame,
                                   nCellsPerHalf: Int = 0, probePerHalf: Int = 4,
-                                  nprobe: Int = 8, trainIters: Int = 2): DataFrame = {
+                                  nprobe: Int = 8, trainIters: Int = 2,
+                                  knownN: Long = -1L): DataFrame = {
     val base = vectors.where(allFinite(col("embedding")))
       .select(col("vec_id"), col("embedding"))
     // sizing count runs over the UNFILTERED input like [[ivf]]'s (the
     // oracle's kk CTE counts the raw table; a metadata-only parquet
-    // count either way — registered corpora hold no non-finite rows)
+    // count either way — registered corpora hold no non-finite rows).
+    // `knownN` lets the auto-route path hand down the N it already
+    // counted (r15 review: the reroute paid a second full count job
+    // on exactly the past-cap corpora this path exists for).
     val kHalf =
       if (nCellsPerHalf > 0) nCellsPerHalf
       else math.min(4096, math.max(4,
-        math.ceil(math.sqrt(math.sqrt(vectors.count().toDouble))).toInt))
+        math.ceil(math.sqrt(math.sqrt(
+          (if (knownN >= 0) knownN else vectors.count()).toDouble))).toInt))
     // halves are computed per-row (size div 2), so no d probe job;
     // slice is 1-based and the second half takes the remainder (odd d
     // puts the extra dimension in half 2)

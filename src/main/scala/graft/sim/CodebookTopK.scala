@@ -76,12 +76,17 @@ case class CodebookTopK(left: Expression, right: Expression, n: Int)
       case _ => false
     }
     // the codebook is positional: (cell int, c_emb array<double>,
-    // c_norm double) — the centroidArray struct shape
+    // c_norm double) — the centroidArray struct shape. The middle
+    // field matches on the PATTERN (r15 review): the former
+    // asInstanceOf[ArrayType] comparison threw an opaque CCE during
+    // analysis on a non-array field instead of this failure message.
     val cbOk = right.dataType match {
       case ArrayType(StructType(fs), _) if fs.length == 3 =>
         fs(0).dataType == IntegerType &&
-          fs(1).dataType == ArrayType(DoubleType, fs(1).dataType
-            .asInstanceOf[ArrayType].containsNull) &&
+          (fs(1).dataType match {
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          }) &&
           fs(2).dataType == DoubleType
       case _ => false
     }
@@ -123,7 +128,10 @@ case class CodebookTopK(left: Expression, right: Expression, n: Int)
       if (cents.isNullAt(c)) return null
       val row = cents.getStruct(c, 3)
       val ce = row.getArray(1)
-      if (ce.numElements() != d) return null
+      // a NULL c_emb FIELD inside a non-null entry is the third
+      // malformation shape (r15 review) — same conspicuous-NULL
+      // contract as a NULL entry, not an executor NPE
+      if (ce == null || ce.numElements() != d) return null
       var dotv = 0.0
       var j = 0
       while (j < d) {

@@ -116,6 +116,30 @@ class CodebookTopKSpec extends SparkSpec {
       .select(topCells(col("embedding"), col("cents"), 1).as("t"))
       .collect().head
     assert(got.isNullAt(0), "length-mismatched codebook must yield NULL, not a score")
+    // third malformation shape (r15 review): non-null entry, NULL
+    // c_emb FIELD — same conspicuous-NULL contract, not an executor NPE
+    val nullEmb = spark.createDataFrame(Seq(
+      (0, Some(Seq(1.0, 0.0))), (1, Option.empty[Seq[Double]])))
+      .toDF("cell", "c_emb")
+    val got2 = v.crossJoin(codebookOf(nullEmb)
+        .withColumn("cents", expr(
+          "transform(cents, x -> struct(x.cell AS cell, x.c_emb AS c_emb, " +
+            "coalesce(x.c_norm, 1.0D) AS c_norm))")))
+      .select(topCells(col("embedding"), col("cents"), 1).as("t"))
+      .collect().head
+    assert(got2.isNullAt(0), "NULL c_emb field must yield NULL, not NPE")
+    // a non-array middle field fails ANALYSIS with the named message,
+    // never a ClassCastException (r15 review)
+    val badType = spark.createDataFrame(Seq((0, "oops", 1.0)))
+      .toDF("cell", "c_emb", "c_norm")
+      .agg(sort_array(collect_list(struct(col("cell"), col("c_emb"), col("c_norm"))))
+        .as("cents"))
+    val e = intercept[Exception] {
+      v.crossJoin(badType)
+        .select(topCells(col("embedding"), col("cents"), 1)).collect()
+    }
+    assert(e.getMessage.contains("codebook_topk needs"),
+      s"expected the typed failure message, got: ${e.getMessage.take(200)}")
   }
 
   test("no lambda ever wraps the codebook scan: IVF/IMI/kmeans plans keep " +
