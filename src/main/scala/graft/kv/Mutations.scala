@@ -52,22 +52,37 @@ object Mutations {
     * and message (r12 kv review — the drift trap). */
   private def resolveDuplicateKeys(puts: DataFrame, keyCol: String,
       versionCol: Option[String], tieBreakers: Seq[String],
-      firstWins: Boolean, msg: String, advice: String): DataFrame =
+      firstWins: Boolean, msg: String, advice: String): DataFrame = {
+    // a NULL-key put refuses LOUDLY here, covering put AND
+    // checkAndPutAbsent in one place (r15 review — the class r13
+    // closed for multiRowMutation): every key join is null-unsafe, so
+    // a NULL-key row passes the anti-join "absent" test on EVERY call
+    // and accumulates one unreachable identity-less row per batch —
+    // undeletable by deleteRows, invisible to every CAS. The guard
+    // rides the key column itself (read by every consumer), so it
+    // costs no extra job and cannot be pruned.
+    val guarded = puts.withColumn(keyCol,
+      when(col(keyCol).isNull,
+        raise_error(lit(msg + "NULL — a NULL-key put row is unreachable " +
+          "by every key join (deletes, CAS) and would accumulate per " +
+          "batch; fix the put batch upstream")))
+        .otherwise(col(keyCol)))
     versionCol match {
       case Some(v) =>
         val ord = (v +: tieBreakers)
           .map(c => if (firstWins) col(c).asc else col(c).desc)
         val w = Window.partitionBy(keyCol).orderBy(ord: _*)
-        puts.withColumn("_pv", row_number().over(w))
+        guarded.withColumn("_pv", row_number().over(w))
           .where(col("_pv") === 1).drop("_pv")
       case None =>
         val w = Window.partitionBy(keyCol)
-        puts.withColumn("_pn", count(lit(1)).over(w))
+        guarded.withColumn("_pn", count(lit(1)).over(w))
           .where(assert_true(col("_pn") <= 1,
             concat(lit(msg), col(keyCol).cast("string"), lit(advice)))
             .isNull)
           .drop("_pn")
     }
+  }
 
   /** Delete (row-level): anti-join on the delete key set. */
   def deleteRows(base: DataFrame, keys: DataFrame, keyCol: String): DataFrame =
@@ -403,11 +418,29 @@ object Mutations {
   def batchOutcomes(ops: DataFrame, validFamilies: Seq[String],
                     readOnly: Column): DataFrame = {
     require(validFamilies.nonEmpty, "batchOutcomes needs the table's family set")
-    // coalesce TRUE: a NULL family is as unknown as a wrong one —
-    // three-valued logic would skip the branch and apply the op
+    // a DELETE with NULL family is the WHOLE-ROW delete (r15 review —
+    // the [[batchApply]] scaladoc's documented op shape: 'delete' rows
+    // carry only their key): the reference accepts a Delete with an
+    // empty family map as a row delete and never consults checkFamily
+    // for it (HRegion#prepareDelete), so it bypasses the family check
+    // and answers only to the region state. Recognized only when the
+    // batch carries an op_type column — family-only op relations (the
+    // classifier is also used on bare cell probes) keep the strict
+    // rule below.
+    // coalesce FALSE: a NULL op_type must not turn the whole outcome
+    // CASE three-valued (the guard-arms-name-every-NULL discipline) —
+    // an unknown op with a NULL family stays a family rejection
+    val isRowDelete =
+      if (ops.columns.contains("op_type"))
+        coalesce(col("op_type") === "delete" && col("family").isNull,
+          lit(false))
+      else lit(false)
+    // coalesce TRUE: otherwise a NULL family is as unknown as a wrong
+    // one — three-valued logic would skip the branch and apply the op
     // (HRegion.checkFamily rejects null before the WAL)
     ops.withColumn("outcome",
-        when(coalesce(!col("family").isin(validFamilies: _*), lit(true)),
+        when(!isRowDelete &&
+            coalesce(!col("family").isin(validFamilies: _*), lit(true)),
           "NoSuchColumnFamilyException")
           .when(readOnly, "DoNotRetryIOException: region is read only")
           .otherwise("OK"))

@@ -116,6 +116,19 @@ object Visibility {
       s"adminReplay: op_idx ${dup.head.get(0)} appears more than once — " +
         "the relational replay needs unique indices; re-index the log " +
         "or replay it sequentially (Visibility.replayLocal)")
+    // a NULL grantee on set/clear refuses loudly in BOTH replays (r15
+    // review): it is invisible to every (grantee, label) equi-join
+    // here (null-unsafe), so a NULL-grantee clear silently reported
+    // InvalidLabelException while replayLocal cleared it — and
+    // finalAuths then kept the "cleared" auth. There is no NULL user
+    // (the reference's setAuths/clearAuths take a required user), so
+    // the log shape is refused rather than half-modeled. The op log is
+    // admin metadata; the probe is a metadata-sized job.
+    val nullG = ops.where(col("op").isin("set_auths", "clear_auths") &&
+      col("grantee").isNull).limit(1).collect()
+    require(nullG.isEmpty,
+      "adminReplay: set/clear op with NULL grantee — there is no NULL " +
+        "user; fix the op log")
     // a NULL label is invalid on its face: without the isNotNull leg,
     // rlike(NULL) made BOTH when-arms skip and a never-added label
     // reported LabelAlreadyExistsException (r12 kv review)
@@ -202,9 +215,17 @@ object Visibility {
           else if (labels(l)) Some("LabelAlreadyExistsException")
           else { labels += l; Some("OK") }
         case "set_auths" =>
+          // NULL grantee refuses like adminReplay's probe (r15 review:
+          // the tuple key silently accepted it here while the
+          // relational joins could not see it — the one log shape the
+          // two replays disagreed on)
+          require(g != null, s"replayLocal: set_auths op $idx with NULL " +
+            "grantee — there is no NULL user; fix the op log")
           if (!labels(l)) Some("InvalidLabelException")
           else { auths += ((g, l)); Some("OK") }
         case "clear_auths" =>
+          require(g != null, s"replayLocal: clear_auths op $idx with NULL " +
+            "grantee — there is no NULL user; fix the op log")
           if (!auths((g, l))) Some("InvalidLabelException")
           else { auths -= ((g, l)); Some("OK") }
         case _ => None

@@ -66,6 +66,77 @@ class MutationsSpec extends SparkSpec {
     assert(one.sameElements(Array((9L, "second"))), one.mkString(","))
   }
 
+  test("batch deletes with NULL family are whole-row deletes; NULL-family " +
+      "puts and unknown ops stay rejected") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    // the batchApply scaladoc's documented delete shape: only the key
+    // (r15 review — the family check silently rejected it, so the
+    // "deleted" rows survived with outcome reported per-op as failed)
+    val ops = Seq(
+      (0L, "put", "info", 1L, "A"),
+      (1L, "delete", null.asInstanceOf[String], 2L, null.asInstanceOf[String]),
+      (2L, "put", null.asInstanceOf[String], 3L, "X"),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[String], 3L, "Y")
+    ).toDF("op_idx", "op_type", "family", "k", "v")
+    val out = Mutations.batchOutcomes(ops, Seq("info"), lit(false))
+      .orderBy("op_idx").select("outcome").as[String].collect()
+    assert(out.sameElements(Array("OK", "OK",
+      "NoSuchColumnFamilyException", "NoSuchColumnFamilyException")),
+      out.mkString(","))
+    // and the row delete actually APPLIES: k=2 gone, k=3 untouched
+    // (its NULL-family put failed alone), k=1 updated
+    val applied = Mutations.batchApply(base, ops, "k", Seq("info"), lit(false))
+      .orderBy("k").as[(Long, String)].collect()
+    assert(applied.sameElements(Array((1L, "A"), (3L, "c"))),
+      applied.mkString(","))
+    // a read-only region still rejects the whole-row delete
+    val ro = Mutations.batchOutcomes(
+      Seq((0L, "delete", null.asInstanceOf[String], 2L))
+        .toDF("op_idx", "op_type", "family", "k"),
+      Seq("info"), col("k") === 2L).select("outcome").as[String].head()
+    assert(ro == "DoNotRetryIOException: region is read only")
+  }
+
+  test("NULL-key put rows refuse loudly in put and checkAndPutAbsent") {
+    import spark.implicits._
+    // the multiRowMutation r13 class (r15 review): a NULL-key put
+    // passes every null-unsafe key join as "absent" and accumulates
+    // one unreachable row per batch — refused, not inserted
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val puts = Seq((Option.empty[Long], "X"), (Some(2L), "Y")).toDF("k", "v")
+    val e1 = intercept[Exception] {
+      Mutations.put(base, puts, "k").collect()
+    }
+    assert(e1.getMessage.contains("NULL-key put row is unreachable"),
+      e1.getMessage.take(200))
+    val e2 = intercept[Exception] {
+      Mutations.checkAndPutAbsent(base, puts, "k").collect()
+    }
+    assert(e2.getMessage.contains("NULL-key put row is unreachable"),
+      e2.getMessage.take(200))
+  }
+
+  test("visibility admin replays refuse a NULL grantee identically") {
+    import spark.implicits._
+    // r15 review: the relational replay's (grantee, label) equi-joins
+    // are null-unsafe, so a NULL-grantee clear diverged from
+    // replayLocal (InvalidLabelException vs OK) and finalAuths kept
+    // the cleared auth — both replays now refuse the shape loudly
+    val ops = Seq(
+      (1L, "add_label", null.asInstanceOf[String], "x"),
+      (2L, "set_auths", null.asInstanceOf[String], "x"),
+      (3L, "clear_auths", null.asInstanceOf[String], "x")
+    )
+    val e1 = intercept[Exception] {
+      graft.kv.Visibility.adminReplay(
+        ops.toDF("op_idx", "op", "grantee", "label")).collect()
+    }
+    assert(e1.getMessage.contains("NULL grantee"), e1.getMessage.take(200))
+    val e2 = intercept[Exception] { graft.kv.Visibility.replayLocal(ops) }
+    assert(e2.getMessage.contains("NULL grantee"), e2.getMessage.take(200))
+  }
+
   test("checkAndPut applies only where the BASE row passes the check") {
     val base = Seq((1L, "old", 5.0), (2L, "old", -1.0), (3L, "old", 9.0)).toDF("k", "v", "bal")
     val puts = Seq((1L, "new", 5.0), (2L, "new", -1.0), (4L, "new", 0.0)).toDF("k", "v", "bal")
