@@ -180,7 +180,15 @@ object DataPrep {
       size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
     val w = Window.partitionBy("bucket").orderBy("doc_id")
     val localIdx = expr(s"(_cum - n_tokens) div $ctxTokens")
-    val guarded = when(localIdx < lit(1048576L), localIdx).otherwise(expr(
+    // the guard names the NULL input (r15 review — the three-valued
+    // trap the pass@k guard class documents): a NULL-text doc has
+    // NULL n_tokens, so localIdx is NULL, when(NULL < 2^20) is
+    // UNKNOWN, and the unnamed form fell through to raise_error with
+    // a misleading overflow message — while the oracle returns the
+    // doc's NULL seq_id row. NULL stays NULL (no tokens, no defined
+    // sequence slot), matching the oracle's arithmetic.
+    val guarded = when(localIdx.isNull, lit(null).cast("bigint"))
+      .when(localIdx < lit(1048576L), localIdx).otherwise(expr(
       """raise_error(concat('packSequences: bucket ', bucket,
         |  ' exceeds 2^20 sequences - raise ctxTokens or shrink bucketSize'))"""
         .stripMargin))
@@ -229,14 +237,21 @@ object DataPrep {
     * to ≤ k rows of state before the one shuffle, so a 10⁹-row group
     * costs the same shuffle bytes as a 10³-row one. A group with fewer
     * than k rows yields all of them. */
+  /** @param salt decorrelates this draw from other salt-0 samplers
+    *   (r15 review — the composition hazard sampleMixture/
+    *   sampleTemperature document): an eval set carved here at salt 0
+    *   is exactly the lowest-hash rows, which ALL land inside any
+    *   salt-0 stratified training sample — maximal train/eval leakage
+    *   from two "independent" reproducible draws. Pass a distinct salt
+    *   per logical draw. */
   def sampleReservoir(df: DataFrame, keyCol: String, groupCol: String,
-                      k: Int): DataFrame = {
+                      k: Int, salt: Long = 0L): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import graft.sim.TopKStruct
     require(k >= 1, s"sampleReservoir: k ($k) must be at least 1")
     // TopKStruct keeps the LARGEST structs; negate so the smallest
     // hash (then smallest key) wins
-    val payload = struct((-knuthHash(keyCol)).as("nh"), (-col(keyCol)).as("nk"))
+    val payload = struct((-knuthHash(keyCol, salt)).as("nh"), (-col(keyCol)).as("nk"))
     val agg = ColumnBridge.column(
       TopKStruct(ColumnBridge.expression(payload), k).toAggregateExpression())
     df.groupBy(col(groupCol)).agg(agg.as("_top"))

@@ -1938,8 +1938,12 @@ object PipelineQueries {
         |            WHEN c.digest IS NOT NULL THEN 'dup_in_corpus'
         |            WHEN b.doc_id > m.min_id THEN 'dup_in_batch'
         |            ELSE 'kept' END AS status
-        |FROM b LEFT JOIN c USING (digest) JOIN m USING (digest)
+        |FROM b LEFT JOIN c USING (digest) LEFT JOIN m USING (digest)
         |ORDER BY doc_id""".stripMargin,
+    // ^ LEFT JOIN m (r15 review): the inner form dropped NULL-digest
+    // shard rows (NULL never equi-joins), making the oracle's own
+    // 'b.digest IS NULL THEN kept' arm dead code and diverging from
+    // Dedup.incremental's kept row on a NULL-text capture
     "dedup_ngram_jaccard" -> (ddNgramPairs + " ORDER BY i, j"),
     "dedup_lines" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
@@ -3259,10 +3263,10 @@ object PipelineQueries {
         |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
         |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
         |      FROM tok GROUP BY 1),
-        |f AS (SELECT doc_id,
-        |             least(n, 64) * 15625 * 1 + (ns * 1000000) // n * 4 +
-        |               (nd * 1000000) // n * 1 AS score_micro
-        |      FROM s),
+        |f AS (SELECT d.doc_id,
+        |             coalesce(least(s.n, 64) * 15625 * 1 + (s.ns * 1000000) // s.n * 4 +
+        |               (s.nd * 1000000) // s.n * 1, 0) AS score_micro
+        |      FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
         |sc AS (SELECT f.doc_id, CAST(score_micro AS BIGINT) AS score_micro,
         |              (d.lang = 'en') AS pos
         |       FROM f JOIN documents d ON d.doc_id = f.doc_id),
@@ -3282,10 +3286,10 @@ object PipelineQueries {
         |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
         |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
         |      FROM tok GROUP BY 1),
-        |sc AS (SELECT doc_id,
-        |              CAST(least(n, 64) * 15625 * 1 + (ns * 1000000) // n * 4 +
-        |                   (nd * 1000000) // n * 1 AS BIGINT) AS score_micro
-        |       FROM s),
+        |sc AS (SELECT d.doc_id,
+        |              CAST(coalesce(least(s.n, 64) * 15625 * 1 + (s.ns * 1000000) // s.n * 4 +
+        |                   (s.nd * 1000000) // s.n * 1, 0) AS BIGINT) AS score_micro
+        |       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
         |b AS (SELECT min(score_micro) lo, max(score_micro) hi FROM sc),
         |cd AS (SELECT doc_id, score_micro,
         |              CAST(floor((score_micro - lo) * 4096 / (hi - lo + 1)) AS BIGINT) AS cell
@@ -3481,11 +3485,11 @@ object PipelineQueries {
         |             sum(CASE WHEN tok IN ('the','a','of','and','in','to','is')
         |                      THEN 1 ELSE 0 END) AS ns
         |      FROM tok GROUP BY 1),
-        |sc AS (SELECT doc_id,
-        |              CAST(least(n, 64) * 15625 * 1
-        |                + ((ns * 1000000) // n) * 4
-        |                + ((nd * 1000000) // n) * 1 AS BIGINT) AS score_micro
-        |       FROM f),
+        |sc AS (SELECT d.doc_id,
+        |              CAST(coalesce(least(f.n, 64) * 15625 * 1
+        |                + ((f.ns * 1000000) // f.n) * 4
+        |                + ((f.nd * 1000000) // f.n) * 1, 0) AS BIGINT) AS score_micro
+        |       FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id),
         |g AS (SELECT s.doc_id, d.source, s.score_micro
         |      FROM sc s JOIN documents d USING (doc_id)),
         |best AS (SELECT source, doc_id AS chosen_id, score_micro AS chosen_score
