@@ -922,6 +922,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("EditDistance (Myers bit-vector) equals the reference two-row DP") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // trivially-correct reference: the textbook two-row DP (the r6–r15
+    // implementation this round's bit-parallel form replaced)
+    def refDp(s: String, t: String): Long = {
+      if (s.isEmpty) return t.length.toLong
+      if (t.isEmpty) return s.length.toLong
+      var prev = Array.tabulate(t.length + 1)(identity)
+      var cur = new Array[Int](t.length + 1)
+      for (i <- 1 to s.length) {
+        cur(0) = i
+        val sc = s.charAt(i - 1)
+        for (j <- 1 to t.length) {
+          val sub = prev(j - 1) + (if (sc == t.charAt(j - 1)) 0 else 1)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        }
+        val tmp = prev; prev = cur; cur = tmp
+      }
+      prev(t.length).toLong
+    }
+    def got(s: String, t: String): Long =
+      graft.text.EditDistance.compute(
+        UTF8String.fromString(s), UTF8String.fromString(t))
+    // fixed edge cases: empty strings, equal strings, block boundaries
+    // (63/64/65/127/128/129 chars exercise the single-word fast path,
+    // the word seam, and the partial-last-block score bit), shared
+    // prefixes/suffixes (the trimming path), and non-ASCII chars (the
+    // open-hash Peq fallback)
+    val fixed = Seq(
+      ("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+      ("a" * 64, "a" * 64), ("a" * 64, "a" * 63 + "b"),
+      ("ab" * 40, "ba" * 40), ("a" * 129, "a" * 64 + "b" + "a" * 64),
+      ("日本語テキスト", "日本語のテキスト"), ("αβγ" * 30, "αβδ" * 30),
+      ("x" + "common" * 20 + "y", "z" + "common" * 20 + "w"))
+    fixed.foreach { case (s, t) =>
+      assert(got(s, t) == refDp(s, t), s"fixed s='$s' t='$t'")
+    }
+    // randomized: lengths straddling several 64-char blocks, small
+    // alphabet (forces dense match structure), occasional non-ASCII
+    val gen = for {
+      ls <- Gen.chooseNum(0, 200)
+      lt <- Gen.chooseNum(0, 200)
+      s <- Gen.listOfN(ls, Gen.frequency(
+        (8, Gen.oneOf('a', 'b', 'c', ' ')), (1, Gen.oneOf('é', '中', 'Ω'))))
+      t <- Gen.listOfN(lt, Gen.frequency(
+        (8, Gen.oneOf('a', 'b', 'c', ' ')), (1, Gen.oneOf('é', '中', 'Ω'))))
+    } yield (s.mkString, t.mkString)
+    samples(gen, 300).foreach { case (s, t) =>
+      assert(got(s, t) == refDp(s, t),
+        s"len ${s.length}x${t.length}: got=${got(s, t)} want=${refDp(s, t)} s='$s' t='$t'")
+    }
+  }
+
   test("FuzzyMatch equals the mask semantics it encodes (overlap-prefix)") {
     val gen = for {
       pat <- Gen.listOfN(6, Gen.oneOf('a', 'b', '?')).map(_.mkString)
