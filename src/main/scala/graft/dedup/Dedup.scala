@@ -222,18 +222,40 @@ object Dedup {
     * Better", word-n-gram form): per doc, how many of its distinct
     * word n-grams also occur in ANOTHER document — high shared
     * fractions expose boilerplate and near-copies whose repeated spans
-    * a trained model would memorize. Grams are md5-hashed at the
-    * executor (engine-portable digest), so the shuffle carries
-    * 32-char digests, never text; the df join keys on the digest the
-    * gram counts were just partitioned by — exchange reuse, and the
-    * within-doc distinct means a doc's own repetitions never inflate
-    * its cross-doc score. */
+    * a trained model would memorize. Grams are digested at the
+    * executor, so the shuffle carries fixed-width digests, never text;
+    * the df join keys on the digest the gram counts were just
+    * partitioned by — exchange reuse, and the within-doc distinct
+    * means a doc's own repetitions never inflate its cross-doc score.
+    *
+    * Digest choice (r16): xxhash64 — the digest never leaves this
+    * operator (only df COUNTS are reported), so it needs no
+    * cross-engine portability, and the 8-byte long both halves the
+    * md5 hex form's 32-char shuffle key and skips the per-gram MD5 +
+    * hex-encode (the DuckDB oracle keeps md5 — counts agree because
+    * digest equality ⇔ gram equality in either engine up to
+    * collisions, ~1e-8 at 1e6 grams for 64-bit). Exposed digests
+    * (dedup_incremental, dedup_lines) stay md5 by the portability
+    * contract.
+    *
+    * Each word is hashed ONCE (an O(len) pre-pass), then each gram
+    * digests its n word-hashes as fixed-width longs — the former form
+    * re-concatenated and re-hashed every word n times (once per
+    * overlapping gram), O(n·len) string bytes per doc. Word-hash
+    * sequences collide exactly when word sequences do (up to the same
+    * 64-bit odds): words come from split on ' ', so no word contains
+    * the joiner and the gram string is injective in the sequence.
+    * The word-hash array is let-bound as a lambda variable (the
+    * cdcChunks discipline — a plain column would be inlined by
+    * CollapseProject into every element_at reference, re-hashing the
+    * whole doc per gram position). */
   def crossDocSubstrings(docs: DataFrame, n: Int = 8): DataFrame = {
     val ws = docs.withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= n)
-    val mk = (0 until n).map(j => s"w[i+$j]").mkString(", ")
+    val mkh = (1 to n).map(j => s"element_at(hw, i + $j)").mkString(", ")
     val grams = ws.select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(w) - $n), i -> md5(concat_ws(' ', $mk)))")).as("h"))
+        s"""element_at(transform(array(transform(w, x -> xxhash64(x))), hw ->
+           |  transform(sequence(0, size(w) - $n), i -> xxhash64($mkh))), 1)""".stripMargin)).as("h"))
       .distinct()
     val df = grams.groupBy("h").agg(count(lit(1)).as("_df"))
     val report = grams.join(df, "h")
@@ -314,7 +336,10 @@ object Dedup {
            |    c -> length(c) > 0)), 1)""".stripMargin))
       .select(col("doc_id"), posexplode(col("_chunks")))
       .toDF("doc_id", "chunk_idx", "chunk")
-      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("digest"),
+      // xxhash64, not md5: the digest is internal (only df counts are
+      // reported — the crossDocSubstrings digest-choice note), and the
+      // 8-byte key shrinks the window shuffle 4x vs the md5 hex form
+      .select(col("doc_id"), col("chunk_idx"), xxhash64(col("chunk")).as("digest"),
         length(col("chunk")).cast("long").as("chunk_len"))
     // df via a window over digest, NOT a groupBy+self-join: the join
     // form evaluates the boundary-scan subtree twice (once per side —

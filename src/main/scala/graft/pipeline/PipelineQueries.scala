@@ -264,10 +264,13 @@ object PipelineQueries {
       .join(src.select((col("doc_id") - 1).as("cand_id"),
         col("doc_id").as("ref_id"), col(payload).as("_r")), "cand_id")
 
-  /** DISTINCT (source, shingle md5 digest) presence pairs — ONE copy
+  /** DISTINCT (source, shingle digest) presence pairs — ONE copy
     * of the presence semantics shared by `ngram_novelty` and
     * `source_overlap` (their two reports must agree on what "a source
-    * contains a shingle" means); only 16-byte digests shuffle. */
+    * contains a shingle" means); only 8-byte xxhash64 digests shuffle
+    * (internal-only digest, the Dedup.crossDocSubstrings digest-choice
+    * note: the consumers report COUNTS, so the md5 the DuckDB oracle
+    * keeps and this hash agree up to ~1e-8 collision odds). */
   private def presencePairs(s: SparkSession, d: String): DataFrame = {
     // memoized like every other declared multi-consumer table:
     // ngram_novelty references it twice and source_overlap three
@@ -282,7 +285,7 @@ object PipelineQueries {
     memoized(s, d, "presence_pairs")(
       sh.join(dd, "doc_id")
         .select(col("source"), explode(col("shs")).as("_sh"))
-        .select(col("source"), md5(col("_sh")).as("g"))
+        .select(col("source"), xxhash64(col("_sh")).as("g"))
         .distinct())
   }
 

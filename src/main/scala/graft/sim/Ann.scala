@@ -97,9 +97,21 @@ object Ann {
     * BEFORE anything shuffles. The three operators differ only in
     * extra carried columns, the filter, and the tail (top-k heap vs
     * threshold). */
+  /** @param spread repartition the streamed side by nn_id before the
+    *   broadcast cross join. For Q ≈ N consumers (the all-pairs
+    *   report) the per-corpus-row work is Q·d mults, so a thin
+    *   one-row-move shuffle is noise against the quadratic it
+    *   parallelizes — without it, a single-row-group corpus file
+    *   (the flat sf parquet layout) runs the whole N·Q scoring on ONE
+    *   scan task (wall ≈ task measured on dedup_embedding, the
+    *   eval_edit_ratio single-thread class from the r12 notes). OFF
+    *   for few-query consumers (bruteForce at k queries), where the
+    *   corpus shuffle would rival the scoring it spreads. Bonus: the
+    *   nn_id hash partitioning survives the broadcast join, so the
+    *   report's nn_id argmax aggregates without its own exchange. */
   private def scoredPairs(vectors: DataFrame, queries: DataFrame,
                           extraQ: Seq[Column] = Nil, extraV: Seq[Column] = Nil,
-                          pairFilter: Column): DataFrame = {
+                          pairFilter: Column, spread: Boolean = false): DataFrame = {
     // norms precomputed per row, not per pair; non-finite vectors
     // excluded on BOTH sides (VectorOps.allFinite — one NaN element
     // would otherwise rank first everywhere)
@@ -107,10 +119,14 @@ object Ann {
       .select(Seq(col("vec_id").as("q_id"),
         col("embedding").as("q_emb")) ++ extraQ: _*)
       .withColumn("_qn", norm("q_emb"))
-    val v = vectors.where(allFinite(col("embedding")))
+    val v0 = vectors.where(allFinite(col("embedding")))
       .select(Seq(col("vec_id").as("nn_id"),
         col("embedding")) ++ extraV: _*)
       .withColumn("_vn", norm("embedding"))
+    // Par.spread: explicit-count keyed repartition (see its scaladoc
+    // for the AQE-coalescing trap a countless repartition falls into —
+    // measured here: coalesced 4.2 s ≈ no repartition; explicit 1.2 s)
+    val v = if (spread) graft.core.Par.spread(v0, "nn_id") else v0
     v.crossJoin(broadcast(q))
       .where(pairFilter)
       .withColumn("_score", dot("q_emb", "embedding") / (col("_qn") * col("_vn")))
@@ -793,7 +809,7 @@ object Ann {
     // variant uses, so the dup-rate denominator never shifts between
     // the exact and IVF paths.
     val scored = scoredPairs(vectors, vectors,
-      pairFilter = col("q_id") =!= col("nn_id"))
+      pairFilter = col("q_id") =!= col("nn_id"), spread = true)
     // top-1 as an argmax aggregate, not a window: lexicographic max of
     // (score, -id) == best score with smallest-id tiebreak, computed
     // with map-side partial max — no pair row ever shuffles. The
