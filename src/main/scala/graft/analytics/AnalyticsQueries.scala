@@ -1546,9 +1546,19 @@ object AnalyticsQueries {
     "basket_pairs" -> ((s, d) => {
       val items = Tables.load(s, d, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
-      items.as("a").join(items.as("b"), "l_orderkey")
-        .where(col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      // pairs straight off the per-order postings list (r16 — the
+      // Dedup.cappedCandidates shape): ONE order-key shuffle builds
+      // each basket, a codegen'd nested transform emits the i<j pairs
+      // in-row. The former self-join shuffled the item table by
+      // orderkey AND read the exchange twice, paying the join probe
+      // per pair; values identical — the sorted distinct basket emits
+      // exactly the a.partkey < b.partkey pair set.
+      items.groupBy("l_orderkey")
+        .agg(array_sort(collect_list(col("l_partkey"))).as("ds"))
+        .where(size(col("ds")) >= 2)
+        .select(explode(expr(
+          graft.dedup.Dedup.pairExpansion("y -> struct(x AS p1, y AS p2)"))).as("p"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("p1"), col("p2"))
         .limit(100)

@@ -319,7 +319,11 @@ object Dedup {
          |  element_at(transform(array(transform(split(text, ''), c -> ascii(c))),
          |    a -> filter(sequence(4L, _n), p -> $h4 % $targetSize = 0)), 1),
          |  array())""".stripMargin
-    val chunks = docs
+    // Par.spread before the boundary scan: the per-row O(len·4) Rabin
+    // walk is this operator's whole cost, and the flat single-file sf
+    // corpus otherwise runs it on ONE scan partition (wall ≈ task —
+    // the Par scaladoc class; one thin shuffle of the text rows)
+    val chunks = graft.core.Par.spread(docs, "doc_id")
       .withColumn("_n", length(col("text")).cast("long"))
       // the cuts array is ALSO let-bound as a lambda variable (`cs`):
       // as separate _starts/_ends columns CollapseProject inlines the
@@ -467,7 +471,16 @@ object Dedup {
     * free (it IS the list-size predicate). Shared by the Jaccard and
     * containment verifies. */
   private def cappedCandidates(shp: DataFrame, cap: Int, minShared: Int): DataFrame =
-    shp.select(col("doc_id"), explode(col("shs")).as("s"))
+    // the postings key is xxhash64(shingle), not the shingle STRING
+    // (r16): the key exists only to bucket doc ids — candidates are
+    // verified EXACTLY against the full shingle sets afterwards — so
+    // the 8-byte long shrinks the postings shuffle ~4x and skips
+    // string hashing in the aggregate. A 64-bit collision (~1e-8 at
+    // 1e6 shingles) merges two postings lists; spurious candidates
+    // are removed by the exact verify, and the string-keyed oracle
+    // fails the gate loudly if a merge ever crosses the df cap.
+    shp.select(col("doc_id"), explode(col("shs")).as("_s"))
+      .select(col("doc_id"), xxhash64(col("_s")).as("s"))
       .groupBy("s").agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .where(size(col("ds")) >= 2 && size(col("ds")) <= cap)
       .select(explode(expr(pairExpansion("y -> struct(x AS i, y AS j)"))).as("p"))
@@ -555,9 +568,17 @@ object Dedup {
         "perms % bands signature values are silently unused and the " +
         "collision probability differs from the documented formula")
     val rows = perms / bands
+    // band key = xxhash64 of the signature slice (an array<bigint> —
+    // hashed natively), not the '_'-joined STRING of it (r16): the
+    // key only buckets docs per band, candidates are exact-verified
+    // downstream, and the long both skips the per-band string build
+    // and shrinks the bucket shuffle (the cappedCandidates key note;
+    // same collision posture). Shared with the streaming ingest gate
+    // BY CONSTRUCTION — both band through this one function, so the
+    // batch/stream bucket contract is unchanged.
     minhashSigs(sh, perms).select(col("doc_id"),
         posexplode(expr(
-          s"transform(sequence(0, ${bands - 1}), b -> array_join(slice(sig, b*$rows + 1, $rows), '_'))")))
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b*$rows + 1, $rows)))")))
       .toDF("doc_id", "band", "key")
   }
 

@@ -34,10 +34,18 @@ object DataPrep {
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     minShared: Int = 2, n: Int = 3,
                     shingleTable: Option[DataFrame] = None): DataFrame = {
+    // both sides fold the shingle STRING to a 64-bit xxhash64 before
+    // the broadcast join (r16): the probe side then hashes/compares
+    // 8-byte longs instead of ~20-char strings, and the broadcast
+    // relation shrinks the same way. Counts are identical up to 64-bit
+    // collisions (~1e-8 at 1e6 distinct shingles) — the digest is
+    // internal, the Dedup.crossDocSubstrings digest-choice note.
     val corpus = shingleTable.getOrElse(Dedup.shingles(docs, n))
-      .select(col("doc_id"), explode(col("shs")).as("s"))
+      .select(col("doc_id"), explode(col("shs")).as("_s"))
+      .select(col("doc_id"), xxhash64(col("_s")).as("s"))
     val benchSh = Dedup.shingles(benchmark, n)
-      .select(explode(col("shs")).as("s")).distinct()
+      .select(explode(col("shs")).as("_s"))
+      .select(xxhash64(col("_s")).as("s")).distinct()
     val hits = corpus.join(broadcast(benchSh), Seq("s"))
       .groupBy("doc_id").agg(count(lit(1)).as("_shared"))
     docs.select("doc_id").join(hits, Seq("doc_id"), "left")

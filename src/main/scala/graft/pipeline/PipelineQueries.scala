@@ -260,9 +260,15 @@ object PipelineQueries {
     * registered queries' synthetic pairing — swapping it edits ONE
     * place instead of four silently-driftable copies (r12 review). */
   private def adjacentPairs(src: DataFrame, payload: String): DataFrame =
-    src.select(col("doc_id").as("cand_id"), col(payload).as("_c"))
-      .join(src.select((col("doc_id") - 1).as("cand_id"),
-        col("doc_id").as("ref_id"), col(payload).as("_r")), "cand_id")
+    // Par.spread on the pair rows: every consumer metric (rouge /
+    // bleu / chrf / edit) is a CPU-heavy per-pair projection, and the
+    // flat single-file sf corpus otherwise leaves the pair table on
+    // the scan's ONE partition (wall ≈ task, the Par scaladoc class)
+    graft.core.Par.spread(
+      src.select(col("doc_id").as("cand_id"), col(payload).as("_c"))
+        .join(src.select((col("doc_id") - 1).as("cand_id"),
+          col("doc_id").as("ref_id"), col(payload).as("_r")), "cand_id"),
+      "cand_id")
 
   /** DISTINCT (source, shingle digest) presence pairs — ONE copy
     * of the presence semantics shared by `ngram_novelty` and

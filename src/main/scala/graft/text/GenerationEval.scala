@@ -215,7 +215,7 @@ object GenerationEval {
     * the quadratic it parallelizes). */
   def editRatio(pairs: DataFrame): DataFrame =
     pairs
-      .repartition(col("cand_id"))
+      .transform(graft.core.Par.spread(_, "cand_id"))
       .select(col("cand_id"), col("ref_id"),
         length(col("_c")).cast("bigint").as("c_len"),
         length(col("_r")).cast("bigint").as("r_len"),

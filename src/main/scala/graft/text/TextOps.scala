@@ -533,10 +533,19 @@ object TextOps {
     // LocalRelation fold — values bit-identical, one corpus pass saved.
     val model = graft.analytics.Tools.materializeMeta(model0, buckets)
     val consts = model.agg(sum("cr").as("_nr"), sum("ct").as("_nt"))
-    toks.join(broadcast(model), "bucket")
+    // the per-bucket mlog DIFFERENCE is precomputed INTO the ≤ buckets-
+    // row broadcast model (r16): the former form evaluated two
+    // log10+floor per exploded TOKEN row — identical values, since the
+    // mlog args depend only on the joined bucket row, at model
+    // cardinality instead of corpus token cardinality (the shape a
+    // 100 TB DSIR pass wants: the model is the constant, tokens are
+    // the stream)
+    val scoredModel = model.withColumn("_w",
+      mlog(col("ct") + 1) - mlog(col("cr") + 1))
+    toks.join(broadcast(scoredModel), "bucket")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum(mlog(col("ct") + 1) - mlog(col("cr") + 1)).as("_sum"))
+        sum(col("_w")).as("_sum"))
       .crossJoin(broadcast(consts))
       .select(col("doc_id"), col("n_tokens"),
         (col("_sum") + col("n_tokens") *
