@@ -61,9 +61,14 @@ object Tables {
       // lexicographically-first footer speak for the whole dir would
       // mis-decode or fail mid-scan when NANOS and MICROS part files
       // co-reside (a partial regeneration). Probing first AND last
-      // catches the realistic mixed shape (one generation's part
-      // files appended after another's sort as a contiguous block)
-      // for two footer reads, not |files|.
+      // catches generations that sort as contiguous blocks for two
+      // footer reads, not |files|. NOT COVERED (r15 advice): two
+      // write jobs' part files can INTERLEAVE lexicographically (the
+      // part-NNNNN- numeric prefixes restart per job and the UUID
+      // tails shuffle the order), putting the same generation at both
+      // probed endpoints — a dir mixed that way still passes here and
+      // fails at scan time instead; probing one footer per distinct
+      // job-UUID suffix would close it at |jobs| footer reads.
       val headNanos = footerIsNanos(entries.head)
       if (entries.length > 1 && footerIsNanos(entries.last) != headNanos)
         throw new IllegalStateException(

@@ -85,7 +85,12 @@ object Acl {
     * grants broadcast beside the op stream (the AuthManager cache),
     * authorization is a broadcast semi/anti pair with NO shuffle on
     * the op side; the ACCEPT/DENY legs are disjoint by construction so
-    * the union needs no dedup.
+    * the union needs no dedup. KNOWN COST (r15 advice): the semi/anti
+    * pair EVALUATES the op stream twice — fine for the metadata-sized
+    * mutation batches this models, but a file-backed op stream at
+    * scale should compute the outcome in ONE pass (broadcast LEFT join
+    * against grants pre-aggregated to per-(family, qualifier) cover
+    * flags — the aggregation is what makes one covered op one row).
     *
     * @param ops one row per mutation op: at least (family, qualifier)
     *            — qualifier NULL = whole-family op; all columns pass

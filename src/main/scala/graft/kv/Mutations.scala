@@ -61,11 +61,14 @@ object Mutations {
     // undeletable by deleteRows, invisible to every CAS. The guard
     // rides the key column itself (read by every consumer), so it
     // costs no extra job and cannot be pruned.
+    // caller-name-only prefix (r15 advice): the duplicate-key `msg`
+    // says "duplicate put key", which misdescribes a NULL-key failure
+    val caller = msg.takeWhile(_ != ':')
     val guarded = puts.withColumn(keyCol,
       when(col(keyCol).isNull,
-        raise_error(lit(msg + "NULL — a NULL-key put row is unreachable " +
-          "by every key join (deletes, CAS) and would accumulate per " +
-          "batch; fix the put batch upstream")))
+        raise_error(lit(s"$caller: NULL put key — a NULL-key put row " +
+          "is unreachable by every key join (deletes, CAS) and would " +
+          "accumulate per batch; fix the put batch upstream")))
         .otherwise(col(keyCol)))
     versionCol match {
       case Some(v) =>

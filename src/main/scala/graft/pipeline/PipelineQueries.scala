@@ -250,6 +250,34 @@ object PipelineQueries {
       |      div (CAST(n AS DECIMAL(38,0)) * (n-1) * (n-2) * (n-3) * (n-4)))
       |END""".stripMargin
 
+  /** Per-source dedup telemetry over a doc relation and a near-dup
+    * pair list — extracted from the `dedup_report` registration so the
+    * NULL-text denominator rule is hand-payload-testable. The df join
+    * is LEFT on digest (r15 verdict item 2): md5(NULL text) is a NULL
+    * digest, which an INNER join drops — every NULL-text doc then
+    * vanished from its source's n_docs DENOMINATOR while its siblings
+    * kept their dup counts (both engines mirrored the drop, so the
+    * gate couldn't see it — the same-hand-oracle blindness class). A
+    * NULL-text doc is a non-dup report row: df NULL fails `>= 2`, and
+    * no shingles means it can never join the near-dup pair graph. */
+  private[graft] def dedupReport(docSrc: DataFrame, pairs: DataFrame): DataFrame = {
+    val dg = docSrc.select(col("doc_id"), col("source"),
+      md5(col("text")).as("digest"))
+    val dfTab = dg.groupBy("digest").agg(count(lit(1)).as("df"))
+    val near = pairs
+      .select(explode(array(col("i"), col("j"))).as("doc_id"))
+      .distinct()
+      .withColumn("_nd", lit(1L))
+    dg.join(dfTab, Seq("digest"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("_nd").isNotNull, 1L).otherwise(0L)).as("n_near_dup"))
+      .withColumn("exact_ppm", expr("n_exact_dup * 1000000 div n_docs"))
+      .withColumn("near_ppm", expr("n_near_dup * 1000000 div n_docs"))
+  }
+
   /** (cand_id, _c, ref_id, _r) — ONE copy of the adjacent-doc
     * candidate/reference pairing every generation-eval report shares
     * (eval_rouge_n / eval_bleu / eval_chrf / eval_edit_ratio):
@@ -415,24 +443,8 @@ object PipelineQueries {
     // a source must pre-aggregate, not flood one partition); near-dup
     // membership is one distinct over the pair list. Only digests and
     // doc ids shuffle, never text.
-    "dedup_report" -> ((s, d) => {
-      val dg = docs(s, d).select(col("doc_id"), col("source"),
-        md5(col("text")).as("digest"))
-      val dfTab = dg.groupBy("digest").agg(count(lit(1)).as("df"))
-      val near = ngramPairs(s, d)
-        .select(explode(array(col("i"), col("j"))).as("doc_id"))
-        .distinct()
-        .withColumn("_nd", lit(1L))
-      dg.join(dfTab, "digest")
-        .join(near, Seq("doc_id"), "left")
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_exact_dup"),
-          sum(when(col("_nd").isNotNull, 1L).otherwise(0L)).as("n_near_dup"))
-        .withColumn("exact_ppm", expr("n_exact_dup * 1000000 div n_docs"))
-        .withColumn("near_ppm", expr("n_near_dup * 1000000 div n_docs"))
-        .orderBy("source")
-    }),
+    "dedup_report" -> ((s, d) =>
+      dedupReport(docs(s, d), ngramPairs(s, d)).orderBy("source")),
     // Corpus-diversity audit (the "what does each source add that
     // nothing else has" table a mixture designer reads next to
     // mixture_report): per source, distinct 3-gram shingles and the
@@ -1439,6 +1451,28 @@ object PipelineQueries {
 
   private val markerIn = TextOps.EnMarkers.map(w => s"'$w'").mkString(", ")
 
+  /** Shared oracle CTE chain for the quality-classifier micro score —
+    * ONE definition (r15 verdict item 3: this CTE was hand-copied into
+    * four oracles and one copy had already drifted once). Consumers
+    * splice it as the head of their WITH and read
+    * `qsc(doc_id, n, score_micro)`: n = empties-filtered token count
+    * (0 for wordless docs), score_micro = the 1/4/1-weighted
+    * len/stopword/distinct micro score, BIGINT, 0 for wordless docs —
+    * the exact [[TextOps.scoreMicro]] arithmetic. CTE names are
+    * q-prefixed so consumers' own CTEs cannot collide. */
+  private val ddQualityScore: String =
+    s"""qtok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+       |         FROM documents),
+       |qs0 AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
+       |             CAST(sum(CASE WHEN t IN ($markerIn)
+       |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
+       |      FROM qtok GROUP BY 1),
+       |qsc AS (SELECT d.doc_id, coalesce(qs0.n, 0) AS n,
+       |              CAST(coalesce(least(qs0.n, 64) * 15625 * 1
+       |                + ((qs0.ns * 1000000) // qs0.n) * 4
+       |                + ((qs0.nd * 1000000) // qs0.n) * 1, 0) AS BIGINT) AS score_micro
+       |       FROM documents d LEFT JOIN qs0 ON qs0.doc_id = d.doc_id)""".stripMargin
+
   /** Unrolled Lloyd k-means rounds in DuckDB — the [[Ann.cellMeans]] /
     * [[Ann.lloydCentroids]] mirror, CTE-for-CTE: micro-unit integer
     * centroid means (floor(x·10⁶), BIGINT sums, explicit-pmod floor
@@ -1566,15 +1600,22 @@ object PipelineQueries {
     (seed +: rounds :+ fin).mkString(",\n")
   }
 
+  /** DuckDB trigram-shingle CTE chain over relation `rel` — ONE copy
+    * (r15 verdict item 3: this chain was hand-copied into four oracle
+    * strings) of the [[Dedup.shingles]] mirror: emits `sh(doc_id,
+    * shs)` — distinct word trigrams for docs of ≥ 3 words. */
+  private def ddShingles(rel: String): String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM $rel),
+       |sh AS (SELECT doc_id,
+       |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+       |                        for i in range(1, len(ts) - 1)]) AS shs
+       |       FROM tok WHERE len(ts) >= 3)""".stripMargin
+
   /** DuckDB mirror of [[presencePairs]] (tok/sh/pres CTE chain) —
     * ONE copy shared by the ngram_novelty and source_overlap oracles,
     * matching the ONE Spark-side copy. */
   private val ddPresencePairs: String =
-    """tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |sh AS (SELECT doc_id,
-      |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-      |                        for i in range(1, len(ts) - 1)]) AS shs
-      |       FROM tok WHERE len(ts) >= 3),
+    s"""${ddShingles("documents")},
       |pres AS (SELECT DISTINCT source, md5(sg) AS g
       |         FROM (SELECT doc_id, unnest(shs) AS sg FROM sh) e
       |         JOIN documents USING (doc_id))""".stripMargin
@@ -1680,11 +1721,7 @@ object PipelineQueries {
     * `dedup_ngram_jaccard` oracle and, as the edge list, by the
     * `dedup_clusters` recursive-CTE oracle. */
   private val ddNgramPairs: String =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      |sh AS (SELECT doc_id,
-      |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-      |                        for i in range(1, len(ts) - 1)]) AS shs
-      |       FROM tok WHERE len(ts) >= 3),
+    s"""WITH ${ddShingles("documents")},
       |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
       |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s)
       |         WHERE df BETWEEN 2 AND 8),
@@ -2007,18 +2044,14 @@ object PipelineQueries {
         |SELECT canonical_url, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM canon GROUP BY 1 ORDER BY keeper""".stripMargin,
     "dedup_containment" ->
-      """WITH aug AS (
+      s"""WITH aug AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 500000,
         |         array_to_string(ts[1:greatest(3, (len(ts) + 1) // 2)], ' ')
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
         |  WHERE doc_id % 7 = 3),
-        |tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM aug),
-        |sh AS (SELECT doc_id,
-        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-        |                        for i in range(1, len(ts) - 1)]) AS shs
-        |       FROM tok WHERE len(ts) >= 3),
+        |${ddShingles("aug")},
         |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
         |kept AS (SELECT s FROM (SELECT s, count(*) AS df FROM ex GROUP BY s)
         |         WHERE df BETWEEN 2 AND 8),
@@ -2097,7 +2130,7 @@ object PipelineQueries {
          |          AS n_exact_dup,
          |        CAST(sum(CASE WHEN near.doc_id IS NOT NULL THEN 1 ELSE 0 END)
          |          AS BIGINT) AS n_near_dup
-         |      FROM dg JOIN dfx USING (digest) LEFT JOIN near USING (doc_id)
+         |      FROM dg LEFT JOIN dfx USING (digest) LEFT JOIN near USING (doc_id)
          |      GROUP BY 1)
          |SELECT source, n_docs, n_exact_dup, n_near_dup,
          |       n_exact_dup * 1000000 // n_docs AS exact_ppm,
@@ -2106,19 +2139,10 @@ object PipelineQueries {
     // same micro-unit classifier score, bucketed, survival cumsum
     // over the bounded bucket table
     "quality_ablation" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
-        |             FROM documents),
-        |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
-        |             CAST(sum(CASE WHEN t IN ($markerIn)
-        |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
-        |      FROM tok GROUP BY 1),
-        |sc AS (SELECT coalesce(s.n, 0) AS n,
-        |              coalesce(least(s.n, 64) * 15625 + ((s.ns * 1000000) // s.n) * 4
-        |                + (s.nd * 1000000) // s.n, 0) AS score_micro
-        |       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
+      s"""WITH $ddQualityScore,
         |b AS (SELECT least(score_micro // 500000, 6) AS bucket,
         |             count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
-        |      FROM sc GROUP BY 1),
+        |      FROM qsc GROUP BY 1),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
         |             CAST(sum(n_tokens) AS BIGINT) AS tt FROM b),
         |k AS (SELECT bucket,
@@ -2287,11 +2311,7 @@ object PipelineQueries {
     // same shingle construction as ddNgramPairs; benchmark = doc_id ≡ 0
     // (mod 41), overlap counted over DISTINCT shingles per doc
     "decontaminate" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-        |sh AS (SELECT doc_id,
-        |         list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
-        |                        for i in range(1, len(ts) - 1)]) AS shs
-        |       FROM tok WHERE len(ts) >= 3),
+      s"""WITH ${ddShingles("documents")},
         |ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
         |bs AS (SELECT DISTINCT s FROM ex WHERE doc_id % 41 = 0),
         |hits AS (SELECT e.doc_id, count(*) AS shared FROM ex e JOIN bs USING (s) GROUP BY 1)
@@ -3267,18 +3287,9 @@ object PipelineQueries {
         |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_ppm
         |FROM a ORDER BY thresh""".stripMargin,
     "eval_calibration" ->
-      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t FROM documents),
-        |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
-        |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
-        |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
-        |      FROM tok GROUP BY 1),
-        |f AS (SELECT d.doc_id,
-        |             coalesce(least(s.n, 64) * 15625 * 1 + (s.ns * 1000000) // s.n * 4 +
-        |               (s.nd * 1000000) // s.n * 1, 0) AS score_micro
-        |      FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
-        |sc AS (SELECT f.doc_id, CAST(score_micro AS BIGINT) AS score_micro,
-        |              (d.lang = 'en') AS pos
-        |       FROM f JOIN documents d ON d.doc_id = f.doc_id),
+      s"""WITH $ddQualityScore,
+        |sc AS (SELECT qsc.doc_id, score_micro, (d.lang = 'en') AS pos
+        |       FROM qsc JOIN documents d ON d.doc_id = qsc.doc_id),
         |b AS (SELECT min(score_micro) lo, max(score_micro) hi FROM sc)
         |SELECT CAST(floor((score_micro - lo) * 10 / (hi - lo + 1)) AS BIGINT) AS bin,
         |       count(*) AS n_docs,
@@ -3290,24 +3301,16 @@ object PipelineQueries {
     // portable single-SQL form; the spec replays a reference Scala BPE
     // on the same word counts and demands rule-for-rule equality.
     "curriculum_order" ->
-      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t FROM documents),
-        |s AS (SELECT doc_id, count(*) AS n, count(DISTINCT t) AS nd,
-        |             CAST(sum(CASE WHEN t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')
-        |                      THEN 1 ELSE 0 END) AS BIGINT) AS ns
-        |      FROM tok GROUP BY 1),
-        |sc AS (SELECT d.doc_id,
-        |              CAST(coalesce(least(s.n, 64) * 15625 * 1 + (s.ns * 1000000) // s.n * 4 +
-        |                   (s.nd * 1000000) // s.n * 1, 0) AS BIGINT) AS score_micro
-        |       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
-        |b AS (SELECT min(score_micro) lo, max(score_micro) hi FROM sc),
+      s"""WITH $ddQualityScore,
+        |b AS (SELECT min(score_micro) lo, max(score_micro) hi FROM qsc),
         |cd AS (SELECT doc_id, score_micro,
         |              CAST(floor((score_micro - lo) * 4096 / (hi - lo + 1)) AS BIGINT) AS cell
-        |       FROM sc, b),
+        |       FROM qsc, b),
         |cc AS (SELECT cell, count(*) AS n FROM cd GROUP BY 1),
         |cb AS (SELECT cell, CAST(sum(n) OVER (ORDER BY cell
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS b4
         |       FROM cc),
-        |t AS (SELECT count(*) AS nt FROM sc)
+        |t AS (SELECT count(*) AS nt FROM qsc)
         |SELECT doc_id, score_micro, b4 * 4 // nt AS phase
         |FROM cd JOIN cb USING (cell), t
         |ORDER BY doc_id""".stripMargin,
@@ -3489,18 +3492,9 @@ object PipelineQueries {
         |FROM documents d LEFT JOIN r USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "preference_pairs" ->
-      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS tok FROM documents),
-        |f AS (SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd,
-        |             sum(CASE WHEN tok IN ('the','a','of','and','in','to','is')
-        |                      THEN 1 ELSE 0 END) AS ns
-        |      FROM tok GROUP BY 1),
-        |sc AS (SELECT d.doc_id,
-        |              CAST(coalesce(least(f.n, 64) * 15625 * 1
-        |                + ((f.ns * 1000000) // f.n) * 4
-        |                + ((f.nd * 1000000) // f.n) * 1, 0) AS BIGINT) AS score_micro
-        |       FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id),
+      s"""WITH $ddQualityScore,
         |g AS (SELECT s.doc_id, d.source, s.score_micro
-        |      FROM sc s JOIN documents d USING (doc_id)),
+        |      FROM qsc s JOIN documents d USING (doc_id)),
         |best AS (SELECT source, doc_id AS chosen_id, score_micro AS chosen_score
         |         FROM (SELECT *, row_number() OVER (PARTITION BY source
         |                 ORDER BY score_micro DESC, doc_id) AS rn FROM g)

@@ -108,12 +108,15 @@ class MutationsSpec extends SparkSpec {
     val e1 = intercept[Exception] {
       Mutations.put(base, puts, "k").collect()
     }
-    assert(e1.getMessage.contains("NULL-key put row is unreachable"),
+    assert(e1.getMessage.contains("NULL put key") &&
+      e1.getMessage.contains("put:") &&
+      !e1.getMessage.contains("duplicate"),  // r15 advice: no misleading prefix
       e1.getMessage.take(200))
     val e2 = intercept[Exception] {
       Mutations.checkAndPutAbsent(base, puts, "k").collect()
     }
-    assert(e2.getMessage.contains("NULL-key put row is unreachable"),
+    assert(e2.getMessage.contains("NULL put key") &&
+      !e2.getMessage.contains("duplicate"),
       e2.getMessage.take(200))
   }
 

@@ -2409,6 +2409,31 @@ class PipelineSpec extends SparkSpec {
     assert(out.size == 7)
   }
 
+  test("dedupReport: NULL-text docs stay in their source's denominator") {
+    import spark.implicits._
+    // src_a: two exact copies + one NULL-text doc (a missing crawl
+    // capture) + one unique doc; src_b: one unique doc. The former
+    // INNER df join dropped the NULL-digest row, reporting src_a with
+    // n_docs = 3 — a corpus report undercounting its own denominator
+    // (r15 verdict item 2). NULL text is missing content: it must
+    // count as a doc, and must be neither exact- nor near-dup.
+    val d = Seq(
+      (1L, "src_a", "same text body"),
+      (2L, "src_a", "same text body"),
+      (3L, "src_a", null.asInstanceOf[String]),
+      (4L, "src_a", "unique body here"),
+      (5L, "src_b", "other unique body")).toDF("doc_id", "source", "text")
+    val pairs = Seq((1L, 2L)).toDF("i", "j")
+    val got = graft.pipeline.PipelineQueries.dedupReport(d, pairs)
+      .orderBy("source")
+      .select("source", "n_docs", "n_exact_dup", "n_near_dup", "exact_ppm")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("src_a", 4L, 2L, 2L, 500000L), // 2 exact dups of 4 docs — NULL-text doc counted
+      ("src_b", 1L, 0L, 0L, 0L)))
+  }
+
   test("labelPropagation: result is edge-order and partitioning independent") {
     import graft.dedup.Dedup
     val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
