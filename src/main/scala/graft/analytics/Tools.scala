@@ -994,6 +994,31 @@ object Tools {
     * cost a codegen'd per-row projection over lag() columns, then a
     * map-side-partial rollup per region — the
     * [[prefixEncodingSavings]] discipline. */
+  /** Common leading big-endian bytes of the `_ts`/`_pts` long columns,
+    * as a pure codegen XOR ladder (r17): the former
+    * transform(sequence(1,8)) + array_position form was an interpreted
+    * higher-order function allocating an 8-flag array PER CELL on the
+    * encoding queries' hottest projection. Equivalence: with
+    * x = _ts ^ _pts, the first differing BE byte is the byte holding
+    * x's highest set bit, so the common-prefix byte count is 8 when
+    * x = 0 and otherwise the number of whole top bytes x's bits stay
+    * clear of — the shiftrightunsigned ladder below. A NULL `_pts`
+    * yields 0 through the ELSE, matching the old form's
+    * all-flags-unknown → IF false-arm 0 → position 1 → 0 (that branch
+    * is unreachable anyway: `_tsc` only counts after `_pq` matched,
+    * which a first-of-partition NULL row never does). Spec-asserted
+    * against the HOF reference over driven edge pairs (InsightsSpec). */
+  private[graft] val tsCommonBytesSql: String =
+    """cast(CASE WHEN (_ts ^ _pts) = 0 THEN 8
+      |  WHEN shiftrightunsigned(_ts ^ _pts, 8)  = 0 THEN 7
+      |  WHEN shiftrightunsigned(_ts ^ _pts, 16) = 0 THEN 6
+      |  WHEN shiftrightunsigned(_ts ^ _pts, 24) = 0 THEN 5
+      |  WHEN shiftrightunsigned(_ts ^ _pts, 32) = 0 THEN 4
+      |  WHEN shiftrightunsigned(_ts ^ _pts, 40) = 0 THEN 3
+      |  WHEN shiftrightunsigned(_ts ^ _pts, 48) = 0 THEN 2
+      |  WHEN shiftrightunsigned(_ts ^ _pts, 56) = 0 THEN 1
+      |  ELSE 0 END as bigint)""".stripMargin
+
   def blockEncodingDecision(df: DataFrame, region: Column, row: Column,
                             qualifier: Column, tsMicros: Column,
                             value: Column, tiebreak: Column, famLen: Int,
@@ -1035,20 +1060,10 @@ object Tools {
       // qualifier common
       .withColumn("_common", when(col("_rkc") < col("_rlen"), col("_rkc") + 2L)
         .otherwise(col("_rkc") + lit(3L + famLen) + commonChars("_q", "_pq")))
-      // common leading BE bytes of the two 8-byte timestamps. The
-      // first-mismatch position is computed ONCE into its own column
-      // (r15 review): inlining the transform+array_position subtree
-      // into both arms of the IF made every cell of this scan-volume
-      // projection allocate and fold the 8-flag array twice —
-      // CollapseProject keeps a multiply-referenced non-cheap alias in
-      // its own projection, so this halves the per-cell work of the
-      // hottest expression in the encoding queries
-      .withColumn("_tsmis", expr(
-        "array_position(transform(sequence(1, 8), i -> " +
-          "IF((shiftright(_ts, (8 - i) * 8) & 255) = " +
-          "(shiftright(_pts, (8 - i) * 8) & 255), 1, 0)), 0)"))
-      .withColumn("_tsc",
-        expr("cast(IF(_tsmis = 0, 8, _tsmis - 1) as bigint)"))
+      // common leading BE bytes of the two 8-byte timestamps — the
+      // codegen XOR ladder (see [[tsCommonBytesSql]] for the
+      // equivalence argument vs the interpreted HOF form it replaced)
+      .withColumn("_tsc", expr(tsCommonBytesSql))
       // withTsType=true common (PREFIX): the fold is SEQUENTIAL — ts
       // bytes only count after the row fully matched AND the whole
       // qualifier matched (findCommonPrefixInFlatKey early-returns at

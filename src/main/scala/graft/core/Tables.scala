@@ -79,7 +79,53 @@ object Tables {
     } else footerIsNanos(p)
   }
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Session-scoped LOADER memo (r16 "not yet optimized" item): every
+    * `load` call used to pay a fresh `spark.read.parquet` — a driver-
+    * side footer/schema read plus file listing — and for `events`
+    * additionally the [[tsIsNanos]] footer probe, per CALL. The suite
+    * makes hundreds of load calls per bench pass over the same
+    * immutable testdata files, so the repeated driver work is pure
+    * fixed cost (measured ~3-4 ms/call; ~1.5 s of a full pass).
+    *
+    * This memoizes the PLAN (the resolved DataFrame), never results:
+    * every action against the returned DataFrame still scans parquet,
+    * so bench/oracle runs keep computing from the inputs. Eviction
+    * discipline (the r12 rule): the key carries the file's (or the
+    * directory head file's) modification time and length, so a
+    * regenerated corpus gets a fresh read plan — and dead sessions are
+    * swept so a service hosting many short-lived sessions doesn't
+    * retain them (the PipelineQueries.sweepDead pattern). Loader
+    * callers only ever read the driver-generated testdata tables,
+    * which are replaced wholesale between generations (never appended
+    * in place), so mtime+len is a sound generation stamp. */
+  private val readMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def pathStamp(spark: SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory) {
+      val files = fs.listStatus(p).filter(_.isFile)
+      s"dir:${files.length}:${files.map(_.getModificationTime).foldLeft(0L)(math.max)}:" +
+        files.map(_.getLen).sum
+    } else s"file:${st.getModificationTime}:${st.getLen}"
+  }
+
+  private def sweepDeadLoads(): Unit =
+    readMemo.entrySet().removeIf(
+      _.getValue.sparkSession.sparkContext.isStopped)
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    sweepDeadLoads()
+    val path = s"$sfDir/$name.parquet"
+    val key = org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark) +
+      s"|$path|" + pathStamp(spark, path)
+    readMemo.computeIfAbsent(key, _ => loadFresh(spark, sfDir, name))
+  }
+
+  private def loadFresh(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.parquet has shipped with two ts encodings across data
       // generations: TIMESTAMP(NANOS) (which Spark's vectorized reader

@@ -276,11 +276,36 @@ object Ann {
       .withColumn("c_norm", norm(col("c_emb")))
 
   /** The whole centroid table collapsed to a single broadcast row
-    * holding the (cell, c_emb, c_norm) array. */
-  private[sim] def centroidArray(cent: DataFrame): DataFrame =
-    broadcast(
+    * holding the (cell, c_emb, c_norm) array.
+    *
+    * Fast path (r17): when the centroid table is already DRIVER-LOCAL
+    * (the [[lloydCentroids]] result — a k-row LocalRelation), the
+    * sorted array row is assembled on the driver instead of through a
+    * collect_list aggregate: `collect()` on a LocalRelation runs no
+    * job, so every consumer's BroadcastExchange materializes without
+    * scheduling a task — the agg form paid one (tiny but real) Spark
+    * job per materialization of every IVF/IMI/kmeans plan. Same
+    * values, same sort order (sort_array on structs orders by the
+    * leading `cell` field, which is unique — equal to the driver-side
+    * sortBy below), same element schema (built from the input's own
+    * fields). Non-local inputs (the trainIters = 0 lazy-seeded path)
+    * keep the aggregate form. */
+  private[sim] def centroidArray(cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+    if (cent.queryExecution.logical.isInstanceOf[LocalRelation]) {
+      val rows = cent.collect().sortBy(_.getInt(0))
+      val schema = StructType(Seq(StructField("cents",
+        ArrayType(StructType(cent.schema.fields), containsNull = false),
+        nullable = false)))
+      val row: org.apache.spark.sql.Row =
+        org.apache.spark.sql.Row(rows.toSeq)
+      broadcast(cent.sparkSession.createDataFrame(
+        java.util.Arrays.asList(row), schema))
+    } else broadcast(
       cent.agg(sort_array(collect_list(struct(col("cell"), col("c_emb"), col("c_norm"))))
         .as("cents")))
+  }
 
   /** Per-row best (s, cell) against every centroid: the native
     * [[CodebookTopK]] argmax — a PURE PROJECTION over the broadcast
@@ -650,29 +675,38 @@ object Ann {
     * persisted state, and the returned table broadcasts from a
     * LocalRelation with no lineage back into the training jobs. */
   private[sim] def lloydCentroids(base: DataFrame, k: Int, iters: Int): DataFrame = {
-    import org.apache.spark.sql.graftbridge.CheckpointBridge
-    // a round that THROWS must still free the live pin (the
-    // connectedComponents/labelPropagation/Pq.codebooks discipline —
-    // r12 review: the unguarded form leaked one centroid checkpoint
-    // per failed training run for the JVM's life)
     // pmod, not `%` (r13 review — the Pq.codebooks class): a NEGATIVE
     // vec_id under `%` seeds a negative cell id, silently doubling the
-    // seed-cluster count and breaking the √N cell sizing
-    var cent = cellMeans(base
-      .withColumn("cell", pmod(col("vec_id"), lit(k)).cast("int"))).localCheckpoint(true)
-    try {
-      for (_ <- 1 to iters) {
-        val assigned = withBestCell(base, centroidArray(cent))
-          .select(col("vec_id"), col("embedding"), col("_best.cell").as("cell"))
-        val next = cellMeans(assigned).localCheckpoint(true)
-        CheckpointBridge.free(cent)
-        cent = next
-      }
-      val spark = base.sparkSession
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(cent.collect(): _*), cent.schema)
-      local
-    } finally CheckpointBridge.free(cent)
+    // seed-cluster count and breaking the √N cell sizing.
+    //
+    // r17 round structure: each round's k·d-double centroid generation
+    // is COLLECTED to the driver and fed back as a LocalRelation
+    // (k·d doubles is index metadata — the same driver footprint
+    // [[centroidArray]]'s broadcast implies anyway), so one round is
+    // exactly ONE Spark job: the assignment-pass aggregate whose
+    // collect returns the next generation. The former per-round
+    // localCheckpoint(true) + broadcast-of-checkpoint form scheduled
+    // two jobs per round plus block-manager writes and free RPCs — at
+    // bench scale that latency DOMINATED training (the corpus pass is
+    // map-side arithmetic), and at 100 TB the collect moves the same
+    // k·d doubles to the driver that the checkpoint's broadcast
+    // consumer did. Values are bit-identical: the per-round math
+    // (cellMeans micro-units, CodebookTopK assignment) is unchanged;
+    // only the transport of the k-row table between rounds moved.
+    // Nothing is ever pinned, so there is nothing to free on failure.
+    val spark = base.sparkSession
+    val seeded = cellMeans(base
+      .withColumn("cell", pmod(col("vec_id"), lit(k)).cast("int")))
+    val schema = seeded.schema
+    def local(rows: Array[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    var cent = seeded.collect()
+    for (_ <- 1 to iters) {
+      val assigned = withBestCell(base, centroidArray(local(cent)))
+        .select(col("vec_id"), col("embedding"), col("_best.cell").as("cell"))
+      cent = cellMeans(assigned).collect()
+    }
+    local(cent)
   }
 
   /** Embedding near-dup at scale: the same per-vector nearest-neighbor

@@ -437,6 +437,30 @@ class InsightsSpec extends SparkSpec {
       got.mkString(","))
   }
 
+  test("tsCommonBytesSql: XOR ladder matches the HOF reference on edge pairs") {
+    // the r17 codegen rewrite of the encoding family's per-cell
+    // ts-common-bytes: every (a, b) pair over driven edge longs must
+    // agree with the interpreted transform+array_position form it
+    // replaced (byte boundaries, sign bit, equal, NULL predecessor)
+    val edges = Seq(0L, 1L, 255L, 256L, 257L, 65535L, 65536L, 1000000L,
+      1000256L, 0x0102030405060708L, 0x0102030405060709L, 0x0102030405070708L,
+      -1L, -256L, Long.MinValue, Long.MaxValue, Long.MinValue + 1)
+    val pairs = for (a <- edges; b <- edges) yield (a, b)
+    val df = pairs.toDF("_ts", "_pts")
+      .withColumn("_hofmis", expr(
+        "array_position(transform(sequence(1, 8), i -> " +
+          "IF((shiftright(_ts, (8 - i) * 8) & 255) = " +
+          "(shiftright(_pts, (8 - i) * 8) & 255), 1, 0)), 0)"))
+      .withColumn("_ref", expr("cast(IF(_hofmis = 0, 8, _hofmis - 1) as bigint)"))
+      .withColumn("_new", expr(Tools.tsCommonBytesSql))
+    assert(df.where(col("_ref") =!= col("_new")).isEmpty,
+      df.where(col("_ref") =!= col("_new")).collect().mkString(","))
+    // NULL predecessor (first row of a partition): both forms yield 0
+    val nulls = Seq((5L, Option.empty[Long])).toDF("_ts", "_pts")
+      .withColumn("_new", expr(Tools.tsCommonBytesSql))
+    assert(nulls.select("_new").head.getLong(0) == 0L)
+  }
+
   test("quotaThrottleSize: checkQuota precedence on windows violating several limits") {
     // One user per case, all in ONE window; limits: 2 reqs, 100 req
     // bytes, 50 write bytes, 40 read bytes. checkQuota's order is
