@@ -65,13 +65,24 @@ object Profile {
       // warmup (codegen/JIT/IO cache) — same discipline as Bench
       try Bench.materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       graft.pipeline.PipelineQueries.resetShared()
+      // match the suite's shape: memo consumers run against prewarmed
+      // shared tables (the bench charges those to memo_setup)
+      graft.pipeline.PipelineQueries.prewarmShared(spark, sfDir,
+        selected = Some(Set(name)))
       System.gc(); Thread.sleep(300)
       org.apache.spark.sql.graftbridge.ListenerBridge
         .waitUntilEmpty(spark.sparkContext)
       log.reset()
+      val e0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val tBuild = System.nanoTime()
+      // planner cost in isolation: force analysis + optimization +
+      // physical planning of the query (materialize re-plans its own
+      // write command at roughly the same cost, so the gap between
+      // jobs during materialize ≈ this number when planning dominates)
+      df.queryExecution.executedPlan
+      val tPlan = System.nanoTime()
       Bench.materialize(df)
       val tDone = System.nanoTime()
       org.apache.spark.sql.graftbridge.ListenerBridge
@@ -79,12 +90,14 @@ object Profile {
       val jobs = log.jobs.values.toSeq
       val wall = (tDone - t0) / 1e9
       val build = (tBuild - t0) / 1e9
+      val plan = (tPlan - tBuild) / 1e9
       val jobWall = jobs.map(j => math.max(0L, j.end - j.start)).sum / 1e3
-      println(f"== $name%s wall=$wall%.3f build=$build%.3f " +
+      println(f"== $name%s wall=$wall%.3f build=$build%.3f plan=$plan%.3f " +
         f"jobs=${jobs.size}%d jobWall=$jobWall%.3f " +
-        f"gapWall=${wall - build - jobWall}%.3f")
+        f"gapWall=${wall - build - plan - jobWall}%.3f")
       jobs.foreach { j =>
         println(f"   job ${j.id}%4d ${(j.end - j.start) / 1e3}%7.3fs " +
+          f"@${(j.start - e0) / 1e3}%7.3f " +
           f"stages=${j.stages}%3d tasks=${j.tasks}%4d " +
           f"taskSec=${j.taskMs / 1e3}%8.3f  ${j.desc.take(60)}%s")
       }

@@ -1036,9 +1036,16 @@ object Tools {
       graft.core.CommonPrefixLen.commonPrefixLen(col(a), col(b))
     val w = Window.partitionBy("region").orderBy("_row", "_q", "_ts", "_tie")
     val famPart = 1 + famLen // famLen byte + family name
-    df.select(region.as("region"), row.as("_row"), qualifier.as("_q"),
+    // Par.spread feeds the window its region partitioning EXPLICITLY
+    // (r17): the window's own exchange is AQE-coalesced to ONE task on
+    // thin inputs (task ≈ wall measured on the encoding queries), and
+    // the per-cell delta projection below is this operator's whole
+    // cost; an explicit-count repartition satisfies the window's
+    // clustering, so no second exchange appears
+    graft.core.Par.spread(
+      df.select(region.as("region"), row.as("_row"), qualifier.as("_q"),
         tsMicros.cast("long").as("_ts"), value.as("_v"),
-        tiebreak.as("_tie"))
+        tiebreak.as("_tie")), "region")
       .withColumn("_rn", row_number().over(w))
       .withColumn("_pq", lag(col("_q"), 1).over(w))
       .withColumn("_pts", lag(col("_ts"), 1).over(w))
@@ -1320,9 +1327,13 @@ object Tools {
             graft.core.CommonPrefixLen.commonPrefixLen(
               element_at(arr, i), element_at(arr, i - 1)).cast("int"))))
     val w = Window.partitionBy("region").orderBy("_row", "_q", "_ts", "_tie")
-    val blocks = df
+    // explicit region spread into the window (the
+    // blockEncodingDecision r17 note: AQE coalesces the window's thin
+    // exchange to one task otherwise)
+    val blocks = graft.core.Par.spread(df
       .select(region.as("region"), row.as("_row"), qualifier.as("_q"),
-        tsMicros.cast("long").as("_ts"), value.as("_v"), tiebreak.as("_tie"))
+        tsMicros.cast("long").as("_ts"), value.as("_v"), tiebreak.as("_tie")),
+      "region")
       .withColumn("_rn", row_number().over(w))
       .withColumn("_blk", expr(s"(_rn - 1) div $blockCells"))
       .groupBy("region", "_blk")
@@ -1420,7 +1431,11 @@ object Tools {
     // semantics, no per-row array allocation
     val commonLen =
       graft.core.CommonPrefixLen.commonPrefixLen(col("_fk"), col("_prev"))
-    df.select(region.as("region"), flatKey.as("_fk"))
+    // explicit region spread into the window (the
+    // blockEncodingDecision r17 note: AQE coalesces the window's thin
+    // exchange to one task otherwise)
+    graft.core.Par.spread(
+      df.select(region.as("region"), flatKey.as("_fk")), "region")
       .withColumn("_rn", row_number().over(w))
       .withColumn("_prev", lag(col("_fk"), 1).over(w))
       .withColumn("_prefix", when(

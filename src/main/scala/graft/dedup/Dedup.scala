@@ -250,7 +250,13 @@ object Dedup {
     * CollapseProject into every element_at reference, re-hashing the
     * whole doc per gram position). */
   def crossDocSubstrings(docs: DataFrame, n: Int = 8): DataFrame = {
-    val ws = docs.withColumn("w", split(col("text"), " "))
+    // Par.spread: the per-doc word-hash + gram-digest walk is this
+    // operator's whole scan-side cost and the flat sf corpus leaves it
+    // on ONE scan partition — measured as two concurrent ~0.42 s
+    // single-task jobs (the gram table feeds both the df count and the
+    // report join, so both exchange map stages pay it)
+    val ws = graft.core.Par.spread(docs, "doc_id")
+      .withColumn("w", split(col("text"), " "))
       .where(size(col("w")) >= n)
     val mkh = (1 to n).map(j => s"element_at(hw, i + $j)").mkString(", ")
     val grams = ws.select(col("doc_id"), explode(expr(

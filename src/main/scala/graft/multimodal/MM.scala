@@ -47,17 +47,27 @@ object MM {
   private def bytes(hexStr: String): Column = unhex(lit(hexStr))
   private def ascii(s: String): Column = lit(s).cast("binary")
 
-  /** Pin an expensive column to its own projection. The wrapped branch
-    * is always taken (rand() ∈ [0,1) is never negative) so the VALUE is
-    * exactly `c` — but the expression is nondeterministic to Catalyst,
-    * so neither CollapseProject nor the scan planner's unconditional
-    * project-collapse may substitute it into downstream expressions.
-    * Without this the fused synthesize→hex→patch→re-decode projection
-    * re-inlines the payload CASE into every one of the ~30 byte
-    * accesses, the generated method grows past janino's limit, and the
-    * whole stage silently falls back to interpreted evaluation. Pinned,
-    * each payload/hex image is computed once per row, codegen'd. */
-  private def pinned(c: Column): Column = when(rand() >= 0, c)
+  /** Pin an expensive column to its own projection. The index is
+    * always 1 (rand()·0 = 0) so the VALUE is exactly `c` — but the
+    * expression is nondeterministic to Catalyst, so neither
+    * CollapseProject nor the scan planner's unconditional
+    * project-collapse may substitute it into downstream expressions,
+    * and no filter on it is pushed below the projection. Without this
+    * the fused synthesize→hex→patch→re-decode projection re-inlines
+    * the payload CASE into every one of the ~30 byte accesses, the
+    * generated method grows past janino's limit, and the whole stage
+    * silently falls back to interpreted evaluation. Pinned, each
+    * payload/hex image is computed once per row, codegen'd.
+    *
+    * Form (r17): the former `when(rand() >= 0, c)` guard is SIMPLIFIED
+    * AWAY by the Spark 4.1 optimizer (it knows rand's [0, 1) range and
+    * folds the always-true comparison), which silently un-pinned every
+    * payload — measured: the mm_audio_info plan carried 12 inlined
+    * copies of the payload CASE (35 KB plan text, ~1 s of
+    * per-materialization optimizer time, zero `rand` left in the
+    * plan). Now the native zero-runtime-cost [[graft.core.Pin]]
+    * barrier (its scaladoc: why not a value-level trick). */
+  private def pinned(c: Column): Column = graft.core.Pin.col(c)
 
   /** documents.text → a binary payload column wearing a real media
     * container header (the ingest-side stand-in; see scaladoc). */

@@ -33,7 +33,8 @@ object DataPrep {
     *   fresh. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     minShared: Int = 2, n: Int = 3,
-                    shingleTable: Option[DataFrame] = None): DataFrame = {
+                    shingleTable: Option[DataFrame] = None,
+                    benchShingleTable: Option[DataFrame] = None): DataFrame = {
     // both sides fold the shingle STRING to a 64-bit xxhash64 before
     // the broadcast join (r16): the probe side then hashes/compares
     // 8-byte longs instead of ~20-char strings, and the broadcast
@@ -43,7 +44,14 @@ object DataPrep {
     val corpus = shingleTable.getOrElse(Dedup.shingles(docs, n))
       .select(col("doc_id"), explode(col("shs")).as("_s"))
       .select(col("doc_id"), xxhash64(col("_s")).as("s"))
-    val benchSh = Dedup.shingles(benchmark, n)
+    // benchShingleTable (r17): when the benchmark set is a SLICE of an
+    // already-shingled corpus, the caller hands the precomputed
+    // (doc_id, shs) rows for it instead of re-shingling raw text —
+    // rebuilding here was decontaminate's single largest job
+    // (measured 1.6 s on ONE task: the optimizer's inferred explode
+    // guards push below the shingle projection and inline the whole
+    // interpreted HOF into a per-row Filter over the raw scan)
+    val benchSh = benchShingleTable.getOrElse(Dedup.shingles(benchmark, n))
       .select(explode(col("shs")).as("_s"))
       .select(xxhash64(col("_s")).as("s")).distinct()
     val hits = corpus.join(broadcast(benchSh), Seq("s"))

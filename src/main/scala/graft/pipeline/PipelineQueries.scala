@@ -120,7 +120,15 @@ object PipelineQueries {
   }
 
   private def shingleTab(s: SparkSession, d: String): DataFrame =
-    memoized(s, d, "shingles")(Dedup.shingles(docs(s, d)))
+    // Par.spread BEFORE the build (r17): the localCheckpoint pin
+    // freezes the build's partitioning into every consumer, and the
+    // flat sf corpus builds on ONE scan partition — so the memo build
+    // (the per-doc shingle transform, memo_setup's biggest line) ran
+    // single-threaded AND every consumer's scan-side probe over the
+    // pin (decontaminate's explode+hash: measured a 2.1 s single-task
+    // job) inherited the single partition
+    memoized(s, d, "shingles")(
+      Dedup.shingles(graft.core.Par.spread(docs(s, d), "doc_id")))
 
   /** Materialize every MULTI-consumer shared memo (shingle table,
     * capped ngram pair list, its CC labels, the int8 corpus) up front.
@@ -596,8 +604,13 @@ object PipelineQueries {
     // the eval-leakage scrub; benchmark shingle set broadcasts
     "decontaminate" -> ((s, d) => {
       val all = docs(s, d)
+      // the benchmark set is a slice of the corpus, so its shingles
+      // are a FILTER of the memoized shingle table — identical rows
+      // to re-shingling the slice, without the raw-text rebuild
       DataPrep.decontaminate(all, all.where(col("doc_id") % 41 === 0),
-          shingleTable = Some(shingleTab(s, d)))
+          shingleTable = Some(shingleTab(s, d)),
+          benchShingleTable = Some(
+            shingleTab(s, d).where(col("doc_id") % 41 === 0)))
         .orderBy("doc_id")
     }),
     // keyword extraction: top-3 TF-IDF terms per doc, micro-log idf
@@ -613,7 +626,11 @@ object PipelineQueries {
     // fixed 8192-bucket hashed-unigram models (the broadcastable
     // constant-size model is DSIR's own scale trick); micro-log exact
     "sample_importance" -> ((s, d) =>
-      TextOps.importanceScore(docs(s, d), col("lang") === "en")
+      // Par.spread: the per-token hash-feature walk is single-
+      // partition on the flat corpus (measured 0.36 + 0.67 s
+      // single-task jobs)
+      TextOps.importanceScore(graft.core.Par.spread(docs(s, d), "doc_id"),
+          col("lang") === "en")
         .orderBy("doc_id")),
     // fixed-size per-language eval-set draw: k = 16 docs per lang by
     // Knuth-hash order — deterministic across engines/partitionings,
@@ -812,10 +829,18 @@ object PipelineQueries {
     // selected-min hash set reported as count + sorted-set digest; the
     // window min is partitioned by doc — never a global sort
     "text_winnowing" -> ((s, d) =>
-      TextOps.winnowing(docs(s, d), 4, 8).orderBy("doc_id")),
+      // Par.spread: the k-gram hash walk is single-partition on the
+      // flat corpus (measured 0.55 s single-task job before its
+      // windowed min)
+      TextOps.winnowing(graft.core.Par.spread(docs(s, d), "doc_id"), 4, 8)
+        .orderBy("doc_id")),
     // Gopher-style word-n-gram repetition gate: fraction of repeated
     // 2-grams, top-2-gram share, 3-gram repeats; pass under thresholds
-    "text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d)).orderBy("doc_id")),
+    "text_repetition" -> ((s, d) =>
+      // Par.spread: the per-doc n-gram repetition walk ran twice on
+      // one task (measured 0.73 + 0.65 s single-task jobs)
+      TextOps.repetition(graft.core.Par.spread(docs(s, d), "doc_id"))
+        .orderBy("doc_id")),
     // CCNet-style LM filter with the corpus unigram model: integer
     // micro-log contributions -> exact long sums, no float-order risk
     "text_unigram_logprob" -> ((s, d) => TextOps.unigramLogProb(docs(s, d)).orderBy("doc_id")),
@@ -842,9 +867,16 @@ object PipelineQueries {
             (col("doc_id") % 900 + 100).cast("string"), lit("-"),
             ((col("doc_id") * 13) % 9000 + 1000).cast("string")))
           .otherwise(col("text")))
-      TextOps.piiScrub(seeded).orderBy("doc_id")
+      // Par.spread before the regex scrub (r17): CPU-heavy per-row
+      // pass on the flat corpus's ONE scan partition, evaluated twice
+      // by the range sampler (measured 2 × ~0.6 s single-task jobs)
+      TextOps.piiScrub(graft.core.Par.spread(seeded, "doc_id")).orderBy("doc_id")
     }),
-    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "text_fingerprint" -> ((s, d) =>
+      // Par.spread: same single-partition double-eval class as
+      // text_pii_scrub (measured 0.29 + 0.42 s single-task jobs)
+      TextOps.fingerprint(graft.core.Par.spread(docs(s, d), "doc_id"))
+        .orderBy("doc_id")),
     // ---- §2J multimodal ----
     "mm_meta" -> ((s, d) => MM.meta(docs(s, d)).orderBy("doc_id")),
     // video-level near-dup: per-video DISTINCT frame-fingerprint sets,
@@ -1030,8 +1062,14 @@ object PipelineQueries {
     // adjacent-id pairing rides the SAME Dedup.shingles tokenizer as
     // the dedup family (n = 2).
     "eval_rouge_n" -> ((s, d) =>
+      // Par.spread BELOW the bigram build: the shingle walk feeds BOTH
+      // sides of the adjacent-pair join, so on the flat corpus it ran
+      // twice on one task each (measured 2 × ~0.35 s single-task map
+      // stages); adjacentPairs' own spread only covers the post-join
+      // metric pass
       graft.text.GenerationEval.rougeN(
-        adjacentPairs(Dedup.shingles(docs(s, d), 2), "shs"))
+        adjacentPairs(Dedup.shingles(
+          graft.core.Par.spread(docs(s, d), "doc_id"), 2), "shs"))
         .orderBy("cand_id")),
     // corpus BLEU (Papineni et al. 2002), add-one-smoothed, exact
     // micro-log10 integer units — metric body + arithmetic rationale
@@ -1084,7 +1122,13 @@ object PipelineQueries {
     // gate loudly): nothing shuffles but the 3-row-per-doc explode. A
     // doc shorter than n simply has no n row.
     "eval_distinct_n" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), split(col("text"), " ").as("ts"))
+      // Par.spread: the per-doc gram walk (three n-gram sizes ×
+      // hash-distinct per doc) is this query's whole cost and ran on
+      // the flat sf corpus's ONE scan partition (measured: two equal
+      // single-task ~0.55 s jobs — the range sampler re-evaluates its
+      // child — 1.23 s wall; spread: 0.85 s, both passes 32-way)
+      graft.core.Par.spread(docs(s, d), "doc_id")
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
         .select(col("doc_id"), explode(expr(
           """transform(sequence(1, least(3, size(ts))), n -> named_struct(
             |  'n', n,
@@ -1196,7 +1240,12 @@ object PipelineQueries {
     // different sketch; the spec asserts the estimate lands within 5%
     // of exact NDV and that shard-merge ≡ whole-corpus sketch.
     "sketch_hll_shards" -> ((s, d) => {
-      val li = Tables.load(s, d, "lineitem")
+      // Par.spread: the HLL register updates over 600k keys ran on the
+      // flat file's ONE scan partition (measured: a 1.5 s single-task
+      // job); keys-only projection first so the thin shuffle moves
+      // 8-byte keys, then both sketch passes aggregate map-side 32-way
+      val li = graft.core.Par.spread(
+          Tables.load(s, d, "lineitem").select("l_orderkey"), "l_orderkey")
         .withColumn("shard", pmod(col("l_orderkey"), lit(8)))
       val shardSketches = li.groupBy("shard")
         .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("sk"))

@@ -90,4 +90,37 @@ class CoreToolsSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("Pin: value identity, and the barrier survives the optimizer") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // value identity through both codegen and a collect (eval) path,
+    // including NULL propagation
+    val expensive = concat(col("text"), reverse(col("text")))
+    val a = df.select(col("doc_id"), expensive.as("v"))
+      .orderBy("doc_id").collect()
+    val b = df.select(col("doc_id"), graft.core.Pin.col(expensive).as("v"))
+      .orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+    val nulls = df.select(graft.core.Pin.col(
+      when(col("doc_id") < 0, col("text"))).as("v"))
+    assert(nulls.where(col("v").isNotNull).count() == 0)
+    // barrier property: a filter on the pinned alias must NOT be
+    // pushed below the projection that computes it — the plan keeps
+    // Filter ABOVE Project, and exactly ONE copy of the expensive
+    // expression exists (the broken when(rand() >= 0, c) form left
+    // copies of it inside the pushed-down filter)
+    val q = df.withColumn("v", graft.core.Pin.col(expensive))
+      .where(length(col("v")) > 4)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("pin("), plan)
+    val copies = "reverse\\(".r.findAllIn(plan).length
+    assert(copies == 1, s"expected 1 copy of the pinned expr, got $copies:\n$plan")
+    val lines = plan.linesIterator.toSeq
+    val fIdx = lines.indexWhere(_.contains("Filter"))
+    val pIdx = lines.indexWhere(_.contains("pin("))
+    assert(fIdx >= 0 && pIdx >= 0 && fIdx < pIdx,
+      s"Filter must sit above the pinned Project:\n$plan")
+  }
 }
