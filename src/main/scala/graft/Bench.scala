@@ -71,6 +71,17 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Generated-class cache sized to the query surface (r17): the
+      // default 100 entries thrash under 314 distinct queries (~5
+      // codegen'd stages each), so EVERY pass recompiled virtually
+      // every stage — janino frames dominated driver stack samples and
+      // a 63-query A/B measured ~1.8x end-to-end (p1/p2/p3
+      // 45-52/42-50/42-53 s stock vs 25.2/25.0/23.0 s sized, quiet
+      // windows). Scale-independent: this is driver-JVM metadata (the
+      // cache holds compiled classes, ~KBs each), and any long-running
+      // service with a wide query surface wants it sized to that
+      // surface, not to the 100-entry default.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     // SPARK_GRAFT_CONF=k=v;k2=v2 — extra session confs, an experiment
     // aid (e.g. codegen knobs for the in-suite-amplification probes);
     // the driver never sets it, so round records run stock. Malformed

@@ -43,6 +43,8 @@ object ScaleSpike {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // codegen cache sized to the query surface (Bench.scala r17 note)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try run(spark, args) finally spark.stop()

@@ -63,6 +63,8 @@ object ScanAudit {
       // flag threshold — raise the cap so the audit reads whole paths
       .config("spark.sql.maxMetadataStringLength", "4096")
       .config("spark.ui.enabled", "false")
+      // codegen cache sized to the query surface (Bench.scala r17 note)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // counts raw file: occurrences anywhere in the plan string — a

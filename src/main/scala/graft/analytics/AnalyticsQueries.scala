@@ -1545,7 +1545,7 @@ object AnalyticsQueries {
     // deterministic tie order.
     "basket_pairs" -> ((s, d) => {
       val items = Tables.load(s, d, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
+        .select("l_orderkey", "l_partkey")
       // pairs straight off the per-order postings list (r16 — the
       // Dedup.cappedCandidates shape): ONE order-key shuffle builds
       // each basket, a codegen'd nested transform emits the i<j pairs
@@ -1553,8 +1553,13 @@ object AnalyticsQueries {
       // orderkey AND read the exchange twice, paying the join probe
       // per pair; values identical — the sorted distinct basket emits
       // exactly the a.partkey < b.partkey pair set.
+      // collect_set (r17): the separate .distinct() pre-pass paid its
+      // own full exchange on (orderkey, partkey) before the basket
+      // groupBy's; the set aggregate dedups inside ONE shuffle —
+      // identical baskets (collect_list-after-distinct ≡ collect_set,
+      // both drop NULLs; array_sort fixes the order either way).
       items.groupBy("l_orderkey")
-        .agg(array_sort(collect_list(col("l_partkey"))).as("ds"))
+        .agg(array_sort(collect_set(col("l_partkey"))).as("ds"))
         .where(size(col("ds")) >= 2)
         .select(explode(expr(
           graft.dedup.Dedup.pairExpansion("y -> struct(x AS p1, y AS p2)"))).as("p"))
